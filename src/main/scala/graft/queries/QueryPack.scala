@@ -1,0 +1,19 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** A named bundle of driver-checkable queries.
+  *
+  * Contract (see SparkEntry): each entry in `queries` takes the
+  * scale-factor directory and returns a DataFrame; `oracle` carries the
+  * equivalent DuckDB SQL over the same parquet-backed table names. The
+  * driver hash-compares the two after sorting columns by name, so every
+  * computed column must carry the SAME alias on both sides, and any
+  * floating-point aggregate must be made engine-deterministic (we sum in
+  * DECIMAL and cast the final value to DOUBLE on both sides).
+  */
+trait QueryPack {
+  type Q = (SparkSession, String) => DataFrame
+  def queries: Map[String, Q]
+  def oracle: Map[String, String]
+}

@@ -1,0 +1,287 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+import graft.sources.Tables
+
+/** Core relational operator surface of the reference, re-expressed as
+  * declarative Spark plans over the driver test tables.
+  *
+  * Operator IDs refer to SURVEY.md §2:
+  *   S1  catalog/parquet scan with projection+filter pushdown
+  *   F1/F10/F11 conjunctive / NOT-IN / theta filters
+  *     (reference: lambda/catalog-creator-s3/app.py:10,
+  *      lambda/dynamodb-trigger/app.py:145-155,
+  *      lambda/rds-ddl-init/app.py:318-320)
+  *   J1/J5 broadcast enrich join, multi-hop chain join
+  *     (reference: lambda/pii-report/app.py:162-198,
+  *      lambda/rds-tag-report/app.py:193-212)
+  *   A2/A3/A4/A5 argmax-per-group, distinct, collect_set, exists-gate
+  *   P6/P7/P8/P10/P12 scalar-function surface
+  *   S11/S12 merge/upsert projection
+  *
+  * Scale posture: filters and projections sit directly on the parquet
+  * scan (pushdown + pruning verified via explain in PlanAuditSpec); the
+  * dimension sides of every join are broadcast; all aggregates are
+  * partial-aggregation-friendly (sum/count/min/max over decimals).
+  * Float determinism: aggregate in DECIMAL, cast the result to DOUBLE —
+  * IEEE addition order then cannot perturb the hash on either engine.
+  */
+object Relational extends QueryPack {
+
+  /** Decimal-stable sum: deterministic under any partitioning. */
+  private def dsum(c: org.apache.spark.sql.Column, scale: Int = 4) =
+    sum(c.cast(DecimalType(28, scale))).cast(DoubleType)
+
+  def queries: Map[String, Q] = Map(
+    // S1: scan + projection + predicate pushdown
+    "s1_scan_project" -> ((s, d) => {
+      Tables.load(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1995-06-01").cast(TimestampType)
+          && col("l_discount") > 0.05)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"))
+    }),
+
+    // F1: conjunctive equality filter (tracker-scan shape)
+    "f1_filter_conjunctive" -> ((s, d) => {
+      Tables.load(s, d, "orders")
+        .filter(col("o_orderstatus") === "O"
+          && col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+    }),
+
+    // F10: NOT-IN exception list (left-anti vs literal list)
+    "f10_not_in" -> ((s, d) => {
+      Tables.load(s, d, "nation")
+        .filter(!col("n_name").isin("FRANCE", "GERMANY"))
+        .select(col("n_nationkey"), col("n_name"))
+    }),
+
+    // F11: substring-containment theta predicate
+    "f11_theta_contains" -> ((s, d) => {
+      Tables.load(s, d, "part")
+        .filter(col("p_name").like("%bolt%"))
+        .select(col("p_partkey"), col("p_name"))
+    }),
+
+    // J1: broadcast left-outer enrich + conditional comment build (P12)
+    "j1_broadcast_enrich" -> ((s, d) => {
+      val c = Tables.load(s, d, "customer")
+      val n = Tables.load(s, d, "nation")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"), "left")
+        .select(col("c_custkey"),
+          when(col("n_name").isNotNull,
+            substring(concat(lit("Sensitive Data Element | "), col("n_name")), 1, 40))
+            .otherwise(lit("unclassified")).as("comment"))
+    }),
+
+    // J5: 3-hop chain join + grouped decimal-stable aggregate
+    "j5_join_chain" -> ((s, d) => {
+      val c = Tables.load(s, d, "customer")
+      val n = Tables.load(s, d, "nation")
+      val r = Tables.load(s, d, "region")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_customers"),
+          dsum(col("c_acctbal"), 2).as("sum_acctbal"))
+    }),
+
+    // A2: argmax-per-group (latest order per customer)
+    "a2_argmax_latest" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      Tables.load(s, d, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast(DateType).as("latest_date"))
+    }),
+
+    // A3: DISTINCT projection
+    "a3_distinct" -> ((s, d) =>
+      Tables.load(s, d, "customer").select(col("c_mktsegment")).distinct()),
+
+    // A4: collect_set per group (string-joined for a stable value)
+    "a4_collect_set" -> ((s, d) => {
+      val c = Tables.load(s, d, "customer")
+      val n = Tables.load(s, d, "nation")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(array_join(sort_array(collect_set(col("c_mktsegment"))), ",")
+          .as("segments"))
+    }),
+
+    // A5: existence gate (left-semi join)
+    "a5_exists_gate" -> ((s, d) => {
+      val c = Tables.load(s, d, "customer")
+      val o = Tables.load(s, d, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+
+    // TPC-H-Q1-shaped grouped aggregate (the classify-roll-up shape)
+    "q1_agg" -> ((s, d) => {
+      val li = Tables.load(s, d, "lineitem")
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity"), 2).as("sum_qty"),
+          dsum(col("l_extendedprice"), 2).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+            .as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // Set-op: union of two source-class projections
+    "u1_union_streams" -> ((s, d) => {
+      val e = Tables.load(s, d, "events")
+      val hot = e.filter(col("value") > 100)
+        .select(col("event_id"), lit("hot").as("src_class"), col("event_type"))
+      val cold = e.filter(col("value") <= 100)
+        .select(col("event_id"), lit("cold").as("src_class"), col("event_type"))
+      hot.unionByName(cold)
+    }),
+
+    // P6: catalog-safe name normalization
+    "p6_name_normalize" -> ((s, d) =>
+      Tables.load(s, d, "part")
+        .select(col("p_partkey"),
+          lower(regexp_replace(col("p_type"), "[ .-]", "_")).as("norm_type"))),
+
+    // P7/P10: string parse + JSON field extraction from event payloads
+    "p10_json_extract" -> ((s, d) =>
+      Tables.load(s, d, "events")
+        .select(col("event_id"), col("event_type"),
+          get_json_object(col("props"), "$.k").cast(LongType).as("k_val"))),
+
+    // P8: timestamp format round-trip
+    "p8_ts_roundtrip" -> ((s, d) =>
+      Tables.load(s, d, "orders")
+        .select(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("od_str"))),
+
+    // Window extension: deterministic running total per customer
+    "w1_running_sum" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.load(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(col("o_totalprice").cast(DecimalType(28, 2))).over(w)
+            .cast(DoubleType).as("running_total"))
+    }),
+
+    // Sort + deterministic top-k
+    "t1_topk" -> ((s, d) =>
+      Tables.load(s, d, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+        .select(col("o_orderkey"), col("o_totalprice"))),
+
+    // S11/S12 merge-shaped upsert projection: state LEFT JOIN updates
+    "s12_upsert_merge" -> ((s, d) => {
+      val c = Tables.load(s, d, "customer")
+      val agg = Tables.load(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("cnt"),
+          max(col("o_orderdate").cast(DateType)).as("last_date"))
+      c.join(agg, c("c_custkey") === agg("o_custkey"), "left")
+        .select(col("c_custkey"),
+          coalesce(col("cnt"), lit(0L)).as("order_cnt"),
+          col("last_date"))
+    }),
+
+    // Event-time tumbling-window aggregate (streaming shape, batch check)
+    "e1_event_window" -> ((s, d) =>
+      Tables.load(s, d, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hour_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          dsum(col("value"), 2).as("sum_value")))
+  )
+
+  def oracle: Map[String, String] = Map(
+    "s1_scan_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-06-01 00:00:00' AND l_discount > 0.05""".stripMargin,
+    "f1_filter_conjunctive" ->
+      """SELECT o_orderkey, o_custkey, o_orderpriority FROM orders
+        |WHERE o_orderstatus = 'O' AND o_orderpriority = '1-URGENT'""".stripMargin,
+    "f10_not_in" ->
+      "SELECT n_nationkey, n_name FROM nation WHERE n_name NOT IN ('FRANCE','GERMANY')",
+    "f11_theta_contains" ->
+      "SELECT p_partkey, p_name FROM part WHERE p_name LIKE '%bolt%'",
+    "j1_broadcast_enrich" ->
+      """SELECT c_custkey,
+        |  CASE WHEN n_name IS NOT NULL
+        |       THEN substr('Sensitive Data Element | ' || n_name, 1, 40)
+        |       ELSE 'unclassified' END AS comment
+        |FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey""".stripMargin,
+    "j5_join_chain" ->
+      """SELECT r_name, count(*) AS n_customers,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(28,2))) AS DOUBLE) AS sum_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin,
+    "a2_argmax_latest" ->
+      """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS latest_date
+        |FROM orders
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate DESC, o_orderkey DESC) = 1""".stripMargin,
+    "a3_distinct" -> "SELECT DISTINCT c_mktsegment FROM customer",
+    "a4_collect_set" ->
+      """SELECT n_name,
+        |  array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segments
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+    "a5_exists_gate" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "u1_union_streams" ->
+      """SELECT event_id, 'hot' AS src_class, event_type FROM events WHERE value > 100
+        |UNION ALL
+        |SELECT event_id, 'cold' AS src_class, event_type FROM events WHERE value <= 100""".stripMargin,
+    "p6_name_normalize" ->
+      """SELECT p_partkey, lower(regexp_replace(p_type, '[ .-]', '_', 'g')) AS norm_type
+        |FROM part""".stripMargin,
+    "p10_json_extract" ->
+      """SELECT event_id, event_type,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+        |FROM events""".stripMargin,
+    "p8_ts_roundtrip" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS od_str
+        |FROM orders""".stripMargin,
+    "w1_running_sum" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
+        |FROM orders""".stripMargin,
+    "t1_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "s12_upsert_merge" ->
+      """SELECT c_custkey, COALESCE(cnt, 0) AS order_cnt, last_date
+        |FROM customer LEFT JOIN (
+        |  SELECT o_custkey, count(*) AS cnt, MAX(CAST(o_orderdate AS DATE)) AS last_date
+        |  FROM orders GROUP BY o_custkey) agg
+        |ON c_custkey = o_custkey""".stripMargin,
+    "e1_event_window" ->
+      """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+        |  count(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin
+  )
+}

@@ -1,0 +1,35 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Parquet-backed test tables (TESTDATA.md). Every query receives the
+  * scale-factor directory and resolves tables through here so the scan
+  * path (and therefore pushdown/pruning behavior) is uniform.
+  *
+  * At 100 TB these would be partitioned/bucketed catalog tables; the
+  * loader keeps the access point single so swapping `parquet(dir)` for
+  * `spark.table(...)` is a one-line change.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    // events.ts is INT64 TIMESTAMP(NANOS) parquet, which Spark reads
+    // only as LongType (spark.sql.legacy.parquet.nanosAsLong=true, set
+    // in every session builder). Convert to a microsecond timestamp with
+    // integer division — ns values exceed 2^53, so double division
+    // would lose precision.
+    if (name == "events" && df.schema("ts").dataType.typeName == "long")
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
+
+  /** Register every table as a temp view so `spark.sql` works against
+    * the same names the DuckDB oracle sees. */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}

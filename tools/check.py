@@ -1,0 +1,53 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+
+Loads each <name> parquet result written by graft.Verify, runs the
+corresponding oracle SQL from oracle_sql.json in DuckDB against the
+same testdata tables, sorts columns by name and rows by value, and
+hash-compares. Prints PASS/FAIL per query.
+"""
+import sys, json, glob, os
+import duckdb
+
+def canon(con, rel_sql):
+    df = con.execute(rel_sql).fetchdf()
+    df = df.reindex(sorted(df.columns), axis=1)
+    # normalize value text: floats repr'd via repr of python float
+    rows = []
+    for t in df.itertuples(index=False):
+        rows.append(tuple(str(v) for v in t))
+    rows.sort()
+    return list(df.columns), rows
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    con = duckdb.connect()
+    for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
+        name = os.path.basename(p)[:-len(".parquet")]
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        res_dir = os.path.join(out_dir, name)
+        if not os.path.isdir(res_dir):
+            print(f"MISSING {name}"); n_fail += 1; continue
+        try:
+            cols_s, rows_s = canon(con, f"SELECT * FROM read_parquet('{res_dir}/*.parquet')")
+            cols_o, rows_o = canon(con, f"SELECT * FROM ({oracle[name]}) t")
+            if cols_s != cols_o:
+                print(f"FAIL {name}: cols spark={cols_s} oracle={cols_o}"); n_fail += 1
+            elif rows_s != rows_o:
+                diff = [ (a,b) for a,b in zip(rows_s, rows_o) if a != b ][:3]
+                print(f"FAIL {name}: rows spark={len(rows_s)} oracle={len(rows_o)} first-diffs={diff}")
+                n_fail += 1
+            else:
+                print(f"PASS {name} ({len(rows_s)} rows)"); n_pass += 1
+        except Exception as e:
+            print(f"ERROR {name}: {e}"); n_fail += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()
