@@ -1,0 +1,147 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Column-level sensitive-data classification — the reference's core
+  * aggregate (SURVEY.md A1; reference
+  * scripts/glue/s3-source/s3-source-script.py:302-316: EntityDetector
+  * .classify_columns(frame, entities, sampleFraction=1.0, threshold=0.1)
+  * → Map[column -> List[entityType]]).
+  *
+  * Spark-first design: one pass over the data.
+  *   1. cast every selected column to string and melt with `unpivot`
+  *      (built-in Generate node — no custom UDTF);
+  *   2. a single `groupBy(column_name)` aggregate computes, per column,
+  *      the non-null cell count plus one regex-match counter per entity
+  *      (`sum(when(rlike))` — codegen'd, partial-aggregation friendly,
+  *      so the shuffle carries only |columns| × (|entities|+1) longs no
+  *      matter how many rows are scanned);
+  *   3. the counter row is re-melted via `explode(map(...))` and the
+  *      match ratio filtered against the threshold.
+  *
+  * At 100 TB this is the right shape: the cell scan is embarrassingly
+  * parallel, every regex evaluates inside whole-stage codegen, and the
+  * only shuffle is the tiny per-column counter exchange. The 276-entity
+  * registry just widens the counter vector, not the shuffle row count.
+  */
+object Classify {
+
+  /** A detectable entity: name + Java/RE2-compatible regex (keep to the
+    * common subset — char classes, anchors, quantifiers — so the same
+    * pattern runs in Spark, DuckDB and RE2-based engines). */
+  final case class Entity(name: String, pattern: String)
+
+  /** Classification of `columns` of `df` (default: all columns, cast to
+    * string — mirroring the reference's scan of every column of every
+    * source). Returns one row per (column, entity) whose match ratio
+    * over non-null cells reaches `threshold`.
+    *
+    * Output: column_name, entity_type, n_matched, n_cells, match_ratio.
+    */
+  def classifyColumns(
+      df: DataFrame,
+      entities: Seq[Entity],
+      sampleFraction: Double = 1.0,
+      threshold: Double = 0.1,
+      columns: Seq[String] = Nil,
+      seed: Long = 42L): DataFrame = {
+    require(entities.nonEmpty, "entity registry must not be empty")
+    val cols = if (columns.nonEmpty) columns else df.columns.toSeq
+    val sampled = if (sampleFraction < 1.0) df.sample(sampleFraction, seed) else df
+    val cells = sampled
+      .select(cols.map(c => col(c).cast(StringType).as(c)): _*)
+      .unpivot(Array.empty[Column], cols.map(col).toArray, "column_name", "cell_value")
+      .filter(col("cell_value").isNotNull)
+
+    val counters = entities.map(e =>
+      sum(when(col("cell_value").rlike(e.pattern), 1L).otherwise(0L))
+        .as(s"m_${e.name}"))
+    val counted = cells
+      .groupBy(col("column_name"))
+      .agg(count(lit(1)).as("n_cells"), counters: _*)
+
+    val entityMap = map(entities.flatMap(e =>
+      Seq(lit(e.name), col(s"m_${e.name}"))): _*)
+    counted
+      .select(col("column_name"), col("n_cells"),
+        explode(entityMap).as(Seq("entity_type", "n_matched")))
+      .withColumn("match_ratio", col("n_matched") / col("n_cells"))
+      .filter(col("match_ratio") >= threshold)
+      .select(col("column_name"), col("entity_type"),
+        col("n_matched"), col("n_cells"), col("match_ratio"))
+  }
+
+  /** Reference output shape: one row per column with the deduplicated,
+    * sorted entity list (s3-source-script.py:309-316 builds
+    * {columnName, entityTypes} rows). */
+  def classifySummary(
+      df: DataFrame,
+      entities: Seq[Entity],
+      sampleFraction: Double = 1.0,
+      threshold: Double = 0.1,
+      columns: Seq[String] = Nil): DataFrame =
+    classifyColumns(df, entities, sampleFraction, threshold, columns)
+      .groupBy(col("column_name"))
+      .agg(sort_array(collect_set(col("entity_type"))).as("entityTypes"))
+
+  /** Provenance enrichment (P1-P3; s3-source-script.py:318-328): stamp
+    * findings with source coordinates, a per-row uuid and the run
+    * timestamp. `uuid()`/`current_timestamp()` are Spark built-ins —
+    * the reference's only UDF disappears. */
+  def enrichFindings(
+      findings: DataFrame,
+      sourceType: String,
+      sourceCoords: Map[String, String],
+      region: String = "local"): DataFrame = {
+    val withCoords = sourceCoords.foldLeft(
+      findings
+        .withColumn("data_source_type", lit(sourceType))
+        .withColumn("region", lit(region))) {
+      case (acc, (k, v)) => acc.withColumn(k, lit(v))
+    }
+    withCoords
+      .withColumn("id", expr("uuid()"))
+      .withColumn("timestamp", current_timestamp())
+  }
+}
+
+/** Entity registry modeled on the reference's 276-entry detector list
+  * (s3-source-script.py:24-281 — names are public AWS entity types;
+  * patterns here are our own, derived from public format specs). */
+object EntityRegistry {
+  import Classify.Entity
+
+  val EMAIL = Entity("EMAIL", "^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}$")
+  val PHONE_NUMBER = Entity("PHONE_NUMBER", "^\\+?[0-9][0-9 ().-]{6,18}[0-9]$")
+  val SSN = Entity("SSN", "^[0-9]{3}-[0-9]{2}-[0-9]{4}$")
+  val CREDIT_DEBIT_NUMBER = Entity("CREDIT_DEBIT_NUMBER", "^[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{4}$")
+  val IP_ADDRESS = Entity("IP_ADDRESS", "^([0-9]{1,3}\\.){3}[0-9]{1,3}$")
+  val MAC_ADDRESS = Entity("MAC_ADDRESS", "^([0-9A-Fa-f]{2}:){5}[0-9A-Fa-f]{2}$")
+  val URL = Entity("URL", "^https?://[^ ]+$")
+  val UUID_ID = Entity("UUID", "^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$")
+  val DATE_ISO = Entity("DATE_ISO", "^[0-9]{4}-[0-9]{2}-[0-9]{2}")
+  val TIME_HMS = Entity("TIME_HMS", "[0-9]{2}:[0-9]{2}:[0-9]{2}")
+  val NUMERIC_ID = Entity("NUMERIC_ID", "^[0-9]+$")
+  val MONEY_AMOUNT = Entity("MONEY_AMOUNT", "^[0-9]+\\.[0-9]{2}$")
+  val UK_NINO = Entity("UK_NATIONAL_INSURANCE_NUMBER", "^[A-CEGHJ-PR-TW-Z]{2}[0-9]{6}[A-D]$")
+  val UK_POSTCODE = Entity("UK_POSTAL_CODE", "^[A-Z]{1,2}[0-9][A-Z0-9]? ?[0-9][A-Z]{2}$")
+  val US_ZIP = Entity("US_ZIP_CODE", "^[0-9]{5}(-[0-9]{4})?$")
+  val IBAN = Entity("INTERNATIONAL_BANK_ACCOUNT_NUMBER", "^[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}$")
+  val LATLONG = Entity("LATITUDE_LONGITUDE", "^-?[0-9]{1,3}\\.[0-9]+, ?-?[0-9]{1,3}\\.[0-9]+$")
+  val PERSON_TITLE = Entity("PERSON_TITLE", "^(Mr|Mrs|Ms|Dr|Prof)\\.? ")
+  val GENDER = Entity("GENDER", "^(Male|Female|male|female|M|F)$")
+  val JSON_OBJECT = Entity("JSON_OBJECT", "^\\{.*\\}$")
+  val LANG_CODE = Entity("LANG_CODE", "^(en|es|de|fr|zh|ja|ko|it|pt|ru)$")
+  val SOURCE_TAG = Entity("SOURCE_TAG", "^src[0-9]+$")
+  val FREE_TEXT = Entity("FREE_TEXT", "^[a-z]+( [a-z]+){3,}")
+
+  /** Full registry (extend freely; classification cost per entity is one
+    * codegen'd regex per cell). */
+  val all: Seq[Entity] = Seq(
+    EMAIL, PHONE_NUMBER, SSN, CREDIT_DEBIT_NUMBER, IP_ADDRESS, MAC_ADDRESS,
+    URL, UUID_ID, DATE_ISO, TIME_HMS, NUMERIC_ID, MONEY_AMOUNT, UK_NINO,
+    UK_POSTCODE, US_ZIP, IBAN, LATLONG, PERSON_TITLE, GENDER, JSON_OBJECT,
+    LANG_CODE, SOURCE_TAG, FREE_TEXT)
+}

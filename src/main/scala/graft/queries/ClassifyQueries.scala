@@ -1,0 +1,104 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.ops.{Classify, EntityRegistry => E}
+
+/** Driver-checkable entries for the classification engine (A1/A4/P1).
+  *
+  * The oracle replays the same semantics in DuckDB: melt the columns
+  * with UNION ALL, cross-join the entity registry VALUES list, and
+  * aggregate match counts. match_ratio is an exact long/long double
+  * division, so it hashes identically on both engines.
+  */
+object ClassifyQueries extends QueryPack {
+
+  private val docEntities = Seq(
+    E.NUMERIC_ID, E.LANG_CODE, E.SOURCE_TAG, E.FREE_TEXT, E.EMAIL, E.GENDER)
+  private val eventEntities = Seq(
+    E.NUMERIC_ID, E.JSON_OBJECT, E.MONEY_AMOUNT, E.EMAIL)
+
+  def queries: Map[String, Q] = Map(
+    // A1: the core per-column PII classification over documents
+    "a1_classify_docs" -> ((s, d) =>
+      Classify.classifyColumns(
+        Tables.load(s, d, "documents"), docEntities, threshold = 0.05)),
+
+    // A1 over the event stream table (heterogeneous-source parity)
+    "a1_classify_events" -> ((s, d) =>
+      Classify.classifyColumns(
+        Tables.load(s, d, "events"), eventEntities, threshold = 0.05,
+        columns = Seq("event_id", "user_id", "event_type", "value", "props"))),
+
+    // A4: reference output shape — sorted entity set per column
+    "a1_classify_summary" -> ((s, d) =>
+      Classify.classifySummary(
+        Tables.load(s, d, "documents"), docEntities, threshold = 0.05)
+        .withColumn("entityTypes", array_join(col("entityTypes"), ","))),
+
+    // P1: provenance enrichment (deterministic columns only; the
+    // uuid/timestamp stamps are covered by ClassifySpec)
+    "p1_enrich_findings" -> ((s, d) =>
+      Classify.classifySummary(
+        Tables.load(s, d, "documents"), docEntities, threshold = 0.05)
+        .withColumn("entityTypes", array_join(col("entityTypes"), ","))
+        .withColumn("data_source_type", lit("s3"))
+        .withColumn("data_catalog_db_name", lit("graft_db"))
+        .withColumn("data_catalog_table_name", lit("documents"))
+        .withColumn("region", lit("local")))
+  )
+
+  private val docCells =
+    """SELECT 'doc_id' AS column_name, CAST(doc_id AS VARCHAR) AS cell_value FROM documents
+      |UNION ALL SELECT 'text', text FROM documents
+      |UNION ALL SELECT 'lang', lang FROM documents
+      |UNION ALL SELECT 'source', source FROM documents
+      |UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR) FROM documents""".stripMargin
+
+  // DuckDB single-quoted literals keep backslashes as-is — only quotes
+  // need escaping; the Java pattern text passes through unchanged.
+  private def entValues(es: Seq[Classify.Entity]): String =
+    es.map(e => s"('${e.name}', '${e.pattern.replace("'", "''")}')")
+      .mkString(", ")
+
+  private def classifyOracle(cellsSql: String, es: Seq[Classify.Entity],
+      threshold: Double): String =
+    s"""WITH cells AS ($cellsSql),
+       |ents(entity_type, pattern) AS (VALUES ${entValues(es)}),
+       |agg AS (
+       |  SELECT column_name, entity_type,
+       |    CAST(SUM(CASE WHEN regexp_matches(cell_value, pattern) THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+       |    COUNT(*) AS n_cells
+       |  FROM cells CROSS JOIN ents
+       |  WHERE cell_value IS NOT NULL
+       |  GROUP BY 1, 2)
+       |SELECT column_name, entity_type, n_matched, n_cells,
+       |  CAST(n_matched AS DOUBLE) / n_cells AS match_ratio
+       |FROM agg
+       |WHERE CAST(n_matched AS DOUBLE) / n_cells >= $threshold""".stripMargin
+
+  private def summaryOracle(cellsSql: String, es: Seq[Classify.Entity],
+      threshold: Double): String =
+    s"""SELECT column_name,
+       |  array_to_string(list_sort(list(DISTINCT entity_type)), ',') AS entityTypes
+       |FROM (${classifyOracle(cellsSql, es, threshold)}) f
+       |GROUP BY column_name""".stripMargin
+
+  private val eventCells =
+    """SELECT 'event_id' AS column_name, CAST(event_id AS VARCHAR) AS cell_value FROM events
+      |UNION ALL SELECT 'user_id', CAST(user_id AS VARCHAR) FROM events
+      |UNION ALL SELECT 'event_type', event_type FROM events
+      |UNION ALL SELECT 'value', CAST(value AS VARCHAR) FROM events
+      |UNION ALL SELECT 'props', props FROM events""".stripMargin
+
+  def oracle: Map[String, String] = Map(
+    "a1_classify_docs" -> classifyOracle(docCells, docEntities, 0.05),
+    "a1_classify_events" -> classifyOracle(eventCells, eventEntities, 0.05),
+    "a1_classify_summary" -> summaryOracle(docCells, docEntities, 0.05),
+    "p1_enrich_findings" ->
+      s"""SELECT column_name, entityTypes,
+         |  's3' AS data_source_type, 'graft_db' AS data_catalog_db_name,
+         |  'documents' AS data_catalog_table_name, 'local' AS region
+         |FROM (${summaryOracle(docCells, docEntities, 0.05)}) t""".stripMargin
+  )
+}

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{Classify, EntityRegistry => E}
+
+object TestSpark {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+class ClassifySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def piiDf = Seq(
+    ("a@b.com", "203-555-0184", "123-45-6789", "plain"),
+    ("c@d.org", "203-555-0199", "987-65-4321", "text"),
+    ("not-an-email", "203-555-0200", "111-22-3333", "here"),
+    ("e@f.net", "nope", "000-00-0000", "words")
+  ).toDF("email_col", "phone_col", "ssn_col", "other_col")
+
+  test("detects entity per column above threshold") {
+    val out = Classify.classifyColumns(piiDf, E.all, threshold = 0.5)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(out.contains(("email_col", "EMAIL")))
+    assert(out.contains(("phone_col", "PHONE_NUMBER")))
+    assert(out.contains(("ssn_col", "SSN")))
+    assert(!out.exists { case (c, e) => c == "other_col" && e == "EMAIL" })
+  }
+
+  test("threshold is monotone: raising it never adds findings") {
+    val lo = Classify.classifyColumns(piiDf, E.all, threshold = 0.1)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val hi = Classify.classifyColumns(piiDf, E.all, threshold = 0.9)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(hi.subsetOf(lo))
+  }
+
+  test("match ratio counts non-null cells only") {
+    val df = Seq(Some("a@b.com"), None, Some("c@d.com"), None)
+      .toDF("email_col")
+    val rows = Classify.classifyColumns(df, Seq(E.EMAIL), threshold = 0.9)
+      .collect()
+    assert(rows.length == 1)
+    assert(rows(0).getAs[Long]("n_cells") == 2)
+    assert(rows(0).getAs[Double]("match_ratio") == 1.0)
+  }
+
+  test("sampling with a fixed seed is reproducible") {
+    val df = (1 to 1000).map(i => s"u$i@example.com").toDF("email_col")
+    val a = Classify.classifyColumns(df, Seq(E.EMAIL), sampleFraction = 0.3)
+      .collect()(0).getAs[Long]("n_cells")
+    val b = Classify.classifyColumns(df, Seq(E.EMAIL), sampleFraction = 0.3)
+      .collect()(0).getAs[Long]("n_cells")
+    assert(a == b && a > 0 && a < 1000)
+  }
+
+  test("summary dedups and sorts entity types per column") {
+    val rows = Classify.classifySummary(piiDf, E.all, threshold = 0.5).collect()
+    val byCol = rows.map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(byCol("ssn_col").contains("SSN"))
+    assert(byCol.values.forall(s => s == s.sorted && s.distinct == s))
+  }
+
+  test("enrichment stamps provenance, uuid and timestamp") {
+    val findings = Classify.classifySummary(piiDf, E.all, threshold = 0.5)
+    val out = Classify.enrichFindings(findings, "s3",
+      Map("data_catalog_table_name" -> "t1"), region = "local").collect()
+    assert(out.nonEmpty)
+    val uuids = out.map(_.getAs[String]("id"))
+    assert(uuids.distinct.length == uuids.length)
+    assert(uuids.forall(_.matches("[0-9a-f-]{36}")))
+    assert(out.forall(_.getAs[String]("data_source_type") == "s3"))
+    assert(out.forall(_.getAs[java.sql.Timestamp]("timestamp") != null))
+  }
+}
