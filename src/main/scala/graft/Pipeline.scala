@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.catalog.Crawler
+import graft.ops.{Classify, EntityRegistry, Report}
+import graft.state.Tracker
+
+/** The reference's full control-plane cycle as one programmatic flow
+  * (SURVEY.md §7.2 "discover → classify → report"; reference README
+  * validation path README.md:280-310):
+  *
+  *   1. discover: register new sources in the tracker (S11);
+  *   2. catalog: crawl pending sources — infer schema, register table,
+  *      flip tracker flags (S4-S7, S12);
+  *   3. classify: run the PII scan per cataloged source, append
+  *      enriched findings (A1, P1-P3, S10);
+  *   4. report: argmax latest findings, join onto catalog columns,
+  *      emit comment plan (A2, J1, P12).
+  *
+  * The per-source loop is driver-side by design — tracker rows are
+  * estate metadata (thousands), the data scans inside the loop are the
+  * distributed part. This mirrors the reference's Lambda loops without
+  * collecting any *data* to the driver.
+  */
+object Pipeline {
+
+  final case class Source(name: String, sourceType: String, path: String)
+
+  def run(spark: SparkSession, sources: Seq[Source], stateDir: String,
+      entities: Seq[Classify.Entity] = EntityRegistry.all,
+      threshold: Double = 0.05): DataFrame = {
+    import spark.implicits._
+    val tracker = new Tracker(spark, stateDir)
+
+    // 1. discover (idempotent on natural key)
+    val incoming = sources
+      .map(s => (s.name, s.sourceType, Map("path" -> s.path)))
+      .toDF("source_name", "data_source_type", "data_source_attrs")
+    tracker.initEntries(incoming)
+
+    // 2. catalog every pending source
+    val byName = sources.map(s => s.name -> s).toMap
+    val pending = sources.map(_.sourceType).distinct
+      .flatMap(t => tracker.pendingCatalog(t)
+        .select("source_name").as[String].collect())
+    pending.foreach { name =>
+      val src = byName(name)
+      val table = Crawler.registerTable(spark, name,
+        Crawler.infer(spark, Crawler.SnapshotSource, src.path))
+      tracker.markCataloged(name, table, "graft_db")
+    }
+
+    // 3. classify each cataloged source, accumulate enriched findings
+    val findings = sources.map { src =>
+      val table = Crawler.normalizeName(src.name)
+      val classified = Classify.classifySummary(
+        spark.table(table), entities, threshold = threshold)
+      tracker.markJobCreated(src.name)
+      Classify.enrichFindings(classified, src.sourceType,
+        Map("data_catalog_table_name" -> table,
+          "data_catalog_db_name" -> "graft_db"))
+    }.reduce(_ unionByName _)
+
+    // 4. report: latest run per table joined onto catalog columns
+    val catalogCols = sources.map(s =>
+        Crawler.tableColumns(spark, Crawler.normalizeName(s.name)))
+      .reduce(_ unionByName _)
+    Report.commentPlan(catalogCols, Report.latestFindingRows(findings))
+  }
+
+  /** Flagship slice over the sf0.001 test tables. */
+  def flagship(spark: SparkSession, sfDir: String, stateDir: String): DataFrame =
+    run(spark,
+      Seq(Source("documents", "s3", s"$sfDir/documents.parquet"),
+        Source("events", "dynamodb", s"$sfDir/events.parquet")),
+      stateDir)
+}

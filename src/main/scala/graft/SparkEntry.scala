@@ -16,9 +16,12 @@ object SparkEntry {
     ClassifyQueries
   )
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Runs the full discover → catalog → classify → report cycle and
+    * returns the catalog-comment plan. */
   def entry(spark: SparkSession): DataFrame =
-    queries("j5_join_chain")(spark, "/root/testdata/sf0.001")
+    Pipeline.flagship(spark, "/root/testdata/sf0.001",
+      s"target/entry_state_${System.nanoTime()}")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,83 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Crawler-style schema inference + catalog registration (SURVEY.md
+  * S4-S7, S9, P6; reference lambda/catalog-creator-{s3,ddb}/app.py and
+  * lambda/rds-glue-initial/app.py:482-499).
+  *
+  * The reference registers a location-only table shell, then lets a
+  * crawler infer columns on a schedule (UPDATE_IN_DATABASE semantics).
+  * Here inference is a Spark read with inferSchema and registration is
+  * the session catalog; re-crawling re-infers and replaces the
+  * registration in place.
+  */
+object Crawler {
+
+  /** Source kinds the reference discovers (s3 csv / dynamodb snapshot /
+    * rds jdbc). Parquet snapshots stand in for DynamoDB table scans;
+    * `jdbc` maps straight onto spark.read.jdbc. */
+  sealed trait SourceKind
+  case object CsvSource extends SourceKind
+  case object SnapshotSource extends SourceKind
+  final case class JdbcSource(url: String, dbtable: String,
+      props: Map[String, String] = Map.empty) extends SourceKind
+
+  /** Catalog-safe name normalization (P6;
+    * lambda/catalog-creator-s3/app.py:246-249): `-`, `.`, spaces → `_`,
+    * lowercased. */
+  def normalizeName(raw: String): String =
+    raw.toLowerCase.replaceAll("[-. ]", "_")
+
+  /** Crawl = infer the schema of a source (S4-S6). CSV reads are
+    * header/multiLine-aware — the reference fixtures have column names
+    * with spaces and quoted embedded newlines
+    * (synthetic-data/s3/individual_details.csv:1-4). */
+  def infer(spark: SparkSession, kind: SourceKind, path: String): DataFrame =
+    kind match {
+      case CsvSource => spark.read
+        .option("header", "true")
+        .option("inferSchema", "true")
+        .option("multiLine", "true")
+        .option("escape", "\"")
+        .csv(path)
+      case SnapshotSource => spark.read.parquet(path)
+      case JdbcSource(url, dbtable, props) =>
+        props.foldLeft(spark.read.format("jdbc")
+          .option("url", url).option("dbtable", dbtable)) {
+          case (r, (k, v)) => r.option(k, v)
+        }.load()
+    }
+
+  /** Register the inferred relation under a normalized table name (S7 +
+    * crawler completion). Re-crawl = call again: replaces the previous
+    * registration (SchemaChangePolicy UPDATE_IN_DATABASE analogue). */
+  def registerTable(spark: SparkSession, rawName: String, df: DataFrame): String = {
+    val name = normalizeName(rawName)
+    df.createOrReplaceTempView(name)
+    name
+  }
+
+  /** Point-read of registered table metadata (S9;
+    * lambda/pii-report/app.py:129-148): one row per column. */
+  def tableColumns(spark: SparkSession, table: String): DataFrame = {
+    val schema: StructType = spark.table(table).schema
+    import spark.implicits._
+    schema.fields.toSeq
+      .map(f => (table, f.name, f.dataType.simpleString, f.nullable))
+      .toDF("table_name", "column_name", "data_type", "nullable")
+  }
+
+  /** Full crawl: infer every source and register it, returning a
+    * catalog inventory frame (the crawler's run report). */
+  def crawlAll(spark: SparkSession,
+      sources: Seq[(String, SourceKind, String)]): DataFrame = {
+    val registered = sources.map { case (rawName, kind, path) =>
+      registerTable(spark, rawName, infer(spark, kind, path))
+    }
+    registered.map(t => tableColumns(spark, t))
+      .reduce(_ unionByName _)
+  }
+}

@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Reporting plans (SURVEY.md §3.3, A2/J1/J2/P9/P12).
+  *
+  * The reference's pii-report Lambda does a driver-side argmax then an
+  * N+1 re-query per table (lambda/pii-report/app.py:244-280); here the
+  * whole read path is one Catalyst plan: window argmax → self-join →
+  * broadcast join onto catalog columns. The tag report (J2/P9/S13)
+  * becomes a broadcast join plus a map_filter projection.
+  */
+object Report {
+
+  /** A2: latest findings batch per catalog table — argmax on timestamp
+    * via max_by-style window; ties broken on id for determinism. */
+  def latestFindings(findings: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("data_catalog_table_name"))
+      .orderBy(col("timestamp").desc, col("id").desc)
+    findings.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("data_catalog_table_name"), col("timestamp"))
+  }
+
+  /** §3.3's N+1 fix: all finding rows belonging to each table's latest
+    * run, as a single self-join instead of a per-table re-query. */
+  def latestFindingRows(findings: DataFrame): DataFrame =
+    findings.join(latestFindings(findings),
+      Seq("data_catalog_table_name", "timestamp"), "inner")
+
+  /** J1 + P12: project PII entity lists onto catalog columns as comment
+    * strings — broadcast hash join on lowercased column name, comment
+    * built and trimmed to 255 chars
+    * (lambda/pii-report/app.py:162-198). */
+  def commentPlan(catalogCols: DataFrame, latestRows: DataFrame): DataFrame =
+    catalogCols.join(
+      broadcast(latestRows
+        .select(lower(col("column_name")).as("match_name"),
+          col("entityTypes"))),
+      lower(catalogCols("column_name")) === col("match_name"), "left")
+      .select(catalogCols("table_name"), catalogCols("column_name"),
+        when(col("entityTypes").isNotNull,
+          substring(concat(lit("Sensitive Data Element | "),
+            array_join(col("entityTypes"), ", ")), 1, 255))
+          .as("comment"))
+
+  /** J2 + P9 + S13: governance-tag capture — keep only required tag
+    * keys from each source's tag map, stamp and append. */
+  def tagReport(tracker: DataFrame, tags: DataFrame,
+      requiredKeys: Seq[String]): DataFrame = {
+    val req = array(requiredKeys.map(lit): _*)
+    tracker.join(broadcast(tags), Seq("source_name"), "inner")
+      .select(col("source_name"), col("data_catalog_table_name"),
+        map_filter(col("tags"), (k, _) => array_contains(req, k))
+          .as("captured_tags"),
+        current_timestamp().as("time_stamp"))
+  }
+}

@@ -194,6 +194,17 @@ object Relational extends QueryPack {
           col("last_date"))
     }),
 
+    // §3.3 N+1 fix: argmax then self-join back (latestFindingRows shape)
+    "r1_latest_rows_selfjoin" -> ((s, d) => {
+      val o = Tables.load(s, d, "orders")
+      val latest = o.groupBy(col("o_custkey").as("k"))
+        .agg(max(col("o_orderdate")).as("latest_dt"))
+      o.join(broadcast(latest),
+          o("o_custkey") === col("k") && o("o_orderdate") === col("latest_dt"))
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast(DateType).as("latest_date"))
+    }),
+
     // Event-time tumbling-window aggregate (streaming shape, batch check)
     "e1_event_window" -> ((s, d) =>
       Tables.load(s, d, "events")
@@ -278,6 +289,12 @@ object Relational extends QueryPack {
         |  SELECT o_custkey, count(*) AS cnt, MAX(CAST(o_orderdate AS DATE)) AS last_date
         |  FROM orders GROUP BY o_custkey) agg
         |ON c_custkey = o_custkey""".stripMargin,
+    "r1_latest_rows_selfjoin" ->
+      """SELECT o.o_custkey, o.o_orderkey, CAST(o.o_orderdate AS DATE) AS latest_date
+        |FROM orders o
+        |JOIN (SELECT o_custkey AS k, MAX(o_orderdate) AS latest_dt
+        |      FROM orders GROUP BY o_custkey) m
+        |ON o.o_custkey = m.k AND o.o_orderdate = m.latest_dt""".stripMargin,
     "e1_event_window" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,
         |  count(*) AS n_events,

@@ -1,0 +1,134 @@
+package graft.state
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The discovery state machine (SURVEY.md §1.1-3, S8/S11/S12, F1-F6):
+  * the reference's `glueJobTracker` DynamoDB table re-expressed as a
+  * parquet-backed state table with MERGE-style upserts.
+  *
+  * Row lifecycle: initEntry (pending) → markCataloged → markJobCreated;
+  * every control-plane scan (F1-F6) is a conjunctive filter on the
+  * `data_source_type` / flag columns.
+  *
+  * Deliberate deviation from the reference (SURVEY.md §7.4): the
+  * reference "dedups" on a fresh uuid per event, so duplicate events
+  * create duplicate rows (glue-tracking-initial/app.py:211-228). We key
+  * idempotency on the natural source name instead — `initEntry` is an
+  * anti-join append, `mark*` are join-update rewrites.
+  *
+  * Scale posture: at estate scale the table is partitioned by
+  * `data_source_type` (matches every F1-F6 predicate → partition
+  * pruning); updates rewrite only matched partitions' worth of data.
+  * On a format with row-level merge (Delta/Iceberg) the same API maps
+  * onto MERGE INTO; parquet rewrite keeps this dependency-free.
+  */
+class Tracker(spark: SparkSession, dir: String) {
+  import Tracker._
+
+  private val path = s"$dir/tracker"
+
+  def read(): DataFrame =
+    if (exists()) spark.read.schema(schema).parquet(path)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+  private def exists(): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Atomic-enough rewrite for local/dev: write to a staging dir, then
+    * swap. (On a transactional table format this whole method is a
+    * single MERGE.) */
+  private def rewrite(df: DataFrame): Unit = {
+    val staging = s"$path.staging"
+    df.select(schema.fieldNames.map(col): _*)
+      .write.mode(SaveMode.Overwrite).parquet(staging)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    fs.rename(new org.apache.hadoop.fs.Path(staging),
+      new org.apache.hadoop.fs.Path(path))
+  }
+
+  /** S11: idempotent insert — `attribute_not_exists` conditional put as
+    * a left-anti join on the natural key, then append. */
+  def initEntries(newSources: DataFrame): Long = {
+    val incoming = newSources
+      .withColumn("id", expr("uuid()"))
+      .withColumn("glue_job_created", lit(false))
+      .withColumn("data_catalog_entry", lit(false))
+      .withColumn("data_catalog_table_name", lit(null).cast(StringType))
+      .withColumn("data_catalog_db_name", lit(null).cast(StringType))
+      .withColumn("updated_at", current_timestamp())
+      .select(schema.fieldNames.map(col): _*)
+    val cur = read()
+    val fresh = incoming.join(cur, Seq("source_name"), "left_anti")
+      .cache()
+    val n = fresh.count()
+    if (n > 0) rewrite(cur.unionByName(fresh))
+    fresh.unpersist()
+    n
+  }
+
+  /** S12: flag upsert — `update_item SET data_catalog_entry=true, …`
+    * as a join-update rewrite keyed on source_name. */
+  def markCataloged(sourceName: String, tableName: String, dbName: String): Unit =
+    rewrite(read().withColumn("data_catalog_entry",
+        when(col("source_name") === sourceName, lit(true))
+          .otherwise(col("data_catalog_entry")))
+      .withColumn("data_catalog_table_name",
+        when(col("source_name") === sourceName, lit(tableName))
+          .otherwise(col("data_catalog_table_name")))
+      .withColumn("data_catalog_db_name",
+        when(col("source_name") === sourceName, lit(dbName))
+          .otherwise(col("data_catalog_db_name")))
+      .withColumn("updated_at",
+        when(col("source_name") === sourceName, current_timestamp())
+          .otherwise(col("updated_at"))))
+
+  def markJobCreated(sourceName: String): Unit =
+    rewrite(read().withColumn("glue_job_created",
+        when(col("source_name") === sourceName, lit(true))
+          .otherwise(col("glue_job_created")))
+      .withColumn("updated_at",
+        when(col("source_name") === sourceName, current_timestamp())
+          .otherwise(col("updated_at"))))
+
+  /** F1/F2: sources with neither catalog entry nor job. */
+  def pendingCatalog(sourceType: String): DataFrame =
+    read().filter(!col("glue_job_created") && !col("data_catalog_entry")
+      && col("data_source_type") === sourceType)
+
+  /** F3/F4: cataloged but no job yet. */
+  def pendingJob(sourceType: String): DataFrame =
+    read().filter(!col("glue_job_created") && col("data_catalog_entry")
+      && col("data_source_type") === sourceType)
+
+  /** F5: cataloged sources of a type (tag-report scan). */
+  def cataloged(sourceType: String): DataFrame =
+    read().filter(col("data_catalog_entry")
+      && col("data_source_type") === sourceType)
+
+  /** F6: every row of a type (pii-report scan). */
+  def ofType(sourceType: String): DataFrame =
+    read().filter(col("data_source_type") === sourceType)
+}
+
+object Tracker {
+  /** glueJobTracker row shape (lib/base-infra-stack.ts:66-73,
+    * lambda/glue-tracking-initial/app.py:213-219) with the natural-key
+    * deviation documented above. */
+  val schema: StructType = StructType(Seq(
+    StructField("id", StringType),
+    StructField("source_name", StringType),
+    StructField("data_source_type", StringType),
+    StructField("glue_job_created", BooleanType),
+    StructField("data_catalog_entry", BooleanType),
+    StructField("data_source_attrs", MapType(StringType, StringType)),
+    StructField("data_catalog_table_name", StringType),
+    StructField("data_catalog_db_name", StringType),
+    StructField("updated_at", TimestampType)))
+}

@@ -1,0 +1,101 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.catalog.Crawler
+import graft.state.Tracker
+
+class StateAndCatalogSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmpDir(tag: String): String = {
+    val p = Paths.get(s"target/test_$tag${System.nanoTime()}")
+    Files.createDirectories(p)
+    p.toString
+  }
+
+  test("tracker lifecycle: init → cataloged → job_created with F1-F4 scans") {
+    val t = new Tracker(spark, tmpDir("tracker"))
+    val src = Seq(("bucket-a", "s3", Map("path" -> "/x")),
+        ("table-b", "dynamodb", Map("path" -> "/y")))
+      .toDF("source_name", "data_source_type", "data_source_attrs")
+    assert(t.initEntries(src) == 2)
+    // idempotency: re-insert is a no-op (natural-key anti-join)
+    assert(t.initEntries(src) == 0)
+    assert(t.pendingCatalog("s3").count() == 1)
+    assert(t.pendingJob("s3").count() == 0)
+
+    t.markCataloged("bucket-a", "bucket_a", "graft_db")
+    assert(t.pendingCatalog("s3").count() == 0)
+    assert(t.pendingJob("s3").count() == 1)
+    assert(t.cataloged("s3").count() == 1)
+
+    t.markJobCreated("bucket-a")
+    assert(t.pendingJob("s3").count() == 0)
+    val row = t.ofType("s3").collect()(0)
+    assert(row.getAs[Boolean]("glue_job_created"))
+    assert(row.getAs[String]("data_catalog_table_name") == "bucket_a")
+    // untouched row keeps its state
+    assert(t.pendingCatalog("dynamodb").count() == 1)
+  }
+
+  test("crawler infers messy CSV: spaces in names, quoted newlines") {
+    // Mirrors the reference's individual_details.csv hard parts
+    // (FIXTURES.md §1: column name with spaces, multi-line quoted value)
+    val dir = tmpDir("csv")
+    Files.writeString(Paths.get(s"$dir/ind.csv"),
+      "Individual_Address,Individual Telephone Number,Individual_Gender\n" +
+        "\"12 High St\nLeeds\",+44 113 496 0000,Male\n" +
+        "\"9 Low Rd\nYork\",+44 113 496 0123,Female\n")
+    val df = Crawler.infer(spark, Crawler.CsvSource, s"$dir/ind.csv")
+    assert(df.count() == 2)
+    assert(df.columns.contains("Individual Telephone Number"))
+    assert(df.select(col("Individual_Address")).as[String].collect()
+      .forall(_.contains("\n")))
+
+    val table = Crawler.registerTable(spark, "Ind-Details.v1", df)
+    assert(table == "ind_details_v1")
+    val cols = Crawler.tableColumns(spark, table)
+    assert(cols.count() == 3)
+    assert(cols.filter(col("column_name") === "Individual Telephone Number")
+      .count() == 1)
+  }
+
+  test("classify finds phone numbers in the inferred CSV source") {
+    val dir = tmpDir("csv2")
+    Files.writeString(Paths.get(s"$dir/ind.csv"),
+      "Name,Individual Telephone Number\n" +
+        (1 to 20).map(i => s"p$i,+44 113 496 0${100 + i}").mkString("\n"))
+    val df = Crawler.infer(spark, Crawler.CsvSource, s"$dir/ind.csv")
+    val found = graft.ops.Classify.classifyColumns(
+      df, graft.ops.EntityRegistry.all, threshold = 0.5)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(found.contains(("Individual Telephone Number", "PHONE_NUMBER")))
+  }
+
+  test("flagship pipeline end-to-end produces comment plan") {
+    val out = Pipeline.flagship(spark, "/root/testdata/sf0.001",
+      tmpDir("pipe"))
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    val commented = rows.filter(_.getAs[String]("comment") != null)
+    assert(commented.nonEmpty)
+    assert(commented.forall(
+      _.getAs[String]("comment").startsWith("Sensitive Data Element | ")))
+    assert(commented.forall(_.getAs[String]("comment").length <= 255))
+  }
+
+  test("report argmax keeps only the latest run per table") {
+    val findings = Seq(
+      ("t1", java.sql.Timestamp.valueOf("2026-01-01 00:00:00"), "a", Seq("EMAIL"), "col1"),
+      ("t1", java.sql.Timestamp.valueOf("2026-01-02 00:00:00"), "b", Seq("SSN"), "col1"),
+      ("t2", java.sql.Timestamp.valueOf("2026-01-01 00:00:00"), "c", Seq("PHONE_NUMBER"), "col2"))
+      .toDF("data_catalog_table_name", "timestamp", "id", "entityTypes", "column_name")
+    val latest = graft.ops.Report.latestFindingRows(findings)
+      .select("data_catalog_table_name", "id").as[(String, String)]
+      .collect().toSet
+    assert(latest == Set(("t1", "b"), ("t2", "c")))
+  }
+}
