@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for training-data pipelines: token
+  * counting, language ID, quality scoring, fingerprinting. All are
+  * compositions of codegen'd built-ins (no UDFs) so they stay inside
+  * whole-stage codegen and scale linearly with the corpus — the 100 TB
+  * path is exactly the same plan with more partitions.
+  *
+  * Every function keeps to the regex subset shared by Java and RE2 so
+  * results are engine-portable (the DuckDB oracles replay them 1:1).
+  */
+object TextFunctions {
+
+  /** Whitespace token count (empty/blank → 0). */
+  def wsTokenCount(c: Column): Column =
+    when(length(trim(c)) === 0, lit(0))
+      .otherwise(size(split(trim(c), "\\s+")))
+
+  /** BPE-ish token estimate: alpha runs, digit runs, and single
+    * non-alnum marks each count as one token. */
+  def reTokenCount(c: Column): Column =
+    regexp_count(c, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+
+  /** Count of sentence punctuation characters. */
+  def punctCount(c: Column): Column =
+    regexp_count(c, lit("[.,;:!?]"))
+
+  /** Number of stopword hits from `words` (word-boundary matched). */
+  def stopwordHits(c: Column, words: Seq[String]): Column =
+    regexp_count(c, lit("\\b(" + words.mkString("|") + ")\\b"))
+
+  /** Per-language stopword profiles for the n-gram language-ID
+    * heuristic. Extend per corpus; ties resolve in declaration order. */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "est"),
+    "zh" -> Seq("的", "是", "了", "在"))
+
+  /** Language prediction: argmax of stopword-hit counts, first-declared
+    * language wins ties ("und" = unknown when nothing matches). */
+  def langId(c: Column): Column = {
+    val scores = langProfiles.map { case (l, ws) => l -> stopwordHits(c, ws) }
+    val g = greatest(scores.map(_._2): _*)
+    val cases = scores.foldLeft(when(g === 0, lit("und"))) {
+      case (acc, (l, s)) => acc.when(s === g, lit(l))
+    }
+    cases.otherwise(lit("und"))
+  }
+
+  /** Heuristic quality score in [0,1]: rewards mid-length docs and low
+    * punctuation density, requires some stopword signal. Deterministic
+    * double arithmetic (int/int divisions, fixed op order). */
+  def qualityScore(c: Column): Column = {
+    val len = length(c)
+    val toks = wsTokenCount(c)
+    val punctRatio = punctCount(c).cast("double") / greatest(len, lit(1))
+    val stopRatio = stopwordHits(c, langProfiles.flatMap(_._2).distinct)
+      .cast("double") / greatest(toks, lit(1))
+    val lenScore = least(len.cast("double") / lit(500.0), lit(1.0))
+    round(least(greatest(
+      lenScore * lit(0.4)
+        + least(stopRatio * lit(2.0), lit(1.0)) * lit(0.4)
+        + (lit(1.0) - least(punctRatio * lit(10.0), lit(1.0))) * lit(0.2),
+      lit(0.0)), lit(1.0)), 6)
+  }
+
+  /** Content fingerprint: md5 over the case-folded, alnum-only
+    * normalization — exact-dup detection robust to whitespace and
+    * punctuation noise. */
+  def fingerprint(c: Column): Column =
+    md5(regexp_replace(lower(c), "[^a-z0-9]", "").cast("binary"))
+
+  /** Word n-gram shingles of the whitespace tokenization (dedup input). */
+  def wordShingles(c: Column, n: Int): Column = {
+    val toks = split(trim(c), "\\s+")
+    // sequence(a, b) runs descending when b < a — guard short docs
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+}

@@ -1,0 +1,101 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.functions.TextFunctions._
+
+/** Driver-checkable text-analysis entries over `documents`. Oracles
+  * replay the identical regex/arithmetic in DuckDB (RE2-compatible
+  * patterns, same operation order for the double math).
+  */
+object TextQueries extends QueryPack {
+
+  def queries: Map[String, Q] = Map(
+    // Token counting: whitespace + BPE-ish regex estimate
+    "x1_token_count" -> ((s, d) =>
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"),
+          wsTokenCount(col("text")).cast("long").as("ws_tokens"),
+          reTokenCount(col("text")).cast("long").as("re_tokens"))),
+
+    // Language ID heuristic: stopword-profile argmax
+    "x2_langid" -> ((s, d) =>
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("lang").as("labeled_lang"),
+          langId(col("text")).as("pred_lang"))),
+
+    // Quality scoring: length/punct/stopword composite
+    "x3_quality" -> ((s, d) =>
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("n_chars_actual"),
+          punctCount(col("text")).cast("long").as("n_punct"),
+          qualityScore(col("text")).as("quality"))),
+
+    // Document fingerprint: md5 of case-folded alnum normalization
+    "x4_fingerprint" -> ((s, d) =>
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"), fingerprint(col("text")).as("fp"))),
+
+    // Corpus roll-up: per (lang, source) token/quality profile
+    "x5_corpus_profile" -> ((s, d) =>
+      Tables.load(s, d, "documents")
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(wsTokenCount(col("text")).cast("long")).as("total_tokens"),
+          sum(length(col("text")).cast("long")).as("total_chars")))
+  )
+
+  private val stopAll =
+    ("the|a|of|and|to|in|is|el|la|de|que|y|en|un|der|die|das|und|ist|von" +
+      "|le|et|est|的|是|了|在")
+
+  private def hitsSql(words: String) =
+    s"len(regexp_extract_all(text, '\\b($words)\\b'))"
+
+  private val langCase = {
+    val profs = Seq(
+      "en" -> "the|a|of|and|to|in|is",
+      "es" -> "el|la|de|que|y|en|un",
+      "de" -> "der|die|das|und|ist|von",
+      "fr" -> "le|la|de|et|un|est",
+      "zh" -> "的|是|了|在")
+    val scores = profs.map { case (l, ws) => l -> hitsSql(ws) }
+    val g = scores.map(_._2).mkString("greatest(", ", ", ")")
+    val whens = scores.map { case (l, s) => s"WHEN $s = $g THEN '$l'" }
+    s"CASE WHEN $g = 0 THEN 'und' ${whens.mkString(" ")} ELSE 'und' END"
+  }
+
+  def oracle: Map[String, String] = Map(
+    "x1_token_count" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS re_tokens
+        |FROM documents""".stripMargin,
+    "x2_langid" ->
+      s"""SELECT doc_id, lang AS labeled_lang, $langCase AS pred_lang
+         |FROM documents""".stripMargin,
+    "x3_quality" ->
+      s"""SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_actual,
+         |  CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS n_punct,
+         |  round(least(greatest(
+         |    least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+         |    + least((CAST(${hitsSql(stopAll)} AS DOUBLE)
+         |        / greatest(CASE WHEN length(trim(text)) = 0 THEN 0
+         |            ELSE len(string_split_regex(trim(text), '\\s+')) END, 1)) * 2.0, 1.0) * 0.4
+         |    + (1.0 - least((CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+         |        / greatest(length(text), 1)) * 10.0, 1.0)) * 0.2,
+         |    0.0), 1.0), 6) AS quality
+         |FROM documents""".stripMargin,
+    "x4_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
+        |FROM documents""".stripMargin,
+    "x5_corpus_profile" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT) AS total_tokens,
+        |  CAST(SUM(length(text)) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY lang, source""".stripMargin
+  )
+}
