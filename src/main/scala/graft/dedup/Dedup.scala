@@ -1,0 +1,147 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Training-data deduplication operators: exact, n-gram Jaccard,
+  * MinHash+LSH, SimHash. All are engine-portable (md5-based hashing,
+  * shared Java/RE2 regex subset) so the DuckDB oracles replay them
+  * exactly.
+  *
+  * Scale design (100 TB corpus):
+  *  - exact dedup is a hash groupBy — one shuffle of (fp, id);
+  *  - n-gram pair generation is an inverted-index self-join on the
+  *    shingle, with a document-frequency cap (`maxDf`) that removes the
+  *    quadratic hot-shingle blowup (a shingle shared by k docs emits
+  *    k² pairs — uninformative shingles are also the frequent ones);
+  *  - MinHash/LSH replaces all-pairs comparison with band-bucket
+  *    equi-joins: only same-bucket docs become candidates, then the
+  *    exact Jaccard verifies them. Band joins are plain shuffles on a
+  *    short string key, AQE-skew-splittable;
+  *  - SimHash reduces each doc to a 32-bit sketch; near-dup search is
+  *    a prefix-bucket join plus Hamming filter.
+  */
+object Dedup {
+
+  /** Exact duplicates by normalized-content fingerprint: groups with
+    * more than one doc, canonical = min id (the keep-list complement). */
+  def exactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), TextFunctions.fingerprint(col(textCol)).as("fp"))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("canonical_id"))
+      .filter(col("n_copies") > 1)
+
+  /** Distinct word-n-gram shingle postings (doc, shingle), with
+    * shingles appearing in more than `maxDf` docs dropped. */
+  def shinglePostings(df: DataFrame, idCol: String, textCol: String,
+      n: Int, maxDf: Int): DataFrame = {
+    val sh = df
+      .select(col(idCol).as("doc"),
+        explode(array_distinct(
+          TextFunctions.wordShingles(col(textCol), n))).as("shingle"))
+    val rare = sh.groupBy("shingle")
+      .agg(count(lit(1)).as("df_count"))
+      .filter(col("df_count") <= maxDf)
+      .select("shingle")
+    sh.join(rare, Seq("shingle"), "left_semi")
+  }
+
+  /** All pairs sharing ≥1 (rare) shingle, with exact Jaccard over the
+    * filtered shingle sets. Output: doc_a < doc_b, shared, size_a,
+    * size_b, jaccard. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.5, maxDf: Int = 50): DataFrame = {
+    val p = shinglePostings(df, idCol, textCol, n, maxDf).cache()
+    val sizes = p.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
+    val pairs = p.as("a").join(p.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    pairs
+      .join(sizes.withColumnRenamed("doc", "doc_a")
+        .withColumnRenamed("sz", "size_a"), Seq("doc_a"))
+      .join(sizes.withColumnRenamed("doc", "doc_b")
+        .withColumnRenamed("sz", "size_b"), Seq("doc_b"))
+      .withColumn("jaccard",
+        col("shared").cast("double")
+          / (col("size_a") + col("size_b") - col("shared")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "shared", "size_a", "size_b", "jaccard")
+  }
+
+  /** MinHash signatures: h_i(doc) = min over shingles of
+    * md5(i + "|" + shingle) — string min is total-ordered and
+    * engine-portable. */
+  def minhashSignatures(postings: DataFrame, numHashes: Int): DataFrame = {
+    val hs = (0 until numHashes).map(i =>
+      min(md5(concat(lit(s"$i|"), col("shingle")).cast("binary"))).as(s"h$i"))
+    postings.groupBy(col("doc")).agg(hs.head, hs.tail: _*)
+  }
+
+  /** LSH candidate pairs: docs equal on at least one band of
+    * `rowsPerBand` consecutive signature rows. One shuffle join per
+    * band, distinct-unioned. */
+  def lshCandidates(sigs: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame = {
+    val nBands = numHashes / rowsPerBand
+    val banded = (0 until nBands).foldLeft(sigs) { (acc, b) =>
+      acc.withColumn(s"band$b", concat_ws("|",
+        (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*))
+    }
+    (0 until nBands).map { b =>
+      banded.select(col("doc"), col(s"band$b").as("bk")).as("a")
+        .join(banded.select(col("doc"), col(s"band$b").as("bk")).as("b"),
+          col("a.bk") === col("b.bk") && col("a.doc") < col("b.doc"))
+        .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+    }.reduce(_ unionByName _).distinct()
+  }
+
+  /** MinHash+LSH near-dup pairs, verified with exact Jaccard ≥
+    * `threshold` over the same (maxDf-filtered) shingle sets. */
+  def minhashDupPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 2,
+      threshold: Double = 0.5, maxDf: Int = 50): DataFrame = {
+    val postings = shinglePostings(df, idCol, textCol, n, maxDf)
+    val cands = lshCandidates(minhashSignatures(postings, numHashes),
+      numHashes, rowsPerBand)
+    cands.join(
+      ngramJaccardPairs(df, idCol, textCol, n, threshold, maxDf),
+      Seq("doc_a", "doc_b"), "inner")
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** 32-bit SimHash over the whitespace tokenization (with
+    * multiplicity): bit b is the sign of the token-wise sum of
+    * ±1 contributions derived from the parity of hex digit b of each
+    * token's md5. Output: doc, 32-char bitstring. */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df
+      .select(col(idCol).as("doc"),
+        explode(split(trim(col(textCol)), "\\s+")).as("tok"))
+      .withColumn("h", md5(col("tok").cast("binary")))
+    val sums = (0 until 32).map(b =>
+      sum(ascii(substring(col("h"), b + 1, 1)) % 2 * 2 - 1).as(s"s$b"))
+    val bits = (0 until 32).map(b =>
+      when(col(s"s$b") >= 0, lit("1")).otherwise(lit("0")))
+    toks.groupBy(col("doc"))
+      .agg(sums.head, sums.tail: _*)
+      .select(col("doc"), concat(bits: _*).as("simhash32"))
+  }
+
+  /** SimHash near-dup pairs: bucket on the 8-bit prefix, then Hamming
+    * distance ≤ `maxHamming` over the full 32 bits. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val s = simhash(df, idCol, textCol)
+    val hamming: Column = size(filter(
+      sequence(lit(1), lit(32)),
+      i => substring(col("a.simhash32"), 1, 32).substr(i, lit(1))
+        =!= substring(col("b.simhash32"), 1, 32).substr(i, lit(1))))
+    s.as("a").join(s.as("b"),
+        substring(col("a.simhash32"), 1, 8) === substring(col("b.simhash32"), 1, 8)
+          && col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+        hamming.cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+}

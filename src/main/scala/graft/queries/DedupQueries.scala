@@ -1,0 +1,118 @@
+package graft.queries
+
+import graft.sources.Tables
+import graft.dedup.Dedup
+
+/** Driver-checkable dedup entries. The DuckDB oracles replay the exact
+  * md5-based algorithms (string-min MinHash, hex-parity SimHash) so
+  * hashes match bit-for-bit across engines.
+  */
+object DedupQueries extends QueryPack {
+
+  def queries: Map[String, Q] = Map(
+    // Exact dedup by normalized-content fingerprint (events.props has
+    // genuine duplicate payloads; documents has none)
+    "d1_exact_dedup" -> ((s, d) =>
+      Dedup.exactDuplicates(Tables.load(s, d, "events"), "event_id", "props")),
+
+    // n-gram Jaccard near-dup pairs (3-gram shingles, df cap 50)
+    "d2_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(Tables.load(s, d, "documents"),
+        "doc_id", "text", n = 3, threshold = 0.1, maxDf = 50)),
+
+    // MinHash signatures + banded LSH candidates, Jaccard-verified
+    "d3_minhash_lsh" -> ((s, d) =>
+      Dedup.minhashDupPairs(Tables.load(s, d, "documents"),
+        "doc_id", "text", n = 3, numHashes = 8, rowsPerBand = 2,
+        threshold = 0.5, maxDf = 50)),
+
+    // Per-document 32-bit SimHash sketches
+    "d4_simhash" -> ((s, d) =>
+      Dedup.simhash(Tables.load(s, d, "documents"), "doc_id", "text")),
+
+    // SimHash near-dup pairs: 8-bit prefix bucket + Hamming ≤ 3
+    "d5_simhash_pairs" -> ((s, d) =>
+      Dedup.simhashPairs(Tables.load(s, d, "documents"),
+        "doc_id", "text", maxHamming = 3))
+  )
+
+  // ---- shared oracle CTE fragments (DuckDB) ----
+
+  /** maxDf-filtered distinct 3-gram shingle postings over documents. */
+  private val postingsCte =
+    """toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         unnest(list_transform(range(1, greatest(len(t)-3+2, 1)),
+      |                i -> array_to_string(t[i:i+2], ' '))) AS shingle
+      |       FROM toks WHERE len(t) >= 3),
+      |flt AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 50),
+      |p AS (SELECT doc_id, shingle FROM sh WHERE shingle IN (SELECT shingle FROM flt)),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM p GROUP BY doc_id),
+      |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |            CAST(count(*) AS BIGINT) AS shared
+      |          FROM p a JOIN p b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |jac AS (SELECT doc_a, doc_b, shared,
+      |          CAST(sa.sz AS BIGINT) AS size_a, CAST(sb.sz AS BIGINT) AS size_b,
+      |          CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) AS jaccard
+      |        FROM pairs JOIN sizes sa ON doc_a = sa.doc_id
+      |                   JOIN sizes sb ON doc_b = sb.doc_id)""".stripMargin
+
+  /** 32-bit SimHash per document (hex-digit parity of token md5). */
+  private val simhashCte = {
+    val sums = (0 until 32)
+      .map(b => s"SUM(ascii(substr(hh, ${b + 1}, 1)) % 2 * 2 - 1) AS s$b")
+      .mkString(", ")
+    val bits = (0 until 32)
+      .map(b => s"CASE WHEN s$b >= 0 THEN '1' ELSE '0' END")
+      .mkString(" || ")
+    s"""tk AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+       |       FROM documents),
+       |hh_t AS (SELECT doc_id, md5(tok) AS hh FROM tk),
+       |ss AS (SELECT doc_id, $sums FROM hh_t GROUP BY doc_id),
+       |sig AS (SELECT doc_id AS doc, $bits AS simhash32 FROM ss)""".stripMargin
+  }
+
+  def oracle: Map[String, String] = Map(
+    "d1_exact_dedup" ->
+      """SELECT fp, n_copies, canonical_id FROM (
+        |  SELECT md5(regexp_replace(lower(props), '[^a-z0-9]', '', 'g')) AS fp,
+        |    count(*) AS n_copies, min(event_id) AS canonical_id
+        |  FROM events GROUP BY 1)
+        |WHERE n_copies > 1""".stripMargin,
+
+    "d2_ngram_jaccard" ->
+      s"""WITH $postingsCte
+         |SELECT doc_a, doc_b, shared, size_a, size_b, jaccard
+         |FROM jac WHERE jaccard >= 0.1""".stripMargin,
+
+    "d3_minhash_lsh" -> {
+      val mins = (0 until 8)
+        .map(i => s"min(md5('$i|' || shingle)) AS h$i").mkString(", ")
+      val bandEq = (0 until 4)
+        .map(b => s"(a.h${2 * b} || '|' || a.h${2 * b + 1}) = (b.h${2 * b} || '|' || b.h${2 * b + 1})")
+        .mkString(" OR ")
+      s"""WITH $postingsCte,
+         |sigs AS (SELECT doc_id, $mins FROM p GROUP BY doc_id),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id AND ($bandEq))
+         |SELECT c.doc_a, c.doc_b, j.jaccard
+         |FROM cand c JOIN jac j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
+         |WHERE j.jaccard >= 0.5""".stripMargin
+    },
+
+    "d4_simhash" ->
+      s"""WITH $simhashCte
+         |SELECT doc, simhash32 FROM sig""".stripMargin,
+
+    "d5_simhash_pairs" ->
+      s"""WITH $simhashCte
+         |SELECT a.doc AS doc_a, b.doc AS doc_b,
+         |  CAST(len(list_filter(range(1, 33),
+         |    i -> substr(a.simhash32, CAST(i AS INT), 1) <> substr(b.simhash32, CAST(i AS INT), 1))) AS BIGINT) AS hamming
+         |FROM sig a JOIN sig b
+         |  ON substr(a.simhash32, 1, 8) = substr(b.simhash32, 1, 8) AND a.doc < b.doc
+         |WHERE len(list_filter(range(1, 33),
+         |    i -> substr(a.simhash32, CAST(i AS INT), 1) <> substr(b.simhash32, CAST(i AS INT), 1))) <= 3""".stripMargin
+  )
+}

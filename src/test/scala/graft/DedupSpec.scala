@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.dedup.Dedup
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bend"), // near-dup of 1
+    (3L, "completely different content about spark query engines and joins"),
+    (4L, "the quick brown fox jumps over the lazy dog near the river bank"), // exact dup of 1
+    (5L, "totally unrelated words describing benchmark harness internals ok")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical normalized content") {
+    val dups = Dedup.exactDuplicates(docs, "doc_id", "text").collect()
+    assert(dups.length == 1)
+    assert(dups(0).getAs[Long]("n_copies") == 2)
+    assert(dups(0).getAs[Long]("canonical_id") == 1L)
+  }
+
+  test("ngram jaccard finds near-dup and exact pair, not unrelated") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.5, maxDf = 50)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(pairs.contains((1L, 4L)))  // exact: jaccard 1.0
+    assert(pairs.contains((1L, 2L)))  // near-dup
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("minhash+LSH candidates recover high-jaccard pairs") {
+    val pairs = Dedup.minhashDupPairs(docs, "doc_id", "text",
+        threshold = 0.5)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(pairs.contains((1L, 4L)))
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("simhash: identical docs share fingerprints; near-dups are close") {
+    val fp = Dedup.simhash(docs, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc") -> r.getAs[String]("simhash32")).toMap
+    assert(fp(1L) == fp(4L))
+    assert(fp.values.forall(_.matches("[01]{32}")))
+    def hamming(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    assert(hamming(fp(1L), fp(2L)) < hamming(fp(1L), fp(3L)))
+  }
+
+  test("simhash pair search finds the exact-dup pair at distance 0") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 0)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    assert(pairs.contains((1L, 4L)))
+  }
+}
