@@ -15,7 +15,8 @@ object SparkEntry {
     Relational,
     ClassifyQueries,
     TextQueries,
-    DedupQueries
+    DedupQueries,
+    SimilarityQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,89 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.similarity.Similarity
+
+/** Driver-checkable similarity-search entries over `embeddings`
+  * (vec_id, embedding float[64], label). Oracles replay the
+  * sequential-fold double arithmetic with list_transform/list_sum;
+  * cosines are rounded to 6 decimals on both sides.
+  */
+object SimilarityQueries extends QueryPack {
+
+  def queries: Map[String, Q] = Map(
+    // Exact brute-force cosine top-10 for query vectors vec_id < 5
+    "s2_knn_brute" -> ((s, d) =>
+      Similarity.bruteForceTopK(Tables.load(s, d, "embeddings"),
+        col("vec_id") < 5, k = 10)),
+
+    // ANN: 8-bit hyperplane-LSH bucket search, top-5 within bucket
+    "s3_ann_lsh" -> ((s, d) =>
+      Similarity.lshTopK(Tables.load(s, d, "embeddings"),
+        col("vec_id") < 5, k = 5, bits = 8, dim = 64)),
+
+    // IVF-style: top-5 within the query's own label partition
+    "s4_ivf_label" -> ((s, d) =>
+      Similarity.partitionTopK(Tables.load(s, d, "embeddings"),
+        "label", col("vec_id") < 5, k = 5)),
+
+    // Embedding near-duplicate pairs (cosine >= 0.45)
+    "d6_embedding_neardup" -> ((s, d) =>
+      Similarity.nearDupPairs(Tables.load(s, d, "embeddings"), 0.45))
+  )
+
+  /** Norm CTE: vectors with L2 norms (sequential double fold). */
+  private val normCte =
+    """n AS (SELECT vec_id, label, embedding,
+      |  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm
+      |FROM embeddings)""".stripMargin
+
+  private val cosAb =
+    """list_sum(list_transform(range(1, 65),
+      |    i -> CAST(a.embedding[i] AS DOUBLE) * b.embedding[i])) / (a.nrm * b.nrm)""".stripMargin
+
+  private def topKOracle(joinExtra: String, k: Int): String =
+    s"""WITH $normCte
+       |SELECT query_id, neighbor_id, rn, round(cos_raw, 6) AS cos_sim FROM (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    $cosAb AS cos_raw,
+       |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+       |      ORDER BY $cosAb DESC, b.vec_id ASC) AS rn
+       |  FROM n a JOIN n b ON a.vec_id < 5 AND b.vec_id <> a.vec_id $joinExtra) t
+       |WHERE rn <= $k""".stripMargin
+
+  /** 8-bit hyperplane signature as SQL (same md5-parity projections). */
+  private val sigSql: String = {
+    val bitExprs = (0 until 8).map { j =>
+      s"""CASE WHEN list_sum(list_transform(range(1, 65),
+         |  i -> CAST(embedding[i] AS DOUBLE) *
+         |       (ascii(substr(md5('${j}_' || CAST(i - 1 AS VARCHAR)), 1, 1)) % 2 * 2 - 1)))
+         |  >= 0 THEN '1' ELSE '0' END""".stripMargin
+    }
+    bitExprs.mkString(" || ")
+  }
+
+  def oracle: Map[String, String] = Map(
+    "s2_knn_brute" -> topKOracle("", 10),
+    "s3_ann_lsh" ->
+      s"""WITH n0 AS (SELECT vec_id, label, embedding,
+         |  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm,
+         |  $sigSql AS sig
+         |FROM embeddings)
+         |SELECT query_id, neighbor_id, rn, round(cos_raw, 6) AS cos_sim FROM (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    $cosAb AS cos_raw,
+         |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+         |      ORDER BY $cosAb DESC, b.vec_id ASC) AS rn
+         |  FROM n0 a JOIN n0 b
+         |    ON a.vec_id < 5 AND b.vec_id <> a.vec_id AND a.sig = b.sig) t
+         |WHERE rn <= 5""".stripMargin,
+    "s4_ivf_label" -> topKOracle("AND a.label = b.label", 5),
+    "d6_embedding_neardup" ->
+      s"""WITH $normCte
+         |SELECT vec_a, vec_b, round(cos_raw, 6) AS cos_sim FROM (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, $cosAb AS cos_raw
+         |  FROM n a JOIN n b ON a.vec_id < b.vec_id) t
+         |WHERE cos_raw >= 0.45""".stripMargin
+  )
+}

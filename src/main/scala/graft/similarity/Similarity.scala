@@ -1,0 +1,119 @@
+package graft.similarity
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over embedding columns (Array[Float]).
+  *
+  * Spark-first shapes:
+  *  - brute-force top-k: broadcast the (small) query set against the
+  *    corpus scan — one pass, no shuffle of the corpus; per-query heap
+  *    via window row_number. The 100 TB baseline.
+  *  - LSH (random hyperplane) buckets: deterministic ±1 projections
+  *    derived from md5 parities, signature computed per vector inside
+  *    codegen; candidate search touches only same-bucket rows. The
+  *    scale path — bucket key is shuffle/partition-prunable.
+  *  - IVF-style partition search: when a cluster/label assignment
+  *    already exists, search only the query's partition.
+  *
+  * All dot products fold left-to-right over the array (`aggregate`),
+  * with elements cast to double first — bit-identical to the DuckDB
+  * oracle's list_transform/list_sum replay.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two float-array columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** L2 norm of a float-array column. */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Deterministic ±1 hyperplane projections: r(j)(i) = +1 when the
+    * first hex digit of md5("j_i") has odd ASCII code, else -1 —
+    * replayable in any engine with md5. */
+  def hyperplaneProjections(bits: Int, dim: Int): Seq[Array[Double]] = {
+    val md = MessageDigest.getInstance("MD5")
+    (0 until bits).map { j =>
+      (0 until dim).map { i =>
+        val hex = md.digest(s"${j}_$i".getBytes(StandardCharsets.UTF_8))
+          .map("%02x".format(_)).mkString
+        if (hex.charAt(0).toInt % 2 == 1) 1.0 else -1.0
+      }.toArray
+    }
+  }
+
+  /** Bit-signature column: sign of the projection dot per hyperplane
+    * (>= 0 → '1'). Projections are literal arrays — no per-row hashing
+    * cost, the whole signature stays in codegen. */
+  def signature(emb: Column, projs: Seq[Array[Double]]): Column =
+    concat(projs.map { p =>
+      val arr = array(p.map(lit): _*)
+      when(dot(emb, arr) >= 0, lit("1")).otherwise(lit("0"))
+    }: _*)
+
+  private def topKJoin(queries: DataFrame, corpus: DataFrame,
+      joinCond: Column, k: Int): DataFrame = {
+    val cos = (dot(col("q.embedding"), col("c.embedding"))
+      / (col("q.nrm") * col("c.nrm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_raw").desc, col("neighbor_id").asc)
+    queries.as("q").join(corpus.as("c"),
+        joinCond && col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("query_id"),
+        col("c.vec_id").as("neighbor_id"), cos.as("cos_raw"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rn"),
+        round(col("cos_raw"), 6).as("cos_sim"))
+  }
+
+  private def withNorm(df: DataFrame): DataFrame =
+    df.withColumn("nrm", norm(col("embedding")))
+
+  /** Exact brute-force cosine top-k of `corpus` for each row matching
+    * `queryPred`. The query side is broadcast; the corpus is scanned
+    * once with no shuffle. */
+  def bruteForceTopK(df: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    val n = withNorm(df)
+    topKJoin(broadcast(n.filter(queryPred)), n, lit(true), k)
+  }
+
+  /** ANN via hyperplane-LSH buckets: candidates share the full bit
+    * signature with the query. */
+  def lshTopK(df: DataFrame, queryPred: Column, k: Int,
+      bits: Int = 8, dim: Int = 64): DataFrame = {
+    val projs = hyperplaneProjections(bits, dim)
+    val n = withNorm(df).withColumn("sig", signature(col("embedding"), projs))
+    topKJoin(broadcast(n.filter(queryPred)), n,
+      col("q.sig") === col("c.sig"), k)
+  }
+
+  /** IVF-style search within an existing partition assignment (here:
+    * the label column = inverted-list id). */
+  def partitionTopK(df: DataFrame, partCol: String, queryPred: Column,
+      k: Int): DataFrame = {
+    val n = withNorm(df)
+    topKJoin(broadcast(n.filter(queryPred)), n,
+      col(s"q.$partCol") === col(s"c.$partCol"), k)
+  }
+
+  /** Embedding near-duplicate pairs: all (a < b) with cosine ≥
+    * `threshold`. Brute-force; swap the join condition for an LSH
+    * signature bucket at corpus scale. */
+  def nearDupPairs(df: DataFrame, threshold: Double): DataFrame = {
+    val n = withNorm(df)
+    val cos = (dot(col("a.embedding"), col("b.embedding"))
+      / (col("a.nrm") * col("b.nrm")))
+    n.as("a").join(n.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        cos.as("cos_raw"))
+      .filter(col("cos_raw") >= threshold)
+      .select(col("vec_a"), col("vec_b"),
+        round(col("cos_raw"), 6).as("cos_sim"))
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.similarity.Similarity
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),
+    (1L, Array(0.99f, 0.1f, 0.0f, 0.0f), 0),   // near 0
+    (2L, Array(0.0f, 1.0f, 0.0f, 0.0f), 1),
+    (3L, Array(-1.0f, 0.0f, 0.0f, 0.0f), 0),
+    (4L, Array(0.7f, 0.7f, 0.0f, 0.0f), 1)
+  ).toDF("vec_id", "embedding", "label")
+
+  test("brute-force top-k ranks by cosine with id tie-break") {
+    val rows = Similarity.bruteForceTopK(vecs, col("vec_id") === 0, k = 4)
+      .orderBy("rn").collect()
+    assert(rows.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(1L, 4L, 2L, 3L))
+    assert(rows.head.getAs[Double]("cos_sim") > 0.99)
+    assert(rows.last.getAs[Double]("cos_sim") == -1.0)
+  }
+
+  test("hyperplane projections are deterministic and ±1") {
+    val a = Similarity.hyperplaneProjections(8, 64)
+    val b = Similarity.hyperplaneProjections(8, 64)
+    assert(a.zip(b).forall { case (x, y) => x.sameElements(y) })
+    assert(a.flatten.forall(v => v == 1.0 || v == -1.0))
+    // not degenerate: both signs appear
+    assert(a.flatten.distinct.length == 2)
+  }
+
+  test("LSH candidates agree with brute-force cosine values") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val all = Similarity.bruteForceTopK(e, col("vec_id") < 3, k = 1000)
+      .select("query_id", "neighbor_id", "cos_sim")
+      .as[(Long, Long, Double)].collect()
+      .map { case (q, n, c) => (q, n) -> c }.toMap
+    val lsh = Similarity.lshTopK(e, col("vec_id") < 3, k = 5)
+      .select("query_id", "neighbor_id", "cos_sim")
+      .as[(Long, Long, Double)].collect()
+    assert(lsh.nonEmpty)
+    // same pair → identical cosine through either path
+    assert(lsh.forall { case (q, n, c) => all((q, n)) == c })
+  }
+
+  test("near-dup pairs finds the planted close pair only") {
+    val pairs = Similarity.nearDupPairs(vecs, 0.95)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+}
