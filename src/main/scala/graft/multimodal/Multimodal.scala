@@ -1,0 +1,83 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary`
+  * payload columns with typed metadata structs, plus partition-parallel
+  * decode / feature-extract / frame-sample stages.
+  *
+  * The Spark-side shapes — schema, partitioning, batch iteration —
+  * are real and tested; the actual codec call is STUBBED with a
+  * deterministic fake (no image/audio libraries in this environment).
+  * At scale the decode stage is exactly this `mapPartitions`: one
+  * codec context per partition, streamed batches, no driver traffic.
+  */
+object Multimodal {
+
+  /** Typed metadata carried alongside every payload. */
+  final case class MediaMeta(mediaType: String, nBytes: Long, codec: String)
+
+  final case class MediaRow(id: Long, payload: Array[Byte], meta: MediaMeta)
+
+  final case class MediaFeature(id: Long, nBytes: Long, headerByte: Int,
+      checksum: Long, embedding: Array[Float])
+
+  /** Lift a text column into a binary payload table (stand-in for real
+    * media bytes; schema and downstream plumbing are identical). */
+  def attachPayload(df: DataFrame, idCol: String, textCol: String,
+      mediaType: String = "text/plain"): Dataset[MediaRow] = {
+    implicit val enc = Encoders.product[MediaRow]
+    df.select(col(idCol).cast("long").as("id"),
+        col(textCol).cast("binary").as("payload"))
+      .withColumn("meta", struct(
+        lit(mediaType).as("mediaType"),
+        length(col("payload")).cast("long").as("nBytes"),
+        lit("identity").as("codec")))
+      .as[MediaRow]
+  }
+
+  // ============================================================
+  // STUB: the real implementation would call an image/audio codec
+  // (e.g. libjpeg / ffmpeg bindings) here. This environment has no
+  // media libraries, so decode() produces a DETERMINISTIC FAKE
+  // feature vector derived from the bytes. The mapPartitions batch
+  // shape, schema and partitioning are the real, tested plumbing.
+  // ============================================================
+  private def decodeStub(bytes: Array[Byte]): (Int, Long, Array[Float]) = {
+    val header = if (bytes.nonEmpty) bytes(0) & 0xff else 0
+    var crc = 0L
+    var i = 0
+    while (i < bytes.length) { crc = crc * 31 + (bytes(i) & 0xff); i += 1 }
+    val emb = new Array[Float](8)
+    i = 0
+    while (i < bytes.length) { emb(i % 8) += (bytes(i) & 0xff) / 255.0f; i += 1 }
+    (header, crc, emb)
+  }
+
+  /** Partition-parallel decode + feature extraction: one decoder
+    * context per partition, rows streamed through it. */
+  def decodeFeatures(media: Dataset[MediaRow]): Dataset[MediaFeature] = {
+    implicit val enc = Encoders.product[MediaFeature]
+    media.mapPartitions { rows =>
+      // per-partition codec init would happen here
+      rows.map { r =>
+        val (header, crc, emb) = decodeStub(r.payload)
+        MediaFeature(r.id, r.meta.nBytes, header, crc, emb)
+      }
+    }
+  }
+
+  /** Frame sampling: split each payload into `n` equal byte windows
+    * (the video-frame-sample shape: one input row → n frame rows). */
+  def frameSample(media: Dataset[MediaRow], n: Int): DataFrame =
+    media.toDF()
+      .select(col("id"), col("meta.nBytes").as("n_bytes"),
+        posexplode(sequence(lit(0), lit(n - 1))).as(Seq("frame_idx", "_f")))
+      .withColumn("frame_start",
+        floor(col("_f") * col("n_bytes") / n).cast("long") + 1)
+      .withColumn("frame_len",
+        floor((col("_f") + 1) * col("n_bytes") / n).cast("long")
+          - floor(col("_f") * col("n_bytes") / n).cast("long"))
+      .drop("_f")
+}

@@ -1,0 +1,29 @@
+package graft.ops
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** SQL script bootstrap runner (SURVEY.md S14/S15; reference
+  * lambda/rds-ddl-init/app.py:224-271 — fetch a .sql object, split on
+  * `;`, execute each statement). Drives CREATE TABLE / INSERT INTO
+  * through Spark SQL to materialize relational fixtures.
+  */
+object Ddl {
+
+  /** Split a SQL script into statements: on `;`, trimmed, empties and
+    * `--` comment lines dropped (the reference's split loop,
+    * rds-ddl-init/app.py:357-367). */
+  def splitStatements(sqlText: String): Seq[String] =
+    sqlText.split(";").toSeq
+      .map(_.linesIterator.filterNot(_.trim.startsWith("--")).mkString("\n"))
+      .map(_.trim)
+      .filter(_.nonEmpty)
+
+  /** Execute every statement in order; returns the last result frame. */
+  def runScript(spark: SparkSession, sqlText: String): Seq[DataFrame] =
+    splitStatements(sqlText).map(spark.sql)
+
+  /** Whole-file read (S15) + execute. */
+  def runFile(spark: SparkSession, path: String): Seq[DataFrame] =
+    runScript(spark, Files.readString(Paths.get(path)))
+}

@@ -1,0 +1,41 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.multimodal.Multimodal
+
+/** Driver-checkable multimodal-plumbing entries: binary payload
+  * metadata and frame sampling over the documents table (text bytes
+  * stand in for media bytes; see Multimodal for the stub boundary).
+  */
+object MultimodalQueries extends QueryPack {
+
+  def queries: Map[String, Q] = Map(
+    // Binary payload metadata: byte length + content digest
+    "m1_binary_meta" -> ((s, d) =>
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"),
+          length(col("text").cast("binary")).cast("long").as("n_bytes"),
+          md5(col("text").cast("binary")).as("payload_md5"))),
+
+    // Frame sampling: each payload split into 4 byte windows
+    "m2_frame_sample" -> ((s, d) =>
+      Multimodal.frameSample(
+        Multimodal.attachPayload(
+          Tables.load(s, d, "documents"), "doc_id", "text"), 4))
+  )
+
+  def oracle: Map[String, String] = Map(
+    "m1_binary_meta" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS payload_md5
+        |FROM documents""".stripMargin,
+    "m2_frame_sample" ->
+      """SELECT doc_id AS id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST(f AS INT) AS frame_idx,
+        |  CAST(floor(f * octet_length(encode(text)) / 4) AS BIGINT) + 1 AS frame_start,
+        |  CAST(floor((f + 1) * octet_length(encode(text)) / 4) AS BIGINT)
+        |    - CAST(floor(f * octet_length(encode(text)) / 4) AS BIGINT) AS frame_len
+        |FROM documents CROSS JOIN (SELECT unnest(range(0, 4)) AS f) frames""".stripMargin
+  )
+}

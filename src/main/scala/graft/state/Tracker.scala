@@ -54,9 +54,11 @@ class Tracker(spark: SparkSession, dir: String) {
   }
 
   /** S11: idempotent insert — `attribute_not_exists` conditional put as
-    * a left-anti join on the natural key, then append. */
+    * a left-anti join on the natural key, then append. Duplicates
+    * within one batch collapse too (dropDuplicates on the key). */
   def initEntries(newSources: DataFrame): Long = {
     val incoming = newSources
+      .dropDuplicates("source_name")
       .withColumn("id", expr("uuid()"))
       .withColumn("glue_job_created", lit(false))
       .withColumn("data_catalog_entry", lit(false))

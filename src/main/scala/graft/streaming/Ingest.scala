@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+import graft.state.Tracker
+
+/** Structured-Streaming onboarding — the reference's event-driven
+  * control plane (SURVEY.md §2.8, §3.2) with the
+  * EventBridge→SQS→Lambda chain collapsed into one streaming query:
+  *
+  *   readStream(event JSON) → validate (F8) → tag gate (F9) →
+  *   exception-list filter (F10) → project {source_name, type, attrs}
+  *   (P10/P11) → foreachBatch { tracker.initEntries } with checkpoint.
+  *
+  * At-least-once SQS + manual ack becomes checkpointed micro-batches;
+  * the reference's uuid-keyed "dedup" gap (duplicate events → duplicate
+  * rows) is closed by the tracker's natural-key idempotent insert, so
+  * replayed batches are no-ops.
+  */
+object Ingest {
+
+  /** CloudTrail-ish management-event shape (lib/base-infra-stack.ts:
+    * 128-191): only the fields the triggers actually read. */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("source", StringType),
+    StructField("detail", StructType(Seq(
+      StructField("eventName", StringType),
+      StructField("awsRegion", StringType),
+      StructField("requestParameters", StructType(Seq(
+        StructField("bucketName", StringType),
+        StructField("tableName", StringType)))),
+      StructField("tags", MapType(StringType, StringType)))))))
+
+  /** Per-source validation rules (F8) + name extraction (P11):
+    * (eventSource, eventName, name field path, tracked type). */
+  private val rules = Seq(
+    ("aws.s3", "CreateBucket", "detail.requestParameters.bucketName", "s3"),
+    ("aws.dynamodb", "CreateTable", "detail.requestParameters.tableName", "dynamodb"),
+    ("aws.rds", "CreateDBCluster", "detail.requestParameters.tableName", "rds"))
+
+  /** Parse + validate + gate a stream (or batch) of raw JSON event
+    * strings into tracker-ready rows. `requireTag` models the
+    * gdpr-scan=true gate (F9, s3-trigger/app.py:217-232);
+    * `exceptions` the NOT-IN source exception list (F10). */
+  def onboardingEvents(raw: DataFrame, jsonCol: String = "value",
+      requireTag: Option[(String, String)] = Some("gdpr-scan" -> "true"),
+      exceptions: Seq[String] = Nil): DataFrame = {
+    val parsed = raw
+      .select(from_json(col(jsonCol), eventSchema).as("e"))
+      .filter(col("e").isNotNull)
+    val validated = rules.map { case (src, evName, namePath, srcType) =>
+      parsed
+        .filter(col("e.source") === src && col("e.detail.eventName") === evName)
+        .select(col(s"e.$namePath").as("source_name"),
+          lit(srcType).as("data_source_type"),
+          map_concat(
+            map(lit("region"), coalesce(col("e.detail.awsRegion"), lit("unknown"))),
+            coalesce(col("e.detail.tags"),
+              map().cast(MapType(StringType, StringType))))
+            .as("data_source_attrs"))
+    }.reduce(_ unionByName _)
+      .filter(col("source_name").isNotNull)
+    val gated = requireTag match {
+      case Some((k, v)) => validated
+        .filter(col("data_source_attrs").getItem(k) === v)
+      case None => validated
+    }
+    if (exceptions.nonEmpty) gated.filter(!col("source_name").isin(exceptions: _*))
+    else gated
+  }
+
+  /** Run the onboarding stream into a Tracker: each micro-batch is an
+    * idempotent natural-key MERGE, checkpointed for exactly-once
+    * effect. */
+  def runOnboarding(spark: SparkSession, rawStream: DataFrame,
+      tracker: Tracker, checkpointDir: String): StreamingQuery =
+    onboardingEvents(rawStream)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        tracker.initEntries(batch): Unit
+      }
+      .start()
+}

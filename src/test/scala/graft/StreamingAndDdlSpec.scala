@@ -1,0 +1,103 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.state.Tracker
+import graft.streaming.Ingest
+import graft.ops.Ddl
+
+class StreamingAndDdlSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(tag: String): String = {
+    val p = Paths.get(s"target/test_$tag${System.nanoTime()}")
+    Files.createDirectories(p)
+    p.toString
+  }
+
+  private def ev(src: String, name: String, field: String, value: String,
+      tags: String = """{"gdpr-scan": "true"}"""): String =
+    s"""{"source": "$src", "detail": {"eventName": "$name",
+       |"awsRegion": "eu-west-1",
+       |"requestParameters": {"$field": "$value"}, "tags": $tags}}"""
+      .stripMargin.replace("\n", " ")
+
+  test("onboarding events: validate, tag-gate, exception filter") {
+    val raw = Seq(
+      ev("aws.s3", "CreateBucket", "bucketName", "bucket-1"),
+      ev("aws.s3", "CreateBucket", "bucketName", "bucket-untagged",
+        tags = """{"other": "x"}"""),                       // F9: dropped
+      ev("aws.s3", "DeleteBucket", "bucketName", "bucket-del"), // F8: dropped
+      ev("aws.dynamodb", "CreateTable", "tableName", "tbl-1"),
+      ev("aws.dynamodb", "CreateTable", "tableName", "tbl-skip"),
+      """not json at all""",
+      ev("aws.other", "CreateBucket", "bucketName", "b")     // F8: dropped
+    ).toDF("value")
+    val out = Ingest.onboardingEvents(raw, exceptions = Seq("tbl-skip"))
+      .collect()
+    val names = out.map(_.getAs[String]("source_name")).toSet
+    assert(names == Set("bucket-1", "tbl-1"))
+    assert(out.forall(_.getAs[Map[String, String]]("data_source_attrs")
+      .get("region").contains("eu-west-1")))
+  }
+
+  test("streaming onboarding merges idempotently into the tracker") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[String]
+    val tracker = new Tracker(spark, tmp("stream_tracker"))
+    val ckpt = tmp("ckpt")
+
+    stream.addData(
+      ev("aws.s3", "CreateBucket", "bucketName", "bucket-x"),
+      ev("aws.s3", "CreateBucket", "bucketName", "bucket-x"), // dup event
+      ev("aws.dynamodb", "CreateTable", "tableName", "tbl-y"))
+    val q = Ingest.runOnboarding(spark, stream.toDF(), tracker, ckpt)
+    q.awaitTermination(60000)
+
+    val rows = tracker.read().collect()
+    assert(rows.length == 2) // duplicate event collapsed by natural key
+    assert(tracker.pendingCatalog("s3").count() == 1)
+    assert(tracker.pendingCatalog("dynamodb").count() == 1)
+  }
+
+  test("ddl runner: split, comment handling, create+insert+select") {
+    val stmts = Ddl.splitStatements(
+      """-- bootstrap
+        |CREATE TABLE ddl_t1 (id INT, name STRING) USING parquet;
+        |
+        |INSERT INTO ddl_t1 VALUES (1, 'a'), (2, 'b');
+        |INSERT INTO ddl_t1 VALUES (3, 'c');""".stripMargin)
+    assert(stmts.length == 3)
+    try {
+      Ddl.runScript(spark,
+        """CREATE TABLE ddl_t1 (id INT, name STRING) USING parquet;
+          |INSERT INTO ddl_t1 VALUES (1, 'a'), (2, 'b');
+          |INSERT INTO ddl_t1 VALUES (3, 'c');""".stripMargin)
+      assert(spark.table("ddl_t1").count() == 3)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ddl_t1")
+    }
+  }
+
+  test("multimodal: payload plumbing, stub decode, frame sampling") {
+    import graft.multimodal.Multimodal
+    val docs = Seq((1L, "hello world"), (2L, "abcdefgh")).toDF("doc_id", "text")
+    val media = Multimodal.attachPayload(docs, "doc_id", "text")
+    val feats = Multimodal.decodeFeatures(media).collect()
+    assert(feats.length == 2)
+    val f1 = feats.find(_.id == 1L).get
+    assert(f1.nBytes == 11 && f1.headerByte == 'h'.toInt)
+    assert(f1.embedding.length == 8)
+    // deterministic stub: same input → same features
+    val again = Multimodal.decodeFeatures(media).collect().find(_.id == 1L).get
+    assert(again.checksum == f1.checksum)
+
+    val frames = Multimodal.frameSample(media, 4)
+    assert(frames.count() == 8)
+    val fr = frames.filter("id = 2").orderBy("frame_idx").collect()
+    assert(fr.map(_.getAs[Long]("frame_len")).sum == 8)
+    assert(fr.head.getAs[Long]("frame_start") == 1)
+  }
+}
