@@ -31,6 +31,8 @@ object Pipeline {
       entities: Seq[Classify.Entity] = EntityRegistry.all,
       threshold: Double = 0.05): DataFrame = {
     import spark.implicits._
+    // sources may include nanosecond-timestamp parquet (events)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val tracker = new Tracker(spark, stateDir)
 
     // 1. discover (idempotent on natural key)

@@ -33,13 +33,28 @@ object Dedup {
       .filter(col("n_copies") > 1)
 
   /** Distinct word-n-gram shingle postings (doc, shingle), with
-    * shingles appearing in more than `maxDf` docs dropped. */
+    * shingles appearing in more than `maxDf` docs dropped.
+    *
+    * Shingling runs as a typed flatMap (tight tokenizer loop per
+    * partition) rather than array higher-order functions — the HOF
+    * slice/concat pipeline is interpreted per element and dominated
+    * the dedup wall-clock. Semantics are unchanged: whitespace
+    * tokens of the trimmed text, n-length windows, per-doc distinct. */
   def shinglePostings(df: DataFrame, idCol: String, textCol: String,
       n: Int, maxDf: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
     val sh = df
-      .select(col(idCol).as("doc"),
-        explode(array_distinct(
-          TextFunctions.wordShingles(col(textCol), n))).as("shingle"))
+      .select(col(idCol).cast("long").as("doc"), col(textCol).as("txt"))
+      .as[(Long, String)]
+      .flatMap { case (id, t) =>
+        val toks = t.trim.split("\\s+")
+        if (toks.length < n) Iterator.empty
+        else toks.iterator.sliding(n, 1).withPartial(false)
+          .map(w => (id, w.mkString(" "))).toSet.iterator
+      }
+      .toDF("doc", "shingle")
+      .cache() // read twice: df-cap aggregate + postings semi-join
     val rare = sh.groupBy("shingle")
       .agg(count(lit(1)).as("df_count"))
       .filter(col("df_count") <= maxDf)
@@ -51,24 +66,9 @@ object Dedup {
     * filtered shingle sets. Output: doc_a < doc_b, shared, size_a,
     * size_b, jaccard. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, threshold: Double = 0.5, maxDf: Int = 50): DataFrame = {
-    val p = shinglePostings(df, idCol, textCol, n, maxDf).cache()
-    val sizes = p.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
-    val pairs = p.as("a").join(p.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc"))
-      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
-      .agg(count(lit(1)).as("shared"))
-    pairs
-      .join(sizes.withColumnRenamed("doc", "doc_a")
-        .withColumnRenamed("sz", "size_a"), Seq("doc_a"))
-      .join(sizes.withColumnRenamed("doc", "doc_b")
-        .withColumnRenamed("sz", "size_b"), Seq("doc_b"))
-      .withColumn("jaccard",
-        col("shared").cast("double")
-          / (col("size_a") + col("size_b") - col("shared")))
-      .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "shared", "size_a", "size_b", "jaccard")
-  }
+      n: Int = 3, threshold: Double = 0.5, maxDf: Int = 50): DataFrame =
+    jaccardFromPostings(
+      shinglePostings(df, idCol, textCol, n, maxDf).cache(), threshold)
 
   /** MinHash signatures: h_i(doc) = min over shingles of
     * md5(i + "|" + shingle) — string min is total-ordered and
@@ -87,7 +87,7 @@ object Dedup {
     val banded = (0 until nBands).foldLeft(sigs) { (acc, b) =>
       acc.withColumn(s"band$b", concat_ws("|",
         (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*))
-    }
+    }.cache() // each band join re-reads the signature frame
     (0 until nBands).map { b =>
       banded.select(col("doc"), col(s"band$b").as("bk")).as("a")
         .join(banded.select(col("doc"), col(s"band$b").as("bk")).as("b"),
@@ -96,16 +96,36 @@ object Dedup {
     }.reduce(_ unionByName _).distinct()
   }
 
+  /** Jaccard pairs from an (already filtered, cached) postings frame. */
+  def jaccardFromPostings(p: DataFrame, threshold: Double): DataFrame = {
+    val sizes = p.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
+    val pairs = p.as("a").join(p.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    pairs
+      .join(sizes.withColumnRenamed("doc", "doc_a")
+        .withColumnRenamed("sz", "size_a"), Seq("doc_a"))
+      .join(sizes.withColumnRenamed("doc", "doc_b")
+        .withColumnRenamed("sz", "size_b"), Seq("doc_b"))
+      .withColumn("jaccard",
+        col("shared").cast("double")
+          / (col("size_a") + col("size_b") - col("shared")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "shared", "size_a", "size_b", "jaccard")
+  }
+
   /** MinHash+LSH near-dup pairs, verified with exact Jaccard ≥
-    * `threshold` over the same (maxDf-filtered) shingle sets. */
+    * `threshold` over the same (maxDf-filtered) shingle sets. The
+    * postings frame is computed once and cached across the signature
+    * and verification passes. */
   def minhashDupPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 2,
       threshold: Double = 0.5, maxDf: Int = 50): DataFrame = {
-    val postings = shinglePostings(df, idCol, textCol, n, maxDf)
+    val postings = shinglePostings(df, idCol, textCol, n, maxDf).cache()
     val cands = lshCandidates(minhashSignatures(postings, numHashes),
       numHashes, rowsPerBand)
-    cands.join(
-      ngramJaccardPairs(df, idCol, textCol, n, threshold, maxDf),
+    cands.join(jaccardFromPostings(postings, threshold),
       Seq("doc_a", "doc_b"), "inner")
       .select("doc_a", "doc_b", "jaccard")
   }
@@ -128,20 +148,41 @@ object Dedup {
       .select(col("doc"), concat(bits: _*).as("simhash32"))
   }
 
-  /** SimHash near-dup pairs: bucket on the 8-bit prefix, then Hamming
-    * distance ≤ `maxHamming` over the full 32 bits. */
+  /** SimHash packed as a 32-bit integer (bit b weighted 2^b — bit b
+    * equals character b of the `simhash` bitstring). Integer form makes
+    * Hamming distance a single codegen'd bit_count(xor). */
+  def simhashLong(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df
+      .select(col(idCol).as("doc"),
+        explode(split(trim(col(textCol)), "\\s+")).as("tok"))
+      .withColumn("h", md5(col("tok").cast("binary")))
+    val sums = (0 until 32).map(b =>
+      sum(ascii(substring(col("h"), b + 1, 1)) % 2 * 2 - 1).as(s"s$b"))
+    val simInt = (0 until 32).map(b =>
+      when(col(s"s$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    toks.groupBy(col("doc"))
+      .agg(sums.head, sums.tail: _*)
+      .select(col("doc"), simInt.as("sim_int"))
+  }
+
+  /** SimHash near-dup pairs: bucket on the low 8 bits (= the string
+    * form's first 8 characters), then Hamming ≤ `maxHamming` via
+    * bit_count(xor) over the full 32 bits. Sketches are cached so the
+    * self-join reads them once. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val s = simhash(df, idCol, textCol)
-    val hamming: Column = size(filter(
-      sequence(lit(1), lit(32)),
-      i => substring(col("a.simhash32"), 1, 32).substr(i, lit(1))
-        =!= substring(col("b.simhash32"), 1, 32).substr(i, lit(1))))
+    // materialize the bucket as an attribute so the self-join plans as
+    // a shuffled hash join on the key, not a nested-loop theta join
+    val s = simhashLong(df, idCol, textCol)
+      .withColumn("bucket", col("sim_int").bitwiseAND(lit(255L)))
+      .cache()
     s.as("a").join(s.as("b"),
-        substring(col("a.simhash32"), 1, 8) === substring(col("b.simhash32"), 1, 8)
+        col("a.bucket") === col("b.bucket")
           && col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
-        hamming.cast("long").as("hamming"))
+        bit_count(col("a.sim_int").bitwiseXOR(col("b.sim_int")))
+          .cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 }

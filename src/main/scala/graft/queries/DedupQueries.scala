@@ -105,14 +105,23 @@ object DedupQueries extends QueryPack {
       s"""WITH $simhashCte
          |SELECT doc, simhash32 FROM sig""".stripMargin,
 
-    "d5_simhash_pairs" ->
-      s"""WITH $simhashCte
+    "d5_simhash_pairs" -> {
+      val simInt = (0 until 32)
+        .map(b => s"(CASE WHEN s$b >= 0 THEN ${1L << b} ELSE 0 END)")
+        .mkString(" + ")
+      val sums = (0 until 32)
+        .map(b => s"SUM(ascii(substr(hh, ${b + 1}, 1)) % 2 * 2 - 1) AS s$b")
+        .mkString(", ")
+      s"""WITH tk AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+         |       FROM documents),
+         |hh_t AS (SELECT doc_id, md5(tok) AS hh FROM tk),
+         |ss AS (SELECT doc_id, $sums FROM hh_t GROUP BY doc_id),
+         |sigi AS (SELECT doc_id AS doc, CAST($simInt AS BIGINT) AS sim_int FROM ss)
          |SELECT a.doc AS doc_a, b.doc AS doc_b,
-         |  CAST(len(list_filter(range(1, 33),
-         |    i -> substr(a.simhash32, CAST(i AS INT), 1) <> substr(b.simhash32, CAST(i AS INT), 1))) AS BIGINT) AS hamming
-         |FROM sig a JOIN sig b
-         |  ON substr(a.simhash32, 1, 8) = substr(b.simhash32, 1, 8) AND a.doc < b.doc
-         |WHERE len(list_filter(range(1, 33),
-         |    i -> substr(a.simhash32, CAST(i AS INT), 1) <> substr(b.simhash32, CAST(i AS INT), 1))) <= 3""".stripMargin
+         |  CAST(bit_count(xor(a.sim_int, b.sim_int)) AS BIGINT) AS hamming
+         |FROM sigi a JOIN sigi b
+         |  ON (a.sim_int & 255) = (b.sim_int & 255) AND a.doc < b.doc
+         |WHERE bit_count(xor(a.sim_int, b.sim_int)) <= 3""".stripMargin
+    }
   )
 }

@@ -103,16 +103,47 @@ object Similarity {
   }
 
   /** Embedding near-duplicate pairs: all (a < b) with cosine ≥
-    * `threshold`. Brute-force; swap the join condition for an LSH
-    * signature bucket at corpus scale. */
+    * `threshold`.
+    *
+    * Dense all-pairs is a numeric kernel, not a relational join: the
+    * comparison side is collected (vec count × dim floats — the same
+    * smallness requirement as a broadcast hash join side) and
+    * broadcast; each partition of the corpus then scans its rows
+    * against the broadcast block in tight loops. The corpus side stays
+    * fully distributed. When the comparison side no longer fits,
+    * bucket by LSH signature (lshTopK's join) instead of brute force.
+    *
+    * Dot/norm folds run in ascending element order — identical
+    * floating-point results to the declarative `dot`/`norm` columns
+    * and the DuckDB oracle. */
   def nearDupPairs(df: DataFrame, threshold: Double): DataFrame = {
-    val n = withNorm(df)
-    val cos = (dot(col("a.embedding"), col("b.embedding"))
-      / (col("a.nrm") * col("b.nrm")))
-    n.as("a").join(n.as("b"), col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        cos.as("cos_raw"))
-      .filter(col("cos_raw") >= threshold)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vecs = df.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+    val block = vecs.collect().sortBy(_._1)
+      .map { case (id, emb) =>
+        val d = emb.map(_.toDouble)
+        var s = 0.0; var i = 0
+        while (i < d.length) { s += d(i) * d(i); i += 1 }
+        (id, d, math.sqrt(s))
+      }
+    val bc = spark.sparkContext.broadcast(block)
+    vecs.mapPartitions { rows =>
+      val all = bc.value
+      rows.flatMap { case (idA, embA) =>
+        val a = embA.map(_.toDouble)
+        var sa = 0.0; var i = 0
+        while (i < a.length) { sa += a(i) * a(i); i += 1 }
+        val normA = math.sqrt(sa)
+        all.iterator.filter(_._1 > idA).flatMap { case (idB, b, normB) =>
+          var dotAb = 0.0; var j = 0
+          while (j < a.length) { dotAb += a(j) * b(j); j += 1 }
+          val cos = dotAb / (normA * normB)
+          if (cos >= threshold) Some((idA, idB, cos)) else None
+        }
+      }
+    }.toDF("vec_a", "vec_b", "cos_raw")
       .select(col("vec_a"), col("vec_b"),
         round(col("cos_raw"), 6).as("cos_sim"))
   }

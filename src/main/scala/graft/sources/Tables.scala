@@ -17,6 +17,9 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // runtime-settable; required before touching events.parquet (its ts
+    // column is INT64 TIMESTAMP(NANOS)) in sessions we didn't build
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     // events.ts is INT64 TIMESTAMP(NANOS) parquet, which Spark reads
     // only as LongType (spark.sql.legacy.parquet.nanosAsLong=true, set

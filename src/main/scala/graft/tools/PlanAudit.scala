@@ -1,0 +1,41 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan/latency audit over selected queries: prints per-query wall
+  * time and (optionally) the formatted physical plan. Usage:
+  *   runMain graft.tools.PlanAudit <sfDir> [substring-filter] [explain]
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val filt = if (args.length > 1) args(1) else ""
+    val doExplain = args.length > 2 && args(2) == "explain"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(_._1.contains(filt))
+      .foreach { case (name, fn) =>
+        val df = fn(spark, sfDir)
+        if (doExplain) {
+          println(s"==== $name ====")
+          df.explain("formatted")
+        }
+        val t0 = System.nanoTime()
+        df.count()
+        val t1 = System.nanoTime()
+        df.count()
+        val t2 = System.nanoTime()
+        println(f"TIME $name cold=${(t1 - t0) / 1e9}%.2fs warm=${(t2 - t1) / 1e9}%.2fs")
+      }
+    spark.stop()
+  }
+}
