@@ -25,10 +25,13 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two float-array columns. */
+  /** Sequential-fold dot product of two array columns — a native
+    * codegen'd Catalyst expression (graft.expressions.DotProduct);
+    * identical float semantics to the composed-built-ins form
+    * aggregate(zip_with(a,b,*),0,+), without the per-row intermediate
+    * array or interpreted lambda. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    graft.expressions.VectorExpressions.dot_product(a, b)
 
   /** L2 norm of a float-array column. */
   def norm(a: Column): Column = sqrt(dot(a, a))

@@ -1,0 +1,48 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.expressions.VectorExpressions
+
+class VectorExpressionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def df = Seq(
+    (1L, Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)),
+    (2L, Array(0.5f, -1.5f, 2.25f), Array(2.0f, 2.0f, 2.0f))
+  ).toDF("id", "a", "b")
+
+  test("dot_product matches the composed-built-ins fold exactly") {
+    val hof = aggregate(
+      zip_with(col("a"), col("b"), (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    val rows = df.select(col("id"),
+        VectorExpressions.dot_product(col("a"), col("b")).as("fast"),
+        hof.as("ref"))
+      .collect()
+    assert(rows.forall(r => r.getDouble(1) == r.getDouble(2)))
+    assert(rows.find(_.getLong(0) == 1L).get.getDouble(1) == 32.0)
+  }
+
+  test("dot_product accepts double-array literals (LSH projections)") {
+    val proj = array(lit(1.0), lit(-1.0), lit(1.0))
+    val r = df.filter(col("id") === 1)
+      .select(VectorExpressions.dot_product(col("a"), proj)).collect()(0)
+    assert(r.getDouble(0) == 1.0 - 2.0 + 3.0)
+  }
+
+  test("dot_product registers as a SQL function") {
+    VectorExpressions.register(spark)
+    df.createOrReplaceTempView("vecs")
+    val r = spark.sql("SELECT dot_product(a, b) AS d FROM vecs WHERE id = 1")
+      .collect()(0)
+    assert(r.getDouble(0) == 32.0)
+  }
+
+  test("null array yields null") {
+    val r = df.select(VectorExpressions.dot_product(
+      lit(null).cast("array<float>"), col("b")).as("d")).collect()
+    assert(r.forall(_.isNullAt(0)))
+  }
+}
