@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.catalog.Crawler
 import graft.ops.{Classify, EntityRegistry, Report}
-import graft.state.Tracker
+import graft.state.{FindingsStore, TagStore, Tracker}
 
 /** The reference's full control-plane cycle as one programmatic flow
   * (SURVEY.md §7.2 "discover → classify → report"; reference README
@@ -53,22 +53,33 @@ object Pipeline {
       tracker.markCataloged(name, table, "graft_db")
     }
 
-    // 3. classify each cataloged source, accumulate enriched findings
-    val findings = sources.map { src =>
+    // 3. classify each cataloged source; append enriched findings to
+    //    the partitioned findings store (S10)
+    val store = new FindingsStore(spark, stateDir)
+    sources.foreach { src =>
       val table = Crawler.normalizeName(src.name)
       val classified = Classify.classifySummary(
         spark.table(table), entities, threshold = threshold)
       tracker.markJobCreated(src.name)
-      Classify.enrichFindings(classified, src.sourceType,
+      store.append(Classify.enrichFindings(classified, src.sourceType,
         Map("data_catalog_table_name" -> table,
-          "data_catalog_db_name" -> "graft_db"))
-    }.reduce(_ unionByName _)
+          "data_catalog_db_name" -> "graft_db")))
+    }
 
-    // 4. report: latest run per table joined onto catalog columns
+    // 3b. governance-tag capture (J2/P9/S13) from tracked source attrs
+    val tagStore = new TagStore(spark, stateDir)
+    tagStore.append(Report.tagReport(
+      tracker.read(),
+      tracker.read().select(col("source_name"),
+        col("data_source_attrs").as("tags")),
+      requiredKeys = Seq("path", "region", "gdpr-scan")))
+
+    // 4. report: latest run per table (across all appended runs)
+    //    joined onto catalog columns
     val catalogCols = sources.map(s =>
         Crawler.tableColumns(spark, Crawler.normalizeName(s.name)))
       .reduce(_ unionByName _)
-    Report.commentPlan(catalogCols, Report.latestFindingRows(findings))
+    Report.commentPlan(catalogCols, Report.latestFindingRows(store.read()))
   }
 
   /** Flagship slice over the sf0.001 test tables. */

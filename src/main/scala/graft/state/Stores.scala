@@ -1,0 +1,43 @@
+package graft.state
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Append-only result stores (SURVEY.md S10/S13): the engine-owned
+  * analogues of the reference's `piiDetectionOutputTable` and
+  * `tagCaptureTable` DynamoDB sinks
+  * (scripts/glue/s3-source/s3-source-script.py:340-346,
+  * lambda/s3-tag-report/app.py:218-225).
+  *
+  * Physical layout: parquet partitioned by `data_source_type` — the
+  * partition key matches every control-plane predicate (F5/F6), so
+  * report reads prune to one partition. Each classify run appends; the
+  * latest-run projection is Report.latestFindingRows (A2).
+  */
+class FindingsStore(spark: SparkSession, dir: String) {
+  private val path = s"$dir/pii_findings"
+
+  /** S10: append one classify run's enriched findings. */
+  def append(findings: DataFrame): Unit =
+    findings.write
+      .mode(SaveMode.Append)
+      .partitionBy("data_source_type")
+      .parquet(path)
+
+  def read(): DataFrame = spark.read.parquet(path)
+
+  /** F6 read path: one source type (partition-pruned scan). */
+  def ofType(sourceType: String): DataFrame =
+    read().filter(col("data_source_type") === sourceType)
+}
+
+/** S13: governance-tag capture log, keyed like the reference's
+  * composite (id, data_catalog_table_name). */
+class TagStore(spark: SparkSession, dir: String) {
+  private val path = s"$dir/tag_capture"
+
+  def append(tags: DataFrame): Unit =
+    tags.write.mode(SaveMode.Append).parquet(path)
+
+  def read(): DataFrame = spark.read.parquet(path)
+}

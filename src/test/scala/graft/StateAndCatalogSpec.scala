@@ -87,6 +87,26 @@ class StateAndCatalogSpec extends AnyFunSuite {
     assert(commented.forall(_.getAs[String]("comment").length <= 255))
   }
 
+  test("re-running the pipeline appends runs; report reads latest only") {
+    val state = tmpDir("pipe2")
+    val first = Pipeline.flagship(spark, "/root/testdata/sf0.001", state)
+      .collect()
+    val second = Pipeline.flagship(spark, "/root/testdata/sf0.001", state)
+      .collect()
+    // two appended runs, but the comment plan stays one-row-per-column
+    assert(first.length == second.length)
+    val store = new graft.state.FindingsStore(spark, state)
+    val runs = store.read()
+      .select("timestamp").distinct().count()
+    assert(runs >= 2)
+    // partition pruning surface: type-scoped read sees only s3 findings
+    assert(store.ofType("s3")
+      .select("data_catalog_table_name").distinct().count() == 1)
+    val tags = new graft.state.TagStore(spark, state).read()
+    assert(tags.count() > 0)
+    assert(tags.columns.contains("captured_tags"))
+  }
+
   test("report argmax keeps only the latest run per table") {
     val findings = Seq(
       ("t1", java.sql.Timestamp.valueOf("2026-01-01 00:00:00"), "a", Seq("EMAIL"), "col1"),
