@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Column profiling — the data-quality companion to classification
+  * (SURVEY.md §7 scale extensions): per-column row/null/distinct
+  * counts plus min/max, in ONE pass over the table.
+  *
+  * Same melt-then-aggregate shape as Classify: unpivot to
+  * (column_name, cell) rows, then a single groupBy(column_name) with
+  * partial aggregation — the shuffle carries |columns| counter rows
+  * regardless of table size. Exact distinct counts shuffle cell values
+  * (needed for the oracle hash-match); `approxProfile` swaps them for
+  * HLL sketches (approx_count_distinct) so the scan stays one-pass
+  * with O(columns) state at 100 TB.
+  */
+object Profile {
+
+  private def melt(df: DataFrame, columns: Seq[String]): DataFrame = {
+    val cols = if (columns.nonEmpty) columns else df.columns.toSeq
+    df.select(cols.map(c => col(c).cast(StringType).as(c)): _*)
+      .unpivot(Array.empty[Column], cols.map(col).toArray,
+        "column_name", "cell_value")
+  }
+
+  /** Exact profile: n_rows, n_nulls, n_distinct (of non-null cells),
+    * min/max of the string form. Engine-portable and deterministic. */
+  def profile(df: DataFrame, columns: Seq[String] = Nil): DataFrame =
+    melt(df, columns)
+      .groupBy(col("column_name"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("cell_value").isNull, 1L).otherwise(0L)).as("n_nulls"),
+        count_distinct(col("cell_value")).as("n_distinct"),
+        min(col("cell_value")).as("min_value"),
+        max(col("cell_value")).as("max_value"))
+
+  /** Scale profile: distinct counts via HLL sketch — one pass, bounded
+    * state, ±rsd accuracy (not oracle-comparable; use for 100 TB). */
+  def approxProfile(df: DataFrame, columns: Seq[String] = Nil,
+      rsd: Double = 0.05): DataFrame =
+    melt(df, columns)
+      .groupBy(col("column_name"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("cell_value").isNull, 1L).otherwise(0L)).as("n_nulls"),
+        approx_count_distinct(col("cell_value"), rsd).as("approx_distinct"),
+        min(col("cell_value")).as("min_value"),
+        max(col("cell_value")).as("max_value"))
+
+  /** Numeric summary for a single numeric column: decimal-stable sum
+    * and average plus extremes (deterministic under partitioning). */
+  def numericSummary(df: DataFrame, column: String): DataFrame =
+    df.agg(
+      count(col(column)).as("n"),
+      sum(col(column).cast(DecimalType(28, 4))).cast(DoubleType).as("sum_value"),
+      (sum(col(column).cast(DecimalType(28, 4))).cast(DoubleType)
+        / count(col(column))).as("avg_value"),
+      min(col(column)).as("min_value"),
+      max(col(column)).as("max_value"))
+}

@@ -1,0 +1,41 @@
+package graft.queries
+
+import graft.sources.Tables
+import graft.ops.Profile
+
+/** Driver-checkable profiling entries (exact variants; the HLL
+  * approx path is exercised in ProfileSpec since sketch values are not
+  * engine-portable). */
+object ProfileQueries extends QueryPack {
+
+  def queries: Map[String, Q] = Map(
+    "pr1_profile_customer" -> ((s, d) =>
+      Profile.profile(Tables.load(s, d, "customer"))),
+    "pr2_numeric_summary" -> ((s, d) =>
+      Profile.numericSummary(Tables.load(s, d, "lineitem"), "l_extendedprice"))
+  )
+
+  private val custCells =
+    """SELECT 'c_custkey' AS column_name, CAST(c_custkey AS VARCHAR) AS cell_value FROM customer
+      |UNION ALL SELECT 'c_name', c_name FROM customer
+      |UNION ALL SELECT 'c_nationkey', CAST(c_nationkey AS VARCHAR) FROM customer
+      |UNION ALL SELECT 'c_acctbal', CAST(c_acctbal AS VARCHAR) FROM customer
+      |UNION ALL SELECT 'c_mktsegment', c_mktsegment FROM customer""".stripMargin
+
+  def oracle: Map[String, String] = Map(
+    "pr1_profile_customer" ->
+      s"""SELECT column_name, count(*) AS n_rows,
+         |  CAST(SUM(CASE WHEN cell_value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         |  count(DISTINCT cell_value) AS n_distinct,
+         |  min(cell_value) AS min_value, max(cell_value) AS max_value
+         |FROM ($custCells) cells
+         |GROUP BY column_name""".stripMargin,
+    "pr2_numeric_summary" ->
+      """SELECT count(l_extendedprice) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sum_value,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE)
+        |    / count(l_extendedprice) AS avg_value,
+        |  min(l_extendedprice) AS min_value, max(l_extendedprice) AS max_value
+        |FROM lineitem""".stripMargin
+  )
+}

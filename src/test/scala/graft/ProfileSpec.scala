@@ -1,0 +1,39 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Profile
+
+class ProfileSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def df = Seq(
+    (1, Some("a"), 1.5), (2, Some("b"), 2.5),
+    (3, None, 3.5), (4, Some("a"), 4.5)
+  ).toDF("id", "s", "v")
+
+  test("exact profile counts rows, nulls, distincts, extremes") {
+    val p = Profile.profile(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(p("s").getAs[Long]("n_rows") == 4)
+    assert(p("s").getAs[Long]("n_nulls") == 1)
+    assert(p("s").getAs[Long]("n_distinct") == 2)
+    assert(p("s").getAs[String]("min_value") == "a")
+    assert(p("id").getAs[Long]("n_distinct") == 4)
+  }
+
+  test("approx profile HLL stays within rsd on a wide-cardinality column") {
+    val wide = (1 to 20000).map(i => s"val_$i").toDF("c")
+    val approx = Profile.approxProfile(wide).collect()(0)
+      .getAs[Long]("approx_distinct")
+    assert(math.abs(approx - 20000.0) / 20000.0 < 0.15)
+  }
+
+  test("numeric summary is decimal-stable") {
+    val s = Profile.numericSummary(df, "v").collect()(0)
+    assert(s.getAs[Long]("n") == 4)
+    assert(s.getAs[Double]("sum_value") == 12.0)
+    assert(s.getAs[Double]("avg_value") == 3.0)
+    assert(s.getAs[Double]("min_value") == 1.5)
+  }
+}
