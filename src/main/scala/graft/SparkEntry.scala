@@ -18,7 +18,8 @@ object SparkEntry {
     DedupQueries,
     SimilarityQueries,
     MultimodalQueries,
-    ProfileQueries
+    ProfileQueries,
+    StreamQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,38 @@
+package graft.queries
+
+import graft.sources.Tables
+import graft.streaming.EventAggregates
+
+/** Batch-mode oracle checks for the streaming aggregates (the same
+  * plans run under readStream; StreamingWindowSpec drives them through
+  * MemoryStream).
+  */
+object StreamQueries extends QueryPack {
+
+  def queries: Map[String, Q] = Map(
+    // Gap-based session windows per user (declarative session_window)
+    "e2_session_window" -> ((s, d) =>
+      EventAggregates.sessions(Tables.load(s, d, "events"), "30 minutes"))
+  )
+
+  def oracle: Map[String, String] = Map(
+    // gaps-and-islands replay: new session when the gap to the previous
+    // event is >= 30 min (session_window's end bound is exclusive)
+    "e2_session_window" ->
+      """WITH d AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |            >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |g AS (
+        |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM d)
+        |SELECT user_id, date_trunc('ms', min(ts)) AS session_start,
+        |  count(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total_value
+        |FROM g GROUP BY user_id, sid""".stripMargin
+  )
+}

@@ -1,0 +1,72 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Event-time aggregation surface (SURVEY.md §2.8): the reference has
+  * no windowed analytics of its own (each event handled independently);
+  * these are the streaming extensions a 100 TB event estate needs.
+  * Every transform is identical in batch and streaming mode — specs
+  * drive them through MemoryStream, the oracle checks the batch run.
+  */
+object EventAggregates {
+
+  /** Tumbling/sliding event-time counts with a watermark for state
+    * eviction (streaming) — also runs as a plain batch aggregate. */
+  def windowedCounts(events: DataFrame, windowLen: String,
+      slide: Option[String] = None, watermark: String = "1 hour"): DataFrame = {
+    val wm = if (events.isStreaming) events.withWatermark("ts", watermark)
+      else events
+    val win = slide match {
+      case Some(s) => window(col("ts"), windowLen, s)
+      case None => window(col("ts"), windowLen)
+    }
+    wm.groupBy(win.as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(28, 2))).cast(DoubleType)
+          .as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+  }
+
+  /** Session windows per user (gap-based), declarative form: built-in
+    * session_window merges events closer than `gap` to the previous
+    * event. Works identically in batch and streaming. */
+  def sessions(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(28, 2))).cast(DoubleType)
+          .as("total_value"),
+        date_trunc("millisecond", min(col("ts"))).as("session_start"))
+      .select(col("user_id"), col("session_start"), col("n_events"),
+        col("total_value"))
+
+  final case class UserEvent(user_id: Long, ts: Timestamp, value: Double)
+  final case class UserRunning(user_id: Long, n_events: Long, total: Double)
+
+  /** Custom-state path (flatMapGroupsWithState): running per-user
+    * totals maintained across micro-batches — the shape the reference's
+    * tracker state machine would take if its state lived in the stream
+    * instead of a MERGE table (SURVEY.md §2.8 "stateful ops"). */
+  def runningTotals(events: Dataset[UserEvent]): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout)(
+        (userId: Long, batch: Iterator[UserEvent],
+            state: GroupState[UserRunning]) => {
+          val prev = state.getOption.getOrElse(UserRunning(userId, 0L, 0.0))
+          var n = prev.n_events
+          var tot = prev.total
+          batch.foreach { e => n += 1; tot += e.value }
+          val next = UserRunning(userId, n, tot)
+          state.update(next)
+          Iterator.single(next)
+        })
+  }
+}

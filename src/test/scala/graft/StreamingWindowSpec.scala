@@ -1,0 +1,73 @@
+package graft
+
+import java.sql.Timestamp
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.EventAggregates
+import graft.streaming.EventAggregates.{UserEvent, UserRunning}
+
+class StreamingWindowSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(m: Int): Timestamp =
+    Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+
+  test("windowed counts aggregate a stream across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val st = MemoryStream[(Timestamp, String, Double)]
+    val events = st.toDF().toDF("ts", "event_type", "value")
+    val q = EventAggregates.windowedCounts(events, "10 minutes")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("winout")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      st.addData((ts(1), "click", 1.0), (ts(2), "click", 2.0),
+        (ts(11), "click", 4.0))
+      q.processAllAvailable()
+      st.addData((ts(3), "buy", 8.0))
+      q.processAllAvailable()
+      val rows = spark.table("winout")
+        .select("window_start", "event_type", "n_events", "sum_value")
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      assert(rows == Set(
+        (ts(0), "click", 2L, 3.0),
+        (ts(10), "click", 1L, 4.0),
+        (ts(0), "buy", 1L, 8.0)))
+    } finally q.stop()
+  }
+
+  test("session windows merge events within the gap (batch parity)") {
+    val events = Seq(
+      (1L, ts(0), 1.0), (1L, ts(10), 2.0),   // one session (gap 30m)
+      (1L, ts(50), 4.0),                     // second session
+      (2L, ts(5), 8.0))
+      .toDF("user_id", "ts", "value")
+    val s = EventAggregates.sessions(events, "30 minutes")
+      .select("user_id", "n_events", "total_value")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(s == Set((1L, 2L, 3.0), (1L, 1L, 4.0), (2L, 1L, 8.0)))
+  }
+
+  test("flatMapGroupsWithState keeps running totals across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val st = MemoryStream[UserEvent]
+    val q = EventAggregates.runningTotals(st.toDS())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("runout")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      st.addData(UserEvent(1L, ts(1), 10.0), UserEvent(1L, ts(2), 5.0))
+      q.processAllAvailable()
+      st.addData(UserEvent(1L, ts(3), 1.0), UserEvent(2L, ts(4), 7.0))
+      q.processAllAvailable()
+      val last = spark.table("runout").as[UserRunning].collect()
+        .groupBy(_.user_id).map { case (k, v) => k -> v.maxBy(_.n_events) }
+      assert(last(1L) == UserRunning(1L, 3L, 16.0))
+      assert(last(2L) == UserRunning(2L, 1L, 7.0))
+    } finally q.stop()
+  }
+}
