@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-handling primitives for hot keys at corpus scale.
+  *
+  * AQE's skew-join splitting covers sort-merge joins automatically;
+  * these helpers cover the two cases it doesn't: skewed aggregations
+  * (one giant group) and broadcast-infeasible skewed joins.
+  *
+  *  - saltedAgg: two-phase aggregate — phase 1 groups on
+  *    (key, salt ∈ [0, buckets)), phase 2 re-combines per key. A key
+  *    with k rows lands in `buckets` partial groups of ~k/buckets rows
+  *    each; the second shuffle carries only buckets rows per key.
+  *  - saltedJoin: explodes the (small) build side `buckets` times with
+  *    every salt value, salts the probe side randomly, joins on
+  *    (key, salt) — a hot key's probe rows spread over `buckets`
+  *    tasks instead of one.
+  *
+  * Salting uses rand(seed) — fine for load distribution; results are
+  * aggregation-equivalent regardless of salt values (SkewSpec asserts
+  * equality with the unsalted plans).
+  */
+object Skew {
+
+  /** Two-phase (salted) sum/count aggregate over one key column.
+    * `aggs` maps output name → (phase1 agg of input col, phase2
+    * re-combine of the partial col). */
+  def saltedCountSum(df: DataFrame, key: String, valueCol: String,
+      buckets: Int = 16, seed: Long = 42L): DataFrame = {
+    val phase1 = df
+      .withColumn("_salt", (rand(seed) * buckets).cast("int"))
+      .groupBy(col(key), col("_salt"))
+      .agg(count(lit(1)).as("_cnt"),
+        sum(col(valueCol).cast("decimal(28,4)")).as("_sum"))
+    phase1
+      .groupBy(col(key))
+      .agg(sum(col("_cnt")).as("n"),
+        sum(col("_sum")).cast("double").as("sum_value"))
+  }
+
+  /** Salted equi-join: `big` (skewed probe side) joined to `small`
+    * (replicated build side) on `key`. */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+      buckets: Int = 16, seed: Long = 42L): DataFrame = {
+    val saltedBig = big
+      .withColumn("_salt", (rand(seed) * buckets).cast("int"))
+    val replicatedSmall = small
+      .withColumn("_salt", explode(sequence(lit(0), lit(buckets - 1))))
+    saltedBig.join(replicatedSmall, Seq(key, "_salt"), "inner")
+      .drop("_salt")
+  }
+
+  /** Top-k hot keys by frequency — the skew diagnosis step. */
+  def hotKeys(df: DataFrame, key: String, k: Int = 10): DataFrame =
+    df.groupBy(col(key)).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col(key))
+      .limit(k)
+}

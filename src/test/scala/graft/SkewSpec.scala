@@ -1,0 +1,44 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.Skew
+
+class SkewSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // one hot key (90% of rows) + a long tail
+  private def skewed = ((1 to 9000).map(i => ("hot", i.toDouble))
+    ++ (1 to 1000).map(i => (s"k${i % 50}", i.toDouble)))
+    .toDF("key", "v")
+
+  test("salted aggregate equals the unsalted aggregate") {
+    val salted = Skew.saltedCountSum(skewed, "key", "v", buckets = 8)
+      .orderBy("key").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val plain = skewed.groupBy("key")
+      .agg(count(lit(1)).as("n"),
+        sum(col("v").cast("decimal(28,4)")).cast("double").as("sum_value"))
+      .orderBy("key").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(salted.sameElements(plain))
+  }
+
+  test("salted join equals the plain join") {
+    val dim = Seq(("hot", "H"), ("k1", "A"), ("k2", "B")).toDF("key", "label")
+    val salted = Skew.saltedJoin(skewed, dim, "key", buckets = 8)
+      .groupBy("key", "label").count()
+      .as[(String, String, Long)].collect().toSet
+    val plain = skewed.join(dim, Seq("key"))
+      .groupBy("key", "label").count()
+      .as[(String, String, Long)].collect().toSet
+    assert(salted == plain)
+  }
+
+  test("hot-key diagnosis surfaces the skewed key first") {
+    val hot = Skew.hotKeys(skewed, "key", 3).collect()
+    assert(hot(0).getString(0) == "hot")
+    assert(hot(0).getAs[Long]("n") == 9000)
+  }
+}
