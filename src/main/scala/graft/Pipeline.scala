@@ -75,11 +75,19 @@ object Pipeline {
       requiredKeys = Seq("path", "region", "gdpr-scan")))
 
     // 4. report: latest run per table (across all appended runs)
-    //    joined onto catalog columns
+    //    joined onto catalog columns; persist comments with optimistic
+    //    versioning (the Glue update_table VersionId analogue)
     val catalogCols = sources.map(s =>
         Crawler.tableColumns(spark, Crawler.normalizeName(s.name)))
       .reduce(_ unionByName _)
-    Report.commentPlan(catalogCols, Report.latestFindingRows(store.read()))
+    val plan = Report.commentPlan(catalogCols,
+      Report.latestFindingRows(store.read()))
+    val comments = new graft.catalog.CatalogComments(spark, stateDir)
+    sources.foreach { s =>
+      val t = Crawler.normalizeName(s.name)
+      comments.apply(t, plan, comments.tableVersion(t))
+    }
+    plan
   }
 
   /** Flagship slice over the sf0.001 test tables. */

@@ -1,0 +1,70 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Column-comment metadata layer (SURVEY.md S9/P12 + §7.4 "catalog
+  * comment length/versioning"): the engine-owned equivalent of Glue's
+  * per-column `Comment` mutation with `VersionId` optimistic
+  * concurrency (reference lambda/pii-report/app.py:177-205).
+  *
+  * Backing is a parquet table (db, table, column, comment, version);
+  * `apply` mirrors glue.update_table: it checks the caller's expected
+  * version per table and refuses stale writes. Comments are trimmed to
+  * 255 chars on write (P12).
+  */
+class CatalogComments(spark: SparkSession, dir: String) {
+  private val path = s"$dir/catalog_comments"
+
+  private def exists(): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  def read(): DataFrame =
+    if (exists()) spark.read.parquet(path)
+    else spark.range(0)
+      .select(lit("").as("table_name"), lit("").as("column_name"),
+        lit("").as("comment"), lit(0L).as("version"))
+      .limit(0)
+
+  /** Current version per table (0 when absent). */
+  def tableVersion(table: String): Long = {
+    val v = read().filter(col("table_name") === table)
+      .agg(max(col("version"))).collect()(0)
+    if (v.isNullAt(0)) 0L else v.getLong(0)
+  }
+
+  /** Apply a comment plan (table_name, column_name, comment) for one
+    * table at `expectedVersion`. Returns the new version; throws on a
+    * concurrent update (version moved on) — the reference's VersionId
+    * conditional update. */
+  def apply(table: String, commentPlan: DataFrame,
+      expectedVersion: Long): Long = {
+    val current = tableVersion(table)
+    if (current != expectedVersion)
+      throw new IllegalStateException(
+        s"stale catalog write for $table: expected v$expectedVersion, found v$current")
+    val next = current + 1
+    val others = read().filter(col("table_name") =!= table)
+    val updated = commentPlan
+      .filter(col("table_name") === table && col("comment").isNotNull)
+      .select(col("table_name"), col("column_name"),
+        substring(col("comment"), 1, 255).as("comment"),
+        lit(next).as("version"))
+    val staging = s"$path.staging"
+    others.unionByName(updated)
+      .write.mode(SaveMode.Overwrite).parquet(staging)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    fs.rename(new org.apache.hadoop.fs.Path(staging),
+      new org.apache.hadoop.fs.Path(path))
+    next
+  }
+
+  /** Latest comments for a table (the S9 read-back). */
+  def forTable(table: String): DataFrame =
+    read().filter(col("table_name") === table)
+      .select("column_name", "comment", "version")
+}

@@ -1,0 +1,79 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.sql.DriverManager
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.catalog.{CatalogComments, Crawler}
+
+class JdbcAndCommentsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def tmp(tag: String): String = {
+    val p = Paths.get(s"target/test_$tag${System.nanoTime()}")
+    Files.createDirectories(p)
+    p.toString
+  }
+
+  test("JDBC source scan (S3): infer schema and classify an RDS-shaped table") {
+    // billing_details per FIXTURES.md §3: all-VARCHAR relational table
+    val dbDir = tmp("derby")
+    val url = s"jdbc:derby:$dbDir/graftdb;create=true"
+    val conn = DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute(
+        """CREATE TABLE billing_details (
+          |  advertising_id VARCHAR(64) PRIMARY KEY,
+          |  email_address VARCHAR(128),
+          |  invoice_total VARCHAR(32))""".stripMargin)
+      val ins = conn.prepareStatement(
+        "INSERT INTO billing_details VALUES (?, ?, ?)")
+      (1 to 50).foreach { i =>
+        ins.setString(1, f"ad-$i%04d")
+        ins.setString(2, s"user$i@example.org")
+        ins.setString(3, f"${i * 10.37}%.2f")
+        ins.executeUpdate()
+      }
+    } finally conn.close()
+
+    val df = Crawler.infer(spark,
+      Crawler.JdbcSource(url, "billing_details"), path = "")
+    assert(df.count() == 50)
+    assert(df.columns.map(_.toLowerCase).toSet ==
+      Set("advertising_id", "email_address", "invoice_total"))
+
+    // the rds-source classify job shape over the JDBC scan
+    val found = graft.ops.Classify.classifyColumns(
+      df, graft.ops.EntityRegistry.all, threshold = 0.5)
+      .collect().map(r => (r.getString(0).toLowerCase, r.getString(1))).toSet
+    assert(found.contains(("email_address", "EMAIL")))
+    assert(found.contains(("invoice_total", "MONEY_AMOUNT")))
+  }
+
+  test("catalog comments: apply, read back, optimistic versioning") {
+    import spark.implicits._
+    val store = new CatalogComments(spark, tmp("comments"))
+    val plan = Seq(
+      ("t1", "phone", "Sensitive Data Element | PHONE_NUMBER"),
+      ("t1", "name", null.asInstanceOf[String]),
+      ("t1", "long", "x" * 300))
+      .toDF("table_name", "column_name", "comment")
+
+    val v1 = store.apply("t1", plan, expectedVersion = 0L)
+    assert(v1 == 1L)
+    val back = store.forTable("t1").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(back("phone").startsWith("Sensitive Data Element | "))
+    assert(!back.contains("name"))       // null comments not written
+    assert(back("long").length == 255)   // P12 trim
+
+    // stale write refused (VersionId semantics)
+    intercept[IllegalStateException] {
+      store.apply("t1", plan, expectedVersion = 0L)
+    }
+    // correct version succeeds and bumps
+    assert(store.apply("t1", plan, expectedVersion = 1L) == 2L)
+    assert(store.tableVersion("t1") == 2L)
+  }
+}
