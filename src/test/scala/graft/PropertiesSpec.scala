@@ -1,0 +1,94 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop}
+import org.scalacheck.Test.{check, Parameters}
+import org.apache.spark.sql.functions._
+import graft.catalog.Crawler
+import graft.ops.Ddl
+
+class PropertiesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def holds(p: Prop, n: Int = 100): Unit = {
+    val r = check(Parameters.default.withMinSuccessfulTests(n), p)
+    assert(r.passed, r.status.toString)
+  }
+
+  // ---- pure-function properties (cheap, many cases) ----
+
+  test("normalizeName is idempotent and catalog-safe") {
+    holds(Prop.forAll(Gen.asciiPrintableStr) { s =>
+      val once = Crawler.normalizeName(s)
+      Crawler.normalizeName(once) == once && !once.exists(" -.".contains(_))
+    })
+  }
+
+  test("splitStatements never yields empty statements and keeps order") {
+    val stmtGen = Gen.nonEmptyListOf(Gen.alphaNumStr.suchThat(_.nonEmpty))
+    holds(Prop.forAll(stmtGen) { stmts =>
+      val script = stmts.mkString(";\n") + ";"
+      val out = Ddl.splitStatements(script)
+      out == stmts && out.forall(_.nonEmpty)
+    })
+  }
+
+  test("hyperplane projections are ±1 and stable across calls") {
+    holds(Prop.forAll(Gen.choose(1, 16), Gen.choose(1, 128)) { (bits, dim) =>
+      val a = graft.similarity.Similarity.hyperplaneProjections(bits, dim)
+      val b = graft.similarity.Similarity.hyperplaneProjections(bits, dim)
+      a.length == bits && a.forall(_.length == dim) &&
+        a.flatten.forall(v => v == 1.0 || v == -1.0) &&
+        a.zip(b).forall { case (x, y) => x.sameElements(y) }
+    }, n = 20)
+  }
+
+  // ---- Spark-bound properties (few cases, structural invariants) ----
+
+  private val docGen: Gen[List[(Long, String)]] = for {
+    k <- Gen.choose(3, 8)
+    words <- Gen.listOfN(k * 6,
+      Gen.oneOf("spark", "join", "scan", "sort", "hash", "agg", "row"))
+  } yield words.grouped(6).zipWithIndex
+    .map { case (w, i) => (i.toLong, w.mkString(" ")) }.toList
+
+  test("jaccard pairs are ordered, bounded, and shared<=sizes") {
+    holds(Prop.forAll(docGen) { docs =>
+      val df = docs.toDF("doc_id", "text")
+      val rows = graft.dedup.Dedup
+        .ngramJaccardPairs(df, "doc_id", "text", n = 2,
+          threshold = 0.01, maxDf = 100)
+        .collect()
+      rows.forall { r =>
+        val (a, b) = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+        val j = r.getAs[Double]("jaccard")
+        val sh = r.getAs[Long]("shared")
+        a < b && j > 0.0 && j <= 1.0 &&
+          sh <= r.getAs[Long]("size_a") && sh <= r.getAs[Long]("size_b")
+      }
+    }, n = 5)
+  }
+
+  test("fingerprint is invariant under case and punctuation noise") {
+    holds(Prop.forAll(Gen.alphaNumStr.suchThat(_.nonEmpty)) { s =>
+      val df = Seq((1L, s), (2L, s.toUpperCase + "!!"), (3L, "  " + s + " .")
+        ).toDF("id", "t")
+      val fps = df.select(
+        graft.functions.TextFunctions.fingerprint(col("t")).as("fp"))
+        .collect().map(_.getString(0))
+      fps.distinct.length == 1
+    }, n = 10)
+  }
+
+  test("classify threshold monotonicity on random string frames") {
+    val cellGen = Gen.oneOf("a@b.com", "word", "123", "x@y.org", "99")
+    holds(Prop.forAll(Gen.listOfN(12, cellGen)) { cells =>
+      val df = cells.zipWithIndex.map { case (c, i) => (i, c) }.toDF("id", "c")
+      def found(t: Double) = graft.ops.Classify
+        .classifyColumns(df, graft.ops.EntityRegistry.all, threshold = t)
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      found(0.8).subsetOf(found(0.2))
+    }, n = 5)
+  }
+}
