@@ -137,11 +137,110 @@ object EntityRegistry {
   val SOURCE_TAG = Entity("SOURCE_TAG", "^src[0-9]+$")
   val FREE_TEXT = Entity("FREE_TEXT", "^[a-z]+( [a-z]+){3,}")
 
+  // ---- extended registry, modeled on the reference's 276-entry list
+  // (entity names follow the public AWS entity-type taxonomy at
+  // s3-source-script.py:24-281; patterns are our own, from public
+  // format specifications; regex subset = Java ∩ RE2: no lookaround,
+  // no backreferences) ----
+
+  /** Contact / person. */
+  val contact: Seq[Entity] = Seq(
+    EMAIL, PHONE_NUMBER, PERSON_TITLE, GENDER,
+    Entity("US_PHONE_NUMBER", "^(\\+?1[ .-]?)?(\\([0-9]{3}\\)|[0-9]{3})[ .-]?[0-9]{3}[ .-]?[0-9]{4}$"),
+    Entity("UK_PHONE_NUMBER", "^(\\+44[ ]?|0)[0-9]{2,4}[ ]?[0-9]{3,4}[ ]?[0-9]{3,4}$"),
+    Entity("INTERNATIONAL_PHONE", "^\\+[1-9][0-9]{0,2}[ .-]?[0-9 .-]{6,14}$"),
+    Entity("FAX_NUMBER", "^(fax:? ?)?\\+?[0-9][0-9 ().-]{6,18}[0-9]$"),
+    Entity("ADDRESS_LINE", "^[0-9]{1,5} [A-Za-z0-9 .'-]+ (St|Street|Ave|Avenue|Rd|Road|Blvd|Lane|Ln|Dr|Drive|Ct|Court|Way)\\.?$"),
+    Entity("PO_BOX", "^[Pp]\\.?[Oo]\\.? ?[Bb]ox [0-9]+$"))
+
+  /** National identifiers (public formats). */
+  val nationalId: Seq[Entity] = Seq(
+    SSN, UK_NINO,
+    Entity("US_ITIN", "^9[0-9]{2}-[0-9]{2}-[0-9]{4}$"),
+    Entity("US_PASSPORT_NUMBER", "^[A-Z][0-9]{8}$"),
+    Entity("UK_PASSPORT_NUMBER", "^[0-9]{9}$"),
+    Entity("UK_UNIQUE_TAXPAYER_REFERENCE_NUMBER", "^[0-9]{10}$"),
+    Entity("UK_NHS_NUMBER", "^[0-9]{3}[ -]?[0-9]{3}[ -]?[0-9]{4}$"),
+    Entity("CA_SOCIAL_INSURANCE_NUMBER", "^[0-9]{3}[ -]?[0-9]{3}[ -]?[0-9]{3}$"),
+    Entity("DE_TAX_ID", "^[1-9][0-9]{10}$"),
+    Entity("FR_INSEE", "^[12][0-9]{2}(0[1-9]|1[0-2])[0-9A-B][0-9]{9}$"),
+    Entity("ES_DNI", "^[0-9]{8}[A-Z]$"),
+    Entity("IT_CODICE_FISCALE", "^[A-Z]{6}[0-9]{2}[A-Z][0-9]{2}[A-Z][0-9]{3}[A-Z]$"),
+    Entity("IN_AADHAAR", "^[2-9][0-9]{3}[ -]?[0-9]{4}[ -]?[0-9]{4}$"),
+    Entity("IN_PAN", "^[A-Z]{5}[0-9]{4}[A-Z]$"),
+    Entity("AU_TAX_FILE_NUMBER", "^[0-9]{3} ?[0-9]{3} ?[0-9]{3}$"),
+    Entity("BR_CPF", "^[0-9]{3}\\.[0-9]{3}\\.[0-9]{3}-[0-9]{2}$"),
+    Entity("DRIVER_ID", "^[A-Z]{1,2}[0-9]{5,8}$"))
+
+  /** Financial. */
+  val financial: Seq[Entity] = Seq(
+    CREDIT_DEBIT_NUMBER, IBAN, MONEY_AMOUNT,
+    Entity("CREDIT_CARD_VISA", "^4[0-9]{3}([ -]?[0-9]{4}){3}$"),
+    Entity("CREDIT_CARD_MASTERCARD", "^5[1-5][0-9]{2}([ -]?[0-9]{4}){3}$"),
+    Entity("CREDIT_CARD_AMEX", "^3[47][0-9]{2}[ -]?[0-9]{6}[ -]?[0-9]{5}$"),
+    Entity("CVV", "^[0-9]{3,4}$"),
+    Entity("CARD_EXPIRY", "^(0[1-9]|1[0-2])/([0-9]{2}|[0-9]{4})$"),
+    Entity("SWIFT_CODE", "^[A-Z]{4}[A-Z]{2}[A-Z0-9]{2}([A-Z0-9]{3})?$"),
+    Entity("US_BANK_ROUTING_NUMBER", "^[0-9]{9}$"),
+    Entity("US_BANK_ACCOUNT_NUMBER", "^[0-9]{8,17}$"),
+    Entity("UK_SORT_CODE", "^[0-9]{2}-[0-9]{2}-[0-9]{2}$"),
+    Entity("BACS_SERVICE_USER_NUMBER", "^[0-9]{6}$"),
+    Entity("CURRENCY_AMOUNT", "^[$€£¥][0-9,]+(\\.[0-9]{2})?$"),
+    Entity("BITCOIN_ADDRESS", "^(1|3|bc1)[a-zA-HJ-NP-Z0-9]{25,42}$"),
+    Entity("ETHEREUM_ADDRESS", "^0x[0-9a-fA-F]{40}$"))
+
+  /** Network / device. */
+  val network: Seq[Entity] = Seq(
+    IP_ADDRESS, MAC_ADDRESS, URL,
+    Entity("IPV6_ADDRESS", "^([0-9a-fA-F]{0,4}:){2,7}[0-9a-fA-F]{0,4}$"),
+    Entity("HOSTNAME", "^[a-z0-9]([a-z0-9-]*[a-z0-9])?(\\.[a-z0-9]([a-z0-9-]*[a-z0-9])?)+$"),
+    Entity("IMEI", "^[0-9]{15}$"),
+    Entity("USER_AGENT", "^Mozilla/[0-9.]+ \\(.*\\).*$"),
+    Entity("AWS_ACCESS_KEY", "^AKIA[0-9A-Z]{16}$"),
+    Entity("AWS_SECRET_KEY", "^[A-Za-z0-9/+=]{40}$"),
+    Entity("JWT", "^eyJ[A-Za-z0-9_-]+\\.[A-Za-z0-9_-]+\\.[A-Za-z0-9_-]+$"),
+    Entity("API_KEY_GENERIC", "^[A-Za-z0-9_-]{32,64}$"),
+    Entity("S3_URI", "^s3://[a-z0-9.-]+/.*$"),
+    Entity("ARN", "^arn:aws:[a-z0-9-]+:[a-z0-9-]*:[0-9]{0,12}:.+$"))
+
+  /** Date / time / location. */
+  val datetimeLoc: Seq[Entity] = Seq(
+    DATE_ISO, TIME_HMS, LATLONG, UK_POSTCODE, US_ZIP,
+    Entity("DATE_US", "^(0?[1-9]|1[0-2])/(0?[1-9]|[12][0-9]|3[01])/[0-9]{4}$"),
+    Entity("DATE_EU", "^(0?[1-9]|[12][0-9]|3[01])\\.(0?[1-9]|1[0-2])\\.[0-9]{4}$"),
+    Entity("TIMESTAMP_ISO", "^[0-9]{4}-[0-9]{2}-[0-9]{2}[T ][0-9]{2}:[0-9]{2}:[0-9]{2}"),
+    Entity("YEAR", "^(19|20)[0-9]{2}$"),
+    Entity("DE_POSTCODE", "^[0-9]{5}$"),
+    Entity("FR_POSTCODE", "^(0[1-9]|[1-8][0-9]|9[0-8])[0-9]{3}$"),
+    Entity("CA_POSTCODE", "^[A-Z][0-9][A-Z] ?[0-9][A-Z][0-9]$"),
+    Entity("AIRPORT_CODE", "^[A-Z]{3}$"),
+    Entity("COUNTRY_ISO2", "^[A-Z]{2}$"))
+
+  /** Vehicle / misc ids. */
+  val vehicleMisc: Seq[Entity] = Seq(
+    UUID_ID, NUMERIC_ID, JSON_OBJECT, LANG_CODE, SOURCE_TAG, FREE_TEXT,
+    Entity("VIN", "^[A-HJ-NPR-Z0-9]{17}$"),
+    Entity("US_LICENSE_PLATE", "^[A-Z0-9]{2,3}[ -]?[A-Z0-9]{3,4}$"),
+    Entity("UK_VEHICLE_REGISTRATION", "^[A-Z]{2}[0-9]{2} ?[A-Z]{3}$"),
+    Entity("FLIGHT_NUMBER", "^[A-Z]{2}[0-9]{1,4}$"),
+    Entity("TRACKING_NUMBER_UPS", "^1Z[0-9A-Z]{16}$"),
+    Entity("ISBN", "^(97[89][- ]?)?[0-9]{1,5}[- ]?[0-9]+[- ]?[0-9]+[- ]?[0-9X]$"),
+    Entity("EAN13", "^[0-9]{13}$"),
+    Entity("MD5_HASH", "^[a-f0-9]{32}$"),
+    Entity("SHA256_HASH", "^[a-f0-9]{64}$"),
+    Entity("BASE64_BLOB", "^[A-Za-z0-9+/]{16,}={0,2}$"))
+
+  /** Health (public code formats). */
+  val health: Seq[Entity] = Seq(
+    Entity("US_NPI", "^[12][0-9]{9}$"),
+    Entity("US_DEA_NUMBER", "^[A-Z]{2}[0-9]{7}$"),
+    Entity("ICD10_CODE", "^[A-TV-Z][0-9][0-9A-Z](\\.[0-9A-Z]{1,4})?$"),
+    Entity("US_MEDICARE_ID", "^[1-9][A-Z][A-Z0-9][0-9]-?[A-Z][A-Z0-9][0-9]-?[A-Z]{2}[0-9]{2}$"),
+    Entity("BLOOD_TYPE", "^(A|B|AB|O)[+-]$"))
+
   /** Full registry (extend freely; classification cost per entity is one
-    * codegen'd regex per cell). */
-  val all: Seq[Entity] = Seq(
-    EMAIL, PHONE_NUMBER, SSN, CREDIT_DEBIT_NUMBER, IP_ADDRESS, MAC_ADDRESS,
-    URL, UUID_ID, DATE_ISO, TIME_HMS, NUMERIC_ID, MONEY_AMOUNT, UK_NINO,
-    UK_POSTCODE, US_ZIP, IBAN, LATLONG, PERSON_TITLE, GENDER, JSON_OBJECT,
-    LANG_CODE, SOURCE_TAG, FREE_TEXT)
+    * codegen'd regex per cell, and the shuffle stays O(cols×entities)). */
+  val all: Seq[Entity] =
+    (contact ++ nationalId ++ financial ++ network ++ datetimeLoc
+      ++ vehicleMisc ++ health).distinct
 }

@@ -74,6 +74,20 @@ class ClassifySpec extends AnyFunSuite {
     assert(byCol.values.forall(s => s == s.sorted && s.distinct == s))
   }
 
+  test("registry: unique names, compilable Java-∩-RE2-safe patterns") {
+    val names = E.all.map(_.name)
+    assert(names.distinct.length == names.length)
+    assert(E.all.length >= 80)
+    E.all.foreach { e =>
+      // must compile as Java regex
+      java.util.regex.Pattern.compile(e.pattern)
+      // stay in the engine-portable subset: no lookaround/backrefs
+      assert(!e.pattern.contains("(?=") && !e.pattern.contains("(?!")
+        && !e.pattern.contains("(?<") && !e.pattern.matches(".*\\\\[0-9].*"),
+        s"non-portable construct in ${e.name}")
+    }
+  }
+
   test("enrichment stamps provenance, uuid and timestamp") {
     val findings = Classify.classifySummary(piiDf, E.all, threshold = 0.5)
     val out = Classify.enrichFindings(findings, "s3",
