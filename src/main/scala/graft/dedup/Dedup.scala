@@ -96,8 +96,12 @@ object Dedup {
     }.reduce(_ unionByName _).distinct()
   }
 
-  /** Jaccard pairs from an (already filtered, cached) postings frame. */
-  def jaccardFromPostings(p: DataFrame, threshold: Double): DataFrame = {
+  /** Pre-threshold pair statistics from a postings frame: every
+    * same-shingle pair with shared/size counts and exact Jaccard.
+    * Cache this when several thresholds (or an LSH verify pass) read
+    * it — typed-flatMap plans don't canonicalize equal across separate
+    * builds, so reuse must be by DataFrame object, not by plan. */
+  def pairStats(p: DataFrame): DataFrame = {
     val sizes = p.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
     val pairs = p.as("a").join(p.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc"))
@@ -111,9 +115,13 @@ object Dedup {
       .withColumn("jaccard",
         col("shared").cast("double")
           / (col("size_a") + col("size_b") - col("shared")))
+  }
+
+  /** Jaccard pairs from an (already filtered, cached) postings frame. */
+  def jaccardFromPostings(p: DataFrame, threshold: Double): DataFrame =
+    pairStats(p)
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "shared", "size_a", "size_b", "jaccard")
-  }
 
   /** MinHash+LSH near-dup pairs, verified with exact Jaccard ≥
     * `threshold` over the same (maxDf-filtered) shingle sets. The
@@ -123,9 +131,19 @@ object Dedup {
       n: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 2,
       threshold: Double = 0.5, maxDf: Int = 50): DataFrame = {
     val postings = shinglePostings(df, idCol, textCol, n, maxDf).cache()
+    minhashDupPairsFromPostings(postings, numHashes, rowsPerBand, threshold)
+  }
+
+  /** As minhashDupPairs but over a shared (cached) postings frame —
+    * lets callers reuse one postings/pairStats computation across the
+    * Jaccard and MinHash passes. */
+  def minhashDupPairsFromPostings(postings: DataFrame, numHashes: Int,
+      rowsPerBand: Int, threshold: Double,
+      stats: Option[DataFrame] = None): DataFrame = {
     val cands = lshCandidates(minhashSignatures(postings, numHashes),
       numHashes, rowsPerBand)
-    cands.join(jaccardFromPostings(postings, threshold),
+    val st = stats.getOrElse(pairStats(postings))
+    cands.join(st.filter(col("jaccard") >= threshold),
       Seq("doc_a", "doc_b"), "inner")
       .select("doc_a", "doc_b", "jaccard")
   }

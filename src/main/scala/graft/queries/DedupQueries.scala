@@ -9,6 +9,23 @@ import graft.dedup.Dedup
   */
 object DedupQueries extends QueryPack {
 
+  import org.apache.spark.sql.{DataFrame, SparkSession}
+
+  // DataFrame-object memo so d2 and d3 share one cached postings +
+  // pair-stats computation within a session (typed-flatMap plans don't
+  // canonicalize equal across separate builds, so Spark's cache can't
+  // match them by plan).
+  private val memo =
+    scala.collection.concurrent.TrieMap.empty[String, (DataFrame, DataFrame)]
+
+  private def shared(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    memo.getOrElseUpdate(d, {
+      val postings = Dedup.shinglePostings(
+        Tables.load(s, d, "documents"), "doc_id", "text", n = 3, maxDf = 50)
+        .cache()
+      (postings, Dedup.pairStats(postings).cache())
+    })
+
   def queries: Map[String, Q] = Map(
     // Exact dedup by normalized-content fingerprint (events.props has
     // genuine duplicate payloads; documents has none)
@@ -16,15 +33,18 @@ object DedupQueries extends QueryPack {
       Dedup.exactDuplicates(Tables.load(s, d, "events"), "event_id", "props")),
 
     // n-gram Jaccard near-dup pairs (3-gram shingles, df cap 50)
-    "d2_ngram_jaccard" -> ((s, d) =>
-      Dedup.ngramJaccardPairs(Tables.load(s, d, "documents"),
-        "doc_id", "text", n = 3, threshold = 0.1, maxDf = 50)),
+    "d2_ngram_jaccard" -> ((s, d) => {
+      val (_, stats) = shared(s, d)
+      stats.filter(org.apache.spark.sql.functions.col("jaccard") >= 0.1)
+        .select("doc_a", "doc_b", "shared", "size_a", "size_b", "jaccard")
+    }),
 
     // MinHash signatures + banded LSH candidates, Jaccard-verified
-    "d3_minhash_lsh" -> ((s, d) =>
-      Dedup.minhashDupPairs(Tables.load(s, d, "documents"),
-        "doc_id", "text", n = 3, numHashes = 8, rowsPerBand = 2,
-        threshold = 0.5, maxDf = 50)),
+    "d3_minhash_lsh" -> ((s, d) => {
+      val (postings, stats) = shared(s, d)
+      Dedup.minhashDupPairsFromPostings(postings, numHashes = 8,
+        rowsPerBand = 2, threshold = 0.5, stats = Some(stats))
+    }),
 
     // Per-document 32-bit SimHash sketches
     "d4_simhash" -> ((s, d) =>

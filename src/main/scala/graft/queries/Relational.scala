@@ -296,7 +296,7 @@ object Relational extends QueryPack {
         |      FROM orders GROUP BY o_custkey) m
         |ON o.o_custkey = m.k AND o.o_orderdate = m.latest_dt""".stripMargin,
     "e1_event_window" ->
-      """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type,
         |  count(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin

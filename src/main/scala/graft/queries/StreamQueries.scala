@@ -30,7 +30,7 @@ object StreamQueries extends QueryPack {
         |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
         |    ROWS UNBOUNDED PRECEDING) AS sid
         |  FROM d)
-        |SELECT user_id, date_trunc('ms', min(ts)) AS session_start,
+        |SELECT user_id, CAST(date_trunc('ms', min(ts)) AS TIMESTAMP) AS session_start,
         |  count(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total_value
         |FROM g GROUP BY user_id, sid""".stripMargin

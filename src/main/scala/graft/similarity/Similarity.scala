@@ -69,7 +69,7 @@ object Similarity {
         joinCond && col("q.vec_id") =!= col("c.vec_id"))
       .select(col("q.vec_id").as("query_id"),
         col("c.vec_id").as("neighbor_id"), cos.as("cos_raw"))
-      .withColumn("rn", row_number().over(w))
+      .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rn"),
         round(col("cos_raw"), 6).as("cos_sim"))
