@@ -27,7 +27,7 @@ object SparkEntry {
     * returns the catalog-comment plan. */
   def entry(spark: SparkSession): DataFrame =
     Pipeline.flagship(spark, "/root/testdata/sf0.001",
-      s"target/entry_state_${System.nanoTime()}")
+      s"/root/repo/target/entry_state_${System.nanoTime()}")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,91 @@
+package graft.expressions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+
+/** Optimizer rule: fuse the declarative dot-product pattern
+  *
+  *   aggregate(zip_with(a, b, (x, y) -> x * y), 0.0d, (acc, v) -> acc + v)
+  *
+  * into the native codegen'd [[DotProduct]] expression — the
+  * "classify-fusion"-class rewrite SURVEY.md §4 lists as the optional
+  * custom rule slot. Sound because DotProduct reproduces the built-ins'
+  * semantics exactly: ascending fold, null on ragged lengths or null
+  * elements (VectorExpressionsSpec pins this).
+  *
+  * Users who write the idiomatic HOF form get the fused loop without
+  * knowing the custom expression exists.
+  */
+object FuseDotProduct extends Rule[LogicalPlan] {
+
+  private def isVectorType(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  /** x * y (with optional casts to double) over exactly the two lambda
+    * variables. */
+  private def isElementMultiply(f: LambdaFunction): Boolean = f match {
+    case LambdaFunction(body, Seq(x: NamedLambdaVariable, y: NamedLambdaVariable), _) =>
+      def strip(e: Expression): Expression = e match {
+        case c: Cast if c.dataType == DoubleType => strip(c.child)
+        case other => other
+      }
+      strip(body) match {
+        case Multiply(l, r, _) =>
+          (strip(l), strip(r)) match {
+            case (lv: NamedLambdaVariable, rv: NamedLambdaVariable) =>
+              (lv.exprId == x.exprId && rv.exprId == y.exprId) ||
+                (lv.exprId == y.exprId && rv.exprId == x.exprId)
+            case _ => false
+          }
+        case _ => false
+      }
+    case _ => false
+  }
+
+  /** acc + v over exactly the two lambda variables. */
+  private def isAccumulateAdd(f: LambdaFunction): Boolean = f match {
+    case LambdaFunction(Add(l: NamedLambdaVariable, r: NamedLambdaVariable, _),
+        Seq(acc: NamedLambdaVariable, v: NamedLambdaVariable), _) =>
+      (l.exprId == acc.exprId && r.exprId == v.exprId) ||
+        (l.exprId == v.exprId && r.exprId == acc.exprId)
+    case _ => false
+  }
+
+  private def isIdentityFinish(f: Expression): Boolean = f match {
+    case LambdaFunction(body: NamedLambdaVariable, Seq(v: NamedLambdaVariable), _) =>
+      body.exprId == v.exprId
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case ArrayAggregate(
+            ZipWith(a, b, mult: LambdaFunction),
+            Literal(0.0, DoubleType),
+            merge: LambdaFunction,
+            finish)
+          if isVectorType(a) && isVectorType(b) &&
+            isElementMultiply(mult) && isAccumulateAdd(merge) &&
+            isIdentityFinish(finish) =>
+        DotProduct(a, b)
+    }
+}
+
+/** Session extensions: inject the fusion rule and register the
+  * dot_product SQL function. Activate with
+  * `.withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.expressions.GraftExtensions`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => FuseDotProduct)
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+  }
+}

@@ -40,6 +40,41 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(r.getDouble(0) == 32.0)
   }
 
+  test("ragged lengths and null elements yield null (HOF parity)") {
+    val ragged = Seq(
+      (1L, Array(1.0f, 2.0f), Array(1.0f, 2.0f, 3.0f))
+    ).toDF("id", "a", "b")
+    val hof = aggregate(
+      zip_with(col("a"), col("b"), (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    val r = ragged.select(
+      VectorExpressions.dot_product(col("a"), col("b")).as("fast"),
+      hof.as("ref")).collect()(0)
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
+  test("FuseDotProduct rewrites the HOF pattern to the native expression") {
+    spark.experimental.extraOptimizations =
+      Seq(graft.expressions.FuseDotProduct)
+    try {
+      // parquet-backed so ConvertToLocalRelation can't pre-evaluate
+      val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      val hof = aggregate(
+        zip_with(col("embedding"), col("embedding"),
+          (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+      val q = e.select(col("vec_id"), hof.as("d"))
+      val fused = q.queryExecution.optimizedPlan.expressions.exists(_.exists(
+        _.isInstanceOf[graft.expressions.DotProduct]))
+      assert(fused, q.queryExecution.optimizedPlan.toString)
+      // fused result equals the native expression applied directly
+      val direct = e.select(col("vec_id"),
+        VectorExpressions.dot_product(col("embedding"), col("embedding")).as("d"))
+      assert(q.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap ==
+        direct.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap)
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
   test("null array yields null") {
     val r = df.select(VectorExpressions.dot_product(
       lit(null).cast("array<float>"), col("b")).as("d")).collect()
