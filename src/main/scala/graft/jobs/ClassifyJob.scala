@@ -1,0 +1,48 @@
+package graft.jobs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.catalog.Crawler
+import graft.ops.{Classify, EntityRegistry}
+import graft.state.FindingsStore
+
+/** The PII-scan job — the engine's equivalent of the three generated
+  * Glue jobs (scripts/glue/s3-source/s3-source-script.py and its ddb/
+  * rds twins, §3.1): parameter binding → source scan → classify →
+  * enrich → findings sink.
+  *
+  * One job class serves all three source kinds; the reference's three
+  * near-identical scripts differ only in their scan (S1-S3), which is
+  * `Crawler.SourceKind` here. A reference user's job invocation
+  * (getResolvedOptions arg vector) maps 1:1 onto [[Args]].
+  */
+object ClassifyJob {
+
+  /** EXTRACTION_PARAMS analogue (s3-source-script.py:14-22): the job's
+    * bound parameters. */
+  final case class Args(
+      sourceName: String,
+      sourceType: String,               // s3 | dynamodb | rds
+      kind: Crawler.SourceKind,
+      path: String,                     // location / snapshot / dbtable via kind
+      catalogDb: String = "graft_db",
+      region: String = "local",
+      sampleFraction: Double = 1.0,     // reference default: full scan
+      threshold: Double = 0.1,          // reference default: 10% of cells
+      entities: Seq[Classify.Entity] = EntityRegistry.all)
+
+  /** Run the job: returns the enriched findings that were appended.
+    * Mirrors §3.1 steps 3-6 as one Catalyst plan + one sink write. */
+  def run(spark: SparkSession, args: Args, store: FindingsStore): DataFrame = {
+    val table = Crawler.registerTable(spark, args.sourceName,
+      Crawler.infer(spark, args.kind, args.path))
+    val classified = Classify.classifySummary(
+      spark.table(table), args.entities,
+      sampleFraction = args.sampleFraction, threshold = args.threshold)
+    val enriched = Classify.enrichFindings(classified, args.sourceType,
+      Map("data_catalog_table_name" -> table,
+        "data_catalog_db_name" -> args.catalogDb),
+      region = args.region)
+    store.append(enriched)
+    enriched
+  }
+}

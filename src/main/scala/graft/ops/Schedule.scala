@@ -1,0 +1,73 @@
+package graft.ops
+
+/** The reference's cron DAG (SURVEY.md §2.8 micro-batch scheduling):
+  * catalog-creators 00:00 → job-creators 01:00 → crawlers 02:00 →
+  * PII report 05:00 → PII scans + tag report 06:00
+  * (lib/glue-job-creation-stack.ts:108-264, reporting-stack.ts:55-137).
+  *
+  * Re-expressed as an explicit stage list with dependencies — the
+  * driver-side scheduler that sequences the Spark pipeline stages. No
+  * wall-clock coupling: stages run in topological order, each stage's
+  * action is a Spark job (or a no-op for stages an engine run doesn't
+  * need). Failures stop dependents but not independent branches.
+  */
+object Schedule {
+
+  final case class Stage(name: String, dependsOn: Seq[String])(
+      val action: () => Unit)
+
+  final case class RunReport(succeeded: Seq[String], failed: Seq[String],
+      skipped: Seq[String])
+
+  /** The reference's stage graph with engine actions plugged in. */
+  def referenceDag(
+      catalog: () => Unit, jobs: () => Unit, crawl: () => Unit,
+      piiReport: () => Unit, piiScan: () => Unit,
+      tagReport: () => Unit): Seq[Stage] = Seq(
+    Stage("catalog-creators", Nil)(catalog),
+    Stage("job-creators", Seq("catalog-creators"))(jobs),
+    Stage("crawlers", Seq("catalog-creators"))(crawl),
+    Stage("pii-scan", Seq("job-creators", "crawlers"))(piiScan),
+    Stage("pii-report", Seq("pii-scan"))(piiReport),
+    Stage("tag-report", Seq("catalog-creators"))(tagReport))
+
+  /** Run stages in dependency order; a failed stage skips its
+    * transitive dependents, independent branches continue. */
+  def run(stages: Seq[Stage]): RunReport = {
+    val byName = stages.map(s => s.name -> s).toMap
+    require(byName.size == stages.size, "duplicate stage names")
+    stages.foreach(_.dependsOn.foreach(d =>
+      require(byName.contains(d), s"unknown dependency $d")))
+
+    val done = scala.collection.mutable.Set.empty[String]
+    val failed = scala.collection.mutable.Set.empty[String]
+    val skipped = scala.collection.mutable.Set.empty[String]
+    val pending = scala.collection.mutable.Queue(topoSort(stages): _*)
+    while (pending.nonEmpty) {
+      val s = pending.dequeue()
+      if (s.dependsOn.exists(d => failed(d) || skipped(d))) skipped += s.name
+      else {
+        try { s.action(); done += s.name }
+        catch { case _: Exception => failed += s.name }
+      }
+    }
+    RunReport(done.toSeq.sorted, failed.toSeq.sorted, skipped.toSeq.sorted)
+  }
+
+  private[ops] def topoSort(stages: Seq[Stage]): Seq[Stage] = {
+    val byName = stages.map(s => s.name -> s).toMap
+    val visited = scala.collection.mutable.LinkedHashSet.empty[String]
+    val visiting = scala.collection.mutable.Set.empty[String]
+    def visit(n: String): Unit = {
+      if (visiting(n)) throw new IllegalArgumentException(s"cycle at $n")
+      if (!visited(n)) {
+        visiting += n
+        byName(n).dependsOn.foreach(visit)
+        visiting -= n
+        visited += n
+      }
+    }
+    stages.foreach(s => visit(s.name))
+    visited.toSeq.map(byName)
+  }
+}

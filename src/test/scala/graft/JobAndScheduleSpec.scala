@@ -1,0 +1,75 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.catalog.Crawler
+import graft.jobs.ClassifyJob
+import graft.ops.Schedule
+import graft.state.FindingsStore
+
+class JobAndScheduleSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def tmp(tag: String): String = {
+    val p = Paths.get(s"target/test_$tag${System.nanoTime()}")
+    Files.createDirectories(p)
+    p.toString
+  }
+
+  test("classify job: args -> scan -> classify -> enrich -> sink") {
+    val store = new FindingsStore(spark, tmp("job"))
+    val out = ClassifyJob.run(spark, ClassifyJob.Args(
+      sourceName = "documents",
+      sourceType = "s3",
+      kind = Crawler.SnapshotSource,
+      path = "/root/testdata/sf0.001/documents.parquet",
+      threshold = 0.5), store)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[String]("data_source_type") == "s3"))
+    // persisted to the partitioned store
+    assert(store.ofType("s3").count() == rows.length)
+    // sampling knob behaves like the reference's sample fraction
+    val sampled = ClassifyJob.run(spark, ClassifyJob.Args(
+      sourceName = "documents", sourceType = "s3",
+      kind = Crawler.SnapshotSource,
+      path = "/root/testdata/sf0.001/documents.parquet",
+      sampleFraction = 0.2, threshold = 0.5), store)
+    assert(sampled.collect().nonEmpty)
+  }
+
+  test("schedule: reference DAG order, failure skips dependents only") {
+    val ran = scala.collection.mutable.ArrayBuffer.empty[String]
+    def ok(n: String): () => Unit = () => { ran += n; () }
+    val report = Schedule.run(Schedule.referenceDag(
+      catalog = ok("catalog"), jobs = ok("jobs"), crawl = ok("crawl"),
+      piiReport = ok("report"), piiScan = ok("scan"), tagReport = ok("tags")))
+    assert(report.failed.isEmpty && report.skipped.isEmpty)
+    assert(ran.indexOf("catalog") < ran.indexOf("jobs"))
+    assert(ran.indexOf("jobs") < ran.indexOf("scan"))
+    assert(ran.indexOf("scan") < ran.indexOf("report"))
+
+    // crawler failure: pii stages skipped, tag-report still runs
+    val ran2 = scala.collection.mutable.ArrayBuffer.empty[String]
+    def ok2(n: String): () => Unit = () => { ran2 += n; () }
+    val r2 = Schedule.run(Schedule.referenceDag(
+      catalog = ok2("catalog"), jobs = ok2("jobs"),
+      crawl = () => throw new RuntimeException("boom"),
+      piiReport = ok2("report"), piiScan = ok2("scan"),
+      tagReport = ok2("tags")))
+    assert(r2.failed == Seq("crawlers"))
+    assert(r2.skipped.toSet == Set("pii-scan", "pii-report"))
+    assert(ran2.contains("tags"))
+  }
+
+  test("schedule rejects cycles and unknown deps") {
+    intercept[IllegalArgumentException] {
+      Schedule.run(Seq(
+        Schedule.Stage("a", Seq("b"))(() => ()),
+        Schedule.Stage("b", Seq("a"))(() => ())))
+    }
+    intercept[IllegalArgumentException] {
+      Schedule.run(Seq(Schedule.Stage("a", Seq("ghost"))(() => ())))
+    }
+  }
+}
