@@ -19,7 +19,8 @@ object SparkEntry {
     SimilarityQueries,
     MultimodalQueries,
     ProfileQueries,
-    StreamQueries
+    StreamQueries,
+    AsOfQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

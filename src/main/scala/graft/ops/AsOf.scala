@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (temporal point-in-time) join — an operator Spark's built-in
+  * join set lacks; composed from a union + ordered window instead of a
+  * custom SparkPlan (preference (a) of the custom-operator ladder: the
+  * built-ins CAN express the semantics, in one shuffle).
+  *
+  * For each probe row, attach the build row with the greatest build
+  * timestamp ≤ the probe timestamp for the same key:
+  *
+  *   1. tag both inputs and union them on (key, ts, side);
+  *   2. one window per key, ordered by (ts, side) with build rows
+  *      before probe rows on ties — last_value(build payload,
+  *      ignoreNulls) over unbounded-preceding..current carries the
+  *      most recent build row forward;
+  *   3. keep probe rows.
+  *
+  * One shuffle on the key (same as a sort-merge join would need), no
+  * per-key driver logic, AQE/skew-splittable. Matches DuckDB's
+  * `ASOF JOIN ... ON probe.ts >= build.ts` semantics; with duplicate
+  * build timestamps per key the carried row is the last within the
+  * window order, so callers should de-duplicate the build side per
+  * (key, ts) for fully deterministic output.
+  */
+object AsOf {
+
+  /** Left as-of join. Output: all probe columns plus the requested
+    * build columns (null when no build row precedes the probe). */
+  def joinAsOf(probe: DataFrame, build: DataFrame, key: String,
+      probeTs: String, buildTs: String,
+      buildCols: Seq[String]): DataFrame = {
+    val probeCols = probe.columns.toSeq
+    val probeTagged = probe
+      .withColumn("_ts", col(probeTs))
+      .withColumn("_side", lit(1))
+    val buildTagged = build
+      .select((Seq(col(key), col(buildTs).as("_ts")) :+
+        struct(buildCols.map(col): _*).as("_payload")): _*)
+      .withColumn("_side", lit(0))
+    // union fills _payload=null on probe rows, probe-only cols=null on
+    // build rows
+    val unioned = probeTagged
+      .unionByName(buildTagged, allowMissingColumns = true)
+
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("_ts").asc, col("_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = unioned
+      .withColumn("_match", last(col("_payload"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+
+    val out = probeCols.map(col) ++
+      buildCols.map(c => col(s"_match.$c").as(c))
+    carried.select(out: _*)
+  }
+}

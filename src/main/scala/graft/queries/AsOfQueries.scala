@@ -1,0 +1,41 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.ops.AsOf
+
+/** As-of join entry: each event matched to the user's most recent
+  * order at event time. Build side is deduplicated to one row per
+  * (customer, date) — argmax on orderkey — so the as-of pick is
+  * deterministic on both engines (DuckDB ASOF JOIN leaves duplicate
+  * build timestamps unspecified). */
+object AsOfQueries extends QueryPack {
+
+  def queries: Map[String, Q] = Map(
+    "ao1_asof_join" -> ((s, d) => {
+      val events = Tables.load(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val orders = Tables.load(s, d, "orders")
+        .groupBy(col("o_custkey").as("user_id"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("o_orderkey"),
+          max_by(col("o_totalprice"), col("o_orderkey")).as("o_totalprice"))
+      AsOf.joinAsOf(events, orders, key = "user_id",
+        probeTs = "ts", buildTs = "o_orderdate",
+        buildCols = Seq("o_orderkey", "o_totalprice"))
+        .select(col("event_id"), col("user_id"), col("o_orderkey"),
+          col("o_totalprice"))
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "ao1_asof_join" ->
+      """WITH b AS (
+        |  SELECT o_custkey AS user_id, o_orderdate,
+        |    max(o_orderkey) AS o_orderkey,
+        |    max_by(o_totalprice, o_orderkey) AS o_totalprice
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, b.o_orderkey, b.o_totalprice
+        |FROM events e ASOF LEFT JOIN b
+        |  ON e.user_id = b.user_id AND e.ts >= b.o_orderdate""".stripMargin
+  )
+}

@@ -1,0 +1,38 @@
+package graft
+
+import java.sql.Timestamp
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.AsOf
+
+class AsOfSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("as-of join picks the latest build row at or before probe time") {
+    val quotes = Seq(
+      (1L, ts("2026-01-01 10:00:00"), 100.0),
+      (1L, ts("2026-01-01 10:05:00"), 101.0),
+      (1L, ts("2026-01-01 10:10:00"), 99.0),
+      (2L, ts("2026-01-01 10:03:00"), 50.0))
+      .toDF("sym", "qts", "price")
+    val trades = Seq(
+      (1L, ts("2026-01-01 10:02:00"), "t1"),   // -> 100.0
+      (1L, ts("2026-01-01 10:05:00"), "t2"),   // tie: quote at same ts -> 101.0
+      (1L, ts("2026-01-01 10:30:00"), "t3"),   // -> 99.0
+      (2L, ts("2026-01-01 10:00:00"), "t4"),   // before any quote -> null
+      (3L, ts("2026-01-01 10:00:00"), "t5"))   // unknown key -> null
+      .toDF("sym", "tts", "trade_id")
+
+    val out = AsOf.joinAsOf(trades, quotes, "sym", "tts", "qts",
+      Seq("price")).collect()
+      .map(r => r.getAs[String]("trade_id") ->
+        Option(r.getAs[java.lang.Double]("price")).map(_.toDouble)).toMap
+    assert(out("t1").contains(100.0))
+    assert(out("t2").contains(101.0)) // ts >= build ts: tie matches
+    assert(out("t3").contains(99.0))
+    assert(out("t4").isEmpty)
+    assert(out("t5").isEmpty)
+  }
+}

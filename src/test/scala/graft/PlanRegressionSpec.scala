@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression guard: the scale properties claimed in
+  * SCALE.md/EXPLAIN.md must stay visible in the physical plans.
+  * String-level checks on the formatted plan — crude but catches a
+  * silently dropped pushdown or a broadcast that degraded to
+  * sort-merge-with-shuffle.
+  */
+class PlanRegressionSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String = {
+    val df = SparkEntry.queries(q)(spark, sf)
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+  }
+
+  test("s1: filters and projection reach the parquet scan") {
+    val p = plan("s1_scan_project")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p)
+    assert(p.contains("GreaterThan(l_discount,0.05)"), p)
+    // pruned read schema: only the referenced columns
+    assert(!p.contains("l_returnflag"), "scan reads unneeded columns")
+  }
+
+  test("j5: dimension joins broadcast, aggregate is partial before final") {
+    val p = plan("j5_join_chain")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "no partial aggregation")
+  }
+
+  test("a1 classify: single exchange keyed on column_name") {
+    val p = plan("a1_classify_docs")
+    assert("hashpartitioning\\(column_name".r.findAllIn(p).size == 1, p)
+    assert(p.contains("Expand"), "unpivot should plan as Expand")
+  }
+
+  test("s2 knn: native dot_product, no corpus exchange") {
+    val df = SparkEntry.queries("s2_knn_brute")(spark, sf)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("dotproduct") || p.contains("DotProduct")
+      || p.toLowerCase.contains("dot_product"), p.take(2000))
+    // the only exchange allowed is the window's per-query partition
+    // (query block), never a corpus hashpartitioning on vec_id
+    assert(!p.contains("hashpartitioning(vec_id"), p)
+  }
+}
