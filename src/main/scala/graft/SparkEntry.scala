@@ -20,7 +20,8 @@ object SparkEntry {
     MultimodalQueries,
     ProfileQueries,
     StreamQueries,
-    AsOfQueries
+    AsOfQueries,
+    AnalyticsQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

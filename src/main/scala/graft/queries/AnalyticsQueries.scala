@@ -1,0 +1,64 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.Tables
+
+/** Analytics extensions beyond the reference's aggregate surface:
+  * exact interpolated percentiles, pivot, and rollup — the OLAP shapes
+  * a profiling/reporting layer needs. All oracle-checked.
+  */
+object AnalyticsQueries extends QueryPack {
+
+  def queries: Map[String, Q] = Map(
+    // Exact interpolated percentiles (sort-based; portable semantics)
+    "an1_percentiles" -> ((s, d) =>
+      Tables.load(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(o_totalprice, 0.95)"), 4).as("p95"),
+          count(lit(1)).as("n"))),
+
+    // Pivot: per-user event-type counts as columns (explicit value
+    // list keeps the schema deterministic)
+    "an2_pivot" -> ((s, d) =>
+      Tables.load(s, d, "events")
+        .groupBy(col("user_id"))
+        .pivot(col("event_type"), Seq("click", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .select(col("user_id"), col("click").cast(LongType).as("n_click"),
+          col("purchase").cast(LongType).as("n_purchase"),
+          col("signup").cast(LongType).as("n_signup"),
+          col("error").cast(LongType).as("n_error"))),
+
+    // Rollup over (lang, source) with decimal-stable totals
+    "an3_rollup" -> ((s, d) =>
+      Tables.load(s, d, "documents")
+        .rollup(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars").cast(DecimalType(28, 0))).cast(LongType)
+            .as("total_chars")))
+  )
+
+  def oracle: Map[String, String] = Map(
+    "an1_percentiles" ->
+      """SELECT o_orderpriority,
+        |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(o_totalprice, 0.95), 4) AS p95,
+        |  count(*) AS n
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "an2_pivot" ->
+      """SELECT user_id,
+        |  CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+        |  CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+        |  CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+        |  CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_error
+        |FROM events GROUP BY user_id""".stripMargin,
+    "an3_rollup" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY ROLLUP (lang, source)""".stripMargin
+  )
+}

@@ -1,0 +1,40 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Bucketing evidence: pre-bucketed tables joined on the bucket key
+  * plan without a shuffle on either side — the co-located-join story
+  * for repeated large-table joins at corpus scale (SCALE.md).
+  */
+class BucketingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("bucketed tables join without an exchange") {
+    val sf = "/root/testdata/sf0.001"
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    spark.read.parquet(s"$sf/orders.parquet")
+      .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .mode("overwrite").saveAsTable("b_orders")
+    spark.read.parquet(s"$sf/customer.parquet")
+      .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .mode("overwrite").saveAsTable("b_customer")
+    try {
+      // disable broadcast so the join must pick a shuffle-or-bucket plan
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      val j = spark.table("b_orders").join(spark.table("b_customer"),
+        spark.table("b_orders")("o_custkey") ===
+          spark.table("b_customer")("c_custkey"))
+      val plan = j.queryExecution.explainString(FormattedMode)
+      assert(!plan.contains("Exchange hashpartitioning"),
+        plan.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+      assert(j.count() == spark.table("b_orders").count())
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_customer")
+    }
+  }
+}
