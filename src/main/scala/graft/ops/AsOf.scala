@@ -28,6 +28,31 @@ import org.apache.spark.sql.functions._
   */
 object AsOf {
 
+  /** Interval/range join: probe rows matched to every interval of the
+    * same key containing their timestamp (start inclusive, end
+    * exclusive).
+    *
+    * Scale path instead of a theta join (which Spark plans as a
+    * nested loop): both sides are bucketized on fixed time windows —
+    * intervals explode into every bucket they overlap, probes map to
+    * one bucket — so the join is a plain equi-join on (key, bucket)
+    * followed by the exact containment filter. Bucket count per
+    * interval = interval span / bucketSeconds + 1, so pick a bucket
+    * near the typical interval length. */
+  def joinRange(probe: DataFrame, intervals: DataFrame, key: String,
+      probeTs: String, startTs: String, endTs: String,
+      bucketSeconds: Long): DataFrame = {
+    val usPerBucket = bucketSeconds * 1000000L
+    val ib = intervals.withColumn("_b", explode(sequence(
+      (unix_micros(col(startTs)) / usPerBucket).cast("long"),
+      (unix_micros(col(endTs)) / usPerBucket).cast("long"))))
+    val pb = probe.withColumn("_b",
+      (unix_micros(col(probeTs)) / usPerBucket).cast("long"))
+    pb.join(ib, Seq(key, "_b"))
+      .filter(col(probeTs) >= col(startTs) && col(probeTs) < col(endTs))
+      .drop("_b")
+  }
+
   /** Left as-of join. Output: all probe columns plus the requested
     * build columns (null when no build row precedes the probe). */
   def joinAsOf(probe: DataFrame, build: DataFrame, key: String,

@@ -24,6 +24,23 @@ object AsOfQueries extends QueryPack {
         buildCols = Seq("o_orderkey", "o_totalprice"))
         .select(col("event_id"), col("user_id"), col("o_orderkey"),
           col("o_totalprice"))
+    }),
+
+    // Range join: events within one hour after each signup, bucketized
+    // equi-join instead of a nested-loop theta join
+    "ao2_range_join" -> ((s, d) => {
+      val e = Tables.load(s, d, "events")
+      val intervals = e.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("event_id").as("signup_id"),
+          col("ts").as("start_ts"),
+          (col("ts") + expr("INTERVAL 1 HOUR")).as("end_ts"))
+      AsOf.joinRange(
+        e.select(col("user_id"), col("event_id"), col("event_type"),
+          col("ts")),
+        intervals, key = "user_id", probeTs = "ts",
+        startTs = "start_ts", endTs = "end_ts", bucketSeconds = 3600L)
+        .filter(col("event_id") =!= col("signup_id"))
+        .select(col("signup_id"), col("event_id"), col("event_type"))
     })
   )
 
@@ -36,6 +53,13 @@ object AsOfQueries extends QueryPack {
         |  FROM orders GROUP BY 1, 2)
         |SELECT e.event_id, e.user_id, b.o_orderkey, b.o_totalprice
         |FROM events e ASOF LEFT JOIN b
-        |  ON e.user_id = b.user_id AND e.ts >= b.o_orderdate""".stripMargin
+        |  ON e.user_id = b.user_id AND e.ts >= b.o_orderdate""".stripMargin,
+    "ao2_range_join" ->
+      """SELECT s.event_id AS signup_id, e.event_id, e.event_type
+        |FROM events s JOIN events e
+        |  ON s.event_type = 'signup'
+        | AND e.user_id = s.user_id
+        | AND e.ts >= s.ts AND e.ts < s.ts + INTERVAL 1 HOUR
+        | AND e.event_id <> s.event_id""".stripMargin
   )
 }

@@ -35,4 +35,25 @@ class AsOfSpec extends AnyFunSuite {
     assert(out("t4").isEmpty)
     assert(out("t5").isEmpty)
   }
+
+  test("range join honors bucket spans and exclusive end bound") {
+    val intervals = Seq(
+      // spans two 60s buckets
+      (1L, ts("2026-01-01 10:00:30"), ts("2026-01-01 10:01:30"), "i1"),
+      (2L, ts("2026-01-01 10:00:00"), ts("2026-01-01 10:00:10"), "i2"))
+      .toDF("k", "start_ts", "end_ts", "interval_id")
+    val probes = Seq(
+      (1L, ts("2026-01-01 10:00:45"), "p1"),  // in i1, bucket 0
+      (1L, ts("2026-01-01 10:01:15"), "p2"),  // in i1, bucket 1 (cross-bucket)
+      (1L, ts("2026-01-01 10:01:30"), "p3"),  // == end: excluded
+      (2L, ts("2026-01-01 10:00:00"), "p4"),  // == start: included
+      (2L, ts("2026-01-01 10:00:45"), "p5"),  // outside i2
+      (3L, ts("2026-01-01 10:00:05"), "p6"))  // no interval for key
+      .toDF("k", "pts", "probe_id")
+    val got = graft.ops.AsOf.joinRange(probes, intervals, "k",
+        "pts", "start_ts", "end_ts", bucketSeconds = 60L)
+      .select("probe_id", "interval_id").as[(String, String)]
+      .collect().toSet
+    assert(got == Set(("p1", "i1"), ("p2", "i1"), ("p4", "i2")))
+  }
 }
