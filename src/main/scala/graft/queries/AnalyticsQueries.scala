@@ -39,7 +39,31 @@ object AnalyticsQueries extends QueryPack {
         .rollup(col("lang"), col("source"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars").cast(DecimalType(28, 0))).cast(LongType)
-            .as("total_chars")))
+            .as("total_chars"))),
+
+    // Variance / correlation from decimal-stable moments — built-in
+    // stddev/corr use streaming (Welford) updates whose float error
+    // differs per engine; explicit sum-of-squares moments with DECIMAL
+    // sums are exact, so the final double arithmetic matches anywhere
+    "an4_moments" -> ((s, d) => {
+      val e = Tables.load(s, d, "events")
+      def dsum(c: org.apache.spark.sql.Column) =
+        sum(c.cast(DecimalType(38, 6))).cast(DoubleType)
+      e.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("value")).as("s1"),
+          dsum(col("value") * col("value")).as("s2"),
+          dsum(col("value") * col("user_id")).as("sxy"),
+          dsum(col("user_id").cast(DoubleType)).as("sy"),
+          dsum(col("user_id") * col("user_id")).as("sy2"))
+        .select(col("event_type"), col("n"),
+          round((col("s2") - col("s1") * col("s1") / col("n"))
+            / (col("n") - 1), 6).as("var_value"),
+          round((col("sxy") - col("s1") * col("sy") / col("n"))
+            / sqrt((col("s2") - col("s1") * col("s1") / col("n"))
+              * (col("sy2") - col("sy") * col("sy") / col("n"))), 6)
+            .as("corr_value_user"))
+    })
   )
 
   def oracle: Map[String, String] = Map(
@@ -59,6 +83,20 @@ object AnalyticsQueries extends QueryPack {
     "an3_rollup" ->
       """SELECT lang, source, count(*) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
-        |FROM documents GROUP BY ROLLUP (lang, source)""".stripMargin
+        |FROM documents GROUP BY ROLLUP (lang, source)""".stripMargin,
+    "an4_moments" ->
+      """WITH m AS (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) AS s2,
+        |    CAST(SUM(CAST(value * user_id AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(CAST(user_id AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(user_id * user_id AS DECIMAL(38,6))) AS DOUBLE) AS sy2
+        |  FROM events GROUP BY event_type)
+        |SELECT event_type, n,
+        |  round((s2 - s1 * s1 / n) / (n - 1), 6) AS var_value,
+        |  round((sxy - s1 * sy / n) / sqrt((s2 - s1 * s1 / n)
+        |    * (sy2 - sy * sy / n)), 6) AS corr_value_user
+        |FROM m""".stripMargin
   )
 }

@@ -51,6 +51,27 @@ class StreamingWindowSpec extends AnyFunSuite {
     assert(s == Set((1L, 2L, 3.0), (1L, 1L, 4.0), (2L, 1L, 8.0)))
   }
 
+  test("streaming dedup within watermark drops replayed event ids") {
+    implicit val sqlCtx = spark.sqlContext
+    val st = MemoryStream[(Long, Timestamp, Double)]
+    val q = st.toDF().toDF("event_id", "ts", "value")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedupout")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      st.addData((1L, ts(1), 1.0), (2L, ts(2), 2.0), (1L, ts(3), 1.0))
+      q.processAllAvailable()
+      st.addData((2L, ts(4), 2.0), (3L, ts(5), 3.0)) // 2 is a replay
+      q.processAllAvailable()
+      val ids = spark.table("dedupout").select("event_id")
+        .as[Long].collect().sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState keeps running totals across batches") {
     implicit val sqlCtx = spark.sqlContext
     val st = MemoryStream[UserEvent]
