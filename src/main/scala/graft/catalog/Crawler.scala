@@ -1,7 +1,6 @@
 package graft.catalog
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
 /** Crawler-style schema inference + catalog registration (SURVEY.md
