@@ -25,7 +25,8 @@ import graft.state.{FindingsStore, TagStore, Tracker}
   */
 object Pipeline {
 
-  final case class Source(name: String, sourceType: String, path: String)
+  final case class Source(name: String, sourceType: String, path: String,
+      kind: Crawler.SourceKind = Crawler.SnapshotSource)
 
   def run(spark: SparkSession, sources: Seq[Source], stateDir: String,
       entities: Seq[Classify.Entity] = EntityRegistry.all,
@@ -49,7 +50,7 @@ object Pipeline {
     pending.foreach { name =>
       val src = byName(name)
       val table = Crawler.registerTable(spark, name,
-        Crawler.infer(spark, Crawler.SnapshotSource, src.path))
+        Crawler.infer(spark, src.kind, src.path))
       tracker.markCataloged(name, table, "graft_db")
     }
 

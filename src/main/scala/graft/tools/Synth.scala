@@ -1,0 +1,62 @@
+package graft.tools
+
+import scala.util.Random
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Deterministic PII-rich fixture generators — the reference's
+  * synthetic-data surface
+  * (scripts/ddb_synthetic_data_generation/synthetic_individual_details_ddb.py:166-170,
+  * synthetic_network_info_ddb.py:166-172, and the synthetic-data s3 CSVs),
+  * re-expressed as seeded DataFrame builders so every test corpus is
+  * reproducible without Faker.
+  */
+object Synth {
+
+  private val firstNames = Vector("Alice", "Bob", "Chen", "Dana", "Elif",
+    "Femi", "Grace", "Hugo", "Ines", "Jack")
+  private val lastNames = Vector("Smith", "Jones", "Garcia", "Khan",
+    "Novak", "Okafor", "Peters", "Quinn", "Rossi", "Sato")
+  private val cities = Vector("Leeds", "York", "Bristol", "Derby",
+    "Bath", "Ely", "Truro", "Wells")
+
+  /** IndividualDetails-shaped rows: uuid id, gender, multi-line
+    * address, UK-style phone (the reference's PII-dense table). */
+  def individualDetails(spark: SparkSession, n: Int, seed: Long = 42L): DataFrame = {
+    val rnd = new Random(seed)
+    import spark.implicits._
+    (1 to n).map { _ =>
+      val id = new java.util.UUID(rnd.nextLong(), rnd.nextLong()).toString
+      val gender = if (rnd.nextBoolean()) "Male" else "Female"
+      val addr = s"${1 + rnd.nextInt(99)} High St\n${cities(rnd.nextInt(cities.length))}"
+      val phone = f"+44 113 ${100 + rnd.nextInt(900)}%03d ${1000 + rnd.nextInt(9000)}%04d"
+      val name = s"${firstNames(rnd.nextInt(10))} ${lastNames(rnd.nextInt(10))}"
+      (id, name, gender, addr, phone)
+    }.toDF("id", "Individual_Name", "Individual_Gender",
+      "Individual_Address", "Individual Telephone Number")
+  }
+
+  /** NetworkInfo-shaped rows: numeric string id, IP, MAC, email. */
+  def networkInfo(spark: SparkSession, n: Int, seed: Long = 42L): DataFrame = {
+    val rnd = new Random(seed)
+    import spark.implicits._
+    (1 to n).map { _ =>
+      val id = f"${1000000000L + (math.abs(rnd.nextLong()) % 9000000000L)}%d"
+      val ip = s"${10 + rnd.nextInt(240)}.${rnd.nextInt(256)}.${rnd.nextInt(256)}.${1 + rnd.nextInt(254)}"
+      val mac = (1 to 6).map(_ => f"${rnd.nextInt(256)}%02x").mkString(":")
+      val email = s"${firstNames(rnd.nextInt(10)).toLowerCase}.${rnd.nextInt(1000)}@example.com"
+      (id, ip, mac, email)
+    }.toDF("id", "ip_address", "mac_address", "email")
+  }
+
+  /** billing_details-shaped rows (rds-ddl-sql/rds-ddl.sql:2-8): all
+    * VARCHAR, money strings, card-ish numbers. */
+  def billingDetails(spark: SparkSession, n: Int, seed: Long = 42L): DataFrame = {
+    val rnd = new Random(seed)
+    import spark.implicits._
+    (1 to n).map { i =>
+      val card = (1 to 4).map(_ => f"${rnd.nextInt(10000)}%04d").mkString(" ")
+      (f"ad-$i%06d", card, f"${rnd.nextInt(100000) / 100.0}%.2f",
+        f"${rnd.nextInt(90) + 10}-${rnd.nextInt(90) + 10}-${rnd.nextInt(90) + 10}")
+    }.toDF("Advertising_ID", "card_number", "invoice_total", "sort_code")
+  }
+}

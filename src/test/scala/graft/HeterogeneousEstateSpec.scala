@@ -1,0 +1,81 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.sql.DriverManager
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.catalog.Crawler
+import graft.tools.Synth
+
+/** The reference's full heterogeneous estate in one pipeline run:
+  * a CSV bucket, a DynamoDB-style snapshot, and a JDBC database —
+  * discovered, cataloged, classified and reported together (the
+  * README.md:274-354 walkthrough as a single automated test).
+  */
+class HeterogeneousEstateSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def tmp(tag: String): String = {
+    val p = Paths.get(s"target/test_$tag${System.nanoTime()}")
+    Files.createDirectories(p)
+    p.toString
+  }
+
+  test("csv + snapshot + jdbc estate: discover, classify, report") {
+    val dir = tmp("estate")
+
+    // s3-style CSV source (synthetic individual details, messy schema)
+    val csvPath = s"$dir/individual_details.csv"
+    val ind = Synth.individualDetails(spark, 80)
+    val header = "Individual_Name,Individual_Gender,\"Individual Telephone Number\""
+    val lines = ind.select(col("Individual_Name"), col("Individual_Gender"),
+        col("Individual Telephone Number"))
+      .collect()
+      .map(r => s"""${r.getString(0)},${r.getString(1)},"${r.getString(2)}"""")
+    Files.writeString(Paths.get(csvPath), (header +: lines).mkString("\n"))
+
+    // dynamodb-style snapshot source (network info parquet)
+    val snapPath = s"$dir/network_info.parquet"
+    Synth.networkInfo(spark, 80).write.mode("overwrite").parquet(snapPath)
+
+    // rds-style JDBC source (billing details in embedded Derby)
+    val url = s"jdbc:derby:$dir/estatedb;create=true"
+    val conn = DriverManager.getConnection(url)
+    try {
+      conn.createStatement().execute(
+        """CREATE TABLE billing_details (
+          |  advertising_id VARCHAR(32) PRIMARY KEY,
+          |  card_number VARCHAR(32), invoice_total VARCHAR(16),
+          |  sort_code VARCHAR(16))""".stripMargin)
+      val ps = conn.prepareStatement("INSERT INTO billing_details VALUES (?,?,?,?)")
+      Synth.billingDetails(spark, 60).collect().foreach { r =>
+        (1 to 4).foreach(i => ps.setString(i, r.getString(i - 1)))
+        ps.executeUpdate()
+      }
+    } finally conn.close()
+
+    val plan = Pipeline.run(spark, Seq(
+        Pipeline.Source("Individual-Details", "s3", csvPath, Crawler.CsvSource),
+        Pipeline.Source("NetworkInfo", "dynamodb", snapPath, Crawler.SnapshotSource),
+        Pipeline.Source("billing_details", "rds", url,
+          Crawler.JdbcSource(url, "billing_details"))),
+      stateDir = tmp("estate_state"), threshold = 0.5)
+
+    val comments = plan.collect()
+      .filter(_.getAs[String]("comment") != null)
+      .map(r => (r.getAs[String]("table_name"),
+        r.getAs[String]("column_name").toLowerCase,
+        r.getAs[String]("comment")))
+    def tagged(table: String, col: String, entity: String) =
+      comments.exists { case (t, c, cm) =>
+        t == table && c == col && cm.contains(entity) }
+
+    // every source type yields PII findings projected onto its columns
+    assert(tagged("individual_details", "individual telephone number", "PHONE_NUMBER"))
+    assert(tagged("networkinfo", "ip_address", "IP_ADDRESS"))
+    assert(tagged("networkinfo", "mac_address", "MAC_ADDRESS"))
+    assert(tagged("networkinfo", "email", "EMAIL"))
+    assert(tagged("billing_details", "invoice_total", "MONEY_AMOUNT"))
+    assert(tagged("billing_details", "sort_code", "UK_SORT_CODE"))
+  }
+}
