@@ -39,6 +39,23 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(p.contains("Expand"), "unpivot should plan as Expand")
   }
 
+  test("findings store: type-scoped read prunes partitions at the scan") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createDirectories(java.nio.file.Paths.get(
+        s"target/test_prune${System.nanoTime()}")).toString
+    val store = new graft.state.FindingsStore(spark, dir)
+    store.append(Seq(("c1", "s3"), ("c2", "dynamodb"), ("c3", "rds"))
+      .toDF("column_name", "data_source_type"))
+    val p = store.ofType("s3").queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("PartitionFilters"), p)
+    assert(p.contains("data_source_type"), p)
+    // the filter is partition-level: no rowgroup PushedFilters needed
+    assert(store.ofType("s3").inputFiles.forall(
+      _.contains("data_source_type=s3")), "scan reads other partitions")
+  }
+
   test("s2 knn: native dot_product, no corpus exchange") {
     val df = SparkEntry.queries("s2_knn_brute")(spark, sf)
     val p = df.queryExecution.explainString(

@@ -14,12 +14,13 @@ import duckdb
 def canon(con, rel_sql):
     df = con.execute(rel_sql).fetchdf()
     df = df.reindex(sorted(df.columns), axis=1)
+    dtypes = [str(t) for t in df.dtypes]
     # normalize value text: floats repr'd via repr of python float
     rows = []
     for t in df.itertuples(index=False):
         rows.append(tuple(str(v) for v in t))
     rows.sort()
-    return list(df.columns), rows
+    return list(df.columns), dtypes, rows
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
@@ -34,10 +35,12 @@ def main():
         if not os.path.isdir(res_dir):
             print(f"MISSING {name}"); n_fail += 1; continue
         try:
-            cols_s, rows_s = canon(con, f"SELECT * FROM read_parquet('{res_dir}/*.parquet')")
-            cols_o, rows_o = canon(con, f"SELECT * FROM ({oracle[name]}) t")
+            cols_s, dt_s, rows_s = canon(con, f"SELECT * FROM read_parquet('{res_dir}/*.parquet')")
+            cols_o, dt_o, rows_o = canon(con, f"SELECT * FROM ({oracle[name]}) t")
             if cols_s != cols_o:
                 print(f"FAIL {name}: cols spark={cols_s} oracle={cols_o}"); n_fail += 1
+            elif dt_s != dt_o:
+                print(f"FAIL {name}: dtypes spark={dt_s} oracle={dt_o}"); n_fail += 1
             elif rows_s != rows_o:
                 diff = [ (a,b) for a,b in zip(rows_s, rows_o) if a != b ][:3]
                 print(f"FAIL {name}: rows spark={len(rows_s)} oracle={len(rows_o)} first-diffs={diff}")
