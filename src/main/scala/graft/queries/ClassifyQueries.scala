@@ -30,6 +30,12 @@ object ClassifyQueries extends QueryPack {
         Tables.load(s, d, "events"), eventEntities, threshold = 0.05,
         columns = Seq("event_id", "user_id", "event_type", "value", "props"))),
 
+    // A1 with the FULL registry: one pass, one counter per entity —
+    // the wide-counter plan the 276-entity reference scan needs
+    "a1_classify_full_registry" -> ((s, d) =>
+      Classify.classifyColumns(
+        Tables.load(s, d, "documents"), E.all, threshold = 0.05)),
+
     // A4: reference output shape — sorted entity set per column
     "a1_classify_summary" -> ((s, d) =>
       Classify.classifySummary(
@@ -93,6 +99,8 @@ object ClassifyQueries extends QueryPack {
 
   def oracle: Map[String, String] = Map(
     "a1_classify_docs" -> classifyOracle(docCells, docEntities, 0.05),
+    "a1_classify_full_registry" ->
+      classifyOracle(docCells, graft.ops.EntityRegistry.all, 0.05),
     "a1_classify_events" -> classifyOracle(eventCells, eventEntities, 0.05),
     "a1_classify_summary" -> summaryOracle(docCells, docEntities, 0.05),
     "p1_enrich_findings" ->

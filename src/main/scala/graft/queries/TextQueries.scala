@@ -37,6 +37,16 @@ object TextQueries extends QueryPack {
       Tables.load(s, d, "documents")
         .select(col("doc_id"), fingerprint(col("text")).as("fp"))),
 
+    // Vocabulary: top-20 tokens by corpus frequency (deterministic
+    // tie-break on the token itself)
+    "x6_vocab_topk" -> ((s, d) =>
+      Tables.load(s, d, "documents")
+        .select(explode(split(trim(col("text")), "\\s+")).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("token"))
+        .limit(20)),
+
     // Corpus roll-up: per (lang, source) token/quality profile
     "x5_corpus_profile" -> ((s, d) =>
       Tables.load(s, d, "documents")
@@ -91,6 +101,11 @@ object TextQueries extends QueryPack {
     "x4_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
         |FROM documents""".stripMargin,
+    "x6_vocab_topk" ->
+      """SELECT token, count(*) AS freq FROM (
+        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+        |  FROM documents) t
+        |GROUP BY token ORDER BY freq DESC, token LIMIT 20""".stripMargin,
     "x5_corpus_profile" ->
       """SELECT lang, source, count(*) AS n_docs,
         |  CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
