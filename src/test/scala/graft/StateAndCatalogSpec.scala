@@ -107,6 +107,21 @@ class StateAndCatalogSpec extends AnyFunSuite {
     assert(tags.columns.contains("captured_tags"))
   }
 
+  test("stringly timestamps round-trip at microsecond precision (F7)") {
+    // the reference joins on '%Y-%m-%d %H:%M:%S.%f'-formatted strings
+    // (pii-report/app.py:18,250); equality must survive the format →
+    // parse round-trip exactly
+    val df = Seq(
+      java.sql.Timestamp.valueOf("2026-03-01 12:34:56.789123"),
+      java.sql.Timestamp.valueOf("2026-03-01 00:00:00.000001"),
+      java.sql.Timestamp.valueOf("2026-03-01 23:59:59.999999"))
+      .toDF("ts")
+    val rt = df.select(col("ts"),
+      to_timestamp(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+        "yyyy-MM-dd HH:mm:ss.SSSSSS").as("rt"))
+    assert(rt.filter(col("ts") =!= col("rt")).count() == 0)
+  }
+
   test("report argmax keeps only the latest run per table") {
     val findings = Seq(
       ("t1", java.sql.Timestamp.valueOf("2026-01-01 00:00:00"), "a", Seq("EMAIL"), "col1"),
