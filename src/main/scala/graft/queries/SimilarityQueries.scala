@@ -27,6 +27,12 @@ object SimilarityQueries extends QueryPack {
       Similarity.partitionTopK(Tables.load(s, d, "embeddings"),
         "label", col("vec_id") < 5, k = 5)),
 
+    // IVF index build: deterministic mini-k-means cluster assignment
+    // (no SQL oracle — iterative; driver records the rows-only check;
+    // SimilaritySpec pins determinism and assignment quality)
+    "s5_ivf_kmeans" -> ((s, d) =>
+      Similarity.kmeansLite(Tables.load(s, d, "embeddings"), k = 8)),
+
     // Embedding near-duplicate pairs (cosine >= 0.45)
     "d6_embedding_neardup" -> ((s, d) =>
       Similarity.nearDupPairs(Tables.load(s, d, "embeddings"), 0.45))

@@ -105,6 +105,64 @@ object Similarity {
       col(s"q.$partCol") === col(s"c.$partCol"), k)
   }
 
+  /** Deterministic mini k-means for IVF index construction: init from
+    * the k lowest vec_ids, Lloyd iterations with ties broken on the
+    * lowest centroid id, centroid recomputation in decimal-stable
+    * element averages. Every step is partitioning-invariant, so the
+    * same corpus always yields the same inverted lists.
+    *
+    * Returns (vec_id, cluster). Scale shape per iteration: one corpus
+    * scan against broadcast centroids (assignment) + one posexplode /
+    * groupBy(cluster, dim) aggregate (recompute) — no corpus×corpus
+    * work anywhere.
+    */
+  def kmeansLite(df: DataFrame, k: Int, iters: Int = 2): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val vecs = df.select(col("vec_id"), col("embedding"))
+    var centroids: Array[(Int, Array[Double])] = vecs
+      .orderBy(col("vec_id")).limit(k).collect()
+      .zipWithIndex
+      .map { case (r, i) =>
+        i -> r.getSeq[Float](1).map(_.toDouble).toArray }
+
+    def assigned(): DataFrame = {
+      val cdf = centroids.map { case (cid, c) =>
+        (cid, c.toSeq) }.toSeq
+      val spark = df.sparkSession
+      import spark.implicits._
+      val cents = cdf.toDF("cluster", "centroid")
+        .select(col("cluster"),
+          col("centroid").cast("array<double>").as("centroid"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id"))
+        .orderBy(col("dist").asc, col("cluster").asc)
+      vecs.crossJoin(broadcast(cents))
+        .withColumn("dist",
+          -dot(col("embedding"), col("centroid"))) // cosine-ish: max dot
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("cluster"))
+    }
+
+    (1 to iters).foreach { _ =>
+      val a = assigned()
+      val dims = a
+        .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg((sum(col("v").cast(DecimalType(38, 9))) / count(lit(1)))
+          .cast("double").as("avg_v"))
+        .groupBy(col("cluster"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("avg_v"))))
+          .as("pairs"))
+        .select(col("cluster"),
+          transform(col("pairs"), p => p.getField("avg_v")).as("centroid"))
+        .collect()
+      centroids = dims.map(r => (r.getInt(0),
+        r.getSeq[Double](1).toArray)).sortBy(_._1)
+    }
+    assigned().select(col("vec_id"), col("cluster"))
+  }
+
   /** Embedding near-duplicate pairs: all (a < b) with cosine ≥
     * `threshold`.
     *

@@ -47,6 +47,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(lsh.forall { case (q, n, c) => all((q, n)) == c })
   }
 
+  test("kmeansLite is deterministic and groups aligned vectors") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val a = Similarity.kmeansLite(e, k = 4).collect()
+      .map(r => r.getLong(0) -> r.getInt(2 - 1)).toMap
+    val b = Similarity.kmeansLite(e, k = 4).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a == b)                        // partitioning-invariant
+    assert(a.values.toSet.size > 1)       // non-degenerate clustering
+    // synthetic sanity: opposite vectors never share a cluster
+    val toy = Seq(
+      (0L, Array(1.0f, 0.0f), 0), (1L, Array(0.9f, 0.1f), 0),
+      (2L, Array(-1.0f, 0.0f), 0), (3L, Array(-0.9f, -0.1f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val c = Similarity.kmeansLite(toy, k = 2, iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(c(0L) == c(1L) && c(2L) == c(3L) && c(0L) != c(2L))
+  }
+
   test("near-dup pairs finds the planted close pair only") {
     val pairs = Similarity.nearDupPairs(vecs, 0.95)
       .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
