@@ -27,7 +27,8 @@ object Dedup {
   /** Exact duplicates by normalized-content fingerprint: groups with
     * more than one doc, canonical = min id (the keep-list complement). */
   def exactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol), TextFunctions.fingerprint(col(textCol)).as("fp"))
+    graft.sources.Tables.fanOut(df)
+      .select(col(idCol), TextFunctions.fingerprint(col(textCol)).as("fp"))
       .groupBy(col("fp"))
       .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("canonical_id"))
       .filter(col("n_copies") > 1)
@@ -44,7 +45,7 @@ object Dedup {
       n: Int, maxDf: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val sh = df
+    val sh = graft.sources.Tables.fanOut(df)
       .select(col(idCol).cast("long").as("doc"), col(textCol).as("txt"))
       .as[(Long, String)]
       .flatMap { case (id, t) =>
@@ -55,11 +56,14 @@ object Dedup {
       }
       .toDF("doc", "shingle")
       .cache() // read twice: df-cap aggregate + postings semi-join
-    val rare = sh.groupBy("shingle")
+    // df-cap on the 64-bit shingle hash: partial aggregation collapses
+    // hot shingles map-side, and the semi-join shuffles longs, not text
+    val keyed = sh.withColumn("sh_h", xxhash64(col("shingle")))
+    val rare = keyed.groupBy("sh_h")
       .agg(count(lit(1)).as("df_count"))
       .filter(col("df_count") <= maxDf)
-      .select("shingle")
-    sh.join(rare, Seq("shingle"), "left_semi")
+      .select("sh_h")
+    keyed.join(rare, Seq("sh_h"), "left_semi").select("doc", "shingle")
   }
 
   /** All pairs sharing ≥1 (rare) shingle, with exact Jaccard over the
@@ -80,20 +84,27 @@ object Dedup {
   }
 
   /** LSH candidate pairs: docs equal on at least one band of
-    * `rowsPerBand` consecutive signature rows. One shuffle join per
-    * band, distinct-unioned. */
+    * `rowsPerBand` consecutive signature rows.
+    *
+    * Single-join shape: each doc explodes into one (band-keyed) row
+    * per band — the band index is baked into the key so bands can't
+    * collide — and ONE self-join on the key finds every same-band
+    * pair. One shuffle regardless of band count (the per-band
+    * join+union chain was nBands shuffles of the same frame). */
   def lshCandidates(sigs: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame = {
     val nBands = numHashes / rowsPerBand
-    val banded = (0 until nBands).foldLeft(sigs) { (acc, b) =>
-      acc.withColumn(s"band$b", concat_ws("|",
-        (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*))
-    }.cache() // each band join re-reads the signature frame
-    (0 until nBands).map { b =>
-      banded.select(col("doc"), col(s"band$b").as("bk")).as("a")
-        .join(banded.select(col("doc"), col(s"band$b").as("bk")).as("b"),
-          col("a.bk") === col("b.bk") && col("a.doc") < col("b.doc"))
-        .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
-    }.reduce(_ unionByName _).distinct()
+    val bandKeys = array((0 until nBands).map { b =>
+      concat_ws("|", lit(b.toString) +:
+        (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*)
+    }: _*)
+    // cached: the self-join reads it twice and the LSH verify pass
+    // re-executes the candidate plan; recomputing would re-run the
+    // md5-min signature aggregate each time
+    val exploded = sigs.select(col("doc"), explode(bandKeys).as("bk")).cache()
+    exploded.as("a").join(exploded.as("b"),
+        col("a.bk") === col("b.bk") && col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .distinct()
   }
 
   /** Pre-threshold pair statistics from a postings frame: every
@@ -103,8 +114,13 @@ object Dedup {
     * builds, so reuse must be by DataFrame object, not by plan. */
   def pairStats(p: DataFrame): DataFrame = {
     val sizes = p.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
-    val pairs = p.as("a").join(p.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc"))
+    // join on a 64-bit hash of the shingle: the shuffle carries two
+    // longs per posting instead of the shingle text, and the
+    // sort/probe compares longs (the distinct-shingle key space makes
+    // an xxhash64 collision vanishingly unlikely, ~n²/2⁶⁵)
+    val keyed = p.select(col("doc"), xxhash64(col("shingle")).as("sh"))
+    val pairs = keyed.as("a").join(keyed.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc") < col("b.doc"))
       .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
       .agg(count(lit(1)).as("shared"))
     pairs
@@ -153,7 +169,7 @@ object Dedup {
     * ±1 contributions derived from the parity of hex digit b of each
     * token's md5. Output: doc, 32-char bitstring. */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = df
+    val toks = graft.sources.Tables.fanOut(df)
       .select(col(idCol).as("doc"),
         explode(split(trim(col(textCol)), "\\s+")).as("tok"))
       .withColumn("h", md5(col("tok").cast("binary")))
@@ -170,7 +186,7 @@ object Dedup {
     * equals character b of the `simhash` bitstring). Integer form makes
     * Hamming distance a single codegen'd bit_count(xor). */
   def simhashLong(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = df
+    val toks = graft.sources.Tables.fanOut(df)
       .select(col(idCol).as("doc"),
         explode(split(trim(col(textCol)), "\\s+")).as("tok"))
       .withColumn("h", md5(col("tok").cast("binary")))

@@ -50,7 +50,7 @@ object Classify {
     require(entities.nonEmpty, "entity registry must not be empty")
     val cols = if (columns.nonEmpty) columns else df.columns.toSeq
     val sampled = if (sampleFraction < 1.0) df.sample(sampleFraction, seed) else df
-    val cells = sampled
+    val cells = graft.sources.Tables.fanOut(sampled)
       .select(cols.map(c => col(c).cast(StringType).as(c)): _*)
       .unpivot(Array.empty[Column], cols.map(col).toArray, "column_name", "cell_value")
       .filter(col("cell_value").isNotNull)

@@ -18,6 +18,9 @@ object ClassifyQueries extends QueryPack {
   private val eventEntities = Seq(
     E.NUMERIC_ID, E.JSON_OBJECT, E.MONEY_AMOUNT, E.EMAIL)
 
+  /** Exposed for graft.tools.Prof only. */
+  private[graft] def eventEntitiesForProf: Seq[Classify.Entity] = eventEntities
+
   def queries: Map[String, Q] = Map(
     // A1: the core per-column PII classification over documents
     "a1_classify_docs" -> ((s, d) =>

@@ -125,23 +125,22 @@ object Similarity {
       .map { case (r, i) =>
         i -> r.getSeq[Float](1).map(_.toDouble).toArray }
 
+    // Assignment is a pure map: centroids are literal arrays, each row
+    // computes its k dots in codegen and argmins via array_min over
+    // (dist, cluster) structs — struct ordering compares dist first,
+    // then cluster, so ties break on the lowest centroid id exactly
+    // like the previous window row_number(dist asc, cluster asc). No
+    // shuffle, no window; the corpus is scanned once per iteration.
     def assigned(): DataFrame = {
-      val cdf = centroids.map { case (cid, c) =>
-        (cid, c.toSeq) }.toSeq
-      val spark = df.sparkSession
-      import spark.implicits._
-      val cents = cdf.toDF("cluster", "centroid")
-        .select(col("cluster"),
-          col("centroid").cast("array<double>").as("centroid"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("vec_id"))
-        .orderBy(col("dist").asc, col("cluster").asc)
-      vecs.crossJoin(broadcast(cents))
-        .withColumn("dist",
-          -dot(col("embedding"), col("centroid"))) // cosine-ish: max dot
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("embedding"), col("cluster"))
+      val options = centroids.map { case (cid, c) =>
+        struct(
+          (-dot(col("embedding"), array(c.map(lit).toSeq: _*))).as("dist"),
+          lit(cid).as("cluster"))
+      }
+      vecs
+        .withColumn("best", array_min(array(options.toSeq: _*)))
+        .select(col("vec_id"), col("embedding"),
+          col("best").getField("cluster").as("cluster"))
     }
 
     (1 to iters).foreach { _ =>
@@ -180,7 +179,8 @@ object Similarity {
   def nearDupPairs(df: DataFrame, threshold: Double): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val vecs = df.select(col("vec_id").cast("long"), col("embedding"))
+    val vecs = graft.sources.Tables.fanOut(df)
+      .select(col("vec_id").cast("long"), col("embedding"))
       .as[(Long, Array[Float])]
     val block = vecs.collect().sortBy(_._1)
       .map { case (id, emb) =>

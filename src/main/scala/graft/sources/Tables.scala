@@ -31,6 +31,25 @@ object Tables {
     else df
   }
 
+  /** Fan a CPU-dense computation out to every core when its input has
+    * fewer splits than the cluster has slots. Local single-row-group
+    * parquet files scan as ONE partition, which would serialize the
+    * expensive per-row work (regex classify, md5 shingling/sketching)
+    * on one core; a real 100 TB table has thousands of row groups, so
+    * the condition is false and this is a no-op — the repartition
+    * never touches the at-scale plan. */
+  def fanOut(df: DataFrame): DataFrame = {
+    val slots = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < slots) {
+      // every fanOut consumer is a partitioning-invariant aggregate, so
+      // the round-robin pre-sort (retry-determinism insurance) is pure
+      // overhead — it would whole-row-sort the single input partition
+      // on one core before the shuffle
+      df.sparkSession.conf.set("spark.sql.execution.sortBeforeRepartition", "false")
+      df.repartition(slots)
+    } else df
+  }
+
   /** Register every table as a temp view so `spark.sql` works against
     * the same names the DuckDB oracle sees. */
   def registerAll(spark: SparkSession, dir: String): Unit =

@@ -1,0 +1,85 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.dedup.Dedup
+
+/** Sub-step wall-clock profiler for the hot bench queries.
+  * Usage: runMain graft.tools.Prof <sfDir>
+  */
+object Prof {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1 << 20).selectExpr("sum(id)", "count(distinct id % 1000)").collect()
+
+    def t(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"PROF $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.3f s  rows=$n")
+    }
+
+    val docs = Tables.load(spark, sfDir, "documents")
+    t("docs_scan")(docs.count())
+
+    // d2 internals
+    import spark.implicits._
+    val sh = docs
+      .select(col("doc_id").cast("long").as("doc"), col("text").as("txt"))
+      .as[(Long, String)]
+      .flatMap { case (id, tx) =>
+        val toks = tx.trim.split("\\s+")
+        if (toks.length < 3) Iterator.empty
+        else toks.iterator.sliding(3, 1).withPartial(false)
+          .map(w => (id, w.mkString(" "))).toSet.iterator
+      }
+      .toDF("doc", "shingle")
+    t("shingle_flatmap")(sh.count())
+    val postings = Dedup.shinglePostings(docs, "doc_id", "text", 3, 50).cache()
+    t("postings_cached")(postings.count())
+    val stats = Dedup.pairStats(postings).cache()
+    t("pairStats_cached")(stats.count())
+    t("d2_filter")(stats.filter(col("jaccard") >= 0.1).count())
+    val sigs = Dedup.minhashSignatures(postings, 8)
+    t("minhash_sigs")(sigs.count())
+    val cands = Dedup.lshCandidates(sigs, 8, 2)
+    t("lsh_candidates")(cands.count())
+    t("d3_verify")(cands.join(stats.filter(col("jaccard") >= 0.5),
+      Seq("doc_a", "doc_b"), "inner").count())
+
+    // d5 internals
+    val sl = Dedup.simhashLong(docs, "doc_id", "text")
+    t("simhashLong")(sl.count())
+    t("d5_pairs")(Dedup.simhashPairs(docs, "doc_id", "text", 3).count())
+
+    // d1 / events
+    val events = Tables.load(spark, sfDir, "events")
+    t("events_scan")(events.count())
+    t("d1_fingerprint")(Dedup.exactDuplicates(events, "event_id", "props").count())
+
+    // classify
+    t("a1_full_registry")(graft.ops.Classify.classifyColumns(
+      docs, graft.ops.EntityRegistry.all, threshold = 0.05).count())
+    t("a1_events")(graft.ops.Classify.classifyColumns(
+      events, graft.queries.ClassifyQueries.eventEntitiesForProf,
+      threshold = 0.05,
+      columns = Seq("event_id", "user_id", "event_type", "value", "props")).count())
+
+    // s5 kmeans
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    t("emb_scan")(emb.count())
+    t("s5_kmeans")(graft.similarity.Similarity.kmeansLite(emb, 8, 2).count())
+
+    spark.stop()
+  }
+}
