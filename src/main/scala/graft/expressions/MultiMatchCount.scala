@@ -1,0 +1,107 @@
+package graft.expressions
+
+import java.nio.ByteBuffer
+import java.util.regex.{Matcher, Pattern}
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-pass multi-regex match counter — the classify engine's custom
+  * aggregate (SURVEY.md §7.3's "only candidate custom expression in the
+  * system": the reference's EntityDetector scans every cell against 276
+  * entity patterns, s3-source-script.py:302-316).
+  *
+  * The declarative form (`sum(when(col.rlike(p), 1L))` × N entities)
+  * is semantically right but converts the UTF8String cell to a Java
+  * String and allocates a fresh `Matcher` N times PER CELL. This
+  * aggregate does the conversion once and reuses one matcher per
+  * pattern for the whole partition, so per-cell cost drops to N×
+  * `matcher.reset(s).find()` — the irreducible regex work.
+  *
+  * Match semantics are identical to `RLike` (java.util.regex `find()`,
+  * default flags), which is what the DuckDB oracle's
+  * `regexp_matches(cell, pattern)` also implements — the hash-compare
+  * in CORRECTNESS depends on this three-way agreement.
+  *
+  * Scale shape: partial aggregation applies (the buffer is one
+  * long[patterns] per (partition, group)), so the shuffle still
+  * carries O(columns × entities) longs regardless of row count —
+  * exactly the declarative plan's exchange, minus its per-cell
+  * overhead.
+  */
+case class MultiMatchCount(
+    child: Expression,
+    patterns: Seq[String],
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+
+  require(patterns.nonEmpty, "multi_match_count needs at least one pattern")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  // One matcher per pattern, lazily compiled per deserialized instance
+  // (= per task), so reset() reuse is thread-confined like RLike's
+  // per-expression pattern cache.
+  @transient private lazy val matchers: Array[Matcher] =
+    patterns.map(p => Pattern.compile(p).matcher("")).toArray
+
+  override def createAggregationBuffer(): Array[Long] =
+    new Array[Long](patterns.length)
+
+  override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val s = v.asInstanceOf[UTF8String].toString
+      val ms = matchers
+      var i = 0
+      while (i < ms.length) {
+        if (ms(i).reset(s).find(0)) buffer(i) += 1L
+        i += 1
+      }
+    }
+    buffer
+  }
+
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < b1.length) { b1(i) += b2(i); i += 1 }
+    b1
+  }
+
+  override def eval(buffer: Array[Long]): Any = new GenericArrayData(buffer)
+
+  override def serialize(buffer: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(buffer.length * 8)
+    buffer.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    Array.fill(bytes.length / 8)(bb.getLong)
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MultiMatchCount =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MultiMatchCount =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): MultiMatchCount =
+    copy(child = newChild)
+  override def prettyName: String = "multi_match_count"
+}
+
+object MultiMatchCount {
+  /** Column API: array of per-pattern match counts over the group. */
+  def multi_match_count(cell: Column, patterns: Seq[String]): Column =
+    Bridge.column(
+      MultiMatchCount(Bridge.expression(cell), patterns).toAggregateExpression())
+}

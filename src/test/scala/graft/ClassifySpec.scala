@@ -88,6 +88,23 @@ class ClassifySpec extends AnyFunSuite {
     }
   }
 
+  test("native multi-match aggregate ≡ declarative rlike counters") {
+    // Both paths over the full registry, mixed content incl. nulls,
+    // long text, and unicode — counters must agree exactly.
+    val df = Seq(
+      Some("a@b.com"), Some("203-555-0184"), None, Some("€1,234.56"),
+      Some("the quick brown fox jumps over the lazy dog " * 50),
+      Some("2024-01-02T03:04:05"), Some("AB12 3CD"), Some("" ),
+      Some("1Z999AA10123456784"), Some("München 80331")
+    ).toDF("v")
+    def run(native: Boolean) =
+      Classify.classifyColumns(df, E.all, threshold = 0.0, useNativeAgg = native)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    assert(run(true) == run(false))
+  }
+
   test("enrichment stamps provenance, uuid and timestamp") {
     val findings = Classify.classifySummary(piiDf, E.all, threshold = 0.5)
     val out = Classify.enrichFindings(findings, "s3",
