@@ -1,0 +1,154 @@
+package graft.curation
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+
+/** Corpus-curation operators for training-data pipelines: benchmark
+  * decontamination, deterministic dataset splits, stratified sampling,
+  * TF-IDF term weighting, and duplicate-cluster resolution. These
+  * extend the reference's column-classification surface (SURVEY.md §2
+  * "beyond-reference" mandate) with the set-level hygiene passes a
+  * 100 TB pretraining corpus needs before the data ever reaches a
+  * tokenizer.
+  *
+  * Everything is engine-portable (md5 ordering, exact integer/double
+  * arithmetic) so the DuckDB oracles replay results bit-for-bit.
+  */
+object Curation {
+
+  /** Benchmark decontamination: find corpus documents sharing at least
+    * one word n-gram with any benchmark document (the standard
+    * "n-gram overlap" test-set-leakage check used for pretraining
+    * corpora). Returns (doc_id, n_shared) for contaminated docs —
+    * n_shared counts the doc's distinct shingles seen in the benchmark.
+    *
+    * Scale shape: the benchmark side is test sets — small by
+    * definition — so its distinct-shingle set broadcasts; the corpus
+    * side streams through one scan + shingle flatMap with NO corpus
+    * shuffle except the final per-doc count (which partial-aggregates).
+    * No df-cap here: decontamination must see every shingle, frequent
+    * or not.
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int = 5): DataFrame = {
+    val corpusSh = Dedup.shinglePostings(corpus, idCol, textCol, n, Int.MaxValue)
+    val benchSh = Dedup.shinglePostings(benchmark, idCol, textCol, n, Int.MaxValue)
+      .select(col("shingle")).distinct()
+    corpusSh
+      .join(broadcast(benchSh), Seq("shingle"), "left_semi")
+      .groupBy(col("doc").as("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Deterministic train/val/test assignment by content-free id hash:
+    * the first 8 hex chars of md5(id) are uniform over [0,1) in
+    * lexicographic order, so string thresholds give exact split
+    * fractions ('cccccccc' = 0.8, 'e6666666' = 0.9). Pure projection —
+    * no shuffle, no state, stable across runs/engines/partitionings
+    * (the property that matters: a doc never migrates between splits
+    * when the corpus grows). */
+  def splitAssign(df: DataFrame, idCol: String,
+      trainFrac: Double = 0.8, valFrac: Double = 0.1): DataFrame = {
+    def hexThreshold(f: Double): String = {
+      // 8 hex digits of the fraction f in [0,1)
+      val v = (f * (1L << 32)).toLong
+      f"$v%08x"
+    }
+    val h = substring(md5(col(idCol).cast("string").cast("binary")), 1, 8)
+    df.withColumn("split",
+      when(h < lit(hexThreshold(trainFrac)), "train")
+        .when(h < lit(hexThreshold(trainFrac + valFrac)), "val")
+        .otherwise("test"))
+  }
+
+  /** Stratified sample: exactly min(k, |stratum|) rows per stratum,
+    * chosen by md5-of-id order (deterministic, uniform within the
+    * stratum). One shuffle on the stratum key; the window sort is
+    * per-stratum, so skewed strata are the only risk — at 100 TB,
+    * cap per-stratum input first or salt the heavy stratum. */
+  def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))
+    df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .drop("rn")
+  }
+
+  /** Per-document top-k terms by TF-IDF. idf is the exact rational
+    * N/df (linear idf — division and multiply are exact IEEE ops, so
+    * both engines produce bit-identical doubles; log-idf would hinge
+    * on libm rounding). Tie-break: higher tf first, then term asc.
+    *
+    * Two aggregates (tf per (doc,term), df per term) + one broadcast
+    * of the df side if vocab is small, else a shuffle join on term —
+    * the classic shape; the window top-k is per-doc. */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = graft.sources.Tables.fanOut(df)
+      .select(col(idCol).as("doc_id"),
+        explode(split(trim(col(textCol)), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+    val nDocs = df.select(col(idCol)).distinct().count()
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfreq, Seq("term"))
+      .withColumn("score",
+        col("tf").cast("double")
+          * (lit(nDocs.toDouble) / col("df").cast("double")))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score"))
+  }
+
+  /** Connected components by iterative min-label propagation: every
+    * node's label becomes the min over {self} ∪ neighbor labels until
+    * a fixed point. Deterministic output: component id = min node id.
+    *
+    * Iteration count is the graph diameter; near-dup graphs are
+    * clouds of small cliques (diameter ≤ ~3), so this converges in a
+    * few rounds. Each round is one join + one aggregate on the edge
+    * list — at 100 TB-corpus scale the edge list is the (already
+    * candidate-pruned) dup-pair output, orders of magnitude smaller
+    * than the corpus; for adversarial long-chain graphs switch to the
+    * large-star/small-star scheme (same join primitive, O(log n)
+    * rounds).
+    *
+    * `edges`: (src, dst) undirected pairs; `nodes`: one column of ids
+    * (singletons keep their own id as the component). */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val idName = nodes.columns.head
+    val sym = edges.toDF("s", "d")
+      .union(edges.toDF("d", "s").select(col("s"), col("d")))
+      .cache()
+    // localCheckpoint (not cache) per round: iterative plans grow one
+    // join+agg of lineage per iteration — checkpointing truncates the
+    // logical plan so round N's optimization/stack cost stays O(1)
+    // instead of O(N). On a cluster swap for reliable checkpoint().
+    var labels = nodes.select(col(idName).as("id"), col(idName).as("label"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 50) {
+      // neighbor-propagated candidate labels + own label, min per node
+      val viaEdges = sym.join(labels, sym("s") === labels("id"))
+        .select(col("d").as("id"), col("label"))
+      val next = labels.select(col("id"), col("label")).union(viaEdges)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
+        .filter(col("label") < col("old")).count()
+      labels = next
+      iter += 1
+    }
+    sym.unpersist()
+    labels.select(col("id").as(idName), col("label").as("component"))
+  }
+}

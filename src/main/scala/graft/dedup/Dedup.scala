@@ -55,10 +55,11 @@ object Dedup {
           .map(w => (id, w.mkString(" "))).toSet.iterator
       }
       .toDF("doc", "shingle")
-      .cache() // read twice: df-cap aggregate + postings semi-join
+    if (maxDf == Int.MaxValue) return sh
+    val cached = sh.cache() // read twice: df-cap aggregate + postings semi-join
     // df-cap on the 64-bit shingle hash: partial aggregation collapses
     // hot shingles map-side, and the semi-join shuffles longs, not text
-    val keyed = sh.withColumn("sh_h", xxhash64(col("shingle")))
+    val keyed = cached.withColumn("sh_h", xxhash64(col("shingle")))
     val rare = keyed.groupBy("sh_h")
       .agg(count(lit(1)).as("df_count"))
       .filter(col("df_count") <= maxDf)

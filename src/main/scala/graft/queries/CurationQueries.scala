@@ -1,0 +1,121 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.curation.Curation
+
+/** Driver-checkable corpus-curation entries: decontamination,
+  * deterministic splits, stratified sampling, TF-IDF, and dup-cluster
+  * connected components. Oracles replay the md5-order / exact-rational
+  * arithmetic in DuckDB (the components oracle is a recursive CTE
+  * computing min-reachable-id — the same fixed point the iterative
+  * Spark propagation converges to).
+  */
+object CurationQueries extends QueryPack {
+
+  def queries: Map[String, Q] = Map(
+    // Benchmark decontamination: corpus docs sharing a 5-gram with the
+    // held-out benchmark slice (source = 'src0')
+    "c1_decontaminate" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      Curation.decontaminate(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"),
+        "doc_id", "text", n = 5)
+    }),
+
+    // Deterministic 80/10/10 split by md5(doc_id) — content-free,
+    // growth-stable assignment
+    "c2_split_assign" -> ((s, d) =>
+      Curation.splitAssign(Tables.load(s, d, "documents"), "doc_id")
+        .select(col("doc_id"), col("split"))),
+
+    // Stratified sample: 10 docs per language, md5-ordered
+    "c3_stratified_sample" -> ((s, d) =>
+      Curation.stratifiedSample(
+        Tables.load(s, d, "documents"), "lang", "doc_id", k = 10)
+        .select(col("doc_id"), col("lang"))),
+
+    // Per-doc top-3 TF-IDF terms (linear idf: exact N/df rational)
+    "c4_tfidf_topterms" -> ((s, d) =>
+      Curation.tfidfTopTerms(
+        Tables.load(s, d, "documents"), "doc_id", "text", k = 3)),
+
+    // Duplicate-cluster resolution: connected components over the
+    // n-gram Jaccard near-dup pairs (same pairs as d2)
+    "d7_dedup_clusters" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val (_, stats) = DedupQueries.shared(s, d)
+      val edges = stats.filter(col("jaccard") >= 0.1)
+        .select(col("doc_a"), col("doc_b"))
+      Curation.connectedComponents(docs.select(col("doc_id")), edges)
+    })
+  )
+
+  private def shingles(name: String, filter: String, n: Int) = {
+    val w = n - 1
+    s"""${name}_toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+       |  FROM documents WHERE $filter),
+       |$name AS (SELECT DISTINCT doc_id,
+       |    unnest(list_transform(range(1, greatest(len(t)-$n+2, 1)),
+       |           i -> array_to_string(t[i:i+$w], ' '))) AS shingle
+       |  FROM ${name}_toks WHERE len(t) >= $n)""".stripMargin
+  }
+
+  private val splitCase = {
+    val h = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)"
+    s"""CASE WHEN $h < 'cccccccc' THEN 'train'
+       |     WHEN $h < 'e6666666' THEN 'val'
+       |     ELSE 'test' END""".stripMargin
+  }
+
+  def oracle: Map[String, String] = Map(
+    "c1_decontaminate" ->
+      s"""WITH ${shingles("csh", "source <> 'src0'", 5)},
+         |${shingles("bsh", "source = 'src0'", 5)}
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+         |FROM csh WHERE shingle IN (SELECT shingle FROM bsh)
+         |GROUP BY doc_id""".stripMargin,
+
+    "c2_split_assign" ->
+      s"SELECT doc_id, $splitCase AS split FROM documents",
+
+    "c3_stratified_sample" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn <= 10""".stripMargin,
+
+    "c4_tfidf_topterms" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM toks WHERE term <> '' GROUP BY 1, 2),
+        |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM documents),
+        |scored AS (
+        |  SELECT doc_id, tf.term, tf, df,
+        |    CAST(tf AS DOUBLE) * ((SELECT n FROM nd) / CAST(df AS DOUBLE)) AS score
+        |  FROM tf JOIN dfq USING (term))
+        |SELECT doc_id, term, tf, df, score FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, term) AS rn
+        |  FROM scored) t
+        |WHERE rn <= 3""".stripMargin,
+
+    "d7_dedup_clusters" ->
+      s"""WITH RECURSIVE ${DedupQueries.postingsCte},
+         |e AS (SELECT doc_a AS a, doc_b AS b FROM jac WHERE jaccard >= 0.1
+         |      UNION ALL
+         |      SELECT doc_b, doc_a FROM jac WHERE jaccard >= 0.1),
+         |reach AS (
+         |  SELECT doc_id AS id, doc_id AS peer FROM documents
+         |  UNION
+         |  SELECT r.id, e.b FROM reach r JOIN e ON r.peer = e.a)
+         |SELECT id AS doc_id, min(peer) AS component
+         |FROM reach GROUP BY id""".stripMargin
+  )
+}

@@ -18,7 +18,7 @@ object DedupQueries extends QueryPack {
   private val memo =
     scala.collection.concurrent.TrieMap.empty[String, (DataFrame, DataFrame)]
 
-  private def shared(s: SparkSession, d: String): (DataFrame, DataFrame) =
+  private[queries] def shared(s: SparkSession, d: String): (DataFrame, DataFrame) =
     memo.getOrElseUpdate(d, {
       val postings = Dedup.shinglePostings(
         Tables.load(s, d, "documents"), "doc_id", "text", n = 3, maxDf = 50)
@@ -59,7 +59,7 @@ object DedupQueries extends QueryPack {
   // ---- shared oracle CTE fragments (DuckDB) ----
 
   /** maxDf-filtered distinct 3-gram shingle postings over documents. */
-  private val postingsCte =
+  private[queries] val postingsCte =
     """toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
       |sh AS (SELECT DISTINCT doc_id,
       |         unnest(list_transform(range(1, greatest(len(t)-3+2, 1)),

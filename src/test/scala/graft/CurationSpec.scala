@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.curation.Curation
+
+class CurationSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("decontaminate flags exactly the docs sharing an n-gram") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "prefix alpha beta gamma delta epsilon suffix"), // shares a 5-gram
+      (2L, "totally unrelated content with many words here"),
+      (3L, "alpha beta gamma something delta epsilon zeta") // no shared 5-gram window
+    ).toDF("doc_id", "text")
+    val out = Curation.decontaminate(corpus, bench, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet == Set(1L))
+    assert(out(1L) == 1L)
+  }
+
+  test("splitAssign is deterministic, complete, and growth-stable") {
+    val small = (1 to 200).map(_.toLong).toDF("doc_id")
+    val big = (1 to 400).map(_.toLong).toDF("doc_id")
+    def assign(df: org.apache.spark.sql.DataFrame) =
+      Curation.splitAssign(df, "doc_id")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val a = assign(small)
+    val b = assign(big)
+    // ids keep their split when the corpus grows
+    assert(a.forall { case (id, s) => b(id) == s })
+    assert(a.values.toSet.subsetOf(Set("train", "val", "test")))
+    // roughly 80/10/10 (md5-uniform; loose bounds at n=400)
+    val frac = b.values.groupBy(identity).view.mapValues(_.size / 400.0).toMap
+    assert(frac("train") > 0.7 && frac("train") < 0.9)
+  }
+
+  test("stratifiedSample returns min(k, stratum size) rows per stratum") {
+    val df = (1 to 30).map(i => (i.toLong, if (i <= 25) "big" else "small"))
+      .toDF("doc_id", "lang")
+    val out = Curation.stratifiedSample(df, "lang", "doc_id", k = 10)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("big" -> 10L, "small" -> 5L))
+    // deterministic across runs
+    val again = Curation.stratifiedSample(df, "lang", "doc_id", k = 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val first = Curation.stratifiedSample(df, "lang", "doc_id", k = 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == first)
+  }
+
+  test("tfidf ranks stratum-unique terms above corpus-wide terms") {
+    val df = Seq(
+      (1L, "common common rare1"),
+      (2L, "common common rare2"),
+      (3L, "common common rare3")
+    ).toDF("doc_id", "text")
+    val top = Curation.tfidfTopTerms(df, "doc_id", "text", k = 1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(top == Map(1L -> "rare1", 2L -> "rare2", 3L -> "rare3"))
+  }
+
+  test("connectedComponents: chains, cliques, singletons") {
+    val nodes = (1L to 8L).toDF("id")
+    // chain 1-2-3, clique 4-5-6 (all edges), singleton 7, 8
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 5L), (5L, 6L), (4L, 6L))
+      .toDF("s", "d")
+    val out = Curation.connectedComponents(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 4L, 5L -> 4L, 6L -> 4L, 7L -> 7L, 8L -> 8L))
+  }
+
+  test("connectedComponents converges on a long chain (diameter > 2)") {
+    val n = 12L
+    val nodes = (1L to n).toDF("id")
+    val edges = (1L until n).map(i => (i, i + 1)).toDF("s", "d")
+    val out = Curation.connectedComponents(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.values.toSet == Set(1L))
+  }
+}
