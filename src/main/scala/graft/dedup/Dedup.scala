@@ -165,21 +165,31 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Per-doc token count + 32 per-bit one-counts over the parity mask
+    * of each token's md5. `sum(±1 per hex-char parity) >= 0` is
+    * equivalent to `2*ones_b >= n`, so the sketch needs only the
+    * one-counts — and the mask form turns 32 substring+ascii
+    * extractions per token into one byte loop plus shift/and sums. */
+  private def simhashOnes(df: DataFrame, idCol: String, textCol: String) = {
+    import graft.expressions.StringKernels.hex_parity_mask
+    val toks = graft.sources.Tables.fanOut(df)
+      .select(col(idCol).as("doc"),
+        explode(split(trim(col(textCol)), "\\s+")).as("tok"))
+      .withColumn("pm", hex_parity_mask(md5(col("tok").cast("binary"))))
+    val ones = (0 until 32).map(b =>
+      sum(shiftright(col("pm"), b).bitwiseAND(lit(1))).as(s"o$b"))
+    toks.groupBy(col("doc"))
+      .agg(count(lit(1)).as("n"), ones: _*)
+  }
+
   /** 32-bit SimHash over the whitespace tokenization (with
     * multiplicity): bit b is the sign of the token-wise sum of
     * ±1 contributions derived from the parity of hex digit b of each
     * token's md5. Output: doc, 32-char bitstring. */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = graft.sources.Tables.fanOut(df)
-      .select(col(idCol).as("doc"),
-        explode(split(trim(col(textCol)), "\\s+")).as("tok"))
-      .withColumn("h", md5(col("tok").cast("binary")))
-    val sums = (0 until 32).map(b =>
-      sum(ascii(substring(col("h"), b + 1, 1)) % 2 * 2 - 1).as(s"s$b"))
     val bits = (0 until 32).map(b =>
-      when(col(s"s$b") >= 0, lit("1")).otherwise(lit("0")))
-    toks.groupBy(col("doc"))
-      .agg(sums.head, sums.tail: _*)
+      when(col(s"o$b") * 2 >= col("n"), lit("1")).otherwise(lit("0")))
+    simhashOnes(df, idCol, textCol)
       .select(col("doc"), concat(bits: _*).as("simhash32"))
   }
 
@@ -187,17 +197,10 @@ object Dedup {
     * equals character b of the `simhash` bitstring). Integer form makes
     * Hamming distance a single codegen'd bit_count(xor). */
   def simhashLong(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = graft.sources.Tables.fanOut(df)
-      .select(col(idCol).as("doc"),
-        explode(split(trim(col(textCol)), "\\s+")).as("tok"))
-      .withColumn("h", md5(col("tok").cast("binary")))
-    val sums = (0 until 32).map(b =>
-      sum(ascii(substring(col("h"), b + 1, 1)) % 2 * 2 - 1).as(s"s$b"))
     val simInt = (0 until 32).map(b =>
-      when(col(s"s$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
+      when(col(s"o$b") * 2 >= col("n"), lit(1L << b)).otherwise(lit(0L)))
       .reduce(_ + _)
-    toks.groupBy(col("doc"))
-      .agg(sums.head, sums.tail: _*)
+    simhashOnes(df, idCol, textCol)
       .select(col("doc"), simInt.as("sim_int"))
   }
 

@@ -1,0 +1,105 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Byte-loop string kernels for the dedup/fingerprint hot paths.
+  * Both are exact, codegen'd replacements for regex/substring
+  * compositions (SURVEY.md §2.9 preference order: native Catalyst
+  * Expression over UDF when built-ins are the bottleneck).
+  */
+
+/** Keep only bytes in [a-z0-9] — exactly `regexp_replace(s,
+  * '[^a-z0-9]', '')` for an already-lowercased input: ASCII a-z/0-9
+  * are single UTF-8 bytes, and every byte of a multi-byte code point
+  * is ≥ 0x80, so a byte-level filter keeps precisely the regex-kept
+  * set without running an NFA per character. Used by the content
+  * fingerprint (exact-dedup normalization) where the regex dominated
+  * the 1M-row scan.
+  */
+case class StripNonAlnum(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"strip_non_alnum expects string, got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(input: Any): Any =
+    StripNonAlnum.strip(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.StripNonAlnum.strip($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): StripNonAlnum =
+    copy(child = newChild)
+  override def prettyName: String = "strip_non_alnum"
+}
+
+object StripNonAlnum {
+  // Java-callable from generated code.
+  def strip(s: UTF8String): UTF8String = {
+    val src = s.getBytes
+    val out = new Array[Byte](src.length)
+    var i = 0
+    var k = 0
+    while (i < src.length) {
+      val b = src(i)
+      if ((b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')) { out(k) = b; k += 1 }
+      i += 1
+    }
+    UTF8String.fromBytes(out, 0, k)
+  }
+}
+
+/** 32-bit parity mask of a hex string: bit b = (ASCII code of char b)
+  * & 1 — the SimHash per-token signature. One pass over the 32 md5
+  * hex bytes instead of 32 `ascii(substring(h, b+1, 1))` extractions;
+  * downstream per-bit sums become shift/and arithmetic on this int.
+  * Chars beyond 32 are ignored; shorter inputs leave high bits 0.
+  */
+case class HexParityMask(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"hex_parity_mask expects string, got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(input: Any): Any =
+    HexParityMask.mask(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.HexParityMask.mask($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): HexParityMask =
+    copy(child = newChild)
+  override def prettyName: String = "hex_parity_mask"
+}
+
+object HexParityMask {
+  // Java-callable from generated code.
+  def mask(s: UTF8String): Int = {
+    val bs = s.getBytes
+    val n = math.min(bs.length, 32)
+    var m = 0
+    var i = 0
+    while (i < n) { m |= (bs(i) & 1) << i; i += 1 }
+    m
+  }
+}
+
+object StringKernels {
+  /** `regexp_replace(s, '[^a-z0-9]', '')` for lowercased input. */
+  def strip_non_alnum(c: Column): Column =
+    Bridge.column(StripNonAlnum(Bridge.expression(c)))
+
+  /** Per-hex-char parity mask (SimHash token signature). */
+  def hex_parity_mask(c: Column): Column =
+    Bridge.column(HexParityMask(Bridge.expression(c)))
+}

@@ -71,9 +71,12 @@ object TextFunctions {
 
   /** Content fingerprint: md5 over the case-folded, alnum-only
     * normalization — exact-dup detection robust to whitespace and
-    * punctuation noise. */
+    * punctuation noise. The alnum filter is a codegen'd byte loop
+    * (`strip_non_alnum`), exactly `regexp_replace(lower, '[^a-z0-9]',
+    * '')` but without the per-char NFA — the regex dominated the
+    * million-row exact-dedup scan. */
   def fingerprint(c: Column): Column =
-    md5(regexp_replace(lower(c), "[^a-z0-9]", "").cast("binary"))
+    md5(graft.expressions.StringKernels.strip_non_alnum(lower(c)).cast("binary"))
 
   /** Word n-gram shingles of the whitespace tokenization (dedup input). */
   def wordShingles(c: Column, n: Int): Column = {

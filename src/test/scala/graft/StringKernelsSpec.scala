@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.expressions.StringKernels._
+
+class StringKernelsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val samples = Seq(
+    "Hello, World! 123", "", "   ", "ÀÉÎöü ñ 42", "München-80331",
+    "a@b.com", "的是了在 zh text", "ALLCAPS09", "emoji 😀 mixed",
+    "tabs\tand\nnewlines", "é" * 100, "x" * 1000)
+
+  test("strip_non_alnum(lower(s)) ≡ regexp_replace(lower(s), '[^a-z0-9]', '')") {
+    val df = samples.toDF("s")
+    val mismatches = df.select(
+        strip_non_alnum(lower(col("s"))).as("fast"),
+        regexp_replace(lower(col("s")), "[^a-z0-9]", "").as("ref"))
+      .filter(col("fast") =!= col("ref"))
+      .count()
+    assert(mismatches == 0)
+  }
+
+  test("hex_parity_mask bit b ≡ ascii(substring(h, b+1, 1)) % 2") {
+    val df = samples.toDF("s").select(md5(col("s").cast("binary")).as("h"))
+    val checks = (0 until 32).map(b =>
+      (shiftright(hex_parity_mask(col("h")), b).bitwiseAND(lit(1))
+        === ascii(substring(col("h"), b + 1, 1)) % 2))
+    val bad = df.filter(!checks.reduce(_ && _)).count()
+    assert(bad == 0)
+  }
+
+  test("kernels survive interpreted eval (null-safe, empty input)") {
+    val df = Seq(Some("Ab1"), None, Some("")).toDF("s")
+    val rows = df.select(strip_non_alnum(lower(col("s"))).as("f"),
+        hex_parity_mask(coalesce(col("s"), lit(""))).as("m"))
+      .collect()
+    assert(rows(0).getString(0) == "ab1")
+    assert(rows(1).isNullAt(0))
+    assert(rows(2).getString(0) == "")
+  }
+}
