@@ -35,7 +35,15 @@ object SimilarityQueries extends QueryPack {
 
     // Embedding near-duplicate pairs (cosine >= 0.45)
     "d6_embedding_neardup" -> ((s, d) =>
-      Similarity.nearDupPairs(Tables.load(s, d, "embeddings"), 0.45))
+      Similarity.nearDupPairs(Tables.load(s, d, "embeddings"), 0.45)),
+
+    // End-to-end IVF ANN: k-means fit -> inverted lists -> probe the
+    // 2 nearest of 8 lists per query, exact cosine rank within
+    // (no SQL oracle — iterative fit; SimilaritySpec proves
+    // nprobe=nlist degenerates to the exact brute-force result)
+    "s6_ivf_probe" -> ((s, d) =>
+      Similarity.ivfProbeTopK(Tables.load(s, d, "embeddings"),
+        col("vec_id") < 5, k = 5, nlist = 8, nprobe = 2))
   )
 
   /** Norm CTE: vectors with L2 norms (sequential double fold). */

@@ -53,7 +53,42 @@ object TextQueries extends QueryPack {
         .groupBy(col("lang"), col("source"))
         .agg(count(lit(1)).as("n_docs"),
           sum(wsTokenCount(col("text")).cast("long")).as("total_tokens"),
-          sum(length(col("text")).cast("long")).as("total_chars")))
+          sum(length(col("text")).cast("long")).as("total_chars"))),
+
+    // Repetition filter (Gopher/C4-style): duplicate-word fraction and
+    // most-frequent-bigram share per doc — the repetition signals used
+    // to drop low-quality pretraining docs
+    "x7_repetition" -> ((s, d) => {
+      val toks = Tables.load(s, d, "documents")
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+        .select(col("doc_id"),
+          size(col("t")).cast("long").as("n_tokens"),
+          size(array_distinct(col("t"))).cast("long").as("n_distinct"),
+          col("t"))
+        .filter(col("n_tokens") >= 2)
+      toks
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+          explode(transform(sequence(lit(0), size(col("t")) - 2),
+            i => concat_ws(" ", slice(col("t"), i + 1, lit(2))))).as("bg"))
+        .groupBy(col("doc_id"), col("n_tokens"), col("n_distinct"), col("bg"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"), col("n_tokens"), col("n_distinct"))
+        .agg(max(col("c")).as("top_bg"), sum(col("c")).as("n_bg"))
+        .select(col("doc_id"), col("n_tokens"),
+          (lit(1.0) - col("n_distinct").cast("double")
+            / col("n_tokens").cast("double")).as("dup_word_frac"),
+          (col("top_bg").cast("double")
+            / col("n_bg").cast("double")).as("top_bigram_frac"))
+    }),
+
+    // PII redaction: mask numeric identifiers inside JSON event
+    // payloads (composes with the classify registry — a column
+    // flagged NUMERIC_ID gets its in-text occurrences masked; the
+    // pattern is the registry entity's unanchored form)
+    "x8_redact" -> ((s, d) =>
+      Tables.load(s, d, "events")
+        .select(col("event_id"),
+          regexp_replace(col("props"), "[0-9]+", "<NUM>").as("redacted")))
   )
 
   private val stopAll =
@@ -111,6 +146,31 @@ object TextQueries extends QueryPack {
         |  CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
         |    ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT) AS total_tokens,
         |  CAST(SUM(length(text)) AS BIGINT) AS total_chars
-        |FROM documents GROUP BY lang, source""".stripMargin
+        |FROM documents GROUP BY lang, source""".stripMargin,
+    "x7_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |base AS (
+        |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct, t
+        |  FROM toks WHERE len(t) >= 2),
+        |bg AS (
+        |  SELECT doc_id, n_tokens, n_distinct,
+        |    unnest(list_transform(range(1, len(t)),
+        |      i -> t[i] || ' ' || t[i+1])) AS bg
+        |  FROM base),
+        |cnt AS (SELECT doc_id, n_tokens, n_distinct, bg, count(*) AS c
+        |        FROM bg GROUP BY 1, 2, 3, 4),
+        |agg AS (SELECT doc_id, n_tokens, n_distinct,
+        |          max(c) AS top_bg, sum(c) AS n_bg
+        |        FROM cnt GROUP BY 1, 2, 3)
+        |SELECT doc_id, n_tokens,
+        |  1.0 - (CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE)) AS dup_word_frac,
+        |  CAST(top_bg AS DOUBLE) / CAST(n_bg AS DOUBLE) AS top_bigram_frac
+        |FROM agg""".stripMargin,
+    "x8_redact" ->
+      """SELECT event_id,
+        |  regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS redacted
+        |FROM events""".stripMargin
   )
 }

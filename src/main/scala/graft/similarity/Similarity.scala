@@ -116,7 +116,32 @@ object Similarity {
     * groupBy(cluster, dim) aggregate (recompute) — no corpus×corpus
     * work anywhere.
     */
-  def kmeansLite(df: DataFrame, k: Int, iters: Int = 2): DataFrame = {
+  def kmeansLite(df: DataFrame, k: Int, iters: Int = 2): DataFrame =
+    assignToCentroids(df, kmeansFit(df, k, iters))
+      .select(col("vec_id"), col("cluster"))
+
+  /** Assignment pass for a fixed centroid set: centroids are literal
+    * arrays, each row computes its k dots in codegen and argmins via
+    * array_min over (dist, cluster) structs — struct ordering compares
+    * dist first, then cluster, so ties break on the lowest centroid
+    * id. No shuffle, no window; one corpus scan. */
+  def assignToCentroids(df: DataFrame,
+      centroids: Array[(Int, Array[Double])]): DataFrame = {
+    val options = centroids.map { case (cid, c) =>
+      struct(
+        (-dot(col("embedding"), array(c.map(lit).toSeq: _*))).as("dist"),
+        lit(cid).as("cluster"))
+    }
+    df.select(col("vec_id"), col("embedding"))
+      .withColumn("best", array_min(array(options.toSeq: _*)))
+      .select(col("vec_id"), col("embedding"),
+        col("best").getField("cluster").as("cluster"))
+  }
+
+  /** Centroid fit: deterministic Lloyd (see kmeansLite). Returns the
+    * final (cluster, centroid) set — the IVF coarse quantizer. */
+  def kmeansFit(df: DataFrame, k: Int,
+      iters: Int = 2): Array[(Int, Array[Double])] = {
     import org.apache.spark.sql.types.DecimalType
     val vecs = df.select(col("vec_id"), col("embedding"))
     var centroids: Array[(Int, Array[Double])] = vecs
@@ -125,26 +150,8 @@ object Similarity {
       .map { case (r, i) =>
         i -> r.getSeq[Float](1).map(_.toDouble).toArray }
 
-    // Assignment is a pure map: centroids are literal arrays, each row
-    // computes its k dots in codegen and argmins via array_min over
-    // (dist, cluster) structs — struct ordering compares dist first,
-    // then cluster, so ties break on the lowest centroid id exactly
-    // like the previous window row_number(dist asc, cluster asc). No
-    // shuffle, no window; the corpus is scanned once per iteration.
-    def assigned(): DataFrame = {
-      val options = centroids.map { case (cid, c) =>
-        struct(
-          (-dot(col("embedding"), array(c.map(lit).toSeq: _*))).as("dist"),
-          lit(cid).as("cluster"))
-      }
-      vecs
-        .withColumn("best", array_min(array(options.toSeq: _*)))
-        .select(col("vec_id"), col("embedding"),
-          col("best").getField("cluster").as("cluster"))
-    }
-
     (1 to iters).foreach { _ =>
-      val a = assigned()
+      val a = assignToCentroids(vecs, centroids)
       val dims = a
         .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy(col("cluster"), col("pos"))
@@ -159,7 +166,39 @@ object Similarity {
       centroids = dims.map(r => (r.getInt(0),
         r.getSeq[Double](1).toArray)).sortBy(_._1)
     }
-    assigned().select(col("vec_id"), col("cluster"))
+    centroids
+  }
+
+  /** End-to-end IVF ANN: fit nlist centroids, assign the corpus to
+    * inverted lists, then for each query probe the `nprobe` nearest
+    * lists and rank candidates by exact cosine. With nprobe = nlist
+    * this degenerates to exact brute force (every list probed) — the
+    * recall/throughput knob is nprobe.
+    *
+    * Scale shape: queries explode ×nprobe and broadcast; the corpus is
+    * scanned once, shuffled nowhere — the inverted-list equi-join
+    * prunes each query's candidate set to its probed lists. At 100 TB
+    * the assignment is a precomputed (bucketed) table, and the fit
+    * runs on a sample — both available as standalone ops here. */
+  def ivfProbeTopK(df: DataFrame, queryPred: Column, k: Int,
+      nlist: Int, nprobe: Int, iters: Int = 2): DataFrame = {
+    val centroids = kmeansFit(df, nlist, iters)
+    val corpus = withNorm(assignToCentroids(df, centroids))
+    // nearest-nprobe cluster ids per query: sort (dist, cluster)
+    // structs ascending, slice the head, explode to one row per probe
+    val options = centroids.map { case (cid, c) =>
+      struct(
+        (-dot(col("embedding"), array(c.map(lit).toSeq: _*))).as("dist"),
+        lit(cid).as("cluster"))
+    }
+    val queries = corpus.filter(queryPred)
+      .withColumn("probes",
+        slice(array_sort(array(options.toSeq: _*)), 1, nprobe))
+      .withColumn("probe_cluster",
+        explode(transform(col("probes"), p => p.getField("cluster"))))
+      .drop("probes")
+    topKJoin(broadcast(queries), corpus,
+      col("q.probe_cluster") === col("c.cluster"), k)
   }
 
   /** Embedding near-duplicate pairs: all (a < b) with cosine ≥

@@ -65,6 +65,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(c(0L) == c(1L) && c(2L) == c(3L) && c(0L) != c(2L))
   }
 
+  test("IVF probe with nprobe = nlist reproduces exact brute force") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    val exact = Similarity.bruteForceTopK(e, col("vec_id") < 3, k = 5)
+      .collect().map(key).toSet
+    val probed = Similarity.ivfProbeTopK(e, col("vec_id") < 3, k = 5,
+      nlist = 4, nprobe = 4).collect().map(key).toSet
+    assert(probed == exact)
+  }
+
+  test("IVF probe narrows candidates but keeps ranking consistent") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val narrow = Similarity.ivfProbeTopK(e, col("vec_id") < 3, k = 5,
+      nlist = 8, nprobe = 2).collect()
+    assert(narrow.nonEmpty)
+    // every query's ranks are 1..n contiguous (dense per-query ranking)
+    narrow.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val rns = rows.map(_.getLong(2)).sorted
+      assert(rns.head == 1L && rns.toSeq == (1L to rns.last))
+    }
+  }
+
   test("near-dup pairs finds the planted close pair only") {
     val pairs = Similarity.nearDupPairs(vecs, 0.95)
       .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
