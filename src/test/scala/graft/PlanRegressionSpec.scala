@@ -56,6 +56,41 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(store.ofType("s3").count() == 1)
   }
 
+  test("a1 classify: one ObjectHashAggregate carrying the multi-match buffer") {
+    val p = plan("a1_classify_full_registry")
+    assert(p.contains("ObjectHashAggregate"), p.take(2000))
+    assert(p.contains("multi_match_count"), p.take(2000))
+    // partial -> final pair, so the exchange carries counter buffers,
+    // not cells
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, "no partial agg")
+  }
+
+  test("c1 decontaminate: benchmark side broadcasts as a semi-join") {
+    val p = plan("c1_decontaminate")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("c2 split assign: pure projection, zero exchanges") {
+    val p = plan("c2_split_assign")
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("x8 redact: scan prunes to the two referenced columns") {
+    val p = plan("x8_redact")
+    assert(!p.contains("user_id") && !p.contains("event_type"),
+      "scan reads unneeded columns")
+  }
+
+  test("s6 ivf probe: corpus is never hash-partitioned") {
+    val df = SparkEntry.queries("s6_ivf_probe")(spark, sf)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(!p.contains("hashpartitioning(vec_id"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+  }
+
   test("s2 knn: native dot_product, no corpus exchange") {
     val df = SparkEntry.queries("s2_knn_brute")(spark, sf)
     val p = df.queryExecution.explainString(
