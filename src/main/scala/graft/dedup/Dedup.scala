@@ -108,6 +108,52 @@ object Dedup {
       .distinct()
   }
 
+  /** Inverted index grouped by shingle: one row per distinct shingle
+    * with the sorted list of docs containing it, df-capped. ONE
+    * exchange produces the df cap (list size), the postings (explode
+    * back), and the pair candidates (pairwise combos of each list) —
+    * the separate cap-aggregate + semi-join + pair self-join of the
+    * postings formulation collapse into this single shuffle. Lists
+    * are bounded by `maxDf`, so the per-row HOF work is O(maxDf²)
+    * worst case and hot shingles can't blow up a task. */
+  def shingleGroups(df: DataFrame, idCol: String, textCol: String,
+      n: Int, maxDf: Int): DataFrame =
+    shinglePostings(df, idCol, textCol, n, Int.MaxValue)
+      .groupBy(xxhash64(col("shingle")).as("sh_h"))
+      .agg(min(col("shingle")).as("shingle"),
+        array_sort(collect_list(col("doc"))).as("docs"))
+      .filter(size(col("docs")) <= maxDf)
+      .select(col("shingle"), col("docs"))
+
+  /** Postings view of a grouped index. */
+  def postingsFromGroups(groups: DataFrame): DataFrame =
+    groups.select(explode(col("docs")).as("doc"), col("shingle"))
+
+  /** Pair statistics from the grouped index: pairwise combos of each
+    * (sorted, capped) doc list, counted per pair, joined with per-doc
+    * set sizes for the exact Jaccard. Same output as
+    * `pairStats(postings)` with two fewer exchanges. */
+  def pairStatsFromGroups(groups: DataFrame, postings: DataFrame): DataFrame = {
+    val sizes = postings.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
+    val combos = flatten(transform(col("docs"), (a, i) =>
+      transform(
+        slice(col("docs"), i + lit(2),
+          greatest(size(col("docs")) - i - 1, lit(0))),
+        b => struct(a.as("doc_a"), b.as("doc_b")))))
+    val pairs = groups
+      .select(explode(combos).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    pairs
+      .join(sizes.withColumnRenamed("doc", "doc_a")
+        .withColumnRenamed("sz", "size_a"), Seq("doc_a"))
+      .join(sizes.withColumnRenamed("doc", "doc_b")
+        .withColumnRenamed("sz", "size_b"), Seq("doc_b"))
+      .withColumn("jaccard",
+        col("shared").cast("double")
+          / (col("size_a") + col("size_b") - col("shared")))
+  }
+
   /** Pre-threshold pair statistics from a postings frame: every
     * same-shingle pair with shared/size counts and exact Jaccard.
     * Cache this when several thresholds (or an LSH verify pass) read

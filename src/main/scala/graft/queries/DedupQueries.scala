@@ -20,10 +20,11 @@ object DedupQueries extends QueryPack {
 
   private[queries] def shared(s: SparkSession, d: String): (DataFrame, DataFrame) =
     memo.getOrElseUpdate(d, {
-      val postings = Dedup.shinglePostings(
+      val groups = Dedup.shingleGroups(
         Tables.load(s, d, "documents"), "doc_id", "text", n = 3, maxDf = 50)
         .cache()
-      (postings, Dedup.pairStats(postings).cache())
+      val postings = Dedup.postingsFromGroups(groups).cache()
+      (postings, Dedup.pairStatsFromGroups(groups, postings).cache())
     })
 
   def queries: Map[String, Q] = Map(

@@ -31,6 +31,25 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("grouped-index pair stats ≡ postings-join pair stats") {
+    // Same pair set, counts and Jaccards through either formulation,
+    // on real corpus data (df cap active).
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_a", "doc_b", "shared", "size_a", "size_b", "jaccard")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getDouble(5)))
+        .toSet
+    val viaJoin = canon(Dedup.pairStats(
+      Dedup.shinglePostings(corpus, "doc_id", "text", 3, 50).cache()))
+    val groups = Dedup.shingleGroups(corpus, "doc_id", "text", 3, 50).cache()
+    val viaGroups = canon(Dedup.pairStatsFromGroups(
+      groups, Dedup.postingsFromGroups(groups)))
+    assert(viaGroups == viaJoin)
+    assert(viaGroups.nonEmpty)
+  }
+
   test("minhash+LSH candidates recover high-jaccard pairs") {
     val pairs = Dedup.minhashDupPairs(docs, "doc_id", "text",
         threshold = 0.5)
