@@ -255,9 +255,154 @@ object EntityRegistry {
     Entity("US_MEDICARE_ID", "^[1-9][A-Z][A-Z0-9][0-9]-?[A-Z][A-Z0-9][0-9]-?[A-Z]{2}[0-9]{2}$"),
     Entity("BLOOD_TYPE", "^(A|B|AB|O)[+-]$"))
 
+  /** National identifiers, second tranche (public format specs). */
+  val nationalId2: Seq[Entity] = Seq(
+    Entity("PL_PESEL", "^[0-9]{11}$"),
+    Entity("SE_PERSONNUMMER", "^[0-9]{6}[-+][0-9]{4}$"),
+    Entity("NL_BSN", "^[0-9]{9}$"),
+    Entity("CH_AHV", "^756\\.[0-9]{4}\\.[0-9]{4}\\.[0-9]{2}$"),
+    Entity("DK_CPR", "^[0-9]{6}-[0-9]{4}$"),
+    Entity("FI_HETU", "^[0-9]{6}[A+-][0-9]{3}[0-9A-Y]$"),
+    Entity("NO_FODSELSNUMMER", "^[0-9]{6} ?[0-9]{5}$"),
+    Entity("PT_NIF", "^[125689][0-9]{8}$"),
+    Entity("GR_AMKA", "^[0-9]{11}$"),
+    Entity("IE_PPS", "^[0-9]{7}[A-W][A-IW]?$"),
+    Entity("MX_CURP", "^[A-Z]{4}[0-9]{6}[HM][A-Z]{5}[0-9A-Z][0-9]$"),
+    Entity("CL_RUT", "^[0-9]{1,2}\\.[0-9]{3}\\.[0-9]{3}-[0-9K]$"),
+    Entity("AR_DNI", "^[0-9]{2}\\.[0-9]{3}\\.[0-9]{3}$"),
+    Entity("JP_MY_NUMBER", "^[0-9]{4} ?[0-9]{4} ?[0-9]{4}$"),
+    Entity("KR_RRN", "^[0-9]{6}-[1-4][0-9]{6}$"),
+    Entity("CN_RESIDENT_ID", "^[1-9][0-9]{5}(19|20)[0-9]{2}(0[1-9]|1[0-2])(0[1-9]|[12][0-9]|3[01])[0-9]{3}[0-9X]$"),
+    Entity("SG_NRIC", "^[STFGM][0-9]{7}[A-Z]$"),
+    Entity("HK_HKID", "^[A-Z]{1,2}[0-9]{6}\\([0-9A]\\)$"),
+    Entity("ZA_ID_NUMBER", "^[0-9]{2}(0[1-9]|1[0-2])(0[1-9]|[12][0-9]|3[01])[0-9]{4}[01][89][0-9]$"),
+    Entity("TR_TCKN", "^[1-9][0-9]{10}$"),
+    Entity("RU_SNILS", "^[0-9]{3}-[0-9]{3}-[0-9]{3} [0-9]{2}$"),
+    Entity("RU_INN", "^[0-9]{10}([0-9]{2})?$"),
+    Entity("NZ_IRD", "^[0-9]{2,3}-[0-9]{3}-[0-9]{3}$"),
+    Entity("IL_TEUDAT_ZEHUT", "^[0-9]{9}$"),
+    Entity("IN_VOTER_ID", "^[A-Z]{3}[0-9]{7}$"),
+    Entity("US_SSN_NODASH", "^[0-9]{9}$"),
+    Entity("US_EIN", "^[0-9]{2}-[0-9]{7}$"),
+    Entity("US_MILITARY_ID", "^[0-9]{10}$"),
+    Entity("CA_PASSPORT", "^[A-Z]{2}[0-9]{6}$"),
+    Entity("AU_MEDICARE", "^[2-6][0-9]{3} ?[0-9]{5} ?[0-9]( ?[0-9])?$"))
+
+  /** Per-country IBAN formats (fixed national lengths; public spec). */
+  val iban: Seq[Entity] = Seq(
+    "DE" -> 20, "FR" -> 25, "GB" -> 20, "ES" -> 22, "IT" -> 25,
+    "NL" -> 16, "BE" -> 14, "CH" -> 19, "AT" -> 18, "PT" -> 23,
+    "PL" -> 26, "SE" -> 22, "NO" -> 13, "DK" -> 16, "FI" -> 16,
+    "IE" -> 20).map { case (cc, len) =>
+    Entity(s"IBAN_$cc", s"^$cc[0-9]{2}[A-Z0-9]{${len - 4}}$$")
+  }
+
+  /** Financial, second tranche. */
+  val financial2: Seq[Entity] = Seq(
+    Entity("CREDIT_CARD_DISCOVER", "^6(011|5[0-9]{2})([ -]?[0-9]{4}){3}$"),
+    Entity("CREDIT_CARD_JCB", "^35[0-9]{2}([ -]?[0-9]{4}){3}$"),
+    Entity("CREDIT_CARD_DINERS", "^3(0[0-5]|[68][0-9])[0-9][ -]?[0-9]{6}[ -]?[0-9]{4}$"),
+    Entity("ISIN", "^[A-Z]{2}[A-Z0-9]{9}[0-9]$"),
+    Entity("CUSIP", "^[0-9]{3}[0-9A-Z]{5}[0-9]$"),
+    Entity("SEDOL", "^[B-DF-HJ-NP-TV-Z0-9]{6}[0-9]$"),
+    Entity("LEI", "^[A-Z0-9]{18}[0-9]{2}$"),
+    Entity("DUNS", "^[0-9]{2}-[0-9]{3}-[0-9]{4}$"),
+    Entity("EU_VAT_DE", "^DE[0-9]{9}$"),
+    Entity("EU_VAT_FR", "^FR[A-Z0-9]{2}[0-9]{9}$"),
+    Entity("EU_VAT_GB", "^GB[0-9]{9}([0-9]{3})?$"),
+    Entity("EU_VAT_NL", "^NL[0-9]{9}B[0-9]{2}$"),
+    Entity("EU_VAT_IT", "^IT[0-9]{11}$"),
+    Entity("EU_VAT_ES", "^ES[A-Z0-9][0-9]{7}[A-Z0-9]$"),
+    Entity("LITECOIN_ADDRESS", "^[LM3][a-km-zA-HJ-NP-Z1-9]{26,33}$"),
+    Entity("RIPPLE_ADDRESS", "^r[0-9a-zA-Z]{24,34}$"),
+    Entity("MONERO_ADDRESS", "^4[0-9AB][1-9A-HJ-NP-Za-km-z]{93}$"))
+
+  /** Network / credentials, second tranche (public token formats). */
+  val network2: Seq[Entity] = Seq(
+    Entity("GCP_API_KEY", "^AIza[0-9A-Za-z_-]{35}$"),
+    Entity("GITHUB_TOKEN", "^gh[pousr]_[A-Za-z0-9]{36,255}$"),
+    Entity("SLACK_TOKEN", "^xox[baprs]-[A-Za-z0-9-]{10,}$"),
+    Entity("STRIPE_KEY", "^[sp]k_(live|test)_[A-Za-z0-9]{24,}$"),
+    Entity("SENDGRID_KEY", "^SG\\.[A-Za-z0-9_-]{22}\\.[A-Za-z0-9_-]{43}$"),
+    Entity("TWILIO_SID", "^(AC|SK)[0-9a-f]{32}$"),
+    Entity("PRIVATE_KEY_HEADER", "^-----BEGIN ((RSA|EC|DSA|OPENSSH) )?PRIVATE KEY-----"),
+    Entity("BASIC_AUTH_URL", "^[a-z][a-z0-9+.-]*://[^/@ ]+:[^/@ ]+@.+$"),
+    Entity("IPV4_CIDR", "^([0-9]{1,3}\\.){3}[0-9]{1,3}/([0-9]|[12][0-9]|3[0-2])$"),
+    Entity("PORT_SPEC", "^([0-9]{1,3}\\.){3}[0-9]{1,3}:[0-9]{1,5}$"),
+    Entity("SHA1_HASH", "^[a-f0-9]{40}$"),
+    Entity("NTLM_HASH", "^[a-fA-F0-9]{32}:[a-fA-F0-9]{32}$"),
+    Entity("GUID_BRACED", "^\\{[0-9a-fA-F]{8}-([0-9a-fA-F]{4}-){3}[0-9a-fA-F]{12}\\}$"),
+    Entity("ONION_ADDRESS", "^[a-z2-7]{16,56}\\.onion$"),
+    Entity("E164_PHONE", "^\\+[1-9][0-9]{6,14}$"))
+
+  /** Postal / location, second tranche (public formats). */
+  val location2: Seq[Entity] = Seq(
+    Entity("NL_POSTCODE", "^[1-9][0-9]{3} ?[A-Z]{2}$"),
+    Entity("SE_POSTCODE", "^[0-9]{3} ?[0-9]{2}$"),
+    Entity("PL_POSTCODE", "^[0-9]{2}-[0-9]{3}$"),
+    Entity("BR_CEP", "^[0-9]{5}-[0-9]{3}$"),
+    Entity("JP_POSTCODE", "^[0-9]{3}-[0-9]{4}$"),
+    Entity("IN_PINCODE", "^[1-9][0-9]{5}$"),
+    Entity("AU_POSTCODE", "^[0-9]{4}$"),
+    Entity("RU_POSTCODE", "^[0-9]{6}$"),
+    Entity("PLUS_CODE", "^[23456789CFGHJMPQRVWX]{4,8}\\+[23456789CFGHJMPQRVWX]{2,3}$"),
+    Entity("MGRS", "^[0-9]{1,2}[C-HJ-NP-X][A-HJ-NP-Z]{2}[0-9]{2,10}$"),
+    Entity("UTM_COORD", "^[0-9]{1,2}[C-HJ-NP-X] [0-9]{6,7} [0-9]{7}$"),
+    Entity("COUNTRY_ISO3", "^[A-Z]{3}$"),
+    Entity("TIMEZONE_NAME", "^[A-Za-z]+/[A-Za-z_]+$"))
+
+  /** Document / identifier, second tranche. */
+  val document2: Seq[Entity] = Seq(
+    Entity("ISSN", "^[0-9]{4}-[0-9]{3}[0-9X]$"),
+    Entity("DOI", "^10\\.[0-9]{4,9}/[^ ]+$"),
+    Entity("ORCID", "^[0-9]{4}-[0-9]{4}-[0-9]{4}-[0-9]{3}[0-9X]$"),
+    Entity("ARXIV_ID", "^[0-9]{4}\\.[0-9]{4,5}(v[0-9]+)?$"),
+    Entity("PMID", "^PMID:? ?[0-9]{1,8}$"),
+    Entity("IMO_NUMBER", "^IMO ?[0-9]{7}$"),
+    Entity("ICAO_AIRCRAFT_REG", "^[A-Z]-[A-Z]{4}$"),
+    Entity("N_NUMBER_US_AIRCRAFT", "^N[1-9][0-9A-Z]{1,4}$"),
+    Entity("CONTAINER_ID", "^[A-Z]{4}[0-9]{7}$"),
+    Entity("GTIN8", "^[0-9]{8}$"),
+    Entity("GTIN12", "^[0-9]{12}$"),
+    Entity("GTIN14", "^[0-9]{14}$"),
+    Entity("TRACKING_FEDEX", "^[0-9]{12}([0-9]{3})?$"),
+    Entity("TRACKING_USPS", "^9[0-9]{21,25}$"),
+    Entity("TRACKING_DHL", "^JD[0-9]{16,18}$"),
+    Entity("SWID", "^[0-9A-F]{8}-([0-9A-F]{4}-){3}[0-9A-F]{12}$"),
+    Entity("SEMVER", "^[0-9]+\\.[0-9]+\\.[0-9]+(-[0-9A-Za-z.-]+)?(\\+[0-9A-Za-z.-]+)?$"))
+
+  /** Vehicle / phone, second tranche. */
+  val vehicle2: Seq[Entity] = Seq(
+    Entity("DE_LICENSE_PLATE", "^[A-ZÄÖÜ]{1,3}-[A-Z]{1,2} ?[0-9]{1,4}$"),
+    Entity("FR_LICENSE_PLATE", "^[A-Z]{2}-[0-9]{3}-[A-Z]{2}$"),
+    Entity("NL_LICENSE_PLATE", "^[A-Z0-9]{2}-[A-Z0-9]{2,3}-[A-Z0-9]{1,2}$"),
+    Entity("IN_LICENSE_PLATE", "^[A-Z]{2}[ -]?[0-9]{1,2}[ -]?[A-Z]{1,3}[ -]?[0-9]{4}$"),
+    Entity("DE_PHONE", "^(\\+49|0)[1-9][0-9]{1,4}[ /-]?[0-9]{3,8}$"),
+    Entity("FR_PHONE", "^(\\+33|0)[1-9]( ?[0-9]{2}){4}$"),
+    Entity("IN_PHONE", "^(\\+91[ -]?)?[6-9][0-9]{9}$"),
+    Entity("AU_PHONE", "^(\\+61|0)[2-478]( ?[0-9]{4}){2}$"),
+    Entity("BR_PHONE", "^(\\+55 ?)?\\(?[1-9]{2}\\)? ?9?[0-9]{4}-?[0-9]{4}$"),
+    Entity("JP_PHONE", "^(\\+81|0)[0-9]{1,4}-[0-9]{1,4}-[0-9]{4}$"))
+
+  /** Health / science, second tranche (public code systems). */
+  val health2: Seq[Entity] = Seq(
+    Entity("ICD9_CODE", "^[0-9]{3}\\.[0-9]{1,2}$"),
+    Entity("CPT_CODE", "^[0-9]{4}[0-9FTU]$"),
+    Entity("NDC_CODE", "^[0-9]{4,5}-[0-9]{3,4}-[0-9]{1,2}$"),
+    Entity("LOINC_CODE", "^[0-9]{1,5}-[0-9]$"),
+    Entity("RXNORM_CUI", "^RxCUI:? ?[0-9]{1,7}$"),
+    Entity("SNOMED_CT", "^[1-9][0-9]{5,17}$"),
+    Entity("HGVS_VARIANT", "^[NX][CMGRP]_[0-9]+\\.[0-9]+:[cgmnpr]\\..+$"),
+    Entity("RS_ID", "^rs[0-9]{1,10}$"),
+    Entity("EC_NUMBER", "^EC [0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+$"),
+    Entity("CAS_NUMBER", "^[0-9]{2,7}-[0-9]{2}-[0-9]$"))
+
   /** Full registry (extend freely; classification cost per entity is one
-    * codegen'd regex per cell, and the shuffle stays O(cols×entities)). */
+    * reused precompiled matcher per cell inside MultiMatchCount, and
+    * the shuffle stays O(cols×entities)). Models the reference's
+    * 276-entity detector list at comparable breadth. */
   val all: Seq[Entity] =
-    (contact ++ nationalId ++ financial ++ network ++ datetimeLoc
-      ++ vehicleMisc ++ health).distinct
+    (contact ++ nationalId ++ nationalId2 ++ financial ++ financial2
+      ++ iban ++ network ++ network2 ++ datetimeLoc ++ location2
+      ++ vehicleMisc ++ vehicle2 ++ document2 ++ health ++ health2).distinct
 }

@@ -210,7 +210,45 @@ object Relational extends QueryPack {
         .groupBy(date_trunc("hour", col("ts")).as("hour_start"),
           col("event_type"))
         .agg(count(lit(1)).as("n_events"),
-          dsum(col("value"), 2).as("sum_value")))
+          dsum(col("value"), 2).as("sum_value"))),
+
+    // TPC-H-Q3-shaped 3-table join + grouped revenue + top-k: the
+    // full fact⨝fact join with both scans date-pruned at the reader
+    "q3_shipping_priority" -> ((s, d) => {
+      val cut = lit("1995-03-15").cast(TimestampType)
+      val c = Tables.load(s, d, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.load(s, d, "orders").filter(col("o_orderdate") < cut)
+      val li = Tables.load(s, d, "lineitem").filter(col("l_shipdate") > cut)
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("o_orderkey"),
+          col("o_orderdate").cast(DateType).as("order_date"),
+          col("o_orderpriority"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    // Window features: lag/lead deltas per customer order history
+    "w2_lag_delta" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.load(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          (col("o_totalprice").cast(DecimalType(28, 2))
+            - lag(col("o_totalprice").cast(DecimalType(28, 2)), 1).over(w))
+            .cast(DoubleType).as("delta_prev"),
+          lead(col("o_orderkey"), 1).over(w).as("next_order"))
+    }),
+
+    // CUBE aggregate: all grouping-set combinations over (lang, source)
+    "an5_cube" -> ((s, d) =>
+      Tables.load(s, d, "documents")
+        .cube(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          dsum(col("n_chars"), 0).as("total_chars")))
   )
 
   def oracle: Map[String, String] = Map(
@@ -298,6 +336,29 @@ object Relational extends QueryPack {
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type,
         |  count(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q3_shipping_priority" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date, o_orderpriority,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "w2_lag_delta" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(28,2))
+        |    - lag(CAST(o_totalprice AS DECIMAL(28,2)), 1) OVER (
+        |        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DOUBLE) AS delta_prev,
+        |  lead(o_orderkey, 1) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_order
+        |FROM orders""".stripMargin,
+    "an5_cube" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        |  CAST(SUM(CAST(n_chars AS DECIMAL(28,0))) AS DOUBLE) AS total_chars
+        |FROM documents GROUP BY CUBE (lang, source)""".stripMargin
   )
 }
