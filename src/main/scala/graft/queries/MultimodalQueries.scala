@@ -22,7 +22,18 @@ object MultimodalQueries extends QueryPack {
     "m2_frame_sample" -> ((s, d) =>
       Multimodal.frameSample(
         Multimodal.attachPayload(
-          Tables.load(s, d, "documents"), "doc_id", "text"), 4))
+          Tables.load(s, d, "documents"), "doc_id", "text"), 4)),
+
+    // Decode stage (typed mapPartitions, per-partition codec context):
+    // the oracle checks the SQL-expressible outputs (size + header
+    // byte); the stubbed checksum/embedding are spec-pinned instead
+    "m3_decode_features" -> ((s, d) =>
+      Multimodal.decodeFeatures(
+        Multimodal.attachPayload(
+          Tables.load(s, d, "documents"), "doc_id", "text"))
+        .toDF()
+        .select(col("id"), col("nBytes").as("n_bytes"),
+          col("headerByte").cast("long").as("header_byte")))
   )
 
   def oracle: Map[String, String] = Map(
@@ -36,6 +47,11 @@ object MultimodalQueries extends QueryPack {
         |  CAST(floor(f * octet_length(encode(text)) / 4) AS BIGINT) + 1 AS frame_start,
         |  CAST(floor((f + 1) * octet_length(encode(text)) / 4) AS BIGINT)
         |    - CAST(floor(f * octet_length(encode(text)) / 4) AS BIGINT) AS frame_len
-        |FROM documents CROSS JOIN (SELECT unnest(range(0, 4)) AS f) frames""".stripMargin
+        |FROM documents CROSS JOIN (SELECT unnest(range(0, 4)) AS f) frames""".stripMargin,
+    "m3_decode_features" ->
+      """SELECT doc_id AS id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST(CASE WHEN octet_length(encode(text)) = 0 THEN 0
+        |       ELSE ascii(substr(text, 1, 1)) END AS BIGINT) AS header_byte
+        |FROM documents""".stripMargin
   )
 }
