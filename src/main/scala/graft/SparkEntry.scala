@@ -22,7 +22,8 @@ object SparkEntry {
     StreamQueries,
     AsOfQueries,
     AnalyticsQueries,
-    CurationQueries
+    CurationQueries,
+    SkewQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

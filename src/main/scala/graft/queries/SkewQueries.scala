@@ -1,0 +1,43 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.ops.Skew
+
+/** Driver-checkable skew-handling entries. The salted plans must be
+  * result-identical to their unsalted forms (salting only changes the
+  * physical distribution), so the oracles are the PLAIN join/aggregate
+  * SQL — passing the hash-compare proves the rewrite is semantically
+  * invisible, which is the whole contract of skew mitigation.
+  */
+object SkewQueries extends QueryPack {
+
+  def queries: Map[String, Q] = Map(
+    // Salted equi-join: probe side salted, build side replicated —
+    // a hot custkey's rows spread over `buckets` tasks
+    "sk1_salted_join" -> ((s, d) =>
+      Skew.saltedJoin(
+        Tables.load(s, d, "orders")
+          .withColumnRenamed("o_custkey", "c_custkey"),
+        Tables.load(s, d, "customer"), "c_custkey", buckets = 8)
+        .select(col("o_orderkey"), col("c_custkey"), col("c_name"),
+          col("o_totalprice"))),
+
+    // Two-phase salted aggregate over a low-cardinality (= skewed)
+    // key: phase 1 on (key, salt), phase 2 recombines per key
+    "sk2_salted_agg" -> ((s, d) =>
+      Skew.saltedCountSum(
+        Tables.load(s, d, "lineitem"), "l_returnflag", "l_extendedprice",
+        buckets = 8))
+  )
+
+  def oracle: Map[String, String] = Map(
+    "sk1_salted_join" ->
+      """SELECT o_orderkey, c_custkey, c_name, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
+    "sk2_salted_agg" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin
+  )
+}
