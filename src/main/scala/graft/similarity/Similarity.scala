@@ -181,8 +181,9 @@ object Similarity {
     * the assignment is a precomputed (bucketed) table, and the fit
     * runs on a sample — both available as standalone ops here. */
   def ivfProbeTopK(df: DataFrame, queryPred: Column, k: Int,
-      nlist: Int, nprobe: Int, iters: Int = 2): DataFrame = {
-    val centroids = kmeansFit(df, nlist, iters)
+      nlist: Int, nprobe: Int, iters: Int = 2,
+      fitted: Option[Array[(Int, Array[Double])]] = None): DataFrame = {
+    val centroids = fitted.getOrElse(kmeansFit(df, nlist, iters))
     val corpus = withNorm(assignToCentroids(df, centroids))
     // nearest-nprobe cluster ids per query: sort (dist, cluster)
     // structs ascending, slice the head, explode to one row per probe
