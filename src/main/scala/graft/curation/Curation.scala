@@ -92,15 +92,20 @@ object Curation {
       .select(col(idCol).as("doc_id"),
         explode(split(trim(col(textCol)), "\\s+")).as("term"))
       .filter(col("term") =!= "")
-    val nDocs = df.select(col(idCol)).distinct().count()
+    // N as a broadcast single-row frame, not a driver-side count():
+    // keeps the whole computation one plan (no separate job) and the
+    // corpus scan for N runs concurrently with the tf aggregate
+    val nDocs = df.select(col(idCol)).distinct()
+      .agg(count(lit(1)).cast("double").as("n_docs"))
     val tf = toks.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("term"))
       .agg(count(lit(1)).as("df"))
     val scored = tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(nDocs))
       .withColumn("score",
         col("tf").cast("double")
-          * (lit(nDocs.toDouble) / col("df").cast("double")))
+          * (col("n_docs") / col("df").cast("double")))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("term"))
     scored.withColumn("rn", row_number().over(w))
