@@ -91,4 +91,48 @@ class PropertiesSpec extends AnyFunSuite {
       found(0.8).subsetOf(found(0.2))
     }, n = 5)
   }
+
+  test("splitAssign covers every id exactly once, independent of corpus") {
+    holds(Prop.forAll(Gen.nonEmptyListOf(Gen.choose(0L, 100000L))) { ids0 =>
+      val ids = ids0.distinct
+      val out = graft.curation.Curation
+        .splitAssign(ids.toDF("doc_id"), "doc_id")
+        .collect().map(r => r.getLong(0) -> r.getString(1))
+      out.length == ids.length &&
+        out.forall { case (_, s) => Set("train", "val", "test")(s) }
+    }, n = 5)
+  }
+
+  test("connected components: labels are component-minimal and closed") {
+    val edgeGen = Gen.listOfN(6,
+      Gen.zip(Gen.choose(1L, 10L), Gen.choose(1L, 10L)))
+    holds(Prop.forAll(edgeGen) { es =>
+      val edges = es.filter { case (a, b) => a != b }
+      val nodes = (1L to 10L).toDF("id")
+      val comp = graft.curation.Curation
+        .connectedComponents(nodes,
+          if (edges.isEmpty) Seq((1L, 1L)).toDF("s", "d").limit(0)
+          else edges.toDF("s", "d"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // every edge endpoint pair shares a component; every label is
+      // the minimum id within its component
+      val closed = edges.forall { case (a, b) => comp(a) == comp(b) }
+      val minimal = comp.groupBy(_._2).forall { case (label, members) =>
+        members.keys.min == label
+      }
+      closed && minimal && comp.size == 10
+    }, n = 5)
+  }
+
+  test("decontaminate flags no doc when benchmark shares no shingle") {
+    val wordsA = Gen.listOfN(8, Gen.oneOf("aa", "bb", "cc", "dd"))
+    val wordsB = Gen.listOfN(8, Gen.oneOf("xx", "yy", "zz", "ww"))
+    holds(Prop.forAll(wordsA, wordsB) { (wa, wb) =>
+      val corpus = Seq((1L, wa.mkString(" "))).toDF("doc_id", "text")
+      val bench = Seq((9L, wb.mkString(" "))).toDF("doc_id", "text")
+      graft.curation.Curation
+        .decontaminate(corpus, bench, "doc_id", "text", n = 3)
+        .count() == 0
+    }, n = 5)
+  }
 }
