@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Library entry point: build (or adapt) a SparkSession configured the
+  * way the engine expects. A user of the reference system switches to
+  * this engine by replacing their Glue job bootstrap with
+  * `Graft.session()` (or `Graft.configure(spark)` on an existing
+  * session) and calling the operator APIs under graft.ops / graft.dedup
+  * / graft.curation / graft.similarity / graft.streaming.
+  *
+  * What it sets, and why:
+  *  - AQE on: runtime re-planning + skew-join splitting (SCALE.md).
+  *  - shuffle partitions ~ cluster parallelism (not the 200 default):
+  *    every shuffle here carries either metadata-sized keys or
+  *    pre-aggregated buffers, so partition count should track cores.
+  *  - `spark.sql.extensions=graft.expressions.GraftExtensions`:
+  *    injects the FuseDotProduct optimizer rule and the dot_product
+  *    SQL function (session-builder path); `configure` registers the
+  *    function directly for sessions built elsewhere.
+  *  - UTC session timezone and nanos-as-long parquet reads: the
+  *    timestamp round-trip semantics the oracle checks (F7/P8).
+  */
+object Graft {
+
+  /** Configure an existing session (idempotent). */
+  def configure(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.expressions.VectorExpressions.register(spark)
+    spark
+  }
+
+  /** Build a new session (local default; pass a cluster master/confs
+    * through `extraConf`). */
+  def session(
+      appName: String = "graft",
+      master: String = s"local[${Runtime.getRuntime.availableProcessors()}]",
+      shufflePartitions: Int = Runtime.getRuntime.availableProcessors(),
+      extraConf: Map[String, String] = Map.empty): SparkSession = {
+    val b = SparkSession.builder()
+      .appName(appName)
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
+    extraConf.foreach { case (k, v) => b.config(k, v) }
+    configure(b.getOrCreate())
+  }
+}

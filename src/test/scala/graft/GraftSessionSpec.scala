@@ -1,0 +1,29 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraftSessionSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("configure is idempotent and registers dot_product for SQL") {
+    val s = Graft.configure(Graft.configure(spark))
+    assert(s.conf.get("spark.sql.adaptive.enabled") == "true")
+    assert(s.conf.get("spark.sql.session.timeZone") == "UTC")
+    import s.implicits._
+    val out = Seq((Array(1.0f, 2.0f), Array(3.0f, 4.0f))).toDF("a", "b")
+      .createOrReplaceTempView("vecs")
+    val r = s.sql("SELECT dot_product(a, b) AS d FROM vecs").collect()
+    assert(r(0).getDouble(0) == 11.0)
+  }
+
+  test("a reference-style job runs end to end on a configured session") {
+    val s = Graft.configure(spark)
+    import s.implicits._
+    val df = Seq(("a@b.com", "x"), ("c@d.org", "y")).toDF("email", "junk")
+    val found = graft.ops.Classify
+      .classifyColumns(df, Seq(graft.ops.EntityRegistry.EMAIL), threshold = 0.5)
+      .collect()
+    assert(found.exists(r => r.getString(0) == "email"
+      && r.getString(1) == "EMAIL"))
+  }
+}
