@@ -1,0 +1,64 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Luhn checksum validation — the post-regex validator pass a
+  * production entity detector runs on payment-card candidates (the
+  * reference's closed-source EntityDetector validates formats beyond
+  * the regex; SURVEY.md §7.4 "faithful detector semantics"). Regex
+  * matches CANDIDATES; the checksum kills the 90% of 16-digit strings
+  * that aren't real card numbers.
+  *
+  * Input: digit string (separators NOT allowed — strip first; strings
+  * with any non-digit, empty, or single-char input return false).
+  * One byte loop, codegen'd; composes with classify as
+  * `when(col.rlike(cardPattern) && luhn_valid(strip), ...)`.
+  */
+case class LuhnCheck(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"luhn_valid expects string, got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(input: Any): Any =
+    LuhnCheck.valid(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.LuhnCheck.valid($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): LuhnCheck =
+    copy(child = newChild)
+  override def prettyName: String = "luhn_valid"
+}
+
+object LuhnCheck {
+  // Java-callable from generated code.
+  def valid(s: UTF8String): Boolean = {
+    val bs = s.getBytes
+    val n = bs.length
+    if (n < 2) return false
+    var sum = 0
+    var i = n - 1
+    var double = false
+    while (i >= 0) {
+      val b = bs(i)
+      if (b < '0' || b > '9') return false
+      var d = b - '0'
+      if (double) { d *= 2; if (d > 9) d -= 9 }
+      sum += d
+      double = !double
+      i -= 1
+    }
+    sum % 10 == 0
+  }
+
+  def luhn_valid(c: Column): Column =
+    Bridge.column(LuhnCheck(Bridge.expression(c)))
+}

@@ -45,6 +45,16 @@ object ClassifyQueries extends QueryPack {
         Tables.load(s, d, "documents"), docEntities, threshold = 0.05)
         .withColumn("entityTypes", array_join(col("entityTypes"), ","))),
 
+    // Validator pass: Luhn checksum over digit strings — the
+    // post-regex validation a production card detector applies
+    // (custom codegen'd expression; oracle replays the checksum
+    // arithmetic with list_transform)
+    "v1_luhn_validate" -> ((s, d) =>
+      Tables.load(s, d, "events")
+        .select(col("event_id"),
+          graft.expressions.LuhnCheck.luhn_valid(
+            col("event_id").cast("string")).as("is_luhn"))),
+
     // P1: provenance enrichment (deterministic columns only; the
     // uuid/timestamp stamps are covered by ClassifySpec)
     "p1_enrich_findings" -> ((s, d) =>
@@ -100,7 +110,19 @@ object ClassifyQueries extends QueryPack {
       |UNION ALL SELECT 'value', CAST(value AS VARCHAR) FROM events
       |UNION ALL SELECT 'props', props FROM events""".stripMargin
 
+  private val luhnSql = {
+    val d = "CAST(substr(s, i, 1) AS INT)"
+    s"""SELECT event_id,
+       |  CASE WHEN len(s) < 2 THEN FALSE
+       |  ELSE list_sum(list_transform(range(1, len(s) + 1), i ->
+       |    CASE WHEN (len(s) - i) % 2 = 1
+       |      THEN CASE WHEN 2 * $d > 9 THEN 2 * $d - 9 ELSE 2 * $d END
+       |      ELSE $d END)) % 10 = 0 END AS is_luhn
+       |FROM (SELECT event_id, CAST(event_id AS VARCHAR) AS s FROM events) t""".stripMargin
+  }
+
   def oracle: Map[String, String] = Map(
+    "v1_luhn_validate" -> luhnSql,
     "a1_classify_docs" -> classifyOracle(docCells, docEntities, 0.05),
     "a1_classify_full_registry" ->
       classifyOracle(docCells, graft.ops.EntityRegistry.all, 0.05),

@@ -12,7 +12,14 @@ object StreamQueries extends QueryPack {
   def queries: Map[String, Q] = Map(
     // Gap-based session windows per user (declarative session_window)
     "e2_session_window" -> ((s, d) =>
-      EventAggregates.sessions(Tables.load(s, d, "events"), "30 minutes"))
+      EventAggregates.sessions(Tables.load(s, d, "events"), "30 minutes")),
+
+    // Sliding event-time windows (1h length, 30m slide): each event
+    // lands in two windows — the overlap path window() takes when
+    // slide < length (e1 covers the tumbling path)
+    "e3_sliding_window" -> ((s, d) =>
+      EventAggregates.windowedCounts(Tables.load(s, d, "events"),
+        "1 hour", Some("30 minutes")))
   )
 
   def oracle: Map[String, String] = Map(
@@ -33,6 +40,21 @@ object StreamQueries extends QueryPack {
         |SELECT user_id, CAST(date_trunc('ms', min(ts)) AS TIMESTAMP) AS session_start,
         |  count(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total_value
-        |FROM g GROUP BY user_id, sid""".stripMargin
+        |FROM g GROUP BY user_id, sid""".stripMargin,
+    // each event belongs to the two 30-min-aligned windows covering
+    // it (start <= ts < start + 1h; end-exclusive like Spark window())
+    "e3_sliding_window" ->
+      """WITH w AS (
+        |  SELECT event_type, value, ts,
+        |    unnest([time_bucket(INTERVAL '30 minutes', ts),
+        |            time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'])
+        |      AS window_start
+        |  FROM events)
+        |SELECT CAST(window_start AS TIMESTAMP) AS window_start, event_type,
+        |  count(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS sum_value
+        |FROM w
+        |WHERE window_start + INTERVAL '60 minutes' > ts
+        |GROUP BY 1, 2""".stripMargin
   )
 }

@@ -32,6 +32,20 @@ class StringKernelsSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("luhn_valid accepts real checksums and rejects perturbations") {
+    import graft.expressions.LuhnCheck.luhn_valid
+    // Known-valid Luhn strings (public test numbers) + invalid variants
+    val cases = Seq(
+      ("4532015112830366", true), ("79927398713", true),
+      ("4532015112830367", false), ("79927398714", false),
+      ("1234567812345678", false), ("0000000000000000", true),
+      ("18", true), ("", false), ("7", false), ("4a32015112830366", false))
+    val out = cases.map(_._1).toDF("s")
+      .select(col("s"), luhn_valid(col("s")).as("v"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    cases.foreach { case (s, expected) => assert(out(s) == expected, s) }
+  }
+
   test("kernels survive interpreted eval (null-safe, empty input)") {
     val df = Seq(Some("Ab1"), None, Some("")).toDF("s")
     val rows = df.select(strip_non_alnum(lower(col("s"))).as("f"),
