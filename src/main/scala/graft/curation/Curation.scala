@@ -113,6 +113,27 @@ object Curation {
       .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score"))
   }
 
+  /** Token-budget bin packing (training-batch construction): within
+    * each shard (`partCol`), documents are laid out in id order and
+    * cut into bins of ~`budget` tokens by exclusive-prefix-sum
+    * division — the standard streaming packing heuristic (a doc that
+    * crosses the boundary starts the next bin).
+    *
+    * Packing is per-shard so the window never serializes the corpus
+    * through one task: each shard's running sum is independent, which
+    * is exactly how a 1000-executor packing job shards batches. */
+  def packBins(df: DataFrame, partCol: String, idCol: String,
+      tokensCol: String, budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(partCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("prefix_tokens",
+        sum(col(tokensCol).cast("long")).over(w))
+      .withColumn("bin",
+        floor((col("prefix_tokens") - col(tokensCol)) / budget.toDouble)
+          .cast("long"))
+  }
+
   /** Connected components by iterative min-label propagation: every
     * node's label becomes the min over {self} ∪ neighbor labels until
     * a fixed point. Deterministic output: component id = min node id.

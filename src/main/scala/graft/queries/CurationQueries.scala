@@ -41,6 +41,18 @@ object CurationQueries extends QueryPack {
       Curation.tfidfTopTerms(
         Tables.load(s, d, "documents"), "doc_id", "text", k = 3)),
 
+    // Token-budget bin packing per source shard (training-batch
+    // construction): exclusive-prefix-sum division, 2048-token bins
+    "c5_pack_bins" -> ((s, d) =>
+      Curation.packBins(
+        Tables.load(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            graft.functions.TextFunctions.wsTokenCount(col("text"))
+              .cast("long").as("n_tokens")),
+        "source", "doc_id", "n_tokens", budget = 2048L)
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("prefix_tokens"), col("bin"))),
+
     // Duplicate-cluster resolution: connected components over the
     // n-gram Jaccard near-dup pairs (same pairs as d2)
     "d7_dedup_clusters" -> ((s, d) => {
@@ -105,6 +117,21 @@ object CurationQueries extends QueryPack {
         |    ORDER BY score DESC, term) AS rn
         |  FROM scored) t
         |WHERE rn <= 3""".stripMargin,
+
+    "c5_pack_bins" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS prefix_tokens
+        |  FROM t)
+        |SELECT doc_id, source, n_tokens, prefix_tokens,
+        |  CAST(floor((prefix_tokens - n_tokens) / 2048.0) AS BIGINT) AS bin
+        |FROM p""".stripMargin,
 
     "d7_dedup_clusters" ->
       s"""WITH RECURSIVE ${DedupQueries.postingsCte},
