@@ -91,6 +91,14 @@ class PlanRegressionSpec extends AnyFunSuite {
       p.take(2000))
   }
 
+  test("q3: date filters pushed to both fact scans, dim side broadcast") {
+    val p = plan("q3_shipping_priority")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate")
+      || p.contains("GreaterThan(l_shipdate"), p.take(3000))
+    assert(p.contains("LessThan(o_orderdate"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
   test("s2 knn: native dot_product, no corpus exchange") {
     val df = SparkEntry.queries("s2_knn_brute")(spark, sf)
     val p = df.queryExecution.explainString(
