@@ -51,6 +51,34 @@ class StreamingWindowSpec extends AnyFunSuite {
     assert(s == Set((1L, 2L, 3.0), (1L, 1L, 4.0), (2L, 1L, 8.0)))
   }
 
+  test("watermark finalizes windows and drops late data (append mode)") {
+    implicit val sqlCtx = spark.sqlContext
+    val st = MemoryStream[(Timestamp, String, Double)]
+    val events = st.toDF().toDF("ts", "event_type", "value")
+    val q = EventAggregates.windowedCounts(events, "10 minutes",
+        watermark = "10 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("lateout")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      st.addData((ts(1), "click", 1.0), (ts(2), "click", 2.0))
+      q.processAllAvailable()
+      // advance event time far enough that the watermark (max ts - 10m)
+      // passes the first window's end -> it finalizes and emits
+      st.addData((ts(31), "click", 4.0))
+      q.processAllAvailable()
+      // late event inside the finalized window: older than the
+      // watermark, must be DROPPED (no retraction, no new row)
+      st.addData((ts(3), "click", 100.0))
+      q.processAllAvailable()
+      val rows = spark.table("lateout")
+        .select("window_start", "event_type", "n_events", "sum_value")
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      assert(rows == Set((ts(0), "click", 2L, 3.0)))
+    } finally q.stop()
+  }
+
   test("streaming dedup within watermark drops replayed event ids") {
     implicit val sqlCtx = spark.sqlContext
     val st = MemoryStream[(Long, Timestamp, Double)]
