@@ -248,7 +248,17 @@ object Relational extends QueryPack {
       Tables.load(s, d, "documents")
         .cube(col("lang"), col("source"))
         .agg(count(lit(1)).as("n_docs"),
-          dsum(col("n_chars"), 0).as("total_chars")))
+          dsum(col("n_chars"), 0).as("total_chars"))),
+
+    // Custom whole-operator extension: top-3 orders per customer via
+    // the TopKPerKey LogicalPlan/Strategy/SparkPlan (bounded per-key
+    // heaps, map-side prune before the exchange, no window sort) —
+    // result-identical to row_number()<=k, which is what the oracle runs
+    "tk1_topk_perkey" -> ((s, d) =>
+      org.apache.spark.sql.graft.TopKPerKey.topKPerKey(
+        Tables.load(s, d, "orders"), Seq("o_custkey"),
+        Seq(("o_totalprice", true), ("o_orderkey", false)), k = 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice")))
   )
 
   def oracle: Map[String, String] = Map(
@@ -359,6 +369,10 @@ object Relational extends QueryPack {
     "an5_cube" ->
       """SELECT lang, source, count(*) AS n_docs,
         |  CAST(SUM(CAST(n_chars AS DECIMAL(28,0))) AS DOUBLE) AS total_chars
-        |FROM documents GROUP BY CUBE (lang, source)""".stripMargin
+        |FROM documents GROUP BY CUBE (lang, source)""".stripMargin,
+    "tk1_topk_perkey" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey) <= 3""".stripMargin
   )
 }

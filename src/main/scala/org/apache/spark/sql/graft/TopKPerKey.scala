@@ -1,0 +1,125 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.classic.Dataset
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+
+/** Whole-operator Catalyst extension (SURVEY.md §2.9 / builder
+  * preference (c): custom LogicalPlan + Strategy + SparkPlan): top-k
+  * rows per key without a window sort.
+  *
+  * The declarative form — `row_number().over(partitionBy(key)
+  * .orderBy(...)) <= k` — plans as Exchange → full Sort → Window →
+  * Filter: every group's every row is sorted and ranked before all
+  * but k are discarded. This operator keeps a bounded heap per key
+  * instead: the map side prunes each partition to ≤ k rows per key
+  * BEFORE the exchange (the aggregation-style partial/final split),
+  * so the shuffle carries at most k·|keys| rows per partition and no
+  * sort ever materializes. At 100 TB with hot keys this is the
+  * difference between shuffling k rows and shuffling the key's whole
+  * history.
+  *
+  * Semantics: the k first rows of each group under `order` (ties
+  * broken by extending `order` — make it total for determinism), as
+  * an unordered set (append a sort downstream if display order
+  * matters). Exactly the rows `row_number <= k` keeps.
+  */
+case class TopKPerKeyNode(
+    k: Int,
+    keys: Seq[Expression],
+    order: Seq[SortOrder],
+    child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKeyNode =
+    copy(child = newChild)
+}
+
+case class TopKPerKeyExec(
+    k: Int,
+    keys: Seq[Expression],
+    order: Seq[SortOrder],
+    child: SparkPlan,
+    partial: Boolean) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning = child.outputPartitioning
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (partial) UnspecifiedDistribution :: Nil
+    else ClusteredDistribution(keys) :: Nil
+
+  protected override def doExecute(): RDD[InternalRow] =
+    child.execute().mapPartitionsInternal { iter =>
+      val ord = GenerateOrdering.generate(order, child.output)
+      // heap head = the WORST retained row (reverse order) → O(log k)
+      // eviction keeps the k best seen so far
+      val rev = new java.util.Comparator[InternalRow] {
+        override def compare(a: InternalRow, b: InternalRow): Int =
+          ord.compare(b, a)
+      }
+      val keyProj = UnsafeProjection.create(keys, child.output)
+      val groups =
+        new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
+      while (iter.hasNext) {
+        val row = iter.next()
+        val key = keyProj(row)
+        var q = groups.get(key)
+        if (q == null) {
+          q = new java.util.PriorityQueue[InternalRow](k + 1, rev)
+          groups.put(key.copy(), q)
+        }
+        if (q.size < k) q.add(row.copy())
+        else if (ord.compare(row, q.peek()) < 0) { q.poll(); q.add(row.copy()) }
+      }
+      import scala.jdk.CollectionConverters._
+      groups.values().iterator().asScala.flatMap(_.iterator().asScala)
+    }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
+    copy(child = newChild)
+}
+
+/** Plans the logical node as partial (map-side prune) → exchange
+  * (from the final node's required distribution) → final. */
+object TopKPerKeyStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKeyNode(k, keys, order, child) =>
+      val partial = TopKPerKeyExec(k, keys, order, planLater(child), partial = true)
+      TopKPerKeyExec(k, keys, order, partial, partial = false) :: Nil
+    case _ => Nil
+  }
+}
+
+object TopKPerKey {
+  /** DataFrame API: the k first rows per key, ordered by the named
+    * columns (`(name, descending?)` — make the order total for
+    * deterministic results). Attribute resolution happens here
+    * against the analyzed child (a custom logical node is opaque to
+    * the analyzer's column resolution). Registers the planning
+    * strategy in the session on first use. */
+  def topKPerKey(df: DataFrame, keys: Seq[String],
+      order: Seq[(String, Boolean)], k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val spark = df.sparkSession
+    if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKPerKeyStrategy
+    val child = df.queryExecution.analyzed
+    def attr(name: String): Attribute =
+      child.output.find(_.name.equalsIgnoreCase(name)).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $name not in ${child.output.map(_.name).mkString(", ")}"))
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending}
+    val sortOrders = order.map { case (name, desc) =>
+      SortOrder(attr(name), if (desc) Descending else Ascending)
+    }
+    Dataset.ofRows(spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      TopKPerKeyNode(k, keys.map(attr), sortOrders, child))
+  }
+}

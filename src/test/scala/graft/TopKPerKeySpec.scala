@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.graft.TopKPerKey.topKPerKey
+
+class TopKPerKeySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def orders = spark.read
+    .parquet("/root/testdata/sf0.001/orders.parquet")
+
+  test("topKPerKey ≡ window row_number filter (total order)") {
+    val o = orders
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("o_custkey", "o_orderkey", "o_totalprice")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaOp = canon(topKPerKey(o, Seq("o_custkey"),
+      Seq(("o_totalprice", true), ("o_orderkey", false)), k = 3))
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val viaWindow = canon(o.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3).drop("rn"))
+    assert(viaOp == viaWindow)
+    assert(viaOp.nonEmpty)
+  }
+
+  test("plan: partial prune before exchange, no Window or global Sort") {
+    val df = topKPerKey(orders, Seq("o_custkey"),
+      Seq(("o_totalprice", true), ("o_orderkey", false)), k = 3)
+    val p = df.queryExecution.executedPlan.toString
+    // physical nodeName strips the Exec suffix: partial + final
+    assert("TopKPerKey ".r.findAllIn(p).size == 2, p.take(2000))
+    assert(!p.contains("Window"), p.take(2000))
+    assert(!p.contains("SortExec"), p.take(2000))
+  }
+
+  test("groups smaller than k pass through whole") {
+    val df = Seq((1L, 10.0), (1L, 20.0), (2L, 5.0))
+      .toDF("key", "v")
+    val out = topKPerKey(df, Seq("key"), Seq(("v", true)), k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(out == Set((1L, 10.0), (1L, 20.0), (2L, 5.0)))
+  }
+}
