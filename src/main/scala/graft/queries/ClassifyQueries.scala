@@ -39,6 +39,17 @@ object ClassifyQueries extends QueryPack {
       Classify.classifyColumns(
         Tables.load(s, d, "documents"), E.all, threshold = 0.05)),
 
+    // A1 with the reference's EXACT entity list (all 256 ALL_ENTITIES
+    // names, s3-source-script.py:24-281; patterns ours — see
+    // ReferenceRegistry): the literal reference scan, one pass.
+    // threshold 0.0 emits EVERY (column, entity) counter — the oracle
+    // hash-compares all 5×256 match counts, zeros included
+    "a1_classify_ref256" -> ((s, d) =>
+      Classify.classifyColumns(
+        Tables.load(s, d, "events"),
+        graft.ops.ReferenceRegistry.all, threshold = 0.0,
+        columns = Seq("event_id", "user_id", "event_type", "value", "props"))),
+
     // A4: reference output shape — sorted entity set per column
     "a1_classify_summary" -> ((s, d) =>
       Classify.classifySummary(
@@ -126,6 +137,8 @@ object ClassifyQueries extends QueryPack {
     "a1_classify_docs" -> classifyOracle(docCells, docEntities, 0.05),
     "a1_classify_full_registry" ->
       classifyOracle(docCells, graft.ops.EntityRegistry.all, 0.05),
+    "a1_classify_ref256" ->
+      classifyOracle(eventCells, graft.ops.ReferenceRegistry.all, 0.0),
     "a1_classify_events" -> classifyOracle(eventCells, eventEntities, 0.05),
     "a1_classify_summary" -> summaryOracle(docCells, docEntities, 0.05),
     "p1_enrich_findings" ->

@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.ReferenceRegistry
+
+class ReferenceRegistrySpec extends AnyFunSuite {
+
+  private lazy val referenceNames: Seq[String] = {
+    val src = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(
+        "/root/reference/scripts/glue/s3-source/s3-source-script.py")))
+    val m = "(?s)ALL_ENTITIES\\s*=\\s*\\[(.*?)\\]".r.findFirstMatchIn(src).get
+    "\"([A-Z0-9_]+)\"".r.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq
+  }
+
+  test("registry names are 1:1 with the reference's ALL_ENTITIES list") {
+    val ours = ReferenceRegistry.all.map(_.name)
+    assert(ours.toSet == referenceNames.toSet,
+      s"missing=${referenceNames.toSet -- ours.toSet} " +
+        s"extra=${ours.toSet -- referenceNames.toSet}")
+    assert(ours.length == referenceNames.length) // no duplicates either side
+  }
+
+  test("every pattern compiles as Java regex and stays in the portable subset") {
+    ReferenceRegistry.all.foreach { e =>
+      java.util.regex.Pattern.compile(e.pattern)
+      assert(!e.pattern.contains("(?=") && !e.pattern.contains("(?!")
+        && !e.pattern.contains("(?<"), s"lookaround in ${e.name}")
+    }
+  }
+
+  test("precise patterns hit their canonical examples") {
+    def matches(name: String, s: String): Boolean = {
+      val p = ReferenceRegistry.all.find(_.name == name).get.pattern
+      java.util.regex.Pattern.compile(p).matcher(s).find(0)
+    }
+    assert(matches("USA_SSN", "123-45-6789"))
+    assert(matches("USA_ITIN", "912-78-1234"))
+    assert(matches("SPAIN_DNI", "12345678-Z"))
+    assert(matches("ITALY_FISCAL_CODE", "RSSMRA85M01H501Z"))
+    assert(matches("SWITZERLAND_AHV", "756.1234.5678.97"))
+    assert(matches("GERMANY_VALUE_ADDED_TAX", "DE123456789"))
+    assert(matches("NETHERLANDS_VALUE_ADDED_TAX", "NL123456789B01"))
+    assert(matches("CHINA_IDENTIFICATION", "110101199003077777"))
+    assert(matches("HONG_KONG_IDENTITY_CARD", "A123456(3)"))
+    assert(matches("MEXICO_CLABE_NUMBER", "032180000118359719"))
+    assert(!matches("USA_SSN", "12-345-6789"))
+  }
+}
