@@ -39,6 +39,9 @@ object Tables {
     * the condition is false and this is a no-op — the repartition
     * never touches the at-scale plan. */
   def fanOut(df: DataFrame): DataFrame = {
+    // streaming frames can't be introspected via .rdd (and micro-batch
+    // partitioning is the source's concern) — pass them through
+    if (df.isStreaming) return df
     val slots = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < slots) {
       // every fanOut consumer is a partitioning-invariant aggregate, so
