@@ -1,0 +1,46 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-layout operators for scan locality at scale. Multi-dimensional
+  * clustering (Z-order) keeps rows that are close in BOTH dimensions
+  * close in file order, so parquet row-group min/max stats prune scans
+  * filtered on either dimension — the standard layout trick for
+  * 100 TB fact tables queried along several axes (the single-column
+  * equivalent, plain sort, only helps its one leading column).
+  *
+  * zValue is pure bit arithmetic (shift/and/or of the two clamped
+  * 16-bit coordinates), so it runs in whole-stage codegen and is
+  * replayable in any engine with integer bit ops — the DuckDB oracle
+  * computes the identical interleave.
+  */
+object Layout {
+
+  /** 32-bit Morton code: interleave the low 16 bits of two
+    * non-negative (clamped) coordinates — x in even bit positions, y
+    * in odd. */
+  def zValue(x: Column, y: Column): Column = {
+    val xi = least(greatest(x.cast("long"), lit(0L)), lit(65535L))
+    val yi = least(greatest(y.cast("long"), lit(0L)), lit(65535L))
+    (0 until 16).map { i =>
+      shiftleft(shiftright(xi, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(yi, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+  }
+
+  /** Rewrite `df` into Z-order: range-partition then sort by the
+    * Morton code of the two clustering columns. Writing the result
+    * gives each output file a tight (c1, c2) bounding box → row-group
+    * pruning on either column. */
+  def zorderBy(df: DataFrame, c1: String, c2: String,
+      partitions: Int = 0): DataFrame = {
+    val z = zValue(col(c1), col(c2)).as("_z")
+    val withZ = df.withColumn("_z", z)
+    val parts = if (partitions > 0) partitions
+      else df.sparkSession.sparkContext.defaultParallelism
+    withZ.repartitionByRange(parts, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z")
+  }
+}

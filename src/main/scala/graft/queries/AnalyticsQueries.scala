@@ -10,6 +10,19 @@ import graft.sources.Tables
   */
 object AnalyticsQueries extends QueryPack {
 
+  /** Morton interleave as SQL (bit-identical to Layout.zValue). */
+  private def zSql(x: String, y: String): String = {
+    def clamp(c: String) = s"least(greatest(CAST($c AS BIGINT), 0), 65535)"
+    // NB: in DuckDB/Postgres, << binds looser than + — every shifted
+    // term needs its own parentheses or the sum associates into the
+    // shift amounts
+    val terms = (0 until 16).flatMap { i =>
+      Seq(s"(((${clamp(x)} >> $i) & 1) << ${2 * i})",
+        s"(((${clamp(y)} >> $i) & 1) << ${2 * i + 1})")
+    }
+    terms.mkString("(", " + ", ")")
+  }
+
   def queries: Map[String, Q] = Map(
     // Exact interpolated percentiles (sort-based; portable semantics)
     "an1_percentiles" -> ((s, d) =>
@@ -63,10 +76,25 @@ object AnalyticsQueries extends QueryPack {
             / sqrt((col("s2") - col("s1") * col("s1") / col("n"))
               * (col("sy2") - col("sy") * col("sy") / col("n"))), 6)
             .as("corr_value_user"))
-    })
+    }),
+
+    // Z-order layout: Morton code of (user_id, truncated value) —
+    // the multi-dimensional clustering key a 100 TB fact table sorts
+    // by so row-group stats prune scans on either column
+    "z1_zorder_key" -> ((s, d) =>
+      Tables.load(s, d, "events")
+        .select(col("event_id"), col("user_id"),
+          col("value").cast("long").as("value_int"),
+          graft.ops.Layout.zValue(col("user_id"), col("value").cast("long"))
+            .as("z")))
   )
 
   def oracle: Map[String, String] = Map(
+    "z1_zorder_key" ->
+      s"""SELECT event_id, user_id,
+         |  CAST(trunc(CAST(value AS DOUBLE)) AS BIGINT) AS value_int,
+         |  ${zSql("user_id", "CAST(trunc(CAST(value AS DOUBLE)) AS BIGINT)")} AS z
+         |FROM events""".stripMargin,
     "an1_percentiles" ->
       """SELECT o_orderpriority,
         |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,

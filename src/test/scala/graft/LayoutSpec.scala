@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Layout
+
+class LayoutSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def mortonRef(x: Long, y: Long): Long = {
+    val xi = math.min(math.max(x, 0L), 65535L)
+    val yi = math.min(math.max(y, 0L), 65535L)
+    (0 until 16).map { i =>
+      (((xi >> i) & 1L) << (2 * i)) | (((yi >> i) & 1L) << (2 * i + 1))
+    }.sum
+  }
+
+  test("zValue matches the reference interleave on a coordinate grid") {
+    val pts = for (x <- 0L to 40L; y <- 0L to 40L) yield (x, y)
+    val out = pts.toDF("x", "y")
+      .select(col("x"), col("y"), Layout.zValue(col("x"), col("y")).as("z"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    pts.foreach { case (x, y) =>
+      assert(out((x, y)) == mortonRef(x, y), s"($x,$y)")
+    }
+    // clamping: negatives and >16-bit values saturate
+    val edge = Seq((-5L, 3L), (70000L, 1L)).toDF("x", "y")
+      .select(Layout.zValue(col("x"), col("y"))).collect().map(_.getLong(0))
+    assert(edge(0) == mortonRef(0L, 3L))
+    assert(edge(1) == mortonRef(65535L, 1L))
+  }
+
+  test("zorderBy preserves rows and clusters both dimensions") {
+    val df = (0 until 1024).map(i => (i.toLong, (i * 37 % 100).toLong,
+      (i * 61 % 100).toLong)).toDF("id", "a", "b")
+    val z = Layout.zorderBy(df, "a", "b", partitions = 4)
+    assert(z.count() == 1024)
+    assert(z.select("id").distinct().count() == 1024)
+    // locality: mean |Δa|+|Δb| between file-order neighbors must beat
+    // a single-column sort's for the NON-leading dimension
+    def meanGap(ordered: Array[(Long, Long)]): Double =
+      ordered.sliding(2).map { case Array((a1, b1), (a2, b2)) =>
+        math.abs(a1 - a2) + math.abs(b1 - b2) }.sum.toDouble / (ordered.length - 1)
+    val zorder = z.select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val asort = df.orderBy("a").select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(meanGap(zorder) < meanGap(asort))
+  }
+}
