@@ -127,6 +127,11 @@ object Similarity {
     * id. No shuffle, no window; one corpus scan. */
   def assignToCentroids(df: DataFrame,
       centroids: Array[(Int, Array[Double])]): DataFrame = {
+    // empty corpus → empty fit → no inverted lists (array() of zero
+    // struct options has VOID element type and can't be argmin'd)
+    if (centroids.isEmpty)
+      return df.select(col("vec_id"), col("embedding"),
+        lit(0).as("cluster")).limit(0)
     val options = centroids.map { case (cid, c) =>
       struct(
         (-dot(col("embedding"), array(c.map(lit).toSeq: _*))).as("dist"),
@@ -184,6 +189,10 @@ object Similarity {
       nlist: Int, nprobe: Int, iters: Int = 2,
       fitted: Option[Array[(Int, Array[Double])]] = None): DataFrame = {
     val centroids = fitted.getOrElse(kmeansFit(df, nlist, iters))
+    if (centroids.isEmpty)
+      return df.select(col("vec_id").as("query_id"),
+        col("vec_id").as("neighbor_id"), lit(0L).as("rn"),
+        lit(0.0).as("cos_sim")).limit(0)
     val corpus = withNorm(assignToCentroids(df, centroids))
     // nearest-nprobe cluster ids per query: sort (dist, cluster)
     // structs ascending, slice the head, explode to one row per probe

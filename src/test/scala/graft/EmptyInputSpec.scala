@@ -1,0 +1,34 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Robustness: EVERY driver-contract query must execute (possibly to
+  * an empty result) against empty tables with the production schemas
+  * — an empty partition, a fresh estate, or a filter that matches
+  * nothing must never crash the pipeline at 100 TB.
+  */
+class EmptyInputSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private lazy val emptyDir: String = {
+    val dir = java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get("target/empty_sf")).toAbsolutePath.toString
+    graft.sources.Tables.all.foreach { t =>
+      val schema = spark.read
+        .parquet(s"/root/testdata/sf0.001/$t.parquet").schema
+      spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    dir
+  }
+
+  test("every query runs to completion on empty tables") {
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        try { fn(spark, emptyDir).count(); None }
+        catch { case e: Throwable => Some(s"$name: ${e.getMessage}") }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+}
