@@ -49,10 +49,13 @@ object Dedup {
       .select(col(idCol).cast("long").as("doc"), col(textCol).as("txt"))
       .as[(Long, String)]
       .flatMap { case (id, t) =>
-        val toks = t.trim.split("\\s+")
-        if (toks.length < n) Iterator.empty
-        else toks.iterator.sliding(n, 1).withPartial(false)
-          .map(w => (id, w.mkString(" "))).toSet.iterator
+        if (t == null) Iterator.empty // null text → no shingles (like split's null-safety)
+        else {
+          val toks = t.trim.split("\\s+")
+          if (toks.length < n) Iterator.empty
+          else toks.iterator.sliding(n, 1).withPartial(false)
+            .map(w => (id, w.mkString(" "))).toSet.iterator
+        }
       }
       .toDF("doc", "shingle")
     if (maxDf == Int.MaxValue) return sh

@@ -32,7 +32,9 @@ object Multimodal {
         col(textCol).cast("binary").as("payload"))
       .withColumn("meta", struct(
         lit(mediaType).as("mediaType"),
-        length(col("payload")).cast("long").as("nBytes"),
+        // null payload (missing media) → 0 bytes: nBytes is a
+        // primitive encoder field and must not be null
+        coalesce(length(col("payload")).cast("long"), lit(0L)).as("nBytes"),
         lit("identity").as("codec")))
       .as[MediaRow]
   }
@@ -62,8 +64,11 @@ object Multimodal {
     media.mapPartitions { rows =>
       // per-partition codec init would happen here
       rows.map { r =>
-        val (header, crc, emb) = decodeStub(r.payload)
-        MediaFeature(r.id, r.meta.nBytes, header, crc, emb)
+        // null payload (missing media) decodes as empty bytes
+        val bytes = if (r.payload == null) Array.emptyByteArray else r.payload
+        val (header, crc, emb) = decodeStub(bytes)
+        MediaFeature(r.id,
+          if (r.meta == null) 0L else r.meta.nBytes, header, crc, emb)
       }
     }
   }

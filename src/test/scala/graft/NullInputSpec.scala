@@ -1,0 +1,44 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.dedup.Dedup
+import graft.curation.Curation
+import graft.multimodal.Multimodal
+
+/** Null-value robustness: text/payload columns with NULLs must flow
+  * through every operator (dropped or null-grouped, never an NPE) —
+  * production corpora always contain them.
+  */
+class NullInputSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps again and again"),
+    (2L, null.asInstanceOf[String]),
+    (3L, "the quick brown fox jumps again and again"),
+    (4L, "")
+  ).toDF("doc_id", "text")
+
+  test("dedup family tolerates null and empty text") {
+    assert(Dedup.exactDuplicates(docs, "doc_id", "text").count() >= 1)
+    assert(Dedup.shinglePostings(docs, "doc_id", "text", 3, 50)
+      .filter("doc = 2").count() == 0)
+    assert(Dedup.shingleGroups(docs, "doc_id", "text", 3, 50).count() > 0)
+    assert(Dedup.simhash(docs, "doc_id", "text").count() >= 2)
+    Dedup.simhashPairs(docs, "doc_id", "text").count() // must not throw
+  }
+
+  test("curation ops tolerate null and empty text") {
+    assert(Curation.decontaminate(docs, docs.limit(1), "doc_id", "text").count() >= 0)
+    assert(Curation.tfidfTopTerms(docs, "doc_id", "text").filter("doc_id = 2").count() == 0)
+    assert(Curation.splitAssign(docs, "doc_id").count() == 4)
+  }
+
+  test("multimodal decode tolerates null payloads") {
+    val media = Multimodal.attachPayload(docs, "doc_id", "text")
+    val out = Multimodal.decodeFeatures(media).collect()
+    assert(out.length == 4)
+    Multimodal.frameSample(media, 4).count() // must not throw
+  }
+}
