@@ -1,0 +1,117 @@
+package graft.expressions
+
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Count-Min Sketch aggregate — the frequency-estimation sketch of
+  * the extension family (HLL via approx_count_distinct, MinHash,
+  * SimHash already present). One pass, one long[depth×width] buffer
+  * per group; merge is element-wise addition, so partial aggregation
+  * applies and the shuffle carries the sketch, not the stream.
+  *
+  * Bucket hashing is md5-based like every other sketch here —
+  * bucket_i(v) = (ascii(h1)·256 + ascii(h2)) mod width over the first
+  * two hex chars of md5(i + "|" + v) — deterministic and replayable
+  * in any engine with md5/ascii/substr, which is what makes the full
+  * sketch (not just its estimates) oracle-checkable in DuckDB.
+  * Estimate(v) = min over rows of counter[i][bucket_i(v)] —
+  * overcounts only (the CMS guarantee: true ≤ est ≤ true + εN).
+  */
+case class CountMinSketchAgg(
+    child: Expression,
+    depth: Int,
+    width: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+
+  require(depth > 0 && width > 1, "depth must be > 0 and width > 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  @transient private lazy val md5 = MessageDigest.getInstance("MD5")
+  @transient private lazy val hexDigits = "0123456789abcdef".toCharArray
+
+  private def bucket(row: Int, v: String): Int = {
+    md5.reset()
+    val d = md5.digest(s"$row|$v".getBytes(StandardCharsets.UTF_8))
+    // first two hex chars of the digest, as their ASCII codes
+    val h1 = hexDigits((d(0) >> 4) & 0xf)
+    val h2 = hexDigits(d(0) & 0xf)
+    (h1 * 256 + h2) % width
+  }
+
+  override def createAggregationBuffer(): Array[Long] =
+    new Array[Long](depth * width)
+
+  override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val s = v.asInstanceOf[UTF8String].toString
+      var i = 0
+      while (i < depth) {
+        buffer(i * width + bucket(i, s)) += 1L
+        i += 1
+      }
+    }
+    buffer
+  }
+
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < b1.length) { b1(i) += b2(i); i += 1 }
+    b1
+  }
+
+  override def eval(buffer: Array[Long]): Any = new GenericArrayData(buffer)
+
+  override def serialize(buffer: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(buffer.length * 8)
+    buffer.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    Array.fill(bytes.length / 8)(bb.getLong)
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CountMinSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CountMinSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): CountMinSketchAgg =
+    copy(child = newChild)
+  override def prettyName: String = "count_min_sketch_md5"
+}
+
+object CountMinSketchAgg {
+  /** Column API: flattened depth×width counter array for the group. */
+  def count_min(cell: Column, depth: Int, width: Int): Column =
+    Bridge.column(
+      CountMinSketchAgg(Bridge.expression(cell), depth, width)
+        .toAggregateExpression())
+
+  /** Driver-side estimate from a collected sketch. */
+  def estimate(sketch: Array[Long], depth: Int, width: Int, v: String): Long = {
+    val md = MessageDigest.getInstance("MD5")
+    val hex = "0123456789abcdef".toCharArray
+    (0 until depth).map { i =>
+      val d = md.digest(s"$i|$v".getBytes(StandardCharsets.UTF_8))
+      val b = (hex((d(0) >> 4) & 0xf) * 256 + hex(d(0) & 0xf)) % width
+      sketch(i * width + b)
+    }.min
+  }
+}

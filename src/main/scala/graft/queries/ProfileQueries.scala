@@ -1,18 +1,37 @@
 package graft.queries
 
+import org.apache.spark.sql.functions._
 import graft.sources.Tables
 import graft.ops.Profile
 
 /** Driver-checkable profiling entries (exact variants; the HLL
-  * approx path is exercised in ProfileSpec since sketch values are not
-  * engine-portable). */
+  * approx path is exercised in ProfileSpec since Spark's HLL sketch
+  * values are not engine-portable — unlike the md5-bucketed CMS
+  * below, whose FULL counter table is replayed in DuckDB). */
 object ProfileQueries extends QueryPack {
+
+  private val CmsDepth = 4
+  private val CmsWidth = 64
 
   def queries: Map[String, Q] = Map(
     "pr1_profile_customer" -> ((s, d) =>
       Profile.profile(Tables.load(s, d, "customer"))),
     "pr2_numeric_summary" -> ((s, d) =>
-      Profile.numericSummary(Tables.load(s, d, "lineitem"), "l_extendedprice"))
+      Profile.numericSummary(Tables.load(s, d, "lineitem"), "l_extendedprice")),
+
+    // Count-Min Sketch over the event-type stream: the sketch itself
+    // (every nonzero counter) is the checked result — md5 bucketing
+    // makes the whole structure engine-portable
+    "pr3_cms_sketch" -> ((s, d) => {
+      import graft.expressions.CountMinSketchAgg.count_min
+      Tables.load(s, d, "events")
+        .agg(count_min(col("event_type"), CmsDepth, CmsWidth).as("sk"))
+        .select(posexplode(col("sk")).as(Seq("pos", "cnt")))
+        .filter(col("cnt") > 0)
+        .select((col("pos") / CmsWidth).cast("long").as("row_idx"),
+          (col("pos") % CmsWidth).cast("long").as("bucket"),
+          col("cnt"))
+    })
   )
 
   private val custCells =
@@ -30,6 +49,19 @@ object ProfileQueries extends QueryPack {
          |  min(cell_value) AS min_value, max(cell_value) AS max_value
          |FROM ($custCells) cells
          |GROUP BY column_name""".stripMargin,
+    "pr3_cms_sketch" ->
+      s"""WITH cells AS (
+         |  SELECT event_type AS v FROM events WHERE event_type IS NOT NULL),
+         |r AS (SELECT unnest(range(0, $CmsDepth)) AS row_idx),
+         |b AS (SELECT row_idx,
+         |    (ascii(substr(md5(CAST(row_idx AS VARCHAR) || '|' || v), 1, 1)) * 256
+         |     + ascii(substr(md5(CAST(row_idx AS VARCHAR) || '|' || v), 2, 1)))
+         |      % $CmsWidth AS bucket
+         |  FROM cells CROSS JOIN r)
+         |SELECT CAST(row_idx AS BIGINT) AS row_idx,
+         |  CAST(bucket AS BIGINT) AS bucket,
+         |  CAST(count(*) AS BIGINT) AS cnt
+         |FROM b GROUP BY 1, 2""".stripMargin,
     "pr2_numeric_summary" ->
       """SELECT count(l_extendedprice) AS n,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sum_value,

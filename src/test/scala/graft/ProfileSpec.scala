@@ -12,6 +12,29 @@ class ProfileSpec extends AnyFunSuite {
     (3, None, 3.5), (4, Some("a"), 4.5)
   ).toDF("id", "s", "v")
 
+  test("count-min sketch: estimates bound true counts from above") {
+    import org.apache.spark.sql.functions._
+    import graft.expressions.CountMinSketchAgg
+    val (depth, width) = (4, 64)
+    val values = Seq.fill(300)("hot") ++ (1 to 100).map(i => s"rare$i")
+    val vdf = values.toDF("v")
+    val sketch = vdf
+      .agg(CountMinSketchAgg.count_min(col("v"), depth, width).as("sk"))
+      .collect()(0).getSeq[Long](0).toArray
+    // every row of the sketch conserves the total stream count
+    (0 until depth).foreach { i =>
+      assert(sketch.slice(i * width, (i + 1) * width).sum == values.length)
+    }
+    val trueCounts = values.groupBy(identity).view.mapValues(_.size.toLong)
+    trueCounts.foreach { case (v, n) =>
+      val est = CountMinSketchAgg.estimate(sketch, depth, width, v)
+      assert(est >= n, s"$v underestimated")
+      assert(est <= n + values.length / width * depth, s"$v wildly over")
+    }
+    // the heavy hitter is clearly separated from the rare tail
+    assert(CountMinSketchAgg.estimate(sketch, depth, width, "hot") >= 300L)
+  }
+
   test("exact profile counts rows, nulls, distincts, extremes") {
     val p = Profile.profile(df).collect()
       .map(r => r.getString(0) -> r).toMap
