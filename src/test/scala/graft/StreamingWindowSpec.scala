@@ -51,6 +51,33 @@ class StreamingWindowSpec extends AnyFunSuite {
     assert(s == Set((1L, 2L, 3.0), (1L, 1L, 4.0), (2L, 1L, 8.0)))
   }
 
+  test("stream-stream interval join matches clicks to impressions") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.expr
+    val imps = MemoryStream[(Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val joined = imps.toDF().toDF("i_ad", "i_ts")
+      .withWatermark("i_ts", "10 minutes")
+      .join(clicks.toDF().toDF("c_ad", "c_ts")
+          .withWatermark("c_ts", "10 minutes"),
+        expr("i_ad = c_ad AND c_ts BETWEEN i_ts AND i_ts + interval 5 minutes"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssjout")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      imps.addData((1L, ts(0)), (2L, ts(0)))
+      q.processAllAvailable()
+      clicks.addData((1L, ts(3)),   // within 5m of ad 1's impression
+        (2L, ts(9)),                // too late for ad 2 (> 5m)
+        (3L, ts(1)))                // no matching impression
+      q.processAllAvailable()
+      val rows = spark.table("ssjout").select("i_ad", "c_ts")
+        .as[(Long, Timestamp)].collect().toSet
+      assert(rows == Set((1L, ts(3))))
+    } finally q.stop()
+  }
+
   test("watermark finalizes windows and drops late data (append mode)") {
     implicit val sqlCtx = spark.sqlContext
     val st = MemoryStream[(Timestamp, String, Double)]
