@@ -1,0 +1,30 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Slowly-changing-dimension helpers. The reference's tracker flags
+  * overwrite in place (S12) — type-2 history is what the same state
+  * machine needs once auditability matters: every change becomes a
+  * validity interval instead of an update.
+  *
+  * One window over (key, change-ts) — a single shuffle on the key,
+  * no self-join; `valid_to` is the next change's timestamp
+  * (exclusive), open intervals marked current.
+  */
+object Scd {
+
+  /** Build type-2 history rows from a change log: each record gets
+    * [valid_from, valid_to) with valid_to = next change for the key
+    * (null = still current). Ties on `ts` are ordered by `tieBreak`
+    * for determinism. */
+  def history(df: DataFrame, keyCol: String, tsCol: String,
+      tieBreak: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(tieBreak))
+    df.withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", lead(col(tsCol), 1).over(w).isNull)
+  }
+}

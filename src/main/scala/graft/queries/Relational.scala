@@ -250,6 +250,16 @@ object Relational extends QueryPack {
         .agg(count(lit(1)).as("n_docs"),
           dsum(col("n_chars"), 0).as("total_chars"))),
 
+    // SCD type-2 history: each order becomes a validity interval of
+    // the customer's "latest order" state (tracker-flag auditability)
+    "scd1_history" -> ((s, d) =>
+      graft.ops.Scd.history(
+        Tables.load(s, d, "orders")
+          .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate")),
+        "o_custkey", "o_orderdate", "o_orderkey")
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("valid_from"), col("valid_to"), col("is_current"))),
+
     // Custom whole-operator extension: top-3 orders per customer via
     // the TopKPerKey LogicalPlan/Strategy/SparkPlan (bounded per-key
     // heaps, map-side prune before the exchange, no window sort) —
@@ -373,6 +383,13 @@ object Relational extends QueryPack {
     "tk1_topk_perkey" ->
       """SELECT o_custkey, o_orderkey, o_totalprice FROM orders
         |QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey
-        |  ORDER BY o_totalprice DESC, o_orderkey) <= 3""".stripMargin
+        |  ORDER BY o_totalprice DESC, o_orderkey) <= 3""".stripMargin,
+    "scd1_history" ->
+      """SELECT o_custkey, o_orderkey,
+        |  o_orderdate AS valid_from,
+        |  lead(o_orderdate, 1) OVER w AS valid_to,
+        |  lead(o_orderdate, 1) OVER w IS NULL AS is_current
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin
   )
 }

@@ -105,6 +105,24 @@ class ClassifySpec extends AnyFunSuite {
     assert(run(true) == run(false))
   }
 
+  test("language-ID identifies each profiled language on real phrasing") {
+    // (the driver's synthetic documents carry RANDOM lang labels over
+    // an English-ish vocabulary, so accuracy is only measurable on
+    // genuinely language-marked text)
+    val samples = Seq(
+      ("en", "the cat sat on the mat and the dog is in a house of cards"),
+      ("es", "el perro y la casa de la ciudad que es un lugar en la montaña"),
+      ("de", "der hund und die katze ist von dem haus und das auto ist gut"),
+      ("fr", "le chien et la maison est un lieu de la ville et est grand"),
+      ("zh", "我们 的 城市 是 一个 很 大 的 地方 了 他 在 家 里"))
+    val out = samples.toDF("lang", "text")
+      .select(org.apache.spark.sql.functions.col("lang"),
+        graft.functions.TextFunctions.langId(
+          org.apache.spark.sql.functions.col("text")).as("pred"))
+      .collect().map(r => r.getString(0) -> r.getString(1))
+    out.foreach { case (lang, pred) => assert(pred == lang, s"$lang -> $pred") }
+  }
+
   test("enrichment stamps provenance, uuid and timestamp") {
     val findings = Classify.classifySummary(piiDf, E.all, threshold = 0.5)
     val out = Classify.enrichFindings(findings, "s3",
