@@ -45,9 +45,11 @@ object Prof {
       }
       .toDF("doc", "shingle")
     t("shingle_flatmap")(sh.count())
-    val postings = Dedup.shinglePostings(docs, "doc_id", "text", 3, 50).cache()
+    val groups = Dedup.shingleGroups(docs, "doc_id", "text", 3, 50).cache()
+    t("groups_cached")(groups.count())
+    val postings = Dedup.postingsFromGroups(groups).cache()
     t("postings_cached")(postings.count())
-    val stats = Dedup.pairStats(postings).cache()
+    val stats = Dedup.pairStatsFromGroups(groups, postings).cache()
     t("pairStats_cached")(stats.count())
     t("d2_filter")(stats.filter(col("jaccard") >= 0.1).count())
     val sigs = Dedup.minhashSignatures(postings, 8)
