@@ -1,0 +1,98 @@
+package graft.curation
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE tokenizer training — the step that turns a curated
+  * corpus into a vocabulary. Classic byte-pair encoding: start from
+  * characters, repeatedly merge the most frequent adjacent symbol
+  * pair. Each iteration is one corpus-shaped pass:
+  *
+  *   word table (symbols, weight)  --flatMap-->  adjacent pairs ×
+  *   weight  --partial-agg groupBy-->  pair counts  --argmax (1 row
+  *   to the driver)-->  merge applied map-side.
+  *
+  * The corpus compresses to the DISTINCT-word table up front (weights
+  * carry multiplicity), so iteration cost scales with vocabulary, not
+  * corpus size — at 100 TB the word table is millions of rows while
+  * the corpus is trillions of tokens. Deterministic: ties break on
+  * the pair's lexicographic order; localCheckpoint truncates the
+  * per-iteration lineage like the other iterative ops here.
+  */
+object Bpe {
+
+  /** Learn `numMerges` merges from the whitespace tokenization of
+    * `textCol`. Returns (rank, left, right) in merge order. */
+  def learnMerges(df: DataFrame, textCol: String,
+      numMerges: Int): Seq[(Int, String, String)] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    var words: Dataset[(Seq[String], Long)] = graft.sources.Tables.fanOut(df)
+      .select(explode(split(trim(col(textCol)), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .as[(String, Long)]
+      .map { case (w, n) => (w.map(_.toString).toList: Seq[String], n) }
+      .localCheckpoint()
+
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String)]
+    var rank = 0
+    while (rank < numMerges) {
+      val top = words.flatMap { case (syms, n) =>
+          syms.iterator.zip(syms.iterator.drop(1)).map(p => (p._1, p._2, n))
+        }
+        .toDF("l", "r", "n")
+        .groupBy(col("l"), col("r")).agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1)
+        .collect()
+      if (top.isEmpty) return merges.toSeq
+      val (l, r) = (top(0).getString(0), top(0).getString(1))
+      merges += ((rank, l, r))
+      val merged = l + r
+      words = words.map { case (syms, n) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+              out += merged; i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          (out.toSeq, n)
+        }
+        .localCheckpoint()
+      rank += 1
+    }
+    merges.toSeq
+  }
+
+  /** Segment `textCol` with a learned merge table (applied in rank
+    * order per word — standard BPE encode). Pure map; merges
+    * broadcast as a literal list. */
+  def encode(df: DataFrame, textCol: String,
+      merges: Seq[(Int, String, String)]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ordered = merges.sortBy(_._1).map { case (_, l, r) => (l, r) }
+    val bc = spark.sparkContext.broadcast(ordered)
+    df.select(col(textCol).as("text")).as[String].map { t =>
+      val toks = if (t == null) Array.empty[String]
+        else t.trim.split("\\s+").filter(_.nonEmpty)
+      val pieces = toks.flatMap { w =>
+        var syms: Seq[String] = w.map(_.toString)
+        bc.value.foreach { case (l, r) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+              out += (l + r); i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          syms = out.toSeq
+        }
+        syms
+      }
+      pieces.toSeq
+    }.toDF("pieces")
+  }
+}

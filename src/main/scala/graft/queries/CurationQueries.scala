@@ -53,6 +53,17 @@ object CurationQueries extends QueryPack {
         .select(col("doc_id"), col("source"), col("n_tokens"),
           col("prefix_tokens"), col("bin"))),
 
+    // Distributed BPE tokenizer training on the benchmark slice
+    // (no SQL oracle — iterative merges; BpeSpec pins equality with
+    // the single-node textbook implementation; rows-only check)
+    "b1_bpe_merges" -> ((s, d) => {
+      import s.implicits._
+      graft.curation.Bpe.learnMerges(
+        Tables.load(s, d, "documents").filter(col("source") === "src0"),
+        "text", numMerges = 8)
+        .toDF("rank", "left", "right")
+    }),
+
     // Duplicate-cluster resolution: connected components over the
     // n-gram Jaccard near-dup pairs (same pairs as d2)
     "d7_dedup_clusters" -> ((s, d) => {

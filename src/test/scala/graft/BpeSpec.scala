@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.curation.Bpe
+
+class BpeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Single-node reference BPE (textbook implementation). */
+  private def referenceBpe(words: Map[String, Long],
+      numMerges: Int): Seq[(Int, String, String)] = {
+    var ws: Map[Seq[String], Long] =
+      words.map { case (w, n) => w.map(_.toString).toSeq -> n }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String)]
+    for (rank <- 0 until numMerges) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        .withDefaultValue(0L)
+      ws.foreach { case (syms, n) =>
+        syms.zip(syms.drop(1)).foreach(p => counts(p) += n)
+      }
+      if (counts.nonEmpty) {
+        val (l, r) = counts.toSeq
+          .minBy { case ((a, b), c) => (-c, a, b) }._1
+        merges += ((rank, l, r))
+        ws = ws.map { case (syms, n) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+              out += (l + r); i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          (out.toSeq, n)
+        }.groupMapReduce(_._1)(_._2)(_ + _)
+      }
+    }
+    merges.toSeq
+  }
+
+  private val corpus = Seq(
+    "low low low low low",
+    "lower lower newest newest",
+    "newest newest newest newest",
+    "widest widest widest")
+
+  test("distributed merges equal the single-node reference") {
+    val df = corpus.toDF("text")
+    val distributed = Bpe.learnMerges(df, "text", numMerges = 8)
+    val wordCounts = corpus.flatMap(_.split(" ")).groupBy(identity)
+      .map { case (w, g) => w -> g.size.toLong }
+    val reference = referenceBpe(wordCounts, numMerges = 8)
+    assert(distributed == reference)
+    assert(distributed.length == 8)
+  }
+
+  test("encode applies merges in rank order and covers the input") {
+    val df = corpus.toDF("text")
+    val merges = Bpe.learnMerges(df, "text", numMerges = 8)
+    val pieces = Bpe.encode(Seq("low newest").toDF("t"), "t", merges)
+      .collect()(0).getSeq[String](0)
+    // round-trip: concatenating pieces restores the (unspaced) text
+    assert(pieces.mkString == "lownewest")
+    // learned merges actually compress: fewer pieces than characters
+    assert(pieces.length < "lownewest".length)
+  }
+}
