@@ -55,7 +55,7 @@ object Similarity {
     * cost, the whole signature stays in codegen. */
   def signature(emb: Column, projs: Seq[Array[Double]]): Column =
     concat(projs.map { p =>
-      val arr = array(p.map(lit): _*)
+      val arr = array(p.toIndexedSeq.map(lit): _*)
       when(dot(emb, arr) >= 0, lit("1")).otherwise(lit("0"))
     }: _*)
 

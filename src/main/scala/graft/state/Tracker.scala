@@ -44,7 +44,7 @@ class Tracker(spark: SparkSession, dir: String) {
     * single MERGE.) */
   private def rewrite(df: DataFrame): Unit = {
     val staging = s"$path.staging"
-    df.select(schema.fieldNames.map(col): _*)
+    df.select(schema.fieldNames.toIndexedSeq.map(col): _*)
       .write.mode(SaveMode.Overwrite).parquet(staging)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -65,7 +65,7 @@ class Tracker(spark: SparkSession, dir: String) {
       .withColumn("data_catalog_table_name", lit(null).cast(StringType))
       .withColumn("data_catalog_db_name", lit(null).cast(StringType))
       .withColumn("updated_at", current_timestamp())
-      .select(schema.fieldNames.map(col): _*)
+      .select(schema.fieldNames.toIndexedSeq.map(col): _*)
     val cur = read()
     val fresh = incoming.join(cur, Seq("source_name"), "left_anti")
       .cache()
