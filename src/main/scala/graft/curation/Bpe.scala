@@ -50,6 +50,7 @@ object Bpe {
       val (l, r) = (top(0).getString(0), top(0).getString(1))
       merges += ((rank, l, r))
       val merged = l + r
+      val prev = words
       words = words.map { case (syms, n) =>
           val out = scala.collection.mutable.ArrayBuffer.empty[String]
           var i = 0
@@ -61,6 +62,11 @@ object Bpe {
           (out.toSeq, n)
         }
         .localCheckpoint()
+      // the new checkpoint fully materializes the word table, so the
+      // previous round's checkpointed blocks can be freed — without
+      // this, executor storage grows by one word-table per merge
+      // (tens of thousands of merges at a real vocab size)
+      prev.unpersist()
       rank += 1
     }
     merges.toSeq

@@ -50,9 +50,13 @@ object Curation {
     * when the corpus grows). */
   def splitAssign(df: DataFrame, idCol: String,
       trainFrac: Double = 0.8, valFrac: Double = 0.1): DataFrame = {
+    require(trainFrac >= 0 && valFrac >= 0 && trainFrac + valFrac <= 1.0,
+      s"split fractions must be non-negative and sum to <= 1 " +
+        s"(got train=$trainFrac val=$valFrac)")
     def hexThreshold(f: Double): String = {
-      // 8 hex digits of the fraction f in [0,1)
-      val v = (f * (1L << 32)).toLong
+      // 8 hex digits of the fraction f in [0,1]; clamp to 0xffffffff so
+      // f == 1.0 stays 8 chars and the lexicographic compare stays valid
+      val v = math.min((f * (1L << 32)).toLong, 0xffffffffL)
       f"$v%08x"
     }
     val h = substring(md5(col(idCol).cast("string").cast("binary")), 1, 8)
@@ -115,9 +119,11 @@ object Curation {
 
   /** Token-budget bin packing (training-batch construction): within
     * each shard (`partCol`), documents are laid out in id order and
-    * cut into bins of ~`budget` tokens by exclusive-prefix-sum
-    * division — the standard streaming packing heuristic (a doc that
-    * crosses the boundary starts the next bin).
+    * assigned bin = floor(startOffset / budget) from the exclusive
+    * prefix sum. A doc whose span crosses a bin boundary stays in the
+    * bin where it STARTS, so bins can exceed `budget` by up to one
+    * doc's tokens — callers packing to a hard max sequence length must
+    * budget for budget + maxDocTokens (or pre-split oversized docs).
     *
     * Packing is per-shard so the window never serializes the corpus
     * through one task: each shard's running sum is independent, which

@@ -21,10 +21,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * applies and the shuffle carries the sketch, not the stream.
   *
   * Bucket hashing is md5-based like every other sketch here —
-  * bucket_i(v) = (ascii(h1)·256 + ascii(h2)) mod width over the first
-  * two hex chars of md5(i + "|" + v) — deterministic and replayable
-  * in any engine with md5/ascii/substr, which is what makes the full
-  * sketch (not just its estimates) oracle-checkable in DuckDB.
+  * bucket_i(v) = the first 4 digest bytes of md5(i + "|" + v) as an
+  * unsigned 32-bit value, mod width — all 32 bits feed the modulus,
+  * so any width up to 2^32 fills uniformly. Deterministic and
+  * replayable in any engine with md5/substr (the first 8 hex chars
+  * ARE those 4 bytes), which is what makes the full sketch (not just
+  * its estimates) oracle-checkable in DuckDB.
   * Estimate(v) = min over rows of counter[i][bucket_i(v)] —
   * overcounts only (the CMS guarantee: true ≤ est ≤ true + εN).
   */
@@ -42,15 +44,14 @@ case class CountMinSketchAgg(
   override def nullable: Boolean = false
 
   @transient private lazy val md5 = MessageDigest.getInstance("MD5")
-  @transient private lazy val hexDigits = "0123456789abcdef".toCharArray
 
   private def bucket(row: Int, v: String): Int = {
     md5.reset()
     val d = md5.digest(s"$row|$v".getBytes(StandardCharsets.UTF_8))
-    // first two hex chars of the digest, as their ASCII codes
-    val h1 = hexDigits((d(0) >> 4) & 0xf)
-    val h2 = hexDigits(d(0) & 0xf)
-    (h1 * 256 + h2) % width
+    // first 4 digest bytes as an unsigned 32-bit value
+    val u = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    (u % width).toInt
   }
 
   override def createAggregationBuffer(): Array[Long] =
@@ -107,11 +108,11 @@ object CountMinSketchAgg {
   /** Driver-side estimate from a collected sketch. */
   def estimate(sketch: Array[Long], depth: Int, width: Int, v: String): Long = {
     val md = MessageDigest.getInstance("MD5")
-    val hex = "0123456789abcdef".toCharArray
     (0 until depth).map { i =>
       val d = md.digest(s"$i|$v".getBytes(StandardCharsets.UTF_8))
-      val b = (hex((d(0) >> 4) & 0xf) * 256 + hex(d(0) & 0xf)) % width
-      sketch(i * width + b)
+      val u = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      sketch(i * width + (u % width).toInt)
     }.min
   }
 }

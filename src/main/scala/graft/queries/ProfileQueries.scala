@@ -53,11 +53,21 @@ object ProfileQueries extends QueryPack {
       s"""WITH cells AS (
          |  SELECT event_type AS v FROM events WHERE event_type IS NOT NULL),
          |r AS (SELECT unnest(range(0, $CmsDepth)) AS row_idx),
+         |h AS (SELECT row_idx,
+         |    md5(CAST(row_idx AS VARCHAR) || '|' || v) AS hx
+         |  FROM cells CROSS JOIN r),
          |b AS (SELECT row_idx,
-         |    (ascii(substr(md5(CAST(row_idx AS VARCHAR) || '|' || v), 1, 1)) * 256
-         |     + ascii(substr(md5(CAST(row_idx AS VARCHAR) || '|' || v), 2, 1)))
+         |    CAST(
+         |      (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 268435456
+         |    + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) * 16777216
+         |    + (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 1048576
+         |    + (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1) * 65536
+         |    + (strpos('0123456789abcdef', substr(hx, 5, 1)) - 1) * 4096
+         |    + (strpos('0123456789abcdef', substr(hx, 6, 1)) - 1) * 256
+         |    + (strpos('0123456789abcdef', substr(hx, 7, 1)) - 1) * 16
+         |    + (strpos('0123456789abcdef', substr(hx, 8, 1)) - 1) AS BIGINT)
          |      % $CmsWidth AS bucket
-         |  FROM cells CROSS JOIN r)
+         |  FROM h)
          |SELECT CAST(row_idx AS BIGINT) AS row_idx,
          |  CAST(bucket AS BIGINT) AS bucket,
          |  CAST(count(*) AS BIGINT) AS cnt
