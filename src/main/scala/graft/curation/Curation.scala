@@ -117,6 +117,32 @@ object Curation {
       .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score"))
   }
 
+  /** Proportional quota sampling by content-free hash rate: keep each
+    * row with probability min(1, quota / |domain|), decided by whether
+    * the uniform fraction encoded in the first 8 hex chars of
+    * md5(id) falls below the domain's rate. Domain-rebalancing for
+    * training mixtures: every domain lands ~`quota` rows regardless of
+    * its raw size.
+    *
+    * Unlike stratifiedSample (exact k via per-stratum window sort),
+    * this is sort-free: one broadcast of the per-domain counts + one
+    * stateless filter scan — the shape that survives a skewed 100 TB
+    * domain where a per-stratum sort would serialize on one task. The
+    * trade is exactness (binomial jitter around quota) for linearity,
+    * and assignment stability: a doc's keep/drop flips only if its
+    * domain's rate changes, never because other docs moved. */
+  def hashRateSample(df: DataFrame, domainCol: String, idCol: String,
+      quota: Long): DataFrame = {
+    val counts = df.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("n_domain"))
+    val hashFrac =
+      conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 8),
+        16, 10).cast("long") / lit(4294967296.0)
+    df.join(broadcast(counts), Seq(domainCol))
+      .filter(hashFrac < least(lit(1.0), lit(quota.toDouble) / col("n_domain")))
+      .select(col(idCol), col(domainCol))
+  }
+
   /** Token-budget bin packing (training-batch construction): within
     * each shard (`partCol`), documents are laid out in id order and
     * assigned bin = floor(startOffset / budget) from the exclusive

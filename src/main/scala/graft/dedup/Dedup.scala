@@ -70,6 +70,23 @@ object Dedup {
     keyed.join(rare, Seq("sh_h"), "left_semi").select("doc", "shingle")
   }
 
+  /** Repeated-span mining (the corpus-level half of substring dedup):
+    * word n-grams appearing in at least `minDf` distinct documents,
+    * with their document frequency and the lowest containing doc id.
+    * The training-pipeline use is boilerplate detection — headers,
+    * license blocks, navigation chrome repeat verbatim across pages
+    * and should be stripped before training.
+    *
+    * Scale shape: one shingle flatMap + one partial-aggregating
+    * groupBy on the span — no joins, no self-products; the output is
+    * only the repeated tail of the distribution. */
+  def commonSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, minDf: Int = 3): DataFrame =
+    shinglePostings(df, idCol, textCol, n, Int.MaxValue)
+      .groupBy(col("shingle").as("span"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc")).as("first_doc"))
+      .filter(col("n_docs") >= minDf)
+
   /** All pairs sharing ≥1 (rare) shingle, with exact Jaccard over the
     * filtered shingle sets. Output: doc_a < doc_b, shared, size_a,
     * size_b, jaccard. */

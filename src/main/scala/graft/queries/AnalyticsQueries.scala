@@ -78,6 +78,31 @@ object AnalyticsQueries extends QueryPack {
             .as("corr_value_user"))
     }),
 
+    // Fixed-width histogram: bucket index from literal bounds — one
+    // partial-aggregating scan, no sort, no second min/max pass (the
+    // profiling shape that stays one job at 100 TB). The final bucket
+    // is open-ended via least().
+    "an6_histogram" -> ((s, d) =>
+      Tables.load(s, d, "lineitem")
+        .select(least(floor((col("l_extendedprice") - lit(900.0)) / 5000.0),
+          lit(19.0)).cast(LongType).as("bucket"),
+          col("l_extendedprice"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast(DecimalType(28, 2)))
+            .cast(DoubleType).as("sum_price"))),
+
+    // ntile window: quartile of each customer's balance within their
+    // nation — one shuffle on the partition key, per-partition sort
+    "w3_ntile" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      Tables.load(s, d, "customer")
+        .select(col("c_custkey"), col("c_nationkey"),
+          ntile(4).over(w).as("quartile"))
+    }),
+
     // Z-order layout: Morton code of (user_id, truncated value) —
     // the multi-dimensional clustering key a 100 TB fact table sorts
     // by so row-group stats prune scans on either column
@@ -90,6 +115,16 @@ object AnalyticsQueries extends QueryPack {
   )
 
   def oracle: Map[String, String] = Map(
+    "an6_histogram" ->
+      """SELECT CAST(least(floor((l_extendedprice - 900.0) / 5000.0), 19.0) AS BIGINT) AS bucket,
+        |  count(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "w3_ntile" ->
+      """SELECT c_custkey, c_nationkey,
+        |  CAST(ntile(4) OVER (PARTITION BY c_nationkey
+        |    ORDER BY c_acctbal, c_custkey) AS INTEGER) AS quartile
+        |FROM customer""".stripMargin,
     "z1_zorder_key" ->
       s"""SELECT event_id, user_id,
          |  CAST(trunc(CAST(value AS DOUBLE)) AS BIGINT) AS value_int,

@@ -53,6 +53,12 @@ object CurationQueries extends QueryPack {
         .select(col("doc_id"), col("source"), col("n_tokens"),
           col("prefix_tokens"), col("bin"))),
 
+    // Proportional quota sampling: ~12 docs per source by hash rate
+    // (sort-free domain rebalancing for training mixtures)
+    "c6_quota_sample" -> ((s, d) =>
+      Curation.hashRateSample(
+        Tables.load(s, d, "documents"), "source", "doc_id", quota = 12L)),
+
     // Distributed BPE tokenizer training on the benchmark slice
     // (no SQL oracle — iterative merges; BpeSpec pins equality with
     // the single-node textbook implementation; rows-only check)
@@ -143,6 +149,18 @@ object CurationQueries extends QueryPack {
         |SELECT doc_id, source, n_tokens, prefix_tokens,
         |  CAST(floor((prefix_tokens - n_tokens) / 2048.0) AS BIGINT) AS bin
         |FROM p""".stripMargin,
+
+    "c6_quota_sample" -> {
+      // first 8 md5 hex chars as an unsigned 32-bit fraction of 2^32
+      val frac = (1 to 8).map(i =>
+        s"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 1)" +
+          s" * ${1L << (4 * (8 - i))}")
+        .mkString("CAST(", " + ", " AS BIGINT) / 4294967296.0")
+      s"""WITH cnt AS (SELECT source, count(*) AS n_domain
+         |  FROM documents GROUP BY source)
+         |SELECT doc_id, source FROM documents JOIN cnt USING (source)
+         |WHERE $frac < least(1.0, 12.0 / n_domain)""".stripMargin
+    },
 
     "d7_dedup_clusters" ->
       s"""WITH RECURSIVE ${DedupQueries.postingsCte},

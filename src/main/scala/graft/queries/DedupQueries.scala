@@ -47,6 +47,11 @@ object DedupQueries extends QueryPack {
         rowsPerBand = 2, threshold = 0.5, stats = Some(stats))
     }),
 
+    // Boilerplate mining: 8-token spans repeated across >= 3 docs
+    "d8_common_spans" -> ((s, d) =>
+      Dedup.commonSpans(Tables.load(s, d, "documents"),
+        "doc_id", "text", n = 8, minDf = 3)),
+
     // Per-document 32-bit SimHash sketches
     "d4_simhash" -> ((s, d) =>
       Dedup.simhash(Tables.load(s, d, "documents"), "doc_id", "text")),
@@ -121,6 +126,17 @@ object DedupQueries extends QueryPack {
          |FROM cand c JOIN jac j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
          |WHERE j.jaccard >= 0.5""".stripMargin
     },
+
+    "d8_common_spans" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         unnest(list_transform(range(1, greatest(len(t)-8+2, 1)),
+        |                i -> array_to_string(t[i:i+7], ' '))) AS shingle
+        |       FROM toks WHERE len(t) >= 8)
+        |SELECT shingle AS span, CAST(count(*) AS BIGINT) AS n_docs,
+        |  min(doc_id) AS first_doc
+        |FROM sh GROUP BY shingle HAVING count(*) >= 3""".stripMargin,
 
     "d4_simhash" ->
       s"""WITH $simhashCte

@@ -260,6 +260,50 @@ object Relational extends QueryPack {
         .select(col("o_custkey"), col("o_orderkey"),
           col("valid_from"), col("valid_to"), col("is_current"))),
 
+    // TPC-H-Q5-shaped 6-table join: two broadcast dims prune the fact
+    // side, the two fact⨝fact joins shuffle on their keys, and the
+    // date filter reaches the orders scan (partition-prunable at
+    // scale). The local-supplier condition (c_nationkey = s_nationkey)
+    // rides the customer join as a residual predicate.
+    "q5_region_revenue" -> ((s, d) => {
+      val r = Tables.load(s, d, "region").filter(col("r_name") === "ASIA")
+      val n = Tables.load(s, d, "nation")
+      val c = Tables.load(s, d, "customer")
+      val o = Tables.load(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast(TimestampType)
+          && col("o_orderdate") < lit("1997-01-01").cast(TimestampType))
+      val li = Tables.load(s, d, "lineitem")
+      val sup = Tables.load(s, d, "supplier")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+        .join(c, o("o_custkey") === c("c_custkey")
+          && c("c_nationkey") === sup("s_nationkey"))
+        .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+          .as("revenue"))
+    }),
+
+    // TPC-H-Q18-shaped large-order detection: grouped HAVING on the
+    // fact table first (partial aggregation collapses it map-side),
+    // then the small survivor set joins back to orders/customer
+    "q18_large_orders" -> ((s, d) => {
+      val big = Tables.load(s, d, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(dsum(col("l_quantity"), 2).as("total_qty"))
+        .filter(col("total_qty") > 300)
+      val o = Tables.load(s, d, "orders")
+      val c = Tables.load(s, d, "customer")
+      o.join(big, o("o_orderkey") === big("l_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast(DateType).as("order_date"),
+          col("o_totalprice"), col("total_qty"))
+        .orderBy(col("total_qty").desc, col("o_orderkey"))
+        .limit(20)
+    }),
+
     // Custom whole-operator extension: top-3 orders per customer via
     // the TopKPerKey LogicalPlan/Strategy/SparkPlan (bounded per-key
     // heaps, map-side prune before the exchange, no window sort) —
@@ -384,6 +428,30 @@ object Relational extends QueryPack {
       """SELECT o_custkey, o_orderkey, o_totalprice FROM orders
         |QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey
         |  ORDER BY o_totalprice DESC, o_orderkey) <= 3""".stripMargin,
+    "q5_region_revenue" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name""".stripMargin,
+    "q18_large_orders" ->
+      """SELECT c_name, c_custkey, o_orderkey,
+        |  CAST(o_orderdate AS DATE) AS order_date, o_totalprice, total_qty
+        |FROM orders
+        |JOIN (SELECT l_orderkey,
+        |        CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS total_qty
+        |      FROM lineitem GROUP BY l_orderkey
+        |      HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) > 300) big
+        |  ON o_orderkey = big.l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_qty DESC, o_orderkey LIMIT 20""".stripMargin,
     "scd1_history" ->
       """SELECT o_custkey, o_orderkey,
         |  o_orderdate AS valid_from,

@@ -39,9 +39,10 @@ object SimilarityQueries extends QueryPack {
       Similarity.partitionTopK(Tables.load(s, d, "embeddings"),
         "label", col("vec_id") < 5, k = 5)),
 
-    // IVF index build: deterministic mini-k-means cluster assignment
-    // (no SQL oracle — iterative; driver records the rows-only check;
-    // SimilaritySpec pins determinism and assignment quality)
+    // IVF index build: deterministic mini-k-means cluster assignment.
+    // Iterative, but with a FIXED iteration count (2) the whole Lloyd
+    // run unrolls into chained SQL CTEs — the oracle replays init →
+    // assign → recompute → assign → recompute → final assign exactly
     "s5_ivf_kmeans" -> ((s, d) =>
       Similarity.assignToCentroids(
         Tables.load(s, d, "embeddings"), fit(s, d, 8))
@@ -53,11 +54,22 @@ object SimilarityQueries extends QueryPack {
 
     // End-to-end IVF ANN: k-means fit -> inverted lists -> probe the
     // 2 nearest of 8 lists per query, exact cosine rank within
-    // (no SQL oracle — iterative fit; SimilaritySpec proves
-    // nprobe=nlist degenerates to the exact brute-force result)
+    // (no SQL oracle — recall at nprobe<nlist depends on the lists;
+    // driver records the rows-only check; s7 below oracle-checks the
+    // same code path at nprobe=nlist, and SimilaritySpec proves the
+    // degeneration property)
     "s6_ivf_probe" -> ((s, d) =>
       Similarity.ivfProbeTopK(Tables.load(s, d, "embeddings"),
         col("vec_id") < 5, k = 5, nlist = 8, nprobe = 2,
+        fitted = Some(fit(s, d, 8)))),
+
+    // Same IVF probe machinery with every list probed (nprobe=nlist):
+    // provably equals exact brute-force top-k, so the probe path —
+    // fit, inverted lists, probe-list explosion, candidate join, exact
+    // rank — is oracle-checked end-to-end against the brute-force SQL
+    "s7_ivf_probe_full" -> ((s, d) =>
+      Similarity.ivfProbeTopK(Tables.load(s, d, "embeddings"),
+        col("vec_id") < 5, k = 5, nlist = 8, nprobe = 8,
         fitted = Some(fit(s, d, 8))))
   )
 
@@ -92,8 +104,51 @@ object SimilarityQueries extends QueryPack {
     bitExprs.mkString(" || ")
   }
 
+  /** Assignment CTE: argmin over centroids in `centCte` of
+    * (-dot, cluster) — the exact struct-min tie-break of
+    * `Similarity.assignToCentroids` (nearest by dot, lowest cluster
+    * id on ties). */
+  private def assignCte(name: String, centCte: String): String =
+    s"""$name AS (SELECT vec_id, embedding, cluster FROM (
+       |  SELECT e.vec_id, e.embedding, c.cluster,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |      -(list_sum(list_transform(range(1, 65),
+       |          i -> CAST(e.embedding[i] AS DOUBLE) * c.cent[i]))) ASC,
+       |      c.cluster ASC) AS rn
+       |  FROM e CROSS JOIN $centCte c) t WHERE rn = 1)""".stripMargin
+
+  /** Centroid-recompute CTE from an assignment CTE: per (cluster, dim)
+    * exact DECIMAL(38,9) sum cast to double, divided by the member
+    * count — `kmeansFit`'s update, dimension lists rebuilt in pos
+    * order. */
+  private def recomputeCte(name: String, assignCte: String): String =
+    s"""$name AS (SELECT cluster, list(av ORDER BY pos) AS cent FROM (
+       |  SELECT cluster, pos,
+       |    CAST(SUM(CAST(v AS DECIMAL(38,9))) AS DOUBLE) / COUNT(*) AS av
+       |  FROM (SELECT cluster, i AS pos, embedding[i] AS v
+       |        FROM $assignCte, range(1, 65) r(i))
+       |  GROUP BY cluster, pos) GROUP BY cluster)""".stripMargin
+
+  /** The full 2-iteration deterministic Lloyd run of `kmeansFit(df, 8)`
+    * unrolled: init from the 8 lowest vec_ids → (assign → recompute) ×2
+    * → final assignment. */
+  private val kmeansOracle: String =
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cluster,
+       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent
+       |       FROM (SELECT vec_id, embedding FROM e ORDER BY vec_id LIMIT 8) i),
+       |${assignCte("a1", "c0")},
+       |${recomputeCte("c1", "a1")},
+       |${assignCte("a2", "c1")},
+       |${recomputeCte("c2", "a2")},
+       |${assignCte("a3", "c2")}
+       |SELECT vec_id, cluster FROM a3""".stripMargin
+
   def oracle: Map[String, String] = Map(
     "s2_knn_brute" -> topKOracle("", 10),
+    "s5_ivf_kmeans" -> kmeansOracle,
+    // nprobe = nlist probes every inverted list -> exact brute force
+    "s7_ivf_probe_full" -> topKOracle("", 5),
     "s3_ann_lsh" ->
       s"""WITH n0 AS (SELECT vec_id, label, embedding,
          |  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm,

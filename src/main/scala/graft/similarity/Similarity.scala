@@ -160,8 +160,11 @@ object Similarity {
       val dims = a
         .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy(col("cluster"), col("pos"))
-        .agg((sum(col("v").cast(DecimalType(38, 9))) / count(lit(1)))
-          .cast("double").as("avg_v"))
+        // exact decimal sum (order-invariant), THEN double division:
+        // plain double/long arithmetic replays identically in any
+        // engine, unlike decimal-division scale/rounding rules
+        .agg((sum(col("v").cast(DecimalType(38, 9))).cast("double")
+          / count(lit(1))).as("avg_v"))
         .groupBy(col("cluster"))
         .agg(array_sort(collect_list(struct(col("pos"), col("avg_v"))))
           .as("pairs"))

@@ -53,6 +53,29 @@ class CurationSpec extends AnyFunSuite {
     assert(again == first)
   }
 
+  test("hashRateSample keeps ~quota rows per domain, stably") {
+    // two domains: 400 rows vs 8 rows; quota 10 → big domain sampled
+    // at 10/400, small domain kept whole (rate clamps at 1.0)
+    val df = ((1 to 400).map(i => (i.toLong, "big"))
+      ++ (1001 to 1008).map(i => (i.toLong, "small")))
+      .toDF("doc_id", "source")
+    val out = Curation.hashRateSample(df, "source", "doc_id", quota = 10L)
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val bySrc = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySrc("small") == 8) // rate 1.0 keeps everything
+    // binomial(400, 0.025): expect ~10, loose bounds
+    assert(bySrc.getOrElse("big", 0) >= 2 && bySrc("big") <= 25)
+    // stability: a kept id stays kept when unrelated rows are added
+    val grown = ((1 to 400).map(i => (i.toLong, "big"))
+      ++ (1001 to 1008).map(i => (i.toLong, "small"))
+      ++ (2001 to 2004).map(i => (i.toLong, "other")))
+      .toDF("doc_id", "source")
+    val again = Curation.hashRateSample(grown, "source", "doc_id", quota = 10L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toSet
+    // big/small domain sizes unchanged → identical keep sets
+    assert(out.toSet.subsetOf(again))
+  }
+
   test("tfidf ranks stratum-unique terms above corpus-wide terms") {
     val df = Seq(
       (1L, "common common rare1"),

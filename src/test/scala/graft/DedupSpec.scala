@@ -22,6 +22,19 @@ class DedupSpec extends AnyFunSuite {
     assert(dups(0).getAs[Long]("canonical_id") == 1L)
   }
 
+  test("commonSpans mines spans repeated across >= minDf docs") {
+    // docs 1, 2, 4 share the 8-token prefix; no span reaches 4 docs
+    val spans = Dedup.commonSpans(docs, "doc_id", "text", n = 8, minDf = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(spans.nonEmpty)
+    assert(spans.forall(_._2 == 3L))
+    assert(spans.forall(_._3 == 1L)) // lowest containing doc id
+    assert(spans.map(_._1)
+      .contains("the quick brown fox jumps over the lazy"))
+    // raising minDf above the max df empties the result
+    assert(Dedup.commonSpans(docs, "doc_id", "text", n = 8, minDf = 4).count() == 0)
+  }
+
   test("ngram jaccard finds near-dup and exact pair, not unrelated") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
         n = 3, threshold = 0.5, maxDf = 50)
