@@ -166,6 +166,19 @@ object Curation {
           .cast("long"))
   }
 
+  /** Keep/drop materialization of a dedup clustering: one row per doc
+    * with its component, the canonical survivor (= the component id,
+    * i.e. the lowest doc id in the cluster), and the keep flag. The
+    * terminal step of the dedup pipeline — downstream training jobs
+    * anti-join on `keep = false` (or semi-join on the survivor set).
+    * Pure projection over the components output: zero extra shuffles. */
+  def keepList(components: DataFrame): DataFrame = {
+    val idName = components.columns.head
+    components.select(col(idName), col("component"),
+      col("component").as("canonical_id"),
+      (col(idName) === col("component")).as("keep"))
+  }
+
   /** Connected components by iterative min-label propagation: every
     * node's label becomes the min over {self} ∪ neighbor labels until
     * a fixed point. Deterministic output: component id = min node id.

@@ -78,6 +78,18 @@ object CurationQueries extends QueryPack {
       val edges = stats.filter(col("jaccard") >= 0.1)
         .select(col("doc_a"), col("doc_b"))
       Curation.connectedComponents(docs.select(col("doc_id")), edges)
+    }),
+
+    // Terminal dedup artifact: per-doc keep/drop decision + canonical
+    // survivor id from the cluster assignment (what a training job
+    // actually consumes)
+    "d9_keep_list" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val (_, stats) = DedupQueries.shared(s, d)
+      val edges = stats.filter(col("jaccard") >= 0.1)
+        .select(col("doc_a"), col("doc_b"))
+      Curation.keepList(
+        Curation.connectedComponents(docs.select(col("doc_id")), edges))
     })
   )
 
@@ -172,6 +184,21 @@ object CurationQueries extends QueryPack {
          |  UNION
          |  SELECT r.id, e.b FROM reach r JOIN e ON r.peer = e.a)
          |SELECT id AS doc_id, min(peer) AS component
-         |FROM reach GROUP BY id""".stripMargin
+         |FROM reach GROUP BY id""".stripMargin,
+
+    "d9_keep_list" ->
+      s"""WITH RECURSIVE ${DedupQueries.postingsCte},
+         |e AS (SELECT doc_a AS a, doc_b AS b FROM jac WHERE jaccard >= 0.1
+         |      UNION ALL
+         |      SELECT doc_b, doc_a FROM jac WHERE jaccard >= 0.1),
+         |reach AS (
+         |  SELECT doc_id AS id, doc_id AS peer FROM documents
+         |  UNION
+         |  SELECT r.id, e.b FROM reach r JOIN e ON r.peer = e.a),
+         |comp AS (SELECT id AS doc_id, min(peer) AS component
+         |         FROM reach GROUP BY id)
+         |SELECT doc_id, component, component AS canonical_id,
+         |  doc_id = component AS keep
+         |FROM comp""".stripMargin
   )
 }

@@ -87,6 +87,17 @@ class CurationSpec extends AnyFunSuite {
     assert(top == Map(1L -> "rare1", 2L -> "rare2", 3L -> "rare3"))
   }
 
+  test("keepList keeps exactly one canonical doc per component") {
+    val nodes = (1L to 5L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("s", "d") // {1,2,3}, {4}, {5}
+    val out = Curation.keepList(Curation.connectedComponents(nodes, edges))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(out.count(_._4) == 3) // one survivor per component
+    assert(out.filter(_._4).map(_._1).toSet == Set(1L, 4L, 5L))
+    assert(out.forall { case (_, comp, canon, _) => comp == canon })
+    assert(out.find(_._1 == 3L).get._3 == 1L) // dup points at its survivor
+  }
+
   test("connectedComponents: chains, cliques, singletons") {
     val nodes = (1L to 8L).toDF("id")
     // chain 1-2-3, clique 4-5-6 (all edges), singleton 7, 8

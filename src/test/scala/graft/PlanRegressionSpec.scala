@@ -99,6 +99,34 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
   }
 
+  test("q5: both date bounds pushed to the orders scan, dims broadcast") {
+    val p = plan("q5_region_revenue")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), p.take(3000))
+    assert(p.contains("LessThan(o_orderdate"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
+  test("q18: lineitem aggregates partial->final before the join-back") {
+    val p = plan("q18_large_orders")
+    // partial + final HashAggregate around the groupBy exchange
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "no partial agg")
+    assert(p.contains("hashpartitioning(l_orderkey"), p.take(3000))
+  }
+
+  test("an6 histogram: one aggregation exchange, no sort") {
+    val p = plan("an6_histogram")
+    // formatted mode lists each node twice (tree + detail) — count
+    // tree entries only
+    assert("\\+- Exchange".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("SortExec") && !p.contains("+- Sort"), p)
+  }
+
+  test("c6 quota sample: domain counts broadcast, no row-side sort") {
+    val p = plan("c6_quota_sample")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("Window"), p)
+  }
+
   test("s2 knn: native dot_product, no corpus exchange") {
     val df = SparkEntry.queries("s2_knn_brute")(spark, sf)
     val p = df.queryExecution.explainString(
