@@ -1,0 +1,135 @@
+package graft.expressions
+
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Bloom-filter aggregate — the membership sketch of the extension
+  * family (CMS covers frequency, HLL distincts, MinHash similarity).
+  * One pass, one packed bitset per group; merge is bitwise OR, so
+  * partial aggregation applies and the shuffle carries numBits/8
+  * bytes, never the value stream.
+  *
+  * The at-scale use is semi-join pruning: build the filter over the
+  * small side (e.g. a benchmark's shingle set in decontamination, a
+  * keep-list's ids), broadcast the longs, and pre-filter the 100 TB
+  * side before the exact semi-join — false positives only cost exact
+  * re-checks, false negatives cannot occur.
+  *
+  * Hashing is the same md5 family as [[CountMinSketchAgg]]:
+  * bit_i(v) = unsigned32(first 4 digest bytes of md5(i + "|" + v))
+  * mod numBits — deterministic and replayable from the hex digest in
+  * any engine, which makes the FULL bitset oracle-checkable in DuckDB.
+  *
+  * eval returns the bitset unpacked to an array<long> of 0/1 flags
+  * (one per bit position) — trivially explodable/comparable; the
+  * packed form stays internal to the buffer.
+  */
+case class BloomFilterAgg(
+    child: Expression,
+    numBits: Int,
+    numHashes: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+
+  require(numBits > 0 && numBits % 64 == 0, "numBits must be a positive multiple of 64")
+  require(numHashes > 0, "numHashes must be > 0")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  @transient private lazy val md5 = MessageDigest.getInstance("MD5")
+
+  private def bitFor(row: Int, v: String): Int = {
+    md5.reset()
+    val d = md5.digest(s"$row|$v".getBytes(StandardCharsets.UTF_8))
+    val u = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    (u % numBits).toInt
+  }
+
+  override def createAggregationBuffer(): Array[Long] =
+    new Array[Long](numBits / 64)
+
+  override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val s = v.asInstanceOf[UTF8String].toString
+      var i = 0
+      while (i < numHashes) {
+        val b = bitFor(i, s)
+        buffer(b >> 6) |= (1L << (b & 63))
+        i += 1
+      }
+    }
+    buffer
+  }
+
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < b1.length) { b1(i) |= b2(i); i += 1 }
+    b1
+  }
+
+  override def eval(buffer: Array[Long]): Any = {
+    val out = new Array[Long](numBits)
+    var b = 0
+    while (b < numBits) {
+      out(b) = (buffer(b >> 6) >>> (b & 63)) & 1L
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buffer: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(buffer.length * 8)
+    buffer.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    Array.fill(bytes.length / 8)(bb.getLong)
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BloomFilterAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BloomFilterAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): BloomFilterAgg =
+    copy(child = newChild)
+  override def prettyName: String = "bloom_filter_md5"
+}
+
+object BloomFilterAgg {
+  /** Column API: 0/1 flag per bit position for the group. */
+  def bloom_filter(cell: Column, numBits: Int, numHashes: Int): Column =
+    Bridge.column(
+      BloomFilterAgg(Bridge.expression(cell), numBits, numHashes)
+        .toAggregateExpression())
+
+  /** Driver-side membership probe over a collected 0/1 bit array.
+    * False negatives are impossible; false positive rate ~
+    * (1 - e^(-kn/m))^k. */
+  def mightContain(bits: Array[Long], numHashes: Int, v: String): Boolean = {
+    val md = MessageDigest.getInstance("MD5")
+    val numBits = bits.length
+    (0 until numHashes).forall { i =>
+      val d = md.digest(s"$i|$v".getBytes(StandardCharsets.UTF_8))
+      val u = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      bits((u % numBits).toInt) == 1L
+    }
+  }
+}

@@ -12,6 +12,8 @@ object ProfileQueries extends QueryPack {
 
   private val CmsDepth = 4
   private val CmsWidth = 64
+  private val BloomBits = 256
+  private val BloomHashes = 3
 
   def queries: Map[String, Q] = Map(
     "pr1_profile_customer" -> ((s, d) =>
@@ -31,6 +33,18 @@ object ProfileQueries extends QueryPack {
         .select((col("pos") / CmsWidth).cast("long").as("row_idx"),
           (col("pos") % CmsWidth).cast("long").as("bucket"),
           col("cnt"))
+    }),
+
+    // Bloom membership filter over the event-type domain: the checked
+    // result is every set bit position — md5 bit derivation makes the
+    // whole bitset engine-portable, like the CMS counters above
+    "pr5_bloom_filter" -> ((s, d) => {
+      import graft.expressions.BloomFilterAgg.bloom_filter
+      Tables.load(s, d, "events")
+        .agg(bloom_filter(col("event_type"), BloomBits, BloomHashes).as("bits"))
+        .select(posexplode(col("bits")).as(Seq("pos", "bit")))
+        .filter(col("bit") === 1L)
+        .select(col("pos").cast("long").as("bit_pos"))
     })
   )
 
@@ -72,6 +86,20 @@ object ProfileQueries extends QueryPack {
          |  CAST(bucket AS BIGINT) AS bucket,
          |  CAST(count(*) AS BIGINT) AS cnt
          |FROM b GROUP BY 1, 2""".stripMargin,
+    "pr5_bloom_filter" -> {
+      // unsigned 32-bit value of the first 8 md5 hex chars, mod numBits
+      def bitExpr(i: Int) = {
+        val poly = (1 to 8).map(c =>
+          s"(strpos('0123456789abcdef', substr(md5('$i|' || v), $c, 1)) - 1)" +
+            s" * ${1L << (4 * (8 - c))}")
+          .mkString(" + ")
+        s"SELECT CAST(($poly) AS BIGINT) % $BloomBits AS bit_pos FROM cells"
+      }
+      s"""WITH cells AS (
+         |  SELECT DISTINCT event_type AS v FROM events WHERE event_type IS NOT NULL)
+         |SELECT DISTINCT bit_pos FROM (
+         |${(0 until BloomHashes).map(bitExpr).mkString(" UNION ALL\n")}) t""".stripMargin
+    },
     "pr2_numeric_summary" ->
       """SELECT count(l_extendedprice) AS n,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sum_value,

@@ -35,6 +35,29 @@ class ProfileSpec extends AnyFunSuite {
     assert(CountMinSketchAgg.estimate(sketch, depth, width, "hot") >= 300L)
   }
 
+  test("bloom filter: no false negatives; prunes before an exact semi-join") {
+    import org.apache.spark.sql.functions._
+    import graft.expressions.BloomFilterAgg
+    val (bits, hashes) = (1024, 3)
+    val members = (1 to 200).map(i => s"in$i")
+    val bitset = members.toDF("v")
+      .agg(BloomFilterAgg.bloom_filter(col("v"), bits, hashes).as("b"))
+      .collect()(0).getSeq[Long](0).toArray
+    // every inserted value probes positive (bloom guarantee)
+    members.foreach(v =>
+      assert(BloomFilterAgg.mightContain(bitset, hashes, v), s"$v lost"))
+    // non-members: fp rate ~ (1 - e^(-kn/m))^k ≈ 1.6% here; allow 10%
+    val fps = (1 to 500).count(i =>
+      BloomFilterAgg.mightContain(bitset, hashes, s"out$i"))
+    assert(fps < 50, s"false-positive rate too high: $fps/500")
+    // partial merge ≡ single-pass build (OR associativity): the
+    // 8-partition distributed build produces the same bitset
+    val distributed = spark.sparkContext.parallelize(members, 8).toDF("v")
+      .agg(BloomFilterAgg.bloom_filter(col("v"), bits, hashes).as("b"))
+      .collect()(0).getSeq[Long](0).toArray
+    assert(distributed.sameElements(bitset))
+  }
+
   test("exact profile counts rows, nulls, distincts, extremes") {
     val p = Profile.profile(df).collect()
       .map(r => r.getString(0) -> r).toMap
