@@ -41,6 +41,43 @@ object Curation {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** decontaminate with a Bloom pre-filter on the corpus side — the
+    * 100 TB shape when even the benchmark's distinct-shingle set is
+    * too large to broadcast as a hash relation. The filter costs
+    * ~1.2 bytes per benchmark shingle at numBits = 10n (vs ~100+
+    * bytes/entry for a broadcast hash set); corpus shingles that fail
+    * the probe are dropped in place, and only probable hits reach the
+    * exact semi-join, whose build side is unchanged (false positives
+    * are re-checked exactly, so the result is IDENTICAL to
+    * [[decontaminate]] — spec-pinned). */
+  def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int = 5,
+      numBits: Int = 1 << 16, numHashes: Int = 3): DataFrame = {
+    import graft.expressions.BloomFilterAgg
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val benchSh = Dedup.shinglePostings(benchmark, idCol, textCol, n, Int.MaxValue)
+      .select(col("shingle")).distinct().cache()
+    val packed = BloomFilterAgg.pack(
+      benchSh.agg(BloomFilterAgg.bloom_filter(col("shingle"), numBits, numHashes))
+        .collect()(0).getSeq[Long](0).toArray)
+    val bc = spark.sparkContext.broadcast(packed)
+    val corpusSh = Dedup.shinglePostings(corpus, idCol, textCol, n, Int.MaxValue)
+      .select(col("doc").as("doc_id"), col("shingle"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val words = bc.value
+        rows.filter(r =>
+          BloomFilterAgg.mightContainPacked(words, numBits, numHashes, md, r._2))
+      }
+      .toDF("doc_id", "shingle")
+    corpusSh
+      .join(broadcast(benchSh), Seq("shingle"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Deterministic train/val/test assignment by content-free id hash:
     * the first 8 hex chars of md5(id) are uniform over [0,1) in
     * lexicographic order, so string thresholds give exact split

@@ -132,4 +132,33 @@ object BloomFilterAgg {
       bits((u % numBits).toInt) == 1L
     }
   }
+
+  /** Pack the 0/1 array into bitset words (numBits/64 longs) for
+    * broadcast: ~1 bit per position instead of 8 bytes. */
+  def pack(bits01: Array[Long]): Array[Long] = {
+    val out = new Array[Long](bits01.length / 64)
+    var b = 0
+    while (b < bits01.length) {
+      if (bits01(b) == 1L) out(b >> 6) |= (1L << (b & 63))
+      b += 1
+    }
+    out
+  }
+
+  /** Executor-side probe over the PACKED words (what actually ships in
+    * a broadcast). `md` is caller-held so partitions reuse one digest
+    * instance across rows. */
+  def mightContainPacked(packed: Array[Long], numBits: Int, numHashes: Int,
+      md: MessageDigest, v: String): Boolean = {
+    var i = 0
+    while (i < numHashes) {
+      val d = md.digest(s"$i|$v".getBytes(StandardCharsets.UTF_8))
+      val u = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      val b = (u % numBits).toInt
+      if (((packed(b >> 6) >>> (b & 63)) & 1L) == 0L) return false
+      i += 1
+    }
+    true
+  }
 }

@@ -22,6 +22,25 @@ class CurationSpec extends AnyFunSuite {
     assert(out(1L) == 1L)
   }
 
+  test("decontaminateBloom produces exactly decontaminate's result") {
+    val bench = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta"),
+      (101L, "one two three four five six seven")).toDF("doc_id", "text")
+    val corpus = (1 to 50).map { i =>
+      val t = if (i % 7 == 0) s"x$i alpha beta gamma delta epsilon tail"
+        else if (i % 11 == 0) s"pre one two three four five post $i"
+        else s"unique$i words$i only$i here$i now$i then$i"
+      (i.toLong, t)
+    }.toDF("doc_id", "text")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = canon(Curation.decontaminate(corpus, bench, "doc_id", "text", 5))
+    val bloom = canon(Curation.decontaminateBloom(corpus, bench,
+      "doc_id", "text", 5, numBits = 1024, numHashes = 3))
+    assert(exact == bloom) // fp re-checks make the results identical
+    assert(exact.nonEmpty)
+  }
+
   test("splitAssign is deterministic, complete, and growth-stable") {
     val small = (1 to 200).map(_.toLong).toDF("doc_id")
     val big = (1 to 400).map(_.toLong).toDF("doc_id")
