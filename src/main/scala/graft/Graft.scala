@@ -15,9 +15,11 @@ import org.apache.spark.sql.SparkSession
   *    every shuffle here carries either metadata-sized keys or
   *    pre-aggregated buffers, so partition count should track cores.
   *  - `spark.sql.extensions=graft.expressions.GraftExtensions`:
-  *    injects the FuseDotProduct optimizer rule and the dot_product
-  *    SQL function (session-builder path); `configure` registers the
-  *    function directly for sessions built elsewhere.
+  *    injects the FuseDotProduct optimizer rule and the custom scalar
+  *    kernels (dot_product, strip_non_alnum, hex_parity_mask,
+  *    luhn_check) as SQL functions (session-builder path);
+  *    `configure` registers the functions directly for sessions built
+  *    elsewhere.
   *  - UTC session timezone and nanos-as-long parquet reads: the
   *    timestamp round-trip semantics the oracle checks (F7/P8).
   */
@@ -28,7 +30,7 @@ object Graft {
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    graft.expressions.VectorExpressions.register(spark)
+    graft.expressions.GraftFunctions.registerAll(spark)
     spark
   }
 

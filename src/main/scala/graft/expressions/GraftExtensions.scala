@@ -76,16 +76,45 @@ object FuseDotProduct extends Rule[LogicalPlan] {
     }
 }
 
-/** Session extensions: inject the fusion rule and register the
-  * dot_product SQL function. Activate with
+/** Runtime registration of every custom scalar kernel on an EXISTING
+  * session (the `Graft.configure` path — extensions can only be
+  * injected at builder time). */
+object GraftFunctions {
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.registerFunction(spark, "dot_product",
+      exprs => DotProduct(exprs(0), exprs(1)))
+    Bridge.registerFunction(spark, "strip_non_alnum",
+      exprs => StripNonAlnum(exprs(0)))
+    Bridge.registerFunction(spark, "hex_parity_mask",
+      exprs => HexParityMask(exprs(0)))
+    Bridge.registerFunction(spark, "luhn_check",
+      exprs => LuhnCheck(exprs(0)))
+  }
+}
+
+/** Session extensions: inject the fusion rule and register every
+  * custom scalar kernel as a SQL function, so `spark.sql` users get
+  * the full extension surface by name. Activate with
   * `.withExtensions(new GraftExtensions)` or
   * `spark.sql.extensions=graft.expressions.GraftExtensions`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  private def fn(e: SparkSessionExtensions, name: String, clazz: Class[_],
+      build: Seq[Expression] => Expression): Unit =
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+      new ExpressionInfo(clazz.getName, name),
+      build))
+
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => FuseDotProduct)
-    e.injectFunction((
-      new org.apache.spark.sql.catalyst.FunctionIdentifier("dot_product"),
-      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
-      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+    fn(e, "dot_product", classOf[DotProduct],
+      exprs => DotProduct(exprs(0), exprs(1)))
+    fn(e, "strip_non_alnum", classOf[StripNonAlnum],
+      exprs => StripNonAlnum(exprs(0)))
+    fn(e, "hex_parity_mask", classOf[HexParityMask],
+      exprs => HexParityMask(exprs(0)))
+    fn(e, "luhn_check", classOf[LuhnCheck],
+      exprs => LuhnCheck(exprs(0)))
   }
 }

@@ -16,6 +16,20 @@ class GraftSessionSpec extends AnyFunSuite {
     assert(r(0).getDouble(0) == 11.0)
   }
 
+  test("all scalar kernels are SQL-callable on a configured session") {
+    val s = Graft.configure(spark)
+    val r = s.sql(
+      """SELECT strip_non_alnum('a-b c.1') AS stripped,
+        |  hex_parity_mask('0123456789abcdef0123456789abcdef') AS mask,
+        |  luhn_check('4539578763621486') AS valid,
+        |  luhn_check('4539578763621487') AS invalid""".stripMargin).collect()(0)
+    assert(r.getString(0) == "abc1")
+    // parity of '0','1',...: ascii 48 even, 49 odd... bit b set when
+    // hex char b has odd ascii — '1','3','5','7','9','a','c','e'
+    assert(r.getInt(1) != 0)
+    assert(r.getBoolean(2) && !r.getBoolean(3))
+  }
+
   test("a reference-style job runs end to end on a configured session") {
     val s = Graft.configure(spark)
     import s.implicits._
