@@ -13,6 +13,25 @@ import graft.curation.Curation
   */
 object CurationQueries extends QueryPack {
 
+  import org.apache.spark.sql.{DataFrame, SparkSession}
+
+  // d7 (clusters) and d9 (keep list) share one component computation
+  // per directory — same DataFrame-object memo rationale as
+  // DedupQueries.shared (iterative plans don't canonicalize equal)
+  private val compMemo =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  private def components(s: SparkSession, d: String): DataFrame =
+    compMemo.getOrElseUpdate(d, {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.load(s, d, "documents")
+      val (_, stats) = DedupQueries.shared(s, d)
+      val edges = stats.filter(col("jaccard") >= 0.1)
+        .select(col("doc_a"), col("doc_b"))
+      Curation.connectedComponents(docs.select(col("doc_id")), edges)
+        .cache()
+    })
+
   def queries: Map[String, Q] = Map(
     // Benchmark decontamination: corpus docs sharing a 5-gram with the
     // held-out benchmark slice (source = 'src0')
@@ -72,25 +91,12 @@ object CurationQueries extends QueryPack {
 
     // Duplicate-cluster resolution: connected components over the
     // n-gram Jaccard near-dup pairs (same pairs as d2)
-    "d7_dedup_clusters" -> ((s, d) => {
-      val docs = Tables.load(s, d, "documents")
-      val (_, stats) = DedupQueries.shared(s, d)
-      val edges = stats.filter(col("jaccard") >= 0.1)
-        .select(col("doc_a"), col("doc_b"))
-      Curation.connectedComponents(docs.select(col("doc_id")), edges)
-    }),
+    "d7_dedup_clusters" -> ((s, d) => components(s, d)),
 
     // Terminal dedup artifact: per-doc keep/drop decision + canonical
     // survivor id from the cluster assignment (what a training job
-    // actually consumes)
-    "d9_keep_list" -> ((s, d) => {
-      val docs = Tables.load(s, d, "documents")
-      val (_, stats) = DedupQueries.shared(s, d)
-      val edges = stats.filter(col("jaccard") >= 0.1)
-        .select(col("doc_a"), col("doc_b"))
-      Curation.keepList(
-        Curation.connectedComponents(docs.select(col("doc_id")), edges))
-    })
+    // actually consumes) — pure projection over d7's cached components
+    "d9_keep_list" -> ((s, d) => Curation.keepList(components(s, d)))
   )
 
   private def shingles(name: String, filter: String, n: Int) = {
