@@ -63,6 +63,14 @@ object SimilarityQueries extends QueryPack {
         col("vec_id") < 5, k = 5, nlist = 8, nprobe = 2,
         fitted = Some(fit(s, d, 8)))),
 
+    // Symmetric int8 quantization of the embedding table (4x serving
+    // compression); q_i = floor(v_i/scale + 0.5) is plain IEEE
+    // arithmetic, so the full quantized table replays in DuckDB
+    "s8_quantize_int8" -> ((s, d) =>
+      Similarity.quantizeInt8(Tables.load(s, d, "embeddings"))
+        .select(col("vec_id"), round(col("scale"), 9).as("scale_r"),
+          col("q"))),
+
     // Same IVF probe machinery with every list probed (nprobe=nlist):
     // provably equals exact brute-force top-k, so the probe path —
     // fit, inverted lists, probe-list explosion, candidate join, exact
@@ -163,6 +171,17 @@ object SimilarityQueries extends QueryPack {
          |    ON a.vec_id < 5 AND b.vec_id <> a.vec_id AND a.sig = b.sig) t
          |WHERE rn <= 5""".stripMargin,
     "s4_ivf_label" -> topKOracle("AND a.label = b.label", 5),
+    "s8_quantize_int8" ->
+      """WITH m AS (SELECT vec_id, embedding,
+        |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS abs_max
+        |FROM embeddings),
+        |sc AS (SELECT vec_id, embedding,
+        |  CASE WHEN abs_max > 0.0 THEN abs_max / 127.0 ELSE 1.0 END AS scale
+        |FROM m)
+        |SELECT vec_id, round(scale, 9) AS scale_r,
+        |  list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS INTEGER)) AS q
+        |FROM sc""".stripMargin,
     "d6_embedding_neardup" ->
       s"""WITH $normCte
          |SELECT vec_a, vec_b, round(cos_raw, 6) AS cos_sim FROM (

@@ -214,6 +214,29 @@ object Similarity {
       col("q.probe_cluster") === col("c.cluster"), k)
   }
 
+  /** Symmetric int8 scalar quantization of the embedding column: per
+    * vector, scale = max|v| / 127, q_i = floor(v_i/scale + 0.5)
+    * (explicit floor instead of round() so the rounding rule is plain
+    * IEEE arithmetic, identical in every engine). 4× memory/IO
+    * compression for ANN candidate scanning — the standard serving
+    * trick: rank candidates on int8 dots, re-rank survivors on the
+    * float vectors. Zero vectors quantize to zeros (scale null-safe).
+    *
+    * Pure projection — no shuffle; at 100 TB this runs as a map-only
+    * rewrite of the embedding table into the compact serving layout. */
+  def quantizeInt8(df: DataFrame): DataFrame = {
+    val absMax = array_max(transform(col("embedding"),
+      x => abs(x.cast("double"))))
+    df.select(col("vec_id"), col("embedding"))
+      .withColumn("abs_max", absMax)
+      .withColumn("scale",
+        when(col("abs_max") > 0.0, col("abs_max") / 127.0).otherwise(lit(1.0)))
+      .select(col("vec_id"), col("scale"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") / col("scale") + 0.5).cast("int"))
+          .as("q"))
+  }
+
   /** Embedding near-duplicate pairs: all (a < b) with cosine ≥
     * `threshold`.
     *

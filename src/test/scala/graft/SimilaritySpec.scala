@@ -88,6 +88,32 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("int8 quantization bounds reconstruction error and preserves ranking") {
+    val q = Similarity.quantizeInt8(vecs).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getSeq[Int](2))).toMap
+    // every component within half a quantization step of the original
+    vecs.collect().foreach { r =>
+      val id = r.getLong(0)
+      val emb = r.getSeq[Float](1)
+      val (scale, qv) = q(id)
+      emb.zip(qv).foreach { case (v, qi) =>
+        assert(math.abs(qi * scale - v) <= scale / 2 + 1e-12,
+          s"vec $id component off by more than scale/2")
+        assert(math.abs(qi) <= 127, s"vec $id overflows int8 range")
+      }
+    }
+    // unit vector quantizes exactly: scale = 1/127, q = (127, 0, 0, 0)
+    assert(q(0L)._2 == Seq(127, 0, 0, 0))
+    // int8 dot products preserve the cosine ranking of vec 0's
+    // neighbors (the candidate-scan use): 1 > 4 > 2 > 3
+    def qdot(a: Long, b: Long): Double = {
+      val (sa, qa) = q(a); val (sb, qb) = q(b)
+      qa.zip(qb).map { case (x, y) => x.toDouble * y }.sum * sa * sb
+    }
+    val ranked = Seq(1L, 4L, 2L, 3L).map(n => qdot(0L, n))
+    assert(ranked == ranked.sorted.reverse)
+  }
+
   test("near-dup pairs finds the planted close pair only") {
     val pairs = Similarity.nearDupPairs(vecs, 0.95)
       .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
