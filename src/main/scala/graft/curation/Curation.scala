@@ -154,6 +154,31 @@ object Curation {
       .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score"))
   }
 
+  /** Percentile-band quality filtering: per stratum (e.g. language),
+    * keep documents whose quality score lies within the
+    * [pLo, pHi] percentile band of that stratum — the
+    * profile-driven curation pass that drops both spam (low tail) and
+    * degenerate boilerplate (suspiciously high tail) without a global
+    * threshold that misfits some language.
+    *
+    * Scale shape: bounds are one tiny aggregate (|strata| rows,
+    * broadcast back); the corpus is scanned twice (once for bounds,
+    * once for the filter) but never shuffled — at 100 TB compute the
+    * score column once into the table and both passes are
+    * column-pruned scans. */
+  def qualityBandFilter(df: DataFrame, strataCol: String, idCol: String,
+      textCol: String, pLo: Double = 0.1, pHi: Double = 0.9): DataFrame = {
+    import graft.functions.TextFunctions
+    val q = df.select(col(idCol), col(strataCol),
+      TextFunctions.qualityScore(col(textCol)).as("quality"))
+    val bounds = q.groupBy(col(strataCol))
+      .agg(expr(s"percentile(quality, $pLo)").as("p_lo"),
+        expr(s"percentile(quality, $pHi)").as("p_hi"))
+    q.join(broadcast(bounds), Seq(strataCol))
+      .filter(col("quality") >= col("p_lo") && col("quality") <= col("p_hi"))
+      .select(col(idCol), col(strataCol), col("quality"))
+  }
+
   /** Proportional quota sampling by content-free hash rate: keep each
     * row with probability min(1, quota / |domain|), decided by whether
     * the uniform fraction encoded in the first 8 hex chars of

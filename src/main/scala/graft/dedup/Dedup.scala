@@ -70,6 +70,25 @@ object Dedup {
     keyed.join(rare, Seq("sh_h"), "left_semi").select("doc", "shingle")
   }
 
+  /** Incremental exact dedup: rows of `newDf` whose normalized-content
+    * fingerprint already exists in `seenDf` — the ingest-time gate
+    * that keeps an append-only corpus exact-dup-free without ever
+    * re-clustering history. Output: (id, fp) of the duplicate NEW rows
+    * (drop these; the rest append).
+    *
+    * Scale shape: the seen side reduces to distinct fingerprints
+    * before the semi-join; at 100 TB the seen-fp set is a bucketed
+    * table the join co-locates on (or a [[graft.expressions.BloomFilterAgg]]
+    * pre-filter when even the fp set can't broadcast). */
+  def incrementalExact(newDf: DataFrame, seenDf: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val seenFp = seenDf
+      .select(TextFunctions.fingerprint(col(textCol)).as("fp")).distinct()
+    graft.sources.Tables.fanOut(newDf)
+      .select(col(idCol), TextFunctions.fingerprint(col(textCol)).as("fp"))
+      .join(seenFp, Seq("fp"), "left_semi")
+  }
+
   /** Repeated-span mining (the corpus-level half of substring dedup):
     * word n-grams appearing in at least `minDf` distinct documents,
     * with their document frequency and the lowest containing doc id.

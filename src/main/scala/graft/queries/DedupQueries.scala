@@ -47,6 +47,16 @@ object DedupQueries extends QueryPack {
         rowsPerBand = 2, threshold = 0.5, stats = Some(stats))
     }),
 
+    // Incremental ingest-time dedup: new-batch rows (event_id % 5 = 0)
+    // whose payload fingerprint already exists in the seen corpus
+    "d10_incremental_dedup" -> ((s, d) => {
+      val e = Tables.load(s, d, "events")
+      Dedup.incrementalExact(
+        e.filter(org.apache.spark.sql.functions.col("event_id") % 5 === 0),
+        e.filter(org.apache.spark.sql.functions.col("event_id") % 5 =!= 0),
+        "event_id", "props")
+    }),
+
     // Boilerplate mining: 8-token spans repeated across >= 3 docs
     "d8_common_spans" -> ((s, d) =>
       Dedup.commonSpans(Tables.load(s, d, "documents"),
@@ -126,6 +136,14 @@ object DedupQueries extends QueryPack {
          |FROM cand c JOIN jac j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
          |WHERE j.jaccard >= 0.5""".stripMargin
     },
+
+    "d10_incremental_dedup" ->
+      """WITH fp AS (SELECT event_id,
+        |  md5(regexp_replace(lower(props), '[^a-z0-9]', '', 'g')) AS fp
+        |FROM events)
+        |SELECT fp, event_id FROM fp
+        |WHERE event_id % 5 = 0
+        |  AND fp IN (SELECT fp FROM fp WHERE event_id % 5 <> 0)""".stripMargin,
 
     "d8_common_spans" ->
       """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t

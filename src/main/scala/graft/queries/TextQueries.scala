@@ -88,7 +88,15 @@ object TextQueries extends QueryPack {
     "x8_redact" -> ((s, d) =>
       Tables.load(s, d, "events")
         .select(col("event_id"),
-          regexp_replace(col("props"), "[0-9]+", "<NUM>").as("redacted")))
+          regexp_replace(col("props"), "[0-9]+", "<NUM>").as("redacted"))),
+
+    // Profile-driven curation: keep docs inside their language's
+    // [p10, p90] quality band (drops spam low tail AND degenerate
+    // high tail per stratum, no global threshold)
+    "x9_quality_filter" -> ((s, d) =>
+      graft.curation.Curation.qualityBandFilter(
+        Tables.load(s, d, "documents"), "lang", "doc_id", "text",
+        pLo = 0.1, pHi = 0.9))
   )
 
   private val stopAll =
@@ -111,7 +119,25 @@ object TextQueries extends QueryPack {
     s"CASE WHEN $g = 0 THEN 'und' ${whens.mkString(" ")} ELSE 'und' END"
   }
 
+  /** qualityScore as a DuckDB expression (same op order as Spark). */
+  private val qualitySql =
+    s"""round(least(greatest(
+       |    least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+       |    + least((CAST(${hitsSql(stopAll)} AS DOUBLE)
+       |        / greatest(CASE WHEN length(trim(text)) = 0 THEN 0
+       |            ELSE len(string_split_regex(trim(text), '\\s+')) END, 1)) * 2.0, 1.0) * 0.4
+       |    + (1.0 - least((CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+       |        / greatest(length(text), 1)) * 10.0, 1.0)) * 0.2,
+       |    0.0), 1.0), 6)""".stripMargin
+
   def oracle: Map[String, String] = Map(
+    "x9_quality_filter" ->
+      s"""WITH q AS (SELECT doc_id, lang, $qualitySql AS quality FROM documents),
+         |b AS (SELECT lang, quantile_cont(quality, 0.1) AS p_lo,
+         |        quantile_cont(quality, 0.9) AS p_hi
+         |      FROM q GROUP BY lang)
+         |SELECT doc_id, lang, quality FROM q JOIN b USING (lang)
+         |WHERE quality >= p_lo AND quality <= p_hi""".stripMargin,
     "x1_token_count" ->
       """SELECT doc_id,
         |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0

@@ -106,6 +106,20 @@ class CurationSpec extends AnyFunSuite {
     assert(top == Map(1L -> "rare1", 2L -> "rare2", 3L -> "rare3"))
   }
 
+  test("qualityBandFilter drops each stratum's tails, keeps the band") {
+    // one stratum with a clear spread: tiny spam docs, mid docs, and a
+    // long high-quality doc; p10/p90 band keeps the middle
+    val docs = ((1 to 20).map(i => (i.toLong, "en",
+        "the quick brown fox jumps over the lazy dog " * 3))
+      ++ Seq((100L, "en", "x"), (101L, "en", "y"))   // low tail
+      ++ Seq((102L, "en", ("the a of and to in is " * 40)))) // high tail
+      .toDF("doc_id", "lang", "text")
+    val kept = Curation.qualityBandFilter(docs, "lang", "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!kept.contains(100L) && !kept.contains(101L))
+    assert((1 to 20).forall(i => kept.contains(i.toLong)))
+  }
+
   test("keepList keeps exactly one canonical doc per component") {
     val nodes = (1L to 5L).toDF("id")
     val edges = Seq((1L, 2L), (2L, 3L)).toDF("s", "d") // {1,2,3}, {4}, {5}

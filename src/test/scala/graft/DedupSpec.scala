@@ -22,6 +22,19 @@ class DedupSpec extends AnyFunSuite {
     assert(dups(0).getAs[Long]("canonical_id") == 1L)
   }
 
+  test("incrementalExact flags only new rows whose content is already seen") {
+    val seen = Seq((1L, "the quick brown fox"), (2L, "other seen content"))
+      .toDF("doc_id", "text")
+    val fresh = Seq(
+      (10L, "THE QUICK-BROWN FOX!"), // dup of 1 after normalization
+      (11L, "genuinely new content"),
+      (12L, "other seen content")    // exact dup of 2
+    ).toDF("doc_id", "text")
+    val dups = Dedup.incrementalExact(fresh, seen, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(dups == Set(10L, 12L))
+  }
+
   test("commonSpans mines spans repeated across >= minDf docs") {
     // docs 1, 2, 4 share the 8-token prefix; no span reaches 4 docs
     val spans = Dedup.commonSpans(docs, "doc_id", "text", n = 8, minDf = 3)
