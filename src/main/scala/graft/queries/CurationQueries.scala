@@ -78,9 +78,12 @@ object CurationQueries extends QueryPack {
       Curation.hashRateSample(
         Tables.load(s, d, "documents"), "source", "doc_id", quota = 12L)),
 
-    // Distributed BPE tokenizer training on the benchmark slice
-    // (no SQL oracle — iterative merges; BpeSpec pins equality with
-    // the single-node textbook implementation; rows-only check)
+    // Distributed BPE tokenizer training on the benchmark slice.
+    // Deterministic (ties on lexicographic pair order), so the fixed
+    // 8-merge loop unrolls into chained CTEs: per round, pair-count →
+    // argmax → greedy left-to-right re-segment (chains of overlapping
+    // matches take even offsets from the chain head — exactly the
+    // sequential scan's skip-after-merge behavior)
     "b1_bpe_merges" -> ((s, d) => {
       import s.implicits._
       graft.curation.Bpe.learnMerges(
@@ -109,6 +112,52 @@ object CurationQueries extends QueryPack {
        |  FROM ${name}_toks WHERE len(t) >= $n)""".stripMargin
   }
 
+  /** b1 replay: `Bpe.learnMerges(src0 docs, 8)` unrolled. Word table
+    * w0 = (word, weight, char symbols); each round k: adjacent-pair
+    * counts weighted by word frequency → argmax (cnt desc, l, r) →
+    * re-segment. The greedy left-to-right merge is exact: positions
+    * matching (l, r) form chains only when l = r; the sequential scan
+    * merges chain offsets 0, 2, 4… (skipping the consumed symbol), so
+    * selection = even offset from the chain head (`grp` groups
+    * consecutive matched positions). MATERIALIZED CTEs: each round
+    * references the prior word table several times, and default
+    * inlining would re-expand the whole chain exponentially. */
+  private val bpeOracle: String = {
+    val numMerges = 8
+    def round(k: Int): String = {
+      val prev = s"w${k - 1}"
+      s"""u$k AS MATERIALIZED (SELECT word, n, i, syms[i] AS s, syms[i+1] AS s_next
+         |  FROM (SELECT word, n, syms, unnest(range(1, len(syms) + 1)) AS i FROM $prev) t),
+         |pc$k AS (SELECT s AS l, s_next AS r, SUM(n) AS cnt
+         |  FROM u$k WHERE s_next IS NOT NULL GROUP BY 1, 2),
+         |mg$k AS MATERIALIZED (SELECT l, r FROM pc$k ORDER BY cnt DESC, l, r LIMIT 1),
+         |mt$k AS (SELECT word, i, i - row_number() OVER (PARTITION BY word ORDER BY i) AS grp
+         |  FROM u$k WHERE s = (SELECT l FROM mg$k) AND s_next = (SELECT r FROM mg$k)),
+         |sel$k AS MATERIALIZED (SELECT word, i FROM (
+         |    SELECT word, i, min(i) OVER (PARTITION BY word, grp) AS g0 FROM mt$k) t
+         |  WHERE (i - g0) % 2 = 0),
+         |w$k AS MATERIALIZED (SELECT x.word, any_value(x.n) AS n,
+         |    list(CASE WHEN s.i IS NOT NULL THEN x.s || x.s_next ELSE x.s END ORDER BY x.i) AS syms
+         |  FROM u$k x
+         |  LEFT JOIN sel$k s ON x.word = s.word AND x.i = s.i
+         |  LEFT JOIN sel$k p ON x.word = p.word AND x.i = p.i + 1
+         |  WHERE p.i IS NULL
+         |  GROUP BY x.word)""".stripMargin
+    }
+    val rounds = (1 to numMerges).map(round).mkString(",\n")
+    val unions = (1 to numMerges).map(k =>
+      s"""SELECT ${k - 1} AS "rank", l AS "left", r AS "right" FROM mg$k""")
+      .mkString("\nUNION ALL ")
+    s"""WITH w0 AS MATERIALIZED (
+       |  SELECT w AS word, CAST(count(*) AS BIGINT) AS n,
+       |    list_transform(range(1, length(w) + 1), i -> substr(w, i, 1)) AS syms
+       |  FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+       |        FROM documents WHERE source = 'src0') t
+       |  WHERE w <> '' GROUP BY w),
+       |$rounds
+       |$unions""".stripMargin
+  }
+
   private val splitCase = {
     val h = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)"
     s"""CASE WHEN $h < 'cccccccc' THEN 'train'
@@ -117,6 +166,8 @@ object CurationQueries extends QueryPack {
   }
 
   def oracle: Map[String, String] = Map(
+    "b1_bpe_merges" -> bpeOracle,
+
     "c1_decontaminate" ->
       s"""WITH ${shingles("csh", "source <> 'src0'", 5)},
          |${shingles("bsh", "source = 'src0'", 5)}

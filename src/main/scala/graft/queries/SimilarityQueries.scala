@@ -53,11 +53,10 @@ object SimilarityQueries extends QueryPack {
       Similarity.nearDupPairs(Tables.load(s, d, "embeddings"), 0.45)),
 
     // End-to-end IVF ANN: k-means fit -> inverted lists -> probe the
-    // 2 nearest of 8 lists per query, exact cosine rank within
-    // (no SQL oracle — recall at nprobe<nlist depends on the lists;
-    // driver records the rows-only check; s7 below oracle-checks the
-    // same code path at nprobe=nlist, and SimilaritySpec proves the
-    // degeneration property)
+    // 2 nearest of 8 lists per query, exact cosine rank within.
+    // Fully deterministic (fixed init, fixed tie-breaks), so the whole
+    // fit -> assign -> probe-selection -> candidate-rank path unrolls
+    // into the chained-CTE oracle below (same technique as s5)
     "s6_ivf_probe" -> ((s, d) =>
       Similarity.ivfProbeTopK(Tables.load(s, d, "embeddings"),
         col("vec_id") < 5, k = 5, nlist = 8, nprobe = 2,
@@ -65,11 +64,14 @@ object SimilarityQueries extends QueryPack {
 
     // Symmetric int8 quantization of the embedding table (4x serving
     // compression); q_i = floor(v_i/scale + 0.5) is plain IEEE
-    // arithmetic, so the full quantized table replays in DuckDB
+    // arithmetic, so the full quantized table replays in DuckDB.
+    // Emitted exploded to (vec_id, scale_r, pos, q_i) — scalar columns
+    // only, so the driver's row-sort/hash compare works (an array
+    // column can't be sorted by the pandas harness)
     "s8_quantize_int8" -> ((s, d) =>
       Similarity.quantizeInt8(Tables.load(s, d, "embeddings"))
         .select(col("vec_id"), round(col("scale"), 9).as("scale_r"),
-          col("q"))),
+          posexplode(col("q")).as(Seq("pos", "q_i")))),
 
     // Same IVF probe machinery with every list probed (nprobe=nlist):
     // provably equals exact brute-force top-k, so the probe path —
@@ -137,11 +139,14 @@ object SimilarityQueries extends QueryPack {
        |        FROM $assignCte, range(1, 65) r(i))
        |  GROUP BY cluster, pos) GROUP BY cluster)""".stripMargin
 
-  /** The full 2-iteration deterministic Lloyd run of `kmeansFit(df, 8)`
-    * unrolled: init from the 8 lowest vec_ids → (assign → recompute) ×2
-    * → final assignment. */
-  private val kmeansOracle: String =
-    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+  /** The full 2-iteration deterministic Lloyd chain of
+    * `kmeansFit(df, 8)` unrolled as CTEs: init from the 8 lowest
+    * vec_ids → (assign → recompute) ×2 → final assignment `a3` with
+    * final centroids `c2`. MATERIALIZED: downstream oracles reference
+    * a3/c2 several times, and DuckDB's default CTE inlining would
+    * re-expand the whole chain per reference. */
+  private val lloydCtes: String =
+    s"""e AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
        |c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cluster,
        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent
        |       FROM (SELECT vec_id, embedding FROM e ORDER BY vec_id LIMIT 8) i),
@@ -149,12 +154,48 @@ object SimilarityQueries extends QueryPack {
        |${recomputeCte("c1", "a1")},
        |${assignCte("a2", "c1")},
        |${recomputeCte("c2", "a2")},
-       |${assignCte("a3", "c2")}
+       |${assignCte("a3", "c2")}""".stripMargin
+
+  private val kmeansOracle: String =
+    s"""WITH $lloydCtes
        |SELECT vec_id, cluster FROM a3""".stripMargin
+
+  /** s6 replay: probe-list selection (2 nearest of the 8 final
+    * centroids per query, ties on the lower cluster id) + exact cosine
+    * rank over the union of the probed inverted lists — the same
+    * struct-sort/argmin order as `ivfProbeTopK`. */
+  private val ivfProbeOracle: String =
+    s"""WITH $lloydCtes,
+       |nv AS MATERIALIZED (SELECT vec_id,
+       |  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm
+       |FROM embeddings),
+       |qp AS (SELECT vec_id, cluster FROM (
+       |  SELECT a.vec_id, c.cluster,
+       |    ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+       |      -(list_sum(list_transform(range(1, 65),
+       |          i -> CAST(a.embedding[i] AS DOUBLE) * c.cent[i]))) ASC,
+       |      c.cluster ASC) AS rn
+       |  FROM a3 a CROSS JOIN c2 c WHERE a.vec_id < 5) t
+       |  WHERE rn <= 2),
+       |cand AS (SELECT qa.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    list_sum(list_transform(range(1, 65),
+       |      i -> CAST(qa.embedding[i] AS DOUBLE) * b.embedding[i]))
+       |      / (na.nrm * nb.nrm) AS cos_raw
+       |  FROM qp JOIN a3 qa ON qp.vec_id = qa.vec_id
+       |  JOIN a3 b ON b.cluster = qp.cluster AND b.vec_id <> qa.vec_id
+       |  JOIN nv na ON na.vec_id = qa.vec_id
+       |  JOIN nv nb ON nb.vec_id = b.vec_id)
+       |SELECT query_id, neighbor_id, rn, round(cos_raw, 6) AS cos_sim FROM (
+       |  SELECT query_id, neighbor_id, cos_raw,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cos_raw DESC, neighbor_id ASC) AS rn
+       |  FROM cand) t
+       |WHERE rn <= 5""".stripMargin
 
   def oracle: Map[String, String] = Map(
     "s2_knn_brute" -> topKOracle("", 10),
     "s5_ivf_kmeans" -> kmeansOracle,
+    "s6_ivf_probe" -> ivfProbeOracle,
     // nprobe = nlist probes every inverted list -> exact brute force
     "s7_ivf_probe_full" -> topKOracle("", 5),
     "s3_ann_lsh" ->
@@ -179,9 +220,9 @@ object SimilarityQueries extends QueryPack {
         |  CASE WHEN abs_max > 0.0 THEN abs_max / 127.0 ELSE 1.0 END AS scale
         |FROM m)
         |SELECT vec_id, round(scale, 9) AS scale_r,
-        |  list_transform(embedding,
-        |    x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS INTEGER)) AS q
-        |FROM sc""".stripMargin,
+        |  CAST(i - 1 AS INTEGER) AS pos,
+        |  CAST(floor(CAST(embedding[i] AS DOUBLE) / scale + 0.5) AS INTEGER) AS q_i
+        |FROM sc, range(1, 65) r(i)""".stripMargin,
     "d6_embedding_neardup" ->
       s"""WITH $normCte
          |SELECT vec_a, vec_b, round(cos_raw, 6) AS cos_sim FROM (
