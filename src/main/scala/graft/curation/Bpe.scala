@@ -21,6 +21,21 @@ import org.apache.spark.sql.functions._
   */
 object Bpe {
 
+  /** Initial symbol table for a word: one symbol per Unicode code
+    * point (not UTF-16 code unit — a surrogate pair like an emoji is
+    * ONE starting symbol, matching byte/char-level BPE references and
+    * the DuckDB oracle's per-character substr split). */
+  private[curation] def codePointSyms(w: String): List[String] = {
+    val out = List.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.result()
+  }
+
   /** Learn `numMerges` merges from the whitespace tokenization of
     * `textCol`. Returns (rank, left, right) in merge order. */
   def learnMerges(df: DataFrame, textCol: String,
@@ -32,7 +47,7 @@ object Bpe {
       .filter(col("w") =!= "")
       .groupBy(col("w")).agg(count(lit(1)).as("n"))
       .as[(String, Long)]
-      .map { case (w, n) => (w.map(_.toString).toList: Seq[String], n) }
+      .map { case (w, n) => (codePointSyms(w): Seq[String], n) }
       .localCheckpoint()
 
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String)]
@@ -85,7 +100,7 @@ object Bpe {
       val toks = if (t == null) Array.empty[String]
         else t.trim.split("\\s+").filter(_.nonEmpty)
       val pieces = toks.flatMap { w =>
-        var syms: Seq[String] = w.map(_.toString)
+        var syms: Seq[String] = codePointSyms(w)
         bc.value.foreach { case (l, r) =>
           val out = scala.collection.mutable.ArrayBuffer.empty[String]
           var i = 0

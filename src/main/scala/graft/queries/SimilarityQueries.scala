@@ -222,7 +222,9 @@ object SimilarityQueries extends QueryPack {
         |SELECT vec_id, round(scale, 9) AS scale_r,
         |  CAST(i - 1 AS INTEGER) AS pos,
         |  CAST(floor(CAST(embedding[i] AS DOUBLE) / scale + 0.5) AS INTEGER) AS q_i
-        |FROM sc, range(1, 65) r(i)""".stripMargin,
+        |FROM (SELECT vec_id, embedding, scale,
+        |        unnest(range(1, len(embedding) + 1)) AS i
+        |      FROM sc) t""".stripMargin,
     "d6_embedding_neardup" ->
       s"""WITH $normCte
          |SELECT vec_a, vec_b, round(cos_raw, 6) AS cos_sim FROM (
