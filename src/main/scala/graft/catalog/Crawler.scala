@@ -79,4 +79,74 @@ object Crawler {
     registered.map(t => tableColumns(spark, t))
       .reduce(_ unionByName _)
   }
+
+  /** System schemas excluded from JDBC estate discovery by default —
+    * the reference's DEFAULT_EXCEPTION_SCHEMAS
+    * (lambda/rds-glue-initial/app.py:17-23) plus the Derby/DB2-family
+    * equivalents so the metadata fallback path skips them too. */
+  val DefaultExceptionSchemas: Seq[String] = Seq(
+    "pg_catalog", "information_schema",
+    "sys", "sysibm", "syscat", "sysfun", "sysproc", "sysstat",
+    "syscs_diag", "syscs_util", "nullid", "sqlj")
+
+  /** S6: enumerate every (schema, table) in a JDBC estate, minus
+    * system schemas (reference BASE_SCHEMA_SQL,
+    * lambda/rds-glue-initial/app.py:21-23,445-453). Primary path is
+    * the ANSI `information_schema.tables` view read through
+    * spark.read.jdbc (Postgres/MySQL/SQL Server); engines without it
+    * (Derby, Oracle) fall back to JDBC `DatabaseMetaData.getTables`.
+    * Estate metadata is thousands of rows at most, so collecting it
+    * to the driver is the same coordinator-sized step the reference
+    * runs in its enumeration Lambda. */
+  def discoverJdbc(spark: SparkSession, url: String,
+      props: Map[String, String] = Map.empty,
+      exceptionSchemas: Seq[String] = DefaultExceptionSchemas)
+      : Seq[(String, String)] = {
+    val exc = exceptionSchemas.map(_.toLowerCase).toSet
+    val viaInfoSchema: Option[Seq[(String, String)]] =
+      try {
+        val q = "(SELECT table_schema AS ts, table_name AS tn " +
+          "FROM information_schema.tables " +
+          "WHERE table_type = 'BASE TABLE') graft_estate"
+        Some(props.foldLeft(spark.read.format("jdbc")
+            .option("url", url).option("dbtable", q)) {
+            case (r, (k, v)) => r.option(k, v)
+          }.load().collect()
+          .map(r => (r.getString(0), r.getString(1))).toSeq)
+      } catch { case _: Exception => None }
+    val all = viaInfoSchema.getOrElse {
+      val p = new java.util.Properties()
+      props.foreach { case (k, v) => p.setProperty(k, v) }
+      val conn = java.sql.DriverManager.getConnection(url, p)
+      try {
+        val rs = conn.getMetaData.getTables(null, null, "%", Array("TABLE"))
+        val buf = Seq.newBuilder[(String, String)]
+        while (rs.next())
+          buf += ((rs.getString("TABLE_SCHEM"), rs.getString("TABLE_NAME")))
+        buf.result()
+      } finally conn.close()
+    }
+    all.filterNot { case (s, _) => s == null || exc.contains(s.toLowerCase) }
+      .sorted
+  }
+
+  /** S6 end-to-end: discover the whole estate and crawl every user
+    * table. The reference creates one crawler per schema with path
+    * `postgres/{schema}/%` (rds-glue-initial/app.py:482-499); here
+    * each discovered table registers as `{schema}_{table}` and the
+    * per-table scan stays a distributed spark.read.jdbc (partitioning
+    * options pass through `props`). */
+  def crawlJdbcEstate(spark: SparkSession, url: String,
+      props: Map[String, String] = Map.empty,
+      exceptionSchemas: Seq[String] = DefaultExceptionSchemas): DataFrame = {
+    val sources = discoverJdbc(spark, url, props, exceptionSchemas)
+      .map { case (s, t) =>
+        (s"${s}_$t", JdbcSource(url, s"$s.$t", props): SourceKind, "")
+      }
+    if (sources.isEmpty) {
+      import spark.implicits._
+      Seq.empty[(String, String, String, Boolean)]
+        .toDF("table_name", "column_name", "data_type", "nullable")
+    } else crawlAll(spark, sources)
+  }
 }

@@ -51,6 +51,43 @@ class JdbcAndCommentsSpec extends AnyFunSuite {
     assert(found.contains(("invoice_total", "MONEY_AMOUNT")))
   }
 
+  test("JDBC estate discovery (S6): enumerate schemas/tables, crawl all") {
+    val dbDir = tmp("derby_estate")
+    val url = s"jdbc:derby:$dbDir/estatedb;create=true"
+    val conn = DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute(
+        "CREATE TABLE customer_profile (cust_id INT PRIMARY KEY, email VARCHAR(128))")
+      st.execute(
+        "CREATE TABLE order_ledger (order_id INT PRIMARY KEY, cust_id INT, total DOUBLE)")
+      st.execute("INSERT INTO customer_profile VALUES (1, 'a@example.org')")
+      st.execute("INSERT INTO order_ledger VALUES (10, 1, 9.5)")
+    } finally conn.close()
+
+    // discovery names nothing: it must find the user tables on its own
+    // and exclude Derby's SYS* schemas
+    val found = Crawler.discoverJdbc(spark, url)
+    assert(found.size == 2)
+    assert(found.forall { case (s, _) => !s.toUpperCase.startsWith("SYS") })
+    assert(found.map(_._2.toLowerCase).toSet ==
+      Set("customer_profile", "order_ledger"))
+
+    // full estate crawl registers every table and reports all columns
+    val inventory = Crawler.crawlJdbcEstate(spark, url)
+    val byTable = inventory.collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getString(1).toLowerCase).toSet)
+    val tables = byTable.keys.map(_.toLowerCase).toSet
+    assert(tables.exists(_.endsWith("customer_profile")))
+    assert(tables.exists(_.endsWith("order_ledger")))
+    assert(byTable.collectFirst {
+      case (t, cols) if t.toLowerCase.endsWith("order_ledger") => cols
+    }.get == Set("order_id", "cust_id", "total"))
+    // registered through the normal catalog path → queryable
+    val reg = tables.find(_.endsWith("customer_profile")).get
+    assert(spark.table(reg).count() == 1)
+  }
+
   test("catalog comments: apply, read back, optimistic versioning") {
     import spark.implicits._
     val store = new CatalogComments(spark, tmp("comments"))
