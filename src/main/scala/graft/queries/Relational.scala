@@ -193,6 +193,29 @@ object Relational extends QueryPack {
           col("last_date"))
     }),
 
+    // J2/P9/S13: governance tag report — tracker ⨝ broadcast tag map,
+    // map_filter down to the reference's six required governance keys
+    // (s3-tag-report/app.py:18,203-222), exploded to scalars for the
+    // hash compare; the nondeterministic capture timestamp is dropped
+    "j2_tag_report" -> ((s, d) => {
+      val sup = Tables.load(s, d, "supplier")
+      val tracker = sup.select(col("s_name").as("source_name"),
+        lower(regexp_replace(col("s_name"), "[-. ]", "_"))
+          .as("data_catalog_table_name"))
+      val tags = sup.filter(col("s_suppkey") % 3 === 0)
+        .select(col("s_name").as("source_name"),
+          map(lit("APP_ID"), col("s_suppkey").cast(StringType),
+            lit("Business Function"), col("s_nationkey").cast(StringType),
+            lit("scratch"), col("s_name"),
+            lit("owner_email"), concat(col("s_name"), lit("@example.org")))
+            .as("tags"))
+      graft.ops.Report.tagReport(tracker, tags, Seq(
+          "APP_ID", "Purpose of Processing", "Data Subjects",
+          "APP_NAME", "Business Function", "Processing Activity"))
+        .select(col("source_name"), col("data_catalog_table_name"),
+          explode(col("captured_tags")).as(Seq("tag_key", "tag_value")))
+    }),
+
     // §3.3 N+1 fix: argmax then self-join back (latestFindingRows shape)
     "r1_latest_rows_selfjoin" -> ((s, d) => {
       val o = Tables.load(s, d, "orders")
@@ -390,6 +413,19 @@ object Relational extends QueryPack {
         |  SELECT o_custkey, count(*) AS cnt, MAX(CAST(o_orderdate AS DATE)) AS last_date
         |  FROM orders GROUP BY o_custkey) agg
         |ON c_custkey = o_custkey""".stripMargin,
+    "j2_tag_report" ->
+      """WITH j AS (
+        |  SELECT t.s_name AS source_name,
+        |    lower(regexp_replace(t.s_name, '[-. ]', '_', 'g'))
+        |      AS data_catalog_table_name,
+        |    g.s_suppkey, g.s_nationkey
+        |  FROM supplier t JOIN supplier g
+        |    ON t.s_name = g.s_name AND g.s_suppkey % 3 = 0)
+        |SELECT source_name, data_catalog_table_name,
+        |  'APP_ID' AS tag_key, CAST(s_suppkey AS VARCHAR) AS tag_value FROM j
+        |UNION ALL
+        |SELECT source_name, data_catalog_table_name,
+        |  'Business Function', CAST(s_nationkey AS VARCHAR) FROM j""".stripMargin,
     "r1_latest_rows_selfjoin" ->
       """SELECT o.o_custkey, o.o_orderkey, CAST(o.o_orderdate AS DATE) AS latest_date
         |FROM orders o
