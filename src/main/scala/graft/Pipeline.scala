@@ -47,25 +47,30 @@ object Pipeline {
     val pending = sources.map(_.sourceType).distinct
       .flatMap(t => tracker.pendingCatalog(t)
         .select("source_name").as[String].collect())
-    pending.foreach { name =>
+    val catalogedBatch = pending.map { name =>
       val src = byName(name)
       val table = Crawler.registerTable(spark, name,
         Crawler.infer(spark, src.kind, src.path))
-      tracker.markCataloged(name, table, "graft_db")
+      (name, table, "graft_db")
     }
+    // one join-update rewrite for the whole stage, not one per source
+    if (catalogedBatch.nonEmpty)
+      tracker.markCatalogedAll(catalogedBatch
+        .toDF("source_name", "data_catalog_table_name", "data_catalog_db_name"))
 
-    // 3. classify each cataloged source; append enriched findings to
-    //    the partitioned findings store (S10)
+    // 3. classify each cataloged source; append the run's enriched
+    //    findings to the partitioned findings store (S10) in one write
     val store = new FindingsStore(spark, stateDir)
-    sources.foreach { src =>
+    val findings = sources.map { src =>
       val table = Crawler.normalizeName(src.name)
       val classified = Classify.classifySummary(
         spark.table(table), entities, threshold = threshold)
-      tracker.markJobCreated(src.name)
-      store.append(Classify.enrichFindings(classified, src.sourceType,
+      Classify.enrichFindings(classified, src.sourceType,
         Map("data_catalog_table_name" -> table,
-          "data_catalog_db_name" -> "graft_db")))
+          "data_catalog_db_name" -> "graft_db"))
     }
+    store.append(findings.reduce(_ unionByName _))
+    tracker.markJobCreatedAll(sources.map(_.name).toDF("source_name"))
 
     // 3b. governance-tag capture (J2/P9/S13) from tracked source attrs
     val tagStore = new TagStore(spark, stateDir)

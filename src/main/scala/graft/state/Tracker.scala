@@ -75,29 +75,57 @@ class Tracker(spark: SparkSession, dir: String) {
     n
   }
 
-  /** S12: flag upsert — `update_item SET data_catalog_entry=true, …`
-    * as a join-update rewrite keyed on source_name. */
-  def markCataloged(sourceName: String, tableName: String, dbName: String): Unit =
-    rewrite(read().withColumn("data_catalog_entry",
-        when(col("source_name") === sourceName, lit(true))
+  /** S12 batched: flag upsert for a whole frame of
+    * `(source_name, data_catalog_table_name, data_catalog_db_name)` —
+    * ONE broadcast join-update rewrite regardless of batch size. The
+    * per-source loop variant rewrote the table once per source
+    * (O(sources²) rewrite volume across a run); callers should mark a
+    * stage's worth of sources in one call. */
+  def markCatalogedAll(batch: DataFrame): Unit = {
+    val upd = broadcast(batch.select(col("source_name"),
+        col("data_catalog_table_name").as("_new_table"),
+        col("data_catalog_db_name").as("_new_db"))
+      .dropDuplicates("source_name"))
+    rewrite(read().join(upd, Seq("source_name"), "left")
+      .withColumn("data_catalog_entry",
+        when(col("_new_table").isNotNull, lit(true))
           .otherwise(col("data_catalog_entry")))
       .withColumn("data_catalog_table_name",
-        when(col("source_name") === sourceName, lit(tableName))
-          .otherwise(col("data_catalog_table_name")))
+        coalesce(col("_new_table"), col("data_catalog_table_name")))
       .withColumn("data_catalog_db_name",
-        when(col("source_name") === sourceName, lit(dbName))
-          .otherwise(col("data_catalog_db_name")))
+        coalesce(col("_new_db"), col("data_catalog_db_name")))
       .withColumn("updated_at",
-        when(col("source_name") === sourceName, current_timestamp())
-          .otherwise(col("updated_at"))))
+        when(col("_new_table").isNotNull, current_timestamp())
+          .otherwise(col("updated_at")))
+      .drop("_new_table", "_new_db"))
+  }
 
-  def markJobCreated(sourceName: String): Unit =
-    rewrite(read().withColumn("glue_job_created",
-        when(col("source_name") === sourceName, lit(true))
+  /** S12: single-source convenience over [[markCatalogedAll]]. */
+  def markCataloged(sourceName: String, tableName: String, dbName: String): Unit = {
+    import spark.implicits._
+    markCatalogedAll(Seq((sourceName, tableName, dbName))
+      .toDF("source_name", "data_catalog_table_name", "data_catalog_db_name"))
+  }
+
+  /** Batched job-created flag: one rewrite for a frame of
+    * `source_name`s. */
+  def markJobCreatedAll(names: DataFrame): Unit = {
+    val upd = broadcast(names.select(col("source_name"))
+      .dropDuplicates("source_name").withColumn("_hit", lit(true)))
+    rewrite(read().join(upd, Seq("source_name"), "left")
+      .withColumn("glue_job_created",
+        when(coalesce(col("_hit"), lit(false)), lit(true))
           .otherwise(col("glue_job_created")))
       .withColumn("updated_at",
-        when(col("source_name") === sourceName, current_timestamp())
-          .otherwise(col("updated_at"))))
+        when(coalesce(col("_hit"), lit(false)), current_timestamp())
+          .otherwise(col("updated_at")))
+      .drop("_hit"))
+  }
+
+  def markJobCreated(sourceName: String): Unit = {
+    import spark.implicits._
+    markJobCreatedAll(Seq(sourceName).toDF("source_name"))
+  }
 
   /** F1/F2: sources with neither catalog entry nor job. */
   def pendingCatalog(sourceType: String): DataFrame =

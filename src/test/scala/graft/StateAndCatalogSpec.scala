@@ -41,6 +41,31 @@ class StateAndCatalogSpec extends AnyFunSuite {
     assert(t.pendingCatalog("dynamodb").count() == 1)
   }
 
+  test("tracker batched marks: one rewrite updates a whole stage") {
+    val t = new Tracker(spark, tmpDir("tracker_batch"))
+    val src = Seq(("s-1", "s3", Map.empty[String, String]),
+        ("s-2", "s3", Map.empty[String, String]),
+        ("s-3", "s3", Map.empty[String, String]))
+      .toDF("source_name", "data_source_type", "data_source_attrs")
+    assert(t.initEntries(src) == 3)
+
+    // one call marks two sources cataloged; the third stays pending
+    t.markCatalogedAll(Seq(("s-1", "s_1", "db"), ("s-2", "s_2", "db"))
+      .toDF("source_name", "data_catalog_table_name", "data_catalog_db_name"))
+    assert(t.cataloged("s3").count() == 2)
+    assert(t.pendingCatalog("s3").count() == 1)
+    val byName = t.ofType("s3").collect()
+      .map(r => r.getAs[String]("source_name") -> r).toMap
+    assert(byName("s-2").getAs[String]("data_catalog_table_name") == "s_2")
+    assert(byName("s-3").getAs[String]("data_catalog_table_name") == null)
+
+    // batched job flag; unknown names in the batch are ignored
+    t.markJobCreatedAll(Seq("s-1", "s-2", "nope").toDF("source_name"))
+    assert(t.pendingJob("s3").count() == 0)
+    assert(!byName("s-3").getAs[Boolean]("glue_job_created"))
+    assert(t.ofType("s3").filter(col("glue_job_created")).count() == 2)
+  }
+
   test("crawler infers messy CSV: spaces in names, quoted newlines") {
     // Mirrors the reference's individual_details.csv hard parts
     // (FIXTURES.md §1: column name with spaces, multi-line quoted value)
