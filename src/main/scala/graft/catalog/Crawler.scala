@@ -80,6 +80,51 @@ object Crawler {
       .reduce(_ unionByName _)
   }
 
+  /** Column-level diff between two registrations of the same table —
+    * the crawler's `UPDATE_IN_DATABASE` + `DeleteBehavior: LOG`
+    * semantics (reference lambda/catalog-creator-s3/app.py:196-198):
+    * re-inference replaces the registration in place, and a dropped or
+    * retyped column is REPORTED, never silently lost. One row per
+    * (added | deleted | type_changed) column. */
+  def schemaChanges(table: String, prev: StructType, next: StructType)
+      : Seq[(String, String, String, String, String)] = {
+    val p = prev.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    val n = next.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    val added = (n.keySet -- p.keySet).toSeq.sorted
+      .map(c => (table, c, "added", null: String, n(c)))
+    val deleted = (p.keySet -- n.keySet).toSeq.sorted
+      .map(c => (table, c, "deleted", p(c), null: String))
+    val retyped = (p.keySet & n.keySet).toSeq.sorted
+      .filter(c => p(c) != n(c))
+      .map(c => (table, c, "type_changed", p(c), n(c)))
+    added ++ deleted ++ retyped
+  }
+
+  /** Full crawl with evolution logging: like [[crawlAll]] but also
+    * returns the change report vs each table's prior registration
+    * (empty on a first crawl). The registration itself always moves to
+    * the newly inferred schema — the log is how a consumer learns a
+    * column vanished upstream. */
+  def crawlAllLogged(spark: SparkSession,
+      sources: Seq[(String, SourceKind, String)]): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val changes = sources.flatMap { case (rawName, kind, path) =>
+      val name = normalizeName(rawName)
+      val prev =
+        if (spark.catalog.tableExists(name)) Some(spark.table(name).schema)
+        else None
+      val df = infer(spark, kind, path)
+      registerTable(spark, rawName, df)
+      prev.toSeq.flatMap(schemaChanges(name, _, df.schema))
+    }
+    val inventory = sources.map { case (rawName, _, _) =>
+      tableColumns(spark, normalizeName(rawName))
+    }.reduce(_ unionByName _)
+    val report = changes
+      .toDF("table_name", "column_name", "change", "prev_type", "new_type")
+    (inventory, report)
+  }
+
   /** System schemas excluded from JDBC estate discovery by default —
     * the reference's DEFAULT_EXCEPTION_SCHEMAS
     * (lambda/rds-glue-initial/app.py:17-23) plus the Derby/DB2-family

@@ -88,6 +88,33 @@ class StateAndCatalogSpec extends AnyFunSuite {
       .count() == 1)
   }
 
+  test("re-crawl logs schema evolution: deleted column reported, not lost") {
+    val dir = tmpDir("evolve")
+    val csv = s"$dir/src.csv"
+    Files.writeString(Paths.get(csv),
+      "id,email,age\n1,a@example.org,30\n2,b@example.org,40\n")
+    val (inv1, log1) = Crawler.crawlAllLogged(spark,
+      Seq(("Evolve.Src", Crawler.CsvSource, csv)))
+    assert(inv1.count() == 3)
+    assert(log1.count() == 0)  // first crawl: nothing to evolve from
+
+    // upstream drops `email`, adds `city`, and `age` becomes stringly
+    Files.writeString(Paths.get(csv),
+      "id,age,city\n1,30,paris\n2,unknown,lyon\n")
+    val (inv2, log2) = Crawler.crawlAllLogged(spark,
+      Seq(("Evolve.Src", Crawler.CsvSource, csv)))
+    val changes = log2.collect()
+      .map(r => (r.getString(1), r.getString(2), r.getString(3), r.getString(4)))
+      .toSet
+    assert(changes == Set(
+      ("city", "added", null, "string"),
+      ("email", "deleted", "string", null),
+      ("age", "type_changed", "int", "string")))
+    // registration moved to the new schema
+    assert(spark.table("evolve_src").columns.toSet == Set("id", "age", "city"))
+    assert(inv2.filter(col("column_name") === "email").count() == 0)
+  }
+
   test("classify finds phone numbers in the inferred CSV source") {
     val dir = tmpDir("csv2")
     Files.writeString(Paths.get(s"$dir/ind.csv"),
