@@ -71,18 +71,53 @@ object Ingest {
     else gated
   }
 
+  /** Dead-letter classification — the reference's SQS consumer leaves
+    * its DLQ as a TODO (glue-tracking-initial/app.py:199-200); here a
+    * payload that can't be processed is KEPT, not dropped: raw text +
+    * reason, so it can be replayed after a producer fix. Reasons:
+    * `unparseable_json` (from_json returned null),
+    * `unrecognized_event` (valid JSON, no validation rule matches),
+    * `missing_name` (rule matched, name field null). */
+  def quarantined(raw: DataFrame, jsonCol: String = "value"): DataFrame = {
+    val parsed = raw.select(col(jsonCol).as("raw_payload"),
+      from_json(col(jsonCol), eventSchema).as("e"))
+    def ruleMatch(src: String, evName: String) =
+      col("e.source") === src && col("e.detail.eventName") === evName
+    val known = rules.map { case (src, evName, _, _) =>
+      ruleMatch(src, evName) }.reduce(_ || _)
+    val missingName = rules.map { case (src, evName, namePath, _) =>
+      ruleMatch(src, evName) && col(s"e.$namePath").isNull }.reduce(_ || _)
+    // from_json with a STRUCT schema yields a row of nulls (not null)
+    // on corrupt input, so JSON validity needs its own probe
+    val isValidJson = get_json_object(col("raw_payload"), "$").isNotNull
+    parsed.select(col("raw_payload"),
+      when(col("e").isNull || !isValidJson, "unparseable_json")
+        .when(!coalesce(known, lit(false)), "unrecognized_event")
+        .when(coalesce(missingName, lit(false)), "missing_name")
+        .as("reason"),
+      current_timestamp().as("quarantined_at"))
+      .filter(col("reason").isNotNull)
+  }
+
   /** Run the onboarding stream into a Tracker: each micro-batch is an
     * idempotent natural-key MERGE, checkpointed for exactly-once
-    * effect. */
+    * effect. With `dlqDir` set, every malformed payload in the batch
+    * lands in a parquet dead-letter sink in the same micro-batch
+    * (at-least-once on replay — dedup a DLQ read on
+    * md5(raw_payload) if exactness matters there). */
   def runOnboarding(spark: SparkSession, rawStream: DataFrame,
-      tracker: Tracker, checkpointDir: String): StreamingQuery =
-    onboardingEvents(rawStream)
+      tracker: Tracker, checkpointDir: String,
+      dlqDir: Option[String] = None): StreamingQuery =
+    rawStream
       .writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        tracker.initEntries(batch): Unit
+        dlqDir.foreach { d =>
+          quarantined(batch).write.mode("append").parquet(d)
+        }
+        tracker.initEntries(onboardingEvents(batch)): Unit
       }
       .start()
 }

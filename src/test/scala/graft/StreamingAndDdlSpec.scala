@@ -62,6 +62,36 @@ class StreamingAndDdlSpec extends AnyFunSuite {
     assert(tracker.pendingCatalog("dynamodb").count() == 1)
   }
 
+  test("malformed events land in the dead-letter sink, not the floor") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[String]
+    val tracker = new Tracker(spark, tmp("dlq_tracker"))
+    val (ckpt, dlq) = (tmp("dlq_ckpt"), tmp("dlq_sink") + "/dlq")
+
+    stream.addData(
+      ev("aws.s3", "CreateBucket", "bucketName", "bucket-ok"),
+      """{"garbage": tru""",                                  // broken JSON
+      ev("aws.other", "CreateBucket", "bucketName", "b-x"),   // no rule
+      """{"source": "aws.s3", "detail": {"eventName": "CreateBucket",
+        |"awsRegion": "eu-west-1", "requestParameters": {},
+        |"tags": {"gdpr-scan": "true"}}}"""                   // name missing
+        .stripMargin.replace("\n", " "))
+    val q = Ingest.runOnboarding(spark, stream.toDF(), tracker, ckpt,
+      dlqDir = Some(dlq))
+    q.awaitTermination(60000)
+
+    // good event processed normally
+    assert(tracker.read().count() == 1)
+    // the three bad payloads are preserved with their reasons
+    val dead = spark.read.parquet(dlq).collect()
+      .map(r => r.getAs[String]("reason") -> r.getAs[String]("raw_payload"))
+    assert(dead.length == 3)
+    val byReason = dead.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    assert(byReason("unparseable_json").head.contains("garbage"))
+    assert(byReason("unrecognized_event").head.contains("aws.other"))
+    assert(byReason.contains("missing_name"))
+  }
+
   test("ddl runner: split, comment handling, create+insert+select") {
     val stmts = Ddl.splitStatements(
       """-- bootstrap
