@@ -9,15 +9,18 @@ import org.apache.spark.sql.functions._
   * pair. Each iteration is one corpus-shaped pass:
   *
   *   word table (symbols, weight)  --flatMap-->  adjacent pairs ×
-  *   weight  --partial-agg groupBy-->  pair counts  --argmax (1 row
-  *   to the driver)-->  merge applied map-side.
+  *   weight  --partial-agg groupBy-->  pair counts  --top-k to the
+  *   driver-->  safe merge batch applied map-side (see selectBatch).
   *
   * The corpus compresses to the DISTINCT-word table up front (weights
   * carry multiplicity), so iteration cost scales with vocabulary, not
   * corpus size — at 100 TB the word table is millions of rows while
-  * the corpus is trillions of tokens. Deterministic: ties break on
-  * the pair's lexicographic order; localCheckpoint truncates the
-  * per-iteration lineage like the other iterative ops here.
+  * the corpus is trillions of tokens; batched selection cuts driver
+  * round-trips ~maxBatch× (a real 30k-merge vocab is ~500 rounds, not
+  * 30k) while staying bit-identical to sequential BPE. Deterministic:
+  * ties break on the pair's lexicographic order; localCheckpoint
+  * truncates the per-iteration lineage like the other iterative ops
+  * here.
   */
 object Bpe {
 
@@ -36,10 +39,76 @@ object Bpe {
     out.result()
   }
 
+  /** Exact batched merge selection. Given the top pair counts sorted
+    * by (cnt desc, l, r) — the sequential tie-break order — keep the
+    * longest PREFIX (no skipping) such that:
+    *
+    *   1. kept pairs are pairwise symbol-disjoint, and no earlier kept
+    *      pair's merged string equals a later kept pair's symbol
+    *      (applying one can then never change another's count);
+    *   2. every kept count is STRICTLY greater than the boundary count
+    *      (the first excluded row). All non-kept pairs rank below the
+    *      boundary, and any pair CREATED by applying a kept merge
+    *      (x, l+r) is bounded by count(x, l) — an overlapping,
+    *      therefore non-kept, pair — so nothing outside the batch can
+    *      outrank a kept pair mid-batch. The sequential algorithm
+    *      would pick exactly this prefix, in this order.
+    *
+    * Ties at the very top trim the batch to empty → fall back to a
+    * single merge, which is the sequential step itself. Result is
+    * provably identical to one-merge-at-a-time BPE, in `batch`-times
+    * fewer driver rounds. */
+  private[graft] def selectBatch(rows: Seq[(String, String, Long)],
+      maxTake: Int): Seq[(String, String)] = {
+    val used = scala.collection.mutable.Set.empty[String]
+    val kept = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var boundary: Option[Long] = None
+    val it = rows.iterator
+    while (boundary.isEmpty && kept.size < maxTake && it.hasNext) {
+      val row @ (l, r, c) = it.next()
+      val collision = used(l) || used(r) ||
+        kept.exists { case (kl, kr, _) => kl + kr == l || kl + kr == r }
+      if (collision) boundary = Some(c)
+      else { kept += row; used += l; used += r }
+    }
+    if (boundary.isEmpty)
+      boundary = rows.drop(kept.size).headOption.map(_._3)
+    val trimmed = boundary match {
+      case None => kept.toSeq // no pair exists outside the batch
+      case Some(b) => kept.takeWhile(_._3 > b).toSeq
+    }
+    (if (trimmed.nonEmpty) trimmed else kept.take(1).toSeq)
+      .map { case (l, r, _) => (l, r) }
+  }
+
+  /** Apply a symbol-disjoint merge batch to one word (order within the
+    * batch cannot matter — see [[selectBatch]]). */
+  private def applyMerges(syms0: Seq[String],
+      batch: Seq[(String, String)]): Seq[String] = {
+    var syms = syms0
+    batch.foreach { case (l, r) =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+          out += (l + r); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      syms = out.toSeq
+    }
+    syms
+  }
+
   /** Learn `numMerges` merges from the whitespace tokenization of
-    * `textCol`. Returns (rank, left, right) in merge order. */
+    * `textCol`. Returns (rank, left, right) in merge order.
+    *
+    * Each driver round collects the top `maxBatch + 1` pair counts and
+    * applies the provably-safe prefix ([[selectBatch]]) in ONE
+    * distributed pass — a 30k-merge vocabulary needs ~30k/maxBatch
+    * Spark jobs instead of 30k, with results bit-identical to the
+    * sequential algorithm. */
   def learnMerges(df: DataFrame, textCol: String,
-      numMerges: Int): Seq[(Int, String, String)] = {
+      numMerges: Int, maxBatch: Int = 64): Seq[(Int, String, String)] = {
     val spark = df.sparkSession
     import spark.implicits._
     var words: Dataset[(Seq[String], Long)] = graft.sources.Tables.fanOut(df)
@@ -51,38 +120,27 @@ object Bpe {
       .localCheckpoint()
 
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String)]
-    var rank = 0
-    while (rank < numMerges) {
+    while (merges.size < numMerges) {
+      val want = math.min(maxBatch, numMerges - merges.size)
       val top = words.flatMap { case (syms, n) =>
           syms.iterator.zip(syms.iterator.drop(1)).map(p => (p._1, p._2, n))
         }
         .toDF("l", "r", "n")
         .groupBy(col("l"), col("r")).agg(sum(col("n")).as("cnt"))
         .orderBy(col("cnt").desc, col("l"), col("r"))
-        .limit(1)
+        .limit(want + 1) // +1: boundary-count witness for the trim
         .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
       if (top.isEmpty) return merges.toSeq
-      val (l, r) = (top(0).getString(0), top(0).getString(1))
-      merges += ((rank, l, r))
-      val merged = l + r
+      val batch = selectBatch(top, want)
+      batch.foreach { case (l, r) => merges += ((merges.size, l, r)) }
       val prev = words
-      words = words.map { case (syms, n) =>
-          val out = scala.collection.mutable.ArrayBuffer.empty[String]
-          var i = 0
-          while (i < syms.length) {
-            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
-              out += merged; i += 2
-            } else { out += syms(i); i += 1 }
-          }
-          (out.toSeq, n)
-        }
+      words = words.map { case (syms, n) => (applyMerges(syms, batch), n) }
         .localCheckpoint()
       // the new checkpoint fully materializes the word table, so the
       // previous round's checkpointed blocks can be freed — without
-      // this, executor storage grows by one word-table per merge
-      // (tens of thousands of merges at a real vocab size)
+      // this, executor storage grows by one word-table per round
       prev.unpersist()
-      rank += 1
     }
     merges.toSeq
   }

@@ -54,6 +54,51 @@ class BpeSpec extends AnyFunSuite {
     assert(distributed.length == 8)
   }
 
+  test("batched and sequential merge selection are identical") {
+    // corpus engineered so several disjoint pairs have distinct counts
+    // (batching kicks in) AND the dangerous shape exists: after merging
+    // the top pair, a newly created pair outranks lower candidates —
+    // the safe-prefix trim must handle it exactly like sequential BPE
+    val tricky = Seq.fill(30)("xab").mkString(" ") + " " +
+      Seq.fill(20)("cd").mkString(" ") + " " +
+      Seq.fill(25)("ef gh").mkString(" ")
+    val df = Seq(tricky).toDF("text")
+    val sequential = Bpe.learnMerges(df, "text", numMerges = 6, maxBatch = 1)
+    val batched = Bpe.learnMerges(df, "text", numMerges = 6, maxBatch = 8)
+    assert(batched == sequential)
+
+    // tie-heavy corpus: every pair count equal → batch degrades to the
+    // sequential single-merge step, still identical
+    val ties = Seq("ab", "cd", "ef").mkString(" ")
+    val dfT = Seq(ties).toDF("text")
+    assert(Bpe.learnMerges(dfT, "text", 3, maxBatch = 8) ==
+      Bpe.learnMerges(dfT, "text", 3, maxBatch = 1))
+  }
+
+  test("selectBatch: keeps safe prefix, trims at ties and overlaps") {
+    // maxTake below row count: last excluded row is the boundary
+    // witness; both kept counts beat it strictly → both kept
+    assert(Bpe.selectBatch(
+      Seq(("a", "b", 10L), ("c", "d", 8L), ("e", "f", 6L)), 2) ==
+      Seq(("a", "b"), ("c", "d")))
+    // rows are the COMPLETE pair set (fewer than maxTake) → all safe
+    assert(Bpe.selectBatch(
+      Seq(("a", "b", 10L), ("c", "d", 8L), ("e", "f", 6L)), 8) ==
+      Seq(("a", "b"), ("c", "d"), ("e", "f")))
+    // overlap stops the prefix (no skipping past it)
+    assert(Bpe.selectBatch(
+      Seq(("a", "b", 10L), ("a", "c", 8L), ("d", "e", 6L)), 8) ==
+      Seq(("a", "b")))
+    // tie with the boundary trims; falls back to a single merge
+    assert(Bpe.selectBatch(
+      Seq(("a", "b", 5L), ("c", "d", 5L), ("e", "f", 5L)), 2) ==
+      Seq(("a", "b")))
+    // merged-string collision with a later symbol stops the prefix
+    assert(Bpe.selectBatch(
+      Seq(("a", "b", 10L), ("ab", "c", 8L), ("d", "e", 6L)), 8) ==
+      Seq(("a", "b")))
+  }
+
   test("encode applies merges in rank order and covers the input") {
     val df = corpus.toDF("text")
     val merges = Bpe.learnMerges(df, "text", numMerges = 8)
