@@ -2,11 +2,20 @@ package graft.ops
 
 import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-/** SQL script bootstrap runner (SURVEY.md S14/S15; reference
+/** SQL script runner (SURVEY.md S14/S15; reference
   * lambda/rds-ddl-init/app.py:224-271 — fetch a .sql object, split on
   * `;`, execute each statement). Drives CREATE TABLE / INSERT INTO
   * through Spark SQL to materialize relational fixtures.
+  *
+  * Two-phase flow (reference lambda/rds-ddl-change/app.py:215-288):
+  * phase 1 is the [[runFile]] bootstrap; phase 2 re-applies the
+  * CURRENT contents of an updated script whenever a change event
+  * arrives ([[runDdlChangeStream]]) — per-statement failures are
+  * reported, not fatal, because a re-applied script's prefix usually
+  * already exists.
   */
 object Ddl {
 
@@ -26,4 +35,42 @@ object Ddl {
   /** Whole-file read (S15) + execute. */
   def runFile(spark: SparkSession, path: String): Seq[DataFrame] =
     runScript(spark, Files.readString(Paths.get(path)))
+
+  /** Phase-2 re-apply: execute every statement, tolerating
+    * per-statement failure so an already-applied prefix (e.g. CREATE
+    * TABLE from the bootstrap run) doesn't block the updated tail.
+    * Returns one report row per statement. */
+  def reapplyScript(spark: SparkSession, sqlText: String): DataFrame = {
+    import spark.implicits._
+    splitStatements(sqlText).zipWithIndex.map { case (stmt, i) =>
+      try { spark.sql(stmt).collect(); (i, stmt, "applied", null: String) }
+      catch { case e: Exception =>
+        (i, stmt, "failed", Option(e.getMessage).getOrElse(e.toString).take(500))
+      }
+    }.toDF("stmt_idx", "statement", "status", "error")
+  }
+
+  def reapplyFile(spark: SparkSession, path: String): DataFrame =
+    reapplyScript(spark, Files.readString(Paths.get(path)))
+
+  /** Change-event wiring: a stream whose rows name an updated DDL
+    * script (`pathCol` — the reference's S3 bucket/key of the changed
+    * .sql object resolves to a path here). Each micro-batch re-applies
+    * the CURRENT contents of every distinct changed script once,
+    * checkpointed so replays don't double-apply a processed event.
+    * Script-file names are estate metadata — the driver-side loop is
+    * the same coordinator step as the reference Lambda. */
+  def runDdlChangeStream(spark: SparkSession, events: DataFrame,
+      pathCol: String, checkpointDir: String): StreamingQuery =
+    events
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.select(col(pathCol)).filter(col(pathCol).isNotNull)
+          .distinct().collect()
+          .foreach(r => reapplyFile(spark, r.getString(0)))
+      }
+      .start()
 }

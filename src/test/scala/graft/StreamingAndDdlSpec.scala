@@ -111,6 +111,48 @@ class StreamingAndDdlSpec extends AnyFunSuite {
     }
   }
 
+  test("ddl change flow: re-apply tolerates applied prefix, applies tail") {
+    try {
+      Ddl.runScript(spark,
+        "CREATE TABLE ddl_c1 (id INT) USING parquet; INSERT INTO ddl_c1 VALUES (1)")
+      // updated script: CREATE now collides, the new INSERT must land
+      val report = Ddl.reapplyScript(spark,
+        """CREATE TABLE ddl_c1 (id INT) USING parquet;
+          |INSERT INTO ddl_c1 VALUES (2);""".stripMargin)
+        .collect().map(r => r.getString(2)).toSeq
+      assert(report == Seq("failed", "applied"))
+      assert(spark.table("ddl_c1").count() == 2)
+    } finally spark.sql("DROP TABLE IF EXISTS ddl_c1")
+  }
+
+  test("ddl change stream: change events re-apply the current script") {
+    implicit val sqlCtx = spark.sqlContext
+    try {
+      val dir = tmp("ddl_change")
+      val script = s"$dir/rds-ddl.sql"
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(script),
+        "CREATE TABLE IF NOT EXISTS ddl_c2 (id INT) USING parquet;" +
+          "INSERT INTO ddl_c2 VALUES (1);")
+      val stream = MemoryStream[String]
+      val ckpt = tmp("ddl_ckpt")
+
+      stream.addData(script)
+      Ddl.runDdlChangeStream(spark, stream.toDF(), "value", ckpt)
+        .awaitTermination(60000)
+      assert(spark.table("ddl_c2").count() == 1)
+
+      // upstream edits the script; a new change event re-applies the
+      // CURRENT contents — the processed event is not replayed
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(script),
+        "CREATE TABLE IF NOT EXISTS ddl_c2 (id INT) USING parquet;" +
+          "INSERT INTO ddl_c2 VALUES (2);INSERT INTO ddl_c2 VALUES (3);")
+      stream.addData(script)
+      Ddl.runDdlChangeStream(spark, stream.toDF(), "value", ckpt)
+        .awaitTermination(60000)
+      assert(spark.table("ddl_c2").count() == 3)
+    } finally spark.sql("DROP TABLE IF EXISTS ddl_c2")
+  }
+
   test("multimodal: payload plumbing, stub decode, frame sampling") {
     import graft.multimodal.Multimodal
     val docs = Seq((1L, "hello world"), (2L, "abcdefgh")).toDF("doc_id", "text")
