@@ -52,9 +52,28 @@ object Dedup {
         if (t == null) Iterator.empty // null text → no shingles (like split's null-safety)
         else {
           val toks = t.trim.split("\\s+")
-          if (toks.length < n) Iterator.empty
-          else toks.iterator.sliding(n, 1).withPartial(false)
-            .map(w => (id, w.mkString(" "))).toSet.iterator
+          val m = toks.length - n + 1
+          if (m <= 0) Iterator.empty
+          else {
+            // tight window loop: the sliding-iterator + mkString + toSet
+            // formulation allocated a Seq per window and rebuilt the
+            // set per doc — this is the dedup suite's hottest kernel
+            val seen = new java.util.HashSet[String](m * 2)
+            val out = new scala.collection.mutable.ArrayBuffer[(Long, String)](m)
+            var i = 0
+            while (i < m) {
+              val sb = new java.lang.StringBuilder(32)
+              var j = 0
+              while (j < n) {
+                if (j > 0) sb.append(' ')
+                sb.append(toks(i + j)); j += 1
+              }
+              val s = sb.toString
+              if (seen.add(s)) out += ((id, s))
+              i += 1
+            }
+            out.iterator
+          }
         }
       }
       .toDF("doc", "shingle")
