@@ -23,6 +23,15 @@ object SimilarityQueries extends QueryPack {
     fitMemo.getOrElseUpdate((d, k),
       Similarity.kmeansFit(Tables.load(s, d, "embeddings"), k))
 
+  // One PQ codebook train per dir: the encode dump (s9) and the ADC
+  // search (s10) share it, as a PQ index build/search pair would.
+  private val pqMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[Array[(Int, Array[Double])]]]
+
+  private def pqFitShared(s: SparkSession, d: String): Seq[Array[(Int, Array[Double])]] =
+    pqMemo.getOrElseUpdate(d,
+      Similarity.pqFit(Tables.load(s, d, "embeddings"), dim = 64, m = 4, ksub = 8))
+
   def queries: Map[String, Q] = Map(
     // Exact brute-force cosine top-10 for query vectors vec_id < 5
     "s2_knn_brute" -> ((s, d) =>
@@ -72,6 +81,23 @@ object SimilarityQueries extends QueryPack {
       Similarity.quantizeInt8(Tables.load(s, d, "embeddings"))
         .select(col("vec_id"), round(col("scale"), 9).as("scale_r"),
           posexplode(col("q")).as(Seq("pos", "q_i")))),
+
+    // Product quantization: 4 subspaces x 16 dims, 8-centroid codebook
+    // each (deterministic per-subspace Lloyd). The encode dump is the
+    // full compressed corpus — every (vector, subspace) code replays
+    // through the per-subspace unrolled-CTE chains below
+    "s9_pq_codes" -> ((s, d) =>
+      Similarity.pqEncode(Tables.load(s, d, "embeddings"), 64,
+          pqFitShared(s, d))
+        .select(col("vec_id"), posexplode(col("codes")).as(Seq("sub", "code")))),
+
+    // ADC top-5: approximate dot from the m per-subspace codebook
+    // lookups; candidates carry only codes. Deterministic end-to-end
+    // (fit, encode, ranking tie-breaks), so fully oracle-checked
+    "s10_pq_adc" -> ((s, d) =>
+      Similarity.pqTopK(Tables.load(s, d, "embeddings"),
+        col("vec_id") < 5, k = 5, dim = 64, m = 4, ksub = 8,
+        fitted = Some(pqFitShared(s, d)))),
 
     // Same IVF probe machinery with every list probed (nprobe=nlist):
     // provably equals exact brute-force top-k, so the probe path —
@@ -192,7 +218,80 @@ object SimilarityQueries extends QueryPack {
        |  FROM cand) t
        |WHERE rn <= 5""".stripMargin
 
+  /** Per-subspace PQ Lloyd chain (subspace j of `m`, each `subLen`
+    * dims, `ksub` centroids, 2 iterations) — the s5 unroll technique
+    * applied to each slice: init from lowest vec_ids → (assign →
+    * recompute) ×2 → final code assignment `penc{j}` with final
+    * codebook `pc{j}_2`. */
+  private def pqSubCtes(j: Int, subLen: Int, ksub: Int): String = {
+    val (lo, hi) = (j * subLen + 1, (j + 1) * subLen)
+    def asg(name: String, cent: String) =
+      s"""$name AS MATERIALIZED (SELECT vec_id, emb, code FROM (
+         |  SELECT e.vec_id, e.emb, c.code,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+         |      -(list_sum(list_transform(range(1, ${subLen + 1}),
+         |          i -> CAST(e.emb[i] AS DOUBLE) * c.cent[i]))) ASC,
+         |      c.code ASC) AS rn
+         |  FROM pe$j e CROSS JOIN $cent c) t WHERE rn = 1)""".stripMargin
+    def rec(name: String, a: String) =
+      s"""$name AS MATERIALIZED (SELECT code, list(av ORDER BY pos) AS cent FROM (
+         |  SELECT code, pos,
+         |    CAST(SUM(CAST(v AS DECIMAL(38,9))) AS DOUBLE) / COUNT(*) AS av
+         |  FROM (SELECT code, i AS pos, emb[i] AS v
+         |        FROM $a, range(1, ${subLen + 1}) r(i))
+         |  GROUP BY code, pos) GROUP BY code)""".stripMargin
+    s"""pe$j AS MATERIALIZED (SELECT vec_id, embedding[$lo:$hi] AS emb FROM embeddings),
+       |pc${j}_0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS code,
+       |         list_transform(emb, x -> CAST(x AS DOUBLE)) AS cent
+       |       FROM (SELECT vec_id, emb FROM pe$j ORDER BY vec_id LIMIT $ksub) i),
+       |${asg(s"pa${j}_1", s"pc${j}_0")},
+       |${rec(s"pc${j}_1", s"pa${j}_1")},
+       |${asg(s"pa${j}_2", s"pc${j}_1")},
+       |${rec(s"pc${j}_2", s"pa${j}_2")},
+       |${asg(s"penc$j", s"pc${j}_2")}""".stripMargin
+  }
+
+  private val pqM = 4
+  private val pqSubLen = 16
+  private val pqAllSubCtes: String =
+    (0 until pqM).map(pqSubCtes(_, pqSubLen, 8)).mkString(",\n")
+
+  private val pqCodesOracle: String =
+    s"""WITH $pqAllSubCtes
+       |${(0 until pqM).map(j =>
+           s"""SELECT vec_id, $j AS "sub", code FROM penc$j""")
+         .mkString("\nUNION ALL ")}""".stripMargin
+
+  /** ADC replay: per (query, candidate) the approximate dot is the
+    * left-associated sum of the m per-subspace codebook dots — the
+    * same double-addition order as pqTopK's reduce. */
+  private val pqAdcOracle: String = {
+    val joins = (0 until pqM).map(j =>
+      s"""JOIN pe$j qe$j ON qe$j.vec_id = q.vec_id
+         |JOIN penc$j en$j ON en$j.vec_id = b.vec_id
+         |JOIN pc${j}_2 cb$j ON cb$j.code = en$j.code""".stripMargin)
+      .mkString("\n")
+    val terms = (0 until pqM).map(j =>
+      s"""list_sum(list_transform(range(1, ${pqSubLen + 1}),
+         |  i -> CAST(qe$j.emb[i] AS DOUBLE) * cb$j.cent[i]))""".stripMargin)
+      .mkString(" + ")
+    s"""WITH $pqAllSubCtes,
+       |cand AS (SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    $terms AS adc_raw
+       |  FROM (SELECT vec_id FROM embeddings WHERE vec_id < 5) q
+       |  JOIN embeddings b ON b.vec_id <> q.vec_id
+       |$joins)
+       |SELECT query_id, neighbor_id, rn, round(adc_raw, 6) AS adc_dot FROM (
+       |  SELECT query_id, neighbor_id, adc_raw,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY adc_raw DESC, neighbor_id ASC) AS rn
+       |  FROM cand) t
+       |WHERE rn <= 5""".stripMargin
+  }
+
   def oracle: Map[String, String] = Map(
+    "s9_pq_codes" -> pqCodesOracle,
+    "s10_pq_adc" -> pqAdcOracle,
     "s2_knn_brute" -> topKOracle("", 10),
     "s5_ivf_kmeans" -> kmeansOracle,
     "s6_ivf_probe" -> ivfProbeOracle,

@@ -214,6 +214,78 @@ object Similarity {
       col("q.probe_cluster") === col("c.cluster"), k)
   }
 
+  /** Product-quantization codebooks: split the `dim`-dim embedding
+    * into `m` contiguous subvectors and learn a `ksub`-centroid
+    * codebook per subspace with the same deterministic Lloyd fit as
+    * IVF ([[kmeansFit]] — init from lowest vec_ids, decimal-stable
+    * recompute, lowest-id tie-breaks). A vector then compresses to m
+    * small codes (m bytes at ksub ≤ 256): float32×64 embeddings shrink
+    * ~64×, which is what makes a 100 TB embedding estate scannable in
+    * the ANN serving path. */
+  def pqFit(df: DataFrame, dim: Int, m: Int, ksub: Int,
+      iters: Int = 2): Seq[Array[(Int, Array[Double])]] = {
+    require(m > 0 && dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val sub = dim / m
+    (0 until m).map { j =>
+      kmeansFit(df.select(col("vec_id"),
+        slice(col("embedding"), j * sub + 1, sub).as("embedding")),
+        ksub, iters)
+    }
+  }
+
+  /** PQ encode: per subspace, argmin of (-dot, code) over the
+    * codebook — assignToCentroids' struct-min tie-break applied to
+    * each slice. Map-only projection → (vec_id, codes array<int>);
+    * at scale this is the one-off rewrite into the compact layout. */
+  def pqEncode(df: DataFrame, dim: Int,
+      codebooks: Seq[Array[(Int, Array[Double])]]): DataFrame = {
+    val m = codebooks.length
+    val sub = dim / m
+    val codeCols = codebooks.zipWithIndex.map { case (cb, j) =>
+      val s = slice(col("embedding"), j * sub + 1, sub)
+      val options = cb.map { case (cid, c) =>
+        struct((-dot(s, array(c.toIndexedSeq.map(lit): _*))).as("dist"),
+          lit(cid).as("code"))
+      }
+      array_min(array(options.toIndexedSeq: _*)).getField("code")
+    }
+    df.select(col("vec_id"), array(codeCols: _*).as("codes"))
+  }
+
+  /** ADC (asymmetric distance computation) top-k: approximate
+    * dot(q, x) ≈ Σ_j dot(q_j, codebook_j[code_j]). The candidate side
+    * carries ONLY its codes — the float corpus never joins or
+    * shuffles; each query's per-subspace contributions come from
+    * literal centroid maps inside codegen. Ranking is approximate by
+    * construction: re-rank the survivors on the float vectors where
+    * exactness matters. Codebook lookup is a literal map keyed by
+    * code id, so a cluster emptied during Lloyd can't misalign the
+    * table. */
+  def pqTopK(df: DataFrame, queryPred: Column, k: Int, dim: Int,
+      m: Int, ksub: Int, iters: Int = 2,
+      fitted: Option[Seq[Array[(Int, Array[Double])]]] = None): DataFrame = {
+    val codebooks = fitted.getOrElse(pqFit(df, dim, m, ksub, iters))
+    val sub = dim / m
+    val encoded = pqEncode(df, dim, codebooks)
+    val queries = df.filter(queryPred).select(col("vec_id"), col("embedding"))
+    val approx = codebooks.zipWithIndex.map { case (cb, j) =>
+      val qs = slice(col("q.embedding"), j * sub + 1, sub)
+      val lut = map(cb.sortBy(_._1).toIndexedSeq.flatMap { case (cid, c) =>
+        Seq(lit(cid), array(c.toIndexedSeq.map(lit): _*)) }: _*)
+      dot(qs, element_at(lut, col("c.codes").getItem(j)))
+    }.reduce(_ + _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_raw").desc, col("neighbor_id").asc)
+    broadcast(queries).as("q")
+      .join(encoded.as("c"), col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("query_id"),
+        col("c.vec_id").as("neighbor_id"), approx.as("adc_raw"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rn"),
+        round(col("adc_raw"), 6).as("adc_dot"))
+  }
+
   /** Symmetric int8 scalar quantization of the embedding column: per
     * vector, scale = max|v| / 127, q_i = floor(v_i/scale + 0.5)
     * (explicit floor instead of round() so the rounding rule is plain

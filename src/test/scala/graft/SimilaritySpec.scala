@@ -114,6 +114,37 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ranked == ranked.sorted.reverse)
   }
 
+  test("PQ: encode is deterministic; ADC ranking tracks exact cosine") {
+    // 4-dim vectors, 2 subspaces x 2 dims, 2 codes per subspace
+    val cb = Similarity.pqFit(vecs, dim = 4, m = 2, ksub = 2)
+    assert(cb.length == 2)
+    val cb2 = Similarity.pqFit(vecs, dim = 4, m = 2, ksub = 2)
+    assert(cb.zip(cb2).forall { case (a, b) =>
+      a.map(_._1).sameElements(b.map(_._1)) &&
+        a.zip(b).forall { case ((_, x), (_, y)) => x.sameElements(y) } })
+
+    val codes = Similarity.pqEncode(vecs, 4, cb).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes.size == 5)
+    assert(codes.values.forall(_.length == 2))
+    // identical-direction vectors share a code in the first subspace
+    assert(codes(0L)(0) == codes(1L)(0))
+    // opposite vector lands in a different first-subspace cell
+    assert(codes(0L)(0) != codes(3L)(0))
+
+    // ADC: with vec 0 as query, the near-duplicate (1) must rank
+    // first and the antipode (3) last among the 4 candidates
+    val adc = Similarity.pqTopK(vecs, col("vec_id") === 0, k = 4,
+        dim = 4, m = 2, ksub = 2, fitted = Some(cb))
+      .orderBy("rn").collect()
+    assert(adc.length == 4)
+    assert(adc.head.getAs[Long]("neighbor_id") == 1L)
+    assert(adc.last.getAs[Long]("neighbor_id") == 3L)
+    // approximate dots are monotone with rank by construction
+    val dots = adc.map(_.getAs[Double]("adc_dot")).toSeq
+    assert(dots == dots.sorted.reverse)
+  }
+
   test("near-dup pairs finds the planted close pair only") {
     val pairs = Similarity.nearDupPairs(vecs, 0.95)
       .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
