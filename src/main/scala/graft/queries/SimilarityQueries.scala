@@ -99,6 +99,15 @@ object SimilarityQueries extends QueryPack {
         col("vec_id") < 5, k = 5, dim = 64, m = 4, ksub = 8,
         fitted = Some(pqFitShared(s, d)))),
 
+    // IVF-PQ: coarse probe (2 of 8 lists) prunes candidates, ADC
+    // ranks them from codes alone — the production ANN composition;
+    // the float corpus never joins on the search path
+    "s11_ivfpq" -> ((s, d) =>
+      Similarity.ivfPqTopK(Tables.load(s, d, "embeddings"),
+        col("vec_id") < 5, k = 5, dim = 64, m = 4, ksub = 8,
+        nlist = 8, nprobe = 2,
+        coarse = Some(fit(s, d, 8)), pq = Some(pqFitShared(s, d)))),
+
     // Same IVF probe machinery with every list probed (nprobe=nlist):
     // provably equals exact brute-force top-k, so the probe path —
     // fit, inverted lists, probe-list explosion, candidate join, exact
@@ -190,19 +199,24 @@ object SimilarityQueries extends QueryPack {
     * centroids per query, ties on the lower cluster id) + exact cosine
     * rank over the union of the probed inverted lists — the same
     * struct-sort/argmin order as `ivfProbeTopK`. */
+  /** Probe-list selection: 2 nearest of the 8 final centroids per
+    * query (ties on the lower cluster id) — shared by s6 and s11. */
+  private val qpCte: String =
+    """qp AS (SELECT vec_id, cluster FROM (
+      |  SELECT a.vec_id, c.cluster,
+      |    ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+      |      -(list_sum(list_transform(range(1, 65),
+      |          i -> CAST(a.embedding[i] AS DOUBLE) * c.cent[i]))) ASC,
+      |      c.cluster ASC) AS rn
+      |  FROM a3 a CROSS JOIN c2 c WHERE a.vec_id < 5) t
+      |  WHERE rn <= 2)""".stripMargin
+
   private val ivfProbeOracle: String =
     s"""WITH $lloydCtes,
        |nv AS MATERIALIZED (SELECT vec_id,
        |  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm
        |FROM embeddings),
-       |qp AS (SELECT vec_id, cluster FROM (
-       |  SELECT a.vec_id, c.cluster,
-       |    ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
-       |      -(list_sum(list_transform(range(1, 65),
-       |          i -> CAST(a.embedding[i] AS DOUBLE) * c.cent[i]))) ASC,
-       |      c.cluster ASC) AS rn
-       |  FROM a3 a CROSS JOIN c2 c WHERE a.vec_id < 5) t
-       |  WHERE rn <= 2),
+       |$qpCte,
        |cand AS (SELECT qa.vec_id AS query_id, b.vec_id AS neighbor_id,
        |    list_sum(list_transform(range(1, 65),
        |      i -> CAST(qa.embedding[i] AS DOUBLE) * b.embedding[i]))
@@ -289,9 +303,39 @@ object SimilarityQueries extends QueryPack {
        |WHERE rn <= 5""".stripMargin
   }
 
+  /** IVF-PQ replay: coarse Lloyd chain (probe selection) + the m
+    * per-subspace PQ chains (codes) + ADC rank restricted to each
+    * query's probed inverted lists. */
+  private val ivfPqOracle: String = {
+    val joins = (0 until pqM).map(j =>
+      s"""JOIN pe$j qe$j ON qe$j.vec_id = qp.vec_id
+         |JOIN penc$j en$j ON en$j.vec_id = b.vec_id
+         |JOIN pc${j}_2 cb$j ON cb$j.code = en$j.code""".stripMargin)
+      .mkString("\n")
+    val terms = (0 until pqM).map(j =>
+      s"""list_sum(list_transform(range(1, ${pqSubLen + 1}),
+         |  i -> CAST(qe$j.emb[i] AS DOUBLE) * cb$j.cent[i]))""".stripMargin)
+      .mkString(" + ")
+    s"""WITH $lloydCtes,
+       |$pqAllSubCtes,
+       |$qpCte,
+       |cand AS (SELECT qp.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    $terms AS adc_raw
+       |  FROM qp
+       |  JOIN a3 b ON b.cluster = qp.cluster AND b.vec_id <> qp.vec_id
+       |$joins)
+       |SELECT query_id, neighbor_id, rn, round(adc_raw, 6) AS adc_dot FROM (
+       |  SELECT query_id, neighbor_id, adc_raw,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY adc_raw DESC, neighbor_id ASC) AS rn
+       |  FROM cand) t
+       |WHERE rn <= 5""".stripMargin
+  }
+
   def oracle: Map[String, String] = Map(
     "s9_pq_codes" -> pqCodesOracle,
     "s10_pq_adc" -> pqAdcOracle,
+    "s11_ivfpq" -> ivfPqOracle,
     "s2_knn_brute" -> topKOracle("", 10),
     "s5_ivf_kmeans" -> kmeansOracle,
     "s6_ivf_probe" -> ivfProbeOracle,

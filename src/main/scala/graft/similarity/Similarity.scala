@@ -237,10 +237,12 @@ object Similarity {
     * codebook — assignToCentroids' struct-min tie-break applied to
     * each slice. Map-only projection → (vec_id, codes array<int>);
     * at scale this is the one-off rewrite into the compact layout. */
-  def pqEncode(df: DataFrame, dim: Int,
-      codebooks: Seq[Array[(Int, Array[Double])]]): DataFrame = {
-    val m = codebooks.length
-    val sub = dim / m
+  /** The codes array as a pure column over `embedding` — usable on
+    * any frame (e.g. alongside a coarse-cluster column) without a
+    * join. */
+  private def codesColumn(dim: Int,
+      codebooks: Seq[Array[(Int, Array[Double])]]): Column = {
+    val sub = dim / codebooks.length
     val codeCols = codebooks.zipWithIndex.map { case (cb, j) =>
       val s = slice(col("embedding"), j * sub + 1, sub)
       val options = cb.map { case (cid, c) =>
@@ -249,8 +251,12 @@ object Similarity {
       }
       array_min(array(options.toIndexedSeq: _*)).getField("code")
     }
-    df.select(col("vec_id"), array(codeCols: _*).as("codes"))
+    array(codeCols: _*)
   }
+
+  def pqEncode(df: DataFrame, dim: Int,
+      codebooks: Seq[Array[(Int, Array[Double])]]): DataFrame =
+    df.select(col("vec_id"), codesColumn(dim, codebooks).as("codes"))
 
   /** ADC (asymmetric distance computation) top-k: approximate
     * dot(q, x) ≈ Σ_j dot(q_j, codebook_j[code_j]). The candidate side
@@ -261,29 +267,78 @@ object Similarity {
     * exactness matters. Codebook lookup is a literal map keyed by
     * code id, so a cluster emptied during Lloyd can't misalign the
     * table. */
-  def pqTopK(df: DataFrame, queryPred: Column, k: Int, dim: Int,
-      m: Int, ksub: Int, iters: Int = 2,
-      fitted: Option[Seq[Array[(Int, Array[Double])]]] = None): DataFrame = {
-    val codebooks = fitted.getOrElse(pqFit(df, dim, m, ksub, iters))
-    val sub = dim / m
-    val encoded = pqEncode(df, dim, codebooks)
-    val queries = df.filter(queryPred).select(col("vec_id"), col("embedding"))
-    val approx = codebooks.zipWithIndex.map { case (cb, j) =>
+  /** Approximate dot(q, candidate) from the candidate's codes: the
+    * left-associated sum of per-subspace codebook-lookup dots, over
+    * `q.embedding` and `c.codes`. */
+  private def adcColumn(dim: Int,
+      codebooks: Seq[Array[(Int, Array[Double])]]): Column = {
+    val sub = dim / codebooks.length
+    codebooks.zipWithIndex.map { case (cb, j) =>
       val qs = slice(col("q.embedding"), j * sub + 1, sub)
       val lut = map(cb.sortBy(_._1).toIndexedSeq.flatMap { case (cid, c) =>
         Seq(lit(cid), array(c.toIndexedSeq.map(lit): _*)) }: _*)
       dot(qs, element_at(lut, col("c.codes").getItem(j)))
     }.reduce(_ + _)
+  }
+
+  private def adcRank(queries: DataFrame, index: DataFrame,
+      joinCond: Column, k: Int, dim: Int,
+      codebooks: Seq[Array[(Int, Array[Double])]]): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_raw").desc, col("neighbor_id").asc)
     broadcast(queries).as("q")
-      .join(encoded.as("c"), col("q.vec_id") =!= col("c.vec_id"))
+      .join(index.as("c"), joinCond && col("q.vec_id") =!= col("c.vec_id"))
       .select(col("q.vec_id").as("query_id"),
-        col("c.vec_id").as("neighbor_id"), approx.as("adc_raw"))
+        col("c.vec_id").as("neighbor_id"),
+        adcColumn(dim, codebooks).as("adc_raw"))
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rn"),
         round(col("adc_raw"), 6).as("adc_dot"))
+  }
+
+  def pqTopK(df: DataFrame, queryPred: Column, k: Int, dim: Int,
+      m: Int, ksub: Int, iters: Int = 2,
+      fitted: Option[Seq[Array[(Int, Array[Double])]]] = None): DataFrame = {
+    val codebooks = fitted.getOrElse(pqFit(df, dim, m, ksub, iters))
+    adcRank(df.filter(queryPred).select(col("vec_id"), col("embedding")),
+      pqEncode(df, dim, codebooks), lit(true), k, dim, codebooks)
+  }
+
+  /** IVF-PQ: the production ANN composition — the coarse quantizer
+    * prunes each query to its `nprobe` nearest inverted lists, and
+    * ADC ranks only those lists' candidates from their codes. The
+    * stored index is ONE scan of the corpus producing
+    * (vec_id, cluster, codes) — at 100 TB that compact table is
+    * bucketed by cluster so a probe touches only matching buckets;
+    * the float embeddings are read once at index build and never
+    * again on the search path. */
+  def ivfPqTopK(df: DataFrame, queryPred: Column, k: Int, dim: Int,
+      m: Int, ksub: Int, nlist: Int, nprobe: Int, iters: Int = 2,
+      coarse: Option[Array[(Int, Array[Double])]] = None,
+      pq: Option[Seq[Array[(Int, Array[Double])]]] = None): DataFrame = {
+    val cents = coarse.getOrElse(kmeansFit(df, nlist, iters))
+    val books = pq.getOrElse(pqFit(df, dim, m, ksub, iters))
+    if (cents.isEmpty)
+      return df.select(col("vec_id").as("query_id"),
+        col("vec_id").as("neighbor_id"), lit(0L).as("rn"),
+        lit(0.0).as("adc_dot")).limit(0)
+    val index = assignToCentroids(df, cents)
+      .select(col("vec_id"), col("cluster"),
+        codesColumn(dim, books).as("codes"))
+    val options = cents.map { case (cid, c) =>
+      struct(
+        (-dot(col("embedding"), array(c.toIndexedSeq.map(lit): _*))).as("dist"),
+        lit(cid).as("cluster"))
+    }
+    val queries = df.filter(queryPred)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("probe_cluster",
+        explode(transform(
+          slice(array_sort(array(options.toIndexedSeq: _*)), 1, nprobe),
+          p => p.getField("cluster"))))
+    adcRank(queries, index,
+      col("q.probe_cluster") === col("c.cluster"), k, dim, books)
   }
 
   /** Symmetric int8 scalar quantization of the embedding column: per

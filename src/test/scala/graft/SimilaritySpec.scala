@@ -145,6 +145,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(dots == dots.sorted.reverse)
   }
 
+  test("IVF-PQ with every list probed equals plain PQ ADC ranking") {
+    val cb = Similarity.pqFit(vecs, dim = 4, m = 2, ksub = 2)
+    val coarse = Similarity.kmeansFit(vecs, 2)
+    val full = Similarity.ivfPqTopK(vecs, col("vec_id") === 0, k = 4,
+        dim = 4, m = 2, ksub = 2, nlist = 2, nprobe = 2,
+        coarse = Some(coarse), pq = Some(cb))
+      .orderBy("rn").collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    val plain = Similarity.pqTopK(vecs, col("vec_id") === 0, k = 4,
+        dim = 4, m = 2, ksub = 2, fitted = Some(cb))
+      .orderBy("rn").collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(full == plain)
+
+    // nprobe=1 returns only same-list candidates — a subset, in the
+    // same relative order
+    val pruned = Similarity.ivfPqTopK(vecs, col("vec_id") === 0, k = 4,
+        dim = 4, m = 2, ksub = 2, nlist = 2, nprobe = 1,
+        coarse = Some(coarse), pq = Some(cb))
+      .orderBy("rn").collect().map(_.getLong(1)).toSeq
+    assert(pruned.nonEmpty && pruned.toSet.subsetOf(plain.map(_._1).toSet))
+    val fullOrder = plain.map(_._1).filter(pruned.contains)
+    assert(pruned == fullOrder)
+  }
+
   test("near-dup pairs finds the planted close pair only") {
     val pairs = Similarity.nearDupPairs(vecs, 0.95)
       .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
