@@ -256,7 +256,12 @@ object Similarity {
 
   def pqEncode(df: DataFrame, dim: Int,
       codebooks: Seq[Array[(Int, Array[Double])]]): DataFrame =
-    df.select(col("vec_id"), codesColumn(dim, codebooks).as("codes"))
+    // empty corpus → empty fit: an empty codebook's options array has
+    // VOID element type (same edge as assignToCentroids)
+    if (codebooks.exists(_.isEmpty))
+      df.select(col("vec_id"),
+        array().cast("array<int>").as("codes")).limit(0)
+    else df.select(col("vec_id"), codesColumn(dim, codebooks).as("codes"))
 
   /** ADC (asymmetric distance computation) top-k: approximate
     * dot(q, x) ≈ Σ_j dot(q_j, codebook_j[code_j]). The candidate side
@@ -297,10 +302,16 @@ object Similarity {
         round(col("adc_raw"), 6).as("adc_dot"))
   }
 
+  private def emptyTopK(df: DataFrame, scoreName: String): DataFrame =
+    df.select(col("vec_id").as("query_id"),
+      col("vec_id").as("neighbor_id"), lit(0L).as("rn"),
+      lit(0.0).as(scoreName)).limit(0)
+
   def pqTopK(df: DataFrame, queryPred: Column, k: Int, dim: Int,
       m: Int, ksub: Int, iters: Int = 2,
       fitted: Option[Seq[Array[(Int, Array[Double])]]] = None): DataFrame = {
     val codebooks = fitted.getOrElse(pqFit(df, dim, m, ksub, iters))
+    if (codebooks.exists(_.isEmpty)) return emptyTopK(df, "adc_dot")
     adcRank(df.filter(queryPred).select(col("vec_id"), col("embedding")),
       pqEncode(df, dim, codebooks), lit(true), k, dim, codebooks)
   }
@@ -319,10 +330,8 @@ object Similarity {
       pq: Option[Seq[Array[(Int, Array[Double])]]] = None): DataFrame = {
     val cents = coarse.getOrElse(kmeansFit(df, nlist, iters))
     val books = pq.getOrElse(pqFit(df, dim, m, ksub, iters))
-    if (cents.isEmpty)
-      return df.select(col("vec_id").as("query_id"),
-        col("vec_id").as("neighbor_id"), lit(0L).as("rn"),
-        lit(0.0).as("adc_dot")).limit(0)
+    if (cents.isEmpty || books.exists(_.isEmpty))
+      return emptyTopK(df, "adc_dot")
     val index = assignToCentroids(df, cents)
       .select(col("vec_id"), col("cluster"),
         codesColumn(dim, books).as("codes"))
