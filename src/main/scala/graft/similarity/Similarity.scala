@@ -226,11 +226,21 @@ object Similarity {
       iters: Int = 2): Seq[Array[(Int, Array[Double])]] = {
     require(m > 0 && dim % m == 0, s"dim $dim must divide into m=$m subspaces")
     val sub = dim / m
-    (0 until m).map { j =>
-      kmeansFit(df.select(col("vec_id"),
+    // The m subspace fits are independent Lloyd runs, so they submit
+    // as CONCURRENT Spark jobs — wall-clock ≈ one fit instead of m.
+    // (A single fused job was tried and rejected: Catalyst collapses
+    // the assignment projection into the per-exploded-dimension
+    // projection, re-evaluating the whole m×ksub argmin per exploded
+    // row — a dim× blowup of the assignment cost.)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fits = (0 until m).map { j =>
+      Future(kmeansFit(df.select(col("vec_id"),
         slice(col("embedding"), j * sub + 1, sub).as("embedding")),
-        ksub, iters)
+        ksub, iters))
     }
+    fits.map(Await.result(_, Duration.Inf))
   }
 
   /** PQ encode: per subspace, argmin of (-dot, code) over the
