@@ -91,6 +91,36 @@ class PlanRegressionSpec extends AnyFunSuite {
       p.take(2000))
   }
 
+  test("s11 ivf-pq: queries broadcast; search path ranks on codes") {
+    val p = plan("s11_ivfpq")
+    // query side broadcast, candidate side never hash-partitioned
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("hashpartitioning(vec_id"), p)
+    // the ADC score comes from codebook lookups (map literal +
+    // element_at), not from a float-embedding dot on the join output
+    assert(p.contains("element_at") || p.contains("keys:"), p.take(2000))
+  }
+
+  test("tracker batched mark: ONE broadcast join-update, no per-row shuffles") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"target/test_plan_tracker${System.nanoTime()}")).toString
+    val t = new graft.state.Tracker(spark, dir)
+    t.initEntries(Seq(("s-a", "s3", Map.empty[String, String]),
+        ("s-b", "s3", Map.empty[String, String]))
+      .toDF("source_name", "data_source_type", "data_source_attrs"))
+    val upd = Seq(("s-a", "t_a", "db"))
+      .toDF("source_name", "data_catalog_table_name", "data_catalog_db_name")
+    // the physical plan of the batched update frame: broadcast join,
+    // zero exchanges on the state side
+    val joined = t.read().join(
+      org.apache.spark.sql.functions.broadcast(upd), Seq("source_name"), "left")
+    val p = joined.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("hashpartitioning(source_name"), p)
+  }
+
   test("q3: date filters pushed to both fact scans, dim side broadcast") {
     val p = plan("q3_shipping_priority")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate")
