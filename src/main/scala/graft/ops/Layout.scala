@@ -43,4 +43,17 @@ object Layout {
       .sortWithinPartitions(col("_z"))
       .drop("_z")
   }
+
+  /** Persist `df` as a bucketed+sorted table on `key`: both sides of a
+    * repeated equi-join written this way co-locate, and the join plan
+    * has NO Exchange — the shuffle is paid once at write time instead
+    * of on every query. This is the 100 TB answer for fact⨝fact joins
+    * that recur on the same key (tracker⨝findings, orders⨝lineitem):
+    * bucket counts must match (or divide) across the joined tables. */
+  def bucketize(df: DataFrame, key: String, buckets: Int,
+      table: String): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .saveAsTable(table)
 }

@@ -14,12 +14,10 @@ class BucketingSpec extends AnyFunSuite {
     val sf = "/root/testdata/sf0.001"
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_customer")
-    spark.read.parquet(s"$sf/orders.parquet")
-      .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
-      .mode("overwrite").saveAsTable("b_orders")
-    spark.read.parquet(s"$sf/customer.parquet")
-      .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
-      .mode("overwrite").saveAsTable("b_customer")
+    graft.ops.Layout.bucketize(
+      spark.read.parquet(s"$sf/orders.parquet"), "o_custkey", 8, "b_orders")
+    graft.ops.Layout.bucketize(
+      spark.read.parquet(s"$sf/customer.parquet"), "c_custkey", 8, "b_customer")
     try {
       // disable broadcast so the join must pick a shuffle-or-bucket plan
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
