@@ -283,6 +283,53 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Incremental near-dup gate over a shared postings frame: LSH
+    * candidates restricted to (new, seen) pairs — history is never
+    * re-paired against itself — then exact-Jaccard verified. `isNew`
+    * is one (doc, is_new) row per document. Output:
+    * (new_doc, seen_doc, jaccard ≥ threshold). */
+  def incrementalNearDupFromPostings(postings: DataFrame, isNew: DataFrame,
+      numHashes: Int, rowsPerBand: Int, threshold: Double,
+      stats: Option[DataFrame] = None): DataFrame = {
+    val cands = lshCandidates(minhashSignatures(postings, numHashes),
+      numHashes, rowsPerBand)
+    val st = stats.getOrElse(pairStats(postings))
+    cands
+      .join(isNew.select(col("doc").as("doc_a"), col("is_new").as("new_a")),
+        Seq("doc_a"))
+      .join(isNew.select(col("doc").as("doc_b"), col("is_new").as("new_b")),
+        Seq("doc_b"))
+      .filter(col("new_a") =!= col("new_b"))
+      .select(
+        when(col("new_a"), col("doc_a")).otherwise(col("doc_b")).as("new_doc"),
+        when(col("new_a"), col("doc_b")).otherwise(col("doc_a")).as("seen_doc"),
+        col("doc_a"), col("doc_b"))
+      .join(st.filter(col("jaccard") >= threshold), Seq("doc_a", "doc_b"))
+      .select(col("new_doc"), col("seen_doc"), col("jaccard"))
+  }
+
+  /** Incremental near-dup gate: NEW docs that band-collide with and
+    * Jaccard-verify against the already-ingested corpus — the
+    * ingest-time companion of [[incrementalExact]] for near
+    * duplicates. The df cap is computed over the combined corpus (what
+    * the stored index would hold). At 100 TB the seen side's
+    * signatures and postings are precomputed tables; per batch only
+    * the new docs shingle and sign, and the band equi-join prunes the
+    * comparison to colliding buckets. Ids must be disjoint across the
+    * two frames. */
+  def incrementalNearDup(newDf: DataFrame, seenDf: DataFrame,
+      idCol: String, textCol: String, n: Int = 3, numHashes: Int = 8,
+      rowsPerBand: Int = 2, threshold: Double = 0.5,
+      maxDf: Int = 50): DataFrame = {
+    val union = newDf.select(col(idCol), col(textCol), lit(true).as("_new"))
+      .unionByName(seenDf.select(col(idCol), col(textCol), lit(false).as("_new")))
+    val postings = shinglePostings(union, idCol, textCol, n, maxDf).cache()
+    val isNew = union.select(col(idCol).cast("long").as("doc"),
+      col("_new").as("is_new"))
+    incrementalNearDupFromPostings(postings, isNew, numHashes, rowsPerBand,
+      threshold)
+  }
+
   /** Per-doc token count + 32 per-bit one-counts over the parity mask
     * of each token's md5. `sum(±1 per hex-char parity) >= 0` is
     * equivalent to `2*ones_b >= n`, so the sketch needs only the

@@ -57,6 +57,22 @@ object DedupQueries extends QueryPack {
         "event_id", "props")
     }),
 
+    // Incremental NEAR-dup gate: docs of the incoming batch
+    // (doc_id % 7 = 0) that band-collide with and Jaccard-verify
+    // against the already-ingested rest; history never re-pairs with
+    // itself. Shares the memoized postings/stats with d2/d3 (the
+    // combined corpus here is the whole documents table)
+    "d11_incremental_lsh" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val (postings, stats) = shared(s, d)
+      val isNew = Tables.load(s, d, "documents")
+        .select(col("doc_id").cast("long").as("doc"),
+          (col("doc_id") % 7 === 0).as("is_new"))
+      Dedup.incrementalNearDupFromPostings(postings, isNew,
+        numHashes = 8, rowsPerBand = 2, threshold = 0.5,
+        stats = Some(stats))
+    }),
+
     // Boilerplate mining: 8-token spans repeated across >= 3 docs
     "d8_common_spans" -> ((s, d) =>
       Dedup.commonSpans(Tables.load(s, d, "documents"),
@@ -134,6 +150,25 @@ object DedupQueries extends QueryPack {
          |         FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id AND ($bandEq))
          |SELECT c.doc_a, c.doc_b, j.jaccard
          |FROM cand c JOIN jac j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
+         |WHERE j.jaccard >= 0.5""".stripMargin
+    },
+
+    "d11_incremental_lsh" -> {
+      val mins = (0 until 8)
+        .map(i => s"min(md5('$i|' || shingle)) AS h$i").mkString(", ")
+      val bandEq = (0 until 4)
+        .map(b => s"(a.h${2 * b} || '|' || a.h${2 * b + 1}) = (b.h${2 * b} || '|' || b.h${2 * b + 1})")
+        .mkString(" OR ")
+      s"""WITH $postingsCte,
+         |sigs AS (SELECT doc_id, $mins FROM p GROUP BY doc_id),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id AND ($bandEq)),
+         |typed AS (SELECT doc_a, doc_b,
+         |            CASE WHEN doc_a % 7 = 0 THEN doc_a ELSE doc_b END AS new_doc,
+         |            CASE WHEN doc_a % 7 = 0 THEN doc_b ELSE doc_a END AS seen_doc
+         |          FROM cand WHERE (doc_a % 7 = 0) <> (doc_b % 7 = 0))
+         |SELECT t.new_doc, t.seen_doc, j.jaccard
+         |FROM typed t JOIN jac j ON t.doc_a = j.doc_a AND t.doc_b = j.doc_b
          |WHERE j.jaccard >= 0.5""".stripMargin
     },
 

@@ -35,6 +35,17 @@ class DedupSpec extends AnyFunSuite {
     assert(dups == Set(10L, 12L))
   }
 
+  test("incrementalNearDup pairs new docs with seen near-dups only") {
+    // new batch = {2, 5}; seen = {1, 3, 4}. Doc 2 near-dups 1 and 4;
+    // 1 vs 4 (both seen) must NOT be re-reported; 5 matches nothing.
+    val newDf = docs.filter($"doc_id".isin(2L, 5L))
+    val seenDf = docs.filter(!$"doc_id".isin(2L, 5L))
+    val out = Dedup.incrementalNearDup(newDf, seenDf, "doc_id", "text",
+        threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((2L, 1L), (2L, 4L)))
+  }
+
   test("commonSpans mines spans repeated across >= minDf docs") {
     // docs 1, 2, 4 share the 8-token prefix; no span reaches 4 docs
     val spans = Dedup.commonSpans(docs, "doc_id", "text", n = 8, minDf = 3)
