@@ -174,8 +174,13 @@ object Curation {
     val bounds = q.groupBy(col(strataCol))
       .agg(expr(s"percentile(quality, $pLo)").as("p_lo"),
         expr(s"percentile(quality, $pHi)").as("p_hi"))
+    // band test on the ROUNDED distance to the bound: the interpolated
+    // percentile differs between engines at ulp level (different
+    // operation order), so a doc whose quality sits exactly on the
+    // boundary would otherwise flip inclusion engine-to-engine
     q.join(broadcast(bounds), Seq(strataCol))
-      .filter(col("quality") >= col("p_lo") && col("quality") <= col("p_hi"))
+      .filter(round(col("quality") - col("p_lo"), 9) >= 0
+        && round(col("quality") - col("p_hi"), 9) <= 0)
       .select(col(idCol), col(strataCol), col("quality"))
   }
 

@@ -137,7 +137,8 @@ object TextQueries extends QueryPack {
          |        quantile_cont(quality, 0.9) AS p_hi
          |      FROM q GROUP BY lang)
          |SELECT doc_id, lang, quality FROM q JOIN b USING (lang)
-         |WHERE quality >= p_lo AND quality <= p_hi""".stripMargin,
+         |WHERE round(quality - p_lo, 9) >= 0
+         |  AND round(quality - p_hi, 9) <= 0""".stripMargin,
     "x1_token_count" ->
       """SELECT doc_id,
         |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
