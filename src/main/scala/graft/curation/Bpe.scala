@@ -145,6 +145,12 @@ object Bpe {
     merges.toSeq
   }
 
+  private def encodeText(t: String, ordered: Seq[(String, String)]): Seq[String] = {
+    val toks = if (t == null) Array.empty[String]
+      else t.trim.split("\\s+").filter(_.nonEmpty)
+    toks.toSeq.flatMap(w => applyMerges(codePointSyms(w), ordered))
+  }
+
   /** Segment `textCol` with a learned merge table (applied in rank
     * order per word — standard BPE encode). Pure map; merges
     * broadcast as a literal list. */
@@ -154,24 +160,20 @@ object Bpe {
     import spark.implicits._
     val ordered = merges.sortBy(_._1).map { case (_, l, r) => (l, r) }
     val bc = spark.sparkContext.broadcast(ordered)
-    df.select(col(textCol).as("text")).as[String].map { t =>
-      val toks = if (t == null) Array.empty[String]
-        else t.trim.split("\\s+").filter(_.nonEmpty)
-      val pieces = toks.flatMap { w =>
-        var syms: Seq[String] = codePointSyms(w)
-        bc.value.foreach { case (l, r) =>
-          val out = scala.collection.mutable.ArrayBuffer.empty[String]
-          var i = 0
-          while (i < syms.length) {
-            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
-              out += (l + r); i += 2
-            } else { out += syms(i); i += 1 }
-          }
-          syms = out.toSeq
-        }
-        syms
-      }
-      pieces.toSeq
-    }.toDF("pieces")
+    df.select(col(textCol).as("text")).as[String]
+      .map(t => encodeText(t, bc.value)).toDF("pieces")
+  }
+
+  /** Id-preserving encode: (id, pieces) — the corpus-tokenization
+    * rewrite a training job consumes. */
+  def encodeDocs(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(Int, String, String)]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ordered = merges.sortBy(_._1).map { case (_, l, r) => (l, r) }
+    val bc = spark.sparkContext.broadcast(ordered)
+    df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .map { case (id, t) => (id, encodeText(t, bc.value)) }
+      .toDF(idCol, "pieces")
   }
 }

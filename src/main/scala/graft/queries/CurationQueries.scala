@@ -21,6 +21,16 @@ object CurationQueries extends QueryPack {
   private val compMemo =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
+  // b1 (merge table) and b2 (encoded corpus) share one training run
+  private val mergeMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(Int, String, String)]]
+
+  private def learnedMerges(s: SparkSession, d: String): Seq[(Int, String, String)] =
+    mergeMemo.getOrElseUpdate(d,
+      graft.curation.Bpe.learnMerges(
+        Tables.load(s, d, "documents").filter(col("source") === "src0"),
+        "text", numMerges = 8))
+
   private def components(s: SparkSession, d: String): DataFrame =
     compMemo.getOrElseUpdate(d, {
       import org.apache.spark.sql.functions.col
@@ -86,11 +96,20 @@ object CurationQueries extends QueryPack {
     // sequential scan's skip-after-merge behavior)
     "b1_bpe_merges" -> ((s, d) => {
       import s.implicits._
-      graft.curation.Bpe.learnMerges(
-        Tables.load(s, d, "documents").filter(col("source") === "src0"),
-        "text", numMerges = 8)
-        .toDF("rank", "left", "right")
+      learnedMerges(s, d).toDF("rank", "left", "right")
     }),
+
+    // Corpus encode with the learned merges: every (doc, position,
+    // piece) of the tokenized training source — the rewrite a
+    // training job consumes. The oracle reuses the b1 chain's final
+    // word table (training applies merges incrementally in rank
+    // order, which IS the encode) joined back onto doc token order
+    "b2_bpe_encode" -> ((s, d) =>
+      graft.curation.Bpe.encodeDocs(
+        Tables.load(s, d, "documents").filter(col("source") === "src0"),
+        "doc_id", "text", learnedMerges(s, d))
+        .select(col("doc_id"),
+          posexplode(col("pieces")).as(Seq("pos", "piece")))),
 
     // Duplicate-cluster resolution: connected components over the
     // n-gram Jaccard near-dup pairs (same pairs as d2)
