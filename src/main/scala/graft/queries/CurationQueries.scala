@@ -141,8 +141,15 @@ object CurationQueries extends QueryPack {
     * consecutive matched positions). MATERIALIZED CTEs: each round
     * references the prior word table several times, and default
     * inlining would re-expand the whole chain exponentially. */
-  private val bpeOracle: String = {
-    val numMerges = 8
+  private val bpeNumMerges = 8
+
+  /** The shared b1/b2 CTE chain: w0 (distinct src0 words, weighted,
+    * char symbols) and rounds 1..8 — w8 is the fully-merged symbol
+    * table. b1 reads the per-round argmaxes mg1..mg8; b2 reads w8
+    * (applying the merges in rank order to an in-corpus word IS the
+    * encode of that word, since every src0 token is in w0). */
+  private val bpeRoundCtes: String = {
+    val numMerges = bpeNumMerges
     def round(k: Int): String = {
       val prev = s"w${k - 1}"
       s"""u$k AS MATERIALIZED (SELECT word, n, i, syms[i] AS s, syms[i+1] AS s_next
@@ -164,18 +171,45 @@ object CurationQueries extends QueryPack {
          |  GROUP BY x.word)""".stripMargin
     }
     val rounds = (1 to numMerges).map(round).mkString(",\n")
-    val unions = (1 to numMerges).map(k =>
-      s"""SELECT ${k - 1} AS "rank", l AS "left", r AS "right" FROM mg$k""")
-      .mkString("\nUNION ALL ")
-    s"""WITH w0 AS MATERIALIZED (
+    s"""w0 AS MATERIALIZED (
        |  SELECT w AS word, CAST(count(*) AS BIGINT) AS n,
        |    list_transform(range(1, length(w) + 1), i -> substr(w, i, 1)) AS syms
        |  FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
        |        FROM documents WHERE source = 'src0') t
        |  WHERE w <> '' GROUP BY w),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private val bpeOracle: String = {
+    val unions = (1 to bpeNumMerges).map(k =>
+      s"""SELECT ${k - 1} AS "rank", l AS "left", r AS "right" FROM mg$k""")
+      .mkString("\nUNION ALL ")
+    s"""WITH $bpeRoundCtes
        |$unions""".stripMargin
   }
+
+  /** b2 replay: per src0 doc, whitespace tokens in order; each token's
+    * pieces are its final symbol table w8.syms (training applied the 8
+    * merges incrementally in rank order — exactly `Bpe.applyMerges`,
+    * and every token of the slice is in w0). Global piece position =
+    * running piece count of preceding tokens + offset within the
+    * token. */
+  private val bpeEncodeOracle: String =
+    s"""WITH $bpeRoundCtes,
+       |toks0 AS (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS ti FROM (
+       |    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+       |    FROM documents WHERE source = 'src0') s),
+       |toks AS (SELECT doc_id, ti, t[ti] AS word FROM toks0 WHERE t[ti] <> ''),
+       |seg AS (SELECT k.doc_id, k.ti, w.syms FROM toks k
+       |  JOIN w${bpeNumMerges} w ON w.word = k.word),
+       |off AS (SELECT doc_id, ti, syms,
+       |    COALESCE(SUM(len(syms)) OVER (PARTITION BY doc_id ORDER BY ti
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS base,
+       |    unnest(range(1, len(syms) + 1)) AS j
+       |  FROM seg)
+       |SELECT doc_id, CAST(base + j - 1 AS INTEGER) AS pos,
+       |  syms[j] AS piece
+       |FROM off""".stripMargin
 
   private val splitCase = {
     val h = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)"
@@ -186,6 +220,7 @@ object CurationQueries extends QueryPack {
 
   def oracle: Map[String, String] = Map(
     "b1_bpe_merges" -> bpeOracle,
+    "b2_bpe_encode" -> bpeEncodeOracle,
 
     "c1_decontaminate" ->
       s"""WITH ${shingles("csh", "source <> 'src0'", 5)},

@@ -82,6 +82,26 @@ object Prof {
     t("emb_scan")(emb.count())
     t("s5_kmeans")(graft.similarity.Similarity.kmeansLite(emb, 8, 2).count())
 
+    // s9/s10/s11 PQ internals
+    import graft.similarity.Similarity
+    var coarse: Array[(Int, Array[Double])] = null
+    var books: Seq[Array[(Int, Array[Double])]] = null
+    t("coarse_kmeansFit")({ coarse = Similarity.kmeansFit(emb, 8); 8L })
+    t("pqFit")({ books = Similarity.pqFit(emb, 64, 4, 8); 4L })
+    val enc = Similarity.pqEncode(emb, 64, books)
+    t("pqEncode_plan")({ enc.queryExecution.executedPlan; 0L })
+    t("pqEncode_run")(enc.count())
+    val adc = Similarity.pqTopK(emb, col("vec_id") < 5, 5, 64, 4, 8,
+      fitted = Some(books))
+    t("pqTopK_plan")({ adc.queryExecution.executedPlan; 0L })
+    t("pqTopK_run")(adc.count())
+    t("pqTopK_run2")(Similarity.pqTopK(emb, col("vec_id") < 5, 5, 64, 4, 8,
+      fitted = Some(books)).count())
+    val ivfpq = Similarity.ivfPqTopK(emb, col("vec_id") < 5, 5, 64, 4, 8,
+      8, 2, coarse = Some(coarse), pq = Some(books))
+    t("ivfPqTopK_plan")({ ivfpq.queryExecution.executedPlan; 0L })
+    t("ivfPqTopK_run")(ivfpq.count())
+
     spark.stop()
   }
 }
