@@ -32,6 +32,26 @@ object SimilarityQueries extends QueryPack {
     pqMemo.getOrElseUpdate(d,
       Similarity.pqFit(Tables.load(s, d, "embeddings"), dim = 64, m = 4, ksub = 8))
 
+  // One (vec_id, cluster, codes) index build per dir, cached: s9, s10,
+  // and s11 all read the same compact serving table, as a stored
+  // IVF-PQ index would be at scale.
+  private val indexMemo =
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame]
+
+  private def indexShared(s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    indexMemo.getOrElseUpdate(d, {
+      // the coarse and PQ fits are independent Lloyd runs — submit
+      // their Spark jobs concurrently (wall ≈ the slower fit)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fc = Future(fit(s, d, 8))
+      val fp = Future(pqFitShared(s, d))
+      Similarity.buildIvfPqIndex(Tables.load(s, d, "embeddings"), 64,
+        Await.result(fc, Duration.Inf), Await.result(fp, Duration.Inf))
+        .cache()
+    })
+
   def queries: Map[String, Q] = Map(
     // Exact brute-force cosine top-10 for query vectors vec_id < 5
     "s2_knn_brute" -> ((s, d) =>
@@ -87,26 +107,30 @@ object SimilarityQueries extends QueryPack {
     // full compressed corpus — every (vector, subspace) code replays
     // through the per-subspace unrolled-CTE chains below
     "s9_pq_codes" -> ((s, d) =>
-      Similarity.pqEncode(Tables.load(s, d, "embeddings"), 64,
-          pqFitShared(s, d))
+      indexShared(s, d)
         .select(col("vec_id"), posexplode(col("codes")).as(Seq("sub", "code")))),
 
     // ADC top-5: approximate dot from the m per-subspace codebook
     // lookups; candidates carry only codes. Deterministic end-to-end
     // (fit, encode, ranking tie-breaks), so fully oracle-checked
-    "s10_pq_adc" -> ((s, d) =>
+    "s10_pq_adc" -> ((s, d) => {
+      val idx = indexShared(s, d) // fills both fit memos, concurrently
       Similarity.pqTopK(Tables.load(s, d, "embeddings"),
         col("vec_id") < 5, k = 5, dim = 64, m = 4, ksub = 8,
-        fitted = Some(pqFitShared(s, d)))),
+        fitted = Some(pqFitShared(s, d)), index = Some(idx))
+    }),
 
     // IVF-PQ: coarse probe (2 of 8 lists) prunes candidates, ADC
     // ranks them from codes alone — the production ANN composition;
     // the float corpus never joins on the search path
-    "s11_ivfpq" -> ((s, d) =>
+    "s11_ivfpq" -> ((s, d) => {
+      val idx = indexShared(s, d)
       Similarity.ivfPqTopK(Tables.load(s, d, "embeddings"),
         col("vec_id") < 5, k = 5, dim = 64, m = 4, ksub = 8,
         nlist = 8, nprobe = 2,
-        coarse = Some(fit(s, d, 8)), pq = Some(pqFitShared(s, d)))),
+        coarse = Some(fit(s, d, 8)), pq = Some(pqFitShared(s, d)),
+        prebuilt = Some(idx))
+    }),
 
     // Same IVF probe machinery with every list probed (nprobe=nlist):
     // provably equals exact brute-force top-k, so the probe path —

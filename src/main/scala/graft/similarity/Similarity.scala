@@ -225,23 +225,79 @@ object Similarity {
   def pqFit(df: DataFrame, dim: Int, m: Int, ksub: Int,
       iters: Int = 2): Seq[Array[(Int, Array[Double])]] = {
     require(m > 0 && dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    import org.apache.spark.sql.types.DecimalType
     val sub = dim / m
-    // The m subspace fits are independent Lloyd runs, so they submit
-    // as CONCURRENT Spark jobs — wall-clock ≈ one fit instead of m.
-    // (A single fused job was tried and rejected: Catalyst collapses
-    // the assignment projection into the per-exploded-dimension
-    // projection, re-evaluating the whole m×ksub argmin per exploded
-    // row — a dim× blowup of the assignment cost.)
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
-    val fits = (0 until m).map { j =>
-      Future(kmeansFit(df.select(col("vec_id"),
-        slice(col("embedding"), j * sub + 1, sub).as("embedding")),
-        ksub, iters))
+    // All m subspace Lloyd runs fused into ONE distributed pass per
+    // step: init is a single k-row collect (sliced locally), and each
+    // iteration is one job computing every subspace's assignment and
+    // the per-(subspace, code, dim) decimal averages together. The
+    // localCheckpoint between assignment and explode is a hard plan
+    // barrier: without it Catalyst collapses the m×ksub argmin
+    // projection into the per-exploded-dimension projection,
+    // re-evaluating the whole argmin per exploded row (a dim× blowup).
+    // Bit-identical to m independent kmeansFit runs: same k-lowest-id
+    // init, same struct-min tie-breaks, and the (j, code, pos) groups
+    // partition exactly as the per-slice (code, pos) groups do.
+    val vecs = df.select(col("vec_id"), col("embedding"))
+    val initRows = vecs.orderBy(col("vec_id")).limit(ksub).collect()
+    // empty corpus → empty codebooks (callers' guard); codesColumn
+    // can't argmin over zero options
+    if (initRows.isEmpty) return Seq.fill(m)(Array.empty)
+    var books: Seq[Array[(Int, Array[Double])]] = (0 until m).map { j =>
+      initRows.zipWithIndex.map { case (r, i) =>
+        i -> r.getSeq[Float](1).slice(j * sub, (j + 1) * sub)
+          .map(_.toDouble).toArray }
     }
-    fits.map(Await.result(_, Duration.Inf))
+    (1 to iters).foreach { _ =>
+      // lazy persist (not eager localCheckpoint): the InMemoryRelation
+      // boundary blocks the projection collapse, and materialization
+      // happens inside the one aggregate job below — no extra action
+      val assigned = vecs
+        .select(col("embedding"), codesColumn(dim, books).as("codes"))
+        .persist()
+      val dims = assigned
+        .select(col("codes"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select((col("pos") / sub).cast("int").as("j"),
+          (col("pos") % sub).as("p"),
+          element_at(col("codes"), (col("pos") / sub).cast("int") + 1).as("code"),
+          col("v"))
+        .groupBy(col("j"), col("code"), col("p"))
+        // exact decimal sum, then double division — order-invariant,
+        // identical to kmeansFit's recompute
+        .agg((sum(col("v").cast(DecimalType(38, 9))).cast("double")
+          / count(lit(1))).as("avg_v"))
+        .groupBy(col("j"), col("code"))
+        .agg(array_sort(collect_list(struct(col("p"), col("avg_v"))))
+          .as("pairs"))
+        .select(col("j"), col("code"),
+          transform(col("pairs"), p => p.getField("avg_v")).as("centroid"))
+        .collect()
+      assigned.unpersist()
+      books = (0 until m).map { j =>
+        dims.filter(_.getInt(0) == j)
+          .map(r => (r.getInt(1), r.getSeq[Double](2).toArray))
+          .sortBy(_._1).toArray
+      }
+    }
+    books
   }
+
+  /** One-scan IVF-PQ index build: (vec_id, cluster, codes) — the
+    * compact serving table shared by the encode dump, ADC search, and
+    * IVF-PQ search. At 100 TB this is written once, bucketed by
+    * cluster; the float embeddings are never read again on the search
+    * path. */
+  def buildIvfPqIndex(df: DataFrame, dim: Int,
+      coarse: Array[(Int, Array[Double])],
+      books: Seq[Array[(Int, Array[Double])]]): DataFrame =
+    // empty corpus → empty fits: no argmin options to build (the same
+    // VOID-element edge as assignToCentroids/pqEncode)
+    if (coarse.isEmpty || books.exists(_.isEmpty))
+      df.select(col("vec_id"), lit(0).as("cluster"),
+        array().cast("array<int>").as("codes")).limit(0)
+    else assignToCentroids(df, coarse)
+      .select(col("vec_id"), col("cluster"),
+        codesColumn(dim, books).as("codes"))
 
   /** PQ encode: per subspace, argmin of (-dot, code) over the
     * codebook — assignToCentroids' struct-min tie-break applied to
@@ -319,11 +375,14 @@ object Similarity {
 
   def pqTopK(df: DataFrame, queryPred: Column, k: Int, dim: Int,
       m: Int, ksub: Int, iters: Int = 2,
-      fitted: Option[Seq[Array[(Int, Array[Double])]]] = None): DataFrame = {
+      fitted: Option[Seq[Array[(Int, Array[Double])]]] = None,
+      index: Option[DataFrame] = None): DataFrame = {
     val codebooks = fitted.getOrElse(pqFit(df, dim, m, ksub, iters))
     if (codebooks.exists(_.isEmpty)) return emptyTopK(df, "adc_dot")
+    val cands = index.map(_.select(col("vec_id"), col("codes")))
+      .getOrElse(pqEncode(df, dim, codebooks))
     adcRank(df.filter(queryPred).select(col("vec_id"), col("embedding")),
-      pqEncode(df, dim, codebooks), lit(true), k, dim, codebooks)
+      cands, lit(true), k, dim, codebooks)
   }
 
   /** IVF-PQ: the production ANN composition — the coarse quantizer
@@ -337,14 +396,13 @@ object Similarity {
   def ivfPqTopK(df: DataFrame, queryPred: Column, k: Int, dim: Int,
       m: Int, ksub: Int, nlist: Int, nprobe: Int, iters: Int = 2,
       coarse: Option[Array[(Int, Array[Double])]] = None,
-      pq: Option[Seq[Array[(Int, Array[Double])]]] = None): DataFrame = {
+      pq: Option[Seq[Array[(Int, Array[Double])]]] = None,
+      prebuilt: Option[DataFrame] = None): DataFrame = {
     val cents = coarse.getOrElse(kmeansFit(df, nlist, iters))
     val books = pq.getOrElse(pqFit(df, dim, m, ksub, iters))
     if (cents.isEmpty || books.exists(_.isEmpty))
       return emptyTopK(df, "adc_dot")
-    val index = assignToCentroids(df, cents)
-      .select(col("vec_id"), col("cluster"),
-        codesColumn(dim, books).as("codes"))
+    val index = prebuilt.getOrElse(buildIvfPqIndex(df, dim, cents, books))
     val options = cents.map { case (cid, c) =>
       struct(
         (-dot(col("embedding"), array(c.toIndexedSeq.map(lit): _*))).as("dist"),

@@ -97,6 +97,36 @@ object Prof {
     t("pqTopK_run")(adc.count())
     t("pqTopK_run2")(Similarity.pqTopK(emb, col("vec_id") < 5, 5, 64, 4, 8,
       fitted = Some(books)).count())
+    // decompose the warm ADC run: join+ADC-score without the window,
+    // then the windowed rank, then the same with codegen disabled
+    val encAgain = Similarity.pqEncode(emb, 64, books)
+    val q5 = emb.filter(col("vec_id") < 5).select(col("vec_id"), col("embedding"))
+    t("adc_join_only")(broadcast(q5).as("q")
+      .join(encAgain.as("c"), col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id"), col("c.vec_id").as("nid"))
+      .count())
+    t("pqTopK_run3")(Similarity.pqTopK(emb, col("vec_id") < 5, 5, 64, 4, 8,
+      fitted = Some(books)).count())
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    t("pqTopK_nocodegen")(Similarity.pqTopK(emb, col("vec_id") < 5, 5, 64, 4, 8,
+      fitted = Some(books)).count())
+    spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    // which stage's codegen costs ~1s? (a) with a prebuilt index (no
+    // encode exprs on the candidate side), (b) score join sans window,
+    // (c) window over constant scores
+    val idx = Similarity.buildIvfPqIndex(emb, 64, coarse, books).cache()
+    idx.count()
+    t("pqTopK_prebuilt")(Similarity.pqTopK(emb, col("vec_id") < 5, 5, 64, 4, 8,
+      fitted = Some(books), index = Some(idx)).count())
+    t("pqTopK_prebuilt2")(Similarity.pqTopK(emb, col("vec_id") < 5, 5, 64, 4, 8,
+      fitted = Some(books), index = Some(idx)).count())
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sc").desc)
+    t("window_only")(broadcast(q5.select(col("vec_id").as("query_id")))
+      .join(idx.select(col("vec_id").as("neighbor_id")), lit(true))
+      .select(col("query_id"), col("neighbor_id"),
+        (col("neighbor_id") * 7 % 13).as("sc"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5).count())
     val ivfpq = Similarity.ivfPqTopK(emb, col("vec_id") < 5, 5, 64, 4, 8,
       8, 2, coarse = Some(coarse), pq = Some(books))
     t("ivfPqTopK_plan")({ ivfpq.queryExecution.executedPlan; 0L })
