@@ -142,6 +142,24 @@ object Dedup {
     postings.groupBy(col("doc")).agg(hs.head, hs.tail: _*)
   }
 
+  /** MinHash signatures from the grouped inverted index: each distinct
+    * shingle hashes ONCE (numHashes md5s over |shingles| rows instead
+    * of |postings| rows — ~10× fewer hashes at df ~10), then the
+    * per-doc min distributes over the exploded lists. Identical output
+    * to [[minhashSignatures]]: min over a doc's distinct shingles' md5
+    * is the same whether the md5 is computed before or after the
+    * explode. */
+  def minhashSignaturesFromGroups(groups: DataFrame, numHashes: Int): DataFrame = {
+    val hashed = groups.select(
+      col("docs") +:
+        (0 until numHashes).map(i =>
+          md5(concat(lit(s"$i|"), col("shingle")).cast("binary")).as(s"sh$i")): _*)
+    val hs = (0 until numHashes).map(i => min(col(s"sh$i")).as(s"h$i"))
+    hashed.select(explode(col("docs")).as("doc") +:
+        (0 until numHashes).map(i => col(s"sh$i")): _*)
+      .groupBy(col("doc")).agg(hs.head, hs.tail: _*)
+  }
+
   /** LSH candidate pairs: docs equal on at least one band of
     * `rowsPerBand` consecutive signature rows.
     *
@@ -274,9 +292,11 @@ object Dedup {
     * Jaccard and MinHash passes. */
   def minhashDupPairsFromPostings(postings: DataFrame, numHashes: Int,
       rowsPerBand: Int, threshold: Double,
-      stats: Option[DataFrame] = None): DataFrame = {
-    val cands = lshCandidates(minhashSignatures(postings, numHashes),
-      numHashes, rowsPerBand)
+      stats: Option[DataFrame] = None,
+      candidates: Option[DataFrame] = None): DataFrame = {
+    val cands = candidates.getOrElse(
+      lshCandidates(minhashSignatures(postings, numHashes),
+        numHashes, rowsPerBand))
     val st = stats.getOrElse(pairStats(postings))
     cands.join(st.filter(col("jaccard") >= threshold),
       Seq("doc_a", "doc_b"), "inner")
@@ -290,9 +310,11 @@ object Dedup {
     * (new_doc, seen_doc, jaccard ≥ threshold). */
   def incrementalNearDupFromPostings(postings: DataFrame, isNew: DataFrame,
       numHashes: Int, rowsPerBand: Int, threshold: Double,
-      stats: Option[DataFrame] = None): DataFrame = {
-    val cands = lshCandidates(minhashSignatures(postings, numHashes),
-      numHashes, rowsPerBand)
+      stats: Option[DataFrame] = None,
+      candidates: Option[DataFrame] = None): DataFrame = {
+    val cands = candidates.getOrElse(
+      lshCandidates(minhashSignatures(postings, numHashes),
+        numHashes, rowsPerBand))
     val st = stats.getOrElse(pairStats(postings))
     cands
       .join(isNew.select(col("doc").as("doc_a"), col("is_new").as("new_a")),

@@ -11,21 +11,35 @@ object DedupQueries extends QueryPack {
 
   import org.apache.spark.sql.{DataFrame, SparkSession}
 
-  // DataFrame-object memo so d2 and d3 share one cached postings +
-  // pair-stats computation within a session (typed-flatMap plans don't
-  // canonicalize equal across separate builds, so Spark's cache can't
-  // match them by plan).
+  // DataFrame-object memo so d2/d3/d11 share one cached postings +
+  // pair-stats + LSH-candidate computation within a session
+  // (typed-flatMap plans don't canonicalize equal across separate
+  // builds, so Spark's cache can't match them by plan).
   private val memo =
-    scala.collection.concurrent.TrieMap.empty[String, (DataFrame, DataFrame)]
+    scala.collection.concurrent.TrieMap.empty[String, (DataFrame, DataFrame, DataFrame)]
 
-  private[queries] def shared(s: SparkSession, d: String): (DataFrame, DataFrame) =
+  private def sharedAll(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) =
     memo.getOrElseUpdate(d, {
       val groups = Dedup.shingleGroups(
         Tables.load(s, d, "documents"), "doc_id", "text", n = 3, maxDf = 50)
         .cache()
-      val postings = Dedup.postingsFromGroups(groups).cache()
-      (postings, Dedup.pairStatsFromGroups(groups, postings).cache())
+      // postings are read once (the sizes aggregate inside pairStats) —
+      // deriving them from the cached groups is cheaper than a third
+      // cache materialization
+      val postings = Dedup.postingsFromGroups(groups)
+      val stats = Dedup.pairStatsFromGroups(groups, postings).cache()
+      // band-keyed candidates shared by d3 and d11: signatures hash
+      // each distinct shingle once (grouped index), not each posting
+      val cands = Dedup.lshCandidates(
+        Dedup.minhashSignaturesFromGroups(groups, numHashes = 8),
+        numHashes = 8, rowsPerBand = 2).cache()
+      (postings, stats, cands)
     })
+
+  private[queries] def shared(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val (postings, stats, _) = sharedAll(s, d)
+    (postings, stats)
+  }
 
   def queries: Map[String, Q] = Map(
     // Exact dedup by normalized-content fingerprint (events.props has
@@ -42,9 +56,10 @@ object DedupQueries extends QueryPack {
 
     // MinHash signatures + banded LSH candidates, Jaccard-verified
     "d3_minhash_lsh" -> ((s, d) => {
-      val (postings, stats) = shared(s, d)
+      val (postings, stats, cands) = sharedAll(s, d)
       Dedup.minhashDupPairsFromPostings(postings, numHashes = 8,
-        rowsPerBand = 2, threshold = 0.5, stats = Some(stats))
+        rowsPerBand = 2, threshold = 0.5, stats = Some(stats),
+        candidates = Some(cands))
     }),
 
     // Incremental ingest-time dedup: new-batch rows (event_id % 5 = 0)
@@ -64,13 +79,13 @@ object DedupQueries extends QueryPack {
     // combined corpus here is the whole documents table)
     "d11_incremental_lsh" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
-      val (postings, stats) = shared(s, d)
+      val (postings, stats, cands) = sharedAll(s, d)
       val isNew = Tables.load(s, d, "documents")
         .select(col("doc_id").cast("long").as("doc"),
           (col("doc_id") % 7 === 0).as("is_new"))
       Dedup.incrementalNearDupFromPostings(postings, isNew,
         numHashes = 8, rowsPerBand = 2, threshold = 0.5,
-        stats = Some(stats))
+        stats = Some(stats), candidates = Some(cands))
     }),
 
     // Boilerplate mining: 8-token spans repeated across >= 3 docs
