@@ -30,6 +30,31 @@ object Curation {
     * No df-cap here: decontamination must see every shingle, frequent
     * or not.
     */
+  /** Training-mixture sampling weights with sqrt temperature
+    * (alpha = 0.5): w(domain) = sqrt(n_docs) / Σ_d sqrt(n_docs) — the
+    * standard temperature-flattened multinomial that up-samples small
+    * domains relative to raw proportions. sqrt is IEEE
+    * correctly-rounded (a general-alpha pow is NOT portable across
+    * libm implementations), and the denominator sums exact
+    * DECIMAL(38,18) casts, so every engine replays the doubles
+    * bit-identically. Output: (domain, n_docs, n_tokens, weight).
+    *
+    * Scale shape: one partial-aggregating groupBy over the corpus to
+    * domain granularity (thousands of rows at most), then a broadcast
+    * of the 1-row denominator — corpus never shuffles twice. */
+  def mixtureWeights(df: DataFrame, domainCol: String,
+      tokens: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val per = df.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("n_docs"), sum(tokens).as("n_tokens"))
+      .withColumn("sq", sqrt(col("n_docs")))
+    val z = per.agg(
+      sum(col("sq").cast(DecimalType(38, 18))).cast("double").as("z"))
+    per.crossJoin(broadcast(z))
+      .select(col(domainCol), col("n_docs"), col("n_tokens"),
+        round(col("sq") / col("z"), 9).as("weight"))
+  }
+
   def decontaminate(corpus: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String, n: Int = 5): DataFrame = {
     val corpusSh = Dedup.shinglePostings(corpus, idCol, textCol, n, Int.MaxValue)

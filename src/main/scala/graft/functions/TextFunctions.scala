@@ -78,6 +78,38 @@ object TextFunctions {
   def fingerprint(c: Column): Column =
     md5(graft.expressions.StringKernels.strip_non_alnum(lower(c)).cast("binary"))
 
+  /** URL canonicalization — the dedup key for web corpora, where the
+    * same page hides behind case noise, default ports, `www.`,
+    * fragments, tracking params, and param order. Rules (all in the
+    * Java/RE2-shared regex subset, so the DuckDB oracle replays 1:1):
+    * lowercase scheme and host, strip a leading `www.`, strip the
+    * scheme's default port (:80 http / :443 https), drop the fragment,
+    * collapse trailing path slashes, drop `utm_*`/`fbclid`/`gclid`
+    * params, and sort the surviving query params. Path case is
+    * significant and preserved. Inputs without a `scheme://` are
+    * returned lowercase-trimmed as an opaque key. Pure column
+    * expression — map-only at any scale. */
+  def canonicalizeUrl(c: Column): Column = {
+    val u = trim(c)
+    val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val rest = regexp_replace(u, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val hostport = lower(regexp_extract(rest, "^([^/?#]*)", 1))
+    val noWww = regexp_replace(hostport, "^www\\.", "")
+    val host = when(scheme === "http", regexp_replace(noWww, ":80$", ""))
+      .when(scheme === "https", regexp_replace(noWww, ":443$", ""))
+      .otherwise(noWww)
+    val pathQF = regexp_replace(rest, "^[^/?#]*", "")
+    val path = regexp_replace(
+      regexp_extract(pathQF, "^([^?#]*)", 1), "/+$", "")
+    val query = regexp_extract(pathQF, "\\?([^#]*)", 1)
+    val kept = array_sort(filter(split(query, "&"), p =>
+      p =!= "" && not(p.rlike("^(utm_[^=]*|fbclid|gclid)="))))
+    val queryPart = when(size(kept) > 0,
+      concat(lit("?"), array_join(kept, "&"))).otherwise(lit(""))
+    when(scheme === "", lower(u))
+      .otherwise(concat(scheme, lit("://"), host, path, queryPart))
+  }
+
   /** Word n-gram shingles of the whitespace tokenization (dedup input). */
   def wordShingles(c: Column, n: Int): Column = {
     val toks = split(trim(c), "\\s+")

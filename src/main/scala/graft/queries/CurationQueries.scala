@@ -88,6 +88,13 @@ object CurationQueries extends QueryPack {
       Curation.hashRateSample(
         Tables.load(s, d, "documents"), "source", "doc_id", quota = 12L)),
 
+    // Sqrt-temperature mixture weights per source (alpha = 0.5
+    // multinomial flattening; sqrt is the engine-portable temperature)
+    "c7_mixture_weights" -> ((s, d) =>
+      Curation.mixtureWeights(Tables.load(s, d, "documents"), "source",
+        graft.functions.TextFunctions.wsTokenCount(
+          org.apache.spark.sql.functions.col("text")).cast("long"))),
+
     // Distributed BPE tokenizer training on the benchmark slice.
     // Deterministic (ties on lexicographic pair order), so the fixed
     // 8-merge loop unrolls into chained CTEs: per round, pair-count →
@@ -272,6 +279,17 @@ object CurationQueries extends QueryPack {
         |SELECT doc_id, source, n_tokens, prefix_tokens,
         |  CAST(floor((prefix_tokens - n_tokens) / 2048.0) AS BIGINT) AS bin
         |FROM p""".stripMargin,
+
+    "c7_mixture_weights" ->
+      """WITH per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |z AS (SELECT CAST(SUM(CAST(sqrt(n_docs) AS DECIMAL(38,18))) AS DOUBLE) AS z
+        |      FROM per)
+        |SELECT source, n_docs, n_tokens,
+        |  round(sqrt(n_docs) / z, 9) AS weight
+        |FROM per, z""".stripMargin,
 
     "c6_quota_sample" -> {
       // first 8 md5 hex chars as an unsigned 32-bit fraction of 2^32

@@ -81,6 +81,13 @@ object SimilarityQueries extends QueryPack {
     "d6_embedding_neardup" -> ((s, d) =>
       Similarity.nearDupPairs(Tables.load(s, d, "embeddings"), 0.45)),
 
+    // Semantic dedup (SemDeDup): within-cluster cosine >= 0.3 against
+    // a lower-id neighbor drops the row; comparisons never cross
+    // clusters. Shares the coarse k-means fit with s5/s6/s11
+    "d12_semdedup" -> ((s, d) =>
+      Similarity.semDedup(Tables.load(s, d, "embeddings"),
+        nlist = 8, threshold = 0.3, fitted = Some(fit(s, d, 8)))),
+
     // End-to-end IVF ANN: k-means fit -> inverted lists -> probe the
     // 2 nearest of 8 lists per query, exact cosine rank within.
     // Fully deterministic (fixed init, fixed tie-breaks), so the whole
@@ -356,7 +363,27 @@ object SimilarityQueries extends QueryPack {
        |WHERE rn <= 5""".stripMargin
   }
 
+  /** d12 replay: the coarse Lloyd chain's final assignment a3, norms,
+    * and the within-cluster lower-id cosine test — same fold order as
+    * `Similarity.semDedup`. */
+  private val semDedupOracle: String =
+    s"""WITH $lloydCtes,
+       |nv AS MATERIALIZED (SELECT vec_id,
+       |  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm
+       |FROM embeddings),
+       |dup AS (SELECT DISTINCT x.vec_id
+       |  FROM a3 x JOIN a3 y
+       |    ON x.cluster = y.cluster AND y.vec_id < x.vec_id
+       |  JOIN nv nx ON nx.vec_id = x.vec_id
+       |  JOIN nv ny ON ny.vec_id = y.vec_id
+       |  WHERE list_sum(list_transform(range(1, 65),
+       |      i -> CAST(x.embedding[i] AS DOUBLE) * y.embedding[i]))
+       |    / (nx.nrm * ny.nrm) >= 0.3)
+       |SELECT a.vec_id, a.cluster, d.vec_id IS NULL AS keep
+       |FROM a3 a LEFT JOIN dup d ON a.vec_id = d.vec_id""".stripMargin
+
   def oracle: Map[String, String] = Map(
+    "d12_semdedup" -> semDedupOracle,
     "s9_pq_codes" -> pqCodesOracle,
     "s10_pq_adc" -> pqAdcOracle,
     "s11_ivfpq" -> ivfPqOracle,

@@ -96,8 +96,41 @@ object TextQueries extends QueryPack {
     "x9_quality_filter" -> ((s, d) =>
       graft.curation.Curation.qualityBandFilter(
         Tables.load(s, d, "documents"), "lang", "doc_id", "text",
-        pLo = 0.1, pHi = 0.9))
+        pLo = 0.1, pHi = 0.9)),
+
+    // URL canonicalization: the web-corpus dedup key. The URL column
+    // is derived deterministically from (doc_id, source) — same
+    // stand-in pattern as the multimodal payloads — with case noise,
+    // default ports, www., tracking params, unsorted params, trailing
+    // slashes, and fragments to exercise every rule
+    "u2_url_canonicalize" -> ((s, d) =>
+      Tables.load(s, d, "documents")
+        .withColumn("url", syntheticUrl)
+        .select(col("doc_id"), col("url"),
+          canonicalizeUrl(col("url")).as("canonical_url"))),
+
+    // Dedup by canonical URL: pages reachable under several raw forms
+    // collapse to one canonical row (keep = first_doc)
+    "u3_url_dedup" -> ((s, d) =>
+      Tables.load(s, d, "documents")
+        .withColumn("url", syntheticUrl)
+        .groupBy(canonicalizeUrl(col("url")).as("canonical_url"))
+        .agg(count(lit(1)).as("n_urls"), min(col("doc_id")).as("first_doc")))
   )
+
+  /** Deterministic raw-URL stand-in: doc_id parity picks case/port
+    * noise, doc_id mod 3 picks tracking-params / plain-params /
+    * fragment suffixes; doc_id mod 50 is the page, so several docs
+    * share each canonical target. */
+  private def syntheticUrl: org.apache.spark.sql.Column =
+    concat(
+      when(col("doc_id") % 2 === 0, lit("HTTPS://WWW.")).otherwise(lit("https://")),
+      col("source"), lit(".Example.COM"),
+      when(col("doc_id") % 2 === 0, lit(":443")).otherwise(lit("")),
+      lit("/Page/"), (col("doc_id") % 50).cast("string"),
+      when(col("doc_id") % 3 === 0, lit("/?utm_source=feed&b=2&a=1&fbclid=x1"))
+        .when(col("doc_id") % 3 === 1, lit("?a=1&b=2"))
+        .otherwise(concat(lit("#frag-"), col("doc_id").cast("string"))))
 
   private val stopAll =
     ("the|a|of|and|to|in|is|el|la|de|que|y|en|un|der|die|das|und|ist|von" +
@@ -130,7 +163,54 @@ object TextQueries extends QueryPack {
        |        / greatest(length(text), 1)) * 10.0, 1.0)) * 0.2,
        |    0.0), 1.0), 6)""".stripMargin
 
+  /** The syntheticUrl construction + canonicalizeUrl rules as DuckDB
+    * CTEs (same regex subset, same list sort/filter semantics). */
+  private val urlCanonCtes: String =
+    """raw AS (SELECT doc_id,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.' ELSE 'https://' END ||
+      |  source || '.Example.COM' ||
+      |  CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE '' END ||
+      |  '/Page/' || CAST(doc_id % 50 AS VARCHAR) ||
+      |  CASE WHEN doc_id % 3 = 0 THEN '/?utm_source=feed&b=2&a=1&fbclid=x1'
+      |       WHEN doc_id % 3 = 1 THEN '?a=1&b=2'
+      |       ELSE '#frag-' || CAST(doc_id AS VARCHAR) END AS url
+      |  FROM documents),
+      |parts AS (SELECT doc_id, url,
+      |    lower(regexp_extract(trim(url), '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+      |    regexp_replace(trim(url), '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+      |  FROM raw),
+      |hp AS (SELECT *, lower(regexp_extract(rest, '^([^/?#]*)', 1)) AS hostport,
+      |    regexp_replace(rest, '^[^/?#]*', '') AS pathqf
+      |  FROM parts),
+      |h3 AS (SELECT *,
+      |    CASE WHEN scheme = 'http'
+      |           THEN regexp_replace(regexp_replace(hostport, '^www\.', ''), ':80$', '')
+      |         WHEN scheme = 'https'
+      |           THEN regexp_replace(regexp_replace(hostport, '^www\.', ''), ':443$', '')
+      |         ELSE regexp_replace(hostport, '^www\.', '') END AS host,
+      |    regexp_replace(regexp_extract(pathqf, '^([^?#]*)', 1), '/+$', '') AS path,
+      |    regexp_extract(pathqf, '\?([^#]*)', 1) AS query
+      |  FROM hp),
+      |canon AS (SELECT doc_id, url,
+      |    CASE WHEN scheme = '' THEN lower(trim(url))
+      |         ELSE scheme || '://' || host || path ||
+      |           CASE WHEN len(kept) > 0
+      |                THEN '?' || array_to_string(kept, '&') ELSE '' END
+      |    END AS canonical_url
+      |  FROM (SELECT *, list_sort(list_filter(string_split(query, '&'),
+      |          p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid)=')))
+      |          AS kept
+      |        FROM h3) t)""".stripMargin
+
   def oracle: Map[String, String] = Map(
+    "u2_url_canonicalize" ->
+      s"""WITH $urlCanonCtes
+         |SELECT doc_id, url, canonical_url FROM canon""".stripMargin,
+    "u3_url_dedup" ->
+      s"""WITH $urlCanonCtes
+         |SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_urls,
+         |  min(doc_id) AS first_doc
+         |FROM canon GROUP BY canonical_url""".stripMargin,
     "x9_quality_filter" ->
       s"""WITH q AS (SELECT doc_id, lang, $qualitySql AS quality FROM documents),
          |b AS (SELECT lang, quantile_cont(quality, 0.1) AS p_lo,

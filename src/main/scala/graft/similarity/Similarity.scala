@@ -418,6 +418,37 @@ object Similarity {
       col("q.probe_cluster") === col("c.cluster"), k, dim, books)
   }
 
+  /** Semantic deduplication (the SemDeDup recipe, Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embeddings with the deterministic
+    * coarse quantizer, compare vectors ONLY within their cluster, and
+    * drop any vector that has a same-cluster neighbor with cosine ≥
+    * `threshold` and a lower vec_id (the survivor is the lowest id of
+    * each semantic group). Output: (vec_id, cluster, keep).
+    *
+    * Scale shape: the all-pairs comparison is confined to clusters —
+    * with k clusters the per-cluster join is |cluster|² not |corpus|²,
+    * and at 100 TB k is chosen so clusters fit a partition (SemDeDup
+    * uses ~100k); the cluster equi-join is one shuffle on the cluster
+    * id, skew-splittable by AQE. The fit runs on a sample at scale. */
+  def semDedup(df: DataFrame, nlist: Int, threshold: Double,
+      fitted: Option[Array[(Int, Array[Double])]] = None): DataFrame = {
+    val cents = fitted.getOrElse(kmeansFit(df, nlist))
+    if (cents.isEmpty)
+      return df.select(col("vec_id"), lit(0).as("cluster"),
+        lit(true).as("keep")).limit(0)
+    val a = withNorm(assignToCentroids(df, cents))
+    val dups = a.as("x").join(a.as("y"),
+        col("x.cluster") === col("y.cluster")
+          && col("y.vec_id") < col("x.vec_id"))
+      .filter(dot(col("x.embedding"), col("y.embedding"))
+        / (col("x.nrm") * col("y.nrm")) >= threshold)
+      .select(col("x.vec_id").as("vec_id")).distinct()
+      .withColumn("dup", lit(true))
+    a.select(col("vec_id"), col("cluster"))
+      .join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"), col("dup").isNull.as("keep"))
+  }
+
   /** Symmetric int8 scalar quantization of the embedding column: per
     * vector, scale = max|v| / 127, q_i = floor(v_i/scale + 0.5)
     * (explicit floor instead of round() so the rounding rule is plain

@@ -150,4 +150,34 @@ class CurationSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out.values.toSet == Set(1L))
   }
+
+  test("mixtureWeights: sqrt temperature sums to 1 and flattens skew") {
+    import org.apache.spark.sql.functions.lit
+    // 100 docs in a, 1 doc in b: raw share 100/101 vs sqrt share 10/11
+    val docs = ((1 to 100).map(i => (i.toLong, "a")) :+ (101L, "b"))
+      .toDF("doc_id", "dom")
+    val w = Curation.mixtureWeights(docs, "dom", lit(1L))
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(math.abs(w("a") + w("b") - 1.0) < 1e-6)
+    assert(math.abs(w("a") - 10.0 / 11.0) < 1e-6)
+    // temperature up-samples the small domain vs raw proportion
+    assert(w("b") > 1.0 / 101.0)
+  }
+
+  test("canonicalizeUrl normalizes case/port/www/params/fragment") {
+    import graft.functions.TextFunctions.canonicalizeUrl
+    val urls = Seq(
+      "HTTPS://WWW.Ex.COM:443/A/b/?utm_source=x&b=2&a=1#f",
+      "https://ex.com/A/b?a=1&b=2",
+      "http://ex.com:80/A/b?b=2&a=1&fbclid=z",
+      "HTTP://EX.com/A/b?a=1&b=2",
+      "not a url")
+      .toDF("u").select(canonicalizeUrl(org.apache.spark.sql.functions.col("u")))
+      .as[String].collect().toSeq
+    assert(urls(0) == "https://ex.com/A/b?a=1&b=2")
+    assert(urls(1) == "https://ex.com/A/b?a=1&b=2")
+    assert(urls(2) == "http://ex.com/A/b?a=1&b=2")
+    assert(urls(3) == "http://ex.com/A/b?a=1&b=2")
+    assert(urls(4) == "not a url")
+  }
 }

@@ -173,4 +173,24 @@ class SimilaritySpec extends AnyFunSuite {
       .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((0L, 1L)))
   }
+
+  test("semDedup drops only lower-id-shadowed near-dups within a cluster") {
+    val out = Similarity.semDedup(vecs, nlist = 2, threshold = 0.95)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    // 1 is the only vector with a >=0.95 same-cluster lower-id
+    // neighbor (0); everything else survives
+    assert(out == Map(0L -> true, 1L -> false, 2L -> true,
+      3L -> true, 4L -> true))
+    // drop decisions never cross clusters: with 1 forced into its own
+    // cluster nothing can shadow it
+    val fitted = Array(0 -> Array(1.0, 0.0, 0.0, 0.0),
+      1 -> Array(0.99, 0.1, 0.0, 0.0))
+    val byCluster = Similarity.semDedup(vecs, nlist = 2, threshold = 0.95,
+        fitted = Some(fitted))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+    // every cluster keeps at least its lowest-id member
+    byCluster.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.minBy(_._1)._3)
+    }
+  }
 }
