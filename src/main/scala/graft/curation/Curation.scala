@@ -55,6 +55,37 @@ object Curation {
         round(col("sq") / col("z"), 9).as("weight"))
   }
 
+  /** Per-doc mean token rarity: avg over the doc's tokens (with
+    * multiplicity) of N_total / corpus_tf(token) — the monotone
+    * analogue of unigram surprisal (-mean log p) without the log,
+    * because log is NOT bit-portable across libm implementations while
+    * BIGINT/BIGINT → DOUBLE division is one exact IEEE op. High score
+    * = rare-token-heavy doc (gibberish/code/boilerplate outliers);
+    * low = stopword soup. The CCNet-style LM-perplexity filter slot in
+    * a pipeline with no LM at hand.
+    *
+    * Per-token rarities are decimal-summed per doc (order-invariant,
+    * partitioning-proof) then divided by the doc's token count.
+    *
+    * Scale shape: one token explode + a vocab-keyed join (the tf table
+    * is vocabulary-sized — broadcastable) + one per-doc partial agg;
+    * the 1-row total broadcasts. */
+  def tokenRarity(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val toks = graft.sources.Tables.fanOut(df)
+      .select(col(idCol),
+        explode(split(trim(col(textCol)), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+    val tf = toks.groupBy(col("token")).agg(count(lit(1)).as("tf"))
+    val nTotal = toks.agg(count(lit(1)).as("n_total"))
+    toks.join(tf, Seq("token"))
+      .crossJoin(broadcast(nTotal))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum((col("n_total") / col("tf")).cast(DecimalType(38, 9)))
+          .cast("double") / count(lit(1)), 6).as("rarity"))
+  }
+
   def decontaminate(corpus: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String, n: Int = 5): DataFrame = {
     val corpusSh = Dedup.shinglePostings(corpus, idCol, textCol, n, Int.MaxValue)

@@ -98,6 +98,13 @@ object TextQueries extends QueryPack {
         Tables.load(s, d, "documents"), "lang", "doc_id", "text",
         pLo = 0.1, pHi = 0.9)),
 
+    // Corpus-relative rarity score: mean N/tf over the doc's tokens —
+    // the log-free unigram-surprisal analogue (log isn't bit-portable
+    // across engines; N/tf is one exact IEEE division)
+    "x10_token_rarity" -> ((s, d) =>
+      graft.curation.Curation.tokenRarity(
+        Tables.load(s, d, "documents"), "doc_id", "text")),
+
     // URL canonicalization: the web-corpus dedup key. The URL column
     // is derived deterministically from (doc_id, source) — same
     // stand-in pattern as the multimodal payloads — with case noise,
@@ -203,6 +210,18 @@ object TextQueries extends QueryPack {
       |        FROM h3) t)""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    "x10_token_rarity" ->
+      """WITH t2 AS (SELECT doc_id, token FROM (
+        |    SELECT doc_id,
+        |      unnest(string_split_regex(trim(text), '\s+')) AS token
+        |    FROM documents) t WHERE token <> ''),
+        |tf AS (SELECT token, CAST(count(*) AS BIGINT) AS tf FROM t2 GROUP BY token),
+        |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM t2)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  round(CAST(SUM(CAST(n_total / tf AS DECIMAL(38,9))) AS DOUBLE)
+        |    / count(*), 6) AS rarity
+        |FROM t2 JOIN tf USING (token), nt
+        |GROUP BY doc_id""".stripMargin,
     "u2_url_canonicalize" ->
       s"""WITH $urlCanonCtes
          |SELECT doc_id, url, canonical_url FROM canon""".stripMargin,

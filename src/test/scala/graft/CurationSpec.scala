@@ -164,6 +164,15 @@ class CurationSpec extends AnyFunSuite {
     assert(w("b") > 1.0 / 101.0)
   }
 
+  test("tokenRarity: mean N/tf per doc, multiplicity counted") {
+    // tf: a=2 b=2 c=1, N=5; doc1 = (2.5+2.5+2.5)/3, doc2 = (2.5+5)/2
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val out = Curation.tokenRarity(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(1L) == ((3L, 2.5)))
+    assert(out(2L) == ((2L, 3.75)))
+  }
+
   test("canonicalizeUrl normalizes case/port/www/params/fragment") {
     import graft.functions.TextFunctions.canonicalizeUrl
     val urls = Seq(
