@@ -1,0 +1,112 @@
+package graft.expressions
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** HyperLogLog registers over md5 — the cardinality sketch completing
+  * the extension trio (CMS = frequency, Bloom = membership, HLL =
+  * distinct count) with the same engine-portable construction
+  * (Flajolet et al. 2007, the standard HLL register scheme):
+  *
+  *   bucket(v) = first md5 byte mod m;
+  *   rho(v)    = 1 + leading-zero bits of md5 bytes 1..15 (≤ 121);
+  *   register[bucket] = max(register[bucket], rho).
+  *
+  * One byte[m] buffer per group; merge is element-wise max, so partial
+  * aggregation applies and the shuffle carries m bytes per group, never
+  * the stream. Spark's own approx_count_distinct HLL++ sketch is NOT
+  * engine-portable; this one's full register table replays in DuckDB
+  * hex arithmetic (the first two hex chars ARE the first byte, and the
+  * leading-zero count decomposes into leading '0' hex chars plus the
+  * first nonzero digit's 4-bit prefix).
+  */
+case class HllSketchAgg(
+    child: Expression,
+    m: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]] with UnaryLike[Expression] {
+
+  require(m > 0 && m <= 256, "m must be in 1..256 (bucket = first md5 byte mod m)")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = false
+
+  @transient private lazy val md5 = MessageDigest.getInstance("MD5")
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
+
+  override def update(buffer: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) {
+      md5.reset()
+      val d = md5.digest(v.asInstanceOf[UTF8String].toString
+        .getBytes(StandardCharsets.UTF_8))
+      val bucket = (d(0) & 0xff) % m
+      var rho = 1
+      var i = 1
+      var done = false
+      while (i < 16 && !done) {
+        val b = d(i) & 0xff
+        if (b == 0) rho += 8
+        else { rho += Integer.numberOfLeadingZeros(b) - 24; done = true }
+        i += 1
+      }
+      if (rho > buffer(bucket)) buffer(bucket) = rho.toByte
+    }
+    buffer
+  }
+
+  override def merge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < b1.length) { if (b2(i) > b1(i)) b1(i) = b2(i); i += 1 }
+    b1
+  }
+
+  override def eval(buffer: Array[Byte]): Any =
+    new GenericArrayData(buffer.map(_.toInt))
+
+  override def serialize(buffer: Array[Byte]): Array[Byte] = buffer
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HllSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HllSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): HllSketchAgg =
+    copy(child = newChild)
+  override def prettyName: String = "hll_registers_md5"
+}
+
+object HllSketchAgg {
+  /** Column API: the m HLL register values for the group. */
+  def hll_registers(cell: Column, m: Int): Column =
+    Bridge.column(
+      HllSketchAgg(Bridge.expression(cell), m).toAggregateExpression())
+
+  /** Driver-side cardinality estimate from collected registers: the
+    * standard HLL harmonic mean with the small-range (linear counting)
+    * correction. */
+  def estimate(regs: Array[Int]): Double = {
+    val m = regs.length
+    val alpha =
+      if (m == 16) 0.673
+      else if (m == 32) 0.697
+      else if (m == 64) 0.709
+      else 0.7213 / (1.0 + 1.079 / m)
+    val sum = regs.map(r => math.pow(2.0, -r)).sum
+    val e = alpha * m * m / sum
+    val zeros = regs.count(_ == 0)
+    if (e <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros) else e
+  }
+}

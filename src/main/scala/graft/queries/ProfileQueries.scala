@@ -14,6 +14,7 @@ object ProfileQueries extends QueryPack {
   private val CmsWidth = 64
   private val BloomBits = 256
   private val BloomHashes = 3
+  private val HllM = 64
 
   def queries: Map[String, Q] = Map(
     "pr1_profile_customer" -> ((s, d) =>
@@ -33,6 +34,18 @@ object ProfileQueries extends QueryPack {
         .select((col("pos") / CmsWidth).cast("long").as("row_idx"),
           (col("pos") % CmsWidth).cast("long").as("bucket"),
           col("cnt"))
+    }),
+
+    // HLL cardinality registers over the user-id domain: the full
+    // register table is the checked result (max-rho per md5 bucket) —
+    // Spark's own HLL++ sketch is not engine-portable; this one is
+    "pr4_hll_registers" -> ((s, d) => {
+      import graft.expressions.HllSketchAgg.hll_registers
+      Tables.load(s, d, "events")
+        .agg(hll_registers(col("user_id").cast("string"), HllM).as("regs"))
+        .select(posexplode(col("regs")).as(Seq("bucket", "rho")))
+        .filter(col("rho") > 0)
+        .select(col("bucket").cast("long").as("bucket"), col("rho"))
     }),
 
     // Bloom membership filter over the event-type domain: the checked
@@ -86,6 +99,33 @@ object ProfileQueries extends QueryPack {
          |  CAST(bucket AS BIGINT) AS bucket,
          |  CAST(count(*) AS BIGINT) AS cnt
          |FROM b GROUP BY 1, 2""".stripMargin,
+    // bucket = first md5 byte mod m (the first two hex chars ARE the
+    // byte); rho = 1 + 4×(leading '0' hex chars of the remaining 30)
+    // + the first nonzero digit's 4-bit leading zeros (121 if all 0)
+    "pr4_hll_registers" ->
+      s"""WITH cells AS (
+         |  SELECT DISTINCT CAST(user_id AS VARCHAR) AS v FROM events
+         |  WHERE user_id IS NOT NULL),
+         |h AS (SELECT md5(v) AS hx FROM cells),
+         |b AS (SELECT
+         |    ((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16
+         |     + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1)) % $HllM AS bucket,
+         |    substr(hx, 3) AS rest
+         |  FROM h),
+         |z AS (SELECT bucket,
+         |    length(regexp_extract(rest, '^(0*)', 1)) AS nz, rest FROM b),
+         |r AS (SELECT bucket,
+         |    CASE WHEN nz = 30 THEN 121
+         |         ELSE 4 * nz + 1 +
+         |           CASE WHEN dv >= 8 THEN 0 WHEN dv >= 4 THEN 1
+         |                WHEN dv >= 2 THEN 2 ELSE 3 END END AS rho
+         |  FROM (SELECT bucket, nz,
+         |          strpos('0123456789abcdef', substr(rest, nz + 1, 1)) - 1 AS dv
+         |        FROM z) t)
+         |SELECT CAST(bucket AS BIGINT) AS bucket,
+         |  CAST(max(rho) AS INTEGER) AS rho
+         |FROM r GROUP BY bucket""".stripMargin,
+
     "pr5_bloom_filter" -> {
       // unsigned 32-bit value of the first 8 md5 hex chars, mod numBits
       def bitExpr(i: Int) = {

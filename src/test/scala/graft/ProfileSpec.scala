@@ -82,4 +82,23 @@ class ProfileSpec extends AnyFunSuite {
     assert(s.getAs[Double]("avg_value") == 3.0)
     assert(s.getAs[Double]("min_value") == 1.5)
   }
+
+  test("md5-HLL estimate tracks true cardinality; registers are partition-invariant") {
+    import graft.expressions.HllSketchAgg
+    import org.apache.spark.sql.functions.col
+    val n = 5000
+    val wide = (1 to n).map(i => s"user_$i").toDF("c")
+    def regs(parts: Int): Array[Int] = wide.repartition(parts)
+      .agg(HllSketchAgg.hll_registers(col("c"), 64))
+      .collect()(0).getSeq[Int](0).toArray
+    val r1 = regs(1)
+    assert(r1.sameElements(regs(13))) // merge = elementwise max, partition-proof
+    val est = HllSketchAgg.estimate(r1)
+    assert(math.abs(est - n) / n < 0.25) // ~1.04/sqrt(64) = 13% rsd
+    // duplicates don't move registers
+    val dup = wide.union(wide)
+      .agg(HllSketchAgg.hll_registers(col("c"), 64))
+      .collect()(0).getSeq[Int](0).toArray
+    assert(r1.sameElements(dup))
+  }
 }
