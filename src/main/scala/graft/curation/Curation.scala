@@ -336,15 +336,25 @@ object Curation {
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < 50) {
-      // neighbor-propagated candidate labels + own label, min per node
+      // neighbor-propagated candidate labels + own label, min per node.
+      // The self row also carries the previous label ("own"), so the
+      // SAME aggregate yields the convergence flag — the old
+      // next⨝labels count was a second shuffle job per round; now the
+      // count is a cheap scan of the just-checkpointed frame.
       val viaEdges = sym.join(labels, sym("s") === labels("id"))
-        .select(col("d").as("id"), col("label"))
-      val next = labels.select(col("id"), col("label")).union(viaEdges)
-        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .select(col("d").as("id"), col("label"),
+          lit(null).cast("long").as("own"))
+      val next = labels
+        .select(col("id"), col("label"), col("label").as("own"))
+        .union(viaEdges)
+        .groupBy(col("id"))
+        .agg(min(col("label")).as("label"), max(col("own")).as("old"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
-        .filter(col("label") < col("old")).count()
-      labels = next
+      changed = next.filter(col("label") < col("old")).count()
+      val prev = labels
+      labels = next // the stale "old" column is never read downstream
+      // previous round's checkpoint blocks are no longer reachable
+      prev.unpersist()
       iter += 1
     }
     sym.unpersist()

@@ -157,6 +157,31 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p)
   }
 
+  test("d12 semdedup: pair pruning keyed on cluster, dup set partial-aggregated") {
+    val p = plan("d12_semdedup")
+    // the quadratic comparison joins on the cluster key (broadcast at
+    // this sf; shuffled-on-cluster at scale) — never a cross join
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p.take(2000))
+    // dup vec_ids collapse with partial aggregation before the join-back
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "no partial agg")
+  }
+
+  test("pr4 hll: shuffle carries the register buffer, scan prunes to user_id") {
+    val p = plan("pr4_hll_registers")
+    assert(p.contains("hll_registers_md5"), p.take(2000))
+    // partial -> final pair: the exchange moves 64-byte buffers
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2
+      || "SortAggregate".r.findAllIn(p).size >= 2, "no partial agg")
+    assert(!p.contains("event_type") && !p.contains("props"),
+      "scan reads unneeded columns")
+  }
+
+  test("u3 url dedup: map-side canonicalization, one aggregation exchange") {
+    val p = plan("u3_url_dedup")
+    assert("\\+- Exchange".r.findAllIn(p).size == 1, p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "no partial agg")
+  }
+
   test("s2 knn: native dot_product, no corpus exchange") {
     val df = SparkEntry.queries("s2_knn_brute")(spark, sf)
     val p = df.queryExecution.explainString(
