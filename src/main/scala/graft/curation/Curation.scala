@@ -289,6 +289,30 @@ object Curation {
           .cast("long"))
   }
 
+  /** Materialize the packed training sequences from a [[packBins]]
+    * assignment: per (shard, bin), the member texts concatenated in
+    * doc-id order with an EOS separator — the actual row a pretraining
+    * loader consumes. Deterministic: members sort on the (unique) doc
+    * id inside the aggregate, so the packed string is
+    * partitioning-invariant.
+    *
+    * Scale shape: the ONE window pass of packBins plus one
+    * partial-aggregating groupBy on (shard, bin); bins are
+    * budget-bounded (~budget tokens of text each), so no group can
+    * blow up a task. */
+  def packConcat(df: DataFrame, partCol: String, idCol: String,
+      textCol: String, tokensCol: String, budget: Long,
+      sep: String = "<|eos|>"): DataFrame =
+    packBins(df, partCol, idCol, tokensCol, budget)
+      .groupBy(col(partCol), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(tokensCol)).as("bin_tokens"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col(idCol), col(textCol)))),
+            p => p.getField(textCol)),
+          sep).as("packed"))
+
   /** Keep/drop materialization of a dedup clustering: one row per doc
     * with its component, the canonical survivor (= the component id,
     * i.e. the lowest doc id in the cluster), and the keep flag. The

@@ -88,6 +88,17 @@ object CurationQueries extends QueryPack {
       Curation.hashRateSample(
         Tables.load(s, d, "documents"), "source", "doc_id", quota = 12L)),
 
+    // Packed training sequences: per (source, bin), member texts
+    // concatenated in doc-id order with an EOS separator — the row a
+    // pretraining loader consumes (c5's bins materialized)
+    "c8_pack_concat" -> ((s, d) =>
+      Curation.packConcat(
+        Tables.load(s, d, "documents")
+          .select(col("doc_id"), col("source"), col("text"),
+            graft.functions.TextFunctions.wsTokenCount(col("text"))
+              .cast("long").as("n_tokens")),
+        "source", "doc_id", "text", "n_tokens", budget = 2048L)),
+
     // Sqrt-temperature mixture weights per source (alpha = 0.5
     // multinomial flattening; sqrt is the engine-portable temperature)
     "c7_mixture_weights" -> ((s, d) =>
@@ -279,6 +290,24 @@ object CurationQueries extends QueryPack {
         |SELECT doc_id, source, n_tokens, prefix_tokens,
         |  CAST(floor((prefix_tokens - n_tokens) / 2048.0) AS BIGINT) AS bin
         |FROM p""".stripMargin,
+
+    "c8_pack_concat" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, text,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, source, text, n_tokens,
+        |    CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS prefix_tokens
+        |  FROM t)
+        |SELECT source,
+        |  CAST(floor((prefix_tokens - n_tokens) / 2048.0) AS BIGINT) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+        |  string_agg(text, '<|eos|>' ORDER BY doc_id) AS packed
+        |FROM p GROUP BY 1, 2""".stripMargin,
 
     "c7_mixture_weights" ->
       """WITH per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,

@@ -173,6 +173,21 @@ class CurationSpec extends AnyFunSuite {
     assert(out(2L) == ((2L, 3.75)))
   }
 
+  test("packConcat materializes bins in doc-id order with the separator") {
+    import org.apache.spark.sql.functions.col
+    // budget 4: docs 1,2 (start offsets 0,2) share bin 0; doc 3
+    // starts at offset 4 -> bin 1
+    val docs = Seq((1L, "s", "a b", 2L), (2L, "s", "c d", 2L),
+        (3L, "s", "e f g", 3L))
+      .toDF("doc_id", "src", "text", "n_tokens")
+    val out = Curation.packConcat(docs, "src", "doc_id", "text",
+        "n_tokens", budget = 4L)
+      .collect().map(r => r.getLong(1) ->
+        (r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(out(0L) == ((2L, 4L, "a b<|eos|>c d")))
+    assert(out(1L) == ((1L, 3L, "e f g")))
+  }
+
   test("canonicalizeUrl normalizes case/port/www/params/fragment") {
     import graft.functions.TextFunctions.canonicalizeUrl
     val urls = Seq(
