@@ -80,6 +80,15 @@ object FuseDotProduct extends Rule[LogicalPlan] {
   * session (the `Graft.configure` path — extensions can only be
   * injected at builder time). */
 object GraftFunctions {
+  /** Integer-literal argument of a sketch-shape parameter (depth,
+    * width, bucket count …) — sketch buffers are sized at plan time,
+    * so the shape cannot be data-dependent. */
+  private[expressions] def intLit(e: Expression, name: String): Int = e match {
+    case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$name must be an integer literal, got $other")
+  }
+
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
     import org.apache.spark.sql.graft.Bridge
     Bridge.registerFunction(spark, "dot_product",
@@ -90,6 +99,16 @@ object GraftFunctions {
       exprs => HexParityMask(exprs(0)))
     Bridge.registerFunction(spark, "luhn_check",
       exprs => LuhnCheck(exprs(0)))
+    // the sketch aggregates (the analyzer wraps a bare
+    // AggregateFunction into Complete-mode AggregateExpression)
+    Bridge.registerFunction(spark, "hll_registers",
+      exprs => HllSketchAgg(exprs(0), intLit(exprs(1), "m")))
+    Bridge.registerFunction(spark, "count_min_sketch",
+      exprs => CountMinSketchAgg(exprs(0),
+        intLit(exprs(1), "depth"), intLit(exprs(2), "width")))
+    Bridge.registerFunction(spark, "bloom_filter_bits",
+      exprs => BloomFilterAgg(exprs(0),
+        intLit(exprs(1), "numBits"), intLit(exprs(2), "numHashes")))
   }
 }
 
@@ -116,5 +135,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => HexParityMask(exprs(0)))
     fn(e, "luhn_check", classOf[LuhnCheck],
       exprs => LuhnCheck(exprs(0)))
+    import GraftFunctions.intLit
+    fn(e, "hll_registers", classOf[HllSketchAgg],
+      exprs => HllSketchAgg(exprs(0), intLit(exprs(1), "m")))
+    fn(e, "count_min_sketch", classOf[CountMinSketchAgg],
+      exprs => CountMinSketchAgg(exprs(0),
+        intLit(exprs(1), "depth"), intLit(exprs(2), "width")))
+    fn(e, "bloom_filter_bits", classOf[BloomFilterAgg],
+      exprs => BloomFilterAgg(exprs(0),
+        intLit(exprs(1), "numBits"), intLit(exprs(2), "numHashes")))
   }
 }

@@ -1,0 +1,38 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Streaming corpus curation: the ingest-time stage that scores and
+  * gates documents BEFORE they land in the corpus, so the batch
+  * hygiene passes (dedup sweeps, quality filters) start from a clean
+  * table instead of re-cleaning history.
+  *
+  * `enrich` is a pure projection — language ID, quality score, token
+  * count, content fingerprint, canonical URL — so the streaming plan
+  * is the identical codegen'd stage as batch (no state, no shuffle).
+  * `dedupGate` is Structured Streaming's keyed state: first arrival
+  * per key wins across micro-batches. At scale the state store is
+  * RocksDB-backed and the key set is watermark-bounded (content
+  * re-posts cluster in time); the unbounded exact history lives in the
+  * batch-side incremental gates (Dedup.incrementalExact / the LSH
+  * gate), which this stage feeds.
+  */
+object Curate {
+
+  /** Stateless per-document enrichment (identical plan batch vs
+    * stream): prediction columns a downstream router filters on. */
+  def enrich(df: DataFrame, textCol: String, urlCol: String): DataFrame =
+    df.withColumn("lang_pred", TextFunctions.langId(col(textCol)))
+      .withColumn("quality", TextFunctions.qualityScore(col(textCol)))
+      .withColumn("n_tokens", TextFunctions.wsTokenCount(col(textCol)).cast("long"))
+      .withColumn("fp", TextFunctions.fingerprint(col(textCol)))
+      .withColumn("canonical_url", TextFunctions.canonicalizeUrl(col(urlCol)))
+
+  /** First-arrival-wins dedup gate on one enriched key (content
+    * fingerprint or canonical URL): keyed streaming state drops
+    * cross-batch repeats inside the stream itself. */
+  def dedupGate(df: DataFrame, key: String): DataFrame =
+    df.dropDuplicates(Seq(key))
+}

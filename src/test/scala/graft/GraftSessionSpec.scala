@@ -30,6 +30,31 @@ class GraftSessionSpec extends AnyFunSuite {
     assert(r.getBoolean(2) && !r.getBoolean(3))
   }
 
+  test("sketch aggregates are SQL-callable on a configured session") {
+    val s = Graft.configure(spark)
+    import s.implicits._
+    (1 to 100).map(i => s"v$i").toDF("c").createOrReplaceTempView("sk_vals")
+    val r = s.sql(
+      """SELECT size(hll_registers(c, 64)) AS m,
+        |  size(count_min_sketch(c, 4, 64)) AS cms,
+        |  size(bloom_filter_bits(c, 256, 3)) AS bits
+        |FROM sk_vals""".stripMargin).collect()(0)
+    assert(r.getInt(0) == 64 && r.getInt(1) == 256 && r.getInt(2) == 256)
+    // SQL and Column-API forms agree exactly
+    val viaSql = s.sql("SELECT hll_registers(c, 64) FROM sk_vals")
+      .collect()(0).getSeq[Int](0)
+    val viaCol = s.table("sk_vals")
+      .agg(graft.expressions.HllSketchAgg.hll_registers(
+        org.apache.spark.sql.functions.col("c"), 64))
+      .collect()(0).getSeq[Int](0)
+    assert(viaSql == viaCol)
+    // sketch shapes must be literals — data-dependent buffers can't
+    // be sized at plan time
+    val err = intercept[Exception](
+      s.sql("SELECT hll_registers(c, length(c)) FROM sk_vals").collect())
+    assert(err.getMessage.toLowerCase.contains("literal"))
+  }
+
   test("a reference-style job runs end to end on a configured session") {
     val s = Graft.configure(spark)
     import s.implicits._

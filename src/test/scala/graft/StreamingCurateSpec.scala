@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.Curate
+
+/** The ingest-time curation stage under Structured Streaming: the
+  * enrichment projection is plan-identical to batch, and the dedup
+  * gate's keyed state holds across micro-batches (a re-post of the
+  * same content in a later batch never reaches the sink).
+  */
+class StreamingCurateSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("enrichment matches batch and the fp gate dedups across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val st = MemoryStream[(Long, String, String)]
+    val stream = st.toDF().toDF("doc_id", "text", "url")
+    val q = Curate.dedupGate(Curate.enrich(stream, "text", "url"), "fp")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("curated")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      st.addData((1L, "the quick brown fox", "HTTPS://WWW.Ex.COM/a?utm_source=x&b=1"))
+      q.processAllAvailable()
+      // batch 2: same content, different id + a fresh doc
+      st.addData((2L, "The quick-brown fox!", "https://ex.com/a?b=1"),
+        (3L, "el que la de y en un", "http://ex.com:80/b"))
+      q.processAllAvailable()
+      val rows = spark.table("curated")
+        .select("doc_id", "lang_pred", "canonical_url").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      // fingerprint normalizes case/punct: doc 2 is a dup of doc 1 and
+      // must not appear; docs 1 and 3 pass
+      assert(rows.map(_._1).sorted.toSeq == Seq(1L, 3L))
+      val byId = rows.map(r => r._1 -> r).toMap
+      assert(byId(1L)._2 == "en" && byId(3L)._2 == "es")
+      assert(byId(1L)._3 == "https://ex.com/a?b=1")
+      // the enrichment projection is plan-identical to batch
+      val batch = Curate.enrich(
+        Seq((1L, "the quick brown fox", "HTTPS://WWW.Ex.COM/a?utm_source=x&b=1"))
+          .toDF("doc_id", "text", "url"), "text", "url")
+        .select("lang_pred", "quality", "n_tokens", "fp", "canonical_url")
+        .collect()(0)
+      val streamed = spark.table("curated")
+        .filter($"doc_id" === 1L)
+        .select("lang_pred", "quality", "n_tokens", "fp", "canonical_url")
+        .collect()(0)
+      assert(batch == streamed)
+    } finally q.stop()
+  }
+}
