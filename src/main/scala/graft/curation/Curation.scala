@@ -184,7 +184,6 @@ object Curation {
     * the classic shape; the window top-k is per-doc. */
   def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val toks = graft.sources.Tables.fanOut(df)
       .select(col(idCol).as("doc_id"),
         explode(split(trim(col(textCol)), "\\s+")).as("term"))
@@ -203,10 +202,13 @@ object Curation {
       .withColumn("score",
         col("tf").cast("double")
           * (col("n_docs") / col("df").cast("double")))
-    val w = Window.partitionBy(col("doc_id"))
-      .orderBy(col("score").desc, col("term"))
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
+    // per-doc top-k via the TopKPerKey physical operator: bounded
+    // per-key heaps prune map-side BEFORE the exchange, so the shuffle
+    // carries ≤ k rows per (doc, partition) instead of every scored
+    // term — result-identical to row_number() <= k under this total
+    // order (score desc, term asc; terms are unique per doc)
+    org.apache.spark.sql.graft.TopKPerKey.topKPerKey(
+        scored, Seq("doc_id"), Seq(("score", true), ("term", false)), k)
       .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score"))
   }
 

@@ -124,6 +124,32 @@ class PropertiesSpec extends AnyFunSuite {
     }, n = 5)
   }
 
+  test("canonicalizeUrl is idempotent and strips all tracking params") {
+    import graft.functions.TextFunctions.canonicalizeUrl
+    val gen = for {
+      scheme <- Gen.oneOf("http", "HTTP", "https", "HTTPS")
+      www <- Gen.oneOf("", "www.", "WWW.")
+      host <- Gen.oneOf("Ex.COM", "a.b.org", "X9.net")
+      port <- Gen.oneOf("", ":80", ":443", ":8080")
+      path <- Gen.oneOf("", "/A/b", "/A/b/", "/p//", "/")
+      q <- Gen.oneOf("", "?", "?b=2&a=1", "?utm_source=x",
+        "?a=1&utm_campaign=2&fbclid=9&gclid=0", "?z=1&&y=2")
+      frag <- Gen.oneOf("", "#frag", "#a/b?c=1")
+    } yield s"$scheme://$www$host$port$path$q$frag"
+    val urls = Gen.listOfN(400, gen).sample.get
+    val out = urls.toDF("u")
+      .select(canonicalizeUrl(col("u")).as("c1"))
+      .select(col("c1"), canonicalizeUrl(col("c1")).as("c2"))
+      .collect()
+    out.foreach { r =>
+      val (c1, c2) = (r.getString(0), r.getString(1))
+      assert(c1 == c2, s"not idempotent: $c1 -> $c2")
+      assert(!c1.contains("utm_") && !c1.contains("fbclid")
+        && !c1.contains("gclid") && !c1.contains("#"), c1)
+      assert(!c1.contains("WWW") && !c1.contains("//www."), c1)
+    }
+  }
+
   test("decontaminate flags no doc when benchmark shares no shingle") {
     val wordsA = Gen.listOfN(8, Gen.oneOf("aa", "bb", "cc", "dd"))
     val wordsB = Gen.listOfN(8, Gen.oneOf("xx", "yy", "zz", "ww"))
