@@ -4,8 +4,14 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // shuffle/spill files on tmpfs: local-mode stand-in for the NVMe
+    // local dirs a real cluster would use — keeps intermittent block-
+    // device latency out of the measured query path
+    val localDir = new java.io.File("/dev/shm/graft-bench-local")
+    localDir.mkdirs()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .config("spark.local.dir", localDir.getAbsolutePath)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")

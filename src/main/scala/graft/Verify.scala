@@ -18,8 +18,13 @@ object Verify {
         s"unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")}")
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // shuffle/spill on tmpfs — same rationale as Bench: keep block-
+    // device latency jitter out of the run
+    val localDir = new java.io.File("/dev/shm/graft-verify-local")
+    localDir.mkdirs()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .config("spark.local.dir", localDir.getAbsolutePath)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -112,9 +112,9 @@ object Similarity {
     * same corpus always yields the same inverted lists.
     *
     * Returns (vec_id, cluster). Scale shape per iteration: one corpus
-    * scan against broadcast centroids (assignment) + one posexplode /
-    * groupBy(cluster, dim) aggregate (recompute) — no corpus×corpus
-    * work anywhere.
+    * scan against literal centroids (assignment) feeding one
+    * groupBy(cluster) per-dimension aggregate (recompute) — a single
+    * skinny shuffle, no corpus×corpus work anywhere.
     */
   def kmeansLite(df: DataFrame, k: Int, iters: Int = 2): DataFrame =
     assignToCentroids(df, kmeansFit(df, k, iters))
@@ -144,7 +144,18 @@ object Similarity {
   }
 
   /** Centroid fit: deterministic Lloyd (see kmeansLite). Returns the
-    * final (cluster, centroid) set — the IVF coarse quantizer. */
+    * final (cluster, centroid) set — the IVF coarse quantizer.
+    *
+    * Each iteration is ONE aggregation job: groupBy(cluster) with a
+    * per-dimension column aggregate — exact decimal sum
+    * (order-invariant), THEN double division, because plain
+    * double/long arithmetic replays identically in any engine, unlike
+    * decimal-division scale/rounding rules. The per-dim column form
+    * (no posexplode, no second groupBy, no collect_list/array_sort)
+    * computes the exact same values as the exploded (cluster, pos)
+    * aggregate — same element set per group, same float→decimal cast,
+    * same division — with one skinny shuffle of ≤ k×partitions
+    * partial-agg rows instead of a rows×dim explode. */
   def kmeansFit(df: DataFrame, k: Int,
       iters: Int = 2): Array[(Int, Array[Double])] = {
     import org.apache.spark.sql.types.DecimalType
@@ -154,25 +165,19 @@ object Similarity {
       .zipWithIndex
       .map { case (r, i) =>
         i -> r.getSeq[Float](1).map(_.toDouble).toArray }
-
+    if (centroids.isEmpty) return centroids
+    val dim = centroids.head._2.length
+    val avgs = (0 until dim).map { p =>
+      (sum(element_at(col("embedding"), p + 1).cast(DecimalType(38, 9)))
+        .cast("double") / count(lit(1))).as(s"c$p")
+    }
     (1 to iters).foreach { _ =>
-      val a = assignToCentroids(vecs, centroids)
-      val dims = a
-        .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "v")))
-        .groupBy(col("cluster"), col("pos"))
-        // exact decimal sum (order-invariant), THEN double division:
-        // plain double/long arithmetic replays identically in any
-        // engine, unlike decimal-division scale/rounding rules
-        .agg((sum(col("v").cast(DecimalType(38, 9))).cast("double")
-          / count(lit(1))).as("avg_v"))
+      val rows = assignToCentroids(vecs, centroids)
         .groupBy(col("cluster"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("avg_v"))))
-          .as("pairs"))
-        .select(col("cluster"),
-          transform(col("pairs"), p => p.getField("avg_v")).as("centroid"))
+        .agg(avgs.head, avgs.tail: _*)
         .collect()
-      centroids = dims.map(r => (r.getInt(0),
-        r.getSeq[Double](1).toArray)).sortBy(_._1)
+      centroids = rows.map(r => (r.getInt(0),
+        Array.tabulate(dim)(p => r.getDouble(p + 1)))).sortBy(_._1)
     }
     centroids
   }
@@ -229,15 +234,15 @@ object Similarity {
     val sub = dim / m
     // All m subspace Lloyd runs fused into ONE distributed pass per
     // step: init is a single k-row collect (sliced locally), and each
-    // iteration is one job computing every subspace's assignment and
-    // the per-(subspace, code, dim) decimal averages together. The
-    // localCheckpoint between assignment and explode is a hard plan
-    // barrier: without it Catalyst collapses the m×ksub argmin
-    // projection into the per-exploded-dimension projection,
-    // re-evaluating the whole argmin per exploded row (a dim× blowup).
+    // iteration is one aggregation job over (j, code) — the m×ksub
+    // argmin runs once per row as the generator input of a posexplode
+    // (a Generate node, so no projection-collapse blowup and no plan
+    // barrier needed), and the per-subspace-dimension averages are
+    // column aggregates over element_at(embedding, j·sub + p + 1).
     // Bit-identical to m independent kmeansFit runs: same k-lowest-id
-    // init, same struct-min tie-breaks, and the (j, code, pos) groups
-    // partition exactly as the per-slice (code, pos) groups do.
+    // init, same struct-min tie-breaks, same float→decimal sum /
+    // double division per (j, code, p) group — one skinny shuffle of
+    // ≤ m×ksub×partitions partial rows instead of a rows×dim explode.
     val vecs = df.select(col("vec_id"), col("embedding"))
     val initRows = vecs.orderBy(col("vec_id")).limit(ksub).collect()
     // empty corpus → empty codebooks (callers' guard); codesColumn
@@ -248,34 +253,22 @@ object Similarity {
         i -> r.getSeq[Float](1).slice(j * sub, (j + 1) * sub)
           .map(_.toDouble).toArray }
     }
+    val avgs = (0 until sub).map { p =>
+      (sum(element_at(col("embedding"),
+          (col("j") * sub).cast("int") + (p + 1)).cast(DecimalType(38, 9)))
+        .cast("double") / count(lit(1))).as(s"c$p")
+    }
     (1 to iters).foreach { _ =>
-      // lazy persist (not eager localCheckpoint): the InMemoryRelation
-      // boundary blocks the projection collapse, and materialization
-      // happens inside the one aggregate job below — no extra action
-      val assigned = vecs
-        .select(col("embedding"), codesColumn(dim, books).as("codes"))
-        .persist()
-      val dims = assigned
-        .select(col("codes"), posexplode(col("embedding")).as(Seq("pos", "v")))
-        .select((col("pos") / sub).cast("int").as("j"),
-          (col("pos") % sub).as("p"),
-          element_at(col("codes"), (col("pos") / sub).cast("int") + 1).as("code"),
-          col("v"))
-        .groupBy(col("j"), col("code"), col("p"))
-        // exact decimal sum, then double division — order-invariant,
-        // identical to kmeansFit's recompute
-        .agg((sum(col("v").cast(DecimalType(38, 9))).cast("double")
-          / count(lit(1))).as("avg_v"))
+      val rows = vecs
+        .select(col("embedding"),
+          posexplode(codesColumn(dim, books)).as(Seq("j", "code")))
         .groupBy(col("j"), col("code"))
-        .agg(array_sort(collect_list(struct(col("p"), col("avg_v"))))
-          .as("pairs"))
-        .select(col("j"), col("code"),
-          transform(col("pairs"), p => p.getField("avg_v")).as("centroid"))
+        .agg(avgs.head, avgs.tail: _*)
         .collect()
-      assigned.unpersist()
       books = (0 until m).map { j =>
-        dims.filter(_.getInt(0) == j)
-          .map(r => (r.getInt(1), r.getSeq[Double](2).toArray))
+        rows.filter(_.getInt(0) == j)
+          .map(r => (r.getInt(1),
+            Array.tabulate(sub)(p => r.getDouble(p + 2))))
           .sortBy(_._1).toArray
       }
     }

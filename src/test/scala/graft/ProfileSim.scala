@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Local profiler for the similarity-index path (not a test; run via
+  * Test/runMain graft.ProfileSim). Times each stage of the s10/s11
+  * bench entries separately so regressions can be attributed. */
+object ProfileSim {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import java.lang.management.ManagementFactory
+    import scala.jdk.CollectionConverters._
+    def gcMs: Long = ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(_.getCollectionTime).sum
+    import org.apache.spark.metrics.source.CodegenMetrics
+    def compMs: Long = CodegenMetrics.METRIC_COMPILATION_TIME.getCount
+    def time[A](label: String)(f: => A): A = {
+      val g0 = gcMs; val c0 = compMs; val t0 = System.nanoTime(); val r = f
+      println(f"[profile] $label%-28s ${(System.nanoTime() - t0) / 1e9}%.2f s  (gc ${(gcMs - g0) / 1000.0}%.2f s, janino +${compMs - c0} compiles)")
+      r
+    }
+    def phases(label: String, df: => org.apache.spark.sql.DataFrame): Unit = {
+      val d = time(s"$label: build df")(df)
+      time(s"$label: analyze")(d.queryExecution.analyzed)
+      time(s"$label: optimize")(d.queryExecution.optimizedPlan)
+      time(s"$label: plan")(d.queryExecution.executedPlan)
+      time(s"$label: execute")(d.count())
+    }
+    // warmup like Bench
+    spark.range(1 << 20).selectExpr("sum(id)").collect()
+    graft.sources.Tables.load(spark, sfDir, "embeddings").count()
+
+    import graft.similarity.Similarity
+    import org.apache.spark.sql.functions._
+    val emb = graft.sources.Tables.load(spark, sfDir, "embeddings")
+
+    // one Lloyd round, phase by phase
+    {
+      import org.apache.spark.sql.types.DecimalType
+      val vecs = emb.select(col("vec_id"), col("embedding"))
+      val init = time("init collect") {
+        vecs.orderBy(col("vec_id")).limit(8).collect().zipWithIndex
+          .map { case (r, i) => i -> r.getSeq[Float](1).map(_.toDouble).toArray }
+      }
+      val a = Similarity.assignToCentroids(vecs, init)
+      phases("assign-only", a)
+      val dims = a
+        .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg((sum(col("v").cast(DecimalType(38, 9))).cast("double")
+          / count(lit(1))).as("avg_v"))
+        .groupBy(col("cluster"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("avg_v"))))
+          .as("pairs"))
+        .select(col("cluster"),
+          transform(col("pairs"), p => p.getField("avg_v")).as("centroid"))
+      phases("recompute round", dims)
+    }
+    // full 2-iteration Lloyd, inline, per-step timers
+    {
+      import org.apache.spark.sql.types.DecimalType
+      val vecs = emb.select(col("vec_id"), col("embedding"))
+      var cents = time("inline init") {
+        vecs.orderBy(col("vec_id")).limit(8).collect().zipWithIndex
+          .map { case (r, i) => i -> r.getSeq[Float](1).map(_.toDouble).toArray }
+      }
+      (1 to 2).foreach { it =>
+        val dims = time(s"inline iter$it build") {
+          Similarity.assignToCentroids(vecs, cents)
+            .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "v")))
+            .groupBy(col("cluster"), col("pos"))
+            .agg((sum(col("v").cast(DecimalType(38, 9))).cast("double")
+              / count(lit(1))).as("avg_v"))
+            .groupBy(col("cluster"))
+            .agg(array_sort(collect_list(struct(col("pos"), col("avg_v")))).as("pairs"))
+            .select(col("cluster"),
+              transform(col("pairs"), p => p.getField("avg_v")).as("centroid"))
+        }
+        val rows = time(s"inline iter$it collect") { dims.collect() }
+        cents = rows.map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+      }
+    }
+    val coarse = time("kmeansFit(8)") { Similarity.kmeansFit(emb, 8) }
+    time("kmeansFit(8) again") { Similarity.kmeansFit(emb, 8) }
+    val books = time("pqFit(m=4,ksub=8)") { Similarity.pqFit(emb, 64, 4, 8) }
+    val idx = time("buildIvfPqIndex+cache") {
+      val i = Similarity.buildIvfPqIndex(emb, 64, coarse, books).cache()
+      i.count(); i
+    }
+    time("s9 codes dump") {
+      import org.apache.spark.sql.functions._
+      idx.select(col("vec_id"), posexplode(col("codes")).as(Seq("sub", "code"))).count()
+    }
+    time("s10 pqTopK (prebuilt)") {
+      Similarity.pqTopK(emb, col("vec_id") < 5, 5, 64, 4, 8,
+        fitted = Some(books), index = Some(idx)).count()
+    }
+    time("s11 ivfPqTopK (prebuilt)") {
+      Similarity.ivfPqTopK(emb, col("vec_id") < 5, 5, 64, 4, 8, 8, 2,
+        coarse = Some(coarse), pq = Some(books), prebuilt = Some(idx)).count()
+    }
+    phases("s10 again",
+      Similarity.pqTopK(emb, col("vec_id") < 5, 5, 64, 4, 8,
+        fitted = Some(books), index = Some(idx)))
+    phases("s11 again",
+      Similarity.ivfPqTopK(emb, col("vec_id") < 5, 5, 64, 4, 8, 8, 2,
+        coarse = Some(coarse), pq = Some(books), prebuilt = Some(idx)))
+    spark.stop()
+  }
+}
