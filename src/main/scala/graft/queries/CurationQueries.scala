@@ -136,7 +136,34 @@ object CurationQueries extends QueryPack {
     // Terminal dedup artifact: per-doc keep/drop decision + canonical
     // survivor id from the cluster assignment (what a training job
     // actually consumes) — pure projection over d7's cached components
-    "d9_keep_list" -> ((s, d) => Curation.keepList(components(s, d)))
+    "d9_keep_list" -> ((s, d) => Curation.keepList(components(s, d))),
+
+    // End-to-end curation pipeline: the composition a training corpus
+    // actually runs — near-dup keep list (d9) ∩ per-language quality
+    // band (x9) ∖ benchmark contamination (c1), then the deterministic
+    // split assignment (c2) over the survivors. Every stage is the
+    // already-verified operator; the composition is semi/anti joins on
+    // doc_id, co-partitioned end to end (at 100 TB: one shuffle key —
+    // the doc id — shared by all three gates, no re-shuffle between
+    // stages).
+    "c10_curation_pipeline" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val corpus = docs.filter(col("source") =!= "src0")
+      val keepDedup = Curation.keepList(components(s, d))
+        .filter(col("keep")).select(col("doc_id"))
+      val contaminated = Curation.decontaminate(corpus,
+        docs.filter(col("source") === "src0"), "doc_id", "text", n = 5)
+        .select(col("doc_id"))
+      val quality = Curation.qualityBandFilter(docs, "lang", "doc_id",
+        "text", pLo = 0.1, pHi = 0.9).select(col("doc_id"))
+      Curation.splitAssign(
+        corpus.select(col("doc_id"))
+          .join(keepDedup, Seq("doc_id"), "left_semi")
+          .join(quality, Seq("doc_id"), "left_semi")
+          .join(contaminated, Seq("doc_id"), "left_anti"),
+        "doc_id")
+        .select(col("doc_id"), col("split"))
+    })
   )
 
   private def shingles(name: String, filter: String, n: Int) = {
@@ -357,6 +384,36 @@ object CurationQueries extends QueryPack {
          |         FROM reach GROUP BY id)
          |SELECT doc_id, component, component AS canonical_id,
          |  doc_id = component AS keep
-         |FROM comp""".stripMargin
+         |FROM comp""".stripMargin,
+
+    "c10_curation_pipeline" ->
+      s"""WITH RECURSIVE ${DedupQueries.postingsCte},
+         |e AS (SELECT doc_a AS a, doc_b AS b FROM jac WHERE jaccard >= 0.1
+         |      UNION ALL
+         |      SELECT doc_b, doc_a FROM jac WHERE jaccard >= 0.1),
+         |reach AS (
+         |  SELECT doc_id AS id, doc_id AS peer FROM documents
+         |  UNION
+         |  SELECT r.id, e.b FROM reach r JOIN e ON r.peer = e.a),
+         |comp AS (SELECT id AS doc_id, min(peer) AS component
+         |         FROM reach GROUP BY id),
+         |${shingles("csh", "source <> 'src0'", 5)},
+         |${shingles("bsh", "source = 'src0'", 5)},
+         |cont AS (SELECT DISTINCT doc_id FROM csh
+         |         WHERE shingle IN (SELECT shingle FROM bsh)),
+         |q AS (SELECT doc_id, lang, ${TextQueries.qualitySql} AS quality
+         |      FROM documents),
+         |bq AS (SELECT lang, quantile_cont(quality, 0.1) AS p_lo,
+         |         quantile_cont(quality, 0.9) AS p_hi
+         |       FROM q GROUP BY lang),
+         |qk AS (SELECT doc_id FROM q JOIN bq USING (lang)
+         |       WHERE round(quality - p_lo, 9) >= 0
+         |         AND round(quality - p_hi, 9) <= 0)
+         |SELECT doc_id, $splitCase AS split FROM (
+         |  SELECT d.doc_id
+         |  FROM documents d JOIN comp c ON d.doc_id = c.doc_id
+         |  WHERE d.source <> 'src0' AND c.doc_id = c.component
+         |    AND d.doc_id IN (SELECT doc_id FROM qk)
+         |    AND d.doc_id NOT IN (SELECT doc_id FROM cont)) t""".stripMargin
   )
 }

@@ -139,6 +139,24 @@ object SimilarityQueries extends QueryPack {
         prebuilt = Some(idx))
     }),
 
+    // ANN index evaluation: recall@5 of the LSH-bucket search against
+    // exact brute force, per query — the quality gauge every
+    // approximate index ships with (the recall/throughput tradeoff is
+    // THE serving knob; this measures its numerator). Both sides are
+    // the already-verified operators; the overlap count is a left
+    // join on (query, neighbor)
+    "ev1_ann_recall" -> ((s, d) => {
+      val emb = Tables.load(s, d, "embeddings")
+      val exact = Similarity.bruteForceTopK(emb, col("vec_id") < 5, k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = Similarity.lshTopK(emb, col("vec_id") < 5, k = 5,
+          bits = 8, dim = 64)
+        .select(col("query_id"), col("neighbor_id"), lit(true).as("hit"))
+      exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg((count(col("hit")) / lit(5.0)).as("recall_at_5"))
+    }),
+
     // Same IVF probe machinery with every list probed (nprobe=nlist):
     // provably equals exact brute-force top-k, so the probe path —
     // fit, inverted lists, probe-list explosion, candidate join, exact
@@ -392,6 +410,30 @@ object SimilarityQueries extends QueryPack {
     "s6_ivf_probe" -> ivfProbeOracle,
     // nprobe = nlist probes every inverted list -> exact brute force
     "s7_ivf_probe_full" -> topKOracle("", 5),
+    "ev1_ann_recall" ->
+      s"""WITH n0 AS (SELECT vec_id, label, embedding,
+         |  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm,
+         |  $sigSql AS sig
+         |FROM embeddings),
+         |exact AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+         |      ORDER BY $cosAb DESC, b.vec_id ASC) AS rn
+         |  FROM n0 a JOIN n0 b ON a.vec_id < 5 AND b.vec_id <> a.vec_id) t
+         |  WHERE rn <= 5),
+         |approx AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+         |      ORDER BY $cosAb DESC, b.vec_id ASC) AS rn
+         |  FROM n0 a JOIN n0 b
+         |    ON a.vec_id < 5 AND b.vec_id <> a.vec_id AND a.sig = b.sig) t
+         |  WHERE rn <= 5)
+         |SELECT e.query_id,
+         |  CAST(count(a.neighbor_id) AS DOUBLE) / 5.0 AS recall_at_5
+         |FROM exact e LEFT JOIN approx a
+         |  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+         |GROUP BY e.query_id""".stripMargin,
+
     "s3_ann_lsh" ->
       s"""WITH n0 AS (SELECT vec_id, label, embedding,
          |  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm,

@@ -159,8 +159,9 @@ object TextQueries extends QueryPack {
     s"CASE WHEN $g = 0 THEN 'und' ${whens.mkString(" ")} ELSE 'und' END"
   }
 
-  /** qualityScore as a DuckDB expression (same op order as Spark). */
-  private val qualitySql =
+  /** qualityScore as a DuckDB expression (same op order as Spark);
+    * shared with CurationQueries' end-to-end pipeline oracle. */
+  private[queries] val qualitySql =
     s"""round(least(greatest(
        |    least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
        |    + least((CAST(${hitsSql(stopAll)} AS DOUBLE)
