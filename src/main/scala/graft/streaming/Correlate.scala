@@ -1,0 +1,55 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Stream-stream correlation (SURVEY.md §2.8): the onboarding event
+  * stream joined with the scan-completion stream — the control-plane
+  * question "did the scan a CreateBucket event promised actually run,
+  * and how late?". The reference answers it offline by polling the
+  * tracker table (glue-tracking lambda re-reads state on a schedule,
+  * lambda/glue-tracking-initial/app.py); here it is a single
+  * watermarked stream-stream join emitting per-source latency as
+  * completions arrive, and (optionally) the BREACHES — onboardings
+  * whose completion never arrived inside the SLA — once the watermark
+  * proves the completion can no longer come.
+  *
+  * Both sides carry watermarks and the join condition bounds
+  * completion time to [onboarded_at, onboarded_at + sla], so the
+  * state store holds only the SLA horizon per key: state is
+  * watermark-bounded, not stream-bounded — the property that makes
+  * the join runnable forever at event-firehose volume. Keys hash-
+  * partition the state; a hot source name is one state partition,
+  * split by AQE nowhere (streaming), but the SLA horizon caps its
+  * growth.
+  */
+object Correlate {
+
+  /** Join onboarding events (source_name, onboarded_at) with
+    * completions (source_name, completed_at) where the completion
+    * lands within `sla` of the onboarding. Inner mode emits matches
+    * with their latency; `emitBreaches = true` switches to left-outer
+    * — unmatched onboardings emit with null completed_at/latency once
+    * the watermark passes their SLA window (the alerting feed).
+    *
+    * Both inputs may be streaming (the stream-stream case) or one may
+    * be a static frame (stream-static enrich) — the plan adapts. */
+  def completionLatency(onboardings: DataFrame, completions: DataFrame,
+      sla: String = "1 hour", watermark: String = "10 minutes",
+      emitBreaches: Boolean = false): DataFrame = {
+    val o = onboardings
+      .select(col("source_name"), col("onboarded_at"))
+      .withWatermark("onboarded_at", watermark)
+    val c = completions
+      .select(col("source_name").as("completed_name"),
+        col("completed_at"))
+      .withWatermark("completed_at", watermark)
+    val cond = col("source_name") === col("completed_name") &&
+      col("completed_at") >= col("onboarded_at") &&
+      col("completed_at") <= col("onboarded_at") + expr(s"INTERVAL $sla")
+    o.join(c, cond, if (emitBreaches) "leftOuter" else "inner")
+      .select(col("source_name"), col("onboarded_at"), col("completed_at"),
+        (unix_timestamp(col("completed_at"))
+          - unix_timestamp(col("onboarded_at"))).as("latency_s"))
+  }
+}

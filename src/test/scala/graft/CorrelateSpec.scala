@@ -1,0 +1,77 @@
+package graft
+
+import java.sql.Timestamp
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.Correlate
+
+class CorrelateSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(m: Int): Timestamp =
+    Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+
+  test("completion latency joins onboardings with in-SLA completions") {
+    implicit val sqlCtx = spark.sqlContext
+    val onb = MemoryStream[(String, Timestamp)]
+    val cmp = MemoryStream[(String, Timestamp)]
+    val q = Correlate.completionLatency(
+        onb.toDF().toDF("source_name", "onboarded_at"),
+        cmp.toDF().toDF("source_name", "completed_at"),
+        sla = "30 minutes", watermark = "10 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("corrout")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      onb.addData(("bucket-a", ts(0)), ("bucket-b", ts(0)))
+      q.processAllAvailable()
+      cmp.addData(("bucket-a", ts(5)),   // 300s latency, in SLA
+        ("bucket-b", ts(45)),            // past the 30m SLA window
+        ("bucket-c", ts(2)))             // no matching onboarding
+      q.processAllAvailable()
+      val rows = spark.table("corrout")
+        .select("source_name", "latency_s")
+        .as[(String, Long)].collect().toSet
+      assert(rows == Set(("bucket-a", 300L)))
+    } finally q.stop()
+  }
+
+  test("breach mode emits unmatched onboardings once the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val onb = MemoryStream[(String, Timestamp)]
+    val cmp = MemoryStream[(String, Timestamp)]
+    val q = Correlate.completionLatency(
+        onb.toDF().toDF("source_name", "onboarded_at"),
+        cmp.toDF().toDF("source_name", "completed_at"),
+        sla = "30 minutes", watermark = "10 minutes",
+        emitBreaches = true)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("breachout")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      onb.addData(("bucket-a", ts(0)), ("bucket-b", ts(0)))
+      cmp.addData(("bucket-a", ts(5)))
+      q.processAllAvailable()
+      // advance BOTH watermarks far past bucket-b's SLA window
+      // (onboarded 10:00 + 30m SLA + 10m watermark): the outer join
+      // can then prove no completion will arrive and emits the breach
+      onb.addData(("bucket-z", ts(55)))
+      cmp.addData(("bucket-z-cmp", ts(55)))
+      q.processAllAvailable()
+      // one more cycle so the watermark computed from the previous
+      // batch's max event time is applied to state eviction
+      onb.addData(("bucket-z2", ts(58)))
+      cmp.addData(("bucket-z2-cmp", ts(58)))
+      q.processAllAvailable()
+      val rows = spark.table("breachout")
+        .select($"source_name", $"latency_s")
+        .as[(String, Option[Long])].collect().toSet
+      assert(rows.contains(("bucket-a", Some(300L))))   // matched, with latency
+      assert(rows.contains(("bucket-b", None)))          // SLA breach, null side
+    } finally q.stop()
+  }
+}
