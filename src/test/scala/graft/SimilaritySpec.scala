@@ -65,6 +65,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(c(0L) == c(1L) && c(2L) == c(3L) && c(0L) != c(2L))
   }
 
+  test("fits are partition-invariant: repartitioned corpus, identical centroids") {
+    // the decimal-sum recompute is order-invariant by construction;
+    // this pins it against regressions (e.g. a double-sum rewrite
+    // would break bit-equality under repartitioning)
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dim = e.head().getSeq[Float](1).length
+    val a = Similarity.kmeansFit(e, k = 4)
+    val b = Similarity.kmeansFit(e.repartition(7), k = 4)
+    assert(a.length == b.length)
+    a.zip(b).foreach { case ((ca, va), (cb, vb)) =>
+      assert(ca == cb); assert(va.sameElements(vb))
+    }
+    val pa = Similarity.pqFit(e, dim = dim, m = 4, ksub = 4)
+    val pb = Similarity.pqFit(e.repartition(5), dim = dim, m = 4, ksub = 4)
+    pa.zip(pb).foreach { case (ba, bb) =>
+      assert(ba.length == bb.length)
+      ba.zip(bb).foreach { case ((ca, va), (cb, vb)) =>
+        assert(ca == cb); assert(va.sameElements(vb))
+      }
+    }
+  }
+
   test("IVF probe with nprobe = nlist reproduces exact brute force") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     def key(r: org.apache.spark.sql.Row) =
