@@ -1,0 +1,143 @@
+package graft.expressions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Misra-Gries heavy hitters — the top-k sketch completing the
+  * extension family (CMS = point frequency, Bloom = membership, HLL =
+  * cardinality, MG = frequent items). The exact top-k-tokens query
+  * (x6_vocab_topk) shuffles every distinct key; at 100 TB of text
+  * that is billions of grouping keys. This aggregate bounds the
+  * shuffle at k entries per upstream partition and still GUARANTEES
+  * (Misra & Gries 1982; merge per Agarwal et al., "Mergeable
+  * Summaries", PODS 2012):
+  *
+  *   - every item with true frequency > N/(k+1) is in the summary;
+  *   - each reported count is a LOWER bound, short by at most
+  *     N/(k+1) (N = stream length).
+  *
+  * update: counter++ if present; insert if < k counters; else
+  * decrement all (dropping zeros). merge: pointwise counter sum, then
+  * subtract the (k+1)-th largest count and drop non-positives —
+  * deterministic given the (count desc, item asc) tie-break, though
+  * WHICH of the sub-threshold items survive depends on partitioning
+  * (the guarantee does not). Hence spec-verified guarantees, not a
+  * bit-exact DuckDB oracle — same evidence class as the bucketing
+  * proof. Output: array<struct<item, lower_count>> sorted by
+  * (lower_count desc, item asc).
+  */
+case class FrequentItemsAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[scala.collection.mutable.HashMap[String, Long]]
+  with UnaryLike[Expression] {
+
+  require(k > 0 && k <= 65536, "k must be in 1..65536")
+
+  private type Buf = scala.collection.mutable.HashMap[String, Long]
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("item", StringType, nullable = false),
+    StructField("lower_count", LongType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): Buf = new Buf
+
+  override def update(buffer: Buf, input: InternalRow): Buf = {
+    val v = child.eval(input)
+    if (v != null) {
+      val s = v.asInstanceOf[UTF8String].toString
+      buffer.get(s) match {
+        case Some(c) => buffer.update(s, c + 1)
+        case None if buffer.size < k => buffer.update(s, 1L)
+        case None =>
+          // decrement-all step: one "vote" against every counter
+          val dead = List.newBuilder[String]
+          buffer.foreachEntry { (key, c) =>
+            if (c == 1L) dead += key else buffer.update(key, c - 1)
+          }
+          dead.result().foreach(buffer.remove)
+      }
+    }
+    buffer
+  }
+
+  override def merge(b1: Buf, b2: Buf): Buf = {
+    b2.foreachEntry { (key, c) =>
+      b1.update(key, b1.getOrElse(key, 0L) + c)
+    }
+    if (b1.size > k) {
+      // subtract the (k+1)-th largest count (count desc, item asc
+      // tie-break) from every counter; strictly-positive survivors
+      // are ≤ k by construction
+      val sorted = b1.toArray.sortBy { case (item, c) => (-c, item) }
+      val cut = sorted(k)._2
+      b1.clear()
+      sorted.foreach { case (item, c) => if (c > cut) b1.update(item, c - cut) }
+    }
+    b1
+  }
+
+  override def eval(buffer: Buf): Any = {
+    val sorted = buffer.toArray.sortBy { case (item, c) => (-c, item) }
+    new GenericArrayData(sorted.map { case (item, c) =>
+      InternalRow(UTF8String.fromString(item), c)
+    })
+  }
+
+  override def serialize(buffer: Buf): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buffer.size)
+    buffer.foreachEntry { (key, c) =>
+      val b = key.getBytes(StandardCharsets.UTF_8)
+      out.writeInt(b.length); out.write(b); out.writeLong(c)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): Buf = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = new Buf
+    var i = 0
+    while (i < n) {
+      val len = in.readInt()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      buf.update(new String(b, StandardCharsets.UTF_8), in.readLong())
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): FrequentItemsAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): FrequentItemsAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): FrequentItemsAgg =
+    copy(child = newChild)
+  override def prettyName: String = "frequent_items_mg"
+}
+
+object FrequentItemsAgg {
+  /** Column API: the Misra-Gries heavy-hitter summary for the group —
+    * array<struct<item, lower_count>>, (count desc, item asc). */
+  def frequent_items(item: Column, k: Int): Column =
+    Bridge.column(
+      FrequentItemsAgg(Bridge.expression(item), k).toAggregateExpression())
+}

@@ -109,6 +109,8 @@ object GraftFunctions {
     Bridge.registerFunction(spark, "bloom_filter_bits",
       exprs => BloomFilterAgg(exprs(0),
         intLit(exprs(1), "numBits"), intLit(exprs(2), "numHashes")))
+    Bridge.registerFunction(spark, "frequent_items",
+      exprs => FrequentItemsAgg(exprs(0), intLit(exprs(1), "k")))
   }
 }
 
@@ -144,5 +146,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     fn(e, "bloom_filter_bits", classOf[BloomFilterAgg],
       exprs => BloomFilterAgg(exprs(0),
         intLit(exprs(1), "numBits"), intLit(exprs(2), "numHashes")))
+    fn(e, "frequent_items", classOf[FrequentItemsAgg],
+      exprs => FrequentItemsAgg(exprs(0), intLit(exprs(1), "k")))
   }
 }

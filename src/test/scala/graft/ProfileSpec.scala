@@ -101,4 +101,39 @@ class ProfileSpec extends AnyFunSuite {
       .collect()(0).getSeq[Int](0).toArray
     assert(r1.sameElements(dup))
   }
+
+  test("Misra-Gries frequent items: guarantees hold under any partitioning") {
+    import org.apache.spark.sql.functions._
+    import graft.expressions.FrequentItemsAgg
+    // skewed stream: two heavy hitters over a long uniform tail
+    val values = Seq.fill(400)("alpha") ++ Seq.fill(250)("beta") ++
+      (1 to 350).map(i => s"tail${i % 70}")
+    val n = values.length
+    val k = 9
+    val trueCounts = values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    for (parts <- Seq(1, 3, 13)) {
+      val summary = values.toDF("v").repartition(parts)
+        .agg(FrequentItemsAgg.frequent_items(col("v"), k).as("fi"))
+        .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(summary.size <= k)
+      // every item with true frequency > N/(k+1) must be present
+      trueCounts.filter(_._2 > n / (k + 1)).keys.foreach { hh =>
+        assert(summary.contains(hh), s"heavy hitter $hh missing at parts=$parts")
+      }
+      // reported counts are lower bounds, short by at most N/(k+1)
+      summary.foreach { case (item, c) =>
+        val t = trueCounts(item)
+        assert(c <= t, s"$item overestimated")
+        assert(c >= t - n / (k + 1), s"$item undershoots the MG bound")
+      }
+    }
+    // SQL registration surface
+    graft.expressions.GraftFunctions.registerAll(spark)
+    values.toDF("v").createOrReplaceTempView("mg_in")
+    val viaSql = spark.sql(
+      "SELECT frequent_items(v, 9) FROM mg_in")
+      .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+    assert(viaSql.exists(_.getString(0) == "alpha"))
+  }
 }
