@@ -192,4 +192,27 @@ class PlanRegressionSpec extends AnyFunSuite {
     // (query block), never a corpus hashpartitioning on vec_id
     assert(!p.contains("hashpartitioning(vec_id"), p)
   }
+
+  test("Lloyd recompute: one exchange, no Generate, partial before final") {
+    // the round-6 shape: per-dimension column aggregates — a rows×dim
+    // posexplode + chained groupBys here would show a Generate and a
+    // second Exchange
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cents = graft.similarity.Similarity.kmeansFit(e, k = 4, iters = 1)
+    val dim = cents.head._2.length
+    val avgs = (0 until dim).map { p =>
+      (sum(element_at(col("embedding"), p + 1).cast(DecimalType(38, 9)))
+        .cast("double") / count(lit(1))).as(s"c$p")
+    }
+    val recompute = graft.similarity.Similarity
+      .assignToCentroids(e.select(col("vec_id"), col("embedding")), cents)
+      .groupBy(col("cluster")).agg(avgs.head, avgs.tail: _*)
+    val p = recompute.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert("\\+- Exchange".r.findAllIn(p).size == 1, p.take(3000))
+    assert(!p.contains("Generate"), "recompute should not explode rows")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "no partial agg")
+  }
 }
