@@ -15,6 +15,10 @@ run / fork := true
 // re-logging it with an "[info] " prefix: Bench/Verify print one
 // machine-parsed JSON line that must reach stdout un-prefixed.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ...and drop the trailing "[success] Total time" line, so the Bench
+// JSON is the LAST stdout line a harness sees (line-oriented parsers
+// that take the final line would otherwise read sbt's epilogue).
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
