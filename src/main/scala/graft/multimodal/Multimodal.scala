@@ -1,5 +1,7 @@
 package graft.multimodal
 
+import java.nio.charset.StandardCharsets
+
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 
@@ -69,6 +71,104 @@ object Multimodal {
         val (header, crc, emb) = decodeStub(bytes)
         MediaFeature(r.id,
           if (r.meta == null) 0L else r.meta.nBytes, header, crc, emb)
+      }
+    }
+  }
+
+  /** Complete, decodable PNG payload: signature + IHDR + IDAT
+    * (deflated zero-filtered RGBA rows) + IEND, every chunk CRC'd.
+    * Dimensions derive deterministically from the id — width =
+    * 16 + id % 64, height = 16 + (id·7) % 64 — 8-bit RGBA. These are
+    * REAL media bytes: `javax.imageio.ImageIO` (the JDK's own PNG
+    * codec) decodes them, so the decode stage below runs an actual
+    * codec, not a stand-in. */
+  def pngPayload(id: Long): Array[Byte] = {
+    val w = (16 + id % 64).toInt
+    val h = (16 + (id * 7) % 64).toInt
+    val out = new java.io.ByteArrayOutputStream(256)
+    out.write(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte), 0, 8)
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      val n = data.length
+      out.write(Array(n >>> 24, n >>> 16, n >>> 8, n).map(_.toByte), 0, 4)
+      val typed = typ.getBytes(StandardCharsets.US_ASCII) ++ data
+      out.write(typed, 0, typed.length)
+      val crc = new java.util.zip.CRC32()
+      crc.update(typed)
+      val c = crc.getValue.toInt
+      out.write(Array(c >>> 24, c >>> 16, c >>> 8, c).map(_.toByte), 0, 4)
+    }
+    val ihdr = new Array[Byte](13)
+    def be32(v: Int, off: Int): Unit = {
+      ihdr(off) = (v >>> 24).toByte; ihdr(off + 1) = (v >>> 16).toByte
+      ihdr(off + 2) = (v >>> 8).toByte; ihdr(off + 3) = v.toByte
+    }
+    be32(w, 0); be32(h, 4)
+    ihdr(8) = 8  // bit depth
+    ihdr(9) = 6  // color type RGBA
+    // compression / filter / interlace = 0 (array default)
+    chunk("IHDR", ihdr)
+    // image data: h rows of (filter byte 0 + w RGBA pixels of zeros)
+    val raw = new Array[Byte](h * (1 + w * 4))
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val zbuf = new Array[Byte](raw.length + 64)
+    val zlen = deflater.deflate(zbuf)
+    deflater.end()
+    chunk("IDAT", zbuf.take(zlen))
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Image payload table: one PNG header per input id. */
+  def pngPayloads(df: DataFrame, idCol: String): Dataset[MediaRow] = {
+    implicit val enc = Encoders.product[MediaRow]
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long].map { id =>
+      val bytes = pngPayload(id)
+      MediaRow(id, bytes, MediaMeta("image/png", bytes.length.toLong, "png"))
+    }
+  }
+
+  /** Columnar PNG IHDR metadata extraction — pure built-in functions
+    * (substring on the binary column → hex → conv), entirely inside
+    * whole-stage codegen: no UDF, no mapPartitions, no codec library.
+    * This is the decode-metadata stage a 100 TB image corpus runs as
+    * a map-only projection over the payload scan. */
+  def pngMeta(media: Dataset[MediaRow]): DataFrame = {
+    def beInt(pos: Int, len: Int) =
+      conv(hex(substring(col("payload"), pos, len)), 16, 10)
+    media.toDF().select(
+      col("id"),
+      (hex(substring(col("payload"), 1, 8)) === "89504E470D0A1A0A")
+        .as("valid_sig"),
+      beInt(17, 4).cast("long").as("width"),
+      beInt(21, 4).cast("long").as("height"),
+      beInt(25, 1).cast("int").as("bit_depth"),
+      beInt(26, 1).cast("int").as("color_type"))
+  }
+
+  final case class ImageDecoded(id: Long, width: Int, height: Int,
+      pixel00: Int)
+
+  /** REAL image decode: `javax.imageio.ImageIO` (the JDK's PNG codec)
+    * run partition-parallel — the exact mapPartitions shape the
+    * stubbed decodeFeatures documents, but with an actual codec. Rows
+    * whose payload fails to decode are dropped (at scale: route to a
+    * quarantine sink like the ingest DLQ). */
+  def decodeImages(media: Dataset[MediaRow]): Dataset[ImageDecoded] = {
+    implicit val enc = Encoders.product[ImageDecoded]
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        if (r.payload == null) None
+        else try {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.payload))
+          if (img == null) None
+          else Some(ImageDecoded(r.id, img.getWidth, img.getHeight,
+            img.getRGB(0, 0)))
+        } catch { case _: java.io.IOException => None }
       }
     }
   }

@@ -33,7 +33,24 @@ object MultimodalQueries extends QueryPack {
           Tables.load(s, d, "documents"), "doc_id", "text"))
         .toDF()
         .select(col("id"), col("nBytes").as("n_bytes"),
-          col("headerByte").cast("long").as("header_byte")))
+          col("headerByte").cast("long").as("header_byte"))),
+
+    // REAL codec-header parse: valid PNG payloads (signature + IHDR +
+    // CRC32) built per doc id, then width/height/depth/color read
+    // back COLUMNAR from the binary column (substring→hex→conv, all
+    // codegen) — the map-only decode-metadata stage of an image
+    // corpus. The oracle replays the construction arithmetic
+    "m4_png_meta" -> ((s, d) =>
+      Multimodal.pngMeta(
+        Multimodal.pngPayloads(Tables.load(s, d, "documents"), "doc_id"))),
+
+    // REAL codec decode: the JDK's own PNG reader (javax.imageio) runs
+    // partition-parallel over the payloads; decoded dimensions and the
+    // (0,0) ARGB pixel replay from the construction arithmetic
+    "m5_image_decode" -> ((s, d) =>
+      Multimodal.decodeImages(
+        Multimodal.pngPayloads(Tables.load(s, d, "documents"), "doc_id"))
+        .toDF())
   )
 
   def oracle: Map[String, String] = Map(
@@ -52,6 +69,18 @@ object MultimodalQueries extends QueryPack {
       """SELECT doc_id AS id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  CAST(CASE WHEN octet_length(encode(text)) = 0 THEN 0
         |       ELSE ascii(substr(text, 1, 1)) END AS BIGINT) AS header_byte
+        |FROM documents""".stripMargin,
+    "m4_png_meta" ->
+      """SELECT doc_id AS id, TRUE AS valid_sig,
+        |  CAST(16 + doc_id % 64 AS BIGINT) AS width,
+        |  CAST(16 + (doc_id * 7) % 64 AS BIGINT) AS height,
+        |  CAST(8 AS INT) AS bit_depth, CAST(6 AS INT) AS color_type
+        |FROM documents""".stripMargin,
+    "m5_image_decode" ->
+      """SELECT doc_id AS id,
+        |  CAST(16 + doc_id % 64 AS INT) AS width,
+        |  CAST(16 + (doc_id * 7) % 64 AS INT) AS height,
+        |  CAST(0 AS INT) AS pixel00
         |FROM documents""".stripMargin
   )
 }
