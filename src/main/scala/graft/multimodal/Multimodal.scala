@@ -149,6 +149,92 @@ object Multimodal {
       beInt(26, 1).cast("int").as("color_type"))
   }
 
+  /** Complete, decodable WAV payload (RIFF/WAVE, PCM 16-bit mono):
+    * sample rate = 8000 + (id % 8)·1000, frames = 64 + id % 128, all
+    * samples zero. `javax.sound.sampled.AudioSystem` (the JDK's WAV
+    * codec) decodes these — the audio analogue of [[pngPayload]]. */
+  def wavPayload(id: Long): Array[Byte] = {
+    val sampleRate = (8000 + (id % 8) * 1000).toInt
+    val nFrames = (64 + id % 128).toInt
+    val dataLen = nFrames * 2 // 16-bit mono
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes(StandardCharsets.US_ASCII))
+    buf.putInt(36 + dataLen)
+    buf.put("WAVE".getBytes(StandardCharsets.US_ASCII))
+    buf.put("fmt ".getBytes(StandardCharsets.US_ASCII))
+    buf.putInt(16)                       // fmt chunk size
+    buf.putShort(1)                      // PCM
+    buf.putShort(1)                      // mono
+    buf.putInt(sampleRate)
+    buf.putInt(sampleRate * 2)           // byte rate
+    buf.putShort(2)                      // block align
+    buf.putShort(16)                     // bits per sample
+    buf.put("data".getBytes(StandardCharsets.US_ASCII))
+    buf.putInt(dataLen)
+    // sample bytes stay zero (silence)
+    buf.array()
+  }
+
+  /** Audio payload table: one WAV per input id. */
+  def wavPayloads(df: DataFrame, idCol: String): Dataset[MediaRow] = {
+    implicit val enc = Encoders.product[MediaRow]
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long].map { id =>
+      val bytes = wavPayload(id)
+      MediaRow(id, bytes, MediaMeta("audio/wav", bytes.length.toLong, "pcm_s16le"))
+    }
+  }
+
+  /** Columnar WAV header parse — little-endian fields assembled from
+    * per-byte hex→conv reads, all codegen'd built-ins. Positions are
+    * 1-based: sample rate bytes 25..28 LE, channels 23..24 LE, bits
+    * per sample 35..36 LE, data length 41..44 LE. */
+  def wavMeta(media: Dataset[MediaRow]): DataFrame = {
+    def byteAt(pos: Int) =
+      conv(hex(substring(col("payload"), pos, 1)), 16, 10).cast("long")
+    def le(pos: Int, n: Int): org.apache.spark.sql.Column =
+      (0 until n).map(i => byteAt(pos + i) * (1L << (8 * i)))
+        .reduce(_ + _)
+    media.toDF().select(
+      col("id"),
+      (substring(col("payload"), 1, 4).cast("string") === "RIFF" &&
+        substring(col("payload"), 9, 4).cast("string") === "WAVE")
+        .as("valid_sig"),
+      le(23, 2).cast("int").as("channels"),
+      le(25, 4).cast("int").as("sample_rate"),
+      le(35, 2).cast("int").as("bits_per_sample"),
+      (le(41, 4) / 2).cast("long").as("n_frames"))
+  }
+
+  final case class AudioDecoded(id: Long, sampleRate: Int, channels: Int,
+      frames: Long)
+
+  /** REAL audio decode: `javax.sound.sampled.AudioSystem` (the JDK's
+    * WAV codec) partition-parallel; undecodable payloads drop (route
+    * to a quarantine sink at scale). */
+  def decodeAudio(media: Dataset[MediaRow]): Dataset[AudioDecoded] = {
+    implicit val enc = Encoders.product[AudioDecoded]
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        if (r.payload == null) None
+        else try {
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(r.payload))
+          val f = in.getFormat
+          val out = AudioDecoded(r.id, f.getSampleRate.toInt,
+            f.getChannels, in.getFrameLength)
+          in.close()
+          Some(out)
+        } catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException => None
+          case _: java.io.IOException => None
+        }
+      }
+    }
+  }
+
   final case class ImageDecoded(id: Long, width: Int, height: Int,
       pixel00: Int)
 

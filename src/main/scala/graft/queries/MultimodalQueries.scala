@@ -50,6 +50,18 @@ object MultimodalQueries extends QueryPack {
     "m5_image_decode" -> ((s, d) =>
       Multimodal.decodeImages(
         Multimodal.pngPayloads(Tables.load(s, d, "documents"), "doc_id"))
+        .toDF()),
+
+    // Audio analogue of m4: WAV headers parsed columnar (little-endian
+    // fields assembled from per-byte hex reads, codegen'd)
+    "m6_wav_meta" -> ((s, d) =>
+      Multimodal.wavMeta(
+        Multimodal.wavPayloads(Tables.load(s, d, "documents"), "doc_id"))),
+
+    // Audio analogue of m5: the JDK's WAV codec decodes every payload
+    "m7_audio_decode" -> ((s, d) =>
+      Multimodal.decodeAudio(
+        Multimodal.wavPayloads(Tables.load(s, d, "documents"), "doc_id"))
         .toDF())
   )
 
@@ -81,6 +93,19 @@ object MultimodalQueries extends QueryPack {
         |  CAST(16 + doc_id % 64 AS INT) AS width,
         |  CAST(16 + (doc_id * 7) % 64 AS INT) AS height,
         |  CAST(0 AS INT) AS pixel00
+        |FROM documents""".stripMargin,
+    "m6_wav_meta" ->
+      """SELECT doc_id AS id, TRUE AS valid_sig,
+        |  CAST(1 AS INT) AS channels,
+        |  CAST(8000 + (doc_id % 8) * 1000 AS INT) AS sample_rate,
+        |  CAST(16 AS INT) AS bits_per_sample,
+        |  CAST(64 + doc_id % 128 AS BIGINT) AS n_frames
+        |FROM documents""".stripMargin,
+    "m7_audio_decode" ->
+      """SELECT doc_id AS id,
+        |  CAST(8000 + (doc_id % 8) * 1000 AS INT) AS sampleRate,
+        |  CAST(1 AS INT) AS channels,
+        |  CAST(64 + doc_id % 128 AS BIGINT) AS frames
         |FROM documents""".stripMargin
   )
 }
