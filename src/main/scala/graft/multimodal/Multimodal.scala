@@ -259,6 +259,47 @@ object Multimodal {
     }
   }
 
+  final case class ImageResized(id: Long, width: Int, height: Int,
+      pixelSum: Long)
+
+  /** REAL image resize: decode (javax.imageio) → bilinear rescale to
+    * `tw`×`th` (java.awt Graphics2D, the JDK's raster pipeline) →
+    * pixel-sum digest, all partition-parallel. The preprocessing
+    * shape a vision-training corpus runs ahead of the encoder: decode
+    * and resize fuse in one partition pass — pixels never cross a
+    * shuffle, only the target-size tensors (here, their digest). */
+  def resizeImages(media: Dataset[MediaRow], tw: Int, th: Int): Dataset[ImageResized] = {
+    implicit val enc = Encoders.product[ImageResized]
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        if (r.payload == null) None
+        else try {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.payload))
+          if (img == null) None
+          else {
+            val out = new java.awt.image.BufferedImage(tw, th,
+              java.awt.image.BufferedImage.TYPE_INT_ARGB)
+            val g = out.createGraphics()
+            g.setRenderingHint(
+              java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, tw, th, null)
+            g.dispose()
+            var sum = 0L
+            var y = 0
+            while (y < th) {
+              var x = 0
+              while (x < tw) { sum += out.getRGB(x, y) & 0xffffffffL; x += 1 }
+              y += 1
+            }
+            Some(ImageResized(r.id, tw, th, sum))
+          }
+        } catch { case _: java.io.IOException => None }
+      }
+    }
+  }
+
   /** Frame sampling: split each payload into `n` equal byte windows
     * (the video-frame-sample shape: one input row → n frame rows). */
   def frameSample(media: Dataset[MediaRow], n: Int): DataFrame =

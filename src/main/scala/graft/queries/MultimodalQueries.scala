@@ -62,7 +62,15 @@ object MultimodalQueries extends QueryPack {
     "m7_audio_decode" -> ((s, d) =>
       Multimodal.decodeAudio(
         Multimodal.wavPayloads(Tables.load(s, d, "documents"), "doc_id"))
-        .toDF())
+        .toDF()),
+
+    // Decode→resize fused in one partition pass (the vision-corpus
+    // preprocessing shape); all-zero source pixels resize to zeros, so
+    // the digest replays arithmetically
+    "m8_image_resize" -> ((s, d) =>
+      Multimodal.resizeImages(
+        Multimodal.pngPayloads(Tables.load(s, d, "documents"), "doc_id"),
+        tw = 8, th = 8).toDF())
   )
 
   def oracle: Map[String, String] = Map(
@@ -106,6 +114,10 @@ object MultimodalQueries extends QueryPack {
         |  CAST(8000 + (doc_id % 8) * 1000 AS INT) AS sampleRate,
         |  CAST(1 AS INT) AS channels,
         |  CAST(64 + doc_id % 128 AS BIGINT) AS frames
+        |FROM documents""".stripMargin,
+    "m8_image_resize" ->
+      """SELECT doc_id AS id, CAST(8 AS INT) AS width,
+        |  CAST(8 AS INT) AS height, CAST(0 AS BIGINT) AS pixelSum
         |FROM documents""".stripMargin
   )
 }
