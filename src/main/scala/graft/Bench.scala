@@ -1,17 +1,55 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+import scala.util.control.NonFatal
+
+/** Headline benchmark: every SparkEntry query timed on
+  * SPARK_GRAFT_SF_DIR, one machine-parsed JSON line on stdout.
+  *
+  * Harness constraints (learned from the rounds-1..6 driver artifacts):
+  *  - the driver keeps only the LAST 2000 bytes of output and
+  *    json-parses from there, so the final line must be a COMPLETE
+  *    JSON object comfortably under that. 107 full query names alone
+  *    exceed 2000 bytes, so the stdout map uses short keys (family
+  *    prefix + word initials — "x10_token_rarity" → "x10tr",
+  *    collision-checked at startup) and the full-name record is
+  *    written to BENCH_FULL.json in the repo root.
+  *  - a query that throws must NOT look like a fast timing: failures
+  *    are reported per query in an "errors" field and the process
+  *    exits nonzero.
+  *
+  * Measurement hygiene (the round-6 ~1.4× uniform-drift fix):
+  * operator-internal stray caches are released after every query
+  * ([[graft.util.Caches]]) and each pack's shared memo caches are
+  * released right after the pack's LAST query in run order, so the
+  * build-once/serve-many pattern inside a family still holds but no
+  * query runs under the accumulated storage of unrelated earlier ones.
+  */
 object Bench {
+
+  /** "x10_token_rarity" → "x10tr": the stdout-map short key. */
+  def shortKey(name: String): String = {
+    val parts = name.split('_')
+    parts.head + parts.iterator.drop(1).map(_.charAt(0)).mkString
+  }
+
+  private def num(v: Double): String = (math.round(v * 1000) / 1000.0).toString
+  private def num6(v: Double): String = (math.round(v * 1e6) / 1e6).toString
+
+  private def jstr(s: String): String = "\"" + s.flatMap {
+    case '"'          => "\\\""
+    case '\\'         => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c            => c.toString
+  } + "\""
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // shuffle/spill files on tmpfs: local-mode stand-in for the NVMe
-    // local dirs a real cluster would use — keeps intermittent block-
-    // device latency out of the measured query path
-    val localDir = new java.io.File("/dev/shm/graft-bench-local")
-    localDir.mkdirs()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.local.dir", localDir.getAbsolutePath)
+      .config("spark.local.dir", graft.util.Scratch.localDir("graft-bench-"))
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
@@ -19,6 +57,19 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    val order = SparkEntry.queries.toSeq.sortBy(_._1)
+    val names = order.map(_._1)
+    require(names.map(shortKey).distinct.size == names.size,
+      "short-key collision — extend Bench.shortKey")
+
+    // index of each pack's last owned query in run order → release hook
+    val releaseAt: Map[Int, Seq[SparkSession => Unit]] =
+      SparkEntry.packReleases.flatMap { case (owned, rel) =>
+        val idxs = names.zipWithIndex.collect { case (n, i) if owned(n) => i }
+        idxs.maxOption.map(_ -> rel)
+      }.groupMap(_._1)(_._2)
+
     // JVM/session warmup outside the timed region: codegen compiler,
     // shuffle machinery, parquet footers, one cold scan per table so
     // steady-state query latency is what gets measured
@@ -26,24 +77,71 @@ object Bench {
       .collect()
     graft.sources.Tables.all.foreach(t =>
       graft.sources.Tables.load(spark, sfDir, t).count())
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val retried = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
+
+    val results = order.zipWithIndex.map { case ((name, fn), i) =>
       def once(): Double = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        fn(spark, sfDir).count()
         (System.nanoTime() - t0) / 1e9
       }
-      val t1 = once()
-      // Host stall guard (SCALE.md round-6 addendum): this box has
-      // 1-3 minute full-stall windows that hit whichever query is
-      // running. No query legitimately approaches 60 s at bench SF,
-      // so a measurement above that re-runs once and the faster of
-      // the two is reported.
-      name -> (if (t1 > 60) math.min(t1, once()) else t1)
+      val sec =
+        try {
+          val t1 = once()
+          // Host stall guard (SCALE.md round-6 addendum): this box has
+          // 1-3 minute full-stall windows that hit whichever query is
+          // running. No query legitimately approaches 60 s at bench SF,
+          // so a measurement above that re-measures once — against
+          // RESET shared caches, so the retry does the same work as a
+          // cold run — and reports the faster sample; both samples go
+          // in the record so the discarded one stays visible.
+          if (t1 > 60) {
+            graft.util.Caches.releaseStray()
+            SparkEntry.releaseShared(spark)
+            val t2 = once()
+            retried(name) = (t1, t2)
+            math.min(t1, t2)
+          } else t1
+        } catch {
+          case NonFatal(e) =>
+            errors(name) = (e.getClass.getSimpleName + ": " +
+              String.valueOf(e.getMessage)).take(160)
+            -1.0
+        }
+      graft.util.Caches.releaseStray()
+      releaseAt.getOrElse(i, Nil).foreach(_(spark))
+      name -> sec
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+
+    // full-name record → repo file: survives regardless of how much of
+    // stdout the driver captures
+    val full = new StringBuilder
+    full ++= s"""{"sf":${jstr(sfDir)},"cpus":$cpus,"total":${num(total)}"""
+    full ++= s""","queries":${results.map { case (k, v) => s"${jstr(k)}:${num6(v)}" }
+      .mkString("{", ",", "}")}"""
+    full ++= s""","errors":${errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
+      .mkString("{", ",", "}")}"""
+    full ++= s""","retried":${retried.map { case (k, (a, b)) => s"${jstr(k)}:[${num6(a)},${num6(b)}]" }
+      .mkString("{", ",", "}")}}"""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/root/repo/BENCH_FULL.json"), full.toString)
+
+    val qsShort = results
+      .map { case (k, v) => s"${jstr(shortKey(k))}:${num(v)}" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val extra = new StringBuilder
+    if (errors.nonEmpty)
+      extra ++= s""","errors":${errors.map { case (k, v) => s"${jstr(shortKey(k))}:${jstr(v.take(60))}" }
+        .mkString("{", ",", "}")}"""
+    if (retried.nonEmpty)
+      extra ++= s""","retried":${retried.map { case (k, (a, b)) => s"${jstr(shortKey(k))}:[${num(a)},${num(b)}]" }
+        .mkString("{", ",", "}")}"""
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qsShort,"sf":${jstr(sfDir)},"full":"BENCH_FULL.json"$extra}""")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

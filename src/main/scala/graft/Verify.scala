@@ -18,13 +18,11 @@ object Verify {
         s"unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")}")
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // shuffle/spill on tmpfs — same rationale as Bench: keep block-
-    // device latency jitter out of the run
-    val localDir = new java.io.File("/dev/shm/graft-verify-local")
-    localDir.mkdirs()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.local.dir", localDir.getAbsolutePath)
+      // per-run scratch on tmpfs — same rationale as Bench: keep
+      // block-device latency jitter out of the run, clean up stale dirs
+      .config("spark.local.dir", graft.util.Scratch.localDir("graft-verify-"))
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -41,6 +39,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // release operator-internal stray caches so a 107-query run in
+      // one 8g JVM doesn't degrade under accumulated storage (memo'd
+      // family caches stay — they're bounded and shared by design)
+      graft.util.Caches.releaseStray(): Unit
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -67,18 +67,26 @@ object Curation {
     * Per-token rarities are decimal-summed per doc (order-invariant,
     * partitioning-proof) then divided by the doc's token count.
     *
-    * Scale shape: one token explode + a vocab-keyed join (the tf table
-    * is vocabulary-sized — broadcastable) + one per-doc partial agg;
-    * the 1-row total broadcasts. */
+    * Scale shape: one vocab-granular tf aggregate (map-side partials),
+    * then the vocab-sized tf table BROADCASTS to a second explode pass
+    * whose per-doc aggregate collapses map-side — token occurrences
+    * never shuffle. n_total = sum(tf) comes from the vocab table, not
+    * a third corpus pass. At web-corpus vocab (~10⁷ rows) the tf side
+    * still broadcasts; beyond that, bucket both sides on token. */
   def tokenRarity(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val toks = graft.sources.Tables.fanOut(df)
       .select(col(idCol),
         explode(split(trim(col(textCol)), "\\s+")).as("token"))
       .filter(col("token") =!= "")
+    // The tf table is vocabulary-sized: BROADCAST it — the un-hinted
+    // join shuffled every token OCCURRENCE on the token key (the
+    // round-6 slowest query). The corpus total is sum(tf) by
+    // definition, so derive it from the vocab table instead of paying
+    // a second corpus-wide explode for count(*).
     val tf = toks.groupBy(col("token")).agg(count(lit(1)).as("tf"))
-    val nTotal = toks.agg(count(lit(1)).as("n_total"))
-    toks.join(tf, Seq("token"))
+    val nTotal = tf.agg(sum(col("tf")).as("n_total"))
+    toks.join(broadcast(tf), Seq("token"))
       .crossJoin(broadcast(nTotal))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"),
@@ -112,8 +120,9 @@ object Curation {
     import graft.expressions.BloomFilterAgg
     val spark = corpus.sparkSession
     import spark.implicits._
-    val benchSh = Dedup.shinglePostings(benchmark, idCol, textCol, n, Int.MaxValue)
-      .select(col("shingle")).distinct().cache()
+    val benchSh = graft.util.Caches.scoped(
+      Dedup.shinglePostings(benchmark, idCol, textCol, n, Int.MaxValue)
+        .select(col("shingle")).distinct())
     val packed = BloomFilterAgg.pack(
       benchSh.agg(BloomFilterAgg.bloom_filter(col("shingle"), numBits, numHashes))
         .collect()(0).getSeq[Long](0).toArray)

@@ -78,7 +78,9 @@ object Dedup {
       }
       .toDF("doc", "shingle")
     if (maxDf == Int.MaxValue) return sh
-    val cached = sh.cache() // read twice: df-cap aggregate + postings semi-join
+    // read twice: df-cap aggregate + postings semi-join; scoped so the
+    // harness releases it at the operation boundary
+    val cached = graft.util.Caches.scoped(sh)
     // df-cap on the 64-bit shingle hash: partial aggregation collapses
     // hot shingles map-side, and the semi-join shuffles longs, not text
     val keyed = cached.withColumn("sh_h", xxhash64(col("shingle")))
@@ -131,7 +133,8 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5, maxDf: Int = 50): DataFrame =
     jaccardFromPostings(
-      shinglePostings(df, idCol, textCol, n, maxDf).cache(), threshold)
+      graft.util.Caches.scoped(shinglePostings(df, idCol, textCol, n, maxDf)),
+      threshold)
 
   /** MinHash signatures: h_i(doc) = min over shingles of
     * md5(i + "|" + shingle) — string min is total-ordered and
@@ -177,7 +180,8 @@ object Dedup {
     // cached: the self-join reads it twice and the LSH verify pass
     // re-executes the candidate plan; recomputing would re-run the
     // md5-min signature aggregate each time
-    val exploded = sigs.select(col("doc"), explode(bandKeys).as("bk")).cache()
+    val exploded = graft.util.Caches.scoped(
+      sigs.select(col("doc"), explode(bandKeys).as("bk")))
     exploded.as("a").join(exploded.as("b"),
         col("a.bk") === col("b.bk") && col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
@@ -283,7 +287,8 @@ object Dedup {
   def minhashDupPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 2,
       threshold: Double = 0.5, maxDf: Int = 50): DataFrame = {
-    val postings = shinglePostings(df, idCol, textCol, n, maxDf).cache()
+    val postings = graft.util.Caches.scoped(
+      shinglePostings(df, idCol, textCol, n, maxDf))
     minhashDupPairsFromPostings(postings, numHashes, rowsPerBand, threshold)
   }
 
@@ -345,7 +350,8 @@ object Dedup {
       maxDf: Int = 50): DataFrame = {
     val union = newDf.select(col(idCol), col(textCol), lit(true).as("_new"))
       .unionByName(seenDf.select(col(idCol), col(textCol), lit(false).as("_new")))
-    val postings = shinglePostings(union, idCol, textCol, n, maxDf).cache()
+    val postings = graft.util.Caches.scoped(
+      shinglePostings(union, idCol, textCol, n, maxDf))
     val isNew = union.select(col(idCol).cast("long").as("doc"),
       col("_new").as("is_new"))
     incrementalNearDupFromPostings(postings, isNew, numHashes, rowsPerBand,
@@ -399,9 +405,8 @@ object Dedup {
       maxHamming: Int = 3): DataFrame = {
     // materialize the bucket as an attribute so the self-join plans as
     // a shuffled hash join on the key, not a nested-loop theta join
-    val s = simhashLong(df, idCol, textCol)
-      .withColumn("bucket", col("sim_int").bitwiseAND(lit(255L)))
-      .cache()
+    val s = graft.util.Caches.scoped(simhashLong(df, idCol, textCol)
+      .withColumn("bucket", col("sim_int").bitwiseAND(lit(255L))))
     s.as("a").join(s.as("b"),
         col("a.bucket") === col("b.bucket")
           && col("a.doc") < col("b.doc"))

@@ -42,6 +42,12 @@ object CurationQueries extends QueryPack {
         .cache()
     })
 
+  override def releaseShared(spark: SparkSession): Unit = {
+    compMemo.values.foreach(_.unpersist(true))
+    compMemo.clear()
+    mergeMemo.clear()
+  }
+
   def queries: Map[String, Q] = Map(
     // Benchmark decontamination: corpus docs sharing a 5-gram with the
     // held-out benchmark slice (source = 'src0')

@@ -16,9 +16,9 @@ object DedupQueries extends QueryPack {
   // (typed-flatMap plans don't canonicalize equal across separate
   // builds, so Spark's cache can't match them by plan).
   private val memo =
-    scala.collection.concurrent.TrieMap.empty[String, (DataFrame, DataFrame, DataFrame)]
+    scala.collection.concurrent.TrieMap.empty[String, (DataFrame, DataFrame, DataFrame, DataFrame)]
 
-  private def sharedAll(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) =
+  private def sharedAll(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame, DataFrame) =
     memo.getOrElseUpdate(d, {
       val groups = Dedup.shingleGroups(
         Tables.load(s, d, "documents"), "doc_id", "text", n = 3, maxDf = 50)
@@ -33,12 +33,19 @@ object DedupQueries extends QueryPack {
       val cands = Dedup.lshCandidates(
         Dedup.minhashSignaturesFromGroups(groups, numHashes = 8),
         numHashes = 8, rowsPerBand = 2).cache()
-      (postings, stats, cands)
+      (groups, postings, stats, cands)
     })
 
   private[queries] def shared(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    val (postings, stats, _) = sharedAll(s, d)
+    val (_, postings, stats, _) = sharedAll(s, d)
     (postings, stats)
+  }
+
+  override def releaseShared(spark: SparkSession): Unit = {
+    memo.values.foreach { case (groups, _, stats, cands) =>
+      Seq(groups, stats, cands).foreach(_.unpersist(true))
+    }
+    memo.clear()
   }
 
   def queries: Map[String, Q] = Map(
@@ -56,7 +63,7 @@ object DedupQueries extends QueryPack {
 
     // MinHash signatures + banded LSH candidates, Jaccard-verified
     "d3_minhash_lsh" -> ((s, d) => {
-      val (postings, stats, cands) = sharedAll(s, d)
+      val (_, postings, stats, cands) = sharedAll(s, d)
       Dedup.minhashDupPairsFromPostings(postings, numHashes = 8,
         rowsPerBand = 2, threshold = 0.5, stats = Some(stats),
         candidates = Some(cands))
@@ -79,7 +86,7 @@ object DedupQueries extends QueryPack {
     // combined corpus here is the whole documents table)
     "d11_incremental_lsh" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
-      val (postings, stats, cands) = sharedAll(s, d)
+      val (_, postings, stats, cands) = sharedAll(s, d)
       val isNew = Tables.load(s, d, "documents")
         .select(col("doc_id").cast("long").as("doc"),
           (col("doc_id") % 7 === 0).as("is_new"))

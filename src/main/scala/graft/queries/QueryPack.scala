@@ -16,4 +16,13 @@ trait QueryPack {
   type Q = (SparkSession, String) => DataFrame
   def queries: Map[String, Q]
   def oracle: Map[String, String]
+
+  /** Release any session-shared state this pack memoizes across its
+    * own queries (cached DataFrames, driver-side fitted models). The
+    * bench harness calls this once the pack's LAST query in run order
+    * has completed — so the build-once/serve-many pattern inside a
+    * family still holds, but its storage doesn't leak into unrelated
+    * queries — and before a stall-guard re-measure so the retry does
+    * the same (cold) work as a fresh run. */
+  def releaseShared(spark: SparkSession): Unit = ()
 }

@@ -52,6 +52,13 @@ object SimilarityQueries extends QueryPack {
         .cache()
     })
 
+  override def releaseShared(spark: SparkSession): Unit = {
+    indexMemo.values.foreach(_.unpersist(true))
+    indexMemo.clear()
+    fitMemo.clear()
+    pqMemo.clear()
+  }
+
   def queries: Map[String, Q] = Map(
     // Exact brute-force cosine top-10 for query vectors vec_id < 5
     "s2_knn_brute" -> ((s, d) =>

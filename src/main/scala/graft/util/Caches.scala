@@ -1,0 +1,47 @@
+package graft.util
+
+import org.apache.spark.sql.DataFrame
+
+/** Registry for operator-internal ("stray") caches.
+  *
+  * Operators cache intermediates that are read more than once within
+  * one logical operation — postings consumed by both the df-cap
+  * aggregate and the verify join, SimHash sketches read by both sides
+  * of a self-join. The operator itself cannot unpersist them (the
+  * cache must outlive the lazy plan it returns), so left alone they
+  * accumulate for the life of the session. Across a 107-query bench
+  * in one JVM that accumulation produced the round-6 uniform ~1.4×
+  * drift: every unreleased cache shrinks the storage/execution memory
+  * the NEXT query runs in.
+  *
+  * `scoped` = cache + register; harness code (Bench, Verify) calls
+  * [[releaseStray]] at operation boundaries. Deliberately
+  * session-shared caches (the query packs' family memos) do NOT go
+  * through here — they release via `QueryPack.releaseShared` once
+  * their family's last query has run.
+  */
+object Caches {
+  private val reg = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
+
+  /** Cache `df` and register it for the next [[releaseStray]] sweep. */
+  def scoped(df: DataFrame): DataFrame = {
+    reg.add(df.cache())
+    df
+  }
+
+  /** Unpersist every registered stray cache; returns how many were
+    * released. BLOCKING by design: the bench calls this between
+    * timings, and an async removal would execute during the NEXT
+    * query's measured window (observed as a ~0.2 s constant on every
+    * small query when this used blocking=false). */
+  def releaseStray(blocking: Boolean = true): Int = {
+    var n = 0
+    var df = reg.poll()
+    while (df != null) {
+      df.unpersist(blocking)
+      n += 1
+      df = reg.poll()
+    }
+    n
+  }
+}

@@ -1,0 +1,40 @@
+package graft.util
+
+import java.io.File
+import java.nio.file.Files
+
+/** Per-run scratch directories for Spark local dirs (shuffle/spill).
+  *
+  * Defaults to tmpfs (/dev/shm): the bench host has documented
+  * 1–3-minute block-device stall windows (SCALE.md) that would
+  * otherwise land inside the measured query path, and at bench scale
+  * factors the spill volume is MBs — nowhere near tmpfs pressure.
+  * Override the base with SPARK_GRAFT_LOCAL_BASE (e.g. /tmp) where
+  * RAM-backed spill is not wanted.
+  *
+  * Each run gets a fresh subdirectory; stale siblings left by crashed
+  * runs are deleted at startup and a shutdown hook removes the run's
+  * own directory — the previous fixed-path dirs accumulated stale
+  * shuffle files across crashed runs.
+  */
+object Scratch {
+  private def deleteRec(f: File): Unit = {
+    val kids = f.listFiles
+    if (kids != null) kids.foreach(deleteRec)
+    f.delete(): Unit
+  }
+
+  /** Create (and register cleanup for) a fresh scratch dir whose name
+    * starts with `prefix`; returns its absolute path. */
+  def localDir(prefix: String): String = {
+    val configured = new File(sys.env.getOrElse("SPARK_GRAFT_LOCAL_BASE", "/dev/shm"))
+    val base =
+      if (configured.isDirectory && configured.canWrite) configured
+      else new File(System.getProperty("java.io.tmpdir", "/tmp"))
+    val stale = base.listFiles
+    if (stale != null) stale.filter(_.getName.startsWith(prefix)).foreach(deleteRec)
+    val dir = Files.createTempDirectory(base.toPath, prefix).toFile
+    sys.addShutdownHook(deleteRec(dir))
+    dir.getAbsolutePath
+  }
+}

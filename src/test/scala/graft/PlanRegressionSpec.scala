@@ -18,6 +18,15 @@ class PlanRegressionSpec extends AnyFunSuite {
       org.apache.spark.sql.execution.FormattedMode)
   }
 
+  /** FormattedMode output = operator tree, blank line, numbered detail
+    * sections. Count node occurrences in the TREE only: a single node's
+    * name appears AGAIN in its detail section, so counting the whole
+    * string is vacuous for "partial before final" (one aggregate
+    * already matches twice). */
+  private def treeCount(p: String, node: String): Int =
+    node.r.findAllIn(
+      p.linesIterator.takeWhile(_.trim.nonEmpty).mkString("\n")).size
+
   test("s1: filters and projection reach the parquet scan") {
     val p = plan("s1_scan_project")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p)
@@ -30,7 +39,7 @@ class PlanRegressionSpec extends AnyFunSuite {
     val p = plan("j5_join_chain")
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
-    assert("HashAggregate".r.findAllIn(p).size >= 2, "no partial aggregation")
+    assert(treeCount(p, "HashAggregate") >= 2, "no partial aggregation")
   }
 
   test("a1 classify: single exchange keyed on column_name") {
@@ -62,7 +71,7 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(p.contains("multi_match_count"), p.take(2000))
     // partial -> final pair, so the exchange carries counter buffers,
     // not cells
-    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, "no partial agg")
+    assert(treeCount(p, "ObjectHashAggregate") >= 2, "no partial agg")
   }
 
   test("c1 decontaminate: benchmark side broadcasts as a semi-join") {
@@ -139,7 +148,7 @@ class PlanRegressionSpec extends AnyFunSuite {
   test("q18: lineitem aggregates partial->final before the join-back") {
     val p = plan("q18_large_orders")
     // partial + final HashAggregate around the groupBy exchange
-    assert("HashAggregate".r.findAllIn(p).size >= 2, "no partial agg")
+    assert(treeCount(p, "HashAggregate") >= 2, "no partial agg")
     assert(p.contains("hashpartitioning(l_orderkey"), p.take(3000))
   }
 
@@ -163,15 +172,15 @@ class PlanRegressionSpec extends AnyFunSuite {
     // this sf; shuffled-on-cluster at scale) — never a cross join
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p.take(2000))
     // dup vec_ids collapse with partial aggregation before the join-back
-    assert("HashAggregate".r.findAllIn(p).size >= 2, "no partial agg")
+    assert(treeCount(p, "HashAggregate") >= 2, "no partial agg")
   }
 
   test("pr4 hll: shuffle carries the register buffer, scan prunes to user_id") {
     val p = plan("pr4_hll_registers")
     assert(p.contains("hll_registers_md5"), p.take(2000))
     // partial -> final pair: the exchange moves 64-byte buffers
-    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2
-      || "SortAggregate".r.findAllIn(p).size >= 2, "no partial agg")
+    assert(treeCount(p, "ObjectHashAggregate") >= 2
+      || treeCount(p, "SortAggregate") >= 2, "no partial agg")
     assert(!p.contains("event_type") && !p.contains("props"),
       "scan reads unneeded columns")
   }
@@ -179,7 +188,7 @@ class PlanRegressionSpec extends AnyFunSuite {
   test("u3 url dedup: map-side canonicalization, one aggregation exchange") {
     val p = plan("u3_url_dedup")
     assert("\\+- Exchange".r.findAllIn(p).size == 1, p)
-    assert("HashAggregate".r.findAllIn(p).size >= 2, "no partial agg")
+    assert(treeCount(p, "HashAggregate") >= 2, "no partial agg")
   }
 
   test("s2 knn: native dot_product, no corpus exchange") {
@@ -213,6 +222,6 @@ class PlanRegressionSpec extends AnyFunSuite {
       org.apache.spark.sql.execution.FormattedMode)
     assert("\\+- Exchange".r.findAllIn(p).size == 1, p.take(3000))
     assert(!p.contains("Generate"), "recompute should not explode rows")
-    assert("HashAggregate".r.findAllIn(p).size >= 2, "no partial agg")
+    assert(treeCount(p, "HashAggregate") >= 2, "no partial agg")
   }
 }
