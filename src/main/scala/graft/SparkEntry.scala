@@ -41,4 +41,16 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     packs.flatMap(_.oracle).toMap
+
+  /** (owned query names, release hook) per pack — the bench harness
+    * releases a pack's shared memo caches right after its last owned
+    * query in run order, so family-shared state (a built ANN index, a
+    * postings table) serves its whole family but never leaks into
+    * unrelated queries' measurements. */
+  def packReleases: Seq[(Set[String], SparkSession => Unit)] =
+    packs.map(p => (p.queries.keySet, (s: SparkSession) => p.releaseShared(s)))
+
+  /** Release every pack's session-shared caches and memos. */
+  def releaseShared(spark: SparkSession): Unit =
+    packs.foreach(_.releaseShared(spark))
 }

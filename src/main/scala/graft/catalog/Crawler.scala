@@ -59,6 +59,114 @@ object Crawler {
     name
   }
 
+  // ---- persistent registration (S7 durable): the Glue-catalog
+  // analogue. A temp view dies with the session; the reference's
+  // catalog persists table definitions and column comments across
+  // runs (lambda/catalog-creator-s3/app.py:148-200). Here the durable
+  // store is a MANIFEST parquet table under the warehouse dir — one
+  // row per registration event (last-wins per table) holding the
+  // source format, location, options, inferred schema DDL, and column
+  // comments. Registration ALSO creates a session-catalog EXTERNAL
+  // table (`CREATE TABLE ... USING fmt OPTIONS ... LOCATION`), so
+  // `spark.table(name)` / `spark.sql` work immediately and survive
+  // `spark.newSession()`; a brand-new JVM calls [[restoreCatalog]] to
+  // re-hydrate every entry from the manifest. Data never copies —
+  // the catalog entry is schema + pointer, exactly Glue's model. ----
+
+  private def manifestPath(warehouseDir: String) =
+    s"$warehouseDir/_catalog_manifest"
+
+  /** Escape a string for embedding in single-quoted SQL. */
+  private def sq(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  private def createExternal(spark: SparkSession, name: String,
+      schemaDdl: String, format: String, location: String,
+      options: Map[String, String],
+      comments: Map[String, String]): Unit = {
+    // column comments ride the CREATE (Glue: Comment on each column)
+    val struct = StructType.fromDDL(schemaDdl)
+    val cols = struct.fields.map { f =>
+      val base = s"${quoteIfNeeded(f.name)} ${f.dataType.sql}"
+      comments.get(f.name) match {
+        case Some(c) => s"$base COMMENT ${sq(c.take(255))}"
+        case None => base
+      }
+    }.mkString(", ")
+    val opts =
+      if (options.isEmpty) ""
+      else options.map { case (k, v) => s"${sq(k)} ${sq(v)}" }
+        .mkString("OPTIONS (", ", ", ")")
+    val loc = if (location.isEmpty) "" else s"LOCATION ${sq(location)}"
+    spark.sql(s"DROP TABLE IF EXISTS ${quoteIfNeeded(name)}")
+    spark.sql(
+      s"CREATE TABLE ${quoteIfNeeded(name)} ($cols) USING $format $opts $loc")
+  }
+
+  private def quoteIfNeeded(ident: String): String =
+    if (ident.matches("[a-zA-Z0-9_]+")) ident
+    else "`" + ident.replace("`", "``") + "`"
+
+  /** S7 durable: infer the source's schema, create the external table
+    * in the session catalog, and append the registration to the
+    * warehouse manifest. Re-registering the same name replaces both
+    * (UPDATE_IN_DATABASE). Returns the normalized table name. */
+  def registerTablePersistent(spark: SparkSession, warehouseDir: String,
+      rawName: String, kind: SourceKind, path: String,
+      comments: Map[String, String] = Map.empty): String = {
+    val name = normalizeName(rawName)
+    val df = infer(spark, kind, path)
+    // a relative LOCATION would resolve against the warehouse dir, not
+    // the caller's cwd — absolutize local paths before they enter the
+    // durable manifest
+    val absPath =
+      if (path.isEmpty || path.contains("://")) path
+      else new java.io.File(path).getAbsolutePath
+    val (format, location, options) = kind match {
+      case CsvSource => ("csv", absPath, Map(
+        "header" -> "true", "inferSchema" -> "false",
+        "multiLine" -> "true", "escape" -> "\""))
+      case SnapshotSource => ("parquet", absPath, Map.empty[String, String])
+      case JdbcSource(url, dbtable, props) =>
+        ("jdbc", "", props ++ Map("url" -> url, "dbtable" -> dbtable))
+    }
+    createExternal(spark, name, df.schema.toDDL, format, location,
+      options, comments)
+    import spark.implicits._
+    Seq((name, format, location, options, df.schema.toDDL, comments,
+        System.currentTimeMillis()))
+      .toDF("table_name", "format", "location", "options", "schema_ddl",
+        "comments", "registered_at")
+      .write.mode("append").parquet(manifestPath(warehouseDir))
+    name
+  }
+
+  /** The durable catalog's current state: latest manifest row per
+    * table (A2 argmax shape — the manifest is registration EVENTS;
+    * coordinator-sized, like any catalog metadata). */
+  def catalogState(spark: SparkSession, warehouseDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy(col("table_name"))
+      .orderBy(col("registered_at").desc)
+    spark.read.parquet(manifestPath(warehouseDir))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /** Hydrate a fresh session (or JVM) from the manifest: re-create
+    * every table the durable catalog knows, with schemas and column
+    * comments. The per-table work is metadata-only (no data read). */
+  def restoreCatalog(spark: SparkSession, warehouseDir: String): Seq[String] = {
+    catalogState(spark, warehouseDir).collect().toSeq.map { r =>
+      val opts = r.getAs[Map[String, String]]("options")
+      val cmts = r.getAs[Map[String, String]]("comments")
+      createExternal(spark, r.getAs[String]("table_name"),
+        r.getAs[String]("schema_ddl"), r.getAs[String]("format"),
+        r.getAs[String]("location"), opts, cmts)
+      r.getAs[String]("table_name")
+    }.sorted
+  }
+
   /** Point-read of registered table metadata (S9;
     * lambda/pii-report/app.py:129-148): one row per column. */
   def tableColumns(spark: SparkSession, table: String): DataFrame = {

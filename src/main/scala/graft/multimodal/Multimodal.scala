@@ -228,8 +228,12 @@ object Multimodal {
           in.close()
           Some(out)
         } catch {
-          case _: javax.sound.sampled.UnsupportedAudioFileException => None
-          case _: java.io.IOException => None
+          // NonFatal, not just the declared checked exceptions: codec
+          // internals throw RuntimeExceptions (IllegalArgument,
+          // ArrayIndexOutOfBounds, NegativeArraySize) on malformed
+          // payloads, and the contract is "undecodable rows drop" —
+          // one corrupt real-world payload must not fail the job
+          case scala.util.control.NonFatal(_) => None
         }
       }
     }
@@ -254,7 +258,7 @@ object Multimodal {
           if (img == null) None
           else Some(ImageDecoded(r.id, img.getWidth, img.getHeight,
             img.getRGB(0, 0)))
-        } catch { case _: java.io.IOException => None }
+        } catch { case scala.util.control.NonFatal(_) => None } // see decodeAudio: codecs throw RuntimeExceptions on malformed payloads
       }
     }
   }
@@ -295,7 +299,7 @@ object Multimodal {
             }
             Some(ImageResized(r.id, tw, th, sum))
           }
-        } catch { case _: java.io.IOException => None }
+        } catch { case scala.util.control.NonFatal(_) => None } // see decodeAudio: codecs throw RuntimeExceptions on malformed payloads
       }
     }
   }

@@ -15,6 +15,7 @@ object ProfileQueries extends QueryPack {
   private val BloomBits = 256
   private val BloomHashes = 3
   private val HllM = 64
+  private val MgK = 3
 
   def queries: Map[String, Q] = Map(
     "pr1_profile_customer" -> ((s, d) =>
@@ -58,6 +59,41 @@ object ProfileQueries extends QueryPack {
         .select(posexplode(col("bits")).as(Seq("pos", "bit")))
         .filter(col("bit") === 1L)
         .select(col("pos").cast("long").as("bit_pos"))
+    }),
+
+    // Misra-Gries heavy hitters, verdict form. WHICH sub-threshold
+    // items the sketch retains depends on partitioning, so the sketch
+    // itself can't be hash-compared — but its GUARANTEES can: every
+    // item with f > N/(k+1) must be present, and any reported count
+    // must satisfy f - N/(k+1) <= reported <= f. The query joins the
+    // k=3 sketch against the exact per-lang counts (en holds ~44% of
+    // documents — above the 25% threshold; the other four langs sit
+    // below, so the 3-counter sketch genuinely decrements) and emits
+    // one deterministic verdict row per language; the oracle replays
+    // the exact counts and asserts ok=true. All threshold arithmetic
+    // is integer (n*(k+1) vs N) — no float portability risk.
+    "pr6_heavy_hitters" -> ((s, d) => {
+      import graft.expressions.FrequentItemsAgg.frequent_items
+      val k = MgK
+      val docs = Tables.load(s, d, "documents")
+      val sk = docs
+        .agg(frequent_items(col("lang"), k).as("fi"))
+        .select(explode(col("fi")).as("e"))
+        .select(col("e.item").as("lang"),
+          col("e.lower_count").as("lower_count"))
+      val exact = docs.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_exact"))
+      val tot = exact.agg(sum(col("n_exact")).as("n_total"))
+      exact.crossJoin(broadcast(tot))
+        .join(broadcast(sk), Seq("lang"), "left")
+        .select(col("lang"), col("n_exact"),
+          (col("n_exact") * (k + 1) > col("n_total")).as("guaranteed"),
+          when(col("lower_count").isNull,
+              !(col("n_exact") * (k + 1) > col("n_total")))
+            .otherwise(col("lower_count") <= col("n_exact")
+              && (col("n_exact") - col("lower_count")) * (k + 1)
+                 <= col("n_total"))
+            .as("ok"))
     })
   )
 
@@ -146,6 +182,20 @@ object ProfileQueries extends QueryPack {
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE)
         |    / count(l_extendedprice) AS avg_value,
         |  min(l_extendedprice) AS min_value, max(l_extendedprice) AS max_value
-        |FROM lineitem""".stripMargin
+        |FROM lineitem""".stripMargin,
+
+    // the oracle replays the exact counts and asserts what the
+    // Misra-Gries guarantee PROMISES (ok = true everywhere); the Spark
+    // side reports what the sketch DELIVERED — any guarantee violation
+    // hash-mismatches
+    "pr6_heavy_hitters" ->
+      s"""WITH exact AS (
+         |  SELECT lang, CAST(count(*) AS BIGINT) AS n_exact
+         |  FROM documents GROUP BY lang),
+         |tot AS (SELECT CAST(sum(n_exact) AS BIGINT) AS n_total FROM exact)
+         |SELECT lang, n_exact,
+         |  n_exact * ${MgK + 1} > n_total AS guaranteed,
+         |  true AS ok
+         |FROM exact, tot""".stripMargin
   )
 }

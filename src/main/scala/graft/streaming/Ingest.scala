@@ -22,7 +22,10 @@ import graft.state.Tracker
 object Ingest {
 
   /** CloudTrail-ish management-event shape (lib/base-infra-stack.ts:
-    * 128-191): only the fields the triggers actually read. */
+    * 128-191): only the fields the triggers actually read.
+    * CreateDBCluster carries the new cluster's id in
+    * `responseElements` (the request names no table); Glue CreateTable
+    * carries the table spec in `requestParameters.tableInput`. */
   val eventSchema: StructType = StructType(Seq(
     StructField("source", StringType),
     StructField("detail", StructType(Seq(
@@ -30,15 +33,40 @@ object Ingest {
       StructField("awsRegion", StringType),
       StructField("requestParameters", StructType(Seq(
         StructField("bucketName", StringType),
-        StructField("tableName", StringType)))),
+        StructField("tableName", StringType),
+        StructField("databaseName", StringType),
+        StructField("tableInput", StructType(Seq(
+          StructField("name", StringType),
+          StructField("parameters", MapType(StringType, StringType)))))))),
+      StructField("responseElements", StructType(Seq(
+        StructField("dBClusterIdentifier", StringType)))),
       StructField("tags", MapType(StringType, StringType)))))))
 
-  /** Per-source validation rules (F8) + name extraction (P11):
-    * (eventSource, eventName, name field path, tracked type). */
+  /** One onboarding trigger (F8 validation + P11 name extraction). */
+  private[streaming] final case class Rule(
+      source: String, eventName: String, namePath: String, srcType: String,
+      /** glue-catalog rule only: require requestParameters.databaseName
+        * to equal the tracked catalog database, and carry the catalog
+        * coordinates so the tracker can mark the entry cataloged. */
+      catalogGated: Boolean = false)
+
+  /** Per-source validation rules. The rds rule reads
+    * `responseElements.dBClusterIdentifier` — CloudTrail's actual
+    * CreateDBCluster payload (reference rds-ddl-trigger/app.py:96-100
+    * validates the event then forwards `responseElements`;
+    * rds-glue-initial/app.py:370-371 reads `dBClusterIdentifier` from
+    * it). The fourth rule is the reference's Glue-CreateTable tracking
+    * path (rds-glue-data-catalog-tracking-stack.ts:39-48 +
+    * rds-glue-tracking-initial/app.py:93-123): a table created in the
+    * tracked catalog database onboards as an `rds` source that already
+    * HAS a catalog entry. */
   private val rules = Seq(
-    ("aws.s3", "CreateBucket", "detail.requestParameters.bucketName", "s3"),
-    ("aws.dynamodb", "CreateTable", "detail.requestParameters.tableName", "dynamodb"),
-    ("aws.rds", "CreateDBCluster", "detail.requestParameters.tableName", "rds"))
+    Rule("aws.s3", "CreateBucket", "detail.requestParameters.bucketName", "s3"),
+    Rule("aws.dynamodb", "CreateTable", "detail.requestParameters.tableName", "dynamodb"),
+    Rule("aws.rds", "CreateDBCluster",
+      "detail.responseElements.dBClusterIdentifier", "rds"),
+    Rule("aws.glue", "CreateTable",
+      "detail.requestParameters.tableInput.name", "rds", catalogGated = true))
 
   /** Parse + validate + gate a stream (or batch) of raw JSON event
     * strings into tracker-ready rows. `requireTag` models the
@@ -46,25 +74,45 @@ object Ingest {
     * `exceptions` the NOT-IN source exception list (F10). */
   def onboardingEvents(raw: DataFrame, jsonCol: String = "value",
       requireTag: Option[(String, String)] = Some("gdpr-scan" -> "true"),
-      exceptions: Seq[String] = Nil): DataFrame = {
+      exceptions: Seq[String] = Nil,
+      catalogDb: String = "graft_catalog"): DataFrame = {
     val parsed = raw
       .select(from_json(col(jsonCol), eventSchema).as("e"))
       .filter(col("e").isNotNull)
-    val validated = rules.map { case (src, evName, namePath, srcType) =>
-      parsed
-        .filter(col("e.source") === src && col("e.detail.eventName") === evName)
-        .select(col(s"e.$namePath").as("source_name"),
-          lit(srcType).as("data_source_type"),
-          map_concat(
-            map(lit("region"), coalesce(col("e.detail.awsRegion"), lit("unknown"))),
-            coalesce(col("e.detail.tags"),
-              map().cast(MapType(StringType, StringType))))
-            .as("data_source_attrs"))
+    val nullStr = lit(null).cast(StringType)
+    val validated = rules.map { r =>
+      val base = parsed
+        .filter(col("e.source") === r.source
+          && col("e.detail.eventName") === r.eventName)
+      // the glue-catalog rule validates the event's databaseName
+      // against the tracked catalog database (the reference exits on
+      // mismatch) and keeps the catalog coordinates; tag attrs come
+      // from tableInput.parameters there, CloudTrail tags elsewhere
+      val (gatedBase, tagsCol, tableCol, dbCol) =
+        if (r.catalogGated)
+          (base.filter(
+              col("e.detail.requestParameters.databaseName") === catalogDb),
+            col("e.detail.requestParameters.tableInput.parameters"),
+            col(s"e.${r.namePath}"),
+            col("e.detail.requestParameters.databaseName"))
+        else (base, col("e.detail.tags"), nullStr, nullStr)
+      gatedBase.select(col(s"e.${r.namePath}").as("source_name"),
+        lit(r.srcType).as("data_source_type"),
+        map_concat(
+          map(lit("region"), coalesce(col("e.detail.awsRegion"), lit("unknown"))),
+          coalesce(tagsCol, map().cast(MapType(StringType, StringType))))
+          .as("data_source_attrs"),
+        tableCol.as("data_catalog_table_name"),
+        dbCol.as("data_catalog_db_name"))
     }.reduce(_ unionByName _)
       .filter(col("source_name").isNotNull)
     val gated = requireTag match {
+      // sources that already sit in the tracked catalog database pass
+      // without the tag (the reference's glue-tracking path has no tag
+      // gate — Glue CreateTable events carry no resource tags)
       case Some((k, v)) => validated
-        .filter(col("data_source_attrs").getItem(k) === v)
+        .filter(col("data_source_attrs").getItem(k) === v
+          || col("data_catalog_table_name").isNotNull)
       case None => validated
     }
     if (exceptions.nonEmpty) gated.filter(!col("source_name").isin(exceptions: _*))
@@ -83,10 +131,10 @@ object Ingest {
       from_json(col(jsonCol), eventSchema).as("e"))
     def ruleMatch(src: String, evName: String) =
       col("e.source") === src && col("e.detail.eventName") === evName
-    val known = rules.map { case (src, evName, _, _) =>
-      ruleMatch(src, evName) }.reduce(_ || _)
-    val missingName = rules.map { case (src, evName, namePath, _) =>
-      ruleMatch(src, evName) && col(s"e.$namePath").isNull }.reduce(_ || _)
+    val known = rules.map(r => ruleMatch(r.source, r.eventName)).reduce(_ || _)
+    val missingName = rules.map(r =>
+      ruleMatch(r.source, r.eventName) && col(s"e.${r.namePath}").isNull)
+      .reduce(_ || _)
     // from_json with a STRUCT schema yields a row of nulls (not null)
     // on corrupt input, so JSON validity needs its own probe
     val isValidJson = get_json_object(col("raw_payload"), "$").isNotNull
@@ -117,7 +165,13 @@ object Ingest {
         dlqDir.foreach { d =>
           quarantined(batch).write.mode("append").parquet(d)
         }
-        tracker.initEntries(onboardingEvents(batch)): Unit
+        val events = onboardingEvents(batch)
+        tracker.initEntries(events): Unit
+        // glue-catalog rule rows arrive already cataloged (the
+        // reference inserts them with data_catalog_entry=True) — mark
+        // them in the same micro-batch, idempotently
+        val cataloged = events.filter(col("data_catalog_table_name").isNotNull)
+        if (!cataloged.isEmpty) tracker.markCatalogedAll(cataloged)
       }
       .start()
 }

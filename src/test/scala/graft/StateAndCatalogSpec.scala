@@ -115,6 +115,56 @@ class StateAndCatalogSpec extends AnyFunSuite {
     assert(inv2.filter(col("column_name") === "email").count() == 0)
   }
 
+  test("persistent registration survives a new session and a fresh-JVM restore") {
+    val wh = tmpDir("warehouse")
+    val dir = tmpDir("csvp")
+    Files.writeString(Paths.get(s"$dir/cust.csv"),
+      "id,email\n1,a@example.org\n2,b@example.org\n")
+    val snap = s"$dir/snap.parquet"
+    Seq((1L, "x"), (2L, "y")).toDF("pk", "payload")
+      .write.mode("overwrite").parquet(snap)
+
+    val t1 = Crawler.registerTablePersistent(spark, wh, "Cust.Master",
+      Crawler.CsvSource, s"$dir/cust.csv",
+      comments = Map("email" -> "Sensitive Data Element | EMAIL"))
+    val t2 = Crawler.registerTablePersistent(spark, wh, "Snap-Src",
+      Crawler.SnapshotSource, snap)
+    assert(t1 == "cust_master" && t2 == "snap_src")
+    assert(spark.table(t1).count() == 2)
+
+    // not a temp view: a NEW SESSION (fresh temp-view namespace, shared
+    // catalog) still sees it, schema and comment included
+    val s2 = spark.newSession()
+    assert(s2.catalog.tableExists(t1))
+    assert(s2.table(t1).schema("email").dataType.typeName == "string")
+    assert(s2.sql(s"DESCRIBE TABLE $t1").collect()
+      .exists(r => r.getString(0) == "email"
+        && String.valueOf(r.getString(2)).contains("EMAIL")))
+
+    // fresh-JVM path: drop the catalog entries (what a restart does to
+    // the session catalog), then hydrate from the durable manifest
+    spark.sql(s"DROP TABLE $t1")
+    spark.sql(s"DROP TABLE $t2")
+    assert(!spark.catalog.tableExists(t1))
+    val restored = Crawler.restoreCatalog(spark, wh)
+    assert(restored == Seq("cust_master", "snap_src"))
+    assert(spark.table(t1).count() == 2)      // external data untouched
+    assert(spark.table(t2).count() == 2)
+    assert(spark.sql(s"DESCRIBE TABLE $t1").collect()
+      .exists(r => r.getString(0) == "email"
+        && String.valueOf(r.getString(2)).contains("EMAIL")))
+
+    // re-registration replaces (UPDATE_IN_DATABASE): upstream adds a
+    // column; the durable state moves with it
+    Files.writeString(Paths.get(s"$dir/cust.csv"),
+      "id,email,city\n1,a@example.org,paris\n2,b@example.org,lyon\n")
+    Crawler.registerTablePersistent(spark, wh, "Cust.Master",
+      Crawler.CsvSource, s"$dir/cust.csv")
+    assert(Crawler.catalogState(spark, wh)
+      .filter(col("table_name") === t1).count() == 1)
+    assert(spark.table(t1).columns.toSet == Set("id", "email", "city"))
+  }
+
   test("classify finds phone numbers in the inferred CSV source") {
     val dir = tmpDir("csv2")
     Files.writeString(Paths.get(s"$dir/ind.csv"),

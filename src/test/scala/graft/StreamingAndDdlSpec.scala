@@ -62,6 +62,50 @@ class StreamingAndDdlSpec extends AnyFunSuite {
     assert(tracker.pendingCatalog("dynamodb").count() == 1)
   }
 
+  test("real CloudTrail shapes: rds responseElements id + glue CreateTable rule") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[String]
+    val tracker = new Tracker(spark, tmp("glue_tracker"))
+    val ckpt = tmp("glue_ckpt")
+    // CreateDBCluster: CloudTrail puts the cluster id in
+    // responseElements.dBClusterIdentifier — requestParameters carries
+    // no tableName (the field the pre-round-7 rule read)
+    val rdsEv =
+      """{"source": "aws.rds", "detail": {"eventName": "CreateDBCluster",
+        |"awsRegion": "eu-west-1",
+        |"requestParameters": {"engine": "aurora-postgresql"},
+        |"responseElements": {"dBClusterIdentifier": "cluster-a"},
+        |"tags": {"gdpr-scan": "true"}}}""".stripMargin.replace("\n", " ")
+    // Glue CreateTable in the tracked catalog database: onboards
+    // already-cataloged (no resource tags on this event type)
+    def glueEv(db: String, table: String) =
+      s"""{"source": "aws.glue", "detail": {"eventName": "CreateTable",
+         |"awsRegion": "eu-west-1",
+         |"requestParameters": {"databaseName": "$db",
+         |"tableInput": {"name": "$table",
+         |"parameters": {"classification": "postgresql"}}}}}"""
+        .stripMargin.replace("\n", " ")
+    stream.addData(rdsEv,
+      glueEv("graft_catalog", "rds_tbl_1"),
+      glueEv("other_db", "rds_tbl_2")) // databaseName gate: dropped
+    Ingest.runOnboarding(spark, stream.toDF(), tracker, ckpt)
+      .awaitTermination(60000)
+
+    val rows = tracker.read().collect()
+    assert(rows.map(_.getAs[String]("source_name")).toSet
+      == Set("cluster-a", "rds_tbl_1"))
+    // the new cluster awaits cataloging; the glue-created table
+    // arrives with data_catalog_entry=true (reference parity)
+    assert(tracker.pendingCatalog("rds").count() == 1)
+    val cat = tracker.cataloged("rds").collect()
+    assert(cat.length == 1)
+    assert(cat.head.getAs[String]("source_name") == "rds_tbl_1")
+    assert(cat.head.getAs[String]("data_catalog_table_name") == "rds_tbl_1")
+    assert(cat.head.getAs[String]("data_catalog_db_name") == "graft_catalog")
+    assert(cat.head.getAs[Map[String, String]]("data_source_attrs")
+      .get("classification").contains("postgresql"))
+  }
+
   test("malformed events land in the dead-letter sink, not the floor") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[String]
