@@ -117,6 +117,18 @@ object Bench {
 
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
 
+    // machine-factor canary (SCALE.md round-6 convention): q1_agg
+    // re-measured after the whole suite. Its in-suite sample ran near
+    // the start, so (start, end) brackets the run — a large delta
+    // means the host's speed moved DURING the run and cross-query
+    // comparisons inside this record carry that noise
+    val canaryEnd =
+      try {
+        val t0 = System.nanoTime()
+        SparkEntry.queries("q1_agg")(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case NonFatal(_) => -1.0 }
+
     // full-name record → repo file: survives regardless of how much of
     // stdout the driver captures
     val full = new StringBuilder
@@ -126,7 +138,8 @@ object Bench {
     full ++= s""","errors":${errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")}"""
     full ++= s""","retried":${retried.map { case (k, (a, b)) => s"${jstr(k)}:[${num6(a)},${num6(b)}]" }
-      .mkString("{", ",", "}")}}"""
+      .mkString("{", ",", "}")}"""
+    full ++= s""","canary_q1_end":${num6(canaryEnd)}}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("/root/repo/BENCH_FULL.json"), full.toString)
 
@@ -140,7 +153,7 @@ object Bench {
     if (retried.nonEmpty)
       extra ++= s""","retried":${retried.map { case (k, (a, b)) => s"${jstr(shortKey(k))}:[${num(a)},${num(b)}]" }
         .mkString("{", ",", "}")}"""
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qsShort,"sf":${jstr(sfDir)},"full":"BENCH_FULL.json"$extra}""")
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qsShort,"sf":${jstr(sfDir)},"full":"BENCH_FULL.json","canary":${num(canaryEnd)}$extra}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }
