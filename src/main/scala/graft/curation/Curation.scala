@@ -84,7 +84,12 @@ object Curation {
     // round-6 slowest query). The corpus total is sum(tf) by
     // definition, so derive it from the vocab table instead of paying
     // a second corpus-wide explode for count(*).
-    val tf = toks.groupBy(col("token")).agg(count(lit(1)).as("tf"))
+    // Cache tf: it feeds BOTH the broadcast build side and n_total —
+    // uncached, Spark plans the corpus explode + token agg twice. The
+    // vocab table is broadcastable by assumption, so caching it is
+    // memory-free at any corpus scale (released via Caches.scoped).
+    val tf = graft.util.Caches.scoped(
+      toks.groupBy(col("token")).agg(count(lit(1)).as("tf")))
     val nTotal = tf.agg(sum(col("tf")).as("n_total"))
     toks.join(broadcast(tf), Seq("token"))
       .crossJoin(broadcast(nTotal))

@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench-hygiene utilities are measurement infrastructure — a bug
+  * here silently corrupts every number the driver records, so they get
+  * their own specs.
+  */
+class HarnessUtilSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("Caches.scoped registers and releaseStray unpersists exactly once") {
+    import spark.implicits._
+    graft.util.Caches.releaseStray() // drain anything earlier suites left
+    val df = Seq(1, 2, 3).toDF("v")
+    graft.util.Caches.scoped(df)
+    df.count()
+    assert(df.storageLevel.useMemory, "scoped df should be cached")
+    assert(graft.util.Caches.releaseStray() == 1)
+    assert(!df.storageLevel.useMemory, "released df should be uncached")
+    assert(graft.util.Caches.releaseStray() == 0, "registry must drain")
+  }
+
+  test("Scratch.localDir: fresh per-run dir, stale siblings deleted") {
+    val base = java.nio.file.Files.createTempDirectory("scratch_spec").toFile
+    val stale = new java.io.File(base, "hspec-stale123")
+    stale.mkdirs()
+    java.nio.file.Files.writeString(
+      new java.io.File(stale, "shuffle.data").toPath, "x")
+    // Scratch reads SPARK_GRAFT_LOCAL_BASE from the env, which a test
+    // can't mutate in-JVM — so exercise the contract that matters on
+    // the real base: a fresh, writable, prefix-named dir per run, and
+    // prior runs' same-prefix dirs swept on the next startup
+    val d1 = graft.util.Scratch.localDir("hspec-run-")
+    val f1 = new java.io.File(d1)
+    assert(f1.isDirectory && f1.canWrite)
+    assert(f1.getName.startsWith("hspec-run-"))
+    // a second run's dir is distinct, and the first run's dir (a
+    // "stale sibling" by prefix) is cleaned up by the new run
+    val d2 = graft.util.Scratch.localDir("hspec-run-")
+    assert(d2 != d1)
+    assert(!f1.exists, "stale sibling from a prior run must be deleted")
+    new java.io.File(d2).delete()
+    new java.io.File(stale, "shuffle.data").delete()
+    stale.delete(); base.delete()
+  }
+
+  test("Bench.shortKey is collision-free over the full query set and stable") {
+    val names = SparkEntry.queries.keys.toSeq
+    val keys = names.map(Bench.shortKey)
+    assert(keys.distinct.size == names.size,
+      names.zip(keys).groupBy(_._2).filter(_._2.size > 1).toString)
+    assert(Bench.shortKey("x10_token_rarity") == "x10tr")
+    assert(Bench.shortKey("q1_agg") == "q1a")
+    // the stdout contract: short-keyed line must fit the harness's
+    // 2000-byte tail capture with headroom for canary/errors fields
+    val line = keys.map(k => s""""$k":0.123""").mkString(",").length + 120
+    assert(line < 1900, s"stdout bench line too long: $line")
+  }
+}

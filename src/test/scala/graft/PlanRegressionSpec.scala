@@ -185,6 +185,18 @@ class PlanRegressionSpec extends AnyFunSuite {
       "scan reads unneeded columns")
   }
 
+  test("x10 token rarity: tf broadcasts, occurrences never hash-partition on token") {
+    val p = plan("x10_token_rarity")
+    // the round-6 shape shuffled every token OCCURRENCE on the token
+    // key; the vocab-sized tf side must broadcast instead. Exactly one
+    // hashpartitioning(token) is allowed: the tf partial-agg exchange,
+    // which moves only per-partition-distinct tokens, not occurrences.
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert("hashpartitioning\\(token".r.findAllIn(p).size <= 1,
+      "occurrence stream shuffled on token")
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
   test("u3 url dedup: map-side canonicalization, one aggregation exchange") {
     val p = plan("u3_url_dedup")
     assert("\\+- Exchange".r.findAllIn(p).size == 1, p)
