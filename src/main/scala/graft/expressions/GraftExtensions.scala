@@ -89,6 +89,20 @@ object GraftFunctions {
       s"$name must be an integer literal, got $other")
   }
 
+  /** Foldable array-of-doubles argument (e.g. `array(0.5, 0.9)`),
+    * evaluated at registration/analysis time — quantile lists shape
+    * the aggregate's output and cannot be data-dependent. */
+  private[expressions] def doubleArrayLit(e: Expression, name: String): Seq[Double] =
+    if (e.foldable) {
+      e.eval(null) match {
+        case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+          a.toDoubleArray().toSeq
+        case other => throw new IllegalArgumentException(
+          s"$name must be an array<double> literal, got $other")
+      }
+    } else throw new IllegalArgumentException(
+      s"$name must be a foldable array<double> literal, got $e")
+
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
     import org.apache.spark.sql.graft.Bridge
     Bridge.registerFunction(spark, "dot_product",
@@ -111,6 +125,9 @@ object GraftFunctions {
         intLit(exprs(1), "numBits"), intLit(exprs(2), "numHashes")))
     Bridge.registerFunction(spark, "frequent_items",
       exprs => FrequentItemsAgg(exprs(0), intLit(exprs(1), "k")))
+    Bridge.registerFunction(spark, "quantile_digest",
+      exprs => QuantileDigestAgg(exprs(0), intLit(exprs(1), "k"),
+        intLit(exprs(2), "depth"), doubleArrayLit(exprs(3), "quantiles")))
   }
 }
 
@@ -148,5 +165,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         intLit(exprs(1), "numBits"), intLit(exprs(2), "numHashes")))
     fn(e, "frequent_items", classOf[FrequentItemsAgg],
       exprs => FrequentItemsAgg(exprs(0), intLit(exprs(1), "k")))
+    import GraftFunctions.doubleArrayLit
+    fn(e, "quantile_digest", classOf[QuantileDigestAgg],
+      exprs => QuantileDigestAgg(exprs(0), intLit(exprs(1), "k"),
+        intLit(exprs(2), "depth"), doubleArrayLit(exprs(3), "quantiles")))
   }
 }

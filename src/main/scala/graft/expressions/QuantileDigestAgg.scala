@@ -1,0 +1,216 @@
+package graft.expressions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types._
+
+/** q-digest quantile sketch (Shrivastava et al., SenSys 2004; merge
+  * analysis per Agarwal et al., "Mergeable Summaries", PODS 2012) —
+  * the quantile member of the sketch family (CMS = point frequency,
+  * Bloom = membership, HLL = cardinality, MG = top-k). The exact
+  * percentile query (an1) sorts the full column per group; at 100 TB
+  * that is a corpus-wide sort. This aggregate keeps O(k·log U) counts
+  * per group, merges associatively (map-side partials stay tiny on
+  * the shuffle), and still GUARANTEES a deterministic rank bound:
+  *
+  *   every reported value v for quantile q satisfies
+  *   |rank(v) − ⌈q·N⌉| ≤ ε·N with ε = depth/k
+  *
+  * because each value's count lives on the path from its leaf to the
+  * root (compression only moves counts UP), internal-node counts
+  * never exceed ⌊N/k⌋, and at most `depth` nodes straddle any query
+  * point. No randomness anywhere — the digest is a deterministic
+  * function of the multiset per partition and of the merge tree.
+  *
+  * Domain: longs in [0, 2^depth); the caller quantizes (e.g. dollars
+  * → cents). Out-of-range inputs clamp to the domain edges. WHICH
+  * tree nodes hold the counts depends on merge order (partitioning),
+  * so — like [[FrequentItemsAgg]] — the sketch is spec-verified on
+  * its guarantee (pr7's verdict form + QuantileSketchSpec), not
+  * bit-compared.
+  *
+  * Buffer: nodeId → count, nodeId 1 = root, leaf(v) = 2^depth | v,
+  * parent = id >>> 1; reserved key 0 holds N. Compression merges
+  * (node, sibling) into parent while the triple sum < ⌊N/k⌋, deepest
+  * first — O(size·log size) per pass, amortized over ≥ cap/2 inserts.
+  * A safety valve doubles the threshold if a pass leaves the buffer
+  * over cap (adversarial sparse domains only — never fires on real
+  * data; the pr7 verdict bound carries 2× headroom for it).
+  *
+  * `quantiles` must be ascending; eval returns
+  * array<struct<q double, est long>> in that order.
+  */
+case class QuantileDigestAgg(
+    child: Expression,
+    k: Int,
+    depth: Int,
+    quantiles: Seq[Double],
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[scala.collection.mutable.HashMap[Long, Long]]
+  with UnaryLike[Expression] {
+
+  require(k >= 8 && k <= (1 << 20), "k must be in 8..2^20")
+  require(depth >= 1 && depth <= 56, "depth must be in 1..56")
+  require(quantiles.nonEmpty && quantiles == quantiles.sorted &&
+    quantiles.forall(q => q > 0.0 && q <= 1.0),
+    "quantiles must be ascending in (0, 1]")
+
+  private type Buf = scala.collection.mutable.HashMap[Long, Long]
+
+  private val maxValue = (1L << depth) - 1L
+  private val leafBit = 1L << depth
+  private val cap = 8 * k
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("q", DoubleType, nullable = false),
+    StructField("est", LongType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): Buf = new Buf
+
+  /** Largest domain value inside the node's subtree. */
+  private def nodeMax(id: Long): Long = {
+    val lvl = 63 - java.lang.Long.numberOfLeadingZeros(id)
+    (((id + 1L) << (depth - lvl)) - 1L) - leafBit
+  }
+
+  /** One bottom-up merge pass at threshold `t`: deepest nodes first,
+    * (node, sibling, parent) collapse into the parent while their sum
+    * stays under t. Deterministic: processing order is descending id. */
+  private def pass(buf: Buf, t: Long): Unit = {
+    val ids = buf.keys.filter(_ > 1L).toArray
+    java.util.Arrays.sort(ids)
+    var i = ids.length - 1
+    while (i >= 0) {
+      val id = ids(i)
+      buf.get(id) match {
+        case Some(c) =>
+          val sib = id ^ 1L
+          val par = id >>> 1
+          val sum = c + buf.getOrElse(sib, 0L) + buf.getOrElse(par, 0L)
+          if (sum < t) {
+            buf.remove(id)
+            buf.remove(sib)
+            buf.update(par, sum)
+          }
+        case None => // already absorbed as a sibling
+      }
+      i -= 1
+    }
+  }
+
+  private def compress(buf: Buf): Unit = {
+    val n = buf.getOrElse(0L, 0L)
+    var t = math.max(1L, n / k)
+    pass(buf, t)
+    // safety valve: sparse adversarial domains can defeat the n/k
+    // threshold while n is still small; memory stays bounded at the
+    // cost of (documented, 2×-headroomed) extra rank error
+    while (buf.size > cap && t < Long.MaxValue / 2) {
+      t *= 2
+      pass(buf, t)
+    }
+  }
+
+  override def update(buffer: Buf, input: InternalRow): Buf = {
+    val v = child.eval(input)
+    if (v != null) {
+      val clamped = math.min(math.max(v.asInstanceOf[Long], 0L), maxValue)
+      val leaf = leafBit | clamped
+      buffer.update(leaf, buffer.getOrElse(leaf, 0L) + 1L)
+      buffer.update(0L, buffer.getOrElse(0L, 0L) + 1L)
+      if (buffer.size > cap) compress(buffer)
+    }
+    buffer
+  }
+
+  override def merge(b1: Buf, b2: Buf): Buf = {
+    b2.foreachEntry { (id, c) =>
+      b1.update(id, b1.getOrElse(id, 0L) + c)
+    }
+    if (b1.size > 3 * k) compress(b1)
+    b1
+  }
+
+  override def eval(buffer: Buf): Any = {
+    val n = buffer.getOrElse(0L, 0L)
+    if (n == 0L) return new GenericArrayData(Array.empty[Any])
+    // ascending by subtree max; deeper node first on ties (same max)
+    val nodes = buffer.iterator.filter(_._1 != 0L).toArray
+    scala.util.Sorting.stableSort(nodes,
+      (a: (Long, Long), b: (Long, Long)) => {
+        val ma = nodeMax(a._1); val mb = nodeMax(b._1)
+        if (ma != mb) ma < mb else a._1 > b._1
+      })
+    val out = new Array[Any](quantiles.length)
+    var qi = 0
+    var cum = 0L
+    var i = 0
+    while (i < nodes.length && qi < quantiles.length) {
+      cum += nodes(i)._2
+      val value = nodeMax(nodes(i)._1)
+      while (qi < quantiles.length &&
+             cum >= math.max(1L, math.ceil(quantiles(qi) * n).toLong)) {
+        out(qi) = InternalRow(quantiles(qi), value)
+        qi += 1
+      }
+      i += 1
+    }
+    // numeric edge (q ~ 1.0 with ceil rounding): report the global max
+    while (qi < quantiles.length) {
+      out(qi) = InternalRow(quantiles(qi), nodeMax(nodes(nodes.length - 1)._1))
+      qi += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buffer: Buf): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buffer.size)
+    buffer.foreachEntry { (id, c) => out.writeLong(id); out.writeLong(c) }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): Buf = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = new Buf
+    var i = 0
+    while (i < n) {
+      val id = in.readLong()
+      buf.update(id, in.readLong())
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): QuantileDigestAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): QuantileDigestAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): QuantileDigestAgg =
+    copy(child = newChild)
+  override def prettyName: String = "quantile_digest"
+}
+
+object QuantileDigestAgg {
+  /** Column API: q-digest quantile estimates for the group —
+    * array<struct<q, est>> in ascending-q order. `value` must be a
+    * LongType column in [0, 2^depth). */
+  def quantile_digest(value: Column, k: Int, depth: Int,
+      quantiles: Seq[Double]): Column =
+    Bridge.column(
+      QuantileDigestAgg(Bridge.expression(value), k, depth, quantiles)
+        .toAggregateExpression())
+}

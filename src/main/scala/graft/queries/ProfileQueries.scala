@@ -16,6 +16,9 @@ object ProfileQueries extends QueryPack {
   private val BloomHashes = 3
   private val HllM = 64
   private val MgK = 3
+  private val QdK = 2048
+  private val QdDepth = 32
+  private val QdQs = Seq(0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
 
   def queries: Map[String, Q] = Map(
     "pr1_profile_customer" -> ((s, d) =>
@@ -93,6 +96,35 @@ object ProfileQueries extends QueryPack {
             .otherwise(col("lower_count") <= col("n_exact")
               && (col("n_exact") - col("lower_count")) * (k + 1)
                  <= col("n_total"))
+            .as("ok"))
+    }),
+
+    // q-digest quantile sketch, verdict form. WHICH tree nodes hold
+    // the counts is merge-order-dependent, so — as with pr6 — the
+    // GUARANTEE is the checked result: every reported value's exact
+    // rank interval [count(<v)+1, count(<=v)] must intersect
+    // [⌈q·N⌉ − ε·N, ⌈q·N⌉ + ε·N], ε = depth/k (2× headroom for the
+    // compression valve; at N = 15k, k = 2048 that is ±3.2% of rank —
+    // far tighter than the digest's worst case in practice). The
+    // sketch runs over o_totalprice quantized to cents; one verdict
+    // row per requested quantile, oracle replays ok = true.
+    "pr7_quantile_sketch" -> ((s, d) => {
+      import graft.expressions.QuantileDigestAgg.quantile_digest
+      val cents = Tables.load(s, d, "orders")
+        .select((col("o_totalprice") * 100).cast("long").as("cents"))
+      val est = cents
+        .agg(quantile_digest(col("cents"), QdK, QdDepth, QdQs).as("sk"))
+        .select(explode(col("sk")).as("e"))
+        .select(col("e.q").as("q"), col("e.est").as("est"))
+      val eps = lit(2.0 * QdDepth / QdK) // rank-fraction bound
+      cents.crossJoin(broadcast(est))
+        .groupBy(col("q"), col("est"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("cents") <= col("est"), 1L).otherwise(0L)).as("r_hi"),
+          sum(when(col("cents") < col("est"), 1L).otherwise(0L)).as("r_lo"))
+        .select(col("q"), col("n_total"),
+          (col("r_hi") >= ceil(col("q") * col("n_total")) - eps * col("n_total")
+            && col("r_lo") + 1 <= ceil(col("q") * col("n_total")) + eps * col("n_total"))
             .as("ok"))
     })
   )
@@ -196,6 +228,15 @@ object ProfileQueries extends QueryPack {
          |SELECT lang, n_exact,
          |  n_exact * ${MgK + 1} > n_total AS guaranteed,
          |  true AS ok
-         |FROM exact, tot""".stripMargin
+         |FROM exact, tot""".stripMargin,
+
+    // the oracle replays what the q-digest bound PROMISES (ok = true
+    // for every quantile); the Spark side reports what the sketch
+    // DELIVERED — any rank-guarantee violation hash-mismatches
+    "pr7_quantile_sketch" ->
+      s"""WITH qs AS (
+         |  SELECT unnest(CAST([${QdQs.mkString(",")}] AS DOUBLE[])) AS q),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM orders)
+         |SELECT q, n_total, true AS ok FROM qs, tot""".stripMargin
   )
 }

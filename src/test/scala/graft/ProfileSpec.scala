@@ -136,4 +136,56 @@ class ProfileSpec extends AnyFunSuite {
       .collect()(0).getSeq[org.apache.spark.sql.Row](0)
     assert(viaSql.exists(_.getString(0) == "alpha"))
   }
+
+  test("q-digest: exact quantiles while the buffer never compresses") {
+    import org.apache.spark.sql.functions._
+    import graft.expressions.QuantileDigestAgg
+    val qs = Seq(0.1, 0.5, 0.9, 1.0)
+    // 1000 distinct values, far under cap = 8k: leaves stay exact, so
+    // the estimate IS the ⌈q·N⌉-th smallest value
+    val r = (0L until 1000L).toDF("v")
+      .agg(QuantileDigestAgg.quantile_digest(col("v"), 4096, 16, qs).as("sk"))
+      .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+      .map(row => row.getDouble(0) -> row.getLong(1)).toMap
+    qs.foreach { q =>
+      val expected = math.max(1L, math.ceil(q * 1000).toLong) - 1L
+      assert(r(q) == expected, s"q=$q: got ${r(q)}, want $expected")
+    }
+  }
+
+  test("q-digest: rank guarantee holds under compression and any partitioning") {
+    import org.apache.spark.sql.functions._
+    import graft.expressions.QuantileDigestAgg
+    val k = 1024
+    val depth = 20
+    val qs = Seq(0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+    // deterministic skewed multiset: quadratic spread + heavy value,
+    // ~5k distinct leaves so partial-merge buffers exceed 3k and the
+    // threshold-4 compression genuinely fires
+    val values = (0 until 5000).map(i => (i.toLong * i) % 99991L) ++
+      Seq.fill(500)(77L)
+    val n = values.length
+    val sorted = values.sorted
+    val eps = 2.0 * depth / k // the documented 2×-headroom bound
+    for (parts <- Seq(1, 3, 13)) {
+      val est = values.toDF("v").repartition(parts)
+        .agg(QuantileDigestAgg.quantile_digest(col("v"), k, depth, qs).as("sk"))
+        .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+        .map(row => row.getDouble(0) -> row.getLong(1)).toMap
+      qs.foreach { q =>
+        val v = est(q)
+        val target = math.max(1L, math.ceil(q * n).toLong)
+        val rHi = sorted.count(_ <= v).toLong
+        val rLo = sorted.count(_ < v).toLong
+        assert(rHi >= target - eps * n && rLo + 1 <= target + eps * n,
+          s"q=$q parts=$parts: est=$v rank=[${rLo + 1},$rHi] target=$target ±${eps * n}")
+      }
+    }
+    // SQL registration surface (array-literal quantile list)
+    values.toDF("v").createOrReplaceTempView("qd_in")
+    val viaSql = spark.sql(
+      "SELECT quantile_digest(v, 1024, 20, array(0.5D)) FROM qd_in")
+      .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+    assert(viaSql.length == 1 && viaSql.head.getDouble(0) == 0.5)
+  }
 }
