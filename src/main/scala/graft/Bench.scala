@@ -25,6 +25,12 @@ import scala.util.control.NonFatal
   * released right after the pack's LAST query in run order, so the
   * build-once/serve-many pattern inside a family still holds but no
   * query runs under the accumulated storage of unrelated earlier ones.
+  *
+  * Stall robustness (SCALE.md round-7 addendum): two full passes with
+  * per-query min (both recorded), start/end q1 canaries, in-pass >60s
+  * re-measure, and an end-of-suite re-measure for >5s survivors —
+  * layered because this box's 1-3 minute stall windows otherwise turn
+  * arbitrary 1s queries into 10-20s readings.
   */
 object Bench {
 
@@ -99,38 +105,55 @@ object Bench {
       try timeQuery("q1_agg") catch { case NonFatal(_) => -1.0 }
     graft.util.Caches.releaseStray()
 
-    val results = order.zipWithIndex.map { case ((name, fn), i) =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
-        (System.nanoTime() - t0) / 1e9
-      }
-      val sec =
-        try {
-          val t1 = once()
-          // Host stall guard (SCALE.md round-6 addendum): this box has
-          // 1-3 minute full-stall windows that hit whichever query is
-          // running. No query legitimately approaches 60 s at bench SF,
-          // so a measurement above that re-measures once — against
-          // RESET shared caches, so the retry does the same work as a
-          // cold run — and reports the faster sample; both samples go
-          // in the record so the discarded one stays visible.
-          if (t1 > 60) {
-            graft.util.Caches.releaseStray()
-            SparkEntry.releaseShared(spark)
-            val t2 = once()
-            retried(name) = (t1, t2)
-            math.min(t1, t2)
-          } else t1
-        } catch {
-          case NonFatal(e) =>
-            errors(name) = (e.getClass.getSimpleName + ": " +
-              String.valueOf(e.getMessage)).take(160)
-            -1.0
+    // One full measurement pass over every query, preserving the
+    // family cache discipline: stray caches drop after each query,
+    // each pack's shared memos drop after the pack's last query.
+    def fullPass(): Seq[(String, Double)] =
+      order.zipWithIndex.map { case ((name, fn), i) =>
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
         }
-      graft.util.Caches.releaseStray()
-      releaseAt.getOrElse(i, Nil).foreach(_(spark))
-      name -> sec
+        val sec =
+          try {
+            val t1 = once()
+            // Host stall guard (SCALE.md round-6 addendum): this box
+            // has 1-3 minute full-stall windows. No query legitimately
+            // approaches 60 s at bench SF, so a measurement above that
+            // re-measures once against RESET shared caches; both
+            // samples go in the record.
+            if (t1 > 60) {
+              graft.util.Caches.releaseStray()
+              SparkEntry.releaseShared(spark)
+              val t2 = once()
+              retried(name) = (t1, t2)
+              math.min(t1, t2)
+            } else t1
+          } catch {
+            case NonFatal(e) =>
+              errors.getOrElseUpdate(name, (e.getClass.getSimpleName + ": " +
+                String.valueOf(e.getMessage)).take(160))
+              -1.0
+          }
+        graft.util.Caches.releaseStray()
+        releaseAt.getOrElse(i, Nil).foreach(_(spark))
+        name -> sec
+      }
+
+    // TWO full passes, per-query min (both pass values recorded in
+    // BENCH_FULL.json): the dominant noise source is the host's stall
+    // windows, and the probability one covers the SAME query in both
+    // passes (which run minutes apart) is far lower than once. min()
+    // also absorbs one-off JIT/GC unluck. Work per pass is identical —
+    // every cache is released on the same boundaries — so pass2 is a
+    // true re-measurement, not a warm replay.
+    val pass1 = fullPass()
+    val pass2 = fullPass()
+    val p2 = pass2.toMap
+    val results = pass1.map { case (name, a) =>
+      val b = p2.getOrElse(name, -1.0)
+      name -> (if (a < 0) b else if (b < 0) a else math.min(a, b))
     }
 
     // Slow-sample retry pass: the in-run guard only catches >60 s
@@ -171,6 +194,10 @@ object Bench {
     full ++= s""","errors":${errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")}"""
     full ++= s""","retried":${retried.map { case (k, (a, b)) => s"${jstr(k)}:[${num6(a)},${num6(b)}]" }
+      .mkString("{", ",", "}")}"""
+    full ++= s""","pass1":${pass1.map { case (k, v) => s"${jstr(k)}:${num6(v)}" }
+      .mkString("{", ",", "}")}"""
+    full ++= s""","pass2":${pass2.map { case (k, v) => s"${jstr(k)}:${num6(v)}" }
       .mkString("{", ",", "}")}"""
     full ++= s""","canary_q1_start":${num6(canaryStart)},"canary_q1_end":${num6(canaryEnd)}}"""
     java.nio.file.Files.writeString(
