@@ -126,6 +126,32 @@ object ProfileQueries extends QueryPack {
           (col("r_hi") >= ceil(col("q") * col("n_total")) - eps * col("n_total")
             && col("r_lo") + 1 <= ceil(col("q") * col("n_total")) + eps * col("n_total"))
             .as("ok"))
+    }),
+
+    // Grouped q-digest: per-language token-count quantiles — the
+    // per-domain profiling shape a 100 TB corpus actually asks for
+    // (one digest buffer per group, each carrying its own ε·N_group
+    // guarantee; the shuffle moves |langs| digests, not rows). Same
+    // verdict form as pr7, one row per (lang, quantile).
+    "pr8_grouped_quantiles" -> ((s, d) => {
+      import graft.expressions.QuantileDigestAgg.quantile_digest
+      val toks = Tables.load(s, d, "documents")
+        .select(col("lang"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+      val est = toks.groupBy(col("lang"))
+        .agg(quantile_digest(col("n_tok"), QdK, QdDepth, QdQs).as("sk"))
+        .select(col("lang"), explode(col("sk")).as("e"))
+        .select(col("lang"), col("e.q").as("q"), col("e.est").as("est"))
+      val eps = lit(2.0 * QdDepth / QdK)
+      toks.join(broadcast(est), Seq("lang"))
+        .groupBy(col("lang"), col("q"), col("est"))
+        .agg(count(lit(1)).as("n_lang"),
+          sum(when(col("n_tok") <= col("est"), 1L).otherwise(0L)).as("r_hi"),
+          sum(when(col("n_tok") < col("est"), 1L).otherwise(0L)).as("r_lo"))
+        .select(col("lang"), col("q"), col("n_lang"),
+          (col("r_hi") >= ceil(col("q") * col("n_lang")) - eps * col("n_lang")
+            && col("r_lo") + 1 <= ceil(col("q") * col("n_lang")) + eps * col("n_lang"))
+            .as("ok"))
     })
   )
 
@@ -237,6 +263,13 @@ object ProfileQueries extends QueryPack {
       s"""WITH qs AS (
          |  SELECT unnest(CAST([${QdQs.mkString(",")}] AS DOUBLE[])) AS q),
          |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM orders)
-         |SELECT q, n_total, true AS ok FROM qs, tot""".stripMargin
+         |SELECT q, n_total, true AS ok FROM qs, tot""".stripMargin,
+
+    "pr8_grouped_quantiles" ->
+      s"""WITH qs AS (
+         |  SELECT unnest(CAST([${QdQs.mkString(",")}] AS DOUBLE[])) AS q),
+         |l AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_lang
+         |      FROM documents GROUP BY lang)
+         |SELECT lang, q, n_lang, true AS ok FROM l CROSS JOIN qs""".stripMargin
   )
 }

@@ -53,6 +53,13 @@ class GraftSessionSpec extends AnyFunSuite {
     val err = intercept[Exception](
       s.sql("SELECT hll_registers(c, length(c)) FROM sk_vals").collect())
     assert(err.getMessage.toLowerCase.contains("literal"))
+    // q-digest: array-literal quantile list, struct<q, est> output
+    val qd = s.sql(
+      """SELECT quantile_digest(CAST(length(c) AS BIGINT), 256, 16,
+        |  array(0.5D, 0.9D)) AS sk FROM sk_vals""".stripMargin)
+      .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+    assert(qd.map(_.getDouble(0)) == Seq(0.5, 0.9))
+    assert(qd.forall(r => r.getLong(1) >= 2 && r.getLong(1) <= 4)) // "v1".."v100"
   }
 
   test("a reference-style job runs end to end on a configured session") {

@@ -185,6 +185,19 @@ class PlanRegressionSpec extends AnyFunSuite {
       "scan reads unneeded columns")
   }
 
+  test("pr8 grouped quantiles: shuffle carries digests, rank check broadcasts") {
+    val p = plan("pr8_grouped_quantiles")
+    assert(p.contains("quantile_digest"), p.take(2000))
+    // partial -> final digest pair: the lang exchange moves one
+    // serialized digest per (partition, lang), never token-count rows
+    assert(treeCount(p, "ObjectHashAggregate") >= 2
+      || treeCount(p, "SortAggregate") >= 2, "no partial digest agg")
+    // the exact-rank verdict joins ~|langs|·|qs| estimate rows back
+    // against the corpus: must broadcast, not shuffle the corpus
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
   test("x10 token rarity: tf broadcasts, occurrences never hash-partition on token") {
     val p = plan("x10_token_rarity")
     // the round-6 shape shuffled every token OCCURRENCE on the token
