@@ -188,4 +188,21 @@ class ProfileSpec extends AnyFunSuite {
       .collect()(0).getSeq[org.apache.spark.sql.Row](0)
     assert(viaSql.length == 1 && viaSql.head.getDouble(0) == 0.5)
   }
+
+  test("q-digest edges: nulls skipped, out-of-domain clamps, empty input") {
+    import org.apache.spark.sql.functions._
+    import graft.expressions.QuantileDigestAgg.quantile_digest
+    def est(df: org.apache.spark.sql.DataFrame) = df
+      .agg(quantile_digest(col("v"), 256, 8, Seq(0.5)).as("sk")) // domain [0, 256)
+      .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+    // nulls don't count toward N: median of {10, null×10, 20} is 10
+    val withNulls = (Seq[java.lang.Long](10L, 20L) ++
+      Seq.fill[java.lang.Long](10)(null)).toDF("v")
+    assert(est(withNulls).head.getLong(1) == 10L)
+    // below-domain clamps to 0, above-domain clamps to 2^depth − 1
+    assert(est(Seq(-5L, -5L, -5L).toDF("v")).head.getLong(1) == 0L)
+    assert(est(Seq(999L, 999L, 999L).toDF("v")).head.getLong(1) == 255L)
+    // empty input → empty estimate array, not a crash
+    assert(est(Seq.empty[Long].toDF("v")).isEmpty)
+  }
 }

@@ -39,6 +39,38 @@ class StreamingWindowSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("q-digest aggregates inside a streaming window (sketches compose with state)") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import graft.expressions.QuantileDigestAgg.quantile_digest
+    val st = MemoryStream[(Timestamp, Long)]
+    // per-10-min-window latency quantiles — the streaming profiling
+    // shape: the state store holds one digest per window, micro-batch
+    // updates merge into it via the same associative merge as batch
+    val q = st.toDF().toDF("ts", "latency")
+      .groupBy(window(col("ts"), "10 minutes"))
+      .agg(quantile_digest(col("latency"), 256, 16, Seq(0.5, 0.9)).as("sk"))
+      .select(col("window.start").as("w"), col("sk"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("qdout")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      st.addData((1 to 60).map(i => (ts(1), i.toLong)): _*)
+      q.processAllAvailable()
+      st.addData((61 to 100).map(i => (ts(2), i.toLong)): _*) // same window
+      st.addData((ts(11), 500L))                              // next window
+      q.processAllAvailable()
+      val rows = spark.table("qdout").collect()
+        .map(r => r.getTimestamp(0) ->
+          r.getSeq[org.apache.spark.sql.Row](1)
+            .map(e => e.getDouble(0) -> e.getLong(1)).toMap).toMap
+      // window 1 saw 1..100 uncompressed (distinct < cap): exact
+      assert(rows(ts(0))(0.5) == 50L && rows(ts(0))(0.9) == 90L)
+      assert(rows(ts(10))(0.5) == 500L)
+    } finally q.stop()
+  }
+
   test("session windows merge events within the gap (batch parity)") {
     val events = Seq(
       (1L, ts(0), 1.0), (1L, ts(10), 2.0),   // one session (gap 30m)
