@@ -359,8 +359,14 @@ object Curation {
     * (singletons keep their own id as the component). */
   def connectedComponents(nodes: DataFrame, edges: DataFrame): DataFrame = {
     val idName = nodes.columns.head
+    // Pre-partition the symmetrized edge list on the probe key ONCE:
+    // every round joins sym(s) = labels(id), and a cached frame keeps
+    // its outputPartitioning, so the per-round join re-shuffles only
+    // the (much smaller, freshly-aggregated) label frame — the edge
+    // list crosses the network once for D rounds instead of D times.
     val sym = edges.toDF("s", "d")
       .union(edges.toDF("d", "s").select(col("s"), col("d")))
+      .repartition(col("s"))
       .cache()
     // Iterate ONLY over nodes that touch an edge: the dup-pair graph
     // is orders of magnitude smaller than the corpus (candidates are
