@@ -175,17 +175,24 @@ object Curation {
 
   /** Stratified sample: exactly min(k, |stratum|) rows per stratum,
     * chosen by md5-of-id order (deterministic, uniform within the
-    * stratum). One shuffle on the stratum key; the window sort is
-    * per-stratum, so skewed strata are the only risk — at 100 TB,
-    * cap per-stratum input first or salt the heavy stratum. */
+    * stratum — a bottom-k sketch per stratum, so the sample is stable
+    * across runs/engines/partitionings and only churns 1/k of itself
+    * when the corpus grows). Routed through the TopKPerKey physical
+    * operator: bounded per-key heaps prune each map partition to ≤ k
+    * rows per stratum BEFORE the exchange, so the shuffle carries
+    * ≤ k·|strata| rows per partition instead of the whole corpus, and
+    * no per-stratum sort ever materializes — the window form
+    * (row_number over partitionBy) shuffles and sorts everything just
+    * to discard all but k. Same total order (md5 asc, id asc) →
+    * result-identical rows. Skewed strata cost nothing extra here:
+    * the heap caps the hot stratum's map-side residue at k. */
   def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
       k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(strataCol))
-      .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))
-    df.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .drop("rn")
+    val withH = df.withColumn("__h",
+      md5(col(idCol).cast("string").cast("binary")))
+    org.apache.spark.sql.graft.TopKPerKey.topKPerKey(
+        withH, Seq(strataCol), Seq(("__h", false), (idCol, false)), k)
+      .drop("__h")
   }
 
   /** Per-document top-k terms by TF-IDF. idf is the exact rational
@@ -342,30 +349,86 @@ object Curation {
       (col(idName) === col("component")).as("keep"))
   }
 
-  /** Connected components by iterative min-label propagation: every
-    * node's label becomes the min over {self} ∪ neighbor labels until
-    * a fixed point. Deterministic output: component id = min node id.
+  /** Connected components, adaptive by edge-list size. Deterministic
+    * output either way: component id = min node id.
     *
-    * Iteration count is the graph diameter; near-dup graphs are
-    * clouds of small cliques (diameter ≤ ~3), so this converges in a
-    * few rounds. Each round is one join + one aggregate on the edge
-    * list — at 100 TB-corpus scale the edge list is the (already
-    * candidate-pruned) dup-pair output, orders of magnitude smaller
-    * than the corpus; for adversarial long-chain graphs switch to the
-    * large-star/small-star scheme (same join primitive, O(log n)
-    * rounds).
+    * The dup-pair graph is the candidate-pruned output of the dedup
+    * stage — orders of magnitude smaller than the corpus. When it
+    * fits on the driver (≤ `maxDriverEdges`), a single collect + path-
+    * compressed union-find replaces D join/aggregate rounds: the
+    * iterative path costs a fixed number of Spark jobs per round
+    * (join, aggregate, checkpoint, convergence count), which at any
+    * scale is pure scheduling overhead once the subgraph is small.
+    * The label table it produces is itself small (≤ 2·|E| nodes), so
+    * shipping it back as a broadcast-joinable frame is free. Above
+    * the cutoff — adversarially dense dup graphs — the distributed
+    * min-label propagation below engages unchanged, so correctness
+    * never depends on the graph fitting anywhere. (GraphFrames'
+    * production CC makes the same move: a broadcast-threshold
+    * "skinny" phase over the pruned edge set.)
     *
     * `edges`: (src, dst) undirected pairs; `nodes`: one column of ids
     * (singletons keep their own id as the component). */
-  def connectedComponents(nodes: DataFrame, edges: DataFrame): DataFrame = {
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+      maxDriverEdges: Int = 1 << 22): DataFrame = {
     val idName = nodes.columns.head
+    val e2 = edges.toDF("s", "d")
+    // Size gate and fetch in ONE job: limit(cutoff+1) caps what can
+    // reach the driver, and when the graph is under the cutoff the
+    // limit returns every edge — no separate count pass.
+    val fetched = e2.limit(maxDriverEdges + 1).collect()
+    if (fetched.length <= maxDriverEdges) {
+      val spark = nodes.sparkSession
+      val idType = nodes.schema.head.dataType
+      // Path-compressed union-find; representative = min member id,
+      // chosen at the end so the result is independent of edge order.
+      val parent = new java.util.HashMap[Any, Any]()
+      def find(x: Any): Any = {
+        var r = x
+        while (parent.get(r) != null && parent.get(r) != r) r = parent.get(r)
+        var c = x
+        while (c != r && parent.get(c) != r) {
+          val n = parent.get(c); parent.put(c, r); c = n
+        }
+        r
+      }
+      fetched.foreach { row =>
+        val (a, b) = (row.get(0), row.get(1))
+        if (parent.get(a) == null) parent.put(a, a)
+        if (parent.get(b) == null) parent.put(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent.put(ra, rb)
+      }
+      val repMin = new java.util.HashMap[Any, Any]()
+      parent.keySet().forEach { n =>
+        val r = find(n)
+        val cur = repMin.get(r)
+        if (cur == null ||
+            n.asInstanceOf[Comparable[Any]].compareTo(cur) < 0)
+          repMin.put(r, n)
+      }
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      parent.keySet().forEach { n =>
+        rows.add(org.apache.spark.sql.Row(n, repMin.get(find(n))))
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(idName, idType),
+        org.apache.spark.sql.types.StructField("component", idType)))
+      val labels = spark.createDataFrame(rows, schema)
+      // the label table is ≤ 2·|E| rows — broadcast it so the
+      // corpus-sized node frame never shuffles
+      return nodes.select(col(idName))
+        .join(broadcast(labels), Seq(idName), "left")
+        .select(col(idName),
+          coalesce(col("component"), col(idName)).as("component"))
+    }
     // Pre-partition the symmetrized edge list on the probe key ONCE:
     // every round joins sym(s) = labels(id), and a cached frame keeps
     // its outputPartitioning, so the per-round join re-shuffles only
     // the (much smaller, freshly-aggregated) label frame — the edge
     // list crosses the network once for D rounds instead of D times.
-    val sym = edges.toDF("s", "d")
-      .union(edges.toDF("d", "s").select(col("s"), col("d")))
+    val sym = e2
+      .union(e2.select(col("d"), col("s")))
       .repartition(col("s"))
       .cache()
     // Iterate ONLY over nodes that touch an edge: the dup-pair graph

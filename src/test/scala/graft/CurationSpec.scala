@@ -151,6 +151,22 @@ class CurationSpec extends AnyFunSuite {
     assert(out.values.toSet == Set(1L))
   }
 
+  test("connectedComponents: distributed path matches driver union-find") {
+    // chain + clique + singletons, run once per branch (cutoff 0
+    // forces the iterative label-propagation path)
+    val nodes = (1L to 9L).toDF("id")
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (6L, 7L), (7L, 8L), (6L, 8L))
+      .toDF("s", "d")
+    val viaDriver = Curation.connectedComponents(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaIterative = Curation
+      .connectedComponents(nodes, edges, maxDriverEdges = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaDriver == viaIterative)
+    assert(viaDriver == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 6L, 7L -> 6L, 8L -> 6L, 9L -> 9L))
+  }
+
   test("mixtureWeights: sqrt temperature sums to 1 and flattens skew") {
     import org.apache.spark.sql.functions.lit
     // 100 docs in a, 1 doc in b: raw share 100/101 vs sqrt share 10/11
