@@ -120,7 +120,14 @@ class PropertiesSpec extends AnyFunSuite {
       val minimal = comp.groupBy(_._2).forall { case (label, members) =>
         members.keys.min == label
       }
-      closed && minimal && comp.size == 10
+      // the distributed label-propagation branch (cutoff 0) must
+      // produce the identical assignment as the driver union-find
+      val distributed = graft.curation.Curation
+        .connectedComponents(nodes,
+          if (edges.isEmpty) Seq((1L, 1L)).toDF("s", "d").limit(0)
+          else edges.toDF("s", "d"), maxDriverEdges = 0)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      closed && minimal && comp.size == 10 && distributed == comp
     }, n = 5)
   }
 
