@@ -281,13 +281,98 @@ object Curation {
       quota: Long): DataFrame = {
     val counts = df.groupBy(col(domainCol))
       .agg(count(lit(1)).as("n_domain"))
-    val hashFrac =
-      conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 8),
-        16, 10).cast("long") / lit(4294967296.0)
+    val hashFrac = hashFrac32(idCol) / lit(4294967296.0)
     df.join(broadcast(counts), Seq(domainCol))
       .filter(hashFrac < least(lit(1.0), lit(quota.toDouble) / col("n_domain")))
       .select(col(idCol), col(domainCol))
   }
+
+  /** Uniform fraction in [0,1) encoded by the first 8 hex chars of
+    * md5(id) — the shared deterministic randomness source for
+    * [[hashRateSample]], [[weightedResample]] and [[globalShuffle]]. */
+  private def hashFrac32(idCol: String) =
+    conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 8),
+      16, 10).cast("long")
+
+  /** Deterministic global training shuffle: assign every row a
+    * (shard, pos) pair that materializes a pseudo-random corpus order
+    * WITHOUT a global sort. shard = md5-uniform bucket in
+    * [0, numShards); pos = the row's rank within its shard by full-md5
+    * order. A training loader reads shard files independently (any
+    * order, any parallelism) and walks each by pos — the concatenation
+    * is an md5-shuffled permutation of the corpus.
+    *
+    * 100 TB shape: the window's partitionBy(shard) is ONE hash
+    * exchange on the shard key plus a sort WITHIN each shard's
+    * partition — no global range exchange, no driver involvement, and
+    * md5 uniformity keeps the numShards buckets balanced regardless of
+    * id skew (pick numShards ≥ cluster cores so every executor sorts
+    * only corpus/numShards rows). Assignment is content-free and
+    * engine-portable: stable across runs, partitionings, and engines,
+    * and a grown corpus only inserts new ranks — existing relative
+    * order never flips. */
+  def globalShuffle(df: DataFrame, idCol: String, numShards: Int): DataFrame = {
+    require(numShards > 0, s"numShards must be positive (got $numShards)")
+    import org.apache.spark.sql.expressions.Window
+    val h = md5(col(idCol).cast("string").cast("binary"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("__h"), col(idCol))
+    df.withColumn("__h", h)
+      .withColumn("shard",
+        pmod(hashFrac32(idCol), lit(numShards.toLong)).cast("int"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("__h")
+  }
+
+  /** Per-document benchmark-contamination score: the fraction of the
+    * doc's distinct n-gram shingles that also occur in the benchmark.
+    * Where [[decontaminate]] reports the raw shared-shingle count (a
+    * boolean gate once > 0), the fractional score supports the
+    * standard curation policy of thresholding ("drop docs > 10%
+    * contaminated, keep incidental overlaps") — n-gram overlap
+    * decontamination as published for GPT-3/PaLM-style dataset
+    * construction.
+    *
+    * Plan shape matches [[decontaminate]]: the benchmark's distinct
+    * shingle set broadcasts, the corpus postings stream map-side
+    * through the hash join, and the only shuffle is the per-doc
+    * aggregation — the corpus is never shuffled on content. Docs
+    * shorter than n tokens have no shingles and are absent (score
+    * undefined), same contract as decontaminate. At benchmark sizes
+    * beyond broadcast reach, the [[decontaminateBloom]] pre-filter
+    * composes identically (probe first, exact join after). */
+  def contaminationScore(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int = 5): DataFrame = {
+    val corpusSh = Dedup.shinglePostings(corpus, idCol, textCol, n, Int.MaxValue)
+    val benchSh = Dedup.shinglePostings(benchmark, idCol, textCol, n, Int.MaxValue)
+      .select(col("shingle")).distinct().withColumn("__hit", lit(1))
+    corpusSh
+      .join(broadcast(benchSh), Seq("shingle"), "left")
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_shingles"),
+        count(col("__hit")).as("n_shared"),
+        round(count(col("__hit")).cast("double") / count(lit(1)), 6)
+          .as("contamination"))
+      .withColumnRenamed("doc", "doc_id")
+  }
+
+  /** Quality-weighted resampling: keep each row with probability
+    * clamp(weight, 0, 1), decided by whether the row's md5-uniform
+    * fraction falls below its weight — the importance-sampling pass
+    * that turns a per-doc quality score into a kept corpus whose
+    * density tracks quality (weight 1 → always kept, 0.3 → ~30%).
+    * Same deterministic-randomness contract as [[hashRateSample]],
+    * with the rate per-ROW instead of per-domain: stable across runs
+    * and engines, and keep sets are monotone in the weight (a doc
+    * kept at weight w is kept at every w' > w, since the comparison
+    * is against the same fixed fraction).
+    *
+    * 100 TB shape: a pure stateless projection + filter — zero
+    * shuffle, zero state, embarrassingly parallel, safe to fuse into
+    * any scan. */
+  def weightedResample(df: DataFrame, idCol: String,
+      weightCol: String): DataFrame =
+    df.filter(hashFrac32(idCol) / lit(4294967296.0) <
+      least(lit(1.0), greatest(lit(0.0), col(weightCol))))
 
   /** Token-budget bin packing (training-batch construction): within
     * each shard (`partCol`), documents are laid out in id order and

@@ -94,6 +94,34 @@ object CurationQueries extends QueryPack {
       Curation.hashRateSample(
         Tables.load(s, d, "documents"), "source", "doc_id", quota = 12L)),
 
+    // Deterministic global training shuffle: (shard, pos) over 16
+    // md5-uniform shards — one hash exchange + per-shard sort, no
+    // global sort
+    "c9_global_shuffle" -> ((s, d) =>
+      Curation.globalShuffle(
+        Tables.load(s, d, "documents"), "doc_id", numShards = 16)
+        .select(col("doc_id"), col("shard"), col("pos"))),
+
+    // Fractional benchmark contamination per doc (thresholdable score,
+    // vs c1's raw shared count)
+    "c11_contamination_score" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      Curation.contaminationScore(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"),
+        "doc_id", "text", n = 5)
+    }),
+
+    // Quality-weighted resample: keep-probability = quality score,
+    // decided by the doc's fixed md5 fraction (deterministic)
+    "c12_quality_resample" -> ((s, d) =>
+      Curation.weightedResample(
+        Tables.load(s, d, "documents")
+          .select(col("doc_id"),
+            graft.functions.TextFunctions.qualityScore(col("text"))
+              .as("weight")),
+        "doc_id", "weight")),
+
     // Packed training sequences: per (source, bin), member texts
     // concatenated in doc-id order with an EOS separator — the row a
     // pretraining loader consumes (c5's bins materialized)
@@ -269,6 +297,14 @@ object CurationQueries extends QueryPack {
        |     ELSE 'test' END""".stripMargin
   }
 
+  /** First 8 md5 hex chars of doc_id as an unsigned 32-bit BIGINT —
+    * DuckDB replay of Curation.hashFrac32 (no conv() in DuckDB, so
+    * the hex digits are positionally summed). */
+  private val hash32Sql = (1 to 8).map(i =>
+    s"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 1)" +
+      s" * ${1L << (4 * (8 - i))}")
+    .mkString("CAST(", " + ", " AS BIGINT)")
+
   def oracle: Map[String, String] = Map(
     "b1_bpe_merges" -> bpeOracle,
     "b2_bpe_encode" -> bpeEncodeOracle,
@@ -353,17 +389,36 @@ object CurationQueries extends QueryPack {
         |  round(sqrt(n_docs) / z, 9) AS weight
         |FROM per, z""".stripMargin,
 
-    "c6_quota_sample" -> {
-      // first 8 md5 hex chars as an unsigned 32-bit fraction of 2^32
-      val frac = (1 to 8).map(i =>
-        s"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 1)" +
-          s" * ${1L << (4 * (8 - i))}")
-        .mkString("CAST(", " + ", " AS BIGINT) / 4294967296.0")
+    "c6_quota_sample" ->
       s"""WITH cnt AS (SELECT source, count(*) AS n_domain
          |  FROM documents GROUP BY source)
          |SELECT doc_id, source FROM documents JOIN cnt USING (source)
-         |WHERE $frac < least(1.0, 12.0 / n_domain)""".stripMargin
-    },
+         |WHERE $hash32Sql / 4294967296.0 < least(1.0, 12.0 / n_domain)""".stripMargin,
+
+    "c9_global_shuffle" ->
+      s"""WITH s AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+         |    CAST($hash32Sql % 16 AS INTEGER) AS shard
+         |  FROM documents)
+         |SELECT doc_id, shard,
+         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
+         |    AS BIGINT) AS pos
+         |FROM s""".stripMargin,
+
+    "c11_contamination_score" ->
+      s"""WITH ${shingles("csh", "source <> 'src0'", 5)},
+         |${shingles("bsh", "source = 'src0'", 5)}
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+         |  CAST(count(CASE WHEN shingle IN (SELECT shingle FROM bsh)
+         |    THEN 1 END) AS BIGINT) AS n_shared,
+         |  round(CAST(count(CASE WHEN shingle IN (SELECT shingle FROM bsh)
+         |    THEN 1 END) AS DOUBLE) / count(*), 6) AS contamination
+         |FROM csh GROUP BY doc_id""".stripMargin,
+
+    "c12_quality_resample" ->
+      s"""SELECT doc_id, ${TextQueries.qualitySql} AS weight
+         |FROM documents
+         |WHERE $hash32Sql / 4294967296.0
+         |  < least(1.0, greatest(0.0, ${TextQueries.qualitySql}))""".stripMargin,
 
     "d7_dedup_clusters" ->
       s"""WITH RECURSIVE ${DedupQueries.postingsCte},

@@ -95,6 +95,70 @@ class CurationSpec extends AnyFunSuite {
     assert(out.toSet.subsetOf(again))
   }
 
+  test("globalShuffle: complete, balanced, contiguous ranks, stable order") {
+    val df = (1 to 500).map(_.toLong).toDF("doc_id")
+    val out = Curation.globalShuffle(df, "doc_id", numShards = 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // every doc exactly once, shards in range
+    assert(out.length == 500 && out.map(_._1).distinct.length == 500)
+    assert(out.forall(t => t._2 >= 0 && t._2 < 16))
+    // pos is contiguous 1..n within each shard
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    // md5-uniform: no shard hogs the corpus (500/16 ≈ 31; loose bound)
+    assert(out.groupBy(_._2).values.map(_.size).max < 60)
+    // determinism across partitionings
+    val again = Curation.globalShuffle(df.repartition(7), "doc_id", 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(again == out.toSet)
+    // growth-stability: adding docs never swaps two existing docs'
+    // relative order within a shard
+    val grown = Curation.globalShuffle(
+        (1 to 600).map(_.toLong).toDF("doc_id"), "doc_id", 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val oldRank = out.map(t => t._1 -> (t._2, t._3)).toMap
+    grown.filter(t => oldRank.contains(t._1)).groupBy(_._2)
+      .foreach { case (shard, rows) =>
+        val byNew = rows.sortBy(_._3).map(_._1)
+        val byOld = rows.sortBy(t => oldRank(t._1)).map(_._1)
+        assert(byNew.toSeq == byOld.toSeq, s"shard $shard reordered")
+      }
+  }
+
+  test("contaminationScore: exact fractions, full-overlap doc scores 1") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"),          // 1 shingle, shared → 1.0
+      (2L, "alpha beta gamma delta epsilon zeta"),     // 2 shingles, 1 shared → 0.5
+      (3L, "totally unrelated content with many words"), // 0 shared → 0.0
+      (4L, "too short")                                 // no shingles → absent
+    ).toDF("doc_id", "text")
+    val out = Curation.contaminationScore(corpus, bench, "doc_id", "text", 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out(1L) == ((1L, 1L, 1.0)))
+    assert(out(2L) == ((2L, 1L, 0.5)))
+    assert(out(3L)._2 == 0L && out(3L)._3 == 0.0)
+  }
+
+  test("weightedResample: clamped, monotone in weight, deterministic") {
+    val ids = (1 to 400).map(_.toLong)
+    def kept(w: Double) = Curation.weightedResample(
+        ids.map(i => (i, w)).toDF("doc_id", "weight"), "doc_id", "weight")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept(1.0).size == 400 && kept(2.0).size == 400) // clamp high
+    assert(kept(0.0).isEmpty && kept(-1.0).isEmpty)        // clamp low
+    val k3 = kept(0.3); val k7 = kept(0.7)
+    assert(k3.subsetOf(k7)) // same fixed fraction per id → monotone
+    // ~binomial(400, p): loose uniformity bounds
+    assert(k3.size > 70 && k3.size < 180)
+    assert(k7.size > 220 && k7.size < 340)
+    assert(kept(0.3) == k3) // rerun identical
+  }
+
   test("tfidf ranks stratum-unique terms above corpus-wide terms") {
     val df = Seq(
       (1L, "common common rare1"),

@@ -210,6 +210,25 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p.take(2000))
   }
 
+  test("c9 global shuffle: one hash exchange on shard, no range sort") {
+    val p = plan("c9_global_shuffle")
+    // training order must come from hashpartitioning(shard) + a
+    // within-partition sort — a rangepartitioning exchange means the
+    // plan regressed to a global ORDER BY (sampling pass + skew
+    // exposure for a total order nobody consumes)
+    assert("\\+- Exchange".r.findAllIn(p).size == 1, p.take(3000))
+    assert(p.contains("hashpartitioning(shard"), p.take(3000))
+    assert(!p.contains("rangepartitioning"), "global sort crept in")
+    // the scan reads only the id column
+    assert(p.contains("ReadSchema: struct<doc_id:bigint>"), p.take(3000))
+  }
+
+  test("c12 quality resample: zero-shuffle scan-fused filter") {
+    val p = plan("c12_quality_resample")
+    assert(!p.contains("Exchange"), "resample must stay map-only")
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window"), p.take(2000))
+  }
+
   test("u3 url dedup: map-side canonicalization, one aggregation exchange") {
     val p = plan("u3_url_dedup")
     assert("\\+- Exchange".r.findAllIn(p).size == 1, p)
