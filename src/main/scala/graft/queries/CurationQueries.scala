@@ -122,6 +122,26 @@ object CurationQueries extends QueryPack {
               .as("weight")),
         "doc_id", "weight")),
 
+    // Cross-split leakage audit: test-split docs that near-duplicate a
+    // train-split doc (band-collision + Jaccard >= 0.5) — the check
+    // that an eval split isn't a paraphrase of the training set.
+    // Reuses d3's shared postings/stats/candidates with a split
+    // side-condition: val-split docs drop out of the isNew inner join,
+    // and new≠seen keeps only test×train pairs.
+    "c13_split_leakage" -> ((s, d) => {
+      val (postings, stats, cands) = DedupQueries.sharedLsh(s, d)
+      val isNew = Curation.splitAssign(
+          Tables.load(s, d, "documents").select(col("doc_id")), "doc_id")
+        .filter(col("split") =!= "val")
+        .select(col("doc_id").cast("long").as("doc"),
+          (col("split") === "test").as("is_new"))
+      graft.dedup.Dedup.incrementalNearDupFromPostings(postings, isNew,
+          numHashes = 8, rowsPerBand = 2, threshold = 0.5,
+          stats = Some(stats), candidates = Some(cands))
+        .withColumnRenamed("new_doc", "test_doc")
+        .withColumnRenamed("seen_doc", "train_doc")
+    }),
+
     // Packed training sequences: per (source, bin), member texts
     // concatenated in doc-id order with an EOS separator — the row a
     // pretraining loader consumes (c5's bins materialized)
@@ -419,6 +439,25 @@ object CurationQueries extends QueryPack {
          |FROM documents
          |WHERE $hash32Sql / 4294967296.0
          |  < least(1.0, greatest(0.0, ${TextQueries.qualitySql}))""".stripMargin,
+
+    "c13_split_leakage" ->
+      s"""WITH ${DedupQueries.postingsCte},
+         |sigs AS (SELECT doc_id, ${DedupQueries.minhashSigsSql}
+         |         FROM p GROUP BY doc_id),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM sigs a JOIN sigs b
+         |         ON a.doc_id < b.doc_id AND (${DedupQueries.bandEqSql})),
+         |sp AS (SELECT doc_id, $splitCase AS split FROM documents),
+         |typed AS (SELECT c.doc_a, c.doc_b,
+         |            CASE WHEN sa.split = 'test' THEN c.doc_a ELSE c.doc_b END AS test_doc,
+         |            CASE WHEN sa.split = 'test' THEN c.doc_b ELSE c.doc_a END AS train_doc
+         |          FROM cand c JOIN sp sa ON c.doc_a = sa.doc_id
+         |                      JOIN sp sb ON c.doc_b = sb.doc_id
+         |          WHERE sa.split <> 'val' AND sb.split <> 'val'
+         |            AND sa.split <> sb.split)
+         |SELECT t.test_doc, t.train_doc, j.jaccard
+         |FROM typed t JOIN jac j ON t.doc_a = j.doc_a AND t.doc_b = j.doc_b
+         |WHERE j.jaccard >= 0.5""".stripMargin,
 
     "d7_dedup_clusters" ->
       s"""WITH RECURSIVE ${DedupQueries.postingsCte},

@@ -41,6 +41,15 @@ object DedupQueries extends QueryPack {
     (postings, stats)
   }
 
+  /** postings + pair stats + band-keyed LSH candidates — shared with
+    * CurationQueries' split-leakage audit (c13), which reuses the d3
+    * candidate set with a split side-condition. */
+  private[queries] def sharedLsh(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val (_, postings, stats, cands) = sharedAll(s, d)
+    (postings, stats, cands)
+  }
+
   override def releaseShared(spark: SparkSession): Unit = {
     memo.values.foreach { case (groups, _, stats, cands) =>
       Seq(groups, stats, cands).foreach(_.unpersist(true))
@@ -147,6 +156,14 @@ object DedupQueries extends QueryPack {
        |sig AS (SELECT doc_id AS doc, $bits AS simhash32 FROM ss)""".stripMargin
   }
 
+  /** d3's MinHash signature + band-collision SQL fragments (8 hashes,
+    * 4 bands × 2 rows) — shared with CurationQueries' c13 oracle. */
+  private[queries] val minhashSigsSql = (0 until 8)
+    .map(i => s"min(md5('$i|' || shingle)) AS h$i").mkString(", ")
+  private[queries] val bandEqSql = (0 until 4)
+    .map(b => s"(a.h${2 * b} || '|' || a.h${2 * b + 1}) = (b.h${2 * b} || '|' || b.h${2 * b + 1})")
+    .mkString(" OR ")
+
   def oracle: Map[String, String] = Map(
     "d1_exact_dedup" ->
       """SELECT fp, n_copies, canonical_id FROM (
@@ -161,11 +178,7 @@ object DedupQueries extends QueryPack {
          |FROM jac WHERE jaccard >= 0.1""".stripMargin,
 
     "d3_minhash_lsh" -> {
-      val mins = (0 until 8)
-        .map(i => s"min(md5('$i|' || shingle)) AS h$i").mkString(", ")
-      val bandEq = (0 until 4)
-        .map(b => s"(a.h${2 * b} || '|' || a.h${2 * b + 1}) = (b.h${2 * b} || '|' || b.h${2 * b + 1})")
-        .mkString(" OR ")
+      val (mins, bandEq) = (minhashSigsSql, bandEqSql)
       s"""WITH $postingsCte,
          |sigs AS (SELECT doc_id, $mins FROM p GROUP BY doc_id),
          |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -176,11 +189,7 @@ object DedupQueries extends QueryPack {
     },
 
     "d11_incremental_lsh" -> {
-      val mins = (0 until 8)
-        .map(i => s"min(md5('$i|' || shingle)) AS h$i").mkString(", ")
-      val bandEq = (0 until 4)
-        .map(b => s"(a.h${2 * b} || '|' || a.h${2 * b + 1}) = (b.h${2 * b} || '|' || b.h${2 * b + 1})")
-        .mkString(" OR ")
+      val (mins, bandEq) = (minhashSigsSql, bandEqSql)
       s"""WITH $postingsCte,
          |sigs AS (SELECT doc_id, $mins FROM p GROUP BY doc_id),
          |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

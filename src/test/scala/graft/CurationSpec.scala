@@ -159,6 +159,42 @@ class CurationSpec extends AnyFunSuite {
     assert(kept(0.3) == k3) // rerun identical
   }
 
+  test("split-leakage audit: test×train pairs only, correctly oriented") {
+    import graft.dedup.Dedup
+    // even ids share one text (near-dup cluster spanning splits); odd
+    // ids are unique
+    val docs = (1 to 80).map { i =>
+      val t = if (i % 2 == 0) "alpha beta gamma delta epsilon zeta eta theta"
+        else s"unique text number $i with no token overlap whatsoever here"
+      (i.toLong, t)
+    }.toDF("doc_id", "text")
+    val split = Curation.splitAssign(docs.select(col("doc_id")), "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val postings = Dedup.shinglePostings(docs, "doc_id", "text", 3, Int.MaxValue)
+    val isNew = Curation.splitAssign(docs.select(col("doc_id")), "doc_id")
+      .filter(col("split") =!= "val")
+      .select(col("doc_id").cast("long").as("doc"),
+        (col("split") === "test").as("is_new"))
+    val out = Dedup.incrementalNearDupFromPostings(postings, isNew,
+        numHashes = 8, rowsPerBand = 2, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // orientation: first column is always the test doc, second the
+    // train doc; val docs never appear
+    assert(out.nonEmpty)
+    out.foreach { case (te, tr, j) =>
+      assert(split(te) == "test" && split(tr) == "train", s"($te,$tr)")
+      assert(j == 1.0) // identical texts
+    }
+    // completeness: every (test, train) pair of the identical-text
+    // cluster is reported (identical signatures always band-collide)
+    val evens = (1 to 80).filter(_ % 2 == 0).map(_.toLong)
+    val expected = for {
+      a <- evens if split(a) == "test"
+      b <- evens if split(b) == "train"
+    } yield (a, b)
+    assert(out.map(t => (t._1, t._2)).toSet == expected.toSet)
+  }
+
   test("tfidf ranks stratum-unique terms above corpus-wide terms") {
     val df = Seq(
       (1L, "common common rare1"),
