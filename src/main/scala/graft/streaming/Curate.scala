@@ -1,8 +1,18 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import graft.functions.TextFunctions
+
+/** One (doc, full signature) arrival in one LSH band bucket. */
+case class BandArrival(doc: Long, sig: Seq[String], band: Int, bucket: String)
+
+/** A near-dup candidate emitted by the streaming gate: `new_doc`
+  * band-collided with the earlier `seen_doc`; `est_jaccard` is the
+  * matching-component fraction of the two full MinHash signatures. */
+case class NearDupHit(band: Int, new_doc: Long, seen_doc: Long,
+  est_jaccard: Double)
 
 /** Streaming corpus curation: the ingest-time stage that scores and
   * gates documents BEFORE they land in the corpus, so the batch
@@ -35,4 +45,94 @@ object Curate {
     * cross-batch repeats inside the stream itself. */
   def dedupGate(df: DataFrame, key: String): DataFrame =
     df.dropDuplicates(Seq(key))
+
+  /** Per-row MinHash signature as a pure column expression — no
+    * aggregation, so a stream computes it statelessly in the same
+    * codegen'd stage as batch. Component i = min over the doc's
+    * n-gram shingles of md5("i|" + shingle): identical to the batch
+    * [[graft.dedup.Dedup.minhashSignatures]] (min over DISTINCT
+    * shingles ≡ min over all windows). Docs with < n tokens yield an
+    * empty array. */
+  def minhashSig(textCol: Column, n: Int, numHashes: Int): Column = {
+    val toks = split(trim(textCol), "\\s+")
+    val m = size(toks) - n + 1
+    val shingles = when(m > 0,
+      transform(sequence(lit(0), m - 1), i =>
+        concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+      .otherwise(array())
+    array((0 until numHashes).map(k =>
+      array_min(transform(shingles, s => md5(concat(lit(s"$k|"), s))))): _*)
+  }
+
+  /** Streaming NEAR-dup gate: the ingest-time companion of the batch
+    * incremental LSH gate (`Dedup.incrementalNearDup`), run INSIDE the
+    * stream. Each arriving doc computes its MinHash signature
+    * statelessly ([[minhashSig]]), explodes to its band buckets, and
+    * `flatMapGroupsWithState` keyed on (band, bucket) holds the
+    * bucket's seen (doc, signature) membership: a new arrival emits
+    * one [[NearDupHit]] per seen doc whose signature matches in
+    * ≥ threshold of components (the unbiased Jaccard estimate). Docs
+    * in the SAME micro-batch pair too (processed in ascending doc id,
+    * so the earlier id is always `seen_doc`); history never re-pairs
+    * with itself. The same pair can surface from several bands —
+    * consumers gating "is this doc a near-dup?" aggregate per
+    * `new_doc`, where the multiplicity is irrelevant.
+    *
+    * 100 TB shape: signatures ride the codegen'd projection (zero
+    * state), and the only stateful operator is keyed on band buckets —
+    * state PER KEY is one bucket's membership (collision-clustered,
+    * small), backed by RocksDB in production. `stateTtlMs > 0` bounds
+    * total state by evicting buckets idle longer than the TTL
+    * (re-post windows cluster in time); the unbounded exact history
+    * belongs to the batch-side gate this stream feeds (d11), exactly
+    * like [[dedupGate]]'s exact-key split. */
+  def nearDupGate(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 2,
+      threshold: Double = 0.5, stateTtlMs: Long = 0L): DataFrame = {
+    require(numHashes % rowsPerBand == 0,
+      s"numHashes ($numHashes) must be a multiple of rowsPerBand ($rowsPerBand)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bands = numHashes / rowsPerBand
+    val buckets = array((0 until bands).map(b =>
+      concat_ws("|", (0 until rowsPerBand).map(r =>
+        element_at(col("__sig"), b * rowsPerBand + r + 1)): _*)): _*)
+    val exploded = df
+      .withColumn("__sig", minhashSig(col(textCol), n, numHashes))
+      .filter(size(col("__sig")) > 0 && !array_contains(
+        transform(col("__sig"), isnull(_)), true))
+      .select(col(idCol).cast("long").as("doc"), col("__sig").as("sig"),
+        posexplode(buckets).as(Seq("band", "bucket")))
+      .as[BandArrival]
+    val timeoutConf =
+      if (stateTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    exploded
+      .groupByKey(a => (a.band, a.bucket))
+      .flatMapGroupsWithState[Seq[(Long, Seq[String])], NearDupHit](
+        OutputMode.Append, timeoutConf) {
+        case (_, _, state) if state.hasTimedOut =>
+          state.remove(); Iterator.empty
+        case ((band, _), arrivals, state) =>
+          var seen = state.getOption.getOrElse(Seq.empty)
+          val out = Seq.newBuilder[NearDupHit]
+          // ascending doc id: deterministic orientation (earlier id =
+          // seen side) for same-batch pairs
+          arrivals.toSeq.sortBy(_.doc).foreach { a =>
+            if (!seen.exists(_._1 == a.doc)) {
+              seen.foreach { case (sd, ssig) =>
+                val matches = a.sig.iterator.zip(ssig.iterator)
+                  .count { case (x, y) => x == y }
+                val est = matches.toDouble / numHashes
+                if (est >= threshold) out += NearDupHit(band, a.doc, sd, est)
+              }
+              seen = seen :+ ((a.doc, a.sig))
+            }
+          }
+          state.update(seen)
+          if (stateTtlMs > 0) state.setTimeoutDuration(stateTtlMs)
+          out.result().iterator
+      }
+      .toDF()
+  }
 }

@@ -1,0 +1,92 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.Curate
+
+/** The streaming near-dup gate: banded MinHash state inside the
+  * stream. Cross-batch and same-batch collisions are detected, the
+  * earlier doc id is always the seen side, history never re-pairs
+  * with itself, and the signature column matches the batch dedup
+  * pipeline's signatures exactly.
+  */
+class StreamingNearDupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val textA = "alpha beta gamma delta epsilon zeta eta theta"
+  private val textB = "one two three four five six seven eight nine"
+
+  test("near-dup hits across and within micro-batches, correctly oriented") {
+    implicit val sqlCtx = spark.sqlContext
+    val st = MemoryStream[(Long, String)]
+    val q = Curate.nearDupGate(st.toDF().toDF("doc_id", "text"),
+        "doc_id", "text")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("neardup")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      st.addData((1L, textA))
+      q.processAllAvailable()
+      assert(spark.table("neardup").count() == 0) // nothing seen yet
+      // batch 2: two exact copies of doc 1 (same batch as each other)
+      // and one unrelated doc
+      st.addData((2L, textA), (3L, textA), (4L, textB))
+      q.processAllAvailable()
+      val hits = spark.table("neardup")
+        .select("new_doc", "seen_doc", "est_jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      // identical sigs collide in every band; the distinct pair set is
+      // exactly new×earlier over the copy cluster, est = 1.0
+      assert(hits.map(t => (t._1, t._2)).toSet ==
+        Set((2L, 1L), (3L, 1L), (3L, 2L)))
+      assert(hits.forall(_._3 == 1.0))
+      // batch 3: an unrelated doc — history must not re-pair itself
+      val before = spark.table("neardup").count()
+      st.addData((5L, "nothing in common with anything said before now"))
+      q.processAllAvailable()
+      assert(spark.table("neardup").count() == before)
+      // batch 4: a re-post of doc 4's content pairs only with doc 4
+      st.addData((6L, textB))
+      q.processAllAvailable()
+      val after = spark.table("neardup")
+        .select("new_doc", "seen_doc").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(after == Set((2L, 1L), (3L, 1L), (3L, 2L), (6L, 4L)))
+    } finally q.stop()
+  }
+
+  test("streaming signature column equals the batch MinHash signatures") {
+    val docs = Seq((1L, textA), (2L, textB),
+      (3L, "alpha beta gamma delta different tail here ok")).toDF("doc_id", "text")
+    val fromCol = docs
+      .select($"doc_id", Curate.minhashSig($"text", n = 3, numHashes = 8)
+        .as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    val postings = graft.dedup.Dedup.shinglePostings(
+      docs, "doc_id", "text", 3, Int.MaxValue)
+    val fromBatch = graft.dedup.Dedup.minhashSignatures(postings, 8)
+      .collect().map { r =>
+        r.getLong(0) -> (0 until 8).map(i => r.getString(i + 1)).toList
+      }.toMap
+    assert(fromCol == fromBatch)
+  }
+
+  test("short and null docs never enter state") {
+    implicit val sqlCtx = spark.sqlContext
+    val st = MemoryStream[(Long, String)]
+    val q = Curate.nearDupGate(st.toDF().toDF("doc_id", "text"),
+        "doc_id", "text")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("neardup_edge")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      st.addData((1L, "two words"), (2L, "two words"), (3L, null))
+      q.processAllAvailable()
+      assert(spark.table("neardup_edge").count() == 0)
+    } finally q.stop()
+  }
+}
