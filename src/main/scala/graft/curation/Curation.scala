@@ -374,6 +374,33 @@ object Curation {
     df.filter(hashFrac32(idCol) / lit(4294967296.0) <
       least(lit(1.0), greatest(lit(0.0), col(weightCol))))
 
+  /** Per-document novelty: the fraction of the doc's distinct n-gram
+    * shingles that occur NOWHERE else in the corpus (df = 1) — the
+    * inverse of boilerplate. Templated/mirrored content scores near 0,
+    * original prose near 1; a complement signal to [[Dedup.commonSpans]]
+    * (which surfaces the repeated spans themselves) for
+    * quality-weighting or boilerplate-aware sampling.
+    *
+    * 100 TB shape: the df table is corpus-wide (shingle-keyed), so
+    * unlike the vocab join in [[tokenRarity]] it does NOT broadcast —
+    * the postings⨝df join shuffles on the shingle key, the same
+    * inverted-index shape as the n-gram Jaccard pass (bucket both
+    * sides on shingle to co-locate at scale). Three partial-agg
+    * shuffles total (df, join, per-doc rollup); docs shorter than n
+    * tokens have no shingles and are absent. */
+  def noveltyScore(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    val p = Dedup.shinglePostings(df, idCol, textCol, n, Int.MaxValue)
+    val dfreq = p.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    p.join(dfreq, Seq("shingle"))
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_shingles"),
+        count(when(col("df") === 1, lit(1))).as("n_unique"),
+        round(count(when(col("df") === 1, lit(1))).cast("double")
+          / count(lit(1)), 6).as("novelty"))
+      .withColumnRenamed("doc", "doc_id")
+  }
+
   /** Token-budget bin packing (training-batch construction): within
     * each shard (`partCol`), documents are laid out in id order and
     * assigned bin = floor(startOffset / budget) from the exclusive

@@ -122,6 +122,12 @@ object CurationQueries extends QueryPack {
               .as("weight")),
         "doc_id", "weight")),
 
+    // Per-doc novelty: fraction of the doc's distinct 3-gram shingles
+    // with corpus df = 1 (inverse-boilerplate originality signal)
+    "x11_novelty" -> ((s, d) =>
+      Curation.noveltyScore(
+        Tables.load(s, d, "documents"), "doc_id", "text", n = 3)),
+
     // Cross-split leakage audit: test-split docs that near-duplicate a
     // train-split doc (band-collision + Jaccard >= 0.5) — the check
     // that an eval split isn't a paraphrase of the training set.
@@ -439,6 +445,16 @@ object CurationQueries extends QueryPack {
          |FROM documents
          |WHERE $hash32Sql / 4294967296.0
          |  < least(1.0, greatest(0.0, ${TextQueries.qualitySql}))""".stripMargin,
+
+    "x11_novelty" ->
+      s"""WITH ${shingles("nsh", "1 = 1", 3)},
+         |dfq AS (SELECT shingle, count(*) AS df FROM nsh GROUP BY 1)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+         |  CAST(count(CASE WHEN df = 1 THEN 1 END) AS BIGINT) AS n_unique,
+         |  round(CAST(count(CASE WHEN df = 1 THEN 1 END) AS DOUBLE)
+         |    / count(*), 6) AS novelty
+         |FROM nsh JOIN dfq USING (shingle)
+         |GROUP BY doc_id""".stripMargin,
 
     "c13_split_leakage" ->
       s"""WITH ${DedupQueries.postingsCte},

@@ -308,6 +308,29 @@ object Relational extends QueryPack {
           .as("revenue"))
     }),
 
+    // TPC-H-Q10-shaped returned-items report: which customers returned
+    // the most revenue in a half-year window. Both fact scans are
+    // pruned BEFORE the join (return flag on lineitem, date range on
+    // orders — both reach the parquet scans), nation broadcasts, and
+    // the top-k bounds the result after one grouped aggregation.
+    "q10_returned_items" -> ((s, d) => {
+      val li = Tables.load(s, d, "lineitem")
+        .filter(col("l_returnflag") === "R")
+      val o = Tables.load(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast(TimestampType)
+          && col("o_orderdate") < lit("1996-07-01").cast(TimestampType))
+      val c = Tables.load(s, d, "customer")
+      val n = Tables.load(s, d, "nation")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
     // TPC-H-Q18-shaped large-order detection: grouped HAVING on the
     // fact table first (partial aggregation collapses it map-side),
     // then the small survivor set joins back to orders/customer
@@ -477,6 +500,18 @@ object Relational extends QueryPack {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY n_name""".stripMargin,
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
     "q18_large_orders" ->
       """SELECT c_name, c_custkey, o_orderkey,
         |  CAST(o_orderdate AS DATE) AS order_date, o_totalprice, total_qty

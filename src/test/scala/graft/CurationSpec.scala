@@ -159,6 +159,21 @@ class CurationSpec extends AnyFunSuite {
     assert(kept(0.3) == k3) // rerun identical
   }
 
+  test("noveltyScore: 1.0 for unique prose, 0.0 for mirrored content") {
+    val docs = Seq(
+      (1L, "aa bb cc dd ee"),            // fully mirrored by doc 2
+      (2L, "aa bb cc dd ee"),
+      (3L, "ff gg hh ii jj kk"),         // fully unique
+      (4L, "aa bb cc zz yy xx ww")       // 1 shared shingle of 5
+    ).toDF("doc_id", "text")
+    val out = Curation.noveltyScore(docs, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((3L, 0L, 0.0)) && out(2L) == ((3L, 0L, 0.0)))
+    assert(out(3L) == ((4L, 4L, 1.0)))
+    assert(out(4L) == ((5L, 4L, 0.8))) // "aa bb cc" also in docs 1/2
+  }
+
   test("split-leakage audit: test×train pairs only, correctly oriented") {
     import graft.dedup.Dedup
     // even ids share one text (near-dup cluster spanning splits); odd

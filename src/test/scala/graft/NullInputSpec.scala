@@ -33,6 +33,19 @@ class NullInputSpec extends AnyFunSuite {
     assert(Curation.decontaminate(docs, docs.limit(1), "doc_id", "text").count() >= 0)
     assert(Curation.tfidfTopTerms(docs, "doc_id", "text").filter("doc_id = 2").count() == 0)
     assert(Curation.splitAssign(docs, "doc_id").count() == 4)
+    // round-7 additions: null/empty text drops from shingle ops, never NPEs
+    assert(Curation.contaminationScore(docs, docs.limit(1), "doc_id", "text")
+      .filter("doc_id in (2, 4)").count() == 0)
+    assert(Curation.noveltyScore(docs, "doc_id", "text")
+      .filter("doc_id in (2, 4)").count() == 0)
+    // id-hash ops are content-free: every row keeps its assignment
+    assert(Curation.globalShuffle(docs, "doc_id", 4).count() == 4)
+    // a null weight keeps nothing for that row (comparison is null)
+    import org.apache.spark.sql.functions.when
+    val weighted = docs.withColumn("weight",
+      when($"doc_id" === 2L, null).otherwise(1.0))
+    assert(Curation.weightedResample(weighted, "doc_id", "weight")
+      .count() == 3)
   }
 
   test("multimodal decode tolerates null payloads") {

@@ -145,6 +145,14 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
   }
 
+  test("q10: return flag and date bounds pushed to the fact scans") {
+    val p = plan("q10_returned_items")
+    assert(p.contains("EqualTo(l_returnflag,R)"), p.take(3000))
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), p.take(3000))
+    assert(p.contains("LessThan(o_orderdate"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
   test("q18: lineitem aggregates partial->final before the join-back") {
     val p = plan("q18_large_orders")
     // partial + final HashAggregate around the groupBy exchange
