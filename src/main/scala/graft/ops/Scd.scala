@@ -27,4 +27,31 @@ object Scd {
       .withColumn("valid_to", lead(col(tsCol), 1).over(w))
       .withColumn("is_current", lead(col(tsCol), 1).over(w).isNull)
   }
+
+  /** Snapshot reconciliation: rows added, removed, or content-changed
+    * between two versions of a keyed table — the CDC-style diff a
+    * corpus-versioning pipeline runs between releases (what changed
+    * since the crawl we trained on?). Content identity is the
+    * engine-portable md5 fingerprint of `contentCol`, so a moved or
+    * re-encoded row with identical content is NOT a change.
+    *
+    * One full-outer equi-join on the key — co-partitionable at scale
+    * (bucket both snapshots by the key to make the diff exchange-free;
+    * only (key, fingerprint) pairs enter the join, never the content
+    * itself). Unchanged rows are dropped before the result
+    * materializes, so the output is change-sized, not corpus-sized. */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keyCol: String,
+      contentCol: String): DataFrame = {
+    def fp(df: DataFrame, as: String) = df.select(
+      col(keyCol),
+      md5(coalesce(col(contentCol).cast("string"), lit(" null"))
+        .cast("binary")).as(as))
+    fp(oldDf, "old_fp").join(fp(newDf, "new_fp"), Seq(keyCol), "full_outer")
+      .withColumn("status",
+        when(col("old_fp").isNull, "added")
+          .when(col("new_fp").isNull, "removed")
+          .when(col("old_fp") =!= col("new_fp"), "changed"))
+      .filter(col("status").isNotNull)
+      .select(col(keyCol), col("status"), col("old_fp"), col("new_fp"))
+  }
 }

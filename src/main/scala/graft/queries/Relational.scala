@@ -283,6 +283,20 @@ object Relational extends QueryPack {
         .select(col("o_custkey"), col("o_orderkey"),
           col("valid_from"), col("valid_to"), col("is_current"))),
 
+    // Snapshot reconciliation (corpus versioning): rows added, removed
+    // or content-changed between two simulated releases of the
+    // documents table — full-outer key join over (key, fingerprint)
+    // pairs only, output change-sized
+    "scd2_snapshot_diff" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val oldSnap = docs.filter(col("doc_id") % 10 =!= 3)
+      val newSnap = docs.filter(col("doc_id") % 10 =!= 7)
+        .withColumn("text",
+          when(col("doc_id") % 13 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+      graft.ops.Scd.snapshotDiff(oldSnap, newSnap, "doc_id", "text")
+    }),
+
     // TPC-H-Q5-shaped 6-table join: two broadcast dims prune the fact
     // side, the two fact⨝fact joins shuffle on their keys, and the
     // date filter reaches the orders scan (partition-prunable at
@@ -529,6 +543,23 @@ object Relational extends QueryPack {
         |  lead(o_orderdate, 1) OVER w AS valid_to,
         |  lead(o_orderdate, 1) OVER w IS NULL AS is_current
         |FROM orders
-        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+    "scd2_snapshot_diff" ->
+      """WITH oldv AS (
+        |  SELECT doc_id, md5(COALESCE(CAST(text AS VARCHAR), ' null')) AS old_fp
+        |  FROM documents WHERE doc_id % 10 <> 3),
+        |newv AS (
+        |  SELECT doc_id, md5(COALESCE(
+        |      CAST(text AS VARCHAR) ||
+        |        CASE WHEN doc_id % 13 = 0 THEN ' v2' ELSE '' END,
+        |      ' null')) AS new_fp
+        |  FROM documents WHERE doc_id % 10 <> 7)
+        |SELECT doc_id,
+        |  CASE WHEN old_fp IS NULL THEN 'added'
+        |       WHEN new_fp IS NULL THEN 'removed'
+        |       WHEN old_fp <> new_fp THEN 'changed' END AS status,
+        |  old_fp, new_fp
+        |FROM oldv FULL OUTER JOIN newv USING (doc_id)
+        |WHERE old_fp IS NULL OR new_fp IS NULL OR old_fp <> new_fp""".stripMargin
   )
 }

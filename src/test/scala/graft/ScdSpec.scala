@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Scd
+
+/** SCD helpers: type-2 interval construction and the snapshot
+  * reconciliation diff (added / removed / changed by content
+  * fingerprint; moves and re-encodes with identical content are NOT
+  * changes).
+  */
+class ScdSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("snapshotDiff classifies added/removed/changed and drops unchanged") {
+    val oldSnap = Seq(
+      (1L, "same content"),
+      (2L, "will change"),
+      (3L, "will be removed"),
+      (5L, null.asInstanceOf[String])  // null → null: unchanged
+    ).toDF("doc_id", "text")
+    val newSnap = Seq(
+      (1L, "same content"),
+      (2L, "has changed"),
+      (4L, "brand new"),
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = Scd.snapshotDiff(oldSnap, newSnap, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(2L -> "changed", 3L -> "removed", 4L -> "added"))
+  }
+
+  test("snapshotDiff: null content is distinct from the string 'null'") {
+    val oldSnap = Seq((1L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val newSnap = Seq((1L, "null")).toDF("doc_id", "text")
+    val out = Scd.snapshotDiff(oldSnap, newSnap, "doc_id", "text").collect()
+    assert(out.length == 1 && out(0).getString(1) == "changed")
+  }
+
+  test("history builds contiguous validity intervals per key") {
+    val log = Seq(
+      (10L, 100L, "2024-01-01 00:00:00"),
+      (10L, 101L, "2024-02-01 00:00:00"),
+      (20L, 200L, "2024-01-15 00:00:00")
+    ).toDF("k", "rec", "ts")
+      .withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+    val h = Scd.history(log, "k", "ts", "rec")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.get(4) == null || r.getAs[Any]("valid_to") == null,
+        r.getBoolean(r.fieldIndex("is_current"))))
+    val byRec = h.map(t => t._2 -> t).toMap
+    assert(!byRec(100L)._4 && byRec(101L)._4) // 100 closed by 101
+    assert(byRec(200L)._4)                     // singleton stays open
+  }
+}
