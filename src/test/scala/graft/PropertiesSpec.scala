@@ -168,4 +168,58 @@ class PropertiesSpec extends AnyFunSuite {
         .count() == 0
     }, n = 5)
   }
+
+  test("globalShuffle is a permutation: bijective (shard,pos), any ids") {
+    holds(Prop.forAll(Gen.nonEmptyListOf(Gen.choose(0L, 100000L)),
+      Gen.choose(1, 32)) { (ids0, shards) =>
+      val ids = ids0.distinct
+      val out = graft.curation.Curation
+        .globalShuffle(ids.toDF("doc_id"), "doc_id", shards)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      out.length == ids.length &&
+        out.map(_._1).toSet == ids.toSet &&
+        // (shard, pos) pairs are distinct = the order is well-defined
+        out.map(t => (t._2, t._3)).toSet.size == ids.length &&
+        out.forall(t => t._2 >= 0 && t._2 < shards) &&
+        out.groupBy(_._2).values.forall { rows =>
+          rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq
+        }
+    }, n = 5)
+  }
+
+  test("weightedResample keep-sets are monotone in random weights") {
+    val rowGen = Gen.nonEmptyListOf(for {
+      id <- Gen.choose(0L, 100000L)
+      w <- Gen.choose(0.0, 1.5)
+    } yield (id, w))
+    holds(Prop.forAll(rowGen) { rows0 =>
+      val rows = rows0.distinctBy(_._1)
+      def kept(scale: Double) = graft.curation.Curation
+        .weightedResample(
+          rows.map { case (i, w) => (i, w * scale) }.toDF("doc_id", "weight"),
+          "doc_id", "weight")
+        .collect().map(_.getLong(0)).toSet
+      val half = kept(0.5); val full = kept(1.0)
+      half.subsetOf(full) && full.size <= rows.length
+    }, n = 5)
+  }
+
+  test("novelty is 1.0 whenever every doc uses a private vocabulary") {
+    // each doc draws from its own disjoint token set → no shingle can
+    // repeat across docs, so every doc with >= n tokens scores 1.0
+    val gen = for {
+      k <- Gen.choose(2, 5)
+      lens <- Gen.listOfN(k, Gen.choose(3, 7))
+    } yield lens.zipWithIndex.map { case (len, i) =>
+      (i.toLong, (0 until len).map(j => s"w${i}_$j").mkString(" "))
+    }
+    holds(Prop.forAll(gen) { docs =>
+      val out = graft.curation.Curation
+        .noveltyScore(docs.toDF("doc_id", "text"), "doc_id", "text", n = 3)
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      out.nonEmpty && out.forall { case (ns, nu, nov) =>
+        ns == nu && nov == 1.0
+      }
+    }, n = 5)
+  }
 }
