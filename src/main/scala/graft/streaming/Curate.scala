@@ -46,6 +46,20 @@ object Curate {
   def dedupGate(df: DataFrame, key: String): DataFrame =
     df.dropDuplicates(Seq(key))
 
+  /** [[dedupGate]] with BOUNDED state: duplicates are only suppressed
+    * while they fall inside the event-time watermark window, and the
+    * engine evicts a key's state once the watermark passes it. This is
+    * the production shape for an unbounded stream — [[dedupGate]]'s
+    * state grows with the distinct-key count forever, while re-posts
+    * of the same content cluster in time (mirrors, retries, crawl
+    * echoes), so a delay-bounded window catches them at O(window)
+    * state. Duplicates older than the window are the batch side's job
+    * (Dedup.incrementalExact over the corpus table). */
+  def dedupGateWindowed(df: DataFrame, key: String, eventTimeCol: String,
+      delay: String): DataFrame =
+    df.withWatermark(eventTimeCol, delay)
+      .dropDuplicatesWithinWatermark(Seq(key))
+
   /** Per-row MinHash signature as a pure column expression — no
     * aggregation, so a stream computes it statelessly in the same
     * codegen'd stage as batch. Component i = min over the doc's

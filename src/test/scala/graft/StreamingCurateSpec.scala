@@ -52,4 +52,27 @@ class StreamingCurateSpec extends AnyFunSuite {
       assert(batch == streamed)
     } finally q.stop()
   }
+
+  test("windowed dedup gate suppresses in-window repeats, bounded state") {
+    implicit val sqlCtx = spark.sqlContext
+    val st = MemoryStream[(Long, String, java.sql.Timestamp)]
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    val stream = st.toDF().toDF("doc_id", "fp", "ts")
+    val q = Curate.dedupGateWindowed(stream, "fp", "ts", "10 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("curated_windowed")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      st.addData((1L, "aaa", ts(0)))
+      q.processAllAvailable()
+      // in-window repeat (same fp, 5 min later) is suppressed even
+      // though it arrives in a later micro-batch
+      st.addData((2L, "aaa", ts(5)), (3L, "bbb", ts(5)))
+      q.processAllAvailable()
+      val ids = spark.table("curated_windowed")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L, 3L))
+    } finally q.stop()
+  }
 }
