@@ -65,6 +65,12 @@ object SimilarityQueries extends QueryPack {
       Similarity.bruteForceTopK(Tables.load(s, d, "embeddings"),
         col("vec_id") < 5, k = 10)),
 
+    // Filtered vector search: exact top-5 among even-id corpus rows
+    // only (pre-filter semantics — k true matches, no recall loss)
+    "s13_filtered_knn" -> ((s, d) =>
+      Similarity.filteredTopK(Tables.load(s, d, "embeddings"),
+        col("vec_id") < 5, col("vec_id") % 2 === 0, k = 5)),
+
     // ANN: 8-bit hyperplane-LSH bucket search, top-5 within bucket
     "s3_ann_lsh" -> ((s, d) =>
       Similarity.lshTopK(Tables.load(s, d, "embeddings"),
@@ -413,6 +419,7 @@ object SimilarityQueries extends QueryPack {
     "s10_pq_adc" -> pqAdcOracle,
     "s11_ivfpq" -> ivfPqOracle,
     "s2_knn_brute" -> topKOracle("", 10),
+    "s13_filtered_knn" -> topKOracle("AND b.vec_id % 2 = 0", 5),
     "s5_ivf_kmeans" -> kmeansOracle,
     "s6_ivf_probe" -> ivfProbeOracle,
     // nprobe = nlist probes every inverted list -> exact brute force

@@ -86,6 +86,23 @@ object Similarity {
     topKJoin(broadcast(n.filter(queryPred)), n, lit(true), k)
   }
 
+  /** Filtered vector search: exact top-k among only the corpus rows
+    * satisfying a metadata predicate ("nearest English docs", "same
+    * tenant"). PRE-filter semantics — the predicate prunes the corpus
+    * BEFORE ranking, so the result always holds k true matches;
+    * post-filtering an unfiltered top-k is cheaper but loses recall
+    * whenever the global neighborhood is dominated by non-matching
+    * rows. The filter rides the corpus scan (pushed to parquet when
+    * the predicate allows), which also SHRINKS the scan relative to
+    * unfiltered search — at scale, compose with the IVF/PQ index by
+    * filtering the (vec_id, cluster, codes) serving table the same
+    * way. */
+  def filteredTopK(df: DataFrame, queryPred: Column, corpusPred: Column,
+      k: Int): DataFrame = {
+    val n = withNorm(df)
+    topKJoin(broadcast(n.filter(queryPred)), n.filter(corpusPred), lit(true), k)
+  }
+
   /** ANN via hyperplane-LSH buckets: candidates share the full bit
     * signature with the query. */
   def lshTopK(df: DataFrame, queryPred: Column, k: Int,

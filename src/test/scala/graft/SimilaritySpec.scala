@@ -24,6 +24,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows.last.getAs[Double]("cos_sim") == -1.0)
   }
 
+  test("filtered top-k: pre-filter keeps k true matches post-filter loses") {
+    // query 0 points at +x; its global neighborhood (1, 4) is all
+    // label-0/label-1 mixed. Restrict the corpus to label 1:
+    val rows = Similarity.filteredTopK(vecs,
+        col("vec_id") === 0, col("label") === 1, k = 2)
+      .orderBy("rn").collect()
+    // only label-1 rows may appear, ranked by cosine
+    assert(rows.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(4L, 2L))
+    // post-filtering the unfiltered top-2 would have returned ONLY 4:
+    // the global top-2 is (1, 4) and 1 fails the predicate — the
+    // pre-filter recovers the true second match (2)
+    val post = Similarity.bruteForceTopK(vecs, col("vec_id") === 0, k = 2)
+      .collect().map(_.getAs[Long]("neighbor_id")).toSet
+    assert(post == Set(1L, 4L))
+  }
+
   test("hyperplane projections are deterministic and ±1") {
     val a = Similarity.hyperplaneProjections(8, 64)
     val b = Similarity.hyperplaneProjections(8, 64)
