@@ -401,6 +401,36 @@ object Curation {
       .withColumnRenamed("doc", "doc_id")
   }
 
+  /** Overlapping token-window chunking — the pre-embedding /
+    * long-document split: each doc becomes ceil((n-window)/stride)+1
+    * chunks of up to `window` tokens starting every `stride` tokens
+    * (stride < window ⇒ overlap, so no boundary context is lost).
+    * Deterministic (chunk_id = window index), null/empty docs produce
+    * no chunks.
+    *
+    * 100 TB shape: pure per-row array expressions (split → slice →
+    * join) in one codegen'd Generate stage — zero shuffle, zero state,
+    * output rows carry only their own chunk text. The expansion factor
+    * is ~window/stride, set by the caller. */
+  def chunkDocs(df: DataFrame, idCol: String, textCol: String,
+      window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window (got window=$window stride=$stride)")
+    val toks = split(trim(col(textCol)), "\\s+")
+    val nChunks =
+      when(col(textCol).isNull || length(trim(col(textCol))) === 0, lit(0))
+        .otherwise(ceil(greatest(size(toks) - lit(window), lit(0))
+          .cast("double") / lit(stride)).cast("int") + 1)
+    df.select(col(idCol), toks.as("__tk"),
+        explode(when(nChunks > 0, sequence(lit(0), nChunks - 1))
+          .otherwise(array().cast("array<int>"))).as("chunk_id"))
+      .select(col(idCol), col("chunk_id"),
+        array_join(slice(col("__tk"), col("chunk_id") * stride + 1,
+          lit(window)), " ").as("chunk_text"),
+        least(size(col("__tk")) - col("chunk_id") * stride, lit(window))
+          .cast("long").as("n_tokens"))
+  }
+
   /** Token-budget bin packing (training-batch construction): within
     * each shard (`partCol`), documents are laid out in id order and
     * assigned bin = floor(startOffset / budget) from the exclusive

@@ -122,6 +122,13 @@ object CurationQueries extends QueryPack {
               .as("weight")),
         "doc_id", "weight")),
 
+    // Overlapping token-window chunking (pre-embedding split):
+    // 32-token windows every 16 tokens, codegen'd Generate stage
+    "c14_chunk_docs" -> ((s, d) =>
+      Curation.chunkDocs(
+        Tables.load(s, d, "documents"), "doc_id", "text",
+        window = 32, stride = 16)),
+
     // Per-doc novelty: fraction of the doc's distinct 3-gram shingles
     // with corpus df = 1 (inverse-boilerplate originality signal)
     "x11_novelty" -> ((s, d) =>
@@ -445,6 +452,22 @@ object CurationQueries extends QueryPack {
          |FROM documents
          |WHERE $hash32Sql / 4294967296.0
          |  < least(1.0, greatest(0.0, ${TextQueries.qualitySql}))""".stripMargin,
+
+    "c14_chunk_docs" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND length(trim(text)) > 0),
+        |c AS (SELECT doc_id, tk,
+        |    unnest(range(0,
+        |      CAST(ceil(greatest(len(tk) - 32, 0) / 16.0) AS INTEGER) + 1))
+        |      AS chunk_id
+        |  FROM t)
+        |SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+        |  array_to_string(tk[chunk_id * 16 + 1 : chunk_id * 16 + 32], ' ')
+        |    AS chunk_text,
+        |  CAST(least(len(tk) - chunk_id * 16, 32) AS BIGINT) AS n_tokens
+        |FROM c""".stripMargin,
 
     "x11_novelty" ->
       s"""WITH ${shingles("nsh", "1 = 1", 3)},

@@ -159,6 +159,29 @@ class CurationSpec extends AnyFunSuite {
     assert(kept(0.3) == k3) // rerun identical
   }
 
+  test("chunkDocs: overlapping windows cover every token, short docs 1 chunk") {
+    val text10 = (1 to 10).map(i => s"t$i").mkString(" ")
+    val docs = Seq(
+      (1L, text10),                 // 10 tokens, window 4 stride 2 → 4 chunks
+      (2L, "a b"),                  // shorter than window → 1 whole chunk
+      (3L, null.asInstanceOf[String]),
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val out = Curation.chunkDocs(docs, "doc_id", "text", window = 4, stride = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+    assert(!out.exists(t => t._1 == 3L || t._1 == 4L)) // null/empty → none
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0, "a b", 2L)))
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2)
+    assert(d1.map(_._2).toSeq == Seq(0, 1, 2, 3))
+    assert(d1.head._3 == "t1 t2 t3 t4" && d1.head._4 == 4L)
+    assert(d1.last._3 == "t7 t8 t9 t10" && d1.last._4 == 4L)
+    // stride-2 overlap: consecutive chunks share window - stride tokens
+    assert(d1(1)._3 == "t3 t4 t5 t6")
+    // coverage: every token appears in some chunk
+    val covered = d1.flatMap(_._3.split(" ")).toSet
+    assert(covered == (1 to 10).map(i => s"t$i").toSet)
+  }
+
   test("noveltyScore: 1.0 for unique prose, 0.0 for mirrored content") {
     val docs = Seq(
       (1L, "aa bb cc dd ee"),            // fully mirrored by doc 2
