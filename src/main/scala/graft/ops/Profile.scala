@@ -60,4 +60,28 @@ object Profile {
         / count(col(column))).as("avg_value"),
       min(col(column)).as("min_value"),
       max(col(column)).as("max_value"))
+
+  /** Winsorization: clip a numeric column to its per-group
+    * [lo, hi] percentile band — the standard outlier treatment before
+    * feeding heavy-tailed telemetry into statistics that assume
+    * bounded moments (means, regressions, z-scores). Appends
+    * `<valCol>_w`; rows keep their identity, only the value clamps.
+    *
+    * Two passes over the column: one grouped percentile aggregate
+    * (group-cardinality output, broadcast back) and one stateless
+    * clip scan — no window, no per-group sort of the full data beyond
+    * the percentile aggregate itself; at 100 TB swap the exact
+    * percentile for the q-digest sketch (same join shape, rank-bounded
+    * bands). */
+  def winsorize(df: DataFrame, groupCol: String, valCol: String,
+      lo: Double, hi: Double): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo < hi, s"need 0 <= lo < hi <= 1 (got $lo, $hi)")
+    val bounds = df.groupBy(col(groupCol)).agg(
+      expr(s"percentile($valCol, $lo)").as("__lo"),
+      expr(s"percentile($valCol, $hi)").as("__hi"))
+    df.join(broadcast(bounds), Seq(groupCol))
+      .withColumn(s"${valCol}_w",
+        round(least(greatest(col(valCol), col("__lo")), col("__hi")), 4))
+      .drop("__lo", "__hi")
+  }
 }

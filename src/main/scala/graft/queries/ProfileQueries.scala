@@ -26,6 +26,14 @@ object ProfileQueries extends QueryPack {
     "pr2_numeric_summary" -> ((s, d) =>
       Profile.numericSummary(Tables.load(s, d, "lineitem"), "l_extendedprice")),
 
+    // Winsorization: event values clipped to the per-type [p05, p95]
+    // band (outlier treatment before moment-based statistics)
+    "pr9_winsorize" -> ((s, d) =>
+      Profile.winsorize(
+        Tables.load(s, d, "events")
+          .select(col("event_id"), col("event_type"), col("value")),
+        "event_type", "value", lo = 0.05, hi = 0.95)),
+
     // Count-Min Sketch over the event-type stream: the sketch itself
     // (every nonzero counter) is the checked result — md5 bucketing
     // makes the whole structure engine-portable
@@ -234,6 +242,15 @@ object ProfileQueries extends QueryPack {
          |SELECT DISTINCT bit_pos FROM (
          |${(0 until BloomHashes).map(bitExpr).mkString(" UNION ALL\n")}) t""".stripMargin
     },
+    "pr9_winsorize" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |    quantile_cont(value, 0.05) AS lo, quantile_cont(value, 0.95) AS hi
+        |  FROM events GROUP BY event_type)
+        |SELECT event_id, event_type, value,
+        |  round(least(greatest(value, lo), hi), 4) AS value_w
+        |FROM events JOIN b USING (event_type)""".stripMargin,
+
     "pr2_numeric_summary" ->
       """SELECT count(l_extendedprice) AS n,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sum_value,

@@ -205,4 +205,18 @@ class ProfileSpec extends AnyFunSuite {
     // empty input → empty estimate array, not a crash
     assert(est(Seq.empty[Long].toDF("v")).isEmpty)
   }
+
+  test("winsorize clips tails to the group band, keeps the body intact") {
+    import graft.ops.Profile
+    // group a: 1..100 → p05 ≈ 5.95, p95 ≈ 95.05 (linear interpolation)
+    val df = ((1 to 100).map(i => ("a", i.toLong, i.toDouble))
+      ++ Seq(("b", 200L, 1000.0))) // singleton group: lo = hi = value
+      .toDF("g", "id", "value")
+    val out = Profile.winsorize(df, "g", "value", 0.05, 0.95)
+      .collect().map(r => r.getLong(r.fieldIndex("id")) ->
+        r.getDouble(r.fieldIndex("value_w"))).toMap
+    assert(out(1L) == 5.95 && out(100L) == 95.05) // tails clamp
+    assert(out(50L) == 50.0)                       // body untouched
+    assert(out(200L) == 1000.0)                    // degenerate band = value
+  }
 }
