@@ -176,6 +176,34 @@ object Multimodal {
     buf.array()
   }
 
+  /** As [[wavPayload]] but with a deterministic non-silent sample
+    * pattern — sample(i) = ((id + i) % 16 - 8) * 1000 — so
+    * energy-domain features have real arithmetic to verify (the
+    * pattern is pure integer math, replayable in any engine). */
+  def wavTonePayload(id: Long): Array[Byte] = {
+    val bytes = wavPayload(id)
+    val nFrames = (64 + id % 128).toInt
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var i = 0
+    while (i < nFrames) {
+      buf.putShort(44 + 2 * i, (((id + i) % 16 - 8) * 1000).toShort)
+      i += 1
+    }
+    bytes
+  }
+
+  /** Tone-payload table: one non-silent WAV per input id. */
+  def wavTonePayloads(df: DataFrame, idCol: String): Dataset[MediaRow] = {
+    implicit val enc = Encoders.product[MediaRow]
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long].map { id =>
+      val bytes = wavTonePayload(id)
+      MediaRow(id, bytes, MediaMeta("audio/wav", bytes.length.toLong, "pcm_s16le"))
+    }
+  }
+
   /** Audio payload table: one WAV per input id. */
   def wavPayloads(df: DataFrame, idCol: String): Dataset[MediaRow] = {
     implicit val enc = Encoders.product[MediaRow]
@@ -235,6 +263,45 @@ object Multimodal {
           // one corrupt real-world payload must not fail the job
           case scala.util.control.NonFatal(_) => None
         }
+      }
+    }
+  }
+
+  final case class AudioWindow(id: Long, win: Int, n_samples: Long,
+      rms: Double)
+
+  /** Windowed audio energy: decode with the REAL JDK codec, then RMS
+    * per fixed-size sample window — the silence-detection /
+    * voice-activity primitive an audio corpus runs before expensive
+    * transcription (drop windows below an energy floor, sample around
+    * energetic segments). One mapPartitions: samples never leave their
+    * partition, each payload emits only its window summaries
+    * (~n/window rows), undecodable payloads drop — the same
+    * partition-parallel shape as [[decodeAudio]]. */
+  def audioFrameEnergy(media: Dataset[MediaRow],
+      window: Int): Dataset[AudioWindow] = {
+    require(window > 0, s"window must be positive (got $window)")
+    implicit val enc = Encoders.product[AudioWindow]
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        if (r.payload == null) Iterator.empty
+        else try {
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(r.payload))
+          val bytes = in.readAllBytes()
+          in.close()
+          val sb = java.nio.ByteBuffer.wrap(bytes)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN).asShortBuffer()
+          val n = sb.remaining()
+          (0 until n by window).iterator.map { start =>
+            val end = math.min(start + window, n)
+            var ss = 0.0
+            var i = start
+            while (i < end) { val v = sb.get(i).toDouble; ss += v * v; i += 1 }
+            AudioWindow(r.id, start / window, (end - start).toLong,
+              math.sqrt(ss / (end - start)))
+          }
+        } catch { case scala.util.control.NonFatal(_) => Iterator.empty }
       }
     }
   }

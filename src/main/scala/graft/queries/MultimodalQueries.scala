@@ -64,6 +64,16 @@ object MultimodalQueries extends QueryPack {
         Multimodal.wavPayloads(Tables.load(s, d, "documents"), "doc_id"))
         .toDF()),
 
+    // Windowed RMS energy over REAL-codec-decoded tone WAVs: the
+    // silence-detection primitive; the deterministic sample pattern
+    // makes every window's energy arithmetic replayable
+    "m9_audio_energy" -> ((s, d) =>
+      Multimodal.audioFrameEnergy(
+        Multimodal.wavTonePayloads(Tables.load(s, d, "documents"), "doc_id"),
+        window = 16).toDF()
+        .select(col("id"), col("win"), col("n_samples"),
+          round(col("rms"), 6).as("rms"))),
+
     // Decode→resize fused in one partition pass (the vision-corpus
     // preprocessing shape); all-zero source pixels resize to zeros, so
     // the digest replays arithmetically
@@ -118,6 +128,16 @@ object MultimodalQueries extends QueryPack {
     "m8_image_resize" ->
       """SELECT doc_id AS id, CAST(8 AS INT) AS width,
         |  CAST(8 AS INT) AS height, CAST(0 AS BIGINT) AS pixelSum
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    "m9_audio_energy" ->
+      """WITH d AS (SELECT doc_id, CAST(64 + doc_id % 128 AS INTEGER) AS n
+        |  FROM documents),
+        |i AS (SELECT doc_id, unnest(range(0, n)) AS i FROM d),
+        |s AS (SELECT doc_id, CAST(i // 16 AS INTEGER) AS win,
+        |    CAST(((doc_id + i) % 16 - 8) * 1000 AS DOUBLE) AS v
+        |  FROM i)
+        |SELECT doc_id AS id, win, CAST(count(*) AS BIGINT) AS n_samples,
+        |  round(sqrt(avg(v * v)), 6) AS rms
+        |FROM s GROUP BY doc_id, win""".stripMargin
   )
 }

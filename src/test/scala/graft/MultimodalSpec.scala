@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.multimodal.Multimodal
+
+/** Direct codec-path specs: the real JDK decoders against the
+  * deterministic payload builders, windowed energy arithmetic, and
+  * the malformed-payload drop contract.
+  */
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("audioFrameEnergy: windowed RMS matches the tone pattern exactly") {
+    val docs = Seq(16L).toDF("doc_id") // 16 + 64 = 80 frames → 5 full windows
+    val out = Multimodal.audioFrameEnergy(
+        Multimodal.wavTonePayloads(docs, "doc_id"), window = 16)
+      .collect().sortBy(_.win)
+    assert(out.length == 5 && out.forall(_.n_samples == 16L))
+    // pattern for id=16: sample(i) = ((16 + i) % 16 - 8) * 1000 —
+    // every 16-window runs the full residue cycle, so all windows
+    // have identical RMS = sqrt(avg over k=0..15 of ((k-8)*1000)^2)
+    val expected = math.sqrt((0 until 16)
+      .map(k => math.pow((k - 8) * 1000.0, 2)).sum / 16)
+    assert(out.forall(w => math.abs(w.rms - expected) < 1e-9))
+  }
+
+  test("audioFrameEnergy: silence decodes to rms 0; tail window short") {
+    val docs = Seq(9L).toDF("doc_id") // 64 + 9 = 73 frames → 73 = 4*16 + 9
+    val out = Multimodal.audioFrameEnergy(
+        Multimodal.wavPayloads(docs, "doc_id"), window = 16)
+      .collect().sortBy(_.win)
+    assert(out.length == 5)
+    assert(out.forall(_.rms == 0.0)) // silence payload
+    assert(out.last.n_samples == 9L) // tail window clamps
+  }
+
+  test("malformed payloads drop, never crash (decode + energy)") {
+    implicit val enc = org.apache.spark.sql.Encoders.product[
+      Multimodal.MediaRow]
+    val garbage = spark.createDataset(Seq(
+      Multimodal.MediaRow(1L, Array[Byte](1, 2, 3),
+        Multimodal.MediaMeta("audio/wav", 3L, "junk")),
+      Multimodal.MediaRow(2L, null,
+        Multimodal.MediaMeta("audio/wav", 0L, "null"))))
+    assert(Multimodal.decodeAudio(garbage).count() == 0)
+    assert(Multimodal.audioFrameEnergy(garbage, 16).count() == 0)
+    assert(Multimodal.decodeImages(garbage).count() == 0)
+  }
+}
