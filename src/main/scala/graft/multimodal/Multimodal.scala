@@ -120,6 +120,69 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** As [[pngPayload]] but with a deterministic grayscale gradient —
+    * pixel(x, y) has R = G = B = ((id + x + y) % 16) * 16, A = 255 —
+    * so pixel-domain statistics of the REAL decode path have non-zero
+    * arithmetic to verify (pure integer math, engine-replayable). */
+  def pngTonePayload(id: Long): Array[Byte] = {
+    val w = (16 + id % 64).toInt
+    val h = (16 + (id * 7) % 64).toInt
+    val out = new java.io.ByteArrayOutputStream(1024)
+    out.write(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte), 0, 8)
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      val n = data.length
+      out.write(Array(n >>> 24, n >>> 16, n >>> 8, n).map(_.toByte), 0, 4)
+      val typed = typ.getBytes(StandardCharsets.US_ASCII) ++ data
+      out.write(typed, 0, typed.length)
+      val crc = new java.util.zip.CRC32()
+      crc.update(typed)
+      val c = crc.getValue.toInt
+      out.write(Array(c >>> 24, c >>> 16, c >>> 8, c).map(_.toByte), 0, 4)
+    }
+    val ihdr = new Array[Byte](13)
+    def be32(v: Int, off: Int): Unit = {
+      ihdr(off) = (v >>> 24).toByte; ihdr(off + 1) = (v >>> 16).toByte
+      ihdr(off + 2) = (v >>> 8).toByte; ihdr(off + 3) = v.toByte
+    }
+    be32(w, 0); be32(h, 4)
+    ihdr(8) = 8; ihdr(9) = 6
+    chunk("IHDR", ihdr)
+    val raw = new Array[Byte](h * (1 + w * 4))
+    var y = 0
+    while (y < h) {
+      val rowOff = y * (1 + w * 4) + 1 // skip the filter byte (0)
+      var x = 0
+      while (x < w) {
+        val v = (((id + x + y) % 16) * 16).toByte
+        val p = rowOff + x * 4
+        raw(p) = v; raw(p + 1) = v; raw(p + 2) = v; raw(p + 3) = 0xff.toByte
+        x += 1
+      }
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val z = new java.io.ByteArrayOutputStream(raw.length / 4 + 64)
+    val zbuf = new Array[Byte](8192)
+    while (!deflater.finished()) z.write(zbuf, 0, deflater.deflate(zbuf))
+    deflater.end()
+    chunk("IDAT", z.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Gradient-payload table: one patterned PNG per input id. */
+  def pngTonePayloads(df: DataFrame, idCol: String): Dataset[MediaRow] = {
+    implicit val enc = Encoders.product[MediaRow]
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long].map { id =>
+      val bytes = pngTonePayload(id)
+      MediaRow(id, bytes, MediaMeta("image/png", bytes.length.toLong, "png"))
+    }
+  }
+
   /** Image payload table: one PNG header per input id. */
   def pngPayloads(df: DataFrame, idCol: String): Dataset[MediaRow] = {
     implicit val enc = Encoders.product[MediaRow]
@@ -300,6 +363,52 @@ object Multimodal {
             while (i < end) { val v = sb.get(i).toDouble; ss += v * v; i += 1 }
             AudioWindow(r.id, start / window, (end - start).toLong,
               math.sqrt(ss / (end - start)))
+          }
+        } catch { case scala.util.control.NonFatal(_) => Iterator.empty }
+      }
+    }
+  }
+
+  final case class ImageTile(id: Long, tx: Int, ty: Int, n_px: Long,
+      mean_lum: Double)
+
+  /** Per-tile luminance statistics: REAL ImageIO decode + tile means
+    * in one mapPartitions — the vision-corpus screening pass (blank /
+    * low-information tile detection, brightness normalization stats)
+    * run where the pixels are. Each image emits only its
+    * ceil(w/tile)·ceil(h/tile) summary rows; pixels never shuffle;
+    * undecodable payloads drop. Luminance = raster band 0 (R; the
+    * builders write grayscale). */
+  def imageTileStats(media: Dataset[MediaRow], tile: Int): Dataset[ImageTile] = {
+    require(tile > 0, s"tile must be positive (got $tile)")
+    implicit val enc = Encoders.product[ImageTile]
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        if (r.payload == null) Iterator.empty
+        else try {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.payload))
+          if (img == null) Iterator.empty
+          else {
+            val raster = img.getRaster
+            val (w, h) = (img.getWidth, img.getHeight)
+            for {
+              ty <- (0 until (h + tile - 1) / tile).iterator
+              tx <- (0 until (w + tile - 1) / tile).iterator
+            } yield {
+              val (x1, y1) = (math.min((tx + 1) * tile, w),
+                math.min((ty + 1) * tile, h))
+              var sum = 0.0; var n = 0L
+              var y = ty * tile
+              while (y < y1) {
+                var x = tx * tile
+                while (x < x1) {
+                  sum += raster.getSample(x, y, 0); n += 1; x += 1
+                }
+                y += 1
+              }
+              ImageTile(r.id, tx, ty, n, sum / n)
+            }
           }
         } catch { case scala.util.control.NonFatal(_) => Iterator.empty }
       }

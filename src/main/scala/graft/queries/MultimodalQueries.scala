@@ -74,6 +74,19 @@ object MultimodalQueries extends QueryPack {
         .select(col("id"), col("win"), col("n_samples"),
           round(col("rms"), 6).as("rms"))),
 
+    // Per-tile luminance means over REAL-codec-decoded gradient PNGs
+    // (blank-tile screening); the deterministic pixel pattern makes
+    // every tile's mean replayable. 1-in-7 doc slice bounds the
+    // oracle's pixel unnest
+    "m10_image_tiles" -> ((s, d) =>
+      Multimodal.imageTileStats(
+        Multimodal.pngTonePayloads(
+          Tables.load(s, d, "documents").filter(col("doc_id") % 7 === 0),
+          "doc_id"),
+        tile = 8).toDF()
+        .select(col("id"), col("tx"), col("ty"), col("n_px"),
+          round(col("mean_lum"), 6).as("mean_lum"))),
+
     // Decode→resize fused in one partition pass (the vision-corpus
     // preprocessing shape); all-zero source pixels resize to zeros, so
     // the digest replays arithmetically
@@ -129,6 +142,20 @@ object MultimodalQueries extends QueryPack {
       """SELECT doc_id AS id, CAST(8 AS INT) AS width,
         |  CAST(8 AS INT) AS height, CAST(0 AS BIGINT) AS pixelSum
         |FROM documents""".stripMargin,
+    "m10_image_tiles" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(16 + doc_id % 64 AS INTEGER) AS w,
+        |    CAST(16 + (doc_id * 7) % 64 AS INTEGER) AS h
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |xs AS (SELECT doc_id, h, unnest(range(0, w)) AS x FROM d),
+        |px AS (SELECT doc_id, x, unnest(range(0, h)) AS y FROM xs),
+        |t AS (SELECT doc_id, CAST(x // 8 AS INTEGER) AS tx,
+        |    CAST(y // 8 AS INTEGER) AS ty,
+        |    CAST(((doc_id + x + y) % 16) * 16 AS DOUBLE) AS v
+        |  FROM px)
+        |SELECT doc_id AS id, tx, ty, CAST(count(*) AS BIGINT) AS n_px,
+        |  round(avg(v), 6) AS mean_lum
+        |FROM t GROUP BY doc_id, tx, ty""".stripMargin,
     "m9_audio_energy" ->
       """WITH d AS (SELECT doc_id, CAST(64 + doc_id % 128 AS INTEGER) AS n
         |  FROM documents),

@@ -35,6 +35,31 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.last.n_samples == 9L) // tail window clamps
   }
 
+  test("imageTileStats: tile means match the gradient closed form") {
+    val docs = Seq(0L).toDF("doc_id") // id 0 → 16×16 image, 4 full tiles
+    val out = Multimodal.imageTileStats(
+        Multimodal.pngTonePayloads(docs, "doc_id"), tile = 8)
+      .collect().map(t => (t.tx, t.ty) -> ((t.n_px, t.mean_lum))).toMap
+    assert(out.keySet == Set((0, 0), (1, 0), (0, 1), (1, 1)))
+    def expected(tx: Int, ty: Int): Double = {
+      val vs = for {
+        x <- tx * 8 until tx * 8 + 8
+        y <- ty * 8 until ty * 8 + 8
+      } yield ((0 + x + y) % 16) * 16
+      vs.sum.toDouble / 64
+    }
+    out.foreach { case ((tx, ty), (n, m)) =>
+      assert(n == 64L && math.abs(m - expected(tx, ty)) < 1e-9, s"($tx,$ty)")
+    }
+  }
+
+  test("imageTileStats: all-zero payloads yield blank (mean 0) tiles") {
+    val docs = Seq(3L).toDF("doc_id")
+    val out = Multimodal.imageTileStats(
+        Multimodal.pngPayloads(docs, "doc_id"), tile = 8).collect()
+    assert(out.nonEmpty && out.forall(_.mean_lum == 0.0))
+  }
+
   test("malformed payloads drop, never crash (decode + energy)") {
     implicit val enc = org.apache.spark.sql.Encoders.product[
       Multimodal.MediaRow]
@@ -46,5 +71,6 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeAudio(garbage).count() == 0)
     assert(Multimodal.audioFrameEnergy(garbage, 16).count() == 0)
     assert(Multimodal.decodeImages(garbage).count() == 0)
+    assert(Multimodal.imageTileStats(garbage, 8).count() == 0)
   }
 }
