@@ -61,6 +61,32 @@ object Profile {
       min(col(column)).as("min_value"),
       max(col(column)).as("max_value"))
 
+  /** Referential-integrity audit: for each (child, parent) foreign-key
+    * relation, the child-row count, the orphan count (child keys with
+    * no parent), and the orphan rate — the first data-quality gate an
+    * estate crawl runs after discovery (the reference's catalog has no
+    * FK enforcement; neither do data lakes, so orphans are a fact of
+    * life to MEASURE, not assume away).
+    *
+    * Per relation: one left-anti join on the key (null keys count as
+    * orphans — they reference nothing) + a 1-row aggregate. The anti
+    * join shuffles on the key (or broadcasts when the parent key set
+    * is dim-sized — Catalyst picks); counts are exact. */
+  def referentialAudit(relations: Seq[(String, DataFrame, String, DataFrame,
+      String)]): DataFrame = {
+    relations.map { case (name, child, childKey, parent, parentKey) =>
+      child.select(col(childKey))
+        .join(parent.select(col(parentKey).as(childKey)).distinct()
+          .withColumn("__hit", lit(1)), Seq(childKey), "left")
+        .agg(count(lit(1)).as("n_child"),
+          count(when(col("__hit").isNull, lit(1))).as("n_orphans"),
+          round(count(when(col("__hit").isNull, lit(1))).cast("double")
+            / greatest(count(lit(1)), lit(1L)), 6).as("orphan_rate"))
+        .select(lit(name).as("relation"), col("n_child"),
+          col("n_orphans"), col("orphan_rate"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Winsorization: clip a numeric column to its per-group
     * [lo, hi] percentile band — the standard outlier treatment before
     * feeding heavy-tailed telemetry into statistics that assume

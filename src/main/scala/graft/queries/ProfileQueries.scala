@@ -26,6 +26,22 @@ object ProfileQueries extends QueryPack {
     "pr2_numeric_summary" -> ((s, d) =>
       Profile.numericSummary(Tables.load(s, d, "lineitem"), "l_extendedprice")),
 
+    // Referential-integrity audit over the estate's FK relations:
+    // orphan counts + rates per relation (events.user_id is the
+    // genuinely dirty one — no FK enforcement in a lake)
+    "pr10_referential" -> ((s, d) => {
+      val li = Tables.load(s, d, "lineitem")
+      val o = Tables.load(s, d, "orders")
+      val c = Tables.load(s, d, "customer")
+      val n = Tables.load(s, d, "nation")
+      val e = Tables.load(s, d, "events")
+      Profile.referentialAudit(Seq(
+        ("lineitem->orders", li, "l_orderkey", o, "o_orderkey"),
+        ("orders->customer", o, "o_custkey", c, "c_custkey"),
+        ("customer->nation", c, "c_nationkey", n, "n_nationkey"),
+        ("events->customer", e, "user_id", c, "c_custkey")))
+    }),
+
     // Winsorization: event values clipped to the per-type [p05, p95]
     // band (outlier treatment before moment-based statistics)
     "pr9_winsorize" -> ((s, d) =>
@@ -242,6 +258,25 @@ object ProfileQueries extends QueryPack {
          |SELECT DISTINCT bit_pos FROM (
          |${(0 until BloomHashes).map(bitExpr).mkString(" UNION ALL\n")}) t""".stripMargin
     },
+    "pr10_referential" -> {
+      def rel(name: String, child: String, ck: String, parent: String,
+          pk: String) =
+        s"""SELECT '$name' AS relation,
+           |  CAST(count(*) AS BIGINT) AS n_child,
+           |  CAST(count(CASE WHEN p.k IS NULL THEN 1 END) AS BIGINT)
+           |    AS n_orphans,
+           |  round(CAST(count(CASE WHEN p.k IS NULL THEN 1 END) AS DOUBLE)
+           |    / greatest(count(*), 1), 6) AS orphan_rate
+           |FROM $child LEFT JOIN
+           |  (SELECT DISTINCT $pk AS k FROM $parent) p ON $ck = p.k""".stripMargin
+      Seq(
+        rel("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        rel("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        rel("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        rel("events->customer", "events", "user_id", "customer", "c_custkey"))
+        .mkString("\nUNION ALL\n")
+    },
+
     "pr9_winsorize" ->
       """WITH b AS (
         |  SELECT event_type,

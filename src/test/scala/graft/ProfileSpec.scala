@@ -206,6 +206,19 @@ class ProfileSpec extends AnyFunSuite {
     assert(est(Seq.empty[Long].toDF("v")).isEmpty)
   }
 
+  test("referentialAudit counts orphans exactly, null keys are orphans") {
+    import graft.ops.Profile
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val child = Seq(Some(1L), Some(1L), Some(9L), None)
+      .toDF("fk") // 1 orphan key (9) + 1 null key
+    val out = Profile.referentialAudit(
+        Seq(("child->parent", child, "fk", parent, "pk")))
+      .collect()(0)
+    assert(out.getString(0) == "child->parent")
+    assert(out.getLong(1) == 4L && out.getLong(2) == 2L)
+    assert(out.getDouble(3) == 0.5)
+  }
+
   test("winsorize clips tails to the group band, keeps the body intact") {
     import graft.ops.Profile
     // group a: 1..100 → p05 ≈ 5.95, p95 ≈ 95.05 (linear interpolation)
