@@ -266,6 +266,29 @@ object Relational extends QueryPack {
           lead(col("o_orderkey"), 1).over(w).as("next_order"))
     }),
 
+    // Rolling z-score anomaly on hourly event counts: each hour's
+    // count against its type's trailing-8-hour mean/stddev, moments
+    // from decimal window sums so both engines produce identical
+    // doubles (stddev_samp built-ins differ in summation order).
+    // z is null until 2 hours of history exist or variance is 0.
+    "w4_count_anomaly" -> ((s, d) => {
+      val hourly = Tables.load(s, d, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hour_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("hour_start"))
+        .rowsBetween(-8, -1)
+      val s1 = sum(col("cnt").cast(DecimalType(28, 0))).over(w)
+        .cast(DoubleType)
+      val s2 = sum((col("cnt") * col("cnt")).cast(DecimalType(28, 0))).over(w)
+        .cast(DoubleType)
+      val n = count(col("cnt")).over(w).cast(DoubleType)
+      val variance = (s2 - s1 * s1 / n) / (n - lit(1.0))
+      hourly.select(col("hour_start"), col("event_type"), col("cnt"),
+        when(n >= 2 && variance > 0,
+          round((col("cnt") - s1 / n) / sqrt(variance), 6)).as("z"))
+    }),
+
     // CUBE aggregate: all grouping-set combinations over (lang, source)
     "an5_cube" -> ((s, d) =>
       Tables.load(s, d, "documents")
@@ -474,6 +497,24 @@ object Relational extends QueryPack {
         |  count(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "w4_count_anomaly" ->
+      """WITH hourly AS (
+        |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+        |    event_type, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT hour_start, event_type, cnt,
+        |    CAST(SUM(CAST(cnt AS DECIMAL(28,0))) OVER w AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(cnt * cnt AS DECIMAL(28,0))) OVER w AS DOUBLE) AS s2,
+        |    CAST(COUNT(cnt) OVER w AS DOUBLE) AS n
+        |  FROM hourly
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY hour_start
+        |    ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING))
+        |SELECT hour_start, event_type, cnt,
+        |  CASE WHEN n >= 2 AND (s2 - s1 * s1 / n) / (n - 1.0) > 0
+        |    THEN round((cnt - s1 / n)
+        |      / sqrt((s2 - s1 * s1 / n) / (n - 1.0)), 6) END AS z
+        |FROM m""".stripMargin,
     "q3_shipping_priority" ->
       """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date, o_orderpriority,
         |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue
