@@ -122,6 +122,33 @@ object Classify {
       .withColumn("id", expr("uuid()"))
       .withColumn("timestamp", current_timestamp())
   }
+
+  /** k-anonymity / l-diversity audit — the release gate that follows
+    * PII *discovery*: after [[classifyColumns]] finds the sensitive
+    * columns, this measures whether the remaining quasi-identifiers
+    * still single people out. k_min = smallest quasi-identifier group
+    * (k-anonymity holds at k iff k_min >= k); at_risk_rows = rows in
+    * groups smaller than `k`; l_min = fewest distinct sensitive values
+    * in any group (l-diversity — a k-anonymous group with one
+    * sensitive value still leaks it).
+    *
+    * Plan: one groupBy over the quasi-identifier tuple (count +
+    * count_distinct partial-aggregate map-side) then a 1-row rollup —
+    * two shuffles, group-cardinality intermediate, no row ever leaves
+    * with its identity. */
+  def kAnonymity(df: DataFrame, quasiIds: Seq[String],
+      sensitiveCol: String, k: Int): DataFrame = {
+    require(quasiIds.nonEmpty && k > 0, "need quasi-ids and k > 0")
+    df.groupBy(quasiIds.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col(sensitiveCol)).as("l"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(col("n")).as("n_rows"),
+        min(col("n")).as("k_min"),
+        min(col("l")).as("l_min"),
+        sum(when(col("n") < k, col("n")).otherwise(lit(0L)))
+          .as("at_risk_rows"))
+  }
 }
 
 /** Entity registry modeled on the reference's 276-entry detector list

@@ -66,6 +66,14 @@ object ClassifyQueries extends QueryPack {
           graft.expressions.LuhnCheck.luhn_valid(
             col("event_id").cast("string")).as("is_luhn"))),
 
+    // k-anonymity / l-diversity release audit: are customers still
+    // identifiable from the (nation, segment) quasi-identifiers, and
+    // do small groups leak the sensitive balance?
+    "v2_k_anonymity" -> ((s, d) =>
+      graft.ops.Classify.kAnonymity(
+        Tables.load(s, d, "customer"),
+        Seq("c_nationkey", "c_mktsegment"), "c_acctbal", k = 5)),
+
     // P1: provenance enrichment (deterministic columns only; the
     // uuid/timestamp stamps are covered by ClassifySpec)
     "p1_enrich_findings" -> ((s, d) =>
@@ -134,6 +142,17 @@ object ClassifyQueries extends QueryPack {
 
   def oracle: Map[String, String] = Map(
     "v1_luhn_validate" -> luhnSql,
+    "v2_k_anonymity" ->
+      """WITH g AS (
+        |  SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(DISTINCT c_acctbal) AS BIGINT) AS l
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(sum(n) AS BIGINT) AS n_rows,
+        |  min(n) AS k_min, min(l) AS l_min,
+        |  CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+        |    AS at_risk_rows
+        |FROM g""".stripMargin,
     "a1_classify_docs" -> classifyOracle(docCells, docEntities, 0.05),
     "a1_classify_full_registry" ->
       classifyOracle(docCells, graft.ops.EntityRegistry.all, 0.05),

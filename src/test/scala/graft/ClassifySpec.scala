@@ -134,4 +134,22 @@ class ClassifySpec extends AnyFunSuite {
     assert(out.forall(_.getAs[String]("data_source_type") == "s3"))
     assert(out.forall(_.getAs[java.sql.Timestamp]("timestamp") != null))
   }
+
+  test("kAnonymity: k_min, l_min and at-risk rows computed exactly") {
+    // group (1,a): 3 rows, 2 distinct sensitive; (1,b): 1 row;
+    // (2,a): 5 rows, 1 distinct sensitive (k-anonymous but l=1)
+    val rows = Seq(
+      (1, "a", 10.0), (1, "a", 10.0), (1, "a", 20.0),
+      (1, "b", 30.0),
+      (2, "a", 40.0), (2, "a", 40.0), (2, "a", 40.0), (2, "a", 40.0),
+      (2, "a", 40.0)
+    ).toDF("qi1", "qi2", "sensitive")
+    val r = graft.ops.Classify.kAnonymity(
+      rows, Seq("qi1", "qi2"), "sensitive", k = 5).collect()(0)
+    assert(r.getAs[Long]("n_groups") == 3L)
+    assert(r.getAs[Long]("n_rows") == 9L)
+    assert(r.getAs[Long]("k_min") == 1L)   // the (1,b) singleton
+    assert(r.getAs[Long]("l_min") == 1L)   // (2,a) leaks its balance
+    assert(r.getAs[Long]("at_risk_rows") == 4L) // groups under k=5
+  }
 }
