@@ -237,6 +237,26 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("Window"), p.take(2000))
   }
 
+  test("c14 chunking: Generate-only, zero exchanges") {
+    val p = plan("c14_chunk_docs")
+    assert(!p.contains("Exchange"), "chunking must stay map-only")
+    assert(p.contains("Generate"), p.take(2000))
+  }
+
+  test("pr9 winsorize: percentile bounds broadcast back, no window") {
+    val p = plan("pr9_winsorize")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("Window"), "winsorize must not sort per group")
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
+  test("v2 k-anonymity: both aggregate layers keep partial aggregation") {
+    val p = plan("v2_k_anonymity")
+    // group-level agg (count + count_distinct) and the 1-row rollup
+    // both split partial/final around their exchanges
+    assert(treeCount(p, "HashAggregate") >= 4, p.take(3000))
+  }
+
   test("u3 url dedup: map-side canonicalization, one aggregation exchange") {
     val p = plan("u3_url_dedup")
     assert("\\+- Exchange".r.findAllIn(p).size == 1, p)
