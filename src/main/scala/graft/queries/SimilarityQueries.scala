@@ -81,6 +81,16 @@ object SimilarityQueries extends QueryPack {
       Similarity.partitionTopK(Tables.load(s, d, "embeddings"),
         "label", col("vec_id") < 5, k = 5)),
 
+    // Incremental IVF append: the 1-in-5 "new batch" assigns to the
+    // centroids fitted on the OTHER 4/5 (the existing index) — one
+    // map-only pass, no refit, the indexed corpus untouched
+    "s14_ivf_append" -> ((s, d) => {
+      val emb = Tables.load(s, d, "embeddings")
+      Similarity.ivfAppend(
+        emb.filter(col("vec_id") % 5 === 0),
+        Similarity.kmeansFit(emb.filter(col("vec_id") % 5 =!= 0), 8))
+    }),
+
     // IVF index build: deterministic mini-k-means cluster assignment.
     // Iterative, but with a FIXED iteration count (2) the whole Lloyd
     // run unrolls into chained SQL CTEs — the oracle replays init →
@@ -242,8 +252,9 @@ object SimilarityQueries extends QueryPack {
     * final centroids `c2`. MATERIALIZED: downstream oracles reference
     * a3/c2 several times, and DuckDB's default CTE inlining would
     * re-expand the whole chain per reference. */
-  private val lloydCtes: String =
-    s"""e AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
+  private def lloydCtesFor(filter: String): String =
+    s"""e AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings
+       |  WHERE $filter),
        |c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cluster,
        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent
        |       FROM (SELECT vec_id, embedding FROM e ORDER BY vec_id LIMIT 8) i),
@@ -252,6 +263,8 @@ object SimilarityQueries extends QueryPack {
        |${assignCte("a2", "c1")},
        |${recomputeCte("c2", "a2")},
        |${assignCte("a3", "c2")}""".stripMargin
+
+  private val lloydCtes: String = lloydCtesFor("1 = 1")
 
   private val kmeansOracle: String =
     s"""WITH $lloydCtes
@@ -421,6 +434,17 @@ object SimilarityQueries extends QueryPack {
     "s2_knn_brute" -> topKOracle("", 10),
     "s13_filtered_knn" -> topKOracle("AND b.vec_id % 2 = 0", 5),
     "s5_ivf_kmeans" -> kmeansOracle,
+    "s14_ivf_append" ->
+      s"""WITH ${lloydCtesFor("vec_id % 5 <> 0")},
+         |nb AS (SELECT vec_id, embedding FROM embeddings
+         |       WHERE vec_id % 5 = 0)
+         |SELECT vec_id, cluster FROM (
+         |  SELECT nb.vec_id, c.cluster,
+         |    ROW_NUMBER() OVER (PARTITION BY nb.vec_id ORDER BY
+         |      -(list_sum(list_transform(range(1, 65),
+         |          i -> CAST(nb.embedding[i] AS DOUBLE) * c.cent[i]))) ASC,
+         |      c.cluster ASC) AS rn
+         |  FROM nb CROSS JOIN c2 c) t WHERE rn = 1""".stripMargin,
     "s6_ivf_probe" -> ivfProbeOracle,
     // nprobe = nlist probes every inverted list -> exact brute force
     "s7_ivf_probe_full" -> topKOracle("", 5),

@@ -137,6 +137,18 @@ object Similarity {
     assignToCentroids(df, kmeansFit(df, k, iters))
       .select(col("vec_id"), col("cluster"))
 
+  /** Incremental IVF maintenance: assign a NEW vector batch to an
+    * EXISTING index's frozen centroids — the index grows by one
+    * map-only codegen pass over the batch (no refit, no shuffle, no
+    * touch of the already-indexed corpus). The production serving
+    * loop: ingest batches append here; centroid drift is bounded by
+    * periodic refits, between which appended vectors are exactly as
+    * probeable as the originals (same argmin, same inverted lists). */
+  def ivfAppend(newVecs: DataFrame,
+      centroids: Array[(Int, Array[Double])]): DataFrame =
+    assignToCentroids(newVecs, centroids)
+      .select(col("vec_id"), col("cluster"))
+
   /** Assignment pass for a fixed centroid set: centroids are literal
     * arrays, each row computes its k dots in codegen and argmins via
     * array_min over (dist, cluster) structs — struct ordering compares

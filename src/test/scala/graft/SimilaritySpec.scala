@@ -40,6 +40,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(post == Set(1L, 4L))
   }
 
+  test("ivfAppend: appended copies land in their original's cluster") {
+    val cents = Similarity.kmeansFit(vecs, 2)
+    val indexed = Similarity.assignToCentroids(vecs, cents)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cluster"))
+      .toMap
+    // new batch: exact copies of vecs 0 and 2 under fresh ids
+    val batch = Seq(
+      (100L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),
+      (102L, Array(0.0f, 1.0f, 0.0f, 0.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val appended = Similarity.ivfAppend(batch, cents)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(appended(100L) == indexed(0L))
+    assert(appended(102L) == indexed(2L))
+  }
+
   test("hyperplane projections are deterministic and ±1") {
     val a = Similarity.hyperplaneProjections(8, 64)
     val b = Similarity.hyperplaneProjections(8, 64)
