@@ -104,6 +104,25 @@ object DedupQueries extends QueryPack {
         stats = Some(stats), candidates = Some(cands))
     }),
 
+    // Dedup threshold sweep: pair volume and affected-doc count at
+    // each candidate Jaccard threshold — the tuning view an operator
+    // reads before fixing the near-dup cutoff (reuses the shared pair
+    // stats; one pass, grouped by threshold band)
+    "ev2_dedup_sweep" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val (_, stats) = shared(s, d)
+      val thresholds = Seq(0.1, 0.3, 0.5, 0.7)
+      thresholds.map { t =>
+        stats.filter(col("jaccard") >= t)
+          .agg(lit(t).as("threshold"),
+            count(lit(1)).as("n_pairs"),
+            countDistinct(col("doc_a")).as("n_docs_a"),
+            countDistinct(col("doc_b")).as("n_docs_b"))
+      }.reduce(_.unionByName(_))
+        .select(col("threshold"), col("n_pairs"),
+          col("n_docs_a"), col("n_docs_b"))
+    }),
+
     // Boilerplate mining: 8-token spans repeated across >= 3 docs
     "d8_common_spans" -> ((s, d) =>
       Dedup.commonSpans(Tables.load(s, d, "documents"),
@@ -176,6 +195,17 @@ object DedupQueries extends QueryPack {
       s"""WITH $postingsCte
          |SELECT doc_a, doc_b, shared, size_a, size_b, jaccard
          |FROM jac WHERE jaccard >= 0.1""".stripMargin,
+
+    "ev2_dedup_sweep" -> {
+      def band(t: Double) =
+        s"""SELECT CAST($t AS DOUBLE) AS threshold,
+           |  CAST(count(*) AS BIGINT) AS n_pairs,
+           |  CAST(count(DISTINCT doc_a) AS BIGINT) AS n_docs_a,
+           |  CAST(count(DISTINCT doc_b) AS BIGINT) AS n_docs_b
+           |FROM jac WHERE jaccard >= $t""".stripMargin
+      s"""WITH $postingsCte
+         |${Seq(0.1, 0.3, 0.5, 0.7).map(band).mkString("\nUNION ALL\n")}""".stripMargin
+    },
 
     "d3_minhash_lsh" -> {
       val (mins, bandEq) = (minhashSigsSql, bandEqSql)

@@ -26,6 +26,27 @@ object ProfileQueries extends QueryPack {
     "pr2_numeric_summary" -> ((s, d) =>
       Profile.numericSummary(Tables.load(s, d, "lineitem"), "l_extendedprice")),
 
+    // Embedding-table quality audit: per label — NaN components,
+    // zero-norm vectors, wrong-dimension rows, norm extremes. The ML
+    // hygiene pass before any vector lands in an index (a NaN or
+    // zero vector silently poisons cosine math)
+    "pr11_embedding_quality" -> ((s, d) => {
+      val nrm2 = aggregate(col("embedding"), lit(0.0d),
+        (acc, x) => acc + x.cast("double") * x.cast("double"))
+      Tables.load(s, d, "embeddings")
+        .select(col("label"), col("embedding"),
+          size(col("embedding")).as("dim"),
+          exists(col("embedding"), x => isnan(x)).as("has_nan"), nrm2.as("n2"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          count(when(col("has_nan"), lit(1))).as("n_nan"),
+          count(when(!col("has_nan") && col("n2") === 0.0, lit(1)))
+            .as("n_zero_norm"),
+          count(when(col("dim") =!= 64, lit(1))).as("n_bad_dim"),
+          round(min(when(!col("has_nan"), sqrt(col("n2")))), 6).as("min_norm"),
+          round(max(when(!col("has_nan"), sqrt(col("n2")))), 6).as("max_norm"))
+    }),
+
     // Referential-integrity audit over the estate's FK relations:
     // orphan counts + rates per relation (events.user_id is the
     // genuinely dirty one — no FK enforcement in a lake)
@@ -258,6 +279,23 @@ object ProfileQueries extends QueryPack {
          |SELECT DISTINCT bit_pos FROM (
          |${(0 until BloomHashes).map(bitExpr).mkString(" UNION ALL\n")}) t""".stripMargin
     },
+    "pr11_embedding_quality" ->
+      """WITH v AS (
+        |  SELECT label, CAST(len(embedding) AS INTEGER) AS dim,
+        |    list_sum(list_transform(embedding,
+        |      x -> CASE WHEN isnan(x) THEN 1 ELSE 0 END)) > 0 AS has_nan,
+        |    list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * x)) AS n2
+        |  FROM embeddings)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+        |  CAST(count(CASE WHEN has_nan THEN 1 END) AS BIGINT) AS n_nan,
+        |  CAST(count(CASE WHEN NOT has_nan AND n2 = 0.0 THEN 1 END) AS BIGINT)
+        |    AS n_zero_norm,
+        |  CAST(count(CASE WHEN dim <> 64 THEN 1 END) AS BIGINT) AS n_bad_dim,
+        |  round(min(CASE WHEN NOT has_nan THEN sqrt(n2) END), 6) AS min_norm,
+        |  round(max(CASE WHEN NOT has_nan THEN sqrt(n2) END), 6) AS max_norm
+        |FROM v GROUP BY label""".stripMargin,
+
     "pr10_referential" -> {
       def rel(name: String, child: String, ck: String, parent: String,
           pk: String) =

@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
 import graft.ops.Profile
 
 class ProfileSpec extends AnyFunSuite {
@@ -204,6 +205,32 @@ class ProfileSpec extends AnyFunSuite {
     assert(est(Seq(999L, 999L, 999L).toDF("v")).head.getLong(1) == 255L)
     // empty input → empty estimate array, not a crash
     assert(est(Seq.empty[Long].toDF("v")).isEmpty)
+  }
+
+  test("embedding quality audit flags NaN, zero-norm and bad-dim vectors") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f), 0),
+      (2L, Array(Float.NaN, 1.0f, 0.0f), 0),
+      (3L, Array(0.0f, 0.0f, 0.0f), 0),
+      (4L, Array(1.0f, 1.0f), 0) // wrong dimension
+    ).toDF("vec_id", "embedding", "label")
+    // same aggregation as the pr11 entry, parameterized for dim 3
+    val r = vecs.select(col("label"),
+        size(col("embedding")).as("dim"),
+        exists(col("embedding"), x => isnan(x)).as("has_nan"),
+        aggregate(col("embedding"), lit(0.0d),
+          (a, x) => a + x.cast("double") * x.cast("double")).as("n2"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        count(when(col("has_nan"), lit(1))).as("n_nan"),
+        count(when(!col("has_nan") && col("n2") === 0.0, lit(1)))
+          .as("n_zero_norm"),
+        count(when(col("dim") =!= 3, lit(1))).as("n_bad_dim"))
+      .collect()(0)
+    assert(r.getAs[Long]("n_vecs") == 4L)
+    assert(r.getAs[Long]("n_nan") == 1L)
+    assert(r.getAs[Long]("n_zero_norm") == 1L)
+    assert(r.getAs[Long]("n_bad_dim") == 1L)
   }
 
   test("referentialAudit counts orphans exactly, null keys are orphans") {
