@@ -124,29 +124,37 @@ object Curate {
     exploded
       .groupByKey(a => (a.band, a.bucket))
       .flatMapGroupsWithState[Seq[(Long, Seq[String])], NearDupHit](
-        OutputMode.Append, timeoutConf) {
-        case (_, _, state) if state.hasTimedOut =>
-          state.remove(); Iterator.empty
-        case ((band, _), arrivals, state) =>
-          var seen = state.getOption.getOrElse(Seq.empty)
-          val out = Seq.newBuilder[NearDupHit]
-          // ascending doc id: deterministic orientation (earlier id =
-          // seen side) for same-batch pairs
-          arrivals.toSeq.sortBy(_.doc).foreach { a =>
-            if (!seen.exists(_._1 == a.doc)) {
-              seen.foreach { case (sd, ssig) =>
-                val matches = a.sig.iterator.zip(ssig.iterator)
-                  .count { case (x, y) => x == y }
-                val est = matches.toDouble / numHashes
-                if (est >= threshold) out += NearDupHit(band, a.doc, sd, est)
-              }
-              seen = seen :+ ((a.doc, a.sig))
-            }
-          }
-          state.update(seen)
-          if (stateTtlMs > 0) state.setTimeoutDuration(stateTtlMs)
-          out.result().iterator
-      }
+        OutputMode.Append, timeoutConf)(
+        nearDupStateFn(numHashes, threshold, stateTtlMs))
       .toDF()
+  }
+
+  /** The (band, bucket) state handler of [[nearDupGate]], factored out
+    * so the timeout-eviction branch is deterministically unit-testable
+    * via `TestGroupState` (wall-clock TTL tests flake; the contract —
+    * timed-out bucket forgets its members — is pinned directly). */
+  private[graft] def nearDupStateFn(numHashes: Int, threshold: Double,
+      stateTtlMs: Long)(key: (Int, String), arrivals: Iterator[BandArrival],
+      state: GroupState[Seq[(Long, Seq[String])]]): Iterator[NearDupHit] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+    val band = key._1
+    var seen = state.getOption.getOrElse(Seq.empty)
+    val out = Seq.newBuilder[NearDupHit]
+    // ascending doc id: deterministic orientation (earlier id =
+    // seen side) for same-batch pairs
+    arrivals.toSeq.sortBy(_.doc).foreach { a =>
+      if (!seen.exists(_._1 == a.doc)) {
+        seen.foreach { case (sd, ssig) =>
+          val matches = a.sig.iterator.zip(ssig.iterator)
+            .count { case (x, y) => x == y }
+          val est = matches.toDouble / numHashes
+          if (est >= threshold) out += NearDupHit(band, a.doc, sd, est)
+        }
+        seen = seen :+ ((a.doc, a.sig))
+      }
+    }
+    state.update(seen)
+    if (stateTtlMs > 0) state.setTimeoutDuration(stateTtlMs)
+    out.result().iterator
   }
 }

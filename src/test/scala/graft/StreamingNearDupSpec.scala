@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupStateTimeout, Trigger}
 import graft.streaming.Curate
 
 /** The streaming near-dup gate: banded MinHash state inside the
@@ -72,6 +72,38 @@ class StreamingNearDupSpec extends AnyFunSuite {
         r.getLong(0) -> (0 until 8).map(i => r.getString(i + 1)).toList
       }.toMap
     assert(fromCol == fromBatch)
+  }
+
+  test("TTL eviction: a timed-out bucket forgets its members (TestGroupState)") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    import graft.streaming.BandArrival
+    val fn = Curate.nearDupStateFn(numHashes = 8, threshold = 0.5,
+      stateTtlMs = 1000L) _
+    val sig = (0 until 8).map(i => s"h$i")
+    val arrival = BandArrival(1L, sig, 0, "b")
+    // batch 1: doc 1 enters the bucket, TTL armed
+    val s1 = TestGroupState.create[Seq[(Long, Seq[String])]](
+      optionalState = org.apache.spark.api.java.Optional.empty(), GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 0L, eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty(),
+      hasTimedOut = false)
+    assert(fn((0, "b"), Iterator(arrival), s1).isEmpty)
+    assert(s1.get.map(_._1) == Seq(1L))
+    assert(s1.getTimeoutTimestampMs.isPresent)
+    // the bucket times out: state must be removed
+    val s2 = TestGroupState.create[Seq[(Long, Seq[String])]](
+      optionalState = org.apache.spark.api.java.Optional.of(Seq(1L -> sig)),
+      GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 10000L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty(), hasTimedOut = true)
+    assert(fn((0, "b"), Iterator.empty, s2).isEmpty)
+    assert(s2.isRemoved)
+    // post-eviction: a re-post of the same content pairs with nothing
+    val s3 = TestGroupState.create[Seq[(Long, Seq[String])]](
+      optionalState = org.apache.spark.api.java.Optional.empty(), GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 20000L, eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty(),
+      hasTimedOut = false)
+    assert(fn((0, "b"), Iterator(BandArrival(4L, sig, 0, "b")), s3).isEmpty)
+    assert(s3.get.map(_._1) == Seq(4L))
   }
 
   test("short and null docs never enter state") {
