@@ -55,6 +55,35 @@ object Curation {
         round(col("sq") / col("z"), 9).as("weight"))
   }
 
+  /** Deterministic weighted interleave: materialize a training-stream
+    * ORDER in which each domain appears at its mixture rate. Every doc
+    * gets pos = its md5 rank within its domain, and
+    * interleave_key = pos / weight(domain) — reading docs in
+    * interleave_key order yields domains at their weight proportions
+    * (the classic scaled-position interleave: after any prefix of
+    * length L, domain d has contributed ≈ L·w_d docs). The key is a
+    * pure per-row value: consumers SORT BY it (or range-partition
+    * shards by it) — no global rank is materialized, so the only
+    * shuffle here is the per-domain window, exactly [[globalShuffle]]'s
+    * bound.
+    *
+    * Weights come from [[mixtureWeights]] (domain-granular, broadcast
+    * back); determinism is the same md5 contract as the other sampling
+    * ops. */
+  def weightedInterleave(df: DataFrame, domainCol: String, idCol: String,
+      weights: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(domainCol))
+      .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))
+    df.select(col(idCol), col(domainCol))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .join(broadcast(weights.select(col(domainCol), col("weight"))),
+        Seq(domainCol))
+      .withColumn("interleave_key",
+        round(col("pos").cast("double") / col("weight"), 6))
+      .select(col(idCol), col(domainCol), col("pos"), col("interleave_key"))
+  }
+
   /** Per-doc mean token rarity: avg over the doc's tokens (with
     * multiplicity) of N_total / corpus_tf(token) — the monotone
     * analogue of unigram surprisal (-mean log p) without the log,

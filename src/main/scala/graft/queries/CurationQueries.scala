@@ -173,6 +173,17 @@ object CurationQueries extends QueryPack {
         graft.functions.TextFunctions.wsTokenCount(
           org.apache.spark.sql.functions.col("text")).cast("long"))),
 
+    // Deterministic weighted interleave: per-domain md5 rank scaled by
+    // the c7 mixture weight — reading in interleave_key order yields
+    // domains at their weight proportions, no global rank needed
+    "c15_weighted_interleave" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      Curation.weightedInterleave(docs, "source", "doc_id",
+        Curation.mixtureWeights(docs, "source",
+          graft.functions.TextFunctions.wsTokenCount(col("text"))
+            .cast("long")))
+    }),
+
     // Distributed BPE tokenizer training on the benchmark slice.
     // Deterministic (ties on lexicographic pair order), so the fixed
     // 8-merge loop unrolls into chained CTEs: per round, pair-count →
@@ -421,6 +432,21 @@ object CurationQueries extends QueryPack {
         |SELECT source, n_docs, n_tokens,
         |  round(sqrt(n_docs) / z, 9) AS weight
         |FROM per, z""".stripMargin,
+
+    "c15_weighted_interleave" ->
+      """WITH per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY source),
+        |z AS (SELECT CAST(SUM(CAST(sqrt(n_docs) AS DECIMAL(38,18))) AS DOUBLE) AS z
+        |      FROM per),
+        |wt AS (SELECT source, round(sqrt(n_docs) / z, 9) AS weight
+        |       FROM per, z),
+        |ranked AS (SELECT doc_id, source,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS pos
+        |  FROM documents)
+        |SELECT doc_id, source, pos,
+        |  round(CAST(pos AS DOUBLE) / weight, 6) AS interleave_key
+        |FROM ranked JOIN wt USING (source)""".stripMargin,
 
     "c6_quota_sample" ->
       s"""WITH cnt AS (SELECT source, count(*) AS n_domain

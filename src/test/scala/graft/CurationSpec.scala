@@ -159,6 +159,32 @@ class CurationSpec extends AnyFunSuite {
     assert(kept(0.3) == k3) // rerun identical
   }
 
+  test("weightedInterleave: prefixes hold domains at their weight rates") {
+    // two domains, 300 vs 75 docs: sqrt weights 300/75 → w_a/w_b = 2
+    val docs = ((1 to 300).map(i => (i.toLong, "a"))
+      ++ (1001 to 1075).map(i => (i.toLong, "b"))).toDF("doc_id", "source")
+    val weights = Curation.mixtureWeights(docs, "source", lit(1L))
+    val out = Curation.weightedInterleave(docs, "source", "doc_id", weights)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(out.length == 375)
+    // per-domain pos is a contiguous 1..n ranking
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    // read in interleave_key order: every prefix carries domain a at
+    // ~2/3 (w_a = 2·w_b): check at prefix 150
+    val ordered = out.sortBy(t => (t._4, t._1))
+    val aShare = ordered.take(150).count(_._2 == "a") / 150.0
+    assert(aShare > 0.6 && aShare < 0.73, s"a share $aShare")
+    // determinism across partitionings
+    val again = Curation.weightedInterleave(docs.repartition(7), "source",
+        "doc_id", weights)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(again == out.toSet)
+  }
+
   test("chunkDocs: overlapping windows cover every token, short docs 1 chunk") {
     val text10 = (1 to 10).map(i => s"t$i").mkString(" ")
     val docs = Seq(
