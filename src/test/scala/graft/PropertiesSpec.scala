@@ -204,6 +204,35 @@ class PropertiesSpec extends AnyFunSuite {
     }, n = 5)
   }
 
+  test("chunkDocs: every token covered, ids contiguous, sizes bounded") {
+    val gen = for {
+      nDocs <- Gen.choose(1, 4)
+      lens <- Gen.listOfN(nDocs, Gen.choose(0, 40))
+      window <- Gen.choose(2, 12)
+      stride <- Gen.choose(1, 12)
+    } yield (lens.zipWithIndex.map { case (len, i) =>
+      (i.toLong, (0 until len).map(j => s"t${i}_$j").mkString(" "))
+    }, window, math.min(stride, window))
+    holds(Prop.forAll(gen) { case (docs, window, stride) =>
+      val out = graft.curation.Curation
+        .chunkDocs(docs.toDF("doc_id", "text"), "doc_id", "text",
+          window, stride)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+          r.getLong(3)))
+      docs.forall { case (id, text) =>
+        val toks = if (text.isEmpty) Array.empty[String] else text.split(" ")
+        val chunks = out.filter(_._1 == id).sortBy(_._2)
+        if (toks.isEmpty) chunks.isEmpty
+        else {
+          chunks.map(_._2).toSeq == chunks.indices.toSeq && // contiguous ids
+          chunks.forall(c => c._4 >= 1 && c._4 <= window &&
+            c._3.split(" ").length == c._4) &&
+          chunks.flatMap(_._3.split(" ")).toSet == toks.toSet // coverage
+        }
+      }
+    }, n = 5)
+  }
+
   test("novelty is 1.0 whenever every doc uses a private vocabulary") {
     // each doc draws from its own disjoint token set → no shingle can
     // repeat across docs, so every doc with >= n tokens scores 1.0
