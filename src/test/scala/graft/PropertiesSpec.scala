@@ -233,6 +233,25 @@ class PropertiesSpec extends AnyFunSuite {
     }, n = 5)
   }
 
+  test("snapshotDiff equals the reference map-diff on random snapshots") {
+    val snapGen = Gen.mapOf(Gen.zip(Gen.choose(0L, 30L), Gen.oneOf("a", "b", "c")))
+    holds(Prop.forAll(snapGen, snapGen) { (oldM, newM) =>
+      import spark.implicits._
+      val out = graft.ops.Scd.snapshotDiff(
+          oldM.toSeq.toDF("k", "v"), newM.toSeq.toDF("k", "v"), "k", "v")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val expected = (oldM.keySet ++ newM.keySet).flatMap { k =>
+        (oldM.get(k), newM.get(k)) match {
+          case (None, Some(_)) => Some(k -> "added")
+          case (Some(_), None) => Some(k -> "removed")
+          case (Some(a), Some(b)) if a != b => Some(k -> "changed")
+          case _ => None
+        }
+      }.toMap
+      out == expected
+    }, n = 5)
+  }
+
   test("novelty is 1.0 whenever every doc uses a private vocabulary") {
     // each doc draws from its own disjoint token set → no shingle can
     // repeat across docs, so every doc with >= n tokens scores 1.0
