@@ -133,12 +133,21 @@ object Crawler {
       options, comments)
     import spark.implicits._
     Seq((name, format, location, options, df.schema.toDDL, comments,
-        System.currentTimeMillis()))
+        System.currentTimeMillis(), regSeq.incrementAndGet()))
       .toDF("table_name", "format", "location", "options", "schema_ddl",
-        "comments", "registered_at")
+        "comments", "registered_at", "registered_seq")
       .write.mode("append").parquet(manifestPath(warehouseDir))
     name
   }
+
+  /** Monotonic per-JVM registration sequence: two registrations of the
+    * same table inside one wall-clock millisecond would otherwise tie
+    * on `registered_at` and make catalogState's last-wins pick
+    * nondeterministic (restoreCatalog could resurrect the older
+    * definition). Cross-JVM ties still fall back to the timestamp —
+    * the same-millisecond-same-table race only arises within one
+    * process in practice. */
+  private val regSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** The durable catalog's current state: latest manifest row per
     * table (A2 argmax shape — the manifest is registration EVENTS;
@@ -147,8 +156,16 @@ object Crawler {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
     val w = Window.partitionBy(col("table_name"))
-      .orderBy(col("registered_at").desc)
-    spark.read.parquet(manifestPath(warehouseDir))
+      .orderBy(col("registered_at").desc, col("registered_seq").desc)
+    // mergeSchema: manifests written before the registered_seq column
+    // existed still read; the missing column fills with null, which
+    // sorts after any real sequence value under desc.
+    val raw = spark.read.option("mergeSchema", "true")
+      .parquet(manifestPath(warehouseDir))
+    val withSeq =
+      if (raw.columns.contains("registered_seq")) raw
+      else raw.withColumn("registered_seq", lit(null).cast("long"))
+    withSeq
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1).drop("_rn")
   }

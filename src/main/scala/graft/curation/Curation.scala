@@ -543,12 +543,21 @@ object Curation {
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
       maxDriverEdges: Int = 1 << 22): DataFrame = {
     val idName = nodes.columns.head
+    // An edge with a missing endpoint carries no connectivity; drop
+    // them up front so neither path sees nulls (a null would NPE the
+    // Comparable-based repMin step below).
     val e2 = edges.toDF("s", "d")
-    // Size gate and fetch in ONE job: limit(cutoff+1) caps what can
-    // reach the driver, and when the graph is under the cutoff the
-    // limit returns every edge — no separate count pass.
-    val fetched = e2.limit(maxDriverEdges + 1).collect()
-    if (fetched.length <= maxDriverEdges) {
+      .where(col("s").isNotNull && col("d").isNotNull)
+    // Cheap size gate first: a limit-count over a constant projection
+    // decides the path while moving only a single count to the driver.
+    // (The previous gate collected cutoff+1 full Rows — a potentially
+    // multi-hundred-MB allocation — just to discover the graph is big
+    // and take the distributed path anyway.) When the gate passes, the
+    // small-graph collect below is its own cheap job.
+    val underCutoff =
+      e2.select(lit(1).as("one")).limit(maxDriverEdges + 1).count() <= maxDriverEdges
+    if (underCutoff) {
+      val fetched = e2.collect()
       val spark = nodes.sparkSession
       val idType = nodes.schema.head.dataType
       // Path-compressed union-find; representative = min member id,

@@ -92,16 +92,42 @@ object GraftFunctions {
   /** Foldable array-of-doubles argument (e.g. `array(0.5, 0.9)`),
     * evaluated at registration/analysis time — quantile lists shape
     * the aggregate's output and cannot be data-dependent. */
-  private[expressions] def doubleArrayLit(e: Expression, name: String): Seq[Double] =
-    if (e.foldable) {
-      e.eval(null) match {
-        case a: org.apache.spark.sql.catalyst.util.ArrayData =>
-          a.toDoubleArray().toSeq
-        case other => throw new IllegalArgumentException(
-          s"$name must be an array<double> literal, got $other")
-      }
-    } else throw new IllegalArgumentException(
+  private[expressions] def doubleArrayLit(e: Expression, name: String): Seq[Double] = {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType,
+      IntegerType, LongType, ShortType, ByteType, DecimalType}
+    if (!e.foldable) throw new IllegalArgumentException(
       s"$name must be a foldable array<double> literal, got $e")
+    // Inspect the declared element type and widen numerics element-wise:
+    // `array(1, 2)` (int elements) would otherwise escape as a raw
+    // ClassCastException from toDoubleArray at analysis time.
+    e.dataType match {
+      case ArrayType(elem, _) =>
+        val widen: Any => Double = elem match {
+          case DoubleType => { case d: Double => d }
+          case FloatType => { case f: Float => f.toDouble }
+          case IntegerType => { case i: Int => i.toDouble }
+          case LongType => { case l: Long => l.toDouble }
+          case ShortType => { case s: Short => s.toDouble }
+          case ByteType => { case b: Byte => b.toDouble }
+          case _: DecimalType =>
+            { case d: org.apache.spark.sql.types.Decimal => d.toDouble }
+          case other => throw new IllegalArgumentException(
+            s"$name must be an array of numeric literals, got array<$other>")
+        }
+        e.eval(null) match {
+          case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+            a.toObjectArray(elem).toSeq.map { v =>
+              if (v == null) throw new IllegalArgumentException(
+                s"$name must not contain nulls")
+              widen(v)
+            }
+          case other => throw new IllegalArgumentException(
+            s"$name must be an array<double> literal, got $other")
+        }
+      case other => throw new IllegalArgumentException(
+        s"$name must be an array<double> literal, got type $other")
+    }
+  }
 
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
     import org.apache.spark.sql.graft.Bridge

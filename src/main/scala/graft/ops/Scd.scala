@@ -42,9 +42,13 @@ object Scd {
     * materializes, so the output is change-sized, not corpus-sized. */
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keyCol: String,
       contentCol: String): DataFrame = {
+    // "v:"-prefixed values vs a bare "n" marker keeps null unambiguous:
+    // no string value (including one literally spelling a sentinel) can
+    // collide with the null fingerprint, since every non-null input is
+    // prefixed out of the marker's space.
     def fp(df: DataFrame, as: String) = df.select(
       col(keyCol),
-      md5(coalesce(col(contentCol).cast("string"), lit(" null"))
+      md5(coalesce(concat(lit("v:"), col(contentCol).cast("string")), lit("n"))
         .cast("binary")).as(as))
     fp(oldDf, "old_fp").join(fp(newDf, "new_fp"), Seq(keyCol), "full_outer")
       .withColumn("status",

@@ -587,13 +587,13 @@ object Relational extends QueryPack {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
     "scd2_snapshot_diff" ->
       """WITH oldv AS (
-        |  SELECT doc_id, md5(COALESCE(CAST(text AS VARCHAR), ' null')) AS old_fp
+        |  SELECT doc_id, md5(COALESCE('v:' || CAST(text AS VARCHAR), 'n')) AS old_fp
         |  FROM documents WHERE doc_id % 10 <> 3),
         |newv AS (
         |  SELECT doc_id, md5(COALESCE(
-        |      CAST(text AS VARCHAR) ||
+        |      'v:' || CAST(text AS VARCHAR) ||
         |        CASE WHEN doc_id % 13 = 0 THEN ' v2' ELSE '' END,
-        |      ' null')) AS new_fp
+        |      'n')) AS new_fp
         |  FROM documents WHERE doc_id % 10 <> 7)
         |SELECT doc_id,
         |  CASE WHEN old_fp IS NULL THEN 'added'

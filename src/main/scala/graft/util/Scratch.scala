@@ -24,6 +24,14 @@ object Scratch {
     f.delete(): Unit
   }
 
+  /** Minimum age before a sibling scratch dir is considered abandoned.
+    * A live concurrent Bench/Verify keeps touching its shuffle files,
+    * but the dir's own mtime is set at creation — so the guard is
+    * age-based: anything younger than this is presumed active and left
+    * alone, which keeps a second concurrent launch from deleting the
+    * first run's live spark.local.dir mid-flight. */
+  private val StaleAfterMillis = 2L * 60 * 60 * 1000
+
   /** Create (and register cleanup for) a fresh scratch dir whose name
     * starts with `prefix`; returns its absolute path. */
   def localDir(prefix: String): String = {
@@ -31,8 +39,12 @@ object Scratch {
     val base =
       if (configured.isDirectory && configured.canWrite) configured
       else new File(System.getProperty("java.io.tmpdir", "/tmp"))
+    val cutoff = System.currentTimeMillis() - StaleAfterMillis
     val stale = base.listFiles
-    if (stale != null) stale.filter(_.getName.startsWith(prefix)).foreach(deleteRec)
+    if (stale != null)
+      stale
+        .filter(f => f.getName.startsWith(prefix) && f.lastModified() < cutoff)
+        .foreach(deleteRec)
     val dir = Files.createTempDirectory(base.toPath, prefix).toFile
     sys.addShutdownHook(deleteRec(dir))
     dir.getAbsolutePath

@@ -35,11 +35,20 @@ class HarnessUtilSpec extends AnyFunSuite {
     val f1 = new java.io.File(d1)
     assert(f1.isDirectory && f1.canWrite)
     assert(f1.getName.startsWith("hspec-run-"))
-    // a second run's dir is distinct, and the first run's dir (a
-    // "stale sibling" by prefix) is cleaned up by the new run
+    // a second run's dir is distinct, and a LIVE sibling (freshly
+    // created — i.e. a concurrent run's active spark.local.dir) must
+    // survive the sweep: the cleanup is age-gated so a second launch
+    // can't delete the first run's shuffle files mid-flight
     val d2 = graft.util.Scratch.localDir("hspec-run-")
     assert(d2 != d1)
-    assert(!f1.exists, "stale sibling from a prior run must be deleted")
+    assert(f1.exists, "a fresh (live, concurrent-run) sibling must NOT be deleted")
+    // back-date the first run's dir beyond the staleness threshold:
+    // now it reads as an abandoned dir from a crashed run and the next
+    // startup sweeps it
+    assert(f1.setLastModified(System.currentTimeMillis() - 3L * 60 * 60 * 1000))
+    val d3 = graft.util.Scratch.localDir("hspec-run-")
+    assert(!f1.exists, "stale (aged-out) sibling from a prior run must be deleted")
+    new java.io.File(d3).delete()
     new java.io.File(d2).delete()
     new java.io.File(stale, "shuffle.data").delete()
     stale.delete(); base.delete()
