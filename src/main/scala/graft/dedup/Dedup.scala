@@ -127,6 +127,90 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"), min(col("doc")).as("first_doc"))
       .filter(col("n_docs") >= minDf)
 
+  /** Cross-document exact substring dedup (the span-level op of Lee et
+    * al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better" — ExactSubstr, at word-token granularity): every n-token
+    * span that also occurs in a LOWER-id document is masked out of this
+    * document; the first (min-id) occurrence keeps its text. This is
+    * the op that catches a license block or boilerplate header embedded
+    * mid-document, which document-level dedup (d1-d12) never sees.
+    *
+    * Output per doc: `doc_id, n_tokens, n_dup_tokens, dup_ratio,
+    * kept_text` — kept_text is the document with every masked token
+    * removed (token order preserved), the keep/drop artifact a training
+    * pipeline feeds downstream.
+    *
+    * Scale shape (100 TB): positioned shingles are token-count-sized
+    * (one row per window, no per-doc distinct); the min-doc table is a
+    * partial-aggregating groupBy on the shingle, and the occurrence
+    * join reuses the same key. The ×n coverage explode runs only on
+    * DUPLICATED occurrences (dup-span-sized, not corpus-sized) and
+    * collapses map-side in the (doc, tokpos) distinct. Everything
+    * downstream is doc-keyed. Suffix-array ExactSubstr finds arbitrary-
+    * length matches; the fixed-n shingle formulation is the standard
+    * distributed relaxation (any shared span ≥ n tokens is covered by
+    * its length-n windows, so coverage is identical for spans ≥ n). */
+  def substringDedup(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = graft.sources.Tables.fanOut(df)
+      .select(col(idCol).cast("long").as("doc"), col(textCol).as("txt"))
+      .filter(col("txt").isNotNull)
+    // positioned shingles (1-based token start), tight loop per doc —
+    // same kernel as shinglePostings but keeping EVERY window with its
+    // position (a repeated span inside one doc must mask each site)
+    val positioned = base.as[(Long, String)]
+      .flatMap { case (id, t) =>
+        val toks = t.trim.split("\\s+")
+        val m = toks.length - n + 1
+        if (m <= 0) Iterator.empty
+        else Iterator.tabulate(m) { i =>
+          val sb = new java.lang.StringBuilder(32)
+          var j = 0
+          while (j < n) {
+            if (j > 0) sb.append(' ')
+            sb.append(toks(i + j)); j += 1
+          }
+          (id, i + 1L, sb.toString)
+        }
+      }
+      .toDF("doc", "pos", "shingle")
+    val cached = graft.util.Caches.scoped(positioned)
+    // first containing doc per shingle; the join back shuffles on the
+    // same key, so the exchange is reused across the two consumers
+    val first = cached.groupBy(col("shingle"))
+      .agg(min(col("doc")).as("first_doc"))
+    val dupStarts = cached.join(first, Seq("shingle"))
+      .filter(col("doc") > col("first_doc"))
+      .select(col("doc"), col("pos"))
+    // token positions covered by some duplicated window — the explode
+    // multiplies only dup starts by n; overlap collapses in distinct
+    val covered = dupStarts
+      .select(col("doc"),
+        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("tp"))
+      .distinct()
+    val tokpos = base.select(col("doc"),
+        posexplode(split(trim(col("txt")), "\\s+")).as(Seq("idx", "tok")))
+      .select(col("doc"), (col("idx") + 1).cast("long").as("tp"), col("tok"))
+    val kept = tokpos.join(covered, Seq("doc", "tp"), "left_anti")
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("tp"), col("tok")))),
+            p => p.getField("tok")),
+          " ").as("kept_text"))
+    base.select(col("doc"),
+        size(split(trim(col("txt")), "\\s+")).cast("long").as("n_tokens"))
+      .join(kept, Seq("doc"), "left")
+      .select(col("doc").as("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_dup_tokens"),
+        round((col("n_tokens") - coalesce(col("n_kept"), lit(0L)))
+          .cast("double") / col("n_tokens"), 6).as("dup_ratio"),
+        coalesce(col("kept_text"), lit("")).as("kept_text"))
+  }
+
   /** All pairs sharing ≥1 (rare) shingle, with exact Jaccard over the
     * filtered shingle sets. Output: doc_a < doc_b, shared, size_a,
     * size_b, jaccard. */

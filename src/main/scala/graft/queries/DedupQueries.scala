@@ -128,6 +128,12 @@ object DedupQueries extends QueryPack {
       Dedup.commonSpans(Tables.load(s, d, "documents"),
         "doc_id", "text", n = 8, minDf = 3)),
 
+    // Cross-doc exact substring dedup: mask 8-token spans already seen
+    // in a lower-id doc; emit per-doc mask stats + the kept text
+    "d13_substring_dedup" -> ((s, d) =>
+      Dedup.substringDedup(Tables.load(s, d, "documents"),
+        "doc_id", "text", n = 8)),
+
     // Per-document 32-bit SimHash sketches
     "d4_simhash" -> ((s, d) =>
       Dedup.simhash(Tables.load(s, d, "documents"), "doc_id", "text")),
@@ -240,6 +246,38 @@ object DedupQueries extends QueryPack {
         |SELECT fp, event_id FROM fp
         |WHERE event_id % 5 = 0
         |  AND fp IN (SELECT fp FROM fp WHERE event_id % 5 <> 0)""".stripMargin,
+
+    "d13_substring_dedup" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |sh AS (SELECT doc_id,
+        |         unnest(list_transform(range(1, greatest(len(t)-8+2, 1)),
+        |                i -> struct_pack(pos := i,
+        |                       shingle := array_to_string(t[i:i+7], ' ')))) AS u
+        |       FROM toks WHERE len(t) >= 8),
+        |shp AS (SELECT doc_id, u.pos AS pos, u.shingle AS shingle FROM sh),
+        |first AS (SELECT shingle, min(doc_id) AS first_doc
+        |          FROM shp GROUP BY shingle),
+        |dup AS (SELECT s.doc_id, s.pos FROM shp s
+        |        JOIN first f ON s.shingle = f.shingle
+        |        WHERE s.doc_id > f.first_doc),
+        |cov AS (SELECT DISTINCT doc_id, pos + g.off AS tp
+        |        FROM dup CROSS JOIN (SELECT unnest(range(0, 8)) AS off) g),
+        |tokpos AS (SELECT doc_id, unnest(t) AS tok,
+        |             unnest(range(1, len(t)+1)) AS tp
+        |           FROM toks),
+        |kept AS (SELECT k.doc_id, count(*) AS n_kept,
+        |           string_agg(k.tok, ' ' ORDER BY k.tp) AS kept_text
+        |         FROM tokpos k ANTI JOIN cov c
+        |           ON k.doc_id = c.doc_id AND k.tp = c.tp
+        |         GROUP BY k.doc_id),
+        |stats AS (SELECT doc_id, len(t) AS n_tokens FROM toks)
+        |SELECT s.doc_id, CAST(s.n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(s.n_tokens - COALESCE(k.n_kept, 0) AS BIGINT) AS n_dup_tokens,
+        |  round((s.n_tokens - COALESCE(k.n_kept, 0)) * 1.0 / s.n_tokens, 6)
+        |    AS dup_ratio,
+        |  COALESCE(k.kept_text, '') AS kept_text
+        |FROM stats s LEFT JOIN kept k USING (doc_id)""".stripMargin,
 
     "d8_common_spans" ->
       """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t

@@ -59,6 +59,43 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.commonSpans(docs, "doc_id", "text", n = 8, minDf = 4).count() == 0)
   }
 
+  test("substringDedup masks a mid-document license block, keeps first occurrence") {
+    val license = "permission is hereby granted free of charge to any person obtaining a copy"
+    val corpus = Seq(
+      (1L, s"alpha beta $license gamma delta"),
+      // same 13-token license block embedded mid-document in a later doc
+      (2L, s"one two three $license four five six"),
+      (3L, "entirely original prose with no shared spans whatsoever in sight here")
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringDedup(corpus, "doc_id", "text", n = 8)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // first occurrence (doc 1) keeps everything
+    assert(out(1L).getAs[Long]("n_dup_tokens") == 0L)
+    assert(out(1L).getAs[String]("kept_text") ==
+      s"alpha beta $license gamma delta")
+    // doc 2 loses exactly the 13 license tokens; its own framing stays
+    assert(out(2L).getAs[Long]("n_tokens") == 19L)
+    assert(out(2L).getAs[Long]("n_dup_tokens") == 13L)
+    assert(out(2L).getAs[String]("kept_text") == "one two three four five six")
+    assert(math.abs(out(2L).getAs[Double]("dup_ratio") - 13.0 / 19) < 1e-6)
+    // untouched doc passes through whole
+    assert(out(3L).getAs[Long]("n_dup_tokens") == 0L)
+  }
+
+  test("substringDedup: spans shorter than n survive; within-doc repeats don't mask") {
+    val corpus = Seq(
+      (1L, "shared seven token run right here now tail one"),
+      // only a 7-token overlap ("shared ... now") < n=8 → no masking
+      (2L, "shared seven token run right here now other trailing words"),
+      // repeats ITS OWN 8-gram twice but shares nothing cross-doc
+      (3L, "solo block of eight tokens repeating again yes solo block of eight tokens repeating again yes")
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringDedup(corpus, "doc_id", "text", n = 8)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out.values.forall(_.getAs[Long]("n_dup_tokens") == 0L),
+      "sub-n overlaps and within-doc repeats must not mask")
+  }
+
   test("ngram jaccard finds near-dup and exact pair, not unrelated") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
         n = 3, threshold = 0.5, maxDf = 50)
