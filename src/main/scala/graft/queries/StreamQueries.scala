@@ -19,10 +19,42 @@ object StreamQueries extends QueryPack {
     // slide < length (e1 covers the tumbling path)
     "e3_sliding_window" -> ((s, d) =>
       EventAggregates.windowedCounts(Tables.load(s, d, "events"),
-        "1 hour", Some("30 minutes")))
+        "1 hour", Some("30 minutes"))),
+
+    // Stream-stream interval-join semantics, batch-replayed: views are
+    // "onboardings", clicks are "completions"; a click within 1h of
+    // the same user's view is the match, an unmatched view emits as a
+    // breach (null completion — the leftOuter/emitBreaches path). The
+    // identical plan runs under MemoryStream in CorrelateSpec; the
+    // batch replay makes the join's semantics driver-checkable.
+    "e4_completion_latency" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val ev = Tables.load(s, d, "events")
+      val onb = ev.filter(col("event_type") === "view")
+        .select(col("user_id").as("source_name"), col("ts").as("onboarded_at"))
+      val comp = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("source_name"), col("ts").as("completed_at"))
+      graft.streaming.Correlate.completionLatency(onb, comp,
+        sla = "1 hour", watermark = "10 minutes", emitBreaches = true)
+    })
   )
 
   def oracle: Map[String, String] = Map(
+    // interval join replay: LEFT JOIN carries both the matched rows
+    // (with floor-second latency, matching unix_timestamp) and the
+    // breach rows (null completion)
+    "e4_completion_latency" ->
+      """WITH o AS (SELECT user_id AS source_name, ts AS onboarded_at
+        |           FROM events WHERE event_type = 'view'),
+        |c AS (SELECT user_id AS source_name, ts AS completed_at
+        |      FROM events WHERE event_type = 'click')
+        |SELECT o.source_name, o.onboarded_at, c.completed_at,
+        |  CAST(floor(epoch(c.completed_at)) - floor(epoch(o.onboarded_at))
+        |    AS BIGINT) AS latency_s
+        |FROM o LEFT JOIN c ON o.source_name = c.source_name
+        |  AND c.completed_at >= o.onboarded_at
+        |  AND c.completed_at <= o.onboarded_at + INTERVAL 1 HOUR""".stripMargin,
+
     // gaps-and-islands replay: new session when the gap to the previous
     // event is >= 30 min (session_window's end bound is exclusive)
     "e2_session_window" ->
