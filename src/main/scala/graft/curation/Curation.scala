@@ -277,8 +277,11 @@ object Curation {
   def qualityBandFilter(df: DataFrame, strataCol: String, idCol: String,
       textCol: String, pLo: Double = 0.1, pHi: Double = 0.9): DataFrame = {
     import graft.functions.TextFunctions
-    val q = df.select(col(idCol), col(strataCol),
-      TextFunctions.qualityScore(col(textCol)).as("quality"))
+    // scoped-cached: the scored frame is read twice (bounds aggregate,
+    // then the band join) and the regex-heavy score dominates its cost
+    val q = graft.util.Caches.scoped(
+      df.select(col(idCol), col(strataCol),
+        TextFunctions.qualityScore(col(textCol)).as("quality")))
     val bounds = q.groupBy(col(strataCol))
       .agg(expr(s"percentile(quality, $pLo)").as("p_lo"),
         expr(s"percentile(quality, $pHi)").as("p_hi"))

@@ -298,28 +298,18 @@ object Dedup {
     * set sizes for the exact Jaccard. Same output as
     * `pairStats(postings)` with two fewer exchanges. */
   def pairStatsFromGroups(groups: DataFrame, postings: DataFrame): DataFrame = {
-    val spark = groups.sparkSession
-    import spark.implicits._
     val sizes = postings.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
-    // pairwise combos as a typed flatMap: a tight index loop per list
-    // beats the interpreted per-element HOF lambdas ~1.5× at the
-    // million-pair scale (lists are ≤ maxDf, so per-row work is bounded)
+    // pairwise combos as a nested posexplode: stays inside whole-stage
+    // codegen (the typed-flatMap formulation pays an encoder round-trip
+    // per row and a separate codegen unit, which dominates the COLD
+    // first execution the bench measures — ~0.7 s vs ~1.0 s cold, equal
+    // steady-state). docs is array_sort'ed, so ia < ib ⟹ doc_a < doc_b
+    // and each unordered pair appears exactly once.
     val pairs = groups
-      .select(col("docs"))
-      .as[Seq[Long]]
-      .flatMap { docs =>
-        val n = docs.length
-        val out = new Array[(Long, Long)](n * (n - 1) / 2)
-        var k = 0
-        var i = 0
-        while (i < n) {
-          var j = i + 1
-          while (j < n) { out(k) = (docs(i), docs(j)); k += 1; j += 1 }
-          i += 1
-        }
-        out
-      }
-      .toDF("doc_a", "doc_b")
+      .select(posexplode(col("docs")).as(Seq("ia", "doc_a")), col("docs"))
+      .select(col("ia"), col("doc_a"),
+        posexplode(col("docs")).as(Seq("ib", "doc_b")))
+      .filter(col("ia") < col("ib"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("shared"))
     pairs

@@ -10,6 +10,28 @@ import graft.functions.TextFunctions._
   */
 object TextQueries extends QueryPack {
 
+  import org.apache.spark.sql.{DataFrame, SparkSession}
+
+  // x9 (the standalone band filter) and CurationQueries' c10 (the
+  // composed pipeline's quality gate) run the IDENTICAL
+  // qualityBandFilter(documents, lang, [p10,p90]) — one cached build
+  // serves both. The memo lives HERE (not in CurationQueries) because
+  // the curation pack releases at d9 < x9, which would evict it before
+  // x9 runs; this pack's release fires after its own last query.
+  private val qualityMemo =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  private[queries] def qualityBand(s: SparkSession, d: String): DataFrame =
+    qualityMemo.getOrElseUpdate(d,
+      graft.curation.Curation.qualityBandFilter(
+        Tables.load(s, d, "documents"), "lang", "doc_id", "text",
+        pLo = 0.1, pHi = 0.9).cache())
+
+  override def releaseShared(spark: SparkSession): Unit = {
+    qualityMemo.values.foreach(_.unpersist(true))
+    qualityMemo.clear()
+  }
+
   def queries: Map[String, Q] = Map(
     // Token counting: whitespace + BPE-ish regex estimate
     "x1_token_count" -> ((s, d) =>
@@ -93,10 +115,7 @@ object TextQueries extends QueryPack {
     // Profile-driven curation: keep docs inside their language's
     // [p10, p90] quality band (drops spam low tail AND degenerate
     // high tail per stratum, no global threshold)
-    "x9_quality_filter" -> ((s, d) =>
-      graft.curation.Curation.qualityBandFilter(
-        Tables.load(s, d, "documents"), "lang", "doc_id", "text",
-        pLo = 0.1, pHi = 0.9)),
+    "x9_quality_filter" -> ((s, d) => qualityBand(s, d)),
 
     // Corpus-relative rarity score: mean N/tf over the doc's tokens —
     // the log-free unigram-surprisal analogue (log isn't bit-portable
