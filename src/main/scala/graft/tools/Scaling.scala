@@ -1,0 +1,157 @@
+package graft.tools
+
+import scala.util.control.NonFatal
+
+/** Empirical scaling study (VERDICT r7 item 1): measure how the
+  * engine's most expensive operators actually scale with data size,
+  * instead of arguing it from plan shapes.
+  *
+  * Corpora: [[SynthScale]] documents/embeddings/events at 1×/10×/100×
+  * the sf0.1 row counts (scale-stable token/df distributions — see its
+  * scaladoc for why the driver fixtures can't be replicated for this).
+  * Written once under target/scaling/x{N}/ and reused.
+  *
+  * Protocol: every query is measured COLD — all pack memos and stray
+  * caches released before each measurement — because the warm-memo
+  * numbers the bench reports would hide the shared builds' own growth.
+  * Two passes, per-query min (same stall rationale as Bench). Results
+  * stream to SCALING_partial.jsonl as they land (the host's multi-
+  * minute stall windows must not lose a 30-minute run), and the final
+  * per-query fitted exponents go to SCALING.json:
+  *
+  *   exp(a→b) = ln(t_b/t_a) / ln(b/a)
+  *
+  * ~1.0 = linear, the 1×→10× leg is overhead-biased LOW (sub-second
+  * queries carry ~0.1-0.5 s fixed scheduling cost), so the 10×→100×
+  * leg is the headline number.
+  */
+object Scaling {
+
+  val queryTables: Seq[(String, String)] = Seq(
+    // documents family
+    "d2_ngram_jaccard" -> "documents",
+    "d3_minhash_lsh" -> "documents",
+    "d7_dedup_clusters" -> "documents",
+    "d13_substring_dedup" -> "documents",
+    "c1_decontaminate" -> "documents",
+    "c4_tfidf_topterms" -> "documents",
+    "c10_curation_pipeline" -> "documents",
+    "c13_split_leakage" -> "documents",
+    "x10_token_rarity" -> "documents",
+    "b1_bpe_merges" -> "documents",
+    // embeddings family
+    "s2_knn_brute" -> "embeddings",
+    "s5_ivf_kmeans" -> "embeddings",
+    "s11_ivfpq" -> "embeddings",
+    "d12_semdedup" -> "embeddings",
+    // events family
+    "d1_exact_dedup" -> "events",
+    "w4_count_anomaly" -> "events")
+
+  def main(args: Array[String]): Unit = {
+    // usage: Scaling [scale...] [-q name1,name2] [-p passes] [-g]
+    //   -q restricts to a query subset (chunked runs under a wall cap)
+    //   -g generates the corpora only, no measurement
+    // every run APPENDS to SCALING_partial.jsonl and SCALING.json is
+    // re-assembled from the whole log, so chunks compose.
+    val qArg = args.sliding(2).collectFirst { case Array("-q", v) => v.split(',').toSet }
+    val passes = args.sliding(2).collectFirst { case Array("-p", v) => v.toInt }.getOrElse(2)
+    val genOnly = args.contains("-g")
+    val plain = args.filterNot(_.startsWith("-"))
+      .filterNot(a => args.sliding(2).exists { case Array(f, v) => (f == "-q" || f == "-p") && v == a; case _ => false })
+    val scales = if (plain.nonEmpty) plain.map(_.toInt).toSeq else Seq(1, 10, 100)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-scaling")
+      .config("spark.local.dir", graft.util.Scratch.localDir("graft-scaling-"))
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
+      // heap comes from build.sbt's -Xmx (SPARK_DRIVER_MEM env var) —
+      // spark.driver.memory is a no-op once the local JVM is running
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val partial = new java.io.PrintWriter(
+      new java.io.FileWriter("SCALING_partial.jsonl", true))
+    def rec(line: String): Unit = { partial.println(line); partial.flush() }
+
+    // ---- corpora (generate once, reuse across runs) ----
+    val dirs = scales.map { sc =>
+      val dir = s"target/scaling/x$sc"
+      val marker = new java.io.File(s"$dir/_DONE")
+      if (!marker.exists()) {
+        val t0 = System.nanoTime()
+        SynthScale.writeScale(spark, dir, sc)
+        marker.getParentFile.mkdirs(); marker.createNewFile()
+        println(f"[scaling] generated x$sc in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      }
+      sc -> dir
+    }
+
+    // ---- measurement ----
+    def timeCold(name: String, dir: String): Double = {
+      graft.SparkEntry.releaseShared(spark)
+      graft.util.Caches.releaseStray()
+      val t0 = System.nanoTime()
+      graft.SparkEntry.queries(name)(spark, dir).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      graft.SparkEntry.releaseShared(spark)
+      graft.util.Caches.releaseStray()
+      sec
+    }
+
+    val measured = qArg.fold(queryTables)(qs => queryTables.filter(t => qs(t._1)))
+    (1 to (if (genOnly) 0 else passes)).foreach { pass =>
+      dirs.foreach { case (sc, dir) =>
+        measured.foreach { case (name, _) =>
+          val sec =
+            try timeCold(name, dir)
+            catch {
+              case NonFatal(e) =>
+                println(s"[scaling] $name x$sc FAILED: ${e.getMessage}")
+                -1.0
+            }
+          println(f"[scaling] pass$pass x$sc $name $sec%.2f s")
+          rec(s"""{"pass":$pass,"scale":$sc,"query":"$name","sec":${f"$sec%.3f"}}""")
+        }
+      }
+    }
+    partial.close()
+
+    // ---- exponents, assembled from the FULL cumulative log so
+    // chunked invocations (-q / single-scale runs) compose ----
+    val Line = """\{"pass":\d+,"scale":(\d+),"query":"([^"]+)","sec":(-?[0-9.]+)\}""".r
+    val times = scala.collection.mutable.Map.empty[(String, Int), Double]
+    val src = scala.io.Source.fromFile("SCALING_partial.jsonl")
+    try src.getLines().foreach {
+      case Line(sc, name, sec) if sec.toDouble >= 0 =>
+        val k = (name, sc.toInt)
+        times(k) = math.min(times.getOrElse(k, Double.MaxValue), sec.toDouble)
+      case _ => ()
+    } finally src.close()
+    val allScales = times.keys.map(_._2).toSeq.distinct.sorted
+
+    def j(d: Double) = if (d.isNaN || d.isInfinite) "null" else f"$d%.3f"
+    val rows = queryTables.map { case (name, table) =>
+      val ts = allScales.map(sc => sc -> times.get((name, sc)))
+      val legs = ts.sliding(2).collect {
+        case Seq((a, Some(ta)), (b, Some(tb))) if ta > 0 =>
+          s""""exp_${b}_$a":${j(math.log(tb / ta) / math.log(b.toDouble / a))}"""
+      }.mkString(",")
+      val tJson = ts.collect { case (sc, Some(t)) => s""""t$sc":${j(t)}""" }.mkString(",")
+      s"""    "$name":{"table":"$table",$tJson${if (legs.nonEmpty) "," + legs else ""}}"""
+    }
+    val out = "{\n  \"scales\":[" + allScales.mkString(",") +
+      "],\n  \"protocol\":\"cold per query (memos+caches released), 2+ passes, per-query min over SCALING_partial.jsonl; corpora: SynthScale x{N} of sf0.1 row counts\",\n  \"queries\":{\n" +
+      rows.mkString(",\n") + "\n  }\n}\n"
+    val w = new java.io.PrintWriter("SCALING.json")
+    w.write(out); w.close()
+    println("[scaling] wrote SCALING.json")
+    spark.stop()
+  }
+}

@@ -1,0 +1,123 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Deterministic scale-path corpus generator for the scaling study
+  * (SCALING.json): `documents` / `embeddings` / `events` tables with
+  * the driver fixtures' schemas and value sets, at any multiple of the
+  * sf0.1 row counts.
+  *
+  * The driver's own `documents` table draws every token from a FIXED
+  * 31-word vocabulary, so replicating it N× drives every 3-gram's df
+  * past the dedup family's df-cap and the shingle index degenerates —
+  * scaling measured on that corpus would show the operators' work
+  * SHRINKING with n. This generator instead models real-corpus growth:
+  *
+  *  - vocabulary grows with the corpus (Heaps-style, V ∝ n docs), and
+  *    token ranks are log-uniform (p(r) ∝ 1/r, a Zipf(1) head/tail),
+  *    so the per-shingle document-frequency distribution — and with it
+  *    the df-capped index's survivor fraction — stays roughly stable
+  *    across scales;
+  *  - a constant 5% of docs are perturbed copies of a recent doc
+  *    (~12% token flips), keeping near-dup pair rate, dup-cluster
+  *    structure, and src0 contamination proportional to n;
+  *  - every row is a pure function of its id (per-row seeded PRNG),
+  *    so generation distributes over executors and the output is
+  *    byte-identical regardless of partitioning.
+  *
+  * Row counts at scale=1 match /root/testdata/sf0.1: 5 000 documents,
+  * 2 000 embeddings (64-dim, 10 cluster labels), 100 000 events.
+  */
+object SynthScale {
+
+  private val langs = Vector("en", "de", "es", "fr", "zh")
+  private val langCum = Vector(0.40, 0.56, 0.72, 0.86, 1.0)
+  private val eventTypes = Vector("view", "click", "purchase", "signup", "error")
+
+  private def rngFor(seed: Long, id: Long): java.util.Random =
+    new java.util.Random(seed * 0x9e3779b97f4a7c15L + id)
+
+  /** Tokens of doc `id` — pure function of (seed, id, nDocs) so a
+    * copy-of-doc-j is regenerated from j without shuffling. Copy
+    * chains (a copy of a copy) are capped at depth 4: past the cap the
+    * doc generates fresh, which only thins the ~0.05⁴ tail. */
+  private def tokensFor(seed: Long, id: Long, nDocs: Long, depth: Int = 0): Array[String] = {
+    val r = rngFor(seed, id)
+    val isCopy = depth < 4 && id > 20 && r.nextDouble() < 0.05
+    if (isCopy) {
+      val src = id - 1 - r.nextInt(20)
+      val base = tokensFor(seed, src, nDocs, depth + 1)
+      base.map(t => if (r.nextDouble() < 0.12) freshToken(r, nDocs) else t)
+    } else {
+      val len = 15 + r.nextInt(76)
+      Array.fill(len)(freshToken(r, nDocs))
+    }
+  }
+
+  /** Log-uniform rank over a vocab of V = max(64, nDocs) words:
+    * P(rank ≤ x) = ln x / ln V ⟹ p(rank r) ∝ 1/r. */
+  private def freshToken(r: java.util.Random, nDocs: Long): String = {
+    val v = math.max(64L, nDocs).toDouble
+    val rank = math.min(v, math.exp(r.nextDouble() * math.log(v))).toLong
+    "w" + rank
+  }
+
+  def documents(spark: SparkSession, n: Long, seed: Long = 42L): DataFrame = {
+    import spark.implicits._
+    spark.range(n).map { id =>
+      val toks = tokensFor(seed, id, n)
+      // lang/source from a SEPARATE stream so the copy branch above
+      // doesn't shift them (copies keep their own metadata draw)
+      val r = rngFor(seed + 1, id)
+      val u = r.nextDouble()
+      val lang = langs(langCum.indexWhere(u <= _))
+      val source = "src" + r.nextInt(20)
+      val text = toks.mkString(" ")
+      (id, text, lang, source, text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  def embeddings(spark: SparkSession, n: Long, seed: Long = 42L): DataFrame = {
+    import spark.implicits._
+    val dim = 64
+    // 10 fixed cluster centers, matching the fixture's label set
+    val centers = Array.tabulate(10) { c =>
+      val cr = new java.util.Random(1000L + c)
+      Array.fill(dim)((cr.nextDouble() - 0.5).toFloat * 0.5f)
+    }
+    spark.range(n).map { id =>
+      val r = rngFor(seed + 2, id)
+      val label = r.nextInt(10)
+      val c = centers(label)
+      val vec = Array.tabulate(dim)(i => c(i) + (r.nextDouble() - 0.5).toFloat * 0.12f)
+      (id, vec, label)
+    }.toDF("vec_id", "embedding", "label")
+  }
+
+  def events(spark: SparkSession, n: Long, seed: Long = 42L): DataFrame = {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val spanMs = 30L * 24 * 3600 * 1000
+    val nUsers = math.max(100L, n / 66) // fixture: 1 500 users / 100 k events
+    spark.range(n).map { id =>
+      val r = rngFor(seed + 3, id)
+      val ts = new java.sql.Timestamp(t0 + id * spanMs / math.max(n, 1) + r.nextInt(1000))
+      val user = math.abs(r.nextLong()) % nUsers
+      val typ = eventTypes(r.nextInt(eventTypes.length))
+      val value = math.rint(math.abs(r.nextGaussian()) * 100 * 100) / 100.0
+      val props = s"""{"k": ${r.nextInt(100)}}"""
+      (id, ts, user, typ, value, props)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+  }
+
+  /** Writes documents/embeddings/events for one scale multiple into
+    * `outDir` (scale 1 ≡ the sf0.1 row counts). */
+  def writeScale(spark: SparkSession, outDir: String, scale: Int): Unit = {
+    documents(spark, 5000L * scale).write.mode(SaveMode.Overwrite)
+      .parquet(s"$outDir/documents.parquet")
+    embeddings(spark, 2000L * scale).write.mode(SaveMode.Overwrite)
+      .parquet(s"$outDir/embeddings.parquet")
+    events(spark, 100000L * scale).write.mode(SaveMode.Overwrite)
+      .parquet(s"$outDir/events.parquet")
+  }
+}
