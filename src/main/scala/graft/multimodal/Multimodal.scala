@@ -9,11 +9,12 @@ import org.apache.spark.sql.functions._
   * payload columns with typed metadata structs, plus partition-parallel
   * decode / feature-extract / frame-sample stages.
   *
-  * The Spark-side shapes — schema, partitioning, batch iteration —
-  * are real and tested; the actual codec call is STUBBED with a
-  * deterministic fake (no image/audio libraries in this environment).
-  * At scale the decode stage is exactly this `mapPartitions`: one
-  * codec context per partition, streamed batches, no driver traffic.
+  * Every decode stage runs a REAL codec — the JDK's own PNG reader
+  * (`javax.imageio.ImageIO`) and WAV reader
+  * (`javax.sound.sampled.AudioSystem`); no external media libraries
+  * are needed. At scale the decode stage is exactly these
+  * `mapPartitions`: one codec context per partition, streamed
+  * batches, summaries out, pixels/samples never shuffle.
   */
 object Multimodal {
 
@@ -21,9 +22,6 @@ object Multimodal {
   final case class MediaMeta(mediaType: String, nBytes: Long, codec: String)
 
   final case class MediaRow(id: Long, payload: Array[Byte], meta: MediaMeta)
-
-  final case class MediaFeature(id: Long, nBytes: Long, headerByte: Int,
-      checksum: Long, embedding: Array[Float])
 
   /** Lift a text column into a binary payload table (stand-in for real
     * media bytes; schema and downstream plumbing are identical). */
@@ -41,36 +39,38 @@ object Multimodal {
       .as[MediaRow]
   }
 
-  // ============================================================
-  // STUB: the real implementation would call an image/audio codec
-  // (e.g. libjpeg / ffmpeg bindings) here. This environment has no
-  // media libraries, so decode() produces a DETERMINISTIC FAKE
-  // feature vector derived from the bytes. The mapPartitions batch
-  // shape, schema and partitioning are the real, tested plumbing.
-  // ============================================================
-  private def decodeStub(bytes: Array[Byte]): (Int, Long, Array[Float]) = {
-    val header = if (bytes.nonEmpty) bytes(0) & 0xff else 0
-    var crc = 0L
-    var i = 0
-    while (i < bytes.length) { crc = crc * 31 + (bytes(i) & 0xff); i += 1 }
-    val emb = new Array[Float](8)
-    i = 0
-    while (i < bytes.length) { emb(i % 8) += (bytes(i) & 0xff) / 255.0f; i += 1 }
-    (header, crc, emb)
-  }
+  final case class ImageFeature(id: Long, width: Int, height: Int,
+      n_px: Long, mean_lum: Double)
 
-  /** Partition-parallel decode + feature extraction: one decoder
-    * context per partition, rows streamed through it. */
-  def decodeFeatures(media: Dataset[MediaRow]): Dataset[MediaFeature] = {
-    implicit val enc = Encoders.product[MediaFeature]
+  /** Partition-parallel decode + feature extraction with the REAL JDK
+    * codec (`javax.imageio.ImageIO`): one decoder context per
+    * partition, rows streamed through it, each image reduced to its
+    * feature summary (dimensions + whole-image mean luminance) before
+    * anything crosses a shuffle. Undecodable / null payloads drop
+    * (route to a quarantine sink at scale). Luminance = raster band 0,
+    * matching [[imageTileStats]]. */
+  def decodeImageFeatures(media: Dataset[MediaRow]): Dataset[ImageFeature] = {
+    implicit val enc = Encoders.product[ImageFeature]
     media.mapPartitions { rows =>
-      // per-partition codec init would happen here
-      rows.map { r =>
-        // null payload (missing media) decodes as empty bytes
-        val bytes = if (r.payload == null) Array.emptyByteArray else r.payload
-        val (header, crc, emb) = decodeStub(bytes)
-        MediaFeature(r.id,
-          if (r.meta == null) 0L else r.meta.nBytes, header, crc, emb)
+      rows.flatMap { r =>
+        if (r.payload == null) None
+        else try {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.payload))
+          if (img == null) None
+          else {
+            val raster = img.getRaster
+            val (w, h) = (img.getWidth, img.getHeight)
+            var sum = 0.0
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) { sum += raster.getSample(x, y, 0); x += 1 }
+              y += 1
+            }
+            Some(ImageFeature(r.id, w, h, w.toLong * h, sum / (w.toLong * h)))
+          }
+        } catch { case scala.util.control.NonFatal(_) => None } // see decodeAudio: codecs throw RuntimeExceptions on malformed payloads
       }
     }
   }
@@ -419,10 +419,9 @@ object Multimodal {
       pixel00: Int)
 
   /** REAL image decode: `javax.imageio.ImageIO` (the JDK's PNG codec)
-    * run partition-parallel — the exact mapPartitions shape the
-    * stubbed decodeFeatures documents, but with an actual codec. Rows
-    * whose payload fails to decode are dropped (at scale: route to a
-    * quarantine sink like the ingest DLQ). */
+    * run partition-parallel. Rows whose payload fails to decode are
+    * dropped (at scale: route to a quarantine sink like the ingest
+    * DLQ). */
   def decodeImages(media: Dataset[MediaRow]): Dataset[ImageDecoded] = {
     implicit val enc = Encoders.product[ImageDecoded]
     media.mapPartitions { rows =>

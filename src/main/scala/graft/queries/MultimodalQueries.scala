@@ -4,9 +4,11 @@ import org.apache.spark.sql.functions._
 import graft.sources.Tables
 import graft.multimodal.Multimodal
 
-/** Driver-checkable multimodal-plumbing entries: binary payload
-  * metadata and frame sampling over the documents table (text bytes
-  * stand in for media bytes; see Multimodal for the stub boundary).
+/** Driver-checkable multimodal entries: binary payload metadata,
+  * frame sampling, and REAL-JDK-codec decode / feature / resize
+  * stages over payloads built per doc id (see Multimodal — every
+  * decode runs an actual codec; the deterministic payload patterns
+  * make the results oracle-replayable).
   */
 object MultimodalQueries extends QueryPack {
 
@@ -24,16 +26,18 @@ object MultimodalQueries extends QueryPack {
         Multimodal.attachPayload(
           Tables.load(s, d, "documents"), "doc_id", "text"), 4)),
 
-    // Decode stage (typed mapPartitions, per-partition codec context):
-    // the oracle checks the SQL-expressible outputs (size + header
-    // byte); the stubbed checksum/embedding are spec-pinned instead
+    // Decode→feature stage with the REAL JDK codec: gradient PNGs
+    // decode partition-parallel and reduce to dimensions + whole-image
+    // mean luminance; the deterministic pixel pattern makes the mean
+    // replayable. 1-in-5 doc slice bounds the oracle's pixel unnest
     "m3_decode_features" -> ((s, d) =>
-      Multimodal.decodeFeatures(
-        Multimodal.attachPayload(
-          Tables.load(s, d, "documents"), "doc_id", "text"))
+      Multimodal.decodeImageFeatures(
+        Multimodal.pngTonePayloads(
+          Tables.load(s, d, "documents").filter(col("doc_id") % 5 === 0),
+          "doc_id"))
         .toDF()
-        .select(col("id"), col("nBytes").as("n_bytes"),
-          col("headerByte").cast("long").as("header_byte"))),
+        .select(col("id"), col("width"), col("height"), col("n_px"),
+          round(col("mean_lum"), 6).as("mean_lum"))),
 
     // REAL codec-header parse: valid PNG payloads (signature + IHDR +
     // CRC32) built per doc id, then width/height/depth/color read
@@ -109,10 +113,16 @@ object MultimodalQueries extends QueryPack {
         |    - CAST(floor(f * octet_length(encode(text)) / 4) AS BIGINT) AS frame_len
         |FROM documents CROSS JOIN (SELECT unnest(range(0, 4)) AS f) frames""".stripMargin,
     "m3_decode_features" ->
-      """SELECT doc_id AS id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        |  CAST(CASE WHEN octet_length(encode(text)) = 0 THEN 0
-        |       ELSE ascii(substr(text, 1, 1)) END AS BIGINT) AS header_byte
-        |FROM documents""".stripMargin,
+      """WITH d AS (SELECT doc_id,
+        |    CAST(16 + doc_id % 64 AS INTEGER) AS w,
+        |    CAST(16 + (doc_id * 7) % 64 AS INTEGER) AS h
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |xs AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM d),
+        |px AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs)
+        |SELECT doc_id AS id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(count(*) AS BIGINT) AS n_px,
+        |  round(avg(CAST(((doc_id + x + y) % 16) * 16 AS DOUBLE)), 6) AS mean_lum
+        |FROM px GROUP BY doc_id, w, h""".stripMargin,
     "m4_png_meta" ->
       """SELECT doc_id AS id, TRUE AS valid_sig,
         |  CAST(16 + doc_id % 64 AS BIGINT) AS width,

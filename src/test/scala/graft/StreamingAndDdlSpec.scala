@@ -197,18 +197,27 @@ class StreamingAndDdlSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS ddl_c2")
   }
 
-  test("multimodal: payload plumbing, stub decode, frame sampling") {
+  test("multimodal: payload plumbing, real-codec decode features, frame sampling") {
     import graft.multimodal.Multimodal
     val docs = Seq((1L, "hello world"), (2L, "abcdefgh")).toDF("doc_id", "text")
     val media = Multimodal.attachPayload(docs, "doc_id", "text")
-    val feats = Multimodal.decodeFeatures(media).collect()
+
+    // real-codec feature extraction over gradient PNGs: dimensions and
+    // mean luminance replay from the construction arithmetic
+    val tone = Multimodal.pngTonePayloads(docs, "doc_id")
+    val feats = Multimodal.decodeImageFeatures(tone).collect()
     assert(feats.length == 2)
     val f1 = feats.find(_.id == 1L).get
-    assert(f1.nBytes == 11 && f1.headerByte == 'h'.toInt)
-    assert(f1.embedding.length == 8)
-    // deterministic stub: same input → same features
-    val again = Multimodal.decodeFeatures(media).collect().find(_.id == 1L).get
-    assert(again.checksum == f1.checksum)
+    val (w1, h1) = (16 + 1 % 64, 16 + 7 % 64)
+    assert(f1.width == w1 && f1.height == h1 && f1.n_px == w1.toLong * h1)
+    val expectedMean = (for { x <- 0 until w1; y <- 0 until h1 }
+      yield ((1 + x + y) % 16) * 16).sum.toDouble / (w1 * h1)
+    assert(math.abs(f1.mean_lum - expectedMean) < 1e-9)
+    // deterministic: same input → same features
+    val again = Multimodal.decodeImageFeatures(tone).collect().find(_.id == 1L).get
+    assert(again.mean_lum == f1.mean_lum)
+    // text bytes are not a decodable image: rows drop, nothing throws
+    assert(Multimodal.decodeImageFeatures(media).collect().isEmpty)
 
     val frames = Multimodal.frameSample(media, 4)
     assert(frames.count() == 8)
