@@ -43,11 +43,19 @@ object AsOf {
       probeTs: String, startTs: String, endTs: String,
       bucketSeconds: Long): DataFrame = {
     val usPerBucket = bucketSeconds * 1000000L
+    // unix_micros only accepts TIMESTAMP; the source column may load as
+    // TIMESTAMP_NTZ (parquet timestamp[us] without isAdjustedToUTC).
+    // Casting NTZ→TIMESTAMP under the UTC session timezone is value-
+    // preserving, and bucket ids only need to be consistent across the
+    // two sides — the exact containment filter below uses the original
+    // columns.
+    def micros(c: org.apache.spark.sql.Column) =
+      unix_micros(c.cast(org.apache.spark.sql.types.TimestampType))
     val ib = intervals.withColumn("_b", explode(sequence(
-      (unix_micros(col(startTs)) / usPerBucket).cast("long"),
-      (unix_micros(col(endTs)) / usPerBucket).cast("long"))))
+      (micros(col(startTs)) / usPerBucket).cast("long"),
+      (micros(col(endTs)) / usPerBucket).cast("long"))))
     val pb = probe.withColumn("_b",
-      (unix_micros(col(probeTs)) / usPerBucket).cast("long"))
+      (micros(col(probeTs)) / usPerBucket).cast("long"))
     pb.join(ib, Seq(key, "_b"))
       .filter(col(probeTs) >= col(startTs) && col(probeTs) < col(endTs))
       .drop("_b")
