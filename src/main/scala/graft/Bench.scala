@@ -101,8 +101,22 @@ object Bench {
     // query (canary_end otherwise always reads lower just because the
     // suite already compiled q1's plan)
     try timeQuery("q1_agg") catch { case NonFatal(_) => () }
-    val canaryStart =
+    // Start-canary GATE (round-7 verdict item 5, observed again in
+    // round 8: canary0=1.46 s and a 26 s pass-1 c10 reading — the
+    // suite started inside one of this box's 1-3 minute stall
+    // windows). If the plan-warm canary reads >3× nominal (~0.15 s),
+    // sleep the stall out and re-measure, up to 6 waits of 30 s; the
+    // wait count is recorded so a gated run stays visible.
+    var canaryStart =
       try timeQuery("q1_agg") catch { case NonFatal(_) => -1.0 }
+    var gateWaits = 0
+    while (canaryStart > 0.45 && gateWaits < 6) {
+      Thread.sleep(30000)
+      gateWaits += 1
+      graft.util.Caches.releaseStray()
+      canaryStart =
+        try timeQuery("q1_agg") catch { case NonFatal(_) => -1.0 }
+    }
     graft.util.Caches.releaseStray()
 
     // One full measurement pass over every query, preserving the
@@ -199,7 +213,7 @@ object Bench {
       .mkString("{", ",", "}")}"""
     full ++= s""","pass2":${pass2.map { case (k, v) => s"${jstr(k)}:${num6(v)}" }
       .mkString("{", ",", "}")}"""
-    full ++= s""","canary_q1_start":${num6(canaryStart)},"canary_q1_end":${num6(canaryEnd)}}"""
+    full ++= s""","canary_q1_start":${num6(canaryStart)},"canary_q1_end":${num6(canaryEnd)},"gate_waits":$gateWaits}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("/root/repo/BENCH_FULL.json"), full.toString)
 
@@ -213,7 +227,7 @@ object Bench {
     if (retried.nonEmpty)
       extra ++= s""","retried":${retried.map { case (k, (a, b)) => s"${jstr(shortKey(k))}:[${num(a)},${num(b)}]" }
         .mkString("{", ",", "}")}"""
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qsShort,"sf":${jstr(sfDir)},"full":"BENCH_FULL.json","canary0":${num(canaryStart)},"canary":${num(canaryEnd)}$extra}""")
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qsShort,"sf":${jstr(sfDir)},"full":"BENCH_FULL.json","canary0":${num(canaryStart)},"canary":${num(canaryEnd)},"gw":$gateWaits$extra}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }
