@@ -1,7 +1,8 @@
 #!/bin/bash
 # Launch graft.tools.Scaling outside sbt (same JVM flags as build.sbt),
 # so the measurement JVM doesn't hold the sbt project lock.
-cd /root/repo
+cd "$(dirname "$0")/.."
+SPARK_JARS_DIR="${SPARK_JARS_DIR:-/opt/spark/jars}"
 OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio \
          java.util java.util.concurrent java.util.concurrent.atomic \
@@ -10,5 +11,5 @@ for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio 
 done
 exec java $OPENS -Xmx${SPARK_DRIVER_MEM:-48g} \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
-  -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
+  -cp "target/scala-2.13/classes:$SPARK_JARS_DIR/*" \
   graft.tools.Scaling "$@"

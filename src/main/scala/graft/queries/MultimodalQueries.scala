@@ -28,8 +28,13 @@ object MultimodalQueries extends QueryPack {
 
     // Decode→feature stage with the REAL JDK codec: gradient PNGs
     // decode partition-parallel and reduce to dimensions + whole-image
-    // mean luminance; the deterministic pixel pattern makes the mean
-    // replayable. 1-in-5 doc slice bounds the oracle's pixel unnest
+    // luminance; the deterministic pixel pattern makes the result
+    // replayable. 1-in-5 doc slice bounds the oracle's pixel unnest.
+    // Compared as the exact integer luminance SUM (mean_lum·n_px,
+    // recovered exactly — per-pixel samples are 0..255 ints and the
+    // kernel's double sum is exact below 2^53), not a rounded double:
+    // round(avg,6) on both engines could tie-break differently at the
+    // 6th digit even when the underlying doubles are bit-identical
     "m3_decode_features" -> ((s, d) =>
       Multimodal.decodeImageFeatures(
         Multimodal.pngTonePayloads(
@@ -37,7 +42,7 @@ object MultimodalQueries extends QueryPack {
           "doc_id"))
         .toDF()
         .select(col("id"), col("width"), col("height"), col("n_px"),
-          round(col("mean_lum"), 6).as("mean_lum"))),
+          round(col("mean_lum") * col("n_px")).cast("long").as("sum_lum"))),
 
     // REAL codec-header parse: valid PNG payloads (signature + IHDR +
     // CRC32) built per doc id, then width/height/depth/color read
@@ -71,12 +76,16 @@ object MultimodalQueries extends QueryPack {
     // Windowed RMS energy over REAL-codec-decoded tone WAVs: the
     // silence-detection primitive; the deterministic sample pattern
     // makes every window's energy arithmetic replayable
+    // rms² · n_samples = the exact integer sum of squared samples
+    // (16-bit PCM ints; window sums stay far below 2^53), so the
+    // comparison is integer-exact — same rationale as m3/m10
     "m9_audio_energy" -> ((s, d) =>
       Multimodal.audioFrameEnergy(
         Multimodal.wavTonePayloads(Tables.load(s, d, "documents"), "doc_id"),
         window = 16).toDF()
         .select(col("id"), col("win"), col("n_samples"),
-          round(col("rms"), 6).as("rms"))),
+          round(col("rms") * col("rms") * col("n_samples"))
+            .cast("long").as("energy"))),
 
     // Per-tile luminance means over REAL-codec-decoded gradient PNGs
     // (blank-tile screening); the deterministic pixel pattern makes
@@ -89,7 +98,7 @@ object MultimodalQueries extends QueryPack {
           "doc_id"),
         tile = 8).toDF()
         .select(col("id"), col("tx"), col("ty"), col("n_px"),
-          round(col("mean_lum"), 6).as("mean_lum"))),
+          round(col("mean_lum") * col("n_px")).cast("long").as("sum_lum"))),
 
     // Decode→resize fused in one partition pass (the vision-corpus
     // preprocessing shape); all-zero source pixels resize to zeros, so
@@ -121,7 +130,7 @@ object MultimodalQueries extends QueryPack {
         |px AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs)
         |SELECT doc_id AS id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
         |  CAST(count(*) AS BIGINT) AS n_px,
-        |  round(avg(CAST(((doc_id + x + y) % 16) * 16 AS DOUBLE)), 6) AS mean_lum
+        |  CAST(sum(((doc_id + x + y) % 16) * 16) AS BIGINT) AS sum_lum
         |FROM px GROUP BY doc_id, w, h""".stripMargin,
     "m4_png_meta" ->
       """SELECT doc_id AS id, TRUE AS valid_sig,
@@ -161,20 +170,20 @@ object MultimodalQueries extends QueryPack {
         |px AS (SELECT doc_id, x, unnest(range(0, h)) AS y FROM xs),
         |t AS (SELECT doc_id, CAST(x // 8 AS INTEGER) AS tx,
         |    CAST(y // 8 AS INTEGER) AS ty,
-        |    CAST(((doc_id + x + y) % 16) * 16 AS DOUBLE) AS v
+        |    ((doc_id + x + y) % 16) * 16 AS v
         |  FROM px)
         |SELECT doc_id AS id, tx, ty, CAST(count(*) AS BIGINT) AS n_px,
-        |  round(avg(v), 6) AS mean_lum
+        |  CAST(sum(v) AS BIGINT) AS sum_lum
         |FROM t GROUP BY doc_id, tx, ty""".stripMargin,
     "m9_audio_energy" ->
       """WITH d AS (SELECT doc_id, CAST(64 + doc_id % 128 AS INTEGER) AS n
         |  FROM documents),
         |i AS (SELECT doc_id, unnest(range(0, n)) AS i FROM d),
         |s AS (SELECT doc_id, CAST(i // 16 AS INTEGER) AS win,
-        |    CAST(((doc_id + i) % 16 - 8) * 1000 AS DOUBLE) AS v
+        |    ((doc_id + i) % 16 - 8) * 1000 AS v
         |  FROM i)
         |SELECT doc_id AS id, win, CAST(count(*) AS BIGINT) AS n_samples,
-        |  round(sqrt(avg(v * v)), 6) AS rms
+        |  CAST(sum(v * v) AS BIGINT) AS energy
         |FROM s GROUP BY doc_id, win""".stripMargin
   )
 }
