@@ -1,0 +1,49 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Funnel analysis: for each key, the earliest strictly-ordered
+  * completion of a step sequence (step k's timestamp must follow the
+  * key's step-(k-1) timestamp). The standard conversion-path op over
+  * an event log, and greedy-earliest matching is the standard
+  * semantics: taking the MINIMUM valid timestamp at every step never
+  * forecloses a later step, so it finds a completion iff one exists.
+  *
+  * Shape at scale: one filtered, partial-aggregated pass per step —
+  * step k's candidate events equi-join (on the key) against the
+  * key-granular result of step k-1, which only shrinks as k grows.
+  * No windows over the whole log, no per-key event collection; each
+  * step is a filter + shuffle-on-key + min aggregate, all
+  * AQE/skew-splittable, and the sequence length bounds the stage
+  * count, not the data volume.
+  */
+object Funnel {
+
+  /** Output: one row per key that completed step 1 — the step-k
+    * timestamps `t1..tn` (null once the funnel is abandoned) and
+    * `steps_completed`. */
+  def funnel(events: DataFrame, keyCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val first = events.filter(col(typeCol) === steps.head)
+      .groupBy(col(keyCol)).agg(min(col(tsCol)).as("t1"))
+    // each subsequent step: candidate events after the key's previous
+    // step time, earliest kept
+    val stepTables = steps.zipWithIndex.drop(1).scanLeft(first) {
+      case (prev, (step, i)) =>
+        events.filter(col(typeCol) === step)
+          .join(prev.select(col(keyCol), col(s"t$i")), Seq(keyCol))
+          .filter(col(tsCol) > col(s"t$i"))
+          .groupBy(col(keyCol)).agg(min(col(tsCol)).as(s"t${i + 1}"))
+    }
+    val joined = stepTables.reduceLeft { (acc, st) =>
+      acc.join(st.drop(acc.columns.filter(st.columns.contains)
+        .filterNot(_ == keyCol): _*), Seq(keyCol), "left")
+    }
+    val completed = (2 to steps.size).foldLeft(lit(1)) { (acc, k) =>
+      acc + when(col(s"t$k").isNotNull, 1).otherwise(0)
+    }
+    joined.withColumn("steps_completed", completed.cast("int"))
+  }
+}

@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampType
+
+/** Batch sessionization: split each key's event stream into sessions
+  * at inactivity gaps — the batch counterpart of Structured
+  * Streaming's session window (streaming/EventAggregates e2) and the
+  * standard first step of behavioral / training-log analytics.
+  *
+  * Shape at scale: ONE shuffle on the key. The lag-gap flag and the
+  * running session counter share the same (partitionBy key, orderBy
+  * ts) window, so Catalyst plans them in a single sort within a
+  * single exchange; a 100 TB event log sessionizes in one pass with
+  * no driver state and no per-key memory beyond the sort spill.
+  * Timestamp arithmetic runs on microsecond longs (`unix_micros`) —
+  * exact integers, no float drift — and accepts both TIMESTAMP and
+  * TIMESTAMP_NTZ inputs (the cast is value-preserving under the UTC
+  * session timezone).
+  */
+object Sessionize {
+
+  private def micros(c: Column): Column = unix_micros(c.cast(TimestampType))
+
+  /** Per-event session index (1-based, per key, in (ts, order) order).
+    * A new session starts at the first event and at any event whose
+    * gap from the previous one exceeds `gapSeconds`. */
+  def assign(events: DataFrame, keyCol: String, tsCol: String,
+      orderCol: String, gapSeconds: Long): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(orderCol))
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prev = lag(col(tsCol), 1).over(w)
+    val isNew = when(prev.isNull ||
+      micros(col(tsCol)) - micros(prev) > gapSeconds * 1000000L, 1L)
+      .otherwise(0L)
+    events.withColumn("session_idx", sum(isNew).over(cum))
+  }
+
+  /** Per-session summary: start, event count, exact duration in
+    * microseconds. Second shuffle on (key, session_idx) — the
+    * aggregate is partial (map-side combined), so the exchange
+    * carries one row per session, not per event. */
+  def summarize(events: DataFrame, keyCol: String, tsCol: String,
+      orderCol: String, gapSeconds: Long): DataFrame =
+    assign(events, keyCol, tsCol, orderCol, gapSeconds)
+      .groupBy(col(keyCol), col("session_idx"))
+      .agg(
+        min(col(tsCol)).as("session_start"),
+        count(lit(1)).as("n_events"),
+        (max(micros(col(tsCol))) - min(micros(col(tsCol))))
+          .as("duration_us"))
+}

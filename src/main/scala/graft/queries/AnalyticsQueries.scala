@@ -111,10 +111,108 @@ object AnalyticsQueries extends QueryPack {
         .select(col("event_id"), col("user_id"),
           col("value").cast("long").as("value_int"),
           graft.ops.Layout.zValue(col("user_id"), col("value").cast("long"))
-            .as("z")))
+            .as("z"))),
+
+    // Batch sessionization: gap-based session split per user, one
+    // shuffle + shared window sort (ops/Sessionize). Durations are
+    // exact microsecond longs — no float, engine-portable
+    "w5_sessionize" -> ((s, d) =>
+      graft.ops.Sessionize.summarize(
+        Tables.load(s, d, "events"), "user_id", "ts", "event_id",
+        gapSeconds = 6L * 3600)),
+
+    // Funnel: earliest ordered signup → view → purchase completion
+    // per user; per-step filtered min-aggregates joined on the key
+    "w6_funnel" -> ((s, d) =>
+      graft.ops.Funnel.funnel(
+        Tables.load(s, d, "events"), "user_id", "ts", "event_type",
+        Seq("signup", "view", "purchase"))),
+
+    // Record linkage: customers matched against a deterministically
+    // corrupted directory via BLOCKED fuzzy join (equi-join on
+    // (nation, name-prefix) blocks, levenshtein filter inside the
+    // block — never a cartesian product). The corruption tiers
+    // exercise each path: default rows corrupt only the last two
+    // name chars (dist <= 2, matched), %5 rows also append a char
+    // (dist 3, killed by the distance filter), %7 rows corrupt
+    // inside the blocking prefix (blocked out — the classic
+    // blocking-recall trade, deterministic here)
+    "rl1_fuzzy_match" -> ((s, d) => {
+      val cust = Tables.load(s, d, "customer")
+      val dirt = when(col("c_custkey") % 7 === 0,
+        concat(expr("substring(c_name, 1, 12)"),
+          translate(expr("substring(c_name, 13, 6)"),
+            "0123456789", "OIZEASGTBQ")))
+        .when(col("c_custkey") % 5 === 0,
+          concat(expr("substring(c_name, 1, 16)"),
+            translate(expr("substring(c_name, 17, 2)"),
+              "0123456789", "OIZEASGTBQ"), lit("~")))
+        .otherwise(concat(expr("substring(c_name, 1, 16)"),
+          translate(expr("substring(c_name, 17, 2)"),
+            "0123456789", "OIZEASGTBQ")))
+      val dirty = cust.select(col("c_custkey").as("dir_id"),
+        col("c_nationkey"), dirt.as("dir_name"))
+        .withColumn("block", expr("substring(dir_name, 1, 16)"))
+      val left = cust.select(col("c_custkey"), col("c_name"),
+        col("c_nationkey"))
+        .withColumn("block", expr("substring(c_name, 1, 16)"))
+      graft.ops.Linkage.blockedFuzzyJoin(left, dirty,
+        Seq("c_nationkey", "block"), "c_name", "dir_name", maxDist = 2)
+        .select(col("c_custkey"), col("dir_id"), col("dir_name"),
+          col("dist").cast(IntegerType).as("dist"))
+    })
   )
 
   def oracle: Map[String, String] = Map(
+    "w5_sessionize" ->
+      """WITH o AS (SELECT user_id, event_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |f AS (SELECT user_id, event_id, ts,
+        |    CASE WHEN prev IS NULL
+        |      OR epoch_us(ts) - epoch_us(prev) > 21600000000 THEN 1
+        |      ELSE 0 END AS is_new
+        |  FROM o),
+        |s AS (SELECT user_id, ts,
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |  FROM f)
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        |  min(ts) AS session_start, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS duration_us
+        |FROM s GROUP BY user_id, session_idx""".stripMargin,
+    "w6_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |    WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |    JOIN s1 ON e.user_id = s1.user_id
+        |    WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |    JOIN s2 ON e.user_id = s2.user_id
+        |    WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
+        |SELECT s1.user_id, s1.t1, s2.t2, s3.t3,
+        |  CAST(1 + CASE WHEN s2.user_id IS NULL THEN 0 ELSE 1 END
+        |         + CASE WHEN s3.user_id IS NULL THEN 0 ELSE 1 END AS INT)
+        |    AS steps_completed
+        |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+        |  LEFT JOIN s3 ON s1.user_id = s3.user_id""".stripMargin,
+    "rl1_fuzzy_match" ->
+      """WITH dirty AS (SELECT c_custkey AS dir_id, c_nationkey,
+        |    CASE WHEN c_custkey % 7 = 0 THEN substring(c_name, 1, 12)
+        |        || translate(substring(c_name, 13, 6), '0123456789', 'OIZEASGTBQ')
+        |      WHEN c_custkey % 5 = 0 THEN substring(c_name, 1, 16)
+        |        || translate(substring(c_name, 17, 2), '0123456789', 'OIZEASGTBQ')
+        |        || '~'
+        |      ELSE substring(c_name, 1, 16)
+        |        || translate(substring(c_name, 17, 2), '0123456789', 'OIZEASGTBQ')
+        |    END AS dir_name
+        |  FROM customer)
+        |SELECT c.c_custkey, d.dir_id, d.dir_name,
+        |  CAST(levenshtein(c.c_name, d.dir_name) AS INT) AS dist
+        |FROM customer c JOIN dirty d
+        |  ON c.c_nationkey = d.c_nationkey
+        | AND substring(c.c_name, 1, 16) = substring(d.dir_name, 1, 16)
+        |WHERE levenshtein(c.c_name, d.dir_name) <= 2""".stripMargin,
     "an6_histogram" ->
       """SELECT CAST(least(floor((l_extendedprice - 900.0) / 5000.0), 19.0) AS BIGINT) AS bucket,
         |  count(*) AS n,

@@ -1,0 +1,80 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+import graft.ops.{Funnel, Linkage, Sessionize}
+
+class SessionFunnelLinkageSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(min: Long) = new Timestamp(min * 60000L)
+
+  // user 1: events at 0, 10, 20 min (one session), then 120, 125
+  // (second session, gap 100 min > 30); user 2: single event
+  private def events = Seq(
+    (1L, 1L, ts(0), "signup"), (1L, 2L, ts(10), "view"),
+    (1L, 3L, ts(20), "purchase"), (1L, 4L, ts(120), "view"),
+    (1L, 5L, ts(125), "purchase"), (2L, 6L, ts(50), "signup"))
+    .toDF("user_id", "event_id", "ts", "event_type")
+
+  test("sessionize splits at the inactivity gap and counts exactly") {
+    val out = Sessionize.summarize(events, "user_id", "ts", "event_id",
+      gapSeconds = 1800)
+      .as[(Long, Long, Timestamp, Long, Long)].collect().toSet
+    assert(out == Set(
+      (1L, 1L, ts(0), 3L, 20L * 60000000L),
+      (1L, 2L, ts(120), 2L, 5L * 60000000L),
+      (2L, 1L, ts(50), 1L, 0L)))
+  }
+
+  test("sessionize index restarts per key and is 1-based") {
+    val idx = Sessionize.assign(events, "user_id", "ts", "event_id", 1800)
+      .select("event_id", "session_idx")
+      .as[(Long, Long)].collect().toMap
+    assert(idx == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 2L,
+      6L -> 1L))
+  }
+
+  test("funnel requires strict order and reports partial completion") {
+    // user 1 completes all three in order; user 2 never views;
+    // user 3's purchase PRECEDES its view — step 3 must not match it
+    val e = Seq(
+      (1L, ts(0), "signup"), (1L, ts(5), "view"), (1L, ts(9), "purchase"),
+      (2L, ts(0), "signup"),
+      (3L, ts(0), "signup"), (3L, ts(4), "purchase"), (3L, ts(6), "view"),
+      (4L, ts(1), "view")) // no signup: not in the funnel at all
+      .toDF("user_id", "ts", "event_type")
+    val out = Funnel.funnel(e, "user_id", "ts", "event_type",
+      Seq("signup", "view", "purchase"))
+      .select("user_id", "steps_completed")
+      .as[(Long, Int)].collect().toMap
+    assert(out == Map(1L -> 3, 2L -> 1, 3L -> 2))
+  }
+
+  test("funnel picks the earliest valid timestamp at each step") {
+    val e = Seq(
+      (1L, ts(0), "signup"), (1L, ts(2), "view"), (1L, ts(8), "view"),
+      (1L, ts(9), "purchase"))
+      .toDF("user_id", "ts", "event_type")
+    val row = Funnel.funnel(e, "user_id", "ts", "event_type",
+      Seq("signup", "view", "purchase")).collect().head
+    assert(row.getTimestamp(row.fieldIndex("t2")) == ts(2))
+    assert(row.getTimestamp(row.fieldIndex("t3")) == ts(9))
+  }
+
+  test("blocked fuzzy join matches within blocks and honors maxDist") {
+    val left = Seq((1L, "alpha-01", "b1"), (2L, "gamma-77", "b2"))
+      .toDF("id", "name", "block")
+    val right = Seq(
+      (10L, "alpha-0X", "b1"),  // dist 1 → match
+      (11L, "alphaXXX", "b1"),  // dist 3 → killed by maxDist
+      (12L, "gamma-77", "b9"))  // exact text but wrong block → no pair
+      .toDF("rid", "rname", "block")
+    val out = Linkage.blockedFuzzyJoin(left, right, Seq("block"),
+      "name", "rname", maxDist = 2)
+      .select("id", "rid", "dist").as[(Long, Long, Int)].collect().toSet
+    assert(out == Set((1L, 10L, 1)))
+  }
+}
