@@ -1,0 +1,24 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan inspector: `runMain graft.tools.PlanPeek <sfDir> <q1,q2,...>`
+  * prints each named SparkEntry query's formatted physical plan —
+  * the explain("formatted") loop used for EXPLAIN.md audits. */
+object PlanPeek {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    for (q <- args(1).split(",")) {
+      println(s"===== $q =====")
+      graft.SparkEntry.queries(q)(spark, args(0)).explain("formatted")
+    }
+    spark.stop()
+  }
+}
