@@ -282,11 +282,25 @@ object Dedup {
     * worst case and hot shingles can't blow up a task. */
   def shingleGroups(df: DataFrame, idCol: String, textCol: String,
       n: Int, maxDf: Int): DataFrame =
+    // df-cap enforced INSIDE the aggregation buffer. The plain
+    // `collect_list ... filter size <= maxDf` form materialized a HOT
+    // shingle's full posting list before discarding it — hot-shingle
+    // df grows with the corpus under a Zipf head (measured: d2
+    // scaling exponent 1.08 on the 10x->100x leg), and at true 100 TB
+    // scale one boilerplate shingle's list is an executor OOM. The
+    // bounded-collect aggregate keeps this single-exchange plan but
+    // caps every buffer at maxDf+1 longs: hot shingles overflow
+    // map-side (partial buffers collapse to a sticky null marker) and
+    // are dropped by the IsNotNull filter, which is exactly the
+    // df-cap semantics. A df-count + semi-join prepass was also
+    // correct but pays a second pass over the corpus-sized postings;
+    // this form does the cap in the one shuffle it already owns.
     shinglePostings(df, idCol, textCol, n, Int.MaxValue)
       .groupBy(xxhash64(col("shingle")).as("sh_h"))
       .agg(min(col("shingle")).as("shingle"),
-        array_sort(collect_list(col("doc"))).as("docs"))
-      .filter(size(col("docs")) <= maxDf)
+        graft.expressions.BoundedCollectAgg
+          .bounded_collect_sorted(col("doc"), maxDf).as("docs"))
+      .filter(col("docs").isNotNull)
       .select(col("shingle"), col("docs"))
 
   /** Postings view of a grouped index. */

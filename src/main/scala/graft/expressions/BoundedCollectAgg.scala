@@ -1,0 +1,121 @@
+package graft.expressions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types._
+
+/** Cap-bounded `collect_list` over longs: collects the group's values
+  * up to `cap` elements; a group that exceeds the cap evaluates to
+  * NULL (and its buffer is emptied the moment it overflows).
+  *
+  * Built for df-capped inverted indexes (dedup/Dedup.shingleGroups):
+  * `collect_list ... filter size <= cap` materializes a HOT key's
+  * full list before discarding it — under a Zipf head the hot-key
+  * list length grows with the corpus, so the discarded allocation
+  * grows superlinear, and at true 100 TB scale a single boilerplate
+  * shingle's list is an executor OOM. This aggregate keeps the
+  * single-exchange plan shape (partial buffers collapse hot keys
+  * map-side to ≤ cap+1 elements) while bounding every buffer at
+  * cap+1 longs by construction — the aggregation-buffer analogue of
+  * TopKPerKey's bounded heaps.
+  *
+  * Output: array<long> sorted ascending (callers previously
+  * array_sort'ed); NULL for overflowed (dropped) groups. Mergeable:
+  * overflow is sticky and propagates through partial/final merges.
+  */
+case class BoundedCollectAgg(
+    child: Expression,
+    cap: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[BoundedCollectAgg.Buf]
+  with UnaryLike[Expression] {
+
+  require(cap > 0 && cap <= (1 << 20), "cap must be in 1..2^20")
+
+  import BoundedCollectAgg.Buf
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def createAggregationBuffer(): Buf = new Buf
+
+  override def update(buffer: Buf, input: InternalRow): Buf = {
+    if (!buffer.overflow) {
+      val v = child.eval(input)
+      if (v != null) buffer.add(v.asInstanceOf[Long], cap)
+    }
+    buffer
+  }
+
+  override def merge(b1: Buf, b2: Buf): Buf = {
+    if (b1.overflow || b2.overflow ||
+      b1.items.length + b2.items.length > cap) {
+      b1.overflow = true
+      b1.items.clear()
+    } else b1.items ++= b2.items
+    b1
+  }
+
+  override def eval(buffer: Buf): Any =
+    if (buffer.overflow) null
+    else new GenericArrayData(buffer.items.toArray.sorted)
+
+  override def serialize(buffer: Buf): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeBoolean(buffer.overflow)
+    out.writeInt(buffer.items.length)
+    buffer.items.foreach(out.writeLong)
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): Buf = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val buf = new Buf
+    buf.overflow = in.readBoolean()
+    val n = in.readInt()
+    var i = 0
+    while (i < n) { buf.items += in.readLong(); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BoundedCollectAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BoundedCollectAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): BoundedCollectAgg =
+    copy(child = newChild)
+  override def prettyName: String = "bounded_collect"
+}
+
+object BoundedCollectAgg {
+
+  /** Aggregation buffer: collected longs + sticky overflow flag. The
+    * items buffer is cleared on overflow so a hot key's memory is
+    * O(1) from the overflow point on. */
+  final class Buf {
+    var overflow: Boolean = false
+    val items: scala.collection.mutable.ArrayBuffer[Long] =
+      new scala.collection.mutable.ArrayBuffer[Long](8)
+
+    def add(v: Long, cap: Int): Unit = {
+      items += v
+      if (items.length > cap) { overflow = true; items.clear() }
+    }
+  }
+
+  /** Column API: ascending-sorted array of the group's values, or
+    * NULL if the group has more than `cap` values. */
+  def bounded_collect_sorted(value: Column, cap: Int): Column =
+    Bridge.column(
+      BoundedCollectAgg(Bridge.expression(value), cap).toAggregateExpression())
+}

@@ -1,0 +1,44 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.expressions.BoundedCollectAgg.bounded_collect_sorted
+
+class BoundedCollectSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("collects ascending-sorted under the cap, null over it") {
+    val df = (Seq.tabulate(5)(i => ("small", (5 - i).toLong)) ++
+      Seq.tabulate(10)(i => ("big", i.toLong)))
+      .toDF("k", "v")
+    val out = df.groupBy("k").agg(bounded_collect_sorted(col("v"), 5).as("vs"))
+      .collect().map(r => r.getString(0) -> Option(r.getSeq[Long](1))).toMap
+    assert(out("small").contains(Seq(1L, 2L, 3L, 4L, 5L)))
+    assert(out("big").isEmpty)
+  }
+
+  test("overflow is sticky across partial merges (repartitioned input)") {
+    // 200 values in 8 partitions: every partial buffer stays under the
+    // cap (25 each), so only the MERGE can detect the overflow
+    val df = spark.range(200).select(lit("k").as("k"), col("id").as("v"))
+      .repartition(8)
+    val out = df.groupBy("k").agg(bounded_collect_sorted(col("v"), 50).as("vs"))
+      .collect().head
+    assert(out.isNullAt(1))
+  }
+
+  test("matches collect_list + size filter semantics exactly") {
+    val df = spark.range(1000)
+      .select((col("id") % 37).as("k"), col("id").as("v"))
+    val bounded = df.groupBy("k")
+      .agg(bounded_collect_sorted(col("v"), 27).as("vs"))
+      .filter(col("vs").isNotNull)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val plain = df.groupBy("k")
+      .agg(array_sort(collect_list(col("v"))).as("vs"))
+      .filter(size(col("vs")) <= 27)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(bounded == plain)
+  }
+}
