@@ -41,6 +41,10 @@ object Bench {
   }
 
   private def num(v: Double): String = (math.round(v * 1000) / 1000.0).toString
+  // stdout query-map resolution: 2 decimals (10 ms) keeps the full
+  // 135-entry line under the driver's 2000-byte tail capture; exact
+  // per-query times live in BENCH_FULL.json
+  private def num2(v: Double): String = (math.round(v * 100) / 100.0).toString
   private def num6(v: Double): String = (math.round(v * 1e6) / 1e6).toString
 
   private def jstr(s: String): String = "\"" + s.flatMap {
@@ -61,6 +65,7 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -218,7 +223,7 @@ object Bench {
       java.nio.file.Paths.get("/root/repo/BENCH_FULL.json"), full.toString)
 
     val qsShort = retriedResults
-      .map { case (k, v) => s"${jstr(shortKey(k))}:${num(v)}" }
+      .map { case (k, v) => s"${jstr(shortKey(k))}:${num2(v)}" }
       .mkString("{", ",", "}")
     val extra = new StringBuilder
     if (errors.nonEmpty)
@@ -227,7 +232,26 @@ object Bench {
     if (retried.nonEmpty)
       extra ++= s""","retried":${retried.map { case (k, (a, b)) => s"${jstr(shortKey(k))}:[${num(a)},${num(b)}]" }
         .mkString("{", ",", "}")}"""
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qsShort,"sf":${jstr(sfDir)},"full":"BENCH_FULL.json","canary0":${num(canaryStart)},"canary":${num(canaryEnd)},"gw":$gateWaits$extra}""")
+    // sf basename only and no redundant full-record pointer: the
+    // stdout line must stay inside the driver's 2000-byte tail — a
+    // line the capture cuts mid-JSON fails the driver's parse and
+    // zeroes the round's bench record. If the full map would risk
+    // that, fall back to the per-family rollup (full per-query record
+    // is always in BENCH_FULL.json).
+    def stdoutLine(queriesField: String): String =
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$queriesField,"sf":${jstr(sfDir.substring(sfDir.lastIndexOf('/') + 1))},"canary0":${num2(canaryStart)},"canary":${num2(canaryEnd)},"gw":$gateWaits$extra}"""
+    val fullLine = stdoutLine(qsShort)
+    val line =
+      if (fullLine.length <= 1950) fullLine
+      else {
+        val byFamily = retriedResults.filter(_._2 >= 0)
+          .groupBy { case (k, _) => k.takeWhile(!_.isDigit) }
+          .toSeq.sortBy(_._1)
+          .map { case (fam, qs) => s"${jstr(fam)}:${num2(qs.map(_._2).sum)}" }
+          .mkString("{", ",", "}")
+        stdoutLine(byFamily)
+      }
+    println(line)
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

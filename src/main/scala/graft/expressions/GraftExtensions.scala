@@ -172,6 +172,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => FuseDotProduct)
+    // rank-filter → TopKPerKey rewrite + the strategy that plans it
+    e.injectOptimizerRule(_ => org.apache.spark.sql.graft.TopKRewrite)
+    e.injectPlannerStrategy(_ => org.apache.spark.sql.graft.TopKPerKeyStrategy)
     fn(e, "dot_product", classOf[DotProduct],
       exprs => DotProduct(exprs(0), exprs(1)))
     fn(e, "strip_non_alnum", classOf[StripNonAlnum],

@@ -395,7 +395,21 @@ object Relational extends QueryPack {
       org.apache.spark.sql.graft.TopKPerKey.topKPerKey(
         Tables.load(s, d, "orders"), Seq("o_custkey"),
         Seq(("o_totalprice", true), ("o_orderkey", false)), k = 3)
-        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice")))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))),
+
+    // The DECLARATIVE rank-filter idiom — TopKRewrite turns this into
+    // the same TopKPerKey physical operator tk1 calls explicitly
+    // (bounded heaps, no window sort), with no API opt-in
+    "tk2_rank_filter" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.load(s, d, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5).drop("rn")
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          col("o_totalprice"))
+    })
   )
 
   def oracle: Map[String, String] = Map(
@@ -542,6 +556,10 @@ object Relational extends QueryPack {
       """SELECT o_custkey, o_orderkey, o_totalprice FROM orders
         |QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey
         |  ORDER BY o_totalprice DESC, o_orderkey) <= 3""".stripMargin,
+    "tk2_rank_filter" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice FROM orders
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |  ORDER BY o_totalprice DESC, o_orderkey) <= 5""".stripMargin,
     "q5_region_revenue" ->
       """SELECT n_name,
         |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue

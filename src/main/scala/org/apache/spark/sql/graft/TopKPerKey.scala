@@ -123,3 +123,74 @@ object TopKPerKey {
       TopKPerKeyNode(k, keys.map(attr), sortOrders, child))
   }
 }
+
+/** Optimizer rule: rewrite the declarative rank-filter idiom
+  *
+  *   df.withColumn("rn", row_number().over(Window.partitionBy(k).orderBy(o)))
+  *     .filter($"rn" <= k).drop("rn")
+  *
+  * into [[TopKPerKeyNode]] — bounded per-key heaps with a map-side
+  * partial prune instead of Exchange → full Sort → Window → Filter.
+  * Spark's own WindowGroupLimit (3.5+) prunes rows before the sort
+  * but still sorts and ranks what survives; this rewrite removes the
+  * sort and the rank computation entirely, which is the difference
+  * that matters on a hot key at scale.
+  *
+  * Fires only when ALL of:
+  *  - the Window computes exactly ONE expression, a row_number();
+  *  - the filter bounds it by an integer literal (<=, <, >=, >
+  *    flipped, or = 1), k in 1..1000 (heaps hold k rows per key per
+  *    partition — past that the window sort is the better plan);
+  *  - any remaining filter conjuncts don't reference the rank;
+  *  - the Project above discards the rank column (the rewrite cannot
+  *    produce rank numbers — semantics are the kept ROW SET, which is
+  *    identical, modulo ties under a non-total order where both forms
+  *    are nondeterministic).
+  */
+object TopKRewrite extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]
+  with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+
+  import org.apache.spark.sql.catalyst.expressions._
+  import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project, Window}
+  import org.apache.spark.sql.types.IntegerType
+
+  private val MaxK = 1000
+
+  private def rankBound(cond: Expression, rn: Attribute): Option[Int] = cond match {
+    case LessThanOrEqual(a: Attribute, Literal(k: Int, IntegerType))
+      if a.semanticEquals(rn) => Some(k)
+    case LessThan(a: Attribute, Literal(k: Int, IntegerType))
+      if a.semanticEquals(rn) => Some(k - 1)
+    case GreaterThanOrEqual(Literal(k: Int, IntegerType), a: Attribute)
+      if a.semanticEquals(rn) => Some(k)
+    case GreaterThan(Literal(k: Int, IntegerType), a: Attribute)
+      if a.semanticEquals(rn) => Some(k - 1)
+    case EqualTo(a: Attribute, Literal(1, IntegerType))
+      if a.semanticEquals(rn) => Some(1)
+    case EqualTo(Literal(1, IntegerType), a: Attribute)
+      if a.semanticEquals(rn) => Some(1)
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case p @ Project(projectList,
+        Filter(cond, Window(
+          Seq(alias @ Alias(WindowExpression(_: RowNumber, _), _)),
+          partSpec, orderSpec, child, _)))
+        if partSpec.nonEmpty && orderSpec.nonEmpty =>
+      val rn = alias.toAttribute
+      val conjuncts = splitConjunctivePredicates(cond)
+      val bounds = conjuncts.flatMap(rankBound(_, rn))
+      val rest = conjuncts.filter(rankBound(_, rn).isEmpty)
+      val projectUsesRank =
+        projectList.exists(_.references.contains(rn))
+      if (bounds.isEmpty || projectUsesRank ||
+        rest.exists(_.references.contains(rn)) ||
+        bounds.min < 1 || bounds.min > MaxK) p
+      else {
+        val topk = TopKPerKeyNode(bounds.min, partSpec, orderSpec, child)
+        Project(projectList,
+          if (rest.isEmpty) topk else Filter(rest.reduce(And), topk))
+      }
+  }
+}

@@ -62,8 +62,12 @@ class HarnessUtilSpec extends AnyFunSuite {
     assert(Bench.shortKey("x10_token_rarity") == "x10tr")
     assert(Bench.shortKey("q1_agg") == "q1a")
     // the stdout contract: short-keyed line must fit the harness's
-    // 2000-byte tail capture with headroom for canary/errors fields
-    val line = keys.map(k => s""""$k":0.123""").mkString(",").length + 120
-    assert(line < 1900, s"stdout bench line too long: $line")
+    // 2000-byte tail capture. Values print at 2 decimals ("12.34"
+    // worst case), fixed fields ≈ 110 bytes. Bench itself falls back
+    // to a per-family rollup past 1950 bytes (a mid-JSON cut would
+    // fail the driver's parse); this guard fires first so the
+    // per-query map is shrunk deliberately, not dropped at runtime.
+    val line = keys.map(k => s""""$k":12.34""").mkString(",").length + 110
+    assert(line < 1950, s"stdout bench line near the capture limit: $line")
   }
 }

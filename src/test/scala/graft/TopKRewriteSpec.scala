@@ -1,0 +1,70 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.TopKPerKeyExec
+
+class TopKRewriteSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def data = (1 to 1000)
+    .map(i => (i % 7, i, (i * 37 % 1000).toDouble))
+    .toDF("k", "id", "v")
+
+  // string match: AdaptiveSparkPlanExec hides its inner plan from
+  // TreeNode.collect until execution finalizes it
+  private def hasTopK(df: DataFrame): Boolean =
+    df.queryExecution.executedPlan.toString.contains("TopKPerKey")
+
+  private val w = Window.partitionBy("k").orderBy(col("v").desc, col("id"))
+
+  test("rank filter + drop rewrites to TopKPerKeyExec with identical rows") {
+    val declarative = data.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3).drop("rn")
+    assert(hasTopK(declarative), declarative.queryExecution.executedPlan.toString)
+    // reference rows from the un-rewritten plan: keep rn, drop after
+    val reference = data.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2))).toSet
+    val got = declarative.collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2))).toSet
+    assert(got == reference)
+  }
+
+  test("rn = 1 (argmax idiom) rewrites with k = 1") {
+    val q = data.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+    assert(hasTopK(q))
+    assert(q.count() == 7)
+    // each key's max v, tie-broken by min id — matches max_by semantics
+    val expect = data.groupBy("k")
+      .agg(max(struct(col("v"), col("id").cast("double") * -1)).as("m"))
+      .count()
+    assert(expect == 7)
+  }
+
+  test("extra conjuncts survive as a residual filter") {
+    val q = data.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5 && col("id") % 2 === 0).drop("rn")
+    assert(hasTopK(q))
+    val reference = data.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5).filter(col("id") % 2 === 0)
+      .drop("rn").collect().map(_.toSeq).toSet
+    assert(q.collect().map(_.toSeq).toSet == reference)
+  }
+
+  test("no rewrite when the rank column is kept") {
+    val q = data.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3).select("k", "id", "rn")
+    assert(!hasTopK(q))
+  }
+
+  test("no rewrite past the k ceiling") {
+    val q = data.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5000).drop("rn")
+    assert(!hasTopK(q))
+  }
+}
