@@ -128,6 +128,22 @@ object AnalyticsQueries extends QueryPack {
         Tables.load(s, d, "events"), "user_id", "ts", "event_type",
         Seq("signup", "view", "purchase"))),
 
+    // Retention cohorts: users bucketed by signup week, activity
+    // counted per (cohort week, active week) — the classic retention
+    // triangle. One user-granular signup aggregate joined back (at
+    // scale: shuffle on user_id, AQE-broadcast when small), then a
+    // partial-aggregating count-distinct per week pair
+    "w7_retention" -> ((s, d) => {
+      val e = Tables.load(s, d, "events")
+      val cohort = e.filter(col("event_type") === "signup")
+        .groupBy(col("user_id"))
+        .agg(min(date_trunc("week", col("ts"))).as("cohort_week"))
+      e.join(cohort, Seq("user_id"))
+        .groupBy(col("cohort_week"),
+          date_trunc("week", col("ts")).as("active_week"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+    }),
+
     // Record linkage: customers matched against a deterministically
     // corrupted directory via BLOCKED fuzzy join (equi-join on
     // (nation, name-prefix) blocks, levenshtein filter inside the
@@ -196,6 +212,14 @@ object AnalyticsQueries extends QueryPack {
         |    AS steps_completed
         |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
         |  LEFT JOIN s3 ON s1.user_id = s3.user_id""".stripMargin,
+    "w7_retention" ->
+      """WITH cohort AS (SELECT user_id,
+        |    min(date_trunc('week', ts)) AS cohort_week
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id)
+        |SELECT c.cohort_week, date_trunc('week', e.ts) AS active_week,
+        |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active
+        |FROM events e JOIN cohort c ON e.user_id = c.user_id
+        |GROUP BY 1, 2""".stripMargin,
     "rl1_fuzzy_match" ->
       """WITH dirty AS (SELECT c_custkey AS dir_id, c_nationkey,
         |    CASE WHEN c_custkey % 7 = 0 THEN substring(c_name, 1, 12)
