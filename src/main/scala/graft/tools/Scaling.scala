@@ -46,7 +46,9 @@ object Scaling {
     "d12_semdedup" -> "embeddings",
     // events family
     "d1_exact_dedup" -> "events",
-    "w4_count_anomaly" -> "events")
+    "w4_count_anomaly" -> "events",
+    "w5_sessionize" -> "events",
+    "w6_funnel" -> "events")
 
   def main(args: Array[String]): Unit = {
     // usage: Scaling [scale...] [-q name1,name2] [-p passes] [-g]
