@@ -26,7 +26,12 @@ object Sessionize {
 
   /** Per-event session index (1-based, per key, in (ts, order) order).
     * A new session starts at the first event and at any event whose
-    * gap from the previous one exceeds `gapSeconds`. */
+    * gap from the previous one is AT LEAST `gapSeconds` — the same
+    * boundary convention as Spark's `session_window` (an event's
+    * window is [ts, ts+gap); an event landing exactly at the previous
+    * window's end opens a new session), so the batch op and the
+    * streaming session aggregate agree event-for-event
+    * (SessionFunnelLinkageSpec pins the equivalence). */
   def assign(events: DataFrame, keyCol: String, tsCol: String,
       orderCol: String, gapSeconds: Long): DataFrame = {
     val w = Window.partitionBy(col(keyCol))
@@ -34,7 +39,7 @@ object Sessionize {
     val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val prev = lag(col(tsCol), 1).over(w)
     val isNew = when(prev.isNull ||
-      micros(col(tsCol)) - micros(prev) > gapSeconds * 1000000L, 1L)
+      micros(col(tsCol)) - micros(prev) >= gapSeconds * 1000000L, 1L)
       .otherwise(0L)
     events.withColumn("session_idx", sum(isNew).over(cum))
   }

@@ -186,7 +186,7 @@ object AnalyticsQueries extends QueryPack {
         |  FROM events),
         |f AS (SELECT user_id, event_id, ts,
         |    CASE WHEN prev IS NULL
-        |      OR epoch_us(ts) - epoch_us(prev) > 21600000000 THEN 1
+        |      OR epoch_us(ts) - epoch_us(prev) >= 21600000000 THEN 1
         |      ELSE 0 END AS is_new
         |  FROM o),
         |s AS (SELECT user_id, ts,

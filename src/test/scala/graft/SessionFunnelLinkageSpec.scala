@@ -37,6 +37,29 @@ class SessionFunnelLinkageSpec extends AnyFunSuite {
       6L -> 1L))
   }
 
+  test("gap-boundary convention matches session_window (>= gap splits)") {
+    // events exactly gap apart → separate sessions, like Spark's
+    // session_window where a window is [ts, ts+gap)
+    val e = Seq((1L, 1L, ts(0), "a"), (1L, 2L, ts(30), "a"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val n = Sessionize.summarize(e, "user_id", "ts", "event_id", 1800).count()
+    assert(n == 2)
+  }
+
+  test("batch sessionize agrees with the streaming session_window aggregate") {
+    val e = Seq(
+      (1L, 1L, ts(0), 1.0), (1L, 2L, ts(10), 1.0), (1L, 3L, ts(20), 1.0),
+      (1L, 4L, ts(120), 1.0), (2L, 5L, ts(50), 1.0), (2L, 6L, ts(95), 1.0))
+      .toDF("user_id", "event_id", "ts", "value")
+    val batch = Sessionize.summarize(e, "user_id", "ts", "event_id", 1800)
+      .select("user_id", "session_start", "n_events")
+      .as[(Long, Timestamp, Long)].collect().toSet
+    val stream = graft.streaming.EventAggregates.sessions(e, "30 minutes")
+      .select("user_id", "session_start", "n_events")
+      .as[(Long, Timestamp, Long)].collect().toSet
+    assert(batch == stream)
+  }
+
   test("funnel requires strict order and reports partial completion") {
     // user 1 completes all three in order; user 2 never views;
     // user 3's purchase PRECEDES its view — step 3 must not match it
