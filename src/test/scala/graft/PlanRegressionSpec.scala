@@ -296,4 +296,31 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(!p.contains("Generate"), "recompute should not explode rows")
     assert(treeCount(p, "HashAggregate") >= 2, "no partial agg")
   }
+
+  test("w5 sessionize: both window functions share one sort and exchange") {
+    val p = plan("w5_sessionize")
+    // lag flag + running counter: two Window nodes, ONE Sort, and only
+    // the event-log exchange plus the per-session aggregate's exchange
+    assert(treeCount(p, "Window") == 2, p.take(2000))
+    assert(treeCount(p, "\\bSort\\b") == 1, "windows should share one sort")
+    assert(treeCount(p, "Exchange") <= 2, p.take(2000))
+  }
+
+  test("rl1 record linkage: equi-join blocking, never a nested loop") {
+    val p = plan("rl1_fuzzy_match")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "levenshtein must filter inside blocks, not drive the join")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("tk2 declarative rank filter plans as TopKPerKey, no window sort") {
+    val p = plan("tk2_rank_filter")
+    assert(p.contains("TopKPerKey"), p.take(2000))
+    assert(treeCount(p, "Window") == 0, "rank filter should not plan a Window")
+  }
+
+  test("d2 grouped index: bounded collect, single aggregation exchange") {
+    val p = plan("d2_ngram_jaccard")
+    assert(p.contains("bounded_collect"), p.take(3000))
+  }
 }
