@@ -78,6 +78,30 @@ object AnalyticsQueries extends QueryPack {
             .as("corr_value_user"))
     }),
 
+    // Closed-form OLS fit per group (price ~ quantity): slope and
+    // intercept from the same decimal-stable moment sums as an4 — one
+    // partial-aggregating pass, no iterative solver; slope computed
+    // once and REUSED for the intercept so both engines run the
+    // identical double arithmetic
+    "an7_linear_fit" -> ((s, d) => {
+      def dsum(c: org.apache.spark.sql.Column) =
+        sum(c.cast(DecimalType(38, 6))).cast(DoubleType)
+      Tables.load(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).cast(DoubleType).as("n"),
+          dsum(col("l_quantity")).as("sx"),
+          dsum(col("l_extendedprice")).as("sy"),
+          dsum(col("l_quantity") * col("l_quantity")).as("sxx"),
+          dsum(col("l_quantity") * col("l_extendedprice")).as("sxy"))
+        .select(col("l_returnflag"), col("n"), col("sx"), col("sy"),
+          ((col("n") * col("sxy") - col("sx") * col("sy"))
+            / (col("n") * col("sxx") - col("sx") * col("sx"))).as("slope"))
+        .select(col("l_returnflag"),
+          round(col("slope"), 6).as("slope"),
+          round((col("sy") - col("slope") * col("sx")) / col("n"), 6)
+            .as("intercept"))
+    }),
+
     // Fixed-width histogram: bucket index from literal bounds — one
     // partial-aggregating scan, no sort, no second min/max pass (the
     // profiling shape that stays one job at 100 TB). The final bucket
@@ -212,6 +236,19 @@ object AnalyticsQueries extends QueryPack {
         |    AS steps_completed
         |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
         |  LEFT JOIN s3 ON s1.user_id = s3.user_id""".stripMargin,
+    "an7_linear_fit" ->
+      """WITH m AS (SELECT l_returnflag,
+        |    CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY 1),
+        |s AS (SELECT l_returnflag, n, sx, sy,
+        |    (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope FROM m)
+        |SELECT l_returnflag, round(slope, 6) AS slope,
+        |  round((sy - slope * sx) / n, 6) AS intercept
+        |FROM s""".stripMargin,
     "w7_retention" ->
       """WITH cohort AS (SELECT user_id,
         |    min(date_trunc('week', ts)) AS cohort_week
