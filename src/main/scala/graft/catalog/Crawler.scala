@@ -155,8 +155,17 @@ object Crawler {
   def catalogState(spark: SparkSession, warehouseDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
+    // The order must be TOTAL: with GraftExtensions installed the
+    // rank=1 filter below auto-rewrites to the TopKPerKey heap, which
+    // (like the window sort) keeps an ARBITRARY row among ties — and
+    // which row restoreCatalog resurrects must not depend on the
+    // physical operator. registered_seq breaks same-millisecond ties
+    // within one JVM; the remaining manifest columns break cross-JVM
+    // ties deterministically (two rows equal on all of them describe
+    // the same registration, so the pick no longer matters).
     val w = Window.partitionBy(col("table_name"))
-      .orderBy(col("registered_at").desc, col("registered_seq").desc)
+      .orderBy(col("registered_at").desc, col("registered_seq").desc,
+        col("schema_ddl").desc, col("format").desc, col("location").desc)
     // mergeSchema: manifests written before the registered_seq column
     // existed still read; the missing column fills with null, which
     // sorts after any real sequence value under desc.

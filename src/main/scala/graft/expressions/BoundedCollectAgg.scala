@@ -4,16 +4,18 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, Da
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graft.Bridge
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
-/** Cap-bounded `collect_list` over longs: collects the group's values
-  * up to `cap` elements; a group that exceeds the cap evaluates to
-  * NULL (and its buffer is emptied the moment it overflows).
+/** Cap-bounded `collect_list`: collects the group's values up to
+  * `cap` elements; a group that exceeds the cap evaluates to NULL
+  * (and its buffer is emptied the moment it overflows).
   *
   * Built for df-capped inverted indexes (dedup/Dedup.shingleGroups):
   * `collect_list ... filter size <= cap` materializes a HOT key's
@@ -23,11 +25,19 @@ import org.apache.spark.sql.types._
   * shingle's list is an executor OOM. This aggregate keeps the
   * single-exchange plan shape (partial buffers collapse hot keys
   * map-side to ≤ cap+1 elements) while bounding every buffer at
-  * cap+1 longs by construction — the aggregation-buffer analogue of
+  * cap+1 values by construction — the aggregation-buffer analogue of
   * TopKPerKey's bounded heaps.
   *
-  * Output: array<long> sorted ascending (callers previously
-  * array_sort'ed); NULL for overflowed (dropped) groups. Mergeable:
+  * Element types: long, int, double, float, string, binary — the id
+  * and token shapes an inverted index posts (string/binary covers
+  * the d8 common-spans family's span keys). Any other child type is
+  * rejected at ANALYSIS time via checkInputDataTypes, not as a task-
+  * runtime ClassCastException.
+  *
+  * Output: array of the child's type, sorted ascending (strings and
+  * binary in unsigned-lexicographic order, matching UTF8String /
+  * array_sort semantics); NULL for overflowed (dropped) groups; null
+  * input values are skipped (collect_list semantics). Mergeable:
   * overflow is sticky and propagates through partial/final merges.
   */
 case class BoundedCollectAgg(
@@ -40,17 +50,32 @@ case class BoundedCollectAgg(
 
   require(cap > 0 && cap <= (1 << 20), "cap must be in 1..2^20")
 
-  import BoundedCollectAgg.Buf
+  import BoundedCollectAgg.{Buf, supported}
 
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def dataType: DataType = ArrayType(child.dataType, containsNull = false)
   override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (supported(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bounded_collect requires a long/int/double/float/string/binary " +
+        s"child, got ${child.dataType.catalogString}")
 
   override def createAggregationBuffer(): Buf = new Buf
 
   override def update(buffer: Buf, input: InternalRow): Buf = {
     if (!buffer.overflow) {
       val v = child.eval(input)
-      if (v != null) buffer.add(v.asInstanceOf[Long], cap)
+      if (v != null) {
+        // copy buffer-backed values — UTF8String/byte[] from an unsafe
+        // row are views into a reused page
+        val owned = v match {
+          case s: UTF8String => s.clone()
+          case b: Array[Byte] => b.clone()
+          case other => other
+        }
+        buffer.add(owned, cap)
+      }
     }
     buffer
   }
@@ -66,14 +91,30 @@ case class BoundedCollectAgg(
 
   override def eval(buffer: Buf): Any =
     if (buffer.overflow) null
-    else new GenericArrayData(buffer.items.toArray.sorted)
+    else new GenericArrayData(
+      buffer.items.toArray.sorted(BoundedCollectAgg.ordering(child.dataType)))
 
   override def serialize(buffer: Buf): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeBoolean(buffer.overflow)
     out.writeInt(buffer.items.length)
-    buffer.items.foreach(out.writeLong)
+    val write: Any => Unit = child.dataType match {
+      case LongType => v => out.writeLong(v.asInstanceOf[Long])
+      case IntegerType => v => out.writeInt(v.asInstanceOf[Int])
+      case DoubleType => v => out.writeDouble(v.asInstanceOf[Double])
+      case FloatType => v => out.writeFloat(v.asInstanceOf[Float])
+      case StringType => v => {
+        val b = v.asInstanceOf[UTF8String].getBytes
+        out.writeInt(b.length); out.write(b)
+      }
+      case BinaryType => v => {
+        val b = v.asInstanceOf[Array[Byte]]
+        out.writeInt(b.length); out.write(b)
+      }
+      case other => throw new IllegalStateException(s"unreachable: $other")
+    }
+    buffer.items.foreach(write)
     out.flush()
     bos.toByteArray
   }
@@ -83,8 +124,23 @@ case class BoundedCollectAgg(
     val buf = new Buf
     buf.overflow = in.readBoolean()
     val n = in.readInt()
+    val read: () => Any = child.dataType match {
+      case LongType => () => in.readLong()
+      case IntegerType => () => in.readInt()
+      case DoubleType => () => in.readDouble()
+      case FloatType => () => in.readFloat()
+      case StringType => () => {
+        val b = new Array[Byte](in.readInt()); in.readFully(b)
+        UTF8String.fromBytes(b)
+      }
+      case BinaryType => () => {
+        val b = new Array[Byte](in.readInt()); in.readFully(b)
+        b
+      }
+      case other => throw new IllegalStateException(s"unreachable: $other")
+    }
     var i = 0
-    while (i < n) { buf.items += in.readLong(); i += 1 }
+    while (i < n) { buf.items += read(); i += 1 }
     buf
   }
 
@@ -99,15 +155,46 @@ case class BoundedCollectAgg(
 
 object BoundedCollectAgg {
 
-  /** Aggregation buffer: collected longs + sticky overflow flag. The
+  private[expressions] def supported(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | DoubleType | FloatType |
+         StringType | BinaryType => true
+    case _ => false
+  }
+
+  /** Ascending sort order of the output array; matches array_sort
+    * (numeric natural order, strings/binary unsigned-lexicographic). */
+  private[expressions] def ordering(dt: DataType): Ordering[Any] = (dt match {
+    case LongType => Ordering.Long
+    case IntegerType => Ordering.Int
+    case DoubleType => Ordering.Double.TotalOrdering
+    case FloatType => Ordering.Float.TotalOrdering
+    case StringType => new Ordering[UTF8String] {
+      override def compare(a: UTF8String, b: UTF8String): Int = a.compareTo(b)
+    }
+    case BinaryType => new Ordering[Array[Byte]] {
+      override def compare(a: Array[Byte], b: Array[Byte]): Int = {
+        val n = math.min(a.length, b.length)
+        var i = 0
+        while (i < n) {
+          val c = (a(i) & 0xff) - (b(i) & 0xff)
+          if (c != 0) return c
+          i += 1
+        }
+        a.length - b.length
+      }
+    }
+    case other => throw new IllegalStateException(s"unreachable: $other")
+  }).asInstanceOf[Ordering[Any]]
+
+  /** Aggregation buffer: collected values + sticky overflow flag. The
     * items buffer is cleared on overflow so a hot key's memory is
     * O(1) from the overflow point on. */
   final class Buf {
     var overflow: Boolean = false
-    val items: scala.collection.mutable.ArrayBuffer[Long] =
-      new scala.collection.mutable.ArrayBuffer[Long](8)
+    val items: scala.collection.mutable.ArrayBuffer[Any] =
+      new scala.collection.mutable.ArrayBuffer[Any](8)
 
-    def add(v: Long, cap: Int): Unit = {
+    def add(v: Any, cap: Int): Unit = {
       items += v
       if (items.length > cap) { overflow = true; items.clear() }
     }

@@ -10,13 +10,21 @@ import org.apache.spark.sql.functions._
   * semantics: taking the MINIMUM valid timestamp at every step never
   * forecloses a later step, so it finds a completion iff one exists.
   *
-  * Shape at scale: one filtered, partial-aggregated pass per step —
-  * step k's candidate events equi-join (on the key) against the
-  * key-granular result of step k-1, which only shrinks as k grows.
-  * No windows over the whole log, no per-key event collection; each
-  * step is a filter + shuffle-on-key + min aggregate, all
-  * AQE/skew-splittable, and the sequence length bounds the stage
-  * count, not the data volume.
+  * Shape at scale: ONE scan of the event log, ONE shuffle. The scan
+  * keeps only funnel-typed events (the type filter rides the source,
+  * pushed to parquet), a single groupBy(key) collects each step's
+  * timestamps per key — partial aggregation collapses map-side, so
+  * the shuffle carries per-key per-step timestamp lists, not raw
+  * events — and the greedy fold (t_k = min step-k timestamp strictly
+  * after t_{k-1}) runs as a post-aggregation projection over those
+  * arrays with higher-order functions. A 10-step funnel costs the
+  * same single scan as a 3-step one; the previous per-step
+  * filter+join chain re-scanned the corpus once per step.
+  *
+  * Memory: the aggregation buffer for a key holds that key's
+  * funnel-typed events only — bounded by per-key activity (the
+  * per-user event count), not corpus size; the same contract as any
+  * sessionizer or ClickHouse's windowFunnel.
   */
 object Funnel {
 
@@ -26,24 +34,31 @@ object Funnel {
   def funnel(events: DataFrame, keyCol: String, tsCol: String,
       typeCol: String, steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
-    val first = events.filter(col(typeCol) === steps.head)
-      .groupBy(col(keyCol)).agg(min(col(tsCol)).as("t1"))
-    // each subsequent step: candidate events after the key's previous
-    // step time, earliest kept
-    val stepTables = steps.zipWithIndex.drop(1).scanLeft(first) {
-      case (prev, (step, i)) =>
-        events.filter(col(typeCol) === step)
-          .join(prev.select(col(keyCol), col(s"t$i")), Seq(keyCol))
-          .filter(col(tsCol) > col(s"t$i"))
-          .groupBy(col(keyCol)).agg(min(col(tsCol)).as(s"t${i + 1}"))
+    // one pass: per key, each step's candidate timestamps in one
+    // grouped collect (nulls from the `when` are skipped)
+    val relevant = events.filter(col(typeCol).isin(steps: _*))
+    val perStep = steps.zipWithIndex.map { case (step, i) =>
+      collect_list(when(col(typeCol) === step, col(tsCol))).as(s"_a${i + 1}")
     }
-    val joined = stepTables.reduceLeft { (acc, st) =>
-      acc.join(st.drop(acc.columns.filter(st.columns.contains)
-        .filterNot(_ == keyCol): _*), Seq(keyCol), "left")
+    val grouped = relevant.groupBy(col(keyCol))
+      .agg(perStep.head, perStep.tail: _*)
+    // greedy fold: t1 = earliest step-1 event; t_k = earliest step-k
+    // event strictly after t_{k-1} (null t_{k-1} propagates — the
+    // lambda comparison is null, filter drops it, array_min(empty)
+    // is null)
+    val withTs = steps.indices.foldLeft(grouped) { (df, i) =>
+      val k = i + 1
+      val tk =
+        if (k == 1) array_min(col("_a1"))
+        else array_min(filter(col(s"_a$k"), x => x > col(s"t${k - 1}")))
+      df.withColumn(s"t$k", tk)
     }
     val completed = (2 to steps.size).foldLeft(lit(1)) { (acc, k) =>
       acc + when(col(s"t$k").isNotNull, 1).otherwise(0)
     }
-    joined.withColumn("steps_completed", completed.cast("int"))
+    withTs.filter(col("t1").isNotNull)
+      .select(col(keyCol) +:
+        steps.indices.map(i => col(s"t${i + 1}")) :+
+        completed.cast("int").as("steps_completed"): _*)
   }
 }

@@ -15,7 +15,10 @@ import org.apache.spark.sql.expressions.Window
 object Report {
 
   /** A2: latest findings batch per catalog table — argmax on timestamp
-    * via max_by-style window; ties broken on id for determinism. */
+    * via max_by-style window; ties broken on id for determinism. The
+    * (timestamp, id) order is TOTAL (id is the findings primary key),
+    * so the TopKRewrite heap plan and the window-sort plan keep the
+    * same row — safe under the auto-rewrite. */
   def latestFindings(findings: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("data_catalog_table_name"))
       .orderBy(col("timestamp").desc, col("id").desc)

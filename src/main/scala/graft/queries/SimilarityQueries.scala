@@ -150,16 +150,34 @@ object SimilarityQueries extends QueryPack {
         fitted = Some(pqFitShared(s, d)), index = Some(idx))
     }),
 
-    // IVF-PQ: coarse probe (2 of 8 lists) prunes candidates, ADC
-    // ranks them from codes alone — the production ANN composition;
-    // the float corpus never joins on the search path
+    // IVF-PQ: coarse probe (nprobe of nlist lists) prunes candidates,
+    // ADC ranks them from codes alone — the production ANN
+    // composition; the float corpus never joins on the search path.
+    // nlist auto-sizes with √N (Similarity.autoNlist): at the fixture
+    // and oracle scales it resolves to the floor of 8 — byte-matching
+    // the fixed 8-list DuckDB Lloyd replay and sharing the s9/s10
+    // serving index — while the scaling study's 10×/100× corpora get
+    // a √N-sized quantizer trained on a hash-deterministic sample, so
+    // per-probe candidate lists stop growing linearly with the corpus
     "s11_ivfpq" -> ((s, d) => {
-      val idx = indexShared(s, d)
-      Similarity.ivfPqTopK(Tables.load(s, d, "embeddings"),
-        col("vec_id") < 5, k = 5, dim = 64, m = 4, ksub = 8,
-        nlist = 8, nprobe = 2,
-        coarse = Some(fit(s, d, 8)), pq = Some(pqFitShared(s, d)),
-        prebuilt = Some(idx))
+      val emb = Tables.load(s, d, "embeddings")
+      val n = emb.count()
+      val nlist = Similarity.autoNlist(n)
+      if (nlist == 8) {
+        val idx = indexShared(s, d)
+        Similarity.ivfPqTopK(emb,
+          col("vec_id") < 5, k = 5, dim = 64, m = 4, ksub = 8,
+          nlist = 8, nprobe = 2,
+          coarse = Some(fit(s, d, 8)), pq = Some(pqFitShared(s, d)),
+          prebuilt = Some(idx))
+      } else {
+        val cents = Similarity.kmeansFitSampled(emb, nlist, iters = 2,
+          corpusN = n)
+        Similarity.ivfPqTopK(emb,
+          col("vec_id") < 5, k = 5, dim = 64, m = 4, ksub = 8,
+          nlist = nlist, nprobe = 2,
+          coarse = Some(cents), pq = Some(pqFitShared(s, d)))
+      }
     }),
 
     // ANN index evaluation: recall@5 of the LSH-bucket search against

@@ -149,11 +149,41 @@ object Similarity {
     assignToCentroids(newVecs, centroids)
       .select(col("vec_id"), col("cluster"))
 
-  /** Assignment pass for a fixed centroid set: centroids are literal
-    * arrays, each row computes its k dots in codegen and argmins via
-    * array_min over (dist, cluster) structs — struct ordering compares
-    * dist first, then cluster, so ties break on the lowest centroid
-    * id. No shuffle, no window; one corpus scan. */
+  /** Per-centroid (dist, cluster) score structs for `embCol` — the
+    * argmin/sort input shared by assignment and probe selection.
+    * Struct ordering compares dist first, then cluster, so ties break
+    * on the lowest centroid id in every consumer.
+    *
+    * Two physically different, semantically identical forms: up to
+    * [[LiteralCentroidMax]] centroids each one is its own literal-
+    * array dot (whole-stage codegen, the hot path for the usual small
+    * coarse quantizer); past it the WHOLE centroid set becomes ONE
+    * typed literal folded with `transform` — the expression tree
+    * stays O(1) in nlist instead of O(nlist·dim), so a √N-sized
+    * quantizer (autoNlist) can't blow past Janino's method limits and
+    * fall out of codegen wholesale. */
+  private val LiteralCentroidMax = 32
+
+  private def centroidScores(embCol: Column,
+      centroids: Array[(Int, Array[Double])]): Column =
+    if (centroids.length <= LiteralCentroidMax)
+      array(centroids.toIndexedSeq.map { case (cid, c) =>
+        struct(
+          (-dot(embCol, array(c.toIndexedSeq.map(lit): _*))).as("dist"),
+          lit(cid).as("cluster"))
+      }: _*)
+    else {
+      val entries = centroids.toIndexedSeq
+        .map { case (cid, c) => (cid, c.toIndexedSeq) }
+      transform(typedLit(entries), e =>
+        struct((-dot(embCol, e.getField("_2"))).as("dist"),
+          e.getField("_1").as("cluster")))
+    }
+
+  /** Assignment pass for a fixed centroid set: each row computes its
+    * k dots and argmins via array_min over (dist, cluster) structs —
+    * ties break on the lowest centroid id. No shuffle, no window; one
+    * corpus scan. */
   def assignToCentroids(df: DataFrame,
       centroids: Array[(Int, Array[Double])]): DataFrame = {
     // empty corpus → empty fit → no inverted lists (array() of zero
@@ -161,13 +191,9 @@ object Similarity {
     if (centroids.isEmpty)
       return df.select(col("vec_id"), col("embedding"),
         lit(0).as("cluster")).limit(0)
-    val options = centroids.map { case (cid, c) =>
-      struct(
-        (-dot(col("embedding"), array(c.map(lit).toSeq: _*))).as("dist"),
-        lit(cid).as("cluster"))
-    }
     df.select(col("vec_id"), col("embedding"))
-      .withColumn("best", array_min(array(options.toSeq: _*)))
+      .withColumn("best",
+        array_min(centroidScores(col("embedding"), centroids)))
       .select(col("vec_id"), col("embedding"),
         col("best").getField("cluster").as("cluster"))
   }
@@ -211,6 +237,40 @@ object Similarity {
     centroids
   }
 
+  /** IVF list-count sizing, the rule every FAISS-style deployment
+    * documents: nlist ∝ √N keeps both sides of the search balanced —
+    * probe selection costs nprobe·nlist dots, candidate ranking costs
+    * nprobe·N/nlist, and √N equalizes their growth, so a fixed-nprobe
+    * search scales ~√N instead of linearly. (The round-9 scaling
+    * study measured exactly the fixed-nlist failure mode: s11's
+    * 100×-leg exponent hit 0.84 because nlist=8 made per-probe
+    * candidate lists grow linearly with the corpus.) The divisor is
+    * the free deployment constant (FAISS guidance spans 1×√N-16×√N
+    * lists); 6 keeps fixture-scale corpora at the floor — which
+    * doubles as the oracle-replay size, where the DuckDB Lloyd unroll
+    * is fixed at 8 lists — while a 100× corpus gets ~√N lists. */
+  def autoNlist(n: Long, floor: Int = 8): Int =
+    math.max(floor, math.ceil(math.sqrt(n.toDouble) / 6.0).toInt)
+
+  /** Coarse fit on a deterministic sample: Lloyd assignment costs
+    * N·nlist dots per iteration, so training on the full corpus at
+    * √N-sized nlist would scale N^1.5 — every production IVF trains
+    * on ~50-250 vectors per list instead. The sample is a pure
+    * function of vec_id (hash-mod), so the fit replays identically
+    * regardless of partitioning; corpora at or under the cap train on
+    * every row, which keeps the oracle-scale fit byte-identical to
+    * plain [[kmeansFit]]. */
+  def kmeansFitSampled(df: DataFrame, k: Int, iters: Int,
+      corpusN: Long, perList: Int = 100): Array[(Int, Array[Double])] = {
+    val cap = perList.toLong * k
+    if (corpusN <= cap) kmeansFit(df, k, iters)
+    else {
+      val q = (corpusN + cap - 1) / cap
+      kmeansFit(df.filter(pmod(xxhash64(col("vec_id")), lit(q)) === 0),
+        k, iters)
+    }
+  }
+
   /** End-to-end IVF ANN: fit nlist centroids, assign the corpus to
     * inverted lists, then for each query probe the `nprobe` nearest
     * lists and rank candidates by exact cosine. With nprobe = nlist
@@ -233,14 +293,10 @@ object Similarity {
     val corpus = withNorm(assignToCentroids(df, centroids))
     // nearest-nprobe cluster ids per query: sort (dist, cluster)
     // structs ascending, slice the head, explode to one row per probe
-    val options = centroids.map { case (cid, c) =>
-      struct(
-        (-dot(col("embedding"), array(c.map(lit).toSeq: _*))).as("dist"),
-        lit(cid).as("cluster"))
-    }
     val queries = corpus.filter(queryPred)
       .withColumn("probes",
-        slice(array_sort(array(options.toSeq: _*)), 1, nprobe))
+        slice(array_sort(centroidScores(col("embedding"), centroids)),
+          1, nprobe))
       .withColumn("probe_cluster",
         explode(transform(col("probes"), p => p.getField("cluster"))))
       .drop("probes")
@@ -425,16 +481,12 @@ object Similarity {
     if (cents.isEmpty || books.exists(_.isEmpty))
       return emptyTopK(df, "adc_dot")
     val index = prebuilt.getOrElse(buildIvfPqIndex(df, dim, cents, books))
-    val options = cents.map { case (cid, c) =>
-      struct(
-        (-dot(col("embedding"), array(c.toIndexedSeq.map(lit): _*))).as("dist"),
-        lit(cid).as("cluster"))
-    }
     val queries = df.filter(queryPred)
       .select(col("vec_id"), col("embedding"))
       .withColumn("probe_cluster",
         explode(transform(
-          slice(array_sort(array(options.toIndexedSeq: _*)), 1, nprobe),
+          slice(array_sort(centroidScores(col("embedding"), cents)),
+            1, nprobe),
           p => p.getField("cluster"))))
     adcRank(queries, index,
       col("q.probe_cluster") === col("c.cluster"), k, dim, books)

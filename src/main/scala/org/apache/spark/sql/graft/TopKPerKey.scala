@@ -101,13 +101,21 @@ object TopKPerKey {
     * columns (`(name, descending?)` — make the order total for
     * deterministic results). Attribute resolution happens here
     * against the analyzed child (a custom logical node is opaque to
-    * the analyzer's column resolution). Registers the planning
-    * strategy in the session on first use. */
+    * the analyzer's column resolution).
+    *
+    * The planning strategy normally arrives via GraftExtensions
+    * (injectPlannerStrategy) — the one registration path for all
+    * Catalyst extensions. Only a session built WITHOUT the extension
+    * falls back to the experimental-strategies hook here, so calling
+    * this never mutates an extension session's global state. */
   def topKPerKey(df: DataFrame, keys: Seq[String],
       order: Seq[(String, Boolean)], k: Int): DataFrame = {
     require(k > 0, "k must be positive")
     val spark = df.sparkSession
-    if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy))
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    // planner.strategies includes experimental AND injected strategies
+    if (!classic.sessionState.planner.strategies.contains(TopKPerKeyStrategy) &&
+      !spark.experimental.extraStrategies.contains(TopKPerKeyStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ TopKPerKeyStrategy
     val child = df.queryExecution.analyzed
@@ -119,7 +127,7 @@ object TopKPerKey {
     val sortOrders = order.map { case (name, desc) =>
       SortOrder(attr(name), if (desc) Descending else Ascending)
     }
-    Dataset.ofRows(spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+    Dataset.ofRows(classic,
       TopKPerKeyNode(k, keys.map(attr), sortOrders, child))
   }
 }

@@ -28,6 +28,40 @@ class BoundedCollectSpec extends AnyFunSuite {
     assert(out.isNullAt(1))
   }
 
+  test("string child: sorted collect at 1/3/13 partitions, sticky overflow") {
+    val base = (Seq.tabulate(6)(i => ("ok", s"v${9 - i}")) ++
+      Seq.tabulate(40)(i => ("hot", s"h$i")))
+      .toDF("k", "v")
+    for (p <- Seq(1, 3, 13)) {
+      val out = base.repartition(p).groupBy("k")
+        .agg(bounded_collect_sorted(col("v"), 10).as("vs"))
+        .collect().map(r => r.getString(0) -> Option(r.getSeq[String](1))).toMap
+      assert(out("ok").contains(Seq("v4", "v5", "v6", "v7", "v8", "v9")),
+        s"partitions=$p")
+      assert(out("hot").isEmpty, s"partitions=$p")
+    }
+  }
+
+  test("binary child: unsigned lexicographic sort, buffer-safe copies") {
+    val df = Seq(("k", Array[Byte](0, 1)), ("k", Array[Byte](-1)),
+      ("k", Array[Byte](0)), ("k", Array[Byte](5, 5)))
+      .toDF("k", "v")
+    val out = df.repartition(3).groupBy("k")
+      .agg(bounded_collect_sorted(col("v"), 10).as("vs"))
+      .collect().head.getSeq[Array[Byte]](1)
+    // 0xff sorts AFTER 0x05.. under unsigned order
+    assert(out.map(_.toSeq) ==
+      Seq(Seq[Byte](0), Seq[Byte](0, 1), Seq[Byte](5, 5), Seq[Byte](-1)))
+  }
+
+  test("unsupported child type fails at analysis, not at runtime") {
+    val df = Seq(("k", Seq(1, 2))).toDF("k", "v")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.groupBy("k").agg(bounded_collect_sorted(col("v"), 5)).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("bounded_collect"))
+  }
+
   test("matches collect_list + size filter semantics exactly") {
     val df = spark.range(1000)
       .select((col("id") % 37).as("k"), col("id").as("v"))

@@ -319,6 +319,15 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(treeCount(p, "Window") == 0, "rank filter should not plan a Window")
   }
 
+  test("w6 funnel: ONE scan of the event log, one grouped shuffle") {
+    val p = plan("w6_funnel")
+    // the one-pass fold: a 3-step (or 10-step) funnel reads events
+    // exactly once and shuffles once for the per-key collect
+    assert(treeCount(p, "Scan parquet") == 1, p.take(3000))
+    assert(treeCount(p, "Exchange") == 1, p.take(3000))
+    assert(treeCount(p, "\\bJoin\\b") == 0, "no per-step join chain")
+  }
+
   test("d2 grouped index: bounded collect, single aggregation exchange") {
     val p = plan("d2_ngram_jaccard")
     assert(p.contains("bounded_collect"), p.take(3000))

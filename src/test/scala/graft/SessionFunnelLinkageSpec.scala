@@ -87,6 +87,37 @@ class SessionFunnelLinkageSpec extends AnyFunSuite {
     assert(row.getTimestamp(row.fieldIndex("t3")) == ts(9))
   }
 
+  test("five-step funnel folds greedily in one pass") {
+    // user 1 completes 5 steps; user 2 stalls at step 3 because its
+    // only "cart" precedes its step-2 view; user 3 reaches step 4
+    val e = Seq(
+      (1L, ts(0), "signup"), (1L, ts(1), "view"), (1L, ts(2), "cart"),
+      (1L, ts(3), "pay"), (1L, ts(4), "purchase"),
+      (2L, ts(0), "signup"), (2L, ts(5), "view"), (2L, ts(3), "cart"),
+      (3L, ts(0), "signup"), (3L, ts(1), "view"), (3L, ts(2), "cart"),
+      (3L, ts(3), "pay"))
+      .toDF("user_id", "ts", "event_type")
+    val out = Funnel.funnel(e, "user_id", "ts", "event_type",
+      Seq("signup", "view", "cart", "pay", "purchase"))
+      .select("user_id", "steps_completed")
+      .as[(Long, Int)].collect().toMap
+    assert(out == Map(1L -> 5, 2L -> 2, 3L -> 4))
+  }
+
+  test("repeated step names require strictly increasing occurrences") {
+    // view→view→view needs three view events in strictly increasing
+    // order; user 1 has them, user 2 has only two views
+    val e = Seq(
+      (1L, ts(0), "view"), (1L, ts(1), "view"), (1L, ts(2), "view"),
+      (2L, ts(0), "view"), (2L, ts(1), "view"))
+      .toDF("user_id", "ts", "event_type")
+    val out = Funnel.funnel(e, "user_id", "ts", "event_type",
+      Seq("view", "view", "view"))
+      .select("user_id", "steps_completed")
+      .as[(Long, Int)].collect().toMap
+    assert(out == Map(1L -> 3, 2L -> 2))
+  }
+
   test("blocked fuzzy join matches within blocks and honors maxDist") {
     val left = Seq((1L, "alpha-01", "b1"), (2L, "gamma-77", "b2"))
       .toDF("id", "name", "block")

@@ -222,6 +222,61 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pruned == fullOrder)
   }
 
+  test("bulk (>32 centroid) assignment path matches the literal path exactly") {
+    // 40 centroids forces the single-typed-literal HOF form; the
+    // driver-side argmin with identical (dist, cluster) tie-break is
+    // the reference for BOTH forms
+    val dim = 4
+    val rnd = new scala.util.Random(7)
+    val cents = Array.tabulate(40)(i =>
+      i -> Array.fill(dim)(rnd.nextDouble() - 0.5))
+    val corpus = (0L until 60L).map { id =>
+      val r = new scala.util.Random(id)
+      (id, Array.fill(dim)((r.nextDouble() - 0.5).toFloat))
+    }
+    val df = corpus.toDF("vec_id", "embedding")
+    val got = Similarity.assignToCentroids(df, cents)
+      .select("vec_id", "cluster").as[(Long, Int)].collect().toMap
+    val expected = corpus.map { case (id, emb) =>
+      id -> cents.map { case (cid, c) =>
+        (-emb.map(_.toDouble).zip(c).map { case (x, y) => x * y }.foldLeft(0.0)(_ + _), cid)
+      }.min._2
+    }.toMap
+    assert(got == expected)
+    // few-centroid literal path on the same corpus agrees with its own
+    // driver-side argmin (sanity that the two forms share semantics)
+    val small = cents.take(8)
+    val gotSmall = Similarity.assignToCentroids(df, small)
+      .select("vec_id", "cluster").as[(Long, Int)].collect().toMap
+    val expSmall = corpus.map { case (id, emb) =>
+      id -> small.map { case (cid, c) =>
+        (-emb.map(_.toDouble).zip(c).map { case (x, y) => x * y }.foldLeft(0.0)(_ + _), cid)
+      }.min._2
+    }.toMap
+    assert(gotSmall == expSmall)
+  }
+
+  test("autoNlist: floor at fixture scales, ~√N past them") {
+    assert(Similarity.autoNlist(0) == 8)
+    assert(Similarity.autoNlist(500) == 8)    // sf0.01 oracle scale
+    assert(Similarity.autoNlist(2000) == 8)   // sf0.1 bench scale
+    assert(Similarity.autoNlist(20000) == 24)
+    assert(Similarity.autoNlist(200000) == 75)
+  }
+
+  test("sampled fit equals plain fit at or under the cap, and is deterministic") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val full = Similarity.kmeansFit(emb, 8, 2)
+    val capped = Similarity.kmeansFitSampled(emb, 8, 2, corpusN = 500)
+    assert(full.map(_._1).toSeq == capped.map(_._1).toSeq)
+    assert(full.zip(capped).forall { case ((_, a), (_, b)) => a.sameElements(b) })
+    // forced sampling: deterministic across repartitioning
+    val s1 = Similarity.kmeansFitSampled(emb, 8, 2, corpusN = 500, perList = 20)
+    val s2 = Similarity.kmeansFitSampled(emb.repartition(7), 8, 2,
+      corpusN = 500, perList = 20)
+    assert(s1.zip(s2).forall { case ((_, a), (_, b)) => a.sameElements(b) })
+  }
+
   test("near-dup pairs finds the planted close pair only") {
     val pairs = Similarity.nearDupPairs(vecs, 0.95)
       .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
