@@ -88,11 +88,244 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Nearest-centroid id under max-dot (≡ argmin of -dot), the IVF
+  * assignment kernel as ONE codegen'd expression.
+  *
+  * The composable form — array_min over per-centroid (dist, cluster)
+  * structs — is what the small-quantizer path uses; past ~32 centroids
+  * that array either blows up the expression tree (one literal per
+  * centroid) or falls back to an interpreted per-element lambda
+  * (transform over a typed literal), and the full-corpus assignment at
+  * a √N-sized nlist pays N·nlist interpreted dots — the dominant cost
+  * of the measured x100 IVF-PQ build. Here the centroid matrix is a
+  * single referenced object and the generated code is the flat nested
+  * loop a native engine would emit.
+  *
+  * Semantics are EXACTLY the struct-argmin's: ascending-index double
+  * fold per dot, strict `>` replacement scanning centroids in
+  * ascending id order — ties keep the lowest centroid id. Null input,
+  * null element, or a length mismatch with any centroid → null.
+  */
+case class NearestCentroid(child: Expression,
+    ids: Array[Int], cents: Array[Array[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(ids.length == cents.length && ids.nonEmpty,
+    "ids and centroid rows must align and be non-empty")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"nearest_centroid expects array<float|double>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val f = isFloat
+    var best = Double.NegativeInfinity
+    var bestIdx = -1
+    var c = 0
+    while (c < cents.length) {
+      val cent = cents(c)
+      if (cent.length != n) return null
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        if (x.isNullAt(i)) return null
+        acc += (if (f) x.getFloat(i).toDouble else x.getDouble(i)) * cent(i)
+        i += 1
+      }
+      if (acc > best) { best = acc; bestIdx = c }
+      c += 1
+    }
+    ids(bestIdx)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val centsRef = ctx.addReferenceObj("cents", cents, "double[][]")
+      val idsRef = ctx.addReferenceObj("ids", ids, "int[]")
+      val get = if (isFloat) "getFloat" else "getDouble"
+      val n = ctx.freshName("n")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val best = ctx.freshName("best")
+      val bestIdx = ctx.freshName("bestIdx")
+      val cent = ctx.freshName("cent")
+      s"""
+         |int $n = $a.numElements();
+         |double $best = Double.NEGATIVE_INFINITY;
+         |int $bestIdx = -1;
+         |for (int $c = 0; $c < $centsRef.length && !${ev.isNull}; $c++) {
+         |  double[] $cent = $centsRef[$c];
+         |  if ($cent.length != $n) { ${ev.isNull} = true; break; }
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += ((double) $a.$get($i)) * $cent[$i];
+         |  }
+         |  if (!${ev.isNull} && $acc > $best) { $best = $acc; $bestIdx = $c; }
+         |}
+         |if (!${ev.isNull}) { ${ev.value} = $idsRef[$bestIdx]; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "nearest_centroid"
+}
+
+/** All m PQ codes of an embedding as ONE codegen'd expression — the
+  * PQ-encode kernel.
+  *
+  * The composable form builds, per subspace, ksub literal (dist, code)
+  * structs over a slice() of the embedding: each option re-evaluates
+  * its slice (an allocation per option per row), and the m·ksub
+  * literal centroid arrays make the projection's expression tree big
+  * enough that stages combining it with other kernels fall out of
+  * whole-stage codegen (the measured x100 index build spent ~60 s in
+  * exactly that interpreted fallback). Here the codebooks are one
+  * referenced object and the generated code is the flat triple loop.
+  *
+  * Semantics are EXACTLY the struct-argmin's, per subspace: ascending-
+  * index double fold over the subspace's dims (identical to
+  * dot(slice(emb, j·sub+1, sub), cent)), strict `>` replacement in
+  * ascending code order — ties keep the lowest code id. Null input,
+  * null element, or a length mismatch with `dim` → null.
+  */
+case class PqCodes(child: Expression, dim: Int,
+    ids: Array[Array[Int]], books: Array[Array[Array[Double]]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(books.nonEmpty && books.forall(_.nonEmpty), "empty codebook")
+  require(ids.length == books.length &&
+    ids.zip(books).forall { case (a, b) => a.length == b.length },
+    "ids and codebook rows must align")
+  require(dim % books.length == 0, s"dim $dim must divide into ${books.length}")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pq_codes expects array<float|double>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    if (x.numElements() != dim) return null
+    val f = isFloat
+    val m = books.length
+    val sub = dim / m
+    val out = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      val book = books(j)
+      var best = Double.NegativeInfinity
+      var bestIdx = -1
+      var c = 0
+      while (c < book.length) {
+        val cent = book(c)
+        var acc = 0.0
+        var i = 0
+        while (i < sub) {
+          val p = j * sub + i
+          if (x.isNullAt(p)) return null
+          acc += (if (f) x.getFloat(p).toDouble else x.getDouble(p)) * cent(i)
+          i += 1
+        }
+        if (acc > best) { best = acc; bestIdx = c }
+        c += 1
+      }
+      out(j) = ids(j)(bestIdx)
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val booksRef = ctx.addReferenceObj("books", books, "double[][][]")
+      val idsRef = ctx.addReferenceObj("ids", ids, "int[][]")
+      val get = if (isFloat) "getFloat" else "getDouble"
+      val m = books.length
+      val sub = dim / m
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val p = ctx.freshName("p")
+      val acc = ctx.freshName("acc")
+      val best = ctx.freshName("best")
+      val bestIdx = ctx.freshName("bestIdx")
+      val book = ctx.freshName("book")
+      val cent = ctx.freshName("cent")
+      val out = ctx.freshName("out")
+      s"""
+         |if ($a.numElements() != $dim) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int[] $out = new int[$m];
+         |  for (int $j = 0; $j < $m && !${ev.isNull}; $j++) {
+         |    double[][] $book = $booksRef[$j];
+         |    double $best = Double.NEGATIVE_INFINITY;
+         |    int $bestIdx = -1;
+         |    for (int $c = 0; $c < $book.length && !${ev.isNull}; $c++) {
+         |      double[] $cent = $book[$c];
+         |      double $acc = 0.0;
+         |      for (int $i = 0; $i < $sub; $i++) {
+         |        int $p = $j * $sub + $i;
+         |        if ($a.isNullAt($p)) { ${ev.isNull} = true; break; }
+         |        $acc += ((double) $a.$get($p)) * $cent[$i];
+         |      }
+         |      if (!${ev.isNull} && $acc > $best) { $best = $acc; $bestIdx = $c; }
+         |    }
+         |    if (!${ev.isNull}) { $out[$j] = $idsRef[$j][$bestIdx]; }
+         |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |  }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "pq_codes"
+}
+
 object VectorExpressions {
 
   /** Column API: fused codegen'd dot product of two float arrays. */
   def dot_product(a: Column, b: Column): Column =
     Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Column API: all m PQ codes of an embedding (max-dot per
+    * subspace, ties → lowest code id). */
+  def pq_codes(emb: Column, dim: Int,
+      codebooks: Seq[Array[(Int, Array[Double])]]): Column =
+    Bridge.column(PqCodes(Bridge.expression(emb), dim,
+      codebooks.map(_.map(_._1)).toArray,
+      codebooks.map(_.map(_._2)).toArray))
+
+  /** Column API: id of the max-dot centroid (ties → lowest id). */
+  def nearest_centroid(emb: Column,
+      centroids: Array[(Int, Array[Double])]): Column =
+    Bridge.column(NearestCentroid(Bridge.expression(emb),
+      centroids.map(_._1), centroids.map(_._2)))
 
   /** Register `dot_product` for SQL use in this session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

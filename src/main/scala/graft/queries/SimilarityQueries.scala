@@ -171,12 +171,23 @@ object SimilarityQueries extends QueryPack {
           coarse = Some(fit(s, d, 8)), pq = Some(pqFitShared(s, d)),
           prebuilt = Some(idx))
       } else {
-        val cents = Similarity.kmeansFitSampled(emb, nlist, iters = 2,
-          corpusN = n)
+        // the two trains are independent Lloyd runs over independent
+        // samples — submit their jobs concurrently (the indexShared
+        // pattern), and train BOTH on hash-deterministic samples: at
+        // this branch's scale a full-corpus train is the N^1.5 shape
+        // autoNlist exists to avoid
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val fc = Future(Similarity.kmeansFitSampled(emb, nlist, iters = 2,
+          corpusN = n))
+        val fp = Future(Similarity.pqFitSampled(emb, dim = 64, m = 4,
+          ksub = 8, iters = 2, corpusN = n))
         Similarity.ivfPqTopK(emb,
           col("vec_id") < 5, k = 5, dim = 64, m = 4, ksub = 8,
           nlist = nlist, nprobe = 2,
-          coarse = Some(cents), pq = Some(pqFitShared(s, d)))
+          coarse = Some(Await.result(fc, Duration.Inf)),
+          pq = Some(Await.result(fp, Duration.Inf)))
       }
     }),
 

@@ -181,9 +181,13 @@ object Similarity {
     }
 
   /** Assignment pass for a fixed centroid set: each row computes its
-    * k dots and argmins via array_min over (dist, cluster) structs —
-    * ties break on the lowest centroid id. No shuffle, no window; one
-    * corpus scan. */
+    * k dots and argmins — ties break on the lowest centroid id. No
+    * shuffle, no window; one corpus scan. Small quantizers argmin via
+    * array_min over literal (dist, cluster) structs; large (√N-sized)
+    * ones use the codegen'd [[graft.expressions.NearestCentroid]]
+    * kernel — same fold order, same strict-< tie rule, but the
+    * centroid matrix is one referenced object and the N·nlist dots
+    * run in generated code (equivalence spec-pinned at both sizes). */
   def assignToCentroids(df: DataFrame,
       centroids: Array[(Int, Array[Double])]): DataFrame = {
     // empty corpus → empty fit → no inverted lists (array() of zero
@@ -191,11 +195,16 @@ object Similarity {
     if (centroids.isEmpty)
       return df.select(col("vec_id"), col("embedding"),
         lit(0).as("cluster")).limit(0)
-    df.select(col("vec_id"), col("embedding"))
-      .withColumn("best",
-        array_min(centroidScores(col("embedding"), centroids)))
-      .select(col("vec_id"), col("embedding"),
-        col("best").getField("cluster").as("cluster"))
+    if (centroids.length <= LiteralCentroidMax)
+      df.select(col("vec_id"), col("embedding"))
+        .withColumn("best",
+          array_min(centroidScores(col("embedding"), centroids)))
+        .select(col("vec_id"), col("embedding"),
+          col("best").getField("cluster").as("cluster"))
+    else
+      df.select(col("vec_id"), col("embedding"),
+        graft.expressions.VectorExpressions
+          .nearest_centroid(col("embedding"), centroids).as("cluster"))
   }
 
   /** Centroid fit: deterministic Lloyd (see kmeansLite). Returns the
@@ -268,6 +277,24 @@ object Similarity {
       val q = (corpusN + cap - 1) / cap
       kmeansFit(df.filter(pmod(xxhash64(col("vec_id")), lit(q)) === 0),
         k, iters)
+    }
+  }
+
+  /** Sampled PQ train — the same rationale and hash-deterministic
+    * sample rule as [[kmeansFitSampled]]: codebook quality needs a
+    * few hundred vectors per centroid, not the corpus, and the m
+    * per-subspace Lloyd chains each scan their training set twice.
+    * Corpora at or under the cap train on every row (byte-identical
+    * to plain [[pqFit]] — the oracle-scale guarantee). */
+  def pqFitSampled(df: DataFrame, dim: Int, m: Int, ksub: Int,
+      iters: Int, corpusN: Long,
+      perCentroid: Int = 250): Seq[Array[(Int, Array[Double])]] = {
+    val cap = perCentroid.toLong * ksub
+    if (corpusN <= cap) pqFit(df, dim, m, ksub, iters)
+    else {
+      val q = (corpusN + cap - 1) / cap
+      pqFit(df.filter(pmod(xxhash64(col("vec_id")), lit(q)) === 0),
+        dim, m, ksub, iters)
     }
   }
 
@@ -385,18 +412,16 @@ object Similarity {
     * any frame (e.g. alongside a coarse-cluster column) without a
     * join. */
   private def codesColumn(dim: Int,
-      codebooks: Seq[Array[(Int, Array[Double])]]): Column = {
-    val sub = dim / codebooks.length
-    val codeCols = codebooks.zipWithIndex.map { case (cb, j) =>
-      val s = slice(col("embedding"), j * sub + 1, sub)
-      val options = cb.map { case (cid, c) =>
-        struct((-dot(s, array(c.toIndexedSeq.map(lit): _*))).as("dist"),
-          lit(cid).as("code"))
-      }
-      array_min(array(options.toIndexedSeq: _*)).getField("code")
-    }
-    array(codeCols: _*)
-  }
+      codebooks: Seq[Array[(Int, Array[Double])]]): Column =
+    // the codegen'd triple-loop kernel — semantics identical to the
+    // former per-subspace array_min over literal (dist, code) structs
+    // (same fold order, same lowest-code tie rule; oracle-checked via
+    // s9/s10/s11), but the codebooks are one referenced object, so
+    // projections composing this with other kernels stay inside
+    // whole-stage codegen instead of interpreting m·ksub slice+dot
+    // trees per row
+    graft.expressions.VectorExpressions.pq_codes(
+      col("embedding"), dim, codebooks)
 
   def pqEncode(df: DataFrame, dim: Int,
       codebooks: Seq[Array[(Int, Array[Double])]]): DataFrame =

@@ -48,7 +48,19 @@ object Scaling {
     "d1_exact_dedup" -> "events",
     "w4_count_anomaly" -> "events",
     "w5_sessionize" -> "events",
-    "w6_funnel" -> "events")
+    "w6_funnel" -> "events",
+    // join family (round-9 verdict item 2): exponents here depend on
+    // DATA SHAPE, and the SynthScale corpora are deliberately
+    // adversarial — orders carries a hot custkey with 10% of all rows
+    // (ao1's single hottest as-of window partition, sk1's salting
+    // target), customer plants one linkage block with n/100 rows
+    // (rl1's in-block quadratic), and ao2's signup intervals fan out
+    // per bucket
+    "ao1_asof_join" -> "events+orders",
+    "ao2_range_join" -> "events",
+    "rl1_fuzzy_match" -> "customer",
+    "sk1_salted_join" -> "orders+customer",
+    "sk2_salted_agg" -> "lineitem")
 
   def main(args: Array[String]): Unit = {
     // usage: Scaling [scale...] [-q name1,name2] [-p passes] [-g]
@@ -100,7 +112,11 @@ object Scaling {
       graft.SparkEntry.releaseShared(spark)
       graft.util.Caches.releaseStray()
       val t0 = System.nanoTime()
-      graft.SparkEntry.queries(name)(spark, dir).count()
+      // toRdd, not count(): materialize every output column — a bare
+      // count lets the optimizer prune unused window/projection work
+      // (ao1's as-of carry read 0.2 s at x100 under count() because
+      // the carried last_value — the operator — was optimized away)
+      graft.SparkEntry.queries(name)(spark, dir).queryExecution.toRdd.count()
       val sec = (System.nanoTime() - t0) / 1e9
       graft.SparkEntry.releaseShared(spark)
       graft.util.Caches.releaseStray()
@@ -149,7 +165,7 @@ object Scaling {
       s"""    "$name":{"table":"$table",$tJson${if (legs.nonEmpty) "," + legs else ""}}"""
     }
     val out = "{\n  \"scales\":[" + allScales.mkString(",") +
-      "],\n  \"protocol\":\"cold per query (memos+caches released), 2+ passes, per-query min over SCALING_partial.jsonl; corpora: SynthScale x{N} of sf0.1 row counts\",\n  \"queries\":{\n" +
+      "],\n  \"protocol\":\"cold per query (memos+caches released), 2+ passes, per-query min over SCALING_partial.jsonl; fully materialized (toRdd.count — a bare count() lets the optimizer prune window/projection work); corpora: SynthScale x{N} of sf0.1 row counts\",\n  \"queries\":{\n" +
       rows.mkString(",\n") + "\n  }\n}\n"
     val w = new java.io.PrintWriter("SCALING.json")
     w.write(out); w.close()

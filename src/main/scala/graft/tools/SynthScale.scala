@@ -110,8 +110,76 @@ object SynthScale {
     }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
   }
 
-  /** Writes documents/embeddings/events for one scale multiple into
-    * `outDir` (scale 1 ≡ the sf0.1 row counts). */
+  /** Customers with an ADVERSARIAL linkage block: every 100th row's
+    * name shares one 16-char prefix (= rl1's blocking key), so ONE
+    * (nation, prefix) block holds n/100 rows and the in-block
+    * quadratic — the shape the round-9 verdict flagged as unmeasured
+    * — grows with the corpus while normal blocks stay ≤ ~100 rows
+    * (names are TPC-H-style zero-padded, so a 16-char prefix spans
+    * 100 consecutive keys). Multiples of 100 are multiples of 25, so
+    * the hot rows also share nationkey 0. */
+  def customer(spark: SparkSession, n: Long, seed: Long = 42L): DataFrame = {
+    import spark.implicits._
+    val segs = Vector("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+    spark.range(n).map { id =>
+      val custkey = id + 1
+      val r = rngFor(seed + 4, id)
+      val name =
+        if (custkey % 100 == 0) f"Customer#ZZZZZZZ${(custkey / 100) % 100}%02d"
+        else f"Customer#$custkey%09d"
+      (custkey, name, (custkey % 25).toInt,
+        math.rint((r.nextDouble() * 10999.99 - 999.99) * 100) / 100,
+        segs(r.nextInt(segs.length)))
+    }.toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+  }
+
+  /** Orders with a HOT customer: 10% of all orders belong to custkey
+    * 1 (the skewed-join shape sk1's salting exists for; also the hot
+    * as-of window partition for ao1). Dates span the year BEFORE the
+    * events window so the as-of probe usually finds a build row. */
+  def orders(spark: SparkSession, n: Long, seed: Long = 42L): DataFrame = {
+    import spark.implicits._
+    val prios = Vector("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    val t0 = java.sql.Timestamp.valueOf("2023-01-01 00:00:00").getTime
+    val spanMs = 380L * 24 * 3600 * 1000
+    val nCust = math.max(1L, n / 10)
+    spark.range(n).map { id =>
+      val r = rngFor(seed + 5, id)
+      val custkey = if (r.nextDouble() < 0.10) 1L
+        else 1L + math.abs(r.nextLong()) % nCust
+      val status = "OFP".charAt(r.nextInt(3)).toString
+      val price = math.rint((1000.0 + math.abs(r.nextGaussian()) * 30000.0) * 100) / 100
+      val date = new java.sql.Timestamp(t0 + id * spanMs / math.max(n, 1) + r.nextInt(86400) * 1000L)
+      (id + 1, custkey, status, price, date, prios(r.nextInt(prios.length)))
+    }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+  }
+
+  /** Lineitems with the returnflag skew sk2's two-phase aggregate
+    * targets (60/25/15 across three flag values — a low-cardinality,
+    * inherently hot grouping key). */
+  def lineitem(spark: SparkSession, n: Long, seed: Long = 42L): DataFrame = {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2023-03-01 00:00:00").getTime
+    val spanMs = 365L * 24 * 3600 * 1000
+    spark.range(n).map { id =>
+      val r = rngFor(seed + 6, id)
+      val u = r.nextDouble()
+      val flag = if (u < 0.60) "N" else if (u < 0.85) "A" else "R"
+      val qty = (1 + r.nextInt(50)).toDouble
+      val price = math.rint(qty * (900.0 + r.nextDouble() * 200.0) * 100) / 100
+      (id / 4 + 1, 1L + r.nextInt(20000).toLong, 1L + r.nextInt(1000).toLong,
+        (id % 4 + 1).toInt, qty, price,
+        math.rint(r.nextDouble() * 10) / 100, math.rint(r.nextDouble() * 8) / 100,
+        flag, if (r.nextBoolean()) "O" else "F",
+        new java.sql.Timestamp(t0 + id * spanMs / math.max(n, 1)))
+    }.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+      "l_returnflag", "l_linestatus", "l_shipdate")
+  }
+
+  /** Writes all scaling tables for one scale multiple into `outDir`
+    * (scale 1 ≡ the sf0.1 row counts). */
   def writeScale(spark: SparkSession, outDir: String, scale: Int): Unit = {
     documents(spark, 5000L * scale).write.mode(SaveMode.Overwrite)
       .parquet(s"$outDir/documents.parquet")
@@ -119,5 +187,11 @@ object SynthScale {
       .parquet(s"$outDir/embeddings.parquet")
     events(spark, 100000L * scale).write.mode(SaveMode.Overwrite)
       .parquet(s"$outDir/events.parquet")
+    customer(spark, 15000L * scale).write.mode(SaveMode.Overwrite)
+      .parquet(s"$outDir/customer.parquet")
+    orders(spark, 150000L * scale).write.mode(SaveMode.Overwrite)
+      .parquet(s"$outDir/orders.parquet")
+    lineitem(spark, 600000L * scale).write.mode(SaveMode.Overwrite)
+      .parquet(s"$outDir/lineitem.parquet")
   }
 }

@@ -328,6 +328,28 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(treeCount(p, "\\bJoin\\b") == 0, "no per-step join chain")
   }
 
+  test("a2 argmax-per-group auto-rewrites to TopKPerKey (rank=1 idiom)") {
+    // the TopKRewrite sweep: a2's rn===1 + drop is exactly the
+    // rewrite-eligible pattern — the (o_orderdate, o_orderkey) order
+    // is total, so heap and window-sort plans keep the same row
+    val p = plan("a2_argmax_latest")
+    assert(p.contains("TopKPerKey"), p.take(2000))
+    assert(treeCount(p, "Window") == 0, "argmax should not plan a Window")
+  }
+
+  test("Report.latestFindings auto-rewrites to TopKPerKey") {
+    import org.apache.spark.sql.functions._
+    val findings = spark.range(100).select(
+      (col("id") % 7).cast("string").as("data_catalog_table_name"),
+      to_timestamp(lit("2024-01-01 00:00:00")).as("timestamp"),
+      col("id").as("id"))
+    val p = graft.ops.Report.latestFindings(findings)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("TopKPerKey"), p.take(2000))
+    assert(treeCount(p, "Window") == 0, p.take(2000))
+  }
+
   test("d2 grouped index: bounded collect, single aggregation exchange") {
     val p = plan("d2_ngram_jaccard")
     assert(p.contains("bounded_collect"), p.take(3000))
