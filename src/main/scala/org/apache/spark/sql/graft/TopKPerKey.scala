@@ -148,12 +148,20 @@ object TopKPerKey {
   *  - the Window computes exactly ONE expression, a row_number();
   *  - the filter bounds it by an integer literal (<=, <, >=, >
   *    flipped, or = 1), k in 1..1000 (heaps hold k rows per key per
-  *    partition — past that the window sort is the better plan);
-  *  - any remaining filter conjuncts don't reference the rank;
-  *  - the Project above discards the rank column (the rewrite cannot
-  *    produce rank numbers — semantics are the kept ROW SET, which is
-  *    identical, modulo ties under a non-total order where both forms
-  *    are nondeterministic).
+  *    partition — past that the window sort is the better plan).
+  *
+  * Two forms, by whether the rank survives the Project:
+  *  - rank DISCARDED (and unreferenced by remaining conjuncts): the
+  *    Window disappears entirely — semantics are the kept ROW SET.
+  *  - rank RETAINED (the kNN idiom: `rn` is the neighbor rank): the
+  *    Window is kept but re-rooted on the pruned TopKPerKeyNode, so
+  *    row_number sorts ≤k rows per key instead of the key's whole
+  *    candidate set, and the rank-bound conjuncts (now tautological)
+  *    drop. Ranks over the survivor set equal ranks over the full set
+  *    because the survivors ARE the first k under the same order.
+  *
+  * Both forms change which arbitrary row is kept on ties under a
+  * non-total order — where both plans are already nondeterministic.
   */
 object TopKRewrite extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]
   with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
@@ -182,7 +190,7 @@ object TopKRewrite extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case p @ Project(projectList,
-        Filter(cond, Window(
+        Filter(cond, w @ Window(
           Seq(alias @ Alias(WindowExpression(_: RowNumber, _), _)),
           partSpec, orderSpec, child, _)))
         if partSpec.nonEmpty && orderSpec.nonEmpty =>
@@ -190,15 +198,19 @@ object TopKRewrite extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]
       val conjuncts = splitConjunctivePredicates(cond)
       val bounds = conjuncts.flatMap(rankBound(_, rn))
       val rest = conjuncts.filter(rankBound(_, rn).isEmpty)
-      val projectUsesRank =
-        projectList.exists(_.references.contains(rn))
-      if (bounds.isEmpty || projectUsesRank ||
-        rest.exists(_.references.contains(rn)) ||
-        bounds.min < 1 || bounds.min > MaxK) p
+      val rankSurvives =
+        projectList.exists(_.references.contains(rn)) ||
+          rest.exists(_.references.contains(rn))
+      if (bounds.isEmpty || bounds.min < 1 || bounds.min > MaxK) p
       else {
         val topk = TopKPerKeyNode(bounds.min, partSpec, orderSpec, child)
+        // re-rank the ≤k survivors when the rank is still referenced:
+        // the heap prune removed the expensive sort; this Window sorts
+        // k·|keys-in-partition| rows with no extra exchange (TopK's
+        // final exec already clusters on partSpec)
+        val pruned = if (rankSurvives) w.copy(child = topk) else topk
         Project(projectList,
-          if (rest.isEmpty) topk else Filter(rest.reduce(And), topk))
+          if (rest.isEmpty) pruned else Filter(rest.reduce(And), pruned))
       }
   }
 }

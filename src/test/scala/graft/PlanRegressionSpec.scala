@@ -350,6 +350,18 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(treeCount(p, "Window") == 0, p.take(2000))
   }
 
+  test("s2 knn rank-retained idiom: heap prune feeds the re-rank window") {
+    // topKJoin keeps the neighbor rank, so the rewrite's second form
+    // fires: TopKPerKey prunes each query's candidates to k before the
+    // Window recomputes row_number over ≤k survivors — the full
+    // per-query candidate sort is gone
+    val df = SparkEntry.queries("s2_knn_brute")(spark, sf)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("TopKPerKey"), p.take(3000))
+    assert(treeCount(p, "Window") == 1, p.take(3000))
+  }
+
   test("d2 grouped index: bounded collect, single aggregation exchange") {
     val p = plan("d2_ngram_jaccard")
     assert(p.contains("bounded_collect"), p.take(3000))

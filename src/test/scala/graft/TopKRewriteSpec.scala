@@ -56,11 +56,37 @@ class TopKRewriteSpec extends AnyFunSuite {
     assert(q.collect().map(_.toSeq).toSet == reference)
   }
 
-  test("no rewrite when the rank column is kept") {
+  test("rank retained: prunes via TopKPerKey, re-ranks survivors identically") {
     val q = data.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3).select("k", "id", "rn")
-    assert(!hasTopK(q))
+    assert(hasTopK(q), q.queryExecution.executedPlan.toString)
+    // the Window survives (it recomputes rn over ≤k rows) but feeds
+    // from the pruned operator — and adds no second exchange
+    val planStr = q.queryExecution.executedPlan.toString
+    assert(planStr.contains("Window"), planStr)
+    assert(planStr.split("Exchange", -1).length - 1 <= 1, planStr)
+    // independent reference: rank the 1000-row fixture driver-side
+    // (the order is total — v ties broken by unique id)
+    val got = q.collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSet
+    assert(got == localRanked(3).toSet)
   }
+
+  test("pagination: lower rank bound survives as residual over re-ranked survivors") {
+    val q = data.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5 && col("rn") > 2).select("k", "id", "rn")
+    assert(hasTopK(q), q.queryExecution.executedPlan.toString)
+    val got = q.collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSet
+    assert(got == localRanked(5).filter(_._3 > 2).toSet)
+  }
+
+  /** Driver-side replay of row_number over (v desc, id asc) per k on
+    * the fixture — independent of any Catalyst rewrite. */
+  private def localRanked(k: Int): Seq[(Int, Int, Int)] =
+    (1 to 1000).map(i => (i % 7, i, (i * 37 % 1000).toDouble))
+      .groupBy(_._1).toSeq.flatMap { case (key, rows) =>
+        rows.sortBy { case (_, id, v) => (-v, id) }.take(k)
+          .zipWithIndex.map { case ((_, id, _), idx) => (key, id, idx + 1) }
+      }
 
   test("no rewrite past the k ceiling") {
     val q = data.withColumn("rn", row_number().over(w))
