@@ -106,10 +106,21 @@ object SimilarityQueries extends QueryPack {
 
     // Semantic dedup (SemDeDup): within-cluster cosine >= 0.3 against
     // a lower-id neighbor drops the row; comparisons never cross
-    // clusters. Shares the coarse k-means fit with s5/s6/s11
-    "d12_semdedup" -> ((s, d) =>
-      Similarity.semDedup(Tables.load(s, d, "embeddings"),
-        nlist = 8, threshold = 0.3, fitted = Some(fit(s, d, 8)))),
+    // clusters. Fixture/bench corpora run the flat 8-list contract —
+    // the fit shared with s5/s6/s11, replayed exactly by the DuckDB
+    // Lloyd unroll. Past the floor the entry switches to
+    // semDedupBounded: pair work is N·(cell size)/2, so tractability
+    // needs bounded OCCUPANCY, which Lloyd alone cannot promise —
+    // the RP-tree median-split refinement can (see its scaladoc for
+    // the measured 1.1e9-pair collapse it retires)
+    "d12_semdedup" -> ((s, d) => {
+      val emb = Tables.load(s, d, "embeddings")
+      val n = emb.count()
+      if (Similarity.autoNlist(n) == 8)
+        Similarity.semDedup(emb, nlist = 8, threshold = 0.3,
+          fitted = Some(fit(s, d, 8)))
+      else Similarity.semDedupBounded(emb, threshold = 0.3, corpusN = n)
+    }),
 
     // End-to-end IVF ANN: k-means fit -> inverted lists -> probe the
     // 2 nearest of 8 lists per query, exact cosine rank within.

@@ -1,0 +1,62 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.similarity.Similarity
+
+/** Sub-step profiler for d12 semdedup at scaling corpora.
+  * Usage: runMain graft.tools.ProfSem <dir>
+  */
+object ProfSem {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "target/scaling/x100"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.local.dir", graft.util.Scratch.localDir("graft-profsem-"))
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1 << 20).selectExpr("sum(id)").collect()
+
+    def t[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"PROFSEM $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+
+    val emb = graft.sources.Tables.load(spark, dir, "embeddings")
+    val n = t("count")(emb.count())
+    val k = Similarity.autoNlist(n)
+    println(s"PROFSEM n=$n coarse_k=$k")
+    val fitted = t("fitSampled")(
+      Similarity.kmeansFitSampled(emb, k, iters = 2, corpusN = n))
+    val a = t("assign_once")({
+      val df = Similarity.assignToCentroids(emb, fitted).cache()
+      df.count()
+      df
+    })
+    val cells = t("bound_occupancy")({
+      val c = Similarity.boundOccupancy(a, cap = 256, dim = 64).cache()
+      c.count()
+      c
+    })
+    val occ = cells.groupBy(col("cell")).agg(count(lit(1)).as("c"))
+      .agg(max(col("c")).as("mx"),
+        sum(col("c") * col("c")).as("sumsq"),
+        count(lit(1)).as("nonempty")).collect()(0)
+    println(s"PROFSEM occ max=${occ.getLong(0)} sumsq=${occ.getLong(1)} " +
+      s"cells=${occ.getLong(2)} pairs=${occ.getLong(1) / 2}")
+    t("full_bounded")(
+      Similarity.semDedupBounded(emb, 0.3, corpusN = n)
+        .queryExecution.toRdd.count())
+    graft.util.Caches.releaseStray()
+    spark.stop()
+  }
+}

@@ -264,6 +264,55 @@ class SimilaritySpec extends AnyFunSuite {
     assert(Similarity.autoNlist(200000) == 75)
   }
 
+  test("boundOccupancy: every cell ≤ cap, ids collision-free, deterministic") {
+    import spark.implicits._
+    // 3 planted modes with very different masses + per-coord jitter:
+    // the hot mode must split across rounds, the cold ones must not
+    val r = new java.util.Random(7)
+    val rows = (0 until 900).map { i =>
+      val mode = if (i < 700) 0 else if (i < 850) 1 else 2
+      val base = Array.tabulate(8)(d => mode * 2.0f + d * 0.1f)
+      (i.toLong, base.map(v => v + (r.nextFloat() - 0.5f) * 0.3f), mode)
+    }
+    val df = rows.toDF("vec_id", "embedding", "cluster")
+    val cells = Similarity.boundOccupancy(df, cap = 100, dim = 8)
+    val occ = cells.groupBy("cell").count().collect()
+    assert(occ.map(_.getLong(1)).max <= 100,
+      s"cap violated: ${occ.map(_.getLong(1)).max}")
+    assert(cells.count() == 900)
+    assert(cells.select("vec_id").distinct().count() == 900)
+    // deterministic: second run, identical assignment
+    val again = Similarity.boundOccupancy(df, cap = 100, dim = 8)
+      .collect().map(r2 => (r2.getLong(0), r2.getLong(1))).toMap
+    cells.collect().foreach(r2 =>
+      assert(again(r2.getLong(0)) == r2.getLong(1)))
+  }
+
+  test("semDedupBounded keeps exactly the lowest id of each planted dup group") {
+    import spark.implicits._
+    // pairs (2i, 2i+1) are near-identical; distinct groups are random
+    // gaussian directions (pairwise cosine ≫ below 0.999 in 8-d)
+    val rows = (0 until 400).flatMap { g =>
+      val gr = new java.util.Random(1000L + g)
+      val base = Array.fill(8)(gr.nextGaussian().toFloat)
+      Seq((2L * g, base), (2L * g + 1, base.map(v => v + 1e-4f)))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val out = Similarity.semDedupBounded(df, threshold = 0.999,
+      corpusN = 800, cap = 50, dim = 8)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    (0 until 400).foreach { g =>
+      assert(out(2L * g), s"group $g survivor dropped")
+      // the twin is dropped only if it landed in the survivor's cell —
+      // quantization may separate a pair, never invent a dup
+      if (!out(2L * g + 1)) assert(out(2L * g))
+    }
+    // near-identical twins project near-identically: the vast
+    // majority of pairs stay co-celled and dedup
+    val dropped = (0 until 400).count(g => !out(2L * g + 1))
+    assert(dropped >= 360, s"only $dropped/400 twins deduped")
+  }
+
   test("sampled fit equals plain fit at or under the cap, and is deterministic") {
     val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     val full = Similarity.kmeansFit(emb, 8, 2)
