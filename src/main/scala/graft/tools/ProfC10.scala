@@ -1,0 +1,78 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Sub-step profiler for the c10 curation pipeline (cold, like the
+  * scaling study measures it).
+  * Usage: runMain graft.tools.ProfC10 <dir>
+  */
+object ProfC10 {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.local.dir", graft.util.Scratch.localDir("graft-profc10-"))
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1 << 20).selectExpr("sum(id)").collect()
+
+    def t[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"PROFC10 $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+    t("docs_scan")(docs.count())
+
+    // the dedup shared build (cold)
+    val groups = graft.dedup.Dedup.shingleGroups(
+      docs, "doc_id", "text", n = 3, maxDf = 50).cache()
+    t("groups_cached")(groups.count())
+    val postings = graft.dedup.Dedup.postingsFromGroups(groups)
+    val stats = graft.dedup.Dedup.pairStatsFromGroups(groups, postings).cache()
+    t("pairStats_cached")(stats.count())
+    val edges = stats.filter(col("jaccard") >= 0.1)
+      .select(col("doc_a"), col("doc_b"))
+    val comp = t("connected_components")({
+      val c = graft.curation.Curation.connectedComponents(
+        docs.select(col("doc_id")), edges).cache()
+      c.count()
+      c
+    })
+    t("keep_list")(graft.curation.Curation.keepList(comp)
+      .filter(col("keep")).count())
+
+    // decontaminate (cold)
+    t("decontaminate")(graft.curation.Curation.decontaminate(
+      docs.filter(col("source") =!= "src0"),
+      docs.filter(col("source") === "src0"),
+      "doc_id", "text", n = 5).count())
+
+    // quality band (cold)
+    t("quality_band")(graft.curation.Curation.qualityBandFilter(
+      docs, "lang", "doc_id", "text", 0.1, 0.9).count())
+    graft.util.Caches.releaseStray()
+
+    // the full entry, cold (fresh memos: this is a fresh JVM, but the
+    // above already warmed groups/stats caches — release them first)
+    groups.unpersist(true)
+    stats.unpersist(true)
+    comp.unpersist(true)
+    graft.SparkEntry.releaseShared(spark)
+    t("c10_full_cold")(
+      graft.SparkEntry.queries("c10_curation_pipeline")(spark, dir)
+        .queryExecution.toRdd.count())
+    graft.SparkEntry.releaseShared(spark)
+    spark.stop()
+  }
+}

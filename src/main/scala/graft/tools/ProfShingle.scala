@@ -1,0 +1,74 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Isolate the grouped-shingle-index build cost: object-agg fallback
+  * threshold, count-only baseline, and distinct-shingle stats.
+  * Usage: runMain graft.tools.ProfShingle <dir> [fallbackThreshold]
+  */
+object ProfShingle {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "target/scaling/x100"
+    val thresh = if (args.length > 1) args(1) else "128"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.local.dir", graft.util.Scratch.localDir("graft-profsh-"))
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", thresh)
+      .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1 << 20).selectExpr("sum(id)").collect()
+    println(s"PROFSH fallbackThreshold=$thresh")
+
+    def t[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"PROFSH $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+    t("docs_scan")(docs.count())
+
+    // baseline: shingle stream + codegen count-agg (no object agg)
+    import spark.implicits._
+    def shingleStream = docs
+      .select(col("doc_id").cast("long").as("doc"), col("text").as("txt"))
+      .as[(Long, String)]
+      .flatMap { case (id, tx) =>
+        val toks = tx.trim.split("\\s+")
+        if (toks.length < 3) Iterator.empty
+        else toks.iterator.sliding(3, 1).withPartial(false)
+          .map(w => (id, w.mkString(" "))).toSet.iterator
+      }
+      .toDF("doc", "shingle")
+    t("stream_count")(shingleStream.count())
+    println(s"PROFSH rows=${shingleStream.count()} " +
+      s"distinct=${shingleStream.select("shingle").distinct().count()}")
+    t("df_hashagg")(shingleStream.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df")).filter(col("df").between(2, 50)).count())
+    t("df_hash64")(shingleStream
+      .select(col("doc"), xxhash64(col("shingle")).as("h"))
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("df")).filter(col("df").between(2, 50)).count())
+    t("df_md5_64")(shingleStream
+      .select(col("doc"),
+        conv(substring(md5(col("shingle").cast("binary")), 1, 16), 16, 10)
+          .cast("decimal(20,0)").as("h"))
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("df")).filter(col("df").between(2, 50)).count())
+
+    // the real grouped build
+    t("groups_build")(graft.dedup.Dedup.shingleGroups(
+      docs, "doc_id", "text", n = 3, maxDf = 50)
+      .queryExecution.toRdd.count())
+    spark.stop()
+  }
+}
