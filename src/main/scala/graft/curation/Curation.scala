@@ -551,14 +551,17 @@ object Curation {
     // Comparable-based repMin step below).
     val e2 = edges.toDF("s", "d")
       .where(col("s").isNotNull && col("d").isNotNull)
-    // Cheap size gate first: a limit-count over a constant projection
-    // decides the path while moving only a single count to the driver.
-    // (The previous gate collected cutoff+1 full Rows — a potentially
-    // multi-hundred-MB allocation — just to discover the graph is big
-    // and take the distributed path anyway.) When the gate passes, the
-    // small-graph collect below is its own cheap job.
-    val underCutoff =
-      e2.select(lit(1).as("one")).limit(maxDriverEdges + 1).count() <= maxDriverEdges
+    // Cheap size gate first: a plain count decides the path while
+    // moving only one number to the driver. (The previous two shapes
+    // both lost: collecting cutoff+1 full Rows was a potentially
+    // multi-hundred-MB allocation just to discover the graph is big,
+    // and a limit-count ran CollectLimit's scale-up waves — 1 → 4 →
+    // 16 → all partitions, four sequential sub-jobs — precisely in
+    // the common under-cutoff case. A full count over the (cached
+    // upstream) edge frame is ONE job, and the big-graph path pays a
+    // count it needed anyway.) When the gate passes, the small-graph
+    // collect below reads the same cache.
+    val underCutoff = e2.count() <= maxDriverEdges
     if (underCutoff) {
       val fetched = e2.collect()
       val spark = nodes.sparkSession
