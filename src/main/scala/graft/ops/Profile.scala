@@ -99,6 +99,35 @@ object Profile {
     * the percentile aggregate itself; at 100 TB swap the exact
     * percentile for the q-digest sketch (same join shape, rank-bounded
     * bands). */
+  /** Robust per-group outlier summary via MAD (median absolute
+    * deviation): med = median(v), mad = median(|v − med|), outlier ⟺
+    * |v − med| > k·mad. The robust alternative to z-scores — a single
+    * extreme value shifts mean AND stddev (masking itself), while the
+    * median/MAD pair has a 50% breakdown point (Hampel; the standard
+    * robust-statistics identifier). Two grouped exact percentiles +
+    * two broadcast joins of group-count-sized stat frames — the same
+    * "grouped percentile broadcast" shape as [[winsorize]], so group
+    * count (not corpus size) bounds every driver/broadcast structure
+    * at 100 TB. The outlier test compares the ROUNDED margin
+    * (round(|v−med| − k·mad, 9)) so an ulp-level interpolation
+    * difference between engines cannot flip a boundary row (the same
+    * portability rule as the quality band's percentile bounds). */
+  def madOutliers(df: DataFrame, groupCol: String, valCol: String,
+      k: Double = 3.0): DataFrame = {
+    val med = df.groupBy(col(groupCol)).agg(
+      expr(s"percentile($valCol, 0.5)").as("__med"))
+    val dev = df.join(broadcast(med), Seq(groupCol))
+      .withColumn("__ad", abs(col(valCol) - col("__med")))
+    val mad = dev.groupBy(col(groupCol)).agg(
+      expr("percentile(__ad, 0.5)").as("__mad"))
+    dev.join(broadcast(mad), Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(round(min(col("__med")), 6).as("med"),
+        round(min(col("__mad")), 6).as("mad"),
+        sum(when(round(col("__ad") - lit(k) * col("__mad"), 9) > 0, 1L)
+          .otherwise(0L)).as("n_outliers"))
+  }
+
   def winsorize(df: DataFrame, groupCol: String, valCol: String,
       lo: Double, hi: Double): DataFrame = {
     require(lo >= 0 && hi <= 1 && lo < hi, s"need 0 <= lo < hi <= 1 (got $lo, $hi)")

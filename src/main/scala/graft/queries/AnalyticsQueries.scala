@@ -83,6 +83,29 @@ object AnalyticsQueries extends QueryPack {
     // partial-aggregating pass, no iterative solver; slope computed
     // once and REUSED for the intercept so both engines run the
     // identical double arithmetic
+    // Per-group Pearson correlation from the same decimal-stable
+    // moment pass as an7's OLS fit — one partial-agg shuffle of six
+    // moment columns per group, never a row-level covariance state;
+    // sqrt is IEEE correctly-rounded, so the closed form replays
+    // bit-stably in any engine (ulp absorbed by round 6)
+    "an8_group_corr" -> ((s, d) => {
+      def dsum(c: org.apache.spark.sql.Column) =
+        sum(c.cast(DecimalType(38, 6))).cast(DoubleType)
+      Tables.load(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).cast(DoubleType).as("n"),
+          dsum(col("l_quantity")).as("sx"),
+          dsum(col("l_extendedprice")).as("sy"),
+          dsum(col("l_quantity") * col("l_quantity")).as("sxx"),
+          dsum(col("l_extendedprice") * col("l_extendedprice")).as("syy"),
+          dsum(col("l_quantity") * col("l_extendedprice")).as("sxy"))
+        .select(col("l_returnflag"),
+          round((col("n") * col("sxy") - col("sx") * col("sy"))
+            / sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+              * (col("n") * col("syy") - col("sy") * col("sy"))), 6)
+            .as("r"))
+    }),
+
     "an7_linear_fit" -> ((s, d) => {
       def dsum(c: org.apache.spark.sql.Column) =
         sum(c.cast(DecimalType(38, 6))).cast(DoubleType)
@@ -236,6 +259,20 @@ object AnalyticsQueries extends QueryPack {
         |    AS steps_completed
         |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
         |  LEFT JOIN s3 ON s1.user_id = s3.user_id""".stripMargin,
+    "an8_group_corr" ->
+      """WITH m AS (SELECT l_returnflag,
+        |    CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS syy,
+        |    CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag,
+        |  round((n * sxy - sx * sy)
+        |    / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r
+        |FROM m""".stripMargin,
+
     "an7_linear_fit" ->
       """WITH m AS (SELECT l_returnflag,
         |    CAST(count(*) AS DOUBLE) AS n,

@@ -71,6 +71,15 @@ object ProfileQueries extends QueryPack {
           .select(col("event_id"), col("event_type"), col("value")),
         "event_type", "value", lo = 0.05, hi = 0.95)),
 
+    // Robust per-type outlier summary: median/MAD with a 3-MAD fence
+    // (Hampel identifier) — the robust sibling of pr9's percentile
+    // clamp; same grouped-percentile-broadcast scale shape
+    "pr12_mad_outlier" -> ((s, d) =>
+      Profile.madOutliers(
+        Tables.load(s, d, "events")
+          .select(col("event_type"), col("value")),
+        "event_type", "value", k = 3.0)),
+
     // Count-Min Sketch over the event-type stream: the sketch itself
     // (every nonzero counter) is the checked result — md5 bucketing
     // makes the whole structure engine-portable
@@ -314,6 +323,21 @@ object ProfileQueries extends QueryPack {
         rel("events->customer", "events", "user_id", "customer", "c_custkey"))
         .mkString("\nUNION ALL\n")
     },
+
+    "pr12_mad_outlier" ->
+      """WITH med AS (SELECT event_type,
+        |    quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY 1),
+        |dev AS (SELECT e.event_type, med.med,
+        |    abs(e.value - med.med) AS ad
+        |  FROM events e JOIN med USING (event_type)),
+        |mad AS (SELECT event_type, quantile_cont(ad, 0.5) AS mad
+        |  FROM dev GROUP BY 1)
+        |SELECT d.event_type, round(min(d.med), 6) AS med,
+        |  round(min(m.mad), 6) AS mad,
+        |  CAST(sum(CASE WHEN round(d.ad - 3.0 * m.mad, 9) > 0
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM dev d JOIN mad m USING (event_type) GROUP BY 1""".stripMargin,
 
     "pr9_winsorize" ->
       """WITH b AS (

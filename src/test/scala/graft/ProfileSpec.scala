@@ -246,6 +246,27 @@ class ProfileSpec extends AnyFunSuite {
     assert(out.getDouble(3) == 0.5)
   }
 
+  test("madOutliers: robust to the outlier itself, counts only true extremes") {
+    import graft.ops.Profile
+    // group a: 1..99 plus one extreme — the median/MAD pair must not
+    // be dragged by the extreme (the masking failure of mean/stddev):
+    // med = 50.5, ad median over {49.5, 48.5, ..., 0.5, 0.5, ..., 949.5}
+    val df = ((1 to 99).map(i => ("a", i.toDouble)) ++ Seq(("a", 1000.0))
+      ++ (1 to 10).map(_ => ("b", 7.0))) // constant group: mad = 0
+      .toDF("g", "value")
+    val out = Profile.madOutliers(df, "g", "value", k = 3.0)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getLong(3))).toMap
+    val (medA, madA, nA) = out("a")
+    assert(medA == 50.5)
+    // mad of 1..99,1000 around 50.5: deviations 0.5..49.5 twice + 949.5
+    // → median deviation 25.0; fence 75 → only the 1000 is outside
+    assert(madA == 25.0, s"mad=$madA")
+    assert(nA == 1L, s"nA=$nA")
+    // constant group: mad = 0 → any deviation > 0 is an outlier; none here
+    assert(out("b") == ((7.0, 0.0, 0L)))
+  }
+
   test("winsorize clips tails to the group band, keeps the body intact") {
     import graft.ops.Profile
     // group a: 1..100 → p05 ≈ 5.95, p95 ≈ 95.05 (linear interpolation)
