@@ -47,6 +47,17 @@ object Bench {
   private def num2(v: Double): String = (math.round(v * 100) / 100.0).toString
   private def num6(v: Double): String = (math.round(v * 1e6) / 1e6).toString
 
+  /** Compact per-query value for the stdout map: ≤ 4 chars below
+    * 1000 s (3 significant figures — "0.12", "1.23", "12.3", "123").
+    * The 2000-byte tail capture is the budget: at 139 queries the
+    * fixed-2-decimal form ("12.34", 5 chars worst case) overflows the
+    * 1950-byte guard; 3 sig figs buys the map back. Full 6-decimal
+    * precision is always in BENCH_FULL.json. */
+  private[graft] def sig3(v: Double): String =
+    if (v >= 99.95) math.round(v).toString
+    else if (v >= 9.995) ((math.round(v * 10)) / 10.0).toString
+    else num2(v)
+
   private def jstr(s: String): String = "\"" + s.flatMap {
     case '"'          => "\\\""
     case '\\'         => "\\\\"
@@ -236,7 +247,7 @@ object Bench {
       java.nio.file.Paths.get("/root/repo/BENCH_FULL.json"), full.toString)
 
     val qsShort = retriedResults
-      .map { case (k, v) => s"${jstr(shortKey(k))}:${num2(v)}" }
+      .map { case (k, v) => s"${jstr(shortKey(k))}:${sig3(v)}" }
       .mkString("{", ",", "}")
     val extra = new StringBuilder
     if (errors.nonEmpty)

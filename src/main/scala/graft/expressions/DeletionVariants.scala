@@ -1,0 +1,104 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** All distinct strings obtainable from `child` by deleting at most
+  * `k` characters (the string itself included) — the FastSS /
+  * SymSpell deletion neighborhood.
+  *
+  * The guarantee that makes it a linkage pre-filter: if
+  * `levenshtein(a, b) <= k` then `del_k(a) ∩ del_k(b) ≠ ∅` (walk an
+  * optimal alignment; delete from `a` every character it substitutes
+  * or deletes, from `b` every character it substitutes or inserts —
+  * both sides removed ≤ k characters and the results are equal). So
+  * an equi-join on the exploded neighborhood produces a candidate
+  * superset of the true ≤ k pair set, and the banded levenshtein
+  * verify keeps exactness. Used by [[graft.ops.Linkage]] for blocks
+  * too large to pair quadratically: neighborhood size is
+  * Σ_{i≤k} C(len, i) — O(len²) at k = 2 — so candidate generation is
+  * linear in block size for short key strings, where the in-block
+  * self-join was quadratic.
+  *
+  * Deliberately NOT codegen'd (CodegenFallback): it feeds a Generate
+  * (explode) over the distinct names of oversized blocks only — a
+  * frame orders of magnitude smaller than the corpus — and the
+  * combinatorial loop builds a hash set of UTF8Strings either way.
+  * Null input → null (explode then drops the row).
+  */
+case class DeletionVariantsExpr(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(k >= 1 && k <= 3, s"deletion depth must be 1..3, got $k")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"deletion_variants expects a string child, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    // deletions operate on CODE POINTS — the unit Spark's levenshtein
+    // counts edits in — so the ∩-guarantee holds for astral-plane text
+    // too (deleting a UTF-16 code unit would split surrogate pairs and
+    // could miss true pairs)
+    val s = input.asInstanceOf[UTF8String].toString
+    val cps = s.codePoints().toArray
+    def render(drop: java.util.BitSet): String = {
+      val sb = new java.lang.StringBuilder(s.length)
+      var i = 0
+      while (i < cps.length) {
+        if (!drop.get(i)) sb.appendCodePoint(cps(i))
+        i += 1
+      }
+      sb.toString
+    }
+    val seen = new java.util.LinkedHashSet[String]()
+    seen.add(s)
+    // depth-by-depth frontier of deletion masks; strings dedupe in
+    // `seen` (equal variants arise from equal adjacent code points)
+    var frontier: Array[java.util.BitSet] = Array(new java.util.BitSet(cps.length))
+    var depth = 0
+    while (depth < k && cps.length > depth) {
+      val next = new scala.collection.mutable.ArrayBuffer[java.util.BitSet]()
+      frontier.foreach { mask =>
+        // deletion positions strictly ascend across depths (start past
+        // the mask's highest set bit), so each position-set is built
+        // exactly once; `seen` then dedupes only genuinely equal
+        // RESULT strings (equal adjacent code points)
+        var i = mask.length()
+        while (i < cps.length) {
+          val m = mask.clone().asInstanceOf[java.util.BitSet]
+          m.set(i)
+          if (seen.add(render(m))) next += m
+          i += 1
+        }
+      }
+      frontier = next.toArray
+      depth += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "deletion_variants"
+}
+
+object DeletionVariantsExpr {
+  /** Column API: array of all distinct ≤ k-deletion variants. */
+  def deletion_variants(str: Column, k: Int): Column =
+    Bridge.column(DeletionVariantsExpr(Bridge.expression(str), k))
+}

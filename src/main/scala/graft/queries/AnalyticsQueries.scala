@@ -202,17 +202,22 @@ object AnalyticsQueries extends QueryPack {
     // blocking-recall trade, deterministic here)
     "rl1_fuzzy_match" -> ((s, d) => {
       val cust = Tables.load(s, d, "customer")
+      // each branch corrupts a fixed char RANGE and keeps the tail
+      // (substring(19) — empty on the fixtures' 18-char names, so
+      // fixture results are unchanged), which lets longer synthetic
+      // names (the scaling corpus's 23-char hot-block names) keep
+      // their distinguishing suffix through the corruption
       val dirt = when(col("c_custkey") % 7 === 0,
         concat(expr("substring(c_name, 1, 12)"),
           translate(expr("substring(c_name, 13, 6)"),
-            "0123456789", "OIZEASGTBQ")))
+            "0123456789", "OIZEASGTBQ"), expr("substring(c_name, 19)")))
         .when(col("c_custkey") % 5 === 0,
           concat(expr("substring(c_name, 1, 16)"),
             translate(expr("substring(c_name, 17, 2)"),
-              "0123456789", "OIZEASGTBQ"), lit("~")))
+              "0123456789", "OIZEASGTBQ"), lit("~"), expr("substring(c_name, 19)")))
         .otherwise(concat(expr("substring(c_name, 1, 16)"),
           translate(expr("substring(c_name, 17, 2)"),
-            "0123456789", "OIZEASGTBQ")))
+            "0123456789", "OIZEASGTBQ"), expr("substring(c_name, 19)")))
       val dirty = cust.select(col("c_custkey").as("dir_id"),
         col("c_nationkey"), dirt.as("dir_name"))
         .withColumn("block", expr("substring(dir_name, 1, 16)"))
@@ -298,11 +303,13 @@ object AnalyticsQueries extends QueryPack {
       """WITH dirty AS (SELECT c_custkey AS dir_id, c_nationkey,
         |    CASE WHEN c_custkey % 7 = 0 THEN substring(c_name, 1, 12)
         |        || translate(substring(c_name, 13, 6), '0123456789', 'OIZEASGTBQ')
+        |        || substring(c_name, 19)
         |      WHEN c_custkey % 5 = 0 THEN substring(c_name, 1, 16)
         |        || translate(substring(c_name, 17, 2), '0123456789', 'OIZEASGTBQ')
-        |        || '~'
+        |        || '~' || substring(c_name, 19)
         |      ELSE substring(c_name, 1, 16)
         |        || translate(substring(c_name, 17, 2), '0123456789', 'OIZEASGTBQ')
+        |        || substring(c_name, 19)
         |    END AS dir_name
         |  FROM customer)
         |SELECT c.c_custkey, d.dir_id, d.dir_name,

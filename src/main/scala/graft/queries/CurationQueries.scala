@@ -238,10 +238,12 @@ object CurationQueries extends QueryPack {
     "c10_curation_pipeline" -> ((s, d) => {
       val docs = Tables.load(s, d, "documents")
       val corpus = docs.filter(col("source") =!= "src0")
-      // The quality band is independent of the dedup-component chain —
-      // materialize it on a second thread while the (longer) shingle →
-      // pair-stats → connected-components build runs, the way a
-      // production driver submits independent DAG branches concurrently
+      // The quality band AND the contamination gate are independent of
+      // the dedup-component chain — materialize each on its own thread
+      // while the (longer) shingle → pair-stats → connected-components
+      // build runs, the way a production driver submits independent
+      // DAG branches concurrently. (Cold, the decontaminate 5-gram
+      // build otherwise lands serially inside the final join job.)
       import scala.concurrent.{Await, Future}
       import scala.concurrent.ExecutionContext.Implicits.global
       val qualityF = Future {
@@ -249,9 +251,14 @@ object CurationQueries extends QueryPack {
         q.count()
         q.select(col("doc_id"))
       }
+      val deconF = Future {
+        val c = decontaminated(s, d)
+        c.count() // populate the shared c1/c10 cache off the critical path
+        c.select(col("doc_id"))
+      }
       val keepDedup = Curation.keepList(components(s, d))
         .filter(col("keep")).select(col("doc_id"))
-      val contaminated = decontaminated(s, d).select(col("doc_id"))
+      val contaminated = Await.result(deconF, scala.concurrent.duration.Duration.Inf)
       val quality = Await.result(qualityF, scala.concurrent.duration.Duration.Inf)
       Curation.splitAssign(
         corpus.select(col("doc_id"))

@@ -124,8 +124,20 @@ object SynthScale {
     spark.range(n).map { id =>
       val custkey = id + 1
       val r = rngFor(seed + 4, id)
+      // Every 100th customer lands in ONE oversized linkage block: the
+      // 16-char blocking prefix "Customer#ZZZZZZZ" (nation 0) is shared
+      // by all of them, so rl1's in-block candidate set is (n/100)²
+      // regardless of the join algorithm. The suffix is the SEQUENTIAL
+      // hot index zero-padded to 7 digits: under the rl1 corruption
+      // (last-2-digit letter substitution) a dirty hot name is within
+      // edit distance 2 of exactly its own clean source — the TRUE
+      // match set stays linear in n, so the measured exponent reflects
+      // candidate-generation efficiency, not output cardinality. (The
+      // previous %02d suffix wrapped mod 100: at x100 every clean×dirty
+      // hot pair was a true match and the output itself was quadratic —
+      // no algorithm measures sublinear against that shape.)
       val name =
-        if (custkey % 100 == 0) f"Customer#ZZZZZZZ${(custkey / 100) % 100}%02d"
+        if (custkey % 100 == 0) f"Customer#ZZZZZZZ${custkey / 100}%07d"
         else f"Customer#$custkey%09d"
       (custkey, name, (custkey % 25).toInt,
         math.rint((r.nextDouble() * 10999.99 - 999.99) * 100) / 100,

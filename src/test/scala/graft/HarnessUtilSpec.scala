@@ -62,12 +62,17 @@ class HarnessUtilSpec extends AnyFunSuite {
     assert(Bench.shortKey("x10_token_rarity") == "x10tr")
     assert(Bench.shortKey("q1_agg") == "q1a")
     // the stdout contract: short-keyed line must fit the harness's
-    // 2000-byte tail capture. Values print at 2 decimals ("12.34"
-    // worst case), fixed fields ≈ 110 bytes. Bench itself falls back
-    // to a per-family rollup past 1950 bytes (a mid-JSON cut would
-    // fail the driver's parse); this guard fires first so the
-    // per-query map is shrunk deliberately, not dropped at runtime.
-    val line = keys.map(k => s""""$k":12.34""").mkString(",").length + 110
+    // 2000-byte tail capture. Values print at 3 significant figures
+    // ("12.3" — 4 chars worst case below 1000 s; the 2-decimal form
+    // overflowed this guard at 139 queries), fixed fields ≈ 110
+    // bytes. Bench itself falls back to a per-family rollup past
+    // 1950 bytes (a mid-JSON cut would fail the driver's parse);
+    // this guard fires first so the per-query map is shrunk
+    // deliberately, not dropped at runtime.
+    val line = keys.map(k => s""""$k":12.3""").mkString(",").length + 110
     assert(line < 1950, s"stdout bench line near the capture limit: $line")
+    // sig3 boundaries: always ≤ 4 chars under 1000 s, valid JSON
+    assert(Bench.sig3(0.123) == "0.12" && Bench.sig3(9.996) == "10.0")
+    assert(Bench.sig3(12.34) == "12.3" && Bench.sig3(123.4) == "123")
   }
 }

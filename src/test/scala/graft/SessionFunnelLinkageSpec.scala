@@ -131,4 +131,52 @@ class SessionFunnelLinkageSpec extends AnyFunSuite {
       .select("id", "rid", "dist").as[(Long, Long, Int)].collect().toSet
     assert(out == Set((1L, 10L, 1)))
   }
+
+  test("deletion variants: exact neighborhood, dedup, code-point unit") {
+    import graft.expressions.DeletionVariantsExpr.deletion_variants
+    def vs(s: String, k: Int): Set[String] =
+      Seq(s).toDF("s").select(deletion_variants(col("s"), k).as("v"))
+        .as[Seq[String]].head().toSet
+    assert(vs("abc", 1) == Set("abc", "bc", "ac", "ab"))
+    assert(vs("abc", 2) == Set("abc", "bc", "ac", "ab", "a", "b", "c"))
+    // equal adjacent chars dedupe ("aab" minus either 'a' is "ab")
+    assert(vs("aab", 1) == Set("aab", "ab", "aa"))
+    assert(vs("ab", 2) == Set("ab", "a", "b", ""))
+    // astral-plane char (surrogate pair) deletes as ONE unit
+    val g = new String(Character.toChars(0x1F600))
+    assert(vs(s"a${g}b", 1) == Set(s"a${g}b", s"${g}b", "ab", s"a$g"))
+  }
+
+  test("oversized-block deletion-neighborhood path ≡ plain equi-join path") {
+    // one oversized block (60×60 shared-prefix names, a mix of
+    // dist 0/1/2/3 pairs and duplicate rows) + normal blocks; with the
+    // cutoff forced low the big block takes the FastSS path, and the
+    // result must be row-for-row identical to the all-equi-join plan
+    val hotL = (0 until 60).map(i => (100L + i, f"PRE-FIX-$i%03d", "hot"))
+    val hotR = (0 until 60).map { i =>
+      val suf = i % 4 match {
+        case 0 => f"$i%03d"            // dist 0
+        case 1 => f"$i%02dX".takeRight(3) // 1 sub
+        case 2 => "XY" + (i % 10)      // 2 subs
+        case _ => "XYZ"                // 3 subs → dropped
+      }
+      (900L + i, s"PRE-FIX-$suf", "hot")
+    }
+    val left = (hotL ++ hotL.take(3) // duplicate rows keep multiplicity
+      :+ ((1L, "solo-name", "cold"))).toDF("id", "name", "block")
+    val right = (hotR :+ ((2L, "solo-nam", "cold")))
+      .toDF("rid", "rname", "block")
+    def run(cutoff: Long) =
+      Linkage.blockedFuzzyJoin(left, right, Seq("block"),
+        "name", "rname", maxDist = 2, bigBlockPairCutoff = cutoff)
+        .groupBy("id", "rid", "dist").count()
+        .as[(Long, Long, Int, Long)].collect().toSet
+    val fast = run(100L)
+    val plain = run(Long.MaxValue)
+    assert(fast == plain)
+    assert(fast.exists { case (id, rid, d, _) => d == 2 } &&
+      fast.exists { case (_, _, d, _) => d == 0 })
+    assert(fast.exists { case (id, _, _, n) => id == 100L && n == 2 }) // dup rows doubled
+    assert(fast.exists { case (id, rid, d, _) => id == 1L && rid == 2L && d == 1 })
+  }
 }
