@@ -282,6 +282,13 @@ object Dedup {
     * worst case and hot shingles can't blow up a task. */
   def shingleGroups(df: DataFrame, idCol: String, textCol: String,
       n: Int, maxDf: Int): DataFrame =
+    groupsFromPostings(shinglePostings(df, idCol, textCol, n, Int.MaxValue), maxDf)
+
+  /** Grouped index from an existing postings frame — see
+    * [[shingleGroups]]. Split out so callers holding the (cheap to
+    * recompute) postings stream can derive groups and
+    * [[cappedDocSizes]] from ONE shingling definition. */
+  def groupsFromPostings(postings: DataFrame, maxDf: Int): DataFrame =
     // df-cap enforced INSIDE the aggregation buffer. The plain
     // `collect_list ... filter size <= maxDf` form materialized a HOT
     // shingle's full posting list before discarding it — hot-shingle
@@ -295,7 +302,7 @@ object Dedup {
     // df-cap semantics. A df-count + semi-join prepass was also
     // correct but pays a second pass over the corpus-sized postings;
     // this form does the cap in the one shuffle it already owns.
-    shinglePostings(df, idCol, textCol, n, Int.MaxValue)
+    postings
       .groupBy(xxhash64(col("shingle")).as("sh_h"))
       .agg(min(col("shingle")).as("shingle"),
         graft.expressions.BoundedCollectAgg
@@ -307,12 +314,32 @@ object Dedup {
   def postingsFromGroups(groups: DataFrame): DataFrame =
     groups.select(explode(col("docs")).as("doc"), col("shingle"))
 
+  /** Per-doc surviving-shingle counts — the Jaccard denominator — via
+    * codegen-only COUNT aggregates: df-count per shingle hash, the
+    * (small, Zipf-head) over-cap hash set anti-joined away (AQE
+    * broadcasts it), then a per-doc count. Identical values to
+    * `postingsFromGroups(groups).groupBy(doc).count()` (both cap on
+    * the same xxhash64 groups), but never touches the grouped index —
+    * profiling the x100 leg showed THE dominant d2 cost was cache-
+    * materializing 23M group rows of which 97% are df=1 singletons
+    * that only ever feed this denominator. */
+  def cappedDocSizes(postings: DataFrame, maxDf: Int): DataFrame = {
+    val keyed = postings.select(col("doc"), xxhash64(col("shingle")).as("sh_h"))
+    val hot = keyed.groupBy(col("sh_h"))
+      .agg(count(lit(1)).as("df_h")).filter(col("df_h") > maxDf)
+      .select("sh_h")
+    keyed.join(hot, Seq("sh_h"), "left_anti")
+      .groupBy(col("doc")).agg(count(lit(1)).as("sz"))
+  }
+
   /** Pair statistics from the grouped index: pairwise combos of each
     * (sorted, capped) doc list, counted per pair, joined with per-doc
     * set sizes for the exact Jaccard. Same output as
-    * `pairStats(postings)` with two fewer exchanges. */
-  def pairStatsFromGroups(groups: DataFrame, postings: DataFrame): DataFrame = {
-    val sizes = postings.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
+    * `pairStats(postings)` with two fewer exchanges. Groups with a
+    * single doc yield no pairs — callers may pass the multi-doc
+    * subset (with `sizes` still computed over ALL surviving
+    * shingles). */
+  def pairStatsFromGroups(groups: DataFrame, sizes: DataFrame): DataFrame = {
     // pairwise combos as a nested posexplode: stays inside whole-stage
     // codegen (the typed-flatMap formulation pays an encoder round-trip
     // per row and a separate codegen unit, which dominates the COLD

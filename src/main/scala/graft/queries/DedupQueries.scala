@@ -15,30 +15,61 @@ object DedupQueries extends QueryPack {
   // pair-stats + LSH-candidate computation within a session
   // (typed-flatMap plans don't canonicalize equal across separate
   // builds, so Spark's cache can't match them by plan).
-  private val memo =
-    scala.collection.concurrent.TrieMap.empty[String, (DataFrame, DataFrame, DataFrame, DataFrame)]
+  private final case class Shared(multi: DataFrame, postings: DataFrame,
+      stats: DataFrame, cands: DataFrame, sizes: DataFrame, hot: DataFrame) {
+    def cached: Seq[DataFrame] = Seq(multi, stats, cands, sizes, hot)
+  }
 
-  private def sharedAll(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame, DataFrame) =
+  private val memo = scala.collection.concurrent.TrieMap.empty[String, Shared]
+
+  private def sharedAll(s: SparkSession, d: String): Shared =
     memo.getOrElseUpdate(d, {
-      val groups = Dedup.shingleGroups(
-        Tables.load(s, d, "documents"), "doc_id", "text", n = 3, maxDf = 50)
-        .cache()
-      // postings are read once (the sizes aggregate inside pairStats) —
-      // deriving them from the cached groups is cheaper than a third
-      // cache materialization
-      val postings = Dedup.postingsFromGroups(groups)
-      val stats = Dedup.pairStatsFromGroups(groups, postings).cache()
-      // band-keyed candidates shared by d3 and d11: signatures hash
-      // each distinct shingle once (grouped index), not each posting
+      import org.apache.spark.sql.functions.{col, size}
+      // the postings stream and the grouped index stay LAZY: the x100
+      // profile showed the chain's dominant cost was cache-
+      // materializing the full grouped index (23M rows, 97% df=1
+      // singletons that contribute zero pairs). What IS cached is two
+      // small frames — the multi-doc groups (pairs' only source, ~3%
+      // of groups) and the per-doc size denominator (one row per doc,
+      // computed by codegen-only count aggregates). Re-running the
+      // shingle flatMap per consumer costs ~2 s at the 100× corpus vs
+      // ~25 s for the singleton-heavy cache write it replaces.
+      import org.apache.spark.sql.functions.{count, lit, xxhash64}
+      val sh = Dedup.shinglePostings(
+        Tables.load(s, d, "documents"), "doc_id", "text", n = 3,
+        maxDf = Int.MaxValue)
+      // the df cap, shared three ways: the over-cap hash set is the
+      // Zipf HEAD — tiny — so it caches whole and broadcast-anti-joins
+      // against the postings stream wherever the cap is needed
+      val keyed = sh.select(col("doc"), col("shingle"),
+        xxhash64(col("shingle")).as("sh_h"))
+      val hot = keyed.groupBy(col("sh_h"))
+        .agg(count(lit(1)).as("df_h")).filter(col("df_h") > 50)
+        .select("sh_h").cache()
+      val capped = keyed.join(hot, Seq("sh_h"), "left_anti")
+      val multi = Dedup.groupsFromPostings(sh, maxDf = 50)
+        .filter(size(col("docs")) >= 2).cache()
+      val sizes = capped.groupBy(col("doc"))
+        .agg(count(lit(1)).as("sz")).cache()
+      val stats = Dedup.pairStatsFromGroups(multi, sizes).cache()
+      // band-keyed candidates shared by d3 and d11: signatures via the
+      // POSTINGS formulation (8 md5s + min per doc — codegen count/min
+      // aggregates all the way, and exactly the shape the DuckDB
+      // oracle replays); the grouped-index signature form only wins
+      // when df >> 1, and it would re-run the object aggregation here
       val cands = Dedup.lshCandidates(
-        Dedup.minhashSignaturesFromGroups(groups, numHashes = 8),
+        Dedup.minhashSignatures(capped.select(col("doc"), col("shingle")),
+          numHashes = 8),
         numHashes = 8, rowsPerBand = 2).cache()
-      (groups, postings, stats, cands)
+      // the postings slot stays for API compatibility (consumers that
+      // pass stats+cands never evaluate it)
+      Shared(multi, capped.select(col("doc"), col("shingle")), stats,
+        cands, sizes, hot)
     })
 
   private[queries] def shared(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    val (_, postings, stats, _) = sharedAll(s, d)
-    (postings, stats)
+    val sh = sharedAll(s, d)
+    (sh.postings, sh.stats)
   }
 
   /** postings + pair stats + band-keyed LSH candidates — shared with
@@ -46,14 +77,12 @@ object DedupQueries extends QueryPack {
     * candidate set with a split side-condition. */
   private[queries] def sharedLsh(s: SparkSession, d: String)
       : (DataFrame, DataFrame, DataFrame) = {
-    val (_, postings, stats, cands) = sharedAll(s, d)
-    (postings, stats, cands)
+    val sh = sharedAll(s, d)
+    (sh.postings, sh.stats, sh.cands)
   }
 
   override def releaseShared(spark: SparkSession): Unit = {
-    memo.values.foreach { case (groups, _, stats, cands) =>
-      Seq(groups, stats, cands).foreach(_.unpersist(true))
-    }
+    memo.values.foreach(_.cached.foreach(_.unpersist(true)))
     memo.clear()
   }
 
@@ -72,10 +101,10 @@ object DedupQueries extends QueryPack {
 
     // MinHash signatures + banded LSH candidates, Jaccard-verified
     "d3_minhash_lsh" -> ((s, d) => {
-      val (_, postings, stats, cands) = sharedAll(s, d)
-      Dedup.minhashDupPairsFromPostings(postings, numHashes = 8,
-        rowsPerBand = 2, threshold = 0.5, stats = Some(stats),
-        candidates = Some(cands))
+      val sh = sharedAll(s, d)
+      Dedup.minhashDupPairsFromPostings(sh.postings, numHashes = 8,
+        rowsPerBand = 2, threshold = 0.5, stats = Some(sh.stats),
+        candidates = Some(sh.cands))
     }),
 
     // Incremental ingest-time dedup: new-batch rows (event_id % 5 = 0)
@@ -95,13 +124,13 @@ object DedupQueries extends QueryPack {
     // combined corpus here is the whole documents table)
     "d11_incremental_lsh" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
-      val (_, postings, stats, cands) = sharedAll(s, d)
+      val sh = sharedAll(s, d)
       val isNew = Tables.load(s, d, "documents")
         .select(col("doc_id").cast("long").as("doc"),
           (col("doc_id") % 7 === 0).as("is_new"))
-      Dedup.incrementalNearDupFromPostings(postings, isNew,
+      Dedup.incrementalNearDupFromPostings(sh.postings, isNew,
         numHashes = 8, rowsPerBand = 2, threshold = 0.5,
-        stats = Some(stats), candidates = Some(cands))
+        stats = Some(sh.stats), candidates = Some(sh.cands))
     }),
 
     // Dedup threshold sweep: pair volume and affected-doc count at

@@ -49,7 +49,9 @@ object Prof {
     t("groups_cached")(groups.count())
     val postings = Dedup.postingsFromGroups(groups).cache()
     t("postings_cached")(postings.count())
-    val stats = Dedup.pairStatsFromGroups(groups, postings).cache()
+    val stats = Dedup.pairStatsFromGroups(groups,
+      postings.groupBy("doc").agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("sz"))).cache()
     t("pairStats_cached")(stats.count())
     t("d2_filter")(stats.filter(col("jaccard") >= 0.1).count())
     val sigs = Dedup.minhashSignatures(postings, 8)

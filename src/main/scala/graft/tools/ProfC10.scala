@@ -39,7 +39,8 @@ object ProfC10 {
       docs, "doc_id", "text", n = 3, maxDf = 50).cache()
     t("groups_cached")(groups.count())
     val postings = graft.dedup.Dedup.postingsFromGroups(groups)
-    val stats = graft.dedup.Dedup.pairStatsFromGroups(groups, postings).cache()
+    val stats = graft.dedup.Dedup.pairStatsFromGroups(groups,
+      postings.groupBy("doc").agg(count(lit(1)).as("sz"))).cache()
     t("pairStats_cached")(stats.count())
     val edges = stats.filter(col("jaccard") >= 0.1)
       .select(col("doc_a"), col("doc_b"))

@@ -1,0 +1,72 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Sub-step profiler for the d2 n-gram-Jaccard chain (cold, like the
+  * scaling study measures it) with volume counts at each stage — the
+  * x100 leg read superlinear (88 s, exp ~1.4) and this separates
+  * "more rows per stage" from "slower stage".
+  * Usage: runMain graft.tools.ProfD2 <dir>
+  */
+object ProfD2 {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "target/scaling/x100"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.local.dir", graft.util.Scratch.localDir("graft-profd2-"))
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1 << 20).selectExpr("sum(id)").collect()
+
+    def t[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"PROFD2 $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+    t("docs_scan")(println(s"PROFD2 docs=${docs.count()}"))
+
+    val groups = graft.dedup.Dedup.shingleGroups(
+      docs, "doc_id", "text", n = 3, maxDf = 50).cache()
+    t("groups_cached")(println(s"PROFD2 groups=${groups.count()}"))
+    println("PROFD2 df_histogram (list size -> shingle count):")
+    groups.select(size(col("docs")).as("df")).groupBy("df").count()
+      .orderBy(col("df")).collect()
+      .foreach(r => println(s"PROFD2   df=${r.get(0)} n=${r.get(1)}"))
+
+    val postings = graft.dedup.Dedup.postingsFromGroups(groups)
+    t("postings_count")(println(s"PROFD2 postings=${postings.count()}"))
+
+    // raw pair volume BEFORE the per-pair aggregation
+    val rawPairs = groups
+      .select(posexplode(col("docs")).as(Seq("ia", "doc_a")), col("docs"))
+      .select(col("ia"), col("doc_a"),
+        posexplode(col("docs")).as(Seq("ib", "doc_b")))
+      .filter(col("ia") < col("ib"))
+    t("raw_pair_count")(println(s"PROFD2 raw_pairs=${rawPairs.count()}"))
+
+    val stats = graft.dedup.Dedup.pairStatsFromGroups(groups,
+      postings.groupBy("doc").agg(count(lit(1)).as("sz")))
+    t("pair_stats_distinct")(println(s"PROFD2 stats=${stats.count()}"))
+
+    graft.util.Caches.releaseStray()
+    groups.unpersist(true)
+    // the full cold entry, as Scaling times it
+    graft.SparkEntry.releaseShared(spark)
+    t("d2_full_cold")(
+      graft.SparkEntry.queries("d2_ngram_jaccard")(spark, dir)
+        .queryExecution.toRdd.count())
+    graft.SparkEntry.releaseShared(spark)
+    spark.stop()
+  }
+}

@@ -118,10 +118,19 @@ class DedupSpec extends AnyFunSuite {
     val viaJoin = canon(Dedup.pairStats(
       Dedup.shinglePostings(corpus, "doc_id", "text", 3, 50).cache()))
     val groups = Dedup.shingleGroups(corpus, "doc_id", "text", 3, 50).cache()
-    val viaGroups = canon(Dedup.pairStatsFromGroups(
-      groups, Dedup.postingsFromGroups(groups)))
+    val sizes = Dedup.postingsFromGroups(groups).groupBy("doc")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("sz"))
+    val viaGroups = canon(Dedup.pairStatsFromGroups(groups, sizes))
     assert(viaGroups == viaJoin)
     assert(viaGroups.nonEmpty)
+    // the codegen-only denominator path must agree with the grouped
+    // index's postings view (both cap on the same xxhash64 groups)
+    val viaCapped = canon(Dedup.pairStatsFromGroups(groups,
+      Dedup.cappedDocSizes(
+        Dedup.shinglePostings(corpus, "doc_id", "text", 3, Int.MaxValue),
+        maxDf = 50)))
+    assert(viaCapped == viaJoin)
   }
 
   test("minhash+LSH candidates recover high-jaccard pairs") {
