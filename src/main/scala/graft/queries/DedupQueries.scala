@@ -163,6 +163,23 @@ object DedupQueries extends QueryPack {
       Dedup.substringDedup(Tables.load(s, d, "documents"),
         "doc_id", "text", n = 8)),
 
+    // Containment near-dup pairs: shared / min(|A|, |B|) >= 0.8 — the
+    // ASYMMETRIC companion of d2's Jaccard. A short doc wholly embedded
+    // in a long one (quote farms, concatenated boilerplate, doc + its
+    // header-stripped copy) scores low Jaccard (the union is dominated
+    // by the long side) but containment ~1; training-corpus dedup wants
+    // both signals. Same shared pair-stats build — zero extra shuffles.
+    "d14_containment_dedup" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, least}
+      val (_, stats) = shared(s, d)
+      stats.withColumn("containment",
+          col("shared").cast("double") /
+            least(col("size_a"), col("size_b")).cast("double"))
+        .filter(col("containment") >= 0.8)
+        .select("doc_a", "doc_b", "shared", "size_a", "size_b",
+          "containment")
+    }),
+
     // Per-document 32-bit SimHash sketches
     "d4_simhash" -> ((s, d) =>
       Dedup.simhash(Tables.load(s, d, "documents"), "doc_id", "text")),
@@ -230,6 +247,13 @@ object DedupQueries extends QueryPack {
       s"""WITH $postingsCte
          |SELECT doc_a, doc_b, shared, size_a, size_b, jaccard
          |FROM jac WHERE jaccard >= 0.1""".stripMargin,
+
+    "d14_containment_dedup" ->
+      s"""WITH $postingsCte
+         |SELECT doc_a, doc_b, shared, size_a, size_b,
+         |  CAST(shared AS DOUBLE) / least(size_a, size_b) AS containment
+         |FROM jac
+         |WHERE CAST(shared AS DOUBLE) / least(size_a, size_b) >= 0.8""".stripMargin,
 
     "ev2_dedup_sweep" -> {
       def band(t: Double) =

@@ -162,7 +162,13 @@ object Similarity {
     * stays O(1) in nlist instead of O(nlist·dim), so a √N-sized
     * quantizer (autoNlist) can't blow past Janino's method limits and
     * fall out of codegen wholesale. */
-  private val LiteralCentroidMax = 32
+  // 8 = the fixture/oracle quantizer size. Anything bigger assigns via
+  // the codegen NearestCentroid kernel: the literal-struct form at
+  // nlist 24 (the 10× study corpus's autoNlist) builds a ~nlist·dim
+  // literal expression tree that falls out of whole-stage codegen, and
+  // the measured x10 leg read SLOWER than x100 (6.0 s vs 3.7 s) purely
+  // from that interpreted fallback.
+  private val LiteralCentroidMax = 8
 
   private def centroidScores(embCol: Column,
       centroids: Array[(Int, Array[Double])]): Column =
