@@ -185,7 +185,9 @@ object Scaling {
     val out = "{\n  \"scales\":[" + allScales.mkString(",") +
       "],\n  \"protocol\":\"cold per query (memos+caches released), 2+ passes, per-query min over SCALING_partial.jsonl; fully materialized (toRdd.count — a bare count() lets the optimizer prune window/projection work); corpora: SynthScale x{N} of sf0.1 row counts\",\n  \"queries\":{\n" +
       rows.mkString(",\n") + "\n  }\n}\n"
-    val w = new java.io.PrintWriter("SCALING.json")
+    // explicit UTF-8: the default-charset PrintWriter mangled the
+    // protocol string's em-dash into '?' on this container
+    val w = new java.io.PrintWriter("SCALING.json", "UTF-8")
     w.write(out); w.close()
     println("[scaling] wrote SCALING.json")
     spark.stop()
