@@ -191,6 +191,34 @@ object AnalyticsQueries extends QueryPack {
         .agg(countDistinct(col("user_id")).as("n_active"))
     }),
 
+    // Multi-touch attribution: for every conversion (purchase), the
+    // first and last preceding touch (view/click) inside a 7-day
+    // lookback, plus the touch count — first-touch / last-touch
+    // credit, the conversion-path companion of w6's funnel. ONE
+    // shuffle + ONE sort (user, time): all three attributions are
+    // RANGE-frame window aggregates over the same ordered partition,
+    // exact to the microsecond; no self-join, no per-conversion
+    // rescan. At 100 TB the event log shuffles once on user_id and
+    // each frame is bounded by a user's 7-day activity.
+    "w8_attribution" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val SevenDaysUs = 7L * 24 * 3600 * 1000000
+      val e = Tables.load(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts").cast(TimestampType)).as("t_us"))
+      val touch = col("event_type").isin("view", "click")
+      val w = Window.partitionBy(col("user_id")).orderBy(col("t_us"))
+        .rangeBetween(-SevenDaysUs, -1L)
+      e.withColumn("first_touch_us", min(when(touch, col("t_us"))).over(w))
+        .withColumn("last_touch_us", max(when(touch, col("t_us"))).over(w))
+        .withColumn("n_touches",
+          count(when(touch, lit(1))).over(w).cast(IntegerType))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          col("t_us").as("purchase_us"), col("first_touch_us"),
+          col("last_touch_us"), col("n_touches"))
+    }),
+
     // Record linkage: customers matched against a deterministically
     // corrupted directory via BLOCKED fuzzy join (equi-join on
     // (nation, name-prefix) blocks, levenshtein filter inside the
@@ -299,6 +327,22 @@ object AnalyticsQueries extends QueryPack {
         |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active
         |FROM events e JOIN cohort c ON e.user_id = c.user_id
         |GROUP BY 1, 2""".stripMargin,
+    "w8_attribution" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |    epoch_us(ts) AS t_us FROM events),
+        |a AS (SELECT event_id, user_id, event_type, t_us AS purchase_us,
+        |    min(CASE WHEN event_type IN ('view','click') THEN t_us END)
+        |      OVER w AS first_touch_us,
+        |    max(CASE WHEN event_type IN ('view','click') THEN t_us END)
+        |      OVER w AS last_touch_us,
+        |    CAST(count(CASE WHEN event_type IN ('view','click') THEN 1 END)
+        |      OVER w AS INT) AS n_touches
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY t_us
+        |    RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, user_id, purchase_us, first_touch_us,
+        |  last_touch_us, n_touches
+        |FROM a WHERE event_type = 'purchase'""".stripMargin,
     "rl1_fuzzy_match" ->
       """WITH dirty AS (SELECT c_custkey AS dir_id, c_nationkey,
         |    CASE WHEN c_custkey % 7 = 0 THEN substring(c_name, 1, 12)

@@ -360,7 +360,7 @@ object CurationQueries extends QueryPack {
        |  syms[j] AS piece
        |FROM off""".stripMargin
 
-  private val splitCase = {
+  private[queries] val splitCase = {
     val h = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)"
     s"""CASE WHEN $h < 'cccccccc' THEN 'train'
        |     WHEN $h < 'e6666666' THEN 'val'

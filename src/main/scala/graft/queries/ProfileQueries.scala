@@ -80,6 +80,41 @@ object ProfileQueries extends QueryPack {
           .select(col("event_type"), col("value")),
         "event_type", "value", k = 3.0)),
 
+    // Population Stability Index between the train and test splits,
+    // per language: PSI = Σ (p−q)·ln(p/q) over 500-char length
+    // buckets, Laplace-smoothed (0.5 per bucket over observed
+    // buckets). THE standard drift audit between two samples — here
+    // it validates that the md5 split is distribution-free (PSI ≈ 0;
+    // > 0.1 would flag a skewed split). One pass to bucket counts
+    // (partial agg), one tiny per-lang rollup; at 100 TB the shuffle
+    // carries |langs|×|buckets| count rows, never documents. ln on
+    // doubles differs at ulp level across engines → round(psi, 6).
+    "pr13_psi_drift" -> ((s, d) => {
+      import graft.curation.Curation
+      val sp = Curation.splitAssign(
+          Tables.load(s, d, "documents")
+            .select(col("doc_id"), col("lang"), col("n_chars")), "doc_id")
+        .filter(col("split") =!= "val")
+      val cnt = sp
+        .withColumn("bucket",
+          least(floor(col("n_chars") / 500L), lit(19L)).cast("long"))
+        .groupBy(col("lang"), col("bucket"))
+        .agg(sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_p"),
+          sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_q"))
+      val tot = cnt.groupBy(col("lang"))
+        .agg(sum(col("n_p")).as("tp"), sum(col("n_q")).as("tq"),
+          count(lit(1)).as("nb"))
+      cnt.join(tot, Seq("lang"))
+        .withColumn("p",
+          (col("n_p") + lit(0.5)) / (col("tp") + lit(0.5) * col("nb")))
+        .withColumn("q",
+          (col("n_q") + lit(0.5)) / (col("tq") + lit(0.5) * col("nb")))
+        .groupBy(col("lang"))
+        .agg(round(sum((col("p") - col("q")) * log(col("p") / col("q"))), 6)
+          .as("psi"),
+          max(col("nb")).cast("long").as("n_buckets"))
+    }),
+
     // Count-Min Sketch over the event-type stream: the sketch itself
     // (every nonzero counter) is the checked result — md5 bucketing
     // makes the whole structure engine-portable
@@ -338,6 +373,26 @@ object ProfileQueries extends QueryPack {
         |  CAST(sum(CASE WHEN round(d.ad - 3.0 * m.mad, 9) > 0
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         |FROM dev d JOIN mad m USING (event_type) GROUP BY 1""".stripMargin,
+
+    "pr13_psi_drift" ->
+      s"""WITH sp AS (SELECT doc_id, lang, n_chars,
+         |    ${CurationQueries.splitCase} AS split FROM documents),
+         |f AS (SELECT lang,
+         |    least(CAST(floor(n_chars / 500.0) AS BIGINT), 19) AS bucket,
+         |    split FROM sp WHERE split <> 'val'),
+         |cnt AS (SELECT lang, bucket,
+         |    CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_p,
+         |    CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_q
+         |  FROM f GROUP BY 1, 2),
+         |tot AS (SELECT lang, sum(n_p) AS tp, sum(n_q) AS tq,
+         |    count(*) AS nb FROM cnt GROUP BY 1)
+         |SELECT c.lang,
+         |  round(sum(((c.n_p + 0.5) / (t.tp + 0.5 * t.nb)
+         |      - (c.n_q + 0.5) / (t.tq + 0.5 * t.nb))
+         |    * ln(((c.n_p + 0.5) / (t.tp + 0.5 * t.nb))
+         |      / ((c.n_q + 0.5) / (t.tq + 0.5 * t.nb)))), 6) AS psi,
+         |  CAST(max(t.nb) AS BIGINT) AS n_buckets
+         |FROM cnt c JOIN tot t USING (lang) GROUP BY 1""".stripMargin,
 
     "pr9_winsorize" ->
       """WITH b AS (
