@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over the dup-pair graph (the same edge lists the
+  * connected-components resolver consumes — see
+  * `curation/Curation.connectedComponents`).
+  *
+  * PageRank here ranks documents by duplication CENTRALITY: inside a
+  * near-dup cluster, the doc that many distinct variants point at is
+  * the canonical source (a keep-list heuristic richer than min-id),
+  * and across the corpus a high rank flags template hubs — boiler-
+  * plate that near-duplicates hundreds of pages without any single
+  * pair crossing the exact-dup bar.
+  *
+  * Scale shape: each iteration is ONE join of the cached symmetrized
+  * edge list against the (node-sized) rank frame plus a partial-
+  * aggregating sum — the edge list is pre-partitioned on the probe
+  * key once and reused, so per-round network cost is the rank frame,
+  * not the graph (the connectedComponents pattern). Ranks are
+  * localCheckpoint'ed per round: iterative lineage otherwise grows a
+  * join+agg per iteration. The dup graph is candidate-pruned (orders
+  * of magnitude smaller than the corpus), so a FIXED iteration count
+  * (10, the standard early-converged depth for link graphs of this
+  * diameter) keeps the whole run engine-replayable: the DuckDB oracle
+  * unrolls the 10 rounds as chained CTEs — same init, same joins,
+  * same double arithmetic, with the final rank rounded (1e-6) to
+  * absorb summation-order ulps on both sides.
+  */
+object Graph {
+
+  /** PageRank over the UNDIRECTED graph given by `edges` (two columns:
+    * endpoint pairs; symmetrized internally). Nodes are the endpoints
+    * that carry at least one edge — the standard restriction for a
+    * similarity graph, where isolated docs have no link mass by
+    * definition (and every node of the symmetrized graph has
+    * in-degree ≥ 1, so no dangling-mass term is needed). Returns
+    * (id, rank) after `iters` rounds of
+    * r_{t+1}(v) = (1−d)/N + d·Σ_{u→v} r_t(u)/deg(u). */
+  def pageRank(edges: DataFrame, iters: Int = 10,
+      damping: Double = 0.85): DataFrame = {
+    val e = edges.toDF("src", "dst")
+      .where(col("src").isNotNull && col("dst").isNotNull)
+    val sym = e.union(e.select(col("dst"), col("src")))
+      .repartition(col("src"))
+      .cache()
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg")).cache()
+    val n = deg.count()
+    if (n == 0) {
+      sym.unpersist(); deg.unpersist()
+      return e.select(col("src").as("id"),
+        lit(0.0).as("rank")).limit(0)
+    }
+    val teleport = (1.0 - damping) / n
+    var ranks = deg.select(col("src").as("id"), lit(1.0 / n).as("rank"))
+    (1 to iters).foreach { _ =>
+      val next = sym.join(ranks, sym("src") === ranks("id"))
+        .join(deg, Seq("src"))
+        .select(col("dst").as("id"), (col("rank") / col("deg")).as("c"))
+        .groupBy(col("id"))
+        .agg((lit(teleport) + lit(damping) * sum(col("c"))).as("rank"))
+        .localCheckpoint()
+      val prev = ranks
+      ranks = next
+      prev.unpersist()
+    }
+    sym.unpersist()
+    deg.unpersist()
+    ranks
+  }
+}

@@ -227,6 +227,21 @@ object CurationQueries extends QueryPack {
     // actually consumes) — pure projection over d7's cached components
     "d9_keep_list" -> ((s, d) => Curation.keepList(components(s, d))),
 
+    // PageRank over the dup-pair graph (same edges as d7): duplication
+    // centrality — inside a cluster the doc many variants point at is
+    // the canonical source, and corpus-wide hubs flag template
+    // boilerplate. Fixed 10 damped iterations; the oracle unrolls
+    // them as chained CTEs (the Lloyd-unroll technique), final rank
+    // rounded 1e-6 to absorb summation-order ulps
+    "g1_pagerank" -> ((s, d) => {
+      val (_, stats) = DedupQueries.shared(s, d)
+      val edges = stats.filter(col("jaccard") >= 0.1)
+        .select(col("doc_a"), col("doc_b"))
+      graft.ops.Graph.pageRank(edges, iters = 10, damping = 0.85)
+        .select(col("id").cast("long").as("doc_id"),
+          round(col("rank"), 6).as("rank"))
+    }),
+
     // End-to-end curation pipeline: the composition a training corpus
     // actually runs — near-dup keep list (d9) ∩ per-language quality
     // band (x9) ∖ benchmark contamination (c1), then the deterministic
@@ -561,6 +576,24 @@ object CurationQueries extends QueryPack {
          |  SELECT r.id, e.b FROM reach r JOIN e ON r.peer = e.a)
          |SELECT id AS doc_id, min(peer) AS component
          |FROM reach GROUP BY id""".stripMargin,
+
+    "g1_pagerank" -> {
+      val nn = "(SELECT n FROM nn)"
+      val rounds = (1 to 10).map { i =>
+        s"""p$i AS (SELECT e.b AS id,
+           |  (1 - 0.85) / $nn + 0.85 * sum(p${i - 1}.rank / deg.deg) AS rank
+           |  FROM p${i - 1} JOIN e ON e.a = p${i - 1}.id
+           |  JOIN deg ON deg.a = e.a GROUP BY e.b)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${DedupQueries.postingsCte},
+         |e0 AS (SELECT doc_a AS a, doc_b AS b FROM jac WHERE jaccard >= 0.1),
+         |e AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+         |deg AS (SELECT a, count(*) AS deg FROM e GROUP BY 1),
+         |nn AS (SELECT count(*) AS n FROM deg),
+         |p0 AS (SELECT a AS id, 1.0 / $nn AS rank FROM deg),
+         |$rounds
+         |SELECT id AS doc_id, round(rank, 6) AS rank FROM p10""".stripMargin
+    },
 
     "d9_keep_list" ->
       s"""WITH RECURSIVE ${DedupQueries.postingsCte},

@@ -1,0 +1,37 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.Graph
+
+class GraphSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // star: hub 1 — leaves 2,3,4; plus a disjoint pair 5—6
+  private def edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (5L, 6L))
+    .toDF("doc_a", "doc_b")
+
+  test("pagerank: mass conserved, hub outranks leaves, pair symmetric") {
+    val r = Graph.pageRank(edges).as[(Long, Double)].collect().toMap
+    assert(r.size == 6)
+    // teleport + damped link mass conserves total rank = 1 on a
+    // symmetric (dangling-free) graph
+    assert(math.abs(r.values.sum - 1.0) < 1e-9)
+    assert(r(1L) > r(2L) && r(1L) > r(3L) && r(1L) > r(4L))
+    // leaves are exchangeable; the isolated pair splits its mass evenly
+    assert(math.abs(r(2L) - r(3L)) < 1e-12)
+    assert(math.abs(r(5L) - r(6L)) < 1e-12)
+  }
+
+  test("pagerank: empty edge set yields empty ranks") {
+    assert(Graph.pageRank(edges.limit(0)).count() == 0)
+  }
+
+  test("pagerank: null endpoints dropped, not NPE") {
+    val e = Seq((Some(1L), Some(2L)), (Some(3L), None), (None, Some(4L)))
+      .toDF("doc_a", "doc_b")
+    val r = Graph.pageRank(e).as[(Long, Double)].collect().toMap
+    assert(r.keySet == Set(1L, 2L))
+  }
+}
