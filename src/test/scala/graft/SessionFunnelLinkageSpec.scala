@@ -162,9 +162,17 @@ class SessionFunnelLinkageSpec extends AnyFunSuite {
       }
       (900L + i, s"PRE-FIX-$suf", "hot")
     }
+    // >64-char keys inside the hot block must pair through the
+    // long-key equi-join leg (variant explosion guard), including
+    // long×long and long×short matches
+    val longA = "L" * 70
     val left = (hotL ++ hotL.take(3) // duplicate rows keep multiplicity
+      :+ ((7L, longA + "x", "hot"))
       :+ ((1L, "solo-name", "cold"))).toDF("id", "name", "block")
-    val right = (hotR :+ ((2L, "solo-nam", "cold")))
+    val right = (hotR
+      :+ ((8L, longA + "yy", "hot"))   // dist 2 from left's long key
+      :+ ((9L, "PRE-FIX-000", "hot"))  // short, unmatched by the long key
+      :+ ((2L, "solo-nam", "cold")))
       .toDF("rid", "rname", "block")
     def run(cutoff: Long) =
       Linkage.blockedFuzzyJoin(left, right, Seq("block"),
@@ -178,5 +186,9 @@ class SessionFunnelLinkageSpec extends AnyFunSuite {
       fast.exists { case (_, _, d, _) => d == 0 })
     assert(fast.exists { case (id, _, _, n) => id == 100L && n == 2 }) // dup rows doubled
     assert(fast.exists { case (id, rid, d, _) => id == 1L && rid == 2L && d == 1 })
+    assert(fast.exists { case (id, rid, d, _) => id == 7L && rid == 8L && d == 2 }) // long×long
+    // the duplicated right name 'PRE-FIX-000' (rid 9) must still reach
+    // short-side matches through the variant path with one extra copy
+    assert(fast.exists { case (id, rid, _, _) => id == 100L && rid == 9L })
   }
 }
