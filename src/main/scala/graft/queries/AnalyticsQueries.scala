@@ -209,14 +209,17 @@ object AnalyticsQueries extends QueryPack {
       val touch = col("event_type").isin("view", "click")
       val w = Window.partitionBy(col("user_id")).orderBy(col("t_us"))
         .rangeBetween(-SevenDaysUs, -1L)
-      e.withColumn("first_touch_us", min(when(touch, col("t_us"))).over(w))
-        .withColumn("last_touch_us", max(when(touch, col("t_us"))).over(w))
-        .withColumn("n_touches",
-          count(when(touch, lit(1))).over(w).cast(IntegerType))
+      // one select → ONE Window node carrying all three functions (a
+      // withColumn chain leaves three Window operators that each
+      // re-walk the frame; plan pinned in PlanRegressionSpec)
+      e.select(col("event_id"), col("user_id"), col("event_type"),
+          col("t_us").as("purchase_us"),
+          min(when(touch, col("t_us"))).over(w).as("first_touch_us"),
+          max(when(touch, col("t_us"))).over(w).as("last_touch_us"),
+          count(when(touch, lit(1))).over(w).cast(IntegerType)
+            .as("n_touches"))
         .filter(col("event_type") === "purchase")
-        .select(col("event_id"), col("user_id"),
-          col("t_us").as("purchase_us"), col("first_touch_us"),
-          col("last_touch_us"), col("n_touches"))
+        .drop("event_type")
     }),
 
     // Record linkage: customers matched against a deterministically

@@ -49,6 +49,12 @@ object Scaling {
     "w4_count_anomaly" -> "events",
     "w5_sessionize" -> "events",
     "w6_funnel" -> "events",
+    "w8_attribution" -> "events",
+    // round-10 additions: drift audit (documents), dup-graph PageRank
+    // (documents — pays the shared pair-stats chain plus 10 join+agg
+    // rounds on the candidate-pruned graph)
+    "pr13_psi_drift" -> "documents",
+    "g1_pagerank" -> "documents",
     // join family (round-9 verdict item 2): exponents here depend on
     // DATA SHAPE, and the SynthScale corpora are deliberately
     // adversarial — orders carries a hot custkey with 10% of all rows

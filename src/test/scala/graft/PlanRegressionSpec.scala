@@ -306,6 +306,16 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(treeCount(p, "Exchange") <= 2, p.take(2000))
   }
 
+  test("w8 attribution: three RANGE-frame aggregates share one sort+exchange") {
+    val p = plan("w8_attribution")
+    // first/last/count share one frame spec → ONE Window node, one
+    // (user,time) sort, one hash exchange; no self-join
+    assert(treeCount(p, "Window") == 1, p.take(2000))
+    assert(treeCount(p, "\\bSort\\b") == 1, "all frames should share one sort")
+    assert(treeCount(p, "Exchange") == 1, p.take(2000))
+    assert(!p.contains("Join"), "attribution must not self-join the log")
+  }
+
   test("rl1 record linkage: equi-join blocking, never a nested loop") {
     val p = plan("rl1_fuzzy_match")
     assert(!p.contains("BroadcastNestedLoopJoin"),
