@@ -42,31 +42,44 @@ object Graph {
       damping: Double = 0.85): DataFrame = {
     val e = edges.toDF("src", "dst")
       .where(col("src").isNotNull && col("dst").isNotNull)
-    val sym = e.union(e.select(col("dst"), col("src")))
-      .repartition(col("src"))
-      .cache()
-    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg")).cache()
+    // scope-registered caches: the returned ranks frame is LAZY (the
+    // tail rounds past the last checkpoint materialize at consumption
+    // time), so these must outlive this call — the harness releases
+    // them at the operation boundary (Caches.releaseStray)
+    val sym = graft.util.Caches.scoped(
+      e.union(e.select(col("dst"), col("src"))).repartition(col("src")))
+    val deg = graft.util.Caches.scoped(
+      sym.groupBy(col("src")).agg(count(lit(1)).as("deg")))
     val n = deg.count()
-    if (n == 0) {
-      sym.unpersist(); deg.unpersist()
+    if (n == 0)
       return e.select(col("src").as("id"),
         lit(0.0).as("rank")).limit(0)
-    }
     val teleport = (1.0 - damping) / n
     var ranks = deg.select(col("src").as("id"), lit(1.0 / n).as("rank"))
-    (1 to iters).foreach { _ =>
+    // checkpoint every few rounds, not every round: each round is one
+    // join+agg of LINEAR lineage, so a handful of rounds analyze fine,
+    // while a checkpoint is a full materialization job — at small
+    // graph sizes the per-round jobs WERE the cost (10 sequential
+    // ~0.25 s jobs dominated the bench sample). The checkpoint cadence
+    // only bounds plan depth; the arithmetic is identical.
+    val checkpointEvery = 5
+    var lastCp: DataFrame = null
+    (1 to iters).foreach { i =>
       val next = sym.join(ranks, sym("src") === ranks("id"))
         .join(deg, Seq("src"))
         .select(col("dst").as("id"), (col("rank") / col("deg")).as("c"))
         .groupBy(col("id"))
         .agg((lit(teleport) + lit(damping) * sum(col("c"))).as("rank"))
-        .localCheckpoint()
-      val prev = ranks
-      ranks = next
-      prev.unpersist()
+      ranks = if (i % checkpointEvery == 0 && i < iters) {
+        val cp = next.localCheckpoint()
+        // an eager checkpoint no longer reads the previous one
+        if (lastCp != null) lastCp.unpersist()
+        lastCp = cp
+        cp
+      } else next
     }
-    sym.unpersist()
-    deg.unpersist()
+    // the last surviving checkpoint feeds the lazy tail; its blocks
+    // are reclaimed by the ContextCleaner once the frame is dropped
     ranks
   }
 }
