@@ -371,6 +371,73 @@ object Relational extends QueryPack {
     // TPC-H-Q18-shaped large-order detection: grouped HAVING on the
     // fact table first (partial aggregation collapses it map-side),
     // then the small survivor set joins back to orders/customer
+    // TPC-H-Q7-shaped volume shipping: bilateral trade revenue between
+    // two nations by ship year. Both nation dims pre-filter to the two
+    // parties (broadcast), the date range reaches the lineitem scan,
+    // and only the cross-pair disjunction stays as a post-join
+    // residual — the pair condition is the one predicate that cannot
+    // push below the join.
+    "q7_volume_shipping" -> ((s, d) => {
+      val pair = Seq("NATION_1", "NATION_2")
+      val n1 = Tables.load(s, d, "nation")
+        .filter(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+      val n2 = Tables.load(s, d, "nation")
+        .filter(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+      val li = Tables.load(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast(TimestampType)
+          && col("l_shipdate") < lit("1998-01-01").cast(TimestampType))
+      val o = Tables.load(s, d, "orders")
+      val c = Tables.load(s, d, "customer")
+      val sup = Tables.load(s, d, "supplier")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n1), sup("s_nationkey") === col("sn_key"))
+        .join(broadcast(n2), c("c_nationkey") === col("cn_key"))
+        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2")
+          || (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate").cast(TimestampType)).as("l_year"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+          .as("revenue"))
+    }),
+
+    // TPC-H-Q8-shaped market share: one supplier nation's share of an
+    // importing region's spend on one part type, by order year. The
+    // part-type and region filters prune their dims BEFORE broadcast;
+    // the share is a conditional / total pair of decimal sums in ONE
+    // aggregation pass (no second scan for the denominator).
+    "q8_market_share" -> ((s, d) => {
+      val r = Tables.load(s, d, "region").filter(col("r_name") === "ASIA")
+      val n = Tables.load(s, d, "nation")
+      val nsup = Tables.load(s, d, "nation")
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+      val p = Tables.load(s, d, "part").filter(col("p_type") === "ECONOMY")
+      val o = Tables.load(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast(TimestampType)
+          && col("o_orderdate") < lit("1998-01-01").cast(TimestampType))
+      val li = Tables.load(s, d, "lineitem")
+      val c = Tables.load(s, d, "customer")
+      val sup = Tables.load(s, d, "supplier")
+      val vol = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+        .join(broadcast(nsup), sup("s_nationkey") === col("sn_key"))
+        .groupBy(year(o("o_orderdate").cast(TimestampType)).as("o_year"))
+        .agg(
+          dsum(when(col("supp_nation") === "NATION_3", vol)
+            .otherwise(lit(0.0)), 4).as("nation_volume"),
+          dsum(vol, 4).as("total_volume"))
+        .withColumn("mkt_share",
+          round(col("nation_volume") / col("total_volume"), 9))
+    }),
+
     "q18_large_orders" -> ((s, d) => {
       val big = Tables.load(s, d, "lineitem")
         .groupBy(col("l_orderkey"))
@@ -585,6 +652,48 @@ object Relational extends QueryPack {
         |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
         |GROUP BY c_custkey, c_name, n_name
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q7_volume_shipping" ->
+      """SELECT supp_nation, cust_nation, l_year,
+        |  CAST(SUM(CAST(volume AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+        |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |        CAST(year(l_shipdate) AS INT) AS l_year,
+        |        l_extendedprice * (1.0 - l_discount) AS volume
+        |      FROM lineitem
+        |      JOIN orders ON l_orderkey = o_orderkey
+        |      JOIN supplier ON l_suppkey = s_suppkey
+        |      JOIN customer ON o_custkey = c_custkey
+        |      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |        AND l_shipdate < TIMESTAMP '1998-01-01'
+        |        AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))) t
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    "q8_market_share" ->
+      """SELECT o_year,
+        |  CAST(SUM(CAST(CASE WHEN supp_nation = 'NATION_3' THEN volume
+        |    ELSE 0.0 END AS DECIMAL(28,4))) AS DOUBLE) AS nation_volume,
+        |  CAST(SUM(CAST(volume AS DECIMAL(28,4))) AS DOUBLE) AS total_volume,
+        |  round(CAST(SUM(CAST(CASE WHEN supp_nation = 'NATION_3' THEN volume
+        |      ELSE 0.0 END AS DECIMAL(28,4))) AS DOUBLE)
+        |    / CAST(SUM(CAST(volume AS DECIMAL(28,4))) AS DOUBLE), 9) AS mkt_share
+        |FROM (SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        |        n2.n_name AS supp_nation,
+        |        l_extendedprice * (1.0 - l_discount) AS volume
+        |      FROM lineitem
+        |      JOIN part ON l_partkey = p_partkey
+        |      JOIN orders ON l_orderkey = o_orderkey
+        |      JOIN customer ON o_custkey = c_custkey
+        |      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |      JOIN region ON n1.n_regionkey = r_regionkey
+        |      JOIN supplier ON l_suppkey = s_suppkey
+        |      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |      WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+        |        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |        AND o_orderdate < TIMESTAMP '1998-01-01') t
+        |GROUP BY 1""".stripMargin,
+
     "q18_large_orders" ->
       """SELECT c_name, c_custkey, o_orderkey,
         |  CAST(o_orderdate AS DATE) AS order_date, o_totalprice, total_qty
