@@ -67,6 +67,12 @@ object Scaling {
     "rl1_fuzzy_match" -> "customer",
     "sk1_salted_join" -> "orders+customer",
     "sk2_salted_agg" -> "lineitem")
+  // q7/q8 (TPC-H shapes) are deliberately NOT in the study: their
+  // fixed 1996-1998 date predicates select zero rows against the
+  // synthetic orders/lineitem date ranges (2023+, tied to the as-of
+  // corpus design), so a measured "exponent" would time an empty
+  // result. Their scale posture is the q5/q10 fact-join shape already
+  // covered by sk1/sk2/ao1.
 
   def main(args: Array[String]): Unit = {
     // usage: Scaling [scale...] [-q name1,name2] [-p passes] [-g]

@@ -192,6 +192,36 @@ object SynthScale {
 
   /** Writes all scaling tables for one scale multiple into `outDir`
     * (scale 1 ≡ the sf0.1 row counts). */
+  /** Fixed dimension tables (fixture-shaped): 5 regions, 25 nations
+    * (NATION_k, region k % 5), and a part catalog scaling with the
+    * corpus — the broadcast sides of the TPC-H-shaped joins. */
+  def region(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Vector("AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST")
+      .zipWithIndex.map { case (n, k) => (k, n) }
+      .toDF("r_regionkey", "r_name")
+  }
+
+  def nation(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    (0 until 25).map(k => (k, s"NATION_$k", k % 5))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+  }
+
+  def part(spark: SparkSession, n: Long, seed: Long = 42L): DataFrame = {
+    import spark.implicits._
+    val adjs = Vector("large", "hot", "blue", "dark", "soft")
+    val nouns = Vector("ring", "bolt", "panel", "tube", "cap")
+    val types = Vector("SMALL", "MEDIUM", "LARGE", "ECONOMY", "PROMO", "STANDARD")
+    spark.range(n).map { id =>
+      val r = rngFor(seed + 7, id)
+      (id, adjs(r.nextInt(adjs.length)) + " " + nouns(r.nextInt(nouns.length)),
+        "Brand#" + (1 + r.nextInt(25)), types(r.nextInt(types.length)),
+        1 + r.nextInt(50), math.rint((900.0 + id * 0.1 % 1100) * 100) / 100)
+    }.toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size",
+      "p_retailprice")
+  }
+
   def writeScale(spark: SparkSession, outDir: String, scale: Int): Unit = {
     documents(spark, 5000L * scale).write.mode(SaveMode.Overwrite)
       .parquet(s"$outDir/documents.parquet")
@@ -205,5 +235,11 @@ object SynthScale {
       .parquet(s"$outDir/orders.parquet")
     lineitem(spark, 600000L * scale).write.mode(SaveMode.Overwrite)
       .parquet(s"$outDir/lineitem.parquet")
+    region(spark).write.mode(SaveMode.Overwrite)
+      .parquet(s"$outDir/region.parquet")
+    nation(spark).write.mode(SaveMode.Overwrite)
+      .parquet(s"$outDir/nation.parquet")
+    part(spark, 2000L * scale).write.mode(SaveMode.Overwrite)
+      .parquet(s"$outDir/part.parquet")
   }
 }
