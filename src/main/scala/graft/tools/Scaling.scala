@@ -83,8 +83,15 @@ object Scaling {
     val qArg = args.sliding(2).collectFirst { case Array("-q", v) => v.split(',').toSet }
     val passes = args.sliding(2).collectFirst { case Array("-p", v) => v.toInt }.getOrElse(2)
     val genOnly = args.contains("-g")
-    val plain = args.filterNot(_.startsWith("-"))
-      .filterNot(a => args.sliding(2).exists { case Array(f, v) => (f == "-q" || f == "-p") && v == a; case _ => false })
+    // positional parse: a token is an option VALUE only if it directly
+    // follows -q/-p (the old value-equality filter dropped any scale
+    // token that happened to EQUAL a value — `1 100 -p 1` lost x1)
+    val optValueIdx = args.zipWithIndex.collect {
+      case (f, i) if (f == "-q" || f == "-p") && i + 1 < args.length => i + 1
+    }.toSet
+    val plain = args.zipWithIndex
+      .filterNot { case (a, i) => a.startsWith("-") || optValueIdx(i) }
+      .map(_._1)
     val scales = if (plain.nonEmpty) plain.map(_.toInt).toSeq else Seq(1, 10, 100)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = org.apache.spark.sql.SparkSession.builder()
