@@ -376,4 +376,19 @@ class PlanRegressionSpec extends AnyFunSuite {
     val p = plan("d2_ngram_jaccard")
     assert(p.contains("bounded_collect"), p.take(3000))
   }
+
+  test("dedup size denominator plans as codegen count aggregates only") {
+    // cappedDocSizes: df-count + anti-join + per-doc count — no object
+    // aggregation anywhere (the x100 profile showed the former
+    // cache-the-grouped-index shape spent ~25s materializing 97%
+    // singleton groups this path never needed)
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d"), (2L, "b c d e")).toDF("doc_id", "text")
+    val p = graft.dedup.Dedup.cappedDocSizes(
+      graft.dedup.Dedup.shinglePostings(docs, "doc_id", "text", 3, Int.MaxValue),
+      maxDf = 50).queryExecution.executedPlan.toString
+    assert(!p.contains("ObjectHashAggregate"), p.take(2000))
+    assert(!p.contains("bounded_collect"), p.take(2000))
+  }
 }

@@ -182,6 +182,14 @@ class SessionFunnelLinkageSpec extends AnyFunSuite {
     val fast = run(100L)
     val plain = run(Long.MaxValue)
     assert(fast == plain)
+    // the forced-low cutoff must actually engage the variant path —
+    // and it must never plan a nested loop
+    val fastPlan = Linkage.blockedFuzzyJoin(left, right, Seq("block"),
+      "name", "rname", maxDist = 2, bigBlockPairCutoff = 100L)
+      .queryExecution.executedPlan.toString
+    assert(fastPlan.contains("deletion_variants"), fastPlan.take(2000))
+    assert(!fastPlan.contains("BroadcastNestedLoopJoin") &&
+      !fastPlan.contains("CartesianProduct"), fastPlan.take(2000))
     assert(fast.exists { case (id, rid, d, _) => d == 2 } &&
       fast.exists { case (_, _, d, _) => d == 0 })
     assert(fast.exists { case (id, _, _, n) => id == 100L && n == 2 }) // dup rows doubled
