@@ -131,15 +131,24 @@ object Bench {
     // Start-canary GATE (round-7 verdict item 5, observed again in
     // round 8: canary0=1.46 s and a 26 s pass-1 c10 reading — the
     // suite started inside one of this box's 1-3 minute stall
-    // windows). If the plan-warm canary reads >2× nominal (~0.15 s),
-    // sleep the stall out and re-measure, up to 6 waits of 30 s; the
-    // wait count is recorded so a gated run stays visible. (Round 9
-    // tightened 0.45→0.30: a 0.38 s start slipped under the old gate
-    // and left an ~1.8× start/end spread in the round total.)
+    // windows). If the plan-warm canary reads >~2× nominal, sleep the
+    // stall out and re-measure, up to 6 waits of 30 s; the wait count
+    // is recorded so a gated run stays visible.
+    //
+    // Threshold history: 0.45 (r7) → 0.30 (r9) were calibrated against
+    // COUNT()-timed q1_agg (~0.15 s nominal). Round 10's materialized
+    // timing (toRdd above) raised q1_agg's intrinsic cost to
+    // ~1.1-1.2 s — the full agg output is produced, not pruned — so
+    // the 0.30 s gate could never pass and r10/early-r11 runs
+    // exhausted gw=6 on a HEALTHY host (round-11 check: agg-shaped
+    // queries ran at geomean 1.04× of r9 while the canary read 1.13 s).
+    // Recalibrated to 2× the materialized nominal; override via env
+    // when the nominal shifts again.
+    val canaryGate = sys.env.getOrElse("SPARK_GRAFT_CANARY_GATE", "2.4").toDouble
     var canaryStart =
       try timeQuery("q1_agg") catch { case NonFatal(_) => -1.0 }
     var gateWaits = 0
-    while (canaryStart > 0.30 && gateWaits < 6) {
+    while (canaryStart > canaryGate && gateWaits < 6) {
       Thread.sleep(30000)
       gateWaits += 1
       graft.util.Caches.releaseStray()
