@@ -1,0 +1,234 @@
+package graft.expressions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.BinaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types._
+
+/** Greedy funnel fold as ONE typed aggregate: per group, the earliest
+  * strictly-ordered completion timestamps `t_1..t_n` of an n-step
+  * sequence (`t_k` = min step-k timestamp strictly after `t_{k-1}`,
+  * null once abandoned — nulls propagate to every later step).
+  *
+  * Replaces the n-ary `collect_list(when(type = step_k, ts))` +
+  * per-step `filter`/`array_min` projection chain (ops/Funnel round
+  * 10): same single-scan single-exchange plan, but the buffer holds
+  * PRIMITIVE longs in per-step growable arrays instead of n boxed
+  * ArrayBuffers, and the post-agg fold is one sort + n binary
+  * searches inside eval instead of n-1 allocated array copies. The
+  * measured win is allocation, not asymptotics.
+  *
+  * Why the buffer is per-key-event-sized rather than O(n): the greedy
+  * fold needs, for each step k, the answer to "min step-k timestamp
+  * strictly greater than x" where x = t_{k-1} is only known once ALL
+  * step-(k-1) input has been seen. Under unordered, mergeable partial
+  * aggregation every step-k timestamp is the potential answer for
+  * some x, so an exact O(n)-state running fold does not exist — a
+  * buffer that discarded a step-k timestamp on the basis of the
+  * running t_{k-1} breaks when a later partial lowers t_{k-1} past
+  * it. O(n) state needs timestamp-ordered input (the secondary-sort /
+  * windowFunnel shape: one sort-shuffle, mapPartitions), which trades
+  * the partial-agg combine away; per-key funnel-event counts are
+  * small, so the combine is the better trade here.
+  *
+  * Input: `ts` (timestamp / timestamp_ntz / long — any long-backed
+  * orderable), `slot` (int, 0-based BUFFER slot; out-of-range and
+  * null-ts rows are skipped), and `slotSeq` — the slot each funnel
+  * STEP reads. Steps and slots are distinct so a funnel with REPEATED
+  * step names (view → view → view) buffers each event once in its
+  * type's slot while every occurrence of the name folds over that
+  * same sorted slot (the n-ary collect_list form duplicated such
+  * events into every matching list). For an all-distinct funnel,
+  * slotSeq = 0..n-1. Output: array of `ts`'s type, length
+  * slotSeq.length, element k-1 = t_k, with nulls from the first
+  * abandoned step on.
+  */
+case class FunnelFoldAgg(
+    ts: Expression,
+    slot: Expression,
+    slotSeq: Seq[Int],
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[FunnelFoldAgg.Buf]
+  with BinaryLike[Expression] {
+
+  require(slotSeq.nonEmpty && slotSeq.size <= 64,
+    "funnel needs 1..64 steps")
+  private val numSlots = slotSeq.max + 1
+  require(slotSeq.forall(s => s >= 0 && s < numSlots) && numSlots <= 64,
+    "slotSeq must be 0-based slot indexes")
+
+  import FunnelFoldAgg.Buf
+
+  override def left: Expression = ts
+  override def right: Expression = slot
+
+  override def dataType: DataType = ArrayType(ts.dataType, containsNull = true)
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult = ts.dataType match {
+    case TimestampType | TimestampNTZType | LongType =>
+      slot.dataType match {
+        case IntegerType => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"funnel_fold slot must be int, got ${other.catalogString}")
+      }
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"funnel_fold ts must be timestamp/timestamp_ntz/long, " +
+        s"got ${other.catalogString}")
+  }
+
+  override def createAggregationBuffer(): Buf = new Buf(numSlots)
+
+  override def update(buffer: Buf, input: InternalRow): Buf = {
+    val t = ts.eval(input)
+    if (t != null) {
+      val s = slot.eval(input)
+      if (s != null) {
+        val si = s.asInstanceOf[Int]
+        if (si >= 0 && si < numSlots) buffer.add(si, t.asInstanceOf[Long])
+      }
+    }
+    buffer
+  }
+
+  override def merge(b1: Buf, b2: Buf): Buf = { b1.addAll(b2); b1 }
+
+  override def eval(buffer: Buf): Any = {
+    var i = 0
+    while (i < numSlots) {
+      java.util.Arrays.sort(buffer.arrs(i), 0, buffer.lens(i))
+      i += 1
+    }
+    val out = new Array[Any](slotSeq.length)
+    var prev = Long.MinValue
+    var alive = true
+    var k = 0
+    while (k < slotSeq.length) {
+      if (alive) {
+        val s = slotSeq(k)
+        val arr = buffer.arrs(s)
+        val len = buffer.lens(s)
+        // first element strictly greater than prev (k = 0: the plain
+        // min — prev = Long.MinValue can also be a real long value,
+        // so the first step is disambiguated via len)
+        val t = FunnelFoldAgg.firstAbove(arr, len, prev, first = k == 0)
+        if (t == Long.MinValue && !(k == 0 && len > 0)) alive = false
+        else { out(k) = t; prev = t }
+      }
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buffer: Buf): Array[Byte] = {
+    var total = 4 * numSlots
+    var i = 0
+    while (i < numSlots) { total += 8 * buffer.lens(i); i += 1 }
+    val bb = ByteBuffer.allocate(total)
+    i = 0
+    while (i < numSlots) {
+      val len = buffer.lens(i)
+      bb.putInt(len)
+      val arr = buffer.arrs(i)
+      var j = 0
+      while (j < len) { bb.putLong(arr(j)); j += 1 }
+      i += 1
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Buf = {
+    val bb = ByteBuffer.wrap(bytes)
+    val buf = new Buf(numSlots)
+    var i = 0
+    while (i < numSlots) {
+      val len = bb.getInt
+      val arr = new Array[Long](math.max(len, 4))
+      var j = 0
+      while (j < len) { arr(j) = bb.getLong; j += 1 }
+      buf.arrs(i) = arr
+      buf.lens(i) = len
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): FunnelFoldAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): FunnelFoldAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FunnelFoldAgg =
+    copy(ts = newLeft, slot = newRight)
+  override def prettyName: String = "funnel_fold"
+}
+
+object FunnelFoldAgg {
+
+  /** Per-slot growable primitive-long buffers. */
+  final class Buf(numSlots: Int) {
+    val arrs: Array[Array[Long]] = Array.fill(numSlots)(new Array[Long](4))
+    val lens: Array[Int] = new Array[Int](numSlots)
+
+    def add(slot: Int, v: Long): Unit = {
+      var arr = arrs(slot)
+      val len = lens(slot)
+      if (len == arr.length) {
+        arr = java.util.Arrays.copyOf(arr, len * 2)
+        arrs(slot) = arr
+      }
+      arr(len) = v
+      lens(slot) = len + 1
+    }
+
+    def addAll(other: Buf): Unit = {
+      var i = 0
+      while (i < arrs.length) {
+        val n = other.lens(i)
+        if (n > 0) {
+          val len = lens(i)
+          if (len + n > arrs(i).length)
+            arrs(i) = java.util.Arrays.copyOf(arrs(i),
+              math.max(len + n, arrs(i).length * 2))
+          System.arraycopy(other.arrs(i), 0, arrs(i), len, n)
+          lens(i) = len + n
+        }
+        i += 1
+      }
+    }
+  }
+
+  /** Min element of sorted `arr[0, len)` strictly greater than `prev`
+    * — or, for the `first` step, the plain min. Returns Long.MinValue
+    * when no such element exists (disambiguated by the caller via
+    * `len` for the first-step case, where Long.MinValue could be a
+    * genuine value with no lower bound to clear). */
+  private[expressions] def firstAbove(arr: Array[Long], len: Int,
+      prev: Long, first: Boolean): Long = {
+    if (first) return if (len > 0) arr(0) else Long.MinValue
+    // binary search for the upper bound of prev
+    var lo = 0
+    var hi = len
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (arr(mid) <= prev) lo = mid + 1 else hi = mid
+    }
+    if (lo < len) arr(lo) else Long.MinValue
+  }
+
+  /** Column API: array of the group's greedy funnel timestamps
+    * `[t_1, …, t_n]` (see class doc). `slotSeq(k)` names the buffer
+    * slot step k reads; all-distinct funnels pass 0 until n. */
+  def funnel_fold(ts: Column, slot: Column, slotSeq: Seq[Int]): Column =
+    Bridge.column(
+      FunnelFoldAgg(Bridge.expression(ts), Bridge.expression(slot), slotSeq)
+        .toAggregateExpression())
+}

@@ -12,14 +12,16 @@ import org.apache.spark.sql.functions._
   *
   * Shape at scale: ONE scan of the event log, ONE shuffle. The scan
   * keeps only funnel-typed events (the type filter rides the source,
-  * pushed to parquet), a single groupBy(key) collects each step's
-  * timestamps per key — partial aggregation collapses map-side, so
-  * the shuffle carries per-key per-step timestamp lists, not raw
-  * events — and the greedy fold (t_k = min step-k timestamp strictly
-  * after t_{k-1}) runs as a post-aggregation projection over those
-  * arrays with higher-order functions. A 10-step funnel costs the
-  * same single scan as a 3-step one; the previous per-step
-  * filter+join chain re-scanned the corpus once per step.
+  * pushed to parquet), and a single groupBy(key) runs ONE typed
+  * aggregate ([[graft.expressions.FunnelFoldAgg]]) whose buffer is
+  * the key's per-step primitive-long timestamps — partial aggregation
+  * collapses map-side, the shuffle carries packed long buffers, and
+  * the greedy fold (t_k = min step-k timestamp strictly after
+  * t_{k-1}) happens inside the aggregate's eval as one sort + binary
+  * searches. A 10-step funnel costs the same single scan as a 3-step
+  * one; the original per-step filter+join chain re-scanned the corpus
+  * once per step, and the round-10 n-ary collect_list form allocated
+  * n boxed lists plus n-1 filtered array copies per key.
   *
   * Memory: the aggregation buffer for a key holds that key's
   * funnel-typed events only — bounded by per-key activity (the
@@ -34,31 +36,33 @@ object Funnel {
   def funnel(events: DataFrame, keyCol: String, tsCol: String,
       typeCol: String, steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
-    // one pass: per key, each step's candidate timestamps in one
-    // grouped collect (nulls from the `when` are skipped)
+    // one pass, one grouped typed aggregate: each event maps to its
+    // 0-based step index (the isin filter guarantees a match) and
+    // FunnelFoldAgg buffers per-step primitive timestamps, emitting
+    // the greedy fold [t1..tn] directly — no per-step boxed
+    // collect_list buffers, no per-step filter/array_min copies (the
+    // round-10 shape this replaces; see FunnelFoldAgg's scaladoc for
+    // why an O(|steps|)-state running fold is not exact under
+    // unordered partial aggregation)
     val relevant = events.filter(col(typeCol).isin(steps: _*))
-    val perStep = steps.zipWithIndex.map { case (step, i) =>
-      collect_list(when(col(typeCol) === step, col(tsCol))).as(s"_a${i + 1}")
-    }
+    // one buffer slot per DISTINCT type; repeated step names (view →
+    // view → view) share a slot, and the aggregate's slotSeq replays
+    // it once per occurrence
+    val types = steps.distinct
+    val slotOf = types.zipWithIndex.toMap
+    val slotIdx = types.tail
+      .foldLeft(when(col(typeCol) === types.head, lit(0))) {
+        case (acc, t) => acc.when(col(typeCol) === t, lit(slotOf(t)))
+      }
+    import graft.expressions.FunnelFoldAgg.funnel_fold
     val grouped = relevant.groupBy(col(keyCol))
-      .agg(perStep.head, perStep.tail: _*)
-    // greedy fold: t1 = earliest step-1 event; t_k = earliest step-k
-    // event strictly after t_{k-1} (null t_{k-1} propagates — the
-    // lambda comparison is null, filter drops it, array_min(empty)
-    // is null)
-    val withTs = steps.indices.foldLeft(grouped) { (df, i) =>
-      val k = i + 1
-      val tk =
-        if (k == 1) array_min(col("_a1"))
-        else array_min(filter(col(s"_a$k"), x => x > col(s"t${k - 1}")))
-      df.withColumn(s"t$k", tk)
-    }
+      .agg(funnel_fold(col(tsCol), slotIdx, steps.map(slotOf)).as("_fts"))
+    val tCols = steps.indices.map(i => col("_fts").getItem(i).as(s"t${i + 1}"))
     val completed = (2 to steps.size).foldLeft(lit(1)) { (acc, k) =>
-      acc + when(col(s"t$k").isNotNull, 1).otherwise(0)
+      acc + when(col("_fts").getItem(k - 1).isNotNull, 1).otherwise(0)
     }
-    withTs.filter(col("t1").isNotNull)
-      .select(col(keyCol) +:
-        steps.indices.map(i => col(s"t${i + 1}")) :+
+    grouped.filter(col("_fts").getItem(0).isNotNull)
+      .select(col(keyCol) +: tCols :+
         completed.cast("int").as("steps_completed"): _*)
   }
 }

@@ -118,6 +118,43 @@ class SessionFunnelLinkageSpec extends AnyFunSuite {
     assert(out == Map(1L -> 3, 2L -> 2))
   }
 
+  test("funnel fold is exact across shuffled partial aggregates") {
+    // 1 000 events for one key, deliberately spread over 8 input
+    // partitions in REVERSE time order, so partial buffers merge in
+    // adversarial order; the greedy result must equal the sorted fold
+    val rows = (999 to 0 by -1).map { i =>
+      val typ = i % 3 match {
+        case 0 => "signup"; case 1 => "view"; case 2 => "purchase"
+      }
+      (1L, ts(i.toLong), typ)
+    }
+    val e = rows.toDF("user_id", "ts", "event_type").repartition(8)
+    val row = Funnel.funnel(e, "user_id", "ts", "event_type",
+      Seq("signup", "view", "purchase")).collect().head
+    // earliest signup = ts(0), earliest view after = ts(1), earliest
+    // purchase after = ts(2)
+    assert(row.getTimestamp(row.fieldIndex("t1")) == ts(0))
+    assert(row.getTimestamp(row.fieldIndex("t2")) == ts(1))
+    assert(row.getTimestamp(row.fieldIndex("t3")) == ts(2))
+  }
+
+  test("funnel_fold on long-backed ts: strictness at Long.MinValue") {
+    import graft.expressions.FunnelFoldAgg.funnel_fold
+    // step-1 at Long.MinValue is a VALID t1; a step-2 event at the
+    // same value must NOT chain (strict >), one at 5 must
+    val e = Seq(
+      (1L, Long.MinValue, 0), (1L, Long.MinValue, 1), (1L, 5L, 1),
+      (2L, 7L, 1)) // no step 0 → all null
+      .toDF("k", "t", "s")
+    val out = e.groupBy($"k")
+      .agg(funnel_fold($"t", $"s", Seq(0, 1)).as("f"))
+      .select($"k", $"f".getItem(0).as("t1"), $"f".getItem(1).as("t2"))
+      .as[(Long, Option[Long], Option[Long])].collect()
+      .map { case (k, a, b) => k -> ((a, b)) }.toMap
+    assert(out(1L) == ((Some(Long.MinValue), Some(5L))))
+    assert(out(2L) == ((None, None)))
+  }
+
   test("blocked fuzzy join matches within blocks and honors maxDist") {
     val left = Seq((1L, "alpha-01", "b1"), (2L, "gamma-77", "b2"))
       .toDF("id", "name", "block")
@@ -130,6 +167,29 @@ class SessionFunnelLinkageSpec extends AnyFunSuite {
       "name", "rname", maxDist = 2)
       .select("id", "rid", "dist").as[(Long, Long, Int)].collect().toSet
     assert(out == Set((1L, 10L, 1)))
+  }
+
+  test("ASYMMETRIC oversized block still routes to the variant path") {
+    // |L| = 3, |R| = 25 000, product 75 000 > cutoff 65 536: the
+    // round-10 √cutoff/64 pre-filter on BOTH weight sides (minSide 4
+    // at this cutoff) dropped the 3-row left side, silently keeping
+    // exactly this block shape on the quadratic equi-join path — the
+    // weight join now sees every block, so skew in EITHER side routes
+    val left = Seq((1L, "PRE-FIX-000", "hot"), (2L, "PRE-FIX-001", "hot"),
+      (3L, "PRE-FIX-XYZ", "hot")).toDF("id", "name", "block")
+    val right = (0 until 25000)
+      .map(i => (1000L + i, f"PRE-FIX-${i % 100}%03d", "hot"))
+      .toDF("rid", "rname", "block")
+    def run(cutoff: Long) =
+      Linkage.blockedFuzzyJoin(left, right, Seq("block"),
+        "name", "rname", maxDist = 2, bigBlockPairCutoff = cutoff)
+        .groupBy("id", "rid", "dist").count()
+        .as[(Long, Long, Int, Long)].collect().toSet
+    val fastPlan = Linkage.blockedFuzzyJoin(left, right, Seq("block"),
+      "name", "rname", maxDist = 2, bigBlockPairCutoff = 65536L)
+      .queryExecution.executedPlan.toString
+    assert(fastPlan.contains("deletion_variants"), fastPlan.take(2000))
+    assert(run(65536L) == run(Long.MaxValue))
   }
 
   test("deletion variants: exact neighborhood, dedup, code-point unit") {
