@@ -63,7 +63,17 @@ object Graph {
     // ~0.25 s jobs dominated the bench sample). The checkpoint cadence
     // only bounds plan depth; the arithmetic is identical.
     val checkpointEvery = 5
-    var lastCp: DataFrame = null
+    // checkpoint blocks belong to the underlying RDD, not the
+    // CacheManager — Dataset.unpersist would be a no-op on them, so
+    // intermediate checkpoints release via the extracted RDD handle
+    // and the FINAL one registers with Caches for deterministic
+    // release at the operation boundary (it feeds the returned lazy
+    // tail, so it must outlive this call)
+    def cpRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+      df.queryExecution.analyzed.collectLeaves().collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }
+    var lastCpRdd: Option[org.apache.spark.rdd.RDD[_]] = None
     (1 to iters).foreach { i =>
       val next = sym.join(ranks, sym("src") === ranks("id"))
         .join(deg, Seq("src"))
@@ -73,13 +83,12 @@ object Graph {
       ranks = if (i % checkpointEvery == 0 && i < iters) {
         val cp = next.localCheckpoint()
         // an eager checkpoint no longer reads the previous one
-        if (lastCp != null) lastCp.unpersist()
-        lastCp = cp
+        lastCpRdd.foreach(_.unpersist(blocking = false))
+        lastCpRdd = cpRdd(cp)
         cp
       } else next
     }
-    // the last surviving checkpoint feeds the lazy tail; its blocks
-    // are reclaimed by the ContextCleaner once the frame is dropped
+    if (lastCpRdd.isDefined) graft.util.Caches.scopedCheckpoint(ranks)
     ranks
   }
 }

@@ -22,10 +22,29 @@ import org.apache.spark.sql.DataFrame
   */
 object Caches {
   private val reg = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
+  private val rdds =
+    new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.rdd.RDD[_]]
 
   /** Cache `df` and register it for the next [[releaseStray]] sweep. */
   def scoped(df: DataFrame): DataFrame = {
     reg.add(df.cache())
+    df
+  }
+
+  /** Register a `localCheckpoint`ed frame's storage for the next
+    * [[releaseStray]] sweep. `Dataset.unpersist` only clears
+    * CacheManager entries — a checkpoint's blocks belong to the
+    * underlying RDD and otherwise wait on GC + ContextCleaner, the
+    * same nondeterministic drift this registry exists to remove. The
+    * RDD is extracted from the checkpoint's LogicalRDD leaf; after
+    * release the frame is unrecomputable, so this is strictly an
+    * operation-boundary hook (the harness calls releaseStray only
+    * after the consuming query has materialized). */
+  def scopedCheckpoint(df: DataFrame): DataFrame = {
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => rdds.add(lr.rdd)
+      case _ => ()
+    }
     df
   }
 
@@ -41,6 +60,12 @@ object Caches {
       df.unpersist(blocking)
       n += 1
       df = reg.poll()
+    }
+    var rdd = rdds.poll()
+    while (rdd != null) {
+      rdd.unpersist(blocking)
+      n += 1
+      rdd = rdds.poll()
     }
     n
   }
