@@ -34,7 +34,7 @@ object ClassifyQueries extends QueryPack {
         columns = Seq("event_id", "user_id", "event_type", "value", "props"))),
 
     // A1 with the FULL registry: one pass, one counter per entity —
-    // the wide-counter plan the 276-entity reference scan needs
+    // the wide-counter plan the 256-entity reference scan needs
     "a1_classify_full_registry" -> ((s, d) =>
       Classify.classifyColumns(
         Tables.load(s, d, "documents"), E.all, threshold = 0.05)),

@@ -66,7 +66,17 @@ object Scaling {
     "ao2_range_join" -> "events",
     "rl1_fuzzy_match" -> "customer",
     "sk1_salted_join" -> "orders+customer",
-    "sk2_salted_agg" -> "lineitem")
+    "sk2_salted_agg" -> "lineitem",
+    // round-11 additions (verdict item 4): the strongest unmeasured
+    // 100 TB claims — the real-JDK-codec multimodal passes (per-doc
+    // PNG/WAV payloads decoded in mapPartitions; pixels/samples never
+    // shuffle) and the full-256-entity classify scan (one
+    // MultiMatchCount pass over the events table)
+    "m5_image_decode" -> "documents",
+    "m8_image_resize" -> "documents",
+    "m9_audio_energy" -> "documents",
+    "m10_image_tiles" -> "documents",
+    "a1_classify_ref256" -> "events")
   // q7/q8 (TPC-H shapes) are deliberately NOT in the study: their
   // fixed 1996-1998 date predicates select zero rows against the
   // synthetic orders/lineitem date ranges (2023+, tied to the as-of
@@ -113,14 +123,25 @@ object Scaling {
       new java.io.FileWriter("SCALING_partial.jsonl", true))
     def rec(line: String): Unit = { partial.println(line); partial.flush() }
 
-    // ---- corpora (generate once, reuse across runs) ----
+    // ---- corpora (generate once, reuse across runs). The marker
+    // records the GENERATOR VERSION, not just existence: round 10
+    // changed SynthScale's corpus shape (hot-customer %07d suffix,
+    // new dimension tables), and a bare _DONE would have silently
+    // measured a stale corpus on a machine with old dirs. ----
     val dirs = scales.map { sc =>
       val dir = s"target/scaling/x$sc"
       val marker = new java.io.File(s"$dir/_DONE")
-      if (!marker.exists()) {
+      val stamp = s"v${SynthScale.generatorVersion}"
+      val current = marker.exists() &&
+        scala.util.Try(java.nio.file.Files.readString(marker.toPath).trim)
+          .getOrElse("") == stamp
+      if (!current) {
+        if (marker.getParentFile.exists())
+          println(s"[scaling] x$sc corpus stale or missing — regenerating as $stamp")
         val t0 = System.nanoTime()
         SynthScale.writeScale(spark, dir, sc)
-        marker.getParentFile.mkdirs(); marker.createNewFile()
+        marker.getParentFile.mkdirs()
+        java.nio.file.Files.writeString(marker.toPath, stamp)
         println(f"[scaling] generated x$sc in ${(System.nanoTime() - t0) / 1e9}%.1f s")
       }
       sc -> dir

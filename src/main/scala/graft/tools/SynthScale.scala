@@ -30,6 +30,12 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object SynthScale {
 
+  /** Bump whenever any generator below changes shape: Scaling's
+    * per-corpus _DONE marker embeds this, so a stale on-disk corpus
+    * regenerates instead of silently measuring the old shape.
+    * v2 = round 10 (hot-customer %07d suffix, region/nation/part). */
+  val generatorVersion = 2
+
   private val langs = Vector("en", "de", "es", "fr", "zh")
   private val langCum = Vector(0.40, 0.56, 0.72, 0.86, 1.0)
   private val eventTypes = Vector("view", "click", "purchase", "signup", "error")
@@ -128,14 +134,20 @@ object SynthScale {
       // 16-char blocking prefix "Customer#ZZZZZZZ" (nation 0) is shared
       // by all of them, so rl1's in-block candidate set is (n/100)²
       // regardless of the join algorithm. The suffix is the SEQUENTIAL
-      // hot index zero-padded to 7 digits: under the rl1 corruption
-      // (last-2-digit letter substitution) a dirty hot name is within
-      // edit distance 2 of exactly its own clean source — the TRUE
-      // match set stays linear in n, so the measured exponent reflects
-      // candidate-generation efficiency, not output cardinality. (The
-      // previous %02d suffix wrapped mod 100: at x100 every clean×dirty
-      // hot pair was a true match and the output itself was quadratic —
-      // no algorithm measures sublinear against that shape.)
+      // hot index zero-padded to 7 digits; the rl1 corruption
+      // substitutes letters at suffix digits 1-2 (the high digits), so
+      // a dirty hot name is at distance 2 from every clean hot name
+      // sharing digits 3-7 — i.e. sharing (index mod 1e5). Hot indices
+      // stay below 1e5 through x667 (n < 1e7), so on every corpus this
+      // study runs each dirty name matches EXACTLY its own clean
+      // source and the TRUE match set stays linear in n; the measured
+      // exponent reflects candidate-generation efficiency, not output
+      // cardinality. Past 1e5 hot indices the digit-3..7 collision
+      // class would add ~n_hot/1e5 extra matches per dirty name —
+      // bump the padding width before generating corpora that large.
+      // (The previous %02d suffix wrapped mod 100: at x100 every
+      // clean×dirty hot pair was a true match and the output itself
+      // was quadratic — no algorithm measures sublinear against that.)
       val name =
         if (custkey % 100 == 0) f"Customer#ZZZZZZZ${custkey / 100}%07d"
         else f"Customer#$custkey%09d"
