@@ -24,6 +24,40 @@ object Crawler {
   final case class JdbcSource(url: String, dbtable: String,
       props: Map[String, String] = Map.empty) extends SourceKind
 
+  /** Pluggable live-connector seam: the reference reads LIVE sources
+    * this sandbox can't reach — DynamoDB table scans through the
+    * catalog connection (ddb-source-script.py:295-299) and an SQS
+    * event feed (glue-tracking-initial/app.py:154-182). The
+    * substitutions (parquet snapshot, file/Memory stream) used to be
+    * a doc-only note; this trait makes the batch side a code
+    * boundary: a real deployment implements `read` against its
+    * SDK/DataSource-V2 connector and registers the source as
+    * [[ConnectorSource]] — `infer`, `crawlAll`, `registerTable` and
+    * everything downstream are typed against [[SourceKind]] and need
+    * no change. (The streaming side's seam is structural: Ingest
+    * consumes any caller-provided raw stream DataFrame.) */
+  trait SourceConnector extends Serializable {
+    /** Connector id for catalogs/logs. */
+    def name: String
+    /** Batch read of the source at `path` (connector-interpreted:
+      * a table name, a prefix, an endpoint — not necessarily a file
+      * path). */
+    def read(spark: SparkSession, path: String): DataFrame
+  }
+
+  /** A [[SourceKind]] backed by a pluggable [[SourceConnector]]. */
+  final case class ConnectorSource(connector: SourceConnector)
+    extends SourceKind
+
+  /** The sandbox's S2 substitution stated in code: a DynamoDB table
+    * is read as its parquet snapshot export. Swap for a live DSv2
+    * DynamoDB connector in deployment; nothing downstream changes. */
+  object DynamoSnapshotConnector extends SourceConnector {
+    val name = "dynamodb-snapshot"
+    def read(spark: SparkSession, path: String): DataFrame =
+      spark.read.parquet(path)
+  }
+
   /** Catalog-safe name normalization (P6;
     * lambda/catalog-creator-s3/app.py:246-249): `-`, `.`, spaces → `_`,
     * lowercased. */
@@ -48,6 +82,7 @@ object Crawler {
           .option("url", url).option("dbtable", dbtable)) {
           case (r, (k, v)) => r.option(k, v)
         }.load()
+      case ConnectorSource(c) => c.read(spark, path)
     }
 
   /** Register the inferred relation under a normalized table name (S7 +

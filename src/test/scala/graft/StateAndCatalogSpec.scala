@@ -235,4 +235,34 @@ class StateAndCatalogSpec extends AnyFunSuite {
       .collect().toSet
     assert(latest == Set(("t1", "b"), ("t2", "c")))
   }
+
+  test("connector seam: a pluggable SourceConnector crawls like a built-in kind") {
+    // the S2 substitution as code: DynamoSnapshotConnector reads the
+    // same parquet the SnapshotSource kind does
+    val dir = tmpDir("conn")
+    val snap = s"$dir/ddb.parquet"
+    Seq((1L, "a@example.org"), (2L, "b@example.org")).toDF("pk", "email")
+      .write.mode("overwrite").parquet(snap)
+    val viaKind = Crawler.infer(spark, Crawler.SnapshotSource, snap)
+    val viaConn = Crawler.infer(spark,
+      Crawler.ConnectorSource(Crawler.DynamoSnapshotConnector), snap)
+    assert(viaConn.schema == viaKind.schema)
+    assert(viaConn.collect().toSet == viaKind.collect().toSet)
+
+    // a custom (non-file) connector plugs in without touching the
+    // crawler: `path` is connector-interpreted (here a table name)
+    object FakeLiveDdb extends Crawler.SourceConnector {
+      val name = "fake-live-ddb"
+      def read(s: org.apache.spark.sql.SparkSession,
+          table: String): org.apache.spark.sql.DataFrame = {
+        import s.implicits._
+        Seq((10L, table)).toDF("pk", "tbl")
+      }
+    }
+    val reg = Crawler.registerTable(spark, "Live-Tbl",
+      Crawler.infer(spark, Crawler.ConnectorSource(FakeLiveDdb), "orders_live"))
+    val rows = spark.table(reg).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(10L))
+    assert(rows.head.getString(1) == "orders_live")
+  }
 }
