@@ -2,7 +2,7 @@ package graft.expressions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graft.Bridge
 import org.apache.spark.sql.types._
@@ -94,10 +94,61 @@ object HexParityMask {
   }
 }
 
+/** Leading common CODE POINTS of two strings — the unit `substring`
+  * counts in, so `substr(s, common_prefix_chars(a, b) + 1)` strips
+  * exactly the shared prefix. Byte-compare (UTF-8 prefix equality is
+  * byte-prefix equality), then truncate to a code-point boundary so a
+  * partially-matched multi-byte char never counts. Built for the
+  * linkage variant path: the longest common prefix of a whole block
+  * is the lcp of its lexicographic (min, max), one aggregate away.
+  */
+case class CommonPrefixChars(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"common_prefix_chars needs (string, string), got " +
+        s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+  override def nullSafeEval(a: Any, b: Any): Any =
+    CommonPrefixChars.lcp(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.expressions.CommonPrefixChars.lcp($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CommonPrefixChars =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "common_prefix_chars"
+}
+
+object CommonPrefixChars {
+  // Java-callable from generated code.
+  def lcp(a: UTF8String, b: UTF8String): Int = {
+    val ab = a.getBytes
+    val bb = b.getBytes
+    val n = math.min(ab.length, bb.length)
+    var i = 0
+    while (i < n && ab(i) == bb(i)) i += 1
+    // count complete code points inside the common byte prefix
+    var p = 0
+    var chars = 0
+    while (p < i) {
+      val len = UTF8String.numBytesForFirstByte(ab(p))
+      if (p + len <= i) { chars += 1; p += len } else p = i
+    }
+    chars
+  }
+}
+
 object StringKernels {
   /** `regexp_replace(s, '[^a-z0-9]', '')` for lowercased input. */
   def strip_non_alnum(c: Column): Column =
     Bridge.column(StripNonAlnum(Bridge.expression(c)))
+
+  /** Leading common code points of two strings. */
+  def common_prefix_chars(a: Column, b: Column): Column =
+    Bridge.column(CommonPrefixChars(Bridge.expression(a), Bridge.expression(b)))
 
   /** Per-hex-char parity mask (SimHash token signature). */
   def hex_parity_mask(c: Column): Column =

@@ -46,6 +46,36 @@ class StringKernelsSpec extends AnyFunSuite {
     cases.foreach { case (s, expected) => assert(out(s) == expected, s) }
   }
 
+  test("common_prefix_chars counts code points, truncating split chars") {
+    import graft.expressions.StringKernels.common_prefix_chars
+    val cases = Seq(
+      ("abcde", "abcxx", 3), ("abc", "abc", 3), ("abc", "", 0),
+      ("", "", 0), ("xyz", "abc", 0),
+      // "é" = 2 UTF-8 bytes; common prefix must count it as ONE char
+      ("aé1", "aé2", 2),
+      // byte prefixes of DIFFERENT multi-byte chars sharing a lead
+      // byte ("é" C3 A9 vs "î" C3 AE share C3) must not count a char
+      ("é", "î", 0),
+      // astral char (4 bytes, surrogate pair in UTF-16) counts once
+      (new String(Character.toChars(0x1F600)) + "a",
+        new String(Character.toChars(0x1F600)) + "b", 1))
+    val out = cases.zipWithIndex.map { case ((a, b, _), i) => (i, a, b) }
+      .toDF("i", "a", "b")
+      .select(col("i"), common_prefix_chars(col("a"), col("b")).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    cases.zipWithIndex.foreach { case ((a, b, exp), i) =>
+      assert(out(i) == exp, s"lcp($a, $b)")
+    }
+    // the strip contract: substr(s, lcp+1) removes exactly the shared
+    // prefix in substring's own units
+    val s = Seq(("Customer#0001234", "Customer#0001256")).toDF("a", "b")
+      .select(col("a").substr(
+        common_prefix_chars(col("a"), col("b")) + 1, length(col("a")))
+        .as("suf"))
+      .collect().head.getString(0)
+    assert(s == "34")
+  }
+
   test("kernels survive interpreted eval (null-safe, empty input)") {
     val df = Seq(Some("Ab1"), None, Some("")).toDF("s")
     val rows = df.select(strip_non_alnum(lower(col("s"))).as("f"),
