@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Span-level PII redaction — the scrub stage that acts on what the
+  * classifier (A1, `ops/Classify`) finds. The reference stops at
+  * detection + catalog comments (`s3-source-script.py` writes
+  * findings; remediation is left to the data owner); a training-data
+  * pipeline additionally needs the text SCRUBBED before the corpus
+  * ships, so this is a first-class curation operator here.
+  *
+  * Unlike the classifier's cell-anchored registry patterns (`^…$` —
+  * "is this whole cell a phone number"), redaction uses UNANCHORED
+  * span patterns and rewrites every occurrence inside free text.
+  *
+  * Shape at scale: ONE projection — the entity patterns fold into a
+  * chain of codegen'd `regexp_replace` calls, so redaction rides the
+  * scan (no shuffle, no UDF, vectorizable end-to-end) and composes
+  * with any downstream dedup/tokenize stage. Patterns use the
+  * RE2-compatible subset (no lookaround, no backreferences) so the
+  * same pattern text runs identically under Java regex (Spark), RE2
+  * (DuckDB/Go scanners), and PCRE — the property that makes the
+  * redaction oracle-checkable and the scrub portable across engines.
+  */
+object Redact {
+
+  /** (entity name, unanchored span pattern). Order matters: earlier
+    * entities win overlapping spans (their replacement token is not
+    * re-matched by later patterns). */
+  type SpanEntity = (String, String)
+
+  /** RE2-safe span patterns for the entities that appear inside free
+    * text. Word-ish boundaries are spelled with explicit character
+    * classes (RE2 supports \b, but digit-adjacent \b behaves
+    * differently across engines at string edges — (^|[^0-9]) framing
+    * would change the match, so these patterns keep to self-delimited
+    * shapes instead). */
+  val DefaultSpanEntities: Seq[SpanEntity] = Seq(
+    "EMAIL" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "SSN" -> "[0-9]{3}-[0-9]{2}-[0-9]{4}",
+    "IPV4" -> "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}",
+    "LONG_NUMBER" -> "[0-9]{7,}")
+
+  /** Replacement token for an entity: `[EMAIL]`, `[SSN]`, … */
+  def token(entity: String): String = s"[$entity]"
+
+  /** Redact every span of every entity in `textCol`, in order. */
+  def redactColumn(textCol: Column,
+      entities: Seq[SpanEntity] = DefaultSpanEntities): Column =
+    entities.foldLeft(textCol) { case (c, (name, pattern)) =>
+      regexp_replace(c, pattern, token(name))
+    }
+
+  /** Frame form: adds `redacted` (scrubbed `textCol`) and `n_spans`
+    * (how many spans were replaced — the audit number a privacy
+    * review asks for). Counts are taken per stage against the text
+    * as the PREVIOUS entities left it, matching the replacement
+    * order, so a span never double-counts under two patterns. */
+  def redact(df: DataFrame, textCol: String,
+      entities: Seq[SpanEntity] = DefaultSpanEntities): DataFrame = {
+    val (redacted, count) =
+      entities.foldLeft((col(textCol), lit(0L))) {
+        case ((c, n), (name, pattern)) =>
+          (regexp_replace(c, pattern, token(name)),
+            n + size(regexp_extract_all(c, lit(pattern), lit(0))).cast("long"))
+      }
+    df.withColumn("redacted", redacted)
+      .withColumn("n_spans", count)
+  }
+}

@@ -112,6 +112,35 @@ object TextQueries extends QueryPack {
         .select(col("event_id"),
           regexp_replace(col("props"), "[0-9]+", "<NUM>").as("redacted"))),
 
+    // Span-level multi-entity PII scrub (ops/Redact): ordered
+    // regexp_replace chain + per-stage span counts, one codegen
+    // projection, no shuffle. The PII-bearing note is derived
+    // deterministically from doc_id (the same stand-in pattern as
+    // the multimodal payloads and u2's synthetic URLs — the fixture
+    // text itself is digit-free), planting one EMAIL, one SSN, one
+    // IPV4 and one 7-digit phone run per doc; entity order matters
+    // (EMAIL first protects its digits from LONG_NUMBER) and the
+    // oracle replays the identical stages with RE2. doc_id stays
+    // below 1e7 at every driver SF, so the id inside "userN" never
+    // itself becomes a LONG_NUMBER span.
+    "x12_redact_pii" -> ((s, d) => {
+      val id = col("doc_id").cast("string")
+      val note = concat(
+        lit("contact user"), id, lit(" at user"), id,
+        lit("@example.com or ssn "),
+        lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+        lpad((col("doc_id") % 100).cast("string"), 2, "0"), lit("-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" ip 10.0."), (col("doc_id") % 256).cast("string"), lit("."),
+        ((col("doc_id") * 7) % 256).cast("string"),
+        lit(" phone +1 "),
+        lpad((col("doc_id") % 10000).cast("string"), 7, "0"))
+      graft.ops.Redact.redact(
+        Tables.load(s, d, "documents").select(col("doc_id"), note.as("note")),
+        "note")
+        .select(col("doc_id"), col("redacted"), col("n_spans"))
+    }),
+
     // Profile-driven curation: keep docs inside their language's
     // [p10, p90] quality band (drops spam low tail AND degenerate
     // high tail per stratum, no global threshold)
@@ -250,6 +279,34 @@ object TextQueries extends QueryPack {
          |SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_urls,
          |  min(doc_id) AS first_doc
          |FROM canon GROUP BY canonical_url""".stripMargin,
+    "x12_redact_pii" -> {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ssn = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+      val ipv4 = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+      val num = "[0-9]{7,}"
+      s"""WITH src AS (SELECT doc_id,
+         |    'contact user' || CAST(doc_id AS VARCHAR)
+         |    || ' at user' || CAST(doc_id AS VARCHAR)
+         |    || '@example.com or ssn '
+         |    || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+         |    || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '-'
+         |    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |    || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+         |    || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+         |    || ' phone +1 '
+         |    || lpad(CAST(doc_id % 10000 AS VARCHAR), 7, '0') AS t
+         |  FROM documents),
+         |s1 AS (SELECT doc_id, regexp_replace(t, '$email', '[EMAIL]', 'g') AS t,
+         |    len(regexp_extract_all(t, '$email')) AS c FROM src),
+         |s2 AS (SELECT doc_id, regexp_replace(t, '$ssn', '[SSN]', 'g') AS t,
+         |    c + len(regexp_extract_all(t, '$ssn')) AS c FROM s1),
+         |s3 AS (SELECT doc_id, regexp_replace(t, '$ipv4', '[IPV4]', 'g') AS t,
+         |    c + len(regexp_extract_all(t, '$ipv4')) AS c FROM s2),
+         |s4 AS (SELECT doc_id, regexp_replace(t, '$num', '[LONG_NUMBER]', 'g') AS t,
+         |    c + len(regexp_extract_all(t, '$num')) AS c FROM s3)
+         |SELECT doc_id, t AS redacted, CAST(c AS BIGINT) AS n_spans
+         |FROM s4""".stripMargin
+    },
     "x9_quality_filter" ->
       s"""WITH q AS (SELECT doc_id, lang, $qualitySql AS quality FROM documents),
          |b AS (SELECT lang, quantile_cont(quality, 0.1) AS p_lo,

@@ -1,0 +1,46 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.Redact
+
+class RedactSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def run(texts: String*): Map[String, (String, Long)] =
+    Redact.redact(texts.toDF("note"), "note")
+      .select($"note", $"redacted", $"n_spans")
+      .as[(String, String, Long)].collect()
+      .map { case (n, r, c) => n -> ((r, c)) }.toMap
+
+  test("entity order protects earlier spans from later patterns") {
+    // the email's digits must NOT be re-matched by LONG_NUMBER, and
+    // the SSN's groups must not feed IPV4/LONG_NUMBER
+    val t = "mail user1234567@ex.com ssn 123-45-6789 ip 10.0.1.2 n 99887766"
+    val (r, c) = run(t)(t)
+    assert(r == "mail [EMAIL] ssn [SSN] ip [IPV4] n [LONG_NUMBER]")
+    assert(c == 4L)
+  }
+
+  test("multiple spans of one entity all redact and all count") {
+    val t = "a@b.io c@d.org 1234567 7654321"
+    val (r, c) = run(t)(t)
+    assert(r == "[EMAIL] [EMAIL] [LONG_NUMBER] [LONG_NUMBER]")
+    assert(c == 4L)
+  }
+
+  test("clean text passes through with zero spans") {
+    val t = "no pii here just words and 123"
+    val (r, c) = run(t)(t)
+    assert(r == t && c == 0L)
+  }
+
+  test("custom entity list and ordering are honored") {
+    val out = Redact.redact(Seq("tok 1234567 end").toDF("note"), "note",
+      entities = Seq("NUM" -> "[0-9]+", "SEVEN" -> "[0-9]{7}"))
+      .select($"redacted", $"n_spans").as[(String, Long)].head()
+    // NUM runs first and consumes the digits; SEVEN finds nothing
+    assert(out == (("tok [NUM] end", 1L)))
+  }
+}
