@@ -184,31 +184,45 @@ object Dedup {
     val dupStarts = cached.join(first, Seq("shingle"))
       .filter(col("doc") > col("first_doc"))
       .select(col("doc"), col("pos"))
-    // token positions covered by some duplicated window — the explode
-    // multiplies only dup starts by n; overlap collapses in distinct
-    val covered = dupStarts
+    // token positions covered by some duplicated window, aggregated
+    // to ONE sorted array per doc — the explode multiplies only dup
+    // starts by n, overlap collapses in the set aggregate, and the
+    // shuffle carries dup-position-sized rows keyed by doc
+    val coveredPerDoc = dupStarts
       .select(col("doc"),
         explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("tp"))
-      .distinct()
-    val tokpos = base.select(col("doc"),
-        posexplode(split(trim(col("txt")), "\\s+")).as(Seq("idx", "tok")))
-      .select(col("doc"), (col("idx") + 1).cast("long").as("tp"), col("tok"))
-    val kept = tokpos.join(covered, Seq("doc", "tp"), "left_anti")
       .groupBy(col("doc"))
-      .agg(count(lit(1)).as("n_kept"),
-        array_join(
-          transform(
-            array_sort(collect_list(struct(col("tp"), col("tok")))),
-            p => p.getField("tok")),
-          " ").as("kept_text"))
-    base.select(col("doc"),
-        size(split(trim(col("txt")), "\\s+")).cast("long").as("n_tokens"))
-      .join(kept, Seq("doc"), "left")
-      .select(col("doc").as("doc_id"), col("n_tokens"),
-        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_dup_tokens"),
-        round((col("n_tokens") - coalesce(col("n_kept"), lit(0L)))
-          .cast("double") / col("n_tokens"), 6).as("dup_ratio"),
-        coalesce(col("kept_text"), lit("")).as("kept_text"))
+      .agg(array_sort(collect_set(col("tp"))).as("cov"))
+    // Reconstruct kept text in ONE projection: the kept tokens are
+    // the |cov|+1 GAPS between consecutive covered positions, each a
+    // slice of the doc's token array — O(tokens + dup-sites) per doc
+    // with no per-token rows. (The previous form posexploded every
+    // token, anti-joined on (doc, tp) and re-collected + sorted per
+    // doc: three corpus-token-sized shuffles for what one projection
+    // over the doc row computes.) Bounds arrays are 0-based covered
+    // positions framed by 0 and n_tokens+1; gap g keeps positions
+    // bounds[g]+1 .. bounds[g+1]-1.
+    val toks = split(trim(col("txt")), "\\s+")
+    val bounds = concat(array(lit(0L)), col("cov"),
+      array(size(toks).cast("long") + 1))
+    val keptArr = flatten(transform(
+      sequence(lit(1), size(col("cov")) + 1),
+      g => slice(toks, element_at(bounds, g).cast("int") + 1,
+        greatest(
+          (element_at(bounds, g + 1) - element_at(bounds, g)).cast("int") - 1,
+          lit(0)))))
+    // clean docs (no covered positions → cov null) keep everything;
+    // both branches join tokens with single spaces, preserving the
+    // whitespace normalization the token reconstruction always had
+    val nDup = when(col("cov").isNull, lit(0L))
+      .otherwise(size(toks).cast("long") - size(keptArr))
+    base.join(coveredPerDoc, Seq("doc"), "left")
+      .select(col("doc").as("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        nDup.as("n_dup_tokens"),
+        round(nDup.cast("double") / size(toks), 6).as("dup_ratio"),
+        when(col("cov").isNull, array_join(toks, " "))
+          .otherwise(array_join(keptArr, " ")).as("kept_text"))
   }
 
   /** All pairs sharing ≥1 (rare) shingle, with exact Jaccard over the
