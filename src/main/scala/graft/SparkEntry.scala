@@ -48,7 +48,8 @@ object SparkEntry {
     * postings table) serves its whole family but never leaks into
     * unrelated queries' measurements. */
   def packReleases: Seq[(Set[String], SparkSession => Unit)] =
-    packs.map(p => (p.queries.keySet, (s: SparkSession) => p.releaseShared(s)))
+    packs.map(p => (p.queries.keySet ++ p.memoConsumers,
+      (s: SparkSession) => p.releaseShared(s)))
 
   /** Release every pack's session-shared caches and memos. */
   def releaseShared(spark: SparkSession): Unit =

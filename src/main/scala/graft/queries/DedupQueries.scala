@@ -86,6 +86,16 @@ object DedupQueries extends QueryPack {
     memo.clear()
   }
 
+  // CurationQueries entries that read this pack's memos (shared /
+  // sharedLsh, directly or through the components chain). The dedup
+  // pack's own last query in run order is d8 — WITHOUT these, g1's
+  // bench sample silently re-built the whole postings → pair-stats
+  // chain cold (~2 s of its ~4.5 s reading was the rebuild, not
+  // PageRank).
+  override def memoConsumers: Set[String] = Set(
+    "c10_curation_pipeline", "c13_split_leakage",
+    "d7_dedup_clusters", "d9_keep_list", "g1_pagerank")
+
   def queries: Map[String, Q] = Map(
     // Exact dedup by normalized-content fingerprint (events.props has
     // genuine duplicate payloads; documents has none)

@@ -25,4 +25,13 @@ trait QueryPack {
     * queries — and before a stall-guard re-measure so the retry does
     * the same (cold) work as a fresh run. */
   def releaseShared(spark: SparkSession): Unit = ()
+
+  /** Query names from OTHER packs that read this pack's shared memos
+    * (e.g. the curation pack's g1_pagerank consumes the dedup pack's
+    * pair-stats memo). The release boundary is the last query across
+    * queries.keySet ++ memoConsumers in run order — without this, a
+    * cross-pack consumer that runs after the owner's own last query
+    * silently rebuilds the whole shared chain cold inside its own
+    * measurement. */
+  def memoConsumers: Set[String] = Set.empty
 }

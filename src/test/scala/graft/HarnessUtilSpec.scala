@@ -75,4 +75,20 @@ class HarnessUtilSpec extends AnyFunSuite {
     assert(Bench.sig3(0.123) == "0.12" && Bench.sig3(9.996) == "10.0")
     assert(Bench.sig3(12.34) == "12.3" && Bench.sig3(123.4) == "123")
   }
+
+  test("pack release boundaries cover cross-pack memo consumers") {
+    // g1_pagerank (curation pack) reads the dedup pack's pair-stats
+    // memo; the dedup release set must include it or the bench
+    // releases the memo after d8 and g1 measures a cold rebuild
+    val dedupSet = SparkEntry.packReleases
+      .map(_._1).find(_.contains("d2_ngram_jaccard")).get
+    Seq("g1_pagerank", "c13_split_leakage", "d7_dedup_clusters",
+      "c10_curation_pipeline", "d9_keep_list").foreach { q =>
+      assert(dedupSet.contains(q), q)
+    }
+    // every declared consumer must be a real query name
+    val all = SparkEntry.queries.keySet
+    SparkEntry.packReleases.flatMap(_._1).foreach(q =>
+      assert(all.contains(q), s"release set names unknown query $q"))
+  }
 }
