@@ -46,16 +46,24 @@ object Graph {
     // tail rounds past the last checkpoint materialize at consumption
     // time), so these must outlive this call — the harness releases
     // them at the operation boundary (Caches.releaseStray)
-    val sym = graft.util.Caches.scoped(
-      e.union(e.select(col("dst"), col("src"))).repartition(col("src")))
-    val deg = graft.util.Caches.scoped(
-      sym.groupBy(col("src")).agg(count(lit(1)).as("deg")))
-    val n = deg.count()
+    val sym = e.union(e.select(col("dst"), col("src")))
+    // source degrees folded into the cached edge list ONCE, so each
+    // round is a single edges⨝ranks join — the per-round deg join the
+    // previous form paid 10× is gone. deg (not 1/deg) is stored so
+    // the per-round arithmetic stays rank/deg, bit-identical to the
+    // oracle's unrolled CTEs.
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val weighted = graft.util.Caches.scoped(
+      sym.join(deg, Seq("src"))
+        .select(col("src"), col("dst"), col("deg"))
+        .repartition(col("src")))
+    val n = weighted.select(col("src")).distinct().count()
     if (n == 0)
       return e.select(col("src").as("id"),
         lit(0.0).as("rank")).limit(0)
     val teleport = (1.0 - damping) / n
-    var ranks = deg.select(col("src").as("id"), lit(1.0 / n).as("rank"))
+    var ranks = weighted.select(col("src")).distinct()
+      .select(col("src").as("id"), lit(1.0 / n).as("rank"))
     // checkpoint every few rounds, not every round: each round is one
     // join+agg of LINEAR lineage, so a handful of rounds analyze fine,
     // while a checkpoint is a full materialization job — at small
@@ -75,8 +83,8 @@ object Graph {
       }
     var lastCpRdd: Option[org.apache.spark.rdd.RDD[_]] = None
     (1 to iters).foreach { i =>
-      val next = sym.join(ranks, sym("src") === ranks("id"))
-        .join(deg, Seq("src"))
+      val next = weighted
+        .join(ranks, weighted("src") === ranks("id"))
         .select(col("dst").as("id"), (col("rank") / col("deg")).as("c"))
         .groupBy(col("id"))
         .agg((lit(teleport) + lit(damping) * sum(col("c"))).as("rank"))
