@@ -1,0 +1,26 @@
+object X7T {
+  def main(args: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[32]").config("spark.sql.shuffle.partitions","32")
+      .config("spark.ui.enabled","false").config("spark.sql.session.timeZone","UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong","true")
+      .config("spark.sql.adaptive.enabled","true")
+      .config("spark.sql.extensions","graft.expressions.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Seq("/root/testdata/sf0.1","target/scaling/x100").foreach { d =>
+      def t(): Double = {
+        val t0=System.nanoTime()
+        graft.SparkEntry.queries("x7_repetition")(spark, d).queryExecution.toRdd.count()
+        (System.nanoTime()-t0)/1e9
+      }
+      t()
+      println(f"$d x7 ${(1 to 3).map(_=>t()).min}%.2f s")
+    }
+    // plan shape: must be shuffle-free
+    val p = graft.SparkEntry.queries("x7_repetition")(spark, "/root/testdata/sf0.01")
+      .queryExecution.executedPlan.toString
+    println("exchanges=" + "Exchange".r.findAllIn(p).length)
+    spark.stop()
+  }
+}

@@ -79,28 +79,36 @@ object TextQueries extends QueryPack {
 
     // Repetition filter (Gopher/C4-style): duplicate-word fraction and
     // most-frequent-bigram share per doc — the repetition signals used
-    // to drop low-quality pretraining docs
+    // to drop low-quality pretraining docs. Both signals are DOC-LOCAL,
+    // so the whole query is ONE projection riding the scan: the top
+    // bigram count is the longest equal run of the doc's sorted bigram
+    // array, found by a linear HOF fold — the earlier form exploded
+    // every bigram into (doc, bigram)-keyed rows and paid two
+    // corpus-bigram-sized shuffles for a per-row statistic.
     "x7_repetition" -> ((s, d) => {
-      val toks = Tables.load(s, d, "documents")
-        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+      val t = split(trim(col("text")), "\\s+")
+      val bgSorted = array_sort(transform(sequence(lit(0), size(t) - 2),
+        i => concat_ws(" ", slice(t, i + 1, lit(2)))))
+      val topRun = aggregate(bgSorted,
+        struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+        (acc, x) => {
+          val run = when(x === acc.getField("prev"),
+            acc.getField("run") + 1).otherwise(lit(1L))
+          struct(x.as("prev"), run.as("run"),
+            greatest(acc.getField("best"), run).as("best"))
+        },
+        acc => acc.getField("best"))
+      Tables.load(s, d, "documents")
         .select(col("doc_id"),
-          size(col("t")).cast("long").as("n_tokens"),
-          size(array_distinct(col("t"))).cast("long").as("n_distinct"),
-          col("t"))
+          size(t).cast("long").as("n_tokens"),
+          size(array_distinct(t)).cast("long").as("n_distinct"),
+          topRun.as("top_bg"))
         .filter(col("n_tokens") >= 2)
-      toks
-        .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
-          explode(transform(sequence(lit(0), size(col("t")) - 2),
-            i => concat_ws(" ", slice(col("t"), i + 1, lit(2))))).as("bg"))
-        .groupBy(col("doc_id"), col("n_tokens"), col("n_distinct"), col("bg"))
-        .agg(count(lit(1)).as("c"))
-        .groupBy(col("doc_id"), col("n_tokens"), col("n_distinct"))
-        .agg(max(col("c")).as("top_bg"), sum(col("c")).as("n_bg"))
         .select(col("doc_id"), col("n_tokens"),
           (lit(1.0) - col("n_distinct").cast("double")
             / col("n_tokens").cast("double")).as("dup_word_frac"),
           (col("top_bg").cast("double")
-            / col("n_bg").cast("double")).as("top_bigram_frac"))
+            / (col("n_tokens") - 1).cast("double")).as("top_bigram_frac"))
     }),
 
     // PII redaction: mask numeric identifiers inside JSON event
