@@ -141,10 +141,124 @@ object CommonPrefixChars {
   }
 }
 
+/** One-pass repetition statistics for the Gopher/C4-style quality
+  * filter (x7): `struct(n_tokens, n_distinct, top_bg)` over the
+  * whitespace tokenization of a doc, where `top_bg` is the count of
+  * the most frequent bigram (tokens joined with a single space — the
+  * same key `concat_ws(' ', slice(t, i+1, 2))` built). Replaces a
+  * `transform → array_sort → aggregate` HOF chain that Spark only
+  * interprets: per doc that chain allocated a bigram array, sorted
+  * it, and folded a struct accumulator element-by-element through
+  * the interpreter (~6 ms/doc); this kernel is one byte scan plus
+  * two small open-hash tables, inside whole-stage codegen.
+  *
+  * Tokenization replicates `split(trim(text), "\\s+")` exactly:
+  * ASCII-space trim, Java `\s` separators (space, TAB..CR), a
+  * leading/trailing empty token when the trimmed text starts/ends
+  * with a non-space whitespace char (Java `Pattern.split` limit -1
+  * semantics), and `[""]` for blank input. Multi-byte UTF-8 chars
+  * are all ≥ 0x80 per byte, so the byte-level separator test never
+  * splits inside a code point.
+  */
+case class RepetitionStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("n_distinct", LongType, nullable = false),
+    StructField("top_bg", LongType, nullable = false)))
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"repetition_stats expects string, got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(input: Any): Any =
+    RepetitionStats.stats(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.RepetitionStats.stats($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): RepetitionStats =
+    copy(child = newChild)
+  override def prettyName: String = "repetition_stats"
+}
+
+object RepetitionStats {
+  private def isWs(b: Byte): Boolean =
+    b == ' ' || (b >= 0x09 && b <= 0x0d)
+
+  // Java-callable from generated code.
+  def stats(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val a = s.getBytes
+    var lo = 0
+    var hi = a.length
+    while (lo < hi && a(lo) == ' ') lo += 1
+    while (hi > lo && a(hi - 1) == ' ') hi -= 1
+
+    // token (offset, length) pairs; empty tokens only at the ends
+    var offs = new Array[Int](16)
+    var lens = new Array[Int](16)
+    var n = 0
+    def add(off: Int, len: Int): Unit = {
+      if (n == offs.length) {
+        offs = java.util.Arrays.copyOf(offs, n * 2)
+        lens = java.util.Arrays.copyOf(lens, n * 2)
+      }
+      offs(n) = off; lens(n) = len; n += 1
+    }
+    if (lo == hi) add(lo, 0) // split("") = [""]
+    else {
+      var i = lo
+      var done = false
+      while (!done) {
+        val start = i
+        while (i < hi && !isWs(a(i))) i += 1
+        add(start, i - start)
+        if (i == hi) done = true
+        else {
+          while (i < hi && isWs(a(i))) i += 1
+          if (i == hi) { add(hi, 0); done = true } // trailing separator
+        }
+      }
+    }
+
+    val distinct = new java.util.HashSet[UTF8String](math.max(16, n * 2))
+    var t = 0
+    while (t < n) {
+      distinct.add(UTF8String.fromBytes(a, offs(t), lens(t)))
+      t += 1
+    }
+
+    var top = 0L
+    if (n >= 2) {
+      val counts = new java.util.HashMap[UTF8String, Integer](n * 2)
+      var i = 0
+      while (i < n - 1) {
+        val bl = lens(i) + 1 + lens(i + 1)
+        val bg = new Array[Byte](bl)
+        System.arraycopy(a, offs(i), bg, 0, lens(i))
+        bg(lens(i)) = ' '
+        System.arraycopy(a, offs(i + 1), bg, lens(i) + 1, lens(i + 1))
+        val key = UTF8String.fromBytes(bg)
+        val prev = counts.get(key)
+        val c = if (prev == null) 1 else prev.intValue() + 1
+        counts.put(key, Integer.valueOf(c))
+        if (c > top) top = c
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n.toLong, distinct.size().toLong, top))
+  }
+}
+
 object StringKernels {
   /** `regexp_replace(s, '[^a-z0-9]', '')` for lowercased input. */
   def strip_non_alnum(c: Column): Column =
     Bridge.column(StripNonAlnum(Bridge.expression(c)))
+
+  /** One-pass (n_tokens, n_distinct, top-bigram-count) struct. */
+  def repetition_stats(c: Column): Column =
+    Bridge.column(RepetitionStats(Bridge.expression(c)))
 
   /** Leading common code points of two strings. */
   def common_prefix_chars(a: Column, b: Column): Column =

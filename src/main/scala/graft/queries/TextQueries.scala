@@ -80,35 +80,22 @@ object TextQueries extends QueryPack {
     // Repetition filter (Gopher/C4-style): duplicate-word fraction and
     // most-frequent-bigram share per doc — the repetition signals used
     // to drop low-quality pretraining docs. Both signals are DOC-LOCAL,
-    // so the whole query is ONE projection riding the scan: the top
-    // bigram count is the longest equal run of the doc's sorted bigram
-    // array, found by a linear HOF fold — the earlier form exploded
-    // every bigram into (doc, bigram)-keyed rows and paid two
-    // corpus-bigram-sized shuffles for a per-row statistic.
+    // so the whole query is ONE shuffle-free projection riding the
+    // scan, with the token/distinct/top-bigram statistics computed by
+    // the codegen'd RepetitionStats kernel in a single byte pass per
+    // doc (the earlier forms either exploded every bigram into two
+    // corpus-bigram-sized shuffles, or folded a sorted bigram array
+    // through Spark's interpreted HOF evaluator at ~6 ms/doc).
     "x7_repetition" -> ((s, d) => {
-      val t = split(trim(col("text")), "\\s+")
-      val bgSorted = array_sort(transform(sequence(lit(0), size(t) - 2),
-        i => concat_ws(" ", slice(t, i + 1, lit(2)))))
-      val topRun = aggregate(bgSorted,
-        struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
-        (acc, x) => {
-          val run = when(x === acc.getField("prev"),
-            acc.getField("run") + 1).otherwise(lit(1L))
-          struct(x.as("prev"), run.as("run"),
-            greatest(acc.getField("best"), run).as("best"))
-        },
-        acc => acc.getField("best"))
+      val rs = graft.expressions.StringKernels.repetition_stats(col("text"))
       Tables.load(s, d, "documents")
-        .select(col("doc_id"),
-          size(t).cast("long").as("n_tokens"),
-          size(array_distinct(t)).cast("long").as("n_distinct"),
-          topRun.as("top_bg"))
-        .filter(col("n_tokens") >= 2)
-        .select(col("doc_id"), col("n_tokens"),
-          (lit(1.0) - col("n_distinct").cast("double")
-            / col("n_tokens").cast("double")).as("dup_word_frac"),
-          (col("top_bg").cast("double")
-            / (col("n_tokens") - 1).cast("double")).as("top_bigram_frac"))
+        .select(col("doc_id"), rs.as("rs"))
+        .filter(col("rs.n_tokens") >= 2)
+        .select(col("doc_id"), col("rs.n_tokens").as("n_tokens"),
+          (lit(1.0) - col("rs.n_distinct").cast("double")
+            / col("rs.n_tokens").cast("double")).as("dup_word_frac"),
+          (col("rs.top_bg").cast("double")
+            / (col("rs.n_tokens") - 1).cast("double")).as("top_bigram_frac"))
     }),
 
     // PII redaction: mask numeric identifiers inside JSON event

@@ -1,0 +1,67 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Stage profiler for the DedupQueries shared-memo build — the chain
+  * c10 pays cold as its family's first consumer in bench run order.
+  * Usage: runMain graft.tools.ProfMemo <dir>
+  */
+object ProfMemo {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.local.dir", graft.util.Scratch.localDir("graft-profmemo-"))
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1 << 20).selectExpr("sum(id)").collect()
+
+    def t[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"PROFMEMO $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+    t("docs_scan")(docs.count())
+
+    // mirror DedupQueries.sharedAll stage by stage
+    val sh = graft.dedup.Dedup.shinglePostings(
+      docs, "doc_id", "text", n = 3, maxDf = Int.MaxValue)
+    t("postings_count")(sh.count())
+    val keyed = sh.select(col("doc"), col("shingle"),
+      xxhash64(col("shingle")).as("sh_h"))
+    val hot = keyed.groupBy(col("sh_h"))
+      .agg(count(lit(1)).as("df_h")).filter(col("df_h") > 50)
+      .select("sh_h").cache()
+    t("hot_cached")(hot.count())
+    val capped = keyed.join(hot, Seq("sh_h"), "left_anti")
+    val multi = graft.dedup.Dedup.groupsFromPostings(sh, maxDf = 50)
+      .filter(size(col("docs")) >= 2).cache()
+    t("multi_cached")(multi.count())
+    val sizes = capped.groupBy(col("doc"))
+      .agg(count(lit(1)).as("sz")).cache()
+    t("sizes_cached")(sizes.count())
+    val stats = graft.dedup.Dedup.pairStatsFromGroups(multi, sizes).cache()
+    t("stats_cached")(stats.count())
+    val edges = stats.filter(col("jaccard") >= 0.1)
+      .select(col("doc_a"), col("doc_b"))
+    t("components")({
+      val c = graft.curation.Curation.connectedComponents(
+        docs.select(col("doc_id")), edges).cache()
+      c.count()
+      c.unpersist(true)
+    })
+    graft.util.Caches.releaseStray()
+    spark.stop()
+  }
+}

@@ -1,0 +1,62 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import scala.util.control.NonFatal
+
+/** Time one or more SparkEntry queries against a data directory —
+  * the local iteration loop for bench work (the full suite is
+  * graft.Bench). Reports min of `reps` materialized timings per
+  * query plus the executed plan's exchange count.
+  *
+  * Usage: runMain graft.tools.TimeQuery <dir> <name>[,<name>...] [reps]
+  */
+object TimeQuery {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2,
+      "usage: TimeQuery <dataDir> <queryName>[,<queryName>...] [reps]")
+    val dir = args(0)
+    val names = args(1).split(",").toSeq
+    val reps = if (args.length > 2) args(2).toInt else 3
+    val unknown = names.filterNot(graft.SparkEntry.queries.contains)
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
+
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.local.dir", graft.util.Scratch.localDir("graft-timeq-"))
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1 << 20).selectExpr("sum(id)").collect()
+
+    names.foreach { name =>
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        graft.SparkEntry.queries(name)(spark, dir)
+          .queryExecution.toRdd.count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        graft.util.Caches.releaseStray()
+        graft.SparkEntry.releaseShared(spark)
+        sec
+      }
+      try {
+        val times = (1 to reps).map(_ => once())
+        val plan = graft.SparkEntry.queries(name)(spark, dir)
+          .queryExecution.executedPlan.toString
+        val ex = "Exchange".r.findAllIn(plan).length
+        println(f"TIMEQ $name%-28s min=${times.min}%7.3f s  " +
+          f"all=[${times.map(t => f"$t%.3f").mkString(", ")}]  exchanges=$ex")
+      } catch {
+        case NonFatal(e) =>
+          println(s"TIMEQ $name FAILED: ${e.getMessage}")
+      }
+    }
+    spark.stop()
+  }
+}

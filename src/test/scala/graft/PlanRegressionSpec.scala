@@ -85,6 +85,12 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("x7 repetition: shuffle-free kernel projection") {
+    val p = plan("x7_repetition")
+    assert(!p.contains("Exchange"), "x7 must stay a per-doc projection")
+    assert(p.contains("repetition_stats"), "x7 must use the codegen kernel")
+  }
+
   test("x8 redact: scan prunes to the two referenced columns") {
     val p = plan("x8_redact")
     assert(!p.contains("user_id") && !p.contains("event_type"),

@@ -85,4 +85,40 @@ class StringKernelsSpec extends AnyFunSuite {
     assert(rows(1).isNullAt(0))
     assert(rows(2).getString(0) == "")
   }
+
+  test("repetition_stats ≡ split/array_distinct/HOF reference") {
+    val docs = Seq(
+      "", "   ", "a", "a a a", "a b a b a", "one two three two three",
+      "tabs\tand\nnewlines", "x\t", "\ty", "a  b   c", " padded doc ",
+      "é ñ é ñ é", "same same same same", "😀 a 😀 a",
+      "b b b b b b b b b b") // degenerate: one repeated bigram
+    val t = split(trim(col("s")), "\\s+")
+    val bgSorted = array_sort(transform(sequence(lit(0), size(t) - 2),
+      i => concat_ws(" ", slice(t, i + 1, lit(2)))))
+    val topRun = aggregate(bgSorted,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"),
+          acc.getField("run") + 1).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    // the HOF reference's sequence(0, size-2) is unsafe below 2
+    // tokens, so compare top_bg only where n_tokens >= 2 (the only
+    // region x7 consumes) and n/distinct everywhere
+    val rows = docs.toDF("s")
+      .select(col("s"), repetition_stats(col("s")).as("rs"),
+        size(t).cast("long").as("ref_n"),
+        size(array_distinct(t)).cast("long").as("ref_d"),
+        when(size(t) >= 2, topRun).otherwise(lit(0L)).as("ref_top"))
+      .collect()
+    rows.foreach { r =>
+      val rs = r.getStruct(1)
+      assert(rs.getLong(0) == r.getLong(2), s"n_tokens for '${r.getString(0)}'")
+      assert(rs.getLong(1) == r.getLong(3), s"n_distinct for '${r.getString(0)}'")
+      if (r.getLong(2) >= 2)
+        assert(rs.getLong(2) == r.getLong(4), s"top_bg for '${r.getString(0)}'")
+    }
+  }
 }
