@@ -49,7 +49,8 @@ object SparkEntry {
     * unrelated queries' measurements. */
   def packReleases: Seq[(Set[String], SparkSession => Unit)] =
     packs.map(p => (p.queries.keySet ++ p.memoConsumers,
-      (s: SparkSession) => p.releaseShared(s)))
+      (s: SparkSession) => p.releaseShared(s))) ++
+      packs.flatMap(_.memoReleases)
 
   /** Release every pack's session-shared caches and memos. */
   def releaseShared(spark: SparkSession): Unit =

@@ -328,6 +328,75 @@ object Dedup {
   def postingsFromGroups(groups: DataFrame): DataFrame =
     groups.select(explode(col("docs")).as("doc"), col("shingle"))
 
+  /** Grouped index AND the over-cap hash set from the SAME single
+    * aggregation: `(sh_h, shingle, docs)` where `docs` is the sorted
+    * doc list for groups within the df cap and NULL for the (Zipf
+    * head) groups that overflowed it. Callers filter the two views
+    * out of one cached frame — `docs IS NULL` is exactly the
+    * `df > maxDf` hot set that [[cappedDocSizes]] computes with a
+    * second full pass over the postings, so a consumer needing both
+    * the pair-bearing groups and the cap set pays ONE shingle
+    * flatMap + ONE exchange instead of two of each. */
+  def groupsAndHotFromPostings(postings: DataFrame, maxDf: Int): DataFrame =
+    postings
+      .groupBy(xxhash64(col("shingle")).as("sh_h"))
+      .agg(min(col("shingle")).as("shingle"),
+        graft.expressions.BoundedCollectAgg
+          .bounded_collect_sorted(col("doc"), maxDf).as("docs"))
+
+  /** Per-doc surviving-shingle count (the Jaccard denominator) as a
+    * ZERO-SHUFFLE map pass: re-shingle each doc in place and count
+    * the distinct shingles whose xxhash64 is not in `hotHashes` (the
+    * df-cap overflow set, tiny under the cap's own bound — at most
+    * |postings| / maxDf keys — and broadcast by the caller). Values
+    * are identical to `cappedDocSizes(postings, maxDf)`: both drop
+    * membership of the same xxhash64-keyed over-cap groups. The
+    * postings-shuffle formulation re-keys every posting by doc; this
+    * one touches each doc row once where it already lives, which is
+    * also the 100 TB shape (the denominator is doc-local given the
+    * hot set). Docs with no surviving shingles emit nothing, matching
+    * the groupBy frame. */
+  def docSizesFromHot(df: DataFrame, idCol: String, textCol: String,
+      n: Int, hotHashes: org.apache.spark.broadcast.Broadcast[java.util.HashSet[java.lang.Long]]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    graft.sources.Tables.fanOut(df)
+      .select(col(idCol).cast("long").as("doc"), col(textCol).as("txt"))
+      .as[(Long, String)]
+      .flatMap { case (id, t) =>
+        if (t == null) Iterator.empty
+        else {
+          val toks = t.trim.split("\\s+")
+          val m = toks.length - n + 1
+          if (m <= 0) Iterator.empty
+          else {
+            val hot = hotHashes.value
+            val seen = new java.util.HashSet[String](m * 2)
+            var cnt = 0L
+            var i = 0
+            while (i < m) {
+              val sb = new java.lang.StringBuilder(32)
+              var j = 0
+              while (j < n) {
+                if (j > 0) sb.append(' ')
+                sb.append(toks(i + j)); j += 1
+              }
+              val s = sb.toString
+              if (seen.add(s) && !hot.contains(XxHash64Function.hash(
+                  UTF8String.fromString(s), StringType, 42L)))
+                cnt += 1
+              i += 1
+            }
+            if (cnt == 0) Iterator.empty else Iterator((id, cnt))
+          }
+        }
+      }
+      .toDF("doc", "sz")
+  }
+
   /** Per-doc surviving-shingle counts — the Jaccard denominator — via
     * codegen-only COUNT aggregates: df-count per shingle hash, the
     * (small, Zipf-head) over-cap hash set anti-joined away (AQE

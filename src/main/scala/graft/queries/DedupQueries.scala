@@ -16,8 +16,13 @@ object DedupQueries extends QueryPack {
   // (typed-flatMap plans don't canonicalize equal across separate
   // builds, so Spark's cache can't match them by plan).
   private final case class Shared(multi: DataFrame, postings: DataFrame,
-      stats: DataFrame, cands: DataFrame, sizes: DataFrame, hot: DataFrame) {
-    def cached: Seq[DataFrame] = Seq(multi, stats, cands, sizes, hot)
+      stats: DataFrame, cands: DataFrame, sizes: DataFrame, index: DataFrame,
+      hotBc: org.apache.spark.broadcast.Broadcast[_]) {
+    def cached: Seq[DataFrame] = Seq(index, stats, cands, sizes)
+    def release(): Unit = {
+      cached.foreach(_.unpersist(true))
+      hotBc.destroy()
+    }
   }
 
   private val memo = scala.collection.concurrent.TrieMap.empty[String, Shared]
@@ -25,32 +30,38 @@ object DedupQueries extends QueryPack {
   private def sharedAll(s: SparkSession, d: String): Shared =
     memo.getOrElseUpdate(d, {
       import org.apache.spark.sql.functions.{col, size}
-      // the postings stream and the grouped index stay LAZY: the x100
-      // profile showed the chain's dominant cost was cache-
-      // materializing the full grouped index (23M rows, 97% df=1
-      // singletons that contribute zero pairs). What IS cached is two
-      // small frames — the multi-doc groups (pairs' only source, ~3%
-      // of groups) and the per-doc size denominator (one row per doc,
-      // computed by codegen-only count aggregates). Re-running the
-      // shingle flatMap per consumer costs ~2 s at the 100× corpus vs
-      // ~25 s for the singleton-heavy cache write it replaces.
-      import org.apache.spark.sql.functions.{count, lit, xxhash64}
+      // the postings stream stays LAZY and the grouped index caches
+      // only its pair-bearing + over-cap rows: the x100 profile showed
+      // the chain's dominant cost was cache-materializing the full
+      // grouped index (23M rows, 97% df=1 singletons that contribute
+      // zero pairs). ONE bounded-collect aggregation produces both the
+      // multi-doc groups (docs non-null, |docs| >= 2 — pairs' only
+      // source) and the df-cap hot set (docs null = buffer overflow =
+      // df > 50), so the build pays one shingle flatMap + one exchange
+      // where the split hot/multi formulation paid two of each.
       val sh = Dedup.shinglePostings(
         Tables.load(s, d, "documents"), "doc_id", "text", n = 3,
         maxDf = Int.MaxValue)
-      // the df cap, shared three ways: the over-cap hash set is the
-      // Zipf HEAD — tiny — so it caches whole and broadcast-anti-joins
-      // against the postings stream wherever the cap is needed
+      val index = Dedup.groupsAndHotFromPostings(sh, maxDf = 50)
+        .filter(col("docs").isNull || size(col("docs")) >= 2).cache()
+      val hot = index.filter(col("docs").isNull).select(col("sh_h"))
+      val multi = index.filter(col("docs").isNotNull)
+        .select(col("shingle"), col("docs"))
+      // the hot set is tiny by the cap's own bound (≤ |postings|/50
+      // keys — the Zipf HEAD), so it rides to the executors as a
+      // broadcast for the zero-shuffle size kernel below and as a
+      // broadcast-anti-join for the capped postings stream
+      val hotSet = {
+        val hs = new java.util.HashSet[java.lang.Long]()
+        hot.collect().foreach(r => hs.add(r.getLong(0)))
+        s.sparkContext.broadcast(hs)
+      }
+      val sizes = Dedup.docSizesFromHot(
+        Tables.load(s, d, "documents"), "doc_id", "text", n = 3,
+        hotHashes = hotSet).cache()
       val keyed = sh.select(col("doc"), col("shingle"),
-        xxhash64(col("shingle")).as("sh_h"))
-      val hot = keyed.groupBy(col("sh_h"))
-        .agg(count(lit(1)).as("df_h")).filter(col("df_h") > 50)
-        .select("sh_h").cache()
+        org.apache.spark.sql.functions.xxhash64(col("shingle")).as("sh_h"))
       val capped = keyed.join(hot, Seq("sh_h"), "left_anti")
-      val multi = Dedup.groupsFromPostings(sh, maxDf = 50)
-        .filter(size(col("docs")) >= 2).cache()
-      val sizes = capped.groupBy(col("doc"))
-        .agg(count(lit(1)).as("sz")).cache()
       val stats = Dedup.pairStatsFromGroups(multi, sizes).cache()
       // band-keyed candidates shared by d3 and d11: signatures via the
       // POSTINGS formulation (8 md5s + min per doc — codegen count/min
@@ -64,7 +75,7 @@ object DedupQueries extends QueryPack {
       // the postings slot stays for API compatibility (consumers that
       // pass stats+cands never evaluate it)
       Shared(multi, capped.select(col("doc"), col("shingle")), stats,
-        cands, sizes, hot)
+        cands, sizes, index, hotSet)
     })
 
   private[queries] def shared(s: SparkSession, d: String): (DataFrame, DataFrame) = {
@@ -82,7 +93,7 @@ object DedupQueries extends QueryPack {
   }
 
   override def releaseShared(spark: SparkSession): Unit = {
-    memo.values.foreach(_.cached.foreach(_.unpersist(true)))
+    memo.values.foreach(_.release())
     memo.clear()
   }
 
@@ -95,6 +106,24 @@ object DedupQueries extends QueryPack {
   override def memoConsumers: Set[String] = Set(
     "c10_curation_pipeline", "c13_split_leakage",
     "d7_dedup_clusters", "d9_keep_list", "g1_pagerank")
+
+  // Per-memo lifetimes (run order: c10 < c13 < d11 < d3 < ... < g1):
+  //  - sizes feeds only the stats build, and stats is materialized by
+  //    its first consumer (c10 in a full run) — drop sizes there.
+  //  - index (grouped groups + hot set) feeds stats and cands; cands
+  //    materializes at c13 (the first sharedLsh consumer) — after
+  //    that the index cache is dead weight. Its lineage stays
+  //    recomputable (unpersist only), so an absent consumer or an
+  //    evicted downstream cache degrades to recompute, never error.
+  //  - cands' last consumer is d3; stats lives until the family
+  //    boundary (g1) via releaseShared.
+  override def memoReleases: Seq[(Set[String], SparkSession => Unit)] = Seq(
+    (Set("c10_curation_pipeline"),
+      _ => memo.values.foreach(_.sizes.unpersist(true))),
+    (Set("c13_split_leakage"),
+      _ => memo.values.foreach(_.index.unpersist(true))),
+    (Set("d3_minhash_lsh"),
+      _ => memo.values.foreach(_.cands.unpersist(true))))
 
   def queries: Map[String, Q] = Map(
     // Exact dedup by normalized-content fingerprint (events.props has

@@ -34,4 +34,17 @@ trait QueryPack {
     * silently rebuilds the whole shared chain cold inside its own
     * measurement. */
   def memoConsumers: Set[String] = Set.empty
+
+  /** Finer-grained per-memo release hooks: (consumer names, hook)
+    * pairs the bench fires right after the LAST listed consumer in
+    * run order — so an individual memo drops as soon as ITS consumers
+    * are done instead of holding storage until the whole family's
+    * release boundary (the round-11 lifetime extension parked every
+    * dedup memo until g1_pagerank; build intermediates like the
+    * grouped index were dead weight for the ~20 queries in between).
+    * Hooks must UNPERSIST only (lineage stays recomputable): a memo
+    * frame evicted-then-reread after its hook fired recomputes
+    * instead of erroring, and [[releaseShared]] remains the full
+    * teardown. */
+  def memoReleases: Seq[(Set[String], SparkSession => Unit)] = Seq.empty
 }

@@ -38,18 +38,20 @@ object ProfMemo {
     val sh = graft.dedup.Dedup.shinglePostings(
       docs, "doc_id", "text", n = 3, maxDf = Int.MaxValue)
     t("postings_count")(sh.count())
-    val keyed = sh.select(col("doc"), col("shingle"),
-      xxhash64(col("shingle")).as("sh_h"))
-    val hot = keyed.groupBy(col("sh_h"))
-      .agg(count(lit(1)).as("df_h")).filter(col("df_h") > 50)
-      .select("sh_h").cache()
-    t("hot_cached")(hot.count())
-    val capped = keyed.join(hot, Seq("sh_h"), "left_anti")
-    val multi = graft.dedup.Dedup.groupsFromPostings(sh, maxDf = 50)
-      .filter(size(col("docs")) >= 2).cache()
-    t("multi_cached")(multi.count())
-    val sizes = capped.groupBy(col("doc"))
-      .agg(count(lit(1)).as("sz")).cache()
+    val index = graft.dedup.Dedup.groupsAndHotFromPostings(sh, maxDf = 50)
+      .filter(col("docs").isNull || size(col("docs")) >= 2).cache()
+    t("index_cached")(index.count())
+    val hot = index.filter(col("docs").isNull).select(col("sh_h"))
+    val multi = index.filter(col("docs").isNotNull)
+      .select(col("shingle"), col("docs"))
+    val hotSet = t("hot_collect")({
+      val hs = new java.util.HashSet[java.lang.Long]()
+      hot.collect().foreach(r => hs.add(r.getLong(0)))
+      println(s"PROFMEMO   hot set size = ${hs.size}")
+      spark.sparkContext.broadcast(hs)
+    })
+    val sizes = graft.dedup.Dedup.docSizesFromHot(
+      docs, "doc_id", "text", n = 3, hotHashes = hotSet).cache()
     t("sizes_cached")(sizes.count())
     val stats = graft.dedup.Dedup.pairStatsFromGroups(multi, sizes).cache()
     t("stats_cached")(stats.count())
