@@ -232,6 +232,43 @@ object Bench {
 
     val total = retriedResults.collect { case (_, v) if v >= 0 => v }.sum
 
+    // Per-pack (query-family) subtotals + round-over-round drift: the
+    // round-11 c10 regression hid behind a FLAT suite geomean for a
+    // full round-trip — per-family conservation is the check that
+    // catches a family-local shift the aggregate absorbs. The
+    // previous record is whatever BENCH_FULL.json this run is about
+    // to overwrite (same-SF only); pack_drift carries every ratio in
+    // the full record and only the >±25% movers on stdout.
+    def packOf(name: String): String = name.takeWhile(!_.isDigit)
+    val packSums: Seq[(String, Double)] = retriedResults
+      .filter(_._2 >= 0).groupBy(p => packOf(p._1))
+      .map { case (f, qs) => f -> qs.map(_._2).sum }.toSeq.sortBy(_._1)
+    val prevPacks: Map[String, Double] = try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/root/repo/BENCH_FULL.json")), "UTF-8")
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = om.readTree(txt)
+      val prevSf = new java.io.File(
+        Option(root.get("sf")).map(_.asText("")).getOrElse("")).getName
+      val curSf = new java.io.File(sfDir).getName
+      if (prevSf != curSf) Map.empty
+      else {
+        val q = root.get("queries")
+        val it = q.properties().iterator()
+        val m = scala.collection.mutable.Map.empty[String, Double]
+        while (it.hasNext) {
+          val e = it.next()
+          val v = e.getValue.asDouble(-1.0)
+          if (v >= 0) m(packOf(e.getKey)) = m.getOrElse(packOf(e.getKey), 0.0) + v
+        }
+        m.toMap
+      }
+    } catch { case NonFatal(_) => Map.empty }
+    val packDrift: Seq[(String, Double)] = packSums.flatMap { case (f, v) =>
+      prevPacks.get(f).filter(_ > 0.05).map(p => f -> v / p)
+    }
+    val flaggedDrift = packDrift.filter { case (_, r) => r > 1.25 || r < 0.75 }
+
     // machine-factor canary, END sample (SCALE.md round-6 convention):
     // q1_agg re-measured after the whole suite — see canaryStart
     val canaryEnd =
@@ -251,6 +288,10 @@ object Bench {
       .mkString("{", ",", "}")}"""
     full ++= s""","pass2":${pass2.map { case (k, v) => s"${jstr(k)}:${num6(v)}" }
       .mkString("{", ",", "}")}"""
+    full ++= s""","packs":${packSums.map { case (k, v) => s"${jstr(k)}:${num(v)}" }
+      .mkString("{", ",", "}")}"""
+    full ++= s""","pack_drift":${packDrift.map { case (k, v) => s"${jstr(k)}:${num(v)}" }
+      .mkString("{", ",", "}")}"""
     full ++= s""","canary_q1_start":${num6(canaryStart)},"canary_q1_end":${num6(canaryEnd)},"gate_waits":$gateWaits}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("/root/repo/BENCH_FULL.json"), full.toString)
@@ -264,6 +305,12 @@ object Bench {
         .mkString("{", ",", "}")}"""
     if (retried.nonEmpty)
       extra ++= s""","retried":${retried.map { case (k, (a, b)) => s"${jstr(shortKey(k))}:[${num(a)},${num(b)}]" }
+        .mkString("{", ",", "}")}"""
+    // only the movers go on stdout (usually empty — the full ratio map
+    // is in BENCH_FULL.json's pack_drift); a non-empty value here is
+    // the round summary's family-conservation flag
+    if (flaggedDrift.nonEmpty)
+      extra ++= s""","pack_drift":${flaggedDrift.map { case (k, v) => s"${jstr(k)}:${num2(v)}" }
         .mkString("{", ",", "}")}"""
     // sf basename only and no redundant full-record pointer: the
     // stdout line must stay inside the driver's 2000-byte tail — a

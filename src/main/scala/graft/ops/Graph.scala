@@ -96,7 +96,14 @@ object Graph {
         cp
       } else next
     }
-    if (lastCpRdd.isDefined) graft.util.Caches.scopedCheckpoint(ranks)
+    // register exactly the final checkpoint RDD for operation-boundary
+    // release (never a leaf scan of `ranks` — that would also catch a
+    // caller-owned LogicalRDD if the edges input were RDD-backed).
+    // Contract for the returned frame: its lazy tail reads this
+    // checkpoint, so consume (materialize) it BEFORE the harness's
+    // next Caches.releaseStray sweep; after release the tail is
+    // unrecomputable by design (lineage was truncated).
+    lastCpRdd.foreach(graft.util.Caches.scopedCheckpointRdd)
     ranks
   }
 }

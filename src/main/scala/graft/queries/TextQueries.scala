@@ -115,11 +115,14 @@ object TextQueries extends QueryPack {
     // text itself is digit-free), planting one EMAIL, one SSN, one
     // IPV4 and one 7-digit phone run per doc; entity order matters
     // (EMAIL first protects its digits from LONG_NUMBER) and the
-    // oracle replays the identical stages with RE2. doc_id stays
-    // below 1e7 at every driver SF, so the id inside "userN" never
-    // itself becomes a LONG_NUMBER span.
+    // oracle replays the identical stages with RE2. The id embedded
+    // in "userN" is doc_id % 1e6 — at most 6 digits BY CONSTRUCTION,
+    // so it can never itself match LONG_NUMBER ([0-9]{7,}) at any
+    // corpus size (identity at every driver SF, where doc_id < 1e6;
+    // the raw-id form silently grew a fifth span once ids reached 7
+    // digits).
     "x12_redact_pii" -> ((s, d) => {
-      val id = col("doc_id").cast("string")
+      val id = (col("doc_id") % 1000000).cast("string")
       val note = concat(
         lit("contact user"), id, lit(" at user"), id,
         lit("@example.com or ssn "),
@@ -280,8 +283,8 @@ object TextQueries extends QueryPack {
       val ipv4 = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
       val num = "[0-9]{7,}"
       s"""WITH src AS (SELECT doc_id,
-         |    'contact user' || CAST(doc_id AS VARCHAR)
-         |    || ' at user' || CAST(doc_id AS VARCHAR)
+         |    'contact user' || CAST(doc_id % 1000000 AS VARCHAR)
+         |    || ' at user' || CAST(doc_id % 1000000 AS VARCHAR)
          |    || '@example.com or ssn '
          |    || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
          |    || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '-'

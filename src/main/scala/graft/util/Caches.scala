@@ -31,22 +31,21 @@ object Caches {
     df
   }
 
-  /** Register a `localCheckpoint`ed frame's storage for the next
+  /** Register a `localCheckpoint` RDD's storage for the next
     * [[releaseStray]] sweep. `Dataset.unpersist` only clears
     * CacheManager entries — a checkpoint's blocks belong to the
     * underlying RDD and otherwise wait on GC + ContextCleaner, the
-    * same nondeterministic drift this registry exists to remove. The
-    * RDD is extracted from the checkpoint's LogicalRDD leaf; after
-    * release the frame is unrecomputable, so this is strictly an
-    * operation-boundary hook (the harness calls releaseStray only
-    * after the consuming query has materialized). */
-  def scopedCheckpoint(df: DataFrame): DataFrame = {
-    df.queryExecution.analyzed.collectLeaves().foreach {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => rdds.add(lr.rdd)
-      case _ => ()
-    }
-    df
-  }
+    * same nondeterministic drift this registry exists to remove.
+    * Takes the SPECIFIC checkpoint RDD, not a frame to leaf-scan: a
+    * localCheckpoint truncates lineage, so releasing it makes every
+    * frame reading it permanently unrecomputable — the caller must
+    * name exactly the RDD it owns (a leaf scan would also swallow a
+    * caller-owned LogicalRDD leaf, releasing someone else's storage).
+    * Strictly an operation-boundary hook: the harness calls
+    * releaseStray only after the consuming query has materialized,
+    * and the consumer must not re-materialize after release. */
+  def scopedCheckpointRdd(rdd: org.apache.spark.rdd.RDD[_]): Unit =
+    rdds.add(rdd)
 
   /** Unpersist every registered stray cache; returns how many were
     * released. BLOCKING by design: the bench calls this between
