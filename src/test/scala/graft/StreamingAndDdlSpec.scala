@@ -62,6 +62,32 @@ class StreamingAndDdlSpec extends AnyFunSuite {
     assert(tracker.pendingCatalog("dynamodb").count() == 1)
   }
 
+  test("stream connector seam: file + memory connectors feed the same pipeline") {
+    implicit val sqlCtx = spark.sqlContext
+    // FILE connector: events land as JSON-lines files in a directory
+    // (the sandbox's SQS substitution, stated in code)
+    val inDir = tmp("conn_in")
+    Files.write(Paths.get(inDir, "batch1.jsonl"),
+      java.util.Arrays.asList(
+        ev("aws.s3", "CreateBucket", "bucketName", "bucket-conn"),
+        ev("aws.dynamodb", "CreateTable", "tableName", "tbl-conn")))
+    val tracker1 = new Tracker(spark, tmp("conn_tracker"))
+    Ingest.runOnboardingFrom(spark, Ingest.FileStreamConnector, inDir,
+      tracker1, tmp("conn_ckpt")).awaitTermination(60000)
+    assert(tracker1.read().collect().map(_.getAs[String]("source_name")).toSet
+      == Set("bucket-conn", "tbl-conn"))
+
+    // MEMORY connector: identical pipeline, swapped source — the
+    // substitution is the connector value, nothing downstream
+    val stream = MemoryStream[String]
+    stream.addData(ev("aws.s3", "CreateBucket", "bucketName", "bucket-mem"))
+    val tracker2 = new Tracker(spark, tmp("conn_tracker2"))
+    Ingest.runOnboardingFrom(spark, Ingest.MemoryStreamConnector(stream),
+      "unused", tracker2, tmp("conn_ckpt2")).awaitTermination(60000)
+    assert(tracker2.read().collect()
+      .map(_.getAs[String]("source_name")).toSet == Set("bucket-mem"))
+  }
+
   test("real CloudTrail shapes: rds responseElements id + glue CreateTable rule") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[String]
