@@ -78,27 +78,37 @@ object AnalyticsQueries extends QueryPack {
             .as("corr_value_user"))
     }),
 
-    // Closed-form OLS fit per group (price ~ quantity): slope and
-    // intercept from the same decimal-stable moment sums as an4 — one
-    // partial-aggregating pass, no iterative solver; slope computed
-    // once and REUSED for the intercept so both engines run the
-    // identical double arithmetic
-    // Per-group Pearson correlation from the same decimal-stable
-    // moment pass as an7's OLS fit — one partial-agg shuffle of six
-    // moment columns per group, never a row-level covariance state;
-    // sqrt is IEEE correctly-rounded, so the closed form replays
-    // bit-stably in any engine (ulp absorbed by round 6)
+    // Per-group Pearson correlation from the same exact-integer
+    // moment pass as an7's OLS fit — one partial-agg shuffle of
+    // seven moment columns per group, never a row-level covariance
+    // state. The inputs are exactly representable in integer units
+    // (l_quantity is integral ≤ 50; l_extendedprice is exact cents
+    // ≤ ~1.05e7), so every moment is a LONG sum of long products —
+    // primitive codegen arithmetic, no per-row Decimal allocation
+    // (the Decimal(38,6) form this replaces paid a BigDecimal per
+    // cast and ran ~4× slower). Overflow headroom: |q·c| ≤ 5.25e8 →
+    // those sums fit a long past 1e10 rows (×10⁴ this SF); the one
+    // exception, Σc² (≤ 1.1e14 per row — a plain long sum overflows
+    // at just 84k rows), splits into hi = Σ(c² div 1e6) and
+    // lo = Σ(c² mod 1e6) (each long-safe to ×10⁴), recombined in
+    // DOUBLE; the oracle runs the identical recombination, and
+    // Pearson r is scale-invariant so cents-vs-dollars changes
+    // nothing. sqrt is IEEE correctly-rounded, so the closed form
+    // replays bit-stably in any engine (ulp absorbed by round 6).
     "an8_group_corr" -> ((s, d) => {
-      def dsum(c: org.apache.spark.sql.Column) =
-        sum(c.cast(DecimalType(38, 6))).cast(DoubleType)
       Tables.load(s, d, "lineitem")
+        .select(col("l_returnflag"),
+          col("l_quantity").cast(LongType).as("q"),
+          round(col("l_extendedprice") * 100, 0).cast(LongType).as("c"))
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).cast(DoubleType).as("n"),
-          dsum(col("l_quantity")).as("sx"),
-          dsum(col("l_extendedprice")).as("sy"),
-          dsum(col("l_quantity") * col("l_quantity")).as("sxx"),
-          dsum(col("l_extendedprice") * col("l_extendedprice")).as("syy"),
-          dsum(col("l_quantity") * col("l_extendedprice")).as("sxy"))
+          sum(col("q")).cast(DoubleType).as("sx"),
+          sum(col("c")).cast(DoubleType).as("sy"),
+          sum(col("q") * col("q")).cast(DoubleType).as("sxx"),
+          sum(expr("c * c div 1000000")).cast(DoubleType).as("syy_hi"),
+          sum((col("c") * col("c")) % 1000000L).cast(DoubleType).as("syy_lo"),
+          sum(col("q") * col("c")).cast(DoubleType).as("sxy"))
+        .withColumn("syy", col("syy_hi") * 1000000.0 + col("syy_lo"))
         .select(col("l_returnflag"),
           round((col("n") * col("sxy") - col("sx") * col("sy"))
             / sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
@@ -106,22 +116,31 @@ object AnalyticsQueries extends QueryPack {
             .as("r"))
     }),
 
+    // Closed-form OLS fit per group (price ~ quantity): slope and
+    // intercept from LONG moment sums over integer units (see an8's
+    // bounds — an7 needs no Σc² so every sum is a plain long,
+    // overflow-safe past 1e10 rows), no iterative solver; the cents
+    // scale divides out at the end (slope_cents = 100·slope_dollars)
+    // and slope is computed once and REUSED for the intercept so
+    // both engines run the identical double arithmetic
     "an7_linear_fit" -> ((s, d) => {
-      def dsum(c: org.apache.spark.sql.Column) =
-        sum(c.cast(DecimalType(38, 6))).cast(DoubleType)
       Tables.load(s, d, "lineitem")
+        .select(col("l_returnflag"),
+          col("l_quantity").cast(LongType).as("q"),
+          round(col("l_extendedprice") * 100, 0).cast(LongType).as("c"))
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).cast(DoubleType).as("n"),
-          dsum(col("l_quantity")).as("sx"),
-          dsum(col("l_extendedprice")).as("sy"),
-          dsum(col("l_quantity") * col("l_quantity")).as("sxx"),
-          dsum(col("l_quantity") * col("l_extendedprice")).as("sxy"))
+          sum(col("q")).cast(DoubleType).as("sx"),
+          sum(col("c")).cast(DoubleType).as("sy"),
+          sum(col("q") * col("q")).cast(DoubleType).as("sxx"),
+          sum(col("q") * col("c")).cast(DoubleType).as("sxy"))
         .select(col("l_returnflag"), col("n"), col("sx"), col("sy"),
           ((col("n") * col("sxy") - col("sx") * col("sy"))
-            / (col("n") * col("sxx") - col("sx") * col("sx"))).as("slope"))
+            / (col("n") * col("sxx") - col("sx") * col("sx")) / 100.0)
+            .as("slope"))
         .select(col("l_returnflag"),
           round(col("slope"), 6).as("slope"),
-          round((col("sy") - col("slope") * col("sx")) / col("n"), 6)
+          round((col("sy") / 100.0 - col("slope") * col("sx")) / col("n"), 6)
             .as("intercept"))
     }),
 
@@ -296,31 +315,41 @@ object AnalyticsQueries extends QueryPack {
         |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
         |  LEFT JOIN s3 ON s1.user_id = s3.user_id""".stripMargin,
     "an8_group_corr" ->
-      """WITH m AS (SELECT l_returnflag,
+      """WITH b AS (SELECT l_returnflag,
+        |    CAST(l_quantity AS BIGINT) AS q,
+        |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS c
+        |  FROM lineitem),
+        |m AS (SELECT l_returnflag,
         |    CAST(count(*) AS DOUBLE) AS n,
-        |    CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sx,
-        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sy,
-        |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
-        |    CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS syy,
-        |    CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sxy
-        |  FROM lineitem GROUP BY 1)
+        |    CAST(sum(q) AS DOUBLE) AS sx,
+        |    CAST(sum(c) AS DOUBLE) AS sy,
+        |    CAST(sum(q * q) AS DOUBLE) AS sxx,
+        |    CAST(sum(c * c // 1000000) AS DOUBLE) AS syy_hi,
+        |    CAST(sum(c * c % 1000000) AS DOUBLE) AS syy_lo,
+        |    CAST(sum(q * c) AS DOUBLE) AS sxy
+        |  FROM b GROUP BY 1),
+        |m2 AS (SELECT *, syy_hi * 1000000.0 + syy_lo AS syy FROM m)
         |SELECT l_returnflag,
         |  round((n * sxy - sx * sy)
         |    / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r
-        |FROM m""".stripMargin,
+        |FROM m2""".stripMargin,
 
     "an7_linear_fit" ->
-      """WITH m AS (SELECT l_returnflag,
+      """WITH b AS (SELECT l_returnflag,
+        |    CAST(l_quantity AS BIGINT) AS q,
+        |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS c
+        |  FROM lineitem),
+        |m AS (SELECT l_returnflag,
         |    CAST(count(*) AS DOUBLE) AS n,
-        |    CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sx,
-        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sy,
-        |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
-        |    CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sxy
-        |  FROM lineitem GROUP BY 1),
+        |    CAST(sum(q) AS DOUBLE) AS sx,
+        |    CAST(sum(c) AS DOUBLE) AS sy,
+        |    CAST(sum(q * q) AS DOUBLE) AS sxx,
+        |    CAST(sum(q * c) AS DOUBLE) AS sxy
+        |  FROM b GROUP BY 1),
         |s AS (SELECT l_returnflag, n, sx, sy,
-        |    (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope FROM m)
+        |    (n * sxy - sx * sy) / (n * sxx - sx * sx) / 100.0 AS slope FROM m)
         |SELECT l_returnflag, round(slope, 6) AS slope,
-        |  round((sy - slope * sx) / n, 6) AS intercept
+        |  round((sy / 100.0 - slope * sx) / n, 6) AS intercept
         |FROM s""".stripMargin,
     "w7_retention" ->
       """WITH cohort AS (SELECT user_id,
