@@ -34,4 +34,18 @@ class GraphSpec extends AnyFunSuite {
     val r = Graph.pageRank(e).as[(Long, Double)].collect().toMap
     assert(r.keySet == Set(1L, 2L))
   }
+
+  test("pagerank: shuffle path (above broadcast gate) matches broadcast path") {
+    // same graph through both physical strategies — only summation
+    // order may differ, so compare at the oracle's 1e-6 tolerance
+    val bcast = Graph.pageRank(edges).as[(Long, Double)].collect().toMap
+    spark.conf.set("graft.graph.broadcastMaxNodes", "0")
+    try {
+      val shuf = Graph.pageRank(edges).as[(Long, Double)].collect().toMap
+      assert(shuf.keySet == bcast.keySet)
+      shuf.foreach { case (id, rank) =>
+        assert(math.abs(rank - bcast(id)) < 1e-6, s"id=$id")
+      }
+    } finally spark.conf.unset("graft.graph.broadcastMaxNodes")
+  }
 }

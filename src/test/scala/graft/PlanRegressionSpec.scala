@@ -174,6 +174,32 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(!p.contains("SortExec") && !p.contains("+- Sort"), p)
   }
 
+  test("an7/an8 moments: long sums in codegen, no per-row Decimal") {
+    // the exact-integer rewrite: every moment is a long sum — a
+    // decimal cast re-appearing in the plan means the BigDecimal
+    // per-row path regressed (4× the constant at sf0.1)
+    Seq("an7_linear_fit", "an8_group_corr").foreach { q =>
+      val p = plan(q)
+      assert(treeCount(p, "Exchange") == 1, q)
+      assert(!p.toLowerCase.contains("decimal"),
+        s"$q must stay on the long-sum moment path")
+    }
+  }
+
+  test("g1 pagerank: broadcast round is exchange-free above the edge cache") {
+    // broadcast path: ranks broadcast into the dst-partitioned cached
+    // edge list, and the alias-aware partitioning carries dst→id so
+    // the per-round aggregate needs NO exchange — the final round's
+    // operators (everything above the first InMemoryTableScan of the
+    // edge cache) must be agg+project+broadcast-join only
+    val p = plan("g1_pagerank")
+    val finalRound = p.linesIterator
+      .takeWhile(!_.contains("InMemoryTableScan")).mkString("\n")
+    assert(finalRound.contains("BroadcastHashJoin"), finalRound)
+    assert(!finalRound.contains("Exchange"),
+      "per-round aggregate must ride the cached dst partitioning")
+  }
+
   test("c6 quota sample: domain counts broadcast, no row-side sort") {
     val p = plan("c6_quota_sample")
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
