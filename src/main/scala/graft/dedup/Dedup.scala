@@ -329,20 +329,25 @@ object Dedup {
     groups.select(explode(col("docs")).as("doc"), col("shingle"))
 
   /** Grouped index AND the over-cap hash set from the SAME single
-    * aggregation: `(sh_h, shingle, docs)` where `docs` is the sorted
-    * doc list for groups within the df cap and NULL for the (Zipf
-    * head) groups that overflowed it. Callers filter the two views
-    * out of one cached frame — `docs IS NULL` is exactly the
-    * `df > maxDf` hot set that [[cappedDocSizes]] computes with a
-    * second full pass over the postings, so a consumer needing both
-    * the pair-bearing groups and the cap set pays ONE shingle
-    * flatMap + ONE exchange instead of two of each. */
+    * aggregation: `(sh_h, docs)` where `docs` is the sorted doc list
+    * for groups within the df cap and NULL for the (Zipf head) groups
+    * that overflowed it. Callers filter the two views out of one
+    * cached frame — `docs IS NULL` is exactly the `df > maxDf` hot
+    * set that [[cappedDocSizes]] computes with a second full pass
+    * over the postings, so a consumer needing both the pair-bearing
+    * groups and the cap set pays ONE shingle flatMap + ONE exchange
+    * instead of two of each. Group identity is the xxhash64 alone —
+    * no consumer of this view reads the shingle TEXT (pair stats
+    * explode `docs`; the hot set joins on the hash), and a
+    * representative `min(shingle)` column would drag ~25 string
+    * bytes per group through the exchange and a string min-compare
+    * per posting for nothing (~600 MB of shuffle at the 100×
+    * scaling corpus's 23M groups). */
   def groupsAndHotFromPostings(postings: DataFrame, maxDf: Int): DataFrame =
     postings
       .groupBy(xxhash64(col("shingle")).as("sh_h"))
-      .agg(min(col("shingle")).as("shingle"),
-        graft.expressions.BoundedCollectAgg
-          .bounded_collect_sorted(col("doc"), maxDf).as("docs"))
+      .agg(graft.expressions.BoundedCollectAgg
+        .bounded_collect_sorted(col("doc"), maxDf).as("docs"))
 
   /** Per-doc surviving-shingle count (the Jaccard denominator) as a
     * ZERO-SHUFFLE map pass: re-shingle each doc in place and count

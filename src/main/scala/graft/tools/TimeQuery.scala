@@ -22,8 +22,13 @@ object TimeQuery {
     require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
 
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // GRAFT_CONF=k=v[,k=v...] — arbitrary session confs for A/B runs
+    // (e.g. graft.graph.broadcastMaxNodes=0 to pin a strategy path)
+    val extraConf = sys.env.get("GRAFT_CONF").toSeq
+      .flatMap(_.split(',').toSeq).filter(_.contains("="))
+      .map { kv => val Array(k, v) = kv.split("=", 2); (k, v) }
+    val spark = extraConf.foldLeft(SparkSession.builder()
+      .master(s"local[$cpus]")) { case (b, (k, v)) => b.config(k, v) }
       .config("spark.local.dir", graft.util.Scratch.localDir("graft-timeq-"))
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")

@@ -35,17 +35,18 @@ class GraphSpec extends AnyFunSuite {
     assert(r.keySet == Set(1L, 2L))
   }
 
-  test("pagerank: shuffle path (above broadcast gate) matches broadcast path") {
-    // same graph through both physical strategies — only summation
-    // order may differ, so compare at the oracle's 1e-6 tolerance
-    val bcast = Graph.pageRank(edges).as[(Long, Double)].collect().toMap
-    spark.conf.set("graft.graph.broadcastMaxNodes", "0")
-    try {
-      val shuf = Graph.pageRank(edges).as[(Long, Double)].collect().toMap
-      assert(shuf.keySet == bcast.keySet)
-      shuf.foreach { case (id, rank) =>
-        assert(math.abs(rank - bcast(id)) < 1e-6, s"id=$id")
-      }
-    } finally spark.conf.unset("graft.graph.broadcastMaxNodes")
+  test("pagerank: single-partition edge cache (node-scaled) matches wide layout") {
+    // the node-scaled partition count must be a pure physical choice:
+    // the same graph re-run with the session's full shuffle width
+    // (forced via a much lower nodes-per-partition ratio path — here
+    // by simply repartitioning the input wide) agrees at the oracle
+    // tolerance
+    val narrow = Graph.pageRank(edges).as[(Long, Double)].collect().toMap
+    val wide = Graph.pageRank(edges.repartition(16))
+      .as[(Long, Double)].collect().toMap
+    assert(wide.keySet == narrow.keySet)
+    wide.foreach { case (id, rank) =>
+      assert(math.abs(rank - narrow(id)) < 1e-6, s"id=$id")
+    }
   }
 }

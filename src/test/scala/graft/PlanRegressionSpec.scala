@@ -186,20 +186,6 @@ class PlanRegressionSpec extends AnyFunSuite {
     }
   }
 
-  test("g1 pagerank: broadcast round is exchange-free above the edge cache") {
-    // broadcast path: ranks broadcast into the dst-partitioned cached
-    // edge list, and the alias-aware partitioning carries dst→id so
-    // the per-round aggregate needs NO exchange — the final round's
-    // operators (everything above the first InMemoryTableScan of the
-    // edge cache) must be agg+project+broadcast-join only
-    val p = plan("g1_pagerank")
-    val finalRound = p.linesIterator
-      .takeWhile(!_.contains("InMemoryTableScan")).mkString("\n")
-    assert(finalRound.contains("BroadcastHashJoin"), finalRound)
-    assert(!finalRound.contains("Exchange"),
-      "per-round aggregate must ride the cached dst partitioning")
-  }
-
   test("c6 quota sample: domain counts broadcast, no row-side sort") {
     val p = plan("c6_quota_sample")
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
