@@ -1,0 +1,125 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.sources.{EqualTo, GreaterThan, IsNotNull}
+
+import graft.catalog.Crawler
+import graft.sources.v2.{ItemScan, ItemStoreV2Connector}
+
+/** DSv2 `graft-items` connector: segment-parallel scan, filter
+  * pushdown, column pruning, sampled schema inference, and the
+  * Crawler seam round-trip. */
+class ItemSourceSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  /** 3 snapshot chunk files × 4 items: the DDB-export layout the
+    * sandbox store models. kind cycles s3/dynamodb/rds; size = 10*i;
+    * `meta` is a nested attribute (must infer/read as JSON string);
+    * item 7 has a null name and a double score. */
+  private def writeSnapshot(): String = {
+    val dir = Paths.get(s"target/test_items${System.nanoTime()}")
+    Files.createDirectories(dir)
+    val kinds = Array("s3", "dynamodb", "rds")
+    (0 until 3).foreach { chunk =>
+      val lines = (0 until 4).map { j =>
+        val i = chunk * 4 + j
+        val name = if (i == 7) "null" else s""""src-$i""""
+        val score = if (i == 7) "0.5" else s"$i"
+        s"""{"source_name": $name, "kind": "${kinds(i % 3)}", """ +
+          s""""size": ${10 * i}, "score": $score, """ +
+          s""""meta": {"region": "r${i % 2}"}}"""
+      }
+      Files.write(dir.resolve(f"chunk-$chunk%02d.jsonl"),
+        lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    }
+    dir.toString
+  }
+
+  private def itemScan(df: org.apache.spark.sql.DataFrame): ItemScan =
+    df.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b.scan.asInstanceOf[ItemScan]
+    }.getOrElse(fail("no BatchScanExec in plan"))
+
+  test("full scan: inferred schema, all rows, one partition per chunk") {
+    val dir = writeSnapshot()
+    val df = spark.read.format("graft-items").load(dir)
+    // first-seen attribute order; Long/Double promotion on score
+    assert(df.schema.map(f => (f.name, f.dataType.simpleString)) ==
+      Seq("source_name" -> "string", "kind" -> "string",
+        "size" -> "bigint", "score" -> "double", "meta" -> "string"))
+    assert(df.count() == 12)
+    assert(df.rdd.getNumPartitions == 3) // defaultSegments = chunk files
+    val r7 = df.filter(col("size") === 70).collect()(0)
+    assert(r7.isNullAt(r7.fieldIndex("source_name")))
+    assert(r7.getAs[Double]("score") == 0.5)
+    // nested attribute reads as its JSON text
+    assert(df.filter(col("size") === 0).collect()(0)
+      .getAs[String]("meta") == """{"region":"r0"}""")
+  }
+
+  test("segments option overrides TotalSegments; partition disjointness") {
+    val dir = writeSnapshot()
+    val df = spark.read.format("graft-items")
+      .option("segments", 5).load(dir)
+    assert(df.rdd.getNumPartitions == 5)
+    // 3 chunks across 5 segments: 2 empty, union still exhaustive
+    assert(df.count() == 12)
+    assert(df.select(sum(col("size"))).collect()(0).getLong(0) == 660)
+  }
+
+  test("filter pushdown: supported predicates reach the scan; residual stays above") {
+    val dir = writeSnapshot()
+    val df = spark.read.format("graft-items").load(dir)
+      .filter(col("kind") === "s3" && col("size") > 10 &&
+        length(col("source_name")) > 2) // length() is NOT pushable
+    val scan = itemScan(df)
+    val pushed = scan.pushed.toSet
+    assert(pushed.contains(EqualTo("kind", "s3")), pushed)
+    assert(pushed.contains(GreaterThan("size", 10L)), pushed)
+    assert(pushed.contains(IsNotNull("kind")), pushed)
+    assert(!pushed.exists(_.toString.contains("length")))
+    assert(scan.description().contains("PushedFilters:"))
+    // rows: kind==s3 at i∈{0,3,6,9}, size>10 → {3,6,9}; name length ok
+    assert(df.select(col("size")).collect().map(_.getLong(0)).sorted
+      .toSeq == Seq(30L, 60L, 90L))
+  }
+
+  test("column pruning reaches the reader schema") {
+    val dir = writeSnapshot()
+    val df = spark.read.format("graft-items").load(dir)
+      .select(col("kind"), col("size"))
+    assert(itemScan(df).readSchema().fieldNames.toSeq == Seq("kind", "size"))
+    assert(df.groupBy(col("kind")).count().count() == 3)
+  }
+
+  test("null semantics under pushdown match Catalyst's") {
+    val dir = writeSnapshot()
+    val base = spark.read.format("graft-items").load(dir)
+    // source_name IS NULL only for item 7
+    assert(base.filter(col("source_name").isNull).count() == 1)
+    // a comparison never matches null (item 7 excluded both ways)
+    val hit = base.filter(col("source_name") >= "src-0").count()
+    val miss = base.filter(col("source_name") < "src-0").count()
+    assert(hit == 11 && miss == 0)
+  }
+
+  test("crawler seam: ConnectorSource(ItemStoreV2Connector) infer + register") {
+    val dir = writeSnapshot()
+    val df = Crawler.infer(spark,
+      Crawler.ConnectorSource(ItemStoreV2Connector()), dir)
+    val name = Crawler.registerTable(spark, "Item-Snapshot.v2", df)
+    assert(name == "item_snapshot_v2")
+    assert(spark.table(name).count() == 12)
+    // pushdown works through the registered view too
+    val filtered = spark.sql(
+      s"SELECT size FROM $name WHERE kind = 'rds' AND size >= 50")
+    assert(itemScan(filtered).pushed.nonEmpty)
+    assert(filtered.collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(50L, 80L, 110L))
+  }
+}
