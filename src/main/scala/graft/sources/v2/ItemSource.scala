@@ -121,7 +121,8 @@ private[v2] final class ItemTable(tableSchema: StructType,
     s"graft-items(${ItemSource.path(options)})"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder =
     new ItemScanBuilder(tableSchema, options)
 }
@@ -163,6 +164,8 @@ final case class ItemScan(path: String, storeClass: String, segments: Int,
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String): streaming.MicroBatchStream =
+    new ItemMicroBatchStream(path, storeClass, required, pushed)
   override def description(): String =
     s"graft-items path=$path store=$storeClass segments=$segments " +
       s"PushedFilters: [${pushed.mkString(", ")}], " +
@@ -178,28 +181,88 @@ final case class ItemScan(path: String, storeClass: String, segments: Int,
 final case class ItemSegmentPartition(segment: Int, totalSegments: Int)
   extends InputPartition
 
+/** Micro-batch half of the connector (TableCapability.MICRO_BATCH_READ)
+  * — the S16 event-feed substitution as a DSv2 code path. The
+  * reference consumes an SQS event feed (reference lambda/
+  * glue-tracking-initial/app.py:154-182); here the offset is a PREFIX
+  * LENGTH of the store's ordered append-only unit list
+  * ([[ItemStore.listUnits]]): `latestOffset` re-lists, a batch is the
+  * `[start, end)` unit slice with one InputPartition per unit, and
+  * replaying any committed range is deterministic because units are
+  * immutable once listed (exactly-once via the sink's idempotence +
+  * the checkpointed offset log, Structured Streaming's standard
+  * contract). Pushed filters and pruned columns apply per batch just
+  * like the batch scan. */
+final class ItemMicroBatchStream(path: String, storeClass: String,
+    required: StructType, pushed: Array[Filter])
+    extends streaming.MicroBatchStream {
+
+  private def store: ItemStore = Class.forName(storeClass)
+    .getDeclaredConstructor().newInstance().asInstanceOf[ItemStore]
+
+  override def initialOffset(): streaming.Offset = ItemOffset(0)
+  override def latestOffset(): streaming.Offset =
+    ItemOffset(store.listUnits(path).length)
+  override def deserializeOffset(json: String): streaming.Offset =
+    ItemOffset(json.trim.toInt)
+  override def commit(end: streaming.Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: streaming.Offset,
+      end: streaming.Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[ItemOffset].units
+    val e = end.asInstanceOf[ItemOffset].units
+    val units = store.listUnits(path)
+    require(e <= units.length,
+      s"offset $e beyond ${units.length} listed units (non-append-only store?)")
+    units.slice(s, e).map(ItemUnitPartition(_)).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    ItemUnitReaderFactory(path, storeClass, required, pushed)
+}
+
+final case class ItemOffset(units: Int)
+    extends streaming.Offset {
+  override def json(): String = units.toString
+}
+
+final case class ItemUnitPartition(unit: String) extends InputPartition
+
+final case class ItemUnitReaderFactory(path: String, storeClass: String,
+    required: StructType, pushed: Array[Filter])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val store = Class.forName(storeClass).getDeclaredConstructor()
+      .newInstance().asInstanceOf[ItemStore]
+    val items = store
+      .scanUnit(path, partition.asInstanceOf[ItemUnitPartition].unit)
+      .filter(item => pushed.forall(ItemFilters.eval(_, item)))
+    new ItemIteratorReader(items, required)
+  }
+}
+
 final case class ItemReaderFactory(path: String, storeClass: String,
     required: StructType, pushed: Array[Filter])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[ItemSegmentPartition]
-    new ItemPartitionReader(path, storeClass, p.segment, p.totalSegments,
-      required, pushed)
+    val store = Class.forName(storeClass).getDeclaredConstructor()
+      .newInstance().asInstanceOf[ItemStore]
+    val items = store.scanSegment(path, p.segment, p.totalSegments)
+      .filter(item => pushed.forall(ItemFilters.eval(_, item)))
+    new ItemIteratorReader(items, required)
   }
 }
 
-/** Executor-side reader: store scan → pushed-filter gate → pruned
-  * conversion. Filters run on the RAW item values (pre-conversion) so
-  * a live store swapping in server-side filtering changes nothing
-  * semantically. */
-private[v2] final class ItemPartitionReader(path: String, storeClass: String,
-    segment: Int, totalSegments: Int, required: StructType,
-    pushed: Array[Filter]) extends PartitionReader[InternalRow] {
+/** Executor-side reader shared by the batch and micro-batch paths:
+  * store scan → pushed-filter gate (already applied by the factory on
+  * the RAW item values, so a live store swapping in server-side
+  * filtering changes nothing semantically) → pruned conversion. */
+private[v2] final class ItemIteratorReader(
+    items: Iterator[JMap[String, Object]], required: StructType)
+    extends PartitionReader[InternalRow] {
 
-  private val store = Class.forName(storeClass).getDeclaredConstructor()
-    .newInstance().asInstanceOf[ItemStore]
-  private val items = store.scanSegment(path, segment, totalSegments)
-    .filter(item => pushed.forall(ItemFilters.eval(_, item)))
   private val fields = required.fields
   private var current: InternalRow = _
 
@@ -307,4 +370,20 @@ final case class ItemStoreV2Connector(options: Map[String, String] = Map.empty)
     options.foldLeft(spark.read.format("graft-items")) {
       case (r, (k, v)) => r.option(k, v)
     }.load(path)
+}
+
+/** The S16 seam impl that routes [[graft.streaming.Ingest]] through
+  * the DSv2 micro-batch path: items stream in as structured rows and
+  * re-serialize to the raw `value` column Ingest's contract expects —
+  * so the onboarding pipeline's feed can be the same connector (and
+  * live store) as the batch crawler's. */
+final case class ItemStreamV2Connector(options: Map[String, String] = Map.empty)
+    extends graft.streaming.Ingest.StreamConnector {
+  val name = "item-stream-v2"
+  def open(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.functions.{struct, to_json}
+    options.foldLeft(spark.readStream.format("graft-items")) {
+      case (r, (k, v)) => r.option(k, v)
+    }.load(path).select(to_json(struct("*")).as("value"))
+  }
 }

@@ -38,6 +38,17 @@ trait ItemStore extends Serializable {
     * disjoint and jointly exhaustive across segments. */
   def scanSegment(path: String, segment: Int,
       totalSegments: Int): Iterator[java.util.Map[String, Object]]
+
+  /** Streaming contract: the source as an ORDERED APPEND-ONLY list of
+    * work units (export chunk files, stream-shard checkpoints, queue
+    * pages). An offset is a prefix length of this list — already-seen
+    * units must keep their position (the JSON-lines sandbox orders by
+    * file name; a live DDB-Streams/SQS store orders by shard sequence).
+    * The micro-batch reader consumes `listUnits` deltas. */
+  def listUnits(path: String): Seq[String]
+
+  /** All items of one unit, in order. */
+  def scanUnit(path: String, unit: String): Iterator[java.util.Map[String, Object]]
 }
 
 /** Sandbox [[ItemStore]]: a DynamoDB table snapshot exported as a
@@ -60,16 +71,21 @@ final class JsonlItemStore extends ItemStore {
   def defaultSegments(path: String): Int = math.max(1, chunks(path).length)
 
   def scanSegment(path: String, segment: Int,
-      totalSegments: Int): Iterator[java.util.Map[String, Object]] = {
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      totalSegments: Int): Iterator[java.util.Map[String, Object]] =
     chunks(path).iterator.zipWithIndex
       .filter { case (_, i) => i % totalSegments == segment }
-      .flatMap { case (p, _) =>
-        Files.readAllLines(p, StandardCharsets.UTF_8).asScala.iterator
-          .filter(_.trim.nonEmpty)
-          .map { line =>
-            mapper.readValue(line, classOf[java.util.Map[String, Object]])
-          }
-      }
+      .flatMap { case (p, _) => parse(p) }
+
+  def listUnits(path: String): Seq[String] =
+    chunks(path).map(_.getFileName.toString).toSeq
+
+  def scanUnit(path: String, unit: String): Iterator[java.util.Map[String, Object]] =
+    parse(Paths.get(path).resolve(unit))
+
+  private def parse(p: java.nio.file.Path): Iterator[java.util.Map[String, Object]] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    Files.readAllLines(p, StandardCharsets.UTF_8).asScala.iterator
+      .filter(_.trim.nonEmpty)
+      .map(line => mapper.readValue(line, classOf[java.util.Map[String, Object]]))
   }
 }

@@ -108,6 +108,44 @@ class ItemSourceSpec extends AnyFunSuite {
     assert(hit == 11 && miss == 0)
   }
 
+  test("micro-batch stream: unit-prefix offsets, append-only tail, pushdown") {
+    val dir = writeSnapshot()
+    val stream = spark.readStream.format("graft-items").load(dir)
+      .filter(col("size") >= 20) // pushes through the same ScanBuilder
+    val q = stream.writeStream.format("memory")
+      .queryName(s"items_sink_${System.nanoTime()}").start()
+    try {
+      q.processAllAvailable()
+      val sink = spark.table(q.name)
+      // sizes 20..110 of the 12 planted items
+      assert(sink.count() == 10)
+      assert(q.lastProgress.sources(0).endOffset == "3") // 3 units consumed
+      // append a 4th chunk: only the delta is read, no replays
+      Files.write(Paths.get(dir).resolve("chunk-03.jsonl"),
+        """{"source_name": "src-12", "kind": "s3", "size": 120, "score": 12}"""
+          .getBytes(StandardCharsets.UTF_8))
+      q.processAllAvailable()
+      assert(spark.table(q.name).count() == 11)
+      assert(q.lastProgress.sources(0).endOffset == "4")
+      assert(spark.table(q.name).select(col("size")).distinct().count() == 11)
+    } finally q.stop()
+  }
+
+  test("ingest seam: ItemStreamV2Connector feeds the value-column contract") {
+    val dir = writeSnapshot()
+    val raw = graft.sources.v2.ItemStreamV2Connector().open(spark, dir)
+    assert(raw.isStreaming)
+    assert(raw.columns.toSeq == Seq("value"))
+    val q = raw.writeStream.format("memory")
+      .queryName(s"items_raw_${System.nanoTime()}").start()
+    try {
+      q.processAllAvailable()
+      val vals = spark.table(q.name).collect().map(_.getString(0))
+      assert(vals.length == 12)
+      assert(vals.forall(v => v.startsWith("{") && v.contains("\"kind\"")))
+    } finally q.stop()
+  }
+
   test("crawler seam: ConnectorSource(ItemStoreV2Connector) infer + register") {
     val dir = writeSnapshot()
     val df = Crawler.infer(spark,
