@@ -54,7 +54,7 @@ case class QuantileDigestAgg(
     quantiles: Seq[Double],
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[scala.collection.mutable.HashMap[Long, Long]]
+  extends TypedImperativeAggregate[graft.util.LongLongHash]
   with UnaryLike[Expression] {
 
   require(k >= 8 && k <= (1 << 20), "k must be in 8..2^20")
@@ -63,7 +63,7 @@ case class QuantileDigestAgg(
     quantiles.forall(q => q > 0.0 && q <= 1.0),
     "quantiles must be ascending in (0, 1]")
 
-  private type Buf = scala.collection.mutable.HashMap[Long, Long]
+  private type Buf = graft.util.LongLongHash
 
   private val maxValue = (1L << depth) - 1L
   private val leafBit = 1L << depth
@@ -75,7 +75,7 @@ case class QuantileDigestAgg(
     containsNull = false)
   override def nullable: Boolean = false
 
-  override def createAggregationBuffer(): Buf = new Buf
+  override def createAggregationBuffer(): Buf = new Buf()
 
   /** Largest domain value inside the node's subtree. */
   private def nodeMax(id: Long): Long = {
@@ -85,26 +85,61 @@ case class QuantileDigestAgg(
 
   /** One bottom-up merge pass at threshold `t`: deepest nodes first,
     * (node, sibling, parent) collapse into the parent while their sum
-    * stays under t. Deterministic: processing order is descending id. */
+    * stays under t, cascading — a created parent re-enters the SAME
+    * walk, so one pass completes the full bottom-up collapse. */
   private def pass(buf: Buf, t: Long): Unit = {
-    val ids = buf.keys.filter(_ > 1L).toArray
+    val ids = buf.keysArray().filter(_ > 1L)
     java.util.Arrays.sort(ids)
-    var i = ids.length - 1
-    while (i >= 0) {
-      val id = ids(i)
-      buf.get(id) match {
-        case Some(c) =>
-          val sib = id ^ 1L
-          val par = id >>> 1
-          val sum = c + buf.getOrElse(sib, 0L) + buf.getOrElse(par, 0L)
-          if (sum < t) {
-            buf.remove(id)
-            buf.remove(sib)
-            buf.update(par, sum)
+    // Worklist invariant: the walk processes ids in strictly
+    // descending order (original stream merged with cascade-created
+    // parents), so each created parent (id >>> 1 of the node just
+    // processed) is <= every previously created parent, and duplicate
+    // creation is impossible (a merge removes the sibling, and a
+    // failed merge fails identically from both sides). The cascade
+    // queue is therefore a plain FIFO long array consumed from the
+    // front — no priority queue, no boxing, O(1) per lift. Without
+    // the cascade a pass lifts nodes exactly one level, and on a
+    // sparse domain (near-unique values in a 2^depth space, where
+    // siblings are almost never co-present) compression needs ~depth
+    // valve-doubled passes, ends barely under cap, and re-triggers
+    // every few inserts (measured: 150k unique cents cost ~1.2 s in
+    // one update chain). The merge condition (triple sum < t before
+    // the parent is written) is identical, so node counts and the
+    // depth*t rank bound are exactly the documented ones.
+    var pend = new Array[Long](64)
+    var head = 0
+    var tail = 0
+    def step(id: Long): Unit = {
+      val c = buf.getOrElse(id, -1L)
+      if (c >= 0L) { // counts are >= 1; -1 = already absorbed/cascaded away
+        val sib = id ^ 1L
+        val par = id >>> 1
+        val sum = c + buf.getOrElse(sib, 0L) + buf.getOrElse(par, 0L)
+        if (sum < t) {
+          val parExisted = buf.contains(par)
+          buf.remove(id)
+          buf.remove(sib)
+          buf.update(par, sum)
+          if (!parExisted && par > 1L) {
+            if (tail == pend.length) {
+              if (head > 0) {
+                System.arraycopy(pend, head, pend, 0, tail - head)
+                tail -= head
+                head = 0
+              } else pend = java.util.Arrays.copyOf(pend, tail * 2)
+            }
+            pend(tail) = par
+            tail += 1
           }
-        case None => // already absorbed as a sibling
+        }
       }
-      i -= 1
+    }
+    var i = ids.length - 1
+    while (i >= 0 || head < tail) {
+      val a = if (i >= 0) ids(i) else Long.MinValue
+      val b = if (head < tail) pend(head) else Long.MinValue
+      if (a >= b) { step(a); i -= 1 }
+      else { step(b); head += 1 }
     }
   }
 
@@ -126,17 +161,15 @@ case class QuantileDigestAgg(
     if (v != null) {
       val clamped = math.min(math.max(v.asInstanceOf[Long], 0L), maxValue)
       val leaf = leafBit | clamped
-      buffer.update(leaf, buffer.getOrElse(leaf, 0L) + 1L)
-      buffer.update(0L, buffer.getOrElse(0L, 0L) + 1L)
+      buffer.addTo(leaf, 1L)
+      buffer.addTo(0L, 1L)
       if (buffer.size > cap) compress(buffer)
     }
     buffer
   }
 
   override def merge(b1: Buf, b2: Buf): Buf = {
-    b2.foreachEntry { (id, c) =>
-      b1.update(id, b1.getOrElse(id, 0L) + c)
-    }
+    b2.foreachEntry { (id, c) => b1.addTo(id, c) }
     if (b1.size > 3 * k) compress(b1)
     b1
   }
@@ -145,7 +178,11 @@ case class QuantileDigestAgg(
     val n = buffer.getOrElse(0L, 0L)
     if (n == 0L) return new GenericArrayData(Array.empty[Any])
     // ascending by subtree max; deeper node first on ties (same max)
-    val nodes = buffer.iterator.filter(_._1 != 0L).toArray
+    val nodes = {
+      val b = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      buffer.foreachEntry { (id, c) => if (id != 0L) b += ((id, c)) }
+      b.toArray
+    }
     scala.util.Sorting.stableSort(nodes,
       (a: (Long, Long), b: (Long, Long)) => {
         val ma = nodeMax(a._1); val mb = nodeMax(b._1)
@@ -185,7 +222,7 @@ case class QuantileDigestAgg(
   override def deserialize(bytes: Array[Byte]): Buf = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val n = in.readInt()
-    val buf = new Buf
+    val buf = new Buf(n)
     var i = 0
     while (i < n) {
       val id = in.readLong()

@@ -1,0 +1,44 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Stage profiler for pr7_quantile_sketch: digest build vs verdict
+  * join. Usage: runMain graft.tools.ProfQd <dir> */
+object ProfQd {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.local.dir", graft.util.Scratch.localDir("graft-profqd-"))
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1 << 20).selectExpr("sum(id)").collect()
+    def t[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"PROFQD $name%-20s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+    val cents = graft.sources.Tables.load(spark, dir, "orders")
+      .select((col("o_totalprice") * 100).cast("long").as("cents"))
+    t("cents_scan")(cents.count())
+    t("cents_scan2")(cents.count())
+    import graft.expressions.QuantileDigestAgg.quantile_digest
+    val qs = Seq(0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+    (1 to 3).foreach { i =>
+      t(s"digest_build_$i")(
+        cents.agg(quantile_digest(col("cents"), 2048, 32, qs).as("sk"))
+          .select(explode(col("sk"))).collect())
+    }
+    t("full_pr7")(
+      graft.SparkEntry.queries("pr7_quantile_sketch")(spark, dir).collect())
+    t("full_pr7_2")(
+      graft.SparkEntry.queries("pr7_quantile_sketch")(spark, dir).collect())
+    spark.stop()
+  }
+}

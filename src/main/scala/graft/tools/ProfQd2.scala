@@ -1,0 +1,46 @@
+package graft.tools
+
+import graft.expressions.QuantileDigestAgg
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.BoundReference
+import org.apache.spark.sql.types.LongType
+
+/** Direct micro-profile of the q-digest buffer path (no Spark job):
+  * 150k near-unique longs through update, then a 32-way merge. */
+object ProfQd2 {
+  def main(args: Array[String]): Unit = {
+    val agg = QuantileDigestAgg(BoundReference(0, LongType, nullable = false),
+      2048, 32, Seq(0.1, 0.5, 0.9))
+    val rnd = new java.util.Random(42)
+    val vals = Array.fill(150000)(1000000L + rnd.nextInt(500000000).toLong)
+    val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+    (1 to 3).foreach { it =>
+      var t0 = System.nanoTime()
+      val buf = agg.createAggregationBuffer()
+      var i = 0
+      while (i < vals.length) {
+        row.update(0, vals(i))
+        agg.update(buf, row)
+        i += 1
+      }
+      println(f"PROFQD2 single_update_150k ${(System.nanoTime()-t0)/1e9}%8.3f s  size=${buf.size}")
+      // 32-way: partition the same values
+      t0 = System.nanoTime()
+      val parts = (0 until 32).map { p =>
+        val b = agg.createAggregationBuffer()
+        var i = p
+        while (i < vals.length) {
+          row.update(0, vals(i)); agg.update(b, row); i += 32
+        }
+        b
+      }
+      println(f"PROFQD2 partial_32way      ${(System.nanoTime()-t0)/1e9}%8.3f s")
+      t0 = System.nanoTime()
+      val merged = parts.reduce(agg.merge)
+      println(f"PROFQD2 merge_32way        ${(System.nanoTime()-t0)/1e9}%8.3f s  size=${merged.size}")
+      t0 = System.nanoTime()
+      agg.eval(merged)
+      println(f"PROFQD2 eval               ${(System.nanoTime()-t0)/1e9}%8.3f s")
+    }
+  }
+}

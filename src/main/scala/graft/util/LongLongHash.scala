@@ -1,0 +1,130 @@
+package graft.util
+
+/** Minimal open-addressed long→long hash map for hot aggregation
+  * buffers ([[graft.expressions.QuantileDigestAgg]]): linear probing,
+  * power-of-2 capacity, tombstoned removal, zero boxing. The boxed
+  * `mutable.HashMap[Long, Long]` it replaces spent ~100-200 ns per
+  * operation on a path that executes millions of operations per
+  * compress cascade. Negative keys are reserved (sentinels); the
+  * digest's node-id domain is non-negative by construction. */
+final class LongLongHash(initialCapacity: Int = 64) extends Serializable {
+  private val EMPTY = -1L
+  private val DELETED = -2L
+
+  private var cap = Integer.highestOneBit(
+    math.max(16, initialCapacity * 2 - 1))
+  private var keys = java.util.Arrays.copyOf(emptyKeys(cap), cap)
+  private var vals = new Array[Long](cap)
+  private var live = 0 // entries holding a value
+  private var used = 0 // live + tombstones (probe-chain occupancy)
+
+  private def emptyKeys(n: Int): Array[Long] = {
+    val a = new Array[Long](n)
+    java.util.Arrays.fill(a, EMPTY)
+    a
+  }
+
+  @inline private def mix(k: Long): Int = {
+    // splitmix64 finalizer — node ids are near-sequential, so the
+    // identity hash would cluster probes
+    var z = k + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    (z ^ (z >>> 31)).toInt
+  }
+
+  def size: Int = live
+
+  /** Index of `k`'s slot, or -(insertionPoint+1) if absent. */
+  @inline private def find(k: Long): Int = {
+    val mask = cap - 1
+    var i = mix(k) & mask
+    var firstFree = -1
+    while (true) {
+      val kk = keys(i)
+      if (kk == k) return i
+      if (kk == EMPTY)
+        return -((if (firstFree >= 0) firstFree else i) + 1)
+      if (kk == DELETED && firstFree < 0) firstFree = i
+      i = (i + 1) & mask
+    }
+    0 // unreachable
+  }
+
+  def contains(k: Long): Boolean = find(k) >= 0
+
+  def getOrElse(k: Long, default: Long): Long = {
+    val i = find(k)
+    if (i >= 0) vals(i) else default
+  }
+
+  def update(k: Long, v: Long): Unit = {
+    val i = find(k)
+    if (i >= 0) vals(i) = v
+    else {
+      val slot = -i - 1
+      if (keys(slot) == EMPTY) used += 1
+      keys(slot) = k
+      vals(slot) = v
+      live += 1
+      if (used * 10 >= cap * 6) rehash()
+    }
+  }
+
+  /** `update(k, getOrElse(k, 0) + delta)` in one probe. */
+  def addTo(k: Long, delta: Long): Unit = {
+    val i = find(k)
+    if (i >= 0) vals(i) += delta else {
+      val slot = -i - 1
+      if (keys(slot) == EMPTY) used += 1
+      keys(slot) = k
+      vals(slot) = delta
+      live += 1
+      if (used * 10 >= cap * 6) rehash()
+    }
+  }
+
+  def remove(k: Long): Unit = {
+    val i = find(k)
+    if (i >= 0) {
+      keys(i) = DELETED
+      live -= 1
+    }
+  }
+
+  private def rehash(): Unit = {
+    val newCap = if (live * 10 >= cap * 3) cap * 2 else cap // tombstone purge only
+    val ok = keys
+    val ov = vals
+    cap = newCap
+    keys = emptyKeys(cap)
+    vals = new Array[Long](cap)
+    live = 0
+    used = 0
+    var i = 0
+    while (i < ok.length) {
+      if (ok(i) >= 0) update(ok(i), ov(i))
+      i += 1
+    }
+  }
+
+  /** All live keys, unordered. */
+  def keysArray(): Array[Long] = {
+    val out = new Array[Long](live)
+    var i = 0
+    var j = 0
+    while (i < keys.length) {
+      if (keys(i) >= 0) { out(j) = keys(i); j += 1 }
+      i += 1
+    }
+    out
+  }
+
+  def foreachEntry(f: (Long, Long) => Unit): Unit = {
+    var i = 0
+    while (i < keys.length) {
+      if (keys(i) >= 0) f(keys(i), vals(i))
+      i += 1
+    }
+  }
+}

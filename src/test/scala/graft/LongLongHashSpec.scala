@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.util.LongLongHash
+
+/** LongLongHash vs mutable.HashMap[Long, Long] under random op
+  * sequences — the digest buffer's whole contract. */
+class LongLongHashSpec extends AnyFunSuite {
+
+  test("randomized equivalence with mutable.HashMap (incl. tombstone churn)") {
+    val rnd = new java.util.Random(7)
+    val h = new LongLongHash()
+    val m = scala.collection.mutable.HashMap.empty[Long, Long]
+    // near-sequential keys to stress probe clustering, plus key 0
+    def key(): Long = if (rnd.nextInt(20) == 0) 0L
+      else (1L << 32) | rnd.nextInt(5000).toLong
+    (1 to 200000).foreach { _ =>
+      val k = key()
+      rnd.nextInt(4) match {
+        case 0 =>
+          val v = rnd.nextInt(1000).toLong
+          h.update(k, v); m.update(k, v)
+        case 1 =>
+          h.addTo(k, 3L); m.update(k, m.getOrElse(k, 0L) + 3L)
+        case 2 =>
+          h.remove(k); m.remove(k)
+        case 3 =>
+          assert(h.getOrElse(k, -99L) == m.getOrElse(k, -99L))
+          assert(h.contains(k) == m.contains(k))
+      }
+    }
+    assert(h.size == m.size)
+    assert(h.keysArray().sorted.toSeq == m.keys.toSeq.sorted)
+    var n = 0
+    h.foreachEntry { (k, v) => assert(m(k) == v); n += 1 }
+    assert(n == m.size)
+  }
+
+  test("grows from tiny capacity; delete-heavy load purges tombstones") {
+    val h = new LongLongHash(2)
+    (0L until 10000L).foreach(k => h.update(k, k * 2))
+    assert(h.size == 10000)
+    (0L until 9990L).foreach(h.remove)
+    assert(h.size == 10)
+    // keep churning the same few keys: rehash must reclaim tombstones
+    // rather than grow unboundedly
+    (1 to 100000).foreach { i =>
+      h.update(i % 7L + 20000L, i.toLong)
+      h.remove(i % 7L + 20000L)
+    }
+    assert(h.size == 10)
+    (9990L until 10000L).foreach(k => assert(h.getOrElse(k, -1L) == k * 2))
+  }
+}
