@@ -423,14 +423,30 @@ object Curation {
   def noveltyScore(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3): DataFrame = {
     val p = Dedup.shinglePostings(df, idCol, textCol, n, Int.MaxValue)
-    val dfreq = p.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-    p.join(dfreq, Seq("shingle"))
+    // A df=1 shingle's single posting already names its owning doc,
+    // so per-doc unique counts fall out of the df aggregation itself
+    // — the postings⨝df-counts join the previous form paid (a SECOND
+    // corpus-shingle-sized exchange, of shingle TEXT on both sides)
+    // is gone, and the one remaining exchange is keyed on the 8-byte
+    // xxhash64 (d2's group-identity precedent: no consumer reads the
+    // text, and a text key costs ~25 B/posting on the wire).
+    val uniq = p
+      .groupBy(xxhash64(col("shingle")).as("sh_h"))
+      .agg(count(lit(1)).as("df"), min(col("doc")).as("doc"))
+      .filter(col("df") === 1)
       .groupBy(col("doc"))
-      .agg(count(lit(1)).as("n_shingles"),
-        count(when(col("df") === 1, lit(1))).as("n_unique"),
-        round(count(when(col("df") === 1, lit(1))).cast("double")
-          / count(lit(1)), 6).as("novelty"))
-      .withColumnRenamed("doc", "doc_id")
+      .agg(count(lit(1)).as("n_unique"))
+    // denominators ride the zero-shuffle re-shingle kernel (the
+    // Jaccard-denominator pattern with an empty hot set): each doc
+    // row is touched once where it lives, nothing doc-keyed shuffles
+    val emptyHot = df.sparkSession.sparkContext
+      .broadcast(new java.util.HashSet[java.lang.Long]())
+    Dedup.docSizesFromHot(df, idCol, textCol, n, emptyHot)
+      .join(uniq, Seq("doc"), "left")
+      .select(col("doc").as("doc_id"), col("sz").as("n_shingles"),
+        coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+        round(coalesce(col("n_unique"), lit(0L)).cast("double")
+          / col("sz"), 6).as("novelty"))
   }
 
   /** Overlapping token-window chunking — the pre-embedding /

@@ -86,7 +86,12 @@ object Scaling {
     "s10_pq_adc" -> "embeddings",
     "s14_ivf_append" -> "embeddings",
     "an7_linear_fit" -> "lineitem",
-    "an8_group_corr" -> "lineitem")
+    "an8_group_corr" -> "lineitem",
+    // post-cascade-fix q-digest: the sketch's 100 TB claim is that
+    // partials stay O(k·depth) per partition and the shuffle carries
+    // digests, not rows — the exponent should be scan-bound like
+    // an7/an8, now that compress amortizes on sparse domains
+    "pr7_quantile_sketch" -> "orders")
 
   /** Measured interpretation notes embedded per row — the exponent
     * alone can mislead when the OUTPUT grows with the corpus. */
@@ -102,7 +107,12 @@ object Scaling {
       "scan time amortizing fixed overhead toward 1.0"),
     "an8_group_corr" -> ("row-linear by design: same partial-agg scan shape as " +
       "an7 — constant-size (6-group) shuffle of long moment sums, exponent is " +
-      "scan-bound"))
+      "scan-bound"),
+    "pr7_quantile_sketch" -> ("mergeable-summary shape: per-partition digests " +
+      "are O(k*depth) regardless of rows, the shuffle carries digests not " +
+      "values, and the verdict join broadcasts 6 estimate rows; post-cascade " +
+      "compress amortizes over >= cap/2 inserts even on near-unique domains, " +
+      "so time is the two scans of orders"))
   // q7/q8 (TPC-H shapes) are deliberately NOT in the study: their
   // fixed 1996-1998 date predicates select zero rows against the
   // synthetic orders/lineitem date ranges (2023+, tied to the as-of
