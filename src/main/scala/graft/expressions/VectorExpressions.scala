@@ -307,7 +307,101 @@ case class PqCodes(child: Expression, dim: Int,
   override def prettyName: String = "pq_codes"
 }
 
+/** Symmetric int8 quantization of one embedding as ONE codegen'd
+  * two-scan pass: struct(scale, q) with scale = absmax/127 (1.0 when
+  * the vector is all-zero or empty) and q_i = floor(x_i/scale + 0.5)
+  * — IEEE-identical to the declarative form (`array_max ∘ transform`
+  * for the scale, a second `transform` for q) AND to the DuckDB
+  * oracle replay. The declarative form had a quadratic trap:
+  * CollapseProject inlines the scale expression into the per-element
+  * quantize lambda, so every element re-derived the array max — dim²
+  * interpreted HOF evals per row (measured: 0.9 s for 2000×64 floats,
+  * the whole of s8's bench cost). Null inputs and null elements
+  * return null. */
+case class QuantizeInt8(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"quantize_int8 expects array<float|double>, got ${dt.simpleString}")
+  }
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("scale", DoubleType, nullable = false),
+    StructField("q", ArrayType(IntegerType, containsNull = false),
+      nullable = false)))
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val f = isFloat
+    val n = x.numElements()
+    var absMax = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i)) return null
+      val v = math.abs(if (f) x.getFloat(i).toDouble else x.getDouble(i))
+      if (v > absMax) absMax = v
+      i += 1
+    }
+    val scale = if (absMax > 0.0) absMax / 127.0 else 1.0
+    val q = new Array[Int](n)
+    i = 0
+    while (i < n) {
+      val v = if (f) x.getFloat(i).toDouble else x.getDouble(i)
+      q(i) = math.floor(v / scale + 0.5).toInt
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(scale,
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(q))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val get = if (isFloat) "getFloat" else "getDouble"
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val v = ctx.freshName("v")
+      val absMax = ctx.freshName("absMax")
+      val scale = ctx.freshName("scale")
+      val q = ctx.freshName("q")
+      s"""
+         |int $n = $a.numElements();
+         |double $absMax = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  double $v = Math.abs((double) $a.$get($i));
+         |  if ($v > $absMax) $absMax = $v;
+         |}
+         |if (!${ev.isNull}) {
+         |  double $scale = $absMax > 0.0 ? $absMax / 127.0 : 1.0;
+         |  int[] $q = new int[$n];
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $q[$i] = (int) Math.floor(((double) $a.$get($i)) / $scale + 0.5);
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |    new Object[] { $scale,
+         |      new org.apache.spark.sql.catalyst.util.GenericArrayData($q) });
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "quantize_int8"
+}
+
 object VectorExpressions {
+
+  /** Column API: fused codegen'd symmetric int8 quantization —
+    * struct(scale double, q array<int>). */
+  def quantize_int8(emb: Column): Column =
+    Bridge.column(QuantizeInt8(Bridge.expression(emb)))
 
   /** Column API: fused codegen'd dot product of two float arrays. */
   def dot_product(a: Column, b: Column): Column =

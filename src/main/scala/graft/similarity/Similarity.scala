@@ -671,16 +671,15 @@ object Similarity {
     * Pure projection — no shuffle; at 100 TB this runs as a map-only
     * rewrite of the embedding table into the compact serving layout. */
   def quantizeInt8(df: DataFrame): DataFrame = {
-    val absMax = array_max(transform(col("embedding"),
-      x => abs(x.cast("double"))))
-    df.select(col("vec_id"), col("embedding"))
-      .withColumn("abs_max", absMax)
-      .withColumn("scale",
-        when(col("abs_max") > 0.0, col("abs_max") / 127.0).otherwise(lit(1.0)))
-      .select(col("vec_id"), col("scale"),
-        transform(col("embedding"),
-          x => floor(x.cast("double") / col("scale") + 0.5).cast("int"))
-          .as("q"))
+    // one codegen'd two-scan kernel per row; the declarative
+    // array_max∘transform + transform form re-derived the array max
+    // per ELEMENT after CollapseProject inlined the scale expression
+    // into the quantize lambda — dim² interpreted evals per row
+    val qs = graft.expressions.VectorExpressions
+      .quantize_int8(col("embedding"))
+    df.select(col("vec_id"), qs.as("qs"))
+      .select(col("vec_id"), col("qs.scale").as("scale"),
+        col("qs.q").as("q"))
   }
 
   /** Embedding near-duplicate pairs: all (a < b) with cosine ≥

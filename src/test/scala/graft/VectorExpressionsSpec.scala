@@ -80,4 +80,44 @@ class VectorExpressionsSpec extends AnyFunSuite {
       lit(null).cast("array<float>"), col("b")).as("d")).collect()
     assert(r.forall(_.isNullAt(0)))
   }
+
+  test("quantize_int8 matches the declarative form bit-for-bit") {
+    // parquet-backed random floats (incl. negatives via centering)
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val kernel = e.select(col("vec_id"),
+      VectorExpressions.quantize_int8(col("embedding")).as("qs"))
+      .select(col("vec_id"), col("qs.scale").as("scale"), col("qs.q").as("q"))
+    val absMax = array_max(transform(col("embedding"),
+      x => abs(x.cast("double"))))
+    val declarative = e
+      .withColumn("abs_max", absMax)
+      .withColumn("scale",
+        when(col("abs_max") > 0.0, col("abs_max") / 127.0).otherwise(lit(1.0)))
+      .select(col("vec_id"), col("scale"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") / col("scale") + 0.5).cast("int")).as("q"))
+    val k = kernel.collect().map(r =>
+      r.getLong(0) -> ((r.getDouble(1), r.getSeq[Int](2)))).toMap
+    val d = declarative.collect().map(r =>
+      r.getLong(0) -> ((r.getDouble(1), r.getSeq[Int](2)))).toMap
+    assert(k == d)
+    // range check: symmetric int8
+    assert(k.values.forall(_._2.forall(q => q >= -127 && q <= 127)))
+  }
+
+  test("quantize_int8 edges: empty array, all-zero vector, null") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some(Seq.empty[Float])),
+      (2L, Some(Seq(0f, 0f))),
+      (3L, None)).toDF("id", "v")
+      .select(col("id"), col("v").cast("array<float>").as("v"))
+    val r = df.select(col("id"),
+      VectorExpressions.quantize_int8(col("v")).as("qs")).collect()
+      .map(x => x.getLong(0) -> (if (x.isNullAt(1)) null else x.getStruct(1)))
+      .toMap
+    assert(r(1L).getDouble(0) == 1.0 && r(1L).getSeq[Int](1).isEmpty)
+    assert(r(2L).getDouble(0) == 1.0 && r(2L).getSeq[Int](1) == Seq(0, 0))
+    assert(r(3L) == null)
+  }
 }
