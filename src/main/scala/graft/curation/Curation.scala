@@ -234,17 +234,41 @@ object Curation {
     * the classic shape; the window top-k is per-doc. */
   def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3): DataFrame = {
-    val toks = graft.sources.Tables.fanOut(df)
-      .select(col(idCol).as("doc_id"),
-        explode(split(trim(col(textCol)), "\\s+")).as("term"))
-      .filter(col("term") =!= "")
+    // Term frequencies are DOC-LOCAL, so tf is a zero-shuffle map
+    // pass (per-doc open hash count in a flatMap) — the previous
+    // explode → groupBy(doc, term) paid a full tokenized-corpus
+    // exchange for an aggregation whose keys never cross rows. The
+    // output is (doc, term, tf) exactly as the groupBy produced.
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tf = graft.sources.Tables.fanOut(df)
+      .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("txt"))
+      .as[(Long, String)]
+      .flatMap { case (id, t) =>
+        if (t == null) Iterator.empty
+        else {
+          val counts = new java.util.HashMap[String, Array[Long]]()
+          val toks = t.trim.split("\\s+")
+          var i = 0
+          while (i < toks.length) {
+            if (toks(i).nonEmpty) {
+              val slot = counts.get(toks(i))
+              if (slot == null) counts.put(toks(i), Array(1L))
+              else slot(0) += 1L
+            }
+            i += 1
+          }
+          import scala.jdk.CollectionConverters._
+          counts.entrySet().iterator().asScala
+            .map(e => (id, e.getKey, e.getValue()(0)))
+        }
+      }
+      .toDF("doc_id", "term", "tf")
     // N as a broadcast single-row frame, not a driver-side count():
     // keeps the whole computation one plan (no separate job) and the
-    // corpus scan for N runs concurrently with the tf aggregate
+    // corpus scan for N runs concurrently with the tf pass
     val nDocs = df.select(col(idCol)).distinct()
       .agg(count(lit(1)).cast("double").as("n_docs"))
-    val tf = toks.groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("term"))
       .agg(count(lit(1)).as("df"))
     val scored = tf.join(dfreq, Seq("term"))
