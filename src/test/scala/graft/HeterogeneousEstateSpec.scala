@@ -21,7 +21,7 @@ class HeterogeneousEstateSpec extends AnyFunSuite {
     p.toString
   }
 
-  test("csv + snapshot + jdbc estate: discover, classify, report") {
+  test("csv + snapshot + jdbc + DSv2 items estate: discover, classify, report") {
     val dir = tmp("estate")
 
     // s3-style CSV source (synthetic individual details, messy schema)
@@ -54,11 +54,29 @@ class HeterogeneousEstateSpec extends AnyFunSuite {
       }
     } finally conn.close()
 
+    // live-connector-style source: a JSON-lines item snapshot read
+    // through the graft-items DataSource V2 (segment-parallel scan,
+    // pushdown) via the Crawler's ConnectorSource seam — the estate's
+    // fourth source kind, exercising the DSv2 path end to end through
+    // the same discover → classify → comment pipeline
+    val itemsPath = tmp("estate_items")
+    val itemLines = Synth.networkInfo(spark, 40).collect().zipWithIndex.map {
+      case (r, i) =>
+        s"""{"device_id": $i, "contact_email": "${r.getAs[String]("email")}", "device_ip": "${r.getAs[String]("ip_address")}"}"""
+    }
+    Files.writeString(Paths.get(s"$itemsPath/items-00.jsonl"),
+      itemLines.take(20).mkString("\n"))
+    Files.writeString(Paths.get(s"$itemsPath/items-01.jsonl"),
+      itemLines.drop(20).mkString("\n"))
+
     val plan = Pipeline.run(spark, Seq(
         Pipeline.Source("Individual-Details", "s3", csvPath, Crawler.CsvSource),
         Pipeline.Source("NetworkInfo", "dynamodb", snapPath, Crawler.SnapshotSource),
         Pipeline.Source("billing_details", "rds", url,
-          Crawler.JdbcSource(url, "billing_details"))),
+          Crawler.JdbcSource(url, "billing_details")),
+        Pipeline.Source("Device-Registry", "dynamodb", itemsPath,
+          Crawler.ConnectorSource(
+            graft.sources.v2.ItemStoreV2Connector()))),
       stateDir = tmp("estate_state"), threshold = 0.5)
 
     val comments = plan.collect()
@@ -77,5 +95,7 @@ class HeterogeneousEstateSpec extends AnyFunSuite {
     assert(tagged("networkinfo", "email", "EMAIL"))
     assert(tagged("billing_details", "invoice_total", "MONEY_AMOUNT"))
     assert(tagged("billing_details", "sort_code", "UK_SORT_CODE"))
+    assert(tagged("device_registry", "contact_email", "EMAIL"))
+    assert(tagged("device_registry", "device_ip", "IP_ADDRESS"))
   }
 }
