@@ -409,4 +409,38 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(!p.contains("ObjectHashAggregate"), p.take(2000))
     assert(!p.contains("bounded_collect"), p.take(2000))
   }
+
+  test("s8 quantize: one codegen kernel projection, zero exchanges") {
+    val p = plan("s8_quantize_int8")
+    assert(p.contains("quantize_int8"), p.take(2000))
+    assert(!p.contains("Exchange"), "s8 must stay a per-row projection")
+    // the declarative form this kernel replaced re-derived the array
+    // max per element after CollapseProject inlining (dim^2 per row)
+    assert(!p.contains("array_max"), "scale must come from the kernel")
+  }
+
+  test("x11 novelty: no shingle-keyed join, denominator is the map kernel") {
+    val p = plan("x11_novelty")
+    // the df-counts join on shingle TEXT is gone: the only exchanges
+    // are the xxhash64-keyed aggregation and doc-sized ops
+    assert(!p.contains("hashpartitioning(shingle"),
+      "postings must not shuffle keyed on shingle text")
+    assert(p.contains("xxhash64"), p.take(2000))
+    assert(p.contains("MapPartitions"), "denominator must be the re-shingle kernel")
+  }
+
+  test("c4 tfidf: term frequencies are map-side, no (doc, term) exchange") {
+    val p = plan("c4_tfidf_topterms")
+    assert(!p.contains("hashpartitioning(doc_id, term"),
+      "tf must be the doc-local kernel, not explode + groupBy(doc, term)")
+    assert(p.contains("TopKPerKey") || p.contains("topKPerKey"), p.take(2000))
+  }
+
+  test("pr7 q-digest: typed aggregate partial/final, verdict side broadcast") {
+    val p = plan("pr7_quantile_sketch")
+    assert(p.contains("quantile_digest"), p.take(3000))
+    // estimates (6 rows) broadcast into the verdict rank count — the
+    // corpus never shuffles for the check
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p.take(3000))
+  }
 }
