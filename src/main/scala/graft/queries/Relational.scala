@@ -44,6 +44,21 @@ object Relational extends QueryPack {
           col("l_quantity"), col("l_extendedprice"))
     }),
 
+    // S2 live-read path: the documents table re-exported as the
+    // DDB-style JSON-lines chunk snapshot and read back through the
+    // graft-items DataSource V2 — pushdown (doc_id >= 10 reaches the
+    // scan), sampled schema inference (long + string promotion), and
+    // segment-parallel planning all on the driver-checked path. The
+    // snapshot content is a pure function of the parquet table, so
+    // the oracle aggregates the parquet directly.
+    "dsv1_items_scan" -> ((s, d) => {
+      val dir = graft.sources.v2.ItemSnapshots.ensure(s, d)
+      s.read.format("graft-items").load(dir)
+        .filter(col("doc_id") >= 10)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_id"))
+    }),
+
     // F1: conjunctive equality filter (tracker-scan shape)
     "f1_filter_conjunctive" -> ((s, d) => {
       Tables.load(s, d, "orders")
@@ -480,6 +495,11 @@ object Relational extends QueryPack {
   )
 
   def oracle: Map[String, String] = Map(
+    "dsv1_items_scan" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_id
+        |FROM documents WHERE doc_id >= 10 GROUP BY lang""".stripMargin,
+
     "s1_scan_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem

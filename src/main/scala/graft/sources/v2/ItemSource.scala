@@ -359,6 +359,29 @@ private[v2] object ItemFilters {
   }
 }
 
+/** Deterministic JSON-lines snapshot of a driver table, for the
+  * connector's driver-checked oracle entry (`dsv1_items_scan`): the
+  * documents table's (doc_id, lang) projection written once per sf
+  * dir as the DDB-export chunk layout [[JsonlItemStore]] reads. The
+  * snapshot content is a pure function of the parquet table, so the
+  * DuckDB oracle can aggregate the parquet directly. */
+object ItemSnapshots {
+  def ensure(spark: SparkSession, sfDir: String): String = {
+    val key = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    val dir = s"target/items_snapshot/$key"
+    val marker = java.nio.file.Paths.get(dir, "_DONE")
+    if (!java.nio.file.Files.exists(marker)) {
+      graft.sources.Tables.load(spark, sfDir, "documents")
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("lang"))
+        .coalesce(4)
+        .write.mode("overwrite").json(dir)
+      java.nio.file.Files.writeString(marker, "ok")
+    }
+    dir
+  }
+}
+
 /** The S2 seam impl that routes [[graft.catalog.Crawler]] through the
   * DSv2 read path: `ConnectorSource(ItemStoreV2Connector())` makes
   * infer / crawlAll / registerTable consume the connector with

@@ -64,7 +64,10 @@ final class JsonlItemStore extends ItemStore {
     val dir = Paths.get(path)
     if (!Files.isDirectory(dir)) return Array.empty
     Files.list(dir).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".jsonl"))
+      .filter { p =>
+        val n = p.getFileName.toString
+        n.endsWith(".jsonl") || n.endsWith(".json") // Spark json writer parts
+      }
       .toArray.sortBy(_.getFileName.toString)
   }
 
