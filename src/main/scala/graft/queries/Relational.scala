@@ -53,7 +53,12 @@ object Relational extends QueryPack {
     // the oracle aggregates the parquet directly.
     "dsv1_items_scan" -> ((s, d) => {
       val dir = graft.sources.v2.ItemSnapshots.ensure(s, d)
-      s.read.format("graft-items").load(dir)
+      // schema pinned explicitly (the catalog-registration pattern —
+      // and the only total behavior on an EMPTY corpus, where sampled
+      // inference has nothing to sample); inference itself is
+      // spec-pinned in ItemSourceSpec
+      s.read.format("graft-items").schema("doc_id bigint, lang string")
+        .load(dir)
         .filter(col("doc_id") >= 10)
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_id"))

@@ -91,7 +91,11 @@ object Scaling {
     // partials stay O(k·depth) per partition and the shuffle carries
     // digests, not rows — the exponent should be scan-bound like
     // an7/an8, now that compress amortizes on sparse domains
-    "pr7_quantile_sketch" -> "orders")
+    "pr7_quantile_sketch" -> "orders",
+    // round-12 join-free rewrite: one xxhash64-keyed exchange is the
+    // floor for a corpus-global df statistic; the doc-keyed side is
+    // output-sized
+    "x11_novelty" -> "documents")
 
   /** Measured interpretation notes embedded per row — the exponent
     * alone can mislead when the OUTPUT grows with the corpus. */
