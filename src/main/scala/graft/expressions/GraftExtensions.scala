@@ -139,6 +139,8 @@ object GraftFunctions {
       exprs => HexParityMask(exprs(0)))
     Bridge.registerFunction(spark, "luhn_check",
       exprs => LuhnCheck(exprs(0)))
+    Bridge.registerFunction(spark, "quantize_int8",
+      exprs => QuantizeInt8(exprs(0)))
     // the sketch aggregates (the analyzer wraps a bare
     // AggregateFunction into Complete-mode AggregateExpression)
     Bridge.registerFunction(spark, "hll_registers",
@@ -183,6 +185,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => HexParityMask(exprs(0)))
     fn(e, "luhn_check", classOf[LuhnCheck],
       exprs => LuhnCheck(exprs(0)))
+    fn(e, "quantize_int8", classOf[QuantizeInt8],
+      exprs => QuantizeInt8(exprs(0)))
     import GraftFunctions.intLit
     fn(e, "hll_registers", classOf[HllSketchAgg],
       exprs => HllSketchAgg(exprs(0), intLit(exprs(1), "m")))

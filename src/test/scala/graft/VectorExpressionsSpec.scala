@@ -120,4 +120,15 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(r(2L).getDouble(0) == 1.0 && r(2L).getSeq[Int](1) == Seq(0, 0))
     assert(r(3L) == null)
   }
+
+  test("quantize_int8 SQL registration surface") {
+    import spark.implicits._
+    Seq((1L, Seq(1.0f, -2.0f, 0.5f))).toDF("id", "v")
+      .createOrReplaceTempView("qv")
+    val r = spark.sql(
+      "SELECT quantize_int8(v).scale AS s, quantize_int8(v).q AS q FROM qv")
+      .collect()(0)
+    assert(math.abs(r.getDouble(0) - 2.0 / 127.0) < 1e-12)
+    assert(r.getSeq[Int](1) == Seq(64, -127, 32))
+  }
 }
