@@ -444,6 +444,49 @@ object Curation {
     * sides on shingle to co-locate at scale). Three partial-agg
     * shuffles total (df, join, per-doc rollup); docs shorter than n
     * tokens have no shingles and are absent. */
+  /** Char-trigram LM quality score — the CCNet/KenLM-style
+    * perplexity-proxy filter: score each document by the average
+    * add-k-smoothed log-probability of its character trigrams under a
+    * model TRAINED ON THE CORPUS ITSELF (boilerplate and natural prose
+    * score high; gibberish, encoding damage, and exotic byte salads
+    * score low). P(c₃|c₁c₂) = (count₃ + 0.5) / (count₂ + 0.5·256).
+    *
+    * 100 TB shape: the model tables are VOCABULARY-bounded, not
+    * corpus-bounded (≤ |charset|³ distinct trigrams — ~1M for ASCII —
+    * and |charset|² contexts), so both broadcast into map-side joins;
+    * the trigram stream itself is emitted doc-contiguously by the
+    * kernel, so the per-doc aggregate's partial step collapses each
+    * doc WITHIN its partition and the only corpus-sized exchange
+    * carries one row per document. Per-term decimal(28,12) casts make
+    * the per-doc sum partitioning-order-independent (the engine-
+    * portable determinism trick the analytics pack uses), so the
+    * DuckDB replay hash-matches. */
+  def charLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tg = graft.sources.Tables.fanOut(df)
+      .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("txt"))
+      .as[(Long, String)]
+      .flatMap { case (id, t) =>
+        if (t == null || t.length < 3) Iterator.empty
+        else Iterator.tabulate(t.length - 2)(i => (id, t.substring(i, i + 3)))
+      }.toDF("doc_id", "tri")
+    val cached = graft.util.Caches.scoped(tg)
+    val c3 = cached.groupBy(col("tri")).agg(count(lit(1)).as("n3"))
+    val c2 = cached.groupBy(substring(col("tri"), 1, 2).as("ctx"))
+      .agg(count(lit(1)).as("n2"))
+    cached
+      .join(broadcast(c3), Seq("tri"))
+      .join(broadcast(c2), substring(col("tri"), 1, 2) === col("ctx"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_trigrams"),
+        round(
+          sum(log((col("n3") + 0.5) / (col("n2") + 128.0))
+            .cast(DecimalType(28, 12))).cast("double") / count(lit(1)), 6)
+          .as("avg_logp"))
+  }
+
   def noveltyScore(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3): DataFrame = {
     val p = Dedup.shinglePostings(df, idCol, textCol, n, Int.MaxValue)

@@ -146,6 +146,13 @@ object CurationQueries extends QueryPack {
       Curation.noveltyScore(
         Tables.load(s, d, "documents"), "doc_id", "text", n = 3)),
 
+    // Char-trigram LM score (CCNet/KenLM-style perplexity proxy):
+    // add-k log-prob of each doc's char trigrams under the corpus's
+    // own trigram model — broadcast model, doc-local partial agg
+    "x13_charlm_score" -> ((s, d) =>
+      Curation.charLmScore(
+        Tables.load(s, d, "documents"), "doc_id", "text")),
+
     // Cross-split leakage audit: test-split docs that near-duplicate a
     // train-split doc (band-collision + Jaccard >= 0.5) — the check
     // that an eval split isn't a paraphrase of the training set.
@@ -535,6 +542,23 @@ object CurationQueries extends QueryPack {
         |    AS chunk_text,
         |  CAST(least(len(tk) - chunk_id * 16, 32) AS BIGINT) AS n_tokens
         |FROM c""".stripMargin,
+
+    "x13_charlm_score" ->
+      """WITH tg AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, length(text) - 1),
+        |      i -> substr(text, i, 3))) AS tri
+        |  FROM documents WHERE length(text) >= 3),
+        |c3 AS (SELECT tri, count(*) AS n3 FROM tg GROUP BY tri),
+        |c2 AS (SELECT substr(tri, 1, 2) AS ctx, count(*) AS n2
+        |       FROM tg GROUP BY 1)
+        |SELECT t.doc_id, count(*) AS n_trigrams,
+        |  round(CAST(sum(CAST(ln((n3 + 0.5) / (n2 + 128.0))
+        |      AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS avg_logp
+        |FROM tg t
+        |JOIN c3 ON t.tri = c3.tri
+        |JOIN c2 ON substr(t.tri, 1, 2) = c2.ctx
+        |GROUP BY t.doc_id""".stripMargin,
 
     "x11_novelty" ->
       s"""WITH ${shingles("nsh", "1 = 1", 3)},

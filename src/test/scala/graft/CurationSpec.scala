@@ -223,6 +223,26 @@ class CurationSpec extends AnyFunSuite {
     assert(out(4L) == ((5L, 4L, 0.8))) // "aa bb cc" also in docs 1/2
   }
 
+  test("charLmScore: common patterns outscore gibberish; short docs excluded") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat and the cat sat again"),
+      (2L, "the cat sat on the mat and the dog sat there"),
+      (3L, "zqxjkvwpfy bzx qkvvjw zzqp xkcvb"), // trigram soup
+      (4L, "ab") // too short: no trigrams, absent from output
+    ).toDF("doc_id", "text")
+    val out = Curation.charLmScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(!out.contains(4L))
+    assert(out(1L)._1 == docs.collect()(0).getString(1).length - 2L)
+    // docs 1/2 share most trigram mass; doc 3's trigrams are near-unique
+    // under the corpus model → much lower average log-probability
+    assert(out(1L)._2 > out(3L)._2 + 0.5)
+    assert(out(2L)._2 > out(3L)._2 + 0.5)
+    // all log-probs are negative (probabilities < 1)
+    assert(out.values.forall(_._2 < 0.0))
+  }
+
   test("split-leakage audit: test×train pairs only, correctly oriented") {
     import graft.dedup.Dedup
     // even ids share one text (near-dup cluster spanning splits); odd
