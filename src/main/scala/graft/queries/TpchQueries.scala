@@ -1,0 +1,372 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.Tables
+
+/** The TPC-H-shaped decision-support surface beyond the packs' original
+  * q1/q3/q5/q7/q8/q10/q18: the remaining canonical PLAN SHAPES a
+  * complete analytics engine must execute well — correlated EXISTS
+  * (semi join), NOT EXISTS (anti join), scalar subqueries (broadcast a
+  * one-row aggregate), correlated per-group averages, disjunctive
+  * multi-column predicates, and outer-join aggregation.
+  *
+  * The driver testdata is TPC-H-ish but narrower than spec (no
+  * partsupp, no l_commitdate/l_receiptdate/l_shipmode, no p_container
+  * or c_phone), so predicates are adapted — "late" becomes
+  * l_shipdate > o_orderdate + k days, q22's country code becomes the
+  * customer-id digits — while each query keeps its canonical shape.
+  * Queries needing partsupp (q2/q9/q11/q16/q20) are out of reach of
+  * this corpus and intentionally absent.
+  *
+  * Scale posture, per query, in the entry comments. Shared rules:
+  * every date/brand/size filter sits on the scan (pushdown verified in
+  * PlanRegressionSpec), dimension sides broadcast, and every
+  * floating-point aggregate is decimal-summed then cast (the pack-wide
+  * determinism contract, see QueryPack).
+  *
+  * Reference anchor: the reference's Athena/Glue consumers run exactly
+  * this kind of ad-hoc SQL over the crawled estate
+  * (/root/reference/README.md discovery→catalog→query flow); the
+  * reference itself publishes no TPC-H harness, so these follow the
+  * public TPC-H spec shapes.
+  */
+object TpchQueries extends QueryPack {
+
+  private def dsum(c: org.apache.spark.sql.Column, scale: Int = 4) =
+    sum(c.cast(DecimalType(28, scale))).cast(DoubleType)
+
+  private def ts(s: String) = lit(s).cast(TimestampType)
+
+  def queries: Map[String, Q] = Map(
+
+    // Q4 shape: correlated EXISTS → left-semi join with a non-equi
+    // residual (l_shipdate > o_orderdate). The quarter filter prunes
+    // the orders scan; the semi join shuffles both sides on orderkey
+    // once and keeps at most one match per order — no fact×fact blowup.
+    "q4_priority_exists" -> ((s, d) => {
+      val o = Tables.load(s, d, "orders")
+        .filter(col("o_orderdate") >= ts("1996-07-01")
+          && col("o_orderdate") < ts("1996-10-01"))
+      val li = Tables.load(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_shipdate"))
+      o.join(li, o("o_orderkey") === li("l_orderkey")
+          && li("l_shipdate") > o("o_orderdate"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+    }),
+
+    // Q6 shape: the pure-scan aggregate — every predicate reaches the
+    // parquet scan (range + between + less-than on three columns), no
+    // join, no shuffle beyond the single-row partial-agg collapse. At
+    // 100 TB this is the min-max-pruning showcase: with date-sorted
+    // files the range skips whole row groups.
+    "q6_forecast_revenue" -> ((s, d) => {
+      Tables.load(s, d, "lineitem")
+        .filter(col("l_shipdate") >= ts("1996-01-01")
+          && col("l_shipdate") < ts("1997-01-01")
+          && col("l_discount").between(0.04, 0.06)
+          && col("l_quantity") < 24)
+        .agg(dsum(col("l_extendedprice") * col("l_discount"), 4)
+          .as("revenue"))
+    }),
+
+    // Q12 shape: fact⨝fact join + grouped conditional counts (the
+    // CASE-sum idiom). The year filter prunes the lineitem scan; the
+    // late-shipment predicate rides the join as a residual; priority
+    // classification is a codegen'd when/otherwise pair in ONE
+    // aggregation pass.
+    "q12_late_lines" -> ((s, d) => {
+      val li = Tables.load(s, d, "lineitem")
+        .filter(col("l_shipdate") >= ts("1997-01-01")
+          && col("l_shipdate") < ts("1998-01-01"))
+      val o = Tables.load(s, d, "orders")
+      val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      li.join(o, li("l_orderkey") === o("o_orderkey")
+          && li("l_shipdate") > o("o_orderdate"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+    }),
+
+    // Q13 shape: LEFT OUTER join + two-level aggregation (orders per
+    // customer, then the distribution of those counts). count(o_key)
+    // — not count(*) — so order-less customers land in bucket 0. The
+    // second groupBy is over at most max-orders-per-customer distinct
+    // keys: trivially small at any scale.
+    "q13_order_distribution" -> ((s, d) => {
+      val c = Tables.load(s, d, "customer")
+      val o = Tables.load(s, d, "orders")
+        .filter(col("o_orderpriority") =!= "5-LOW")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+    }),
+
+    // Q14 shape: broadcast dim join + conditional/total aggregate pair
+    // in one pass (same single-pass share idiom as q8). The part side
+    // broadcasts whole; the date range prunes the fact scan.
+    "q14_promo_share" -> ((s, d) => {
+      val li = Tables.load(s, d, "lineitem")
+        .filter(col("l_shipdate") >= ts("1996-01-01")
+          && col("l_shipdate") < ts("1996-04-01"))
+      val p = Tables.load(s, d, "part")
+      val vol = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .agg(
+          dsum(when(col("p_type") === "PROMO", vol).otherwise(lit(0.0)), 4)
+            .as("promo_revenue"),
+          dsum(vol, 4).as("total_revenue"))
+        .withColumn("promo_share",
+          round(lit(100.0) * col("promo_revenue") / col("total_revenue"), 9))
+    }),
+
+    // Q15 shape: scalar subquery against the query's own aggregate.
+    // The naive form (re-aggregate for the max, join back) scans the
+    // fact table TWICE; here the max rides a global window over the
+    // already-aggregated per-supplier frame — ONE fact scan, one
+    // suppkey shuffle, then a single-partition pass over a frame whose
+    // row count is bounded by the supplier count (dimension-sized by
+    // construction, so the empty-partitionBy window is safe). Equality
+    // on the decimal-summed revenue is exact on both engines.
+    "q15_top_supplier" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val rev = Tables.load(s, d, "lineitem")
+        .filter(col("l_shipdate") >= ts("1996-01-01")
+          && col("l_shipdate") < ts("1996-04-01"))
+        .groupBy(col("l_suppkey"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+          .as("total_revenue"))
+      val sup = Tables.load(s, d, "supplier")
+      rev.withColumn("mx", max(col("total_revenue")).over(Window.partitionBy()))
+        .filter(col("total_revenue") === col("mx"))
+        .join(broadcast(sup), col("l_suppkey") === sup("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+    }),
+
+    // Q17 shape: correlated per-group average. The agg-then-join-back
+    // form scans the fact table twice; instead the per-part average
+    // rides a window over the brand-pruned join output — ONE lineitem
+    // scan, and the only shuffle carries just the brand's rows (the
+    // broadcast join prunes before the exchange, ~1/n_brands of the
+    // fact table). The avg is decimal-sum/count over the window so
+    // both engines agree bit-for-bit.
+    "q17_small_orders" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val p = Tables.load(s, d, "part")
+        .filter(col("p_brand") === "Brand#4" && col("p_size") <= 10)
+        .select(col("p_partkey"))
+      val w = Window.partitionBy(col("l_partkey"))
+      Tables.load(s, d, "lineitem")
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+        .withColumn("avg_qty",
+          sum(col("l_quantity").cast(DecimalType(28, 2))).over(w)
+            .cast(DoubleType) / count(lit(1)).over(w))
+        .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+        .agg((dsum(col("l_extendedprice"), 4) / lit(7.0)).as("avg_yearly"))
+    }),
+
+    // Q19 shape: disjunctive multi-column predicate over a broadcast
+    // join — three (brand, size, quantity) conjunct groups OR'd. The
+    // implied superset filter (brand IN the three) is added explicitly
+    // on the part scan — the classic q19 rewrite Catalyst cannot infer
+    // — so the broadcast side is three brands, not the whole part
+    // table, and only the cross-column disjunction stays post-join.
+    "q19_disjunctive" -> ((s, d) => {
+      val p = Tables.load(s, d, "part")
+        .filter(col("p_brand").isin("Brand#4", "Brand#2", "Brand#19"))
+      val li = Tables.load(s, d, "lineitem")
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#4" && col("p_size").between(1, 15)
+            && col("l_quantity").between(1, 21))
+          || (col("p_brand") === "Brand#2" && col("p_size").between(10, 30)
+            && col("l_quantity").between(10, 30))
+          || (col("p_brand") === "Brand#19" && col("p_size").between(20, 50)
+            && col("l_quantity").between(20, 40)))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+          .as("revenue"))
+    }),
+
+    // Q21 shape: suppliers whose LATE line sat in a multi-supplier
+    // order where NO other supplier was late — the canonical
+    // EXISTS + NOT-EXISTS pair. The literal form (two self-joins of
+    // the flagged fact frame) recomputes the fact⨝orders join three
+    // times; here the correlation collapses into a TWO-LEVEL
+    // AGGREGATION: per (order, supplier) count late lines, then per
+    // order decide "exactly one late supplier among >1 suppliers" and
+    // emit that supplier's late-line count — the classic q21 rewrite.
+    // One fact⨝orders join, then two shrinking shuffles
+    // (order×supplier → order → supplier); no self-joins at all. The
+    // oracle keeps the EXISTS/NOT-EXISTS form, so the driver's
+    // hash-compare *proves* the rewrite's equivalence. "Late" (no
+    // commit/receipt dates in this corpus) = shipped >90 days after
+    // the order date.
+    "q21_waiting_supplier" -> ((s, d) => {
+      val o = Tables.load(s, d, "orders")
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val perSupp = Tables.load(s, d, "lineitem")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(sum(when(
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+          1L).otherwise(0L)).as("late_lines"))
+      val isLate = col("late_lines") > 0L
+      val sole = perSupp.groupBy(col("l_orderkey"))
+        .agg(
+          count(lit(1)).as("n_supp"),
+          sum(when(isLate, 1L).otherwise(0L)).as("n_late_supp"),
+          max(when(isLate, col("l_suppkey"))).as("late_sk"),
+          max(when(isLate, col("late_lines"))).as("late_cnt"))
+        .filter(col("n_supp") > 1L && col("n_late_supp") === 1L)
+      val sup = Tables.load(s, d, "supplier")
+      sole.join(broadcast(sup), col("late_sk") === sup("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(sum(col("late_cnt")).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(20)
+    }),
+
+    // Q22 shape: scalar-average subquery + anti join. The positive-
+    // balance average broadcasts as a one-row frame; customers above
+    // it with NO orders (left-anti on custkey) group by their id-digit
+    // "country code" (this corpus has no c_phone). The anti join
+    // shuffles only custkeys; the avg is decimal-stable.
+    "q22_dormant_customers" -> ((s, d) => {
+      val code = substring(col("c_name"), 17, 2)
+      val c = Tables.load(s, d, "customer")
+        .filter(code.isin("01", "12", "23", "34", "45", "56", "67"))
+        .select(col("c_custkey"), col("c_acctbal"), code.as("cntrycode"))
+      val avgBal = c.filter(col("c_acctbal") > 0.0)
+        .agg((dsum(col("c_acctbal"), 2) / count(lit(1))).as("avg_bal"))
+      val o = Tables.load(s, d, "orders").select(col("o_custkey"))
+      c.join(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("cntrycode"))
+        .agg(count(lit(1)).as("numcust"),
+          dsum(col("c_acctbal"), 2).as("totacctbal"))
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q4_priority_exists" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate)
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "q6_forecast_revenue" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.04 AND 0.06
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q12_late_lines" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate > o_orderdate
+        |GROUP BY l_returnflag""".stripMargin,
+
+    "q13_order_distribution" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count""".stripMargin,
+
+    "q14_promo_share" ->
+      """SELECT
+        |  CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+        |    THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END AS DECIMAL(28,4))) AS DOUBLE) AS promo_revenue,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS total_revenue,
+        |  ROUND(100.0
+        |    * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+        |        THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END AS DECIMAL(28,4))) AS DOUBLE)
+        |    / CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,4))) AS DOUBLE), 9) AS promo_share
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'""".stripMargin,
+
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)""".stripMargin,
+
+    "q17_small_orders" ->
+      """WITH lip AS (
+        |  SELECT l_partkey, l_quantity, l_extendedprice
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#4' AND p_size <= 10),
+        |avgq AS (
+        |  SELECT l_partkey AS ak,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) / count(*) AS avg_qty
+        |  FROM lip GROUP BY l_partkey)
+        |SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) / 7.0 AS avg_yearly
+        |FROM lip JOIN avgq ON l_partkey = ak AND l_quantity < 0.2 * avg_qty""".stripMargin,
+
+    "q19_disjunctive" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 21)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+        |       AND l_quantity BETWEEN 10 AND 30)
+        |   OR (p_brand = 'Brand#19' AND p_size BETWEEN 20 AND 50
+        |       AND l_quantity BETWEEN 20 AND 40)""".stripMargin,
+
+    "q21_waiting_supplier" ->
+      """WITH flagged AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    l_shipdate > o_orderdate + INTERVAL 90 DAY AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F')
+        |SELECT s_name, count(*) AS numwait
+        |FROM flagged l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+        |WHERE l1.late
+        |  AND EXISTS (SELECT 1 FROM flagged l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM flagged l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+
+    "q22_dormant_customers" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_acctbal, substr(c_name, 17, 2) AS cntrycode
+        |  FROM customer
+        |  WHERE substr(c_name, 17, 2) IN ('01','12','23','34','45','56','67'))
+        |SELECT cntrycode, count(*) AS numcust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(28,2))) AS DOUBLE) AS totacctbal
+        |FROM c
+        |WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(28,2))) AS DOUBLE) / count(*)
+        |                   FROM c WHERE c_acctbal > 0.0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY cntrycode""".stripMargin
+  )
+}

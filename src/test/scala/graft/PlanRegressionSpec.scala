@@ -443,4 +443,39 @@ class PlanRegressionSpec extends AnyFunSuite {
     // corpus never shuffles for the check
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p.take(3000))
   }
+
+  test("q6: every predicate reaches the parquet scan, no join") {
+    val p = plan("q6_forecast_revenue")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p.take(2000))
+    assert(p.contains("GreaterThanOrEqual(l_discount,0.04)"), p.take(2000))
+    assert(p.contains("LessThan(l_quantity,24.0)"), p.take(2000))
+    assert(!p.contains("Join"), "q6 must be join-free")
+    assert(treeCount(p, "HashAggregate") >= 2, "no partial aggregation")
+  }
+
+  test("q19: implied brand superset filter pushes to the part scan, join broadcasts") {
+    val p = plan("q19_disjunctive")
+    assert(p.contains("In(p_brand"), "brand IN-list must reach the part scan")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), "part side must broadcast")
+  }
+
+  test("q21: two-level aggregation rewrite — one fact join, no self-joins") {
+    val p = plan("q21_waiting_supplier")
+    // the EXISTS/NOT-EXISTS correlation must stay collapsed into
+    // aggregation: exactly one join of lineitem⨝orders plus the
+    // broadcast supplier-name join — no semi/anti self-joins
+    assert(!p.contains("LeftSemi") && !p.contains("LeftAnti"),
+      "q21 must not regress to the triple-scan self-join form")
+    val tree = p.linesIterator.takeWhile(_.trim.nonEmpty).mkString("\n")
+    assert("Join".r.findAllIn(tree).size <= 3, tree)
+  }
+
+  test("q17: single lineitem scan — per-part avg rides the window, not a re-join") {
+    val p = plan("q17_small_orders")
+    val tree = p.linesIterator.takeWhile(_.trim.nonEmpty).mkString("\n")
+    assert("Scan parquet".r.findAllIn(tree).size <= 2,
+      "q17 must scan lineitem once (plus the part dim)")
+    assert(p.contains("Window"), p.take(2000))
+  }
 }
