@@ -243,7 +243,7 @@ object Bench {
     val packSums: Seq[(String, Double)] = retriedResults
       .filter(_._2 >= 0).groupBy(p => packOf(p._1))
       .map { case (f, qs) => f -> qs.map(_._2).sum }.toSeq.sortBy(_._1)
-    val prevPacks: Map[String, Double] = try {
+    val prevQueries: Map[String, Double] = try {
       val txt = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("/root/repo/BENCH_FULL.json")), "UTF-8")
       val om = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -259,14 +259,24 @@ object Bench {
         while (it.hasNext) {
           val e = it.next()
           val v = e.getValue.asDouble(-1.0)
-          if (v >= 0) m(packOf(e.getKey)) = m.getOrElse(packOf(e.getKey), 0.0) + v
+          if (v >= 0) m(e.getKey) = v
         }
         m.toMap
       }
     } catch { case NonFatal(_) => Map.empty }
-    val packDrift: Seq[(String, Double)] = packSums.flatMap { case (f, v) =>
-      prevPacks.get(f).filter(_ > 0.05).map(p => f -> v / p)
-    }
+    // drift ratios compare only queries present in BOTH records —
+    // otherwise a family that gained members this round reads as a
+    // regression of the family's conservation law rather than growth
+    val curQ = retriedResults.filter(_._2 >= 0).toMap
+    val common = curQ.keySet.intersect(prevQueries.keySet)
+    val prevPacks: Map[String, Double] = common.toSeq
+      .groupBy(packOf).map { case (f, ns) => f -> ns.map(prevQueries).sum }
+    val curPacksCommon: Map[String, Double] = common.toSeq
+      .groupBy(packOf).map { case (f, ns) => f -> ns.map(curQ).sum }
+    val packDrift: Seq[(String, Double)] = curPacksCommon.toSeq.sortBy(_._1)
+      .flatMap { case (f, v) =>
+        prevPacks.get(f).filter(_ > 0.05).map(p => f -> v / p)
+      }
     val flaggedDrift = packDrift.filter { case (_, r) => r > 1.25 || r < 0.75 }
 
     // machine-factor canary, END sample (SCALE.md round-6 convention):

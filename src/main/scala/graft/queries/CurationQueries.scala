@@ -153,6 +153,15 @@ object CurationQueries extends QueryPack {
       Curation.charLmScore(
         Tables.load(s, d, "documents"), "doc_id", "text")),
 
+    // Quality-classifier TRAINING (fastText/CCNet-style): full-batch
+    // logistic-regression GD on doc features — one partial-agg scan
+    // per iteration, weights as broadcast literals, 4-double driver
+    // state. The oracle replays the identical 3 iterations as chained
+    // CTEs, so the hash-compare proves the distributed fit exactly.
+    "ml1_logreg_quality" -> ((s, d) =>
+      graft.ops.MlFit.logregQuality(
+        Tables.load(s, d, "documents"), iters = 3, lr = 1.0)),
+
     // Cross-split leakage audit: test-split docs that near-duplicate a
     // train-split doc (band-collision + Jaccard >= 0.5) — the check
     // that an eval split isn't a paraphrase of the training set.
@@ -542,6 +551,38 @@ object CurationQueries extends QueryPack {
         |    AS chunk_text,
         |  CAST(least(len(tk) - chunk_id * 16, 32) AS BIGINT) AS n_tokens
         |FROM c""".stripMargin,
+
+    "ml1_logreg_quality" ->
+      """WITH f AS (
+        |  SELECT least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS f_len,
+        |    least(CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) / 100.0, 1.0) AS f_tok,
+        |    CASE WHEN text LIKE '%spark%' THEN 1.0 ELSE 0.0 END AS y
+        |  FROM documents),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n, count(*) AS n_train FROM f),
+        |g1 AS (SELECT
+        |    CAST(SUM(CAST((1.0/(1.0+exp(0.0)) - y) AS DECIMAL(38,20))) AS DOUBLE) AS gb,
+        |    CAST(SUM(CAST((1.0/(1.0+exp(0.0)) - y) * f_len AS DECIMAL(38,20))) AS DOUBLE) AS gl,
+        |    CAST(SUM(CAST((1.0/(1.0+exp(0.0)) - y) * f_tok AS DECIMAL(38,20))) AS DOUBLE) AS gt
+        |  FROM f),
+        |i1 AS (SELECT 0.0 - gb/n AS b, 0.0 - gl/n AS wl, 0.0 - gt/n AS wt
+        |  FROM g1, nn),
+        |g2 AS (SELECT
+        |    CAST(SUM(CAST((1.0/(1.0+exp(-(b + wl*f_len + wt*f_tok))) - y) AS DECIMAL(38,20))) AS DOUBLE) AS gb,
+        |    CAST(SUM(CAST((1.0/(1.0+exp(-(b + wl*f_len + wt*f_tok))) - y) * f_len AS DECIMAL(38,20))) AS DOUBLE) AS gl,
+        |    CAST(SUM(CAST((1.0/(1.0+exp(-(b + wl*f_len + wt*f_tok))) - y) * f_tok AS DECIMAL(38,20))) AS DOUBLE) AS gt
+        |  FROM f, i1),
+        |i2 AS (SELECT b - gb/n AS b, wl - gl/n AS wl, wt - gt/n AS wt
+        |  FROM g2, i1, nn),
+        |g3 AS (SELECT
+        |    CAST(SUM(CAST((1.0/(1.0+exp(-(b + wl*f_len + wt*f_tok))) - y) AS DECIMAL(38,20))) AS DOUBLE) AS gb,
+        |    CAST(SUM(CAST((1.0/(1.0+exp(-(b + wl*f_len + wt*f_tok))) - y) * f_len AS DECIMAL(38,20))) AS DOUBLE) AS gl,
+        |    CAST(SUM(CAST((1.0/(1.0+exp(-(b + wl*f_len + wt*f_tok))) - y) * f_tok AS DECIMAL(38,20))) AS DOUBLE) AS gt
+        |  FROM f, i2),
+        |i3 AS (SELECT b - gb/n AS b, wl - gl/n AS wl, wt - gt/n AS wt
+        |  FROM g3, i2, nn)
+        |SELECT round(b, 6) AS w_bias, round(wl, 6) AS w_len,
+        |  round(wt, 6) AS w_tok, CAST(n_train AS BIGINT) AS n_train
+        |FROM i3, nn""".stripMargin,
 
     "x13_charlm_score" ->
       """WITH tg AS (

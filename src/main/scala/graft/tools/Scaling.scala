@@ -95,7 +95,15 @@ object Scaling {
     // round-12 join-free rewrite: one xxhash64-keyed exchange is the
     // floor for a corpus-global df statistic; the doc-keyed side is
     // output-sized
-    "x11_novelty" -> "documents")
+    "x11_novelty" -> "documents",
+    // round-12 additions: the char-trigram LM score (two scans — fit
+    // the broadcast-bounded model, then score; both partial-agg) and
+    // the q21 two-level-aggregation rewrite of EXISTS/NOT-EXISTS —
+    // the one new TPC-H shape with NO fixed calendar predicate (its
+    // "late" window is relative to o_orderdate), so it measures
+    // honestly on the synthetic date ranges
+    "x13_charlm_score" -> "documents",
+    "q21_waiting_supplier" -> "lineitem+orders")
 
   /** Measured interpretation notes embedded per row — the exponent
     * alone can mislead when the OUTPUT grows with the corpus. */
@@ -112,6 +120,11 @@ object Scaling {
     "an8_group_corr" -> ("row-linear by design: same partial-agg scan shape as " +
       "an7 — constant-size (6-group) shuffle of long moment sums, exponent is " +
       "scan-bound"),
+    "x13_charlm_score" -> ("row-linear by design (exp_100_10 0.93): both passes " +
+      "— trigram-count fit and per-doc scoring — are must-touch-every-byte " +
+      "per-row compute; the shuffle carries only the vocabulary-bounded " +
+      "trigram model (broadcast back for scoring), so growth is pure scan, " +
+      "same class as a1_classify_ref256/m5"),
     "pr7_quantile_sketch" -> ("mergeable-summary shape: per-partition digests " +
       "are O(k*depth) regardless of rows, the shuffle carries digests not " +
       "values, and the verdict join broadcasts 6 estimate rows; post-cascade " +
@@ -122,7 +135,12 @@ object Scaling {
   // synthetic orders/lineitem date ranges (2023+, tied to the as-of
   // corpus design), so a measured "exponent" would time an empty
   // result. Their scale posture is the q5/q10 fact-join shape already
-  // covered by sk1/sk2/ao1.
+  // covered by sk1/sk2/ao1. The same exclusion applies to the
+  // round-12 completion pack's dated queries
+  // (q4/q6/q12/q14/q15/q17/q19); q13/q22 are date-free but their
+  // shapes (outer-join count, anti join) are covered by
+  // sk1/a5/f10-family rows, while q21 IS measured (relative dates,
+  // novel two-level-aggregation shape).
 
   def main(args: Array[String]): Unit = {
     // usage: Scaling [scale...] [-q name1,name2] [-p passes] [-g]

@@ -33,8 +33,9 @@ object SynthScale {
   /** Bump whenever any generator below changes shape: Scaling's
     * per-corpus _DONE marker embeds this, so a stale on-disk corpus
     * regenerates instead of silently measuring the old shape.
-    * v2 = round 10 (hot-customer %07d suffix, region/nation/part). */
-  val generatorVersion = 2
+    * v2 = round 10 (hot-customer %07d suffix, region/nation/part).
+    * v3 = round 12 (supplier dim for q21). */
+  val generatorVersion = 3
 
   private val langs = Vector("en", "de", "es", "fr", "zh")
   private val langCum = Vector(0.40, 0.56, 0.72, 0.86, 1.0)
@@ -220,6 +221,19 @@ object SynthScale {
       .toDF("n_nationkey", "n_name", "n_regionkey")
   }
 
+  /** Supplier dim matching lineitem's l_suppkey range (1..1000) —
+    * q21's broadcast name-lookup side. Fixed-size like nation: the
+    * supplier count is a property of the lineitem generator, not the
+    * corpus scale. */
+  def supplier(spark: SparkSession, seed: Long = 42L): DataFrame = {
+    import spark.implicits._
+    (1 to 1000).map { k =>
+      val r = rngFor(seed + 9, k.toLong)
+      (k.toLong, f"Supplier#$k%09d", r.nextInt(25),
+        math.rint((r.nextDouble() * 11000.0 - 1000.0) * 100) / 100)
+    }.toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+  }
+
   def part(spark: SparkSession, n: Long, seed: Long = 42L): DataFrame = {
     import spark.implicits._
     val adjs = Vector("large", "hot", "blue", "dark", "soft")
@@ -253,5 +267,7 @@ object SynthScale {
       .parquet(s"$outDir/nation.parquet")
     part(spark, 2000L * scale).write.mode(SaveMode.Overwrite)
       .parquet(s"$outDir/part.parquet")
+    supplier(spark).write.mode(SaveMode.Overwrite)
+      .parquet(s"$outDir/supplier.parquet")
   }
 }

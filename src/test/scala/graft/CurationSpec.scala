@@ -388,6 +388,30 @@ class CurationSpec extends AnyFunSuite {
     assert(out(1L) == ((1L, 3L, "e f g")))
   }
 
+  test("logregQuality learns a separating direction and reduces loss") {
+    import spark.implicits._
+    // planted separable problem: positives are long docs with the
+    // marker token, negatives short without it — the fitted weights
+    // must point toward (len, tok) for positives
+    val docs = (0 until 200).map { i =>
+      if (i % 2 == 0) (i.toLong, ("spark " * 80).trim)
+      else (i.toLong, "x y z")
+    }.toDF("doc_id", "text")
+    val w = graft.ops.MlFit.logregQuality(docs, iters = 3, lr = 1.0).head()
+    val (wb, wl, wt, n) =
+      (w.getDouble(0), w.getDouble(1), w.getDouble(2), w.getLong(3))
+    assert(n == 200L)
+    assert(wl > 0.0 && wt > 0.0, s"feature weights must be positive: $wl $wt")
+    // positive example must score above a negative one under the model
+    def score(fLen: Double, fTok: Double) = wb + wl * fLen + wt * fTok
+    assert(score(math.min(479.0 / 500, 1), math.min(80.0 / 100, 1)) >
+      score(5.0 / 500, 3.0 / 100))
+    // more iterations keep moving in the same direction (GD progress)
+    val w5 = graft.ops.MlFit.logregQuality(docs, iters = 5, lr = 1.0).head()
+    assert(math.abs(w5.getDouble(1)) > math.abs(wl),
+      "weights must keep growing on a separable problem")
+  }
+
   test("canonicalizeUrl normalizes case/port/www/params/fragment") {
     import graft.functions.TextFunctions.canonicalizeUrl
     val urls = Seq(
