@@ -53,16 +53,39 @@ object MlFit {
         grad(lit(1.0)).as("gb"), grad(col("f_len")).as("gl"),
         grad(col("f_tok")).as("gt"), count(lit(1)).as("n")).head()
       n = row.getLong(3)
-      val nd = n.toDouble
-      w = Array(
-        w(0) - lr * row.getDouble(0) / nd,
-        w(1) - lr * row.getDouble(1) / nd,
-        w(2) - lr * row.getDouble(2) / nd)
+      // empty corpus: gradient sums are NULL and n=0 — the model
+      // stays at the zero init instead of dividing to NaN
+      if (n > 0L) {
+        val nd = n.toDouble
+        w = Array(
+          w(0) - lr * row.getDouble(0) / nd,
+          w(1) - lr * row.getDouble(1) / nd,
+          w(2) - lr * row.getDouble(2) / nd)
+      }
     }
     val spark = docs.sparkSession
     import spark.implicits._
     Seq((math.rint(w(0) * 1e6) / 1e6, math.rint(w(1) * 1e6) / 1e6,
       math.rint(w(2) * 1e6) / 1e6, n))
       .toDF("w_bias", "w_len", "w_tok", "n_train")
+  }
+
+  /** Fit, then SCORE the corpus with the trained model — the filter
+    * step of the pipeline. Scoring is one codegen projection pass:
+    * the fitted weights enter as literals (broadcast-by-construction),
+    * so the 100 TB cost is exactly one scan after the bounded
+    * training iterations. `kept` derives from the ROUNDED score so
+    * both engines gate on the identical value. */
+  def logregFilter(docs: DataFrame, iters: Int = 3, lr: Double = 1.0,
+      threshold: Double = 0.5): DataFrame = {
+    val m = logregQuality(docs, iters, lr).head()
+    val (wb, wl, wt) = (m.getDouble(0), m.getDouble(1), m.getDouble(2))
+    val fLen = least(length(col("text")).cast(DoubleType) / lit(500.0), lit(1.0))
+    val fTok = least(size(split(trim(col("text")), "\\s+")).cast(DoubleType)
+      / lit(100.0), lit(1.0))
+    val margin = lit(wb) + lit(wl) * fLen + lit(wt) * fTok
+    docs.select(col("doc_id"),
+        round(lit(1.0) / (lit(1.0) + exp(-margin)), 6).as("score"))
+      .withColumn("kept", col("score") >= lit(threshold))
   }
 }

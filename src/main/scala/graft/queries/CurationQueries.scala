@@ -162,6 +162,13 @@ object CurationQueries extends QueryPack {
       graft.ops.MlFit.logregQuality(
         Tables.load(s, d, "documents"), iters = 3, lr = 1.0)),
 
+    // The filter step: score every doc under the trained model (one
+    // codegen projection with literal weights) and gate on the
+    // rounded score — train → score → filter as one driver entry
+    "ml2_classifier_filter" -> ((s, d) =>
+      graft.ops.MlFit.logregFilter(
+        Tables.load(s, d, "documents"), iters = 3, lr = 1.0)),
+
     // Cross-split leakage audit: test-split docs that near-duplicate a
     // train-split doc (band-collision + Jaccard >= 0.5) — the check
     // that an eval split isn't a paraphrase of the training set.
@@ -406,6 +413,41 @@ object CurationQueries extends QueryPack {
       s" * ${1L << (4 * (8 - i))}")
     .mkString("CAST(", " + ", " AS BIGINT)")
 
+  /** Shared 3-iteration logistic-GD CTE chain for the ml1/ml2
+    * oracles: per-doc features + label, then alternating gradient-sum
+    * (decimal-stable) and weight-update CTEs replaying MlFit exactly.
+    * Iteration 1 inlines sigmoid(0) since the zero init makes the
+    * margin identically 0.0. */
+  private val logregCtes =
+    """WITH f AS (
+      |  SELECT doc_id,
+      |    least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS f_len,
+      |    least(CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) / 100.0, 1.0) AS f_tok,
+      |    CASE WHEN text LIKE '%spark%' THEN 1.0 ELSE 0.0 END AS y
+      |  FROM documents),
+      |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n, count(*) AS n_train FROM f),
+      |g1 AS (SELECT
+      |    CAST(SUM(CAST((1.0/(1.0+exp(0.0)) - y) AS DECIMAL(38,20))) AS DOUBLE) AS gb,
+      |    CAST(SUM(CAST((1.0/(1.0+exp(0.0)) - y) * f_len AS DECIMAL(38,20))) AS DOUBLE) AS gl,
+      |    CAST(SUM(CAST((1.0/(1.0+exp(0.0)) - y) * f_tok AS DECIMAL(38,20))) AS DOUBLE) AS gt
+      |  FROM f),
+      |i1 AS (SELECT 0.0 - gb/n AS b, 0.0 - gl/n AS wl, 0.0 - gt/n AS wt
+      |  FROM g1, nn),
+      |g2 AS (SELECT
+      |    CAST(SUM(CAST((1.0/(1.0+exp(-(b + wl*f_len + wt*f_tok))) - y) AS DECIMAL(38,20))) AS DOUBLE) AS gb,
+      |    CAST(SUM(CAST((1.0/(1.0+exp(-(b + wl*f_len + wt*f_tok))) - y) * f_len AS DECIMAL(38,20))) AS DOUBLE) AS gl,
+      |    CAST(SUM(CAST((1.0/(1.0+exp(-(b + wl*f_len + wt*f_tok))) - y) * f_tok AS DECIMAL(38,20))) AS DOUBLE) AS gt
+      |  FROM f, i1),
+      |i2 AS (SELECT b - gb/n AS b, wl - gl/n AS wl, wt - gt/n AS wt
+      |  FROM g2, i1, nn),
+      |g3 AS (SELECT
+      |    CAST(SUM(CAST((1.0/(1.0+exp(-(b + wl*f_len + wt*f_tok))) - y) AS DECIMAL(38,20))) AS DOUBLE) AS gb,
+      |    CAST(SUM(CAST((1.0/(1.0+exp(-(b + wl*f_len + wt*f_tok))) - y) * f_len AS DECIMAL(38,20))) AS DOUBLE) AS gl,
+      |    CAST(SUM(CAST((1.0/(1.0+exp(-(b + wl*f_len + wt*f_tok))) - y) * f_tok AS DECIMAL(38,20))) AS DOUBLE) AS gt
+      |  FROM f, i2),
+      |i3 AS (SELECT b - gb/n AS b, wl - gl/n AS wl, wt - gt/n AS wt
+      |  FROM g3, i2, nn)""".stripMargin
+
   def oracle: Map[String, String] = Map(
     "b1_bpe_merges" -> bpeOracle,
     "b2_bpe_encode" -> bpeEncodeOracle,
@@ -553,36 +595,21 @@ object CurationQueries extends QueryPack {
         |FROM c""".stripMargin,
 
     "ml1_logreg_quality" ->
-      """WITH f AS (
-        |  SELECT least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS f_len,
-        |    least(CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) / 100.0, 1.0) AS f_tok,
-        |    CASE WHEN text LIKE '%spark%' THEN 1.0 ELSE 0.0 END AS y
-        |  FROM documents),
-        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n, count(*) AS n_train FROM f),
-        |g1 AS (SELECT
-        |    CAST(SUM(CAST((1.0/(1.0+exp(0.0)) - y) AS DECIMAL(38,20))) AS DOUBLE) AS gb,
-        |    CAST(SUM(CAST((1.0/(1.0+exp(0.0)) - y) * f_len AS DECIMAL(38,20))) AS DOUBLE) AS gl,
-        |    CAST(SUM(CAST((1.0/(1.0+exp(0.0)) - y) * f_tok AS DECIMAL(38,20))) AS DOUBLE) AS gt
-        |  FROM f),
-        |i1 AS (SELECT 0.0 - gb/n AS b, 0.0 - gl/n AS wl, 0.0 - gt/n AS wt
-        |  FROM g1, nn),
-        |g2 AS (SELECT
-        |    CAST(SUM(CAST((1.0/(1.0+exp(-(b + wl*f_len + wt*f_tok))) - y) AS DECIMAL(38,20))) AS DOUBLE) AS gb,
-        |    CAST(SUM(CAST((1.0/(1.0+exp(-(b + wl*f_len + wt*f_tok))) - y) * f_len AS DECIMAL(38,20))) AS DOUBLE) AS gl,
-        |    CAST(SUM(CAST((1.0/(1.0+exp(-(b + wl*f_len + wt*f_tok))) - y) * f_tok AS DECIMAL(38,20))) AS DOUBLE) AS gt
-        |  FROM f, i1),
-        |i2 AS (SELECT b - gb/n AS b, wl - gl/n AS wl, wt - gt/n AS wt
-        |  FROM g2, i1, nn),
-        |g3 AS (SELECT
-        |    CAST(SUM(CAST((1.0/(1.0+exp(-(b + wl*f_len + wt*f_tok))) - y) AS DECIMAL(38,20))) AS DOUBLE) AS gb,
-        |    CAST(SUM(CAST((1.0/(1.0+exp(-(b + wl*f_len + wt*f_tok))) - y) * f_len AS DECIMAL(38,20))) AS DOUBLE) AS gl,
-        |    CAST(SUM(CAST((1.0/(1.0+exp(-(b + wl*f_len + wt*f_tok))) - y) * f_tok AS DECIMAL(38,20))) AS DOUBLE) AS gt
-        |  FROM f, i2),
-        |i3 AS (SELECT b - gb/n AS b, wl - gl/n AS wl, wt - gt/n AS wt
-        |  FROM g3, i2, nn)
+      s"""$logregCtes
         |SELECT round(b, 6) AS w_bias, round(wl, 6) AS w_len,
         |  round(wt, 6) AS w_tok, CAST(n_train AS BIGINT) AS n_train
         |FROM i3, nn""".stripMargin,
+
+    // scores use the ROUNDED ml1 weights — the exact values the Spark
+    // side bakes in as literals — so the gate compares identical doubles
+    "ml2_classifier_filter" ->
+      s"""$logregCtes
+        |SELECT doc_id,
+        |  round(1.0 / (1.0 + exp(-(round(b, 6) + round(wl, 6) * f_len
+        |    + round(wt, 6) * f_tok))), 6) AS score,
+        |  round(1.0 / (1.0 + exp(-(round(b, 6) + round(wl, 6) * f_len
+        |    + round(wt, 6) * f_tok))), 6) >= 0.5 AS kept
+        |FROM f, i3""".stripMargin,
 
     "x13_charlm_score" ->
       """WITH tg AS (

@@ -410,6 +410,13 @@ class CurationSpec extends AnyFunSuite {
     val w5 = graft.ops.MlFit.logregQuality(docs, iters = 5, lr = 1.0).head()
     assert(math.abs(w5.getDouble(1)) > math.abs(wl),
       "weights must keep growing on a separable problem")
+    // the filter step separates the planted classes: every positive
+    // doc scores strictly above every negative doc
+    val scored = graft.ops.MlFit.logregFilter(docs, iters = 5, lr = 1.0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val pos = scored.filterKeys(_ % 2 == 0).values
+    val neg = scored.filterKeys(_ % 2 == 1).values
+    assert(pos.min > neg.max, s"classes must separate: ${pos.min} ${neg.max}")
   }
 
   test("canonicalizeUrl normalizes case/port/www/params/fragment") {
