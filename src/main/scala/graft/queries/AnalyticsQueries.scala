@@ -23,6 +23,39 @@ object AnalyticsQueries extends QueryPack {
     terms.mkString("(", " + ", ")")
   }
 
+  /** Shared (hourly grid, hourly observations) pair for ts1/ts2: one
+    * row per (user, hour-in-span) and the per-hour max observation.
+    * max() is reduction-order-free, so no decimal dance is needed. */
+  private def tsGrid(s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val ev = Tables.load(s, d, "events")
+      .select(col("user_id"), col("ts").cast(TimestampType).as("ts"),
+        col("value"))
+    val hourly = ev
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(max(col("value")).as("v"))
+    val grid = ev.groupBy(col("user_id"))
+      .agg(date_trunc("hour", min(col("ts"))).as("h0"),
+        date_trunc("hour", max(col("ts"))).as("h1"))
+      .select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR")))
+          .as("hour"))
+    (grid, hourly)
+  }
+
+  /** DuckDB mirror of [[tsGrid]] — hourly observations + per-user
+    * hourly grid via generate_series. */
+  private val tsGridCtes =
+    """hourly AS (SELECT user_id, date_trunc('hour', ts) AS hour,
+      |    max(value) AS v
+      |  FROM events GROUP BY 1, 2),
+      |spans AS (SELECT user_id, date_trunc('hour', min(ts)) AS h0,
+      |    date_trunc('hour', max(ts)) AS h1
+      |  FROM events GROUP BY user_id),
+      |grid AS (SELECT user_id,
+      |    unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+      |  FROM spans)""".stripMargin
+
   def queries: Map[String, Q] = Map(
     // Exact interpolated percentiles (sort-based; portable semantics)
     "an1_percentiles" -> ((s, d) =>
@@ -241,6 +274,69 @@ object AnalyticsQueries extends QueryPack {
         .drop("event_type")
     }),
 
+    // Time-series resample + forward-fill: each user's value series
+    // regularized to an hourly grid between their first and last
+    // event, missing hours carrying the last observation forward.
+    // Scale shape: the events pre-agg collapses map-side to one row
+    // per (user, hour); the grid Generate is bounded by keys × range
+    // (INDEPENDENT of event density — a 100 TB log with the same
+    // span produces the same grid); the fill is one keyed window
+    // pass. First grid hour always has an observation (the span
+    // starts at an event), so v_ffill is total.
+    "ts1_gapfill" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val (grid, hourly) = tsGrid(s, d)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("hour"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(hourly, Seq("user_id", "hour"), "left")
+        .select(col("user_id"), col("hour"), col("v"),
+          last(col("v"), ignoreNulls = true).over(w).as("v_ffill"))
+    }),
+
+    // Linear interpolation over the same grid: gap values blend the
+    // neighboring observations by time fraction. BOTH carries run as
+    // RUNNING unbounded-PRECEDING frames — the forward one on hour
+    // asc, the backward one on hour DESC — because Spark evaluates a
+    // growing frame in O(n) per partition but an
+    // unbounded-FOLLOWING frame by rescanning the partition tail per
+    // row (O(n²): measured 14 s vs 1.3 s on the same grid). Cost is
+    // one extra in-partition sort, no extra shuffle. Tail hours past
+    // the last observation fall back to ffill.
+    "ts2_interpolate" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val (grid, hourly) = tsGrid(s, d)
+      val wPast = Window.partitionBy(col("user_id")).orderBy(col("hour"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wBack = Window.partitionBy(col("user_id")).orderBy(col("hour").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      def secs(c: org.apache.spark.sql.Column) =
+        unix_timestamp(c).cast(DoubleType)
+      grid.join(hourly, Seq("user_id", "hour"), "left")
+        .select(col("user_id"), col("hour"), col("v"),
+          last(col("v"), ignoreNulls = true).over(wPast).as("pv"),
+          last(when(col("v").isNotNull, col("hour")), ignoreNulls = true)
+            .over(wPast).as("ph"),
+          last(col("v"), ignoreNulls = true).over(wBack).as("nv"),
+          last(when(col("v").isNotNull, col("hour")), ignoreNulls = true)
+            .over(wBack).as("nh"))
+        .select(col("user_id"), col("hour"), col("v"),
+          // arithmetic rounding, NOT round()/bround(): linear blends
+          // of short-decimal observations land on x.xxxxxx5 midpoints
+          // constantly, where Spark's round (string-mediated
+          // BigDecimal, sees an exact midpoint) and DuckDB's (rounds
+          // the binary double, which sits slightly off it) disagree.
+          // floor(x*1e6 + 0.5)/1e6 is the same pure-double expression
+          // on both engines — bit-identical by construction.
+          (floor((
+            when(col("v").isNotNull, col("v"))
+              .when(col("nh").isNull, col("pv"))
+              .otherwise(col("pv") + (col("nv") - col("pv"))
+                * (secs(col("hour")) - secs(col("ph")))
+                / (secs(col("nh")) - secs(col("ph"))))) * lit(1e6)
+            + lit(0.5)) / lit(1e6))
+            .as("v_interp"))
+    }),
+
     // Record linkage: customers matched against a deterministically
     // corrupted directory via BLOCKED fuzzy join (equi-join on
     // (nation, name-prefix) blocks, levenshtein filter inside the
@@ -359,6 +455,39 @@ object AnalyticsQueries extends QueryPack {
         |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active
         |FROM events e JOIN cohort c ON e.user_id = c.user_id
         |GROUP BY 1, 2""".stripMargin,
+    "ts1_gapfill" ->
+      s"""WITH $tsGridCtes
+        |SELECT g.user_id, g.hour, h.v,
+        |  last_value(h.v IGNORE NULLS) OVER (
+        |    PARTITION BY g.user_id ORDER BY g.hour
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ffill
+        |FROM grid g LEFT JOIN hourly h
+        |  ON g.user_id = h.user_id AND g.hour = h.hour""".stripMargin,
+
+    "ts2_interpolate" ->
+      s"""WITH $tsGridCtes,
+        |c AS (SELECT g.user_id, g.hour, h.v,
+        |    last_value(h.v IGNORE NULLS) OVER wp AS pv,
+        |    last_value(CASE WHEN h.v IS NOT NULL THEN g.hour END IGNORE NULLS)
+        |      OVER wp AS ph,
+        |    first_value(h.v IGNORE NULLS) OVER wf AS nv,
+        |    first_value(CASE WHEN h.v IS NOT NULL THEN g.hour END IGNORE NULLS)
+        |      OVER wf AS nh
+        |  FROM grid g LEFT JOIN hourly h
+        |    ON g.user_id = h.user_id AND g.hour = h.hour
+        |  WINDOW wp AS (PARTITION BY g.user_id ORDER BY g.hour
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wf AS (PARTITION BY g.user_id ORDER BY g.hour
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, hour, v,
+        |  floor((CASE WHEN v IS NOT NULL THEN v
+        |    WHEN nh IS NULL THEN pv
+        |    ELSE pv + (nv - pv)
+        |      * (CAST(epoch(hour) AS DOUBLE) - CAST(epoch(ph) AS DOUBLE))
+        |      / (CAST(epoch(nh) AS DOUBLE) - CAST(epoch(ph) AS DOUBLE))
+        |    END) * 1000000.0 + 0.5) / 1000000.0 AS v_interp
+        |FROM c""".stripMargin,
+
     "w8_attribution" ->
       """WITH e AS (SELECT event_id, user_id, event_type,
         |    epoch_us(ts) AS t_us FROM events),

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavioral invariants for the ts1/ts2 resample queries (the
+  * value-level check is the DuckDB oracle; these pin the semantics
+  * that hold for ANY input). */
+class TimeSeriesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("ts1: grid is contiguous hourly per user and ffill is total") {
+    val out = SparkEntry.queries("ts1_gapfill")(spark, sf).cache()
+    try {
+      assert(out.filter(col("v_ffill").isNull).count() == 0L,
+        "spans start at an observation, so ffill can never be null")
+      // per user: rows == hours between first and last grid hour
+      val bad = out.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("rows"),
+          ((unix_timestamp(max(col("hour"))) -
+            unix_timestamp(min(col("hour")))) / 3600 + 1).as("span"))
+        .filter(col("rows") =!= col("span")).count()
+      assert(bad == 0L, "grid must be gap-free and duplicate-free")
+      // observed hours pass through unchanged
+      assert(out.filter(col("v").isNotNull &&
+        col("v") =!= col("v_ffill")).count() == 0L)
+    } finally out.unpersist()
+  }
+
+  test("ts2: interpolated gap values lie between their neighbors") {
+    val out = SparkEntry.queries("ts2_interpolate")(spark, sf).cache()
+    try {
+      assert(out.filter(col("v_interp").isNull).count() == 0L)
+      // gap rows: v_interp within [min, max] of the two carries — the
+      // blend can't overshoot (reconstruct neighbors via ts1's ffill
+      // plus a reversed pass over the same output)
+      import org.apache.spark.sql.expressions.Window
+      val wp = Window.partitionBy(col("user_id")).orderBy(col("hour"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wb = Window.partitionBy(col("user_id")).orderBy(col("hour").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val eps = 1e-6 // v_interp is rounded to 6 dp
+      val viol = out
+        .withColumn("pv", last(col("v"), ignoreNulls = true).over(wp))
+        .withColumn("nv", last(col("v"), ignoreNulls = true).over(wb))
+        .filter(col("v").isNull && col("nv").isNotNull)
+        .filter(col("v_interp") < least(col("pv"), col("nv")) - eps
+          || col("v_interp") > greatest(col("pv"), col("nv")) + eps)
+        .count()
+      assert(viol == 0L, "interpolation overshoots its neighbors")
+    } finally out.unpersist()
+  }
+}
