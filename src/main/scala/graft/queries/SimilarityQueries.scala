@@ -220,6 +220,32 @@ object SimilarityQueries extends QueryPack {
         .agg((count(col("hit")) / lit(5.0)).as("recall_at_5"))
     }),
 
+    // NDCG@5 of the LSH ranking against brute-force ground truth —
+    // ev1's recall says WHETHER the true neighbors were found; NDCG
+    // grades WHERE they landed (position-discounted, graded relevance
+    // = 6 - exact rank). Same two bounded top-k frames as ev1 joined
+    // on (query, neighbor); the DCG is a 5-term grouped sum and the
+    // ideal DCG is a constant. ln-based discounts on BOTH engines
+    // (log2 builtins are not cross-engine ulp-stable), rounded at 6dp.
+    "ev3_ndcg" -> ((s, d) => {
+      val emb = Tables.load(s, d, "embeddings")
+      val k = 5
+      val exact = Similarity.bruteForceTopK(emb, col("vec_id") < 5, k)
+        .select(col("query_id"), col("neighbor_id"),
+          (lit(k + 1L) - col("rn")).as("rel"))
+      val approx = Similarity.lshTopK(emb, col("vec_id") < 5, k,
+          bits = 8, dim = 64)
+        .select(col("query_id"), col("neighbor_id"), col("rn").as("pos"))
+      val idcg = (1 to k).map(j =>
+        (k + 1 - j) * math.log(2.0) / math.log(j + 1.0)).sum
+      approx.join(exact, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(round(
+          sum(coalesce(col("rel"), lit(0L)).cast("double")
+            * log(lit(2.0)) / log(col("pos").cast("double") + lit(1.0)))
+            / lit(idcg), 6).as("ndcg_at_5"))
+    }),
+
     // Same IVF probe machinery with every list probed (nprobe=nlist):
     // provably equals exact brute-force top-k, so the probe path —
     // fit, inverted lists, probe-list explosion, candidate join, exact
@@ -511,6 +537,34 @@ object SimilarityQueries extends QueryPack {
          |FROM exact e LEFT JOIN approx a
          |  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
          |GROUP BY e.query_id""".stripMargin,
+
+    "ev3_ndcg" ->
+      s"""WITH n0 AS (SELECT vec_id, label, embedding,
+         |  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm,
+         |  $sigSql AS sig
+         |FROM embeddings),
+         |exact AS (SELECT query_id, neighbor_id, 6 - rn AS rel FROM (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+         |      ORDER BY $cosAb DESC, b.vec_id ASC) AS rn
+         |  FROM n0 a JOIN n0 b ON a.vec_id < 5 AND b.vec_id <> a.vec_id) t
+         |  WHERE rn <= 5),
+         |approx AS (SELECT query_id, neighbor_id, rn AS pos FROM (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+         |      ORDER BY $cosAb DESC, b.vec_id ASC) AS rn
+         |  FROM n0 a JOIN n0 b
+         |    ON a.vec_id < 5 AND b.vec_id <> a.vec_id AND a.sig = b.sig) t
+         |  WHERE rn <= 5)
+         |SELECT a.query_id,
+         |  round(sum(CAST(COALESCE(e.rel, 0) AS DOUBLE)
+         |      * ln(2.0) / ln(a.pos + 1.0))
+         |    / (5.0 * ln(2.0) / ln(2.0) + 4.0 * ln(2.0) / ln(3.0)
+         |      + 3.0 * ln(2.0) / ln(4.0) + 2.0 * ln(2.0) / ln(5.0)
+         |      + 1.0 * ln(2.0) / ln(6.0)), 6) AS ndcg_at_5
+         |FROM approx a LEFT JOIN exact e
+         |  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+         |GROUP BY a.query_id""".stripMargin,
 
     "s3_ann_lsh" ->
       s"""WITH n0 AS (SELECT vec_id, label, embedding,

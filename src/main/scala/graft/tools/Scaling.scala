@@ -103,7 +103,15 @@ object Scaling {
     // "late" window is relative to o_orderdate), so it measures
     // honestly on the synthetic date ranges
     "x13_charlm_score" -> "documents",
-    "q21_waiting_supplier" -> "lineitem+orders")
+    "q21_waiting_supplier" -> "lineitem+orders",
+    // time-series regularization: grid rows = users × span-hours —
+    // the synth corpus grows USERS with n (span fixed 30 d), so the
+    // expected exponent is ~1 via key count, NOT via event density;
+    // the per-(user,hour) pre-agg collapses density map-side
+    "ts1_gapfill" -> "events",
+    // classifier fit: 3 GD iterations × one partial-agg scan each;
+    // gradient shuffle is 4 values regardless of rows → scan-bound
+    "ml1_logreg_quality" -> "documents")
 
   /** Measured interpretation notes embedded per row — the exponent
     * alone can mislead when the OUTPUT grows with the corpus. */
