@@ -88,4 +88,45 @@ object MlFit {
         round(lit(1.0) / (lit(1.0) + exp(-margin)), 6).as("score"))
       .withColumn("kept", col("score") >= lit(threshold))
   }
+
+  /** Fit, score, and EVALUATE: the reliability diagram of the trained
+    * classifier — score deciles vs the observed positive rate, the
+    * standard calibration check before trusting a learned quality
+    * filter's threshold (the per-bin |avg_score − pos_rate| gaps are
+    * the terms of Expected Calibration Error). Completes the
+    * train → filter → eval triad as one more single-scan pass: the
+    * fitted weights are literals, the bin id is a codegen projection,
+    * and the aggregate carries 10 partial rows.
+    *
+    * Determinism: the bin id derives from the ROUNDED 6 dp score
+    * (identical doubles on both engines — the ml2 contract), per-bin
+    * score sums go through DECIMAL so reduction order is moot, and
+    * the two rates are rounded with the pure-double floor(x·1e6+0.5)
+    * construction (see ts2's midpoint note — round() on an
+    * exact-midpoint double disagrees across engines). */
+  def logregCalibration(docs: DataFrame, iters: Int = 3, lr: Double = 1.0,
+      bins: Int = 10): DataFrame = {
+    val m = logregQuality(docs, iters, lr).head()
+    val (wb, wl, wt) = (m.getDouble(0), m.getDouble(1), m.getDouble(2))
+    val fLen = least(length(col("text")).cast(DoubleType) / lit(500.0), lit(1.0))
+    val fTok = least(size(split(trim(col("text")), "\\s+")).cast(DoubleType)
+      / lit(100.0), lit(1.0))
+    val margin = lit(wb) + lit(wl) * fLen + lit(wt) * fTok
+    def r6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    docs.select(
+        round(lit(1.0) / (lit(1.0) + exp(-margin)), 6).as("score"),
+        when(col("text").contains("spark"), lit(1L)).otherwise(lit(0L)).as("y"))
+      .select(
+        least(floor(col("score") * lit(bins)).cast(LongType),
+          lit((bins - 1).toLong)).as("bin"),
+        col("score"), col("y"))
+      .groupBy(col("bin"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        r6(sum(col("score").cast(DecimalType(38, 20))).cast(DoubleType)
+          / count(lit(1)).cast(DoubleType)).as("avg_score"),
+        r6(sum(col("y")).cast(DoubleType)
+          / count(lit(1)).cast(DoubleType)).as("pos_rate"))
+      .withColumn("gap", r6(abs(col("avg_score") - col("pos_rate"))))
+  }
 }

@@ -33,7 +33,7 @@ object AnalyticsQueries extends QueryPack {
         col("value"))
     val hourly = ev
       .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
-      .agg(max(col("value")).as("v"))
+      .agg(max(col("value")).as("v"), count(lit(1)).as("cnt"))
     val grid = ev.groupBy(col("user_id"))
       .agg(date_trunc("hour", min(col("ts"))).as("h0"),
         date_trunc("hour", max(col("ts"))).as("h1"))
@@ -43,11 +43,28 @@ object AnalyticsQueries extends QueryPack {
     (grid, hourly)
   }
 
+  /** DuckDB replay of [[ewmaGrid]]: self-join over the filled grid
+    * (the oracle can afford the quadratic form). */
+  private lazy val ewmaSql =
+    s"""WITH $tsGridCtes,
+      |gc AS (SELECT g.user_id, g.hour, COALESCE(h.cnt, 0) AS cnt
+      |  FROM grid g LEFT JOIN hourly h
+      |    ON g.user_id = h.user_id AND g.hour = h.hour)
+      |SELECT a.user_id, a.hour, a.cnt,
+      |  floor(sum(CAST(b.cnt AS DOUBLE)
+      |      / CAST(1 << date_diff('hour', b.hour, a.hour) AS DOUBLE))
+      |    / (2.0 - 1.0 / CAST(1 << (CAST(count(*) AS INTEGER) - 1)
+      |        AS DOUBLE))
+      |    * 1000000.0 + 0.5) / 1000000.0 AS ewma
+      |FROM gc a JOIN gc b ON a.user_id = b.user_id
+      |  AND b.hour BETWEEN a.hour - INTERVAL 23 HOUR AND a.hour
+      |GROUP BY a.user_id, a.hour, a.cnt""".stripMargin
+
   /** DuckDB mirror of [[tsGrid]] — hourly observations + per-user
     * hourly grid via generate_series. */
   private val tsGridCtes =
     """hourly AS (SELECT user_id, date_trunc('hour', ts) AS hour,
-      |    max(value) AS v
+      |    max(value) AS v, count(*) AS cnt
       |  FROM events GROUP BY 1, 2),
       |spans AS (SELECT user_id, date_trunc('hour', min(ts)) AS h0,
       |    date_trunc('hour', max(ts)) AS h1
@@ -55,6 +72,30 @@ object AnalyticsQueries extends QueryPack {
       |grid AS (SELECT user_id,
       |    unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
       |  FROM spans)""".stripMargin
+
+  /** Shared ts3/ts4 frame: truncated normalized EWMA (halving decay,
+    * 24-hour window) of the hourly event count over ts1's grid. See
+    * the ts3 entry comment for the exactness design. */
+  private def ewmaGrid(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (grid, hourly) = tsGrid(s, d)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("hour"))
+      .rowsBetween(-23, 0)
+    grid.join(hourly, Seq("user_id", "hour"), "left")
+      .select(col("user_id"), col("hour"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+      .withColumn("arr", reverse(collect_list(col("cnt")).over(w)))
+      .select(col("user_id"), col("hour"), col("cnt"),
+        (floor(
+          expr("""aggregate(
+               |  transform(arr, (x, i) -> CAST(x AS DOUBLE)
+               |    / CAST(shiftleft(CAST(1 AS BIGINT), i) AS DOUBLE)),
+               |  CAST(0 AS DOUBLE), (acc, x) -> acc + x)""".stripMargin)
+          / expr("2.0 - 1.0 / CAST(shiftleft(CAST(1 AS BIGINT)," +
+            " size(arr) - 1) AS DOUBLE)")
+          * lit(1e6) + lit(0.5)) / lit(1e6)).as("ewma"))
+  }
 
   def queries: Map[String, Q] = Map(
     // Exact interpolated percentiles (sort-based; portable semantics)
@@ -337,6 +378,42 @@ object AnalyticsQueries extends QueryPack {
             .as("v_interp"))
     }),
 
+    // Truncated normalized EWMA of the hourly event rate over the same
+    // grid (missing hours count 0): halving decay per hour, window the
+    // last 24 grid hours — the smoothed-traffic series an anomaly
+    // monitor thresholds against. Execution: the map-side (user,hour)
+    // pre-agg collapses event density, one keyed window pass collects
+    // the 24-element count frame, and the fold is a bounded per-row
+    // HOF (24 elements — constant, unlike the corpus-sized HOFs SCALE
+    // .md warns about). Determinism needs no decimal dance: weights
+    // are 1/2^j built by SHIFT (exact by construction — pow() is not
+    // contractually exact), counts are integers, so every term is a
+    // short binary fraction and the sum is EXACT in double on both
+    // engines regardless of reduction order; the single final division
+    // is IEEE-identical, rounded with the ts2 floor construction.
+    "ts3_ewma" -> (ewmaGrid(_, _)),
+
+    // Spike detection against the lagged smoothed baseline: an hour is
+    // anomalous when its count exceeds 2× the PREVIOUS hour's EWMA
+    // plus 2 (the additive floor keeps 0→1 blips quiet). Every grid
+    // row is emitted with its verdict so the oracle hash covers the
+    // whole decision surface, not just the sparse positives. The lag
+    // is one more window function over the SAME (user, hour-sorted)
+    // partitioning — no new exchange. Comparisons are
+    // integer-vs-rounded-double (identical doubles on both engines by
+    // the ts3 contract), so the boolean can never straddle an engine
+    // difference.
+    "ts4_anomaly" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("hour"))
+      ewmaGrid(s, d)
+        .withColumn("baseline", lag(col("ewma"), 1).over(w))
+        .filter(col("baseline").isNotNull)
+        .select(col("user_id"), col("hour"), col("cnt"), col("baseline"),
+          (col("cnt") > lit(2.0) * col("baseline") + lit(2.0))
+            .as("is_anomaly"))
+    }),
+
     // Record linkage: customers matched against a deterministically
     // corrupted directory via BLOCKED fuzzy join (equi-join on
     // (nation, name-prefix) blocks, levenshtein filter inside the
@@ -463,6 +540,21 @@ object AnalyticsQueries extends QueryPack {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ffill
         |FROM grid g LEFT JOIN hourly h
         |  ON g.user_id = h.user_id AND g.hour = h.hour""".stripMargin,
+
+    // self-join replay of the 24-hour decayed window (the oracle can
+    // afford the quadratic form); weights are 1/(1<<j) — exact, so the
+    // sum is order-free without decimals (see the Spark-side note)
+    "ts3_ewma" -> ewmaSql,
+
+    "ts4_anomaly" ->
+      s"""WITH e AS ($ewmaSql)
+        |SELECT user_id, hour, cnt, baseline,
+        |  cnt > 2.0 * baseline + 2.0 AS is_anomaly
+        |FROM (SELECT user_id, hour, cnt,
+        |    lag(ewma) OVER (PARTITION BY user_id ORDER BY hour)
+        |      AS baseline
+        |  FROM e) t
+        |WHERE baseline IS NOT NULL""".stripMargin,
 
     "ts2_interpolate" ->
       s"""WITH $tsGridCtes,

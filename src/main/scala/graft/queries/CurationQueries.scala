@@ -169,6 +169,15 @@ object CurationQueries extends QueryPack {
       graft.ops.MlFit.logregFilter(
         Tables.load(s, d, "documents"), iters = 3, lr = 1.0)),
 
+    // The eval step: reliability diagram of the trained classifier —
+    // score deciles vs observed positive rate (the bins of Expected
+    // Calibration Error), closing the train → filter → eval triad.
+    // One more single-scan pass with literal weights; the aggregate
+    // carries 10 partial rows.
+    "ml3_calibration" -> ((s, d) =>
+      graft.ops.MlFit.logregCalibration(
+        Tables.load(s, d, "documents"), iters = 3, lr = 1.0)),
+
     // Cross-split leakage audit: test-split docs that near-duplicate a
     // train-split doc (band-collision + Jaccard >= 0.5) — the check
     // that an eval split isn't a paraphrase of the training set.
@@ -610,6 +619,31 @@ object CurationQueries extends QueryPack {
         |  round(1.0 / (1.0 + exp(-(round(b, 6) + round(wl, 6) * f_len
         |    + round(wt, 6) * f_tok))), 6) >= 0.5 AS kept
         |FROM f, i3""".stripMargin,
+
+    // bins on the ROUNDED ml1/ml2 score (identical doubles on both
+    // engines); rates use the pure-double floor(x*1e6+0.5) rounding —
+    // see the ts2 midpoint note
+    "ml3_calibration" ->
+      s"""$logregCtes,
+        |scored AS (SELECT
+        |    round(1.0 / (1.0 + exp(-(round(b, 6) + round(wl, 6) * f_len
+        |      + round(wt, 6) * f_tok))), 6) AS score, y
+        |  FROM f, i3),
+        |binned AS (SELECT
+        |    least(CAST(floor(score * 10) AS BIGINT), 9) AS bin, score, y
+        |  FROM scored),
+        |agged AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+        |    floor(CAST(sum(CAST(score AS DECIMAL(38,20))) AS DOUBLE)
+        |        / CAST(count(*) AS DOUBLE) * 1000000.0 + 0.5)
+        |      / 1000000.0 AS avg_score,
+        |    floor(CAST(sum(y) AS DOUBLE)
+        |        / CAST(count(*) AS DOUBLE) * 1000000.0 + 0.5)
+        |      / 1000000.0 AS pos_rate
+        |  FROM binned GROUP BY bin)
+        |SELECT bin, n_docs, avg_score, pos_rate,
+        |  floor(abs(avg_score - pos_rate) * 1000000.0 + 0.5) / 1000000.0
+        |    AS gap
+        |FROM agged""".stripMargin,
 
     "x13_charlm_score" ->
       """WITH tg AS (

@@ -109,6 +109,9 @@ object Scaling {
     // expected exponent is ~1 via key count, NOT via event density;
     // the per-(user,hour) pre-agg collapses density map-side
     "ts1_gapfill" -> "events",
+    // same grid as ts1 plus the bounded 24-element per-row fold —
+    // measures whether the interpreted HOF constant stays row-linear
+    "ts3_ewma" -> "events",
     // classifier fit: 3 GD iterations × one partial-agg scan each;
     // gradient shuffle is 4 values regardless of rows → scan-bound
     "ml1_logreg_quality" -> "documents")

@@ -417,6 +417,16 @@ class CurationSpec extends AnyFunSuite {
     val pos = scored.filterKeys(_ % 2 == 0).values
     val neg = scored.filterKeys(_ % 2 == 1).values
     assert(pos.min > neg.max, s"classes must separate: ${pos.min} ${neg.max}")
+    // calibration bins partition the corpus; rates live in [0, 1];
+    // on the separable problem the top bin is purer than the bottom
+    val cal = graft.ops.MlFit.logregCalibration(docs, iters = 5, lr = 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3))).sortBy(_._1)
+    assert(cal.map(_._2).sum == 200L, "bins must partition the corpus")
+    assert(cal.forall { case (_, _, a, p) =>
+      a >= 0.0 && a <= 1.0 && p >= 0.0 && p <= 1.0 })
+    assert(cal.last._4 > cal.head._4,
+      "top score bin must have the higher observed positive rate")
   }
 
   test("canonicalizeUrl normalizes case/port/www/params/fragment") {

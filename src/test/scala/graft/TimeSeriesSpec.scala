@@ -51,4 +51,29 @@ class TimeSeriesSpec extends AnyFunSuite {
       assert(viol == 0L, "interpolation overshoots its neighbors")
     } finally out.unpersist()
   }
+
+  test("ts3: ewma is a convex combination of the 24h count window") {
+    val out = SparkEntry.queries("ts3_ewma")(spark, sf).cache()
+    try {
+      assert(out.filter(col("ewma").isNull).count() == 0L)
+      // convexity: ewma within [min, max] of the trailing 24 counts
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("hour"))
+        .rowsBetween(-23, 0)
+      val eps = 1e-6
+      val viol = out
+        .withColumn("lo", min(col("cnt")).over(w))
+        .withColumn("hi", max(col("cnt")).over(w))
+        .filter(col("ewma") < col("lo") - eps
+          || col("ewma") > col("hi") + eps)
+        .count()
+      assert(viol == 0L, "ewma leaves the window's count envelope")
+      // first grid hour has a single-element window: ewma == cnt
+      val first = out.groupBy(col("user_id"))
+        .agg(min(col("hour")).as("hour")).join(out, Seq("user_id", "hour"))
+      assert(first.filter(
+        abs(col("ewma") - col("cnt")) > eps).count() == 0L,
+        "single-element window must return the count itself")
+    } finally out.unpersist()
+  }
 }
