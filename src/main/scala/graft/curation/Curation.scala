@@ -451,40 +451,67 @@ object Curation {
     * score high; gibberish, encoding damage, and exotic byte salads
     * score low). P(c₃|c₁c₂) = (count₃ + 0.5) / (count₂ + 0.5·256).
     *
-    * 100 TB shape: the model tables are VOCABULARY-bounded, not
-    * corpus-bounded (≤ |charset|³ distinct trigrams — ~1M for ASCII —
-    * and |charset|² contexts), so both broadcast into map-side joins;
-    * the trigram stream itself is emitted doc-contiguously by the
-    * kernel, so the per-doc aggregate's partial step collapses each
-    * doc WITHIN its partition and the only corpus-sized exchange
-    * carries one row per document. Per-term decimal(28,12) casts make
-    * the per-doc sum partitioning-order-independent (the engine-
-    * portable determinism trick the analytics pack uses), so the
-    * DuckDB replay hash-matches. */
+    * 100 TB shape — TWO scans, ZERO doc-keyed shuffle: pass 1
+    * aggregates corpus trigram counts, whose one exchange is keyed on
+    * the trigram and map-side combined, so wire volume is bounded by
+    * the VOCABULARY (≤ |charset|³ distinct trigrams — ~1M for typical
+    * text, 16.7M worst-case single-byte), not the corpus. The driver
+    * derives context counts by prefix-summing the collected trigram
+    * table (every trigram occurrence is exactly one context
+    * occurrence, so n2(ctx) = Σ_{tri[1..2]=ctx} n3(tri)) and
+    * pre-rounds each distinct trigram's log-probability contribution
+    * to DECIMAL(28,12) ONCE — the broadcast is the model, under the
+    * same smallness contract as [[graft.similarity.Similarity]]'s
+    * centroid tables. Pass 2 scores every document where it lives:
+    * one broadcast lookup + exact decimal fold per row — no explode,
+    * no join, no cached corpus-sized trigram frame (the former shape
+    * cached the exploded corpus and re-shuffled it keyed on doc_id;
+    * at 100 TB that exchange IS the corpus, while the model is a
+    * constant). The per-term decimal rounding matches the DuckDB
+    * replay's CAST(ln(..) AS DECIMAL(28,12)) bit-for-bit, and decimal
+    * addition is exact, so fold order is moot. */
   def charLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
     val spark = df.sparkSession
     import spark.implicits._
-    val tg = graft.sources.Tables.fanOut(df)
+    val docs = graft.sources.Tables.fanOut(df)
       .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("txt"))
       .as[(Long, String)]
-      .flatMap { case (id, t) =>
+    val counts = docs.flatMap { case (_, t) =>
         if (t == null || t.length < 3) Iterator.empty
-        else Iterator.tabulate(t.length - 2)(i => (id, t.substring(i, i + 3)))
-      }.toDF("doc_id", "tri")
-    val cached = graft.util.Caches.scoped(tg)
-    val c3 = cached.groupBy(col("tri")).agg(count(lit(1)).as("n3"))
-    val c2 = cached.groupBy(substring(col("tri"), 1, 2).as("ctx"))
-      .agg(count(lit(1)).as("n2"))
-    cached
-      .join(broadcast(c3), Seq("tri"))
-      .join(broadcast(c2), substring(col("tri"), 1, 2) === col("ctx"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_trigrams"),
-        round(
-          sum(log((col("n3") + 0.5) / (col("n2") + 128.0))
-            .cast(DecimalType(28, 12))).cast("double") / count(lit(1)), 6)
-          .as("avg_logp"))
+        else Iterator.tabulate(t.length - 2)(i => t.substring(i, i + 3))
+      }
+      .groupBy(col("value").as("tri")).agg(count(lit(1)).as("n3"))
+      .as[(String, Long)].collect()
+    val ctx = new java.util.HashMap[String, Long](counts.length * 2)
+    counts.foreach { case (tri, n3) =>
+      val c = tri.substring(0, 2)
+      ctx.put(c, ctx.getOrDefault(c, 0L) + n3)
+    }
+    // per-trigram contribution, rounded exactly as Spark's
+    // double→DECIMAL(28,12) cast (BigDecimal.valueOf + HALF_UP) and
+    // DuckDB's CAST(ln(..) AS DECIMAL(28,12)) would round it
+    val contrib = new java.util.HashMap[String, java.math.BigDecimal](counts.length * 2)
+    counts.foreach { case (tri, n3) =>
+      val lp = math.log((n3 + 0.5) / (ctx.get(tri.substring(0, 2)) + 128.0))
+      contrib.put(tri, java.math.BigDecimal.valueOf(lp)
+        .setScale(12, java.math.RoundingMode.HALF_UP))
+    }
+    val model = spark.sparkContext.broadcast(contrib)
+    docs.flatMap { case (id, t) =>
+      if (t == null || t.length < 3) Iterator.empty
+      else {
+        val m = model.value
+        val n = t.length - 2
+        var acc = java.math.BigDecimal.ZERO
+        var i = 0
+        while (i < n) { acc = acc.add(m.get(t.substring(i, i + 3))); i += 1 }
+        // sum→DOUBLE, divide by n, round(·, 6): the exact operation
+        // order of the former agg and of the oracle SQL
+        val avg = java.math.BigDecimal.valueOf(acc.doubleValue() / n)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+        Iterator.single((id, n.toLong, avg))
+      }
+    }.toDF("doc_id", "n_trigrams", "avg_logp")
   }
 
   def noveltyScore(df: DataFrame, idCol: String, textCol: String,

@@ -91,6 +91,15 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(p.contains("repetition_stats"), "x7 must use the codegen kernel")
   }
 
+  test("x13 char-LM: scoring pass is join- and aggregate-free") {
+    // the trigram/context model broadcasts as a driver-built map (the
+    // counting pass runs eagerly inside the query builder); the frame
+    // the driver measures must be the single doc-local scoring scan
+    val p = plan("x13_charlm_score")
+    assert(!p.contains("Join"), "model must ride the broadcast, not a join")
+    assert(!p.contains("HashAggregate"), "per-doc score folds doc-locally")
+  }
+
   test("x8 redact: scan prunes to the two referenced columns") {
     val p = plan("x8_redact")
     assert(!p.contains("user_id") && !p.contains("event_type"),
