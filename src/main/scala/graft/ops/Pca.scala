@@ -1,0 +1,120 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Distributed principal-direction extraction over the embedding
+  * corpus — the dimensionality/analysis primitive of an
+  * embedding-centric curation pipeline (dominant-direction removal,
+  * anisotropy diagnostics, 1-D projections for binning and
+  * cluster-balanced sampling all start from "give me the top singular
+  * direction of X").
+  *
+  * Algorithm: power iteration on the (uncentered) second-moment
+  * matrix, computed GRAM-FREE as v ← normalize(Xᵀ(Xv)). The d×d gram
+  * matrix never materializes — each iteration is ONE corpus scan:
+  * s_i = x_i·v is a codegen'd projection (the fitted direction enters
+  * as array literals, broadcast-by-construction), and u = Σ_i s_i·x_i
+  * is a d-key partial aggregate (posexplode + groupBy(idx) collapses
+  * map-side to ≤ d rows per partition, so the exchange carries
+  * d·partitions rows regardless of corpus size). The driver holds d
+  * doubles per iteration — the kmeansFit bounded-model-state
+  * contract. At 100 TB: iterations × one scan each, no corpus-sized
+  * shuffle anywhere, and the scan is the natural cache point if
+  * iterations dominate.
+  *
+  * Determinism (the ml1 cross-engine replay contract): s_i folds the
+  * array left-to-right in double (graft.expressions.DotProduct ≡
+  * DuckDB's list_sum(list_transform(...))); the per-row terms s_i·x_ij
+  * are cast to DECIMAL(38,20) before summing so reduction order is
+  * moot; the norm folds the d squared components in index order
+  * (sequential double, replayed by list_sum over a list(... ORDER BY
+  * idx)); and each new direction component is rounded with the
+  * pure-double floor(x·1e9+0.5) construction (round() on exact
+  * midpoints disagrees across engines — see ts2) so the next
+  * iteration's literals are bit-identical on both engines.
+  */
+object Pca {
+
+  /** Fit the top principal direction with `iters` power-iteration
+    * rounds from the uniform unit start, then project every embedding
+    * onto it. Returns (vec_id, proj) with proj rounded to 6 dp.
+    * `dim` must make 1/√dim exactly representable (64 → 0.125) so the
+    * SQL replay can state the start vector as a literal. */
+  def pcaProject(emb: DataFrame, idCol: String = "vec_id",
+      embCol: String = "embedding", dim: Int = 64,
+      iters: Int = 3): DataFrame = {
+    val rows = emb.filter(size(col(embCol)) === dim)
+      .select(col(idCol), col(embCol))
+    var v: Array[Double] = Array.fill(dim)(1.0 / math.sqrt(dim))
+    for (_ <- 1 to iters) {
+      val u = powerStep(rows, embCol, dim, v)
+      if (u != null) v = u
+    }
+    val vLit = array(v.toIndexedSeq.map(lit): _*)
+    rows.select(col(idCol),
+      (floor(graft.similarity.Similarity.dot(col(embCol), vLit)
+        * lit(1e6) + lit(0.5)) / lit(1e6)).as("proj"))
+  }
+
+  /** One power-iteration round: returns the normalized new direction,
+    * or null when the corpus is empty / the image is the zero vector
+    * (the model then stays where it was — ml1's empty-corpus rule). */
+  private def powerStep(rows: DataFrame, embCol: String, dim: Int,
+      v: Array[Double]): Array[Double] = {
+    val vLit = array(v.toIndexedSeq.map(lit): _*)
+    val collected = rows
+      .select(col(embCol),
+        graft.similarity.Similarity.dot(col(embCol), vLit).as("s"))
+      .select(col("s"), posexplode(col(embCol)).as(Seq("idx", "val")))
+      .groupBy(col("idx"))
+      .agg(sum((col("val").cast(DoubleType) * col("s"))
+        .cast(DecimalType(38, 20))).cast(DoubleType).as("ud"))
+      .collect()
+    if (collected.isEmpty) return null
+    val u = new Array[Double](dim)
+    collected.foreach(r => u(r.getInt(0)) = r.getDouble(1))
+    var normSq = 0.0
+    var j = 0
+    while (j < dim) { normSq += u(j) * u(j); j += 1 } // index-order fold
+    if (normSq == 0.0) return null
+    val nrm = math.sqrt(normSq)
+    u.map(x => math.floor(x / nrm * 1e9 + 0.5) / 1e9)
+  }
+
+  /** DuckDB replay of [[pcaProject]]: the identical `iters` rounds as
+    * chained CTEs over the same table. `v0` must be exact in decimal
+    * text (dim = 64 → 0.125). */
+  def oracleSql(table: String, idCol: String, embCol: String,
+      dim: Int, iters: Int): String = {
+    require(dim == 64, "oracle states the start vector as a literal; " +
+      "1/sqrt(dim) must be exactly representable (dim = 64)")
+    def dotSql(vl: String) =
+      s"list_sum(list_transform(range(1, ${dim + 1}), " +
+        s"i -> CAST($embCol[i] AS DOUBLE) * $vl[i]))"
+    val sb = new StringBuilder
+    sb ++= s"WITH e AS (SELECT $idCol, $embCol FROM $table " +
+      s"WHERE len($embCol) = $dim),\n"
+    sb ++= s"ix AS (SELECT unnest(range(1, ${dim + 1})) AS idx),\n"
+    sb ++= "v0 AS (SELECT idx, 0.125 AS vj FROM ix),\n"
+    for (k <- 1 to iters) {
+      sb ++= s"vl${k - 1} AS (SELECT list(vj ORDER BY idx) AS vl " +
+        s"FROM v${k - 1}),\n"
+      sb ++= s"s$k AS (SELECT $idCol, $embCol, ${dotSql("vl")} AS s " +
+        s"FROM e, vl${k - 1}),\n"
+      sb ++= s"u$k AS (SELECT ix.idx, CAST(sum(CAST(" +
+        s"CAST($embCol[ix.idx] AS DOUBLE) * s AS DECIMAL(38,20))) " +
+        s"AS DOUBLE) AS ud FROM s$k, ix GROUP BY ix.idx),\n"
+      sb ++= s"n$k AS (SELECT sqrt(list_sum(list_transform(ul, " +
+        s"u -> u * u))) AS nrm FROM (SELECT list(ud ORDER BY idx) " +
+        s"AS ul FROM u$k)),\n"
+      sb ++= s"v$k AS (SELECT idx, floor(ud / nrm * 1e9 + 0.5) / 1e9 " +
+        s"AS vj FROM u$k, n$k),\n"
+    }
+    sb ++= s"vf AS (SELECT list(vj ORDER BY idx) AS vl FROM v$iters)\n"
+    sb ++= s"SELECT $idCol, floor(${dotSql("vl")} * 1e6 + 0.5) / 1e6 " +
+      s"AS proj FROM e, vf"
+    sb.toString
+  }
+}

@@ -178,6 +178,14 @@ object CurationQueries extends QueryPack {
       graft.ops.MlFit.logregCalibration(
         Tables.load(s, d, "documents"), iters = 3, lr = 1.0)),
 
+    // Top principal direction of the embedding corpus by gram-free
+    // power iteration (v ← normalize(Xᵀ(Xv))) + the 1-D projection of
+    // every vector onto it — dominant-direction analysis as one scan
+    // per round with a d-key partial agg; the oracle replays the
+    // identical 3 rounds as chained CTEs (the ml1 contract).
+    "ml4_pca_project" -> ((s, d) =>
+      graft.ops.Pca.pcaProject(Tables.load(s, d, "embeddings"))),
+
     // Cross-split leakage audit: test-split docs that near-duplicate a
     // train-split doc (band-collision + Jaccard >= 0.5) — the check
     // that an eval split isn't a paraphrase of the training set.
@@ -644,6 +652,10 @@ object CurationQueries extends QueryPack {
         |  floor(abs(avg_score - pos_rate) * 1000000.0 + 0.5) / 1000000.0
         |    AS gap
         |FROM agged""".stripMargin,
+
+    "ml4_pca_project" ->
+      graft.ops.Pca.oracleSql("embeddings", "vec_id", "embedding",
+        dim = 64, iters = 3),
 
     "x13_charlm_score" ->
       """WITH tg AS (

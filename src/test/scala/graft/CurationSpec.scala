@@ -445,4 +445,41 @@ class CurationSpec extends AnyFunSuite {
     assert(urls(3) == "http://ex.com/A/b?a=1&b=2")
     assert(urls(4) == "not a url")
   }
+
+  test("pcaProject recovers the planted dominant direction") {
+    import spark.implicits._
+    // corpus with its mass along e1 (±3 on axis 0, ±0.1 noise on
+    // axis 1): the top singular direction is ±e1, so |proj| must be
+    // ~3 for on-axis vectors and ~0.1 for the orthogonal one
+    val vecs = ((0 until 40).map { i =>
+      val s = if (i % 2 == 0) 3.0f else -3.0f
+      (i.toLong, Array(s, if (i % 4 < 2) 0.1f else -0.1f, 0.0f, 0.0f))
+    } :+ (99L, Array(0.0f, 0.1f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = graft.ops.Pca.pcaProject(vecs, dim = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out.size == 41)
+    (0 until 40).foreach { i =>
+      assert(math.abs(out(i.toLong)) > 2.9, s"on-axis $i: ${out(i.toLong)}")
+    }
+    assert(math.abs(out(99L)) < 0.2, s"orthogonal: ${out(99L)}")
+    // the two on-axis half-corpora project to opposite signs
+    assert(out(0L) * out(1L) < 0.0)
+    // deterministic: a second fit reproduces identical doubles
+    val again = graft.ops.Pca.pcaProject(vecs, dim = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(again == out)
+  }
+
+  test("pcaProject: empty corpus and wrong-length rows") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(graft.ops.Pca.pcaProject(empty, dim = 4).collect().isEmpty)
+    // rows whose embedding is not dim-long are excluded, not an error
+    val ragged = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = graft.ops.Pca.pcaProject(ragged, dim = 4).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(0L))
+  }
 }
