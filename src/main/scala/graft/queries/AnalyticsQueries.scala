@@ -190,6 +190,37 @@ object AnalyticsQueries extends QueryPack {
             .as("r"))
     }),
 
+    // Chi-square association lang × source over documents — the
+    // categorical feature-selection / independence test (and the
+    // categorical sibling of pr13's PSI drift score): observed cell
+    // counts vs the independence expectation E = rowTot·colTot/N,
+    // per-cell contribution (O−E)²/E. ONE partial-agg corpus scan to
+    // cell granularity; margins derive from the bounded cell table
+    // itself (|langs|·|sources| rows) so the corpus never shuffles
+    // twice, and all margin joins broadcast. Both expected and
+    // contrib round with the pure-double floor(x·1e6+0.5)
+    // construction; every input to the double math is an exact long.
+    "an9_chi2_assoc" -> ((s, d) => {
+      val cells = graft.util.Caches.scoped(
+        Tables.load(s, d, "documents")
+          .groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).as("observed")))
+      val rowTot = cells.groupBy(col("lang"))
+        .agg(sum(col("observed")).as("lang_tot"))
+      val colTot = cells.groupBy(col("source"))
+        .agg(sum(col("observed")).as("src_tot"))
+      val tot = cells.agg(sum(col("observed")).as("n_total"))
+      val e = col("lang_tot").cast(DoubleType) * col("src_tot") / col("n_total")
+      def r6(c: org.apache.spark.sql.Column) =
+        floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      cells.join(broadcast(rowTot), Seq("lang"))
+        .join(broadcast(colTot), Seq("source"))
+        .crossJoin(broadcast(tot))
+        .select(col("lang"), col("source"), col("observed"),
+          r6(e).as("expected"),
+          r6((col("observed") - e) * (col("observed") - e) / e).as("contrib"))
+    }),
+
     // Closed-form OLS fit per group (price ~ quantity): slope and
     // intercept from LONG moment sums over integer units (see an8's
     // bounds — an7 needs no Σc² so every sum is a plain long,
@@ -506,6 +537,25 @@ object AnalyticsQueries extends QueryPack {
         |  round((n * sxy - sx * sy)
         |    / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r
         |FROM m2""".stripMargin,
+
+    "an9_chi2_assoc" ->
+      """WITH cells AS (SELECT lang, source,
+        |    CAST(count(*) AS BIGINT) AS observed
+        |  FROM documents GROUP BY 1, 2),
+        |rt AS (SELECT lang, CAST(sum(observed) AS BIGINT) AS lang_tot
+        |  FROM cells GROUP BY 1),
+        |ct AS (SELECT source, CAST(sum(observed) AS BIGINT) AS src_tot
+        |  FROM cells GROUP BY 1),
+        |n AS (SELECT CAST(sum(observed) AS BIGINT) AS n_total FROM cells)
+        |SELECT lang, source, observed,
+        |  floor(CAST(lang_tot AS DOUBLE) * src_tot / n_total * 1e6 + 0.5)
+        |    / 1e6 AS expected,
+        |  floor((observed - CAST(lang_tot AS DOUBLE) * src_tot / n_total)
+        |      * (observed - CAST(lang_tot AS DOUBLE) * src_tot / n_total)
+        |      / (CAST(lang_tot AS DOUBLE) * src_tot / n_total)
+        |      * 1e6 + 0.5) / 1e6 AS contrib
+        |FROM cells JOIN rt USING (lang) JOIN ct USING (source)
+        |  CROSS JOIN n""".stripMargin,
 
     "an7_linear_fit" ->
       """WITH b AS (SELECT l_returnflag,
