@@ -445,6 +445,31 @@ object AnalyticsQueries extends QueryPack {
             .as("is_anomaly"))
     }),
 
+    // Seasonal decomposition over ts1's filled grid: per-user
+    // hour-of-day seasonal mean + residual (cnt = seasonal + residual
+    // — the classical seasonal-means decomposition, the baseline any
+    // STL-style pipeline starts from). The seasonal table is
+    // user×24-granular, so its join back to the grid shuffles bounded
+    // profile rows, never the raw events; the decomposition inputs
+    // are exact longs and the residual subtracts the ROUNDED seasonal
+    // so both engines difference identical doubles.
+    "ts5_seasonal" -> ((s, d) => {
+      val (grid, hourly) = tsGrid(s, d)
+      def r6(c: org.apache.spark.sql.Column) =
+        floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      val gc = grid.join(hourly, Seq("user_id", "hour"), "left")
+        .select(col("user_id"), col("hour"),
+          coalesce(col("cnt"), lit(0L)).as("cnt"),
+          hour(col("hour")).as("hod"))
+      val seas = gc.groupBy(col("user_id"), col("hod"))
+        .agg(sum(col("cnt")).as("sc"), count(lit(1)).as("nc"))
+        .select(col("user_id"), col("hod"),
+          r6(col("sc").cast(DoubleType) / col("nc")).as("seasonal"))
+      gc.join(seas, Seq("user_id", "hod"))
+        .select(col("user_id"), col("hour"), col("cnt"), col("seasonal"),
+          r6(col("cnt") - col("seasonal")).as("residual"))
+    }),
+
     // Record linkage: customers matched against a deterministically
     // corrupted directory via BLOCKED fuzzy join (equi-join on
     // (nation, name-prefix) blocks, levenshtein filter inside the
@@ -595,6 +620,20 @@ object AnalyticsQueries extends QueryPack {
     // afford the quadratic form); weights are 1/(1<<j) — exact, so the
     // sum is order-free without decimals (see the Spark-side note)
     "ts3_ewma" -> ewmaSql,
+
+    "ts5_seasonal" ->
+      s"""WITH $tsGridCtes,
+        |gc AS (SELECT g.user_id, g.hour, COALESCE(h.cnt, 0) AS cnt,
+        |    hour(g.hour) AS hod
+        |  FROM grid g LEFT JOIN hourly h
+        |    ON g.user_id = h.user_id AND g.hour = h.hour),
+        |seas AS (SELECT user_id, hod,
+        |    floor(CAST(sum(cnt) AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6
+        |      AS seasonal
+        |  FROM gc GROUP BY 1, 2)
+        |SELECT gc.user_id, gc.hour, gc.cnt, s.seasonal,
+        |  floor((gc.cnt - s.seasonal) * 1e6 + 0.5) / 1e6 AS residual
+        |FROM gc JOIN seas s USING (user_id, hod)""".stripMargin,
 
     "ts4_anomaly" ->
       s"""WITH e AS ($ewmaSql)

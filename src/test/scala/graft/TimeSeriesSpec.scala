@@ -76,4 +76,27 @@ class TimeSeriesSpec extends AnyFunSuite {
         "single-element window must return the count itself")
     } finally out.unpersist()
   }
+
+  test("ts5: decomposition reconstructs and seasonal averages to zero residual") {
+    val out = SparkEntry.queries("ts5_seasonal")(spark, sf).cache()
+    try {
+      val eps = 2e-6 // two floor(x*1e6+0.5) roundings
+      // reconstruction: cnt == seasonal + residual up to rounding
+      val bad = out.filter(
+        abs(col("cnt") - (col("seasonal") + col("residual"))) > eps).count()
+      assert(bad == 0L, "cnt must equal seasonal + residual")
+      // seasonal is constant per (user, hour-of-day)
+      val drift = out
+        .groupBy(col("user_id"), hour(col("hour")).as("hod"))
+        .agg((max(col("seasonal")) - min(col("seasonal"))).as("spread"))
+        .filter(col("spread") > 0.0).count()
+      assert(drift == 0L, "seasonal must be a per-(user, hod) constant")
+      // residuals of one (user, hod) slice sum to ~0 (mean-centering)
+      val off = out
+        .groupBy(col("user_id"), hour(col("hour")).as("hod"))
+        .agg(sum(col("residual")).as("rs"), count(lit(1)).as("n"))
+        .filter(abs(col("rs")) > col("n") * eps).count()
+      assert(off == 0L, "per-(user, hod) residuals must mean-center")
+    } finally out.unpersist()
+  }
 }
