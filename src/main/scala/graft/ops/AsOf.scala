@@ -61,6 +61,37 @@ object AsOf {
       .drop("_b")
   }
 
+  /** Interval-to-INTERVAL overlap join: pairs of same-key intervals
+    * with half-open overlap (a.start < b.end AND b.start < a.end).
+    *
+    * Scale path: both sides explode into the fixed time buckets they
+    * span and meet in a plain equi-join on (key, bucket). A pair that
+    * overlaps can share MANY buckets — instead of a corpus-sized
+    * DISTINCT, each pair is emitted only from the bucket that contains
+    * the LATER of the two starts: overlap means laterStart < both
+    * ends, so that bucket lies in both spans (exactly one bucket owns
+    * each pair, no dedup shuffle). Bucket count per interval =
+    * span / bucketSeconds + 1 — pick the bucket near the typical
+    * interval length, exactly [[joinRange]]'s guidance. */
+  def joinIntervals(left: DataFrame, right: DataFrame, key: String,
+      lStart: String, lEnd: String, rStart: String, rEnd: String,
+      bucketSeconds: Long): DataFrame = {
+    val usPerBucket = bucketSeconds * 1000000L
+    def micros(c: org.apache.spark.sql.Column) =
+      unix_micros(c.cast(org.apache.spark.sql.types.TimestampType))
+    def bucketOf(c: org.apache.spark.sql.Column) =
+      (micros(c) / usPerBucket).cast("long")
+    val lb = left.withColumn("_b", explode(sequence(
+      bucketOf(col(lStart)), bucketOf(col(lEnd)))))
+    val rb = right.withColumn("_b", explode(sequence(
+      bucketOf(col(rStart)), bucketOf(col(rEnd)))))
+    lb.join(rb, Seq(key, "_b"))
+      .filter(col(lStart) < col(rEnd) && col(rStart) < col(lEnd))
+      .filter(col("_b") ===
+        greatest(bucketOf(col(lStart)), bucketOf(col(rStart))))
+      .drop("_b")
+  }
+
   /** Left as-of join. Output: all probe columns plus the requested
     * build columns (null when no build row precedes the probe). */
   def joinAsOf(probe: DataFrame, build: DataFrame, key: String,

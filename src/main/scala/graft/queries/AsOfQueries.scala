@@ -41,6 +41,27 @@ object AsOfQueries extends QueryPack {
         startTs = "start_ts", endTs = "end_ts", bucketSeconds = 3600L)
         .filter(col("event_id") =!= col("signup_id"))
         .select(col("signup_id"), col("event_id"), col("event_type"))
+    }),
+
+    // Interval-OVERLAP join: signup sessions [ts, ts+2h) × purchase
+    // windows [ts, ts+1h) of the same user — bucketized equi-join with
+    // bucket-ownership dedup (a pair is emitted only from the bucket
+    // of the LATER start), never a nested-loop theta join and never a
+    // corpus-sized DISTINCT
+    "ao3_interval_join" -> ((s, d) => {
+      val e = Tables.load(s, d, "events")
+      val signups = e.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("event_id").as("signup_id"),
+          col("ts").as("s_start"),
+          (col("ts") + expr("INTERVAL 2 HOUR")).as("s_end"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ts").as("p_start"),
+          (col("ts") + expr("INTERVAL 1 HOUR")).as("p_end"))
+      AsOf.joinIntervals(signups, purchases, key = "user_id",
+        lStart = "s_start", lEnd = "s_end",
+        rStart = "p_start", rEnd = "p_end", bucketSeconds = 3600L)
+        .select(col("signup_id"), col("purchase_id"))
     })
   )
 
@@ -60,6 +81,13 @@ object AsOfQueries extends QueryPack {
         |  ON s.event_type = 'signup'
         | AND e.user_id = s.user_id
         | AND e.ts >= s.ts AND e.ts < s.ts + INTERVAL 1 HOUR
-        | AND e.event_id <> s.event_id""".stripMargin
+        | AND e.event_id <> s.event_id""".stripMargin,
+    "ao3_interval_join" ->
+      """SELECT s.event_id AS signup_id, p.event_id AS purchase_id
+        |FROM events s JOIN events p
+        |  ON s.event_type = 'signup' AND p.event_type = 'purchase'
+        | AND s.user_id = p.user_id
+        | AND s.ts < p.ts + INTERVAL 1 HOUR
+        | AND p.ts < s.ts + INTERVAL 2 HOUR""".stripMargin
   )
 }

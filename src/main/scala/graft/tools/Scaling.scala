@@ -114,7 +114,17 @@ object Scaling {
     "ts3_ewma" -> "events",
     // classifier fit: 3 GD iterations × one partial-agg scan each;
     // gradient shuffle is 4 values regardless of rows → scan-bound
-    "ml1_logreg_quality" -> "documents")
+    "ml1_logreg_quality" -> "documents",
+    // round-12 late additions: gram-free power-iteration PCA (4 scans,
+    // 64-key partial-agg shuffle regardless of rows → scan-bound),
+    // chi-square association (one scan to |langs|·|sources| cells),
+    // and the seasonal decomposition (grid-granular like ts1 plus a
+    // user×24 profile join)
+    "ml4_pca_project" -> "embeddings",
+    "an9_chi2_assoc" -> "documents",
+    "ts5_seasonal" -> "events",
+    // interval-overlap join rides the same hot-user skew as ao1/ao2
+    "ao3_interval_join" -> "events")
 
   /** Measured interpretation notes embedded per row — the exponent
     * alone can mislead when the OUTPUT grows with the corpus. */

@@ -56,4 +56,28 @@ class AsOfSpec extends AnyFunSuite {
       .collect().toSet
     assert(got == Set(("p1", "i1"), ("p2", "i1"), ("p4", "i2")))
   }
+
+  test("interval overlap join: half-open semantics, one row per pair") {
+    val left = Seq(
+      // spans buckets 0..5 at 60s — overlaps r1 in MANY shared buckets
+      (1L, ts("2026-01-01 10:00:00"), ts("2026-01-01 10:05:00"), "l1"),
+      // touches r2 end-to-start only: half-open -> no match
+      (1L, ts("2026-01-01 11:00:00"), ts("2026-01-01 11:01:00"), "l2"),
+      (2L, ts("2026-01-01 10:00:00"), ts("2026-01-01 10:05:00"), "l3"))
+      .toDF("k", "l_start", "l_end", "lid")
+    val right = Seq(
+      (1L, ts("2026-01-01 10:01:00"), ts("2026-01-01 10:04:00"), "r1"),
+      (1L, ts("2026-01-01 10:59:00"), ts("2026-01-01 11:00:00"), "r2"),
+      // contains l3 entirely (later start is l3's)
+      (2L, ts("2026-01-01 09:00:00"), ts("2026-01-01 12:00:00"), "r3"),
+      // key 3: no left rows
+      (3L, ts("2026-01-01 10:00:00"), ts("2026-01-01 10:05:00"), "r4"))
+      .toDF("k", "r_start", "r_end", "rid")
+    val rows = AsOf.joinIntervals(left, right, "k",
+        "l_start", "l_end", "r_start", "r_end", bucketSeconds = 60L)
+      .select("lid", "rid").as[(String, String)].collect().toSeq
+    // multi-bucket collisions must NOT duplicate the (l1, r1) pair
+    assert(rows.size == rows.toSet.size, s"duplicate pairs: $rows")
+    assert(rows.toSet == Set(("l1", "r1"), ("l3", "r3")))
+  }
 }
