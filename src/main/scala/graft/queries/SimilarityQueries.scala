@@ -100,6 +100,24 @@ object SimilarityQueries extends QueryPack {
         Tables.load(s, d, "embeddings"), fit(s, d, 8))
         .select(col("vec_id"), col("cluster"))),
 
+    // Cluster-balanced subsample — the SemDeDup-style diversity keep:
+    // assign every embedding to its coarse k-means cluster (the fit
+    // shared with s5/s6/s11), then keep the 16 md5-ranked rows per
+    // cluster (the c3/c6 deterministic-sampling contract) via the
+    // bounded-heap TopKPerKey operator — uniform cluster
+    // representation regardless of cluster mass, no window sort, and
+    // the only shuffle carries ≤ k rows per cluster per partition
+    "c16_cluster_sample" -> ((s, d) => {
+      val assigned = Similarity.assignToCentroids(
+        Tables.load(s, d, "embeddings"), fit(s, d, 8))
+        .select(col("vec_id"), col("cluster"),
+          md5(col("vec_id").cast("string").cast("binary")).as("rk"))
+      org.apache.spark.sql.graft.TopKPerKey.topKPerKey(
+        assigned, Seq("cluster"),
+        Seq(("rk", false), ("vec_id", false)), k = 16)
+        .select(col("vec_id"), col("cluster"))
+    }),
+
     // Embedding near-duplicate pairs (cosine >= 0.45)
     "d6_embedding_neardup" -> ((s, d) =>
       Similarity.nearDupPairs(Tables.load(s, d, "embeddings"), 0.45)),
@@ -500,6 +518,13 @@ object SimilarityQueries extends QueryPack {
     "s2_knn_brute" -> topKOracle("", 10),
     "s13_filtered_knn" -> topKOracle("AND b.vec_id % 2 = 0", 5),
     "s5_ivf_kmeans" -> kmeansOracle,
+    "c16_cluster_sample" ->
+      s"""WITH $lloydCtes
+         |SELECT vec_id, cluster FROM (
+         |  SELECT vec_id, cluster,
+         |    ROW_NUMBER() OVER (PARTITION BY cluster
+         |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+         |  FROM a3) t WHERE rn <= 16""".stripMargin,
     "s14_ivf_append" ->
       s"""WITH ${lloydCtesFor("vec_id % 5 <> 0")},
          |nb AS (SELECT vec_id, embedding FROM embeddings
