@@ -141,11 +141,25 @@ object Scaling {
     "an8_group_corr" -> ("row-linear by design: same partial-agg scan shape as " +
       "an7 — constant-size (6-group) shuffle of long moment sums, exponent is " +
       "scan-bound"),
-    "x13_charlm_score" -> ("row-linear by design (exp_100_10 0.93): both passes " +
-      "— trigram-count fit and per-doc scoring — are must-touch-every-byte " +
-      "per-row compute; the shuffle carries only the vocabulary-bounded " +
-      "trigram model (broadcast back for scoring), so growth is pure scan, " +
-      "same class as a1_classify_ref256/m5"),
+    "x13_charlm_score" -> ("vocab-bounded two-scan kernel (round-12 rewrite): " +
+      "the only exchange carries trigram-model counts; scoring folds " +
+      "doc-locally against the broadcast model, so the former doc-keyed " +
+      "corpus-sized exchange is gone — exp_100_10 0.41 vs 0.93 pre-rewrite, " +
+      "and the x100 leg dropped ~4x in absolute time"),
+    "ml4_pca_project" -> ("scan-bound by design: 3 power rounds + 1 projection " +
+      "= 4 corpus scans; every shuffle carries 64 decimal partials per " +
+      "partition regardless of rows, the direction is 64 literal doubles — " +
+      "exp_100_10 0.47 is scan time amortizing per-round fixed overhead"),
+    "an9_chi2_assoc" -> ("cell-bounded: one partial-agg scan to " +
+      "|langs|x|sources| cells, margins derived from the cell table itself " +
+      "— exp_100_10 0.13, effectively flat because the post-scan work is " +
+      "constant-size"),
+    "ao3_interval_join" -> ("bucket-ownership dedup keeps output row-bound: " +
+      "pairs emit from exactly one shared bucket, no DISTINCT; the equi-join " +
+      "shuffles interval rows x spanned buckets (span/bucket ~ 2-3 here)"),
+    "ts5_seasonal" -> ("grid-granular like ts1 (rows = users x span-hours, " +
+      "users grow with n) plus a user x 24 profile join that reuses the " +
+      "grid's key partitioning; event density collapses map-side"),
     "pr7_quantile_sketch" -> ("mergeable-summary shape: per-partition digests " +
       "are O(k*depth) regardless of rows, the shuffle carries digests not " +
       "values, and the verdict join broadcasts 6 estimate rows; post-cascade " +
