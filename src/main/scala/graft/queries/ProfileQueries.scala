@@ -115,6 +115,59 @@ object ProfileQueries extends QueryPack {
           max(col("nb")).cast("long").as("n_buckets"))
     }),
 
+    // Corpus-overlap matrix: pairwise Jaccard ESTIMATE between the
+    // five sources from doc-level minhash signatures — the
+    // dataset-vs-dataset similarity report a mixture designer reads
+    // before setting sampling weights. One corpus scan fans each doc
+    // into 16 seeded md5 hashes (the d3 portable-minhash idiom);
+    // min-agg collapses map-side to sources×16 partials, and the
+    // pairwise compare runs on that bounded signature table. The
+    // estimate divides by 16 (a power of two — exact in double).
+    "pr14_source_overlap" -> ((s, d) => {
+      val sigs = Tables.load(s, d, "documents")
+        .select(col("source"), posexplode(array((0 until 16).map(j =>
+          md5(concat(lit(s"$j|"), col("text")))): _*)).as(Seq("j", "h")))
+        .groupBy(col("source"), col("j"))
+        .agg(min(col("h")).as("mh"))
+      sigs.as("a").join(sigs.as("b"),
+          col("a.j") === col("b.j") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("source_a"),
+          col("b.source").as("source_b"))
+        .agg(sum(when(col("a.mh") === col("b.mh"), 1L).otherwise(0L))
+          .as("matches"))
+        .withColumn("jaccard_est",
+          col("matches").cast("double") / lit(16.0))
+    }),
+
+    // Per-column Shannon entropy of the value distribution — the
+    // profiling staple behind "is this column a key / an enum / near-
+    // constant". One scan stacks the audited columns via explode;
+    // value counts partial-aggregate map-side; the per-column rollup
+    // runs on the bounded distinct-value table. Terms go through the
+    // x13 decimal contract (CAST(p·ln p AS DECIMAL(28,12))) so the
+    // sum is reduction-order-free on both engines.
+    "pr15_entropy" -> ((s, d) => {
+      import org.apache.spark.sql.types.DecimalType
+      val stacked = Tables.load(s, d, "documents")
+        .select(explode(array(
+          struct(lit("lang").as("cname"), col("lang").as("val")),
+          struct(lit("source").as("cname"), col("source").as("val")),
+          struct(lit("len_bucket").as("cname"),
+            (floor(col("n_chars") / 100) * 100).cast("long")
+              .cast("string").as("val")))).as("c"))
+        .select(col("c.cname").as("cname"), col("c.val").as("val"))
+      val counts = stacked.groupBy(col("cname"), col("val"))
+        .agg(count(lit(1)).as("n"))
+      val tot = counts.groupBy(col("cname"))
+        .agg(sum(col("n")).as("nt"), count(lit(1)).as("n_distinct"))
+      val p = col("n").cast("double") / col("nt")
+      counts.join(broadcast(tot), Seq("cname"))
+        .groupBy(col("cname"), col("n_distinct"))
+        .agg((floor(-sum((p * log(p)).cast(DecimalType(28, 12)))
+            .cast("double") * lit(1e6) + lit(0.5)) / lit(1e6))
+          .as("entropy"))
+    }),
+
     // Count-Min Sketch over the event-type stream: the sketch itself
     // (every nonzero counter) is the checked result — md5 bucketing
     // makes the whole structure engine-portable
@@ -373,6 +426,40 @@ object ProfileQueries extends QueryPack {
         |  CAST(sum(CASE WHEN round(d.ad - 3.0 * m.mad, 9) > 0
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         |FROM dev d JOIN mad m USING (event_type) GROUP BY 1""".stripMargin,
+
+    "pr14_source_overlap" ->
+      """WITH h AS (SELECT source, j,
+        |    min(md5(CAST(j AS VARCHAR) || '|' || text)) AS mh
+        |  FROM documents, (SELECT unnest(range(0, 16)) AS j) t
+        |  GROUP BY 1, 2),
+        |m AS (SELECT a.source AS source_a, b.source AS source_b,
+        |    CAST(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS matches
+        |  FROM h a JOIN h b ON a.j = b.j AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT source_a, source_b, matches,
+        |  CAST(matches AS DOUBLE) / 16.0 AS jaccard_est FROM m""".stripMargin,
+
+    "pr15_entropy" ->
+      """WITH stacked AS (
+        |  SELECT 'lang' AS cname, lang AS val FROM documents
+        |  UNION ALL
+        |  SELECT 'source' AS cname, source AS val FROM documents
+        |  UNION ALL
+        |  SELECT 'len_bucket' AS cname,
+        |    CAST(CAST(floor(n_chars / 100) * 100 AS BIGINT) AS VARCHAR)
+        |      AS val FROM documents),
+        |counts AS (SELECT cname, val, CAST(count(*) AS BIGINT) AS n
+        |  FROM stacked GROUP BY 1, 2),
+        |tot AS (SELECT cname, CAST(sum(n) AS BIGINT) AS nt,
+        |    CAST(count(*) AS BIGINT) AS n_distinct
+        |  FROM counts GROUP BY 1)
+        |SELECT c.cname, t.n_distinct,
+        |  floor(-CAST(sum(CAST((CAST(c.n AS DOUBLE) / t.nt)
+        |      * ln(CAST(c.n AS DOUBLE) / t.nt) AS DECIMAL(28,12)))
+        |    AS DOUBLE) * 1e6 + 0.5) / 1e6 AS entropy
+        |FROM counts c JOIN tot t USING (cname)
+        |GROUP BY 1, 2""".stripMargin,
 
     "pr13_psi_drift" ->
       s"""WITH sp AS (SELECT doc_id, lang, n_chars,
