@@ -75,27 +75,56 @@ object AnalyticsQueries extends QueryPack {
 
   /** Shared ts3/ts4 frame: truncated normalized EWMA (halving decay,
     * 24-hour window) of the hourly event count over ts1's grid. See
-    * the ts3 entry comment for the exactness design. */
+    * the ts3 entry comment for the exactness design.
+    *
+    * Execution shape (round-12 rewrite): 24 codegen `lag` terms over
+    * ONE (user, hour-sorted) window pass replace the former
+    * reverse(collect_list) + interpreted transform/aggregate fold —
+    * no per-row 24-element array, no HOF lambda calls (the bench's
+    * two slowest queries at 4.4 s each were exactly this fold, paid
+    * twice). Values are bit-identical: each term cnt/2^j is a short
+    * binary fraction (weights by SHIFT, not pow), so the sum is EXACT
+    * in double regardless of term order, and lag-beyond-partition
+    * nulls coalesce to the same 0 the shorter array contributed.
+    * The frame is memoized — ts4 builds on ts3's grid instead of
+    * recomputing the whole chain; released after the pair's last
+    * consumer (memoReleases). */
+  private val ewmaMemo =
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame]
+
   private def ewmaGrid(s: org.apache.spark.sql.SparkSession, d: String)
-      : org.apache.spark.sql.DataFrame = {
+      : org.apache.spark.sql.DataFrame = ewmaMemo.getOrElseUpdate(d, {
     import org.apache.spark.sql.expressions.Window
     val (grid, hourly) = tsGrid(s, d)
     val w = Window.partitionBy(col("user_id")).orderBy(col("hour"))
-      .rowsBetween(-23, 0)
+    val raw = (0 until 24).map { j =>
+      coalesce(lag(col("cnt"), j).over(w).cast(DoubleType)
+        / lit((1L << j).toDouble), lit(0.0))
+    }.reduce(_ + _)
     grid.join(hourly, Seq("user_id", "hour"), "left")
       .select(col("user_id"), col("hour"),
         coalesce(col("cnt"), lit(0L)).as("cnt"))
-      .withColumn("arr", reverse(collect_list(col("cnt")).over(w)))
+      .withColumn("_raw", raw)
+      .withColumn("_n", least(row_number().over(w), lit(24)))
       .select(col("user_id"), col("hour"), col("cnt"),
-        (floor(
-          expr("""aggregate(
-               |  transform(arr, (x, i) -> CAST(x AS DOUBLE)
-               |    / CAST(shiftleft(CAST(1 AS BIGINT), i) AS DOUBLE)),
-               |  CAST(0 AS DOUBLE), (acc, x) -> acc + x)""".stripMargin)
+        (floor(col("_raw")
           / expr("2.0 - 1.0 / CAST(shiftleft(CAST(1 AS BIGINT)," +
-            " size(arr) - 1) AS DOUBLE)")
+            " _n - 1) AS DOUBLE)")
           * lit(1e6) + lit(0.5)) / lit(1e6)).as("ewma"))
+      .cache()
+  })
+
+  override def releaseShared(spark: org.apache.spark.sql.SparkSession): Unit = {
+    ewmaMemo.values.foreach(_.unpersist(true))
+    ewmaMemo.clear()
   }
+
+  override def memoReleases
+      : Seq[(Set[String], org.apache.spark.sql.SparkSession => Unit)] =
+    Seq((Set("ts3_ewma", "ts4_anomaly"), (_: org.apache.spark.sql.SparkSession) => {
+      ewmaMemo.values.foreach(_.unpersist(true))
+      ewmaMemo.clear()
+    }))
 
   def queries: Map[String, Q] = Map(
     // Exact interpolated percentiles (sort-based; portable semantics)

@@ -91,6 +91,28 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(p.contains("repetition_stats"), "x7 must use the codegen kernel")
   }
 
+  test("ao3 interval overlap: equi-join plan, no nested loop") {
+    // the whole point of the bucketized form: a naive theta overlap
+    // plans as BroadcastNestedLoopJoin
+    val p = plan("ao3_interval_join")
+    assert(!p.contains("NestedLoop"), p.take(2000))
+    assert(p.contains("Join"), "bucketized overlap still joins")
+  }
+
+  test("c16 cluster sample: bounded-heap operator, no window sort") {
+    val p = plan("c16_cluster_sample")
+    assert(p.contains("TopKPerKey"), "must plan the bounded-heap operator")
+    assert(!p.contains("Window"), "no window sort of the corpus")
+  }
+
+  test("ml4 pca: projection pass is the codegen dot kernel, join-free") {
+    // the 3 power rounds execute inside the query builder; the frame
+    // the driver measures is the final projection
+    val p = plan("ml4_pca_project")
+    assert(p.contains("dotproduct"), "projection must ride the kernel")
+    assert(!p.contains("Join"), p.take(2000))
+  }
+
   test("x13 char-LM: scoring pass is join- and aggregate-free") {
     // the trigram/context model broadcasts as a driver-built map (the
     // counting pass runs eagerly inside the query builder); the frame
