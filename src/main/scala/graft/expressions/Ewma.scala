@@ -1,0 +1,88 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Halving-decay EWMA raw sum of a CHRONOLOGICAL long-count array:
+  * Σ_k arr(k) / 2^(n-1-k) — the newest element carries weight 1, each
+  * step back halves. One flat codegen loop per row.
+  *
+  * Why a kernel: the ts3/ts4 grid computes this per row over a
+  * 24-element sliding `collect_list` frame. The composed form
+  * (reverse + transform + aggregate HOFs) pays interpreted lambda
+  * calls per element — measured as the bench's two slowest queries —
+  * while the window-free alternative (24 distinct `lag` frames) makes
+  * WindowExec re-iterate the partition buffer once PER OFFSET, which
+  * inverts at scale once the buffer spills (measured 1.7× SLOWER at
+  * the ×100 leg despite winning at ×1/×10). This keeps the single
+  * sliding-frame pass and replaces only the per-row fold.
+  *
+  * Exactness: counts are longs and weights are powers of two, so
+  * every term is a short binary fraction and the double sum is EXACT
+  * regardless of order — bit-identical to the HOF form and to the
+  * DuckDB replay (the ts3 contract). Null array → null; null
+  * elements cannot occur (the upstream coalesce) but null-check
+  * anyway for safety. Arrays longer than 63 would shift past the
+  * long range, so weights compute in double (0.5 multiply chain is
+  * exact for n ≤ 1074).
+  */
+case class EwmaHalving(child: Expression)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"ewma_halving expects array<bigint>, got ${dt.simpleString}")
+  }
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var acc = 0.0
+    var w = 1.0
+    var k = n - 1
+    while (k >= 0) {
+      if (arr.isNullAt(k)) return null
+      acc += arr.getLong(k) * w
+      w *= 0.5
+      k -= 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val k = ctx.freshName("k")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val w = ctx.freshName("w")
+      s"""
+         |int $n = $a.numElements();
+         |double $acc = 0.0;
+         |double $w = 1.0;
+         |for (int $k = $n - 1; $k >= 0; $k--) {
+         |  if ($a.isNullAt($k)) { ${ev.isNull} = true; break; }
+         |  $acc += ((double) $a.getLong($k)) * $w;
+         |  $w *= 0.5;
+         |}
+         |if (!${ev.isNull}) { ${ev.value} = $acc; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object EwmaHalving {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.graft.Bridge
+
+  def ewma_halving(arr: Column): Column =
+    Bridge.column(EwmaHalving(Bridge.expression(arr)))
+}

@@ -77,18 +77,21 @@ object AnalyticsQueries extends QueryPack {
     * 24-hour window) of the hourly event count over ts1's grid. See
     * the ts3 entry comment for the exactness design.
     *
-    * Execution shape (round-12 rewrite): 24 codegen `lag` terms over
-    * ONE (user, hour-sorted) window pass replace the former
-    * reverse(collect_list) + interpreted transform/aggregate fold —
-    * no per-row 24-element array, no HOF lambda calls (the bench's
-    * two slowest queries at 4.4 s each were exactly this fold, paid
-    * twice). Values are bit-identical: each term cnt/2^j is a short
-    * binary fraction (weights by SHIFT, not pow), so the sum is EXACT
-    * in double regardless of term order, and lag-beyond-partition
-    * nulls coalesce to the same 0 the shorter array contributed.
-    * The frame is memoized — ts4 builds on ts3's grid instead of
-    * recomputing the whole chain; released after the pair's last
-    * consumer (memoReleases). */
+    * Execution shape (round-12 rewrite): ONE sliding collect_list
+    * frame pass, folded per row by the codegen EwmaHalving kernel —
+    * no interpreted HOF lambdas (the composed reverse + transform +
+    * aggregate fold was the bench's two slowest queries at 4.4 s
+    * each, paid twice). The tempting window-free alternative — 24
+    * distinct `lag` frames summed — was built, measured, and
+    * REJECTED: it wins 2× at ×1/×10 but makes WindowExec re-iterate
+    * the partition buffer once per offset, which inverts once the
+    * buffer spills (×100 leg measured 70-79 s vs the frame+kernel
+    * form's ~41 s; see SCALE.md). Values are bit-identical to both
+    * prior forms: counts are longs, weights are powers of two, so
+    * every term is a short binary fraction and the double sum is
+    * exact in any order. The frame is memoized — ts4 builds on ts3's
+    * grid instead of recomputing the chain; released after the
+    * pair's last consumer (memoReleases). */
   private val ewmaMemo =
     scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame]
 
@@ -97,19 +100,15 @@ object AnalyticsQueries extends QueryPack {
     import org.apache.spark.sql.expressions.Window
     val (grid, hourly) = tsGrid(s, d)
     val w = Window.partitionBy(col("user_id")).orderBy(col("hour"))
-    val raw = (0 until 24).map { j =>
-      coalesce(lag(col("cnt"), j).over(w).cast(DoubleType)
-        / lit((1L << j).toDouble), lit(0.0))
-    }.reduce(_ + _)
+      .rowsBetween(-23, 0)
     grid.join(hourly, Seq("user_id", "hour"), "left")
       .select(col("user_id"), col("hour"),
         coalesce(col("cnt"), lit(0L)).as("cnt"))
-      .withColumn("_raw", raw)
-      .withColumn("_n", least(row_number().over(w), lit(24)))
+      .withColumn("arr", collect_list(col("cnt")).over(w))
       .select(col("user_id"), col("hour"), col("cnt"),
-        (floor(col("_raw")
+        (floor(graft.expressions.EwmaHalving.ewma_halving(col("arr"))
           / expr("2.0 - 1.0 / CAST(shiftleft(CAST(1 AS BIGINT)," +
-            " _n - 1) AS DOUBLE)")
+            " size(arr) - 1) AS DOUBLE)")
           * lit(1e6) + lit(0.5)) / lit(1e6)).as("ewma"))
       .cache()
   })

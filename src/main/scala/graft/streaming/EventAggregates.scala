@@ -69,4 +69,42 @@ object EventAggregates {
           Iterator.single(next)
         })
   }
+
+  final case class EwmaState(user_id: Long, ewma: Double, n_batches: Long)
+  final case class EwmaVerdict(user_id: Long, batch_count: Long,
+      baseline: Double, ewma: Double, is_anomaly: Boolean)
+
+  /** Streaming sibling of the batch ts3/ts4 pair: per-user EWMA of the
+    * per-micro-batch event count, maintained across batches, with the
+    * ts4 spike rule (count > 2×previous-EWMA + 2) evaluated BEFORE the
+    * state update — so the verdict compares against the baseline the
+    * monitor had when the batch arrived, exactly like ts4's lag. The
+    * first batch seeds the baseline and is never anomalous (no prior).
+    * State per key is two numbers — bounded regardless of stream
+    * length; halving decay (0.5·prev + 0.5·cnt) keeps every value a
+    * short binary fraction as long as counts are (the ts3 exactness
+    * contract, which makes the spec's expected values exact doubles). */
+  def ewmaAnomaly(events: Dataset[UserEvent]): Dataset[EwmaVerdict] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout)(
+        (userId: Long, batch: Iterator[UserEvent],
+            state: GroupState[EwmaState]) => {
+          val cnt = batch.size.toLong
+          state.getOption match {
+            case None =>
+              state.update(EwmaState(userId, cnt.toDouble, 1L))
+              Iterator.single(
+                EwmaVerdict(userId, cnt, cnt.toDouble, cnt.toDouble, false))
+            case Some(prev) =>
+              val anomalous = cnt > 2.0 * prev.ewma + 2.0
+              val next = 0.5 * prev.ewma + 0.5 * cnt
+              state.update(EwmaState(userId, next, prev.n_batches + 1))
+              Iterator.single(
+                EwmaVerdict(userId, cnt, prev.ewma, next, anomalous))
+          }
+        })
+  }
 }

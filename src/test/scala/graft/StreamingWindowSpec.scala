@@ -178,4 +178,37 @@ class StreamingWindowSpec extends AnyFunSuite {
       assert(last(2L) == UserRunning(2L, 1L, 7.0))
     } finally q.stop()
   }
+
+  test("streaming EWMA flags the spike batch against the prior baseline") {
+    import EventAggregates.{EwmaVerdict}
+    implicit val sqlCtx = spark.sqlContext
+    val st = MemoryStream[UserEvent]
+    val q = EventAggregates.ewmaAnomaly(st.toDS())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("ewmaout")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      // batch 1: 2 events — seeds the baseline, never anomalous
+      st.addData(UserEvent(1L, ts(1), 1.0), UserEvent(1L, ts(2), 1.0))
+      q.processAllAvailable()
+      // batch 2: 12 events > 2*2 + 2 — spike against baseline 2.0
+      st.addData((3 to 14).map(i => UserEvent(1L, ts(i), 1.0)): _*)
+      q.processAllAvailable()
+      // batch 3: 6 events vs ewma 0.5*2 + 0.5*12 = 7 -> quiet
+      st.addData((15 to 20).map(i => UserEvent(1L, ts(i), 1.0)): _*)
+      q.processAllAvailable()
+      val out = spark.table("ewmaout").as[EwmaVerdict].collect()
+        .sortBy(_.ewma).toSeq
+      val byBatch = spark.table("ewmaout").as[EwmaVerdict].collect()
+        .sortBy(_.batch_count)
+      assert(out.size == 3)
+      val seed = byBatch.find(_.batch_count == 2L).get
+      assert(!seed.is_anomaly && seed.ewma == 2.0)
+      val spike = byBatch.find(_.batch_count == 12L).get
+      assert(spike.is_anomaly && spike.baseline == 2.0 && spike.ewma == 7.0)
+      val quiet = byBatch.find(_.batch_count == 6L).get
+      assert(!quiet.is_anomaly && quiet.baseline == 7.0 && quiet.ewma == 6.5)
+    } finally q.stop()
+  }
 }
