@@ -77,39 +77,76 @@ object AnalyticsQueries extends QueryPack {
     * 24-hour window) of the hourly event count over ts1's grid. See
     * the ts3 entry comment for the exactness design.
     *
-    * Execution shape (round-12 rewrite): ONE sliding collect_list
-    * frame pass, folded per row by the codegen EwmaHalving kernel —
-    * no interpreted HOF lambdas (the composed reverse + transform +
-    * aggregate fold was the bench's two slowest queries at 4.4 s
-    * each, paid twice). The tempting window-free alternative — 24
-    * distinct `lag` frames summed — was built, measured, and
-    * REJECTED: it wins 2× at ×1/×10 but makes WindowExec re-iterate
-    * the partition buffer once per offset, which inverts once the
-    * buffer spills (×100 leg measured 70-79 s vs the frame+kernel
-    * form's ~41 s; see SCALE.md). Values are bit-identical to both
-    * prior forms: counts are longs, weights are powers of two, so
-    * every term is a short binary fraction and the double sum is
-    * exact in any order. The frame is memoized — ts4 builds on ts3's
-    * grid instead of recomputing the chain; released after the
-    * pair's last consumer (memoReleases). */
+    * Execution shape (round-12 rewrite, third form — both window
+    * forms were built, measured at the ×100 leg, and replaced; see
+    * SCALE.md): map-side pre-agg events to (user, hour) counts, ONE
+    * user-keyed exchange of those pre-agg-sized rows, then a LINEAR
+    * per-user walk emits the filled grid with a 24-slot ring buffer —
+    * the grid itself is never shuffled, never window-sorted, and no
+    * per-row array is allocated (the sliding collect_list frame
+    * materialized a fresh 24-element array per grid row — GBs of
+    * churn at ×100; the 24-lag alternative made WindowExec re-iterate
+    * the spilled partition buffer once per offset). Per-group memory
+    * is bounded by SPAN-hours (hourly entries + the ring), not by
+    * event count. The walk also emits the PREVIOUS hour's ewma, so
+    * ts4's lag costs nothing — no second window anywhere.
+    *
+    * Values are bit-identical to the window forms: counts are longs,
+    * weights are powers of two (short binary fractions — the sum is
+    * exact in double in any order), the normalizer divides by a
+    * shifted long, and the rounding replays floor(raw/norm·1e6+0.5)
+    * /1e6 in the same IEEE op order. The frame is memoized — ts4
+    * builds on ts3's walk; released after the pair's last consumer
+    * (memoReleases). */
   private val ewmaMemo =
     scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame]
 
+  final case class EwmaRow(user_id: Long, hm: Long, cnt: Long,
+      ewma: Double, baseline: Option[Double])
+
   private def ewmaGrid(s: org.apache.spark.sql.SparkSession, d: String)
       : org.apache.spark.sql.DataFrame = ewmaMemo.getOrElseUpdate(d, {
-    import org.apache.spark.sql.expressions.Window
-    val (grid, hourly) = tsGrid(s, d)
-    val w = Window.partitionBy(col("user_id")).orderBy(col("hour"))
-      .rowsBetween(-23, 0)
-    grid.join(hourly, Seq("user_id", "hour"), "left")
-      .select(col("user_id"), col("hour"),
-        coalesce(col("cnt"), lit(0L)).as("cnt"))
-      .withColumn("arr", collect_list(col("cnt")).over(w))
-      .select(col("user_id"), col("hour"), col("cnt"),
-        (floor(graft.expressions.EwmaHalving.ewma_halving(col("arr"))
-          / expr("2.0 - 1.0 / CAST(shiftleft(CAST(1 AS BIGINT)," +
-            " size(arr) - 1) AS DOUBLE)")
-          * lit(1e6) + lit(0.5)) / lit(1e6)).as("ewma"))
+    import s.implicits._
+    val usPerHour = 3600000000L
+    val hourly = Tables.load(s, d, "events")
+      .select(col("user_id").cast(LongType).as("user_id"),
+        col("ts").cast(TimestampType).as("ts"))
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("user_id"), unix_micros(col("hour")).as("hm"), col("cnt"))
+      .as[(Long, Long, Long)]
+    hourly.groupByKey(_._1)
+      .flatMapGroups { (u: Long, it: Iterator[(Long, Long, Long)]) =>
+        val entries = it.map(t => (t._2, t._3)).toArray
+        java.util.Arrays.sort(entries,
+          Ordering.by((e: (Long, Long)) => e._1))
+        val byHour = entries.toMap
+        val h0 = entries.head._1
+        val nHours = ((entries.last._1 - h0) / usPerHour).toInt + 1
+        val ring = new Array[Long](24)
+        var prev: Option[Double] = None
+        Iterator.tabulate(nHours) { idx =>
+          val hm = h0 + idx * usPerHour
+          val cnt = byHour.getOrElse(hm, 0L)
+          ring(idx % 24) = cnt
+          val n = math.min(idx + 1, 24)
+          var raw = 0.0
+          var w = 1.0
+          var j = 0
+          while (j < n) {
+            raw += ring(((idx - j) % 24 + 24) % 24) * w
+            w *= 0.5
+            j += 1
+          }
+          val norm = 2.0 - 1.0 / (1L << (n - 1)).toDouble
+          val ewma = math.floor(raw / norm * 1e6 + 0.5) / 1e6
+          val out = EwmaRow(u, hm, cnt, ewma, prev)
+          prev = Some(ewma)
+          out
+        }
+      }
+      .select(col("user_id"), timestamp_micros(col("hm")).as("hour"),
+        col("cnt"), col("ewma"), col("baseline"))
       .cache()
   })
 
@@ -450,28 +487,25 @@ object AnalyticsQueries extends QueryPack {
     // short binary fraction and the sum is EXACT in double on both
     // engines regardless of reduction order; the single final division
     // is IEEE-identical, rounded with the ts2 floor construction.
-    "ts3_ewma" -> (ewmaGrid(_, _)),
+    "ts3_ewma" -> ((s, d) => ewmaGrid(s, d)
+      .select(col("user_id"), col("hour"), col("cnt"), col("ewma"))),
 
     // Spike detection against the lagged smoothed baseline: an hour is
     // anomalous when its count exceeds 2× the PREVIOUS hour's EWMA
     // plus 2 (the additive floor keeps 0→1 blips quiet). Every grid
     // row is emitted with its verdict so the oracle hash covers the
-    // whole decision surface, not just the sparse positives. The lag
-    // is one more window function over the SAME (user, hour-sorted)
-    // partitioning — no new exchange. Comparisons are
-    // integer-vs-rounded-double (identical doubles on both engines by
-    // the ts3 contract), so the boolean can never straddle an engine
-    // difference.
-    "ts4_anomaly" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("user_id")).orderBy(col("hour"))
+    // whole decision surface, not just the sparse positives. The
+    // baseline is emitted by ewmaGrid's linear walk itself (the
+    // previous hour's rounded ewma) — no lag window, no new exchange,
+    // no second pass. Comparisons are integer-vs-rounded-double
+    // (identical doubles on both engines by the ts3 contract), so the
+    // boolean can never straddle an engine difference.
+    "ts4_anomaly" -> ((s, d) =>
       ewmaGrid(s, d)
-        .withColumn("baseline", lag(col("ewma"), 1).over(w))
         .filter(col("baseline").isNotNull)
         .select(col("user_id"), col("hour"), col("cnt"), col("baseline"),
           (col("cnt") > lit(2.0) * col("baseline") + lit(2.0))
-            .as("is_anomaly"))
-    }),
+            .as("is_anomaly"))),
 
     // Seasonal decomposition over ts1's filled grid: per-user
     // hour-of-day seasonal mean + residual (cnt = seasonal + residual

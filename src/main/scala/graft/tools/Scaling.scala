@@ -109,8 +109,8 @@ object Scaling {
     // expected exponent is ~1 via key count, NOT via event density;
     // the per-(user,hour) pre-agg collapses density map-side
     "ts1_gapfill" -> "events",
-    // same grid as ts1 plus the bounded 24-element per-row fold —
-    // measures whether the interpreted HOF constant stays row-linear
+    // ts1's grid semantics via the linear per-user walk (round-12
+    // final form) — measures the grid-output materialization bound
     "ts3_ewma" -> "events",
     // classifier fit: 3 GD iterations × one partial-agg scan each;
     // gradient shuffle is 4 values regardless of rows → scan-bound
@@ -160,6 +160,13 @@ object Scaling {
     "ts5_seasonal" -> ("grid-granular like ts1 (rows = users x span-hours, " +
       "users grow with n) plus a user x 24 profile join that reuses the " +
       "grid's key partitioning; event density collapses map-side"),
+    "ts3_ewma" -> ("grid-materialization bound: the linear per-user walk " +
+      "emits users x span-hours rows (~100M at x100) and caches them for " +
+      "the ts4 handoff, so t100 is output+cache materialization, not " +
+      "shuffle growth (the only exchange carries pre-agg hourly rows). " +
+      "Fourth implementation measured this round: beats the sliding-frame " +
+      "HOF (40.9 s), 24-lag (70 s), and frame+kernel (60 s) forms at x100 " +
+      "AND is 4-9x faster at x1/x10 - see SCALE.md"),
     "pr7_quantile_sketch" -> ("mergeable-summary shape: per-partition digests " +
       "are O(k*depth) regardless of rows, the shuffle carries digests not " +
       "values, and the verdict join broadcasts 6 estimate rows; post-cascade " +
