@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality expectations — the validation report a
+  * discovery platform runs right after cataloging a source (the
+  * reference catalogs and classifies; the obvious next question a
+  * data owner asks of a freshly-discovered table is "does it meet its
+  * contract?"). A rule set compiles to the MINIMAL plan:
+  *
+  *  - every per-ROW rule (not-null, range, regex, set membership)
+  *    becomes one conditional-sum column inside a SINGLE
+  *    partial-aggregating scan — N row rules still cost exactly one
+  *    pass over the table, and the shuffle carries one row of counts;
+  *  - every UNIQUENESS rule is its own key-granular aggregate (that
+  *    is its information-theoretic floor — you cannot count duplicate
+  *    keys without grouping by the key), counting the rows that
+  *    participate in duplicated groups;
+  *  - results union into one (rule, kind, n_violations, pass) report.
+  *
+  * Null semantics: NotNull counts nulls; the value rules (range,
+  * regex, set) count only NON-null out-of-contract values, so one
+  * defect is never double-billed across rules. All counts are exact
+  * longs — the report is engine-replayable verbatim.
+  */
+object Quality {
+
+  sealed trait Rule { def name: String; def kind: String }
+  /** `col` must not be null. */
+  final case class NotNull(col: String) extends Rule {
+    def name = s"not_null($col)"; def kind = "not_null"
+  }
+  /** Non-null `col` must satisfy lo <= col < hi. */
+  final case class InRange(col: String, lo: Double, hi: Double) extends Rule {
+    def name = s"in_range($col,$lo,$hi)"; def kind = "in_range"
+  }
+  /** Non-null `col` must fully match `pattern` (RE2-safe subset). */
+  final case class MatchesRegex(col: String, pattern: String) extends Rule {
+    def name = s"matches_regex($col)"; def kind = "matches_regex"
+  }
+  /** Non-null `col` must be one of `values`. */
+  final case class InSet(col: String, values: Seq[String]) extends Rule {
+    def name = s"in_set($col)"; def kind = "in_set"
+  }
+  /** `cols` must be a unique key; violations = rows in duplicated
+    * groups. */
+  final case class Unique(cols: Seq[String]) extends Rule {
+    def name = s"unique(${cols.mkString(",")})"; def kind = "unique"
+  }
+
+  private def violationPred(r: Rule): Column = r match {
+    case NotNull(c) => col(c).isNull
+    case InRange(c, lo, hi) =>
+      col(c).isNotNull && (col(c) < lit(lo) || col(c) >= lit(hi))
+    case MatchesRegex(c, p) =>
+      col(c).isNotNull && !col(c).rlike(p)
+    case InSet(c, vs) =>
+      col(c).isNotNull && !col(c).isInCollection(vs)
+    case _: Unique =>
+      throw new IllegalArgumentException("unique is not a row rule")
+  }
+
+  /** Evaluate `rules` against `df`. Returns one row per rule:
+    * (rule, kind, n_violations, pass), in the given rule order
+    * (`rule` is unique, so the report is order-independent for
+    * hashing). */
+  def check(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    require(rules.nonEmpty, "empty rule set")
+    val (uniqueRules, rowRules) = rules.partition(_.isInstanceOf[Unique])
+
+    val frames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    if (rowRules.nonEmpty) {
+      val sums = rowRules.zipWithIndex.map { case (r, i) =>
+        coalesce(sum(when(violationPred(r), 1L).otherwise(0L)), lit(0L))
+          .as(s"_v$i")
+      }
+      val one = df.agg(sums.head, sums.tail: _*)
+      frames += one.select(explode(array(rowRules.zipWithIndex.map {
+        case (r, i) => struct(lit(r.name).as("rule"), lit(r.kind).as("kind"),
+          col(s"_v$i").as("n_violations"))
+      }: _*)).as("r")).select(col("r.rule"), col("r.kind"),
+        col("r.n_violations"))
+    }
+    uniqueRules.foreach { case u @ Unique(cols0) =>
+      frames += df.groupBy(cols0.map(col): _*)
+        .agg(count(lit(1)).as("_n"))
+        .filter(col("_n") > 1L)
+        .agg(coalesce(sum(col("_n")), lit(0L)).as("n_violations"))
+        .select(lit(u.name).as("rule"), lit(u.kind).as("kind"),
+          col("n_violations"))
+    }
+    frames.reduce(_ unionByName _)
+      .withColumn("pass", col("n_violations") === 0L)
+  }
+}

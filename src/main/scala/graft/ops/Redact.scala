@@ -68,4 +68,20 @@ object Redact {
     df.withColumn("redacted", redacted)
       .withColumn("n_spans", count)
   }
+
+  /** Deterministic pseudonymization (tokenization) of identifying
+    * columns: each listed column is replaced by the salted SHA-256 of
+    * its string form — the privacy step BETWEEN detection (A1) and
+    * destruction (redact): equal values map to equal tokens, so
+    * post-anonymization joins and group-bys still work, but the
+    * original value is unrecoverable without the salt. Nulls stay
+    * null. One codegen projection — rides the scan like [[redact]];
+    * replayable by any engine with SHA-256. */
+  def pseudonymize(df: DataFrame, cols: Seq[String],
+      salt: String): DataFrame =
+    cols.foldLeft(df) { (d, c) =>
+      d.withColumn(c,
+        when(col(c).isNull, lit(null))
+          .otherwise(sha2(concat(lit(salt + "|"), col(c).cast("string")), 256)))
+    }
 }

@@ -74,6 +74,36 @@ object ClassifyQueries extends QueryPack {
         Tables.load(s, d, "customer"),
         Seq("c_nationkey", "c_mktsegment"), "c_acctbal", k = 5)),
 
+    // Deterministic pseudonymization (tokenization): identifying
+    // columns become salted SHA-256 tokens — equal values keep equal
+    // tokens (joins/group-bys survive anonymization) while the raw
+    // value is unrecoverable without the salt. One codegen
+    // projection; the step BETWEEN detection (a1) and destruction
+    // (x8/x12).
+    "v3_pseudonymize" -> ((s, d) =>
+      graft.ops.Redact.pseudonymize(
+        Tables.load(s, d, "customer"), Seq("c_name"), salt = "graft")
+        .select(col("c_custkey"), col("c_name").as("name_pseudo"),
+          col("c_mktsegment"))),
+
+    // Declarative data-quality expectations: N row rules compile into
+    // ONE partial-aggregating scan (one conditional sum each; the
+    // shuffle carries a single row of counts) + one key-granular
+    // aggregate per uniqueness rule — the post-catalog validation
+    // report, mixing passing and failing rules so the oracle hash
+    // covers both verdicts.
+    "dq1_expectations" -> ((s, d) => {
+      import graft.ops.Quality._
+      check(Tables.load(s, d, "customer"), Seq(
+        NotNull("c_name"),
+        InRange("c_acctbal", 0.0, 10000.0),
+        MatchesRegex("c_name", "^Customer#[0-9]{9}$"),
+        InSet("c_mktsegment",
+          Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "MACHINERY")),
+        Unique(Seq("c_custkey")),
+        Unique(Seq("c_nationkey", "c_mktsegment"))))
+    }),
+
     // P1: provenance enrichment (deterministic columns only; the
     // uuid/timestamp stamps are covered by ClassifySpec)
     "p1_enrich_findings" -> ((s, d) =>
@@ -142,6 +172,43 @@ object ClassifyQueries extends QueryPack {
 
   def oracle: Map[String, String] = Map(
     "v1_luhn_validate" -> luhnSql,
+    "v3_pseudonymize" ->
+      """SELECT c_custkey, sha256('graft|' || c_name) AS name_pseudo,
+        |  c_mktsegment FROM customer""".stripMargin,
+
+    "dq1_expectations" ->
+      """SELECT rule, kind, n_violations, n_violations = 0 AS pass FROM (
+        |  SELECT 'not_null(c_name)' AS rule, 'not_null' AS kind,
+        |    CAST(count(CASE WHEN c_name IS NULL THEN 1 END) AS BIGINT)
+        |      AS n_violations FROM customer
+        |  UNION ALL
+        |  SELECT 'in_range(c_acctbal,0.0,10000.0)', 'in_range',
+        |    CAST(count(CASE WHEN c_acctbal IS NOT NULL
+        |      AND (c_acctbal < 0.0 OR c_acctbal >= 10000.0) THEN 1 END)
+        |      AS BIGINT) FROM customer
+        |  UNION ALL
+        |  SELECT 'matches_regex(c_name)', 'matches_regex',
+        |    CAST(count(CASE WHEN c_name IS NOT NULL
+        |      AND NOT regexp_matches(c_name, '^Customer#[0-9]{9}$')
+        |      THEN 1 END) AS BIGINT) FROM customer
+        |  UNION ALL
+        |  SELECT 'in_set(c_mktsegment)', 'in_set',
+        |    CAST(count(CASE WHEN c_mktsegment IS NOT NULL
+        |      AND c_mktsegment NOT IN
+        |        ('AUTOMOBILE', 'BUILDING', 'FURNITURE', 'MACHINERY')
+        |      THEN 1 END) AS BIGINT) FROM customer
+        |  UNION ALL
+        |  SELECT 'unique(c_custkey)', 'unique',
+        |    CAST(COALESCE(sum(n), 0) AS BIGINT) FROM (
+        |      SELECT count(*) AS n FROM customer
+        |      GROUP BY c_custkey HAVING count(*) > 1)
+        |  UNION ALL
+        |  SELECT 'unique(c_nationkey,c_mktsegment)', 'unique',
+        |    CAST(COALESCE(sum(n), 0) AS BIGINT) FROM (
+        |      SELECT count(*) AS n FROM customer
+        |      GROUP BY c_nationkey, c_mktsegment HAVING count(*) > 1)
+        |) t""".stripMargin,
+
     "v2_k_anonymity" ->
       """WITH g AS (
         |  SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n,

@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.Quality._
+
+class QualitySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def report(df: org.apache.spark.sql.DataFrame, rules: Seq[Rule]) =
+    check(df, rules).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+
+  test("row rules: null / range / regex / set semantics") {
+    val df = Seq(
+      (Some("a-1"), Some(5.0), Some("X")),
+      (None, Some(-1.0), Some("Y")),        // null name; range violation
+      (Some("bad"), None, Some("Z")),       // regex violation; null value ok
+      (Some("a-2"), Some(10.0), None))      // hi bound EXCLUSIVE -> violation
+      .toDF("name", "v", "cat")
+    val out = report(df, Seq(
+      NotNull("name"),
+      InRange("v", 0.0, 10.0),
+      MatchesRegex("name", "^a-[0-9]$"),
+      InSet("cat", Seq("X", "Y"))))
+    assert(out("not_null(name)") == ((1L, false)))
+    // null v is NOT a range violation (NotNull's job)
+    assert(out("in_range(v,0.0,10.0)") == ((2L, false)))
+    assert(out("matches_regex(name)") == ((1L, false)))
+    assert(out("in_set(cat)") == ((1L, false)))
+  }
+
+  test("unique counts rows in duplicated groups; passing rules pass") {
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "b"))
+      .toDF("id", "k")
+    val out = report(df, Seq(Unique(Seq("id")), Unique(Seq("k"))))
+    assert(out("unique(id)") == ((0L, true)))
+    assert(out("unique(k)") == ((3L, false))) // the three 'a' rows
+  }
+
+  test("empty table: zero violations everywhere, report still total") {
+    val df = Seq.empty[(Option[String], Option[Double])].toDF("name", "v")
+    val out = report(df, Seq(
+      NotNull("name"), InRange("v", 0.0, 1.0), Unique(Seq("name"))))
+    assert(out.size == 3)
+    assert(out.values.forall(_ == ((0L, true))))
+  }
+
+  test("pseudonymize: deterministic, null-preserving, join-consistent") {
+    val a = Seq((1L, "alice"), (2L, "bob"), (3L, null))
+      .toDF("id", "name")
+    val outA = graft.ops.Redact.pseudonymize(a, Seq("name"), "s")
+    val rows = outA.collect().map(r => r.getLong(0) ->
+      Option(r.getString(1))).toMap
+    assert(rows(3L).isEmpty, "null stays null")
+    assert(rows(1L).get.length == 64 && rows(1L).get.matches("[0-9a-f]+"))
+    // same value in a DIFFERENT frame gets the same token (joinable)
+    val b = Seq((9L, "alice")).toDF("id", "name")
+    val tokB = graft.ops.Redact.pseudonymize(b, Seq("name"), "s")
+      .collect().head.getString(1)
+    assert(tokB == rows(1L).get)
+    // a different salt breaks linkability
+    val tokS2 = graft.ops.Redact.pseudonymize(b, Seq("name"), "s2")
+      .collect().head.getString(1)
+    assert(tokS2 != tokB)
+  }
+}
