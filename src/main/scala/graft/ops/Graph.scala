@@ -123,4 +123,34 @@ object Graph {
     lastCpRdd.foreach(graft.util.Caches.scopedCheckpointRdd)
     ranks
   }
+
+  /** Per-node triangle participation count over an ID-ORIENTED edge
+    * list (`doc_a < doc_b` on every row — the natural output of a
+    * pair-dedup build). Wedges come from ONE self-join on the middle
+    * vertex; a second join closes them against the third edge, so
+    * each triangle {x<y<z} is emitted exactly once — no DISTINCT, no
+    * bidirectional edge doubling. Rows with a null endpoint or with
+    * the orientation violated are dropped (a reversed edge would
+    * otherwise double-count its triangles). At 100 TB scale the
+    * wedge fan-out is bounded by per-node out-degree; the standard
+    * refinement is degree-orientation (√|E| bound), but a df-capped
+    * dup graph already bounds component size, so the id orientation
+    * keeps the plan at two equi-joins over the (pruned) pair table.
+    * Callers joining the same frame three times should pass a cached
+    * edge list. Returns (doc_id, n_triangles), nodes in ≥1 triangle
+    * only. */
+  def triangleParticipation(edges: DataFrame): DataFrame = {
+    val e = edges
+      .filter(col("doc_a").isNotNull && col("doc_b").isNotNull &&
+        col("doc_a") < col("doc_b"))
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .join(e.as("e3"),
+        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    tri.select(explode(array(col("x"), col("y"), col("z"))).as("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
 }

@@ -411,6 +411,82 @@ object AnalyticsQueries extends QueryPack {
         .drop("event_type")
     }),
 
+    // First-order Markov transition matrix over the event-type
+    // sequence: per (prev, next) pair, the transition count and the
+    // row-stochastic probability — the behavioral-model fit behind
+    // session simulation and next-action prediction. ONE shuffle (the
+    // per-user window sort; ties broken by event_id so the order is
+    // total) and the cell table is |types|² — the per-prev totals
+    // derive from the bounded cell table itself and broadcast back,
+    // so the corpus never shuffles twice. The probability is a single
+    // long/long double division — exact IEEE, no rounding contract
+    // needed.
+    "w9_transition_matrix" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val cells = Tables.load(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("next_type"))
+        .withColumn("prev_type", lag(col("next_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("next_type"))
+        .agg(count(lit(1)).as("n"))
+      val tot = cells.groupBy(col("prev_type"))
+        .agg(sum(col("n")).cast(DoubleType).as("n_from"))
+      cells.join(broadcast(tot), Seq("prev_type"))
+        .select(col("prev_type"), col("next_type"), col("n"),
+          (col("n").cast(DoubleType) / col("n_from")).as("prob"))
+    }),
+
+    // Welch two-sample t-test per language: does the even-indexed
+    // source pool write systematically longer documents than the
+    // odd-indexed pool? The A/B-comparison primitive a curation run
+    // uses to decide whether two pipelines differ before merging
+    // them. ONE partial-aggregating corpus scan to 6 moment sums per
+    // language (the an7/an8 shape — the shuffle carries a handful of
+    // sums per group regardless of rows); Σx² goes through the
+    // DECIMAL(38,0) exact-sum contract (order-free; a plain long
+    // overflows past ~2e18 total), then the t statistic, Welch df
+    // and mean gap are pure double arithmetic replayed op-for-op by
+    // the oracle, rounded with the engine-portable floor(x·1e6+0.5)
+    // construction.
+    "an10_welch_ttest" -> ((s, d) => {
+      val dec = DecimalType(38, 0)
+      def side(g: Int, name: String) = Seq(
+        sum(when(col("grp") === g, 1L).otherwise(0L))
+          .cast(DoubleType).as(s"n$name"),
+        sum(when(col("grp") === g, col("x")).otherwise(0L))
+          .cast(DoubleType).as(s"sx$name"),
+        sum(when(col("grp") === g, (col("x") * col("x")).cast(dec))
+          .otherwise(lit(0).cast(dec))).cast(DoubleType).as(s"sxx$name"))
+      val aggs = side(0, "1") ++ side(1, "2")
+      val m = Tables.load(s, d, "documents")
+        .select(col("lang"),
+          (substring(col("source"), 4, 10).cast(IntegerType) % 2).as("grp"),
+          col("n_chars").as("x"))
+        .groupBy(col("lang"))
+        .agg(aggs.head, aggs.tail: _*)
+        .filter(col("n1") >= 2 && col("n2") >= 2)
+      val m1 = col("sx1") / col("n1")
+      val m2 = col("sx2") / col("n2")
+      val v1 = (col("sxx1") - col("sx1") * col("sx1") / col("n1")) /
+        (col("n1") - 1)
+      val v2 = (col("sxx2") - col("sx2") * col("sx2") / col("n2")) /
+        (col("n2") - 1)
+      val se2 = v1 / col("n1") + v2 / col("n2")
+      def r6(c: org.apache.spark.sql.Column) =
+        floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      m.select(col("lang"),
+        col("n1").cast(LongType).as("n1"),
+        col("n2").cast(LongType).as("n2"),
+        r6(m1 - m2).as("mean_diff"),
+        r6((m1 - m2) / sqrt(se2)).as("t_stat"),
+        r6(se2 * se2 / ((v1 / col("n1")) * (v1 / col("n1")) / (col("n1") - 1)
+          + (v2 / col("n2")) * (v2 / col("n2")) / (col("n2") - 1)))
+          .as("welch_df"))
+    }),
+
     // Time-series resample + forward-fill: each user's value series
     // regularized to an hourly grid between their first and last
     // event, missing hours carrying the last observation forward.
@@ -573,6 +649,47 @@ object AnalyticsQueries extends QueryPack {
   )
 
   def oracle: Map[String, String] = Map(
+    "w9_transition_matrix" ->
+      """WITH o AS (SELECT user_id, event_type AS next_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |c AS (SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM o WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT prev_type, CAST(sum(n) AS DOUBLE) AS n_from
+        |  FROM c GROUP BY 1)
+        |SELECT c.prev_type, c.next_type, c.n,
+        |  CAST(c.n AS DOUBLE) / t.n_from AS prob
+        |FROM c JOIN t ON c.prev_type = t.prev_type""".stripMargin,
+    "an10_welch_ttest" ->
+      """WITH g AS (SELECT lang,
+        |    CAST(substring(source, 4) AS INT) % 2 AS grp,
+        |    n_chars AS x FROM documents),
+        |m AS (SELECT lang,
+        |    CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS n1,
+        |    CAST(sum(CASE WHEN grp = 0 THEN x ELSE 0 END) AS DOUBLE) AS sx1,
+        |    CAST(sum(CASE WHEN grp = 0 THEN CAST(x * x AS DECIMAL(38,0))
+        |      ELSE CAST(0 AS DECIMAL(38,0)) END) AS DOUBLE) AS sxx1,
+        |    CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS n2,
+        |    CAST(sum(CASE WHEN grp = 1 THEN x ELSE 0 END) AS DOUBLE) AS sx2,
+        |    CAST(sum(CASE WHEN grp = 1 THEN CAST(x * x AS DECIMAL(38,0))
+        |      ELSE CAST(0 AS DECIMAL(38,0)) END) AS DOUBLE) AS sxx2
+        |  FROM g GROUP BY lang
+        |  HAVING n1 >= 2 AND n2 >= 2),
+        |v AS (SELECT lang, n1, n2, sx1, sx2,
+        |    (sxx1 - sx1 * sx1 / n1) / (n1 - 1) AS v1,
+        |    (sxx2 - sx2 * sx2 / n2) / (n2 - 1) AS v2
+        |  FROM m),
+        |w AS (SELECT lang, n1, n2, sx1, sx2, v1, v2,
+        |    v1 / n1 + v2 / n2 AS se2 FROM v)
+        |SELECT lang, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+        |  floor((sx1 / n1 - sx2 / n2) * 1e6 + 0.5) / 1e6 AS mean_diff,
+        |  floor((sx1 / n1 - sx2 / n2) / sqrt(se2) * 1e6 + 0.5) / 1e6
+        |    AS t_stat,
+        |  floor(se2 * se2 / ((v1 / n1) * (v1 / n1) / (n1 - 1)
+        |      + (v2 / n2) * (v2 / n2) / (n2 - 1)) * 1e6 + 0.5) / 1e6
+        |    AS welch_df
+        |FROM w""".stripMargin,
     "w5_sessionize" ->
       """WITH o AS (SELECT user_id, event_id, ts,
         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev

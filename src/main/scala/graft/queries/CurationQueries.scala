@@ -282,6 +282,23 @@ object CurationQueries extends QueryPack {
           round(col("rank"), 6).as("rank"))
     }),
 
+    // Triangle participation count over the dup-pair graph (same
+    // edges as d7/g1): per-doc count of 3-cliques it sits in — the
+    // density signal that separates a genuine duplicate CLUSTER
+    // (template boilerplate, near-clique) from a chain of pairwise
+    // borderline matches (which has no triangles and shouldn't be
+    // collapsed to one survivor). Edges arrive id-oriented from the
+    // shared pair-stats memo; Graph.triangleParticipation emits each
+    // triangle exactly once from two equi-joins (see its scaladoc for
+    // the scale argument). The edge list is joined three times →
+    // scoped cache.
+    "g2_triangle_count" -> ((s, d) => {
+      val (_, stats) = DedupQueries.shared(s, d)
+      graft.ops.Graph.triangleParticipation(graft.util.Caches.scoped(
+        stats.filter(col("jaccard") >= 0.1)
+          .select(col("doc_a"), col("doc_b"))))
+    }),
+
     // End-to-end curation pipeline: the composition a training corpus
     // actually runs — near-dup keep list (d9) ∩ per-language quality
     // band (x9) ∖ benchmark contamination (c1), then the deterministic
@@ -714,6 +731,18 @@ object CurationQueries extends QueryPack {
          |  SELECT r.id, e.b FROM reach r JOIN e ON r.peer = e.a)
          |SELECT id AS doc_id, min(peer) AS component
          |FROM reach GROUP BY id""".stripMargin,
+
+    "g2_triangle_count" ->
+      s"""WITH ${DedupQueries.postingsCte},
+         |e AS (SELECT doc_a AS a, doc_b AS b FROM jac WHERE jaccard >= 0.1),
+         |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |        FROM e e1 JOIN e e2 ON e1.b = e2.a
+         |        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |nodes AS (SELECT x AS doc_id FROM tri
+         |          UNION ALL SELECT y FROM tri
+         |          UNION ALL SELECT z FROM tri)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_triangles
+         |FROM nodes GROUP BY 1""".stripMargin,
 
     "g1_pagerank" -> {
       val nn = "(SELECT n FROM nn)"

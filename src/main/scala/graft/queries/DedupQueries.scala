@@ -104,7 +104,8 @@ object DedupQueries extends QueryPack {
   // PageRank).
   override def memoConsumers: Set[String] = Set(
     "c10_curation_pipeline", "c13_split_leakage",
-    "d7_dedup_clusters", "d9_keep_list", "g1_pagerank")
+    "d7_dedup_clusters", "d9_keep_list", "g1_pagerank",
+    "g2_triangle_count")
 
   // Per-memo lifetimes (run order: c10 < c13 < d11 < d3 < ... < g1):
   //  - sizes feeds only the stats build, and stats is materialized by
@@ -115,7 +116,8 @@ object DedupQueries extends QueryPack {
   //    recomputable (unpersist only), so an absent consumer or an
   //    evicted downstream cache degrades to recompute, never error.
   //  - cands' last consumer is d3; stats lives until the family
-  //    boundary (g1) via releaseShared.
+  //    boundary (g2, the last consumer in run order) via
+  //    releaseShared.
   override def memoReleases: Seq[(Set[String], SparkSession => Unit)] = Seq(
     (Set("c10_curation_pipeline"),
       _ => memo.values.foreach(_.sizes.unpersist(true))),

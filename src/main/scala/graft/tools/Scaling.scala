@@ -124,7 +124,22 @@ object Scaling {
     "an9_chi2_assoc" -> "documents",
     "ts5_seasonal" -> "events",
     // interval-overlap join rides the same hot-user skew as ao1/ao2
-    "ao3_interval_join" -> "events")
+    "ao3_interval_join" -> "events",
+    // round-12 continuation: the remaining unmeasured round-12 ops.
+    // c16 rides the shared k-means fit + TopKPerKey (output ≤ 16·k
+    // rows); pr14 collapses to sources×16 signatures map-side; pr15
+    // to the distinct-value table; ts2 is the two-window-sort sibling
+    // of ts1 (grid-granular); w9's only corpus-sized stage is the
+    // per-user window sort; an10 is the an7/an8 moment-scan shape;
+    // g2 pays the shared pair chain cold (the g1 convention) and its
+    // own work runs on the pruned edge list
+    "c16_cluster_sample" -> "embeddings",
+    "pr14_source_overlap" -> "documents",
+    "pr15_entropy" -> "documents",
+    "ts2_interpolate" -> "events",
+    "w9_transition_matrix" -> "events",
+    "an10_welch_ttest" -> "documents",
+    "g2_triangle_count" -> "documents")
 
   /** Measured interpretation notes embedded per row — the exponent
     * alone can mislead when the OUTPUT grows with the corpus. */

@@ -28,6 +28,26 @@ class GraphSpec extends AnyFunSuite {
     assert(Graph.pageRank(edges.limit(0)).count() == 0)
   }
 
+  test("triangles: K4 has four, each node in three; star has none") {
+    // K4 on {1,2,3,4}: C(4,3)=4 triangles, each node in C(3,2)=3
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("doc_a", "doc_b")
+    val t = Graph.triangleParticipation(k4).as[(Long, Long)].collect().toMap
+    assert(t == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // a star is triangle-free; nodes outside any triangle are absent
+    assert(Graph.triangleParticipation(edges).count() == 0)
+  }
+
+  test("triangles: reversed and null edges are dropped, not double-counted") {
+    // one triangle {1,2,3} plus a reversed duplicate of (1,2) and a
+    // null endpoint — neither may change the count
+    val e = Seq((Some(1L), Some(2L)), (Some(1L), Some(3L)),
+      (Some(2L), Some(3L)), (Some(2L), Some(1L)), (Some(4L), None))
+      .toDF("doc_a", "doc_b")
+    val t = Graph.triangleParticipation(e).as[(Long, Long)].collect().toMap
+    assert(t == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("pagerank: null endpoints dropped, not NPE") {
     val e = Seq((Some(1L), Some(2L)), (Some(3L), None), (None, Some(4L)))
       .toDF("doc_a", "doc_b")

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavioral invariants for the statistical-inference entries
+  * (w9 Markov transitions, an10 Welch t-test). The value-level check
+  * is the DuckDB oracle; these pin the properties that must hold for
+  * ANY input. */
+class InferenceSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("w9: rows are stochastic per prev_type and counts conserve") {
+    val out = SparkEntry.queries("w9_transition_matrix")(spark, sf).cache()
+    try {
+      // each prev row's probabilities sum to 1 (exactly: prob is
+      // n/n_from with a shared denominator, so the double sum of the
+      // ≤5 terms is within one ulp-scale epsilon of 1)
+      val badRows = out.groupBy(col("prev_type"))
+        .agg(sum(col("prob")).as("p"))
+        .filter(abs(col("p") - 1.0) > 1e-9).count()
+      assert(badRows == 0L, "per-prev probabilities must sum to 1")
+      // transition count conservation: sum(n) = |events| - |users|
+      // (every event except each user's first is a transition)
+      val ev = graft.sources.Tables.load(spark, sf, "events")
+      val expected = ev.count() - ev.select(col("user_id")).distinct().count()
+      val got = out.agg(sum(col("n"))).head().getLong(0)
+      assert(got == expected, s"transitions $got != events-users $expected")
+    } finally out.unpersist()
+  }
+
+  test("an10: t-stat matches a driver-side recompute per language") {
+    val out = SparkEntry.queries("an10_welch_ttest")(spark, sf)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .select(col("lang"), col("source"), col("n_chars"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1).drop(3).toInt % 2,
+        r.getLong(2).toDouble))
+    val byLang = docs.groupBy(_._1)
+    for ((lang, rows) <- byLang) {
+      val a = rows.filter(_._2 == 0).map(_._3)
+      val b = rows.filter(_._2 == 1).map(_._3)
+      if (a.length >= 2 && b.length >= 2) {
+        assert(out.contains(lang), s"missing lang $lang")
+        val r = out(lang)
+        def vari(xs: Array[Double]) = {
+          val m = xs.sum / xs.length
+          xs.map(x => (x - m) * (x - m)).sum / (xs.length - 1)
+        }
+        val (m1, m2) = (a.sum / a.length, b.sum / b.length)
+        val se2 = vari(a) / a.length + vari(b) / b.length
+        val t = (m1 - m2) / math.sqrt(se2)
+        assert(r.getLong(1) == a.length && r.getLong(2) == b.length)
+        // reductions differ (driver sums in array order), so compare
+        // to a loose-but-meaningful tolerance, not bit equality
+        assert(math.abs(r.getDouble(4) - t) < 1e-6,
+          s"$lang t ${r.getDouble(4)} vs recompute $t")
+      } else assert(!out.contains(lang),
+        s"$lang has a side with <2 docs and must be filtered")
+    }
+  }
+}
