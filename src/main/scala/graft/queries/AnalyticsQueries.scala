@@ -425,13 +425,16 @@ object AnalyticsQueries extends QueryPack {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts"), col("event_id"))
-      val cells = Tables.load(s, d, "events")
-        .select(col("user_id"), col("ts"), col("event_id"),
-          col("event_type").as("next_type"))
-        .withColumn("prev_type", lag(col("next_type"), 1).over(w))
-        .filter(col("prev_type").isNotNull)
-        .groupBy(col("prev_type"), col("next_type"))
-        .agg(count(lit(1)).as("n"))
+      // scoped cache: without it the totals branch re-runs the whole
+      // scan + window sort a second time (caught by the plan pin)
+      val cells = graft.util.Caches.scoped(
+        Tables.load(s, d, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type").as("next_type"))
+          .withColumn("prev_type", lag(col("next_type"), 1).over(w))
+          .filter(col("prev_type").isNotNull)
+          .groupBy(col("prev_type"), col("next_type"))
+          .agg(count(lit(1)).as("n")))
       val tot = cells.groupBy(col("prev_type"))
         .agg(sum(col("n")).cast(DoubleType).as("n_from"))
       cells.join(broadcast(tot), Seq("prev_type"))

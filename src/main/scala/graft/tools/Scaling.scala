@@ -182,6 +182,17 @@ object Scaling {
       "Fourth implementation measured this round: beats the sliding-frame " +
       "HOF (40.9 s), 24-lag (70 s), and frame+kernel (60 s) forms at x100 " +
       "AND is 4-9x faster at x1/x10 - see SCALE.md"),
+    "ts2_interpolate" -> ("grid-granular like ts1 (rows = users x span-hours) " +
+      "plus a SECOND in-partition sort for the backward carry (hour desc); " +
+      "the exponent is grid-output materialization — the two window passes " +
+      "add a constant factor, not a growth term"),
+    "g2_triangle_count" -> ("measured cold like g1: the time is dominated by " +
+      "the shared postings -> pair-stats rebuild (releaseShared runs before " +
+      "each sample); the triangle join itself runs on the jaccard-pruned " +
+      "edge list (~1e4 rows at x100) and is sub-second"),
+    "w9_transition_matrix" -> ("one corpus-sized stage (the per-user window " +
+      "sort); everything after runs on the cached |types|^2 cell table, " +
+      "so the exponent is the sort amortizing fixed overhead"),
     "pr7_quantile_sketch" -> ("mergeable-summary shape: per-partition digests " +
       "are O(k*depth) regardless of rows, the shuffle carries digests not " +
       "values, and the verdict join broadcasts 6 estimate rows; post-cascade " +

@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import graft.util.Caches
 
 /** Plan-shape regression guard: the scale properties claimed in
   * SCALE.md/EXPLAIN.md must stay visible in the physical plans.
@@ -89,6 +90,29 @@ class PlanRegressionSpec extends AnyFunSuite {
     val p = plan("x7_repetition")
     assert(!p.contains("Exchange"), "x7 must stay a per-doc projection")
     assert(p.contains("repetition_stats"), "x7 must use the codegen kernel")
+  }
+
+  test("w9 transitions: one corpus window sort, totals broadcast back") {
+    val p = plan("w9_transition_matrix")
+    // the cell table is cached and read twice (cells + totals) — both
+    // sides must be InMemoryTableScans, or the corpus-sized scan +
+    // window sort silently runs twice (the formatted tree prints the
+    // shared cached subtree under EACH scan, so counting Window nodes
+    // is vacuous here); the totals join back via broadcast, never a
+    // shuffle join
+    assert(treeCount(p, "InMemoryTableScan") == 2, p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+    Caches.releaseStray(): Unit
+  }
+
+  test("an10 welch: single scan with partial moment aggregation") {
+    val p = plan("an10_welch_ttest")
+    // one corpus scan; the moment sums split partial/final around ONE
+    // exchange carrying |langs| rows of sums
+    assert(treeCount(p, "Scan parquet") == 1, p.take(2000))
+    assert(treeCount(p, "HashAggregate") >= 2, "no partial agg")
+    assert(treeCount(p, "Exchange") == 1, p.take(2000))
   }
 
   test("ao3 interval overlap: equi-join plan, no nested loop") {
