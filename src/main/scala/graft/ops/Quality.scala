@@ -93,4 +93,25 @@ object Quality {
     frames.reduce(_ unionByName _)
       .withColumn("pass", col("n_violations") === 0L)
   }
+
+  /** Row-level routing — the per-row complement of [[check]]'s
+    * table-level report (and the batch sibling of the streaming DLQ
+    * gate): every row gains `violations` (the names of the row rules
+    * it breaks, comma-joined in rule order; empty when clean) and
+    * `is_valid`. Consumers split the frame with one filter each —
+    * valid rows continue, the quarantine side lands in a
+    * dead-letter sink with its reasons attached. Row rules only
+    * (uniqueness is table-granular by nature — a duplicate is not a
+    * property of one row); N rules compile into ONE codegen
+    * projection riding the scan — no shuffle, no second pass, and
+    * Catalyst prunes the untouched columns as usual. */
+  def quarantine(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    val rowRules = rules.filterNot(_.isInstanceOf[Unique])
+    require(rowRules.nonEmpty, "quarantine needs at least one row rule")
+    require(rowRules.size == rules.size,
+      "unique rules are table-granular — use check() for them")
+    df.withColumn("violations", concat_ws(",", rowRules.map(r =>
+        when(violationPred(r), lit(r.name))): _*))
+      .withColumn("is_valid", col("violations") === "")
+  }
 }

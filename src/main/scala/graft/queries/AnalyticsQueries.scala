@@ -43,6 +43,36 @@ object AnalyticsQueries extends QueryPack {
     (grid, hourly)
   }
 
+  /** rl1's blocked fuzzy match — shared by the rl1 entry and ev4's
+    * quality evaluation. Each corruption branch rewrites a fixed char
+    * RANGE and keeps the tail (substring(19) — empty on the fixtures'
+    * 18-char names), so longer synthetic names (the scaling corpus's
+    * 23-char hot-block names) keep their distinguishing suffix
+    * through the corruption. */
+  private def linkageMatches(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val cust = Tables.load(s, d, "customer")
+    val dirt = when(col("c_custkey") % 7 === 0,
+      concat(expr("substring(c_name, 1, 12)"),
+        translate(expr("substring(c_name, 13, 6)"),
+          "0123456789", "OIZEASGTBQ"), expr("substring(c_name, 19)")))
+      .when(col("c_custkey") % 5 === 0,
+        concat(expr("substring(c_name, 1, 16)"),
+          translate(expr("substring(c_name, 17, 2)"),
+            "0123456789", "OIZEASGTBQ"), lit("~"), expr("substring(c_name, 19)")))
+      .otherwise(concat(expr("substring(c_name, 1, 16)"),
+        translate(expr("substring(c_name, 17, 2)"),
+          "0123456789", "OIZEASGTBQ"), expr("substring(c_name, 19)")))
+    val dirty = cust.select(col("c_custkey").as("dir_id"),
+      col("c_nationkey"), dirt.as("dir_name"))
+      .withColumn("block", expr("substring(dir_name, 1, 16)"))
+    val left = cust.select(col("c_custkey"), col("c_name"),
+      col("c_nationkey"))
+      .withColumn("block", expr("substring(c_name, 1, 16)"))
+    graft.ops.Linkage.blockedFuzzyJoin(left, dirty,
+      Seq("c_nationkey", "block"), "c_name", "dir_name", maxDist = 2)
+  }
+
   /** DuckDB replay of [[ewmaGrid]]: self-join over the filled grid
     * (the oracle can afford the quadratic form). */
   private lazy val ewmaSql =
@@ -621,33 +651,36 @@ object AnalyticsQueries extends QueryPack {
     // inside the blocking prefix (blocked out — the classic
     // blocking-recall trade, deterministic here)
     "rl1_fuzzy_match" -> ((s, d) => {
-      val cust = Tables.load(s, d, "customer")
-      // each branch corrupts a fixed char RANGE and keeps the tail
-      // (substring(19) — empty on the fixtures' 18-char names, so
-      // fixture results are unchanged), which lets longer synthetic
-      // names (the scaling corpus's 23-char hot-block names) keep
-      // their distinguishing suffix through the corruption
-      val dirt = when(col("c_custkey") % 7 === 0,
-        concat(expr("substring(c_name, 1, 12)"),
-          translate(expr("substring(c_name, 13, 6)"),
-            "0123456789", "OIZEASGTBQ"), expr("substring(c_name, 19)")))
-        .when(col("c_custkey") % 5 === 0,
-          concat(expr("substring(c_name, 1, 16)"),
-            translate(expr("substring(c_name, 17, 2)"),
-              "0123456789", "OIZEASGTBQ"), lit("~"), expr("substring(c_name, 19)")))
-        .otherwise(concat(expr("substring(c_name, 1, 16)"),
-          translate(expr("substring(c_name, 17, 2)"),
-            "0123456789", "OIZEASGTBQ"), expr("substring(c_name, 19)")))
-      val dirty = cust.select(col("c_custkey").as("dir_id"),
-        col("c_nationkey"), dirt.as("dir_name"))
-        .withColumn("block", expr("substring(dir_name, 1, 16)"))
-      val left = cust.select(col("c_custkey"), col("c_name"),
-        col("c_nationkey"))
-        .withColumn("block", expr("substring(c_name, 1, 16)"))
-      graft.ops.Linkage.blockedFuzzyJoin(left, dirty,
-        Seq("c_nationkey", "block"), "c_name", "dir_name", maxDist = 2)
+      linkageMatches(s, d)
         .select(col("c_custkey"), col("dir_id"), col("dir_name"),
           col("dist").cast(IntegerType).as("dist"))
+    }),
+
+    // Linkage-quality evaluation: precision/recall/F1 of rl1's
+    // blocked fuzzy match against the planted ground truth (each
+    // dirty row IS its clean source, so truth = dir_id == c_custkey
+    // — the eval a linkage pipeline runs before trusting a blocking
+    // scheme). TP/FP come from one aggregate over the (bounded)
+    // match output; FN = customers − TP because every source has
+    // exactly one true match. The metric divisions are single IEEE
+    // ops over exact longs — engine-portable without rounding.
+    "ev4_linkage_quality" -> ((s, d) => {
+      val m = linkageMatches(s, d).agg(
+        sum(when(col("c_custkey") === col("dir_id"), 1L).otherwise(0L))
+          .as("tp"),
+        sum(when(col("c_custkey") =!= col("dir_id"), 1L).otherwise(0L))
+          .as("fp"))
+      val n = Tables.load(s, d, "customer")
+        .agg(count(lit(1)).as("n_truth"))
+      m.crossJoin(n).select(
+        col("tp"), col("fp"), (col("n_truth") - col("tp")).as("fn"),
+        (col("tp").cast(DoubleType) / (col("tp") + col("fp")))
+          .as("prec"),
+        (col("tp").cast(DoubleType) / col("n_truth")).as("recall"),
+        (lit(2.0) * (col("tp").cast(DoubleType) / (col("tp") + col("fp")))
+          * (col("tp").cast(DoubleType) / col("n_truth"))
+          / ((col("tp").cast(DoubleType) / (col("tp") + col("fp")))
+            + (col("tp").cast(DoubleType) / col("n_truth")))).as("f1"))
     })
   )
 
@@ -886,6 +919,37 @@ object AnalyticsQueries extends QueryPack {
         |  ON c.c_nationkey = d.c_nationkey
         | AND substring(c.c_name, 1, 16) = substring(d.dir_name, 1, 16)
         |WHERE levenshtein(c.c_name, d.dir_name) <= 2""".stripMargin,
+    "ev4_linkage_quality" ->
+      """WITH dirty AS (SELECT c_custkey AS dir_id, c_nationkey,
+        |    CASE WHEN c_custkey % 7 = 0 THEN substring(c_name, 1, 12)
+        |        || translate(substring(c_name, 13, 6), '0123456789', 'OIZEASGTBQ')
+        |        || substring(c_name, 19)
+        |      WHEN c_custkey % 5 = 0 THEN substring(c_name, 1, 16)
+        |        || translate(substring(c_name, 17, 2), '0123456789', 'OIZEASGTBQ')
+        |        || '~' || substring(c_name, 19)
+        |      ELSE substring(c_name, 1, 16)
+        |        || translate(substring(c_name, 17, 2), '0123456789', 'OIZEASGTBQ')
+        |        || substring(c_name, 19)
+        |    END AS dir_name
+        |  FROM customer),
+        |m AS (SELECT
+        |    CAST(sum(CASE WHEN c.c_custkey = d.dir_id THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS tp,
+        |    CAST(sum(CASE WHEN c.c_custkey <> d.dir_id THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS fp
+        |  FROM customer c JOIN dirty d
+        |    ON c.c_nationkey = d.c_nationkey
+        |   AND substring(c.c_name, 1, 16) = substring(d.dir_name, 1, 16)
+        |  WHERE levenshtein(c.c_name, d.dir_name) <= 2),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM customer)
+        |SELECT tp, fp, n_truth - tp AS fn,
+        |  CAST(tp AS DOUBLE) / (tp + fp) AS prec,
+        |  CAST(tp AS DOUBLE) / n_truth AS recall,
+        |  2.0 * (CAST(tp AS DOUBLE) / (tp + fp))
+        |    * (CAST(tp AS DOUBLE) / n_truth)
+        |    / ((CAST(tp AS DOUBLE) / (tp + fp))
+        |      + (CAST(tp AS DOUBLE) / n_truth)) AS f1
+        |FROM m, n""".stripMargin,
     "an6_histogram" ->
       """SELECT CAST(least(floor((l_extendedprice - 900.0) / 5000.0), 19.0) AS BIGINT) AS bucket,
         |  count(*) AS n,

@@ -104,6 +104,23 @@ object ClassifyQueries extends QueryPack {
         Unique(Seq("c_nationkey", "c_mktsegment"))))
     }),
 
+    // Row-level quarantine routing: dq1's row rules applied per row —
+    // each row gains its violation list (rule names, comma-joined in
+    // rule order) and an is_valid flag; the valid side continues, the
+    // quarantine side lands in a DLQ sink with reasons attached (the
+    // batch sibling of the streaming ingest's quarantine gate). One
+    // codegen projection riding the scan, no shuffle.
+    "dq2_quarantine" -> ((s, d) => {
+      import graft.ops.Quality._
+      quarantine(Tables.load(s, d, "customer"), Seq(
+        NotNull("c_name"),
+        InRange("c_acctbal", 0.0, 10000.0),
+        MatchesRegex("c_name", "^Customer#[0-9]{9}$"),
+        InSet("c_mktsegment",
+          Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "MACHINERY"))))
+        .select(col("c_custkey"), col("is_valid"), col("violations"))
+    }),
+
     // P1: provenance enrichment (deterministic columns only; the
     // uuid/timestamp stamps are covered by ClassifySpec)
     "p1_enrich_findings" -> ((s, d) =>
@@ -208,6 +225,22 @@ object ClassifyQueries extends QueryPack {
         |      SELECT count(*) AS n FROM customer
         |      GROUP BY c_nationkey, c_mktsegment HAVING count(*) > 1)
         |) t""".stripMargin,
+
+    "dq2_quarantine" ->
+      """SELECT c_custkey,
+        |  violations = '' AS is_valid, violations
+        |FROM (SELECT c_custkey, concat_ws(',',
+        |    CASE WHEN c_name IS NULL THEN 'not_null(c_name)' END,
+        |    CASE WHEN c_acctbal IS NOT NULL
+        |      AND (c_acctbal < 0.0 OR c_acctbal >= 10000.0)
+        |      THEN 'in_range(c_acctbal,0.0,10000.0)' END,
+        |    CASE WHEN c_name IS NOT NULL
+        |      AND NOT regexp_matches(c_name, '^Customer#[0-9]{9}$')
+        |      THEN 'matches_regex(c_name)' END,
+        |    CASE WHEN c_mktsegment IS NOT NULL AND c_mktsegment NOT IN
+        |        ('AUTOMOBILE', 'BUILDING', 'FURNITURE', 'MACHINERY')
+        |      THEN 'in_set(c_mktsegment)' END) AS violations
+        |  FROM customer) t""".stripMargin,
 
     "v2_k_anonymity" ->
       """WITH g AS (

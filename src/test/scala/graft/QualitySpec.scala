@@ -47,6 +47,37 @@ class QualitySpec extends AnyFunSuite {
     assert(out.values.forall(_ == ((0L, true))))
   }
 
+  test("quarantine: per-row reasons in rule order; quarantine agrees with check") {
+    val df = Seq(
+      (Some("a-1"), Some(5.0), Some("X")),   // clean
+      (None, Some(-1.0), Some("Y")),         // null name + range
+      (Some("bad"), None, Some("Z")),        // regex + set
+      (Some("a-2"), Some(10.0), None))       // range (hi exclusive)
+      .toDF("name", "v", "cat")
+    val rules = Seq(
+      NotNull("name"), InRange("v", 0.0, 10.0),
+      MatchesRegex("name", "^a-[0-9]$"), InSet("cat", Seq("X", "Y")))
+    val out = quarantine(df, rules)
+      .select("name", "is_valid", "violations").collect()
+      .map(r => (Option(r.getString(0)), r.getBoolean(1), r.getString(2)))
+    assert(out.contains((Some("a-1"), true, "")))
+    assert(out.contains((None, false,
+      "not_null(name),in_range(v,0.0,10.0)")))
+    assert(out.contains((Some("bad"), false,
+      "matches_regex(name),in_set(cat)")))
+    assert(out.contains((Some("a-2"), false, "in_range(v,0.0,10.0)")))
+    // conservation: per-rule mentions in quarantine == check's counts
+    // (substring match — rule names themselves contain commas, so
+    // splitting the joined reasons on ',' would fragment them)
+    val counts = report(df, rules)
+    for (r <- rules)
+      assert(out.count(_._3.contains(r.name)).toLong
+        == counts(r.name)._1, r.name)
+    // unique rules are rejected (table-granular)
+    assertThrows[IllegalArgumentException](
+      quarantine(df, Seq(NotNull("name"), Unique(Seq("name")))))
+  }
+
   test("pseudonymize: deterministic, null-preserving, join-consistent") {
     val a = Seq((1L, "alice"), (2L, "bob"), (3L, null))
       .toDF("id", "name")

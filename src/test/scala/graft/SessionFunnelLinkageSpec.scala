@@ -259,4 +259,21 @@ class SessionFunnelLinkageSpec extends AnyFunSuite {
     // short-side matches through the variant path with one extra copy
     assert(fast.exists { case (id, rid, _, _) => id == 100L && rid == 9L })
   }
+
+  test("ev4: metric identities hold against rl1's own output") {
+    val sf = "/root/testdata/sf0.001"
+    val m = SparkEntry.queries("rl1_fuzzy_match")(spark, sf)
+      .select("c_custkey", "dir_id").collect()
+    val n = graft.sources.Tables.load(spark, sf, "customer").count()
+    val r = SparkEntry.queries("ev4_linkage_quality")(spark, sf).head()
+    val tp = m.count(x => x.getLong(0) == x.getLong(1)).toLong
+    assert(r.getLong(0) == tp, "tp")
+    assert(r.getLong(1) == m.length - tp, "fp")
+    assert(r.getLong(2) == n - tp, "fn")
+    val (p, rec) = (r.getDouble(3), r.getDouble(4))
+    assert(p > 0 && p <= 1.0 && rec > 0 && rec <= 1.0)
+    // F1 is the harmonic mean — between min and max of (p, recall)
+    assert(r.getDouble(5) >= math.min(p, rec) - 1e-12 &&
+      r.getDouble(5) <= math.max(p, rec) + 1e-12)
+  }
 }
