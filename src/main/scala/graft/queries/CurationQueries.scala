@@ -267,6 +267,30 @@ object CurationQueries extends QueryPack {
     // actually consumes) — pure projection over d7's cached components
     "d9_keep_list" -> ((s, d) => Curation.keepList(components(s, d))),
 
+    // Quality-aware survivor election: d9 keeps the min-id doc per
+    // cluster (cheap, arbitrary); c18 keeps the HIGHEST-QUALITY copy
+    // (ties: lowest id) — the choice a curation run actually wants
+    // when near-dup variants differ in OCR noise or truncation. One
+    // struct-max aggregate per component ((quality, -doc_id) max =
+    // argmax) over the cached components joined to the per-doc
+    // quality projection; the survivor table is component-granular
+    // and broadcasts back.
+    "c18_survivor_quality" -> ((s, d) => {
+      val j = components(s, d).join(
+        Tables.load(s, d, "documents").select(col("doc_id"),
+          graft.functions.TextFunctions.qualityScore(col("text"))
+            .as("quality")),
+        Seq("doc_id"))
+      val surv = j.groupBy(col("component"))
+        .agg(max(struct(col("quality"), (-col("doc_id")).as("neg_id")))
+          .as("m"))
+        .select(col("component"), (-col("m.neg_id")).as("survivor_id"))
+      j.join(broadcast(surv), Seq("component"))
+        .select(col("doc_id"), col("component"), col("quality"),
+          col("survivor_id"),
+          (col("doc_id") === col("survivor_id")).as("keep"))
+    }),
+
     // PageRank over the dup-pair graph (same edges as d7): duplication
     // centrality — inside a cluster the doc many variants point at is
     // the canonical source, and corpus-wide hubs flag template
@@ -776,6 +800,30 @@ object CurationQueries extends QueryPack {
          |SELECT doc_id, component, component AS canonical_id,
          |  doc_id = component AS keep
          |FROM comp""".stripMargin,
+
+    "c18_survivor_quality" ->
+      s"""WITH RECURSIVE ${DedupQueries.postingsCte},
+         |e AS (SELECT doc_a AS a, doc_b AS b FROM jac WHERE jaccard >= 0.1
+         |      UNION ALL
+         |      SELECT doc_b, doc_a FROM jac WHERE jaccard >= 0.1),
+         |reach AS (
+         |  SELECT doc_id AS id, doc_id AS peer FROM documents
+         |  UNION
+         |  SELECT r.id, e.b FROM reach r JOIN e ON r.peer = e.a),
+         |comp AS (SELECT id AS doc_id, min(peer) AS component
+         |         FROM reach GROUP BY id),
+         |q AS (SELECT doc_id, ${TextQueries.qualitySql} AS quality
+         |      FROM documents),
+         |jq AS (SELECT c.doc_id, c.component, q.quality
+         |       FROM comp c JOIN q ON c.doc_id = q.doc_id),
+         |s AS (SELECT component, doc_id AS survivor_id FROM (
+         |  SELECT component, doc_id, ROW_NUMBER() OVER (
+         |    PARTITION BY component
+         |    ORDER BY quality DESC, doc_id ASC) AS rn FROM jq) t
+         |  WHERE rn = 1)
+         |SELECT jq.doc_id, jq.component, jq.quality, s.survivor_id,
+         |  jq.doc_id = s.survivor_id AS keep
+         |FROM jq JOIN s ON jq.component = s.component""".stripMargin,
 
     "c10_curation_pipeline" ->
       s"""WITH RECURSIVE ${DedupQueries.postingsCte},

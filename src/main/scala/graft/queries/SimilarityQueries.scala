@@ -71,6 +71,16 @@ object SimilarityQueries extends QueryPack {
       Similarity.filteredTopK(Tables.load(s, d, "embeddings"),
         col("vec_id") < 5, col("vec_id") % 2 === 0, k = 5)),
 
+    // Max-inner-product search: top-10 by RAW dot product (the
+    // recommendation-serving metric — item norm is signal). The
+    // library also carries the norm-augmentation reduction
+    // (mipsViaCosineTopK) that rides any cosine ANN index unchanged;
+    // SimilaritySpec proves the two rankings identical, so the oracle
+    // checks the direct form
+    "s15_mips" -> ((s, d) =>
+      Similarity.mipsTopK(Tables.load(s, d, "embeddings"),
+        col("vec_id") < 5, k = 10)),
+
     // ANN: 8-bit hyperplane-LSH bucket search, top-5 within bucket
     "s3_ann_lsh" -> ((s, d) =>
       Similarity.lshTopK(Tables.load(s, d, "embeddings"),
@@ -517,6 +527,18 @@ object SimilarityQueries extends QueryPack {
     "s11_ivfpq" -> ivfPqOracle,
     "s2_knn_brute" -> topKOracle("", 10),
     "s13_filtered_knn" -> topKOracle("AND b.vec_id % 2 = 0", 5),
+    "s15_mips" ->
+      """SELECT query_id, neighbor_id, rn, round(ip_raw, 6) AS ip FROM (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> CAST(a.embedding[i] AS DOUBLE) * b.embedding[i])) AS ip_raw,
+        |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+        |      ORDER BY list_sum(list_transform(range(1, 65),
+        |        i -> CAST(a.embedding[i] AS DOUBLE) * b.embedding[i])) DESC,
+        |        b.vec_id ASC) AS rn
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.vec_id < 5 AND b.vec_id <> a.vec_id) t
+        |WHERE rn <= 10""".stripMargin,
     "s5_ivf_kmeans" -> kmeansOracle,
     "c16_cluster_sample" ->
       s"""WITH $lloydCtes

@@ -103,6 +103,49 @@ object Similarity {
     topKJoin(broadcast(n.filter(queryPred)), n.filter(corpusPred), lit(true), k)
   }
 
+  /** Exact max-inner-product top-k: neighbors ranked by RAW dot
+    * product, not cosine — the recommendation-serving metric, where
+    * item norm is signal (a popular item's embedding is long and
+    * SHOULD outrank a same-direction niche one; cosine deliberately
+    * erases exactly that). Same broadcast-query / scan-corpus shape
+    * as [[bruteForceTopK]]. */
+  def mipsTopK(df: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("ip_raw").desc, col("neighbor_id").asc)
+    broadcast(df.filter(queryPred)).as("q")
+      .join(df.as("c"), col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("query_id"),
+        col("c.vec_id").as("neighbor_id"),
+        dot(col("q.embedding"), col("c.embedding")).as("ip_raw"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rn"),
+        round(col("ip_raw"), 6).as("ip"))
+  }
+
+  /** MIPS via the norm-augmentation reduction to cosine: corpus
+    * vectors gain the extra coordinate √(M²−|x|²) (M = the max corpus
+    * norm — ONE driver-side scalar from an aggregate), queries gain
+    * 0, and a cosine top-k over the augmented space returns the
+    * max-inner-product ranking: cos(q⁺, x⁺) = ⟨q,x⟩ / (|q|·M), and
+    * for a FIXED query both |q| and M are positive constants, so the
+    * cosine order IS the inner-product order (ties included — equal
+    * cosine ⟺ equal dot). This is how a MIPS workload rides any
+    * cosine ANN index (the IVF/LSH paths here) unchanged; the
+    * returned (query_id, neighbor_id, rn) is provably identical to
+    * [[mipsTopK]]'s — SimilaritySpec asserts it. */
+  def mipsViaCosineTopK(df: DataFrame, queryPred: Column, k: Int)
+      : DataFrame = {
+    val m = df.agg(max(norm(col("embedding"))).as("m")).head().getDouble(0)
+    def augment(extra: Column) = concat(col("embedding"), array(extra))
+    val corpus = df.withColumn("embedding", augment(
+      sqrt(greatest(lit(m) * lit(m) - dot(col("embedding"), col("embedding")),
+        lit(0.0))).cast("float")))
+    val queries = df.filter(queryPred)
+      .withColumn("embedding", augment(lit(0.0f)))
+    topKJoin(broadcast(withNorm(queries)), withNorm(corpus), lit(true), k)
+  }
+
   /** ANN via hyperplane-LSH buckets: candidates share the full bit
     * signature with the query. */
   def lshTopK(df: DataFrame, queryPred: Column, k: Int,

@@ -482,4 +482,27 @@ class CurationSpec extends AnyFunSuite {
     val out = graft.ops.Pca.pcaProject(ragged, dim = 4).collect()
     assert(out.map(_.getLong(0)).toSeq == Seq(0L))
   }
+
+  test("c18: one survivor per component, survivor has the component max quality") {
+    val sf = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("c18_survivor_quality")(spark, sf).cache()
+    try {
+      import org.apache.spark.sql.functions.{col, countDistinct, max, sum, when}
+      // exactly one kept row per component, and it IS the survivor_id
+      val perComp = out.groupBy(col("component"))
+        .agg(sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
+          countDistinct(col("survivor_id")).as("n_surv"),
+          max(col("quality")).as("qmax"))
+      assert(perComp.filter(col("n_keep") =!= 1L || col("n_surv") =!= 1L)
+        .count() == 0L)
+      // the kept row carries the component's max quality
+      val bad = out.filter(col("keep"))
+        .join(perComp.select(col("component"), col("qmax")), Seq("component"))
+        .filter(col("quality") =!= col("qmax")).count()
+      assert(bad == 0L, "survivor must have max quality in its component")
+      // every doc appears exactly once
+      assert(out.count() ==
+        graft.sources.Tables.load(spark, sf, "documents").count())
+    } finally out.unpersist()
+  }
 }

@@ -24,6 +24,33 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows.last.getAs[Double]("cos_sim") == -1.0)
   }
 
+  test("MIPS ranks by raw dot; augmentation path returns the identical ranking") {
+    // vectors with DIFFERENT norms so MIPS and cosine orders diverge:
+    // a long vector slightly off-axis must outrank a short aligned one
+    val v = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),
+      (1L, Array(0.5f, 0.0f, 0.0f, 0.0f), 0),   // aligned, short
+      (2L, Array(3.0f, 1.0f, 0.0f, 0.0f), 0),   // off-axis, long
+      (3L, Array(0.0f, 2.0f, 0.0f, 0.0f), 1),
+      (4L, Array(-1.0f, 0.0f, 0.0f, 0.0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val brute = Similarity.mipsTopK(v, col("vec_id") === 0, k = 4)
+      .orderBy("rn").collect()
+    // dot with q=[1,0,0,0]: id2 -> 3.0, id1 -> 0.5, id3 -> 0, id4 -> -1
+    assert(brute.map(_.getAs[Long]("neighbor_id")).toSeq
+      == Seq(2L, 1L, 3L, 4L))
+    // cosine would have put id1 (cos 1.0) above id2 (cos ~0.95) — MIPS
+    // must not
+    // augmentation reduction: identical (query, neighbor, rn) triples
+    val aug = Similarity.mipsViaCosineTopK(v, col("vec_id") === 0, k = 4)
+      .select("query_id", "neighbor_id", "rn").orderBy("query_id", "rn")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val direct = Similarity.mipsTopK(v, col("vec_id") === 0, k = 4)
+      .select("query_id", "neighbor_id", "rn").orderBy("query_id", "rn")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(aug == direct)
+  }
+
   test("filtered top-k: pre-filter keeps k true matches post-filter loses") {
     // query 0 points at +x; its global neighborhood (1, 4) is all
     // label-0/label-1 mixed. Restrict the corpus to label 1:
