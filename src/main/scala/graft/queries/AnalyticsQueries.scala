@@ -520,6 +520,39 @@ object AnalyticsQueries extends QueryPack {
           .as("welch_df"))
     }),
 
+    // Mann-Whitney U per language (the nonparametric sibling of
+    // an10's Welch t — the robust A/B test a curation run reaches for
+    // when the metric is heavy-tailed). NOT computed via ranks: a
+    // corpus-wide rank needs a per-group sort of every row, and the
+    // standard identity U_a = Σ_v [n_a(v)·cum_b(<v) + ½·n_a(v)·n_b(v)]
+    // computes the same value from the (lang, value) CELL table — one
+    // partial-aggregating corpus scan, then a running window over the
+    // bounded cell table only. All terms are exact longs (×2 to clear
+    // the half), so the U statistics are integer-exact on both
+    // engines.
+    "an11_mann_whitney" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val cells = Tables.load(s, d, "documents")
+        .select(col("lang"),
+          (substring(col("source"), 4, 10).cast(IntegerType) % 2).as("grp"),
+          col("n_chars").as("x"))
+        .groupBy(col("lang"), col("x"))
+        .agg(sum(when(col("grp") === 0, 1L).otherwise(0L)).as("ca"),
+          sum(when(col("grp") === 1, 1L).otherwise(0L)).as("cb"))
+      val wc = Window.partitionBy(col("lang")).orderBy(col("x"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val m = cells
+        .withColumn("cum_b", coalesce(sum(col("cb")).over(wc), lit(0L)))
+        .groupBy(col("lang"))
+        .agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"),
+          sum(lit(2L) * col("ca") * col("cum_b") + col("ca") * col("cb"))
+            .as("u2x"))
+        .filter(col("n_a") >= 1 && col("n_b") >= 1)
+      m.select(col("lang"), col("n_a"), col("n_b"),
+        (col("u2x") / lit(2.0)).as("u_a"),
+        (col("n_a") * col("n_b") - col("u2x") / lit(2.0)).as("u_b"))
+    }),
+
     // Time-series resample + forward-fill: each user's value series
     // regularized to an hourly grid between their first and last
     // event, missing hours carrying the last observation forward.
@@ -726,6 +759,29 @@ object AnalyticsQueries extends QueryPack {
         |      + (v2 / n2) * (v2 / n2) / (n2 - 1)) * 1e6 + 0.5) / 1e6
         |    AS welch_df
         |FROM w""".stripMargin,
+    "an11_mann_whitney" ->
+      """WITH g AS (SELECT lang,
+        |    CAST(substring(source, 4) AS INT) % 2 AS grp,
+        |    n_chars AS x FROM documents),
+        |cells AS (SELECT lang, x,
+        |    CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |  FROM g GROUP BY lang, x),
+        |cum AS (SELECT lang, ca, cb,
+        |    COALESCE(CAST(sum(cb) OVER (PARTITION BY lang ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS BIGINT), 0) AS cum_b
+        |  FROM cells),
+        |m AS (SELECT lang,
+        |    CAST(sum(ca) AS BIGINT) AS n_a,
+        |    CAST(sum(cb) AS BIGINT) AS n_b,
+        |    CAST(sum(2 * ca * cum_b + ca * cb) AS BIGINT) AS u2x
+        |  FROM cum GROUP BY lang
+        |  HAVING n_a >= 1 AND n_b >= 1)
+        |SELECT lang, n_a, n_b,
+        |  u2x / 2.0 AS u_a,
+        |  n_a * n_b - u2x / 2.0 AS u_b
+        |FROM m""".stripMargin,
     "w5_sessionize" ->
       """WITH o AS (SELECT user_id, event_id, ts,
         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev

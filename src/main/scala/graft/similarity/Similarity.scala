@@ -136,7 +136,8 @@ object Similarity {
     * [[mipsTopK]]'s — SimilaritySpec asserts it. */
   def mipsViaCosineTopK(df: DataFrame, queryPred: Column, k: Int)
       : DataFrame = {
-    val m = df.agg(max(norm(col("embedding"))).as("m")).head().getDouble(0)
+    val mRow = df.agg(max(norm(col("embedding"))).as("m")).head()
+    val m = if (mRow.isNullAt(0)) 0.0 else mRow.getDouble(0) // empty corpus
     def augment(extra: Column) = concat(col("embedding"), array(extra))
     val corpus = df.withColumn("embedding", augment(
       sqrt(greatest(lit(m) * lit(m) - dot(col("embedding"), col("embedding")),

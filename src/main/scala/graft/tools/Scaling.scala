@@ -139,7 +139,16 @@ object Scaling {
     "ts2_interpolate" -> "events",
     "w9_transition_matrix" -> "events",
     "an10_welch_ttest" -> "documents",
-    "g2_triangle_count" -> "documents")
+    "g2_triangle_count" -> "documents",
+    // late round-12 additions: row-rule quarantine is a pure codegen
+    // projection (scan-bound); ev4 rides the rl1 blocked join and its
+    // single-row aggregate; s15 is the brute MIPS scan (query side
+    // broadcast); c18 pays the component chain plus one struct-max
+    // aggregate on the component key
+    "dq2_quarantine" -> "customer",
+    "ev4_linkage_quality" -> "customer",
+    "s15_mips" -> "embeddings",
+    "c18_survivor_quality" -> "documents")
 
   /** Measured interpretation notes embedded per row — the exponent
     * alone can mislead when the OUTPUT grows with the corpus. */

@@ -30,6 +30,29 @@ class InferenceSpec extends AnyFunSuite {
     } finally out.unpersist()
   }
 
+  test("an11: U matches the brute-force pair count; U_a + U_b = n_a*n_b") {
+    val out = SparkEntry.queries("an11_mann_whitney")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .select(col("lang"), col("source"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getString(1).drop(3).toInt % 2,
+        r.getLong(2)))
+    for ((lang, rows) <- docs.groupBy(_._1)) {
+      val a = rows.filter(_._2 == 0).map(_._3)
+      val b = rows.filter(_._2 == 1).map(_._3)
+      if (a.nonEmpty && b.nonEmpty) {
+        val (na, nb, ua, ub) = out(lang)
+        assert(na == a.length.toLong && nb == b.length.toLong)
+        assert(ua + ub == na.toDouble * nb, s"$lang U sum identity")
+        // brute force: #(a > b) + half-ties over all cross pairs
+        val brute = (for (x <- a; y <- b) yield
+          if (x > y) 2L else if (x == y) 1L else 0L).sum / 2.0
+        assert(ua == brute, s"$lang U_a $ua vs brute $brute")
+      } else assert(!out.contains(lang))
+    }
+  }
+
   test("an10: t-stat matches a driver-side recompute per language") {
     val out = SparkEntry.queries("an10_welch_ttest")(spark, sf)
       .collect().map(r => r.getString(0) -> r).toMap
