@@ -553,6 +553,43 @@ object AnalyticsQueries extends QueryPack {
         (col("n_a") * col("n_b") - col("u2x") / lit(2.0)).as("u_b"))
     }),
 
+    // Kolmogorov-Smirnov D per language — the distribution-level
+    // two-sample test completing the inference family (an10 mean,
+    // an11 rank, an12 whole-CDF). Same cell-table shape as an11: one
+    // partial-agg scan to (lang, value) cells, running + full-frame
+    // window sums over the bounded cell table, and D's numerator
+    // max_v |cumA·n_b − cumB·n_a| stays an exact LONG — one double
+    // division at the very end, so the statistic is engine-exact
+    // without any rounding contract.
+    "an12_ks_test" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val cells = Tables.load(s, d, "documents")
+        .select(col("lang"),
+          (substring(col("source"), 4, 10).cast(IntegerType) % 2).as("grp"),
+          col("n_chars").as("x"))
+        .groupBy(col("lang"), col("x"))
+        .agg(sum(when(col("grp") === 0, 1L).otherwise(0L)).as("ca"),
+          sum(when(col("grp") === 1, 1L).otherwise(0L)).as("cb"))
+      val wRun = Window.partitionBy(col("lang")).orderBy(col("x"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col("lang"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val m = cells
+        .select(col("lang"),
+          sum(col("ca")).over(wRun).as("cum_a"),
+          sum(col("cb")).over(wRun).as("cum_b"),
+          sum(col("ca")).over(wAll).as("n_a"),
+          sum(col("cb")).over(wAll).as("n_b"))
+        .groupBy(col("lang"))
+        .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+          max(abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a")))
+            .as("num"))
+        .filter(col("n_a") >= 1 && col("n_b") >= 1)
+      m.select(col("lang"), col("n_a"), col("n_b"),
+        (col("num").cast(DoubleType) / (col("n_a") * col("n_b")))
+          .as("ks_d"))
+    }),
+
     // Time-series resample + forward-fill: each user's value series
     // regularized to an hourly grid between their first and last
     // event, missing hours carrying the last observation forward.
@@ -781,6 +818,31 @@ object AnalyticsQueries extends QueryPack {
         |SELECT lang, n_a, n_b,
         |  u2x / 2.0 AS u_a,
         |  n_a * n_b - u2x / 2.0 AS u_b
+        |FROM m""".stripMargin,
+    "an12_ks_test" ->
+      """WITH g AS (SELECT lang,
+        |    CAST(substring(source, 4) AS INT) % 2 AS grp,
+        |    n_chars AS x FROM documents),
+        |cells AS (SELECT lang, x,
+        |    CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |  FROM g GROUP BY lang, x),
+        |cum AS (SELECT lang,
+        |    CAST(sum(ca) OVER (PARTITION BY lang ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum_a,
+        |    CAST(sum(cb) OVER (PARTITION BY lang ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum_b,
+        |    CAST(sum(ca) OVER (PARTITION BY lang) AS BIGINT) AS n_a,
+        |    CAST(sum(cb) OVER (PARTITION BY lang) AS BIGINT) AS n_b
+        |  FROM cells),
+        |m AS (SELECT lang, max(n_a) AS n_a, max(n_b) AS n_b,
+        |    max(abs(cum_a * n_b - cum_b * n_a)) AS num
+        |  FROM cum GROUP BY lang
+        |  HAVING max(n_a) >= 1 AND max(n_b) >= 1)
+        |SELECT lang, n_a, n_b,
+        |  CAST(num AS DOUBLE) / (n_a * n_b) AS ks_d
         |FROM m""".stripMargin,
     "w5_sessionize" ->
       """WITH o AS (SELECT user_id, event_id, ts,

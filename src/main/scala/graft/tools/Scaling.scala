@@ -202,6 +202,21 @@ object Scaling {
     "w9_transition_matrix" -> ("one corpus-sized stage (the per-user window " +
       "sort); everything after runs on the cached |types|^2 cell table, " +
       "so the exponent is the sort amortizing fixed overhead"),
+    "ev4_linkage_quality" -> ("rides rl1's blocked join (the measured cost IS " +
+      "the join — the metric aggregate collapses map-side to one row), so it " +
+      "inherits rl1's output-bound exponent: the match set grows exactly 10x " +
+      "per decade by corpus construction"),
+    "c18_survivor_quality" -> ("pays the shared postings -> pair-stats -> " +
+      "components rebuild cold (the d7/g1 convention) plus a row-linear " +
+      "quality-score projection; measured +0.8 s over d7's bare chain at " +
+      "x100 — the struct-max survivor aggregate is component-granular and " +
+      "the survivor join broadcasts"),
+    "s15_mips" -> ("brute MIPS is one corpus scan against the broadcast " +
+      "query rows with the codegen DotProduct kernel — scan-bound, same " +
+      "class as s2; the augmentation variant adds one max-norm aggregate"),
+    "dq2_quarantine" -> ("pure codegen projection riding the scan — " +
+      "row-linear with zero shuffle growth; the exponent is scan time " +
+      "amortizing session overhead"),
     "pr7_quantile_sketch" -> ("mergeable-summary shape: per-partition digests " +
       "are O(k*depth) regardless of rows, the shuffle carries digests not " +
       "values, and the verdict join broadcasts 6 estimate rows; post-cascade " +

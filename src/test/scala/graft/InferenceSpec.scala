@@ -53,6 +53,29 @@ class InferenceSpec extends AnyFunSuite {
     }
   }
 
+  test("an12: KS D matches a brute-force CDF sweep per language") {
+    val out = SparkEntry.queries("an12_ks_test")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .select(col("lang"), col("source"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getString(1).drop(3).toInt % 2,
+        r.getLong(2)))
+    for ((lang, rows) <- docs.groupBy(_._1)) {
+      val a = rows.filter(_._2 == 0).map(_._3)
+      val b = rows.filter(_._2 == 1).map(_._3)
+      if (a.nonEmpty && b.nonEmpty) {
+        val (na, nb, d) = out(lang)
+        assert(na == a.length.toLong && nb == b.length.toLong)
+        val num = (a ++ b).distinct.map(v =>
+          math.abs(a.count(_ <= v).toLong * nb - b.count(_ <= v).toLong * na))
+          .max
+        assert(d == num.toDouble / (na * nb), s"$lang D")
+        assert(d >= 0.0 && d <= 1.0)
+      } else assert(!out.contains(lang))
+    }
+  }
+
   test("an10: t-stat matches a driver-side recompute per language") {
     val out = SparkEntry.queries("an10_welch_ttest")(spark, sf)
       .collect().map(r => r.getString(0) -> r).toMap
