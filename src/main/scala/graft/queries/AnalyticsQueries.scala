@@ -520,6 +520,34 @@ object AnalyticsQueries extends QueryPack {
           .as("welch_df"))
     }),
 
+    // Conversion-path report: for every purchase, the ordered
+    // sequence of touch types (view/click) in its 7-day lookback,
+    // rolled up to (path, conversions) — the path-analysis companion
+    // of w8's first/last attribution. Same single (user, time) window
+    // sort as w8; the collected per-conversion touch list is bounded
+    // by a user's 7-day activity, and determinism comes from
+    // sort_array over (t_us, event_id, type) structs — NOT from
+    // collect_list's frame order, which is an implementation detail.
+    // The path rollup is a partial-agg count on the path string.
+    "w10_conversion_paths" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val SevenDaysUs = 7L * 24 * 3600 * 1000000
+      val e = Tables.load(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts").cast(TimestampType)).as("t_us"))
+      val touch = col("event_type").isin("view", "click")
+      val w = Window.partitionBy(col("user_id")).orderBy(col("t_us"))
+        .rangeBetween(-SevenDaysUs, -1L)
+      e.select(col("event_type"),
+          collect_list(when(touch, struct(col("t_us"), col("event_id"),
+            col("event_type").as("ty")))).over(w).as("touches"))
+        .filter(col("event_type") === "purchase")
+        .select(concat_ws(">",
+          transform(sort_array(col("touches")), x => x.getField("ty")))
+          .as("path"))
+        .groupBy(col("path")).agg(count(lit(1)).as("n_conv"))
+    }),
+
     // Mann-Whitney U per language (the nonparametric sibling of
     // an10's Welch t — the robust A/B test a curation run reaches for
     // when the metric is heavy-tailed). NOT computed via ranks: a
@@ -1018,6 +1046,23 @@ object AnalyticsQueries extends QueryPack {
         |SELECT event_id, user_id, purchase_us, first_touch_us,
         |  last_touch_us, n_touches
         |FROM a WHERE event_type = 'purchase'""".stripMargin,
+    "w10_conversion_paths" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |    epoch_us(ts) AS t_us FROM events),
+        |p AS (SELECT event_type,
+        |    list(CASE WHEN event_type IN ('view','click')
+        |         THEN {'t_us': t_us, 'event_id': event_id,
+        |               'ty': event_type} END)
+        |      OVER (PARTITION BY user_id ORDER BY t_us
+        |        RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING)
+        |      AS touches
+        |  FROM e),
+        |q AS (SELECT COALESCE(array_to_string(list_transform(
+        |    list_sort(list_filter(touches, x -> x IS NOT NULL)),
+        |    x -> x.ty), '>'), '') AS path
+        |  FROM p WHERE event_type = 'purchase')
+        |SELECT path, CAST(count(*) AS BIGINT) AS n_conv
+        |FROM q GROUP BY path""".stripMargin,
     "rl1_fuzzy_match" ->
       """WITH dirty AS (SELECT c_custkey AS dir_id, c_nationkey,
         |    CASE WHEN c_custkey % 7 = 0 THEN substring(c_name, 1, 12)

@@ -53,6 +53,16 @@ class InferenceSpec extends AnyFunSuite {
     }
   }
 
+  test("w10: path conversions conserve the purchase count") {
+    val out = SparkEntry.queries("w10_conversion_paths")(spark, sf)
+    val purchases = graft.sources.Tables.load(spark, sf, "events")
+      .filter(col("event_type") === "purchase").count()
+    assert(out.agg(sum(col("n_conv"))).head().getLong(0) == purchases)
+    // every path is made of touch types only
+    assert(out.filter(col("path") =!= "" &&
+      !col("path").rlike("^(view|click)(>(view|click))*$")).count() == 0L)
+  }
+
   test("an12: KS D matches a brute-force CDF sweep per language") {
     val out = SparkEntry.queries("an12_ks_test")(spark, sf)
       .collect().map(r => r.getString(0) ->
