@@ -415,6 +415,69 @@ object Multimodal {
     }
   }
 
+  final case class ImageHash(id: Long, dhash: String)
+
+  /** Perceptual difference-hash (dHash) over the REAL ImageIO decode —
+    * the image near-dup fingerprint (re-encoded, resized, or
+    * brightness-shifted copies keep a small hamming distance; the
+    * md5-of-bytes exact fingerprint sees different files). The image
+    * partitions into a 9×8 block grid (block bx spans pixel columns
+    * [bx·w/9, (bx+1)·w/9) — integer floors, total cover), and each of
+    * the 64 bits compares horizontally ADJACENT block means:
+    * bit(bx,by) = mean(bx,by) > mean(bx+1,by), evaluated as the exact
+    * cross-multiplication sumL·nR > sumR·nL over LONG pixel sums — no
+    * floating-point means anywhere, so the hash replays bit-for-bit
+    * from the oracle's pixel-formula arithmetic. Emitted as a 64-char
+    * '0'/'1' string (near-dup = small hamming distance; at scale,
+    * band the string like SimHash for candidate pairing). One decode
+    * + one raster pass per image, ONE output row; pixels never
+    * shuffle; undecodable or sub-grid payloads drop. */
+  def imageDHash(media: Dataset[MediaRow]): Dataset[ImageHash] = {
+    implicit val enc = Encoders.product[ImageHash]
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        if (r.payload == null) Iterator.empty
+        else try {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.payload))
+          if (img == null || img.getWidth < 9 || img.getHeight < 8)
+            Iterator.empty
+          else {
+            val raster = img.getRaster
+            val (w, h) = (img.getWidth, img.getHeight)
+            val sums = Array.ofDim[Long](9, 8)
+            val cnts = Array.ofDim[Long](9, 8)
+            var y = 0
+            while (y < h) {
+              val by = y * 8 / h
+              var x = 0
+              while (x < w) {
+                val bx = x * 9 / w
+                sums(bx)(by) += raster.getSample(x, y, 0)
+                cnts(bx)(by) += 1
+                x += 1
+              }
+              y += 1
+            }
+            val sb = new java.lang.StringBuilder(64)
+            var by = 0
+            while (by < 8) {
+              var bx = 0
+              while (bx < 8) {
+                sb.append(
+                  if (sums(bx)(by) * cnts(bx + 1)(by) >
+                      sums(bx + 1)(by) * cnts(bx)(by)) '1' else '0')
+                bx += 1
+              }
+              by += 1
+            }
+            Iterator.single(ImageHash(r.id, sb.toString))
+          }
+        } catch { case scala.util.control.NonFatal(_) => Iterator.empty }
+      }
+    }
+  }
+
   final case class ImageDecoded(id: Long, width: Int, height: Int,
       pixel00: Int)
 

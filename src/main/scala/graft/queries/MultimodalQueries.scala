@@ -100,6 +100,18 @@ object MultimodalQueries extends QueryPack {
         .select(col("id"), col("tx"), col("ty"), col("n_px"),
           round(col("mean_lum") * col("n_px")).cast("long").as("sum_lum"))),
 
+    // Perceptual dHash over the REAL decode: 9×8 block-mean grid,
+    // 64 adjacent-mean comparison bits via exact long
+    // cross-multiplication — the image near-dup fingerprint (band it
+    // like SimHash for candidate pairing at scale). Same 1-in-7
+    // gradient-PNG slice as m10; the oracle rebuilds every bit from
+    // the pixel formula
+    "m11_image_dhash" -> ((s, d) =>
+      Multimodal.imageDHash(
+        Multimodal.pngTonePayloads(
+          Tables.load(s, d, "documents").filter(col("doc_id") % 7 === 0),
+          "doc_id")).toDF()),
+
     // Decode→resize fused in one partition pass (the vision-corpus
     // preprocessing shape); all-zero source pixels resize to zeros, so
     // the digest replays arithmetically
@@ -161,6 +173,28 @@ object MultimodalQueries extends QueryPack {
       """SELECT doc_id AS id, CAST(8 AS INT) AS width,
         |  CAST(8 AS INT) AS height, CAST(0 AS BIGINT) AS pixelSum
         |FROM documents""".stripMargin,
+    "m11_image_dhash" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(16 + doc_id % 64 AS INTEGER) AS w,
+        |    CAST(16 + (doc_id * 7) % 64 AS INTEGER) AS h
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |xs AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM d),
+        |px AS (SELECT doc_id,
+        |    CAST(x * 9 // w AS INTEGER) AS bx,
+        |    CAST(y * 8 // h AS INTEGER) AS by,
+        |    ((doc_id + x + y) % 16) * 16 AS v
+        |  FROM (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs) t),
+        |b AS (SELECT doc_id, bx, by,
+        |    CAST(sum(v) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+        |  FROM px GROUP BY doc_id, bx, by),
+        |bits AS (SELECT l.doc_id, l.by, l.bx,
+        |    CASE WHEN l.s * r.n > r.s * l.n THEN '1' ELSE '0' END AS bit
+        |  FROM b l JOIN b r ON l.doc_id = r.doc_id AND l.by = r.by
+        |    AND r.bx = l.bx + 1
+        |  WHERE l.bx < 8)
+        |SELECT doc_id AS id, string_agg(bit, '' ORDER BY by, bx) AS dhash
+        |FROM bits GROUP BY doc_id""".stripMargin,
+
     "m10_image_tiles" ->
       """WITH d AS (SELECT doc_id,
         |    CAST(16 + doc_id % 64 AS INTEGER) AS w,

@@ -60,6 +60,45 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.nonEmpty && out.forall(_.mean_lum == 0.0))
   }
 
+  test("imageDHash: brightness-invariant, noise stays close, 64 bits") {
+    import graft.multimodal.Multimodal.{MediaRow, MediaMeta}
+    def png(w: Int, h: Int, f: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = f(x, y) & 0xff
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    def row(id: Long, b: Array[Byte]) =
+      MediaRow(id, b, MediaMeta("image/png", b.length.toLong, "png"))
+    val base = (x: Int, y: Int) => (x * 3 + y * 2) % 200
+    val media = Seq(
+      row(1L, png(32, 32, base)),
+      row(2L, png(32, 32, (x, y) => base(x, y) + 55)), // uniform shift
+      row(3L, png(32, 32, (x, y) => // sparse noise on top of base
+        if ((x * 31 + y * 17) % 97 == 0) base(x, y) + 40 else base(x, y))),
+      row(4L, png(32, 32, (x, y) => 255 - base(x, y)))) // inverted
+      .toDS()
+    val h = Multimodal.imageDHash(media).collect()
+      .map(r => r.id -> r.dhash).toMap
+    assert(h.size == 4)
+    assert(h.values.forall(s => s.length == 64 &&
+      s.forall(c => c == '0' || c == '1')))
+    def ham(a: String, b: String) = a.zip(b).count(p => p._1 != p._2)
+    // dHash compares block-mean ORDER: a uniform brightness shift
+    // changes every mean equally → identical hash (the property the
+    // exact md5 fingerprint lacks)
+    assert(h(1L) == h(2L), "uniform brightness shift must not move dHash")
+    // sparse noise flips at most a few comparisons
+    assert(ham(h(1L), h(3L)) <= 8, s"noise distance ${ham(h(1L), h(3L))}")
+    // inversion reverses every strict comparison → far away
+    assert(ham(h(1L), h(4L)) >= 32, s"inverted too close: ${ham(h(1L), h(4L))}")
+  }
+
   test("malformed payloads drop, never crash (decode + energy)") {
     implicit val enc = org.apache.spark.sql.Encoders.product[
       Multimodal.MediaRow]
