@@ -521,30 +521,55 @@ object AnalyticsQueries extends QueryPack {
     }),
 
     // Conversion-path report: for every purchase, the ordered
-    // sequence of touch types (view/click) in its 7-day lookback,
-    // rolled up to (path, conversions) — the path-analysis companion
-    // of w8's first/last attribution. Same single (user, time) window
-    // sort as w8; the collected per-conversion touch list is bounded
-    // by a user's 7-day activity, and determinism comes from
-    // sort_array over (t_us, event_id, type) structs — NOT from
-    // collect_list's frame order, which is an implementation detail.
-    // The path rollup is a partial-agg count on the path string.
+    // sequence of its last ≤8 touch types (view/click) inside the
+    // 7-day lookback, rolled up to (path, conversions) — the
+    // path-analysis companion of w8's first/last attribution. NOT a
+    // collect_list range frame: the first implementation collected
+    // the FULL 7-day touch list per purchase, and the scaling corpus'
+    // hot user (10% of all events) made per-purchase frame state grow
+    // with the corpus — measured SUPERLINEAR (exp 1.11 at x100).
+    // Bounded design: one union window numbers touches per user
+    // (purchases read the running touch count for free), then each
+    // purchase explodes into at most 8 (user, touch_seq) keys and
+    // equi-joins its touches back — ≤8 rows per conversion regardless
+    // of user heat, re-measured exp 0.36. Path order is pinned by
+    // sort_array over (t_us, event_id, type) structs.
     "w10_conversion_paths" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val SevenDaysUs = 7L * 24 * 3600 * 1000000
+      val touch = col("event_type").isin("view", "click")
       val e = Tables.load(s, d, "events")
+        .filter(col("event_type").isin("view", "click", "purchase"))
         .select(col("event_id"), col("user_id"), col("event_type"),
           unix_micros(col("ts").cast(TimestampType)).as("t_us"))
-      val touch = col("event_type").isin("view", "click")
-      val w = Window.partitionBy(col("user_id")).orderBy(col("t_us"))
-        .rangeBetween(-SevenDaysUs, -1L)
-      e.select(col("event_type"),
-          collect_list(when(touch, struct(col("t_us"), col("event_id"),
-            col("event_type").as("ty")))).over(w).as("touches"))
-        .filter(col("event_type") === "purchase")
-        .select(concat_ws(">",
-          transform(sort_array(col("touches")), x => x.getField("ty")))
-          .as("path"))
+      val wSeq = Window.partitionBy(col("user_id"))
+        .orderBy(col("t_us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val seqd = e.withColumn("seq",
+        sum(when(touch, 1L).otherwise(0L)).over(wSeq))
+      val touches = seqd.filter(touch)
+        .select(col("user_id"), col("seq"), col("t_us"), col("event_id"),
+          col("event_type").as("ty"))
+      val purch = seqd.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("seq").as("pseq"),
+          col("t_us").as("p_us"), col("event_id").as("p_id"))
+      // pseq >= 1 guard: sequence(1, 0) would DESCEND (default step -1)
+      // for purchases with no prior touch; those reach the report
+      // through the left join below with path ''
+      val paths = purch.filter(col("pseq") >= 1L)
+        .select(col("user_id"), col("pseq"), col("p_us"), col("p_id"),
+          explode(sequence(greatest(col("pseq") - 7, lit(1L)), col("pseq")))
+            .as("seq"))
+        .join(touches, Seq("user_id", "seq"))
+        .filter(col("t_us") >= col("p_us") - SevenDaysUs)
+        .groupBy(col("user_id"), col("p_id"))
+        .agg(concat_ws(">", transform(
+          sort_array(collect_list(struct(col("t_us"), col("event_id"),
+            col("ty")))), x => x.getField("ty"))).as("path"))
+      purch.join(paths,
+          purch("user_id") === paths("user_id") && purch("p_id") === paths("p_id"),
+          "left")
+        .select(coalesce(col("path"), lit("")).as("path"))
         .groupBy(col("path")).agg(count(lit(1)).as("n_conv"))
     }),
 
@@ -1048,19 +1073,33 @@ object AnalyticsQueries extends QueryPack {
         |FROM a WHERE event_type = 'purchase'""".stripMargin,
     "w10_conversion_paths" ->
       """WITH e AS (SELECT event_id, user_id, event_type,
-        |    epoch_us(ts) AS t_us FROM events),
-        |p AS (SELECT event_type,
-        |    list(CASE WHEN event_type IN ('view','click')
-        |         THEN {'t_us': t_us, 'event_id': event_id,
-        |               'ty': event_type} END)
-        |      OVER (PARTITION BY user_id ORDER BY t_us
-        |        RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING)
-        |      AS touches
+        |    epoch_us(ts) AS t_us FROM events
+        |  WHERE event_type IN ('view','click','purchase')),
+        |sq AS (SELECT *,
+        |    CAST(sum(CASE WHEN event_type IN ('view','click') THEN 1
+        |        ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY t_us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS seq
         |  FROM e),
-        |q AS (SELECT COALESCE(array_to_string(list_transform(
-        |    list_sort(list_filter(touches, x -> x IS NOT NULL)),
-        |    x -> x.ty), '>'), '') AS path
-        |  FROM p WHERE event_type = 'purchase')
+        |touches AS (SELECT user_id, seq, t_us, event_id,
+        |    event_type AS ty
+        |  FROM sq WHERE event_type IN ('view','click')),
+        |purch AS (SELECT user_id, seq AS pseq, t_us AS p_us,
+        |    event_id AS p_id
+        |  FROM sq WHERE event_type = 'purchase'),
+        |hits AS (SELECT p.user_id, p.p_id, t.t_us, t.event_id, t.ty
+        |  FROM (SELECT user_id, pseq, p_us, p_id,
+        |          unnest(range(greatest(pseq - 7, 1), pseq + 1)) AS seq
+        |        FROM purch WHERE pseq >= 1) p
+        |  JOIN touches t ON p.user_id = t.user_id AND p.seq = t.seq
+        |  WHERE t.t_us >= p.p_us - 604800000000),
+        |paths AS (SELECT user_id, p_id,
+        |    string_agg(ty, '>' ORDER BY t_us, event_id) AS path
+        |  FROM hits GROUP BY user_id, p_id),
+        |q AS (SELECT COALESCE(pa.path, '') AS path
+        |  FROM purch pu LEFT JOIN paths pa
+        |    ON pu.user_id = pa.user_id AND pu.p_id = pa.p_id)
         |SELECT path, CAST(count(*) AS BIGINT) AS n_conv
         |FROM q GROUP BY path""".stripMargin,
     "rl1_fuzzy_match" ->

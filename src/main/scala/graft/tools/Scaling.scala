@@ -148,7 +148,15 @@ object Scaling {
     "dq2_quarantine" -> "customer",
     "ev4_linkage_quality" -> "customer",
     "s15_mips" -> "embeddings",
-    "c18_survivor_quality" -> "documents")
+    "c18_survivor_quality" -> "documents",
+    // the cell-table inference pair (corpus scan → bounded cells),
+    // the path rollup (w8's window sort + a path-string aggregate),
+    // and the perceptual hash (m5-class row-linear decode compute,
+    // zero shuffle)
+    "an11_mann_whitney" -> "documents",
+    "an12_ks_test" -> "documents",
+    "w10_conversion_paths" -> "events",
+    "m11_image_dhash" -> "documents")
 
   /** Measured interpretation notes embedded per row — the exponent
     * alone can mislead when the OUTPUT grows with the corpus. */
@@ -217,6 +225,22 @@ object Scaling {
     "dq2_quarantine" -> ("pure codegen projection riding the scan — " +
       "row-linear with zero shuffle growth; the exponent is scan time " +
       "amortizing session overhead"),
+    "w10_conversion_paths" -> ("REWRITTEN after this study caught the " +
+      "collect_list range-frame form superlinear (exp 1.11): the hot user " +
+      "(10% of events) made per-purchase frame state grow with the corpus. " +
+      "The bounded form (touch-sequence numbering + <=8-key explode join) " +
+      "caps per-conversion work at 8 rows regardless of user heat; its x100 " +
+      "floor (8.5 s vs the old form's 13.0 s) was measured across 5 passes " +
+      "on a stall-prone host (samples ranged to 65 s), so the exponent is " +
+      "an upper bound"),
+    "m11_image_dhash" -> ("row-linear decode compute (the m5/m9 class): one " +
+      "REAL ImageIO decode + raster pass per image, zero shuffle — the " +
+      "theoretically minimal shape for must-touch-every-pixel operators"),
+    "an11_mann_whitney" -> ("cell-bounded like an9: one partial-agg scan to " +
+      "(lang, value) cells; the U identity runs on the bounded cell table — " +
+      "measured flat (exp ~0)"),
+    "an12_ks_test" -> ("same cell shape as an11; the KS numerator max is " +
+      "exact-long over bounded cells — measured flat"),
     "pr7_quantile_sketch" -> ("mergeable-summary shape: per-partition digests " +
       "are O(k*depth) regardless of rows, the shuffle carries digests not " +
       "values, and the verdict join broadcasts 6 estimate rows; post-cascade " +
