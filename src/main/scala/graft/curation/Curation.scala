@@ -1,6 +1,6 @@
 package graft.curation
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.dedup.Dedup
 
@@ -512,6 +512,69 @@ object Curation {
         Iterator.single((id, n.toLong, avg))
       }
     }.toDF("doc_id", "n_trigrams", "avg_logp")
+  }
+
+  /** DSIR-style data selection score (Xie et al.: importance
+    * resampling on hashed n-gram features): per corpus doc, the mean
+    * log-likelihood RATIO of its tokens under a target-domain
+    * unigram model vs the corpus model, over 256 hashed buckets
+    * (bucket = first 2 hex chars of md5(token) — the engine-portable
+    * hash idiom) with add-1 smoothing. Docs scoring high look like
+    * the target domain; feeding the score to [[weightedResample]] is
+    * the DSIR selection step. Scale shape: ONE partial-agg corpus
+    * scan builds BOTH models (conditional sums to 256 bucket rows —
+    * driver-collected by the smallness contract), per-bucket decimal
+    * contributions are pre-rounded ONCE on the driver (the x13
+    * charLmScore contract: BigDecimal.valueOf + HALF_UP(12) ≡
+    * DuckDB's CAST(ln(..) AS DECIMAL(28,12))), and the scoring pass
+    * folds doc-locally against the broadcast map — decimal sums are
+    * reduction-order-free, so the score replays exactly. */
+  def dsirScore(df: DataFrame, idCol: String, textCol: String,
+      targetPred: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    def md5bucket(tok: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      f"${d(0) & 0xff}%02x"
+    }
+    val docs = graft.sources.Tables.fanOut(df)
+      .select(col(idCol).cast("long").as("doc_id"),
+        col(textCol).as("txt"), targetPred.as("is_t"))
+      .as[(Long, String, Boolean)]
+    val buckets = docs.flatMap { case (_, t, isT) =>
+        if (t == null || t.trim.isEmpty) Iterator.empty
+        else t.trim.split("\\s+").iterator.map(tok => (md5bucket(tok), isT))
+      }
+      .groupBy(col("_1").as("bk"))
+      .agg(sum(when(col("_2"), 1L).otherwise(0L)).as("nt"),
+        sum(when(col("_2"), 0L).otherwise(1L)).as("ns"))
+      .as[(String, Long, Long)].collect()
+    val (ntTot, nsTot) = (buckets.map(_._2).sum, buckets.map(_._3).sum)
+    val contrib = new java.util.HashMap[String, java.math.BigDecimal](512)
+    buckets.foreach { case (bk, nt, ns) =>
+      val w = math.log((nt + 1.0) / (ntTot + 256.0)) -
+        math.log((ns + 1.0) / (nsTot + 256.0))
+      contrib.put(bk, java.math.BigDecimal.valueOf(w)
+        .setScale(12, java.math.RoundingMode.HALF_UP))
+    }
+    val model = spark.sparkContext.broadcast(contrib)
+    docs.flatMap { case (id, t, isT) =>
+      if (isT || t == null || t.trim.isEmpty) Iterator.empty
+      else {
+        val m = model.value
+        val toks = t.trim.split("\\s+")
+        var acc = java.math.BigDecimal.ZERO
+        var i = 0
+        while (i < toks.length) {
+          acc = acc.add(m.get(md5bucket(toks(i)))); i += 1
+        }
+        val avg = java.math.BigDecimal
+          .valueOf(acc.doubleValue() / toks.length)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+        Iterator.single((id, toks.length.toLong, avg))
+      }
+    }.toDF("doc_id", "n_tokens", "dsir_score")
   }
 
   def noveltyScore(df: DataFrame, idCol: String, textCol: String,

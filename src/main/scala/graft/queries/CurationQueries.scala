@@ -153,6 +153,15 @@ object CurationQueries extends QueryPack {
       Curation.charLmScore(
         Tables.load(s, d, "documents"), "doc_id", "text")),
 
+    // DSIR-style domain-selection score: mean token log-likelihood
+    // ratio target-vs-corpus over 256 hashed unigram buckets (src0 =
+    // the target-domain sample, the same held-out role it plays for
+    // b1/b2). One model scan + one broadcast-fold scoring scan; the
+    // per-bucket log contributions ride the x13 decimal contract
+    "c19_dsir_score" -> ((s, d) =>
+      Curation.dsirScore(Tables.load(s, d, "documents"),
+        "doc_id", "text", col("source") === "src0")),
+
     // Quality-classifier TRAINING (fastText/CCNet-style): full-batch
     // logistic-regression GD on doc features — one partial-agg scan
     // per iteration, weights as broadcast literals, 4-double driver
@@ -713,6 +722,27 @@ object CurationQueries extends QueryPack {
         |FROM tg t
         |JOIN c3 ON t.tri = c3.tri
         |JOIN c2 ON substr(t.tri, 1, 2) = c2.ctx
+        |GROUP BY t.doc_id""".stripMargin,
+
+    "c19_dsir_score" ->
+      """WITH tok AS (SELECT doc_id, source = 'src0' AS is_t,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS tk
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |b AS (SELECT substr(md5(tk), 1, 2) AS bk,
+        |    CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+        |    CAST(sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS BIGINT) AS ns
+        |  FROM tok GROUP BY 1),
+        |tot AS (SELECT CAST(sum(nt) AS BIGINT) AS nt_tot,
+        |    CAST(sum(ns) AS BIGINT) AS ns_tot FROM b),
+        |c AS (SELECT bk,
+        |    CAST(ln((nt + 1.0) / (nt_tot + 256.0))
+        |       - ln((ns + 1.0) / (ns_tot + 256.0))
+        |      AS DECIMAL(28,12)) AS w
+        |  FROM b, tot)
+        |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  round(CAST(sum(c.w) AS DOUBLE) / count(*), 6) AS dsir_score
+        |FROM tok t JOIN c ON substr(md5(t.tk), 1, 2) = c.bk
+        |WHERE NOT t.is_t
         |GROUP BY t.doc_id""".stripMargin,
 
     "x11_novelty" ->

@@ -483,6 +483,28 @@ class CurationSpec extends AnyFunSuite {
     assert(out.map(_.getLong(0)).toSeq == Seq(0L))
   }
 
+  test("dsirScore: target-like docs outrank source-like docs; targets excluded") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "alpha alpha alpha gamma", "t"),  // target sample
+      (2L, "alpha gamma alpha", "t"),
+      (3L, "beta beta delta", "s"),          // source background
+      (4L, "beta delta beta beta", "s"),
+      (5L, "alpha alpha gamma", "s"),        // corpus doc, target-like
+      (6L, "beta beta delta", "s"))          // corpus doc, source-like
+      .toDF("doc_id", "text", "kind")
+    val out = graft.curation.Curation
+      .dsirScore(docs, "doc_id", "text", col("kind") === "t")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // target docs never appear in the scored output
+    assert(!out.contains(1L) && !out.contains(2L))
+    // the doc written in the target's vocabulary scores strictly higher
+    assert(out(5L) > out(6L),
+      s"target-like ${out(5L)} must beat source-like ${out(6L)}")
+    // and the likelihood-ratio signs point the right way
+    assert(out(5L) > 0.0 && out(6L) < 0.0)
+  }
+
   test("c18: one survivor per component, survivor has the component max quality") {
     val sf = "/root/testdata/sf0.001"
     val out = SparkEntry.queries("c18_survivor_quality")(spark, sf).cache()
