@@ -156,7 +156,10 @@ object Scaling {
     "an11_mann_whitney" -> "documents",
     "an12_ks_test" -> "documents",
     "w10_conversion_paths" -> "events",
-    "m11_image_dhash" -> "documents")
+    "m11_image_dhash" -> "documents",
+    // DSIR rides the x13 two-scan broadcast-fold shape: the only
+    // aggregate is 256 bucket rows, the fold is doc-local
+    "c19_dsir_score" -> "documents")
 
   /** Measured interpretation notes embedded per row — the exponent
     * alone can mislead when the OUTPUT grows with the corpus. */
@@ -241,6 +244,13 @@ object Scaling {
       "measured flat (exp ~0)"),
     "an12_ks_test" -> ("same cell shape as an11; the KS numerator max is " +
       "exact-long over bounded cells — measured flat"),
+    "c19_dsir_score" -> ("row-linear hash compute after the rewrite (the " +
+      "m5/a1 must-touch-every-token class): per-token MD5 is the work — " +
+      "the only hash both engines share — and nothing shuffle-shaped grows " +
+      "(the model aggregate is 256 rows). The FIRST form measured exp 1.46 " +
+      "from per-token MessageDigest + format-string allocation (x100 " +
+      "90.8 s); per-partition digest reuse + hex table + unscaled-long " +
+      "decimal accumulation cut x100 to 13.0 s"),
     "pr7_quantile_sketch" -> ("mergeable-summary shape: per-partition digests " +
       "are O(k*depth) regardless of rows, the shuffle carries digests not " +
       "values, and the verdict join broadcasts 6 estimate rows; post-cascade " +
