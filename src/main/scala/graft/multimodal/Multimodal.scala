@@ -369,6 +369,58 @@ object Multimodal {
     }
   }
 
+  final case class AudioHash(id: Long, n_windows: Long, ahash: String)
+
+  /** Audio energy-band fingerprint — the audio sibling of
+    * [[imageDHash]]: decode (REAL AudioSystem path), partition the
+    * sample stream into fixed windows, and compare ADJACENT window
+    * energies — bit(w) = energy(w) > energy(w+1) — emitting a
+    * '0'/'1' string (near-dup clips — re-encoded, level-shifted by a
+    * constant GAIN factor — keep small hamming distance, since a
+    * uniform gain scales every window energy equally). Energies stay
+    * exact LONG sums of squares (16-bit samples), so the hash replays
+    * bit-for-bit from the oracle's sample-formula arithmetic. Only
+    * FULL windows participate (a trailing partial window's energy is
+    * length-biased, not content-biased). One decode + one pass per
+    * clip, one row out, samples never shuffle. */
+  def audioEnergyHash(media: Dataset[MediaRow], window: Int)
+      : Dataset[AudioHash] = {
+    require(window > 0, s"window must be positive (got $window)")
+    implicit val enc = Encoders.product[AudioHash]
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        if (r.payload == null) Iterator.empty
+        else try {
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(r.payload))
+          val bytes = in.readAllBytes()
+          in.close()
+          val sb = java.nio.ByteBuffer.wrap(bytes)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN).asShortBuffer()
+          val nw = sb.remaining() / window
+          if (nw < 2) Iterator.empty
+          else {
+            val ss = new Array[Long](nw)
+            var w = 0
+            while (w < nw) {
+              var acc = 0L
+              var i = w * window
+              val end = i + window
+              while (i < end) { val v = sb.get(i).toLong; acc += v * v; i += 1 }
+              ss(w) = acc; w += 1
+            }
+            val sbits = new java.lang.StringBuilder(nw - 1)
+            var k = 0
+            while (k < nw - 1) {
+              sbits.append(if (ss(k) > ss(k + 1)) '1' else '0'); k += 1
+            }
+            Iterator.single(AudioHash(r.id, nw.toLong, sbits.toString))
+          }
+        } catch { case scala.util.control.NonFatal(_) => Iterator.empty }
+      }
+    }
+  }
+
   final case class ImageTile(id: Long, tx: Int, ty: Int, n_px: Long,
       mean_lum: Double)
 

@@ -606,6 +606,56 @@ object AnalyticsQueries extends QueryPack {
         (col("n_a") * col("n_b") - col("u2x") / lit(2.0)).as("u_b"))
     }),
 
+    // Autocorrelation of the corpus-wide hourly event-count series at
+    // lags 1-3 — the seasonality detector behind ts5's decomposition
+    // (a strong lag-24 family shows up as elevated short-lag ACF on
+    // sawtooth traffic). The corpus collapses map-side to the hourly
+    // count table (bounded by SPAN-HOURS, not data volume — the same
+    // argument as ts1's grid), missing hours re-enter as zeros via
+    // one sequence explode, and the lag products are EXACT LONGS from
+    // a lead() window over the bounded series (the global
+    // single-partition sort is over span-hours rows — a deliberate
+    // non-issue). r_k = (S_k − m·(Σhead+Σtail) + n_k·m²) / (SS − n·m²)
+    // is one fixed-size double expression over those longs.
+    "an13_acf" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val hourly = Tables.load(s, d, "events")
+        .groupBy(date_trunc("hour", col("ts").cast(TimestampType))
+          .as("hour"))
+        .agg(count(lit(1)).as("cnt"))
+      val grid = hourly
+        .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+        .select(explode(sequence(col("h0"), col("h1"),
+          expr("INTERVAL 1 HOUR"))).as("hour"))
+        .join(hourly, Seq("hour"), "left")
+        .select(col("hour"), coalesce(col("cnt"), lit(0L)).as("x"))
+      val w = Window.orderBy(col("hour"))
+      val led = grid.select(col("x"),
+        lead(col("x"), 1).over(w).as("x1"),
+        lead(col("x"), 2).over(w).as("x2"),
+        lead(col("x"), 3).over(w).as("x3"))
+      def lagAggs(k: Int) = Seq(
+        sum(col("x") * col(s"x$k")).as(s"s$k"),
+        count(col(s"x$k")).as(s"n$k"),
+        sum(when(col(s"x$k").isNotNull, col("x"))).as(s"sh$k"),
+        sum(col(s"x$k")).as(s"st$k"))
+      val aggs = Seq(count(lit(1)).as("n"), sum(col("x")).as("s"),
+        sum(col("x") * col("x")).as("ss")) ++
+        (1 to 3).flatMap(lagAggs)
+      val t = led.agg(aggs.head, aggs.tail: _*)
+      val m = col("s").cast(DoubleType) / col("n")
+      def acf(k: Int) =
+        (col(s"s$k").cast(DoubleType) - m * (col(s"sh$k") + col(s"st$k"))
+          + col(s"n$k") * m * m) /
+          (col("ss").cast(DoubleType) - col("n") * m * m)
+      def r6(c: org.apache.spark.sql.Column) =
+        floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      t.select(explode(array((1 to 3).map(k =>
+          struct(lit(k).as("lag"), col(s"n$k").as("n_pairs"),
+            r6(acf(k)).as("acf"))): _*)).as("r"))
+        .select(col("r.lag"), col("r.n_pairs"), col("r.acf"))
+    }),
+
     // Kolmogorov-Smirnov D per language — the distribution-level
     // two-sample test completing the inference family (an10 mean,
     // an11 rank, an12 whole-CDF). Same cell-table shape as an11: one
@@ -872,6 +922,44 @@ object AnalyticsQueries extends QueryPack {
         |  u2x / 2.0 AS u_a,
         |  n_a * n_b - u2x / 2.0 AS u_b
         |FROM m""".stripMargin,
+    "an13_acf" -> {
+      val lagSel = (1 to 3).map(k =>
+        s"""    CAST(sum(x * x$k) AS BIGINT) AS s$k,
+           |    CAST(count(x$k) AS BIGINT) AS n$k,
+           |    CAST(sum(CASE WHEN x$k IS NOT NULL THEN x END) AS BIGINT)
+           |      AS sh$k,
+           |    CAST(sum(x$k) AS BIGINT) AS st$k""".stripMargin)
+        .mkString(",\n")
+      val rows = (1 to 3).map(k =>
+        s"""SELECT $k AS lag, n$k AS n_pairs,
+           |  floor((CAST(s$k AS DOUBLE)
+           |      - (CAST(s AS DOUBLE) / n) * (sh$k + st$k)
+           |      + n$k * (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
+           |    / (CAST(ss AS DOUBLE)
+           |      - n * (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
+           |    * 1e6 + 0.5) / 1e6 AS acf FROM t""".stripMargin)
+        .mkString("\nUNION ALL\n")
+      s"""WITH hourly AS (SELECT date_trunc('hour', ts) AS hour,
+         |    CAST(count(*) AS BIGINT) AS cnt
+         |  FROM events GROUP BY 1),
+         |bounds AS (SELECT min(hour) AS h0, max(hour) AS h1 FROM hourly),
+         |grid AS (SELECT unnest(range(h0, h1 + INTERVAL 1 HOUR,
+         |    INTERVAL 1 HOUR)) AS hour FROM bounds),
+         |g AS (SELECT g.hour, COALESCE(h.cnt, 0) AS x
+         |  FROM grid g LEFT JOIN hourly h ON g.hour = h.hour),
+         |led AS (SELECT x,
+         |    lead(x, 1) OVER (ORDER BY hour) AS x1,
+         |    lead(x, 2) OVER (ORDER BY hour) AS x2,
+         |    lead(x, 3) OVER (ORDER BY hour) AS x3
+         |  FROM g),
+         |t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(x) AS BIGINT) AS s,
+         |    CAST(sum(x * x) AS BIGINT) AS ss,
+         |$lagSel
+         |  FROM led)
+         |$rows""".stripMargin
+    },
+
     "an12_ks_test" ->
       """WITH g AS (SELECT lang,
         |    CAST(substring(source, 4) AS INT) % 2 AS grp,

@@ -153,6 +153,28 @@ object CurationQueries extends QueryPack {
       Curation.charLmScore(
         Tables.load(s, d, "documents"), "doc_id", "text")),
 
+    // Vocabulary-coverage report: per-source token count, OOV count
+    // and OOV rate against the corpus top-1024 vocabulary (x6's
+    // deterministic freq-desc/token-asc order at a serving-vocab
+    // cutoff) — the coverage check a tokenizer rollout runs before
+    // committing to a vocab size. The vocab is bounded by
+    // construction and broadcasts; the second corpus pass is one
+    // conditional partial aggregate.
+    "b3_vocab_coverage" -> ((s, d) => {
+      val toks = Tables.load(s, d, "documents")
+        .select(col("source"),
+          explode(split(trim(col("text")), "\\s+")).as("tok"))
+      val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("tok")).limit(1024)
+        .select(col("tok"), lit(true).as("in_vocab"))
+      toks.join(broadcast(vocab), Seq("tok"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .withColumn("oov_rate",
+          col("n_oov").cast("double") / col("n_tokens"))
+    }),
+
     // DSIR-style domain-selection score: mean token log-likelihood
     // ratio target-vs-corpus over 256 hashed unigram buckets (src0 =
     // the target-domain sample, the same held-out role it plays for
@@ -723,6 +745,22 @@ object CurationQueries extends QueryPack {
         |JOIN c3 ON t.tri = c3.tri
         |JOIN c2 ON substr(t.tri, 1, 2) = c2.ctx
         |GROUP BY t.doc_id""".stripMargin,
+
+    "b3_vocab_coverage" ->
+      """WITH tk AS (SELECT source,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |v AS (SELECT tok FROM (
+        |  SELECT tok, count(*) AS freq FROM tk GROUP BY tok
+        |  ORDER BY freq DESC, tok LIMIT 1024) t),
+        |m AS (SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_oov
+        |  FROM tk LEFT JOIN v ON tk.tok = v.tok
+        |  GROUP BY source)
+        |SELECT source, n_tokens, n_oov,
+        |  CAST(n_oov AS DOUBLE) / n_tokens AS oov_rate
+        |FROM m""".stripMargin,
 
     "c19_dsir_score" ->
       """WITH tok AS (SELECT doc_id, source = 'src0' AS is_t,

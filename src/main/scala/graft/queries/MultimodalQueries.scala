@@ -100,6 +100,17 @@ object MultimodalQueries extends QueryPack {
         .select(col("id"), col("tx"), col("ty"), col("n_px"),
           round(col("mean_lum") * col("n_px")).cast("long").as("sum_lum"))),
 
+    // Audio energy-band fingerprint over the REAL AudioSystem decode:
+    // adjacent-window energy comparisons as exact long sums of
+    // squares — window 10 deliberately misaligned with the tone's
+    // 16-sample period so windows differ; the oracle rebuilds every
+    // bit from the sample formula
+    "m12_audio_hash" -> ((s, d) =>
+      Multimodal.audioEnergyHash(
+        Multimodal.wavTonePayloads(
+          Tables.load(s, d, "documents"), "doc_id"),
+        window = 10).toDF()),
+
     // Perceptual dHash over the REAL decode: 9×8 block-mean grid,
     // 64 adjacent-mean comparison bits via exact long
     // cross-multiplication — the image near-dup fingerprint (band it
@@ -173,6 +184,21 @@ object MultimodalQueries extends QueryPack {
       """SELECT doc_id AS id, CAST(8 AS INT) AS width,
         |  CAST(8 AS INT) AS height, CAST(0 AS BIGINT) AS pixelSum
         |FROM documents""".stripMargin,
+    "m12_audio_hash" ->
+      """WITH d AS (SELECT doc_id, CAST(64 + doc_id % 128 AS INTEGER) AS n
+        |  FROM documents),
+        |i AS (SELECT doc_id, unnest(range(0, (n // 10) * 10)) AS i FROM d),
+        |s AS (SELECT doc_id, CAST(i // 10 AS INTEGER) AS w,
+        |    CAST(((doc_id + i) % 16 - 8) * 1000 AS BIGINT) AS v FROM i),
+        |e AS (SELECT doc_id, w, CAST(sum(v * v) AS BIGINT) AS ss
+        |  FROM s GROUP BY 1, 2),
+        |bits AS (SELECT l.doc_id, l.w,
+        |    CASE WHEN l.ss > r.ss THEN '1' ELSE '0' END AS bit
+        |  FROM e l JOIN e r ON l.doc_id = r.doc_id AND r.w = l.w + 1)
+        |SELECT doc_id AS id, CAST(count(*) + 1 AS BIGINT) AS n_windows,
+        |  string_agg(bit, '' ORDER BY w) AS ahash
+        |FROM bits GROUP BY doc_id""".stripMargin,
+
     "m11_image_dhash" ->
       """WITH d AS (SELECT doc_id,
         |    CAST(16 + doc_id % 64 AS INTEGER) AS w,

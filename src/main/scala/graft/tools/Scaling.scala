@@ -159,7 +159,12 @@ object Scaling {
     "m11_image_dhash" -> "documents",
     // DSIR rides the x13 two-scan broadcast-fold shape: the only
     // aggregate is 256 bucket rows, the fold is doc-local
-    "c19_dsir_score" -> "documents")
+    "c19_dsir_score" -> "documents",
+    // m12 = the m9 decode class; an13's grid is span-hours-bounded;
+    // b3 = two token scans with a broadcast vocab
+    "m12_audio_hash" -> "documents",
+    "an13_acf" -> "events",
+    "b3_vocab_coverage" -> "documents")
 
   /** Measured interpretation notes embedded per row — the exponent
     * alone can mislead when the OUTPUT grows with the corpus. */
@@ -251,6 +256,16 @@ object Scaling {
       "from per-token MessageDigest + format-string allocation (x100 " +
       "90.8 s); per-partition digest reuse + hex table + unscaled-long " +
       "decimal accumulation cut x100 to 13.0 s"),
+    "m12_audio_hash" -> ("the m9 decode class (52.5 s vs m9's 40.5 s at " +
+      "x100): REAL AudioSystem decode per clip is the work, the hash adds " +
+      "one long-arithmetic pass; zero shuffle, one row out per clip"),
+    "an13_acf" -> ("scan-bound: the corpus collapses map-side to the " +
+      "span-hours-bounded hourly table; everything after (grid fill, lead " +
+      "window, moment expression) runs on bounded rows — the exponent is " +
+      "the counting scan"),
+    "b3_vocab_coverage" -> ("two token scans (vocab count + coverage agg) " +
+      "with the 1024-token vocab broadcast; per-shuffle compression from " +
+      "the partial aggregates keeps it sublinear"),
     "pr7_quantile_sketch" -> ("mergeable-summary shape: per-partition digests " +
       "are O(k*depth) regardless of rows, the shuffle carries digests not " +
       "values, and the verdict join broadcasts 6 estimate rows; post-cascade " +

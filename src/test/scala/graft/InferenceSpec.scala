@@ -63,6 +63,31 @@ class InferenceSpec extends AnyFunSuite {
       !col("path").rlike("^(view|click)(>(view|click))*$")).count() == 0L)
   }
 
+  test("an13: ACF matches a driver-side recompute on the filled grid") {
+    val out = SparkEntry.queries("an13_acf")(spark, sf)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(out.keySet == Set(1, 2, 3))
+    // rebuild the hourly grid on the driver
+    val hours = graft.sources.Tables.load(spark, sf, "events")
+      .select(date_trunc("hour", col("ts").cast("timestamp")).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getTimestamp(0).getTime -> r.getLong(1)).toMap
+    val (h0, h1) = (hours.keys.min, hours.keys.max)
+    val xs = (h0 to h1 by 3600000L).map(h => hours.getOrElse(h, 0L)).toArray
+    val n = xs.length.toDouble
+    val m = xs.sum / n
+    val den = xs.map(x => (x - m) * (x - m)).sum
+    for (k <- 1 to 3) {
+      val (np, acf) = out(k)
+      assert(np == xs.length - k)
+      val num = (0 until xs.length - k)
+        .map(i => (xs(i) - m) * (xs(i + k) - m)).sum
+      assert(math.abs(acf - num / den) < 1e-6, s"lag $k: $acf vs ${num / den}")
+      assert(acf >= -1.0 - 1e-9 && acf <= 1.0 + 1e-9)
+    }
+  }
+
   test("an12: KS D matches a brute-force CDF sweep per language") {
     val out = SparkEntry.queries("an12_ks_test")(spark, sf)
       .collect().map(r => r.getString(0) ->

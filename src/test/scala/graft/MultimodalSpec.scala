@@ -99,6 +99,36 @@ class MultimodalSpec extends AnyFunSuite {
     assert(ham(h(1L), h(4L)) >= 32, s"inverted too close: ${ham(h(1L), h(4L))}")
   }
 
+  test("audioEnergyHash: gain-invariant, order-sensitive, exact bits") {
+    import graft.multimodal.Multimodal.{MediaRow, MediaMeta}
+    // craft WAVs on the builder's header (id 36 → 100 frames = 10 full
+    // windows) with custom sample content
+    def wav(id: Long, f: Int => Int): Array[Byte] = {
+      val bytes = Multimodal.wavPayload(id)
+      val buf = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val n = (64 + id % 128).toInt
+      for (i <- 0 until n) buf.putShort(44 + 2 * i, f(i).toShort)
+      bytes
+    }
+    def row(rid: Long, b: Array[Byte]) =
+      MediaRow(rid, b, MediaMeta("audio/wav", b.length.toLong, "wav"))
+    val base = (i: Int) => (i % 23 - 11) * 500
+    val media = Seq(
+      row(1L, wav(36L, base)),
+      row(2L, wav(36L, i => base(i) * 2)),     // uniform gain ×2
+      row(3L, wav(36L, i => base(99 - i))))    // time-reversed
+      .toDS()
+    val h = Multimodal.audioEnergyHash(media, window = 10).collect()
+      .map(r => r.id -> r.ahash).toMap
+    assert(h.size == 3 && h.values.forall(_.length == 9))
+    // uniform gain scales every window energy by the same factor —
+    // adjacent comparisons are unchanged
+    assert(h(1L) == h(2L), "uniform gain must not move the energy hash")
+    // reversal reorders the energy profile — the hash must move
+    assert(h(1L) != h(3L), "time reversal must change the hash")
+  }
+
   test("malformed payloads drop, never crash (decode + energy)") {
     implicit val enc = org.apache.spark.sql.Encoders.product[
       Multimodal.MediaRow]
