@@ -84,4 +84,40 @@ object Redact {
         when(col(c).isNull, lit(null))
           .otherwise(sha2(concat(lit(salt + "|"), col(c).cast("string")), 256)))
     }
+
+  /** k-anonymity ENFORCEMENT by global recoding — the action on
+    * [[graft.ops.Classify.kAnonymity]]'s audit: walk a fixed
+    * generalization ladder over the quasi-identifier pair and keep
+    * the LOWEST (most informative) level whose smallest group still
+    * reaches k, applied uniformly (global recoding — per-record local
+    * recoding would leak which rows were risky). `ladder` maps level →
+    * the two generalized QI columns; level selection needs only the
+    * per-level MIN group size (|ladder| scalar aggregates over
+    * bounded group tables — the driver reads |ladder| longs, nothing
+    * row-scaled). Returns every row with its generalized QIs, the
+    * chosen level, and its group's size (broadcast back from the
+    * bounded group table — the release-audit column a reviewer
+    * checks is ≥ k). Falls back to the ladder's last (coarsest)
+    * level when nothing reaches k. */
+  def generalizeKAnon(df: DataFrame, idCol: String,
+      ladder: Seq[(Column, Column)], k: Long): DataFrame = {
+    require(ladder.nonEmpty, "empty generalization ladder")
+    val minSizes = ladder.map { case (q1, q2) =>
+      val m = df.groupBy(q1.as("q1"), q2.as("q2"))
+        .agg(count(lit(1)).as("n"))
+        .agg(min(col("n"))).head()
+      if (m.isNullAt(0)) 0L else m.getLong(0) // empty input
+    }
+    val level = minSizes.indexWhere(_ >= k) match {
+      case -1 => ladder.length - 1
+      case i => i
+    }
+    val (g1, g2) = ladder(level)
+    val base = df.select(col(idCol), g1.as("gen_q1"), g2.as("gen_q2"))
+    val sizes = base.groupBy(col("gen_q1"), col("gen_q2"))
+      .agg(count(lit(1)).as("group_n"))
+    base.join(broadcast(sizes), Seq("gen_q1", "gen_q2"))
+      .select(col(idCol), col("gen_q1"), col("gen_q2"),
+        lit(level).as("gen_level"), col("group_n"))
+  }
 }

@@ -86,6 +86,29 @@ object ClassifyQueries extends QueryPack {
         .select(col("c_custkey"), col("c_name").as("name_pseudo"),
           col("c_mktsegment"))),
 
+    // k-anonymity ENFORCEMENT (the action on v2's audit): global
+    // recoding over the (geo, segment) quasi-identifiers along the
+    // fixed ladder (nation,seg) → (region,seg) → (region,*) → (*,*),
+    // keeping the lowest level whose smallest group reaches k=10.
+    // Level selection reads one MIN per ladder rung (bounded group
+    // tables); at sf0.01 the (nation,seg) min is 5 so the release
+    // generalizes to region level — the oracle re-derives the same
+    // choice from the same mins.
+    "v4_generalize" -> ((s, d) => {
+      val geo = Tables.load(s, d, "customer")
+        .join(broadcast(Tables.load(s, d, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.load(s, d, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_custkey"), col("n_name").as("nation"),
+          col("r_name").as("region"), col("c_mktsegment").as("seg"))
+      graft.ops.Redact.generalizeKAnon(geo, "c_custkey", Seq(
+        (col("nation"), col("seg")),
+        (col("region"), col("seg")),
+        (col("region"), lit("*")),
+        (lit("*"), lit("*"))), k = 10L)
+    }),
+
     // Declarative data-quality expectations: N row rules compile into
     // ONE partial-aggregating scan (one conditional sum each; the
     // shuffle carries a single row of counts) + one key-granular
@@ -225,6 +248,34 @@ object ClassifyQueries extends QueryPack {
         |      SELECT count(*) AS n FROM customer
         |      GROUP BY c_nationkey, c_mktsegment HAVING count(*) > 1)
         |) t""".stripMargin,
+
+    "v4_generalize" ->
+      """WITH b AS (SELECT c.c_custkey, n.n_name AS nation,
+        |    r.r_name AS region, c.c_mktsegment AS seg
+        |  FROM customer c
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey),
+        |m AS (SELECT
+        |  (SELECT min(n) FROM (SELECT count(*) AS n FROM b
+        |     GROUP BY nation, seg) t) AS m0,
+        |  (SELECT min(n) FROM (SELECT count(*) AS n FROM b
+        |     GROUP BY region, seg) t) AS m1,
+        |  (SELECT min(n) FROM (SELECT count(*) AS n FROM b
+        |     GROUP BY region) t) AS m2),
+        |lv AS (SELECT CASE WHEN m0 >= 10 THEN 0 WHEN m1 >= 10 THEN 1
+        |    WHEN m2 >= 10 THEN 2 ELSE 3 END AS level FROM m),
+        |g AS (SELECT b.c_custkey,
+        |    CASE level WHEN 0 THEN nation WHEN 1 THEN region
+        |      WHEN 2 THEN region ELSE '*' END AS gen_q1,
+        |    CASE level WHEN 0 THEN seg WHEN 1 THEN seg
+        |      ELSE '*' END AS gen_q2,
+        |    level FROM b, lv),
+        |sz AS (SELECT gen_q1, gen_q2, CAST(count(*) AS BIGINT) AS group_n
+        |  FROM g GROUP BY 1, 2)
+        |SELECT g.c_custkey, g.gen_q1, g.gen_q2,
+        |  CAST(g.level AS INT) AS gen_level, sz.group_n
+        |FROM g JOIN sz ON g.gen_q1 = sz.gen_q1 AND g.gen_q2 = sz.gen_q2"""
+        .stripMargin,
 
     "dq2_quarantine" ->
       """SELECT c_custkey,

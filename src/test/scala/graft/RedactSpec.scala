@@ -43,4 +43,24 @@ class RedactSpec extends AnyFunSuite {
     // NUM runs first and consumes the digits; SEVEN finds nothing
     assert(out == (("tok [NUM] end", 1L)))
   }
+
+  test("generalizeKAnon: lowest sufficient ladder level, uniform recoding") {
+    // 2 cities x 2 zips, one zip has a singleton group -> city level
+    // (ladder rung 1) is the first where every group reaches k=2
+    val df = Seq(
+      (1L, "a", "z1"), (2L, "a", "z1"), (3L, "a", "z2"),
+      (4L, "b", "z3"), (5L, "b", "z3"))
+      .toDF("id", "city", "zip")
+    val ladder = Seq(
+      (col("city"), col("zip")), (col("city"), lit("*")),
+      (lit("*"), lit("*")))
+    val out = Redact.generalizeKAnon(df, "id", ladder, k = 2L).collect()
+    assert(out.forall(_.getInt(3) == 1), "must pick ladder level 1")
+    assert(out.forall(_.getLong(4) >= 2L), "every released group >= k")
+    assert(out.map(r => (r.getString(1), r.getString(2))).distinct.toSet
+      == Set(("a", "*"), ("b", "*")))
+    // unreachable k falls back to the coarsest rung, never errors
+    val coarse = Redact.generalizeKAnon(df, "id", ladder, k = 100L).collect()
+    assert(coarse.forall(r => r.getInt(3) == 2 && r.getLong(4) == 5L))
+  }
 }
