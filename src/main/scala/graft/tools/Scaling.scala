@@ -164,7 +164,10 @@ object Scaling {
     // b3 = two token scans with a broadcast vocab
     "m12_audio_hash" -> "documents",
     "an13_acf" -> "events",
-    "b3_vocab_coverage" -> "documents")
+    "b3_vocab_coverage" -> "documents",
+    // v4: |ladder| bounded MIN aggregates + broadcast joins — the
+    // per-rung group tables are QI-bounded, so the cost is the scans
+    "v4_generalize" -> "customer")
 
   /** Measured interpretation notes embedded per row — the exponent
     * alone can mislead when the OUTPUT grows with the corpus. */
