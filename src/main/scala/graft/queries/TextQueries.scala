@@ -168,7 +168,25 @@ object TextQueries extends QueryPack {
       Tables.load(s, d, "documents")
         .withColumn("url", syntheticUrl)
         .groupBy(canonicalizeUrl(col("url")).as("canonical_url"))
-        .agg(count(lit(1)).as("n_urls"), min(col("doc_id")).as("first_doc")))
+        .agg(count(lit(1)).as("n_urls"), min(col("doc_id")).as("first_doc"))),
+
+    // Host-level crawl report: per host, fetch count, distinct
+    // canonical pages and the duplication rate — the per-domain
+    // health summary a crawler's re-fetch scheduler and a corpus
+    // domain-mixer both read. Two partial aggregates over the
+    // canonical keys (the host table is domain-bounded); the rate is
+    // one double division.
+    "u4_host_stats" -> ((s, d) =>
+      Tables.load(s, d, "documents")
+        .withColumn("url", syntheticUrl)
+        .select(canonicalizeUrl(col("url")).as("cu"))
+        .select(regexp_extract(col("cu"), "^[a-z]+://([^/]+)", 1)
+          .as("host"), col("cu"))
+        .groupBy(col("host"))
+        .agg(count(lit(1)).as("n_fetches"),
+          countDistinct(col("cu")).as("n_pages"))
+        .withColumn("dup_rate",
+          lit(1.0) - col("n_pages").cast("double") / col("n_fetches")))
   )
 
   /** Deterministic raw-URL stand-in: doc_id parity picks case/port
@@ -277,6 +295,17 @@ object TextQueries extends QueryPack {
          |SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_urls,
          |  min(doc_id) AS first_doc
          |FROM canon GROUP BY canonical_url""".stripMargin,
+    "u4_host_stats" ->
+      s"""WITH $urlCanonCtes,
+         |h AS (SELECT regexp_extract(canonical_url,
+         |    '^[a-z]+://([^/]+)', 1) AS host, canonical_url AS cu
+         |  FROM canon),
+         |m AS (SELECT host, CAST(count(*) AS BIGINT) AS n_fetches,
+         |    CAST(count(DISTINCT cu) AS BIGINT) AS n_pages
+         |  FROM h GROUP BY host)
+         |SELECT host, n_fetches, n_pages,
+         |  1.0 - CAST(n_pages AS DOUBLE) / n_fetches AS dup_rate
+         |FROM m""".stripMargin,
     "x12_redact_pii" -> {
       val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
       val ssn = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
