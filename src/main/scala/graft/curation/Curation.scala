@@ -541,9 +541,13 @@ object Curation {
     val hex = Array.tabulate(256)(i => f"$i%02x")
     def bucketOf(md: java.security.MessageDigest, tok: String): Int =
       md.digest(tok.getBytes(java.nio.charset.StandardCharsets.UTF_8))(0) & 0xff
+    // coalesce: a NULL predicate (null source column) must read as
+    // non-target, not fail the primitive-Boolean encode — same guard
+    // class as the null-text skip in the flatMap below
     val docs = graft.sources.Tables.fanOut(df)
       .select(col(idCol).cast("long").as("doc_id"),
-        col(textCol).as("txt"), targetPred.as("is_t"))
+        col(textCol).as("txt"),
+        coalesce(targetPred, lit(false)).as("is_t"))
       .as[(Long, String, Boolean)]
     val buckets = docs.mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")

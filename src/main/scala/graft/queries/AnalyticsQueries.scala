@@ -145,19 +145,26 @@ object AnalyticsQueries extends QueryPack {
       .agg(count(lit(1)).as("cnt"))
       .select(col("user_id"), unix_micros(col("hour")).as("hm"), col("cnt"))
       .as[(Long, Long, Long)]
-    hourly.groupByKey(_._1)
+    val grid = hourly.groupByKey(_._1)
       .flatMapGroups { (u: Long, it: Iterator[(Long, Long, Long)]) =>
         val entries = it.map(t => (t._2, t._3)).toArray
         java.util.Arrays.sort(entries,
           Ordering.by((e: (Long, Long)) => e._1))
-        val byHour = entries.toMap
+        // merge-walk against the sorted entries, no per-user toMap:
+        // the grid hours ascend in lockstep with the sorted array, so
+        // one pointer replaces the boxed HashMap the first form
+        // allocated per user (round-13 verdict item 2's constant)
+        var ei = 0
         val h0 = entries.head._1
         val nHours = ((entries.last._1 - h0) / usPerHour).toInt + 1
         val ring = new Array[Long](24)
         var prev: Option[Double] = None
         Iterator.tabulate(nHours) { idx =>
           val hm = h0 + idx * usPerHour
-          val cnt = byHour.getOrElse(hm, 0L)
+          val cnt =
+            if (ei < entries.length && entries(ei)._1 == hm) {
+              val c = entries(ei)._2; ei += 1; c
+            } else 0L
           ring(idx % 24) = cnt
           val n = math.min(idx + 1, 24)
           var raw = 0.0
@@ -178,6 +185,8 @@ object AnalyticsQueries extends QueryPack {
       .select(col("user_id"), timestamp_micros(col("hm")).as("hour"),
         col("cnt"), col("ewma"), col("baseline"))
       .cache()
+    graft.util.BuildLedger.timed("analytics.ewma_grid")(grid.count())
+    grid
   })
 
   override def releaseShared(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -566,9 +575,13 @@ object AnalyticsQueries extends QueryPack {
         .agg(concat_ws(">", transform(
           sort_array(collect_list(struct(col("t_us"), col("event_id"),
             col("ty")))), x => x.getField("ty"))).as("path"))
-      purch.join(paths,
-          purch("user_id") === paths("user_id") && purch("p_id") === paths("p_id"),
-          "left")
+      // USING-style key join, not purch("user_id") === paths("user_id"):
+      // both sides descend from the same seqd plan, so the attribute
+      // refs are identical and the === form builds a trivially-true
+      // predicate that only works via Spark's self-join disambiguation
+      // heuristic (and warns). Seq keys resolve positionally per side.
+      purch.join(paths.select(col("user_id"), col("p_id"), col("path")),
+          Seq("user_id", "p_id"), "left")
         .select(coalesce(col("path"), lit("")).as("path"))
         .groupBy(col("path")).agg(count(lit(1)).as("n_conv"))
     }),
@@ -580,9 +593,12 @@ object AnalyticsQueries extends QueryPack {
     // standard identity U_a = Σ_v [n_a(v)·cum_b(<v) + ½·n_a(v)·n_b(v)]
     // computes the same value from the (lang, value) CELL table — one
     // partial-aggregating corpus scan, then a running window over the
-    // bounded cell table only. All terms are exact longs (×2 to clear
-    // the half), so the U statistics are integer-exact on both
-    // engines.
+    // bounded cell table only. All terms are exact (×2 to clear the
+    // half); the pair-count products route through the an10
+    // DECIMAL(38,0) contract — 2·ca·cum_b approaches n_a·n_b per
+    // row, so a plain LongType sum would wrap silently near 2^62
+    // while DuckDB's HUGEINT sum stayed exact — keeping the two
+    // engines bit-identical at any corpus scale a 38-digit sum holds.
     "an11_mann_whitney" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val cells = Tables.load(s, d, "documents")
@@ -598,8 +614,8 @@ object AnalyticsQueries extends QueryPack {
         .withColumn("cum_b", coalesce(sum(col("cb")).over(wc), lit(0L)))
         .groupBy(col("lang"))
         .agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"),
-          sum(lit(2L) * col("ca") * col("cum_b") + col("ca") * col("cb"))
-            .as("u2x"))
+          sum(lit(2L) * col("ca").cast(DecimalType(38, 0)) * col("cum_b") +
+            col("ca").cast(DecimalType(38, 0)) * col("cb")).as("u2x"))
         .filter(col("n_a") >= 1 && col("n_b") >= 1)
       m.select(col("lang"), col("n_a"), col("n_b"),
         (col("u2x") / lit(2.0)).as("u_a"),
@@ -915,7 +931,8 @@ object AnalyticsQueries extends QueryPack {
         |m AS (SELECT lang,
         |    CAST(sum(ca) AS BIGINT) AS n_a,
         |    CAST(sum(cb) AS BIGINT) AS n_b,
-        |    CAST(sum(2 * ca * cum_b + ca * cb) AS BIGINT) AS u2x
+        |    sum(2 * CAST(ca AS HUGEINT) * cum_b + CAST(ca AS HUGEINT) * cb)
+        |      AS u2x
         |  FROM cum GROUP BY lang
         |  HAVING n_a >= 1 AND n_b >= 1)
         |SELECT lang, n_a, n_b,

@@ -32,29 +32,38 @@ object CurationQueries extends QueryPack {
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
   private def decontaminated(s: SparkSession, d: String): DataFrame =
-    deconMemo.getOrElseUpdate(d, {
+    deconMemo.getOrElseUpdate(d, graft.util.BuildLedger.timed("curation.decon") {
       val docs = Tables.load(s, d, "documents")
-      Curation.decontaminate(
+      val df = Curation.decontaminate(
         docs.filter(col("source") =!= "src0"),
         docs.filter(col("source") === "src0"),
         "doc_id", "text", n = 5).cache()
+      df.count()
+      df
     })
 
   private def learnedMerges(s: SparkSession, d: String): Seq[(Int, String, String)] =
-    mergeMemo.getOrElseUpdate(d,
+    mergeMemo.getOrElseUpdate(d, graft.util.BuildLedger.timed("curation.bpe_merges")(
       graft.curation.Bpe.learnMerges(
         Tables.load(s, d, "documents").filter(col("source") === "src0"),
-        "text", numMerges = 8))
+        "text", numMerges = 8)))
 
   private def components(s: SparkSession, d: String): DataFrame =
     compMemo.getOrElseUpdate(d, {
       import org.apache.spark.sql.functions.col
       val docs = Tables.load(s, d, "documents")
+      // OUTSIDE the timed block: a cold call builds the whole dedup
+      // pair-stats chain, and that build attributes under its own
+      // dedup.* ledger names — nesting it here would double-count
       val (_, stats) = DedupQueries.shared(s, d)
-      val edges = stats.filter(col("jaccard") >= 0.1)
-        .select(col("doc_a"), col("doc_b"))
-      Curation.connectedComponents(docs.select(col("doc_id")), edges)
-        .cache()
+      graft.util.BuildLedger.timed("curation.components") {
+        val edges = stats.filter(col("jaccard") >= 0.1)
+          .select(col("doc_a"), col("doc_b"))
+        val df = Curation.connectedComponents(docs.select(col("doc_id")), edges)
+          .cache()
+        df.count()
+        df
+      }
     })
 
   override def releaseShared(spark: SparkSession): Unit = {

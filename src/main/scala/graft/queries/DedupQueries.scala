@@ -50,7 +50,7 @@ object DedupQueries extends QueryPack {
       // keys — the Zipf HEAD), so it rides to the executors as a
       // broadcast for the zero-shuffle size kernel below and as a
       // broadcast-anti-join for the capped postings stream
-      val hotSet = {
+      val hotSet = graft.util.BuildLedger.timed("dedup.grouped_index") {
         val hs = new java.util.HashSet[java.lang.Long]()
         hot.collect().foreach(r => hs.add(r.getLong(0)))
         s.sparkContext.broadcast(hs)
@@ -71,6 +71,17 @@ object DedupQueries extends QueryPack {
         Dedup.minhashSignatures(capped.select(col("doc"), col("shingle")),
           numHashes = 8),
         numHashes = 8, rowsPerBand = 2).cache()
+      // Eager, ledger-attributed materialization (BuildLedger): the
+      // lazily-cached memo frames used to fill inside their FIRST
+      // consumer's plan, which made that query's bench reading
+      // unexplainable (the round-12 verdict's d10/c10 attribution
+      // item). Cost is unchanged — the same jobs run, one query
+      // earlier — but each build is now a named line the bench
+      // harness drains into paid_builds. stats' job also fills the
+      // sizes cache (it is stats' input), so sizes needs no count of
+      // its own.
+      graft.util.BuildLedger.timed("dedup.pair_stats")(stats.count())
+      graft.util.BuildLedger.timed("dedup.lsh_candidates")(cands.count())
       // the postings slot stays for API compatibility (consumers that
       // pass stats+cands never evaluate it)
       Shared(multi, capped.select(col("doc"), col("shingle")), stats,

@@ -21,7 +21,8 @@ object SimilarityQueries extends QueryPack {
 
   private def fit(s: SparkSession, d: String, k: Int): Array[(Int, Array[Double])] =
     fitMemo.getOrElseUpdate((d, k),
-      Similarity.kmeansFit(Tables.load(s, d, "embeddings"), k))
+      graft.util.BuildLedger.timed(s"similarity.kmeans_fit_k$k")(
+        Similarity.kmeansFit(Tables.load(s, d, "embeddings"), k)))
 
   // One PQ codebook train per dir: the encode dump (s9) and the ADC
   // search (s10) share it, as a PQ index build/search pair would.
@@ -30,7 +31,8 @@ object SimilarityQueries extends QueryPack {
 
   private def pqFitShared(s: SparkSession, d: String): Seq[Array[(Int, Array[Double])]] =
     pqMemo.getOrElseUpdate(d,
-      Similarity.pqFit(Tables.load(s, d, "embeddings"), dim = 64, m = 4, ksub = 8))
+      graft.util.BuildLedger.timed("similarity.pq_fit")(
+        Similarity.pqFit(Tables.load(s, d, "embeddings"), dim = 64, m = 4, ksub = 8)))
 
   // One (vec_id, cluster, codes) index build per dir, cached: s9, s10,
   // and s11 all read the same compact serving table, as a stored
@@ -47,9 +49,16 @@ object SimilarityQueries extends QueryPack {
       import scala.concurrent.ExecutionContext.Implicits.global
       val fc = Future(fit(s, d, 8))
       val fp = Future(pqFitShared(s, d))
-      Similarity.buildIvfPqIndex(Tables.load(s, d, "embeddings"), 64,
-        Await.result(fc, Duration.Inf), Await.result(fp, Duration.Inf))
-        .cache()
+      val (cents, books) = (Await.result(fc, Duration.Inf),
+        Await.result(fp, Duration.Inf))
+      // fits attribute under their own ledger names above; only the
+      // encode pass itself books as the index build
+      graft.util.BuildLedger.timed("similarity.ivfpq_index") {
+        val df = Similarity.buildIvfPqIndex(
+          Tables.load(s, d, "embeddings"), 64, cents, books).cache()
+        df.count()
+        df
+      }
     })
 
   override def releaseShared(spark: SparkSession): Unit = {

@@ -23,9 +23,13 @@ object TextQueries extends QueryPack {
 
   private[queries] def qualityBand(s: SparkSession, d: String): DataFrame =
     qualityMemo.getOrElseUpdate(d,
-      graft.curation.Curation.qualityBandFilter(
-        Tables.load(s, d, "documents"), "lang", "doc_id", "text",
-        pLo = 0.1, pHi = 0.9).cache())
+      graft.util.BuildLedger.timed("text.quality_band") {
+        val df = graft.curation.Curation.qualityBandFilter(
+          Tables.load(s, d, "documents"), "lang", "doc_id", "text",
+          pLo = 0.1, pHi = 0.9).cache()
+        df.count()
+        df
+      })
 
   override def releaseShared(spark: SparkSession): Unit = {
     qualityMemo.values.foreach(_.unpersist(true))

@@ -132,8 +132,13 @@ object Similarity {
     * cosine order IS the inner-product order (ties included — equal
     * cosine ⟺ equal dot). This is how a MIPS workload rides any
     * cosine ANN index (the IVF/LSH paths here) unchanged; the
-    * returned (query_id, neighbor_id, rn) is provably identical to
-    * [[mipsTopK]]'s — SimilaritySpec asserts it. */
+    * returned (query_id, neighbor_id, rn) matches [[mipsTopK]]'s up
+    * to float rounding of the augmentation coordinate — √(M²−|x|²)
+    * is cast to float to stay in the corpus element type, so |x⁺| is
+    * only ≈M per vector and near-equal inner products (or exact
+    * ties, broken on ip_raw there vs perturbed cos_raw here) can
+    * order differently. SimilaritySpec asserts equality on the
+    * fixture, where the rank-(k+1) gaps dominate that rounding. */
   def mipsViaCosineTopK(df: DataFrame, queryPred: Column, k: Int)
       : DataFrame = {
     val mRow = df.agg(max(norm(col("embedding"))).as("m")).head()
@@ -727,20 +732,46 @@ object Similarity {
   }
 
   /** Embedding near-duplicate pairs: all (a < b) with cosine ≥
-    * `threshold`.
+    * `threshold`. GATED dispatch (round-13 verdict item 3): the
+    * broadcast-smallness contract that used to live in prose is now a
+    * row-count check — at or under `maxBroadcastRows` the collected
+    * broadcast kernel runs ([[nearDupPairsBroadcast]]); above it the
+    * EXACT triangular block join runs ([[nearDupPairsBlocked]]),
+    * fully distributed with bounded task memory. Both paths fold
+    * dot/norm in ascending element order, so the dispatch is
+    * result-identical BY CONSTRUCTION, not by fixture luck —
+    * SimilaritySpec pins equality with the gate forced both ways.
     *
-    * Dense all-pairs is a numeric kernel, not a relational join: the
-    * comparison side is collected (vec count × dim floats — the same
-    * smallness requirement as a broadcast hash join side) and
-    * broadcast; each partition of the corpus then scans its rows
-    * against the broadcast block in tight loops. The corpus side stays
-    * fully distributed. When the comparison side no longer fits,
-    * bucket by LSH signature (lshTopK's join) instead of brute force.
+    * The count is one column-pruned scan of vec_id — a no-op next to
+    * the all-pairs work either path then does. (The topKJoin family —
+    * bruteForceTopK/mipsTopK/lshTopK — needs no such gate: their
+    * query sides go through Spark's SQL broadcast machinery, which
+    * enforces the 8 GB broadcast cap with a clean error, never a
+    * driver collect; d6's hazard was specifically this kernel's
+    * `sparkContext.broadcast(collect())`, which bypasses every cap.) */
+  def nearDupPairs(df: DataFrame, threshold: Double,
+      maxBroadcastRows: Long = 2000000L): DataFrame = {
+    val n = df.select(col("vec_id")).count()
+    if (n <= maxBroadcastRows) nearDupPairsBroadcast(df, threshold)
+    else {
+      // task memory = 2 blocks ≈ 2·131072·dim·8 B (~134 MB at dim 64)
+      val blocks = math.max(2L, (n + 131071) / 131072).toInt
+      nearDupPairsBlocked(df, threshold, blocks)
+    }
+  }
+
+  /** The small-corpus kernel: the comparison side is collected
+    * (vec count × dim floats — the same smallness requirement as a
+    * broadcast hash join side) and broadcast; each partition of the
+    * corpus then scans its rows against the broadcast block in tight
+    * loops. The corpus side stays fully distributed. Callers go
+    * through [[nearDupPairs]]' gate; calling this directly re-accepts
+    * the prose contract the gate replaced.
     *
     * Dot/norm folds run in ascending element order — identical
     * floating-point results to the declarative `dot`/`norm` columns
     * and the DuckDB oracle. */
-  def nearDupPairs(df: DataFrame, threshold: Double): DataFrame = {
+  def nearDupPairsBroadcast(df: DataFrame, threshold: Double): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val vecs = graft.sources.Tables.fanOut(df)
@@ -768,6 +799,70 @@ object Similarity {
           if (cos >= threshold) Some((idA, idB, cos)) else None
         }
       }
+    }.toDF("vec_a", "vec_b", "cos_raw")
+      .select(col("vec_a"), col("vec_b"),
+        round(col("cos_raw"), 6).as("cos_sim"))
+  }
+
+  /** EXACT all-pairs cosine at corpus scale: the triangular block
+    * join. Every vector lands in block `vec_id mod B`; an unordered
+    * pair with blocks (i, j) is owned by exactly one group key
+    * (min(i,j), max(i,j)), so each row replicates to its B group
+    * keys, ONE shuffle co-locates every group's two blocks, and a
+    * tight two-array loop emits the group's pairs. No driver collect
+    * anywhere; task memory is bounded by two blocks regardless of
+    * corpus size; shuffle volume is N·B rows (the unavoidable price
+    * of exact N²/2 pair work spread over B(B+1)/2 independent tasks).
+    * Same ascending-order dot/norm folds as the broadcast kernel, so
+    * per-pair doubles are bit-identical — the gate in
+    * [[nearDupPairs]] can switch paths without changing one output
+    * row. When N² itself is the problem, that is a THRESHOLD/recall
+    * decision, not a kernel one: move to [[semDedupBounded]] or the
+    * banded [[lshTopK]] and accept approximate recall explicitly. */
+  def nearDupPairsBlocked(df: DataFrame, threshold: Double,
+      blocks: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val b = blocks
+    val vecs = graft.sources.Tables.fanOut(df)
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+    // (groupKey, ownBlock, id, emb): key = p*B + q packs the ordered
+    // block pair into one long for the shuffle
+    val keyed = vecs.flatMap { case (id, emb) =>
+      val blk = ((id % b) + b) % b
+      Iterator.tabulate(b) { j =>
+        val p = math.min(blk, j.toLong); val q = math.max(blk, j.toLong)
+        (p * b + q, blk, id, emb)
+      }
+    }
+    keyed.groupByKey(_._1).flatMapGroups { (key, it) =>
+      val p = key / b; val q = key % b
+      val left = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double], Double)]
+      val right = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double], Double)]
+      it.foreach { case (_, blk, id, emb) =>
+        val a = emb.map(_.toDouble)
+        var s = 0.0; var i = 0
+        while (i < a.length) { s += a(i) * a(i); i += 1 }
+        val row = (id, a, math.sqrt(s))
+        if (blk == p) left += row else right += row
+      }
+      def cosPairs(xs: collection.Seq[(Long, Array[Double], Double)],
+          ys: collection.Seq[(Long, Array[Double], Double)],
+          triangular: Boolean) =
+        xs.iterator.flatMap { case (idA, va, na) =>
+          ys.iterator.filter(y => if (triangular) y._1 > idA else true)
+            .flatMap { case (idB, vb, nb) =>
+              var d = 0.0; var i = 0
+              while (i < va.length) { d += va(i) * vb(i); i += 1 }
+              val cos = d / (na * nb)
+              if (cos >= threshold)
+                Some((math.min(idA, idB), math.max(idA, idB), cos))
+              else None
+            }
+        }
+      if (p == q) cosPairs(left, left, triangular = true)
+      else cosPairs(left, right, triangular = false)
     }.toDF("vec_a", "vec_b", "cos_raw")
       .select(col("vec_a"), col("vec_b"),
         round(col("cos_raw"), 6).as("cos_sim"))

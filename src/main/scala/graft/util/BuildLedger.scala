@@ -1,0 +1,38 @@
+package graft.util
+
+/** Shared-build attribution ledger (round-13 verdict item 1).
+  *
+  * The query packs memoize family-shared builds (the dedup postings →
+  * pair-stats chain, the IVF-PQ index, the quality band, the EWMA
+  * grid); whichever query runs FIRST pays the build inside its own
+  * bench window. Round 12's d10 anomaly showed why that must be
+  * visible in the record: a per-query reading that includes an
+  * unattributed multi-second shared build is indistinguishable from a
+  * host stall or a plan regression. Every memo build now wraps its
+  * eager materialization in [[timed]]; the bench harness drains the
+  * ledger after each query and writes a `paid_builds` field per query
+  * into BENCH_FULL.json — the record explains itself.
+  *
+  * Driver-side only, trivially synchronized: builds happen on the
+  * bench/verify driver thread (at most a couple of concurrent futures
+  * inside one build), never on executors.
+  */
+object BuildLedger {
+
+  private val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+
+  /** Run `f`, recording (name, wall seconds) in the ledger. */
+  def timed[T](name: String)(f: => T): T = {
+    val t0 = System.nanoTime()
+    val r = f
+    record(name, (System.nanoTime() - t0) / 1e9)
+    r
+  }
+
+  def record(name: String, sec: Double): Unit =
+    synchronized { buf += name -> sec }
+
+  /** Remove and return everything recorded since the last drain. */
+  def drain(): Seq[(String, Double)] =
+    synchronized { val r = buf.toList; buf.clear(); r }
+}

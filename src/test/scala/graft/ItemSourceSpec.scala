@@ -160,4 +160,77 @@ class ItemSourceSpec extends AnyFunSuite {
     assert(filtered.collect().map(_.getLong(0)).sorted.toSeq ==
       Seq(50L, 80L, 110L))
   }
+
+  // ---- FlakyItemStore: the live-contract failure modes (round-13
+  // verdict item 7) — paging, throttle + resume-from-cursor retry,
+  // mid-scan attribute drift.
+
+  private val flakyStore = classOf[graft.sources.v2.FlakyItemStore].getName
+
+  test("throttled paged segments: no duplicate, no lost items; retries fired") {
+    import graft.sources.v2.FlakyItemStore
+    val dir = writeSnapshot()
+    val plain = spark.read.format("graft-items").load(dir)
+      .select(col("size"), col("source_name"), col("score"))
+      .collect().map(_.toString).sorted.toSeq
+    val t0 = FlakyItemStore.throttles.get()
+    val r0 = FlakyItemStore.retries.get()
+    // pageSize=1 → every item its own page request; throttleEvery=2 →
+    // half the requests fail their first attempt
+    val flaky = spark.read.format("graft-items")
+      .option("store", flakyStore)
+      .load(s"$dir?pageSize=1&throttleEvery=2")
+      .select(col("size"), col("source_name"), col("score"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(flaky == plain, "throttle+retry must not duplicate or drop items")
+    val injected = FlakyItemStore.throttles.get() - t0
+    assert(injected > 0, "the failure path must actually have run")
+    assert(FlakyItemStore.retries.get() - r0 == injected,
+      "every injected throttle must be survived by exactly one retry")
+  }
+
+  test("throttled paged units: micro-batch path equally exact") {
+    import graft.sources.v2.FlakyItemStore
+    val dir = writeSnapshot()
+    val t0 = FlakyItemStore.throttles.get()
+    val stream = spark.readStream.format("graft-items")
+      .option("store", flakyStore)
+      .load(s"$dir?pageSize=1&throttleEvery=2")
+    val q = stream.writeStream.format("memory")
+      .queryName(s"items_flaky_${System.nanoTime()}").start()
+    try {
+      q.processAllAvailable()
+      val sink = spark.table(q.name)
+      assert(sink.count() == 12)
+      assert(sink.select(col("size")).distinct().count() == 12)
+      assert(FlakyItemStore.throttles.get() > t0)
+    } finally q.stop()
+  }
+
+  test("mid-scan drift inside the sample: attribute lands, early rows null") {
+    val dir = writeSnapshot()
+    // driftAfter=2 per 4-item segment → items 2..3 of each chunk carry
+    // drift_attr; inference samples everything, so the field exists
+    val df = spark.read.format("graft-items")
+      .option("store", flakyStore)
+      .load(s"$dir?driftAfter=2&throttleEvery=0")
+    assert(df.schema.fieldNames.contains("drift_attr"))
+    assert(df.schema("drift_attr").dataType.simpleString == "bigint")
+    assert(df.count() == 12)
+    assert(df.filter(col("drift_attr").isNotNull).count() == 6)
+    assert(df.filter(col("drift_attr").isNull).count() == 6)
+  }
+
+  test("drift beyond the inference sample: unknown attribute ignored, scan intact") {
+    val dir = writeSnapshot()
+    // sample stops before the drifted items — the schema must not know
+    // the new attribute and the scan must not trip over it
+    val df = spark.read.format("graft-items")
+      .option("store", flakyStore)
+      .option("samplesize", 2)
+      .load(s"$dir?driftAfter=2&throttleEvery=0")
+    assert(!df.schema.fieldNames.contains("drift_attr"))
+    assert(df.count() == 12)
+    assert(df.select(sum(col("size"))).collect()(0).getLong(0) == 660)
+  }
 }

@@ -526,6 +526,57 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert("Join".r.findAllIn(tree).size <= 3, tree)
   }
 
+  // ---- bounded-input pins for the deliberately single-partition
+  // windows (round-13 verdict item 4). q15's per-supplier max, an13's
+  // span-hours ACF grid and an11/an12's per-lang cell walks all run
+  // Window nodes whose per-partition frame is DIMENSION-bounded
+  // (suppliers, span-hours, value cells) — safe only because every
+  // row entering the Window came out of an aggregation that collapsed
+  // the corpus to those dimensions. These pins make that invariant
+  // structural: on every path from each WindowExec down to a leaf
+  // scan there must be an aggregate node, so a future edit that feeds
+  // a corpus-sized frame into one of these sorts fails here, not as a
+  // silent single-partition spill at scale. (The WindowExec "No
+  // Partition Defined" warnings these queries log are suppressed in
+  // Bench.main with a pointer to this pin.)
+
+  private def physicalPlan(q: String): org.apache.spark.sql.execution.SparkPlan =
+    SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+
+  /** True iff every leaf-scan path below `p` crosses an aggregate —
+    * the "this frame's cardinality is group-key-bounded" certificate. */
+  private def aggregateBounded(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+    p match {
+      case _: org.apache.spark.sql.execution.aggregate.HashAggregateExec => true
+      case _: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => true
+      case _: org.apache.spark.sql.execution.aggregate.SortAggregateExec => true
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        aggregateBounded(r.child)
+      case leaf if leaf.children.isEmpty => false
+      case other => other.children.forall(aggregateBounded)
+    }
+
+  private def pinBoundedWindows(q: String): Unit = {
+    val wins = physicalPlan(q).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.nonEmpty, s"$q expected at least one Window node")
+    wins.foreach { w =>
+      assert(aggregateBounded(w.child),
+        s"$q: Window reads a frame with a non-aggregated scan path — " +
+          s"single-partition sort is no longer dimension-bounded:\n$w")
+    }
+  }
+
+  test("q15/an13/an11/an12: every Window input is aggregate-bounded") {
+    Seq("q15_top_supplier", "an13_acf", "an11_mann_whitney", "an12_ks_test")
+      .foreach(pinBoundedWindows)
+  }
+
   test("q17: single lineitem scan — per-part avg rides the window, not a re-join") {
     val p = plan("q17_small_orders")
     val tree = p.linesIterator.takeWhile(_.trim.nonEmpty).mkString("\n")

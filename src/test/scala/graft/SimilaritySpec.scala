@@ -359,6 +359,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pairs == Set((0L, 1L)))
   }
 
+  test("near-dup gate: blocked path is bit-identical to the broadcast path") {
+    // round-13 verdict item 3: the broadcast-smallness contract is a
+    // size gate, and the over-the-gate fallback is the EXACT
+    // triangular block join — same ascending-order dot/norm folds, so
+    // equality here is structural, not fixture luck. Run on the real
+    // sf0.001 embeddings (2000 vectors, d6's threshold) and force the
+    // dispatch both ways through the public API.
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_a", "vec_b", "cos_sim")
+        .as[(Long, Long, Double)].collect().sorted.toSeq
+    val viaBroadcast = canon(
+      Similarity.nearDupPairs(emb, 0.45, maxBroadcastRows = Long.MaxValue))
+    val viaBlocked = canon(
+      Similarity.nearDupPairs(emb, 0.45, maxBroadcastRows = 1L))
+    assert(viaBroadcast.nonEmpty, "fixture must produce pairs")
+    assert(viaBroadcast == viaBlocked)
+    // pair-block ownership is exclusive: no pair may appear twice
+    assert(viaBlocked.map(p => (p._1, p._2)).distinct.size == viaBlocked.size)
+  }
+
   test("semDedup drops only lower-id-shadowed near-dups within a cluster") {
     val out = Similarity.semDedup(vecs, nlist = 2, threshold = 0.95)
       .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
