@@ -136,6 +136,17 @@ object AnalyticsQueries extends QueryPack {
 
   private def ewmaGrid(s: org.apache.spark.sql.SparkSession, d: String)
       : org.apache.spark.sql.DataFrame = ewmaMemo.getOrElseUpdate(d, {
+    val grid = ewmaWalkPlan(s, d).cache()
+    graft.util.BuildLedger.timed("analytics.ewma_grid")(grid.count())
+    grid
+  })
+
+  /** The UNCACHED walk plan — split out so the scaling study can
+    * measure the walk separately from the ts4-handoff cache
+    * materialization (round-13 verdict item 2: the two costs were
+    * conflated in ts3's round-12 exponent). */
+  private[graft] def ewmaWalkPlan(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
     val usPerHour = 3600000000L
     val hourly = Tables.load(s, d, "events")
@@ -184,10 +195,8 @@ object AnalyticsQueries extends QueryPack {
       }
       .select(col("user_id"), timestamp_micros(col("hm")).as("hour"),
         col("cnt"), col("ewma"), col("baseline"))
-      .cache()
-    graft.util.BuildLedger.timed("analytics.ewma_grid")(grid.count())
     grid
-  })
+  }
 
   override def releaseShared(spark: org.apache.spark.sql.SparkSession): Unit = {
     ewmaMemo.values.foreach(_.unpersist(true))

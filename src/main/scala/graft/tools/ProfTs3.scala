@@ -1,0 +1,75 @@
+package graft.tools
+
+/** ts3 conservation study (round-13 verdict item 2): the round-12
+  * exponent (1.31 at ×100) conflated the EWMA walk with the
+  * ts4-handoff cache materialization, and claimed-but-never-measured
+  * that grid output is linear in users. This tool splits and proves
+  * both:
+  *
+  *   - grid ROWS per scale (the rl1-style conservation number — if
+  *     rows grow 10× per decade, time/row is the honest metric);
+  *   - the walk alone (uncached `ewmaWalkPlan`, fully materialized);
+  *   - the full ts3 path (cache write + count, what the bench pays).
+  *
+  * Two samples per leg, min kept — the host's stall windows are the
+  * dominant noise source (SCALE.md round-6).
+  *
+  * Usage: runMain graft.tools.ProfTs3 [dir ...]
+  * (defaults to the three SynthScale corpora)
+  */
+object ProfTs3 {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-prof-ts3")
+      .config("spark.local.dir", graft.util.Scratch.localDir("graft-ts3-"))
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val dirs = if (args.nonEmpty) args.toSeq
+      else Seq("target/scaling/x1", "target/scaling/x10", "target/scaling/x100")
+
+    def reset(): Unit = {
+      graft.SparkEntry.releaseShared(spark)
+      graft.util.Caches.releaseStray(): Unit
+    }
+    def sample(f: => Unit): Double = {
+      def once(): Double = {
+        reset()
+        val t0 = System.nanoTime()
+        f
+        (System.nanoTime() - t0) / 1e9
+      }
+      math.min(once(), once())
+    }
+
+    // warmup: codegen/classload on the smallest corpus
+    reset()
+    graft.queries.AnalyticsQueries.ewmaWalkPlan(spark, dirs.head)
+      .queryExecution.toRdd.count()
+
+    dirs.foreach { dir =>
+      reset()
+      val rows = graft.queries.AnalyticsQueries.ewmaWalkPlan(spark, dir)
+        .select("user_id").count()
+      val walk = sample {
+        graft.queries.AnalyticsQueries.ewmaWalkPlan(spark, dir)
+          .queryExecution.toRdd.count(): Unit
+      }
+      val full = sample {
+        graft.SparkEntry.queries("ts3_ewma")(spark, dir)
+          .queryExecution.toRdd.count(): Unit
+      }
+      println(f"[ts3] $dir rows=$rows walk=$walk%.3f s full=$full%.3f s " +
+        f"walk_rows_per_s=${rows / walk}%.0f cache_overhead=${full - walk}%.3f s")
+    }
+    spark.stop()
+  }
+}

