@@ -64,6 +64,22 @@ object Relational extends QueryPack {
         .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_id"))
     }),
 
+    // The same scan through FlakyItemStore (round-13 verdict item 7):
+    // Limit-paged responses, every 3rd page request throttled on its
+    // first attempt and retried from the SAME cursor. The oracle is
+    // identical to dsv1's — the driver gate proves end-to-end that
+    // the failure path loses and duplicates nothing, cross-engine.
+    "dsv2_items_flaky" -> ((s, d) => {
+      val dir = graft.sources.v2.ItemSnapshots.ensure(s, d)
+      s.read.format("graft-items")
+        .option("store", classOf[graft.sources.v2.FlakyItemStore].getName)
+        .schema("doc_id bigint, lang string")
+        .load(s"$dir?pageSize=64&throttleEvery=3")
+        .filter(col("doc_id") >= 10)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_id"))
+    }),
+
     // F1: conjunctive equality filter (tracker-scan shape)
     "f1_filter_conjunctive" -> ((s, d) => {
       Tables.load(s, d, "orders")
@@ -501,6 +517,11 @@ object Relational extends QueryPack {
 
   def oracle: Map[String, String] = Map(
     "dsv1_items_scan" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_id
+        |FROM documents WHERE doc_id >= 10 GROUP BY lang""".stripMargin,
+
+    "dsv2_items_flaky" ->
       """SELECT lang, count(*) AS n_docs,
         |  CAST(sum(doc_id) AS BIGINT) AS sum_id
         |FROM documents WHERE doc_id >= 10 GROUP BY lang""".stripMargin,

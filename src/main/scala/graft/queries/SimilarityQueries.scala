@@ -141,6 +141,15 @@ object SimilarityQueries extends QueryPack {
     "d6_embedding_neardup" -> ((s, d) =>
       Similarity.nearDupPairs(Tables.load(s, d, "embeddings"), 0.45)),
 
+    // The same pairs through the OVER-the-gate path: the triangular
+    // block join d6's size gate dispatches to at corpus scale
+    // (round-13 verdict item 3). Same oracle as d6 — the driver gate
+    // now pins the distributed kernel's bit-identity cross-engine,
+    // not just cross-path (SimilaritySpec does that part).
+    "d15_neardup_blocked" -> ((s, d) =>
+      Similarity.nearDupPairsBlocked(Tables.load(s, d, "embeddings"),
+        0.45, blocks = 4)),
+
     // Semantic dedup (SemDeDup): within-cluster cosine >= 0.3 against
     // a lower-id neighbor drops the row; comparisons never cross
     // clusters. Fixture/bench corpora run the flat 8-list contract —
@@ -650,6 +659,13 @@ object SimilarityQueries extends QueryPack {
         |        unnest(range(1, len(embedding) + 1)) AS i
         |      FROM sc) t""".stripMargin,
     "d6_embedding_neardup" ->
+      s"""WITH $normCte
+         |SELECT vec_a, vec_b, round(cos_raw, 6) AS cos_sim FROM (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, $cosAb AS cos_raw
+         |  FROM n a JOIN n b ON a.vec_id < b.vec_id) t
+         |WHERE cos_raw >= 0.45""".stripMargin,
+
+    "d15_neardup_blocked" ->
       s"""WITH $normCte
          |SELECT vec_a, vec_b, round(cos_raw, 6) AS cos_sim FROM (
          |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, $cosAb AS cos_raw

@@ -14,8 +14,15 @@ package graft.util
   * into BENCH_FULL.json — the record explains itself.
   *
   * Driver-side only, trivially synchronized: builds happen on the
-  * bench/verify driver thread (at most a couple of concurrent futures
-  * inside one build), never on executors.
+  * bench/verify driver thread or its short-lived futures, never on
+  * executors. NOTE on reading the record: entries are per-build WALL
+  * seconds, and consumers that submit independent builds concurrently
+  * (c10 futures the quality band + decon alongside the dedup chain;
+  * the IVF-PQ index futures its two fits) produce entries that
+  * OVERLAP — their sum can legitimately exceed the query's own
+  * reading. The entry list answers "which builds did this query pay
+  * and how long did each run", not "how do these partition the
+  * query's wall time".
   */
 object BuildLedger {
 
