@@ -15,10 +15,25 @@ object DedupQueries extends QueryPack {
   // pair-stats + LSH-candidate computation within a session
   // (typed-flatMap plans don't canonicalize equal across separate
   // builds, so Spark's cache can't match them by plan).
-  private final case class Shared(multi: DataFrame, postings: DataFrame,
-      stats: DataFrame, cands: DataFrame, sizes: DataFrame, index: DataFrame,
-      hotBc: org.apache.spark.broadcast.Broadcast[_]) {
-    def cached: Seq[DataFrame] = Seq(index, stats, cands, sizes)
+  private final class Shared(val multi: DataFrame, val postings: DataFrame,
+      val stats: DataFrame, candsDf: DataFrame, val sizes: DataFrame,
+      val index: DataFrame,
+      val hotBc: org.apache.spark.broadcast.Broadcast[_]) {
+    // cands materializes at its FIRST CONSUMER (d3/d11/c13), not at
+    // the chain build: c10 reads only stats, and billing the band
+    // join to it would shift ~1 s between queries for nothing. The
+    // once-flag keeps the build ledger-attributed wherever it lands.
+    private var candsReady = false
+    def cands: DataFrame = synchronized {
+      if (!candsReady) {
+        graft.util.BuildLedger.timed("dedup.lsh_candidates")(candsDf.count())
+        candsReady = true
+      }
+      candsDf
+    }
+    def cached: Seq[DataFrame] = Seq(index, stats, candsDf, sizes)
+    /** unpersist without tripping the forcing getter */
+    def releaseCands(): Unit = { candsDf.unpersist(true): Unit }
     def release(): Unit = {
       cached.foreach(_.unpersist(true))
       hotBc.destroy()
@@ -75,16 +90,15 @@ object DedupQueries extends QueryPack {
       // lazily-cached memo frames used to fill inside their FIRST
       // consumer's plan, which made that query's bench reading
       // unexplainable (the round-12 verdict's d10/c10 attribution
-      // item). Cost is unchanged — the same jobs run, one query
-      // earlier — but each build is now a named line the bench
-      // harness drains into paid_builds. stats' job also fills the
-      // sizes cache (it is stats' input), so sizes needs no count of
-      // its own.
+      // item). Cost is unchanged — the same jobs run under names —
+      // but each build is a line the bench drains into paid_builds.
+      // stats' job also fills the sizes cache (it is stats' input),
+      // so sizes needs no count of its own; cands defers to its
+      // first consumer via the Shared.cands once-gate.
       graft.util.BuildLedger.timed("dedup.pair_stats")(stats.count())
-      graft.util.BuildLedger.timed("dedup.lsh_candidates")(cands.count())
       // the postings slot stays for API compatibility (consumers that
       // pass stats+cands never evaluate it)
-      Shared(multi, capped.select(col("doc"), col("shingle")), stats,
+      new Shared(multi, capped.select(col("doc"), col("shingle")), stats,
         cands, sizes, index, hotSet)
     })
 
@@ -135,7 +149,7 @@ object DedupQueries extends QueryPack {
     (Set("c13_split_leakage"),
       _ => memo.values.foreach(_.index.unpersist(true))),
     (Set("d3_minhash_lsh"),
-      _ => memo.values.foreach(_.cands.unpersist(true))))
+      _ => memo.values.foreach(_.releaseCands())))
 
   def queries: Map[String, Q] = Map(
     // Exact dedup by normalized-content fingerprint (events.props has
