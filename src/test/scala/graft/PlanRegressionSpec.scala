@@ -577,6 +577,21 @@ class PlanRegressionSpec extends AnyFunSuite {
       .foreach(pinBoundedWindows)
   }
 
+  test("d15 blocked near-dup: ONE group exchange, no join, no collect-side broadcast") {
+    // the over-the-gate kernel's whole point: pair work distributes
+    // through a single groupByKey co-location shuffle — no driver
+    // collect (that's the broadcast kernel), no join operator (pairs
+    // emit from the two-array loop inside MapGroups). ≤2 exchanges:
+    // the group-key shuffle plus (on small fixtures only) fanOut's
+    // parallelism repartition under it.
+    val p = plan("d15_neardup_blocked")
+    assert(treeCount(p, "Exchange") <= 2, p.take(3000))
+    assert("hashpartitioning\\(value".r.findAllIn(p).size == 1,
+      "exactly one group-key shuffle")
+    assert(!p.contains("Join"), "blocked kernel must not plan a join")
+    assert(p.contains("MapGroups") || p.contains("FlatMapGroups"), p.take(2000))
+  }
+
   test("q17: single lineitem scan — per-part avg rides the window, not a re-join") {
     val p = plan("q17_small_orders")
     val tree = p.linesIterator.takeWhile(_.trim.nonEmpty).mkString("\n")
