@@ -85,6 +85,19 @@ object CurationQueries extends QueryPack {
       Curation.splitAssign(Tables.load(s, d, "documents"), "doc_id")
         .select(col("doc_id"), col("split"))),
 
+    // Leakage-safe GROUP split (GroupShuffleSplit): train/val/test
+    // assigned by near-dup COMPONENT, not by doc — the alternative to
+    // c10's drop-the-dups pipeline when a corpus deliberately keeps
+    // near-duplicates (augmentation variants, crawl re-fetches). A
+    // per-doc split scatters a dup cluster across train and test —
+    // exactly the leakage c13 audits; hashing the component id
+    // co-assigns every member by construction. Scale shape: the
+    // shared component chain (one build serves c10/d7/d9/c18/g1/c20)
+    // plus one md5 projection — no new shuffle anywhere.
+    "c20_component_split" -> ((s, d) =>
+      Curation.splitAssign(components(s, d), "component")
+        .select(col("doc_id"), col("component"), col("split"))),
+
     // Stratified sample: 10 docs per language, md5-ordered
     "c3_stratified_sample" -> ((s, d) =>
       Curation.stratifiedSample(
@@ -496,12 +509,13 @@ object CurationQueries extends QueryPack {
        |  syms[j] AS piece
        |FROM off""".stripMargin
 
-  private[queries] val splitCase = {
-    val h = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)"
+  private[queries] def splitCaseOn(idExpr: String): String = {
+    val h = s"substr(md5(CAST($idExpr AS VARCHAR)), 1, 8)"
     s"""CASE WHEN $h < 'cccccccc' THEN 'train'
        |     WHEN $h < 'e6666666' THEN 'val'
        |     ELSE 'test' END""".stripMargin
   }
+  private[queries] val splitCase = splitCaseOn("doc_id")
 
   /** First 8 md5 hex chars of doc_id as an unsigned 32-bit BIGINT —
     * DuckDB replay of Curation.hashFrac32 (no conv() in DuckDB, so
@@ -559,6 +573,20 @@ object CurationQueries extends QueryPack {
 
     "c2_split_assign" ->
       s"SELECT doc_id, $splitCase AS split FROM documents",
+
+    "c20_component_split" ->
+      s"""WITH RECURSIVE ${DedupQueries.postingsCte},
+         |e AS (SELECT doc_a AS a, doc_b AS b FROM jac WHERE jaccard >= 0.1
+         |      UNION ALL
+         |      SELECT doc_b, doc_a FROM jac WHERE jaccard >= 0.1),
+         |reach AS (
+         |  SELECT doc_id AS id, doc_id AS peer FROM documents
+         |  UNION
+         |  SELECT r.id, e.b FROM reach r JOIN e ON r.peer = e.a),
+         |comp AS (SELECT id AS doc_id, min(peer) AS component
+         |         FROM reach GROUP BY id)
+         |SELECT doc_id, component, ${splitCaseOn("component")} AS split
+         |FROM comp""".stripMargin,
 
     "c3_stratified_sample" ->
       """SELECT doc_id, lang FROM (

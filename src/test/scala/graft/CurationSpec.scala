@@ -527,4 +527,27 @@ class CurationSpec extends AnyFunSuite {
         graft.sources.Tables.load(spark, sf, "documents").count())
     } finally out.unpersist()
   }
+
+  test("c20: group split co-assigns every component, covers every doc") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("c20_component_split")(spark, sf)
+    // the operator's whole contract: a component never straddles splits
+    assert(out.groupBy(col("component"))
+      .agg(countDistinct(col("split")).as("ns"))
+      .filter(col("ns") > 1).count() == 0L,
+      "a dup component crossed split boundaries")
+    // total coverage, no duplication
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+    assert(out.count() == docs.count())
+    assert(out.select(col("doc_id")).distinct().count() == docs.count())
+    // all three splits are populated on the fixture and the ratios are
+    // hash-driven, not accidental constants (train strictly largest)
+    val bySplit = out.groupBy(col("split")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySplit.keySet == Set("train", "val", "test"), bySplit.toString)
+    assert(bySplit("train") > bySplit("val") &&
+      bySplit("train") > bySplit("test"), bySplit.toString)
+    graft.SparkEntry.releaseShared(spark)
+  }
 }
