@@ -92,8 +92,21 @@ final class FlakyItemStore extends ItemStore {
         while (!done) {
           // deterministic injection: the first attempt of every
           // throttleEvery-th logical request throttles; the retry —
-          // SAME exclusive-start cursor — succeeds
-          if (cfg.throttleEvery > 0 && requestNo % cfg.throttleEvery == 0
+          // SAME exclusive-start cursor — succeeds. hardThrottleAt
+          // marks one request number as throttled on EVERY attempt
+          // (a dead shard / sustained capacity loss), which must
+          // surface as a loud error after maxRetries, not a spin or
+          // a silently short result.
+          if (cfg.hardThrottleAt > 0 && requestNo == cfg.hardThrottleAt) {
+            throttles.incrementAndGet()
+            attempt += 1
+            if (attempt > cfg.maxRetries)
+              throw new IllegalStateException(
+                s"$unitKey: page at cursor $cursor throttled past " +
+                  s"${cfg.maxRetries} retries")
+            retries.incrementAndGet()
+            Thread.sleep(math.min(1L << math.min(attempt, 6), 50L))
+          } else if (cfg.throttleEvery > 0 && requestNo % cfg.throttleEvery == 0
               && attempt == 0) {
             throttles.incrementAndGet()
             attempt += 1
@@ -149,7 +162,8 @@ object FlakyItemStore {
     }
 
   private final case class Config(dir: String, pageSize: Int,
-      throttleEvery: Int, driftAfter: Int, maxRetries: Int)
+      throttleEvery: Int, driftAfter: Int, maxRetries: Int,
+      hardThrottleAt: Long)
 
   private object Config {
     def apply(path: String): Config = {
@@ -163,7 +177,8 @@ object FlakyItemStore {
         pageSize = qs.getOrElse("pageSize", "2").toInt,
         throttleEvery = qs.getOrElse("throttleEvery", "3").toInt,
         driftAfter = qs.getOrElse("driftAfter", Int.MaxValue.toString).toInt,
-        maxRetries = qs.getOrElse("maxRetries", "8").toInt)
+        maxRetries = qs.getOrElse("maxRetries", "8").toInt,
+        hardThrottleAt = qs.getOrElse("hardThrottleAt", "0").toLong)
     }
   }
 }

@@ -207,6 +207,28 @@ class ItemSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sustained throttle (dead shard) fails loudly after maxRetries") {
+    val dir = writeSnapshot()
+    // request #2 throttles on EVERY attempt: the scan must surface an
+    // error, never spin forever or return a silently short result.
+    // maxRetries=2 keeps backoff sleeps trivial.
+    // explicit schema: inference must not pre-trip the hard throttle —
+    // the point is the EXECUTOR read path failing loudly
+    val ex = intercept[Exception] {
+      spark.read.format("graft-items")
+        .option("store", flakyStore)
+        .schema("source_name string, kind string, size bigint, " +
+          "score double, meta string")
+        .load(s"$dir?pageSize=1&throttleEvery=0&hardThrottleAt=2&maxRetries=2")
+        .count()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => String.valueOf(x.getMessage)).toSeq
+    assert(chain(ex).exists(_.contains("throttled past 2 retries")),
+      chain(ex).mkString(" | "))
+  }
+
   test("mid-scan drift inside the sample: attribute lands, early rows null") {
     val dir = writeSnapshot()
     // driftAfter=2 per 4-item segment → items 2..3 of each chunk carry

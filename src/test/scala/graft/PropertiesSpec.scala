@@ -270,4 +270,30 @@ class PropertiesSpec extends AnyFunSuite {
       }
     }, n = 5)
   }
+
+  test("near-dup kernels agree on random corpora (zero vecs, dups, sparse ids)") {
+    // the round-13 gate's bit-identity claim as a PROPERTY, not a
+    // fixture: random small corpora including zero vectors (NaN
+    // cosine — dropped by both kernels), exact duplicate embeddings
+    // (cos 1.0 — kept by both), non-contiguous ids (block assignment
+    // is id mod B), and block counts that don't divide the corpus
+    val vecGen: Gen[Array[Float]] = Gen.frequency(
+      8 -> Gen.listOfN(4, Gen.choose(-3, 3)).map(_.map(_.toFloat).toArray),
+      1 -> Gen.const(Array(0f, 0f, 0f, 0f)))
+    val corpusGen: Gen[List[(Long, Array[Float])]] = for {
+      n <- Gen.choose(2, 14)
+      ids <- Gen.listOfN(n, Gen.choose(0L, 40L)).map(_.distinct)
+      vs <- Gen.listOfN(ids.length, vecGen)
+    } yield ids.zip(vs)
+    holds(Prop.forAll(corpusGen, Gen.choose(2, 5)) { (corpus, blocks) =>
+      val df = corpus.toDF("vec_id", "embedding")
+      def canon(d: org.apache.spark.sql.DataFrame) =
+        d.as[(Long, Long, Double)].collect().sorted.toSeq
+      val bc = canon(graft.similarity.Similarity
+        .nearDupPairsBroadcast(df, 0.6))
+      val bl = canon(graft.similarity.Similarity
+        .nearDupPairsBlocked(df, 0.6, blocks))
+      bc == bl && bl.map(p => (p._1, p._2)).distinct.size == bl.size
+    }, n = 12)
+  }
 }
