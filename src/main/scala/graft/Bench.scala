@@ -28,9 +28,11 @@ import scala.util.control.NonFatal
   *
   * Stall robustness (SCALE.md round-7 addendum): two full passes with
   * per-query min (both recorded), start/end q1 canaries, in-pass >60s
-  * re-measure, and an end-of-suite re-measure for >5s survivors —
-  * layered because this box's 1-3 minute stall windows otherwise turn
-  * arbitrary 1s queries into 10-20s readings.
+  * re-measure, an end-of-suite re-measure for >5s survivors, and
+  * (round 13) a drift-retry for any query reading >2× its previous
+  * same-SF record — layered because this box's 1-3 minute stall
+  * windows otherwise turn arbitrary 1s queries into 10-20s readings,
+  * and the 5 s floor alone missed the d10-class 0.4→2.7 s anomaly.
   */
 object Bench {
 
@@ -250,37 +252,9 @@ object Bench {
     // were already released in-run, so the retry does the same
     // cold-attribution work as the original — and both samples land in
     // "retried" so the discarded reading stays visible.
-    val retriedResults = results.map { case (name, sec) =>
-      if (sec > 5.0 && !retried.contains(name) && !errors.contains(name)) {
-        val (t2, p2r) =
-          try timeQueryPaid(name)
-          catch { case NonFatal(_) => (Double.MaxValue, Nil) }
-        graft.util.Caches.releaseStray()
-        SparkEntry.releaseShared(spark)
-        if (t2 < Double.MaxValue) {
-          retried(name) = (sec, t2)
-          if (t2 < sec) { // the kept sample changed — so does its attribution
-            if (p2r.nonEmpty) paidBuilds(name) = p2r
-            else paidBuilds.remove(name)
-          }
-          name -> math.min(sec, t2)
-        } else name -> sec
-      } else name -> sec
-    }
-
-    val total = retriedResults.collect { case (_, v) if v >= 0 => v }.sum
-
-    // Per-pack (query-family) subtotals + round-over-round drift: the
-    // round-11 c10 regression hid behind a FLAT suite geomean for a
-    // full round-trip — per-family conservation is the check that
-    // catches a family-local shift the aggregate absorbs. The
-    // previous record is whatever BENCH_FULL.json this run is about
-    // to overwrite (same-SF only); pack_drift carries every ratio in
-    // the full record and only the >±25% movers on stdout.
-    def packOf(name: String): String = name.takeWhile(!_.isDigit)
-    val packSums: Seq[(String, Double)] = retriedResults
-      .filter(_._2 >= 0).groupBy(p => packOf(p._1))
-      .map { case (f, qs) => f -> qs.map(_._2).sum }.toSeq.sortBy(_._1)
+    // previous same-SF record, read BEFORE this run overwrites the
+    // file: baseline for the drift-retry pass below and the
+    // pack_drift / q_drift fields of the record
     val prevQueries: Map[String, Double] = try {
       val txt = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("/root/repo/BENCH_FULL.json")), "UTF-8")
@@ -302,10 +276,72 @@ object Bench {
         m.toMap
       }
     } catch { case NonFatal(_) => Map.empty }
+
+    val retriedResults = results.map { case (name, sec) =>
+      if (sec > 5.0 && !retried.contains(name) && !errors.contains(name)) {
+        val (t2, p2r) =
+          try timeQueryPaid(name)
+          catch { case NonFatal(_) => (Double.MaxValue, Nil) }
+        graft.util.Caches.releaseStray()
+        SparkEntry.releaseShared(spark)
+        if (t2 < Double.MaxValue) {
+          retried(name) = (sec, t2)
+          if (t2 < sec) { // the kept sample changed — so does its attribution
+            if (p2r.nonEmpty) paidBuilds(name) = p2r
+            else paidBuilds.remove(name)
+          }
+          name -> math.min(sec, t2)
+        } else name -> sec
+      } else name -> sec
+    }
+
+    // Drift-retry pass (round 13): a reading >2× the query's previous
+    // same-SF record (0.3 s floor) is the d10-class stall signature —
+    // round 12's d10 read 2.72 s on the driver host against a 0.34 s
+    // record with no retry layer catching it (the 5 s floor is above
+    // most queries' stall-inflated readings). Re-measure ONCE against
+    // reset caches, keep the min, record both samples under
+    // "retried". A genuine regression measures the same twice and
+    // keeps its q_drift flag; a stall window is extremely unlikely to
+    // cover the same query again minutes later (the 2-pass argument).
+    val finalResults = retriedResults.map { case (name, sec) =>
+      val suspicious = prevQueries.get(name)
+        .exists(p => sec > 2.0 * p && sec >= 0.3) &&
+        !retried.contains(name) && !errors.contains(name)
+      if (suspicious) {
+        val (t2, p2r) =
+          try timeQueryPaid(name)
+          catch { case NonFatal(_) => (Double.MaxValue, Nil) }
+        graft.util.Caches.releaseStray()
+        SparkEntry.releaseShared(spark)
+        if (t2 < Double.MaxValue) {
+          retried(name) = (sec, t2)
+          if (t2 < sec) {
+            if (p2r.nonEmpty) paidBuilds(name) = p2r
+            else paidBuilds.remove(name)
+          }
+          name -> math.min(sec, t2)
+        } else name -> sec
+      } else name -> sec
+    }
+
+    val total = finalResults.collect { case (_, v) if v >= 0 => v }.sum
+
+    // Per-pack (query-family) subtotals + round-over-round drift: the
+    // round-11 c10 regression hid behind a FLAT suite geomean for a
+    // full round-trip — per-family conservation is the check that
+    // catches a family-local shift the aggregate absorbs. The
+    // previous record is whatever BENCH_FULL.json this run is about
+    // to overwrite (same-SF only); pack_drift carries every ratio in
+    // the full record and only the >±25% movers on stdout.
+    def packOf(name: String): String = name.takeWhile(!_.isDigit)
+    val packSums: Seq[(String, Double)] = finalResults
+      .filter(_._2 >= 0).groupBy(p => packOf(p._1))
+      .map { case (f, qs) => f -> qs.map(_._2).sum }.toSeq.sortBy(_._1)
     // drift ratios compare only queries present in BOTH records —
     // otherwise a family that gained members this round reads as a
     // regression of the family's conservation law rather than growth
-    val curQ = retriedResults.filter(_._2 >= 0).toMap
+    val curQ = finalResults.filter(_._2 >= 0).toMap
     val common = curQ.keySet.intersect(prevQueries.keySet)
     val prevPacks: Map[String, Double] = common.toSeq
       .groupBy(packOf).map { case (f, ns) => f -> ns.map(prevQueries).sum }
@@ -339,7 +375,7 @@ object Bench {
     // stdout the driver captures
     val full = new StringBuilder
     full ++= s"""{"sf":${jstr(sfDir)},"cpus":$cpus,"total":${num(total)}"""
-    full ++= s""","queries":${retriedResults.map { case (k, v) => s"${jstr(k)}:${num6(v)}" }
+    full ++= s""","queries":${finalResults.map { case (k, v) => s"${jstr(k)}:${num6(v)}" }
       .mkString("{", ",", "}")}"""
     full ++= s""","errors":${errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")}"""
@@ -363,7 +399,7 @@ object Bench {
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("/root/repo/BENCH_FULL.json"), full.toString)
 
-    val qsShort = retriedResults
+    val qsShort = finalResults
       .map { case (k, v) => s"${jstr(shortKey(k))}:${sig3(v)}" }
       .mkString("{", ",", "}")
     val extra = new StringBuilder
@@ -400,7 +436,7 @@ object Bench {
     val line =
       if (fullLine.length <= 1950) fullLine
       else {
-        val byFamily = retriedResults.filter(_._2 >= 0)
+        val byFamily = finalResults.filter(_._2 >= 0)
           .groupBy { case (k, _) => k.takeWhile(!_.isDigit) }
           .toSeq.sortBy(_._1)
           .map { case (fam, qs) => s"${jstr(fam)}:${num2(qs.map(_._2).sum)}" }
