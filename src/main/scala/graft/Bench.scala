@@ -277,22 +277,29 @@ object Bench {
       }
     } catch { case NonFatal(_) => Map.empty }
 
-    val retriedResults = results.map { case (name, sec) =>
-      if (sec > 5.0 && !retried.contains(name) && !errors.contains(name)) {
-        val (t2, p2r) =
-          try timeQueryPaid(name)
-          catch { case NonFatal(_) => (Double.MaxValue, Nil) }
-        graft.util.Caches.releaseStray()
-        SparkEntry.releaseShared(spark)
-        if (t2 < Double.MaxValue) {
-          retried(name) = (sec, t2)
-          if (t2 < sec) { // the kept sample changed — so does its attribution
-            if (p2r.nonEmpty) paidBuilds(name) = p2r
-            else paidBuilds.remove(name)
-          }
-          name -> math.min(sec, t2)
-        } else name -> sec
+    // One end-of-suite re-measurement against reset caches, shared by
+    // the >5s and drift-retry layers: keeps the min, pairs the kept
+    // sample with ITS attribution, records both samples.
+    def retryOnce(name: String, sec: Double): (String, Double) = {
+      val (t2, p2r) =
+        try timeQueryPaid(name)
+        catch { case NonFatal(_) => (Double.MaxValue, Nil) }
+      graft.util.Caches.releaseStray()
+      SparkEntry.releaseShared(spark)
+      if (t2 < Double.MaxValue) {
+        retried(name) = (sec, t2)
+        if (t2 < sec) { // the kept sample changed — so does its attribution
+          if (p2r.nonEmpty) paidBuilds(name) = p2r
+          else paidBuilds.remove(name)
+        }
+        name -> math.min(sec, t2)
       } else name -> sec
+    }
+
+    val retriedResults = results.map { case (name, sec) =>
+      if (sec > 5.0 && !retried.contains(name) && !errors.contains(name))
+        retryOnce(name, sec)
+      else name -> sec
     }
 
     // Drift-retry pass (round 13): a reading >2× the query's previous
@@ -304,25 +311,19 @@ object Bench {
     // "retried". A genuine regression measures the same twice and
     // keeps its q_drift flag; a stall window is extremely unlikely to
     // cover the same query again minutes later (the 2-pass argument).
+    // Skip queries whose kept sample already carries paid_builds: a
+    // build-dominated reading drifting past an older record usually
+    // means the ATTRIBUTION moved (memo lifetime change), the retry
+    // would rebuild the shared chain cold (slower than the in-pass
+    // warm reading — it can't rescue anything), and the record line
+    // already explains itself. The d10 class — no builds, pure stall
+    // inflation — is exactly what remains covered.
     val finalResults = retriedResults.map { case (name, sec) =>
       val suspicious = prevQueries.get(name)
         .exists(p => sec > 2.0 * p && sec >= 0.3) &&
-        !retried.contains(name) && !errors.contains(name)
-      if (suspicious) {
-        val (t2, p2r) =
-          try timeQueryPaid(name)
-          catch { case NonFatal(_) => (Double.MaxValue, Nil) }
-        graft.util.Caches.releaseStray()
-        SparkEntry.releaseShared(spark)
-        if (t2 < Double.MaxValue) {
-          retried(name) = (sec, t2)
-          if (t2 < sec) {
-            if (p2r.nonEmpty) paidBuilds(name) = p2r
-            else paidBuilds.remove(name)
-          }
-          name -> math.min(sec, t2)
-        } else name -> sec
-      } else name -> sec
+        !retried.contains(name) && !errors.contains(name) &&
+        !paidBuilds.contains(name)
+      if (suspicious) retryOnce(name, sec) else name -> sec
     }
 
     val total = finalResults.collect { case (_, v) if v >= 0 => v }.sum

@@ -626,9 +626,13 @@ object AnalyticsQueries extends QueryPack {
           sum(lit(2L) * col("ca").cast(DecimalType(38, 0)) * col("cum_b") +
             col("ca").cast(DecimalType(38, 0)) * col("cb")).as("u2x"))
         .filter(col("n_a") >= 1 && col("n_b") >= 1)
+      // n_a·n_b through the same DECIMAL contract: u2x_max = 2·n_a·n_b,
+      // so the unguarded Long product would wrap at only 2× the scale
+      // the u2x fix addressed (round-13 review)
       m.select(col("lang"), col("n_a"), col("n_b"),
         (col("u2x") / lit(2.0)).as("u_a"),
-        (col("n_a") * col("n_b") - col("u2x") / lit(2.0)).as("u_b"))
+        (col("n_a").cast(DecimalType(38, 0)) * col("n_b") -
+          col("u2x") / lit(2.0)).as("u_b"))
     }),
 
     // Autocorrelation of the corpus-wide hourly event-count series at
@@ -946,7 +950,7 @@ object AnalyticsQueries extends QueryPack {
         |  HAVING n_a >= 1 AND n_b >= 1)
         |SELECT lang, n_a, n_b,
         |  u2x / 2.0 AS u_a,
-        |  n_a * n_b - u2x / 2.0 AS u_b
+        |  CAST(n_a AS HUGEINT) * n_b - u2x / 2.0 AS u_b
         |FROM m""".stripMargin,
     "an13_acf" -> {
       val lagSel = (1 to 3).map(k =>

@@ -22,10 +22,16 @@ object DedupQueries extends QueryPack {
     // cands materializes at its FIRST CONSUMER (d3/d11/c13), not at
     // the chain build: c10 reads only stats, and billing the band
     // join to it would shift ~1 s between queries for nothing. The
-    // once-flag keeps the build ledger-attributed wherever it lands.
+    // once-flag keeps the build ledger-attributed wherever it lands —
+    // and resets on release, so a consumer AFTER the d3 lifetime
+    // boundary re-persists and re-attributes instead of silently
+    // recomputing the band join uncached inside its own plan
+    // (round-13 review: the flag must track the cache's state, not
+    // "was it ever built").
     private var candsReady = false
     def cands: DataFrame = synchronized {
       if (!candsReady) {
+        candsDf.persist()
         graft.util.BuildLedger.timed("dedup.lsh_candidates")(candsDf.count())
         candsReady = true
       }
@@ -33,7 +39,10 @@ object DedupQueries extends QueryPack {
     }
     def cached: Seq[DataFrame] = Seq(index, stats, candsDf, sizes)
     /** unpersist without tripping the forcing getter */
-    def releaseCands(): Unit = { candsDf.unpersist(true): Unit }
+    def releaseCands(): Unit = synchronized {
+      candsDf.unpersist(true)
+      candsReady = false
+    }
     def release(): Unit = {
       cached.foreach(_.unpersist(true))
       hotBc.destroy()
@@ -82,10 +91,13 @@ object DedupQueries extends QueryPack {
       // aggregates all the way, and exactly the shape the DuckDB
       // oracle replays); the grouped-index signature form only wins
       // when df >> 1, and it would re-run the object aggregation here
+      // no .cache() here: the Shared.cands getter persists on first
+      // consumption (and re-persists after releaseCands), keeping the
+      // storage flag and the once-gate in lockstep
       val cands = Dedup.lshCandidates(
         Dedup.minhashSignatures(capped.select(col("doc"), col("shingle")),
           numHashes = 8),
-        numHashes = 8, rowsPerBand = 2).cache()
+        numHashes = 8, rowsPerBand = 2)
       // Eager, ledger-attributed materialization (BuildLedger): the
       // lazily-cached memo frames used to fill inside their FIRST
       // consumer's plan, which made that query's bench reading

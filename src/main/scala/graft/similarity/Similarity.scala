@@ -805,7 +805,8 @@ object Similarity {
   }
 
   /** EXACT all-pairs cosine at corpus scale: the triangular block
-    * join. Every vector lands in block `vec_id mod B`; an unordered
+    * join. Every vector lands in block `mix64(vec_id) mod B`
+    * (splitmix64 — id structure must not skew occupancy); an unordered
     * pair with blocks (i, j) is owned by exactly one group key
     * (min(i,j), max(i,j)), so each row replicates to its B group
     * keys, ONE shuffle co-locates every group's two blocks, and a
@@ -819,6 +820,20 @@ object Similarity {
     * row. When N² itself is the problem, that is a THRESHOLD/recall
     * decision, not a kernel one: move to [[semDedupBounded]] or the
     * banded [[lshTopK]] and accept approximate recall explicitly. */
+  /** splitmix64 finalizer — block assignment must not inherit id
+    * structure: a filtered corpus whose ids share a factor with B
+    * (every 5th vec_id, 1000·k ids) would collapse into ONE block
+    * under plain `id mod B`, re-buffering the whole corpus in a
+    * single task — exactly the bound the block join exists to hold.
+    * Partitioning-only (never in output values), so any good mixer
+    * is fine; splitmix64 is public-domain and dependency-free. */
+  private def mix64(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
   def nearDupPairsBlocked(df: DataFrame, threshold: Double,
       blocks: Int): DataFrame = {
     val spark = df.sparkSession
@@ -830,7 +845,7 @@ object Similarity {
     // (groupKey, ownBlock, id, emb): key = p*B + q packs the ordered
     // block pair into one long for the shuffle
     val keyed = vecs.flatMap { case (id, emb) =>
-      val blk = ((id % b) + b) % b
+      val blk = ((mix64(id) % b) + b) % b
       Iterator.tabulate(b) { j =>
         val p = math.min(blk, j.toLong); val q = math.max(blk, j.toLong)
         (p * b + q, blk, id, emb)

@@ -173,8 +173,12 @@ object FlakyItemStore {
           .map(_.split("=", 2)).collect { case Array(k, v) => k -> v }
           .toMap
       }
+      val pageSize = qs.getOrElse("pageSize", "2").toInt
+      require(pageSize > 0,
+        s"pageSize must be positive (got $pageSize) — a zero-item page " +
+          "never advances the cursor and the pager would spin")
       Config(dirOf(path),
-        pageSize = qs.getOrElse("pageSize", "2").toInt,
+        pageSize = pageSize,
         throttleEvery = qs.getOrElse("throttleEvery", "3").toInt,
         driftAfter = qs.getOrElse("driftAfter", Int.MaxValue.toString).toInt,
         maxRetries = qs.getOrElse("maxRetries", "8").toInt,

@@ -577,6 +577,30 @@ class PlanRegressionSpec extends AnyFunSuite {
       .foreach(pinBoundedWindows)
   }
 
+  test("EVERY query: no unpartitioned Window reads a non-aggregated frame") {
+    // the universal form of the pin above — Bench suppresses the
+    // WindowExec warning JVM-wide, so the invariant the warning used
+    // to (noisily) signal must hold for every query, including ones
+    // added after the named list. Partitioned windows are exempt
+    // (their per-partition frames shrink with parallelism); an
+    // UNPARTITIONED window is only ever legal over an
+    // aggregate-bounded input.
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
+      val wins =
+        try physicalPlan(q).collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty => w
+        } catch { case scala.util.control.NonFatal(e) =>
+          fail(s"$q: plan compile failed: ${e.getMessage}")
+        }
+      wins.collect { case w if !aggregateBounded(w.child) => q }.distinct
+    }
+    assert(offenders.isEmpty,
+      s"unpartitioned corpus-frame Window in: ${offenders.mkString(", ")}")
+    SparkEntry.releaseShared(spark)
+    Caches.releaseStray(): Unit
+  }
+
   test("d15 blocked near-dup: ONE group exchange, no join, no collect-side broadcast") {
     // the over-the-gate kernel's whole point: pair work distributes
     // through a single groupByKey co-location shuffle — no driver
