@@ -131,19 +131,35 @@ object Bpe {
         .limit(want + 1) // +1: boundary-count witness for the trim
         .collect()
         .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
-      if (top.isEmpty) return merges.toSeq
+      if (top.isEmpty) { releaseCp(words); return merges.toSeq }
       val batch = selectBatch(top, want)
       batch.foreach { case (l, r) => merges += ((merges.size, l, r)) }
-      val prev = words
+      val prevRdd = cpRdd(words)
       words = words.map { case (syms, n) => (applyMerges(syms, batch), n) }
         .localCheckpoint()
       // the new checkpoint fully materializes the word table, so the
-      // previous round's checkpointed blocks can be freed — without
-      // this, executor storage grows by one word-table per round
-      prev.unpersist()
+      // previous round's checkpointed blocks can be freed — via the
+      // extracted RDD handle: Dataset.unpersist only clears
+      // CacheManager entries and is a NO-OP on checkpoint blocks (the
+      // Graph.scala/Caches.scala contract), so the old form here
+      // leaked one word-table per round until GC/ContextCleaner
+      releaseCp(prevRdd)
     }
+    releaseCp(words) // nothing reads the final word table
     merges.toSeq
   }
+
+  /** A localCheckpoint's storage handle: the LogicalRDD leaf the
+    * checkpoint swapped in. None for non-checkpointed frames. */
+  private def cpRdd(ds: org.apache.spark.sql.Dataset[_])
+      : Option[org.apache.spark.rdd.RDD[_]] =
+    ds.queryExecution.analyzed.collectLeaves().collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }
+  private def releaseCp(ds: org.apache.spark.sql.Dataset[_]): Unit =
+    releaseCp(cpRdd(ds))
+  private def releaseCp(rdd: Option[org.apache.spark.rdd.RDD[_]]): Unit =
+    rdd.foreach(_.unpersist(blocking = false))
 
   private def encodeText(t: String, ordered: Seq[(String, String)]): Seq[String] = {
     val toks = if (t == null) Array.empty[String]

@@ -582,12 +582,29 @@ object Curation {
         if (isT || t == null || t.trim.isEmpty) Iterator.empty
         else {
           val toks = t.trim.split("\\s+")
+          // |contrib| ≤ ~3.5e13 (scale-12, |w| ≤ ~35), so the plain
+          // long sum wraps silently around 260k max-weight tokens —
+          // multi-MB concatenated docs exist in web corpora. Spill
+          // into a BigInteger whenever |acc| crosses 2^61 (≥ 65k
+          // tokens between spills; zero cost on ordinary docs).
+          val SpillBound = 1L << 61
+          var big: java.math.BigInteger = null
           var acc = 0L
           var i = 0
-          while (i < toks.length) { acc += m(bucketOf(md, toks(i))); i += 1 }
+          while (i < toks.length) {
+            acc += m(bucketOf(md, toks(i)))
+            if (acc > SpillBound || acc < -SpillBound) {
+              big = (if (big == null) java.math.BigInteger.ZERO else big)
+                .add(java.math.BigInteger.valueOf(acc))
+              acc = 0L
+            }
+            i += 1
+          }
+          val total = new java.math.BigDecimal(
+            (if (big == null) java.math.BigInteger.ZERO else big)
+              .add(java.math.BigInteger.valueOf(acc)), 12)
           val avg = java.math.BigDecimal
-            .valueOf(java.math.BigDecimal.valueOf(acc, 12).doubleValue()
-              / toks.length)
+            .valueOf(total.doubleValue() / toks.length)
             .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
           Iterator.single((id, toks.length.toLong, avg))
         }
@@ -667,6 +684,10 @@ object Curation {
     * is exactly how a 1000-executor packing job shards batches. */
   def packBins(df: DataFrame, partCol: String, idCol: String,
       tokensCol: String, budget: Long): DataFrame = {
+    // budget=0 would otherwise divide to Infinity and saturate the
+    // floor-cast into garbage bin ids with no error (every sibling
+    // op require()-validates its equivalent parameter)
+    require(budget > 0, s"token budget must be positive (got $budget)")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(partCol)).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -756,7 +777,13 @@ object Curation {
     if (underCutoff) {
       val fetched = e2.collect()
       val spark = nodes.sparkSession
-      val idType = nodes.schema.head.dataType
+      // schema from the EDGE columns — the Row values below come from
+      // e2.collect(), so using the NODES column's type here crashed
+      // ("java.lang.Long is not a valid external type for schema of
+      // int") whenever the two differed; the join + coalesce below
+      // coerce against the node type exactly like the distributed
+      // path's label table does
+      val idType = e2.schema("s").dataType
       // Path-compressed union-find; representative = min member id,
       // chosen at the end so the result is independent of edge order.
       val parent = new java.util.HashMap[Any, Any]()
@@ -821,7 +848,18 @@ object Curation {
       .localCheckpoint()
     var changed = 1L
     var iter = 0
-    while (changed > 0 && iter < 50) {
+    // 64 is a LOUD defense bound, not a convergence budget: with the
+    // pointer-jumping round below, representative distance at least
+    // halves per iteration, so any graph a 64-bit id space can hold
+    // converges in far fewer — the old plain one-hop form capped at
+    // 50 and silently RETURNED unconverged labels for any component
+    // of diameter > 50 (crawl-version chains are exactly that shape).
+    val maxIters = 64
+    while (changed > 0) {
+      if (iter >= maxIters)
+        throw new IllegalStateException(
+          s"connectedComponents: min-label propagation not converged " +
+            s"after $maxIters rounds — refusing to return wrong labels")
       // neighbor-propagated candidate labels + own label, min per node.
       // The self row also carries the previous label ("own"), so the
       // SAME aggregate yields the convergence flag — the old
@@ -830,24 +868,60 @@ object Curation {
       val viaEdges = sym.join(labels, sym("s") === labels("id"))
         .select(col("d").as("id"), col("label"),
           lit(null).cast("long").as("own"))
-      val next = labels
+      // cached: the jumping self-join reads hop on BOTH sides, and
+      // next's eager checkpoint materializes it exactly once here
+      val hop = labels
         .select(col("id"), col("label"), col("label").as("own"))
         .union(viaEdges)
         .groupBy(col("id"))
         .agg(min(col("label")).as("label"), max(col("own")).as("old"))
+        .cache()
+      // pointer jumping: label := min(label, label-of-label). A label
+      // is always a member id of the same component (min over member
+      // ids only ever yields member ids), so the compressed label
+      // stays in-component and the hop distance to the component min
+      // at least halves per round — O(log diameter) convergence where
+      // the one-hop form needed O(diameter) rounds. One extra
+      // label-table self-join per round, nothing corpus-sized.
+      val next = hop.as("n")
+        .join(hop.select(col("id").as("lid"), col("label").as("ll")).as("m"),
+          col("n.label") === col("m.lid"), "left")
+        .select(col("n.id").as("id"),
+          least(col("n.label"), coalesce(col("ll"), col("n.label")))
+            .as("label"),
+          col("n.old").as("old"))
         .localCheckpoint()
       changed = next.filter(col("label") < col("old")).count()
-      val prev = labels
+      hop.unpersist(blocking = false)
+      val prevRdd = cpRdd(labels)
       labels = next // the stale "old" column is never read downstream
-      // previous round's checkpoint blocks are no longer reachable
-      prev.unpersist()
+      // previous round's checkpoint blocks are no longer reachable —
+      // released via the RDD handle (Dataset.unpersist is a NO-OP on
+      // checkpoint blocks; the old form here leaked one label table
+      // per round)
+      prevRdd.foreach(_.unpersist(blocking = false))
       iter += 1
     }
     sym.unpersist()
+    // the FINAL checkpoint feeds the returned lazy join — register it
+    // for operation-boundary release (the Graph.scala contract:
+    // consume before the next Caches.releaseStray sweep)
+    cpRdd(labels).foreach(graft.util.Caches.scopedCheckpointRdd)
     // singletons (no edges) keep their own id as the component
     nodes.select(col(idName))
       .join(labels.withColumnRenamed("id", idName), Seq(idName), "left")
       .select(col(idName),
         coalesce(col("label"), col(idName)).as("component"))
   }
+
+  /** A localCheckpoint's storage handle — the LogicalRDD leaf the
+    * checkpoint swapped in; None for non-checkpointed frames.
+    * `Dataset.unpersist` only clears CacheManager entries, so
+    * checkpoint blocks must release through this handle (the
+    * Graph.scala / Caches.scala contract). */
+  private def cpRdd(ds: org.apache.spark.sql.Dataset[_])
+      : Option[org.apache.spark.rdd.RDD[_]] =
+    ds.queryExecution.analyzed.collectLeaves().collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }
 }

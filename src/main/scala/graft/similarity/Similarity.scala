@@ -61,14 +61,24 @@ object Similarity {
 
   private def topKJoin(queries: DataFrame, corpus: DataFrame,
       joinCond: Column, k: Int): DataFrame = {
-    val cos = (dot(col("q.embedding"), col("c.embedding"))
-      / (col("q.nrm") * col("c.nrm")))
+    // zero-norm guard BEFORE the division: under ANSI (the Spark 4
+    // default) 0.0/0.0 THROWS DIVIDE_BY_ZERO, and under ansi=false it
+    // yields NaN — which Spark sorts as the LARGEST double, so one
+    // garbage corpus vector would rank rn=1 for EVERY query. A
+    // zero-norm pair carries no similarity information: cos goes
+    // NULL and the pair drops. The !isnan covers NaN ELEMENTS inside
+    // an embedding (norm = NaN passes the > 0 comparison because
+    // Spark orders NaN greatest).
+    val normProd = col("q.nrm") * col("c.nrm")
+    val cos = when(normProd > 0,
+      dot(col("q.embedding"), col("c.embedding")) / normProd)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_raw").desc, col("neighbor_id").asc)
     queries.as("q").join(corpus.as("c"),
         joinCond && col("q.vec_id") =!= col("c.vec_id"))
       .select(col("q.vec_id").as("query_id"),
         col("c.vec_id").as("neighbor_id"), cos.as("cos_raw"))
+      .filter(col("cos_raw").isNotNull && !isnan(col("cos_raw")))
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rn"),
@@ -369,14 +379,16 @@ object Similarity {
       nlist: Int, nprobe: Int, iters: Int = 2,
       fitted: Option[Array[(Int, Array[Double])]] = None): DataFrame = {
     val centroids = fitted.getOrElse(kmeansFit(df, nlist, iters))
-    if (centroids.isEmpty)
-      return df.select(col("vec_id").as("query_id"),
-        col("vec_id").as("neighbor_id"), lit(0L).as("rn"),
-        lit(0.0).as("cos_sim")).limit(0)
+    if (centroids.isEmpty) return emptyTopK(df, "cos_sim")
     val corpus = withNorm(assignToCentroids(df, centroids))
     // nearest-nprobe cluster ids per query: sort (dist, cluster)
-    // structs ascending, slice the head, explode to one row per probe
-    val queries = corpus.filter(queryPred)
+    // structs ascending, slice the head, explode to one row per probe.
+    // queryPred filters the FULL df, not the column-stripped
+    // assignment frame — metadata predicates (col("lang") === "en")
+    // must work here exactly as they do in bruteForceTopK / mipsTopK
+    // / lshTopK / pqTopK / ivfPqTopK; the probe list needs only the
+    // embedding, never the query's own cluster assignment.
+    val queries = withNorm(df.filter(queryPred))
       .withColumn("probes",
         slice(array_sort(centroidScores(col("embedding"), centroids)),
           1, nprobe))
@@ -602,11 +614,20 @@ object Similarity {
   private def semDedupAssigned(assigned: DataFrame,
       threshold: Double): DataFrame = {
     val a = graft.util.Caches.scoped(withNorm(assigned))
+    // zero-norm guard BEFORE the division (the topKJoin rationale):
+    // under ANSI 0.0/0.0 throws; under ansi=false it yields NaN,
+    // which Spark orders ABOVE any threshold — ungated, one garbage
+    // vector with the cluster's lowest id would "shadow" (delete)
+    // the whole cluster. NULL cos fails the predicate naturally; the
+    // JVM kernels (nearDupPairsBroadcast/Blocked) already drop NaN
+    // pairs by Java comparison semantics, so the families agree.
+    val normProd = col("x.nrm") * col("y.nrm")
+    val cosXY = when(normProd > 0,
+      dot(col("x.embedding"), col("y.embedding")) / normProd)
     val dups = a.as("x").join(a.as("y"),
         col("x.cluster") === col("y.cluster")
           && col("y.vec_id") < col("x.vec_id"))
-      .filter(dot(col("x.embedding"), col("y.embedding"))
-        / (col("x.nrm") * col("y.nrm")) >= threshold)
+      .filter(cosXY >= threshold && !isnan(cosXY))
       .select(col("x.vec_id").as("vec_id")).distinct()
       .withColumn("dup", lit(true))
     a.select(col("vec_id"), col("cluster"))
@@ -667,16 +688,31 @@ object Similarity {
           .toDF("cell", "m")
         // every cell's id shifts (2·cell) so parent ranges stay
         // disjoint; only overfull cells gain the split bit.
-        // localCheckpoint per round keeps the iterative plan O(1).
+        // localCheckpoint per round keeps the iterative plan O(1);
+        // the PREVIOUS round's checkpoint releases via its RDD handle
+        // (Dataset.unpersist is a no-op on checkpoint blocks — the
+        // unreleased form accumulated one corpus-sized (vec_id, cell,
+        // ps) copy per refinement round)
+        val prevRdd = cur.queryExecution.analyzed.collectLeaves()
+          .collectFirst {
+            case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+          }
         cur = withP.join(broadcast(hotDf), Seq("cell"), "left")
           .withColumn("cell", col("cell") * 2 +
             when(col("m").isNotNull && col("p") > col("m"), 1L)
               .otherwise(0L))
           .drop("p", "m")
           .localCheckpoint()
+        prevRdd.foreach(_.unpersist(blocking = false))
         round += 1
       }
     }
+    // the final checkpoint feeds the returned lazy projection —
+    // operation-boundary release via Caches (the Graph.scala
+    // contract: consume before the next releaseStray sweep)
+    cur.queryExecution.analyzed.collectLeaves().collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(graft.util.Caches.scopedCheckpointRdd)
     cur.select(col("vec_id"), col("cell"))
   }
 

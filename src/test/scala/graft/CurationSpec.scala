@@ -351,6 +351,33 @@ class CurationSpec extends AnyFunSuite {
       5L -> 5L, 6L -> 6L, 7L -> 6L, 8L -> 6L, 9L -> 9L))
   }
 
+  test("connectedComponents: 120-hop chain converges on the distributed path") {
+    // round-13 review: the one-hop form capped at 50 iterations and
+    // silently returned WRONG labels for any component of diameter
+    // > 50 (crawl-version chains are exactly that shape). Pointer
+    // jumping makes convergence O(log d); this chain's diameter (119)
+    // would have broken the old code.
+    val n = 120L
+    val nodes = (1L to n).toDF("id")
+    val edges = (1L until n).map(i => (i + 1, i)).toDF("s", "d")
+    val out = Curation.connectedComponents(nodes, edges, maxDriverEdges = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == n && out.values.forall(_ == 1L),
+      out.filter(_._2 != 1L).take(5).toString)
+  }
+
+  test("connectedComponents small path: int node ids with long edge ids") {
+    // round-13 review: the driver path built its label frame with the
+    // NODES column's type but EDGE-collected values — int nodes +
+    // long edges crashed at materialization ('java.lang.Long is not a
+    // valid external type for schema of int')
+    val nodes = (1 to 5).toDF("id") // IntegerType
+    val edges = Seq((2L, 1L), (4L, 5L)).toDF("s", "d") // LongType
+    val out = Curation.connectedComponents(nodes, edges)
+      .collect().map(r => (r.getInt(0).toLong, r.getLong(1))).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L, 5L -> 4L))
+  }
+
   test("mixtureWeights: sqrt temperature sums to 1 and flattens skew") {
     import org.apache.spark.sql.functions.lit
     // 100 docs in a, 1 doc in b: raw share 100/101 vs sqrt share 10/11

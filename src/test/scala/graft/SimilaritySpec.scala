@@ -359,6 +359,34 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pairs == Set((0L, 1L)))
   }
 
+  test("zero-norm vectors: no NaN neighbors, no cluster shadowing") {
+    // round-13 review: cos(zero, x) = 0/0 = NaN and Spark SQL sorts
+    // NaN as the LARGEST double — ungated, one garbage vector ranked
+    // rn=1 for every query in the topKJoin family and (with the
+    // lowest id in a cluster) semantically "deduped" the entire
+    // cluster. Both paths must ignore NaN pairs.
+    val vz = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)), // garbage: zero norm
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val knn = Similarity.bruteForceTopK(vz, col("vec_id") === 0L, k = 2)
+      .select("neighbor_id", "cos_sim").as[(Long, Double)].collect()
+    assert(!knn.exists(_._2.isNaN), knn.toSeq.toString)
+    assert(knn.map(_._1).toSet == Set(1L, 3L), // never the zero vector
+      knn.toSeq.toString)
+    // semDedup with the zero vector FORCED lowest-id into one cluster:
+    // nothing may be shadowed by it (cos = NaN, not >= threshold)
+    val one = Array(0 -> Array(1.0, 0.0, 0.0, 0.0))
+    val kept = Similarity.semDedup(vz, nlist = 1, threshold = 0.5,
+        fitted = Some(one))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(kept(0L) && kept(2L), kept.toString) // 0 has no lower-id dup
+    assert(!kept(1L), kept.toString) // 1 IS a true dup of 0 (cos ~0.994)
+    assert(kept(3L), kept.toString) // orthogonal to everything real
+  }
+
   test("near-dup gate: blocked path is bit-identical to the broadcast path") {
     // round-13 verdict item 3: the broadcast-smallness contract is a
     // size gate, and the over-the-gate fallback is the EXACT
