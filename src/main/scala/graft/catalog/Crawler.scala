@@ -163,6 +163,14 @@ object Crawler {
       case SnapshotSource => ("parquet", absPath, Map.empty[String, String])
       case JdbcSource(url, dbtable, props) =>
         ("jdbc", "", props ++ Map("url" -> url, "dbtable" -> dbtable))
+      case ConnectorSource(c) =>
+        // a connector-backed read has no (format, location) a durable
+        // external-table manifest can describe — fail with the
+        // remedy, not a MatchError (round-13 review)
+        throw new IllegalArgumentException(
+          s"registerTablePersistent: connector source '${c.name}' is " +
+            "not file-backed — register it per-session via " +
+            "registerTable, or snapshot it to parquet and persist that")
     }
     createExternal(spark, name, df.schema.toDDL, format, location,
       options, comments)
@@ -201,6 +209,18 @@ object Crawler {
     val w = Window.partitionBy(col("table_name"))
       .orderBy(col("registered_at").desc, col("registered_seq").desc,
         col("schema_ddl").desc, col("format").desc, col("location").desc)
+    // a fresh/empty warehouse has no manifest yet — hydration must
+    // report "no tables", not PATH_NOT_FOUND (round-13 review)
+    val mp = new org.apache.hadoop.fs.Path(manifestPath(warehouseDir))
+    val mfs = mp.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!mfs.exists(mp))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "table_name string, format string, location string, " +
+            "options map<string,string>, schema_ddl string, " +
+            "comments map<string,string>, registered_at bigint, " +
+            "registered_seq bigint"))
     // mergeSchema: manifests written before the registered_seq column
     // existed still read; the missing column fills with null, which
     // sorts after any real sequence value under desc.

@@ -38,11 +38,18 @@ object Report {
     * built and trimmed to 255 chars
     * (lambda/pii-report/app.py:162-198). */
   def commentPlan(catalogCols: DataFrame, latestRows: DataFrame): DataFrame =
+    // the join matches on TABLE AND column — on column name alone,
+    // two tables sharing a column name ("id", "name"...) bled each
+    // other's entity comments into the persistent catalog store and
+    // duplicated plan rows (round-13 review; the reference keys its
+    // update by table at lambda/pii-report/app.py:162-198 too)
     catalogCols.join(
       broadcast(latestRows
-        .select(lower(col("column_name")).as("match_name"),
+        .select(lower(col("data_catalog_table_name")).as("match_table"),
+          lower(col("column_name")).as("match_name"),
           col("entityTypes"))),
-      lower(catalogCols("column_name")) === col("match_name"), "left")
+      lower(catalogCols("table_name")) === col("match_table") &&
+        lower(catalogCols("column_name")) === col("match_name"), "left")
       .select(catalogCols("table_name"), catalogCols("column_name"),
         when(col("entityTypes").isNotNull,
           substring(concat(lit("Sensitive Data Element | "),

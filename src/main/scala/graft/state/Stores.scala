@@ -24,11 +24,30 @@ class FindingsStore(spark: SparkSession, dir: String) {
       .partitionBy("data_source_type")
       .parquet(path)
 
-  def read(): DataFrame = spark.read.parquet(path)
+  def read(): DataFrame = {
+    Stores.requireAppended(spark, path, "FindingsStore")
+    spark.read.parquet(path)
+  }
 
   /** F6 read path: one source type (partition-pruned scan). */
   def ofType(sourceType: String): DataFrame =
     read().filter(col("data_source_type") === sourceType)
+}
+
+private object Stores {
+  /** Reading before the first append raised a bare PATH_NOT_FOUND;
+    * the schema here is write-defined (appends carry the pipeline's
+    * columns), so an empty frame cannot be synthesized honestly à la
+    * Tracker.read — fail with the state and the remedy instead. */
+  def requireAppended(spark: SparkSession, path: String,
+      store: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p))
+      throw new IllegalStateException(
+        s"$store at $path has no appended runs yet — run the classify/" +
+          "report stage (or guard the read) before querying it")
+  }
 }
 
 /** S13: governance-tag capture log, keyed like the reference's
@@ -39,5 +58,8 @@ class TagStore(spark: SparkSession, dir: String) {
   def append(tags: DataFrame): Unit =
     tags.write.mode(SaveMode.Append).parquet(path)
 
-  def read(): DataFrame = spark.read.parquet(path)
+  def read(): DataFrame = {
+    Stores.requireAppended(spark, path, "TagStore")
+    spark.read.parquet(path)
+  }
 }

@@ -34,9 +34,16 @@ object EventAggregates {
 
   /** Session windows per user (gap-based), declarative form: built-in
     * session_window merges events closer than `gap` to the previous
-    * event. Works identically in batch and streaming. */
-  def sessions(events: DataFrame, gap: String = "30 minutes"): DataFrame =
-    events
+    * event. Works identically in batch and streaming — a streaming
+    * input gets the same watermark guard as [[windowedCounts]]
+    * (Spark REJECTS streaming session aggregation without one; the
+    * batch path must not carry a watermark no-op). */
+  def sessions(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame = {
+    val src =
+      if (events.isStreaming) events.withWatermark("ts", watermark)
+      else events
+    src
       .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast(DecimalType(28, 2))).cast(DoubleType)
@@ -44,6 +51,7 @@ object EventAggregates {
         date_trunc("millisecond", min(col("ts"))).as("session_start"))
       .select(col("user_id"), col("session_start"), col("n_events"),
         col("total_value"))
+  }
 
   final case class UserEvent(user_id: Long, ts: Timestamp, value: Double)
   final case class UserRunning(user_id: Long, n_events: Long, total: Double)

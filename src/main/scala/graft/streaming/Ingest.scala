@@ -136,9 +136,16 @@ object Ingest {
         else (base, col("e.detail.tags"), nullStr, nullStr)
       gatedBase.select(col(s"e.${r.namePath}").as("source_name"),
         lit(r.srcType).as("data_source_type"),
+        // the event's own tag keys are arbitrary user input — a tag
+        // literally named "region" would hit DUPLICATE_MAP_KEY (the
+        // default mapKeyDedupPolicy is EXCEPTION) and kill the whole
+        // streaming query from inside foreachBatch; the synthesized
+        // provenance key wins, the user tag is dropped
         map_concat(
           map(lit("region"), coalesce(col("e.detail.awsRegion"), lit("unknown"))),
-          coalesce(tagsCol, map().cast(MapType(StringType, StringType))))
+          map_filter(
+            coalesce(tagsCol, map().cast(MapType(StringType, StringType))),
+            (k, _) => k =!= "region"))
           .as("data_source_attrs"),
         tableCol.as("data_catalog_table_name"),
         dbCol.as("data_catalog_db_name"))
@@ -193,7 +200,15 @@ object Ingest {
     * md5(raw_payload) if exactness matters there). */
   def runOnboarding(spark: SparkSession, rawStream: DataFrame,
       tracker: Tracker, checkpointDir: String,
-      dlqDir: Option[String] = None): StreamingQuery =
+      dlqDir: Option[String] = None,
+      requireTag: Option[(String, String)] = Some("gdpr-scan" -> "true"),
+      exceptions: Seq[String] = Nil,
+      catalogDb: String = "graft_catalog"): StreamingQuery =
+    // the F9 tag gate, F10 exception list and tracked catalog db pass
+    // through to onboardingEvents — the deployment entry point used
+    // to hardcode the defaults, so an excepted source onboarded
+    // anyway and a renamed catalog database silently dropped every
+    // Glue event (round-13 review)
     rawStream
       .writeStream
       .outputMode("append")
@@ -203,7 +218,8 @@ object Ingest {
         dlqDir.foreach { d =>
           quarantined(batch).write.mode("append").parquet(d)
         }
-        val events = onboardingEvents(batch)
+        val events = onboardingEvents(batch, requireTag = requireTag,
+          exceptions = exceptions, catalogDb = catalogDb)
         tracker.initEntries(events): Unit
         // glue-catalog rule rows arrive already cataloged (the
         // reference inserts them with data_catalog_entry=True) — mark
@@ -218,7 +234,10 @@ object Ingest {
     * connector, keep the pipeline. */
   def runOnboardingFrom(spark: SparkSession, connector: StreamConnector,
       path: String, tracker: Tracker, checkpointDir: String,
-      dlqDir: Option[String] = None): StreamingQuery =
+      dlqDir: Option[String] = None,
+      requireTag: Option[(String, String)] = Some("gdpr-scan" -> "true"),
+      exceptions: Seq[String] = Nil,
+      catalogDb: String = "graft_catalog"): StreamingQuery =
     runOnboarding(spark, connector.open(spark, path), tracker,
-      checkpointDir, dlqDir)
+      checkpointDir, dlqDir, requireTag, exceptions, catalogDb)
 }
