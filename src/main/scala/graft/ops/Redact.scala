@@ -59,11 +59,17 @@ object Redact {
     * order, so a span never double-counts under two patterns. */
   def redact(df: DataFrame, textCol: String,
       entities: Seq[SpanEntity] = DefaultSpanEntities): DataFrame = {
+    // null-text guard: size(regexp_extract_all(NULL)) is NULL under
+    // ANSI and -1 under ansi=false — either way a row that contained
+    // nothing to redact would poison a summed n_spans audit; a null
+    // text has zero spans by definition
     val (redacted, count) =
       entities.foldLeft((col(textCol), lit(0L))) {
         case ((c, n), (name, pattern)) =>
           (regexp_replace(c, pattern, token(name)),
-            n + size(regexp_extract_all(c, lit(pattern), lit(0))).cast("long"))
+            n + when(col(textCol).isNull, lit(0L))
+              .otherwise(size(regexp_extract_all(c, lit(pattern), lit(0)))
+                .cast("long")))
       }
     df.withColumn("redacted", redacted)
       .withColumn("n_spans", count)
