@@ -1,6 +1,6 @@
 package graft.catalog
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Column-comment metadata layer (SURVEY.md S9/P12 + §7.4 "catalog
@@ -52,14 +52,7 @@ class CatalogComments(spark: SparkSession, dir: String) {
       .select(col("table_name"), col("column_name"),
         substring(col("comment"), 1, 255).as("comment"),
         lit(next).as("version"))
-    val staging = s"$path.staging"
-    others.unionByName(updated)
-      .write.mode(SaveMode.Overwrite).parquet(staging)
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(path), true)
-    fs.rename(new org.apache.hadoop.fs.Path(staging),
-      new org.apache.hadoop.fs.Path(path))
+    graft.util.StagingSwap.swap(others.unionByName(updated), path)
     next
   }
 

@@ -111,6 +111,17 @@ object Crawler {
   private def manifestPath(warehouseDir: String) =
     s"$warehouseDir/_catalog_manifest"
 
+  /** The manifest's schema, defined ONCE: the writer conforms its
+    * frame to this before appending and the empty-warehouse fallback
+    * returns an empty frame of exactly it — adding a manifest column
+    * is a single-site change, the two paths can no longer diverge
+    * (round-13 advice). */
+  private[graft] val ManifestSchema: StructType = StructType.fromDDL(
+    "table_name string, format string, location string, " +
+      "options map<string,string>, schema_ddl string, " +
+      "comments map<string,string>, registered_at bigint, " +
+      "registered_seq bigint")
+
   /** Escape a string for embedding in single-quoted SQL. */
   private def sq(s: String): String = "'" + s.replace("'", "''") + "'"
 
@@ -177,8 +188,8 @@ object Crawler {
     import spark.implicits._
     Seq((name, format, location, options, df.schema.toDDL, comments,
         System.currentTimeMillis(), regSeq.incrementAndGet()))
-      .toDF("table_name", "format", "location", "options", "schema_ddl",
-        "comments", "registered_at", "registered_seq")
+      .toDF(ManifestSchema.fieldNames.toIndexedSeq: _*)
+      .to(ManifestSchema)
       .write.mode("append").parquet(manifestPath(warehouseDir))
     name
   }
@@ -216,11 +227,7 @@ object Crawler {
     if (!mfs.exists(mp))
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType.fromDDL(
-          "table_name string, format string, location string, " +
-            "options map<string,string>, schema_ddl string, " +
-            "comments map<string,string>, registered_at bigint, " +
-            "registered_seq bigint"))
+        ManifestSchema)
     // mergeSchema: manifests written before the registered_seq column
     // existed still read; the missing column fills with null, which
     // sorts after any real sequence value under desc.

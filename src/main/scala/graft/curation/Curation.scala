@@ -754,9 +754,14 @@ object Curation {
     * "skinny" phase over the pruned edge set.)
     *
     * `edges`: (src, dst) undirected pairs; `nodes`: one column of ids
-    * (singletons keep their own id as the component). */
+    * (singletons keep their own id as the component). `maxIters`
+    * bounds the distributed propagation rounds — a LOUD defense
+    * bound, not a convergence budget (see the inline note); exposed
+    * (round-13 advice) so a caller who swaps in a weaker propagation
+    * step, or faces a pathological graph, can raise it instead of
+    * forking the operator. */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
-      maxDriverEdges: Int = 1 << 22): DataFrame = {
+      maxDriverEdges: Int = 1 << 22, maxIters: Int = 64): DataFrame = {
     val idName = nodes.columns.head
     // An edge with a missing endpoint carries no connectivity; drop
     // them up front so neither path sees nulls (a null would NPE the
@@ -848,13 +853,13 @@ object Curation {
       .localCheckpoint()
     var changed = 1L
     var iter = 0
-    // 64 is a LOUD defense bound, not a convergence budget: with the
-    // pointer-jumping round below, representative distance at least
-    // halves per iteration, so any graph a 64-bit id space can hold
-    // converges in far fewer — the old plain one-hop form capped at
-    // 50 and silently RETURNED unconverged labels for any component
-    // of diameter > 50 (crawl-version chains are exactly that shape).
-    val maxIters = 64
+    // The default 64 is a LOUD defense bound, not a convergence
+    // budget: with the pointer-jumping round below, representative
+    // distance at least halves per iteration, so any graph a 64-bit
+    // id space can hold converges in far fewer — the old plain
+    // one-hop form capped at 50 and silently RETURNED unconverged
+    // labels for any component of diameter > 50 (crawl-version
+    // chains are exactly that shape).
     while (changed > 0) {
       if (iter >= maxIters)
         throw new IllegalStateException(

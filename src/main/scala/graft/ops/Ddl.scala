@@ -19,14 +19,80 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object Ddl {
 
-  /** Split a SQL script into statements: on `;`, trimmed, empties and
-    * `--` comment lines dropped (the reference's split loop,
-    * rds-ddl-init/app.py:357-367). */
-  def splitStatements(sqlText: String): Seq[String] =
-    sqlText.split(";").toSeq
+  /** Split a SQL script into statements on `;` — QUOTE- and
+    * COMMENT-AWARE (the round-13 deferred item): a semicolon inside a
+    * single-quoted literal (with `''` or `\'` escapes), a
+    * double-quoted or backtick-quoted identifier, a `--` line
+    * comment, or a `/&#42; &#42;/` block comment is statement TEXT,
+    * not a separator. The reference's split loop
+    * (rds-ddl-init/app.py:357-367) splits naively and corrupts any
+    * INSERT whose data contains `;` — parity-accurate was still
+    * wrong, so this intentionally exceeds it. Statements come back
+    * trimmed; empties and pure `--` comment lines are dropped
+    * (unchanged behavior). */
+  def splitStatements(sqlText: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    val n = sqlText.length
+    var i = 0
+    // 0 normal · 1 '…' · 2 "…" · 3 `…` · 4 -- comment · 5 /* comment
+    var state = 0
+    while (i < n) {
+      val c = sqlText.charAt(i)
+      state match {
+        case 0 =>
+          if (c == ';') { out += cur.result(); cur.clear() }
+          else {
+            cur.append(c)
+            if (c == '\'') state = 1
+            else if (c == '"') state = 2
+            else if (c == '`') state = 3
+            else if (c == '-' && i + 1 < n && sqlText.charAt(i + 1) == '-') {
+              cur.append('-'); i += 1; state = 4
+            } else if (c == '/' && i + 1 < n && sqlText.charAt(i + 1) == '*') {
+              cur.append('*'); i += 1; state = 5
+            }
+          }
+        case 1 =>
+          cur.append(c)
+          if (c == '\\' && i + 1 < n) { // Spark-style backslash escape
+            cur.append(sqlText.charAt(i + 1)); i += 1
+          } else if (c == '\'') {
+            if (i + 1 < n && sqlText.charAt(i + 1) == '\'') { // ANSI ''
+              cur.append('\''); i += 1
+            } else state = 0
+          }
+        case 2 =>
+          cur.append(c)
+          if (c == '"') {
+            if (i + 1 < n && sqlText.charAt(i + 1) == '"') {
+              cur.append('"'); i += 1
+            } else state = 0
+          }
+        case 3 =>
+          cur.append(c)
+          if (c == '`') {
+            if (i + 1 < n && sqlText.charAt(i + 1) == '`') {
+              cur.append('`'); i += 1
+            } else state = 0
+          }
+        case 4 =>
+          cur.append(c)
+          if (c == '\n') state = 0
+        case 5 =>
+          cur.append(c)
+          if (c == '*' && i + 1 < n && sqlText.charAt(i + 1) == '/') {
+            cur.append('/'); i += 1; state = 0
+          }
+      }
+      i += 1
+    }
+    out += cur.result()
+    out.result()
       .map(_.linesIterator.filterNot(_.trim.startsWith("--")).mkString("\n"))
       .map(_.trim)
       .filter(_.nonEmpty)
+  }
 
   /** Execute every statement in order; returns the last result frame. */
   def runScript(spark: SparkSession, sqlText: String): Seq[DataFrame] =

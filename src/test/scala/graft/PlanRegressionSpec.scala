@@ -547,17 +547,92 @@ class PlanRegressionSpec extends AnyFunSuite {
       case p => p
     }
 
-  /** True iff every leaf-scan path below `p` crosses an aggregate —
-    * the "this frame's cardinality is group-key-bounded" certificate. */
-  private def aggregateBounded(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+  /** Grouping columns DECLARED dimension-bounded: grouping on (only)
+    * these collapses a corpus-sized frame to a cardinality that does
+    * not grow with corpus rows — enum-like attributes, bounded time
+    * cells, spec-fixed dimension keys. An aggregate certifies its
+    * output bounded only when every grouping reference is on this
+    * list, when the grouping is empty (a global aggregate yields one
+    * row), or when its INPUT is already bounded (an aggregate never
+    * grows a frame). This closes the round-13 advice hole: a
+    * groupBy(doc_id) feeding an unpartitioned Window now fails the
+    * pin instead of passing as "some aggregate". Extending this list
+    * is a deliberate act — justify the bound when you do. */
+  private val boundedGroupingCols: Set[String] = Set(
+    // enum-like dimensions (fixed value sets in TESTDATA.md)
+    "lang", "language", "kind", "source", "source_name", "event_type",
+    "l_returnflag", "l_linestatus", "o_orderpriority", "o_orderstatus",
+    "l_shipmode", "p_brand", "p_type", "p_size", "p_container",
+    "n_name", "r_name", "c_mktsegment", "quality_band", "band", "bucket",
+    // bounded cell/grid keys (fixed grid, not corpus-scaling)
+    "span_hour", "hour", "dow", "week", "month", "year", "cell", "lag",
+    "cluster", "centroid", "split",
+    // TPC-H dimension keys: row counts fixed or sub-linear by spec
+    "s_suppkey", "l_suppkey", "ps_suppkey", "s_nationkey", "c_nationkey",
+    "n_nationkey", "n_regionkey", "r_regionkey", "s_name")
+
+  private def groupingExprsOf(p: org.apache.spark.sql.execution.SparkPlan)
+      : Option[Seq[org.apache.spark.sql.catalyst.expressions.NamedExpression]] =
     p match {
-      case _: org.apache.spark.sql.execution.aggregate.HashAggregateExec => true
-      case _: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => true
-      case _: org.apache.spark.sql.execution.aggregate.SortAggregateExec => true
-      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
-        aggregateBounded(r.child)
-      case leaf if leaf.children.isEmpty => false
-      case other => other.children.forall(aggregateBounded)
+      case h: org.apache.spark.sql.execution.aggregate.HashAggregateExec =>
+        Some(h.groupingExpressions)
+      case o: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec =>
+        Some(o.groupingExpressions)
+      case s: org.apache.spark.sql.execution.aggregate.SortAggregateExec =>
+        Some(s.groupingExpressions)
+      case _ => None
+    }
+
+  /** A grouping expression is bounded when it is a time-cell
+    * truncation (hour/day/… buckets: cardinality = data time span,
+    * not corpus rows) or when every column it references is on the
+    * declared-bounded list. */
+  private def boundedGroupingExpr(
+      e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean = {
+    val timeCellClasses = Set("TruncTimestamp", "TruncDate", "TimeWindow",
+      "Year", "Month", "Hour", "Minute", "DayOfWeek", "WeekDay",
+      "DayOfMonth", "DayOfYear", "WeekOfYear", "Quarter")
+    timeCellClasses.contains(e.getClass.getSimpleName) ||
+      e.references.toSeq.map(_.name)
+        .forall(n => boundedGroupingCols.contains(n.toLowerCase))
+  }
+
+  /** True iff every leaf-scan path below `p` crosses an aggregate
+    * whose grouping keys are dimension-bounded — the "this frame's
+    * cardinality is group-key-bounded" certificate. Catalyst hoists
+    * computed grouping keys into `_groupingexpression` projections
+    * below the aggregate, so attribute keys resolve through the
+    * subtree's Project aliases before the check. */
+  private def aggregateBounded(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+    groupingExprsOf(p) match {
+      case Some(groups) =>
+        import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference}
+        lazy val aliasDefs = p.collect {
+          case pr: org.apache.spark.sql.execution.ProjectExec => pr.projectList
+        }.flatten.collect { case a: Alias => a }
+        val groupingBounded = groups.forall { g =>
+          val resolved = g match {
+            case a: Alias => a.child
+            // a declared-bounded NAME is the declaration: a query that
+            // aliases its cell key "cell" is claiming the value-domain
+            // bound at the query site (an11/an12) — resolving through
+            // the alias would undo exactly that claim. Only names NOT
+            // on the list resolve to their defining expression (the
+            // _groupingexpression hoist case, e.g. an13's date_trunc).
+            case ar: AttributeReference
+                if !boundedGroupingCols.contains(ar.name.toLowerCase) =>
+              aliasDefs.find(_.exprId == ar.exprId).map(_.child).getOrElse(ar)
+            case other => other
+          }
+          boundedGroupingExpr(resolved)
+        }
+        groupingBounded || p.children.forall(aggregateBounded)
+      case None => p match {
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+          aggregateBounded(r.child)
+        case leaf if leaf.children.isEmpty => false
+        case other => other.children.forall(aggregateBounded)
+      }
     }
 
   private def pinBoundedWindows(q: String): Unit = {

@@ -181,6 +181,41 @@ class StreamingAndDdlSpec extends AnyFunSuite {
     }
   }
 
+  test("ddl split is quote- and comment-aware: `;` in data never splits") {
+    // semicolons inside: a single-quoted literal (plain, '' escape,
+    // \' escape), a quoted identifier, a backtick identifier, a --
+    // line comment, and a /* */ block comment — one statement each
+    val stmts = Ddl.splitStatements(
+      """INSERT INTO t VALUES ('a;b');
+        |INSERT INTO t VALUES ('it''s; fine');
+        |INSERT INTO t VALUES ('esc\'; still one');
+        |SELECT "col;on" FROM t;
+        |SELECT `tick;ed` FROM t;
+        |SELECT 1 FROM t /* not ; a split */ WHERE x = 2;
+        |SELECT 2; -- trailing ; comment
+        |SELECT 3""".stripMargin)
+    // the trailing `-- … ;` comment line must neither split nor
+    // survive: it is stripped and SELECT 3 stands alone
+    assert(stmts.length == 8, stmts.mkString(" || "))
+    assert(stmts(0) == "INSERT INTO t VALUES ('a;b')")
+    assert(stmts(1) == "INSERT INTO t VALUES ('it''s; fine')")
+    assert(stmts(2) == "INSERT INTO t VALUES ('esc\\'; still one')")
+    assert(stmts(3) == "SELECT \"col;on\" FROM t")
+    assert(stmts(4) == "SELECT `tick;ed` FROM t")
+    assert(stmts(5) == "SELECT 1 FROM t /* not ; a split */ WHERE x = 2")
+    assert(stmts(6) == "SELECT 2")
+    assert(stmts(7) == "SELECT 3")
+    // end-to-end: the semicolon-bearing value survives execution
+    try {
+      Ddl.runScript(spark,
+        """CREATE TABLE ddl_semi (id INT, v STRING) USING parquet;
+          |INSERT INTO ddl_semi VALUES (1, 'a;b'), (2, 'plain');""".stripMargin)
+      val vs = spark.table("ddl_semi").collect()
+        .map(r => r.getInt(0) -> r.getString(1)).toMap
+      assert(vs(1) == "a;b")
+    } finally spark.sql("DROP TABLE IF EXISTS ddl_semi")
+  }
+
   test("ddl change flow: re-apply tolerates applied prefix, applies tail") {
     try {
       Ddl.runScript(spark,
