@@ -150,6 +150,16 @@ object SimilarityQueries extends QueryPack {
       Similarity.nearDupPairsBlocked(Tables.load(s, d, "embeddings"),
         0.45, blocks = 4)),
 
+    // The corpus-scale tier (round-14): LSH-band prefilter + exact
+    // cosine verify, forced at the fixture's own 0.45 threshold —
+    // where banding is least favorable (36 bands of 4 bits to hold
+    // the ≥99.9% recall bound at so shallow an angle), which is
+    // exactly why it makes a good driver gate: the oracle is the
+    // same EXACT all-pairs SQL as d6/d15, so a single missed pair or
+    // one cos_sim double off the kernels' fold fails the hash.
+    "d16_neardup_banded" -> ((s, d) =>
+      Similarity.nearDupPairsBanded(Tables.load(s, d, "embeddings"), 0.45)),
+
     // Semantic dedup (SemDeDup): within-cluster cosine >= 0.3 against
     // a lower-id neighbor drops the row; comparisons never cross
     // clusters. Fixture/bench corpora run the flat 8-list contract —
@@ -666,6 +676,13 @@ object SimilarityQueries extends QueryPack {
          |WHERE cos_raw >= 0.45""".stripMargin,
 
     "d15_neardup_blocked" ->
+      s"""WITH $normCte
+         |SELECT vec_a, vec_b, round(cos_raw, 6) AS cos_sim FROM (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, $cosAb AS cos_raw
+         |  FROM n a JOIN n b ON a.vec_id < b.vec_id) t
+         |WHERE cos_raw >= 0.45""".stripMargin,
+
+    "d16_neardup_banded" ->
       s"""WITH $normCte
          |SELECT vec_a, vec_b, round(cos_raw, 6) AS cos_sim FROM (
          |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, $cosAb AS cos_raw

@@ -1,0 +1,115 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.similarity.Similarity
+
+/** Calibration + timing probe for the near-dup gate tiers (round-14
+  * work, SCALE.md's data source for the banded-tier analysis).
+  *
+  * Grid mode (default): per (bits, rows-per-band) choice, measure the
+  * candidate-pair volume and recall against the exact ≥threshold pair
+  * set — the data behind bandPlan's calibration choices.
+  *
+  * Tier mode (`-t`): time the EXACT blocked kernel vs the BANDED
+  * prefilter+verify tier on the same corpus/threshold, and report the
+  * banded tier's candidate count next to N²/2 — the honest statement
+  * of what banding buys at that threshold (at 0.45 the angle is so
+  * wide the bands barely prune; at 0.85+ unrelated pairs survive a
+  * 9-bit band with p≈1/512).
+  *
+  * Usage: runMain graft.tools.ProbeBand <sfDir> [threshold] [-t]
+  */
+object ProbeBand {
+  def main(args: Array[String]): Unit = {
+    val plain = args.filterNot(_.startsWith("-"))
+    val sfDir = if (plain.nonEmpty) plain(0) else "/root/testdata/sf0.01"
+    val threshold = if (plain.length > 1) plain(1).toDouble else 0.45
+    val tierMode = args.contains("-t")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val emb = Tables.load(spark, sfDir, "embeddings").cache()
+    val n = emb.count()
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    println(s"PROBE n=$n dim=$dim threshold=$threshold")
+
+    if (tierMode) {
+      def time[A](what: String)(f: => A): A = {
+        val t0 = System.nanoTime()
+        val r = f
+        println(f"PROBE $what%-14s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+        r
+      }
+      val blocks = math.max(2L, (n + 131071) / 131072).toInt
+      val nExact = time("exact_blocked") {
+        Similarity.nearDupPairsBlocked(emb, threshold, blocks)
+          .queryExecution.toRdd.count()
+      }
+      val nBanded = time("banded_verify") {
+        Similarity.nearDupPairsBanded(emb, threshold)
+          .queryExecution.toRdd.count()
+      }
+      val (rpb, bands) = Similarity.bandPlan(threshold)
+      // candidate volume = the banded tier's actual pair work
+      val projs = Similarity.hyperplaneProjections(rpb * bands, dim)
+      val sig = emb.withColumn("sig",
+        Similarity.signature(col("embedding"), projs))
+      val keyed = sig.select(col("vec_id"), explode(array(
+        (0 until bands).map(b => concat(lit(s"$b:"),
+          substring(col("sig"), b * rpb + 1, rpb))): _*)).as("bk"))
+      val nCand = keyed.as("x").join(keyed.as("y"),
+          col("x.bk") === col("y.bk") && col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id"), col("y.vec_id")).distinct().count()
+      println(f"PROBE plan rpb=$rpb bands=$bands pairs_exact=$nExact " +
+        f"pairs_banded=$nBanded candidates=$nCand " +
+        f"(${nCand * 200.0 / (n.toDouble * (n - 1))}%6.3f%% of all pairs)")
+      if (nBanded != nExact)
+        println(s"PROBE RECALL MISS: banded found $nBanded of $nExact")
+      spark.stop()
+      return
+    }
+
+    val exact = Similarity.nearDupPairsBroadcast(emb, threshold).cache()
+    val nExact = exact.count()
+    println(s"PROBE exact_pairs=$nExact")
+    exact.select(min(col("cos_sim")), expr("percentile(cos_sim, 0.01)"),
+        expr("percentile(cos_sim, 0.1)"), expr("percentile(cos_sim, 0.5)"),
+        max(col("cos_sim")))
+      .collect().foreach(r => println(s"PROBE cos_dist=$r"))
+
+    for ((bits, rpb) <- Seq((16, 2), (32, 2), (32, 4), (64, 4), (64, 8),
+        (96, 4), (128, 8))) {
+      val bands = bits / rpb
+      val projs = Similarity.hyperplaneProjections(bits, dim)
+      val sig = emb.withColumn("sig",
+        Similarity.signature(col("embedding"), projs))
+      val bandKeys = (0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          substring(col("sig"), b * rpb + 1, rpb).as("bk"))
+      }
+      val keyed = sig.select(col("vec_id"),
+        explode(array(bandKeys: _*)).as("k"))
+      val cand = keyed.as("x").join(keyed.as("y"),
+          col("x.k") === col("y.k") &&
+            col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+        .distinct().cache()
+      val nCand = cand.count()
+      val hit = exact.join(cand, Seq("vec_a", "vec_b"), "left_semi").count()
+      println(f"PROBE bits=$bits%3d rpb=$rpb bands=$bands%2d " +
+        f"candidates=$nCand%10d (${nCand * 100.0 / (n * (n - 1) / 2)}%6.3f%% of all) " +
+        f"recall=${hit * 100.0 / math.max(1, nExact)}%7.3f%% ($hit/$nExact)")
+      cand.unpersist()
+    }
+    spark.stop()
+  }
+}

@@ -406,6 +406,57 @@ class SimilaritySpec extends AnyFunSuite {
     assert(viaBroadcast == viaBlocked)
     // pair-block ownership is exclusive: no pair may appear twice
     assert(viaBlocked.map(p => (p._1, p._2)).distinct.size == viaBlocked.size)
+    // round-14 third tier forced through the same public gate: the
+    // banded prefilter + exact verify must reproduce the exact tiers'
+    // rows AND cos_sim doubles on the fixture (the verify fold is the
+    // kernels' fold; recall here is the deterministic-hyperplane
+    // outcome the calibration promises ≥99.9% per pair)
+    val viaBanded = canon(
+      Similarity.nearDupPairs(emb, 0.45, maxBroadcastRows = 1L,
+        maxExactRows = 1L))
+    assert(viaBanded == viaBroadcast)
+  }
+
+  test("banded tier: result-identical to blocked-exact on planted near-dups at 0.85") {
+    // round-13 verdict item 1's spec pin: a corpus with REAL
+    // high-similarity structure (20 clusters x 5 perturbed copies +
+    // 300 background vectors), threshold 0.85. The banded tier's
+    // candidates must contain every exact pair (calibrated bands) and
+    // the verify step must emit bit-identical cos_sim values.
+    val rnd = new scala.util.Random(7)
+    def unit(dim: Int): Array[Float] = {
+      val v = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / n)
+    }
+    val dim = 64
+    val rows = (0 until 20).flatMap { c =>
+      val base = unit(dim)
+      (0 until 5).map { j =>
+        val v = base.zip(unit(dim)).map { case (b, e) => b + 0.05f * e }
+        ((c * 5 + j).toLong, v)
+      }
+    } ++ (0 until 300).map(i => ((100 + i).toLong, unit(dim)))
+    val df = rows.toDF("vec_id", "embedding")
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.select("vec_a", "vec_b", "cos_sim")
+        .as[(Long, Long, Double)].collect().sorted.toSeq
+    val exact = canon(Similarity.nearDupPairsBlocked(df, 0.85, blocks = 3))
+    val banded = canon(Similarity.nearDupPairsBanded(df, 0.85))
+    assert(exact.size >= 150, s"fixture must plant >=150 pairs, got ${exact.size}")
+    assert(banded == exact)
+  }
+
+  test("bandPlan calibration: deeper bands at higher thresholds, recall bound holds") {
+    val (rpb45, bands45) = Similarity.bandPlan(0.45)
+    val (rpb85, bands85) = Similarity.bandPlan(0.85)
+    assert(rpb85 > rpb45, "higher threshold admits deeper (more selective) bands")
+    def recallAt(t: Double, rpb: Int, bands: Int): Double = {
+      val p = 1.0 - math.acos(t) / math.Pi
+      1.0 - math.pow(1.0 - math.pow(p, rpb), bands)
+    }
+    assert(recallAt(0.45, rpb45, bands45) >= 0.999)
+    assert(recallAt(0.85, rpb85, bands85) >= 0.999)
   }
 
   test("semDedup drops only lower-id-shadowed near-dups within a cluster") {
