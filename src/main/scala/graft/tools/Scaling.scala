@@ -179,7 +179,21 @@ object Scaling {
     "c15_weighted_interleave" -> "documents",
     "d10_incremental_dedup" -> "events",
     "b2_bpe_encode" -> "documents",
-    "ev2_dedup_sweep" -> "documents")
+    "ev2_dedup_sweep" -> "documents",
+    // round-14 additions (verdict items 1 and 4). d15 is the EXACT
+    // triangular block join: its exponent is ~2 BY DESIGN (N²/2 pair
+    // dot-products — partitioning bounds memory, never compute), so
+    // it is measured at x1/x10 ONLY; the x100 leg would be ~100× the
+    // x10 reading, which is the finding, not a gap. d16 is the
+    // banded tier over the same input at the same threshold — the
+    // pair that documents what the third gate tier buys. c20 rides
+    // the shared components build (marginal cost should be near-flat
+    // over d7). dsv1 is the DataSource V2 snapshot scan end-to-end
+    // (snapshot re-export + segment-planned JSON-chunk read).
+    "d15_neardup_blocked" -> "embeddings",
+    "d16_neardup_banded" -> "embeddings",
+    "c20_component_split" -> "documents",
+    "dsv1_items_scan" -> "documents")
 
   /** Measured interpretation notes embedded per row — the exponent
     * alone can mislead when the OUTPUT grows with the corpus. */
