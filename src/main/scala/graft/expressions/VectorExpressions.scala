@@ -396,6 +396,120 @@ case class QuantizeInt8(child: Expression)
   override def prettyName: String = "quantize_int8"
 }
 
+/** The whole hyperplane bit-signature as ONE codegen'd expression —
+  * the LSH signature kernel behind `Similarity.signature`.
+  *
+  * The composed form — concat of per-plane when(dot(emb, lit-array)
+  * >= 0, "1") — builds bits·dim literal nodes and bits separate dot
+  * loops in one Project; at the banded near-dup tier's 144-333 bit
+  * plans that tree costs seconds of per-run driver analysis +
+  * whole-stage compile before a row moves (measured ~4 s fixed on
+  * d16). Here the plane matrix is one referenced object and the
+  * generated code is the flat two-level loop.
+  *
+  * Semantics are EXACTLY the composed form's, bit for bit: per plane
+  * an ascending-index double fold; bit '1' iff NOT (dot < 0) — the
+  * exact truth table of when(dot >= 0, "1").otherwise("0") under
+  * Spark's NaN-greatest ordering (NaN dot signs '1'; downstream
+  * cosine guards drop NaN pairs everywhere, round-13 work); a null
+  * input, null element, or length mismatch yields '0' for that plane
+  * exactly as when(null).otherwise("0") did, and the output is never
+  * null. VectorExpressionsSpec pins equality against the composed
+  * form on all of those cases.
+  */
+case class HyperplaneSignature(child: Expression,
+    planes: Array[Array[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(planes.nonEmpty, "at least one hyperplane")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"hyperplane_signature expects array<float|double>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = false
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val a = child.eval(input)
+    val bits = new Array[Byte](planes.length)
+    java.util.Arrays.fill(bits, '0'.toByte)
+    if (a != null) {
+      val x = a.asInstanceOf[ArrayData]
+      val n = x.numElements()
+      val f = isFloat
+      var p = 0
+      while (p < planes.length) {
+        val pl = planes(p)
+        if (pl.length == n) {
+          var acc = 0.0
+          var i = 0
+          var ok = true
+          while (ok && i < n) {
+            if (x.isNullAt(i)) ok = false
+            else {
+              acc += (if (f) x.getFloat(i).toDouble else x.getDouble(i)) * pl(i)
+              i += 1
+            }
+          }
+          // !(acc < 0): NaN signs '1', matching the composed
+          // when(dot >= 0) form under Spark's NaN-greatest ordering
+          if (ok && !(acc < 0.0)) bits(p) = '1'.toByte
+        }
+        p += 1
+      }
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromBytes(bits)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val childGen = child.genCode(ctx)
+    val planesRef = ctx.addReferenceObj("planes", planes, "double[][]")
+    val get = if (isFloat) "getFloat" else "getDouble"
+    val bits = ctx.freshName("bits")
+    val n = ctx.freshName("n")
+    val p = ctx.freshName("p")
+    val i = ctx.freshName("i")
+    val acc = ctx.freshName("acc")
+    val ok = ctx.freshName("ok")
+    val pl = ctx.freshName("pl")
+    val body =
+      s"""
+         |byte[] $bits = new byte[${planes.length}];
+         |java.util.Arrays.fill($bits, (byte) '0');
+         |if (!${childGen.isNull}) {
+         |  int $n = ${childGen.value}.numElements();
+         |  for (int $p = 0; $p < $planesRef.length; $p++) {
+         |    double[] $pl = $planesRef[$p];
+         |    if ($pl.length == $n) {
+         |      double $acc = 0.0;
+         |      boolean $ok = true;
+         |      for (int $i = 0; $ok && $i < $n; $i++) {
+         |        if (${childGen.value}.isNullAt($i)) { $ok = false; }
+         |        else { $acc += ((double) ${childGen.value}.$get($i)) * $pl[$i]; }
+         |      }
+         |      if ($ok && !($acc < 0.0)) { $bits[$p] = (byte) '1'; }
+         |    }
+         |  }
+         |}
+         |UTF8String ${ev.value} = UTF8String.fromBytes($bits);
+       """.stripMargin
+    ev.copy(code = childGen.code + code"$body", isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "hyperplane_signature"
+}
+
 object VectorExpressions {
 
   /** Column API: fused codegen'd symmetric int8 quantization —
@@ -420,6 +534,12 @@ object VectorExpressions {
       centroids: Array[(Int, Array[Double])]): Column =
     Bridge.column(NearestCentroid(Bridge.expression(emb),
       centroids.map(_._1), centroids.map(_._2)))
+
+  /** Column API: the '0'/'1' hyperplane bit signature as one fused
+    * kernel (sign of each plane's ascending-order dot). */
+  def hyperplane_signature(emb: Column,
+      planes: Array[Array[Double]]): Column =
+    Bridge.column(HyperplaneSignature(Bridge.expression(emb), planes))
 
   /** Register `dot_product` for SQL use in this session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

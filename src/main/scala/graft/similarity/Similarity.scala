@@ -51,13 +51,19 @@ object Similarity {
   }
 
   /** Bit-signature column: sign of the projection dot per hyperplane
-    * (>= 0 → '1'). Projections are literal arrays — no per-row hashing
-    * cost, the whole signature stays in codegen. */
+    * (>= 0 → '1'), as ONE fused codegen kernel
+    * ([[graft.expressions.HyperplaneSignature]] — the plane matrix is
+    * a single referenced object, the generated code a flat two-level
+    * loop). The old composed form — concat of per-plane
+    * when(dot(emb, lit-array) >= 0, "1") — built bits·dim literal
+    * nodes in one Project; at the banded near-dup tier's 144+-bit
+    * plans that tree cost seconds of per-run driver analysis before
+    * a row moved. Bit-for-bit identical semantics (ascending-order
+    * dot folds; null/NaN/length-mismatch rows sign '0' per plane),
+    * spec-pinned against the composed form. */
   def signature(emb: Column, projs: Seq[Array[Double]]): Column =
-    concat(projs.map { p =>
-      val arr = array(p.toIndexedSeq.map(lit): _*)
-      when(dot(emb, arr) >= 0, lit("1")).otherwise(lit("0"))
-    }: _*)
+    graft.expressions.VectorExpressions.hyperplane_signature(
+      emb, projs.toArray)
 
   private def topKJoin(queries: DataFrame, corpus: DataFrame,
       joinCond: Column, k: Int): DataFrame = {
@@ -799,18 +805,51 @@ object Similarity {
     * `maxExactRows` defaults to 8M: at dim 64 that is ~3×10¹³ pair
     * dot-products — about the most a real cluster should ever spend
     * on EXACT all-pairs before the threshold/recall conversation
-    * (semdedup, banding) has to happen anyway. */
+    * (semdedup, banding) has to happen anyway.
+    *
+    * Past `maxExactRows` the banded tier runs ONLY when its bands
+    * actually prune (see [[nearDupTier]]): at low thresholds the
+    * hyperplane angle is so wide that recall-calibrated bands admit
+    * nearly every pair as a candidate — measured on the ×10 scaling
+    * corpus at threshold 0.45, the banded tier read 82 s against the
+    * exact block join's 8.2 s, because a shuffled candidate row
+    * costs ~10× a block-local pair loop iteration. A non-pruning
+    * threshold past the exact cap means the CALLER's threshold
+    * choice has made the problem quadratic; the block join is then
+    * the fastest exact engine there is, and the sub-quadratic tools
+    * are the explicit-recall ones (semDedup d12, MinHash-LSH d3). */
   def nearDupPairs(df: DataFrame, threshold: Double,
       maxBroadcastRows: Long = 2000000L,
       maxExactRows: Long = 8000000L): DataFrame = {
     val n = df.select(col("vec_id")).count()
-    if (n <= maxBroadcastRows) nearDupPairsBroadcast(df, threshold)
-    else if (n <= maxExactRows) {
-      // task memory = 2 blocks ≈ 2·131072·dim·8 B (~134 MB at dim 64)
-      val blocks = math.max(2L, (n + 131071) / 131072).toInt
-      nearDupPairsBlocked(df, threshold, blocks)
-    } else nearDupPairsBanded(df, threshold)
+    nearDupTier(n, threshold, maxBroadcastRows, maxExactRows) match {
+      case "broadcast" => nearDupPairsBroadcast(df, threshold)
+      case "banded" => nearDupPairsBanded(df, threshold)
+      case _ =>
+        // task memory = 2 blocks ≈ 2·131072·dim·8 B (~134 MB at dim 64)
+        val blocks = math.max(2L, (n + 131071) / 131072).toInt
+        nearDupPairsBlocked(df, threshold, blocks)
+    }
   }
+
+  /** The gate's tier decision, separated so SimilaritySpec can pin
+    * the dispatch table directly. "banded" requires BOTH corpus
+    * scale (n > maxExactRows) and a pruning band plan: the expected
+    * unrelated-pair candidate rate is ~bands·2^-rpb (two unrelated
+    * vectors agree on a sign bit with p = 1/2), and below a 1/8 rate
+    * the prefilter pays for its shuffled candidates; at or above it
+    * the exact block join's in-task pair loop is cheaper per pair
+    * than a shuffled candidate, so "blocked" stays the best engine
+    * even past the cap (the ×10 measurement in [[nearDupPairs]]'
+    * scaladoc). */
+  private[graft] def nearDupTier(n: Long, threshold: Double,
+      maxBroadcastRows: Long, maxExactRows: Long): String =
+    if (n <= maxBroadcastRows) "broadcast"
+    else if (n <= maxExactRows) "blocked"
+    else {
+      val (rpb, bands) = bandPlan(threshold)
+      if (bands.toDouble / (1L << rpb) <= 0.125) "banded" else "blocked"
+    }
 
   /** The small-corpus kernel: the comparison side is collected
     * (vec count × dim floats — the same smallness requirement as a

@@ -19,7 +19,9 @@ import graft.similarity.Similarity
   * wide the bands barely prune; at 0.85+ unrelated pairs survive a
   * 9-bit band with p≈1/512).
   *
-  * Usage: runMain graft.tools.ProbeBand <sfDir> [threshold] [-t]
+  * Usage: runMain graft.tools.ProbeBand <sfDir> [threshold] [-t [-b]]
+  * (`-b` skips the exact kernel — for corpus sizes where exact is the
+  * multi-minute non-option the banded tier exists to replace)
   */
 object ProbeBand {
   def main(args: Array[String]): Unit = {
@@ -50,7 +52,7 @@ object ProbeBand {
         r
       }
       val blocks = math.max(2L, (n + 131071) / 131072).toInt
-      val nExact = time("exact_blocked") {
+      val nExact = if (args.contains("-b")) -1L else time("exact_blocked") {
         Similarity.nearDupPairsBlocked(emb, threshold, blocks)
           .queryExecution.toRdd.count()
       }
@@ -72,7 +74,7 @@ object ProbeBand {
       println(f"PROBE plan rpb=$rpb bands=$bands pairs_exact=$nExact " +
         f"pairs_banded=$nBanded candidates=$nCand " +
         f"(${nCand * 200.0 / (n.toDouble * (n - 1))}%6.3f%% of all pairs)")
-      if (nBanded != nExact)
+      if (nExact >= 0 && nBanded != nExact)
         println(s"PROBE RECALL MISS: banded found $nBanded of $nExact")
       spark.stop()
       return

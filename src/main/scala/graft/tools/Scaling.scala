@@ -324,7 +324,33 @@ object Scaling {
       "cold (the d2/c13/g2 measurement convention; ledger names " +
       "dedup.grouped_index / dedup.pair_stats); its own work — four " +
       "threshold aggregates over the bounded pair table — is sub-second, " +
-      "so the exponent IS the chain rebuild's"))
+      "so the exponent IS the chain rebuild's"),
+    "d15_neardup_blocked" -> ("exact all-pairs BY DESIGN: pair work is " +
+      "N^2/2, so x10 means 100x the dot-products — that quadratic IS the " +
+      "finding (round-13 verdict item 1). The 1->10 exponent reads low " +
+      "only because the x1 reading is the ~0.5 s scheduling floor; the " +
+      "x10 reading is pair-work-dominated and a x100 leg would be ~100x " +
+      "it (~15 min), deliberately not spent: past the gate's 8M-row cap " +
+      "this kernel is the bounded-N exact tool, never the corpus path"),
+    "d16_neardup_banded" -> ("the banded tier forced at the fixture's " +
+      "0.45 threshold — banding's WORST regime (the recall-calibrated " +
+      "4-bit bands admit ~90% of all pairs as candidates), so candidate " +
+      "volume tracks N^2 and the time matches d15's shape with a " +
+      "shuffled-candidate constant on top (x10: 70 s banded vs 8 s " +
+      "exact-blocked). This measurement is the DATA behind the gate's " +
+      "banding-must-prune rule: nearDupTier routes sub-pruning " +
+      "thresholds to the exact block join and reserves the banded tier " +
+      "for thresholds whose bands prune (0.85 -> 9-bit bands, ~7% " +
+      "unrelated-pair candidate rate)"),
+    "c20_component_split" -> ("rides the shared near-dup components " +
+      "memo (ledger: curation.components — the same build d7/c18 pay); " +
+      "its marginal work is one split-assignment projection joined back " +
+      "to the doc table, so the exponent tracks the component build"),
+    "dsv1_items_scan" -> ("DataSource V2 snapshot scan end-to-end: " +
+      "segment-parallel JSON-chunk read with pushdown+pruning; the " +
+      "one-time snapshot re-export (target/items_snapshot, _DONE-marked) " +
+      "is paid by the first pass at each scale and excluded by the " +
+      "min-of-passes protocol, so the row measures the scan itself"))
   // q7/q8 (TPC-H shapes) are deliberately NOT in the study: their
   // fixed 1996-1998 date predicates select zero rows against the
   // synthetic orders/lineitem date ranges (2023+, tied to the as-of

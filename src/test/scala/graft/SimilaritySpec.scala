@@ -406,15 +406,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(viaBroadcast == viaBlocked)
     // pair-block ownership is exclusive: no pair may appear twice
     assert(viaBlocked.map(p => (p._1, p._2)).distinct.size == viaBlocked.size)
-    // round-14 third tier forced through the same public gate: the
-    // banded prefilter + exact verify must reproduce the exact tiers'
-    // rows AND cos_sim doubles on the fixture (the verify fold is the
-    // kernels' fold; recall here is the deterministic-hyperplane
-    // outcome the calibration promises ≥99.9% per pair)
-    val viaBanded = canon(
-      Similarity.nearDupPairs(emb, 0.45, maxBroadcastRows = 1L,
-        maxExactRows = 1L))
+    // round-14 third tier, called directly (the public gate routes a
+    // NON-pruning threshold like 0.45 back to the exact block join —
+    // see the dispatch-table test): the banded prefilter + exact
+    // verify must reproduce the exact tiers' rows AND cos_sim doubles
+    // on the fixture (the verify fold is the kernels' fold; recall
+    // here is the deterministic-hyperplane outcome the calibration
+    // promises ≥99.9% per pair)
+    val viaBanded = canon(Similarity.nearDupPairsBanded(emb, 0.45))
     assert(viaBanded == viaBroadcast)
+  }
+
+  test("near-dup gate dispatch table: size tiers + the banding-must-prune rule") {
+    def tier(n: Long, t: Double) = Similarity.nearDupTier(n, t,
+      maxBroadcastRows = 100L, maxExactRows = 1000L)
+    assert(tier(50L, 0.85) == "broadcast")
+    assert(tier(500L, 0.85) == "blocked")
+    // past the exact cap: a pruning threshold (0.85 → 9-bit bands,
+    // unrelated-pair candidate rate 37/512 ≈ 7%) goes banded...
+    assert(tier(5000L, 0.85) == "banded")
+    // ...but a sub-pruning threshold (0.45 → 4-bit bands, rate
+    // 36/16 > 1: the bands admit everything) stays on the exact
+    // block join — measured 10× faster at ×10 scale
+    assert(tier(5000L, 0.45) == "blocked")
   }
 
   test("banded tier: result-identical to blocked-exact on planted near-dups at 0.85") {

@@ -13,6 +13,44 @@ class VectorExpressionsSpec extends AnyFunSuite {
     (2L, Array(0.5f, -1.5f, 2.25f), Array(2.0f, 2.0f, 2.0f))
   ).toDF("id", "a", "b")
 
+  test("hyperplane_signature matches the composed when(dot>=0) form bit-for-bit") {
+    // planes chosen so both signs occur; vectors cover the parity
+    // cases: normal, negative-dot, zero vector (dot 0.0 -> '1', since
+    // 0.0 >= 0), NaN element (dot NaN -> '1': Spark orders NaN
+    // greatest, so when(dot >= 0) fires -- downstream cosine guards
+    // drop NaN pairs), null input (-> all '0'), and a length
+    // mismatch against the planes (-> all '0')
+    val planes = Seq(Array(1.0, -1.0, 0.5), Array(-2.0, 0.25, 1.0))
+    val vs = Seq(
+      (1L, Array(1.0f, 2.0f, 3.0f)),
+      (2L, Array(3.0f, -1.0f, -4.0f)),
+      (3L, Array(0.0f, 0.0f, 0.0f)),
+      (4L, Array(Float.NaN, 1.0f, 1.0f)),
+      (5L, null.asInstanceOf[Array[Float]]),
+      (6L, Array(1.0f, 2.0f)) // length mismatch
+    ).toDF("id", "emb")
+    val composed = concat(planes.map { p =>
+      val arr = array(p.toIndexedSeq.map(lit): _*)
+      when(VectorExpressions.dot_product(col("emb"), arr) >= 0, lit("1"))
+        .otherwise(lit("0"))
+    }: _*)
+    val rows = vs.select(col("id"),
+        VectorExpressions.hyperplane_signature(col("emb"), planes.toArray).as("fast"),
+        composed.as("ref"))
+      .collect()
+    rows.foreach { r =>
+      // the composed form yields NULL for a null input (concat of
+      // nulls); the kernel's contract is the never-null all-zeros
+      // form of the same decision ('0' per plane) — assert equality
+      // where the composed form is defined, all-zeros where not
+      val ref = if (r.isNullAt(2)) "00" else r.getString(2)
+      assert(r.getString(1) == ref, s"id=${r.getLong(0)}")
+    }
+    assert(rows.find(_.getLong(0) == 3L).get.getString(1) == "11") // 0.0 >= 0
+    assert(rows.find(_.getLong(0) == 4L).get.getString(1) == "11") // NaN
+    assert(rows.find(_.getLong(0) == 6L).get.getString(1) == "00") // mismatch
+  }
+
   test("dot_product matches the composed-built-ins fold exactly") {
     val hof = aggregate(
       zip_with(col("a"), col("b"), (x, y) => x.cast("double") * y.cast("double")),
