@@ -865,7 +865,11 @@ object Similarity {
   def nearDupPairsBroadcast(df: DataFrame, threshold: Double): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // null embeddings drop BEFORE the kernel: a null array would NPE
+    // the tight loops, and the declarative paths + the DuckDB oracle
+    // agree a null vector pairs with nothing (cos → NULL → filtered)
     val vecs = graft.sources.Tables.fanOut(df)
+      .filter(col("embedding").isNotNull)
       .select(col("vec_id").cast("long"), col("embedding"))
       .as[(Long, Array[Float])]
     val block = vecs.collect().sortBy(_._1)
@@ -930,7 +934,9 @@ object Similarity {
     val spark = df.sparkSession
     import spark.implicits._
     val b = blocks
+    // null-embedding drop: same contract as the broadcast kernel
     val vecs = graft.sources.Tables.fanOut(df)
+      .filter(col("embedding").isNotNull)
       .select(col("vec_id").cast("long"), col("embedding"))
       .as[(Long, Array[Float])]
     // (groupKey, ownBlock, id, emb): key = p*B + q packs the ordered
@@ -1031,10 +1037,13 @@ object Similarity {
     val spark = df.sparkSession
     import spark.implicits._
     val (rpb, bands) = bandPlan(threshold, targetRecall)
+    // null-embedding drop: same contract as the exact kernels (a null
+    // array would NPE the verify fold and can pair with nothing)
     val vecs = graft.sources.Tables.fanOut(df)
+      .filter(col("embedding").isNotNull)
       .select(col("vec_id").cast("long"), col("embedding"))
     val dimRow = vecs.select(size(col("embedding"))).head(1)
-    if (dimRow.isEmpty) // empty corpus: no pairs, schema intact
+    if (dimRow.isEmpty) // empty/all-null corpus: no pairs, schema intact
       return vecs.limit(0).select(col("vec_id").as("vec_a"),
         col("vec_id").as("vec_b"), lit(0.0).as("cos_sim")).filter(lit(false))
     val dim = dimRow(0).getInt(0)

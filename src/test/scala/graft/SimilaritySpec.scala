@@ -417,6 +417,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(viaBanded == viaBroadcast)
   }
 
+  test("null embeddings: every near-dup kernel drops them, none NPEs") {
+    // a null array used to NPE the kernels' tight loops; the
+    // declarative paths and the DuckDB oracle agree a null vector
+    // pairs with nothing (cos → NULL → filtered), so the kernels now
+    // share that contract
+    val vz = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.99f, 0.1f, 0.0f, 0.0f)),
+      (2L, null.asInstanceOf[Array[Float]]),
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    def pairs(d: org.apache.spark.sql.DataFrame) =
+      d.select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val expect = Set((0L, 1L))
+    assert(pairs(Similarity.nearDupPairsBroadcast(vz, 0.9)) == expect)
+    assert(pairs(Similarity.nearDupPairsBlocked(vz, 0.9, blocks = 2)) == expect)
+    assert(pairs(Similarity.nearDupPairsBanded(vz, 0.9)) == expect)
+  }
+
   test("near-dup gate dispatch table: size tiers + the banding-must-prune rule") {
     def tier(n: Long, t: Double) = Similarity.nearDupTier(n, t,
       maxBroadcastRows = 100L, maxExactRows = 1000L)
