@@ -691,6 +691,22 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(p.contains("MapGroups") || p.contains("FlatMapGroups"), p.take(2000))
   }
 
+  test("d16 banded near-dup: fused signature expression, one distinct, bounded exchanges") {
+    // the corpus-scale tier's plan contract: the signature is ONE
+    // HyperplaneSignature node (not a 9k-literal concat-of-when tree
+    // — the round-14 driver-analysis fix), candidate dedup is a
+    // single distinct aggregate, and the exchange count stays
+    // bounded (band self-join + distinct + verify joins; measured 8
+    // at fixture scale — the pin allows AQE variance, not growth)
+    val p = plan("d16_neardup_banded")
+    assert(p.contains("hyperplane_signature"), p.take(2000))
+    assert(!p.contains("CASE WHEN"),
+      "signature must be the fused kernel, not the when(dot>=0) tree")
+    assert(treeCount(p, "Exchange") <= 9, p.take(3000))
+    assert("HashAggregate".r.findAllIn(p).size <= 4,
+      "one distinct (partial+final) plus at most one AQE variant")
+  }
+
   test("q17: single lineitem scan — per-part avg rides the window, not a re-join") {
     val p = plan("q17_small_orders")
     val tree = p.linesIterator.takeWhile(_.trim.nonEmpty).mkString("\n")
