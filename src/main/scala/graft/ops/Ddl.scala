@@ -22,14 +22,20 @@ object Ddl {
   /** Split a SQL script into statements on `;` — QUOTE- and
     * COMMENT-AWARE (the round-13 deferred item): a semicolon inside a
     * single-quoted literal (with `''` or `\'` escapes), a
-    * double-quoted or backtick-quoted identifier, a `--` line
-    * comment, or a `/&#42; &#42;/` block comment is statement TEXT,
-    * not a separator. The reference's split loop
-    * (rds-ddl-init/app.py:357-367) splits naively and corrupts any
-    * INSERT whose data contains `;` — parity-accurate was still
-    * wrong, so this intentionally exceeds it. Statements come back
-    * trimmed; empties and pure `--` comment lines are dropped
-    * (unchanged behavior). */
+    * double-quoted string (same escapes — Spark's default lexer
+    * reads "…" as a string literal WITH backslash escapes, so the
+    * splitter must too or an escaped quote would end the state
+    * early), a backtick-quoted identifier, a `--` line comment, or a
+    * `/&#42; &#42;/` block comment is never a separator. `--` line
+    * comments are DROPPED by the tokenizer itself (a quote-unaware
+    * post-filter on lines would delete `--`-prefixed lines INSIDE a
+    * string literal — the round-14 review catch); block comments
+    * stay in the statement text (Spark parses them fine). The
+    * reference's split loop (rds-ddl-init/app.py:357-367) splits
+    * naively and corrupts any INSERT whose data contains `;` —
+    * parity-accurate was still wrong, so this intentionally exceeds
+    * it. Statements come back trimmed; empties (including
+    * became-empty pure-comment fragments) are dropped. */
   def splitStatements(sqlText: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     val cur = new StringBuilder
@@ -42,14 +48,14 @@ object Ddl {
       state match {
         case 0 =>
           if (c == ';') { out += cur.result(); cur.clear() }
-          else {
+          else if (c == '-' && i + 1 < n && sqlText.charAt(i + 1) == '-') {
+            i += 1; state = 4 // comment text never reaches the output
+          } else {
             cur.append(c)
             if (c == '\'') state = 1
             else if (c == '"') state = 2
             else if (c == '`') state = 3
-            else if (c == '-' && i + 1 < n && sqlText.charAt(i + 1) == '-') {
-              cur.append('-'); i += 1; state = 4
-            } else if (c == '/' && i + 1 < n && sqlText.charAt(i + 1) == '*') {
+            else if (c == '/' && i + 1 < n && sqlText.charAt(i + 1) == '*') {
               cur.append('*'); i += 1; state = 5
             }
           }
@@ -64,7 +70,9 @@ object Ddl {
           }
         case 2 =>
           cur.append(c)
-          if (c == '"') {
+          if (c == '\\' && i + 1 < n) { // same lexer rules as '…'
+            cur.append(sqlText.charAt(i + 1)); i += 1
+          } else if (c == '"') {
             if (i + 1 < n && sqlText.charAt(i + 1) == '"') {
               cur.append('"'); i += 1
             } else state = 0
@@ -77,8 +85,9 @@ object Ddl {
             } else state = 0
           }
         case 4 =>
-          cur.append(c)
-          if (c == '\n') state = 0
+          // drop comment text; keep the newline so statement text on
+          // the next line stays line-separated
+          if (c == '\n') { cur.append(c); state = 0 }
         case 5 =>
           cur.append(c)
           if (c == '*' && i + 1 < n && sqlText.charAt(i + 1) == '/') {
@@ -89,7 +98,6 @@ object Ddl {
     }
     out += cur.result()
     out.result()
-      .map(_.linesIterator.filterNot(_.trim.startsWith("--")).mkString("\n"))
       .map(_.trim)
       .filter(_.nonEmpty)
   }

@@ -846,6 +846,11 @@ object Similarity {
       maxBroadcastRows: Long, maxExactRows: Long): String =
     if (n <= maxBroadcastRows) "broadcast"
     else if (n <= maxExactRows) "blocked"
+    // thresholds outside (0,1) can't be banded at all (no hyperplane
+    // collision probability to calibrate against — e.g. threshold 1.0
+    // = exact-duplicate direction search, or <= 0 = "almost every
+    // pair"): the exact block join is the only engine, at any size
+    else if (threshold <= 0.0 || threshold >= 1.0) "blocked"
     else {
       val (rpb, bands) = bandPlan(threshold)
       if (bands.toDouble / (1L << rpb) <= 0.125) "banded" else "blocked"
@@ -887,7 +892,10 @@ object Similarity {
         var sa = 0.0; var i = 0
         while (i < a.length) { sa += a(i) * a(i); i += 1 }
         val normA = math.sqrt(sa)
-        all.iterator.filter(_._1 > idA).flatMap { case (idB, b, normB) =>
+        // length mismatch → no cosine (the declarative dot/oracle
+        // yield NULL there): skip instead of overrunning the array
+        all.iterator.filter(p => p._1 > idA && p._2.length == a.length)
+          .flatMap { case (idB, b, normB) =>
           var dotAb = 0.0; var j = 0
           while (j < a.length) { dotAb += a(j) * b(j); j += 1 }
           val cos = dotAb / (normA * normB)
@@ -963,7 +971,8 @@ object Similarity {
           ys: collection.Seq[(Long, Array[Double], Double)],
           triangular: Boolean) =
         xs.iterator.flatMap { case (idA, va, na) =>
-          ys.iterator.filter(y => if (triangular) y._1 > idA else true)
+          ys.iterator.filter(y => (!triangular || y._1 > idA) &&
+              y._2.length == va.length) // mismatch → no cosine, skip
             .flatMap { case (idB, vb, nb) =>
               var d = 0.0; var i = 0
               while (i < va.length) { d += va(i) * vb(i); i += 1 }
@@ -1011,6 +1020,24 @@ object Similarity {
     (rpb, bands)
   }
 
+  /** Distinct candidate pairs (vec_a < vec_b) sharing at least one
+    * band key — the banding fan-out (d3's MinHash shape: band key =
+    * band index ++ that band's rpb signature chars, equi self-join
+    * per key). ONE definition shared by [[nearDupPairsBanded]] and
+    * the ProbeBand calibration tool, so the probe always measures
+    * the shipped scheme. `sig` must carry `vec_id` and a `sig`
+    * bit-string of at least rpb·bands chars. */
+  private[graft] def bandCandidates(sig: DataFrame, rpb: Int,
+      bands: Int): DataFrame = {
+    val keyed = sig.select(col("vec_id"), explode(array(
+      (0 until bands).map(b => concat(lit(s"$b:"),
+        substring(col("sig"), b * rpb + 1, rpb))): _*)).as("bk"))
+    keyed.as("x").join(keyed.as("y"),
+        col("x.bk") === col("y.bk") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+  }
+
   /** The corpus-scale near-dup tier: LSH-band PREFILTER + exact
     * cosine VERIFY (round-13 verdict item 1 → round-14 work). Pair
     * generation is `bands` independent equi-self-joins on band keys
@@ -1049,33 +1076,32 @@ object Similarity {
     val dim = dimRow(0).getInt(0)
     val projs = hyperplaneProjections(rpb * bands, dim)
     val sig = vecs.withColumn("sig", signature(col("embedding"), projs))
-    // band key = band index ++ that band's rpb signature chars; the
-    // explode is the standard banding fan-out (d3's MinHash shape)
-    val keyed = sig.select(col("vec_id"), explode(array(
-      (0 until bands).map(b => concat(lit(s"$b:"),
-        substring(col("sig"), b * rpb + 1, rpb))): _*)).as("bk"))
-    val cands = keyed.as("x").join(keyed.as("y"),
-        col("x.bk") === col("y.bk") && col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
-      .distinct()
+    val cands = bandCandidates(sig, rpb, bands)
     // exact verify: same double folds as the exact kernels — ascending
     // element order for dot and norms, cos = dot/(na·nb); Java double
     // comparison drops NaN (zero-norm or NaN-element garbage) exactly
-    // as the kernels do
+    // as the kernels do. The input IS re-scanned here (twice, column-
+    // pruned): at this tier the embedding table is GBs while the
+    // candidate work is the dominant cost, so re-reading beats
+    // pinning the table in executor memory for the operator's
+    // lifetime — deliberate, not an oversight.
     val byA = vecs.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
     val byB = vecs.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
     cands.join(byA, "vec_a").join(byB, "vec_b")
       .select(col("vec_a"), col("emb_a"), col("vec_b"), col("emb_b"))
       .as[(Long, Array[Float], Long, Array[Float])]
       .flatMap { case (idA, embA, idB, embB) =>
-        val a = embA.map(_.toDouble)
-        val bv = embB.map(_.toDouble)
-        var sa = 0.0; var sb = 0.0; var d = 0.0; var i = 0
-        while (i < a.length) {
-          sa += a(i) * a(i); sb += bv(i) * bv(i); d += a(i) * bv(i); i += 1
+        if (embA.length != embB.length) None // mismatch → no cosine
+        else {
+          val a = embA.map(_.toDouble)
+          val bv = embB.map(_.toDouble)
+          var sa = 0.0; var sb = 0.0; var d = 0.0; var i = 0
+          while (i < a.length) {
+            sa += a(i) * a(i); sb += bv(i) * bv(i); d += a(i) * bv(i); i += 1
+          }
+          val cos = d / (math.sqrt(sa) * math.sqrt(sb))
+          if (cos >= threshold) Some((idA, idB, cos)) else None
         }
-        val cos = d / (math.sqrt(sa) * math.sqrt(sb))
-        if (cos >= threshold) Some((idA, idB, cos)) else None
       }.toDF("vec_a", "vec_b", "cos_raw")
       .select(col("vec_a"), col("vec_b"),
         round(col("cos_raw"), 6).as("cos_sim"))

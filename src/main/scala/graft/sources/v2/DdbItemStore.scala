@@ -156,7 +156,7 @@ object DdbItemStore {
       }
       val opts = qs.split('&').filter(_.contains("="))
         .map { kv => val Array(k, v) = kv.split("=", 2); k -> v }.toMap
-      Config(
+      val cfg = Config(
         table = table,
         segments = opts.get("segments").map(_.toInt).getOrElse(16),
         pageSize = opts.get("pageSize").map(_.toInt).getOrElse(1000),
@@ -165,6 +165,14 @@ object DdbItemStore {
           .getOrElse(20000L),
         clientClass = opts.getOrElse("client",
           classOf[ReflectiveSdkDdbClient].getName))
+      // loud config validation (round-14 review): segments=0 would
+      // plan ZERO partitions and return an empty scan with no error —
+      // exactly the silent-empty failure this store promises against
+      require(cfg.table.nonEmpty, s"empty table name in path: $path")
+      require(cfg.segments > 0, s"segments must be > 0, got ${cfg.segments}")
+      require(cfg.pageSize > 0, s"pageSize must be > 0, got ${cfg.pageSize}")
+      require(cfg.maxRetries >= 0, s"maxRetries must be >= 0, got ${cfg.maxRetries}")
+      cfg
     }
   }
 
@@ -205,34 +213,40 @@ final class ReflectiveSdkDdbClient extends DdbItemStore.DdbWireClient {
 
   private val pkg = "software.amazon.awssdk.services.dynamodb"
 
-  private lazy val client: AnyRef = {
-    val cls = Class.forName(s"$pkg.DynamoDbClient")
-    cls.getMethod("create").invoke(null) // default region/credentials chain
-  }
+  // Methods are resolved from the PUBLIC interfaces/model classes —
+  // never from runtime impl classes: `ScanRequest.builder()` returns
+  // a package-private BuilderImpl and `DynamoDbClient.create()` a
+  // package-private DefaultDynamoDbClient, so a `getClass`-based
+  // lookup compiles but throws IllegalAccessException at first live
+  // use (round-14 review catch). Interface `getMethod` resolves
+  // inherited members (e.g. build() from the builder superinterface).
+  private lazy val clientIface = Class.forName(s"$pkg.DynamoDbClient")
+  private lazy val reqCls = Class.forName(s"$pkg.model.ScanRequest")
+  private lazy val builderIface = Class.forName(s"$pkg.model.ScanRequest$$Builder")
+  private lazy val respCls = Class.forName(s"$pkg.model.ScanResponse")
+
+  private lazy val client: AnyRef =
+    clientIface.getMethod("create").invoke(null) // default region/creds chain
 
   def scanPage(table: String, segment: Int, totalSegments: Int,
       limit: Int, exclusiveStart: Option[JMap[String, Object]]): DdbPage = {
     try {
-      val reqCls = Class.forName(s"$pkg.model.ScanRequest")
       val b = reqCls.getMethod("builder").invoke(null)
-      val bc = b.getClass
-      bc.getMethod("tableName", classOf[String]).invoke(b, table)
-      bc.getMethod("segment", classOf[Integer]).invoke(b, Int.box(segment))
-      bc.getMethod("totalSegments", classOf[Integer])
-        .invoke(b, Int.box(totalSegments))
-      bc.getMethod("limit", classOf[Integer]).invoke(b, Int.box(limit))
-      exclusiveStart.foreach { k =>
-        bc.getMethod("exclusiveStartKey", classOf[JMap[_, _]]).invoke(b, k)
-      }
-      val req = bc.getMethod("build").invoke(b)
-      val resp = client.getClass.getMethod("scan", reqCls).invoke(client, req)
-      val rc = resp.getClass
-      val items = rc.getMethod("items").invoke(resp)
+      def set(m: String, pt: Class[_], v: AnyRef): Unit =
+        builderIface.getMethod(m, pt).invoke(b, v): Unit
+      set("tableName", classOf[String], table)
+      set("segment", classOf[Integer], Int.box(segment))
+      set("totalSegments", classOf[Integer], Int.box(totalSegments))
+      set("limit", classOf[Integer], Int.box(limit))
+      exclusiveStart.foreach(k => set("exclusiveStartKey", classOf[JMap[_, _]], k))
+      val req = builderIface.getMethod("build").invoke(b)
+      val resp = clientIface.getMethod("scan", reqCls).invoke(client, req)
+      val items = respCls.getMethod("items").invoke(resp)
         .asInstanceOf[java.util.List[JMap[String, AnyRef]]]
-      val hasLek = rc.getMethod("hasLastEvaluatedKey").invoke(resp)
+      val hasLek = respCls.getMethod("hasLastEvaluatedKey").invoke(resp)
         .asInstanceOf[java.lang.Boolean]
       val lek =
-        if (hasLek) Some(rc.getMethod("lastEvaluatedKey").invoke(resp)
+        if (hasLek) Some(respCls.getMethod("lastEvaluatedKey").invoke(resp)
           .asInstanceOf[JMap[String, Object]])
         else None
       val out = new scala.collection.mutable.ArrayBuffer[JMap[String, Object]](items.size)

@@ -61,16 +61,13 @@ object ProbeBand {
           .queryExecution.toRdd.count()
       }
       val (rpb, bands) = Similarity.bandPlan(threshold)
-      // candidate volume = the banded tier's actual pair work
+      // candidate volume = the banded tier's actual pair work — via
+      // the SAME bandCandidates the tier runs, so the probe can't
+      // drift from the shipped scheme
       val projs = Similarity.hyperplaneProjections(rpb * bands, dim)
       val sig = emb.withColumn("sig",
         Similarity.signature(col("embedding"), projs))
-      val keyed = sig.select(col("vec_id"), explode(array(
-        (0 until bands).map(b => concat(lit(s"$b:"),
-          substring(col("sig"), b * rpb + 1, rpb))): _*)).as("bk"))
-      val nCand = keyed.as("x").join(keyed.as("y"),
-          col("x.bk") === col("y.bk") && col("x.vec_id") < col("y.vec_id"))
-        .select(col("x.vec_id"), col("y.vec_id")).distinct().count()
+      val nCand = Similarity.bandCandidates(sig, rpb, bands).count()
       println(f"PROBE plan rpb=$rpb bands=$bands pairs_exact=$nExact " +
         f"pairs_banded=$nBanded candidates=$nCand " +
         f"(${nCand * 200.0 / (n.toDouble * (n - 1))}%6.3f%% of all pairs)")

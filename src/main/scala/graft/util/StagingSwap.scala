@@ -27,7 +27,15 @@ object StagingSwap {
     val target = new org.apache.hadoop.fs.Path(path)
     val fs = target.getFileSystem(
       df.sparkSession.sparkContext.hadoopConfiguration)
-    fs.delete(target, true)
-    fs.rename(new org.apache.hadoop.fs.Path(staging), target)
+    fs.delete(target, true) // false = already absent; that's fine
+    // rename reports many failure modes by RETURNING false (parent
+    // vanished, cross-filesystem staging, concurrent recreate of the
+    // target) — at this point the old table is gone, so a silent
+    // false would leave the table MISSING while swap() "succeeded";
+    // fail loudly with the staging path so the data is recoverable
+    if (!fs.rename(new org.apache.hadoop.fs.Path(staging), target))
+      throw new IllegalStateException(
+        s"staging swap failed: rename($staging -> $path) returned " +
+          "false; old table deleted, new contents stranded in staging")
   }
 }

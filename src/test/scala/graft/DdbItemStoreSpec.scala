@@ -56,6 +56,15 @@ class DdbItemStoreSpec extends AnyFunSuite {
     assert(df.rdd.getNumPartitions == 4)
   }
 
+  test("misconfiguration fails loudly, never as an empty scan") {
+    // segments=0 would plan zero partitions -> 0 rows with no error,
+    // the silent-empty failure the store's contract forbids
+    val store = new DdbItemStore
+    intercept[IllegalArgumentException](store.listUnits(path("segments=0")))
+    intercept[IllegalArgumentException](
+      store.scanSegment(path("segments=2&pageSize=0"), 0, 2))
+  }
+
   test("unit list is the constant segment set (one-shot snapshot stream)") {
     val store = new DdbItemStore
     val units = store.listUnits(path("segments=3"))

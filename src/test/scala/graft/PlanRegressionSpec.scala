@@ -557,7 +557,15 @@ class PlanRegressionSpec extends AnyFunSuite {
     * grows a frame). This closes the round-13 advice hole: a
     * groupBy(doc_id) feeding an unpartitioned Window now fails the
     * pin instead of passing as "some aggregate". Extending this list
-    * is a deliberate act — justify the bound when you do. */
+    * is a deliberate act — justify the bound when you do.
+    *
+    * Honest limit: this is a DECLARATION mechanism, not a cardinality
+    * proof — groupBy(col("doc_id").as("cell")) would pass. The
+    * certificate's value is that the declaration is visible at the
+    * query site (an11/an12 alias their value-domain cell key "cell"
+    * with a comment saying why) and that using a blessed name is a
+    * grep-able, reviewable act, where the old any-aggregate rule
+    * certified nothing at all. */
   private val boundedGroupingCols: Set[String] = Set(
     // enum-like dimensions (fixed value sets in TESTDATA.md)
     "lang", "language", "kind", "source", "source_name", "event_type",

@@ -34,6 +34,26 @@ class PropertiesSpec extends AnyFunSuite {
     })
   }
 
+  test("splitStatements round-trips semicolon-bearing quoted payloads (round 14)") {
+    // the quote-aware tokenizer's property: ANY payload — semicolons,
+    // quotes (ANSI-doubled), dashes, slashes — embedded in a
+    // single-quoted literal or a backticked identifier splits back to
+    // exactly the statements it was joined from
+    val payload = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumChar, Gen.oneOf(';', '\'', '-', '/', '*', '`', '"', ' ')
+    )).map(_.mkString)
+    val stmt = for {
+      p <- payload
+      kind <- Gen.oneOf("lit", "tick")
+    } yield kind match {
+      case "lit" => s"INSERT INTO t VALUES ('${p.replace("'", "''")}')"
+      case _ => s"SELECT `${p.replace("`", "``")}` FROM t"
+    }
+    holds(Prop.forAll(Gen.nonEmptyListOf(stmt)) { stmts =>
+      Ddl.splitStatements(stmts.mkString(";\n") + ";") == stmts
+    })
+  }
+
   test("hyperplane projections are ±1 and stable across calls") {
     holds(Prop.forAll(Gen.choose(1, 16), Gen.choose(1, 128)) { (bits, dim) =>
       val a = graft.similarity.Similarity.hyperplaneProjections(bits, dim)

@@ -183,28 +183,35 @@ class StreamingAndDdlSpec extends AnyFunSuite {
 
   test("ddl split is quote- and comment-aware: `;` in data never splits") {
     // semicolons inside: a single-quoted literal (plain, '' escape,
-    // \' escape), a quoted identifier, a backtick identifier, a --
+    // \' escape), a double-quoted string (backslash-escaped quote —
+    // Spark's default lexer semantics), a backtick identifier, a --
     // line comment, and a /* */ block comment — one statement each
     val stmts = Ddl.splitStatements(
       """INSERT INTO t VALUES ('a;b');
         |INSERT INTO t VALUES ('it''s; fine');
         |INSERT INTO t VALUES ('esc\'; still one');
-        |SELECT "col;on" FROM t;
+        |SELECT "col\"; on" FROM t;
         |SELECT `tick;ed` FROM t;
         |SELECT 1 FROM t /* not ; a split */ WHERE x = 2;
         |SELECT 2; -- trailing ; comment
         |SELECT 3""".stripMargin)
-    // the trailing `-- … ;` comment line must neither split nor
-    // survive: it is stripped and SELECT 3 stands alone
+    // the trailing `-- … ;` comment must neither split nor survive:
+    // the tokenizer drops comment text and SELECT 3 stands alone
     assert(stmts.length == 8, stmts.mkString(" || "))
     assert(stmts(0) == "INSERT INTO t VALUES ('a;b')")
     assert(stmts(1) == "INSERT INTO t VALUES ('it''s; fine')")
     assert(stmts(2) == "INSERT INTO t VALUES ('esc\\'; still one')")
-    assert(stmts(3) == "SELECT \"col;on\" FROM t")
+    assert(stmts(3) == "SELECT \"col\\\"; on\" FROM t")
     assert(stmts(4) == "SELECT `tick;ed` FROM t")
     assert(stmts(5) == "SELECT 1 FROM t /* not ; a split */ WHERE x = 2")
     assert(stmts(6) == "SELECT 2")
     assert(stmts(7) == "SELECT 3")
+    // round-14 review catch: a '--'-prefixed LINE inside a string
+    // literal is DATA — the old quote-unaware line filter deleted it
+    val multi = Ddl.splitStatements(
+      "INSERT INTO t VALUES ('line1\n--line2\nline3');\nSELECT 9")
+    assert(multi == Seq("INSERT INTO t VALUES ('line1\n--line2\nline3')",
+      "SELECT 9"), multi.mkString(" || "))
     // end-to-end: the semicolon-bearing value survives execution
     try {
       Ddl.runScript(spark,
