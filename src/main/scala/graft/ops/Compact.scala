@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+
+/** Small-file compaction for engine-owned parquet tables — the
+  * operational companion to the findings sink / tracker / staging
+  * tables (reference: the Glue jobs write S3 parquet through the same
+  * DynamicFrame sinks, and at any real scan volume the resulting
+  * small-file population is the first thing an operator has to fix;
+  * reference scripts/glue/&lt;job&gt;-script.py write_dynamic_frame sinks).
+  *
+  * At 100 TB the failure mode is concrete: a streaming sink or a
+  * 1000-task write leaves thousands of KB-scale files per partition
+  * dir; every subsequent scan pays a task per file (scheduler
+  * pressure) plus a footer read per file (S3 GET storm), and the
+  * 128 MB `maxPartitionBytes` packing can't help because packing
+  * happens AFTER listing. Compaction rewrites the table into
+  * ~`targetBytes` files ONCE so every later scan is file-bounded.
+  *
+  * Mechanics: size the output from the table's actual byte size
+  * (`ceil(bytes / targetBytes)`), COALESCE — not repartition — onto
+  * that file count (no shuffle: coalesce merges read-splits, which
+  * is exactly the many-small-inputs-to-few-outputs shape; a shuffle
+  * would move every byte twice for no layout gain), and swap the
+  * rewrite in atomically via [[graft.util.StagingSwap]] (readers see
+  * the old file set or the new one, never a mix). Content is
+  * preserved exactly — the driver gate checks the compacted table
+  * hash-equal to its source through the z2 query.
+  *
+  * Already-compact tables are a NO-OP (file count at or under the
+  * target): rewriting them would churn object-store bytes for
+  * nothing, and idempotence is what makes the call safe to schedule
+  * after every sink flush. */
+object Compact {
+
+  /** Rewrite the parquet table at `dir` into ~`targetBytes` files.
+    * Returns the data-file count after the call (unchanged when the
+    * no-op guard fires). */
+  def rewrite(spark: SparkSession, dir: String,
+      targetBytes: Long = 128L << 20): Long = {
+    require(targetBytes > 0, s"targetBytes must be > 0, got $targetBytes")
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) return 0L
+    // recursive: partitioned tables keep their dir layout out of this
+    // pass (compacting per-partition is the caller's loop — a global
+    // coalesce would destroy partition pruning), so this operates on
+    // one leaf table/partition directory at a time
+    val files = listDataFiles(fs, path)
+    if (files.isEmpty) return 0L
+    val totalBytes = files.map(_.getLen).sum
+    val parts = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    if (files.length <= parts) return files.length.toLong
+    graft.util.StagingSwap.swap(
+      spark.read.parquet(dir).coalesce(parts), dir)
+    listDataFiles(fs, path).length.toLong
+  }
+
+  private def listDataFiles(fs: org.apache.hadoop.fs.FileSystem,
+      path: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] =
+    fs.listStatus(path).toSeq.filter { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+}

@@ -397,6 +397,29 @@ object AnalyticsQueries extends QueryPack {
           graft.ops.Layout.zValue(col("user_id"), col("value").cast("long"))
             .as("z"))),
 
+    // Small-file compaction round-trip (round 14): a deliberately
+    // fragmented 64-file copy of orders is compacted to ~4 MB files
+    // (atomic staging swap, no-op when already compact) and read
+    // back — the oracle reads the ORIGINAL table, so the hash gate
+    // proves compaction preserved every row and value. The fragment
+    // write happens once per sfDir (marker-guarded), the compact
+    // call is idempotent, so re-runs measure the no-op + scan.
+    "z2_compact_roundtrip" -> ((s, d) => {
+      val key = d.replaceAll("[^A-Za-z0-9]", "_")
+      val dir = s"target/compact/$key/orders"
+      val marker = java.nio.file.Paths.get(s"target/compact/$key/_FRAGMENTED")
+      if (!java.nio.file.Files.exists(marker)) {
+        Tables.load(s, d, "orders").repartition(64)
+          .write.mode("overwrite").parquet(dir)
+        java.nio.file.Files.createDirectories(marker.getParent)
+        java.nio.file.Files.writeString(marker, "ok")
+      }
+      graft.ops.Compact.rewrite(s, dir, targetBytes = 4L << 20)
+      s.read.parquet(dir)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"), col("o_totalprice"))
+    }),
+
     // Batch sessionization: gap-based session split per user, one
     // shuffle + shared window sort (ops/Sessionize). Durations are
     // exact microsecond longs — no float, engine-portable
@@ -1290,6 +1313,9 @@ object AnalyticsQueries extends QueryPack {
          |  CAST(trunc(CAST(value AS DOUBLE)) AS BIGINT) AS value_int,
          |  ${zSql("user_id", "CAST(trunc(CAST(value AS DOUBLE)) AS BIGINT)")} AS z
          |FROM events""".stripMargin,
+    "z2_compact_roundtrip" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders""".stripMargin,
     "an1_percentiles" ->
       """SELECT o_orderpriority,
         |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
