@@ -56,6 +56,32 @@ object Compact {
     listDataFiles(fs, path).length.toLong
   }
 
+  /** Compact every leaf partition of a Hive-layout partitioned table
+    * (`root/k=v/…`) independently — per-partition [[rewrite]], so
+    * partition pruning and the dir layout survive untouched (a
+    * global coalesce would destroy both). Nested partition keys
+    * recurse. Returns leaf dir → file count after. The engine's own
+    * partitioned sink (`state/Stores.FindingsStore`, S10) is the
+    * intended consumer: its per-batch appends are exactly the
+    * small-file generator this collapses. */
+  def rewritePartitioned(spark: SparkSession, root: String,
+      targetBytes: Long = 128L << 20): Map[String, Long] = {
+    require(targetBytes > 0, s"targetBytes must be > 0, got $targetBytes")
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rootPath)) return Map.empty
+    def leaves(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
+      val kids = fs.listStatus(p).toSeq
+      val partDirs = kids.filter(s => s.isDirectory &&
+        s.getPath.getName.contains("="))
+      if (partDirs.isEmpty) Seq(p)
+      else partDirs.flatMap(d => leaves(d.getPath))
+    }
+    leaves(rootPath).map { leaf =>
+      leaf.toString -> rewrite(spark, leaf.toString, targetBytes)
+    }.toMap
+  }
+
   private def listDataFiles(fs: org.apache.hadoop.fs.FileSystem,
       path: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] =
     fs.listStatus(path).toSeq.filter { st =>

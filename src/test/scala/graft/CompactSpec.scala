@@ -66,6 +66,30 @@ class CompactSpec extends AnyFunSuite {
     assert(Compact.rewrite(spark, dir) == 0L)
   }
 
+  test("partitioned table compacts per leaf: layout intact, pruning intact") {
+    val dir = freshDir("part")
+    val src = (1L to 3000L).map(i => (i, s"v$i", if (i % 2 == 0) "s3" else "ddb"))
+      .toDF("id", "v", "data_source_type")
+    src.repartition(8).write.partitionBy("data_source_type").parquet(dir)
+    assert(dataFiles(s"$dir/data_source_type=s3").size > 1)
+    val before = spark.read.parquet(dir)
+      .select("id", "v", "data_source_type")
+      .as[(Long, String, String)].collect().sorted.toSeq
+    val counts = Compact.rewritePartitioned(spark, dir, targetBytes = 1L << 30)
+    assert(counts.size == 2 && counts.values.forall(_ == 1L), counts.toString)
+    // layout survived: leaf dirs still there, pruning still plans one dir
+    assert(dataFiles(s"$dir/data_source_type=s3").size == 1)
+    val pruned = spark.read.parquet(dir)
+      .filter(col("data_source_type") === "s3")
+    val scanned = pruned.queryExecution.executedPlan.toString
+    assert(!scanned.contains("data_source_type=ddb"))
+    assert(pruned.count() == 1500L)
+    val after = spark.read.parquet(dir)
+      .select("id", "v", "data_source_type")
+      .as[(Long, String, String)].collect().sorted.toSeq
+    assert(after == before)
+  }
+
   test("small target splits into multiple files, each under ~target") {
     val dir = freshDir("split")
     // ~wide rows so the table is comfortably bigger than the target
