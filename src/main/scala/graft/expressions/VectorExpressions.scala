@@ -418,10 +418,18 @@ case class QuantizeInt8(child: Expression)
   * form on all of those cases.
   */
 case class HyperplaneSignature(child: Expression,
-    planes: Array[Array[Double]])
+    planes: Seq[Seq[Double]])
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
   require(planes.nonEmpty, "at least one hyperplane")
+
+  // Seq (structural equality) in the case-class parameter so Catalyst
+  // canonicalization / semanticEquals / subexpression elimination see
+  // two same-plane signatures as EQUAL (an Array parameter compares
+  // by reference — round-14 review); arrays only inside, for the
+  // kernels
+  @transient private lazy val planeArr: Array[Array[Double]] =
+    planes.map(_.toArray).toArray
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
@@ -438,15 +446,15 @@ case class HyperplaneSignature(child: Expression,
 
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
     val a = child.eval(input)
-    val bits = new Array[Byte](planes.length)
+    val bits = new Array[Byte](planeArr.length)
     java.util.Arrays.fill(bits, '0'.toByte)
     if (a != null) {
       val x = a.asInstanceOf[ArrayData]
       val n = x.numElements()
       val f = isFloat
       var p = 0
-      while (p < planes.length) {
-        val pl = planes(p)
+      while (p < planeArr.length) {
+        val pl = planeArr(p)
         if (pl.length == n) {
           var acc = 0.0
           var i = 0
@@ -472,7 +480,7 @@ case class HyperplaneSignature(child: Expression,
     import org.apache.spark.sql.catalyst.expressions.codegen.Block._
     import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
     val childGen = child.genCode(ctx)
-    val planesRef = ctx.addReferenceObj("planes", planes, "double[][]")
+    val planesRef = ctx.addReferenceObj("planes", planeArr, "double[][]")
     val get = if (isFloat) "getFloat" else "getDouble"
     val bits = ctx.freshName("bits")
     val n = ctx.freshName("n")
@@ -483,7 +491,7 @@ case class HyperplaneSignature(child: Expression,
     val pl = ctx.freshName("pl")
     val body =
       s"""
-         |byte[] $bits = new byte[${planes.length}];
+         |byte[] $bits = new byte[${planeArr.length}];
          |java.util.Arrays.fill($bits, (byte) '0');
          |if (!${childGen.isNull}) {
          |  int $n = ${childGen.value}.numElements();
@@ -539,7 +547,8 @@ object VectorExpressions {
     * kernel (sign of each plane's ascending-order dot). */
   def hyperplane_signature(emb: Column,
       planes: Array[Array[Double]]): Column =
-    Bridge.column(HyperplaneSignature(Bridge.expression(emb), planes))
+    Bridge.column(HyperplaneSignature(Bridge.expression(emb),
+      planes.toIndexedSeq.map(_.toIndexedSeq)))
 
   /** Register `dot_product` for SQL use in this session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -47,7 +47,18 @@ object Compact {
     // coalesce would destroy partition pruning), so this operates on
     // one leaf table/partition directory at a time
     val files = listDataFiles(fs, path)
-    if (files.isEmpty) return 0L
+    if (files.isEmpty) {
+      // a partitioned ROOT has no top-level data files but does have
+      // k=v subdirs — returning 0 here would read as "empty table,
+      // nothing to do" while the small files keep accumulating one
+      // level down; route the caller loudly (round-14 review)
+      val partDirs = fs.listStatus(path).exists(s =>
+        s.isDirectory && s.getPath.getName.contains("="))
+      if (partDirs) throw new IllegalArgumentException(
+        s"$dir is a partitioned table root (k=v subdirs, no top-level " +
+          "data files) — use Compact.rewritePartitioned")
+      return 0L
+    }
     val totalBytes = files.map(_.getLen).sum
     val parts = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
     if (files.length <= parts) return files.length.toLong
@@ -72,8 +83,14 @@ object Compact {
     if (!fs.exists(rootPath)) return Map.empty
     def leaves(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
       val kids = fs.listStatus(p).toSeq
-      val partDirs = kids.filter(s => s.isDirectory &&
-        s.getPath.getName.contains("="))
+      // '.'/'_'-prefixed dirs are invisible to Spark's partition
+      // discovery (and include StagingSwap's own in-flight staging
+      // copies) — never treat one as a partition leaf
+      val partDirs = kids.filter { s =>
+        val n = s.getPath.getName
+        s.isDirectory && n.contains("=") &&
+          !n.startsWith(".") && !n.startsWith("_")
+      }
       if (partDirs.isEmpty) Seq(p)
       else partDirs.flatMap(d => leaves(d.getPath))
     }

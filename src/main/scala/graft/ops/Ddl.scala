@@ -35,7 +35,15 @@ object Ddl {
     * naively and corrupts any INSERT whose data contains `;` —
     * parity-accurate was still wrong, so this intentionally exceeds
     * it. Statements come back trimmed; empties (including
-    * became-empty pure-comment fragments) are dropped. */
+    * became-empty pure-comment fragments) are dropped.
+    *
+    * Known assumption: the escape rules are Spark's DEFAULT lexer
+    * (`spark.sql.parser.escapedStringLiterals=false`, double-quoted
+    * strings with backslash escapes). A session that flips that
+    * config (Hive-compat scripts where `\` is literal) parses `\"`
+    * differently than this splitter; the splitter reads no session
+    * config by design (it runs before any session exists in the
+    * change-stream path), so such scripts are out of contract. */
   def splitStatements(sqlText: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     val cur = new StringBuilder

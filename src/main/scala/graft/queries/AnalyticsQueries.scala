@@ -408,11 +408,24 @@ object AnalyticsQueries extends QueryPack {
       val key = d.replaceAll("[^A-Za-z0-9]", "_")
       val dir = s"target/compact/$key/orders"
       val marker = java.nio.file.Paths.get(s"target/compact/$key/_FRAGMENTED")
-      if (!java.nio.file.Files.exists(marker)) {
+      // the marker carries a CONTENT stamp of the source (file names,
+      // sizes, mtimes): a regenerated fixture in the same dir
+      // invalidates the fragmented copy instead of leaving the engine
+      // reading stale rows against a fresh oracle (the Scaling
+      // generator-version _DONE convention)
+      val srcPath = new org.apache.hadoop.fs.Path(s"$d/orders.parquet")
+      val fs = srcPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val stamp = fs.listStatus(srcPath).toSeq
+        .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+        .sorted.mkString("|").hashCode.toString
+      val current = java.nio.file.Files.exists(marker) &&
+        scala.util.Try(java.nio.file.Files.readString(marker).trim)
+          .getOrElse("") == stamp
+      if (!current) {
         Tables.load(s, d, "orders").repartition(64)
           .write.mode("overwrite").parquet(dir)
         java.nio.file.Files.createDirectories(marker.getParent)
-        java.nio.file.Files.writeString(marker, "ok")
+        java.nio.file.Files.writeString(marker, stamp)
       }
       graft.ops.Compact.rewrite(s, dir, targetBytes = 4L << 20)
       s.read.parquet(dir)

@@ -253,11 +253,23 @@ final class ReflectiveSdkDdbClient extends DdbItemStore.DdbWireClient {
       items.forEach(item => out += convert(item))
       DdbPage(out.toSeq, lek)
     } catch {
+      // DynamoDB signals transient capacity three ways (round-14
+      // review): table-level ProvisionedThroughputExceededException,
+      // account/on-demand RequestLimitExceeded, and the core
+      // ThrottlingException family — all of them are what the
+      // store's backoff loop exists for
       case e: java.lang.reflect.InvocationTargetException
-          if e.getCause != null &&
-            e.getCause.getClass.getSimpleName
-              .contains("ProvisionedThroughputExceeded") =>
+          if e.getCause != null && {
+            val n = e.getCause.getClass.getSimpleName
+            n.contains("ProvisionedThroughputExceeded") ||
+              n.contains("RequestLimitExceeded") || n.contains("Throttl")
+          } =>
         throw new DdbThrottledException(0L, e.getCause.getMessage)
+      // any other SDK failure: surface the REAL cause, not the
+      // reflection wrapper that buries it one level deep in logs
+      case e: java.lang.reflect.InvocationTargetException
+          if e.getCause != null =>
+        throw e.getCause
     }
   }
 

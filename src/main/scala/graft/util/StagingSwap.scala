@@ -22,9 +22,18 @@ object StagingSwap {
     * swap. The caller is responsible for column order (pass a frame
     * already selected to the table's schema). */
   def swap(df: DataFrame, path: String): Unit = {
-    val staging = s"$path.staging"
-    df.write.mode(SaveMode.Overwrite).parquet(staging)
     val target = new org.apache.hadoop.fs.Path(path)
+    // the staging dir is a DOT-prefixed sibling: Spark's file index
+    // and partition discovery skip '.'/'_' names, so when the target
+    // is a partition leaf (root/k=v — Compact.rewritePartitioned), a
+    // concurrent reader of the table ROOT can never see the staging
+    // copy as a phantom "k=v.staging" partition (round-14 review:
+    // the old "$path.staging" name contained '=' and doubled rows in
+    // the swap window, and a failed rename left the corruption
+    // discoverable)
+    val staging = new org.apache.hadoop.fs.Path(
+      target.getParent, s".${target.getName}.staging")
+    df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
     val fs = target.getFileSystem(
       df.sparkSession.sparkContext.hadoopConfiguration)
     fs.delete(target, true) // false = already absent; that's fine
@@ -33,7 +42,7 @@ object StagingSwap {
     // target) — at this point the old table is gone, so a silent
     // false would leave the table MISSING while swap() "succeeded";
     // fail loudly with the staging path so the data is recoverable
-    if (!fs.rename(new org.apache.hadoop.fs.Path(staging), target))
+    if (!fs.rename(staging, target))
       throw new IllegalStateException(
         s"staging swap failed: rename($staging -> $path) returned " +
           "false; old table deleted, new contents stranded in staging")

@@ -43,10 +43,12 @@ class CompactSpec extends AnyFunSuite {
     val after = spark.read.parquet(dir).as[(Long, String, Long)]
       .collect().sorted.toSeq
     assert(after == before, "compaction must preserve every row exactly")
-    // no staging residue
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir.staging")))
+    // no staging residue (dot-prefixed sibling — invisible to
+    // partition discovery even while in flight)
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      dirPath.getParent, s".${dirPath.getName}.staging")))
   }
 
   test("already-compact table is a no-op: same files, no rewrite churn") {
