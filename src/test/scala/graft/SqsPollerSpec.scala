@@ -1,0 +1,134 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.{Ingest, SqsPoller}
+import graft.state.Tracker
+
+/** The SQS drain loop against a stub wire client with REAL queue
+  * semantics (visibility: received messages go in-flight; deleted
+  * ones are gone; undeleted ones reappear when the visibility
+  * timeout "expires"). Zero network — the reflective SDK client is
+  * deliberately untestable here; the loop and its at-least-once
+  * consequences are what this suite pins. */
+class SqsPollerSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def ev(src: String, name: String, field: String,
+      value: String): String =
+    s"""{"source": "$src", "detail": {"eventName": "$name",
+       |"awsRegion": "eu-west-1",
+       |"requestParameters": {"$field": "$value"},
+       |"tags": {"gdpr-scan": "true"}}}"""
+      .stripMargin.replace("\n", " ")
+
+  private def tmp(tag: String): String = {
+    val p = java.nio.file.Paths.get(s"target/test_sqs_$tag${System.nanoTime()}")
+    java.nio.file.Files.createDirectories(p)
+    p.toString
+  }
+
+  test("drain receives, processes, deletes; queue empty afterwards") {
+    StubSqsQueue.reset(Seq("m1", "m2", "m3", "m4", "m5"))
+    val poller = SqsPoller("q", classOf[StubSqsWireClient].getName,
+      batchSize = 2)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[String]
+    val n = poller.drain(100)(seen ++= _)
+    assert(n == 5)
+    assert(seen.toSeq == Seq("m1", "m2", "m3", "m4", "m5"))
+    assert(StubSqsQueue.visible.isEmpty && StubSqsQueue.inflight.isEmpty)
+  }
+
+  test("processing failure leaves the batch undeleted; visibility returns it") {
+    StubSqsQueue.reset(Seq("a", "boom", "c"))
+    val poller = SqsPoller("q", classOf[StubSqsWireClient].getName,
+      batchSize = 1)
+    intercept[RuntimeException] {
+      poller.drain(100)(bodies =>
+        if (bodies.contains("boom")) throw new RuntimeException("handler died"))
+    }
+    // 'a' processed+deleted, 'boom' stuck in flight, 'c' never received
+    assert(StubSqsQueue.inflight.map(_.body) == Seq("boom"))
+    StubSqsQueue.expireVisibility() // the timeout elapses
+    // redelivery: the SAME message comes back (at-least-once)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[String]
+    val n = poller.drain(100)(seen ++= _)
+    assert(n == 2 && seen.toSeq == Seq("boom", "c"))
+    assert(StubSqsQueue.visible.isEmpty && StubSqsQueue.inflight.isEmpty)
+  }
+
+  test("maxMessages caps the drain; the rest stays visible for the next call") {
+    StubSqsQueue.reset((1 to 7).map(i => s"m$i"))
+    val poller = SqsPoller("q", classOf[StubSqsWireClient].getName,
+      batchSize = 10)
+    assert(poller.drain(4)(_ => ()) == 4)
+    assert(StubSqsQueue.visible.size == 3)
+    assert(poller.drain(100)(_ => ()) == 3)
+  }
+
+  test("end-to-end: SQS batch -> Ingest -> tracker; redelivery is idempotent") {
+    StubSqsQueue.reset(Seq(
+      ev("aws.s3", "CreateBucket", "bucketName", "bucket-q"),
+      ev("aws.dynamodb", "CreateTable", "tableName", "tbl-q")))
+    val poller = SqsPoller("q", classOf[StubSqsWireClient].getName)
+    val tracker = new Tracker(spark, tmp("tracker"))
+
+    val frame1 = poller.drainToFrame(spark, 100)
+    val onboarded1 = Ingest.onboardingEvents(frame1)
+    assert(tracker.initEntries(onboarded1) == 2)
+
+    // a redelivered copy of the same events (visibility returned them
+    // on another consumer, or the delete raced a crash): the
+    // tracker's natural-key idempotent insert (S11) absorbs it
+    StubSqsQueue.reset(Seq(
+      ev("aws.s3", "CreateBucket", "bucketName", "bucket-q"),
+      ev("aws.dynamodb", "CreateTable", "tableName", "tbl-q")))
+    val frame2 = poller.drainToFrame(spark, 100)
+    assert(tracker.initEntries(Ingest.onboardingEvents(frame2)) == 0)
+    assert(tracker.read().count() == 2)
+  }
+}
+
+/** In-memory SQS with visibility semantics. JVM-global statics —
+  * local-mode test-only, the FlakyItemStore convention. */
+object StubSqsQueue {
+  final case class Msg(id: String, body: String, receipt: String)
+  var visible: Vector[Msg] = Vector.empty
+  var inflight: Vector[Msg] = Vector.empty
+  private var seq = 0
+
+  def reset(bodies: Seq[String]): Unit = synchronized {
+    visible = bodies.toVector.map { b =>
+      seq += 1; Msg(s"id-$seq", b, s"rh-$seq")
+    }
+    inflight = Vector.empty
+  }
+
+  def receive(max: Int): Seq[Msg] = synchronized {
+    val (take, rest) = visible.splitAt(max)
+    visible = rest
+    inflight ++= take
+    take
+  }
+
+  def delete(receipt: String): Unit = synchronized {
+    inflight = inflight.filterNot(_.receipt == receipt)
+  }
+
+  /** The visibility timeout elapsing: everything in flight becomes
+    * visible again, AHEAD of newer messages (SQS makes no order
+    * promise; putting them first makes redelivery observable). */
+  def expireVisibility(): Unit = synchronized {
+    visible = inflight ++ visible
+    inflight = Vector.empty
+  }
+}
+
+final class StubSqsWireClient extends SqsPoller.SqsWireClient {
+  import SqsPoller.SqsMessage
+  def receive(queueUrl: String, max: Int,
+      waitSeconds: Int): Seq[SqsMessage] =
+    StubSqsQueue.receive(max).map(m =>
+      SqsMessage(m.id, m.receipt, m.body))
+  def delete(queueUrl: String, receiptHandle: String): Unit =
+    StubSqsQueue.delete(receiptHandle)
+}
