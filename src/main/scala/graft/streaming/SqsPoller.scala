@@ -63,7 +63,11 @@ final class SqsPoller(client: SqsPoller.SqsWireClient, queueUrl: String,
     * messages are deleted only after `process` returns normally —
     * a throw leaves the whole batch undeleted for redelivery (the
     * at-least-once contract; partial-batch successes should make
-    * `process` idempotent rather than this loop cleverer). Returns
+    * `process` idempotent rather than this loop cleverer). A
+    * receive/delete wire failure propagates the same way — there is
+    * deliberately NO retry layer here, because re-running drain IS
+    * the retry: undeleted messages redeliver after the visibility
+    * timeout and idempotent processing absorbs the overlap. Returns
     * the number of messages processed AND deleted. */
   def drain(maxMessages: Int)(process: Seq[String] => Unit): Int = {
     var done = 0
