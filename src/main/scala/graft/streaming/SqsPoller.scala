@@ -85,17 +85,26 @@ final class SqsPoller(client: SqsPoller.SqsWireClient, queueUrl: String,
     done
   }
 
-  /** Drain into a DataFrame of raw JSON bodies shaped for
-    * [[Ingest.onboardingEvents]] (one `value` string column — the
-    * same contract the streaming sources feed). The drain itself is
-    * driver-side (SQS receive is a client API, not a scan): the
-    * parallelism belongs to the PROCESSING plan downstream, which is
-    * where Spark takes over. */
-  def drainToFrame(spark: SparkSession, maxMessages: Int): DataFrame = {
-    val bodies = scala.collection.mutable.ArrayBuffer.empty[String]
-    drain(maxMessages)(bodies ++= _)
+  /** Drain with the downstream COMMIT inside the ack window: each
+    * receive batch is lifted to a DataFrame of raw JSON bodies (one
+    * `value` string column — the contract [[Ingest.onboardingEvents]]
+    * and the streaming sources share) and handed to `commit`, and the
+    * batch's messages are deleted only after `commit` RETURNS. That
+    * makes the whole pipeline — not just the buffering — at-least-once:
+    * a crash or throw anywhere in `commit` (parse, validate, tracker
+    * MERGE) leaves the batch undeleted, the visibility timeout
+    * redelivers it, and the tracker's idempotent natural-key insert
+    * (S11) absorbs the replay. (A previous `drainToFrame` helper acked
+    * on buffering and returned the frame for processing AFTER the
+    * delete — at-most-once in the crash window; it is gone.) The lift
+    * itself is driver-side (SQS receive is a client API, not a scan,
+    * and a batch is ≤10 messages): the parallelism belongs to the
+    * processing plan inside `commit`, where Spark takes over. Returns
+    * the number of messages committed AND deleted. */
+  def drainCommitted(spark: SparkSession, maxMessages: Int)(
+      commit: DataFrame => Unit): Int = {
     import spark.implicits._
-    bodies.toSeq.toDF("value")
+    drain(maxMessages)(bodies => commit(bodies.toDF("value")))
   }
 }
 

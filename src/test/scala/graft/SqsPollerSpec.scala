@@ -65,16 +65,18 @@ class SqsPollerSpec extends AnyFunSuite {
     assert(poller.drain(100)(_ => ()) == 3)
   }
 
-  test("end-to-end: SQS batch -> Ingest -> tracker; redelivery is idempotent") {
+  test("end-to-end: SQS batch -> Ingest -> tracker COMMITS before delete; " +
+      "redelivery is idempotent") {
     StubSqsQueue.reset(Seq(
       ev("aws.s3", "CreateBucket", "bucketName", "bucket-q"),
       ev("aws.dynamodb", "CreateTable", "tableName", "tbl-q")))
     val poller = SqsPoller("q", classOf[StubSqsWireClient].getName)
     val tracker = new Tracker(spark, tmp("tracker"))
 
-    val frame1 = poller.drainToFrame(spark, 100)
-    val onboarded1 = Ingest.onboardingEvents(frame1)
-    assert(tracker.initEntries(onboarded1) == 2)
+    val n1 = poller.drainCommitted(spark, 100)(raw =>
+      tracker.initEntries(Ingest.onboardingEvents(raw)): Unit)
+    assert(n1 == 2 && tracker.read().count() == 2)
+    assert(StubSqsQueue.visible.isEmpty && StubSqsQueue.inflight.isEmpty)
 
     // a redelivered copy of the same events (visibility returned them
     // on another consumer, or the delete raced a crash): the
@@ -82,9 +84,40 @@ class SqsPollerSpec extends AnyFunSuite {
     StubSqsQueue.reset(Seq(
       ev("aws.s3", "CreateBucket", "bucketName", "bucket-q"),
       ev("aws.dynamodb", "CreateTable", "tableName", "tbl-q")))
-    val frame2 = poller.drainToFrame(spark, 100)
-    assert(tracker.initEntries(Ingest.onboardingEvents(frame2)) == 0)
+    poller.drainCommitted(spark, 100)(raw =>
+      tracker.initEntries(Ingest.onboardingEvents(raw)): Unit)
     assert(tracker.read().count() == 2)
+  }
+
+  test("commit failure AFTER receive leaves the batch undeleted; " +
+      "redelivery lands it exactly once via S11") {
+    StubSqsQueue.reset(Seq(
+      ev("aws.s3", "CreateBucket", "bucketName", "bucket-crash"),
+      ev("aws.dynamodb", "CreateTable", "tableName", "tbl-crash")))
+    val poller = SqsPoller("q", classOf[StubSqsWireClient].getName)
+    val tracker = new Tracker(spark, tmp("tracker_crash"))
+
+    // first attempt: the downstream MERGE dies AFTER the tracker
+    // write for the batch has happened (the worst window — work done,
+    // ack not yet) — the whole batch must stay in flight, undeleted
+    intercept[RuntimeException] {
+      poller.drainCommitted(spark, 100) { raw =>
+        tracker.initEntries(Ingest.onboardingEvents(raw))
+        throw new RuntimeException("crash before ack")
+      }
+    }
+    assert(StubSqsQueue.inflight.size == 2,
+      "batch must remain in flight when commit throws")
+    assert(tracker.read().count() == 2) // the work that DID commit
+
+    // visibility expires -> the SAME messages redeliver; the replayed
+    // commit is a no-op (S11 idempotent insert) and THEN they delete
+    StubSqsQueue.expireVisibility()
+    val n = poller.drainCommitted(spark, 100)(raw =>
+      tracker.initEntries(Ingest.onboardingEvents(raw)): Unit)
+    assert(n == 2)
+    assert(tracker.read().count() == 2, "replay must not duplicate rows")
+    assert(StubSqsQueue.visible.isEmpty && StubSqsQueue.inflight.isEmpty)
   }
 }
 
