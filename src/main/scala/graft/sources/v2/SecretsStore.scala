@@ -1,0 +1,209 @@
+package graft.sources.v2
+
+/** The Secrets-Manager lookup seam (round-14 verdict item 2) — the
+  * THIRD and last live-service binding, completing the trilogy with
+  * [[DdbItemStore]] (DynamoDB scan) and
+  * [[graft.streaming.SqsPoller]] (SQS drain), in the same layering.
+  *
+  * What the reference does (the J3 join's credential side): to build
+  * a JDBC connection for a newly-onboarded RDS cluster it LISTS all
+  * secrets and matches each secret's embedded `dbClusterIdentifier`
+  * against the cluster id from the event
+  * (reference lambda/rds-glue-initial/app.py:129-162 and
+  * lambda/rds-ddl-init/app.py:187-221 — list_secrets → per-secret
+  * get_secret_value → json-parse → compare; a non-JSON secret logs
+  * "Found a non kv secret" and is skipped). The matched secret's name
+  * feeds the Glue JDBC connection (`SECRET_ID`,
+  * rds-glue-initial/app.py:171-186); in this engine the equivalent
+  * consumer is [[graft.catalog.Crawler.crawlJdbcEstate]], which takes
+  * the resolved user/password through its `props` map.
+  *
+  * Two deliberate upgrades over the reference loop, both spec-pinned:
+  *   - list_secrets is PAGINATED here (NextToken loop). The
+  *     reference reads only the first page — at >100 secrets (the
+  *     API's page cap) its match silently misses clusters whose
+  *     secret sorts late; this loop follows the token to the end.
+  *   - Throttling retries with capped exponential backoff (the
+  *     DdbItemStore convention), instead of propagating the first
+  *     rate-limit error.
+  *
+  * Layering — one thing per layer, as the other two seams:
+  *   - [[SecretsStore.SecretsWireClient]]: one list page / one value
+  *     fetch on the wire. The ONLY surface a deployment or spec
+  *     replaces.
+  *   - [[SecretsStore]]: the paginate/parse/match loop — the logic
+  *     under test in SecretsStoreSpec (stub client, zero network).
+  *   - [[ReflectiveSecretsClient]]: the AWS SDK v2
+  *     `SecretsManagerClient` via runtime reflection against PUBLIC
+  *     interfaces only, so the repo compiles with no SDK and a
+  *     deployment that ships `software.amazon.awssdk:secretsmanager`
+  *     gets a live resolver with no code change. NOT exercised in the
+  *     sandbox.
+  *
+  * Scale note: the secret estate is control-plane-sized (one secret
+  * per database cluster — thousands, not billions), so the loop is
+  * driver-side by design, exactly like the reference's. The DATA
+  * that the resolved credentials unlock flows through the
+  * distributed JDBC scan (S3), not through this class.
+  */
+final class SecretsStore(client: SecretsStore.SecretsWireClient,
+    maxRetries: Int = 8, maxBackoffMillis: Long = 2000L) {
+  import SecretsStore._
+
+  /** All secrets (name, arn), following NextToken to the end — the
+    * pagination the reference loop is missing. */
+  def listAll(): Seq[SecretRef] = {
+    val out = Vector.newBuilder[SecretRef]
+    var token: Option[String] = None
+    var more = true
+    while (more) {
+      val page = retrying(s"list_secrets(token=$token)")(
+        client.listSecretsPage(token))
+      out ++= page.secrets
+      token = page.nextToken
+      more = token.isDefined
+    }
+    out.result()
+  }
+
+  /** The cluster identifier embedded in a secret's value, if the
+    * value is a JSON object carrying `dbClusterIdentifier` — the
+    * reference's `_get_db_cluster_identifier`
+    * (rds-glue-initial/app.py:96-126). None for non-JSON ("non kv")
+    * secrets and for JSON without the key; both are skip-not-fail,
+    * because unrelated secrets legitimately live in the same account. */
+  def clusterIdentifierOf(secretId: String): Option[String] =
+    secretJson(secretId).flatMap(f => Option(f.get("dbClusterIdentifier"))
+      .filter(_.isTextual).map(_.asText))
+
+  /** The reference's `_fetch_secret_for_db`: scan the (paginated)
+    * secret list and return the first secret whose embedded
+    * dbClusterIdentifier equals `clusterIdentifier` — the J3 lookup
+    * (secret.dbClusterIdentifier = cluster id) as a driver-side
+    * point-match over a control-plane-sized estate. */
+  def secretForCluster(clusterIdentifier: String): Option[SecretRef] =
+    listAll().find(s =>
+      clusterIdentifierOf(s.name).contains(clusterIdentifier))
+
+  /** JDBC connection props from an RDS-managed secret (the public
+    * `{"username":…,"password":…,"host":…,"port":…,…}` shape) —
+    * shaped for [[graft.catalog.Crawler.crawlJdbcEstate]]'s `props`.
+    * Only the keys present in the secret are emitted; a non-JSON
+    * secret yields an empty map (same skip semantics as above). */
+  def jdbcProps(secretId: String): Map[String, String] =
+    secretJson(secretId).map { f =>
+      Seq("username" -> "user", "password" -> "password").flatMap {
+        case (k, prop) => Option(f.get(k)).filter(_.isTextual)
+          .map(v => prop -> v.asText)
+      }.toMap
+    }.getOrElse(Map.empty)
+
+  private def secretJson(secretId: String)
+      : Option[com.fasterxml.jackson.databind.JsonNode] = {
+    val raw = retrying(s"get_secret_value($secretId)")(
+      client.getSecretValue(secretId))
+    try {
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(raw)
+      if (node != null && node.isObject) Some(node) else None
+    } catch {
+      case _: com.fasterxml.jackson.core.JacksonException => None
+    }
+  }
+
+  private def retrying[T](what: String)(call: => T): T = {
+    var attempt = 0
+    while (true) {
+      try return call
+      catch {
+        case t: SecretsThrottledException =>
+          attempt += 1
+          if (attempt > maxRetries) throw new IllegalStateException(
+            s"$what: throttled past $maxRetries retries", t)
+          val base = math.max(t.retryAfterMillis,
+            1L << math.min(attempt, 10))
+          Thread.sleep(math.min(base, maxBackoffMillis))
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+}
+
+object SecretsStore {
+
+  final case class SecretRef(name: String, arn: String)
+
+  final case class SecretsPage(secrets: Seq[SecretRef],
+      nextToken: Option[String])
+
+  final class SecretsThrottledException(val retryAfterMillis: Long,
+      msg: String) extends RuntimeException(msg)
+
+  /** One list page / one value fetch on the wire. Implementations
+    * must be no-arg constructible when named via [[apply]]. */
+  trait SecretsWireClient {
+    /** @param nextToken the previous page's NextToken — None for the
+      *   first page
+      * @throws SecretsThrottledException on rate limiting */
+    def listSecretsPage(nextToken: Option[String]): SecretsPage
+    /** The secret's string value.
+      * @throws SecretsThrottledException on rate limiting */
+    def getSecretValue(secretId: String): String
+  }
+
+  def apply(clientClass: String =
+      classOf[ReflectiveSecretsClient].getName): SecretsStore =
+    new SecretsStore(Class.forName(clientClass).getDeclaredConstructor()
+      .newInstance().asInstanceOf[SecretsWireClient])
+}
+
+/** [[SecretsStore.SecretsWireClient]] over the AWS SDK v2
+  * Secrets-Manager client via runtime reflection — methods resolved
+  * from the PUBLIC interfaces (`SecretsManagerClient`, the model
+  * Builders), never runtime impl classes (package-private — the
+  * DdbItemStore lesson). NOT exercised in the sandbox; the
+  * paginate/parse/match loop above is what the suite pins. */
+final class ReflectiveSecretsClient extends SecretsStore.SecretsWireClient {
+  import SecretsStore._
+
+  private val pkg = "software.amazon.awssdk.services.secretsmanager"
+  private lazy val clientIface = Class.forName(s"$pkg.SecretsManagerClient")
+  private lazy val listCls = Class.forName(s"$pkg.model.ListSecretsRequest")
+  private lazy val listBuilder = Class.forName(s"$pkg.model.ListSecretsRequest$$Builder")
+  private lazy val listResp = Class.forName(s"$pkg.model.ListSecretsResponse")
+  private lazy val entryCls = Class.forName(s"$pkg.model.SecretListEntry")
+  private lazy val getCls = Class.forName(s"$pkg.model.GetSecretValueRequest")
+  private lazy val getBuilder = Class.forName(s"$pkg.model.GetSecretValueRequest$$Builder")
+  private lazy val getResp = Class.forName(s"$pkg.model.GetSecretValueResponse")
+  private lazy val client: AnyRef =
+    clientIface.getMethod("create").invoke(null)
+
+  def listSecretsPage(nextToken: Option[String]): SecretsPage = {
+    val b = listCls.getMethod("builder").invoke(null)
+    nextToken.foreach(t =>
+      listBuilder.getMethod("nextToken", classOf[String]).invoke(b, t))
+    val req = listBuilder.getMethod("build").invoke(b)
+    val resp = clientIface.getMethod("listSecrets", listCls)
+      .invoke(client, req)
+    val entries = listResp.getMethod("secretList").invoke(resp)
+      .asInstanceOf[java.util.List[AnyRef]]
+    val out = scala.collection.mutable.ArrayBuffer.empty[SecretRef]
+    entries.forEach { e =>
+      out += SecretRef(
+        entryCls.getMethod("name").invoke(e).asInstanceOf[String],
+        entryCls.getMethod("arn").invoke(e).asInstanceOf[String])
+    }
+    SecretsPage(out.toSeq,
+      Option(listResp.getMethod("nextToken").invoke(resp)
+        .asInstanceOf[String]))
+  }
+
+  def getSecretValue(secretId: String): String = {
+    val b = getCls.getMethod("builder").invoke(null)
+    getBuilder.getMethod("secretId", classOf[String]).invoke(b, secretId)
+    val req = getBuilder.getMethod("build").invoke(b)
+    val resp = clientIface.getMethod("getSecretValue", getCls)
+      .invoke(client, req)
+    getResp.getMethod("secretString").invoke(resp).asInstanceOf[String]
+  }
+}

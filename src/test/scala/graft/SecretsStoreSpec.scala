@@ -1,0 +1,106 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.v2.SecretsStore
+import graft.sources.v2.SecretsStore._
+
+/** The Secrets-Manager paginate/parse/match loop against a stub wire
+  * client — match, no-match, non-KV skip, pagination past the API's
+  * page cap (the reference's loop reads only page one), and throttle
+  * retry. Zero network; the reflective SDK client is deliberately
+  * untestable here. */
+class SecretsStoreSpec extends AnyFunSuite {
+
+  /** Stub estate: named secrets with raw string values, served in
+    * pages of `pageSize`; the first `throttles` calls (list or get)
+    * are rejected with a throttle. */
+  private final class StubSecrets(values: Seq[(String, String)],
+      pageSize: Int = 2, var throttles: Int = 0) extends SecretsWireClient {
+    var listCalls = 0
+    var getCalls = 0
+    private def gate(): Unit =
+      if (throttles > 0) {
+        throttles -= 1
+        throw new SecretsThrottledException(1L, "rate exceeded")
+      }
+    def listSecretsPage(nextToken: Option[String]): SecretsPage = {
+      gate(); listCalls += 1
+      val from = nextToken.map(_.toInt).getOrElse(0)
+      val page = values.slice(from, from + pageSize)
+      val next = if (from + pageSize < values.size)
+        Some((from + pageSize).toString) else None
+      SecretsPage(page.map { case (n, _) =>
+        SecretRef(n, s"arn:aws:secretsmanager:::secret:$n") }, next)
+    }
+    def getSecretValue(secretId: String): String = {
+      gate(); getCalls += 1
+      values.find(_._1 == secretId)
+        .getOrElse(throw new NoSuchElementException(secretId))._2
+    }
+  }
+
+  private def rdsSecret(cluster: String): String =
+    s"""{"username": "svc", "password": "pw-$cluster", "engine":
+       | "postgres", "host": "$cluster.example.internal", "port": 5432,
+       | "dbClusterIdentifier": "$cluster"}""".stripMargin
+      .replace("\n", "")
+
+  private val estate = Seq(
+    "app/api-key" -> "plain-string-not-json", // the "non kv secret" path
+    "rds/alpha" -> rdsSecret("cluster-alpha"),
+    "app/json-no-cluster" -> """{"token": "t"}""",
+    "rds/beta" -> rdsSecret("cluster-beta"),
+    "rds/gamma" -> rdsSecret("cluster-gamma"))
+
+  test("listAll paginates past the first page (the reference stops at one)") {
+    val stub = new StubSecrets(estate, pageSize = 2)
+    val store = new SecretsStore(stub)
+    val all = store.listAll()
+    assert(all.map(_.name) == estate.map(_._1))
+    assert(stub.listCalls == 3, "5 secrets at page size 2 = 3 pages")
+  }
+
+  test("secretForCluster matches the embedded dbClusterIdentifier, " +
+      "skipping non-KV and keyless secrets") {
+    val store = new SecretsStore(new StubSecrets(estate))
+    // cluster-gamma's secret is on the LAST page — the reference's
+    // unpaginated loop would miss it
+    assert(store.secretForCluster("cluster-gamma")
+      .map(_.name).contains("rds/gamma"))
+    assert(store.secretForCluster("cluster-alpha")
+      .map(_.arn).contains("arn:aws:secretsmanager:::secret:rds/alpha"))
+  }
+
+  test("secretForCluster returns None when nothing matches") {
+    val store = new SecretsStore(new StubSecrets(estate))
+    assert(store.secretForCluster("cluster-unknown").isEmpty)
+  }
+
+  test("clusterIdentifierOf: JSON-with-key Some, keyless JSON None, " +
+      "non-JSON None") {
+    val store = new SecretsStore(new StubSecrets(estate))
+    assert(store.clusterIdentifierOf("rds/beta").contains("cluster-beta"))
+    assert(store.clusterIdentifierOf("app/json-no-cluster").isEmpty)
+    assert(store.clusterIdentifierOf("app/api-key").isEmpty)
+  }
+
+  test("jdbcProps shapes crawlJdbcEstate's user/password map") {
+    val store = new SecretsStore(new StubSecrets(estate))
+    assert(store.jdbcProps("rds/alpha") ==
+      Map("user" -> "svc", "password" -> "pw-cluster-alpha"))
+    assert(store.jdbcProps("app/api-key") == Map.empty)
+  }
+
+  test("throttles retry with backoff and then succeed") {
+    val stub = new StubSecrets(estate, pageSize = 10, throttles = 3)
+    val store = new SecretsStore(stub, maxRetries = 5)
+    assert(store.listAll().size == 5)
+  }
+
+  test("throttling past maxRetries fails loudly") {
+    val stub = new StubSecrets(estate, throttles = 100)
+    val store = new SecretsStore(stub, maxRetries = 2)
+    val e = intercept[IllegalStateException](store.listAll())
+    assert(e.getMessage.contains("throttled past 2 retries"))
+  }
+}
