@@ -62,8 +62,17 @@ object Compact {
     val totalBytes = files.map(_.getLen).sum
     val parts = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
     if (files.length <= parts) return files.length.toLong
+    // mergeSchema: the dir's files may not share one footer schema
+    // (appends written before a column existed — the catalog manifest
+    // had exactly this evolution). A sampled-schema read would
+    // silently DROP the columns absent from the sampled file,
+    // violating the content-preserved contract; merging unions them
+    // (missing values null, as every reader of the table already
+    // sees). Footer cost is nil here — compaction lists/reads every
+    // file anyway.
     graft.util.StagingSwap.swap(
-      spark.read.parquet(dir).coalesce(parts), dir)
+      spark.read.option("mergeSchema", "true").parquet(dir).coalesce(parts),
+      dir)
     listDataFiles(fs, path).length.toLong
   }
 

@@ -19,17 +19,26 @@ object Schedule {
   final case class RunReport(succeeded: Seq[String], failed: Seq[String],
       skipped: Seq[String])
 
-  /** The reference's stage graph with engine actions plugged in. */
+  /** The reference's stage graph with engine actions plugged in.
+    * `compactSinks` is the engine-added maintenance tail (the
+    * reference has no equivalent — its sinks are DynamoDB; parquet
+    * sinks accumulate per-run small files instead, so the DAG ends by
+    * collapsing them — `state/Stores.FindingsStore.compact`, per-leaf
+    * and idempotent). It runs after BOTH report stages so it never
+    * races a writer, and defaults to a no-op for pipelines that
+    * compact elsewhere. */
   def referenceDag(
       catalog: () => Unit, jobs: () => Unit, crawl: () => Unit,
       piiReport: () => Unit, piiScan: () => Unit,
-      tagReport: () => Unit): Seq[Stage] = Seq(
+      tagReport: () => Unit,
+      compactSinks: () => Unit = () => ()): Seq[Stage] = Seq(
     Stage("catalog-creators", Nil)(catalog),
     Stage("job-creators", Seq("catalog-creators"))(jobs),
     Stage("crawlers", Seq("catalog-creators"))(crawl),
     Stage("pii-scan", Seq("job-creators", "crawlers"))(piiScan),
     Stage("pii-report", Seq("pii-scan"))(piiReport),
-    Stage("tag-report", Seq("catalog-creators"))(tagReport))
+    Stage("tag-report", Seq("catalog-creators"))(tagReport),
+    Stage("compact-sinks", Seq("pii-report", "tag-report"))(compactSinks))
 
   /** Run stages in dependency order; a failed stage skips its
     * transitive dependents, independent branches continue. */

@@ -32,6 +32,19 @@ class FindingsStore(spark: SparkSession, dir: String) {
   /** F6 read path: one source type (partition-pruned scan). */
   def ofType(sourceType: String): DataFrame =
     read().filter(col("data_source_type") === sourceType)
+
+  /** Post-batch small-file compaction hook: collapse each
+    * `data_source_type=` leaf to ~`targetBytes` files. Every classify
+    * run's [[append]] adds one file-set per partition; across N
+    * micro-batches that is exactly the small-file population
+    * [[graft.ops.Compact]] exists for. Per-leaf, so partition pruning
+    * and the dir layout survive; idempotent (already-compact leaves
+    * no-op), so callers schedule it freely — after every sink flush,
+    * or as the maintenance stage of the reference DAG
+    * ([[graft.ops.Schedule.referenceDag]] wires it after the pii/tag
+    * reports). Returns leaf dir → file count after. */
+  def compact(targetBytes: Long = 128L << 20): Map[String, Long] =
+    graft.ops.Compact.rewritePartitioned(spark, path, targetBytes)
 }
 
 private object Stores {

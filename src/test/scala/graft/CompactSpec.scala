@@ -92,6 +92,49 @@ class CompactSpec extends AnyFunSuite {
     assert(after == before)
   }
 
+  test("schema-evolved dir keeps ALL columns (mergeSchema, not sampled)") {
+    val dir = freshDir("evolve")
+    // two append generations with different footers — the catalog
+    // manifest's actual history (registered_seq added later)
+    (1L to 50L).map(i => (i, s"a$i")).toDF("id", "a")
+      .repartition(2).write.parquet(dir)
+    (51L to 100L).map(i => (i, s"a$i", s"b$i")).toDF("id", "a", "b")
+      .repartition(2).write.mode("append").parquet(dir)
+    assert(dataFiles(dir).size == 4)
+    val n = Compact.rewrite(spark, dir, targetBytes = 1L << 30)
+    assert(n == 1)
+    val after = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(after.columns.sorted.toSeq == Seq("a", "b", "id"),
+      "a sampled-schema rewrite would have dropped column b")
+    assert(after.count() == 100L)
+    assert(after.filter(col("b").isNotNull).count() == 50L)
+  }
+
+  test("FindingsStore.compact: N micro-batch appends collapse to ~1 file " +
+      "per partition, pruning intact") {
+    val dir = freshDir("findings_store")
+    val store = new graft.state.FindingsStore(spark, dir)
+    // 6 classify-run appends × 2 source types = 12+ files per leaf
+    (1 to 6).foreach { run =>
+      store.append((1L to 200L).map(i =>
+          (s"col$i", s"finding-$run-$i", if (i % 2 == 0) "s3" else "dynamodb"))
+        .toDF("column_name", "entity", "data_source_type")
+        .repartition(2))
+    }
+    val leaf = s"$dir/pii_findings/data_source_type=s3"
+    assert(dataFiles(leaf).size >= 6, "appends must have fragmented the leaf")
+    val counts = store.compact(targetBytes = 1L << 30)
+    assert(counts.size == 2 && counts.values.forall(_ == 1L), counts.toString)
+    assert(dataFiles(leaf).size == 1)
+    // pruning still plans one dir and the content is all still there
+    val pruned = store.ofType("s3")
+    assert(!pruned.queryExecution.executedPlan.toString
+      .contains("data_source_type=dynamodb"))
+    assert(pruned.count() == 600L && store.read().count() == 1200L)
+    // idempotent: the hook is safe to schedule after every flush
+    assert(store.compact(targetBytes = 1L << 30) == counts)
+  }
+
   test("small target splits into multiple files, each under ~target") {
     val dir = freshDir("split")
     // ~wide rows so the table is comfortably bigger than the target

@@ -43,11 +43,15 @@ class JobAndScheduleSpec extends AnyFunSuite {
     def ok(n: String): () => Unit = () => { ran += n; () }
     val report = Schedule.run(Schedule.referenceDag(
       catalog = ok("catalog"), jobs = ok("jobs"), crawl = ok("crawl"),
-      piiReport = ok("report"), piiScan = ok("scan"), tagReport = ok("tags")))
+      piiReport = ok("report"), piiScan = ok("scan"), tagReport = ok("tags"),
+      compactSinks = ok("compact")))
     assert(report.failed.isEmpty && report.skipped.isEmpty)
     assert(ran.indexOf("catalog") < ran.indexOf("jobs"))
     assert(ran.indexOf("jobs") < ran.indexOf("scan"))
     assert(ran.indexOf("scan") < ran.indexOf("report"))
+    // the maintenance tail never races a writer: strictly after both reports
+    assert(ran.indexOf("report") < ran.indexOf("compact"))
+    assert(ran.indexOf("tags") < ran.indexOf("compact"))
 
     // crawler failure: pii stages skipped, tag-report still runs
     val ran2 = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -58,7 +62,8 @@ class JobAndScheduleSpec extends AnyFunSuite {
       piiReport = ok2("report"), piiScan = ok2("scan"),
       tagReport = ok2("tags")))
     assert(r2.failed == Seq("crawlers"))
-    assert(r2.skipped.toSet == Set("pii-scan", "pii-report"))
+    // compact-sinks is downstream of pii-report, so it skips too
+    assert(r2.skipped.toSet == Set("pii-scan", "pii-report", "compact-sinks"))
     assert(ran2.contains("tags"))
   }
 
