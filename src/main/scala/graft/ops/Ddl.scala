@@ -51,6 +51,10 @@ object Ddl {
     var i = 0
     // 0 normal · 1 '…' · 2 "…" · 3 `…` · 4 -- comment · 5 /* comment
     var state = 0
+    // Spark supports NESTED bracketed comments (SPARK-28880):
+    // `/* a /* b */ still comment */` is ONE comment, so a ';' after
+    // the inner close must not split. Depth counts opens in state 5.
+    var commentDepth = 0
     while (i < n) {
       val c = sqlText.charAt(i)
       state match {
@@ -64,7 +68,7 @@ object Ddl {
             else if (c == '"') state = 2
             else if (c == '`') state = 3
             else if (c == '/' && i + 1 < n && sqlText.charAt(i + 1) == '*') {
-              cur.append('*'); i += 1; state = 5
+              cur.append('*'); i += 1; state = 5; commentDepth = 1
             }
           }
         case 1 =>
@@ -99,7 +103,10 @@ object Ddl {
         case 5 =>
           cur.append(c)
           if (c == '*' && i + 1 < n && sqlText.charAt(i + 1) == '/') {
-            cur.append('/'); i += 1; state = 0
+            cur.append('/'); i += 1; commentDepth -= 1
+            if (commentDepth == 0) state = 0
+          } else if (c == '/' && i + 1 < n && sqlText.charAt(i + 1) == '*') {
+            cur.append('*'); i += 1; commentDepth += 1
           }
       }
       i += 1

@@ -212,6 +212,17 @@ class StreamingAndDdlSpec extends AnyFunSuite {
       "INSERT INTO t VALUES ('line1\n--line2\nline3');\nSELECT 9")
     assert(multi == Seq("INSERT INTO t VALUES ('line1\n--line2\nline3')",
       "SELECT 9"), multi.mkString(" || "))
+    // NESTED bracketed comments (SPARK-28880): the inner */ does not
+    // end the comment, so the ';' after it must not split — Spark's
+    // own parser treats the whole span as one comment
+    val nested = Ddl.splitStatements(
+      "SELECT 1 /* outer /* inner */ ; still comment */ FROM t;\nSELECT 2")
+    assert(nested ==
+      Seq("SELECT 1 /* outer /* inner */ ; still comment */ FROM t",
+        "SELECT 2"), nested.mkString(" || "))
+    // ...and Spark executes the nested-comment statement whole
+    assert(spark.sql(nested.head.replace("FROM t", "")).collect()
+      .head.getInt(0) == 1)
     // end-to-end: the semicolon-bearing value survives execution
     try {
       Ddl.runScript(spark,
