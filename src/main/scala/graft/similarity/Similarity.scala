@@ -173,7 +173,16 @@ object Similarity {
   def lshTopK(df: DataFrame, queryPred: Column, k: Int,
       bits: Int = 8, dim: Int = 64): DataFrame = {
     val projs = hyperplaneProjections(bits, dim)
-    val n = withNorm(df).withColumn("sig", signature(col("embedding"), projs))
+    // null-embedding drop BEFORE signatures: HyperplaneSignature is
+    // never-null (all-'0' for a null input — the composed form's
+    // truth table), so unfiltered null rows would all share the
+    // all-zero bucket and fan out against each other in the band
+    // join as both query and candidate; the cos_raw null/NaN guard
+    // drops them from the OUTPUT either way, so filtering here only
+    // removes dead join work (same null-drop contract as the
+    // near-dup kernels).
+    val n = withNorm(df.filter(col("embedding").isNotNull))
+      .withColumn("sig", signature(col("embedding"), projs))
     topKJoin(broadcast(n.filter(queryPred)), n,
       col("q.sig") === col("c.sig"), k)
   }
@@ -1069,11 +1078,26 @@ object Similarity {
     val vecs = graft.sources.Tables.fanOut(df)
       .filter(col("embedding").isNotNull)
       .select(col("vec_id").cast("long"), col("embedding"))
-    val dimRow = vecs.select(size(col("embedding"))).head(1)
-    if (dimRow.isEmpty) // empty/all-null corpus: no pairs, schema intact
+    // Uniform-dimension gate (round-14 advice): the plane dimension
+    // used to come from an arbitrary sampled row, and on a
+    // mixed-dimension corpus every OTHER-dimension vector degraded to
+    // the all-'0' signature — one mega-bucket per band, O(m²)
+    // candidates and severe task skew (correct output only because
+    // the exact verify skips length mismatches). A mixed corpus is a
+    // data bug the caller must see, so fail loudly like the other
+    // gates; the check is one column-pruned min/max aggregate —
+    // partial-agg-combined, a rounding error next to the verify joins.
+    val dimRow = vecs.agg(min(size(col("embedding"))).as("dmin"),
+      max(size(col("embedding"))).as("dmax")).head()
+    if (dimRow.isNullAt(0)) // empty/all-null corpus: no pairs, schema intact
       return vecs.limit(0).select(col("vec_id").as("vec_a"),
         col("vec_id").as("vec_b"), lit(0.0).as("cos_sim")).filter(lit(false))
-    val dim = dimRow(0).getInt(0)
+    val dim = dimRow.getInt(0)
+    require(dim == dimRow.getInt(1),
+      s"nearDupPairsBanded requires a uniform embedding dimension, got " +
+        s"$dim..${dimRow.getInt(1)} — mixed-dimension rows would collapse " +
+        "into one LSH bucket per band (quadratic candidates); split the " +
+        "corpus by dimension first")
     val projs = hyperplaneProjections(rpb * bands, dim)
     val sig = vecs.withColumn("sig", signature(col("embedding"), projs))
     val cands = bandCandidates(sig, rpb, bands)

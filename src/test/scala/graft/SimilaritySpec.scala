@@ -436,6 +436,36 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pairs(Similarity.nearDupPairsBanded(vz, 0.9)) == expect)
   }
 
+  test("banded near-dup fails loudly on a mixed-dimension corpus") {
+    // off-dimension vectors would all degrade to the all-'0'
+    // signature — one mega-bucket per band, quadratic candidates —
+    // so the gate refuses instead (round-14 advice)
+    val mixed = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.99f, 0.1f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f)) // wrong dimension
+    ).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.nearDupPairsBanded(mixed, 0.9).count()
+    }
+    assert(e.getMessage.contains("uniform embedding dimension"))
+  }
+
+  test("lshTopK drops null embeddings (no all-zero-bucket fan-out)") {
+    val vz = Seq(
+      (0L, Array.tabulate(64)(i => if (i == 0) 1.0f else 0.0f)),
+      (1L, Array.tabulate(64)(i => if (i == 0) 0.99f else 0.01f)),
+      (2L, null.asInstanceOf[Array[Float]]),
+      (3L, null.asInstanceOf[Array[Float]])
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.lshTopK(vz, col("vec_id") <= 2, k = 5)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    // null rows appear neither as queries nor as neighbors
+    assert(out.forall { case (q, n) => q <= 1L && n <= 1L })
+    assert(out.nonEmpty)
+  }
+
   test("near-dup gate dispatch table: size tiers + the banding-must-prune rule") {
     def tier(n: Long, t: Double) = Similarity.nearDupTier(n, t,
       maxBroadcastRows = 100L, maxExactRows = 1000L)
