@@ -11,18 +11,47 @@ import org.apache.spark.sql.{DataFrame, SaveMode}
   * Atomic-ENOUGH for local/dev and a single writer: HDFS-style
   * renames are atomic, so a concurrent reader sees the old table or
   * the new one, never a half-written mix — but the delete→rename
-  * window can expose a missing path, and two concurrent writers can
-  * interleave. On a transactional table format (Delta/Iceberg) the
-  * callers' whole read-modify-[[swap]] flows collapse into single
-  * MERGE statements; this helper exists so that swap-in happens at
-  * one site. */
+  * window can expose a missing path. Concurrent WRITERS were a
+  * documented hazard until round 15; now a create-exclusive `.lock`
+  * sibling turns the second writer into a loud error instead of an
+  * interleaved table (see [[swap]]'s `lockStaleMillis`). On a
+  * transactional table format (Delta/Iceberg) the callers' whole
+  * read-modify-[[swap]] flows collapse into single MERGE statements;
+  * this helper exists so that swap-in happens at one site. */
 object StagingSwap {
 
   /** Overwrite the parquet table at `path` with `df` via the staging
     * swap. The caller is responsible for column order (pass a frame
-    * already selected to the table's schema). */
-  def swap(df: DataFrame, path: String): Unit = {
+    * already selected to the table's schema).
+    *
+    * Writer exclusion: a dot-prefixed `.lock` sibling is
+    * create-exclusive'd for the duration of the swap; a second
+    * writer fails LOUDLY (IllegalStateException naming the holder)
+    * instead of interleaving its staging/rename with ours — the
+    * MERGE-per-micro-batch tables (tracker, comments) are exactly
+    * where two schedulers could otherwise collide silently. A lock
+    * older than `lockStaleMillis` is presumed crashed and broken
+    * (one retry), so an abandoned lock never wedges the pipeline
+    * permanently. Honest limits: Hadoop's create-exclusive is
+    * check-then-create on some local filesystems (a true CAS on
+    * HDFS/object stores with preconditions), so this is a loud-error
+    * guard for the documented single-writer contract, not a
+    * distributed lock service. */
+  def swap(df: DataFrame, path: String,
+      lockStaleMillis: Long = 10L * 60 * 1000): Unit = {
     val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    val lock = new org.apache.hadoop.fs.Path(
+      target.getParent, s".${target.getName}.lock")
+    acquire(fs, lock, lockStaleMillis)
+    try doSwap(df, fs, target)
+    finally fs.delete(lock, false)
+  }
+
+  private def doSwap(df: DataFrame,
+      fs: org.apache.hadoop.fs.FileSystem,
+      target: org.apache.hadoop.fs.Path): Unit = {
     // the staging dir is a DOT-prefixed sibling: Spark's file index
     // and partition discovery skip '.'/'_' names, so when the target
     // is a partition leaf (root/k=v — Compact.rewritePartitioned), a
@@ -34,8 +63,6 @@ object StagingSwap {
     val staging = new org.apache.hadoop.fs.Path(
       target.getParent, s".${target.getName}.staging")
     df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
-    val fs = target.getFileSystem(
-      df.sparkSession.sparkContext.hadoopConfiguration)
     fs.delete(target, true) // false = already absent; that's fine
     // rename reports many failure modes by RETURNING false (parent
     // vanished, cross-filesystem staging, concurrent recreate of the
@@ -44,7 +71,43 @@ object StagingSwap {
     // fail loudly with the staging path so the data is recoverable
     if (!fs.rename(staging, target))
       throw new IllegalStateException(
-        s"staging swap failed: rename($staging -> $path) returned " +
+        s"staging swap failed: rename($staging -> $target) returned " +
           "false; old table deleted, new contents stranded in staging")
   }
+
+  private def acquire(fs: org.apache.hadoop.fs.FileSystem,
+      lock: org.apache.hadoop.fs.Path, staleMillis: Long): Unit = {
+    var attempt = 0
+    while (!tryCreate(fs, lock)) {
+      attempt += 1
+      val age = try System.currentTimeMillis() -
+        fs.getFileStatus(lock).getModificationTime
+      catch { // holder released between our create and stat: retry
+        case _: java.io.FileNotFoundException => -1L
+      }
+      if (age >= 0 && age <= staleMillis)
+        throw new IllegalStateException(
+          s"staging swap lock $lock is held by a concurrent writer " +
+            s"(age ${age}ms ≤ stale threshold ${staleMillis}ms) — " +
+            "engine tables are single-writer; serialize the callers")
+      if (age > staleMillis) fs.delete(lock, false) // crashed holder
+      if (attempt > 3) throw new IllegalStateException(
+        s"staging swap lock $lock could not be acquired after " +
+          s"$attempt attempts")
+    }
+  }
+
+  private def tryCreate(fs: org.apache.hadoop.fs.FileSystem,
+      lock: org.apache.hadoop.fs.Path): Boolean =
+    try {
+      val out = fs.create(lock, false) // create-exclusive
+      // record the holder for the error message / post-mortem
+      out.write((s"pid=${ProcessHandle.current().pid()} " +
+        s"ts=${System.currentTimeMillis()}").getBytes("UTF-8"))
+      out.close()
+      true
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      case _: java.io.IOException => false // local-FS raced create
+    }
 }

@@ -1,0 +1,83 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.util.StagingSwap
+
+/** The shared staging-swap helper: swap correctness, staging hygiene,
+  * and the round-15 writer-exclusion lock (a second concurrent writer
+  * fails loudly instead of interleaving; a crashed holder's stale
+  * lock is broken, not wedged on forever). */
+class StagingSwapSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def fs = new org.apache.hadoop.fs.Path("target")
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def freshDir(name: String): String = {
+    val d = s"target/test-swap/$name"
+    fs.delete(new org.apache.hadoop.fs.Path(d), true)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"target/test-swap/.$name.lock"), false)
+    d
+  }
+
+  test("swap replaces contents atomically and leaves no residue") {
+    val dir = freshDir("basic")
+    StagingSwap.swap((1L to 10L).toDF("id"), dir)
+    assert(spark.read.parquet(dir).count() == 10L)
+    StagingSwap.swap((1L to 3L).toDF("id"), dir)
+    assert(spark.read.parquet(dir).count() == 3L)
+    val parent = new org.apache.hadoop.fs.Path(dir).getParent
+    val leftovers = fs.listStatus(parent).map(_.getPath.getName)
+      .filter(n => n.contains("basic") && n != "basic")
+    assert(leftovers.isEmpty, leftovers.mkString(","))
+  }
+
+  test("second concurrent writer fails loudly while the lock is held") {
+    val dir = freshDir("locked")
+    StagingSwap.swap((1L to 5L).toDF("id"), dir) // table exists
+    // simulate writer A mid-swap: its lock file is present and fresh
+    val lock = new org.apache.hadoop.fs.Path("target/test-swap/.locked.lock")
+    val out = fs.create(lock, false); out.write('x'); out.close()
+    try {
+      val e = intercept[IllegalStateException] {
+        StagingSwap.swap((1L to 9L).toDF("id"), dir)
+      }
+      assert(e.getMessage.contains("concurrent writer"))
+      // the loser must not have touched the table
+      assert(spark.read.parquet(dir).count() == 5L)
+    } finally fs.delete(lock, false)
+  }
+
+  test("a stale lock (crashed holder) is broken and the swap proceeds") {
+    val dir = freshDir("stale")
+    StagingSwap.swap((1L to 5L).toDF("id"), dir)
+    val lock = new org.apache.hadoop.fs.Path("target/test-swap/.stale.lock")
+    val out = fs.create(lock, false); out.write('x'); out.close()
+    fs.setTimes(lock, System.currentTimeMillis() - 60000L, -1L)
+    // 1s staleness: the minute-old lock is presumed crashed
+    StagingSwap.swap((1L to 7L).toDF("id"), dir, lockStaleMillis = 1000L)
+    assert(spark.read.parquet(dir).count() == 7L)
+    assert(!fs.exists(lock), "the winning swap must release the lock")
+  }
+
+  test("the lock releases even when the swap body fails, and on success") {
+    val dir = freshDir("release")
+    StagingSwap.swap((1L to 4L).toDF("id"), dir)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      "target/test-swap/.release.lock")))
+    // a swap whose WRITE JOB fails mid-flight (task throw) — the lock
+    // was already acquired, so the finally must release it
+    val boom = org.apache.spark.sql.functions.udf((i: Long) =>
+      if (i > 2L) throw new RuntimeException("task boom") else i)
+    intercept[Exception] {
+      StagingSwap.swap((1L to 4L).toDF("id")
+        .select(boom(org.apache.spark.sql.functions.col("id")).as("id")), dir)
+    }
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      "target/test-swap/.release.lock")),
+      "a failed swap must not leave the lock behind")
+    assert(spark.read.parquet(dir).count() == 4L)
+  }
+}
