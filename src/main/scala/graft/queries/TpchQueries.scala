@@ -16,8 +16,12 @@ import graft.sources.Tables
   * or c_phone), so predicates are adapted — "late" becomes
   * l_shipdate > o_orderdate + k days, q22's country code becomes the
   * customer-id digits — while each query keeps its canonical shape.
-  * Queries needing partsupp (q2/q9/q11/q16/q20) are out of reach of
-  * this corpus and intentionally absent.
+  * Queries needing partsupp (q2/q9/q11/q16/q20) cannot be
+  * oracle-checked against the driver corpus (no partsupp table), so
+  * they live in [[partsuppQueries]] — runnable against any corpus
+  * that carries a partsupp (graft.tools.SynthScale synthesizes one),
+  * plan-pinned in PlanRegressionSpec/TpchPartsuppSpec, and excluded
+  * from the driver's `queries` contract by construction.
   *
   * Scale posture, per query, in the entry comments. Shared rules:
   * every date/brand/size filter sits on the scan (pushdown verified in
@@ -253,6 +257,171 @@ object TpchQueries extends QueryPack {
           dsum(col("c_acctbal"), 2).as("totacctbal"))
     })
   )
+
+  /** The five partsupp-dependent TPC-H shapes (SURVEY §2.6's last
+    * plan patterns): correlated min-cost scalar subquery (q2),
+    * multi-fact profit rollup (q9), group-HAVING-against-global-scalar
+    * (q11), anti-join count-distinct distribution (q16), and the
+    * nested semi-join chain (q20). NOT in `queries`: the driver
+    * corpus ships no partsupp, so there is no oracle row to earn —
+    * these run against SynthScale corpora and their plan shapes are
+    * spec-pinned (TpchPartsuppSpec). Predicates are adapted to the
+    * synth columns exactly as the main pack adapts to the driver's
+    * (p_type is a single word, "complaints" becomes negative account
+    * balance, q20's CANADA becomes region EUROPE); every shape —
+    * subquery structure, join order, broadcast sides — is canonical. */
+  def partsuppQueries: Map[String, Q] = Map(
+
+    // Q2 shape: correlated scalar-min subquery — for each qualifying
+    // part, keep only the supplier(s) at the minimum EUROPE-wide
+    // supply cost. The subquery becomes groupBy(min) + equi-join-back
+    // (Catalyst's own decorrelation result); dims broadcast; the
+    // eligible set is scanned twice, both passes column-pruned and
+    // filter-pushed. 100 TB: partsupp shuffles once per pass on
+    // ps_partkey; the min-cost frame is parts-sized, far smaller.
+    "q2_min_cost_supplier" -> ((s, d) => {
+      val ps = Tables.load(s, d, "partsupp")
+      val p = Tables.load(s, d, "part")
+        .filter(col("p_size") === 15 && col("p_type") === "STANDARD")
+        .select("p_partkey", "p_type", "p_size")
+      val sup = Tables.load(s, d, "supplier")
+        .select("s_suppkey", "s_name", "s_acctbal", "s_nationkey")
+      val nat = Tables.load(s, d, "nation")
+      val reg = Tables.load(s, d, "region").filter(col("r_name") === "EUROPE")
+      val eligible = ps
+        .join(broadcast(p), ps("ps_partkey") === p("p_partkey"))
+        .join(broadcast(sup), ps("ps_suppkey") === sup("s_suppkey"))
+        .join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
+        .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+        .select(col("p_partkey"), col("ps_supplycost"), col("s_name"),
+          col("s_acctbal"), col("n_name"))
+      val minCost = eligible.groupBy(col("p_partkey").as("mc_partkey"))
+        .agg(min(col("ps_supplycost")).as("mc_cost"))
+      eligible.join(minCost,
+          eligible("p_partkey") === minCost("mc_partkey")
+            && eligible("ps_supplycost") === minCost("mc_cost"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("p_partkey"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+          col("p_partkey"))
+        .limit(100)
+    }),
+
+    // Q9 shape: the multi-fact profit rollup — lineitem joins FOUR
+    // other tables; profit needs partsupp's cost at (partkey,
+    // suppkey) granularity. part (filtered) / supplier / nation
+    // broadcast; partsupp⨝lineitem is the one composite-key shuffle;
+    // orders joins on orderkey (second shuffle). Aggregation is
+    // partial before final on (nation, year).
+    "q9_product_profit" -> ((s, d) => {
+      val li = Tables.load(s, d, "lineitem")
+      val p = Tables.load(s, d, "part")
+        .filter(col("p_name").contains("bolt")).select("p_partkey")
+      val sup = Tables.load(s, d, "supplier")
+        .select("s_suppkey", "s_nationkey")
+      val ps = Tables.load(s, d, "partsupp")
+        .select("ps_partkey", "ps_suppkey", "ps_supplycost")
+      val o = Tables.load(s, d, "orders").select("o_orderkey", "o_orderdate")
+      val nat = Tables.load(s, d, "nation").select("n_nationkey", "n_name")
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .join(ps, li("l_partkey") === ps("ps_partkey")
+          && li("l_suppkey") === ps("ps_suppkey"))
+        .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+        .join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).as("o_year"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          - col("ps_supplycost") * col("l_quantity"), 4).as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+
+    // Q11 shape: grouped value vs a GLOBAL scalar threshold — the
+    // HAVING sum(...) > fraction·total idiom. The one-row total
+    // cross-joins back (broadcast by construction); the grouped side
+    // aggregates partial→final on ps_partkey. The filtered
+    // partsupp⨝supplier⨝nation input is built once and reused for
+    // both the total and the per-part rollup.
+    "q11_important_stock" -> ((s, d) => {
+      val ps = Tables.load(s, d, "partsupp")
+      val sup = Tables.load(s, d, "supplier")
+        .select("s_suppkey", "s_nationkey")
+      val nat = Tables.load(s, d, "nation")
+        .filter(col("n_name") === "NATION_7").select("n_nationkey")
+      val scoped = ps
+        .join(broadcast(sup), ps("ps_suppkey") === sup("s_suppkey"))
+        .join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
+        .select(col("ps_partkey"),
+          (col("ps_supplycost") * col("ps_availqty")).as("v"))
+      val total = scoped.agg(dsum(col("v"), 4).as("grand_total"))
+      scoped.groupBy(col("ps_partkey"))
+        .agg(dsum(col("v"), 4).as("part_value"))
+        .crossJoin(broadcast(total))
+        .filter(col("part_value") > col("grand_total") * 0.0005)
+        .select(col("ps_partkey"), col("part_value"))
+        .orderBy(col("part_value").desc, col("ps_partkey"))
+    }),
+
+    // Q16 shape: anti-join supplier exclusion + grouped
+    // count-distinct distribution. The "complaints" NOT IN subquery
+    // becomes a broadcast left-anti against the flagged supplier set
+    // (here: negative account balance — the synth supplier's
+    // blemish); part attributes broadcast onto partsupp; distinct
+    // supplier counting shuffles once on the grouping triple.
+    "q16_supplier_cnt" -> ((s, d) => {
+      val ps = Tables.load(s, d, "partsupp")
+      val p = Tables.load(s, d, "part")
+        .filter(col("p_brand") =!= "Brand#5"
+          && !col("p_type").startsWith("PROMO")
+          && col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+      val complained = Tables.load(s, d, "supplier")
+        .filter(col("s_acctbal") < 0).select("s_suppkey")
+      ps.join(broadcast(p), ps("ps_partkey") === p("p_partkey"))
+        .join(broadcast(complained),
+          ps("ps_suppkey") === complained("s_suppkey"), "left_anti")
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+    }),
+
+    // Q20 shape: the nested semi-join chain — suppliers who stock a
+    // qualifying part ABOVE half of what actually shipped. Inner to
+    // outer: lineitem aggregates per (partkey, suppkey) once; the
+    // partsupp residual join applies availqty > ½·shipped; a semi
+    // join gates on the name-filtered part set (broadcast); the
+    // surviving (suppkey) set semi-joins into supplier, scoped to one
+    // region via broadcast nation. Every step shrinks the row set;
+    // nothing fans out.
+    "q20_promo_suppliers" -> ((s, d) => {
+      val li = Tables.load(s, d, "lineitem")
+        .filter(col("l_shipdate") >= ts("2023-03-01")
+          && col("l_shipdate") < ts("2024-03-01"))
+      val shipped = li.groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("l_quantity")).as("sum_qty"))
+      val p = Tables.load(s, d, "part")
+        .filter(col("p_name").contains("ring")).select("p_partkey")
+      val ps = Tables.load(s, d, "partsupp")
+        .join(broadcast(p), col("ps_partkey") === p("p_partkey"),
+          "left_semi")
+      val qualifying = ps.join(shipped,
+          ps("ps_partkey") === shipped("l_partkey")
+            && ps("ps_suppkey") === shipped("l_suppkey")
+            && ps("ps_availqty") > shipped("sum_qty") * 0.5)
+        .select(col("ps_suppkey"))
+      val nat = Tables.load(s, d, "nation")
+      val reg = Tables.load(s, d, "region").filter(col("r_name") === "EUROPE")
+      val natEu = nat.join(broadcast(reg),
+        nat("n_regionkey") === reg("r_regionkey"), "left_semi")
+      val sup = Tables.load(s, d, "supplier")
+      sup.join(qualifying, sup("s_suppkey") === qualifying("ps_suppkey"),
+          "left_semi")
+        .join(broadcast(natEu), sup("s_nationkey") === natEu("n_nationkey"),
+          "left_semi")
+        .select(col("s_suppkey"), col("s_name"))
+        .orderBy(col("s_name"))
+    }))
 
   def oracle: Map[String, String] = Map(
     "q4_priority_exists" ->

@@ -248,6 +248,26 @@ object SynthScale {
       "p_retailprice")
   }
 
+  /** Part-supplier bridge (TPC-H partsupp; absent from the driver
+    * corpus — synthesized so q2/q9/q11/q16/q20's plan shapes are
+    * pinnable, SURVEY §2.6 completion). Four suppliers per part, the
+    * spec's spread formula over the fixed 1..1000 supplier domain
+    * (public TPC-H 2.x clause 4.2.3: s = (p + i·(S/4 + (p−1)/S)) mod
+    * S + 1), so every supplier carries a near-equal part load — no
+    * accidental skew in the (partkey, suppkey) joins. */
+  def partsupp(spark: SparkSession, nParts: Long, seed: Long = 42L): DataFrame = {
+    import spark.implicits._
+    val nSupp = 1000L
+    spark.range(nParts).flatMap { p =>
+      val r = rngFor(seed + 11, p)
+      (0 until 4).map { i =>
+        val s = (p + i * (nSupp / 4 + (p - 1) / nSupp)) % nSupp + 1
+        (p, s, 1 + r.nextInt(9999),
+          math.rint((1.0 + r.nextDouble() * 999.0) * 100) / 100)
+      }
+    }.toDF("ps_partkey", "ps_suppkey", "ps_availqty", "ps_supplycost")
+  }
+
   def writeScale(spark: SparkSession, outDir: String, scale: Int): Unit = {
     documents(spark, 5000L * scale).write.mode(SaveMode.Overwrite)
       .parquet(s"$outDir/documents.parquet")
@@ -269,5 +289,7 @@ object SynthScale {
       .parquet(s"$outDir/part.parquet")
     supplier(spark).write.mode(SaveMode.Overwrite)
       .parquet(s"$outDir/supplier.parquet")
+    partsupp(spark, 2000L * scale).write.mode(SaveMode.Overwrite)
+      .parquet(s"$outDir/partsupp.parquet")
   }
 }

@@ -1,0 +1,188 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.queries.TpchQueries
+import graft.tools.SynthScale
+
+/** The five partsupp-dependent TPC-H shapes (q2/q9/q11/q16/q20) over
+  * a SynthScale corpus: result-checked against Spark's OWN SQL
+  * planner running the canonical subquery text (an independent plan
+  * path — decorrelation, subquery execution — over the same tables),
+  * plus the plan pins PlanRegressionSpec applies to the rest of the
+  * pack (broadcast dims, pushed filters, no nested-loop joins). The
+  * driver corpus has no partsupp, so no DuckDB oracle row exists —
+  * this spec is these queries' correctness gate. */
+class TpchPartsuppSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private lazy val dir: String = {
+    val d = "target/test-partsupp-corpus"
+    val p = new org.apache.hadoop.fs.Path(d)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    // part keys 0..19999 cover lineitem's 1..20000 l_partkey domain,
+    // so the (partkey, suppkey) bridge joins have real matches
+    SynthScale.region(spark).write.parquet(s"$d/region.parquet")
+    SynthScale.nation(spark).write.parquet(s"$d/nation.parquet")
+    SynthScale.supplier(spark).write.parquet(s"$d/supplier.parquet")
+    SynthScale.part(spark, 20000L).write.parquet(s"$d/part.parquet")
+    SynthScale.partsupp(spark, 20000L).write.parquet(s"$d/partsupp.parquet")
+    SynthScale.orders(spark, 10100L).write.parquet(s"$d/orders.parquet")
+    SynthScale.lineitem(spark, 40000L).write.parquet(s"$d/lineitem.parquet")
+    Seq("region", "nation", "supplier", "part", "partsupp", "orders",
+      "lineitem").foreach(t =>
+      spark.read.parquet(s"$d/$t.parquet").createOrReplaceTempView(t))
+    d
+  }
+
+  private def run(name: String) =
+    TpchQueries.partsuppQueries(name)(spark, dir)
+
+  private def plan(name: String): String =
+    run(name).queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+    df.collect().toSeq.map(_.toSeq)
+
+  test("q2 min-cost supplier: matches the canonical correlated subquery") {
+    val df = run("q2_min_cost_supplier")
+    val sql = spark.sql(
+      """SELECT s_acctbal, s_name, n_name, p_partkey
+        |FROM part, partsupp, supplier, nation, region
+        |WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+        |  AND p_size = 15 AND p_type = 'STANDARD'
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'EUROPE'
+        |  AND ps_supplycost = (
+        |    SELECT min(ps_supplycost)
+        |    FROM partsupp, supplier, nation, region
+        |    WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+        |      AND s_nationkey = n_nationkey
+        |      AND n_regionkey = r_regionkey AND r_name = 'EUROPE')
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin)
+    val got = rows(df)
+    assert(got.nonEmpty, "fixture must qualify some parts")
+    assert(got == rows(sql))
+    val p = plan("q2_min_cost_supplier")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(p.contains("EqualTo(p_size,15)") || p.contains("EqualTo(p_size, 15)"),
+      "part size filter must reach the scan: " + p.take(2000))
+    assert(!p.contains("CartesianProduct"), "no cartesian in q2")
+  }
+
+  test("q9 product profit: matches the canonical SQL rollup") {
+    val df = run("q9_product_profit")
+    val sql = spark.sql(
+      """SELECT n_name AS nation, year(o_orderdate) AS o_year,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |    - ps_supplycost * l_quantity AS DECIMAL(28,4))) AS DOUBLE)
+        |    AS sum_profit
+        |FROM lineitem, part, partsupp, supplier, orders, nation
+        |WHERE l_partkey = p_partkey AND l_partkey = ps_partkey
+        |  AND l_suppkey = ps_suppkey AND l_suppkey = s_suppkey
+        |  AND l_orderkey = o_orderkey AND s_nationkey = n_nationkey
+        |  AND p_name LIKE '%bolt%'
+        |GROUP BY n_name, year(o_orderdate)
+        |ORDER BY nation, o_year DESC""".stripMargin)
+    val got = rows(df)
+    assert(got.nonEmpty, "fixture must ship some matching pairs")
+    assert(got == rows(sql))
+    val p = plan("q9_product_profit")
+    assert(p.contains("StringContains(p_name,bolt)")
+      || p.contains("StringContains(p_name, bolt)"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      "q9's five joins are all equi joins")
+  }
+
+  test("q11 important stock: matches the HAVING-scalar SQL") {
+    val df = run("q11_important_stock")
+    val sql = spark.sql(
+      """SELECT ps_partkey,
+        |  CAST(sum(CAST(ps_supplycost * ps_availqty AS DECIMAL(28,4)))
+        |    AS DOUBLE) AS part_value
+        |FROM partsupp, supplier, nation
+        |WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        |  AND n_name = 'NATION_7'
+        |GROUP BY ps_partkey
+        |HAVING CAST(sum(CAST(ps_supplycost * ps_availqty
+        |    AS DECIMAL(28,4))) AS DOUBLE) > (
+        |  SELECT CAST(sum(CAST(ps_supplycost * ps_availqty
+        |      AS DECIMAL(28,4))) AS DOUBLE) * 0.0005
+        |  FROM partsupp, supplier, nation
+        |  WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        |    AND n_name = 'NATION_7')
+        |ORDER BY part_value DESC, ps_partkey""".stripMargin)
+    val got = rows(df)
+    assert(got.nonEmpty)
+    assert(got == rows(sql))
+    val p = plan("q11_important_stock")
+    // the global total is ONE row: its join back must be a broadcast,
+    // and the per-part rollup keeps partial aggregation
+    assert(p.contains("BroadcastNestedLoopJoin")
+      || p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(p.contains("HashAggregate"), p.take(2000))
+  }
+
+  test("q16 supplier count: matches the NOT-IN + count-distinct SQL") {
+    val df = run("q16_supplier_cnt")
+    val sql = spark.sql(
+      """SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT ps_suppkey) AS supplier_cnt
+        |FROM partsupp, part
+        |WHERE p_partkey = ps_partkey
+        |  AND p_brand <> 'Brand#5' AND p_type NOT LIKE 'PROMO%'
+        |  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+        |  AND ps_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin)
+    val got = rows(df)
+    assert(got.nonEmpty)
+    assert(got == rows(sql))
+    val p = plan("q16_supplier_cnt")
+    assert(p.contains("LeftAnti"), "exclusion must plan as an anti join")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("q20 promo suppliers: matches the nested semi-join-chain SQL") {
+    val df = run("q20_promo_suppliers")
+    val sql = spark.sql(
+      """SELECT s_suppkey, s_name
+        |FROM supplier
+        |WHERE s_suppkey IN (
+        |    SELECT ps_suppkey FROM partsupp
+        |    WHERE ps_partkey IN (
+        |        SELECT p_partkey FROM part WHERE p_name LIKE '%ring%')
+        |      AND ps_availqty > (
+        |        SELECT 0.5 * sum(l_quantity) FROM lineitem
+        |        WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+        |          AND l_shipdate >= TIMESTAMP '2023-03-01 00:00:00'
+        |          AND l_shipdate < TIMESTAMP '2024-03-01 00:00:00'))
+        |  AND s_nationkey IN (
+        |    SELECT n_nationkey FROM nation, region
+        |    WHERE n_regionkey = r_regionkey AND r_name = 'EUROPE')
+        |ORDER BY s_name""".stripMargin)
+    val got = rows(df)
+    assert(got.nonEmpty, "fixture must qualify some suppliers")
+    assert(got == rows(sql))
+    val p = plan("q20_promo_suppliers")
+    assert(p.contains("LeftSemi"), "the chain must plan as semi joins")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("partsupp generator: 4 suppliers per part, keys in the supplier domain") {
+    val ps = spark.read.parquet(s"$dir/partsupp.parquet")
+    assert(ps.count() == 80000L)
+    val perPart = ps.groupBy("ps_partkey")
+      .agg(countDistinct("ps_suppkey").as("n"))
+      .agg(min("n"), max("n")).head()
+    assert(perPart.getLong(0) == 4L && perPart.getLong(1) == 4L,
+      "the TPC-H spread formula must give 4 DISTINCT suppliers per part")
+    val range = ps.agg(min("ps_suppkey"), max("ps_suppkey")).head()
+    assert(range.getLong(0) >= 1L && range.getLong(1) <= 1000L)
+  }
+}
