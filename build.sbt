@@ -35,4 +35,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  // A 197-query × 2-pass bench JVM floods the JIT code cache with
+  // whole-stage-codegen classes; at the JDK-17 default (240m) the
+  // cache fills mid-suite, the compiler shuts off ("CodeCache is
+  // full"), and interpreter-speed hot loops masquerade as query
+  // regressions (the round-14 a1_classify_ref256 artifact — see
+  // SCALE.md "Known measurement artifact"). Size it for the suite.
+  s"-XX:ReservedCodeCacheSize=${sys.env.getOrElse("SPARK_GRAFT_CODECACHE", "1g")}",
+) ++
+  // Escape hatch for measurement experiments (e.g. re-running the
+  // bench at the old default code cache, or adding -XX:+PrintCodeCache)
+  // without editing this file.
+  sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq.flatMap(_.split("\\s+").filter(_.nonEmpty))
