@@ -69,11 +69,25 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // default 32 = the box's core count AND TimeQuery's default. The
+    // old default of 4 made "in-suite vs standalone" comparisons lie:
+    // CPU-dense scan queries (a1_classify_ref256's 256 regexes/cell)
+    // read ~3x slower at 4 cores, which round 14 chased as a JIT
+    // artifact until the cpus field of the two records was compared
+    // (SCALE.md, round-15 resolution).
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.local.dir", graft.util.Scratch.localDir("graft-bench-"))
       .config("spark.sql.shuffle.partitions", cpus)
+      // the 197-query suite compiles well over the default 100 cached
+      // codegen units, so the LRU cache thrashes and EVERY pass-2 /
+      // retry measurement pays a full Janino recompile of plans the
+      // JVM already compiled — measured 98->84 s on the 4-cpu suite
+      // when raised. Any long-lived session serving many distinct
+      // query shapes should raise this; it is driver heap for
+      // compiled classes, bounded and cheap.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
