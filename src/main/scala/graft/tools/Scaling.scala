@@ -193,7 +193,16 @@ object Scaling {
     "d15_neardup_blocked" -> "embeddings",
     "d16_neardup_banded" -> "embeddings",
     "c20_component_split" -> "documents",
-    "dsv1_items_scan" -> "documents")
+    "dsv1_items_scan" -> "documents",
+    // round-15 (verdict item 4): the compaction round-trip. Pass 1
+    // per corpus pays the one-time fragment write + compact; later
+    // passes measure the idempotent no-op guard + the compacted
+    // scan, and the per-query min keeps that recurring cost — which
+    // is the operational claim (a scheduled compact call on an
+    // already-compact table must cost ~a file listing). z1 is the
+    // Morton-key projection (pure codegen, scan-bound).
+    "z1_zorder_key" -> "events",
+    "z2_compact_roundtrip" -> "orders")
 
   /** Measured interpretation notes embedded per row — the exponent
     * alone can mislead when the OUTPUT grows with the corpus. */
