@@ -390,4 +390,25 @@ object Crawler {
         .toDF("table_name", "column_name", "data_type", "nullable")
     } else crawlAll(spark, sources)
   }
+
+  /** S6 with the J3 credential side wired in: resolve the cluster's
+    * secret through [[graft.sources.v2.SecretsStore]] (the
+    * reference's list→match-dbClusterIdentifier→get-value flow,
+    * rds-glue-initial/app.py:129-162 feeding the Glue connection's
+    * SECRET_ID) and crawl the estate with the resolved user/password
+    * merged into `props` (caller-provided keys win, so a partitioning
+    * or driver option can never be clobbered by a secret). Fails
+    * loudly when no secret matches — a silent empty-credential crawl
+    * would surface as an opaque auth error rows later. */
+  def crawlJdbcEstateWithSecrets(spark: SparkSession, url: String,
+      clusterIdentifier: String, secrets: graft.sources.v2.SecretsStore,
+      props: Map[String, String] = Map.empty,
+      exceptionSchemas: Seq[String] = DefaultExceptionSchemas): DataFrame = {
+    val ref = secrets.secretForCluster(clusterIdentifier).getOrElse(
+      throw new IllegalStateException(
+        s"no secret carries dbClusterIdentifier=$clusterIdentifier — " +
+          "the cluster's credentials are not registered"))
+    crawlJdbcEstate(spark, url, secrets.jdbcProps(ref.name) ++ props,
+      exceptionSchemas)
+  }
 }

@@ -153,4 +153,47 @@ class JdbcAndCommentsSpec extends AnyFunSuite {
     assert(store.apply("t1", plan, expectedVersion = 1L) == 2L)
     assert(store.tableVersion("t1") == 2L)
   }
+
+  test("secrets-resolved estate crawl: J3 credential loop end to end") {
+    import graft.sources.v2.SecretsStore
+    import SecretsStore.{SecretRef, SecretsPage, SecretsWireClient}
+    val dbDir = tmp("derby_sec")
+    val url = s"jdbc:derby:$dbDir/secdb;create=true"
+    val conn = DriverManager.getConnection(url)
+    try {
+      conn.createStatement().execute(
+        "CREATE TABLE sec_tbl (id INT PRIMARY KEY, v VARCHAR(16))")
+    } finally conn.close()
+
+    // a secret estate where the matching secret is NOT the first one
+    val store = new SecretsStore(new SecretsWireClient {
+      private val vals = Seq(
+        "app/other" -> """{"dbClusterIdentifier": "cluster-other"}""",
+        "rds/secdb" -> ("""{"username": "svc", "password": "pw", """ +
+          """"dbClusterIdentifier": "cluster-secdb"}"""))
+      def listSecretsPage(t: Option[String]): SecretsPage =
+        SecretsPage(vals.map { case (n, _) => SecretRef(n, s"arn:$n") }, None)
+      def getSecretValue(id: String): String = vals.find(_._1 == id).get._2
+    })
+
+    // resolved user/password flow into the crawl's JDBC props (Derby
+    // embedded accepts them; the wiring is what this pins) and the
+    // estate registers exactly as the credential-less path does
+    val inv = Crawler.crawlJdbcEstateWithSecrets(
+      spark, url, "cluster-secdb", store)
+    assert(inv.collect().map(_.getString(1).toLowerCase).toSet
+      .contains("id"))
+
+    // an unregistered cluster fails loudly, not as an opaque auth error
+    val e = intercept[IllegalStateException] {
+      Crawler.crawlJdbcEstateWithSecrets(spark, url, "cluster-ghost", store)
+    }
+    assert(e.getMessage.contains("cluster-ghost"))
+
+    // caller props win over secret-resolved keys (partitioning or
+    // driver options must never be clobbered)
+    val inv2 = Crawler.crawlJdbcEstateWithSecrets(
+      spark, url, "cluster-secdb", store, props = Map("user" -> "override"))
+    assert(inv2.collect().nonEmpty)
+  }
 }
