@@ -30,23 +30,32 @@ object StagingSwap {
     * instead of interleaving its staging/rename with ours — the
     * MERGE-per-micro-batch tables (tracker, comments) are exactly
     * where two schedulers could otherwise collide silently. A lock
-    * older than `lockStaleMillis` is presumed crashed and broken
-    * (one retry), so an abandoned lock never wedges the pipeline
-    * permanently. Honest limits: Hadoop's create-exclusive is
-    * check-then-create on some local filesystems (a true CAS on
-    * HDFS/object stores with preconditions), so this is a loud-error
-    * guard for the documented single-writer contract, not a
-    * distributed lock service. */
+    * older than `lockStaleMillis` is presumed crashed: breaking it
+    * is claim-by-RENAME (atomic — of two racing breakers exactly one
+    * wins; the loser retries against the new holder's fresh lock),
+    * and release deletes the lock only when it still carries OUR
+    * token, so a breaker can never have its fresh lock deleted by
+    * the stale holder's finally. The staleness default is 30 min and
+    * is a CONTRACT: set it above the longest swap the table can ever
+    * run (a live swap outliving it can have its lock broken — the
+    * lock file's mtime is written once, not heartbeat-refreshed).
+    * Honest limits: Hadoop's create-exclusive is check-then-create
+    * on some local filesystems (a true CAS on HDFS/object stores
+    * with preconditions), so this is a loud-error guard for the
+    * documented single-writer contract, not a distributed lock
+    * service. */
   def swap(df: DataFrame, path: String,
-      lockStaleMillis: Long = 10L * 60 * 1000): Unit = {
+      lockStaleMillis: Long = 30L * 60 * 1000): Unit = {
     val target = new org.apache.hadoop.fs.Path(path)
     val fs = target.getFileSystem(
       df.sparkSession.sparkContext.hadoopConfiguration)
     val lock = new org.apache.hadoop.fs.Path(
       target.getParent, s".${target.getName}.lock")
-    acquire(fs, lock, lockStaleMillis)
+    val token = s"pid=${ProcessHandle.current().pid()} " +
+      s"nanos=${System.nanoTime()}"
+    acquire(fs, lock, lockStaleMillis, token)
     try doSwap(df, fs, target)
-    finally fs.delete(lock, false)
+    finally release(fs, lock, token)
   }
 
   private def doSwap(df: DataFrame,
@@ -76,9 +85,10 @@ object StagingSwap {
   }
 
   private def acquire(fs: org.apache.hadoop.fs.FileSystem,
-      lock: org.apache.hadoop.fs.Path, staleMillis: Long): Unit = {
+      lock: org.apache.hadoop.fs.Path, staleMillis: Long,
+      token: String): Unit = {
     var attempt = 0
-    while (!tryCreate(fs, lock)) {
+    while (!tryCreate(fs, lock, token)) {
       attempt += 1
       val age = try System.currentTimeMillis() -
         fs.getFileStatus(lock).getModificationTime
@@ -90,24 +100,57 @@ object StagingSwap {
           s"staging swap lock $lock is held by a concurrent writer " +
             s"(age ${age}ms ≤ stale threshold ${staleMillis}ms) — " +
             "engine tables are single-writer; serialize the callers")
-      if (age > staleMillis) fs.delete(lock, false) // crashed holder
+      if (age > staleMillis) {
+        // claim-by-rename: of two breakers racing on the same stale
+        // lock, exactly one rename succeeds; the loser loops and sees
+        // the winner's FRESH lock (a bare delete would let the loser
+        // delete the winner's new lock — check-then-delete TOCTOU)
+        val tomb = new org.apache.hadoop.fs.Path(
+          lock.getParent, s"${lock.getName}.broken.${System.nanoTime()}")
+        if (fs.rename(lock, tomb)) fs.delete(tomb, false)
+      }
       if (attempt > 3) throw new IllegalStateException(
         s"staging swap lock $lock could not be acquired after " +
           s"$attempt attempts")
     }
   }
 
+  /** Delete the lock ONLY if it still carries our token: if a breaker
+    * decided we were stale and claimed the table, the lock on disk is
+    * THEIRS and our release must not remove it. */
+  private def release(fs: org.apache.hadoop.fs.FileSystem,
+      lock: org.apache.hadoop.fs.Path, token: String): Unit = {
+    val mine = try {
+      val in = fs.open(lock)
+      try new String(in.readAllBytes(), "UTF-8") == token
+      finally in.close()
+    } catch { case _: java.io.IOException => false }
+    if (mine) fs.delete(lock, false)
+  }
+
   private def tryCreate(fs: org.apache.hadoop.fs.FileSystem,
-      lock: org.apache.hadoop.fs.Path): Boolean =
+      lock: org.apache.hadoop.fs.Path, token: String): Boolean =
     try {
       val out = fs.create(lock, false) // create-exclusive
-      // record the holder for the error message / post-mortem
-      out.write((s"pid=${ProcessHandle.current().pid()} " +
-        s"ts=${System.currentTimeMillis()}").getBytes("UTF-8"))
-      out.close()
+      try {
+        // the holder token: release-if-mine + post-mortem identity
+        out.write(token.getBytes("UTF-8"))
+        out.close()
+      } catch {
+        case e: java.io.IOException =>
+          // the file EXISTS but our token may not be in it — leaving
+          // it would wedge every writer behind a lock nobody owns
+          try fs.delete(lock, false) catch { case _: java.io.IOException => }
+          throw e
+      }
       true
     } catch {
       case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-      case _: java.io.IOException => false // local-FS raced create
+      // Hadoop's RawLocalFileSystem reports a raced/existing create as
+      // a plain IOException whose message names the path; anything
+      // else (permissions, transient FS faults) must SURFACE, not
+      // masquerade as contention
+      case e: java.io.IOException
+        if e.getMessage != null && e.getMessage.contains("exist") => false
     }
 }
