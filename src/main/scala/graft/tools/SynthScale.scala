@@ -35,7 +35,10 @@ object SynthScale {
     * regenerates instead of silently measuring the old shape.
     * v2 = round 10 (hot-customer %07d suffix, region/nation/part).
     * v3 = round 12 (supplier dim for q21). */
-  val generatorVersion = 3
+  // v4: partsupp added (round 15), then its spread stride fixed at
+  // S/4 (the scaling stride collided past p≈250k) — corpora carrying
+  // either older partsupp regenerate
+  val generatorVersion = 4
 
   private val langs = Vector("en", "de", "es", "fr", "zh")
   private val langCum = Vector(0.40, 0.56, 0.72, 0.86, 1.0)
@@ -250,18 +253,23 @@ object SynthScale {
 
   /** Part-supplier bridge (TPC-H partsupp; absent from the driver
     * corpus — synthesized so q2/q9/q11/q16/q20's plan shapes are
-    * pinnable, SURVEY §2.6 completion). Four suppliers per part, the
-    * spec's spread formula over the fixed 1..1000 supplier domain
-    * (public TPC-H 2.x clause 4.2.3: s = (p + i·(S/4 + (p−1)/S)) mod
-    * S + 1), so every supplier carries a near-equal part load — no
-    * accidental skew in the (partkey, suppkey) joins. */
+    * pinnable, SURVEY §2.6 completion). Four suppliers per part over
+    * the fixed 1..1000 supplier domain, spread like the public TPC-H
+    * 2.x clause 4.2.3 formula but with the stride FIXED at S/4: the
+    * spec's extra (p−1)/S term exists because TPC-H's S scales with
+    * SF, while this generator's supplier table is fixture-fixed — at
+    * a scaling stride the term reaches S/2 around p≈250k and the
+    * four suppkeys start colliding (duplicate (part, supp) PK pairs
+    * that would fan out q9's composite-key join). A fixed S/4 stride
+    * keeps i·stride mod S distinct for i=0..3 at EVERY part key and
+    * still gives each supplier a near-equal part load. */
   def partsupp(spark: SparkSession, nParts: Long, seed: Long = 42L): DataFrame = {
     import spark.implicits._
     val nSupp = 1000L
     spark.range(nParts).flatMap { p =>
       val r = rngFor(seed + 11, p)
       (0 until 4).map { i =>
-        val s = (p + i * (nSupp / 4 + (p - 1) / nSupp)) % nSupp + 1
+        val s = (p + i * (nSupp / 4)) % nSupp + 1
         (p, s, 1 + r.nextInt(9999),
           math.rint((1.0 + r.nextDouble() * 999.0) * 100) / 100)
       }

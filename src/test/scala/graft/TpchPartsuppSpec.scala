@@ -181,7 +181,9 @@ class TpchPartsuppSpec extends AnyFunSuite {
       .agg(countDistinct("ps_suppkey").as("n"))
       .agg(min("n"), max("n")).head()
     assert(perPart.getLong(0) == 4L && perPart.getLong(1) == 4L,
-      "the TPC-H spread formula must give 4 DISTINCT suppliers per part")
+      "the fixed-S/4 stride must give 4 DISTINCT suppliers per part " +
+        "(structural for EVERY part key — a scaling stride collided " +
+        "past p~250k, the round-15 review catch)")
     val range = ps.agg(min("ps_suppkey"), max("ps_suppkey")).head()
     assert(range.getLong(0) >= 1L && range.getLong(1) <= 1000L)
   }
