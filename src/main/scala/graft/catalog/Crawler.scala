@@ -404,11 +404,10 @@ object Crawler {
       clusterIdentifier: String, secrets: graft.sources.v2.SecretsStore,
       props: Map[String, String] = Map.empty,
       exceptionSchemas: Seq[String] = DefaultExceptionSchemas): DataFrame = {
-    val ref = secrets.secretForCluster(clusterIdentifier).getOrElse(
-      throw new IllegalStateException(
+    val (_, creds) = secrets.resolveForCluster(clusterIdentifier)
+      .getOrElse(throw new IllegalStateException(
         s"no secret carries dbClusterIdentifier=$clusterIdentifier — " +
           "the cluster's credentials are not registered"))
-    crawlJdbcEstate(spark, url, secrets.jdbcProps(ref.name) ++ props,
-      exceptionSchemas)
+    crawlJdbcEstate(spark, url, creds ++ props, exceptionSchemas)
   }
 }

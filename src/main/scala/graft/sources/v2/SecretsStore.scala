@@ -52,19 +52,23 @@ final class SecretsStore(client: SecretsStore.SecretsWireClient,
 
   /** All secrets (name, arn), following NextToken to the end — the
     * pagination the reference loop is missing. */
-  def listAll(): Seq[SecretRef] = {
-    val out = Vector.newBuilder[SecretRef]
-    var token: Option[String] = None
-    var more = true
-    while (more) {
-      val page = retrying(s"list_secrets(token=$token)")(
-        client.listSecretsPage(token))
-      out ++= page.secrets
-      token = page.nextToken
-      more = token.isDefined
+  def listAll(): Seq[SecretRef] = pages().flatMap(_.secrets).toVector
+
+  /** Lazy page stream: a caller that finds its match on page 1 of a
+    * 50-page estate pays ONE list call, not 50 (round-15 review). */
+  private def pages(): Iterator[SecretsPage] =
+    new Iterator[SecretsPage] {
+      private var token: Option[String] = None
+      private var first = true
+      def hasNext: Boolean = first || token.isDefined
+      def next(): SecretsPage = {
+        val page = retrying(s"list_secrets(token=$token)")(
+          client.listSecretsPage(token))
+        first = false
+        token = page.nextToken
+        page
+      }
     }
-    out.result()
-  }
 
   /** The cluster identifier embedded in a secret's value, if the
     * value is a JSON object carrying `dbClusterIdentifier` — the
@@ -80,10 +84,26 @@ final class SecretsStore(client: SecretsStore.SecretsWireClient,
     * secret list and return the first secret whose embedded
     * dbClusterIdentifier equals `clusterIdentifier` — the J3 lookup
     * (secret.dbClusterIdentifier = cluster id) as a driver-side
-    * point-match over a control-plane-sized estate. */
+    * point-match over a control-plane-sized estate. Stops at the
+    * first match (pages are fetched lazily). */
   def secretForCluster(clusterIdentifier: String): Option[SecretRef] =
-    listAll().find(s =>
-      clusterIdentifierOf(s.name).contains(clusterIdentifier))
+    resolveForCluster(clusterIdentifier).map(_._1)
+
+  /** One-pass cluster resolution: the matched secret's ref AND its
+    * JDBC props from the SAME value fetch — the crawl path
+    * ([[graft.catalog.Crawler.crawlJdbcEstateWithSecrets]]) needs
+    * both, and a separate jdbcProps call would re-fetch and re-parse
+    * the value over the wire (each fetch has its own throttle-retry
+    * loop, so under rate limiting the duplicate doubled backoff —
+    * round-15 review). */
+  def resolveForCluster(clusterIdentifier: String)
+      : Option[(SecretRef, Map[String, String])] =
+    pages().flatMap(_.secrets.iterator.flatMap { ref =>
+      secretJson(ref.name).filter(f =>
+          Option(f.get("dbClusterIdentifier")).filter(_.isTextual)
+            .exists(_.asText == clusterIdentifier))
+        .map(f => (ref, propsOf(f)))
+    }).nextOption()
 
   /** JDBC connection props from an RDS-managed secret (the public
     * `{"username":…,"password":…,"host":…,"port":…,…}` shape) —
@@ -91,20 +111,21 @@ final class SecretsStore(client: SecretsStore.SecretsWireClient,
     * Only the keys present in the secret are emitted; a non-JSON
     * secret yields an empty map (same skip semantics as above). */
   def jdbcProps(secretId: String): Map[String, String] =
-    secretJson(secretId).map { f =>
-      Seq("username" -> "user", "password" -> "password").flatMap {
-        case (k, prop) => Option(f.get(k)).filter(_.isTextual)
-          .map(v => prop -> v.asText)
-      }.toMap
-    }.getOrElse(Map.empty)
+    secretJson(secretId).map(propsOf).getOrElse(Map.empty)
+
+  private def propsOf(
+      f: com.fasterxml.jackson.databind.JsonNode): Map[String, String] =
+    Seq("username" -> "user", "password" -> "password").flatMap {
+      case (k, prop) => Option(f.get(k)).filter(_.isTextual)
+        .map(v => prop -> v.asText)
+    }.toMap
 
   private def secretJson(secretId: String)
       : Option[com.fasterxml.jackson.databind.JsonNode] = {
     val raw = retrying(s"get_secret_value($secretId)")(
       client.getSecretValue(secretId))
     try {
-      val node = new com.fasterxml.jackson.databind.ObjectMapper()
-        .readTree(raw)
+      val node = SecretsStore.mapper.readTree(raw)
       if (node != null && node.isObject) Some(node) else None
     } catch {
       case _: com.fasterxml.jackson.core.JacksonException => None
@@ -130,6 +151,11 @@ final class SecretsStore(client: SecretsStore.SecretsWireClient,
 }
 
 object SecretsStore {
+
+  // readTree is thread-safe on a configured mapper; one instance for
+  // all parses (a fresh ObjectMapper per secret was the expensive
+  // part of each parse — round-15 review)
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
   final case class SecretRef(name: String, arn: String)
 

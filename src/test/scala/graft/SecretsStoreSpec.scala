@@ -76,6 +76,22 @@ class SecretsStoreSpec extends AnyFunSuite {
     assert(store.secretForCluster("cluster-unknown").isEmpty)
   }
 
+  test("resolution stops at the first match and fetches each value once") {
+    val stub = new StubSecrets(estate, pageSize = 2)
+    val store = new SecretsStore(stub)
+    // cluster-alpha's secret is on page 1 (second entry): one list
+    // call, two value fetches (the non-KV skip + the match), and the
+    // returned props come from the SAME fetch — no re-read
+    val resolved = store.resolveForCluster("cluster-alpha")
+    assert(resolved.map(_._1.name).contains("rds/alpha"))
+    assert(resolved.map(_._2).contains(
+      Map("user" -> "svc", "password" -> "pw-cluster-alpha")))
+    assert(stub.listCalls == 1,
+      s"match on page 1 must not paginate further (got ${stub.listCalls})")
+    assert(stub.getCalls == 2,
+      s"each candidate's value fetches exactly once (got ${stub.getCalls})")
+  }
+
   test("clusterIdentifierOf: JSON-with-key Some, keyless JSON None, " +
       "non-JSON None") {
     val store = new SecretsStore(new StubSecrets(estate))
