@@ -69,13 +69,15 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    // default 32 = the box's core count AND TimeQuery's default. The
-    // old default of 4 made "in-suite vs standalone" comparisons lie:
-    // CPU-dense scan queries (a1_classify_ref256's 256 regexes/cell)
-    // read ~3x slower at 4 cores, which round 14 chased as a JIT
-    // artifact until the cpus field of the two records was compared
-    // (SCALE.md, round-15 resolution).
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // default = the machine's core count (TimeQuery uses the same
+    // default, so in-suite and standalone records are comparable by
+    // construction on ANY box). The old default of 4 made the two
+    // comparisons lie: CPU-dense scan queries (a1_classify_ref256's
+    // 256 regexes/cell) read ~3x slower at 4 cores, which round 14
+    // chased as a JIT artifact until the cpus field of the two
+    // records was compared (SCALE.md, round-15 resolution).
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.local.dir", graft.util.Scratch.localDir("graft-bench-"))

@@ -21,7 +21,10 @@ object TimeQuery {
     val unknown = names.filterNot(graft.SparkEntry.queries.contains)
     require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
 
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // same default derivation as Bench — core-count parity between
+    // in-suite and standalone records (round-15 a1r resolution)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
     // GRAFT_CONF=k=v[,k=v...] — arbitrary session confs for A/B runs
     // (e.g. graft.graph.broadcastMaxNodes=0 to pin a strategy path)
     val extraConf = sys.env.get("GRAFT_CONF").toSeq
