@@ -54,6 +54,29 @@ class PropertiesSpec extends AnyFunSuite {
     })
   }
 
+  test("splitStatements survives nested block comments of any depth (round 15)") {
+    // SPARK-28880 semantics: a bracketed comment nests, so a ';' (or
+    // a '*/'-lookalike) inside ANY nesting level never splits. Build
+    // comments bottom-up to arbitrary depth with hostile payloads
+    // between the brackets; the comment text itself is preserved
+    // in-statement (Spark's parser strips it — the splitter must not).
+    val payload = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumChar, Gen.oneOf(';', '-', '\'', ' ', '%')
+    )).map(_.mkString)
+    def comment(depth: Int): Gen[String] =
+      if (depth <= 0) payload.map(p => s"/* $p */")
+      else for { inner <- comment(depth - 1); a <- payload; b <- payload }
+        yield s"/* $a $inner $b */"
+    val stmt = for {
+      d <- Gen.choose(0, 3)
+      c <- comment(d)
+      tail <- Gen.alphaNumStr.suchThat(_.nonEmpty)
+    } yield s"SELECT $c $tail FROM t"
+    holds(Prop.forAll(Gen.nonEmptyListOf(stmt)) { stmts =>
+      Ddl.splitStatements(stmts.mkString(";\n") + ";") == stmts
+    })
+  }
+
   test("hyperplane projections are ±1 and stable across calls") {
     holds(Prop.forAll(Gen.choose(1, 16), Gen.choose(1, 128)) { (bits, dim) =>
       val a = graft.similarity.Similarity.hyperplaneProjections(bits, dim)
