@@ -14,15 +14,32 @@ import org.apache.spark.sql.functions._
   * report reads prune to one partition. Each classify run appends; the
   * latest-run projection is Report.latestFindingRows (A2).
   */
-class FindingsStore(spark: SparkSession, dir: String) {
+class FindingsStore(spark: SparkSession, dir: String,
+    /** Auto-compact every N appends (0 = never; call [[compact]]
+      * yourself or schedule the DAG's compact-sinks stage). Appends
+      * are the store's only fragmentation source, so counting them
+      * IS the small-file budget: at the default 16, a leaf holds at
+      * most 16 append-generations of files before collapsing back
+      * to ~targetBytes-sized ones. The counter is per-instance
+      * (in-memory): a restart resets it, which only DELAYS the next
+      * compact — the hook is idempotent and the DAG stage is the
+      * backstop. */
+    autoCompactEvery: Int = 16) {
   private val path = s"$dir/pii_findings"
+  private var appendsSinceCompact = 0
 
   /** S10: append one classify run's enriched findings. */
-  def append(findings: DataFrame): Unit =
+  def append(findings: DataFrame): Unit = {
     findings.write
       .mode(SaveMode.Append)
       .partitionBy("data_source_type")
       .parquet(path)
+    appendsSinceCompact += 1
+    if (autoCompactEvery > 0 && appendsSinceCompact >= autoCompactEvery) {
+      compact()
+      appendsSinceCompact = 0
+    }
+  }
 
   def read(): DataFrame = {
     Stores.requireAppended(spark, path, "FindingsStore")
@@ -64,12 +81,27 @@ private object Stores {
 }
 
 /** S13: governance-tag capture log, keyed like the reference's
-  * composite (id, data_catalog_table_name). */
-class TagStore(spark: SparkSession, dir: String) {
+  * composite (id, data_catalog_table_name). Same append-only
+  * fragmentation profile as the findings sink (unpartitioned leaf),
+  * same auto-compact budget. */
+class TagStore(spark: SparkSession, dir: String,
+    autoCompactEvery: Int = 16) {
   private val path = s"$dir/tag_capture"
+  private var appendsSinceCompact = 0
 
-  def append(tags: DataFrame): Unit =
+  def append(tags: DataFrame): Unit = {
     tags.write.mode(SaveMode.Append).parquet(path)
+    appendsSinceCompact += 1
+    if (autoCompactEvery > 0 && appendsSinceCompact >= autoCompactEvery) {
+      compact()
+      appendsSinceCompact = 0
+    }
+  }
+
+  /** Collapse the append-generation small files to ~targetBytes
+    * (idempotent no-op when already compact). */
+  def compact(targetBytes: Long = 128L << 20): Long =
+    graft.ops.Compact.rewrite(spark, path, targetBytes)
 
   def read(): DataFrame = {
     Stores.requireAppended(spark, path, "TagStore")

@@ -135,6 +135,39 @@ class CompactSpec extends AnyFunSuite {
     assert(store.compact(targetBytes = 1L << 30) == counts)
   }
 
+  test("stores auto-compact after N appends (the post-batch hook, literal)") {
+    val dir = freshDir("auto_compact")
+    val store = new graft.state.FindingsStore(spark, dir,
+      autoCompactEvery = 3)
+    (1 to 3).foreach { run =>
+      store.append((1L to 50L).map(i =>
+          (s"c$i", s"f-$run-$i", "s3"))
+        .toDF("column_name", "entity", "data_source_type")
+        .repartition(2))
+    }
+    // the third append triggered the compact: one file per leaf, all
+    // rows intact
+    assert(dataFiles(s"$dir/pii_findings/data_source_type=s3").size == 1)
+    assert(store.read().count() == 150L)
+
+    val tags = new graft.state.TagStore(spark, dir, autoCompactEvery = 2)
+    (1 to 2).foreach { run =>
+      tags.append((1L to 30L).map(i => (s"id-$run-$i", s"t$i"))
+        .toDF("id", "data_catalog_table_name").repartition(2))
+    }
+    assert(dataFiles(s"$dir/tag_capture").size == 1)
+    assert(tags.read().count() == 60L)
+
+    // autoCompactEvery = 0 disables the hook entirely
+    val manual = new graft.state.TagStore(spark, s"$dir/manual",
+      autoCompactEvery = 0)
+    (1 to 4).foreach { run =>
+      manual.append((1L to 10L).map(i => (s"m-$run-$i", s"t$i"))
+        .toDF("id", "data_catalog_table_name").repartition(2))
+    }
+    assert(dataFiles(s"$dir/manual/tag_capture").size == 8)
+  }
+
   test("small target splits into multiple files, each under ~target") {
     val dir = freshDir("split")
     // ~wide rows so the table is comfortably bigger than the target
