@@ -562,13 +562,54 @@ object Similarity {
   def pqTopK(df: DataFrame, queryPred: Column, k: Int, dim: Int,
       m: Int, ksub: Int, iters: Int = 2,
       fitted: Option[Seq[Array[(Int, Array[Double])]]] = None,
-      index: Option[DataFrame] = None): DataFrame = {
+      index: Option[DataFrame] = None,
+      refine: Int = 0): DataFrame = {
     val codebooks = fitted.getOrElse(pqFit(df, dim, m, ksub, iters))
     if (codebooks.exists(_.isEmpty)) return emptyTopK(df, "adc_dot")
     val cands = index.map(_.select(col("vec_id"), col("codes")))
       .getOrElse(pqEncode(df, dim, codebooks))
-    adcRank(df.filter(queryPred).select(col("vec_id"), col("embedding")),
-      cands, lit(true), k, dim, codebooks)
+    val queries = df.filter(queryPred).select(col("vec_id"), col("embedding"))
+    val adc = adcRank(queries, cands, lit(true),
+      math.max(k, refine), dim, codebooks)
+    if (refine > 0) refineTopK(df, adc, k) else adc
+  }
+
+  /** The production refine stage (FAISS IVFADC+refine): re-rank an
+    * ADC candidate list by EXACT cosine against the float embeddings.
+    * PQ codes are a candidate GENERATOR — their resolution is
+    * m·log2(ksub) bits per vector, and on a corpus whose true top-k
+    * differences are finer than that (a dense cluster of near-equal
+    * vectors — measured on the ×10 corpus: all of a cluster collapses
+    * to a handful of code words and ADC "top-k" is an id-ordered tie,
+    * recall@10 ≈ 0) the codes can shortlist but not rank. Refine
+    * touches floats for only queries×refine candidate rows: one
+    * id-equi join back to the embedding table, the query side
+    * broadcast — at 100 TB the index serves the shortlist and this
+    * join is the only float read on the search path. Output schema
+    * matches [[bruteForceTopK]] (rn + exact cos_sim), so with the
+    * true top-k inside the shortlist the result is bit-identical to
+    * brute force. */
+  def refineTopK(df: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+    val n = withNorm(df)
+    val q = n.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_embedding"), col("nrm").as("q_nrm"))
+    val c = n.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("c_embedding"), col("nrm").as("c_nrm"))
+    val normProd = col("q_nrm") * col("c_nrm")
+    // same zero-norm/NaN guard as topKJoin: garbage vectors drop
+    val cos = when(normProd > 0,
+      dot(col("q_embedding"), col("c_embedding")) / normProd)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_raw").desc, col("neighbor_id").asc)
+    candidates.select(col("query_id"), col("neighbor_id"))
+      .join(c, "neighbor_id")
+      .join(broadcast(q), "query_id")
+      .select(col("query_id"), col("neighbor_id"), cos.as("cos_raw"))
+      .filter(col("cos_raw").isNotNull && !isnan(col("cos_raw")))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rn"),
+        round(col("cos_raw"), 6).as("cos_sim"))
   }
 
   /** IVF-PQ: the production ANN composition — the coarse quantizer
@@ -583,7 +624,8 @@ object Similarity {
       m: Int, ksub: Int, nlist: Int, nprobe: Int, iters: Int = 2,
       coarse: Option[Array[(Int, Array[Double])]] = None,
       pq: Option[Seq[Array[(Int, Array[Double])]]] = None,
-      prebuilt: Option[DataFrame] = None): DataFrame = {
+      prebuilt: Option[DataFrame] = None,
+      refine: Int = 0): DataFrame = {
     val cents = coarse.getOrElse(kmeansFit(df, nlist, iters))
     val books = pq.getOrElse(pqFit(df, dim, m, ksub, iters))
     if (cents.isEmpty || books.exists(_.isEmpty))
@@ -596,8 +638,10 @@ object Similarity {
           slice(array_sort(centroidScores(col("embedding"), cents)),
             1, nprobe),
           p => p.getField("cluster"))))
-    adcRank(queries, index,
-      col("q.probe_cluster") === col("c.cluster"), k, dim, books)
+    val adc = adcRank(queries, index,
+      col("q.probe_cluster") === col("c.cluster"),
+      math.max(k, refine), dim, books)
+    if (refine > 0) refineTopK(df, adc, k) else adc
   }
 
   /** Semantic deduplication (the SemDeDup recipe, Abbas et al. 2023,

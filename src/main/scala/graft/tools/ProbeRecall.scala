@@ -1,0 +1,105 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.similarity.Similarity
+
+/** ANN recall/latency probe (round 15): measure every approximate
+  * top-k path against the exact brute-force ground truth on a real
+  * corpus — the quantified quality evidence behind the s-pack's
+  * "recall/throughput knob" claims (SimilaritySpec pins CONSISTENCY
+  * on fixtures; this reports RECALL at corpus scale).
+  *
+  * recall@k = |approx top-k ∩ exact top-k| / k, averaged over the
+  * query set. Exact ties at the k-boundary can legitimately differ
+  * between paths (both orderings are correct), so read ~0.99 as
+  * equivalent-to-exact.
+  *
+  * Usage: runMain graft.tools.ProbeRecall [sfDir] [k] [nQueries]
+  * (defaults: target/scaling/x10, 10, 100)
+  */
+object ProbeRecall {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "target/scaling/x10"
+    val k = if (args.length > 1) args(1).toInt else 10
+    val nQ = if (args.length > 2) args(2).toInt else 100
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val emb = Tables.load(spark, sfDir, "embeddings").cache()
+    val n = emb.count()
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val pred = col("vec_id") < nQ
+    println(s"RECALL n=$n dim=$dim k=$k queries=$nQ")
+
+    def topSets(df: DataFrame): Map[Long, Set[Long]] =
+      df.select(col("query_id").cast("long"),
+          col("neighbor_id").cast("long"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+
+    val exact = topSets(Similarity.bruteForceTopK(emb, pred, k))
+
+    def report(name: String)(f: => DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val approx = topSets(f)
+      val sec = (System.nanoTime() - t0) / 1e9
+      val recalls = exact.map { case (q, truth) =>
+        approx.getOrElse(q, Set.empty).count(truth).toDouble / truth.size
+      }
+      val mean = recalls.sum / math.max(1, recalls.size)
+      val worst = if (recalls.isEmpty) 0.0 else recalls.min
+      println(f"RECALL $name%-24s recall@$k=${mean}%6.4f worst=$worst%6.4f " +
+        f"wall=${sec}%7.2f s")
+    }
+
+    val nlist = Similarity.autoNlist(n)
+    report("brute (sanity)")(Similarity.bruteForceTopK(emb, pred, k))
+    // exact DOT ranking vs the cosine truth: isolates the metric
+    // mismatch every un-normalized ADC path inherits (PQ approximates
+    // the dot; on a corpus with norm spread, dot-top-k ≠ cosine-top-k
+    // no matter how fine the codebooks)
+    report("exact dot (metric gap)")(Similarity.mipsTopK(emb, pred, k))
+    report("lsh bits=8")(Similarity.lshTopK(emb, pred, k, bits = 8, dim = dim))
+    report("lsh bits=16")(Similarity.lshTopK(emb, pred, k, bits = 16, dim = dim))
+    for (np <- Seq(1, 2, 4, nlist))
+      report(s"ivf nlist=$nlist np=$np")(
+        Similarity.ivfProbeTopK(emb, pred, k, nlist, np))
+    report("pq m=8 ksub=16")(
+      Similarity.pqTopK(emb, pred, k, dim, m = 8, ksub = 16))
+    for (c <- Seq(10 * k, 100 * k))
+      report(s"pq+refine C=$c")(
+        Similarity.pqTopK(emb, pred, k, dim, m = 8, ksub = 16, refine = c))
+    // NORMALIZED corpus: dot == cosine, so the ADC approximation and
+    // the truth share a metric — the standard practice for cosine ANN
+    // over PQ (normalize at index build; refine needs no change)
+    val unit = emb.withColumn("embedding",
+      transform(col("embedding"),
+        x => (x / Similarity.norm(col("embedding"))).cast("float")))
+      .cache()
+    unit.count()
+    report("pq normalized")(
+      Similarity.pqTopK(unit, pred, k, dim, m = 8, ksub = 16))
+    for (c <- Seq(10 * k))
+      report(s"pq normalized+refine C=$c")(
+        Similarity.pqTopK(unit, pred, k, dim, m = 8, ksub = 16, refine = c))
+    for (np <- Seq(2, 4))
+      report(s"ivfpq m=8 np=$np")(
+        Similarity.ivfPqTopK(emb, pred, k, dim, m = 8, ksub = 16,
+          nlist = nlist, nprobe = np))
+    for (np <- Seq(2, 4))
+      report(s"ivfpq np=$np refine=${100 * k}")(
+        Similarity.ivfPqTopK(emb, pred, k, dim, m = 8, ksub = 16,
+          nlist = nlist, nprobe = np, refine = 100 * k))
+    spark.stop()
+  }
+}

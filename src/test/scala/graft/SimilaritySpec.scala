@@ -249,6 +249,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pruned == fullOrder)
   }
 
+  test("PQ/IVF-PQ refine: exact re-rank matches brute force when the " +
+      "shortlist covers it") {
+    // refine re-ranks the ADC shortlist with exact cosine — the
+    // production IVFADC+refine composition (ADC codes shortlist;
+    // floats rank). With the shortlist as wide as the corpus, the
+    // result must be BIT-identical to brute force on both paths. On
+    // the embeddings fixture ADC alone cannot reproduce brute-force
+    // order (that gap is the measured ProbeRecall finding refine
+    // exists for).
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.select("query_id", "neighbor_id", "rn", "cos_sim")
+        .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._3))
+        .toSeq
+    val brute = rows(Similarity.bruteForceTopK(e, col("vec_id") < 3, k = 5))
+    val pqRefined = rows(Similarity.pqTopK(e, col("vec_id") < 3, k = 5,
+      dim = 64, m = 8, ksub = 16, refine = 100000))
+    assert(pqRefined == brute)
+    val nlist = 4
+    val ivfRefined = rows(Similarity.ivfPqTopK(e, col("vec_id") < 3, k = 5,
+      dim = 64, m = 8, ksub = 16, nlist = nlist, nprobe = nlist,
+      refine = 100000))
+    assert(ivfRefined == brute)
+  }
+
   test("bulk (>32 centroid) assignment path matches the literal path exactly") {
     // 40 centroids forces the single-typed-literal HOF form; the
     // driver-side argmin with identical (dist, cluster) tie-break is
