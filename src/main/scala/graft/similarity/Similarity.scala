@@ -393,7 +393,12 @@ object Similarity {
   def ivfProbeTopK(df: DataFrame, queryPred: Column, k: Int,
       nlist: Int, nprobe: Int, iters: Int = 2,
       fitted: Option[Array[(Int, Array[Double])]] = None): DataFrame = {
-    val centroids = fitted.getOrElse(kmeansFit(df, nlist, iters))
+    // default fit is the SAMPLED one (byte-identical under the cap,
+    // N-independent above it) — an unsampled Lloyd at √N lists is the
+    // N^1.5 trap the sampled variant exists for; callers with a memo
+    // pass `fitted` and skip both the count and the fit
+    val centroids = fitted.getOrElse(
+      kmeansFitSampled(df, nlist, iters, df.count()))
     if (centroids.isEmpty) return emptyTopK(df, "cos_sim")
     val corpus = withNorm(assignToCentroids(df, centroids))
     // nearest-nprobe cluster ids per query: sort (dist, cluster)
@@ -564,7 +569,13 @@ object Similarity {
       fitted: Option[Seq[Array[(Int, Array[Double])]]] = None,
       index: Option[DataFrame] = None,
       refine: Int = 0): DataFrame = {
-    val codebooks = fitted.getOrElse(pqFit(df, dim, m, ksub, iters))
+    // sampled fit default, same rationale as ivfProbeTopK (measured:
+    // an unsampled m=16×ksub=64 fit on a 20k corpus cost 6 MINUTES —
+    // the m per-subspace Lloyd chains each scan the training set
+    // twice per iteration; a few hundred vectors per centroid is all
+    // codebook quality needs)
+    val codebooks = fitted.getOrElse(
+      pqFitSampled(df, dim, m, ksub, iters, df.count()))
     if (codebooks.exists(_.isEmpty)) return emptyTopK(df, "adc_dot")
     val cands = index.map(_.select(col("vec_id"), col("codes")))
       .getOrElse(pqEncode(df, dim, codebooks))
@@ -626,8 +637,11 @@ object Similarity {
       pq: Option[Seq[Array[(Int, Array[Double])]]] = None,
       prebuilt: Option[DataFrame] = None,
       refine: Int = 0): DataFrame = {
-    val cents = coarse.getOrElse(kmeansFit(df, nlist, iters))
-    val books = pq.getOrElse(pqFit(df, dim, m, ksub, iters))
+    // sampled default fits (see pqTopK/ivfProbeTopK); one count
+    // serves both when neither memo is passed
+    lazy val corpusN = df.count()
+    val cents = coarse.getOrElse(kmeansFitSampled(df, nlist, iters, corpusN))
+    val books = pq.getOrElse(pqFitSampled(df, dim, m, ksub, iters, corpusN))
     if (cents.isEmpty || books.exists(_.isEmpty))
       return emptyTopK(df, "adc_dot")
     val index = prebuilt.getOrElse(buildIvfPqIndex(df, dim, cents, books))
