@@ -71,6 +71,10 @@ object ProbeRecall {
     report("exact dot (metric gap)")(Similarity.mipsTopK(emb, pred, k))
     report("lsh bits=8")(Similarity.lshTopK(emb, pred, k, bits = 8, dim = dim))
     report("lsh bits=16")(Similarity.lshTopK(emb, pred, k, bits = 16, dim = dim))
+    for ((rpb, bands) <- Seq((4, 8), (8, 8)))
+      report(s"lsh banded ${rpb}x$bands")(
+        Similarity.lshBandedTopK(emb, pred, k, rpb = rpb, bands = bands,
+          dim = dim))
     for (np <- Seq(1, 2, 4, nlist))
       report(s"ivf nlist=$nlist np=$np")(
         Similarity.ivfProbeTopK(emb, pred, k, nlist, np))

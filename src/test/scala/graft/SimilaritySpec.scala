@@ -106,6 +106,46 @@ class SimilaritySpec extends AnyFunSuite {
     assert(lsh.forall { case (q, n, c) => all((q, n)) == c })
   }
 
+  test("banded LSH: any-band candidates, exact re-ranked cosines, " +
+      "recall beats full-signature") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // ground truth: the full cosine ranking (every candidate pair's
+    // exact value)
+    val all = Similarity.bruteForceTopK(e, col("vec_id") < 3, k = 1000)
+      .select("query_id", "neighbor_id", "cos_sim")
+      .as[(Long, Long, Double)].collect()
+      .map { case (q, n, c) => (q, n) -> c }.toMap
+    val top5 = Similarity.bruteForceTopK(e, col("vec_id") < 3, k = 5)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    def recallOf(d: org.apache.spark.sql.DataFrame): Double = {
+      val got = d.select("query_id", "neighbor_id")
+        .as[(Long, Long)].collect().toSet
+      (got & top5).size.toDouble / top5.size
+    }
+    val banded = Similarity.lshBandedTopK(e, col("vec_id") < 3, k = 5)
+    val rowsB = banded.select("query_id", "neighbor_id", "rn", "cos_sim")
+      .as[(Long, Long, Long, Double)].collect()
+    // exact precision: every emitted pair carries the brute-force
+    // cosine (the re-rank is refineTopK's exact fold), rank order
+    // descends within each query
+    assert(rowsB.nonEmpty)
+    assert(rowsB.forall { case (q, n, _, c) => all((q, n)) == c })
+    rowsB.groupBy(_._1).values.foreach { g =>
+      val byRank = g.sortBy(_._3).map(_._4).toSeq
+      assert(byRank == byRank.sorted.reverse)
+    }
+    // recall: deterministic hyperplanes make these fixed outcomes on
+    // this fixture — any-band candidates must beat the 16-bit
+    // full-signature bucket match (the weakness ProbeRecall measured:
+    // 0.24 full-signature vs 1.00 banded on the clustered ×10 corpus;
+    // this fixture is near-orthogonal so banded recall is partial,
+    // but still strictly better)
+    val full16 = Similarity.lshTopK(e, col("vec_id") < 3, k = 5,
+      bits = 16, dim = 64)
+    assert(recallOf(banded) > recallOf(full16))
+  }
+
   test("kmeansLite is deterministic and groups aligned vectors") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val a = Similarity.kmeansLite(e, k = 4).collect()
