@@ -95,6 +95,15 @@ object SimilarityQueries extends QueryPack {
       Similarity.lshTopK(Tables.load(s, d, "embeddings"),
         col("vec_id") < 5, k = 5, bits = 8, dim = 64)),
 
+    // ANN: banded (multi-probe) LSH — candidates share ANY 4-bit band
+    // of a 32-bit signature, exact cosine re-rank (round 15; the
+    // full-recall fix for s3's all-bits-must-agree bucket match,
+    // ProbeRecall-measured 1.000 vs 0.50). Oracle replays the same
+    // md5-derived planes and the any-band OR in DuckDB.
+    "s16_ann_lsh_banded" -> ((s, d) =>
+      Similarity.lshBandedTopK(Tables.load(s, d, "embeddings"),
+        col("vec_id") < 5, k = 5, rpb = 4, bands = 8, dim = 64)),
+
     // IVF-style: top-5 within the query's own label partition
     "s4_ivf_label" -> ((s, d) =>
       Similarity.partitionTopK(Tables.load(s, d, "embeddings"),
@@ -333,8 +342,8 @@ object SimilarityQueries extends QueryPack {
        |WHERE rn <= $k""".stripMargin
 
   /** 8-bit hyperplane signature as SQL (same md5-parity projections). */
-  private val sigSql: String = {
-    val bitExprs = (0 until 8).map { j =>
+  private def sigSqlBits(bits: Int): String = {
+    val bitExprs = (0 until bits).map { j =>
       s"""CASE WHEN list_sum(list_transform(range(1, 65),
          |  i -> CAST(embedding[i] AS DOUBLE) *
          |       (ascii(substr(md5('${j}_' || CAST(i - 1 AS VARCHAR)), 1, 1)) % 2 * 2 - 1)))
@@ -342,6 +351,8 @@ object SimilarityQueries extends QueryPack {
     }
     bitExprs.mkString(" || ")
   }
+
+  private val sigSql: String = sigSqlBits(8)
 
   /** Assignment CTE: argmin over centroids in `centCte` of
     * (-dot, cluster) — the exact struct-min tie-break of
@@ -654,6 +665,23 @@ object SimilarityQueries extends QueryPack {
          |  FROM n0 a JOIN n0 b
          |    ON a.vec_id < 5 AND b.vec_id <> a.vec_id AND a.sig = b.sig) t
          |WHERE rn <= 5""".stripMargin,
+    "s16_ann_lsh_banded" -> {
+      val anyBand = (0 until 8).map(b =>
+        s"substr(a.sig, ${b * 4 + 1}, 4) = substr(b.sig, ${b * 4 + 1}, 4)")
+        .mkString("(", " OR ", ")")
+      s"""WITH n0 AS (SELECT vec_id, label, embedding,
+         |  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm,
+         |  ${sigSqlBits(32)} AS sig
+         |FROM embeddings)
+         |SELECT query_id, neighbor_id, rn, round(cos_raw, 6) AS cos_sim FROM (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    $cosAb AS cos_raw,
+         |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+         |      ORDER BY $cosAb DESC, b.vec_id ASC) AS rn
+         |  FROM n0 a JOIN n0 b
+         |    ON a.vec_id < 5 AND b.vec_id <> a.vec_id AND $anyBand) t
+         |WHERE rn <= 5""".stripMargin
+    },
     "s4_ivf_label" -> topKOracle("AND a.label = b.label", 5),
     "s8_quantize_int8" ->
       """WITH m AS (SELECT vec_id, embedding,
