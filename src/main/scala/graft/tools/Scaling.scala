@@ -202,7 +202,11 @@ object Scaling {
     // already-compact table must cost ~a file listing). z1 is the
     // Morton-key projection (pure codegen, scan-bound).
     "z1_zorder_key" -> "events",
-    "z2_compact_roundtrip" -> "orders")
+    "z2_compact_roundtrip" -> "orders",
+    // round-15: banded LSH search — N·bands keyed rows shuffle, the
+    // refine join touches floats for candidates only; queries fixed
+    // at 5, so growth is the corpus side of the band join
+    "s16_ann_lsh_banded" -> "embeddings")
 
   /** Measured interpretation notes embedded per row — the exponent
     * alone can mislead when the OUTPUT grows with the corpus. */
