@@ -634,8 +634,15 @@ object Similarity {
     * brute force. */
   def refineTopK(df: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
     val n = withNorm(df)
-    val q = n.select(col("vec_id").as("query_id"),
-      col("embedding").as("q_embedding"), col("nrm").as("q_nrm"))
+    // restrict the query side to ids that actually appear in the
+    // candidate list BEFORE the broadcast hint: the hint materializes
+    // its whole input, and un-restricted it would ship the ENTIRE
+    // embedding table (the query-id equi-join filters only after).
+    // The distinct id set is queries-sized — genuinely broadcastable.
+    val qIds = candidates.select(col("query_id")).distinct()
+    val q = n.join(qIds, n("vec_id") === qIds("query_id"), "left_semi")
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("q_embedding"), col("nrm").as("q_nrm"))
     val c = n.select(col("vec_id").as("neighbor_id"),
       col("embedding").as("c_embedding"), col("nrm").as("c_nrm"))
     val normProd = col("q_nrm") * col("c_nrm")

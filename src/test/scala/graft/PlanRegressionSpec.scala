@@ -336,6 +336,19 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(treeCount(p, "HashAggregate") >= 2, "no partial agg")
   }
 
+  test("s16 banded lsh: fused signature kernel; refine's broadcast side " +
+      "is semi-restricted, never the whole corpus") {
+    val df = SparkEntry.queries("s16_ann_lsh_banded")(spark, sf)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("hyperplane_signature"), p.take(2000))
+    // the refine stage's broadcast query side must be the
+    // candidate-id SEMI-restricted frame — an unrestricted hint would
+    // materialize the entire embedding table (round-15 review catch)
+    assert(p.contains("LeftSemi"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
   test("s2 knn: native dot_product, no corpus exchange") {
     val df = SparkEntry.queries("s2_knn_brute")(spark, sf)
     val p = df.queryExecution.explainString(
