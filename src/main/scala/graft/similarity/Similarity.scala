@@ -206,11 +206,22 @@ object Similarity {
       rpb: Int = 4, bands: Int = 8, dim: Int = 64): DataFrame = {
     val projs = hyperplaneProjections(rpb * bands, dim)
     val n = df.filter(col("embedding").isNotNull)
+    // dimension gate (the nearDupPairsBanded rule): off-`dim` rows
+    // would all sign the all-zero signature — one mega-bucket per
+    // band and a silent quadratic candidate set — so a mixed corpus,
+    // or a `dim` that doesn't match the data, fails loudly instead
+    val dims = n.agg(min(size(col("embedding"))).as("dmin"),
+      max(size(col("embedding"))).as("dmax")).head()
+    if (dims.isNullAt(0)) // empty/all-null corpus, schema intact
+      return emptyTopK(df, "cos_sim")
+    require(dims.getInt(0) == dims.getInt(1) && dims.getInt(0) == dim,
+      s"lshBandedTopK(dim=$dim) over embeddings of dimension " +
+        s"${dims.getInt(0)}..${dims.getInt(1)} — off-dimension rows " +
+        "collapse into one LSH bucket per band (quadratic candidates); " +
+        "pass the corpus dimension, split mixed corpora first")
     val sig = n.withColumn("sig", signature(col("embedding"), projs))
     def keyed(src: DataFrame, idCol: String) =
-      src.select(col("vec_id").as(idCol),
-        explode(array((0 until bands).map(b => concat(lit(s"$b:"),
-          substring(col("sig"), b * rpb + 1, rpb))): _*)).as("bk"))
+      src.select(col("vec_id").as(idCol), bandKeyCol(rpb, bands).as("bk"))
     val cands = broadcast(keyed(sig.filter(queryPred), "query_id"))
       .join(keyed(sig, "neighbor_id"), "bk")
       .filter(col("query_id") =!= col("neighbor_id"))
@@ -608,7 +619,9 @@ object Similarity {
     // codebook quality needs)
     val codebooks = fitted.getOrElse(
       pqFitSampled(df, dim, m, ksub, iters, df.count()))
-    if (codebooks.exists(_.isEmpty)) return emptyTopK(df, "adc_dot")
+    if (codebooks.exists(_.isEmpty)) // empty-corpus schema matches the
+      // path taken: refined output carries cos_sim, plain ADC adc_dot
+      return emptyTopK(df, if (refine > 0) "cos_sim" else "adc_dot")
     val cands = index.map(_.select(col("vec_id"), col("codes")))
       .getOrElse(pqEncode(df, dim, codebooks))
     val queries = df.filter(queryPred).select(col("vec_id"), col("embedding"))
@@ -634,12 +647,19 @@ object Similarity {
     * brute force. */
   def refineTopK(df: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
     val n = withNorm(df)
+    // the candidate frame feeds BOTH the query-id restriction and the
+    // main probe join — without a cache each parent re-executes the
+    // whole generator (the ADC window / band join that dominates the
+    // search), doubling the query's cost (the semDedupAssigned
+    // lesson; Caches.scoped so the bench's release sweep reclaims it)
+    val cands = graft.util.Caches.scoped(
+      candidates.select(col("query_id"), col("neighbor_id")))
     // restrict the query side to ids that actually appear in the
     // candidate list BEFORE the broadcast hint: the hint materializes
     // its whole input, and un-restricted it would ship the ENTIRE
     // embedding table (the query-id equi-join filters only after).
     // The distinct id set is queries-sized — genuinely broadcastable.
-    val qIds = candidates.select(col("query_id")).distinct()
+    val qIds = cands.select(col("query_id")).distinct()
     val q = n.join(qIds, n("vec_id") === qIds("query_id"), "left_semi")
       .select(col("vec_id").as("query_id"),
         col("embedding").as("q_embedding"), col("nrm").as("q_nrm"))
@@ -651,7 +671,7 @@ object Similarity {
       dot(col("q_embedding"), col("c_embedding")) / normProd)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_raw").desc, col("neighbor_id").asc)
-    candidates.select(col("query_id"), col("neighbor_id"))
+    cands
       .join(c, "neighbor_id")
       .join(broadcast(q), "query_id")
       .select(col("query_id"), col("neighbor_id"), cos.as("cos_raw"))
@@ -681,8 +701,8 @@ object Similarity {
     lazy val corpusN = df.count()
     val cents = coarse.getOrElse(kmeansFitSampled(df, nlist, iters, corpusN))
     val books = pq.getOrElse(pqFitSampled(df, dim, m, ksub, iters, corpusN))
-    if (cents.isEmpty || books.exists(_.isEmpty))
-      return emptyTopK(df, "adc_dot")
+    if (cents.isEmpty || books.exists(_.isEmpty)) // schema per path
+      return emptyTopK(df, if (refine > 0) "cos_sim" else "adc_dot")
     val index = prebuilt.getOrElse(buildIvfPqIndex(df, dim, cents, books))
     val queries = df.filter(queryPred)
       .select(col("vec_id"), col("embedding"))
@@ -1133,11 +1153,19 @@ object Similarity {
     * the ProbeBand calibration tool, so the probe always measures
     * the shipped scheme. `sig` must carry `vec_id` and a `sig`
     * bit-string of at least rpb·bands chars. */
+  /** THE band-key expression — the single definition of how a `sig`
+    * column splits into `(band-index : rpb-bit run)` keys, shared by
+    * [[bandCandidates]] (→ nearDupPairsBanded + the ProbeBand
+    * calibration tool) AND [[lshBandedTopK]], so a format change can
+    * never diverge the near-dup tier's banding from the top-k path's
+    * or from what the probe measures. */
+  private def bandKeyCol(rpb: Int, bands: Int): Column =
+    explode(array((0 until bands).map(b => concat(lit(s"$b:"),
+      substring(col("sig"), b * rpb + 1, rpb))): _*))
+
   private[graft] def bandCandidates(sig: DataFrame, rpb: Int,
       bands: Int): DataFrame = {
-    val keyed = sig.select(col("vec_id"), explode(array(
-      (0 until bands).map(b => concat(lit(s"$b:"),
-        substring(col("sig"), b * rpb + 1, rpb))): _*)).as("bk"))
+    val keyed = sig.select(col("vec_id"), bandKeyCol(rpb, bands).as("bk"))
     keyed.as("x").join(keyed.as("y"),
         col("x.bk") === col("y.bk") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))

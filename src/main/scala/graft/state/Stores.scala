@@ -35,10 +35,11 @@ class FindingsStore(spark: SparkSession, dir: String,
       .partitionBy("data_source_type")
       .parquet(path)
     appendsSinceCompact += 1
-    if (autoCompactEvery > 0 && appendsSinceCompact >= autoCompactEvery) {
-      compact()
-      appendsSinceCompact = 0
-    }
+    if (autoCompactEvery > 0 && appendsSinceCompact >= autoCompactEvery)
+      Stores.maintenance(s"FindingsStore($path)") {
+        compact()
+        appendsSinceCompact = 0
+      }
   }
 
   def read(): DataFrame = {
@@ -65,6 +66,24 @@ class FindingsStore(spark: SparkSession, dir: String,
 }
 
 private object Stores {
+  /** Run a post-append maintenance action WITHOUT poisoning the
+    * append: by the time the auto-compact hook fires, the data write
+    * has already committed, so a transient compact failure (FS fault,
+    * a concurrent writer holding the swap lock) must not make
+    * append() throw — a caller's retry would duplicate the committed
+    * batch. Warn and move on; the counter stays un-reset, so the next
+    * append retries the compact, and the scheduled DAG stage is the
+    * backstop. */
+  def maintenance(what: String)(action: => Unit): Unit =
+    try action
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        org.slf4j.LoggerFactory.getLogger("graft.state.Stores").warn(
+          s"$what: post-append compaction failed (will retry on a " +
+            s"later append; the scheduled compact-sinks stage is the " +
+            s"backstop): $e")
+    }
+
   /** Reading before the first append raised a bare PATH_NOT_FOUND;
     * the schema here is write-defined (appends carry the pipeline's
     * columns), so an empty frame cannot be synthesized honestly à la
@@ -92,10 +111,11 @@ class TagStore(spark: SparkSession, dir: String,
   def append(tags: DataFrame): Unit = {
     tags.write.mode(SaveMode.Append).parquet(path)
     appendsSinceCompact += 1
-    if (autoCompactEvery > 0 && appendsSinceCompact >= autoCompactEvery) {
-      compact()
-      appendsSinceCompact = 0
-    }
+    if (autoCompactEvery > 0 && appendsSinceCompact >= autoCompactEvery)
+      Stores.maintenance(s"TagStore($path)") {
+        compact()
+        appendsSinceCompact = 0
+      }
   }
 
   /** Collapse the append-generation small files to ~targetBytes

@@ -86,9 +86,14 @@ object ProbeRecall {
     // NORMALIZED corpus: dot == cosine, so the ADC approximation and
     // the truth share a metric — the standard practice for cosine ANN
     // over PQ (normalize at index build; refine needs no change)
-    val unit = emb.withColumn("embedding",
-      transform(col("embedding"),
-        x => (x / Similarity.norm(col("embedding"))).cast("float")))
+    // norm computed ONCE in an outer column (inside the per-element
+    // lambda it would redo the full dot per element — dim× the work),
+    // zero-norm rows dropped (x/0.0 would throw under ANSI)
+    val unit = emb.withColumn("nrm0", Similarity.norm(col("embedding")))
+      .filter(col("nrm0") > 0)
+      .withColumn("embedding",
+        transform(col("embedding"), x => (x / col("nrm0")).cast("float")))
+      .drop("nrm0")
       .cache()
     unit.count()
     report("pq normalized")(

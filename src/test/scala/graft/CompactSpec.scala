@@ -168,6 +168,34 @@ class CompactSpec extends AnyFunSuite {
     assert(dataFiles(s"$dir/manual/tag_capture").size == 8)
   }
 
+  test("a failing auto-compact never poisons the committed append") {
+    import org.apache.hadoop.fs.Path
+    val dir = freshDir("auto_compact_fail")
+    val tags = new graft.state.TagStore(spark, dir, autoCompactEvery = 2)
+    tags.append((1L to 10L).map(i => (s"a$i", s"t$i"))
+      .toDF("id", "data_catalog_table_name").repartition(2))
+    // a concurrent writer holds the swap lock when the hook fires: the
+    // compact inside append fails LOUDLY internally, but the append —
+    // whose data write already committed — must NOT throw (a retry
+    // would duplicate the batch)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lock = new Path(s"$dir/.tag_capture.lock")
+    val out = fs.create(lock, false); out.write('x'); out.close()
+    try {
+      tags.append((1L to 10L).map(i => (s"b$i", s"t$i"))
+        .toDF("id", "data_catalog_table_name").repartition(2))
+      assert(tags.read().count() == 20L, "both appends committed")
+      assert(dataFiles(s"$dir/tag_capture").size == 4,
+        "compact blocked by the held lock")
+    } finally fs.delete(lock, false)
+    // lock released: the NEXT append retries the compact (counter was
+    // not reset by the failure) and collapses the files
+    tags.append((1L to 10L).map(i => (s"c$i", s"t$i"))
+      .toDF("id", "data_catalog_table_name").repartition(2))
+    assert(dataFiles(s"$dir/tag_capture").size == 1)
+    assert(tags.read().count() == 30L)
+  }
+
   test("small target splits into multiple files, each under ~target") {
     val dir = freshDir("split")
     // ~wide rows so the table is comfortably bigger than the target

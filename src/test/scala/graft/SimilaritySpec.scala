@@ -501,6 +501,35 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pairs(Similarity.nearDupPairsBanded(vz, 0.9)) == expect)
   }
 
+  test("banded LSH fails loudly on a wrong or mixed dimension") {
+    val vz = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.99f, 0.1f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    // dim param not matching the corpus: every row would degrade to
+    // the all-zero signature (one mega-bucket per band)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.lshBandedTopK(vz, col("vec_id") === 0, k = 2, dim = 64)
+        .count()
+    }
+    assert(e.getMessage.contains("dimension"))
+    // matching dim works; empty corpus keeps the brute-force schema
+    assert(Similarity.lshBandedTopK(vz, col("vec_id") === 0, k = 2,
+      rpb = 2, bands = 4, dim = 4).columns.toSeq ==
+      Seq("query_id", "neighbor_id", "rn", "cos_sim"))
+    val empty = Similarity.lshBandedTopK(vz.filter(lit(false)),
+      col("vec_id") === 0, k = 2, dim = 4)
+    assert(empty.columns.contains("cos_sim") && empty.count() == 0)
+  }
+
+  test("pq refine: empty-fit early return keeps the refined schema") {
+    val none = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.pqTopK(none, col("vec_id") === 0, k = 2, dim = 4,
+      m = 2, ksub = 2, refine = 10).columns.contains("cos_sim"))
+    assert(Similarity.pqTopK(none, col("vec_id") === 0, k = 2, dim = 4,
+      m = 2, ksub = 2).columns.contains("adc_dot"))
+  }
+
   test("banded near-dup fails loudly on a mixed-dimension corpus") {
     // off-dimension vectors would all degrade to the all-'0'
     // signature — one mega-bucket per band, quadratic candidates —
