@@ -263,9 +263,11 @@ object TpchQueries extends QueryPack {
     * multi-fact profit rollup (q9), group-HAVING-against-global-scalar
     * (q11), anti-join count-distinct distribution (q16), and the
     * nested semi-join chain (q20). NOT in `queries`: the driver
-    * corpus ships no partsupp, so there is no oracle row to earn —
-    * these run against SynthScale corpora and their plan shapes are
-    * spec-pinned (TpchPartsuppSpec). Predicates are adapted to the
+    * corpus ships no partsupp, so there is no driver oracle row to
+    * earn — these run against SynthScale corpora, plan-pinned in
+    * TpchPartsuppSpec and DuckDB-hash-checked by
+    * [[graft.tools.PartsuppVerify]] + tools/check.py (the committed
+    * CORRECTNESS_partsupp.json). Predicates are adapted to the
     * synth columns exactly as the main pack adapts to the driver's
     * (p_type is a single word, "complaints" becomes negative account
     * balance, q20's CANADA becomes region EUROPE); every shape —

@@ -108,7 +108,12 @@ final class SecretsStore(client: SecretsStore.SecretsWireClient,
   /** JDBC connection props from an RDS-managed secret (the public
     * `{"username":…,"password":…,"host":…,"port":…,…}` shape) —
     * shaped for [[graft.catalog.Crawler.crawlJdbcEstate]]'s `props`.
-    * Only the keys present in the secret are emitted; a non-JSON
+    * ONLY `username`/`password` are mapped (to the JDBC `user` /
+    * `password` connection props); the secret's `host`/`port` are NOT
+    * emitted — the caller builds the JDBC URL from its own endpoint
+    * source, exactly as the reference does (the Glue connection's URL
+    * comes from the event's cluster endpoint, not the secret). Only
+    * the keys present in the secret are emitted; a non-JSON or binary
     * secret yields an empty map (same skip semantics as above). */
   def jdbcProps(secretId: String): Map[String, String] =
     secretJson(secretId).map(propsOf).getOrElse(Map.empty)
@@ -124,11 +129,18 @@ final class SecretsStore(client: SecretsStore.SecretsWireClient,
       : Option[com.fasterxml.jackson.databind.JsonNode] = {
     val raw = retrying(s"get_secret_value($secretId)")(
       client.getSecretValue(secretId))
-    try {
-      val node = SecretsStore.mapper.readTree(raw)
-      if (node != null && node.isObject) Some(node) else None
-    } catch {
-      case _: com.fasterxml.jackson.core.JacksonException => None
+    // A BINARY secret has no SecretString: the value comes back null,
+    // and readTree(null: String) throws IllegalArgumentException —
+    // outside the JacksonException catch, so one binary secret in the
+    // estate would abort the whole scan. Skip-not-fail, same as the
+    // reference's "non kv secret" branch (round-15 advice).
+    Option(raw).flatMap { s =>
+      try {
+        val node = SecretsStore.mapper.readTree(s)
+        if (node != null && node.isObject) Some(node) else None
+      } catch {
+        case _: com.fasterxml.jackson.core.JacksonException => None
+      }
     }
   }
 

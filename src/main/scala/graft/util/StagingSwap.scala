@@ -115,20 +115,63 @@ object StagingSwap {
     }
   }
 
-  /** Delete the lock ONLY if it still carries our token: if a breaker
+  /** Remove the lock ONLY if it still carries our token: if a breaker
     * decided we were stale and claimed the table, the lock on disk is
-    * THEIRS and our release must not remove it. */
-  private def release(fs: org.apache.hadoop.fs.FileSystem,
+    * THEIRS and our release must not remove it.
+    *
+    * Claim-by-RENAME, mirroring the break path (round-15 advice: the
+    * old read-check-delete had the same TOCTOU the breaker fixed — a
+    * breaker claiming between our read and our delete had its fresh
+    * lock deleted). Now: atomically rename the lock to a private
+    * tombstone FIRST, then inspect the token at leisure. Ours →
+    * delete the tombstone. Not ours (we stole a breaker's fresh
+    * lock — only reachable past the lockStaleMillis contract) →
+    * rename it back. Unreadable after one retry → rename it back and
+    * log LOUDLY: restoring a lock we may own trades a 30-min stale
+    * window (loud error for the next writer) against possibly
+    * deleting someone else's lock (silent third writer) — the
+    * availability hit is the safe side. */
+  private[graft] def release(fs: org.apache.hadoop.fs.FileSystem,
       lock: org.apache.hadoop.fs.Path, token: String): Unit = {
-    val mine = try {
-      val in = fs.open(lock)
-      try new String(in.readAllBytes(), "UTF-8") == token
-      finally in.close()
-    } catch { case _: java.io.IOException => false }
-    if (mine) fs.delete(lock, false)
+    val tomb = new org.apache.hadoop.fs.Path(
+      lock.getParent, s"${lock.getName}.release.${System.nanoTime()}")
+    // rename-false = lock already gone (a breaker claimed it and its
+    // fresh lock was claimed in turn, or FS cleanup) — nothing of
+    // ours left to remove
+    val claimed = try fs.rename(lock, tomb)
+    catch { case _: java.io.IOException => false }
+    if (!claimed) return
+    readToken(fs, tomb) match {
+      case Some(t) if t == token => fs.delete(tomb, false)
+      case other => // someone else's lock, or unreadable: put it back
+        val restored = try fs.rename(tomb, lock)
+        catch { case _: java.io.IOException => false }
+        if (!restored) // a third writer locked meanwhile; drop the tomb
+          try fs.delete(tomb, false) catch { case _: java.io.IOException => }
+        if (other.isEmpty) org.slf4j.LoggerFactory
+          .getLogger("graft.util.StagingSwap").warn(
+            s"release($lock): token unreadable after retry; " +
+              (if (restored) "lock restored — if it was ours it stays "
+                + "until the stale window expires"
+               else "lock could not be restored (a new holder exists); "
+                + "tombstone removed"))
+    }
   }
 
-  private def tryCreate(fs: org.apache.hadoop.fs.FileSystem,
+  /** The tombstoned lock's token, with ONE retry on a transient read
+    * fault (round-15 verdict item 8: a single faulted read used to
+    * abandon our own lock for the full staleness window). */
+  private[graft] def readToken(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Option[String] = {
+    def once(): Option[String] = try {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(), "UTF-8"))
+      finally in.close()
+    } catch { case _: java.io.IOException => None }
+    once().orElse(once())
+  }
+
+  private[graft] def tryCreate(fs: org.apache.hadoop.fs.FileSystem,
       lock: org.apache.hadoop.fs.Path, token: String): Boolean =
     try {
       val out = fs.create(lock, false) // create-exclusive
@@ -147,10 +190,15 @@ object StagingSwap {
     } catch {
       case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
       // Hadoop's RawLocalFileSystem reports a raced/existing create as
-      // a plain IOException whose message names the path; anything
-      // else (permissions, transient FS faults) must SURFACE, not
-      // masquerade as contention
-      case e: java.io.IOException
-        if e.getMessage != null && e.getMessage.contains("exist") => false
+      // a plain IOException; anything else (permissions, transient FS
+      // faults) must SURFACE, not masquerade as contention. A bare
+      // message.contains("exist") also matched "Parent directory does
+      // not exist" / "No such file or directory" (round-15 advice), so
+      // the authoritative check is the filesystem itself: contention
+      // iff the lock file is actually there.
+      case e: java.io.IOException =>
+        val contended = try fs.exists(lock)
+        catch { case _: java.io.IOException => false }
+        if (contended) false else throw e
     }
 }

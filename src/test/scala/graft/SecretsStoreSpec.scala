@@ -48,6 +48,7 @@ class SecretsStoreSpec extends AnyFunSuite {
   private val estate = Seq(
     "app/api-key" -> "plain-string-not-json", // the "non kv secret" path
     "rds/alpha" -> rdsSecret("cluster-alpha"),
+    "app/binary-cert" -> null, // BINARY secret: no SecretString at all
     "app/json-no-cluster" -> """{"token": "t"}""",
     "rds/beta" -> rdsSecret("cluster-beta"),
     "rds/gamma" -> rdsSecret("cluster-gamma"))
@@ -57,7 +58,7 @@ class SecretsStoreSpec extends AnyFunSuite {
     val store = new SecretsStore(stub)
     val all = store.listAll()
     assert(all.map(_.name) == estate.map(_._1))
-    assert(stub.listCalls == 3, "5 secrets at page size 2 = 3 pages")
+    assert(stub.listCalls == 3, "6 secrets at page size 2 = 3 pages")
   }
 
   test("secretForCluster matches the embedded dbClusterIdentifier, " +
@@ -107,10 +108,23 @@ class SecretsStoreSpec extends AnyFunSuite {
     assert(store.jdbcProps("app/api-key") == Map.empty)
   }
 
+  test("a binary secret (null SecretString) is skipped, not fatal") {
+    // round-15 advice: readTree(null) threw IllegalArgumentException
+    // past the JacksonException catch, so ONE binary secret aborted
+    // the whole estate scan. It must behave exactly like the non-KV
+    // skip — and the scan must still find matches PAST it.
+    val store = new SecretsStore(new StubSecrets(estate))
+    assert(store.clusterIdentifierOf("app/binary-cert").isEmpty)
+    assert(store.jdbcProps("app/binary-cert") == Map.empty)
+    // rds/beta and rds/gamma sort after the binary secret
+    assert(store.secretForCluster("cluster-beta")
+      .map(_.name).contains("rds/beta"))
+  }
+
   test("throttles retry with backoff and then succeed") {
     val stub = new StubSecrets(estate, pageSize = 10, throttles = 3)
     val store = new SecretsStore(stub, maxRetries = 5)
-    assert(store.listAll().size == 5)
+    assert(store.listAll().size == 6)
   }
 
   test("throttling past maxRetries fails loudly") {

@@ -80,4 +80,81 @@ class StagingSwapSpec extends AnyFunSuite {
       "a failed swap must not leave the lock behind")
     assert(spark.read.parquet(dir).count() == 4L)
   }
+
+  // --- round-16 release hardening (verdict item 8 + advice TOCTOU) ---
+
+  private def writeLock(p: org.apache.hadoop.fs.Path, token: String): Unit = {
+    fs.delete(p, false)
+    val out = fs.create(p, false); out.write(token.getBytes("UTF-8")); out.close()
+  }
+
+  test("release removes an owned lock even when the first token read faults") {
+    val lock = new org.apache.hadoop.fs.Path("target/test-swap/.faulted.lock")
+    writeLock(lock, "mine")
+    // a RawLocalFileSystem whose FIRST open of the release tombstone
+    // throws — the transient read fault from verdict item 8; before
+    // the one-retry fix this abandoned our own lock for the full
+    // staleness window
+    val faulty = new org.apache.hadoop.fs.RawLocalFileSystem {
+      private var faults = 1
+      override def open(f: org.apache.hadoop.fs.Path, bufferSize: Int)
+          : org.apache.hadoop.fs.FSDataInputStream = {
+        if (faults > 0 && f.getName.contains(".release.")) {
+          faults -= 1
+          throw new java.io.IOException("transient read fault")
+        }
+        super.open(f, bufferSize)
+      }
+    }
+    faulty.initialize(java.net.URI.create("file:///"),
+      spark.sparkContext.hadoopConfiguration)
+    val qualified = faulty.makeQualified(lock)
+    StagingSwap.release(faulty, qualified, "mine")
+    assert(!faulty.exists(qualified),
+      "one transient read fault must not abandon our own lock")
+  }
+
+  test("release restores a foreign lock instead of deleting it") {
+    // the breaker-claimed scenario: by release time the lock on disk
+    // is a breaker's FRESH lock with THEIR token. The old
+    // read-check-delete could delete it in the race window; the
+    // rename-then-verify path must put it back intact.
+    val lock = new org.apache.hadoop.fs.Path("target/test-swap/.foreign.lock")
+    writeLock(lock, "breaker-token")
+    StagingSwap.release(fs, lock, "my-old-token")
+    assert(fs.exists(lock), "a foreign lock must survive our release")
+    val in = fs.open(lock)
+    val content = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    assert(content == "breaker-token", "the foreign token must be intact")
+    fs.delete(lock, false)
+  }
+
+  test("tryCreate surfaces a non-contention IO fault instead of retrying it as a held lock") {
+    // round-15 advice: an IOException message like "No such file or
+    // directory" used to match the old contains("exist") heuristic
+    // and be misread as contention; the authoritative check is now
+    // fs.exists(lock), so with no lock on disk the fault must surface
+    val lock = new org.apache.hadoop.fs.Path("target/test-swap/.iofault.lock")
+    fs.delete(lock, false)
+    val faulty = new org.apache.hadoop.fs.RawLocalFileSystem {
+      private def boom(f: org.apache.hadoop.fs.Path): Nothing =
+        throw new java.io.IOException(
+          s"Mkdirs failed: parent directory does not exist: $f")
+      override def create(f: org.apache.hadoop.fs.Path,
+          permission: org.apache.hadoop.fs.permission.FsPermission,
+          overwrite: Boolean, bufferSize: Int, replication: Short,
+          blockSize: Long, progress: org.apache.hadoop.util.Progressable)
+          : org.apache.hadoop.fs.FSDataOutputStream = boom(f)
+      override def create(f: org.apache.hadoop.fs.Path,
+          overwrite: Boolean, bufferSize: Int, replication: Short,
+          blockSize: Long, progress: org.apache.hadoop.util.Progressable)
+          : org.apache.hadoop.fs.FSDataOutputStream = boom(f)
+    }
+    faulty.initialize(java.net.URI.create("file:///"),
+      spark.sparkContext.hadoopConfiguration)
+    val e = intercept[java.io.IOException] {
+      StagingSwap.tryCreate(faulty, faulty.makeQualified(lock), "t")
+    }
+    assert(e.getMessage.contains("does not exist"))
+  }
 }

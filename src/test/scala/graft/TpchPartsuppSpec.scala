@@ -10,9 +10,15 @@ import graft.tools.SynthScale
   * planner running the canonical subquery text (an independent plan
   * path — decorrelation, subquery execution — over the same tables),
   * plus the plan pins PlanRegressionSpec applies to the rest of the
-  * pack (broadcast dims, pushed filters, no nested-loop joins). The
-  * driver corpus has no partsupp, so no DuckDB oracle row exists —
-  * this spec is these queries' correctness gate. */
+  * pack (broadcast dims, pushed filters, no nested-loop joins).
+  *
+  * Round 16: the Spark-vs-Spark result check here is no longer the
+  * only correctness evidence — `graft.tools.PartsuppVerify` dumps the
+  * same five queries over the same SynthScale corpus for a DuckDB
+  * hash-compare via tools/check.py (two genuinely independent
+  * engines; a common-mode Catalyst bug can't pass it). The committed
+  * record is CORRECTNESS_partsupp.json. This spec remains the
+  * in-suite structural gate: plan pins + generator invariants. */
 class TpchPartsuppSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 

@@ -28,7 +28,10 @@ def main():
     con = duckdb.connect()
     for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
         name = os.path.basename(p)[:-len(".parquet")]
-        con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+        # Spark-written tables are DIRECTORIES of part files (the
+        # PartsuppVerify corpus); the driver testdata are single files
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{src}')")
     n_pass = n_fail = 0
     for name in sorted(oracle):
         res_dir = os.path.join(out_dir, name)
