@@ -416,9 +416,20 @@ case class QuantizeInt8(child: Expression)
   * exactly as when(null).otherwise("0") did, and the output is never
   * null. VectorExpressionsSpec pins equality against the composed
   * form on all of those cases.
+  *
+  * `strictDim` (round-16, verdict item 3): when true, a NON-null
+  * input whose length differs from the plane dimension throws from
+  * the kernel instead of signing all-'0'. The banded LSH paths used
+  * to pre-validate uniform dimension with a min/max aggregate — a
+  * SECOND full read of the embedding column before the signature
+  * pass (at 100 TB, two scans where one suffices). Folding the check
+  * into the kernel keeps the loud mixed-corpus failure (an off-dim
+  * row fails the very task that would have seeded its mega-bucket)
+  * at zero extra reads. Null input still signs all-'0' even when
+  * strict — callers filter nulls; strictness is about DIMENSION.
   */
 case class HyperplaneSignature(child: Expression,
-    planes: Seq[Seq[Double]])
+    planes: Seq[Seq[Double]], strictDim: Boolean = false)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
   require(planes.nonEmpty, "at least one hyperplane")
@@ -451,6 +462,8 @@ case class HyperplaneSignature(child: Expression,
     if (a != null) {
       val x = a.asInstanceOf[ArrayData]
       val n = x.numElements()
+      if (strictDim && n != planeArr(0).length)
+        throw HyperplaneSignature.dimMismatch(n, planeArr(0).length)
       val f = isFloat
       var p = 0
       while (p < planeArr.length) {
@@ -495,6 +508,11 @@ case class HyperplaneSignature(child: Expression,
          |java.util.Arrays.fill($bits, (byte) '0');
          |if (!${childGen.isNull}) {
          |  int $n = ${childGen.value}.numElements();
+         |  ${if (strictDim)
+             s"""if ($n != $planesRef[0].length) {
+                |    throw graft.expressions.HyperplaneSignature.dimMismatch($n, $planesRef[0].length);
+                |  }""".stripMargin
+           else ""}
          |  for (int $p = 0; $p < $planesRef.length; $p++) {
          |    double[] $pl = $planesRef[$p];
          |    if ($pl.length == $n) {
@@ -516,6 +534,17 @@ case class HyperplaneSignature(child: Expression,
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
   override def prettyName: String = "hyperplane_signature"
+}
+
+object HyperplaneSignature {
+  /** Shared by eval and the generated code (called as a static from
+    * Janino — keep the signature Java-plain). */
+  def dimMismatch(got: Int, want: Int): IllegalArgumentException =
+    new IllegalArgumentException(
+      s"hyperplane_signature(strict): embedding of dimension $got against " +
+        s"$want-dimensional planes — off-dimension rows would collapse " +
+        "into one LSH bucket per band (quadratic candidates); pass the " +
+        "corpus dimension, split mixed-dimension corpora first")
 }
 
 object VectorExpressions {
@@ -546,9 +575,9 @@ object VectorExpressions {
   /** Column API: the '0'/'1' hyperplane bit signature as one fused
     * kernel (sign of each plane's ascending-order dot). */
   def hyperplane_signature(emb: Column,
-      planes: Array[Array[Double]]): Column =
+      planes: Array[Array[Double]], strictDim: Boolean = false): Column =
     Bridge.column(HyperplaneSignature(Bridge.expression(emb),
-      planes.toIndexedSeq.map(_.toIndexedSeq)))
+      planes.toIndexedSeq.map(_.toIndexedSeq), strictDim))
 
   /** Register `dot_product` for SQL use in this session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -1,0 +1,130 @@
+package graft.similarity
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted ANN index (round-15 verdict item 7): at 100 TB the index
+  * must outlive the session — the fit costs a corpus sample scan and
+  * the encode pass a full corpus read, so rebuilding either per
+  * session would dominate every search. This store writes the model
+  * state (coarse centroids + PQ codebooks) and the coded corpus as
+  * parquet under one root, with a JSON manifest carrying the scalar
+  * config, and loads them back bit-identically (doubles survive
+  * parquet exactly; AnnIndexStoreSpec pins saved-index search ==
+  * fresh-build search row for row).
+  *
+  * Layout under `<root>/`:
+  *   - `manifest.json` — format version, dim/m/ksub/nlist, normalize
+  *     flag, and the LSH plane config when provided. Planes are NOT
+  *     materialized: [[Similarity.hyperplaneProjections]] is a pure
+  *     function of (bits, dim) (md5-derived), so `rpb`/`bands`/`dim`
+  *     IS the plane matrix — the manifest records the recipe, load
+  *     re-derives the identical planes.
+  *   - `coarse/` — (cluster int, centroid array<double>), IVF coarse
+  *     quantizer; absent for PQ-only indexes.
+  *   - `codebooks/` — (j int, code int, centroid array<double>), the
+  *     m per-subspace PQ codebooks; absent for IVF-only indexes.
+  *   - `index/` — the coded corpus: (vec_id, codes) for PQ,
+  *     (vec_id, cluster, codes) for IVF-PQ, partitioned by `cluster`
+  *     when present so a probe's list scan prunes to its partitions
+  *     (the on-disk analogue of bucketing by cluster at scale).
+  *
+  * Model state is control-plane-sized (nlist + m·ksub centroid rows);
+  * only `index/` scales with the corpus — and it is the COMPACT
+  * representation (ints, not floats), written once per (re)build.
+  */
+object AnnIndexStore {
+
+  /** Everything a search path needs from disk. `coarse`/`books` are
+    * in the exact in-memory shapes `ivfPqTopK(coarse=, pq=,
+    * prebuilt=)` and `pqTopK(fitted=, index=)` take. */
+  final case class Loaded(
+      manifest: Map[String, String],
+      coarse: Option[Array[(Int, Array[Double])]],
+      books: Option[Seq[Array[(Int, Array[Double])]]],
+      index: DataFrame)
+
+  def save(root: String,
+      index: DataFrame,
+      coarse: Option[Array[(Int, Array[Double])]] = None,
+      books: Option[Seq[Array[(Int, Array[Double])]]] = None,
+      manifest: Map[String, String] = Map.empty): Unit = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    coarse.foreach(cs =>
+      cs.toSeq.toDF("cluster", "centroid").coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(s"$root/coarse"))
+    books.foreach(bs =>
+      bs.zipWithIndex.flatMap { case (cb, j) =>
+        cb.map { case (code, c) => (j, code, c) }
+      }.toDF("j", "code", "centroid").coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(s"$root/codebooks"))
+    val w = index.write.mode(SaveMode.Overwrite)
+    (if (index.columns.contains("cluster")) w.partitionBy("cluster") else w)
+      .parquet(s"$root/index")
+    writeManifest(spark, s"$root/manifest.json", manifest +
+      ("format" -> "graft-ann-v1") +
+      ("has_coarse" -> coarse.isDefined.toString) +
+      ("has_books" -> books.isDefined.toString))
+  }
+
+  def load(spark: SparkSession, root: String): Loaded = {
+    val manifest = readManifest(spark, s"$root/manifest.json")
+    require(manifest.get("format").contains("graft-ann-v1"),
+      s"$root/manifest.json: unknown ANN index format " +
+        s"${manifest.get("format")} — refusing to guess the layout")
+    val coarse = Option.when(manifest.get("has_coarse").contains("true")) {
+      spark.read.parquet(s"$root/coarse")
+        .select(col("cluster"), col("centroid")).collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1)
+    }
+    val books = Option.when(manifest.get("has_books").contains("true")) {
+      val rows = spark.read.parquet(s"$root/codebooks")
+        .select(col("j"), col("code"), col("centroid")).collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+      val m = rows.map(_._1).max + 1
+      (0 until m).map(j => rows.filter(_._1 == j)
+        .map(t => (t._2, t._3)).sortBy(_._1).toArray)
+    }
+    // read through the partition columns so `cluster` (when present)
+    // comes back as a normal int column in the prebuilt shape
+    val idx0 = spark.read.parquet(s"$root/index")
+    val idx =
+      if (idx0.columns.contains("cluster"))
+        idx0.select(col("vec_id"), col("cluster").cast("int").as("cluster"),
+          col("codes"))
+      else idx0.select(col("vec_id"), col("codes"))
+    Loaded(manifest, coarse, books, idx)
+  }
+
+  // manifest as a tiny single-file JSON object via the Hadoop FS API
+  // (works on any scheme the session can reach, unlike java.nio)
+  private def writeManifest(spark: SparkSession, path: String,
+      kv: Map[String, String]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def esc(s: String) = s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    }
+    val json = kv.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""${esc(k)}": "${esc(v)}"""" }
+      .mkString("{", ", ", "}")
+    val out = fs.create(p, true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readManifest(spark: SparkSession,
+      path: String): Map[String, String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val raw = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(raw)
+    require(node != null && node.isObject, s"$path is not a JSON object")
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    node.fields().forEachRemaining(e => out += e.getKey -> e.getValue.asText())
+    out.toMap
+  }
+}

@@ -202,11 +202,14 @@ object DdbItemStore {
   * non-scalar attributes anyway (ItemStore scaladoc), so the string
   * form is the contract-correct surface for them.
   *
-  * NOT exercised in the sandbox (no SDK, no network, no credentials):
-  * the page/throttle/resume LOOP above it is what the suite pins
-  * (DdbItemStoreSpec's stub client + FlakyItemStore's injections);
-  * this class is the thin translation layer a deployment activates
-  * by shipping the SDK jars.
+  * No live endpoint in the sandbox, but since round 16 the method
+  * contracts ARE suite-pinned: ReflectiveSdkClientsSpec drives this
+  * class through test-classpath stand-ins published under the real
+  * SDK package names (builder chain, segment fields, attribute-kind
+  * conversion, throttle classification). The page/throttle/resume
+  * LOOP above it is pinned separately (DdbItemStoreSpec +
+  * FlakyItemStore); this class is the thin translation layer a
+  * deployment activates by shipping the SDK jars.
   */
 final class ReflectiveSdkDdbClient extends DdbItemStore.DdbWireClient {
   import DdbItemStore.{DdbPage, DdbThrottledException}

@@ -37,8 +37,9 @@ package graft.sources.v2
   *     `SecretsManagerClient` via runtime reflection against PUBLIC
   *     interfaces only, so the repo compiles with no SDK and a
   *     deployment that ships `software.amazon.awssdk:secretsmanager`
-  *     gets a live resolver with no code change. NOT exercised in the
-  *     sandbox.
+  *     gets a live resolver with no code change. Method contracts pinned
+  *     by ReflectiveSdkClientsSpec via test-classpath stand-ins
+  *     (round 16).
   *
   * Scale note: the secret estate is control-plane-sized (one secret
   * per database cluster — thousands, not billions), so the loop is
@@ -199,8 +200,10 @@ object SecretsStore {
   * Secrets-Manager client via runtime reflection — methods resolved
   * from the PUBLIC interfaces (`SecretsManagerClient`, the model
   * Builders), never runtime impl classes (package-private — the
-  * DdbItemStore lesson). NOT exercised in the sandbox; the
-  * paginate/parse/match loop above is what the suite pins. */
+  * DdbItemStore lesson). Method contracts pinned by
+  * ReflectiveSdkClientsSpec against test-classpath stand-ins under
+  * the real SDK names (round 16); the paginate/parse/match loop
+  * above is pinned separately by SecretsStoreSpec. */
 final class ReflectiveSecretsClient extends SecretsStore.SecretsWireClient {
   import SecretsStore._
 

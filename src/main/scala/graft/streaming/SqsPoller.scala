@@ -112,8 +112,10 @@ final class SqsPoller(client: SqsPoller.SqsWireClient, queueUrl: String,
   * runtime reflection — methods resolved from the PUBLIC interfaces
   * (`SqsClient`, the model Builders), never from runtime impl
   * classes (they are package-private and throw IllegalAccessException
-  * — the DdbItemStore lesson). NOT exercised in the sandbox: the
-  * drain loop above is what the suite pins. */
+  * — the DdbItemStore lesson). The method contracts are pinned by
+  * ReflectiveSdkClientsSpec against test-classpath stand-ins under
+  * the real SDK package names (round 16); no live endpoint in the
+  * sandbox — the drain loop above is pinned separately. */
 final class ReflectiveSqsClient extends SqsPoller.SqsWireClient {
   import SqsPoller.SqsMessage
 

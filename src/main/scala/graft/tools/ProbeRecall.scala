@@ -83,24 +83,17 @@ object ProbeRecall {
     for (c <- Seq(10 * k, 100 * k))
       report(s"pq+refine C=$c")(
         Similarity.pqTopK(emb, pred, k, dim, m = 8, ksub = 16, refine = c))
-    // NORMALIZED corpus: dot == cosine, so the ADC approximation and
-    // the truth share a metric — the standard practice for cosine ANN
-    // over PQ (normalize at index build; refine needs no change)
-    // norm computed ONCE in an outer column (inside the per-element
-    // lambda it would redo the full dot per element — dim× the work),
-    // zero-norm rows dropped (x/0.0 would throw under ANSI)
-    val unit = emb.withColumn("nrm0", Similarity.norm(col("embedding")))
-      .filter(col("nrm0") > 0)
-      .withColumn("embedding",
-        transform(col("embedding"), x => (x / col("nrm0")).cast("float")))
-      .drop("nrm0")
-      .cache()
-    unit.count()
-    report("pq normalized")(
-      Similarity.pqTopK(unit, pred, k, dim, m = 8, ksub = 16))
-    for (c <- Seq(10 * k))
-      report(s"pq normalized+refine C=$c")(
-        Similarity.pqTopK(unit, pred, k, dim, m = 8, ksub = 16, refine = c))
+    // normalize=true (the round-16 first-class option, verdict item
+    // 4): L2-normalize before fit/encode so dot == cosine and the ADC
+    // approximation shares the truth's metric — the standard practice
+    // for cosine ANN over PQ
+    report("pq normalize=true")(
+      Similarity.pqTopK(emb, pred, k, dim, m = 8, ksub = 16,
+        normalize = true))
+    for (c <- Seq(10 * k, 100 * k))
+      report(s"pq norm+refine C=$c")(
+        Similarity.pqTopK(emb, pred, k, dim, m = 8, ksub = 16, refine = c,
+          normalize = true))
     for (np <- Seq(2, 4))
       report(s"ivfpq m=8 np=$np")(
         Similarity.ivfPqTopK(emb, pred, k, dim, m = 8, ksub = 16,
@@ -109,6 +102,10 @@ object ProbeRecall {
       report(s"ivfpq np=$np refine=${100 * k}")(
         Similarity.ivfPqTopK(emb, pred, k, dim, m = 8, ksub = 16,
           nlist = nlist, nprobe = np, refine = 100 * k))
+    for (np <- Seq(2, 4))
+      report(s"ivfpq norm np=$np refine=${100 * k}")(
+        Similarity.ivfPqTopK(emb, pred, k, dim, m = 8, ksub = 16,
+          nlist = nlist, nprobe = np, refine = 100 * k, normalize = true))
     spark.stop()
   }
 }

@@ -1,0 +1,106 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.similarity.{AnnIndexStore, Similarity}
+
+/** Persisted ANN index round-trip (round-16): saved-index search must
+  * be BIT-identical to fresh-build search — the index outliving the
+  * session is only useful if reloading it changes nothing. */
+class AnnIndexStoreSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // deterministic 24-vector, dim-4 corpus with real cluster structure
+  private lazy val corpus = (0L until 24L).map { i =>
+    val base = (i % 3) match {
+      case 0 => Array(1.0f, 0.1f, 0.0f, 0.0f)
+      case 1 => Array(0.0f, 1.0f, 0.1f, 0.0f)
+      case _ => Array(0.0f, 0.1f, 1.0f, 0.5f)
+    }
+    (i, base.map(x => x + (i / 3).toFloat * 0.01f))
+  }.toDF("vec_id", "embedding")
+
+  private def freshRoot(name: String): String = {
+    val d = s"target/test-ann-index/$name"
+    val p = new org.apache.hadoop.fs.Path(d)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    d
+  }
+
+  test("IVF-PQ: save/load round-trips model state bit-identically and " +
+      "saved-index search equals fresh-build search") {
+    val root = freshRoot("ivfpq")
+    val dim = 4; val m = 2; val ksub = 4; val nlist = 3
+    val coarse = Similarity.kmeansFit(corpus, nlist)
+    val books = Similarity.pqFit(corpus, dim, m, ksub)
+    val index = Similarity.buildIvfPqIndex(corpus, dim, coarse, books)
+    AnnIndexStore.save(root, index, Some(coarse), Some(books),
+      Map("dim" -> dim.toString, "m" -> m.toString,
+        "ksub" -> ksub.toString, "nlist" -> nlist.toString))
+
+    val loaded = AnnIndexStore.load(spark, root)
+    assert(loaded.manifest("dim") == "4" && loaded.manifest("m") == "2")
+    // model state: exact double equality through the parquet round-trip
+    assert(loaded.coarse.get.map(_._1).toSeq == coarse.map(_._1).toSeq)
+    loaded.coarse.get.zip(coarse).foreach { case ((_, a), (_, b)) =>
+      assert(a.toSeq == b.toSeq) }
+    assert(loaded.books.get.size == books.size)
+    loaded.books.get.zip(books).foreach { case (la, fa) =>
+      assert(la.map(_._1).toSeq == fa.map(_._1).toSeq)
+      la.zip(fa).foreach { case ((_, a), (_, b)) => assert(a.toSeq == b.toSeq) }
+    }
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rn").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val pred = col("vec_id") < 3
+    val fresh = rows(Similarity.ivfPqTopK(corpus, pred, k = 4, dim, m,
+      ksub, nlist, nprobe = 2, coarse = Some(coarse), pq = Some(books),
+      prebuilt = Some(index), refine = 8))
+    val saved = rows(Similarity.ivfPqTopK(corpus, pred, k = 4, dim, m,
+      ksub, nlist, nprobe = 2, coarse = loaded.coarse, pq = loaded.books,
+      prebuilt = Some(loaded.index), refine = 8))
+    assert(fresh.nonEmpty && saved == fresh,
+      s"saved-index search drifted:\nfresh=$fresh\nsaved=$saved")
+  }
+
+  test("PQ-only: coded index + codebooks round-trip; cluster partition " +
+      "column comes back when present") {
+    val root = freshRoot("pq")
+    val dim = 4; val m = 2; val ksub = 4
+    val books = Similarity.pqFit(corpus, dim, m, ksub)
+    val index = Similarity.pqEncode(corpus, dim, books)
+    AnnIndexStore.save(root, index, books = Some(books))
+
+    val loaded = AnnIndexStore.load(spark, root)
+    assert(loaded.coarse.isEmpty, "PQ-only index has no coarse quantizer")
+    assert(!loaded.index.columns.contains("cluster"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rn", "adc_dot").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).sorted.toSeq
+    val pred = col("vec_id") < 3
+    val fresh = rows(Similarity.pqTopK(corpus, pred, k = 4, dim, m, ksub,
+      fitted = Some(books), index = Some(index)))
+    val saved = rows(Similarity.pqTopK(corpus, pred, k = 4, dim, m, ksub,
+      fitted = loaded.books, index = Some(loaded.index)))
+    assert(fresh.nonEmpty && saved == fresh)
+  }
+
+  test("unknown manifest format refuses loudly") {
+    val root = freshRoot("badfmt")
+    val index = Similarity.pqEncode(corpus, 4,
+      Similarity.pqFit(corpus, 4, 2, 4))
+    AnnIndexStore.save(root, index)
+    // corrupt the format marker
+    val p = new org.apache.hadoop.fs.Path(s"$root/manifest.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    out.write("""{"format": "graft-ann-v99"}""".getBytes("UTF-8")); out.close()
+    val e = intercept[IllegalArgumentException] {
+      AnnIndexStore.load(spark, root)
+    }
+    assert(e.getMessage.contains("unknown ANN index format"))
+  }
+}

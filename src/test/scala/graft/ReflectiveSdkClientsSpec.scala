@@ -1,0 +1,152 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterEach
+
+/** The three reflective SDK clients driven end-to-end through
+  * test-classpath stand-ins published under the REAL
+  * `software.amazon.awssdk.services.*` names (round-15 verdict item
+  * 2: every prior spec substituted a stub at the seam ABOVE these
+  * classes, so a typo'd `getMethod` name or a wrong parameter class
+  * compiled, passed the whole suite, and failed only in a live
+  * deployment). Here `Class.forName` resolves the stubs
+  * (src/test/scala/sdkstubs/), so every reflective method lookup,
+  * parameter class, builder chain, and response accessor actually
+  * executes — a drifted name now throws NoSuchMethodException IN the
+  * suite. The stand-ins are plain classes, no SDK jar involved. */
+class ReflectiveSdkClientsSpec extends AnyFunSuite with BeforeAndAfterEach {
+
+  import software.amazon.awssdk.services.{sqs => sq}
+  import software.amazon.awssdk.services.{secretsmanager => sm}
+  import software.amazon.awssdk.services.{dynamodb => ddb}
+
+  override def beforeEach(): Unit = {
+    sq.SqsClient.reset(); sm.SecretsManagerClient.reset()
+    ddb.DynamoDbClient.reset()
+  }
+
+  // ---- SQS -------------------------------------------------------
+
+  test("ReflectiveSqsClient.receive round-trips the request and maps messages") {
+    sq.SqsClient.pending.add(new sq.model.Message("id-1", "rh-1", "body-1"))
+    sq.SqsClient.pending.add(new sq.model.Message("id-2", "rh-2", "body-2"))
+    sq.SqsClient.pending.add(new sq.model.Message("id-3", "rh-3", "body-3"))
+    val client = new graft.streaming.ReflectiveSqsClient
+    val got = client.receive("https://sqs.example/q1", max = 2, waitSeconds = 7)
+    assert(got.map(m => (m.messageId, m.receiptHandle, m.body)) ==
+      Seq(("id-1", "rh-1", "body-1"), ("id-2", "rh-2", "body-2")))
+    val req = sq.SqsClient.lastReceive
+    assert(req.queueUrlV == "https://sqs.example/q1")
+    assert(req.maxV == 2 && req.waitV == 7,
+      "maxNumberOfMessages/waitTimeSeconds must reach the request")
+    // the third message stays pending (max honored client-side too)
+    assert(sq.SqsClient.pending.size() == 1)
+  }
+
+  test("ReflectiveSqsClient.delete round-trips queueUrl + receiptHandle") {
+    val client = new graft.streaming.ReflectiveSqsClient
+    client.delete("https://sqs.example/q1", "rh-42")
+    assert(sq.SqsClient.deletes.toArray.toSeq ==
+      Seq(("https://sqs.example/q1", "rh-42")))
+  }
+
+  // ---- Secrets Manager -------------------------------------------
+
+  test("ReflectiveSecretsClient paginates list_secrets and maps entries") {
+    sm.SecretsManagerClient.estate = Seq(
+      "a" -> "va", "b" -> "vb", "c" -> "vc", "d" -> "vd", "e" -> "ve")
+    sm.SecretsManagerClient.pageSize = 2
+    val client = new graft.sources.v2.ReflectiveSecretsClient
+    val p1 = client.listSecretsPage(None)
+    assert(p1.secrets.map(_.name) == Seq("a", "b"))
+    assert(p1.secrets.head.arn == "arn:aws:secretsmanager:::secret:a")
+    assert(p1.nextToken.contains("2"))
+    val p2 = client.listSecretsPage(p1.nextToken)
+    assert(p2.secrets.map(_.name) == Seq("c", "d"))
+    val p3 = client.listSecretsPage(p2.nextToken)
+    assert(p3.secrets.map(_.name) == Seq("e") && p3.nextToken.isEmpty,
+      "a null SDK nextToken must map to None (pagination terminates)")
+    // the nextToken builder call must only happen when a token exists
+    assert(sm.SecretsManagerClient.listTokens.toArray.toSeq ==
+      Seq(None, Some("2"), Some("4")))
+  }
+
+  test("ReflectiveSecretsClient.getSecretValue round-trips the id; " +
+      "binary secrets surface as null") {
+    sm.SecretsManagerClient.estate = Seq("rds/x" -> "{\"k\":1}",
+      "bin/cert" -> null)
+    val client = new graft.sources.v2.ReflectiveSecretsClient
+    assert(client.getSecretValue("rds/x") == "{\"k\":1}")
+    assert(client.getSecretValue("bin/cert") == null,
+      "a binary secret's missing SecretString must come back null " +
+        "(the store's skip path, not an exception)")
+    assert(sm.SecretsManagerClient.getIds.toArray.toSeq ==
+      Seq("rds/x", "bin/cert"))
+  }
+
+  // ---- DynamoDB --------------------------------------------------
+
+  private def av = ddb.model.AttributeValue
+
+  test("ReflectiveSdkDdbClient.scanPage round-trips segment fields and " +
+      "converts scalar attribute kinds") {
+    val item = new java.util.LinkedHashMap[String, AnyRef]()
+    item.put("id", av.ofS("row-1"))
+    item.put("n_int", av.ofN("42"))
+    item.put("n_frac", av.ofN("2.5"))
+    item.put("flag", av.ofBool(true))
+    item.put("gone", av.ofNul())
+    item.put("nested", av.ofM("{m={a=1}}"))
+    val lek = new java.util.LinkedHashMap[String, Object]()
+    lek.put("id", av.ofS("row-1"))
+    ddb.DynamoDbClient.script.add(Right((Seq(item), Some(lek))))
+    ddb.DynamoDbClient.script.add(Right((Seq.empty, None)))
+
+    val client = new graft.sources.v2.ReflectiveSdkDdbClient
+    val page1 = client.scanPage("items", segment = 3, totalSegments = 8,
+      limit = 500, exclusiveStart = None)
+    val req = ddb.DynamoDbClient.lastScan
+    assert(req.tableNameV == "items" && req.segmentV == 3
+      && req.totalSegmentsV == 8 && req.limitV == 500
+      && req.exclusiveStartKeyV == null)
+    assert(page1.lastEvaluatedKey.isDefined, "hasLastEvaluatedKey must map through")
+    val got = page1.items.head
+    assert(got.get("id") == "row-1")
+    assert(got.get("n_int") == Long.box(42L),
+      "integral N must convert to Long")
+    assert(got.get("n_frac") == Double.box(2.5),
+      "fractional N must convert to Double")
+    assert(got.get("flag") == java.lang.Boolean.TRUE)
+    assert(got.get("gone") == null, "NUL kind must convert to null")
+    assert(got.get("nested") == "{m={a=1}}",
+      "non-scalar kinds render via toString (crawler contract)")
+
+    // page 2: the resume key must round-trip through exclusiveStartKey
+    val page2 = client.scanPage("items", 3, 8, 500, page1.lastEvaluatedKey)
+    assert(ddb.DynamoDbClient.lastScan.exclusiveStartKeyV eq lek,
+      "exclusiveStartKey must carry the PRIOR page's lastEvaluatedKey")
+    assert(page2.items.isEmpty && page2.lastEvaluatedKey.isEmpty)
+  }
+
+  test("ReflectiveSdkDdbClient classifies all three throttle families " +
+      "and unwraps other causes") {
+    import graft.sources.v2.DdbItemStore.DdbThrottledException
+    val client = new graft.sources.v2.ReflectiveSdkDdbClient
+    Seq[Throwable](
+      new ddb.model.ProvisionedThroughputExceededException("t1"),
+      new ddb.model.RequestLimitExceededException("t2"),
+      new ddb.model.ThrottlingException("t3")).foreach { t =>
+      ddb.DynamoDbClient.script.add(Left(t))
+      intercept[DdbThrottledException] {
+        client.scanPage("items", 0, 1, 10, None)
+      }: Unit
+    }
+    // a non-throttle SDK failure must surface as the REAL cause, not
+    // the InvocationTargetException reflection wrapper
+    ddb.DynamoDbClient.script.add(Left(new IllegalStateException("access denied")))
+    val e = intercept[IllegalStateException] {
+      client.scanPage("items", 0, 1, 10, None)
+    }
+    assert(e.getMessage == "access denied")
+  }
+}

@@ -501,18 +501,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pairs(Similarity.nearDupPairsBanded(vz, 0.9)) == expect)
   }
 
+  /** The kernel-side dimension gate surfaces as a task failure: walk
+    * the SparkException cause chain to the thrown mismatch. */
+  private def rootMessages(t: Throwable): Seq[String] =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      .map(e => Option(e.getMessage).getOrElse("")).toSeq
+
   test("banded LSH fails loudly on a wrong or mixed dimension") {
     val vz = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
       (1L, Array(0.99f, 0.1f, 0.0f, 0.0f))
     ).toDF("vec_id", "embedding")
     // dim param not matching the corpus: every row would degrade to
-    // the all-zero signature (one mega-bucket per band)
-    val e = intercept[IllegalArgumentException] {
+    // the all-zero signature (one mega-bucket per band). Round 16:
+    // the gate is KERNEL-side (strict signature, one corpus read)
+    // so it surfaces when the signature task runs, not at call time.
+    val e = intercept[Exception] {
       Similarity.lshBandedTopK(vz, col("vec_id") === 0, k = 2, dim = 64)
         .count()
     }
-    assert(e.getMessage.contains("dimension"))
+    assert(rootMessages(e).exists(_.contains("dimension")), e.toString)
     // matching dim works; empty corpus keeps the brute-force schema
     assert(Similarity.lshBandedTopK(vz, col("vec_id") === 0, k = 2,
       rpb = 2, bands = 4, dim = 4).columns.toSeq ==
@@ -520,6 +528,64 @@ class SimilaritySpec extends AnyFunSuite {
     val empty = Similarity.lshBandedTopK(vz.filter(lit(false)),
       col("vec_id") === 0, k = 2, dim = 4)
     assert(empty.columns.contains("cos_sim") && empty.count() == 0)
+  }
+
+  test("pq normalize=true: ADC ranks by cosine, not norm-biased dot; " +
+      "normalized+refine matches brute force on a unit-norm fixture") {
+    // the metric gap the option closes (round-15 recall study): with
+    // norm spread, dot-top-k ≠ cosine-top-k no matter how fine the
+    // codebooks. m=1, ksub=4 makes each vector (nearly) its own code
+    // word, isolating the METRIC from quantization error.
+    //   query q=(1,0); a=(0.9,0.1): cos .994, dot 0.9
+    //                  b=(10,5):    cos .894, dot 10  ← dot winner
+    // Codes are pinned via an explicit identity index + per-vector
+    // codebooks (prebuilt-index usage): Lloyd's max-dot assignment
+    // would itself collapse small vectors into the large-norm
+    // centroid's code — the very norm bias under test — and an
+    // ADC tie between a and b would mask the ranking difference.
+    val raw = Seq(
+      0 -> Array(1.0, 0.0), 1 -> Array(0.9, 0.1),
+      2 -> Array(10.0, 5.0), 3 -> Array(-1.0, 0.5))
+    val spread = raw.map { case (i, v) =>
+      (i.toLong, v.map(_.toFloat)) }.toDF("vec_id", "embedding")
+    val identityIndex = raw.map { case (i, _) => (i.toLong, Seq(i)) }
+      .toDF("vec_id", "codes")
+    def unitize(v: Array[Double]) = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    def top1(normalize: Boolean): Long = {
+      val books = Seq(raw.map { case (i, v) =>
+        i -> (if (normalize) unitize(v) else v) }.toArray)
+      Similarity.pqTopK(spread, col("vec_id") === 0, k = 1, dim = 2,
+          m = 1, ksub = 4, fitted = Some(books),
+          index = Some(identityIndex), normalize = normalize)
+        .select("neighbor_id").head().getLong(0)
+    }
+    assert(top1(normalize = false) == 2L,
+      "un-normalized ADC must rank by dot (the documented gap)")
+    assert(top1(normalize = true) == 1L,
+      "normalized ADC must rank by cosine")
+
+    // unit-norm fixture: normalized pq+refine is brute force
+    val unit = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f)),
+      (2L, Array(0.6f, 0.8f, 0.0f)),
+      (3L, Array(0.0f, 0.6f, 0.8f)),
+      (4L, Array(0.8f, 0.0f, 0.6f))
+    ).toDF("vec_id", "embedding")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rn", "cos_sim").collect()
+        .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)),
+          r.getDouble(3))).toMap
+    val brute = rows(Similarity.bruteForceTopK(unit, col("vec_id") < 2, 3))
+    val pqn = rows(Similarity.pqTopK(unit, col("vec_id") < 2, k = 3,
+      dim = 3, m = 1, ksub = 5, refine = 5, normalize = true))
+    assert(pqn.keySet == brute.keySet,
+      s"same ranked triples expected: $pqn vs $brute")
+    pqn.foreach { case (key, cos) =>
+      assert(math.abs(cos - brute(key)) < 1e-5, s"$key: $cos vs ${brute(key)}")
+    }
   }
 
   test("pq refine: empty-fit early return keeps the refined schema") {
@@ -533,16 +599,62 @@ class SimilaritySpec extends AnyFunSuite {
   test("banded near-dup fails loudly on a mixed-dimension corpus") {
     // off-dimension vectors would all degrade to the all-'0'
     // signature — one mega-bucket per band, quadratic candidates —
-    // so the gate refuses instead (round-14 advice)
+    // so the strict signature kernel refuses from the task instead
+    // (round-14 advice; gate folded kernel-side in round 16 so the
+    // corpus is read once, not twice)
     val mixed = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
       (1L, Array(0.99f, 0.1f, 0.0f, 0.0f)),
       (2L, Array(1.0f, 0.0f)) // wrong dimension
     ).toDF("vec_id", "embedding")
-    val e = intercept[IllegalArgumentException] {
+    val e = intercept[Exception] {
       Similarity.nearDupPairsBanded(mixed, 0.9).count()
     }
-    assert(e.getMessage.contains("uniform embedding dimension"))
+    assert(rootMessages(e).exists(
+      _.contains("off-dimension rows would collapse")), e.toString)
+  }
+
+  test("banded paths read the corpus once: no pre-scan jobs at build time") {
+    // round-16 (verdict item 3): the old uniform-dimension gate ran a
+    // min/max aggregate over the WHOLE embedding column before the
+    // signature pass — a second full corpus read per query. Now the
+    // gate is kernel-side: building lshBandedTopK launches ZERO jobs
+    // (dim is a parameter), and nearDupPairsBanded launches exactly
+    // one take(1) sample (first partition only) for plane-dimension
+    // inference — never a full-corpus aggregate.
+    val vz = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.99f, 0.1f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    // suites share one SparkContext and may run in parallel: scope
+    // the count to THIS thread's actions via a job group, so a
+    // concurrent suite's jobs can't pollute the assertion
+    val group = "similarity-dim-gate-lazy"
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          s: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        if (group == s.properties.getProperty("spark.jobGroup.id"))
+          jobs.incrementAndGet(): Unit
+    }
+    spark.sparkContext.addSparkListener(listener)
+    spark.sparkContext.setJobGroup(group, "dim-gate laziness pin")
+    try {
+      Similarity.lshBandedTopK(vz, col("vec_id") === 0, k = 2,
+        rpb = 2, bands = 4, dim = 4)
+      Similarity.nearDupPairsBanded(vz, 0.9)
+      // listener events land asynchronously; give the bus a moment —
+      // an under-count only weakens the pin, never false-fails it
+      Thread.sleep(500)
+      assert(jobs.get() <= 1,
+        s"building the banded paths must run at most the ONE take(1) " +
+          s"dimension sample (lshBandedTopK zero, nearDupPairsBanded " +
+          s"one), ran ${jobs.get()} jobs")
+    } finally {
+      spark.sparkContext.clearJobGroup()
+      spark.sparkContext.removeSparkListener(listener)
+    }
   }
 
   test("lshTopK drops null embeddings (no all-zero-bucket fan-out)") {

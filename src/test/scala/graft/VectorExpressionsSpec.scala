@@ -51,6 +51,33 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(rows.find(_.getLong(0) == 6L).get.getString(1) == "00") // mismatch
   }
 
+  test("hyperplane_signature strictDim: mismatch throws from the kernel, " +
+      "matched and null inputs behave exactly as non-strict") {
+    val planes = Seq(Array(1.0, -1.0, 0.5), Array(-2.0, 0.25, 1.0))
+    def strictSig = VectorExpressions
+      .hyperplane_signature(col("emb"), planes.toArray, strictDim = true)
+    // matched dimension + null input: identical to the lax kernel
+    val ok = Seq(
+      (1L, Array(1.0f, 2.0f, 3.0f)),
+      (5L, null.asInstanceOf[Array[Float]])
+    ).toDF("id", "emb")
+    val got = ok.select(col("id"), strictSig.as("s"),
+        VectorExpressions.hyperplane_signature(col("emb"), planes.toArray)
+          .as("lax")).collect()
+    got.foreach(r => assert(r.getString(1) == r.getString(2)))
+    // off-dimension row: the strict kernel throws (the banded paths'
+    // mega-bucket gate, folded into the scan — round-16); the lax
+    // kernel keeps the legacy all-'0' signing
+    val bad = Seq((6L, Array(1.0f, 2.0f))).toDF("id", "emb")
+    val e = intercept[Exception] { bad.select(strictSig).collect() }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+    assert(msgs.exists(_.contains("off-dimension rows would collapse")),
+      e.toString)
+    assert(bad.select(VectorExpressions.hyperplane_signature(col("emb"),
+      planes.toArray)).head().getString(0) == "00")
+  }
+
   test("dot_product matches the composed-built-ins fold exactly") {
     val hof = aggregate(
       zip_with(col("a"), col("b"), (x, y) => x.cast("double") * y.cast("double")),

@@ -1,0 +1,91 @@
+// TEST-CLASSPATH stand-ins for the public AWS SDK v2 DynamoDB surface
+// ReflectiveSdkDdbClient resolves by name — same rationale as the SQS
+// stubs (round-15 verdict item 2). The scripted table (pages of
+// AttributeValue-shaped items, optional throttle script) lives in the
+// DynamoDbClient companion.
+package software.amazon.awssdk.services.dynamodb
+
+package model {
+
+  /** The scalar-accessor surface `convert` reflects over: s/n/bool/nul,
+    * with toString as the non-scalar fallback (M/L/SS/... kinds). */
+  class AttributeValue(sV: String, nV: String, boolV: java.lang.Boolean,
+      nulV: java.lang.Boolean, repr: String) {
+    def s(): String = sV
+    def n(): String = nV
+    def bool(): java.lang.Boolean = boolV
+    def nul(): java.lang.Boolean = nulV
+    override def toString: String = if (repr != null) repr else "AttributeValue()"
+  }
+  object AttributeValue {
+    def ofS(v: String) = new AttributeValue(v, null, null, null, null)
+    def ofN(v: String) = new AttributeValue(null, v, null, null, null)
+    def ofBool(v: Boolean) = new AttributeValue(null, null, v, null, null)
+    def ofNul() = new AttributeValue(null, null, null, true, null)
+    def ofM(repr: String) = new AttributeValue(null, null, null, null, repr)
+  }
+
+  class ScanRequest(val tableNameV: String, val segmentV: Integer,
+      val totalSegmentsV: Integer, val limitV: Integer,
+      val exclusiveStartKeyV: java.util.Map[_, _])
+  object ScanRequest {
+    def builder(): Builder = new Builder
+    class Builder {
+      private var table: String = _
+      private var seg: Integer = _
+      private var total: Integer = _
+      private var lim: Integer = _
+      private var esk: java.util.Map[_, _] = _
+      def tableName(t: String): Builder = { table = t; this }
+      def segment(v: Integer): Builder = { seg = v; this }
+      def totalSegments(v: Integer): Builder = { total = v; this }
+      def limit(v: Integer): Builder = { lim = v; this }
+      def exclusiveStartKey(k: java.util.Map[_, _]): Builder = {
+        esk = k; this
+      }
+      def build(): ScanRequest = new ScanRequest(table, seg, total, lim, esk)
+    }
+  }
+
+  class ScanResponse(itemList: java.util.List[java.util.Map[String, AnyRef]],
+      lek: java.util.Map[String, Object]) {
+    def items(): java.util.List[java.util.Map[String, AnyRef]] = itemList
+    def hasLastEvaluatedKey(): java.lang.Boolean = lek != null
+    def lastEvaluatedKey(): java.util.Map[String, Object] = lek
+  }
+
+  // the three transient-capacity families the reflective client must
+  // classify as DdbThrottledException
+  class ProvisionedThroughputExceededException(msg: String)
+    extends RuntimeException(msg)
+  class RequestLimitExceededException(msg: String)
+    extends RuntimeException(msg)
+  class ThrottlingException(msg: String) extends RuntimeException(msg)
+}
+
+class DynamoDbClient {
+  import DynamoDbClient._
+  def scan(req: model.ScanRequest): model.ScanResponse = {
+    lastScan = req
+    script.poll() match {
+      case null => new model.ScanResponse(
+        new java.util.ArrayList[java.util.Map[String, AnyRef]](), null)
+      case Left(t) => throw t
+      case Right((items, lek)) =>
+        val l = new java.util.ArrayList[java.util.Map[String, AnyRef]]()
+        items.foreach(l.add)
+        new model.ScanResponse(l, lek.orNull)
+    }
+  }
+}
+
+object DynamoDbClient {
+  type Page = Either[Throwable,
+    (Seq[java.util.Map[String, AnyRef]],
+     Option[java.util.Map[String, Object]])]
+  def create(): DynamoDbClient = new DynamoDbClient
+  /** Each scan call consumes one scripted entry: a page or a throw. */
+  val script = new java.util.concurrent.ConcurrentLinkedQueue[Page]()
+  @volatile var lastScan: model.ScanRequest = _
+  def reset(): Unit = { script.clear(); lastScan = null }
+}

@@ -1,0 +1,81 @@
+// TEST-CLASSPATH stand-ins for the public AWS SDK v2 Secrets-Manager
+// surface ReflectiveSecretsClient resolves by name — same rationale
+// as the SQS stubs (round-15 verdict item 2). Scripted estate lives
+// in the SecretsManagerClient companion.
+package software.amazon.awssdk.services.secretsmanager
+
+package model {
+
+  class SecretListEntry(n: String, a: String) {
+    def name(): String = n
+    def arn(): String = a
+  }
+
+  class ListSecretsRequest(val nextTokenV: String)
+  object ListSecretsRequest {
+    def builder(): Builder = new Builder
+    class Builder {
+      private var token: String = _
+      def nextToken(t: String): Builder = { token = t; this }
+      def build(): ListSecretsRequest = new ListSecretsRequest(token)
+    }
+  }
+
+  class ListSecretsResponse(entries: java.util.List[AnyRef],
+      token: String) {
+    def secretList(): java.util.List[AnyRef] = entries
+    def nextToken(): String = token
+  }
+
+  class GetSecretValueRequest(val secretIdV: String)
+  object GetSecretValueRequest {
+    def builder(): Builder = new Builder
+    class Builder {
+      private var id: String = _
+      def secretId(i: String): Builder = { id = i; this }
+      def build(): GetSecretValueRequest = new GetSecretValueRequest(id)
+    }
+  }
+
+  class GetSecretValueResponse(value: String) {
+    // null for a BINARY secret — the SDK's real contract, and the
+    // round-16 skip-not-fail case upstream
+    def secretString(): String = value
+  }
+}
+
+class SecretsManagerClient {
+  import SecretsManagerClient._
+  def listSecrets(req: model.ListSecretsRequest)
+      : model.ListSecretsResponse = {
+    listTokens.add(Option(req.nextTokenV))
+    val from = Option(req.nextTokenV).map(_.toInt).getOrElse(0)
+    val page = estate.slice(from, from + pageSize)
+    val next = if (from + pageSize < estate.size)
+      (from + pageSize).toString else null
+    val out = new java.util.ArrayList[AnyRef]()
+    page.foreach { case (n, _) =>
+      out.add(new model.SecretListEntry(n, s"arn:aws:secretsmanager:::secret:$n"))
+    }
+    new model.ListSecretsResponse(out, next)
+  }
+  def getSecretValue(req: model.GetSecretValueRequest)
+      : model.GetSecretValueResponse = {
+    getIds.add(req.secretIdV)
+    new model.GetSecretValueResponse(
+      estate.find(_._1 == req.secretIdV)
+        .getOrElse(throw new NoSuchElementException(req.secretIdV))._2)
+  }
+}
+
+object SecretsManagerClient {
+  def create(): SecretsManagerClient = new SecretsManagerClient
+  @volatile var estate: Seq[(String, String)] = Seq.empty
+  @volatile var pageSize: Int = 2
+  val listTokens =
+    new java.util.concurrent.ConcurrentLinkedQueue[Option[String]]()
+  val getIds = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  def reset(): Unit = {
+    estate = Seq.empty; pageSize = 2; listTokens.clear(); getIds.clear()
+  }
+}

@@ -1,0 +1,84 @@
+// TEST-CLASSPATH stand-ins for the public AWS SDK v2 SQS surface the
+// reflective client resolves by name (round-15 verdict item 2: a
+// typo'd getMethod name or wrong parameter class compiled and passed
+// the whole suite, failing only in a live deployment — these classes
+// make the reflective path fail IN the suite instead).
+//
+// Only the exact public names/signatures ReflectiveSqsClient touches
+// exist here: SqsClient.create() / receiveMessage / deleteMessage,
+// ReceiveMessageRequest.builder() → Builder(queueUrl,
+// maxNumberOfMessages, waitTimeSeconds, build), DeleteMessageRequest
+// likewise, Message(messageId, receiptHandle, body). Scala classes
+// nested in a companion object compile to the `Outer$Builder` binary
+// names the reflective Class.forName expects. No SDK jar involved;
+// behavior is an in-memory scripted queue the spec seeds/inspects.
+package software.amazon.awssdk.services.sqs
+
+package model {
+
+  class Message(id: String, handle: String, bodyText: String) {
+    def messageId(): String = id
+    def receiptHandle(): String = handle
+    def body(): String = bodyText
+  }
+
+  class ReceiveMessageRequest(val queueUrlV: String,
+      val maxV: Integer, val waitV: Integer)
+  object ReceiveMessageRequest {
+    def builder(): Builder = new Builder
+    class Builder {
+      private var url: String = _
+      private var max: Integer = _
+      private var wait0: Integer = _
+      def queueUrl(u: String): Builder = { url = u; this }
+      def maxNumberOfMessages(m: Integer): Builder = { max = m; this }
+      def waitTimeSeconds(w: Integer): Builder = { wait0 = w; this }
+      def build(): ReceiveMessageRequest =
+        new ReceiveMessageRequest(url, max, wait0)
+    }
+  }
+
+  class ReceiveMessageResponse(msgs: java.util.List[AnyRef]) {
+    def messages(): java.util.List[AnyRef] = msgs
+  }
+
+  class DeleteMessageRequest(val queueUrlV: String, val handleV: String)
+  object DeleteMessageRequest {
+    def builder(): Builder = new Builder
+    class Builder {
+      private var url: String = _
+      private var handle: String = _
+      def queueUrl(u: String): Builder = { url = u; this }
+      def receiptHandle(h: String): Builder = { handle = h; this }
+      def build(): DeleteMessageRequest = new DeleteMessageRequest(url, handle)
+    }
+  }
+}
+
+class SqsClient {
+  import SqsClient._
+  def receiveMessage(req: model.ReceiveMessageRequest)
+      : model.ReceiveMessageResponse = {
+    lastReceive = req
+    val out = new java.util.ArrayList[AnyRef]()
+    val it = pending.iterator()
+    var n = 0
+    while (it.hasNext && n < req.maxV) {
+      out.add(it.next()); it.remove(); n += 1
+    }
+    new model.ReceiveMessageResponse(out)
+  }
+  def deleteMessage(req: model.DeleteMessageRequest): Unit = {
+    deletes.add((req.queueUrlV, req.handleV)): Unit
+  }
+}
+
+/** The scripted queue the spec seeds and inspects. */
+object SqsClient {
+  def create(): SqsClient = new SqsClient
+  val pending = new java.util.concurrent.ConcurrentLinkedQueue[AnyRef]()
+  val deletes =
+    new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+  @volatile var lastReceive: model.ReceiveMessageRequest = _
+  def reset(): Unit = { pending.clear(); deletes.clear(); lastReceive = null }
+}
