@@ -23,7 +23,19 @@ class FindingsStore(spark: SparkSession, dir: String,
       * to ~targetBytes-sized ones. The counter is per-instance
       * (in-memory): a restart resets it, which only DELAYS the next
       * compact — the hook is idempotent and the DAG stage is the
-      * backstop. */
+      * backstop.
+      *
+      * LATENCY CONTRACT (round-16, verdict watch note 3): the hook
+      * runs SYNCHRONOUSLY inside [[append]] — every Nth append pays
+      * the full leaf rewrite before returning. Right for the batch
+      * DAG (the caller is a scheduled stage; amortized cost is the
+      * point). WRONG DEFAULT for a latency-sensitive streaming sink:
+      * a `foreachBatch` writer would stall its Nth micro-batch for
+      * the whole rewrite while sources back up. Streaming callers
+      * use [[FindingsStore.forStreaming]] (autoCompactEvery = 0) and
+      * leave compaction to the scheduled `compact-sinks` DAG stage
+      * ([[graft.ops.Schedule.referenceDag]]) — StoresCompactionSpec
+      * pins both behaviors. */
     autoCompactEvery: Int = 16) {
   private val path = s"$dir/pii_findings"
   private var appendsSinceCompact = 0
@@ -65,6 +77,16 @@ class FindingsStore(spark: SparkSession, dir: String,
     graft.ops.Compact.rewritePartitioned(spark, path, targetBytes)
 }
 
+object FindingsStore {
+  /** The streaming-sink configuration: NO synchronous auto-compact —
+    * a `foreachBatch` caller's micro-batch latency must never absorb
+    * a leaf rewrite. Fragmentation is bounded by the scheduled
+    * `compact-sinks` DAG stage instead (the maintenance backstop the
+    * batch default also relies on). */
+  def forStreaming(spark: SparkSession, dir: String): FindingsStore =
+    new FindingsStore(spark, dir, autoCompactEvery = 0)
+}
+
 private object Stores {
   /** Run a post-append maintenance action WITHOUT poisoning the
     * append: by the time the auto-compact hook fires, the data write
@@ -102,7 +124,8 @@ private object Stores {
 /** S13: governance-tag capture log, keyed like the reference's
   * composite (id, data_catalog_table_name). Same append-only
   * fragmentation profile as the findings sink (unpartitioned leaf),
-  * same auto-compact budget. */
+  * same auto-compact budget — and the same synchronous-hook latency
+  * contract: streaming callers use [[TagStore.forStreaming]]. */
 class TagStore(spark: SparkSession, dir: String,
     autoCompactEvery: Int = 16) {
   private val path = s"$dir/tag_capture"
@@ -127,4 +150,10 @@ class TagStore(spark: SparkSession, dir: String,
     Stores.requireAppended(spark, path, "TagStore")
     spark.read.parquet(path)
   }
+}
+
+object TagStore {
+  /** See [[FindingsStore.forStreaming]]. */
+  def forStreaming(spark: SparkSession, dir: String): TagStore =
+    new TagStore(spark, dir, autoCompactEvery = 0)
 }

@@ -1,0 +1,84 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.state.{FindingsStore, TagStore}
+
+/** The auto-compact latency contract (round-16, verdict watch note
+  * 3): the batch default pays a SYNCHRONOUS leaf rewrite inside every
+  * Nth append; the streaming configuration never compacts in-line —
+  * the scheduled compact-sinks DAG stage is its only compactor. */
+class StoresCompactionSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshDir(name: String): String = {
+    val d = s"target/test-stores-compact/$name"
+    val p = new org.apache.hadoop.fs.Path(d)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    d
+  }
+
+  private def batch(i: Int) =
+    Seq((i.toLong, s"tag-$i", "t")).toDF("id", "tag", "data_catalog_table_name")
+
+  private def parquetFiles(path: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0
+    else {
+      val it = fs.listFiles(p, true)
+      var n = 0
+      while (it.hasNext) {
+        if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+      }
+      n
+    }
+  }
+
+  test("batch default: the Nth append compacts synchronously — the caller " +
+      "pays the rewrite before append() returns") {
+    val dir = freshDir("batch-default")
+    val store = new TagStore(spark, dir, autoCompactEvery = 3)
+    store.append(batch(1)); store.append(batch(2))
+    val before = parquetFiles(s"$dir/tag_capture")
+    assert(before >= 2, s"two append-generations expected, saw $before files")
+    // the 3rd append crosses the budget: by the time it RETURNS the
+    // leaf must already be rewritten (that synchronicity IS the
+    // documented latency hit)
+    store.append(batch(3))
+    val after = parquetFiles(s"$dir/tag_capture")
+    assert(after == 1,
+      s"Nth append must leave a compacted leaf (1 file), saw $after")
+    assert(store.read().count() == 3L, "compaction must lose nothing")
+  }
+
+  test("forStreaming: append never compacts in-line; the DAG stage " +
+      "remains the only compactor") {
+    val dir = freshDir("streaming")
+    val store = TagStore.forStreaming(spark, dir)
+    (1 to 20).foreach(i => store.append(batch(i)))
+    val files = parquetFiles(s"$dir/tag_capture")
+    assert(files >= 20,
+      s"20 micro-batch appends must leave >=20 append-generation files " +
+        s"(no in-line compact), saw $files")
+    // the scheduled maintenance stage is the compactor
+    store.compact()
+    assert(parquetFiles(s"$dir/tag_capture") == 1)
+    assert(store.read().count() == 20L)
+  }
+
+  test("forStreaming findings sink: partitioned leaves also stay " +
+      "un-compacted until the stage runs") {
+    val dir = freshDir("streaming-findings")
+    val store = FindingsStore.forStreaming(spark, dir)
+    (1 to 5).foreach { i =>
+      store.append(Seq((i.toLong, "s3", s"col$i"))
+        .toDF("run_id", "data_source_type", "column_name"))
+    }
+    assert(parquetFiles(s"$dir/pii_findings") >= 5)
+    store.compact()
+    assert(parquetFiles(s"$dir/pii_findings") == 1,
+      "one data_source_type leaf collapses to one file")
+    assert(store.read().count() == 5L)
+  }
+}
