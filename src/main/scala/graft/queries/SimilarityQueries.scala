@@ -34,6 +34,20 @@ object SimilarityQueries extends QueryPack {
       graft.util.BuildLedger.timed("similarity.pq_fit")(
         Similarity.pqFit(Tables.load(s, d, "embeddings"), dim = 64, m = 4, ksub = 8)))
 
+  // The cosine-space codebooks for s17: same unsampled Lloyd recipe
+  // as pqFitShared but trained on the L2-NORMALIZED corpus — a
+  // normalize=true index build. Unsampled (like every oracle-checked
+  // fit) so the DuckDB replay sees the identical training set.
+  private val pqNormMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[Array[(Int, Array[Double])]]]
+
+  private def pqNormFitShared(s: SparkSession, d: String): Seq[Array[(Int, Array[Double])]] =
+    pqNormMemo.getOrElseUpdate(d,
+      graft.util.BuildLedger.timed("similarity.pq_fit_norm")(
+        Similarity.pqFit(
+          Similarity.l2Normalized(Tables.load(s, d, "embeddings")),
+          dim = 64, m = 4, ksub = 8)))
+
   // One (vec_id, cluster, codes) index build per dir, cached: s9, s10,
   // and s11 all read the same compact serving table, as a stored
   // IVF-PQ index would be at scale.
@@ -225,6 +239,19 @@ object SimilarityQueries extends QueryPack {
         col("vec_id") < 5, k = 5, dim = 64, m = 4, ksub = 8,
         fitted = Some(pqFitShared(s, d)), index = Some(idx))
     }),
+
+    // PQ-over-cosine (round 16): the normalize=true path end-to-end —
+    // L2-normalize, fit codebooks on the unit sphere, encode, ADC
+    // rank. On the unit sphere dot == cosine, so the ADC scores
+    // approximate the metric every other s-pack ranker uses (the
+    // round-15 recall study's finding 1: un-normalized ADC is capped
+    // by the dot-vs-cosine gap no matter how fine the codebooks).
+    // Oracle replays the normalization (double divide, float cast)
+    // and the per-subspace Lloyd chains over the normalized corpus.
+    "s17_pq_normalized" -> ((s, d) =>
+      Similarity.pqTopK(Tables.load(s, d, "embeddings"),
+        col("vec_id") < 5, k = 5, dim = 64, m = 4, ksub = 8,
+        fitted = Some(pqNormFitShared(s, d)), normalize = true)),
 
     // IVF-PQ: coarse probe (nprobe of nlist lists) prunes candidates,
     // ADC ranks them from codes alone — the production ANN
@@ -445,7 +472,8 @@ object SimilarityQueries extends QueryPack {
     * applied to each slice: init from lowest vec_ids → (assign →
     * recompute) ×2 → final code assignment `penc{j}` with final
     * codebook `pc{j}_2`. */
-  private def pqSubCtes(j: Int, subLen: Int, ksub: Int): String = {
+  private def pqSubCtes(j: Int, subLen: Int, ksub: Int,
+      src: String = "embeddings"): String = {
     val (lo, hi) = (j * subLen + 1, (j + 1) * subLen)
     def asg(name: String, cent: String) =
       s"""$name AS MATERIALIZED (SELECT vec_id, emb, code FROM (
@@ -462,7 +490,7 @@ object SimilarityQueries extends QueryPack {
          |  FROM (SELECT code, i AS pos, emb[i] AS v
          |        FROM $a, range(1, ${subLen + 1}) r(i))
          |  GROUP BY code, pos) GROUP BY code)""".stripMargin
-    s"""pe$j AS MATERIALIZED (SELECT vec_id, embedding[$lo:$hi] AS emb FROM embeddings),
+    s"""pe$j AS MATERIALIZED (SELECT vec_id, embedding[$lo:$hi] AS emb FROM $src),
        |pc${j}_0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS code,
        |         list_transform(emb, x -> CAST(x AS DOUBLE)) AS cent
        |       FROM (SELECT vec_id, emb FROM pe$j ORDER BY vec_id LIMIT $ksub) i),
@@ -502,6 +530,50 @@ object SimilarityQueries extends QueryPack {
        |    $terms AS adc_raw
        |  FROM (SELECT vec_id FROM embeddings WHERE vec_id < 5) q
        |  JOIN embeddings b ON b.vec_id <> q.vec_id
+       |$joins)
+       |SELECT query_id, neighbor_id, rn, round(adc_raw, 6) AS adc_dot FROM (
+       |  SELECT query_id, neighbor_id, adc_raw,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY adc_raw DESC, neighbor_id ASC) AS rn
+       |  FROM cand) t
+       |WHERE rn <= 5""".stripMargin
+  }
+
+  /** The L2-normalized corpus as a CTE: double-precision norm (the
+    * same ascending fold as every cosine oracle), double divide,
+    * round-to-nearest float cast — bit-matching
+    * [[graft.similarity.Similarity.l2Normalized]]; zero-norm rows
+    * dropped on both sides. */
+  private val unitEmbCte: String =
+    """unitemb AS MATERIALIZED (SELECT vec_id,
+      |  list_transform(embedding,
+      |    x -> CAST(CAST(x AS DOUBLE) / nrm AS REAL)) AS embedding
+      |FROM (SELECT vec_id, embedding,
+      |    sqrt(list_sum(list_transform(embedding,
+      |      x -> CAST(x AS DOUBLE) * x))) AS nrm
+      |  FROM embeddings)
+      |WHERE nrm > 0)""".stripMargin
+
+  /** s17 replay: pqAdcOracle's shape with every PQ chain (fit, encode,
+    * query slices) rebased onto the normalized corpus. */
+  private val pqNormAdcOracle: String = {
+    val ctes = (0 until pqM)
+      .map(pqSubCtes(_, pqSubLen, 8, src = "unitemb")).mkString(",\n")
+    val joins = (0 until pqM).map(j =>
+      s"""JOIN pe$j qe$j ON qe$j.vec_id = q.vec_id
+         |JOIN penc$j en$j ON en$j.vec_id = b.vec_id
+         |JOIN pc${j}_2 cb$j ON cb$j.code = en$j.code""".stripMargin)
+      .mkString("\n")
+    val terms = (0 until pqM).map(j =>
+      s"""list_sum(list_transform(range(1, ${pqSubLen + 1}),
+         |  i -> CAST(qe$j.emb[i] AS DOUBLE) * cb$j.cent[i]))""".stripMargin)
+      .mkString(" + ")
+    s"""WITH $unitEmbCte,
+       |$ctes,
+       |cand AS (SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    $terms AS adc_raw
+       |  FROM (SELECT vec_id FROM unitemb WHERE vec_id < 5) q
+       |  JOIN unitemb b ON b.vec_id <> q.vec_id
        |$joins)
        |SELECT query_id, neighbor_id, rn, round(adc_raw, 6) AS adc_dot FROM (
        |  SELECT query_id, neighbor_id, adc_raw,
@@ -563,6 +635,7 @@ object SimilarityQueries extends QueryPack {
     "d12_semdedup" -> semDedupOracle,
     "s9_pq_codes" -> pqCodesOracle,
     "s10_pq_adc" -> pqAdcOracle,
+    "s17_pq_normalized" -> pqNormAdcOracle,
     "s11_ivfpq" -> ivfPqOracle,
     "s2_knn_brute" -> topKOracle("", 10),
     "s13_filtered_knn" -> topKOracle("AND b.vec_id % 2 = 0", 5),
