@@ -98,6 +98,39 @@ object AnnIndexStore {
     Loaded(manifest, coarse, books, idx)
   }
 
+  /** Incremental index growth — the production serving loop
+    * ([[Similarity.ivfAppend]]'s rationale, persisted): encode a NEW
+    * vector batch against the SAVED index's frozen model state and
+    * append the coded rows, without refitting or touching the
+    * already-indexed corpus. One map-only codegen pass over the batch
+    * (coarse argmin when the index has a quantizer, PQ codes when it
+    * has codebooks) + one parquet append into the same layout, so a
+    * subsequent [[load]]-and-search sees the union exactly as if it
+    * had been indexed in one build (AnnIndexStoreSpec pins that
+    * equivalence row-for-row). Centroid drift between refits is the
+    * documented IVF trade — bounded by periodic full rebuilds. */
+  def append(root: String, newVecs: DataFrame): Unit = {
+    val spark = newVecs.sparkSession
+    val loaded = load(spark, root)
+    val dim = loaded.manifest.get("dim").map(_.toInt).getOrElse(
+      throw new IllegalArgumentException(
+        s"$root/manifest.json carries no dim — save() it with " +
+          "Map(\"dim\" -> ...) to enable append"))
+    val coded = (loaded.coarse, loaded.books) match {
+      case (Some(cents), Some(books)) =>
+        Similarity.assignToCentroids(newVecs, cents)
+          .select(col("vec_id"), col("cluster"),
+            graft.expressions.VectorExpressions.pq_codes(
+              col("embedding"), dim, books).as("codes"))
+      case (None, Some(books)) => Similarity.pqEncode(newVecs, dim, books)
+      case _ => throw new IllegalArgumentException(
+        s"$root has no codebooks — only PQ/IVF-PQ indexes support append")
+    }
+    val w = coded.write.mode(SaveMode.Append)
+    (if (coded.columns.contains("cluster")) w.partitionBy("cluster") else w)
+      .parquet(s"$root/index")
+  }
+
   // manifest as a tiny single-file JSON object via the Hadoop FS API
   // (works on any scheme the session can reach, unlike java.nio)
   private def writeManifest(spark: SparkSession, path: String,

@@ -88,6 +88,56 @@ class AnnIndexStoreSpec extends AnyFunSuite {
     assert(fresh.nonEmpty && saved == fresh)
   }
 
+  test("append: a new batch coded against the frozen fits searches " +
+      "exactly like a single-build index over the union") {
+    val dim = 4; val m = 2; val ksub = 4; val nlist = 3
+    val older = corpus.filter(col("vec_id") < 16)
+    val newer = corpus.filter(col("vec_id") >= 16)
+    // fits FROZEN on the older corpus — both sides share them, so the
+    // only difference under test is append-vs-rebuild of the index
+    val coarse = Similarity.kmeansFit(older, nlist)
+    val books = Similarity.pqFit(older, dim, m, ksub)
+
+    val root = freshRoot("append")
+    AnnIndexStore.save(root,
+      Similarity.buildIvfPqIndex(older, dim, coarse, books),
+      Some(coarse), Some(books), Map("dim" -> dim.toString))
+    AnnIndexStore.append(root, newer)
+
+    val grown = AnnIndexStore.load(spark, root)
+    val oneBuild = Similarity.buildIvfPqIndex(corpus, dim, coarse, books)
+    def indexRows(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "cluster", "codes").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2).toList))
+        .sortBy(t => (t._1, t._2)).toSeq
+    assert(indexRows(grown.index) == indexRows(oneBuild),
+      "appended index must equal the single-build index row-for-row")
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rn").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val pred = col("vec_id") < 3
+    val viaGrown = rows(Similarity.ivfPqTopK(corpus, pred, k = 4, dim, m,
+      ksub, nlist, nprobe = 2, coarse = grown.coarse, pq = grown.books,
+      prebuilt = Some(grown.index), refine = 8))
+    val viaOne = rows(Similarity.ivfPqTopK(corpus, pred, k = 4, dim, m,
+      ksub, nlist, nprobe = 2, coarse = Some(coarse), pq = Some(books),
+      prebuilt = Some(oneBuild), refine = 8))
+    assert(viaGrown.nonEmpty && viaGrown == viaOne)
+  }
+
+  test("append refuses an index without codebooks or without dim") {
+    val root = freshRoot("append-refuse")
+    // an index saved with books but NO dim in the manifest
+    AnnIndexStore.save(root,
+      Similarity.pqEncode(corpus, 4, Similarity.pqFit(corpus, 4, 2, 4)),
+      books = Some(Similarity.pqFit(corpus, 4, 2, 4)))
+    val e = intercept[IllegalArgumentException] {
+      AnnIndexStore.append(root, corpus)
+    }
+    assert(e.getMessage.contains("no dim"))
+  }
+
   test("unknown manifest format refuses loudly") {
     val root = freshRoot("badfmt")
     val index = Similarity.pqEncode(corpus, 4,
