@@ -206,7 +206,13 @@ object Scaling {
     // round-15: banded LSH search — N·bands keyed rows shuffle, the
     // refine join touches floats for candidates only; queries fixed
     // at 5, so growth is the corpus side of the band join
-    "s16_ann_lsh_banded" -> "embeddings")
+    "s16_ann_lsh_banded" -> "embeddings",
+    // round-16: the normalize=true PQ path — s10's ADC scan shape
+    // plus one map-only normalization pass folded into the same
+    // reads; the fit is the unsampled shared-memo recipe paid cold
+    // per the protocol, so expect the s10 profile shifted by the
+    // extra normalized Lloyd train
+    "s17_pq_normalized" -> "embeddings")
 
   /** Measured interpretation notes embedded per row — the exponent
     * alone can mislead when the OUTPUT grows with the corpus. */
