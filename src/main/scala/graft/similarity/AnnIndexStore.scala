@@ -83,9 +83,12 @@ object AnnIndexStore {
       val rows = spark.read.parquet(s"$root/codebooks")
         .select(col("j"), col("code"), col("centroid")).collect()
         .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
-      val m = rows.map(_._1).max + 1
-      (0 until m).map(j => rows.filter(_._1 == j)
-        .map(t => (t._2, t._3)).sortBy(_._1).toArray)
+      if (rows.isEmpty) Seq.empty // empty-corpus fit saved as-is
+      else {
+        val m = rows.map(_._1).max + 1
+        (0 until m).map(j => rows.filter(_._1 == j)
+          .map(t => (t._2, t._3)).sortBy(_._1).toArray)
+      }
     }
     // read through the partition columns so `cluster` (when present)
     // comes back as a normal int column in the prebuilt shape

@@ -142,7 +142,19 @@ object StagingSwap {
     catch { case _: java.io.IOException => false }
     if (!claimed) return
     readToken(fs, tomb) match {
-      case Some(t) if t == token => fs.delete(tomb, false)
+      case Some(t) if t == token =>
+        // release runs in swap()'s finally: a faulted tombstone delete
+        // must not mask a successful swap (or doSwap's own error) —
+        // a leftover dot-prefixed `.lock.release.N` file is invisible
+        // to readers and to the next writer's create-exclusive
+        try fs.delete(tomb, false)
+        catch {
+          case e: java.io.IOException => org.slf4j.LoggerFactory
+            .getLogger("graft.util.StagingSwap").warn(
+              s"release($lock): owned tombstone $tomb could not be " +
+                s"deleted ($e) — harmless residue, safe to remove by hand")
+        }
+        ()
       case other => // someone else's lock, or unreadable: put it back
         val restored = try fs.rename(tomb, lock)
         catch { case _: java.io.IOException => false }

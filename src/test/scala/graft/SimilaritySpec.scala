@@ -588,6 +588,35 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("l2Normalized: unit norms, preserved directions, zero-norm rows " +
+      "dropped — over 200 seeded-random vectors") {
+    val rnd = new scala.util.Random(421L)
+    val data = (0L until 200L).map { i =>
+      val dim = 1 + rnd.nextInt(96)
+      val v =
+        if (i % 19 == 0) Array.fill(dim)(0.0f) // planted zero vectors
+        else Array.fill(dim)((rnd.nextGaussian() * math.pow(10,
+          rnd.nextInt(7) - 3)).toFloat) // norms spanning ~6 decades
+      (i, v)
+    }
+    val df = data.toDF("vec_id", "embedding")
+    val out = Similarity.l2Normalized(df)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val zeroIds = data.filter(_._2.forall(_ == 0.0f)).map(_._1).toSet
+    assert(zeroIds.nonEmpty && zeroIds.forall(!out.contains(_)),
+      "zero-norm rows must drop")
+    assert(out.keySet == data.map(_._1).toSet -- zeroIds)
+    data.filterNot(t => zeroIds(t._1)).foreach { case (id, v) =>
+      val u = out(id).map(_.toDouble).toArray
+      val nrm = math.sqrt(u.map(x => x * x).sum)
+      assert(math.abs(nrm - 1.0) < 1e-3, s"id=$id norm=$nrm")
+      val vd = v.map(_.toDouble)
+      val dot = vd.zip(u).map { case (a, b) => a * b }.sum
+      val cos = dot / math.sqrt(vd.map(x => x * x).sum)
+      assert(cos > 1.0 - 1e-6, s"id=$id direction drifted: cos=$cos")
+    }
+  }
+
   test("pq refine: empty-fit early return keeps the refined schema") {
     val none = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
     assert(Similarity.pqTopK(none, col("vec_id") === 0, k = 2, dim = 4,
