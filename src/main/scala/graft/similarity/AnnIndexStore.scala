@@ -91,14 +91,14 @@ object AnnIndexStore {
       }
     }
     // read through the partition columns so `cluster` (when present)
-    // comes back as a normal int column in the prebuilt shape
+    // comes back as a normal int column in the prebuilt shape; an
+    // IVF-only index (kmeansLite/ivfAppend assignments) has no codes
     val idx0 = spark.read.parquet(s"$root/index")
-    val idx =
-      if (idx0.columns.contains("cluster"))
-        idx0.select(col("vec_id"), col("cluster").cast("int").as("cluster"),
-          col("codes"))
-      else idx0.select(col("vec_id"), col("codes"))
-    Loaded(manifest, coarse, books, idx)
+    val cols = Seq(Some(col("vec_id")),
+      Option.when(idx0.columns.contains("cluster"))(
+        col("cluster").cast("int").as("cluster")),
+      Option.when(idx0.columns.contains("codes"))(col("codes"))).flatten
+    Loaded(manifest, coarse, books, idx0.select(cols: _*))
   }
 
   /** Incremental index growth — the production serving loop
@@ -115,10 +115,11 @@ object AnnIndexStore {
   def append(root: String, newVecs: DataFrame): Unit = {
     val spark = newVecs.sparkSession
     val loaded = load(spark, root)
-    val dim = loaded.manifest.get("dim").map(_.toInt).getOrElse(
+    // PQ encoding needs the subspace split; IVF-only append does not
+    def dim = loaded.manifest.get("dim").map(_.toInt).getOrElse(
       throw new IllegalArgumentException(
         s"$root/manifest.json carries no dim — save() it with " +
-          "Map(\"dim\" -> ...) to enable append"))
+          "Map(\"dim\" -> ...) to enable PQ append"))
     val coded = (loaded.coarse, loaded.books) match {
       case (Some(cents), Some(books)) =>
         Similarity.assignToCentroids(newVecs, cents)
@@ -126,8 +127,11 @@ object AnnIndexStore {
             graft.expressions.VectorExpressions.pq_codes(
               col("embedding"), dim, books).as("codes"))
       case (None, Some(books)) => Similarity.pqEncode(newVecs, dim, books)
+      case (Some(cents), None) => // IVF-only: frozen-centroid assignment
+        Similarity.ivfAppend(newVecs, cents)
       case _ => throw new IllegalArgumentException(
-        s"$root has no codebooks — only PQ/IVF-PQ indexes support append")
+        s"$root carries neither codebooks nor a coarse quantizer — " +
+          "nothing to encode an appended batch against")
     }
     val w = coded.write.mode(SaveMode.Append)
     (if (coded.columns.contains("cluster")) w.partitionBy("cluster") else w)

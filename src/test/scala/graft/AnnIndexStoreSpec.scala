@@ -138,6 +138,31 @@ class AnnIndexStoreSpec extends AnyFunSuite {
     assert(e.getMessage.contains("no dim"))
   }
 
+  test("IVF-only (no PQ): assignment round-trips, append uses frozen " +
+      "centroids, partitionTopK serves from the loaded lists") {
+    val root = freshRoot("ivf-only")
+    val older = corpus.filter(col("vec_id") < 16)
+    val newer = corpus.filter(col("vec_id") >= 16)
+    val cents = Similarity.kmeansFit(older, 3)
+    AnnIndexStore.save(root, Similarity.kmeansLite(older, 3)
+        .select(col("vec_id"), col("cluster")),
+      coarse = Some(cents)) // no dim in the manifest: IVF append needs none
+    AnnIndexStore.append(root, newer)
+    val loaded = AnnIndexStore.load(spark, root)
+    assert(loaded.books.isEmpty && !loaded.index.columns.contains("codes"))
+    val viaLoaded = loaded.index.join(corpus, "vec_id")
+    val oneBuild = Similarity.kmeansLite(older, 3)
+      .unionByName(Similarity.ivfAppend(newer, cents))
+      .join(corpus, "vec_id")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      Similarity.partitionTopK(df, "cluster", col("vec_id") < 3, 4)
+        .select("query_id", "neighbor_id", "rn").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val got = rows(viaLoaded)
+    assert(got.nonEmpty && got == rows(oneBuild),
+      "IVF search over the loaded+appended lists must equal one build")
+  }
+
   test("unknown manifest format refuses loudly") {
     val root = freshRoot("badfmt")
     val index = Similarity.pqEncode(corpus, 4,
