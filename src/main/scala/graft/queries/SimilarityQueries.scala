@@ -552,7 +552,7 @@ object SimilarityQueries extends QueryPack {
       |    sqrt(list_sum(list_transform(embedding,
       |      x -> CAST(x AS DOUBLE) * x))) AS nrm
       |  FROM embeddings)
-      |WHERE nrm > 0)""".stripMargin
+      |WHERE nrm > 0 AND NOT isnan(nrm))""".stripMargin
 
   /** s17 replay: pqAdcOracle's shape with every PQ chain (fit, encode,
     * query slices) rebased onto the normalized corpus. */

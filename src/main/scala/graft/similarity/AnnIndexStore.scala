@@ -115,6 +115,15 @@ object AnnIndexStore {
   def append(root: String, newVecs: DataFrame): Unit = {
     val spark = newVecs.sparkSession
     val loaded = load(spark, root)
+    // a cosine index (manifest normalize=true) was fitted/encoded on
+    // the UNIT-SPHERE corpus: the appended batch must enter the same
+    // space, or large-norm vectors argmin to the wrong code words /
+    // clusters with no error (round-16 review). Callers that saved
+    // with normalize=true pass RAW vectors here, same as at build.
+    val batch =
+      if (loaded.manifest.get("normalize").contains("true"))
+        Similarity.l2Normalized(newVecs)
+      else newVecs
     // PQ encoding needs the subspace split; IVF-only append does not
     def dim = loaded.manifest.get("dim").map(_.toInt).getOrElse(
       throw new IllegalArgumentException(
@@ -122,13 +131,13 @@ object AnnIndexStore {
           "Map(\"dim\" -> ...) to enable PQ append"))
     val coded = (loaded.coarse, loaded.books) match {
       case (Some(cents), Some(books)) =>
-        Similarity.assignToCentroids(newVecs, cents)
+        Similarity.assignToCentroids(batch, cents)
           .select(col("vec_id"), col("cluster"),
             graft.expressions.VectorExpressions.pq_codes(
               col("embedding"), dim, books).as("codes"))
-      case (None, Some(books)) => Similarity.pqEncode(newVecs, dim, books)
+      case (None, Some(books)) => Similarity.pqEncode(batch, dim, books)
       case (Some(cents), None) => // IVF-only: frozen-centroid assignment
-        Similarity.ivfAppend(newVecs, cents)
+        Similarity.ivfAppend(batch, cents)
       case _ => throw new IllegalArgumentException(
         s"$root carries neither codebooks nor a coarse quantizer — " +
           "nothing to encode an appended batch against")
@@ -144,15 +153,9 @@ object AnnIndexStore {
       kv: Map[String, String]): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def esc(s: String) = s.flatMap {
-      case '"' => "\\\""; case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
-    }
-    val json = kv.toSeq.sortBy(_._1)
-      .map { case (k, v) => s""""${esc(k)}": "${esc(v)}"""" }
-      .mkString("{", ", ", "}")
     val out = fs.create(p, true)
-    try out.write(json.getBytes("UTF-8")) finally out.close()
+    try out.write(graft.util.JsonUtil.obj(kv).getBytes("UTF-8"))
+    finally out.close()
   }
 
   private def readManifest(spark: SparkSession,

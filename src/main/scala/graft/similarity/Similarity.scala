@@ -115,13 +115,19 @@ object Similarity {
     *
     * The norm is computed ONCE in an outer column (inside the
     * per-element lambda it would redo the full dot per element —
-    * dim× the work). Zero-norm rows are DROPPED: they have no cosine
-    * direction, every downstream guard discards their NaN cosines
-    * anyway, and x/0 would throw under ANSI. Map-only, codegen'd —
-    * at 100 TB this rides the same scan as the fit/encode pass. */
+    * dim× the work). Zero-norm AND NaN-norm rows are DROPPED: neither
+    * has a cosine direction, and x/0 would throw under ANSI. The NaN
+    * guard is load-bearing (round-16 review): Spark orders NaN
+    * GREATEST, so `nrm > 0` alone KEEPS a NaN-element embedding — it
+    * would survive as an all-NaN vector, enter the normalize=true PQ
+    * fit, turn per-subspace centroid averages NaN, and silently
+    * collapse whole subspaces to code 0 (the ADC path has no
+    * downstream NaN guard, unlike the cosine kernels). Map-only,
+    * codegen'd — at 100 TB this rides the same scan as the
+    * fit/encode pass. */
   def l2Normalized(df: DataFrame): DataFrame =
     df.withColumn("nrm0", norm(col("embedding")))
-      .filter(col("nrm0") > 0)
+      .filter(col("nrm0") > 0 && !isnan(col("nrm0")))
       .withColumn("embedding",
         transform(col("embedding"), x => (x / col("nrm0")).cast("float")))
       .drop("nrm0")

@@ -1,0 +1,30 @@
+package graft.util
+
+/** Minimal JSON string escaping, shared by every hand-rolled JSON
+  * writer in the repo (Verify's oracle dump, PartsuppVerify,
+  * AnnIndexStore's manifest — round-16 review folded three drifting
+  * copies). Escapes backslash, quote, and ALL control chars (<0x20):
+  * a tab or CR in builder-authored SQL would otherwise make the
+  * driver's json.load fail and silently zero a round's correctness. */
+object JsonUtil {
+
+  /** The escaped BODY (no surrounding quotes). */
+  def escape(s: String): String = s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  /** The quoted JSON string literal. */
+  def quote(s: String): String = "\"" + escape(s) + "\""
+
+  /** A flat string→string object, keys sorted for stable output. */
+  def obj(kv: Map[String, String]): String =
+    kv.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${quote(k)}: ${quote(v)}" }
+      .mkString("{", ", ", "}")
+}

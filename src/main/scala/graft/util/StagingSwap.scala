@@ -119,54 +119,60 @@ object StagingSwap {
     * decided we were stale and claimed the table, the lock on disk is
     * THEIRS and our release must not remove it.
     *
-    * Claim-by-RENAME, mirroring the break path (round-15 advice: the
-    * old read-check-delete had the same TOCTOU the breaker fixed — a
-    * breaker claiming between our read and our delete had its fresh
-    * lock deleted). Now: atomically rename the lock to a private
-    * tombstone FIRST, then inspect the token at leisure. Ours →
-    * delete the tombstone. Not ours (we stole a breaker's fresh
-    * lock — only reachable past the lockStaleMillis contract) →
-    * rename it back. Unreadable after one retry → rename it back and
-    * log LOUDLY: restoring a lock we may own trades a 30-min stale
-    * window (loud error for the next writer) against possibly
-    * deleting someone else's lock (silent third writer) — the
-    * availability hit is the safe side. */
+    * READ-then-CLAIM-then-VERIFY (round-16, twice reviewed): read the
+    * token in place FIRST — a foreign token means a breaker's
+    * possibly-LIVE lock, which must never be taken off-path even
+    * briefly (a rename-first release opened a window where a third
+    * writer could acquire while we inspected the stolen lock). Only a
+    * token that reads as OURS is claimed by rename, and the
+    * tombstoned token is then re-verified: if a breaker claimed
+    * between our read and our rename (the old read-check-delete's
+    * TOCTOU), the tombstone carries THEIR token and is renamed back
+    * instead of deleted. Unreadable after one retry → leave the lock
+    * in place and log LOUDLY: a lock we may own then stands until the
+    * stale window expires (loud error for the next writer) — the safe
+    * side versus deleting someone else's lock (silent third writer).
+    * All of this runs in swap()'s finally, so no branch may throw and
+    * mask the swap's own outcome. */
   private[graft] def release(fs: org.apache.hadoop.fs.FileSystem,
       lock: org.apache.hadoop.fs.Path, token: String): Unit = {
-    val tomb = new org.apache.hadoop.fs.Path(
-      lock.getParent, s"${lock.getName}.release.${System.nanoTime()}")
-    // rename-false = lock already gone (a breaker claimed it and its
-    // fresh lock was claimed in turn, or FS cleanup) — nothing of
-    // ours left to remove
-    val claimed = try fs.rename(lock, tomb)
-    catch { case _: java.io.IOException => false }
-    if (!claimed) return
-    readToken(fs, tomb) match {
-      case Some(t) if t == token =>
-        // release runs in swap()'s finally: a faulted tombstone delete
-        // must not mask a successful swap (or doSwap's own error) —
-        // a leftover dot-prefixed `.lock.release.N` file is invisible
-        // to readers and to the next writer's create-exclusive
-        try fs.delete(tomb, false)
-        catch {
-          case e: java.io.IOException => org.slf4j.LoggerFactory
-            .getLogger("graft.util.StagingSwap").warn(
-              s"release($lock): owned tombstone $tomb could not be " +
-                s"deleted ($e) — harmless residue, safe to remove by hand")
-        }
-        ()
-      case other => // someone else's lock, or unreadable: put it back
-        val restored = try fs.rename(tomb, lock)
+    val log = org.slf4j.LoggerFactory.getLogger("graft.util.StagingSwap")
+    readToken(fs, lock) match {
+      case Some(t) if t != token => // a breaker's lock: not ours to touch
+      case None =>
+        log.warn(s"release($lock): token unreadable after retry; " +
+          "leaving the lock in place — if it is ours it stands until " +
+          "the stale window expires")
+      case Some(_) => // ours by the read: claim-by-rename, then verify
+        val tomb = new org.apache.hadoop.fs.Path(
+          lock.getParent, s"${lock.getName}.release.${System.nanoTime()}")
+        val claimed = try fs.rename(lock, tomb)
         catch { case _: java.io.IOException => false }
-        if (!restored) // a third writer locked meanwhile; drop the tomb
-          try fs.delete(tomb, false) catch { case _: java.io.IOException => }
-        if (other.isEmpty) org.slf4j.LoggerFactory
-          .getLogger("graft.util.StagingSwap").warn(
-            s"release($lock): token unreadable after retry; " +
-              (if (restored) "lock restored — if it was ours it stays "
-                + "until the stale window expires"
-               else "lock could not be restored (a new holder exists); "
-                + "tombstone removed"))
+        // rename-false = a breaker claimed between our read and the
+        // rename and the path is empty/recreated — nothing of ours left
+        if (claimed) readToken(fs, tomb) match {
+          case Some(t2) if t2 == token =>
+            // a faulted tombstone delete must not mask the swap's
+            // outcome — the dot-prefixed residue is invisible to
+            // readers and to the next writer's create-exclusive
+            try fs.delete(tomb, false)
+            catch {
+              case e: java.io.IOException => log.warn(
+                s"release($lock): owned tombstone $tomb could not be " +
+                  s"deleted ($e) — harmless residue, safe to remove by hand")
+            }
+            ()
+          case _ => // breaker won the read→rename window: restore THEIRS
+            val restored = try fs.rename(tomb, lock)
+            catch { case _: java.io.IOException => false }
+            if (!restored) {
+              try fs.delete(tomb, false) catch { case _: java.io.IOException => }
+              log.warn(s"release($lock): a breaker's lock was briefly " +
+                "tombstoned and could not be restored (a new holder " +
+                "exists); tombstone removed — the breaker may now race " +
+                "the new holder (reachable only past lockStaleMillis)")
+            }
+        }
     }
   }
 
@@ -184,8 +190,8 @@ object StagingSwap {
   }
 
   private[graft] def tryCreate(fs: org.apache.hadoop.fs.FileSystem,
-      lock: org.apache.hadoop.fs.Path, token: String): Boolean =
-    try {
+      lock: org.apache.hadoop.fs.Path, token: String): Boolean = {
+    def attempt(): Boolean = {
       val out = fs.create(lock, false) // create-exclusive
       try {
         // the holder token: release-if-mine + post-mortem identity
@@ -199,7 +205,9 @@ object StagingSwap {
           throw e
       }
       true
-    } catch {
+    }
+    try attempt()
+    catch {
       case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
       // Hadoop's RawLocalFileSystem reports a raced/existing create as
       // a plain IOException; anything else (permissions, transient FS
@@ -207,10 +215,24 @@ object StagingSwap {
       // message.contains("exist") also matched "Parent directory does
       // not exist" / "No such file or directory" (round-15 advice), so
       // the authoritative check is the filesystem itself: contention
-      // iff the lock file is actually there.
+      // iff the lock file is actually there. When the probe finds NO
+      // lock, that can still be contention whose holder released
+      // between our create and the probe (round-16 review) — retry the
+      // create ONCE to disambiguate: success = the race, a second
+      // throw = a real fault (re-probed the same way).
       case e: java.io.IOException =>
         val contended = try fs.exists(lock)
         catch { case _: java.io.IOException => false }
-        if (contended) false else throw e
+        if (contended) false
+        else try attempt()
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+          case e2: java.io.IOException =>
+            val nowContended = try fs.exists(lock)
+            catch { case _: java.io.IOException => false }
+            if (nowContended) false
+            else { e2.addSuppressed(e); throw e2 }
+        }
     }
+  }
 }

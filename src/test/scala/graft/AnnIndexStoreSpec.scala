@@ -126,6 +126,40 @@ class AnnIndexStoreSpec extends AnyFunSuite {
     assert(viaGrown.nonEmpty && viaGrown == viaOne)
   }
 
+  test("append on a normalize=true index enters the unit-sphere space: " +
+      "codes match the normalized encode, garbage rows drop") {
+    // round-16 review follow-up. For the engine's max-dot quantizers
+    // a finite nonzero vector encodes by DIRECTION alone, so
+    // raw-vs-normalized appends agree there — but the space contract
+    // still matters observably: a normalize=true index must never
+    // admit rows the unit sphere has no image for (zero vectors, NaN
+    // elements), which raw pqEncode would code as garbage rows.
+    val dim = 4; val m = 2; val ksub = 4
+    val older = corpus.filter(col("vec_id") < 16)
+    val unitOlder = Similarity.l2Normalized(older)
+    val books = Similarity.pqFit(unitOlder, dim, m, ksub)
+    val root = freshRoot("append-norm")
+    AnnIndexStore.save(root, Similarity.pqEncode(unitOlder, dim, books),
+      books = Some(books),
+      manifest = Map("dim" -> dim.toString, "normalize" -> "true"))
+    val newer = Seq(
+      (100L, Array(3000.0f, 4000.0f, 0.0f, 0.0f)), // huge norm, fine
+      (101L, Array(0.0f, 0.0f, 0.0f, 0.0f)), // no direction
+      (102L, Array(1.0f, Float.NaN, 0.0f, 0.0f)) // NaN norm
+    ).toDF("vec_id", "embedding")
+    AnnIndexStore.append(root, newer)
+    val appended = AnnIndexStore.load(spark, root).index
+      .filter(col("vec_id") >= 100L).collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1).toList)).toMap
+    assert(appended.keySet == Set(100L),
+      s"zero/NaN rows must not enter a cosine index: $appended")
+    val want = Similarity.pqEncode(Similarity.l2Normalized(
+        Seq((100L, Array(3000.0f, 4000.0f, 0.0f, 0.0f)))
+          .toDF("vec_id", "embedding")), dim, books)
+      .head().getSeq[Int](1).toList
+    assert(appended(100L) == want)
+  }
+
   test("append refuses an index without codebooks or without dim") {
     val root = freshRoot("append-refuse")
     // an index saved with books but NO dim in the manifest

@@ -595,6 +595,11 @@ class SimilaritySpec extends AnyFunSuite {
       val dim = 1 + rnd.nextInt(96)
       val v =
         if (i % 19 == 0) Array.fill(dim)(0.0f) // planted zero vectors
+        else if (i % 23 == 0) { // planted NaN elements (round-16 review:
+          // Spark orders NaN greatest, so nrm > 0 alone KEEPS these —
+          // an all-NaN vector would poison the normalize=true PQ fit)
+          val w = Array.fill(dim)(1.0f); w(rnd.nextInt(dim)) = Float.NaN; w
+        }
         else Array.fill(dim)((rnd.nextGaussian() * math.pow(10,
           rnd.nextInt(7) - 3)).toFloat) // norms spanning ~6 decades
       (i, v)
@@ -602,9 +607,10 @@ class SimilaritySpec extends AnyFunSuite {
     val df = data.toDF("vec_id", "embedding")
     val out = Similarity.l2Normalized(df)
       .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
-    val zeroIds = data.filter(_._2.forall(_ == 0.0f)).map(_._1).toSet
-    assert(zeroIds.nonEmpty && zeroIds.forall(!out.contains(_)),
-      "zero-norm rows must drop")
+    val zeroIds = data.filter(t => t._2.forall(_ == 0.0f)
+      || t._2.exists(_.isNaN)).map(_._1).toSet
+    assert(zeroIds.size >= 10 && zeroIds.forall(!out.contains(_)),
+      "zero-norm and NaN-norm rows must drop")
     assert(out.keySet == data.map(_._1).toSet -- zeroIds)
     data.filterNot(t => zeroIds(t._1)).foreach { case (id, v) =>
       val u = out(id).map(_.toDouble).toArray
