@@ -129,6 +129,56 @@ class StagingSwapSpec extends AnyFunSuite {
     fs.delete(lock, false)
   }
 
+  test("release leaves an unreadable lock in place (never deletes blind)") {
+    // both reads fault: the lock may be ours (stale-window cost) or a
+    // breaker's (deleting would silently admit a third writer) — the
+    // safe side is to leave it and log
+    val lock = new org.apache.hadoop.fs.Path("target/test-swap/.blind.lock")
+    writeLock(lock, "mine")
+    val faulty = new org.apache.hadoop.fs.RawLocalFileSystem {
+      override def open(f: org.apache.hadoop.fs.Path, bufferSize: Int)
+          : org.apache.hadoop.fs.FSDataInputStream =
+        if (f.getName.contains(".blind.lock"))
+          throw new java.io.IOException("persistent read fault")
+        else super.open(f, bufferSize)
+    }
+    faulty.initialize(java.net.URI.create("file:///"),
+      spark.sparkContext.hadoopConfiguration)
+    val qualified = faulty.makeQualified(lock)
+    StagingSwap.release(faulty, qualified, "mine") // must not throw
+    assert(faulty.exists(qualified),
+      "an unreadable lock must stay in place, never be deleted blind")
+    fs.delete(lock, false)
+  }
+
+  test("tryCreate wins the released-between-create-and-probe race on retry") {
+    // round-16 review: a contention IOException whose holder releases
+    // before our exists-probe used to rethrow as a hard failure; now
+    // the create retries once and succeeds
+    val lock = new org.apache.hadoop.fs.Path("target/test-swap/.raced.lock")
+    fs.delete(lock, false)
+    val faulty = new org.apache.hadoop.fs.RawLocalFileSystem {
+      private var faults = 1
+      override def create(f: org.apache.hadoop.fs.Path,
+          overwrite: Boolean, bufferSize: Int, replication: Short,
+          blockSize: Long, progress: org.apache.hadoop.util.Progressable)
+          : org.apache.hadoop.fs.FSDataOutputStream = {
+        if (faults > 0 && f.getName.contains(".raced.lock")) {
+          faults -= 1 // the holder's lock was here... and is gone now
+          throw new java.io.IOException(s"File already exists: $f")
+        }
+        super.create(f, overwrite, bufferSize, replication, blockSize, progress)
+      }
+    }
+    faulty.initialize(java.net.URI.create("file:///"),
+      spark.sparkContext.hadoopConfiguration)
+    val qualified = faulty.makeQualified(lock)
+    assert(StagingSwap.tryCreate(faulty, qualified, "t"),
+      "one contention fault with no lock on disk must retry and acquire")
+    assert(faulty.exists(qualified))
+    fs.delete(lock, false)
+  }
+
   test("tryCreate surfaces a non-contention IO fault instead of retrying it as a held lock") {
     // round-15 advice: an IOException message like "No such file or
     // directory" used to match the old contains("exist") heuristic
