@@ -39,6 +39,10 @@ object PartsuppVerify {
 
   def main(args: Array[String]): Unit = {
     val (corpusDir, outDir) = (args(0), args(1))
+    // optional third arg: corpus scale multiplier (default 1 = the
+    // spec fixture's sizes) — a 10x pass checks the five shapes for
+    // scale-dependent drift, same idea as the driver's sf0.1 sweep
+    val scale = if (args.length > 2) args(2).toLong else 1L
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -59,11 +63,13 @@ object PartsuppVerify {
     SynthScale.region(spark).write.parquet(s"$corpusDir/region.parquet")
     SynthScale.nation(spark).write.parquet(s"$corpusDir/nation.parquet")
     SynthScale.supplier(spark).write.parquet(s"$corpusDir/supplier.parquet")
-    SynthScale.part(spark, 20000L).write.parquet(s"$corpusDir/part.parquet")
-    SynthScale.partsupp(spark, 20000L)
+    SynthScale.part(spark, 20000L * scale)
+      .write.parquet(s"$corpusDir/part.parquet")
+    SynthScale.partsupp(spark, 20000L * scale)
       .write.parquet(s"$corpusDir/partsupp.parquet")
-    SynthScale.orders(spark, 10100L).write.parquet(s"$corpusDir/orders.parquet")
-    SynthScale.lineitem(spark, 40000L)
+    SynthScale.orders(spark, 10100L * scale)
+      .write.parquet(s"$corpusDir/orders.parquet")
+    SynthScale.lineitem(spark, 40000L * scale)
       .write.parquet(s"$corpusDir/lineitem.parquet")
 
     new java.io.File(outDir).mkdirs()
