@@ -1,0 +1,99 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.similarity.Similarity
+
+/** The normalize=true recall claim, measured on a corpus built to
+  * exhibit it (round 16). The standing ProbeRecall corpus cannot:
+  * its dense isotropic clusters sit BELOW codebook resolution, so PQ
+  * recall there is shortlist-tie-limited no matter the metric
+  * (SCALE.md recall-study finding 2). This corpus has the opposite
+  * structure — angular signal ABOVE codebook resolution plus a wide
+  * log-normal norm spread — so the DOT-vs-COSINE metric gap is the
+  * binding constraint, and `normalize = true` is the treatment:
+  *
+  *   - `anchors` well-separated unit directions, each vector =
+  *     its anchor + small angular noise → cosine neighborhoods are
+  *     anchor-mates, resolvable by m=8/ksub=16 codebooks;
+  *   - per-vector norm drawn log-normally across ~1.5 decades →
+  *     dot-top-k is dominated by norm, not angle (the exact-dot
+  *     ranker's recall against the cosine truth quantifies the gap).
+  *
+  * Deterministic (seeded driver-side synth, same report protocol as
+  * ProbeRecall). Usage: runMain graft.tools.ProbeNormRecall
+  * [n] [anchors] [normSigma] [k] [queries]
+  * (defaults 20000, 2000, 0.8, 10, 100).
+  */
+object ProbeNormRecall {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toInt else 20000
+    val anchors = if (args.length > 1) args(1).toInt else 2000
+    val normSigma = if (args.length > 2) args(2).toDouble else 0.8
+    val k = if (args.length > 3) args(3).toInt else 10
+    val nQ = if (args.length > 4) args(4).toInt else 100
+    val dim = 64
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val rnd = new scala.util.Random(1716L)
+    def unit(v: Array[Double]): Array[Double] = {
+      val nr = math.sqrt(v.map(x => x * x).sum); v.map(_ / nr)
+    }
+    val dirs = Array.fill(anchors)(unit(Array.fill(dim)(rnd.nextGaussian())))
+    val rows = (0 until n).map { i =>
+      val a = dirs(i % anchors)
+      val noisy = unit(a.zipWithIndex.map { case (x, j) =>
+        x + 0.12 * rnd.nextGaussian() + j * 0.0 })
+      val norm = math.exp(rnd.nextGaussian() * normSigma)
+      (i.toLong, noisy.map(x => (x * norm).toFloat))
+    }
+    val emb = rows.toDF("vec_id", "embedding").cache()
+    emb.count()
+    val pred = col("vec_id") < nQ
+    println(s"NORMRECALL n=$n dim=$dim anchors=$anchors " +
+      s"sigma=$normSigma k=$k queries=$nQ")
+
+    def topSets(df: DataFrame): Map[Long, Set[Long]] =
+      df.select(col("query_id").cast("long"), col("neighbor_id").cast("long"))
+        .collect().groupBy(_.getLong(0))
+        .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val exact = topSets(Similarity.bruteForceTopK(emb, pred, k))
+
+    def report(name: String)(f: => DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val approx = topSets(f)
+      val sec = (System.nanoTime() - t0) / 1e9
+      val recalls = exact.map { case (q, truth) =>
+        approx.getOrElse(q, Set.empty).count(truth).toDouble / truth.size }
+      val mean = recalls.sum / math.max(1, recalls.size)
+      println(f"NORMRECALL $name%-26s recall@$k=$mean%6.4f wall=$sec%6.2f s")
+    }
+
+    report("brute (sanity)")(Similarity.bruteForceTopK(emb, pred, k))
+    report("exact dot (metric gap)")(Similarity.mipsTopK(emb, pred, k))
+    report("pq raw")(
+      Similarity.pqTopK(emb, pred, k, dim, m = 8, ksub = 16))
+    for (c <- Seq(100, 1000)) {
+      report(s"pq raw + refine C=$c")(
+        Similarity.pqTopK(emb, pred, k, dim, m = 8, ksub = 16, refine = c))
+      report(s"pq norm + refine C=$c")(
+        Similarity.pqTopK(emb, pred, k, dim, m = 8, ksub = 16, refine = c,
+          normalize = true))
+    }
+    // the residual after the metric is fixed is CODEBOOK capacity:
+    // double m, double ksub (sampled fit) and the normalized path
+    // should close most of the remaining gap
+    report("pq16x32 norm refine C=1000")(
+      Similarity.pqTopK(emb, pred, k, dim, m = 16, ksub = 32,
+        refine = 1000, normalize = true))
+    spark.stop()
+  }
+}
