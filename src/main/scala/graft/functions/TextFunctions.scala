@@ -14,7 +14,19 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Whitespace token count (empty/blank → 0). */
+  /** Whitespace token count (empty/space-blank → 0).
+    *
+    * Semantics note (round-16 review): `trim` strips SPACES only and
+    * Spark's `split` keeps boundary empties, so text bounded by
+    * non-space whitespace counts its edge runs — "\n" counts 2,
+    * "\thello" counts 2. This is a defined convention, not an
+    * accident to fix in place: every consumer is hash-gated against
+    * DuckDB oracles that replay `string_split_regex(trim(text))`
+    * byte-for-byte (x1/x5, c-pack, pr-pack, qualityScore's length
+    * term), so the two engines agree exactly on these edges, and a
+    * one-sided "fix" would break the gate. A caller needing
+    * strict-blank semantics pre-cleans edges with
+    * regexp_replace(text, "^\\s+|\\s+$", "") on BOTH sides. */
   def wsTokenCount(c: Column): Column =
     when(length(trim(c)) === 0, lit(0))
       .otherwise(size(split(trim(c), "\\s+")))

@@ -66,16 +66,31 @@ object Curate {
     * n-gram shingles of md5("i|" + shingle): identical to the batch
     * [[graft.dedup.Dedup.minhashSignatures]] (min over DISTINCT
     * shingles ≡ min over all windows). Docs with < n tokens yield an
-    * empty array. */
+    * EMPTY array (never an array of nulls — round-16 review fixed
+    * both the contract and the implementation).
+    *
+    * Tokenization parity with the batch kernel (round-16 review): the
+    * batch side is Java `t.trim.split("\\s+")` — ALL edge whitespace
+    * stripped, no empty tokens. SQL `trim` strips only spaces and
+    * Spark's `split` keeps trailing empties, so the old
+    * `split(trim(text))` produced an extra empty token on tab/
+    * newline-bounded text and a DIFFERENT signature than the batch
+    * gate this stream feeds. Now: split, then drop empty tokens —
+    * token-for-token the Java sequence on every non-degenerate doc
+    * (sole residual: an ALL-whitespace doc at n=1, where Java's
+    * split("") yields one "" token and this yields none — the batch
+    * kernel's own quirk, unreachable at the n≥2 defaults). */
   def minhashSig(textCol: Column, n: Int, numHashes: Int): Column = {
-    val toks = split(trim(textCol), "\\s+")
+    val toks = filter(split(textCol, "\\s+"), t => length(t) > 0)
     val m = size(toks) - n + 1
     val shingles = when(m > 0,
       transform(sequence(lit(0), m - 1), i =>
         concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
       .otherwise(array())
-    array((0 until numHashes).map(k =>
-      array_min(transform(shingles, s => md5(concat(lit(s"$k|"), s))))): _*)
+    when(size(shingles) > 0,
+      array((0 until numHashes).map(k =>
+        array_min(transform(shingles, s => md5(concat(lit(s"$k|"), s))))): _*))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** Streaming NEAR-dup gate: the ingest-time companion of the batch
@@ -111,11 +126,20 @@ object Curate {
     val buckets = array((0 until bands).map(b =>
       concat_ws("|", (0 until rowsPerBand).map(r =>
         element_at(col("__sig"), b * rowsPerBand + r + 1)): _*)): _*)
+    // id contract made LOUD (round-16 review): the state key is a
+    // Long; a null or non-numeric id used to cast to null and kill
+    // the streaming query with an opaque encoder NPE deep in the
+    // micro-batch — now it raises with the offending value
+    val docId = col(idCol).cast("long")
+    val checkedId = when(docId.isNull, raise_error(concat(
+        lit(s"nearDupGate: $idCol must be a non-null numeric id, got "),
+        coalesce(col(idCol).cast("string"), lit("null")))))
+      .otherwise(docId)
     val exploded = df
       .withColumn("__sig", minhashSig(col(textCol), n, numHashes))
       .filter(size(col("__sig")) > 0 && !array_contains(
         transform(col("__sig"), isnull(_)), true))
-      .select(col(idCol).cast("long").as("doc"), col("__sig").as("sig"),
+      .select(checkedId.as("doc"), col("__sig").as("sig"),
         posexplode(buckets).as(Seq("band", "bucket")))
       .as[BandArrival]
     val timeoutConf =

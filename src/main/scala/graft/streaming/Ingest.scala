@@ -198,7 +198,7 @@ object Ingest {
     * lands in a parquet dead-letter sink in the same micro-batch
     * (at-least-once on replay — dedup a DLQ read on
     * md5(raw_payload) if exactness matters there). */
-  def runOnboarding(spark: SparkSession, rawStream: DataFrame,
+  def runOnboarding(rawStream: DataFrame,
       tracker: Tracker, checkpointDir: String,
       dlqDir: Option[String] = None,
       requireTag: Option[(String, String)] = Some("gdpr-scan" -> "true"),
@@ -215,17 +215,25 @@ object Ingest {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        dlqDir.foreach { d =>
-          quarantined(batch).write.mode("append").parquet(d)
-        }
-        val events = onboardingEvents(batch, requireTag = requireTag,
-          exceptions = exceptions, catalogDb = catalogDb)
-        tracker.initEntries(events): Unit
-        // glue-catalog rule rows arrive already cataloged (the
-        // reference inserts them with data_catalog_entry=True) — mark
-        // them in the same micro-batch, idempotently
-        val cataloged = events.filter(col("data_catalog_table_name").isNotNull)
-        if (!cataloged.isEmpty) tracker.markCatalogedAll(cataloged)
+        // up to four actions read this micro-batch (DLQ write, MERGE,
+        // the cataloged probe + mark); unpersisted, each re-reads the
+        // source and re-evaluates the 4-rule from_json union
+        // (round-16 review) — the standard foreachBatch multi-action
+        // pattern pins it once
+        batch.persist()
+        try {
+          dlqDir.foreach { d =>
+            quarantined(batch).write.mode("append").parquet(d)
+          }
+          val events = onboardingEvents(batch, requireTag = requireTag,
+            exceptions = exceptions, catalogDb = catalogDb)
+          tracker.initEntries(events): Unit
+          // glue-catalog rule rows arrive already cataloged (the
+          // reference inserts them with data_catalog_entry=True) — mark
+          // them in the same micro-batch, idempotently
+          val cataloged = events.filter(col("data_catalog_table_name").isNotNull)
+          if (!cataloged.isEmpty) tracker.markCatalogedAll(cataloged)
+        } finally batch.unpersist(): Unit
       }
       .start()
 
@@ -238,6 +246,6 @@ object Ingest {
       requireTag: Option[(String, String)] = Some("gdpr-scan" -> "true"),
       exceptions: Seq[String] = Nil,
       catalogDb: String = "graft_catalog"): StreamingQuery =
-    runOnboarding(spark, connector.open(spark, path), tracker,
+    runOnboarding(connector.open(spark, path), tracker,
       checkpointDir, dlqDir, requireTag, exceptions, catalogDb)
 }

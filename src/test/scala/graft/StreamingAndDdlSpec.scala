@@ -53,7 +53,7 @@ class StreamingAndDdlSpec extends AnyFunSuite {
       ev("aws.s3", "CreateBucket", "bucketName", "bucket-x"),
       ev("aws.s3", "CreateBucket", "bucketName", "bucket-x"), // dup event
       ev("aws.dynamodb", "CreateTable", "tableName", "tbl-y"))
-    val q = Ingest.runOnboarding(spark, stream.toDF(), tracker, ckpt)
+    val q = Ingest.runOnboarding(stream.toDF(), tracker, ckpt)
     q.awaitTermination(60000)
 
     val rows = tracker.read().collect()
@@ -114,7 +114,7 @@ class StreamingAndDdlSpec extends AnyFunSuite {
     stream.addData(rdsEv,
       glueEv("graft_catalog", "rds_tbl_1"),
       glueEv("other_db", "rds_tbl_2")) // databaseName gate: dropped
-    Ingest.runOnboarding(spark, stream.toDF(), tracker, ckpt)
+    Ingest.runOnboarding(stream.toDF(), tracker, ckpt)
       .awaitTermination(60000)
 
     val rows = tracker.read().collect()
@@ -146,7 +146,7 @@ class StreamingAndDdlSpec extends AnyFunSuite {
         |"awsRegion": "eu-west-1", "requestParameters": {},
         |"tags": {"gdpr-scan": "true"}}}"""                   // name missing
         .stripMargin.replace("\n", " "))
-    val q = Ingest.runOnboarding(spark, stream.toDF(), tracker, ckpt,
+    val q = Ingest.runOnboarding(stream.toDF(), tracker, ckpt,
       dlqDir = Some(dlq))
     q.awaitTermination(60000)
 

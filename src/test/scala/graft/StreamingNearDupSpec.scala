@@ -106,6 +106,55 @@ class StreamingNearDupSpec extends AnyFunSuite {
     assert(s3.get.map(_._1) == Seq(4L))
   }
 
+  test("signature parity holds on tab/newline-bounded text; short docs " +
+      "yield an EMPTY signature array (round-16 review)") {
+    // the old split(trim(text)) kept a trailing empty token on
+    // non-space-bounded text (SQL trim strips spaces only), so the
+    // same doc re-posted with a trailing newline signed differently
+    // on the stream side than the batch gate it feeds
+    val docs = Seq(
+      (1L, "\thello world foo bar baz\n"),
+      (2L, "hello world foo bar baz"),
+      (3L, "one two")).toDF("doc_id", "text")
+    val sigs = docs.select($"doc_id",
+        Curate.minhashSig($"text", n = 3, numHashes = 8).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    assert(sigs(1L) == sigs(2L),
+      "edge whitespace must not change the signature (batch parity)")
+    assert(sigs(3L).isEmpty,
+      "a < n-token doc must yield an EMPTY array, not nulls")
+    val postings = graft.dedup.Dedup.shinglePostings(
+      docs.filter($"doc_id" === 1L), "doc_id", "text", 3, Int.MaxValue)
+    val fromBatch = graft.dedup.Dedup.minhashSignatures(postings, 8)
+      .collect().map(r => (0 until 8).map(i => r.getString(i + 1)).toList)
+    assert(fromBatch.headOption.contains(sigs(1L)),
+      "stream and batch must agree byte-for-byte on the bounded text")
+  }
+
+  test("nearDupGate raises a clear error on a null or non-numeric id") {
+    // the old cast(\"long\") silently nulled a non-numeric id and the
+    // query died with an opaque encoder NPE; now the guard names the
+    // column and the offending value
+    implicit val sqlCtx = spark.sqlContext
+    val st = MemoryStream[(String, String)]
+    val q = Curate.nearDupGate(st.toDF().toDF("doc_id", "text"),
+        "doc_id", "text")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("neardup_badid")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    val e = intercept[Exception] {
+      try {
+        st.addData(("uuid-not-a-number", "alpha beta gamma delta epsilon"))
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+    assert(msgs.exists(m => m.contains("non-null numeric id")
+      && m.contains("uuid-not-a-number")), e.toString)
+  }
+
   test("short and null docs never enter state") {
     implicit val sqlCtx = spark.sqlContext
     val st = MemoryStream[(Long, String)]
