@@ -89,10 +89,10 @@ object Pipeline {
     val plan = Report.commentPlan(catalogCols,
       Report.latestFindingRows(store.read()))
     val comments = new graft.catalog.CatalogComments(spark, stateDir)
-    sources.foreach { s =>
-      val t = Crawler.normalizeName(s.name)
-      comments.apply(t, plan, comments.tableVersion(t))
-    }
+    // batched: ONE version read + ONE store swap for all sources
+    // (the per-source loop paid a full-store rewrite per table)
+    val names = sources.map(s => Crawler.normalizeName(s.name))
+    comments.applyAll(plan, comments.tableVersions(names)): Unit
     plan
   }
 

@@ -15,22 +15,36 @@ import org.apache.spark.sql.functions._
   */
 class CatalogComments(spark: SparkSession, dir: String) {
   private val path = s"$dir/catalog_comments"
+  // Versions live in their OWN tiny table (round-16 review): deriving
+  // the version from max(version) over the table's comment ROWS reset
+  // it to 0 whenever an apply legitimately emitted zero comments
+  // (e.g. all PII remediated) — the caller's freshly-returned version
+  // then read as stale while a genuinely stale caller's v0 was
+  // accepted. The sidecar survives an empty comment set.
+  private val versionsPath = s"$dir/catalog_comment_versions"
 
-  private def exists(): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  private def exists(p: String): Boolean = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
   }
 
   def read(): DataFrame =
-    if (exists()) spark.read.parquet(path)
+    if (exists(path)) spark.read.parquet(path)
     else spark.range(0)
       .select(lit("").as("table_name"), lit("").as("column_name"),
         lit("").as("comment"), lit(0L).as("version"))
       .limit(0)
 
+  private def readVersions(): DataFrame =
+    if (exists(versionsPath)) spark.read.parquet(versionsPath)
+    // migration: a pre-sidecar store carries versions on its comment
+    // rows only — derive the sidecar view from them
+    else read().groupBy(col("table_name"))
+      .agg(max(col("version")).as("version"))
+
   /** Current version per table (0 when absent). */
   def tableVersion(table: String): Long = {
-    val v = read().filter(col("table_name") === table)
+    val v = readVersions().filter(col("table_name") === table)
       .agg(max(col("version"))).collect()(0)
     if (v.isNullAt(0)) 0L else v.getLong(0)
   }
@@ -38,22 +52,99 @@ class CatalogComments(spark: SparkSession, dir: String) {
   /** Apply a comment plan (table_name, column_name, comment) for one
     * table at `expectedVersion`. Returns the new version; throws on a
     * concurrent update (version moved on) — the reference's VersionId
-    * conditional update. */
+    * conditional update.
+    *
+    * The check and the swap run under the store's WRITER lock
+    * (round-16 review: check-then-act outside the lock let two
+    * appliers at the same expectedVersion both succeed — the second
+    * silently clobbered the first, the exact lost update the VersionId
+    * contract exists to refuse). The version sidecar swaps FIRST: a
+    * crash between the two swaps then leaves the version bumped with
+    * stale comments, so the next writer at the OLD version gets the
+    * loud stale error (recover by re-applying at the returned
+    * version) — never a silent overwrite of newer comments. */
   def apply(table: String, commentPlan: DataFrame,
       expectedVersion: Long): Long = {
-    val current = tableVersion(table)
-    if (current != expectedVersion)
-      throw new IllegalStateException(
-        s"stale catalog write for $table: expected v$expectedVersion, found v$current")
-    val next = current + 1
-    val others = read().filter(col("table_name") =!= table)
-    val updated = commentPlan
-      .filter(col("table_name") === table && col("comment").isNotNull)
-      .select(col("table_name"), col("column_name"),
-        substring(col("comment"), 1, 255).as("comment"),
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.util.StagingSwap.withWriterLock(fs, root) {
+      val current = tableVersion(table)
+      if (current != expectedVersion)
+        throw new IllegalStateException(
+          s"stale catalog write for $table: expected v$expectedVersion, found v$current")
+      val next = current + 1
+      val otherVersions = readVersions()
+        .filter(col("table_name") =!= table)
+        .select(col("table_name"), col("version"))
+      val bumped = spark.range(1).select(lit(table).as("table_name"),
         lit(next).as("version"))
-    graft.util.StagingSwap.swap(others.unionByName(updated), path)
-    next
+      graft.util.StagingSwap.swap(
+        otherVersions.unionByName(bumped), versionsPath)
+      val others = read().filter(col("table_name") =!= table)
+      val updated = commentPlan
+        .filter(col("table_name") === table && col("comment").isNotNull)
+        .select(col("table_name"), col("column_name"),
+          substring(col("comment"), 1, 255).as("comment"),
+          lit(next).as("version"))
+      graft.util.StagingSwap.swap(others.unionByName(updated), path)
+      next
+    }
+  }
+
+  /** Current versions for a set of tables in ONE store read (absent
+    * tables → 0). */
+  def tableVersions(tables: Seq[String]): Map[String, Long] = {
+    if (tables.isEmpty) return Map.empty
+    val found = readVersions()
+      .filter(col("table_name").isin(tables: _*))
+      .groupBy(col("table_name")).agg(max(col("version")).as("v"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    tables.map(t => t -> found.getOrElse(t, 0L)).toMap
+  }
+
+  /** Batched multi-table apply (round-16 review): Pipeline's
+    * per-source loop paid one full-store read + one full-store swap
+    * PER TABLE — O(sources²/2) row-rewrite volume per run, the exact
+    * cost Tracker.markCatalogedAll was built to eliminate. One writer
+    * lock, one version check across all tables, ONE swap of each
+    * store. All-or-nothing: any stale table refuses the whole batch
+    * (the caller re-reads versions and retries). Returns table → new
+    * version. */
+  def applyAll(commentPlan: DataFrame,
+      expectedVersions: Map[String, Long]): Map[String, Long] = {
+    if (expectedVersions.isEmpty) return Map.empty
+    import spark.implicits._
+    val tables = expectedVersions.keys.toSeq
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.util.StagingSwap.withWriterLock(fs, root) {
+      val currents = tableVersions(tables)
+      val stale = expectedVersions.filter { case (t, v) => currents(t) != v }
+      if (stale.nonEmpty)
+        throw new IllegalStateException("stale catalog write for " +
+          stale.keys.toSeq.sorted.map(t =>
+            s"$t: expected v${expectedVersions(t)}, found v${currents(t)}")
+            .mkString("; "))
+      val nexts = expectedVersions.map { case (t, v) => t -> (v + 1) }
+      val nextsDf = nexts.toSeq.toDF("table_name", "version")
+      // versions sidecar FIRST — same crash-ordering rationale as apply
+      val otherVersions = readVersions()
+        .filter(!col("table_name").isin(tables: _*))
+        .select(col("table_name"), col("version"))
+      graft.util.StagingSwap.swap(
+        otherVersions.unionByName(nextsDf), versionsPath)
+      val others = read().filter(!col("table_name").isin(tables: _*))
+      val updated = commentPlan
+        .filter(col("table_name").isin(tables: _*)
+          && col("comment").isNotNull)
+        .select(col("table_name"), col("column_name"),
+          substring(col("comment"), 1, 255).as("comment"))
+        .join(broadcast(nextsDf), "table_name")
+        .select(col("table_name"), col("column_name"), col("comment"),
+          col("version"))
+      graft.util.StagingSwap.swap(others.unionByName(updated), path)
+      nexts
+    }
   }
 
   /** Latest comments for a table (the S9 read-back). */

@@ -58,6 +58,16 @@ object Crawler {
       spark.read.parquet(path)
   }
 
+  /** CSV reader options, defined ONCE for both the inference read and
+    * the persisted external-table manifest (round-16 review: the two
+    * sites each hand-listed them, so adding an option to one silently
+    * diverged how the registered table parses the same file from how
+    * its schema was inferred). `inferSchema` is the only key that
+    * legitimately differs: true at inference, false once the schema
+    * is pinned in the manifest. */
+  private[graft] val CsvReadOptions: Map[String, String] = Map(
+    "header" -> "true", "multiLine" -> "true", "escape" -> "\"")
+
   /** Catalog-safe name normalization (P6;
     * lambda/catalog-creator-s3/app.py:246-249): `-`, `.`, spaces → `_`,
     * lowercased. */
@@ -70,12 +80,10 @@ object Crawler {
     * (synthetic-data/s3/individual_details.csv:1-4). */
   def infer(spark: SparkSession, kind: SourceKind, path: String): DataFrame =
     kind match {
-      case CsvSource => spark.read
-        .option("header", "true")
-        .option("inferSchema", "true")
-        .option("multiLine", "true")
-        .option("escape", "\"")
-        .csv(path)
+      case CsvSource => CsvReadOptions.foldLeft(
+          spark.read.option("inferSchema", "true")) {
+          case (r, (k, v)) => r.option(k, v)
+        }.csv(path)
       case SnapshotSource => spark.read.parquet(path)
       case JdbcSource(url, dbtable, props) =>
         props.foldLeft(spark.read.format("jdbc")
@@ -122,8 +130,15 @@ object Crawler {
       "comments map<string,string>, registered_at bigint, " +
       "registered_seq bigint")
 
-  /** Escape a string for embedding in single-quoted SQL. */
-  private def sq(s: String): String = "'" + s.replace("'", "''") + "'"
+  /** Escape a string for embedding in single-quoted SQL. Backslashes
+    * must escape too (round-16 review): Spark's default string-literal
+    * parsing processes backslash escapes, so an unescaped '\\' in a
+    * JDBC password corrupted the persisted credential silently, a
+    * trailing '\\' turned the closing quote into an escaped quote
+    * (ParseException), and a crafted comment containing \\' could
+    * break out of the literal into the executed CREATE TABLE. */
+  private def sq(s: String): String =
+    "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
 
   private def createExternal(spark: SparkSession, name: String,
       schemaDdl: String, format: String, location: String,
@@ -168,9 +183,8 @@ object Crawler {
       if (path.isEmpty || path.contains("://")) path
       else new java.io.File(path).getAbsolutePath
     val (format, location, options) = kind match {
-      case CsvSource => ("csv", absPath, Map(
-        "header" -> "true", "inferSchema" -> "false",
-        "multiLine" -> "true", "escape" -> "\""))
+      case CsvSource =>
+        ("csv", absPath, CsvReadOptions + ("inferSchema" -> "false"))
       case SnapshotSource => ("parquet", absPath, Map.empty[String, String])
       case JdbcSource(url, dbtable, props) =>
         ("jdbc", "", props ++ Map("url" -> url, "dbtable" -> dbtable))
@@ -269,6 +283,24 @@ object Crawler {
     * catalog inventory frame (the crawler's run report). */
   def crawlAll(spark: SparkSession,
       sources: Seq[(String, SourceKind, String)]): DataFrame = {
+    // empty estate -> empty inventory, not empty.reduce (round-16
+    // review; crawlJdbcEstate used to carry its own copy of this guard)
+    if (sources.isEmpty) {
+      import spark.implicits._
+      return Seq.empty[(String, String, String, Boolean)]
+        .toDF("table_name", "column_name", "data_type", "nullable")
+    }
+    // distinct sources whose names collide after normalization would
+    // silently REPLACE each other's registration (round-16 review:
+    // schema 'sales_eu' table 'orders' vs schema 'sales' table
+    // 'eu_orders' both map to sales_eu_orders) — in a PII-discovery
+    // pipeline a silently-uncrawled table is coverage loss, so refuse
+    val byName = sources.groupBy(t => normalizeName(t._1))
+    val collided = byName.filter(_._2.size > 1)
+    require(collided.isEmpty,
+      "crawl sources collide after name normalization: " +
+        collided.map { case (n, ts) =>
+          s"$n <- ${ts.map(_._1).mkString(", ")}" }.mkString("; "))
     val registered = sources.map { case (rawName, kind, path) =>
       registerTable(spark, rawName, infer(spark, kind, path))
     }
@@ -327,6 +359,10 @@ object Crawler {
     * equivalents so the metadata fallback path skips them too. */
   val DefaultExceptionSchemas: Seq[String] = Seq(
     "pg_catalog", "information_schema",
+    // MySQL-family system schemas (round-16 review: discoverJdbc
+    // documents MySQL as a primary-path engine, and mysql.user holds
+    // credential hashes no PII crawl should register, let alone scan)
+    "mysql", "performance_schema",
     "sys", "sysibm", "syscat", "sysfun", "sysproc", "sysstat",
     "syscs_diag", "syscs_util", "nullid", "sqlj")
 
@@ -354,7 +390,17 @@ object Crawler {
             case (r, (k, v)) => r.option(k, v)
           }.load().collect()
           .map(r => (r.getString(0), r.getString(1))).toSeq)
-      } catch { case _: Exception => None }
+      } catch {
+        case e: Exception =>
+          // the fallback may legitimately carry the estate, but a
+          // swallowed primary fault must not be invisible (round-16
+          // review: a transient failure here + a fallback quirk could
+          // present an EMPTY crawl as success with zero breadcrumbs)
+          org.slf4j.LoggerFactory.getLogger("graft.catalog.Crawler").warn(
+            s"discoverJdbc: information_schema path failed, falling " +
+              s"back to DatabaseMetaData.getTables: $e")
+          None
+      }
     val all = viaInfoSchema.getOrElse {
       val p = new java.util.Properties()
       props.foreach { case (k, v) => p.setProperty(k, v) }
@@ -362,8 +408,14 @@ object Crawler {
       try {
         val rs = conn.getMetaData.getTables(null, null, "%", Array("TABLE"))
         val buf = Seq.newBuilder[(String, String)]
-        while (rs.next())
-          buf += ((rs.getString("TABLE_SCHEM"), rs.getString("TABLE_NAME")))
+        while (rs.next()) {
+          // catalog-based engines (MySQL-family) report the schema in
+          // TABLE_CAT with TABLE_SCHEM null — dropping those rows made
+          // the fallback return an empty estate as success
+          val schema = Option(rs.getString("TABLE_SCHEM"))
+            .getOrElse(rs.getString("TABLE_CAT"))
+          buf += ((schema, rs.getString("TABLE_NAME")))
+        }
         buf.result()
       } finally conn.close()
     }
@@ -384,11 +436,8 @@ object Crawler {
       .map { case (s, t) =>
         (s"${s}_$t", JdbcSource(url, s"$s.$t", props): SourceKind, "")
       }
-    if (sources.isEmpty) {
-      import spark.implicits._
-      Seq.empty[(String, String, String, Boolean)]
-        .toDF("table_name", "column_name", "data_type", "nullable")
-    } else crawlAll(spark, sources)
+    crawlAll(spark, sources) // empty estates and name collisions
+                             // are crawlAll's guards now (round 16)
   }
 
   /** S6 with the J3 credential side wired in: resolve the cluster's

@@ -35,13 +35,28 @@ object Compact {
 
   /** Rewrite the parquet table at `dir` into ~`targetBytes` files.
     * Returns the data-file count after the call (unchanged when the
-    * no-op guard fires). */
+    * no-op guard fires).
+    *
+    * Holds the table's WRITER lock for the list→rewrite→swap span
+    * (round-16 review): an append landing between this pass's file
+    * listing and the swap's delete was silently destroyed — appends
+    * (FindingsStore/TagStore) and compactions now serialize on the
+    * same `.<name>.writers.lock`, bounded-wait semantics. */
   def rewrite(spark: SparkSession, dir: String,
       targetBytes: Long = 128L << 20): Long = {
     require(targetBytes > 0, s"targetBytes must be > 0, got $targetBytes")
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(path)) return 0L
+    graft.util.StagingSwap.withWriterLock(fs, path) {
+      rewriteLocked(spark, fs, path, targetBytes)
+    }
+  }
+
+  private def rewriteLocked(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      path: org.apache.hadoop.fs.Path, targetBytes: Long): Long = {
+    val dir = path.toString
     // recursive: partitioned tables keep their dir layout out of this
     // pass (compacting per-partition is the caller's loop — a global
     // coalesce would destroy partition pruning), so this operates on
@@ -103,9 +118,16 @@ object Compact {
       if (partDirs.isEmpty) Seq(p)
       else partDirs.flatMap(d => leaves(d.getPath))
     }
-    leaves(rootPath).map { leaf =>
-      leaf.toString -> rewrite(spark, leaf.toString, targetBytes)
-    }.toMap
+    // the ROOT writer lock spans the whole sweep: appends into ANY
+    // leaf (FindingsStore writes partitionBy, so one append touches
+    // several) serialize against the compactor as a unit; the
+    // per-leaf rewrite()s take their own leaf locks under it (fixed
+    // root→leaf order, no reverse path anywhere)
+    graft.util.StagingSwap.withWriterLock(fs, rootPath) {
+      leaves(rootPath).map { leaf =>
+        leaf.toString -> rewrite(spark, leaf.toString, targetBytes)
+      }.toMap
+    }
   }
 
   private def listDataFiles(fs: org.apache.hadoop.fs.FileSystem,

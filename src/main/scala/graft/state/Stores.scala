@@ -40,12 +40,26 @@ class FindingsStore(spark: SparkSession, dir: String,
   private val path = s"$dir/pii_findings"
   private var appendsSinceCompact = 0
 
-  /** S10: append one classify run's enriched findings. */
+  /** S10: append one classify run's enriched findings.
+    *
+    * The write holds the store's WRITER lock (round-16 review): the
+    * scheduled compact-sinks stage rewrites leaves via
+    * list→delete→rename, and an unlocked append landing between a
+    * concurrent compact's list and its delete was silently destroyed.
+    * Appends, compactions, and the stage now serialize on
+    * `.pii_findings.writers.lock` (bounded wait — a compact in flight
+    * delays the append, never fails it). The lock covers only the
+    * data write; the maintenance hook's compact() below takes the
+    * same lock itself (wrapping both would self-deadlock). */
   def append(findings: DataFrame): Unit = {
-    findings.write
-      .mode(SaveMode.Append)
-      .partitionBy("data_source_type")
-      .parquet(path)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.util.StagingSwap.withWriterLock(fs, p) {
+      findings.write
+        .mode(SaveMode.Append)
+        .partitionBy("data_source_type")
+        .parquet(path)
+    }
     appendsSinceCompact += 1
     if (autoCompactEvery > 0 && appendsSinceCompact >= autoCompactEvery)
       Stores.maintenance(s"FindingsStore($path)") {
@@ -132,7 +146,12 @@ class TagStore(spark: SparkSession, dir: String,
   private var appendsSinceCompact = 0
 
   def append(tags: DataFrame): Unit = {
-    tags.write.mode(SaveMode.Append).parquet(path)
+    // same writer-lock rationale as FindingsStore.append
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.util.StagingSwap.withWriterLock(fs, p) {
+      tags.write.mode(SaveMode.Append).parquet(path)
+    }
     appendsSinceCompact += 1
     if (autoCompactEvery > 0 && appendsSinceCompact >= autoCompactEvery)
       Stores.maintenance(s"TagStore($path)") {

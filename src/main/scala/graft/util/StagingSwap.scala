@@ -58,6 +58,52 @@ object StagingSwap {
     finally release(fs, lock, token)
   }
 
+  /** Run `body` holding the table's WRITER lock — the mutual
+    * exclusion between appenders, compactors, and read-modify-swap
+    * flows on the same store (round-16 review: FindingsStore/TagStore
+    * appends took no lock, so the documented streaming configuration
+    * — forStreaming appends + the scheduled compact-sinks stage —
+    * could have a compact list-and-delete a leaf BETWEEN an append's
+    * commit and the rename, silently destroying the appended rows;
+    * CatalogComments' version check-then-swap had the same
+    * check-then-act hole between two concurrent appliers).
+    *
+    * Unlike [[swap]]'s fail-loud single-writer lock, this one WAITS
+    * (bounded): appends and scheduled compactions are legitimate
+    * concurrent writers that must serialize, not crash. The lock file
+    * is `.<name>.writers.lock` — DISTINCT from the swap lock, and
+    * always acquired BEFORE any swap lock (single global order, no
+    * deadlock). Stale locks break exactly like [[swap]]'s. `body`
+    * may call [[swap]]/[[Compact]] on paths under `table` freely. */
+  def withWriterLock[T](fs: org.apache.hadoop.fs.FileSystem,
+      table: org.apache.hadoop.fs.Path,
+      staleMillis: Long = 30L * 60 * 1000,
+      waitMillis: Long = 10L * 60 * 1000)(body: => T): T = {
+    val lock = new org.apache.hadoop.fs.Path(
+      table.getParent, s".${table.getName}.writers.lock")
+    val token = s"pid=${ProcessHandle.current().pid()} " +
+      s"nanos=${System.nanoTime()}"
+    val deadline = System.currentTimeMillis() + waitMillis
+    while (!tryCreate(fs, lock, token)) {
+      val age = try System.currentTimeMillis() -
+        fs.getFileStatus(lock).getModificationTime
+      catch { case _: java.io.FileNotFoundException => -1L }
+      if (age > staleMillis) {
+        val tomb = new org.apache.hadoop.fs.Path(
+          lock.getParent, s"${lock.getName}.broken.${System.nanoTime()}")
+        if (fs.rename(lock, tomb)) fs.delete(tomb, false): Unit
+      } else if (System.currentTimeMillis() > deadline)
+        throw new IllegalStateException(
+          s"writer lock $lock still held after ${waitMillis}ms — a " +
+            "concurrent append/compact/apply is running long (or " +
+            "crashed inside the stale window); raise waitMillis or " +
+            "investigate the holder: " + readToken(fs, lock).getOrElse("?"))
+      else Thread.sleep(200)
+    }
+    try body
+    finally release(fs, lock, token)
+  }
+
   private def doSwap(df: DataFrame,
       fs: org.apache.hadoop.fs.FileSystem,
       target: org.apache.hadoop.fs.Path): Unit = {

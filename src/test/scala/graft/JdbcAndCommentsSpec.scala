@@ -154,6 +154,59 @@ class JdbcAndCommentsSpec extends AnyFunSuite {
     assert(store.tableVersion("t1") == 2L)
   }
 
+  test("comment versioning survives an all-null (empty) comment plan") {
+    // round-16 review: versions used to be derived from max(version)
+    // over the table's comment ROWS, so an apply that legitimately
+    // emitted zero comments (all PII remediated) reset the table to
+    // v0 — the caller's fresh version then read as stale while a
+    // genuinely stale v0 writer was accepted. The version sidecar
+    // survives the empty set.
+    import spark.implicits._
+    val store = new CatalogComments(spark, tmp("comments_empty"))
+    val withComments = Seq(("t9", "phone", "Sensitive"))
+      .toDF("table_name", "column_name", "comment")
+    val remediated = Seq(("t9", "phone", null.asInstanceOf[String]))
+      .toDF("table_name", "column_name", "comment")
+    assert(store.apply("t9", withComments, 0L) == 1L)
+    assert(store.apply("t9", remediated, 1L) == 2L)
+    assert(store.forTable("t9").count() == 0L, "comments cleared")
+    assert(store.tableVersion("t9") == 2L,
+      "the version must survive an empty comment set")
+    intercept[IllegalStateException] { // both stale generations refused
+      store.apply("t9", withComments, 0L)
+    }
+    intercept[IllegalStateException] {
+      store.apply("t9", withComments, 1L)
+    }
+    assert(store.apply("t9", withComments, 2L) == 3L)
+  }
+
+  test("applyAll: one batched swap updates every table; a single stale " +
+      "table refuses the whole batch") {
+    import spark.implicits._
+    val store = new CatalogComments(spark, tmp("comments_batch"))
+    val plan = Seq(
+      ("ta", "c1", "A1"), ("tb", "c1", "B1"), ("tc", "c1", "C1"))
+      .toDF("table_name", "column_name", "comment")
+    val v1 = store.applyAll(plan,
+      store.tableVersions(Seq("ta", "tb", "tc")))
+    assert(v1 == Map("ta" -> 1L, "tb" -> 1L, "tc" -> 1L))
+    assert(store.forTable("tb").collect().head.getString(1) == "B1")
+    // one table moves on independently
+    assert(store.apply("tb", plan, 1L) == 2L)
+    // a batch carrying tb's STALE version refuses everything
+    val e = intercept[IllegalStateException] {
+      store.applyAll(plan, Map("ta" -> 1L, "tb" -> 1L, "tc" -> 1L))
+    }
+    assert(e.getMessage.contains("tb"), e.getMessage)
+    assert(store.tableVersion("ta") == 1L,
+      "a refused batch must not bump ANY table")
+    // fresh versions succeed
+    val v2 = store.applyAll(plan,
+      store.tableVersions(Seq("ta", "tb", "tc")))
+    assert(v2 == Map("ta" -> 2L, "tb" -> 3L, "tc" -> 2L))
+  }
+
   test("secrets-resolved estate crawl: J3 credential loop end to end") {
     import graft.sources.v2.SecretsStore
     import SecretsStore.{SecretRef, SecretsPage, SecretsWireClient}

@@ -165,6 +165,49 @@ class StateAndCatalogSpec extends AnyFunSuite {
     assert(spark.table(t1).columns.toSet == Set("id", "email", "city"))
   }
 
+  test("backslashes survive the persisted DDL (comments and options)") {
+    // round-16 review: sq() escaped quotes but not backslashes, so
+    // Spark's string-literal unescaping corrupted values ('p\\ass' →
+    // 'pass'), a trailing backslash produced an unterminated literal,
+    // and \\' could break out of the quoting into the CREATE TABLE
+    val wh = tmpDir("warehouse_bs")
+    val dir = tmpDir("csvbs")
+    Files.writeString(Paths.get(s"$dir/bs.csv"),
+      "id,note\n1,n1\n")
+    val comment = """contains a back\slash and a trailing one\"""
+    val t = Crawler.registerTablePersistent(spark, wh, "Bs-Table",
+      Crawler.CsvSource, s"$dir/bs.csv",
+      comments = Map("note" -> comment))
+    val described = spark.sql(s"DESCRIBE TABLE $t").collect()
+      .find(_.getString(0) == "note").map(_.getString(2))
+    assert(described.contains(comment),
+      s"comment must round-trip byte-for-byte, got $described")
+    // the restore path re-executes the same DDL from the manifest
+    spark.sql(s"DROP TABLE $t")
+    Crawler.restoreCatalog(spark, wh)
+    assert(spark.sql(s"DESCRIBE TABLE $t").collect()
+      .find(_.getString(0) == "note").map(_.getString(2)).contains(comment))
+  }
+
+  test("crawlAll: empty source list yields an empty inventory; " +
+      "normalized-name collisions refuse loudly") {
+    val empty = Crawler.crawlAll(spark, Seq.empty)
+    assert(empty.columns.toSeq ==
+      Seq("table_name", "column_name", "data_type", "nullable"))
+    assert(empty.count() == 0L)
+    // round-16 review: 'sales_eu'+'orders' and 'sales'+'eu_orders'
+    // both normalize to sales_eu_orders; the second registration used
+    // to silently REPLACE the first — coverage loss in a PII crawl
+    val dir = tmpDir("collide")
+    Files.writeString(Paths.get(s"$dir/a.csv"), "id\n1\n")
+    val e = intercept[IllegalArgumentException] {
+      Crawler.crawlAll(spark, Seq(
+        ("sales-eu.orders", Crawler.CsvSource, s"$dir/a.csv"),
+        ("sales.eu_orders", Crawler.CsvSource, s"$dir/a.csv")))
+    }
+    assert(e.getMessage.contains("collide"), e.getMessage)
+  }
+
   test("classify finds phone numbers in the inferred CSV source") {
     val dir = tmpDir("csv2")
     Files.writeString(Paths.get(s"$dir/ind.csv"),

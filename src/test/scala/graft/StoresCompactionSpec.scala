@@ -67,6 +67,34 @@ class StoresCompactionSpec extends AnyFunSuite {
     assert(store.read().count() == 20L)
   }
 
+  test("appends serialize on the writer lock: a held lock BLOCKS the " +
+      "append (bounded wait) instead of racing a compactor") {
+    // round-16 review: an unlocked append landing between a concurrent
+    // compact's file listing and its delete was silently destroyed.
+    // Appends and compactions now share .<name>.writers.lock; unlike
+    // the fail-loud swap lock, this one WAITS.
+    val dir = freshDir("writer-lock")
+    val store = TagStore.forStreaming(spark, dir)
+    store.append(batch(1)) // table exists
+    val lockPath = new org.apache.hadoop.fs.Path(
+      s"$dir/.tag_capture.writers.lock")
+    val fs = lockPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(lockPath, false)
+    out.write("holder".getBytes("UTF-8")); out.close()
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val appendF = Future { store.append(batch(2)) }
+    Thread.sleep(1500)
+    assert(!appendF.isCompleted,
+      "append must WAIT while another writer holds the lock")
+    assert(store.read().count() == 1L, "the blocked append is invisible")
+    fs.delete(lockPath, false)
+    Await.result(appendF, 30.seconds)
+    assert(store.read().count() == 2L,
+      "the append completes once the holder releases")
+  }
+
   test("forStreaming findings sink: partitioned leaves also stay " +
       "un-compacted until the stage runs") {
     val dir = freshDir("streaming-findings")
