@@ -47,6 +47,20 @@ case class BloomFilterAgg(
   require(numHashes > 0, "numHashes must be > 0")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  // analysis-time type check (round-16 review: the blind UTF8String
+  // cast surfaced wrong-typed SQL input as a mid-job executor
+  // ClassCastException; the directory's own convention — see
+  // BoundedCollectAgg — is rejection at ANALYSIS time)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure(
+          s"bloom_filter_bits expects a string column, got ${other.simpleString} - cast first")
+    }
   override def nullable: Boolean = false
 
   @transient private lazy val md5 = MessageDigest.getInstance("MD5")

@@ -54,6 +54,21 @@ case class FrequentItemsAgg(
     containsNull = false)
   override def nullable: Boolean = false
 
+
+  // analysis-time type check (round-16 review: the blind UTF8String
+  // cast surfaced wrong-typed SQL input as a mid-job executor
+  // ClassCastException; the directory's own convention — see
+  // BoundedCollectAgg — is rejection at ANALYSIS time)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure(
+          s"frequent_items expects a string column, got ${other.simpleString} - cast first")
+    }
+
   override def createAggregationBuffer(): Buf = new Buf
 
   override def update(buffer: Buf, input: InternalRow): Buf = {

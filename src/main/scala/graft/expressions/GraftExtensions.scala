@@ -66,10 +66,17 @@ object FuseDotProduct extends Rule[LogicalPlan] {
     plan.transformAllExpressions {
       case ArrayAggregate(
             ZipWith(a, b, mult: LambdaFunction),
-            Literal(0.0, DoubleType),
+            seed @ Literal(0.0, DoubleType),
             merge: LambdaFunction,
             finish)
-          if isVectorType(a) && isVectorType(b) &&
+          // bit-exact zero only: Scala's numeric pattern also matches
+          // -0.0, but a fold seeded with -0.0 keeps the negative sign
+          // on empty/all-negative-zero inputs while DotProduct seeds
+          // +0.0 — a sign-of-zero flip under a bitwise hash compare
+          // (round-16 review)
+          if java.lang.Double.doubleToRawLongBits(
+              seed.value.asInstanceOf[Double]) == 0L &&
+            isVectorType(a) && isVectorType(b) &&
             isElementMultiply(mult) && isAccumulateAdd(merge) &&
             isIdentityFinish(finish) =>
         DotProduct(a, b)
@@ -129,33 +136,46 @@ object GraftFunctions {
     }
   }
 
+  /** The ONE name → (class, builder) registry both registration paths
+    * consume (round-16 review: the table was duplicated verbatim
+    * between registerAll and GraftExtensions.apply, and the copies had
+    * already drifted — including registering only "luhn_check" while
+    * the expression's prettyName and Column API say "luhn_valid", so a
+    * SQL user following plan output got an unresolved function; both
+    * names now resolve). Sketch aggregates register bare — the
+    * analyzer wraps a bare AggregateFunction into a Complete-mode
+    * AggregateExpression. */
+  private[expressions] val registry
+      : Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
+    ("dot_product", classOf[DotProduct],
+      exprs => DotProduct(exprs(0), exprs(1))),
+    ("strip_non_alnum", classOf[StripNonAlnum],
+      exprs => StripNonAlnum(exprs(0))),
+    ("hex_parity_mask", classOf[HexParityMask],
+      exprs => HexParityMask(exprs(0))),
+    ("luhn_check", classOf[LuhnCheck], exprs => LuhnCheck(exprs(0))),
+    ("luhn_valid", classOf[LuhnCheck], exprs => LuhnCheck(exprs(0))),
+    ("quantize_int8", classOf[QuantizeInt8],
+      exprs => QuantizeInt8(exprs(0))),
+    ("hll_registers", classOf[HllSketchAgg],
+      exprs => HllSketchAgg(exprs(0), intLit(exprs(1), "m"))),
+    ("count_min_sketch", classOf[CountMinSketchAgg],
+      exprs => CountMinSketchAgg(exprs(0),
+        intLit(exprs(1), "depth"), intLit(exprs(2), "width"))),
+    ("bloom_filter_bits", classOf[BloomFilterAgg],
+      exprs => BloomFilterAgg(exprs(0),
+        intLit(exprs(1), "numBits"), intLit(exprs(2), "numHashes"))),
+    ("frequent_items", classOf[FrequentItemsAgg],
+      exprs => FrequentItemsAgg(exprs(0), intLit(exprs(1), "k"))),
+    ("quantile_digest", classOf[QuantileDigestAgg],
+      exprs => QuantileDigestAgg(exprs(0), intLit(exprs(1), "k"),
+        intLit(exprs(2), "depth"), doubleArrayLit(exprs(3), "quantiles"))))
+
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
     import org.apache.spark.sql.graft.Bridge
-    Bridge.registerFunction(spark, "dot_product",
-      exprs => DotProduct(exprs(0), exprs(1)))
-    Bridge.registerFunction(spark, "strip_non_alnum",
-      exprs => StripNonAlnum(exprs(0)))
-    Bridge.registerFunction(spark, "hex_parity_mask",
-      exprs => HexParityMask(exprs(0)))
-    Bridge.registerFunction(spark, "luhn_check",
-      exprs => LuhnCheck(exprs(0)))
-    Bridge.registerFunction(spark, "quantize_int8",
-      exprs => QuantizeInt8(exprs(0)))
-    // the sketch aggregates (the analyzer wraps a bare
-    // AggregateFunction into Complete-mode AggregateExpression)
-    Bridge.registerFunction(spark, "hll_registers",
-      exprs => HllSketchAgg(exprs(0), intLit(exprs(1), "m")))
-    Bridge.registerFunction(spark, "count_min_sketch",
-      exprs => CountMinSketchAgg(exprs(0),
-        intLit(exprs(1), "depth"), intLit(exprs(2), "width")))
-    Bridge.registerFunction(spark, "bloom_filter_bits",
-      exprs => BloomFilterAgg(exprs(0),
-        intLit(exprs(1), "numBits"), intLit(exprs(2), "numHashes")))
-    Bridge.registerFunction(spark, "frequent_items",
-      exprs => FrequentItemsAgg(exprs(0), intLit(exprs(1), "k")))
-    Bridge.registerFunction(spark, "quantile_digest",
-      exprs => QuantileDigestAgg(exprs(0), intLit(exprs(1), "k"),
-        intLit(exprs(2), "depth"), doubleArrayLit(exprs(3), "quantiles")))
+    registry.foreach { case (name, _, build) =>
+      Bridge.registerFunction(spark, name, build)
+    }
   }
 }
 
@@ -177,30 +197,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // rank-filter → TopKPerKey rewrite + the strategy that plans it
     e.injectOptimizerRule(_ => org.apache.spark.sql.graft.TopKRewrite)
     e.injectPlannerStrategy(_ => org.apache.spark.sql.graft.TopKPerKeyStrategy)
-    fn(e, "dot_product", classOf[DotProduct],
-      exprs => DotProduct(exprs(0), exprs(1)))
-    fn(e, "strip_non_alnum", classOf[StripNonAlnum],
-      exprs => StripNonAlnum(exprs(0)))
-    fn(e, "hex_parity_mask", classOf[HexParityMask],
-      exprs => HexParityMask(exprs(0)))
-    fn(e, "luhn_check", classOf[LuhnCheck],
-      exprs => LuhnCheck(exprs(0)))
-    fn(e, "quantize_int8", classOf[QuantizeInt8],
-      exprs => QuantizeInt8(exprs(0)))
-    import GraftFunctions.intLit
-    fn(e, "hll_registers", classOf[HllSketchAgg],
-      exprs => HllSketchAgg(exprs(0), intLit(exprs(1), "m")))
-    fn(e, "count_min_sketch", classOf[CountMinSketchAgg],
-      exprs => CountMinSketchAgg(exprs(0),
-        intLit(exprs(1), "depth"), intLit(exprs(2), "width")))
-    fn(e, "bloom_filter_bits", classOf[BloomFilterAgg],
-      exprs => BloomFilterAgg(exprs(0),
-        intLit(exprs(1), "numBits"), intLit(exprs(2), "numHashes")))
-    fn(e, "frequent_items", classOf[FrequentItemsAgg],
-      exprs => FrequentItemsAgg(exprs(0), intLit(exprs(1), "k")))
-    import GraftFunctions.doubleArrayLit
-    fn(e, "quantile_digest", classOf[QuantileDigestAgg],
-      exprs => QuantileDigestAgg(exprs(0), intLit(exprs(1), "k"),
-        intLit(exprs(2), "depth"), doubleArrayLit(exprs(3), "quantiles")))
+    // one registry, two consumers (see GraftFunctions.registry)
+    GraftFunctions.registry.foreach { case (name, clazz, build) =>
+      fn(e, name, clazz, build)
+    }
   }
 }

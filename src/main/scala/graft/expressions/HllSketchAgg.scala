@@ -37,9 +37,28 @@ case class HllSketchAgg(
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Byte]] with UnaryLike[Expression] {
 
-  require(m > 0 && m <= 256, "m must be in 1..256 (bucket = first md5 byte mod m)")
+  require(m > 0 && m <= 256 && (m & (m - 1)) == 0,
+    "m must be a power of two in 1..256: bucket = first md5 byte mod m, " +
+      "and a non-divisor of 256 gives the low buckets 3/256 of the byte " +
+      "space vs 2/256 for the rest - a systematic occupancy skew the " +
+      "harmonic-mean estimator's error bound does not cover (round-16 " +
+      "review); the alpha constants also assume power-of-two m")
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  // analysis-time type check (round-16 review: the blind UTF8String
+  // cast surfaced wrong-typed SQL input as a mid-job executor
+  // ClassCastException; the directory's own convention — see
+  // BoundedCollectAgg — is rejection at ANALYSIS time)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure(
+          s"hll_registers expects a string column, got ${other.simpleString} - cast first")
+    }
   override def nullable: Boolean = false
 
   @transient private lazy val md5 = MessageDigest.getInstance("MD5")

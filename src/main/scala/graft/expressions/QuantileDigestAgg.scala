@@ -75,6 +75,19 @@ case class QuantileDigestAgg(
     containsNull = false)
   override def nullable: Boolean = false
 
+
+  // analysis-time type check (round-16 review: v.asInstanceOf[Long]
+  // CCE'd mid-job on IntegerType input — Integer is not Long)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure(
+          s"quantile_digest expects a bigint column, got ${other.simpleString} - cast first")
+    }
+
   override def createAggregationBuffer(): Buf = new Buf()
 
   /** Largest domain value inside the node's subtree. */

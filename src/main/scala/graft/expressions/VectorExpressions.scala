@@ -107,11 +107,20 @@ case class DotProduct(left: Expression, right: Expression)
   * null element, or a length mismatch with any centroid → null.
   */
 case class NearestCentroid(child: Expression,
-    ids: Array[Int], cents: Array[Array[Double]])
+    ids: Seq[Int], cents: Seq[Seq[Double]])
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
   require(ids.length == cents.length && ids.nonEmpty,
     "ids and centroid rows must align and be non-empty")
+
+  // Seq params for STRUCTURAL equality (round-16 review — the same
+  // canonicalization defect round 14 fixed in HyperplaneSignature: an
+  // Array parameter compares by reference, so two logically identical
+  // assignment expressions in one plan were never deduplicated and
+  // each N×nlist dot loop ran twice); arrays inside for the kernels
+  @transient private lazy val idArr: Array[Int] = ids.toArray
+  @transient private lazy val centArr: Array[Array[Double]] =
+    cents.map(_.toArray).toArray
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
@@ -133,8 +142,8 @@ case class NearestCentroid(child: Expression,
     var best = Double.NegativeInfinity
     var bestIdx = -1
     var c = 0
-    while (c < cents.length) {
-      val cent = cents(c)
+    while (c < centArr.length) {
+      val cent = centArr(c)
       if (cent.length != n) return null
       var acc = 0.0
       var i = 0
@@ -143,16 +152,24 @@ case class NearestCentroid(child: Expression,
         acc += (if (f) x.getFloat(i).toDouble else x.getDouble(i)) * cent(i)
         i += 1
       }
-      if (acc > best) { best = acc; bestIdx = c }
+      // NaN-greatest, exactly like the struct-argmin under Spark's
+      // ordering (round-16 review: plain `acc > best` is false for
+      // NaN, so an all-NaN row left bestIdx = -1 and ids(-1) crashed
+      // the whole assignment job on one corrupt vector); the
+      // bestIdx == -1 arm also covers all-(-Infinity) dots
+      if (bestIdx == -1 || acc > best
+          || (java.lang.Double.isNaN(acc) && !java.lang.Double.isNaN(best))) {
+        best = acc; bestIdx = c
+      }
       c += 1
     }
-    ids(bestIdx)
+    idArr(bestIdx)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
-      val centsRef = ctx.addReferenceObj("cents", cents, "double[][]")
-      val idsRef = ctx.addReferenceObj("ids", ids, "int[]")
+      val centsRef = ctx.addReferenceObj("cents", centArr, "double[][]")
+      val idsRef = ctx.addReferenceObj("ids", idArr, "int[]")
       val get = if (isFloat) "getFloat" else "getDouble"
       val n = ctx.freshName("n")
       val c = ctx.freshName("c")
@@ -173,7 +190,10 @@ case class NearestCentroid(child: Expression,
          |    if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    $acc += ((double) $a.$get($i)) * $cent[$i];
          |  }
-         |  if (!${ev.isNull} && $acc > $best) { $best = $acc; $bestIdx = $c; }
+         |  if (!${ev.isNull} && ($bestIdx == -1 || $acc > $best
+         |      || (Double.isNaN($acc) && !Double.isNaN($best)))) {
+         |    $best = $acc; $bestIdx = $c;
+         |  }
          |}
          |if (!${ev.isNull}) { ${ev.value} = $idsRef[$bestIdx]; }
        """.stripMargin
@@ -203,7 +223,7 @@ case class NearestCentroid(child: Expression,
   * null element, or a length mismatch with `dim` → null.
   */
 case class PqCodes(child: Expression, dim: Int,
-    ids: Array[Array[Int]], books: Array[Array[Array[Double]]])
+    ids: Seq[Seq[Int]], books: Seq[Seq[Seq[Double]]])
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
   require(books.nonEmpty && books.forall(_.nonEmpty), "empty codebook")
@@ -211,6 +231,12 @@ case class PqCodes(child: Expression, dim: Int,
     ids.zip(books).forall { case (a, b) => a.length == b.length },
     "ids and codebook rows must align")
   require(dim % books.length == 0, s"dim $dim must divide into ${books.length}")
+
+  // Seq params for structural equality — see NearestCentroid
+  @transient private lazy val idArr: Array[Array[Int]] =
+    ids.map(_.toArray).toArray
+  @transient private lazy val bookArr: Array[Array[Array[Double]]] =
+    books.map(_.map(_.toArray).toArray).toArray
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
@@ -229,12 +255,12 @@ case class PqCodes(child: Expression, dim: Int,
     val x = a.asInstanceOf[ArrayData]
     if (x.numElements() != dim) return null
     val f = isFloat
-    val m = books.length
+    val m = bookArr.length
     val sub = dim / m
     val out = new Array[Int](m)
     var j = 0
     while (j < m) {
-      val book = books(j)
+      val book = bookArr(j)
       var best = Double.NegativeInfinity
       var bestIdx = -1
       var c = 0
@@ -248,10 +274,15 @@ case class PqCodes(child: Expression, dim: Int,
           acc += (if (f) x.getFloat(p).toDouble else x.getDouble(p)) * cent(i)
           i += 1
         }
-        if (acc > best) { best = acc; bestIdx = c }
+        // NaN-greatest per subspace — same round-16 crash fix as
+        // NearestCentroid (ids(j)(-1) on an all-NaN subspace dot)
+        if (bestIdx == -1 || acc > best
+            || (java.lang.Double.isNaN(acc) && !java.lang.Double.isNaN(best))) {
+          best = acc; bestIdx = c
+        }
         c += 1
       }
-      out(j) = ids(j)(bestIdx)
+      out(j) = idArr(j)(bestIdx)
       j += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
@@ -259,8 +290,8 @@ case class PqCodes(child: Expression, dim: Int,
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
-      val booksRef = ctx.addReferenceObj("books", books, "double[][][]")
-      val idsRef = ctx.addReferenceObj("ids", ids, "int[][]")
+      val booksRef = ctx.addReferenceObj("books", bookArr, "double[][][]")
+      val idsRef = ctx.addReferenceObj("ids", idArr, "int[][]")
       val get = if (isFloat) "getFloat" else "getDouble"
       val m = books.length
       val sub = dim / m
@@ -291,7 +322,10 @@ case class PqCodes(child: Expression, dim: Int,
          |        if ($a.isNullAt($p)) { ${ev.isNull} = true; break; }
          |        $acc += ((double) $a.$get($p)) * $cent[$i];
          |      }
-         |      if (!${ev.isNull} && $acc > $best) { $best = $acc; $bestIdx = $c; }
+         |      if (!${ev.isNull} && ($bestIdx == -1 || $acc > $best
+         |          || (Double.isNaN($acc) && !Double.isNaN($best)))) {
+         |        $best = $acc; $bestIdx = $c;
+         |      }
          |    }
          |    if (!${ev.isNull}) { $out[$j] = $idsRef[$j][$bestIdx]; }
          |  }
@@ -346,10 +380,19 @@ case class QuantizeInt8(child: Expression)
     while (i < n) {
       if (x.isNullAt(i)) return null
       val v = math.abs(if (f) x.getFloat(i).toDouble else x.getDouble(i))
-      if (v > absMax) absMax = v
+      // NaN-greatest, like the declarative array_max form (round-16
+      // review: `v > absMax` is false for NaN, so a corrupt vector
+      // used to quantize as if the NaN element weren't there — a
+      // valid-looking result from garbage; now scale goes NaN and the
+      // corruption stays visible, matching Spark's ordering)
+      if (v > absMax || java.lang.Double.isNaN(v)) absMax = v
       i += 1
     }
-    val scale = if (absMax > 0.0) absMax / 127.0 else 1.0
+    // NaN absMax propagates (Spark treats NaN as greater than any
+    // numeric, so the declarative when(absMax > 0) branch TAKES it)
+    val scale =
+      if (absMax > 0.0 || java.lang.Double.isNaN(absMax)) absMax / 127.0
+      else 1.0
     val q = new Array[Int](n)
     i = 0
     while (i < n) {
@@ -376,10 +419,11 @@ case class QuantizeInt8(child: Expression)
          |for (int $i = 0; $i < $n; $i++) {
          |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  double $v = Math.abs((double) $a.$get($i));
-         |  if ($v > $absMax) $absMax = $v;
+         |  if ($v > $absMax || Double.isNaN($v)) $absMax = $v;
          |}
          |if (!${ev.isNull}) {
-         |  double $scale = $absMax > 0.0 ? $absMax / 127.0 : 1.0;
+         |  double $scale = ($absMax > 0.0 || Double.isNaN($absMax))
+         |    ? $absMax / 127.0 : 1.0;
          |  int[] $q = new int[$n];
          |  for (int $i = 0; $i < $n; $i++) {
          |    $q[$i] = (int) Math.floor(((double) $a.$get($i)) / $scale + 0.5);
@@ -433,6 +477,11 @@ case class HyperplaneSignature(child: Expression,
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
   require(planes.nonEmpty, "at least one hyperplane")
+  // a ragged plane matrix would sign '0' on every off-length plane —
+  // exactly the quiet collapse strictDim exists to make loud, and the
+  // strict check validates against planes(0) only (round-16 review)
+  require(planes.forall(_.size == planes.head.size),
+    s"hyperplane dimensions must be uniform, got ${planes.map(_.size).distinct.sorted.mkString("/")}")
 
   // Seq (structural equality) in the case-class parameter so Catalyst
   // canonicalization / semanticEquals / subexpression elimination see
@@ -562,15 +611,18 @@ object VectorExpressions {
     * subspace, ties → lowest code id). */
   def pq_codes(emb: Column, dim: Int,
       codebooks: Seq[Array[(Int, Array[Double])]]): Column =
+    // immutable Seq-of-Seq shapes so canonicalization sees equal
+    // codebooks as EQUAL (structural case-class equality)
     Bridge.column(PqCodes(Bridge.expression(emb), dim,
-      codebooks.map(_.map(_._1)).toArray,
-      codebooks.map(_.map(_._2)).toArray))
+      codebooks.toIndexedSeq.map(_.toIndexedSeq.map(_._1)),
+      codebooks.toIndexedSeq.map(_.toIndexedSeq.map(_._2.toIndexedSeq))))
 
   /** Column API: id of the max-dot centroid (ties → lowest id). */
   def nearest_centroid(emb: Column,
       centroids: Array[(Int, Array[Double])]): Column =
     Bridge.column(NearestCentroid(Bridge.expression(emb),
-      centroids.map(_._1), centroids.map(_._2)))
+      centroids.toIndexedSeq.map(_._1),
+      centroids.toIndexedSeq.map(_._2.toIndexedSeq)))
 
   /** Column API: the '0'/'1' hyperplane bit signature as one fused
     * kernel (sign of each plane's ascending-order dot). */

@@ -62,6 +62,26 @@ class GraftSessionSpec extends AnyFunSuite {
     assert(qd.forall(r => r.getLong(1) >= 2 && r.getLong(1) <= 4)) // "v1".."v100"
   }
 
+  test("wrong-typed sketch input rejects at ANALYSIS time; luhn_valid " +
+      "resolves as the SQL alias (round-16)") {
+    val s = Graft.configure(spark)
+    import s.implicits._
+    Seq(1, 2, 3).toDF("n").createOrReplaceTempView("sk_ints")
+    // pre-fix: these passed analysis and CCE'd mid-job on executors
+    for (q <- Seq(
+        "SELECT hll_registers(n, 64) FROM sk_ints",
+        "SELECT count_min_sketch(n, 4, 64) FROM sk_ints",
+        "SELECT bloom_filter_bits(n, 256, 3) FROM sk_ints",
+        "SELECT frequent_items(n, 4) FROM sk_ints",
+        "SELECT quantile_digest(CAST(n AS INT), 256, 16, array(0.5D)) FROM sk_ints")) {
+      val e = intercept[org.apache.spark.sql.AnalysisException](s.sql(q))
+      assert(e.getMessage.contains("cast first"), s"$q: ${e.getMessage}")
+    }
+    // the expression's prettyName and Column API say luhn_valid; the
+    // SQL registry used to carry only luhn_check — both resolve now
+    assert(s.sql("SELECT luhn_valid('4539578763621486')").head().getBoolean(0))
+  }
+
   test("a reference-style job runs end to end on a configured session") {
     val s = Graft.configure(spark)
     import s.implicits._

@@ -146,6 +146,38 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(r.forall(_.isNullAt(0)))
   }
 
+  test("NaN embeddings: nearest_centroid / pq_codes follow NaN-greatest " +
+      "instead of crashing; quantize_int8 propagates NaN (round-16)") {
+    // pre-fix: all-NaN dots left bestIdx = -1 and ids(-1) threw
+    // AIOOBE — one corrupt vector aborted the whole IVF assignment /
+    // PQ encode job; the struct-argmin forms these kernels replicate
+    // return an id under Spark's NaN-greatest ordering
+    val cents = Array(0 -> Array(1.0, 0.0), 1 -> Array(0.0, 1.0))
+    val vz = Seq(
+      (1L, Array(Float.NaN, 2.0f)), // NaN dot vs every centroid
+      (2L, Array(3.0f, 1.0f))
+    ).toDF("id", "emb")
+    val got = vz.select(col("id"),
+        VectorExpressions.nearest_centroid(col("emb"), cents).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got(1L) == 0, "all-NaN dots: NaN-greatest ties keep the lowest id")
+    assert(got(2L) == 0, "finite path unchanged")
+    val books = Seq(Array(0 -> Array(1.0), 1 -> Array(-1.0)),
+      Array(0 -> Array(1.0), 1 -> Array(-1.0)))
+    val codes = vz.select(col("id"),
+        VectorExpressions.pq_codes(col("emb"), 2, books).as("k"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+    assert(codes(1L) == List(0, 0),
+      "NaN subspace codes resolve to the lowest id, no crash")
+    // quantize_int8: the NaN element must dominate absMax (the
+    // declarative array_max is NaN-greatest), so the corruption stays
+    // visible in the scale instead of quantizing as if absent
+    val q = Seq((1L, Array(Float.NaN, 3.0f))).toDF("id", "emb")
+      .select(VectorExpressions.quantize_int8(col("emb")).as("s"))
+      .select(col("s.scale")).head().getDouble(0)
+    assert(q.isNaN, s"NaN input must surface as NaN scale, got $q")
+  }
+
   test("quantize_int8 matches the declarative form bit-for-bit") {
     // parquet-backed random floats (incl. negatives via centering)
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
