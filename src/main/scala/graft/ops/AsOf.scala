@@ -43,14 +43,10 @@ object AsOf {
       probeTs: String, startTs: String, endTs: String,
       bucketSeconds: Long): DataFrame = {
     val usPerBucket = bucketSeconds * 1000000L
-    // unix_micros only accepts TIMESTAMP; the source column may load as
-    // TIMESTAMP_NTZ (parquet timestamp[us] without isAdjustedToUTC).
-    // Casting NTZ→TIMESTAMP under the UTC session timezone is value-
-    // preserving, and bucket ids only need to be consistent across the
-    // two sides — the exact containment filter below uses the original
-    // columns.
-    def micros(c: org.apache.spark.sql.Column) =
-      unix_micros(c.cast(org.apache.spark.sql.types.TimestampType))
+    // NTZ-tolerant micros: see the shared TimeCols helper (bucket ids
+    // only need to be consistent across the two sides — the exact
+    // containment filter below uses the original columns)
+    import TimeCols.micros
     val ib = intervals.withColumn("_b", explode(sequence(
       (micros(col(startTs)) / usPerBucket).cast("long"),
       (micros(col(endTs)) / usPerBucket).cast("long"))))
@@ -77,8 +73,7 @@ object AsOf {
       lStart: String, lEnd: String, rStart: String, rEnd: String,
       bucketSeconds: Long): DataFrame = {
     val usPerBucket = bucketSeconds * 1000000L
-    def micros(c: org.apache.spark.sql.Column) =
-      unix_micros(c.cast(org.apache.spark.sql.types.TimestampType))
+    import TimeCols.micros
     def bucketOf(c: org.apache.spark.sql.Column) =
       (micros(c) / usPerBucket).cast("long")
     val lb = left.withColumn("_b", explode(sequence(

@@ -315,12 +315,17 @@ object EntityRegistry {
     Entity("CA_PASSPORT", "^[A-Z]{2}[0-9]{6}$"),
     Entity("AU_MEDICARE", "^[2-6][0-9]{3} ?[0-9]{5} ?[0-9]( ?[0-9])?$"))
 
-  /** Per-country IBAN formats (fixed national lengths; public spec). */
+  /** Per-country IBAN formats — the OFFICIAL total lengths from the
+    * public IBAN registry (round-16 review: every length was 2 short
+    * — the country-code chars subtracted twice — so the patterns
+    * rejected every real IBAN of their country and matched only
+    * truncated strings; a detection rule that never fires is worse
+    * than none). Pattern = CC + 2 check digits + (len-4) BBAN chars. */
   val iban: Seq[Entity] = Seq(
-    "DE" -> 20, "FR" -> 25, "GB" -> 20, "ES" -> 22, "IT" -> 25,
-    "NL" -> 16, "BE" -> 14, "CH" -> 19, "AT" -> 18, "PT" -> 23,
-    "PL" -> 26, "SE" -> 22, "NO" -> 13, "DK" -> 16, "FI" -> 16,
-    "IE" -> 20).map { case (cc, len) =>
+    "DE" -> 22, "FR" -> 27, "GB" -> 22, "ES" -> 24, "IT" -> 27,
+    "NL" -> 18, "BE" -> 16, "CH" -> 21, "AT" -> 20, "PT" -> 25,
+    "PL" -> 28, "SE" -> 24, "NO" -> 15, "DK" -> 18, "FI" -> 18,
+    "IE" -> 22).map { case (cc, len) =>
     Entity(s"IBAN_$cc", s"^$cc[0-9]{2}[A-Z0-9]{${len - 4}}$$")
   }
 

@@ -48,7 +48,15 @@ object Compact {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(path)) return 0L
-    graft.util.StagingSwap.withWriterLock(fs, path) {
+    // LOCK THE TABLE ROOT, not the leaf (round-16 review, second
+    // pass): appenders hold the root's writer lock, so a per-leaf
+    // caller locking only `.k=v.writers.lock` would not exclude them
+    // — the same destroyed-append race, re-opened for the documented
+    // per-partition caller loop. A leaf's root is found by walking up
+    // past the k=v levels.
+    var root = path
+    while (root.getName.contains("=")) root = root.getParent
+    graft.util.StagingSwap.withWriterLock(fs, root) {
       rewriteLocked(spark, fs, path, targetBytes)
     }
   }
@@ -125,7 +133,10 @@ object Compact {
     // root→leaf order, no reverse path anywhere)
     graft.util.StagingSwap.withWriterLock(fs, rootPath) {
       leaves(rootPath).map { leaf =>
-        leaf.toString -> rewrite(spark, leaf.toString, targetBytes)
+        // rewriteLocked directly: this sweep already holds the root
+        // writer lock, and rewrite() would try to re-acquire it for a
+        // leaf (non-reentrant — self-deadlock)
+        leaf.toString -> rewriteLocked(spark, fs, leaf, targetBytes)
       }.toMap
     }
   }

@@ -35,6 +35,11 @@ object Layout {
     * pruning on either column. */
   def zorderBy(df: DataFrame, c1: String, c2: String,
       partitions: Int = 0): DataFrame = {
+    // a layout-only rewrite must never LOSE a column: withColumn would
+    // silently overwrite a user column named _z and the final drop
+    // would remove it (round-16 review) — refuse instead
+    require(!df.columns.contains("_z"),
+      "zorderBy uses a temporary _z column; rename the input's _z first")
     val z = zValue(col(c1), col(c2)).as("_z")
     val withZ = df.withColumn("_z", z)
     val parts = if (partitions > 0) partitions

@@ -35,11 +35,20 @@ object MlFit {
     * corpus: f_len = min(len/500, 1), f_tok = min(n_tokens/100, 1),
     * label = text contains "spark". Returns one row of rounded
     * weights + the training-row count. */
+  // The feature projection and margin, defined ONCE (round-16 review:
+  // three verbatim copies across fit/filter/calibration — the ml2
+  // cross-engine contract needs train-time and score-time features
+  // bit-identical, and a one-copy edit would silently break it).
+  private def fLen: Column =
+    least(length(col("text")).cast(DoubleType) / lit(500.0), lit(1.0))
+  private def fTok: Column =
+    least(size(split(trim(col("text")), "\\s+")).cast(DoubleType)
+      / lit(100.0), lit(1.0))
+  private def marginOf(wb: Double, wl: Double, wt: Double): Column =
+    lit(wb) + lit(wl) * fLen + lit(wt) * fTok
+
   def logregQuality(docs: DataFrame, iters: Int = 3, lr: Double = 1.0): DataFrame = {
-    val feats = docs.select(
-      least(length(col("text")).cast(DoubleType) / lit(500.0), lit(1.0)).as("f_len"),
-      least(size(split(trim(col("text")), "\\s+")).cast(DoubleType) / lit(100.0),
-        lit(1.0)).as("f_tok"),
+    val feats = docs.select(fLen.as("f_len"), fTok.as("f_tok"),
       when(col("text").contains("spark"), lit(1.0)).otherwise(lit(0.0)).as("y"))
 
     var w = Array(0.0, 0.0, 0.0) // bias, w_len, w_tok
@@ -80,10 +89,7 @@ object MlFit {
       threshold: Double = 0.5): DataFrame = {
     val m = logregQuality(docs, iters, lr).head()
     val (wb, wl, wt) = (m.getDouble(0), m.getDouble(1), m.getDouble(2))
-    val fLen = least(length(col("text")).cast(DoubleType) / lit(500.0), lit(1.0))
-    val fTok = least(size(split(trim(col("text")), "\\s+")).cast(DoubleType)
-      / lit(100.0), lit(1.0))
-    val margin = lit(wb) + lit(wl) * fLen + lit(wt) * fTok
+    val margin = marginOf(wb, wl, wt)
     docs.select(col("doc_id"),
         round(lit(1.0) / (lit(1.0) + exp(-margin)), 6).as("score"))
       .withColumn("kept", col("score") >= lit(threshold))
@@ -108,10 +114,7 @@ object MlFit {
       bins: Int = 10): DataFrame = {
     val m = logregQuality(docs, iters, lr).head()
     val (wb, wl, wt) = (m.getDouble(0), m.getDouble(1), m.getDouble(2))
-    val fLen = least(length(col("text")).cast(DoubleType) / lit(500.0), lit(1.0))
-    val fTok = least(size(split(trim(col("text")), "\\s+")).cast(DoubleType)
-      / lit(100.0), lit(1.0))
-    val margin = lit(wb) + lit(wl) * fLen + lit(wt) * fTok
+    val margin = marginOf(wb, wl, wt)
     def r6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
     docs.select(
         round(lit(1.0) / (lit(1.0) + exp(-margin)), 6).as("score"),

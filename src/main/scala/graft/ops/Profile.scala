@@ -74,6 +74,10 @@ object Profile {
     * is dim-sized — Catalyst picks); counts are exact. */
   def referentialAudit(relations: Seq[(String, DataFrame, String, DataFrame,
       String)]): DataFrame = {
+    // loud guard, the Quality.check/Funnel convention (round-16
+    // review: empty.reduce threw an opaque UnsupportedOperationException)
+    require(relations.nonEmpty,
+      "referentialAudit needs at least one (name, child, key, parent, key) relation")
     relations.map { case (name, child, childKey, parent, parentKey) =>
       child.select(col(childKey))
         .join(parent.select(col(parentKey).as(childKey)).distinct()
@@ -116,11 +120,18 @@ object Profile {
       k: Double = 3.0): DataFrame = {
     val med = df.groupBy(col(groupCol)).agg(
       expr(s"percentile($valCol, 0.5)").as("__med"))
-    val dev = df.join(broadcast(med), Seq(groupCol))
+    // NULL-SAFE joins back (round-16 review: the null-unsafe
+    // using-column join silently DROPPED every row whose group key is
+    // null — "rows keep their identity" was false for them; the
+    // grouped aggregate produces a null-group stats row, so <=> keeps
+    // those rows clamped/fenced like any other group's)
+    val dev = df.join(broadcast(med.withColumnRenamed(groupCol, "__g1")),
+        col(groupCol) <=> col("__g1")).drop("__g1")
       .withColumn("__ad", abs(col(valCol) - col("__med")))
     val mad = dev.groupBy(col(groupCol)).agg(
       expr("percentile(__ad, 0.5)").as("__mad"))
-    dev.join(broadcast(mad), Seq(groupCol))
+    dev.join(broadcast(mad.withColumnRenamed(groupCol, "__g2")),
+        col(groupCol) <=> col("__g2")).drop("__g2")
       .groupBy(col(groupCol))
       .agg(round(min(col("__med")), 6).as("med"),
         round(min(col("__mad")), 6).as("mad"),
@@ -134,7 +145,9 @@ object Profile {
     val bounds = df.groupBy(col(groupCol)).agg(
       expr(s"percentile($valCol, $lo)").as("__lo"),
       expr(s"percentile($valCol, $hi)").as("__hi"))
-    df.join(broadcast(bounds), Seq(groupCol))
+    // null-safe join back — see madOutliers (round-16 review)
+    df.join(broadcast(bounds.withColumnRenamed(groupCol, "__g1")),
+        col(groupCol) <=> col("__g1")).drop("__g1")
       .withColumn(s"${valCol}_w",
         round(least(greatest(col(valCol), col("__lo")), col("__hi")), 4))
       .drop("__lo", "__hi")

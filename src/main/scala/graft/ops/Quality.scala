@@ -97,7 +97,7 @@ object Quality {
   /** Row-level routing — the per-row complement of [[check]]'s
     * table-level report (and the batch sibling of the streaming DLQ
     * gate): every row gains `violations` (the names of the row rules
-    * it breaks, comma-joined in rule order; empty when clean) and
+    * it breaks, '; '-joined in rule order; empty when clean) and
     * `is_valid`. Consumers split the frame with one filter each —
     * valid rows continue, the quarantine side lands in a
     * dead-letter sink with its reasons attached. Row rules only
@@ -110,7 +110,11 @@ object Quality {
     require(rowRules.nonEmpty, "quarantine needs at least one row rule")
     require(rowRules.size == rules.size,
       "unique rules are table-granular — use check() for them")
-    df.withColumn("violations", concat_ws(",", rowRules.map(r =>
+    // '; '-joined, NOT ','-joined (round-16 review): rule names
+    // themselves contain commas — in_range(age,0.0,120.0) — so a DLQ
+    // consumer splitting the documented comma format recovered
+    // fragments like "0.0)"; no rule-name constructor emits ';'
+    df.withColumn("violations", concat_ws("; ", rowRules.map(r =>
         when(violationPred(r), lit(r.name))): _*))
       .withColumn("is_valid", col("violations") === "")
   }

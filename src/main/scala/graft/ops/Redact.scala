@@ -108,13 +108,19 @@ object Redact {
   def generalizeKAnon(df: DataFrame, idCol: String,
       ladder: Seq[(Column, Column)], k: Long): DataFrame = {
     require(ladder.nonEmpty, "empty generalization ladder")
-    val minSizes = ladder.map { case (q1, q2) =>
+    // walk levels IN ORDER and stop at the first that reaches k
+    // (round-16 review: the eager map computed a full-table aggregate
+    // for EVERY level before indexWhere picked the first — when level
+    // 0 already satisfies k, the other |ladder|-1 corpus scans were
+    // pure waste; indexWhere semantics are preserved exactly)
+    def minSize(q1: Column, q2: Column): Long = {
       val m = df.groupBy(q1.as("q1"), q2.as("q2"))
         .agg(count(lit(1)).as("n"))
         .agg(min(col("n"))).head()
       if (m.isNullAt(0)) 0L else m.getLong(0) // empty input
     }
-    val level = minSizes.indexWhere(_ >= k) match {
+    val level = ladder.indexWhere { case (q1, q2) => minSize(q1, q2) >= k }
+      match {
       case -1 => ladder.length - 1
       case i => i
     }

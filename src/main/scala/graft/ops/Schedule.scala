@@ -17,7 +17,11 @@ object Schedule {
       val action: () => Unit)
 
   final case class RunReport(succeeded: Seq[String], failed: Seq[String],
-      skipped: Seq[String])
+      skipped: Seq[String],
+      /** stage → "ExceptionClass: message" for each failure (round 16:
+        * the nightly report used to carry names only — nothing to
+        * diagnose WHY a stage and its skipped dependents failed). */
+      errors: Map[String, String] = Map.empty)
 
   /** The reference's stage graph with engine actions plugged in.
     * `compactSinks` is the engine-added maintenance tail (the
@@ -51,16 +55,27 @@ object Schedule {
     val done = scala.collection.mutable.Set.empty[String]
     val failed = scala.collection.mutable.Set.empty[String]
     val skipped = scala.collection.mutable.Set.empty[String]
+    val errors = scala.collection.mutable.Map.empty[String, String]
     val pending = scala.collection.mutable.Queue(topoSort(stages): _*)
     while (pending.nonEmpty) {
       val s = pending.dequeue()
       if (s.dependsOn.exists(d => failed(d) || skipped(d))) skipped += s.name
       else {
         try { s.action(); done += s.name }
-        catch { case _: Exception => failed += s.name }
+        catch {
+          case e: Exception =>
+            failed += s.name
+            // keep the WHY (round-16 review: the exception was
+            // discarded entirely — an operator reading the nightly
+            // RunReport had no message, no trace, nothing logged)
+            errors += s.name -> s"${e.getClass.getSimpleName}: ${e.getMessage}"
+            org.slf4j.LoggerFactory.getLogger("graft.ops.Schedule")
+              .warn(s"stage ${s.name} failed", e)
+        }
       }
     }
-    RunReport(done.toSeq.sorted, failed.toSeq.sorted, skipped.toSeq.sorted)
+    RunReport(done.toSeq.sorted, failed.toSeq.sorted, skipped.toSeq.sorted,
+      errors.toMap)
   }
 
   private[ops] def topoSort(stages: Seq[Stage]): Seq[Stage] = {

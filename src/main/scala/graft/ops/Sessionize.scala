@@ -22,7 +22,7 @@ import org.apache.spark.sql.types.TimestampType
   */
 object Sessionize {
 
-  private def micros(c: Column): Column = unix_micros(c.cast(TimestampType))
+  private def micros(c: Column): Column = TimeCols.micros(c)
 
   /** Per-event session index (1-based, per key, in (ts, order) order).
     * A new session starts at the first event and at any event whose

@@ -1,0 +1,16 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.unix_micros
+import org.apache.spark.sql.types.TimestampType
+
+/** Shared timestamp→microseconds projection (round-16 review folded
+  * three verbatim copies: AsOf.joinRange, AsOf.joinIntervals,
+  * Sessionize). `unix_micros` accepts only TIMESTAMP, but the source
+  * column may load as TIMESTAMP_NTZ (the testdata's isAdjustedToUTC
+  * variance — see the verify notes); the cast is value-preserving
+  * under the engine's fixed UTC session timezone and a no-op on a
+  * column that is already TIMESTAMP. */
+private[ops] object TimeCols {
+  def micros(c: Column): Column = unix_micros(c.cast(TimestampType))
+}

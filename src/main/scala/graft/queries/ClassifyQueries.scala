@@ -280,7 +280,7 @@ object ClassifyQueries extends QueryPack {
     "dq2_quarantine" ->
       """SELECT c_custkey,
         |  violations = '' AS is_valid, violations
-        |FROM (SELECT c_custkey, concat_ws(',',
+        |FROM (SELECT c_custkey, concat_ws('; ',
         |    CASE WHEN c_name IS NULL THEN 'not_null(c_name)' END,
         |    CASE WHEN c_acctbal IS NOT NULL
         |      AND (c_acctbal < 0.0 OR c_acctbal >= 10000.0)

@@ -418,14 +418,16 @@ object ProfileQueries extends QueryPack {
         |  FROM events GROUP BY 1),
         |dev AS (SELECT e.event_type, med.med,
         |    abs(e.value - med.med) AS ad
-        |  FROM events e JOIN med USING (event_type)),
+        |  FROM events e
+        |  JOIN med ON e.event_type IS NOT DISTINCT FROM med.event_type),
         |mad AS (SELECT event_type, quantile_cont(ad, 0.5) AS mad
         |  FROM dev GROUP BY 1)
         |SELECT d.event_type, round(min(d.med), 6) AS med,
         |  round(min(m.mad), 6) AS mad,
         |  CAST(sum(CASE WHEN round(d.ad - 3.0 * m.mad, 9) > 0
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
-        |FROM dev d JOIN mad m USING (event_type) GROUP BY 1""".stripMargin,
+        |FROM dev d JOIN mad m ON d.event_type IS NOT DISTINCT FROM m.event_type
+        |GROUP BY 1""".stripMargin,
 
     "pr14_source_overlap" ->
       """WITH h AS (SELECT source, j,
@@ -486,9 +488,9 @@ object ProfileQueries extends QueryPack {
         |  SELECT event_type,
         |    quantile_cont(value, 0.05) AS lo, quantile_cont(value, 0.95) AS hi
         |  FROM events GROUP BY event_type)
-        |SELECT event_id, event_type, value,
+        |SELECT e.event_type AS event_type, event_id, value,
         |  round(least(greatest(value, lo), hi), 4) AS value_w
-        |FROM events JOIN b USING (event_type)""".stripMargin,
+        |FROM events e JOIN b ON e.event_type IS NOT DISTINCT FROM b.event_type""".stripMargin,
 
     "pr2_numeric_summary" ->
       """SELECT count(l_extendedprice) AS n,

@@ -75,6 +75,26 @@ class ClassifySpec extends AnyFunSuite {
     assert(byCol.values.forall(s => s == s.sorted && s.distinct == s))
   }
 
+  test("IBAN patterns accept REAL example IBANs at official registry " +
+      "lengths (round-16 review: every length was 2 short)") {
+    // public example IBANs from the countries' own format docs
+    val examples = Seq(
+      "IBAN_DE" -> "DE89370400440532013000",        // 22
+      "IBAN_GB" -> "GB82WEST12345698765432",        // 22
+      "IBAN_FR" -> "FR1420041010050500013M02606",   // 27
+      "IBAN_NL" -> "NL91ABNA0417164300",            // 18
+      "IBAN_CH" -> "CH9300762011623852957",         // 21
+      "IBAN_NO" -> "NO9386011117947")               // 15
+    examples.foreach { case (name, iban) =>
+      val p = E.all.find(_.name == name)
+        .getOrElse(fail(s"$name missing")).pattern
+      assert(iban.matches(p), s"$name must match the real $iban")
+      // the pre-fix pattern accepted exactly this 2-short truncation
+      assert(!iban.dropRight(2).matches(p),
+        s"$name must reject the truncated form")
+    }
+  }
+
   test("registry: unique names, compilable Java-∩-RE2-safe patterns") {
     val names = E.all.map(_.name)
     assert(names.distinct.length == names.length)

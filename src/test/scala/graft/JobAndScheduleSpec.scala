@@ -62,6 +62,8 @@ class JobAndScheduleSpec extends AnyFunSuite {
       piiReport = ok2("report"), piiScan = ok2("scan"),
       tagReport = ok2("tags")))
     assert(r2.failed == Seq("crawlers"))
+    // round 16: the WHY rides the report (was discarded entirely)
+    assert(r2.errors.get("crawlers").exists(_.contains("boom")), r2.errors)
     // compact-sinks is downstream of pii-report, so it skips too
     assert(r2.skipped.toSet == Set("pii-scan", "pii-report", "compact-sinks"))
     assert(ran2.contains("tags"))

@@ -31,6 +31,16 @@ class LayoutSpec extends AnyFunSuite {
     assert(edge(1) == mortonRef(65535L, 1L))
   }
 
+  test("zorderBy refuses an input that already carries _z (round 16: " +
+      "the temp column silently destroyed it)") {
+    import spark.implicits._
+    val withZ = Seq((1L, 2L, "keep-me")).toDF("a", "b", "_z")
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Layout.zorderBy(withZ, "a", "b")
+    }
+    assert(e.getMessage.contains("_z"))
+  }
+
   test("zorderBy preserves rows and clusters both dimensions") {
     val df = (0 until 1024).map(i => (i.toLong, (i * 37 % 100).toLong,
       (i * 61 % 100).toLong)).toDF("id", "a", "b")

@@ -61,14 +61,17 @@ class QualitySpec extends AnyFunSuite {
       .select("name", "is_valid", "violations").collect()
       .map(r => (Option(r.getString(0)), r.getBoolean(1), r.getString(2)))
     assert(out.contains((Some("a-1"), true, "")))
+    // '; '-joined (round 16): rule names contain commas, so the old
+    // comma join made the reasons unsplittable for a DLQ consumer
     assert(out.contains((None, false,
-      "not_null(name),in_range(v,0.0,10.0)")))
+      "not_null(name); in_range(v,0.0,10.0)")))
     assert(out.contains((Some("bad"), false,
-      "matches_regex(name),in_set(cat)")))
+      "matches_regex(name); in_set(cat)")))
     assert(out.contains((Some("a-2"), false, "in_range(v,0.0,10.0)")))
+    // a consumer splitting on '; ' recovers exact rule names now
+    assert(out.filter(!_._2).flatMap(_._3.split("; "))
+      .forall(n => rules.exists(_.name == n)))
     // conservation: per-rule mentions in quarantine == check's counts
-    // (substring match — rule names themselves contain commas, so
-    // splitting the joined reasons on ',' would fragment them)
     val counts = report(df, rules)
     for (r <- rules)
       assert(out.count(_._3.contains(r.name)).toLong

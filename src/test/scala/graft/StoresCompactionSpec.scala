@@ -95,6 +95,35 @@ class StoresCompactionSpec extends AnyFunSuite {
       "the append completes once the holder releases")
   }
 
+  test("per-leaf Compact.rewrite locks the TABLE ROOT, so a root-locked " +
+      "appender excludes it (round-16 second pass)") {
+    // a leaf-only lock would not exclude FindingsStore.append (which
+    // holds the ROOT writer lock) — the destroyed-append race
+    // re-opened for the documented per-partition caller loop
+    val dir = freshDir("leaf-lock")
+    val store = FindingsStore.forStreaming(spark, dir)
+    (1 to 4).foreach { i =>
+      store.append(Seq((i.toLong, "s3", s"col$i"))
+        .toDF("run_id", "data_source_type", "column_name"))
+    }
+    val rootLock = new org.apache.hadoop.fs.Path(
+      s"$dir/.pii_findings.writers.lock")
+    val fs = rootLock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(rootLock, false)
+    out.write("holder".getBytes("UTF-8")); out.close()
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val leafDir = s"$dir/pii_findings/data_source_type=s3"
+    val compactF = Future { graft.ops.Compact.rewrite(spark, leafDir, 1L) }
+    Thread.sleep(1500)
+    assert(!compactF.isCompleted,
+      "a per-leaf rewrite must WAIT on the table-root writer lock")
+    fs.delete(rootLock, false)
+    Await.result(compactF, 60.seconds)
+    assert(store.read().count() == 4L)
+  }
+
   test("forStreaming findings sink: partitioned leaves also stay " +
       "un-compacted until the stage runs") {
     val dir = freshDir("streaming-findings")
