@@ -52,21 +52,31 @@ object Bpe {
     *      (x, l+r) is bounded by count(x, l) — an overlapping,
     *      therefore non-kept, pair — so nothing outside the batch can
     *      outrank a kept pair mid-batch. The sequential algorithm
-    *      would pick exactly this prefix, in this order.
+    *      would pick exactly this prefix, in this order;
+    *   3. no kept pair's merged string equals an ALREADY-EXISTING
+    *      symbol (round-16 review closed this hole in condition 2's
+    *      argument: if l+r already exists — learned in an earlier
+    *      round — applying the merge ADDS occurrences to pre-existing
+    *      pairs like (w, l+r), whose total can then exceed the
+    *      boundary and outrank a later kept pair mid-batch; the
+    *      bounded-by-count(x, l) argument only covers pairs born at
+    *      zero. Initial symbols are single code points, so only
+    *      learned merge outputs can collide — `existingSymbols`).
     *
     * Ties at the very top trim the batch to empty → fall back to a
     * single merge, which is the sequential step itself. Result is
     * provably identical to one-merge-at-a-time BPE, in `batch`-times
     * fewer driver rounds. */
   private[graft] def selectBatch(rows: Seq[(String, String, Long)],
-      maxTake: Int): Seq[(String, String)] = {
+      maxTake: Int,
+      existingSymbols: Set[String] = Set.empty): Seq[(String, String)] = {
     val used = scala.collection.mutable.Set.empty[String]
     val kept = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     var boundary: Option[Long] = None
     val it = rows.iterator
     while (boundary.isEmpty && kept.size < maxTake && it.hasNext) {
       val row @ (l, r, c) = it.next()
-      val collision = used(l) || used(r) ||
+      val collision = used(l) || used(r) || existingSymbols(l + r) ||
         kept.exists { case (kl, kr, _) => kl + kr == l || kl + kr == r }
       if (collision) boundary = Some(c)
       else { kept += row; used += l; used += r }
@@ -77,7 +87,11 @@ object Bpe {
       case None => kept.toSeq // no pair exists outside the batch
       case Some(b) => kept.takeWhile(_._3 > b).toSeq
     }
-    (if (trimmed.nonEmpty) trimmed else kept.take(1).toSeq)
+    // fallback = the sequential step itself (rows.head, NOT
+    // kept.head: an existing-symbol collision on the very first row
+    // leaves kept empty, and applying the top pair alone is always
+    // the correct sequential move)
+    (if (trimmed.nonEmpty) trimmed else rows.take(1))
       .map { case (l, r, _) => (l, r) }
   }
 
@@ -132,7 +146,8 @@ object Bpe {
         .collect()
         .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
       if (top.isEmpty) { releaseCp(words); return merges.toSeq }
-      val batch = selectBatch(top, want)
+      val batch = selectBatch(top, want,
+        merges.iterator.map { case (_, l, r) => l + r }.toSet)
       batch.foreach { case (l, r) => merges += ((merges.size, l, r)) }
       val prevRdd = cpRdd(words)
       words = words.map { case (syms, n) => (applyMerges(syms, batch), n) }
@@ -149,13 +164,11 @@ object Bpe {
     merges.toSeq
   }
 
-  /** A localCheckpoint's storage handle: the LogicalRDD leaf the
-    * checkpoint swapped in. None for non-checkpointed frames. */
+  /** See [[graft.util.Caches.checkpointRdd]] (round 16: one shared
+    * extractor). */
   private def cpRdd(ds: org.apache.spark.sql.Dataset[_])
       : Option[org.apache.spark.rdd.RDD[_]] =
-    ds.queryExecution.analyzed.collectLeaves().collectFirst {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-    }
+    graft.util.Caches.checkpointRdd(ds)
   private def releaseCp(ds: org.apache.spark.sql.Dataset[_]): Unit =
     releaseCp(cpRdd(ds))
   private def releaseCp(rdd: Option[org.apache.spark.rdd.RDD[_]]): Unit =

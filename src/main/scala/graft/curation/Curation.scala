@@ -45,9 +45,13 @@ object Curation {
   def mixtureWeights(df: DataFrame, domainCol: String,
       tokens: org.apache.spark.sql.Column): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val per = df.groupBy(col(domainCol))
+    // scope-cached: `per` feeds BOTH the z denominator aggregate and
+    // the crossJoin probe — uncached, each evaluation repeated the
+    // full corpus groupBy scan (round-16 review; the tokenRarity
+    // idiom). Domain-granular, so the cache is tiny.
+    val per = graft.util.Caches.scoped(df.groupBy(col(domainCol))
       .agg(count(lit(1)).as("n_docs"), sum(tokens).as("n_tokens"))
-      .withColumn("sq", sqrt(col("n_docs")))
+      .withColumn("sq", sqrt(col("n_docs"))))
     val z = per.agg(
       sum(col("sq").cast(DecimalType(38, 18))).cast("double").as("z"))
     per.crossJoin(broadcast(z))
@@ -77,8 +81,12 @@ object Curation {
       .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))
     df.select(col(idCol), col(domainCol))
       .withColumn("pos", row_number().over(w).cast("long"))
-      .join(broadcast(weights.select(col(domainCol), col("weight"))),
-        Seq(domainCol))
+      // null-safe: mixtureWeights emits a null-domain weight row;
+      // dropping those docs from the stream was silent (round 16)
+      .join(broadcast(weights.select(col(domainCol).as("__g1"),
+          col("weight"))),
+        col(domainCol) <=> col("__g1"))
+      .drop("__g1")
       .withColumn("interleave_key",
         round(col("pos").cast("double") / col("weight"), 6))
       .select(col(idCol), col(domainCol), col("pos"), col("interleave_key"))
@@ -264,14 +272,19 @@ object Curation {
         }
       }
       .toDF("doc_id", "term", "tf")
+    // scope-cached: tf feeds BOTH the dfreq aggregate and the join
+    // probe side — as independent child plans they get no
+    // ReusedExchange, so uncached the whole corpus tokenized TWICE
+    // per run (round-16 review; the tokenRarity idiom)
+    val tfC = graft.util.Caches.scoped(tf.toDF())
     // N as a broadcast single-row frame, not a driver-side count():
     // keeps the whole computation one plan (no separate job) and the
     // corpus scan for N runs concurrently with the tf pass
     val nDocs = df.select(col(idCol)).distinct()
       .agg(count(lit(1)).cast("double").as("n_docs"))
-    val dfreq = tf.groupBy(col("term"))
+    val dfreq = tfC.groupBy(col("term"))
       .agg(count(lit(1)).as("df"))
-    val scored = tf.join(dfreq, Seq("term"))
+    val scored = tfC.join(dfreq, Seq("term"))
       .crossJoin(broadcast(nDocs))
       .withColumn("score",
         col("tf").cast("double")
@@ -313,7 +326,12 @@ object Curation {
     // percentile differs between engines at ulp level (different
     // operation order), so a doc whose quality sits exactly on the
     // boundary would otherwise flip inclusion engine-to-engine
-    q.join(broadcast(bounds), Seq(strataCol))
+    // NULL-SAFE bounds join (the round-16 winsorize/madOutliers fix,
+    // same class here): a null stratum HAS a bounds row from the
+    // groupBy, but the null-unsafe using-column join dropped those
+    // docs entirely — neither filtered within their group nor kept
+    q.join(broadcast(bounds.withColumnRenamed(strataCol, "__g1")),
+        col(strataCol) <=> col("__g1")).drop("__g1")
       .filter(round(col("quality") - col("p_lo"), 9) >= 0
         && round(col("quality") - col("p_hi"), 9) <= 0)
       .select(col(idCol), col(strataCol), col("quality"))
@@ -338,7 +356,10 @@ object Curation {
     val counts = df.groupBy(col(domainCol))
       .agg(count(lit(1)).as("n_domain"))
     val hashFrac = hashFrac32(idCol) / lit(4294967296.0)
-    df.join(broadcast(counts), Seq(domainCol))
+    // null-safe: a null domain is its own quota group, not a silent
+    // drop (round-16 review, the winsorize fix class)
+    df.join(broadcast(counts.withColumnRenamed(domainCol, "__g1")),
+        col(domainCol) <=> col("__g1")).drop("__g1")
       .filter(hashFrac < least(lit(1.0), lit(quota.toDouble) / col("n_domain")))
       .select(col(idCol), col(domainCol))
   }
@@ -919,14 +940,9 @@ object Curation {
         coalesce(col("label"), col(idName)).as("component"))
   }
 
-  /** A localCheckpoint's storage handle — the LogicalRDD leaf the
-    * checkpoint swapped in; None for non-checkpointed frames.
-    * `Dataset.unpersist` only clears CacheManager entries, so
-    * checkpoint blocks must release through this handle (the
-    * Graph.scala / Caches.scala contract). */
+  /** See [[graft.util.Caches.checkpointRdd]] — the one shared
+    * extractor for the checkpoint-release contract (round 16). */
   private def cpRdd(ds: org.apache.spark.sql.Dataset[_])
       : Option[org.apache.spark.rdd.RDD[_]] =
-    ds.queryExecution.analyzed.collectLeaves().collectFirst {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-    }
+    graft.util.Caches.checkpointRdd(ds)
 }

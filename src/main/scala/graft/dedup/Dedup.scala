@@ -270,6 +270,13 @@ object Dedup {
     * pair. One shuffle regardless of band count (the per-band
     * join+union chain was nBands shuffles of the same frame). */
   def lshCandidates(sigs: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame = {
+    // loud contract (round-16 review): a non-multiple silently
+    // DROPPED the trailing numHashes % rowsPerBand signature rows
+    // from every band key — the caller paid for 8 hashes and got a
+    // 6-hash scheme's recall with no error
+    require(numHashes % rowsPerBand == 0,
+      s"numHashes ($numHashes) must be a multiple of rowsPerBand " +
+        s"($rowsPerBand) — trailing hashes would silently drop")
     val nBands = numHashes / rowsPerBand
     val bandKeys = array((0 until nBands).map { b =>
       concat_ws("|", lit(b.toString) +:
@@ -606,16 +613,33 @@ object Dedup {
     * self-join reads them once. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    // materialize the bucket as an attribute so the self-join plans as
-    // a shuffled hash join on the key, not a nested-loop theta join
-    val s = graft.util.Caches.scoped(simhashLong(df, idCol, textCol)
-      .withColumn("bucket", col("sim_int").bitwiseAND(lit(255L))))
-    s.as("a").join(s.as("b"),
-        col("a.bucket") === col("b.bucket")
-          && col("a.doc") < col("b.doc"))
+    // FOUR 8-bit bands over the 32-bit sketch (round-16 review: the
+    // old single low-8-bit bucket silently missed every qualifying
+    // pair whose differing bits touched bits 0-7 — ~58% of
+    // hamming-3 pairs under uniform positions — while the doc
+    // promised ALL pairs at Hamming <= maxHamming). Pigeonhole: a
+    // pair differing in at most bands-1 bits leaves at least one band
+    // untouched, so candidates sharing ANY band have COMPLETE recall
+    // for maxHamming <= 3; the exact bit_count filter keeps precision
+    // exact. The same shape as the MinHash band join: keys are
+    // materialized attributes, so the self-join plans as a shuffled
+    // hash join, never a nested-loop theta join.
+    val bands = 4
+    require(maxHamming < bands,
+      s"simhashPairs guarantees complete recall only for maxHamming < " +
+        s"$bands (8-bit bands over 32 bits); got $maxHamming")
+    val sig = graft.util.Caches.scoped(simhashLong(df, idCol, textCol))
+    val keyed = sig.select(col("doc"), col("sim_int"),
+      explode(array((0 until bands).map(b =>
+        concat_ws("|", lit(b),
+          shiftright(col("sim_int"), b * 8).bitwiseAND(lit(255L)))): _*))
+        .as("bk"))
+    keyed.as("a").join(keyed.as("b"),
+        col("a.bk") === col("b.bk") && col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
         bit_count(col("a.sim_int").bitwiseXOR(col("b.sim_int")))
           .cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .distinct() // a pair can share several bands; emit once
   }
 }

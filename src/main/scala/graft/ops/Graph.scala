@@ -95,9 +95,7 @@ object Graph {
     // release at the operation boundary (it feeds the returned lazy
     // tail, so it must outlive this call)
     def cpRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
-      df.queryExecution.analyzed.collectLeaves().collectFirst {
-        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-      }
+      graft.util.Caches.checkpointRdd(df) // the shared extractor (round 16)
     var lastCpRdd: Option[org.apache.spark.rdd.RDD[_]] = None
     (1 to iters).foreach { i =>
       val next = weighted

@@ -261,7 +261,8 @@ object DedupQueries extends QueryPack {
     "d4_simhash" -> ((s, d) =>
       Dedup.simhash(Tables.load(s, d, "documents"), "doc_id", "text")),
 
-    // SimHash near-dup pairs: 8-bit prefix bucket + Hamming ≤ 3
+    // SimHash near-dup pairs: 4×8-bit bands (complete recall for
+    // Hamming ≤ 3 by pigeonhole — round 16) + exact Hamming filter
     "d5_simhash_pairs" -> ((s, d) =>
       Dedup.simhashPairs(Tables.load(s, d, "documents"),
         "doc_id", "text", maxHamming = 3))
@@ -436,10 +437,14 @@ object DedupQueries extends QueryPack {
          |hh_t AS (SELECT doc_id, md5(tok) AS hh FROM tk),
          |ss AS (SELECT doc_id, $sums FROM hh_t GROUP BY doc_id),
          |sigi AS (SELECT doc_id AS doc, CAST($simInt AS BIGINT) AS sim_int FROM ss)
-         |SELECT a.doc AS doc_a, b.doc AS doc_b,
+         |SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b,
          |  CAST(bit_count(xor(a.sim_int, b.sim_int)) AS BIGINT) AS hamming
          |FROM sigi a JOIN sigi b
-         |  ON (a.sim_int & 255) = (b.sim_int & 255) AND a.doc < b.doc
+         |  ON a.doc < b.doc AND (
+         |    (a.sim_int & 255) = (b.sim_int & 255)
+         |    OR ((a.sim_int >> 8) & 255) = ((b.sim_int >> 8) & 255)
+         |    OR ((a.sim_int >> 16) & 255) = ((b.sim_int >> 16) & 255)
+         |    OR ((a.sim_int >> 24) & 255) = ((b.sim_int >> 24) & 255))
          |WHERE bit_count(xor(a.sim_int, b.sim_int)) <= 3""".stripMargin
     }
   )

@@ -872,10 +872,7 @@ object Similarity {
         // (Dataset.unpersist is a no-op on checkpoint blocks — the
         // unreleased form accumulated one corpus-sized (vec_id, cell,
         // ps) copy per refinement round)
-        val prevRdd = cur.queryExecution.analyzed.collectLeaves()
-          .collectFirst {
-            case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-          }
+        val prevRdd = graft.util.Caches.checkpointRdd(cur)
         cur = withP.join(broadcast(hotDf), Seq("cell"), "left")
           .withColumn("cell", col("cell") * 2 +
             when(col("m").isNotNull && col("p") > col("m"), 1L)
@@ -889,9 +886,8 @@ object Similarity {
     // the final checkpoint feeds the returned lazy projection —
     // operation-boundary release via Caches (the Graph.scala
     // contract: consume before the next releaseStray sweep)
-    cur.queryExecution.analyzed.collectLeaves().collectFirst {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-    }.foreach(graft.util.Caches.scopedCheckpointRdd)
+    graft.util.Caches.checkpointRdd(cur)
+      .foreach(graft.util.Caches.scopedCheckpointRdd)
     cur.select(col("vec_id"), col("cell"))
   }
 

@@ -47,6 +47,25 @@ object Caches {
   def scopedCheckpointRdd(rdd: org.apache.spark.rdd.RDD[_]): Unit =
     rdds.add(rdd)
 
+  /** A localCheckpoint's storage handle — the LogicalRDD leaf the
+    * checkpoint swapped in; None for non-checkpointed frames. The ONE
+    * shared extractor for the checkpoint-release contract above
+    * (round-16 review folded four verbatim copies from Graph,
+    * Curation, Bpe, and Similarity). Callers must apply it only to
+    * frames THEY checkpointed — a leaf scan on an arbitrary frame
+    * would find a caller-owned LogicalRDD and release someone else's
+    * storage. */
+  def checkpointRdd(ds: org.apache.spark.sql.Dataset[_])
+      : Option[org.apache.spark.rdd.RDD[_]] =
+    ds.queryExecution.analyzed.collectLeaves().collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }
+
+  /** Unpersist a frame's checkpoint blocks (no-op when not
+    * checkpointed) — see [[checkpointRdd]]'s ownership caveat. */
+  def releaseCheckpoint(ds: org.apache.spark.sql.Dataset[_]): Unit =
+    checkpointRdd(ds).foreach(_.unpersist(blocking = false))
+
   /** Unpersist every registered stray cache; returns how many were
     * released. BLOCKING by design: the bench calls this between
     * timings, and an async removal would execute during the NEXT

@@ -97,6 +97,22 @@ class BpeSpec extends AnyFunSuite {
     assert(Bpe.selectBatch(
       Seq(("a", "b", 10L), ("ab", "c", 8L), ("d", "e", 6L)), 8) ==
       Seq(("a", "b")))
+    // round-16 review: a kept merge whose OUTPUT equals an
+    // already-existing symbol can ADD occurrences to pre-existing
+    // pairs like (w, xyz), promoting a below-cut pair past later kept
+    // merges mid-batch — so such a row must cut the batch
+    assert(Bpe.selectBatch(
+      Seq(("x", "yz", 100L), ("p", "q", 60L), ("a", "b", 50L)), 2,
+      existingSymbols = Set("xyz")) ==
+      Seq(("x", "yz")), "collision at row 1: fall back to the sequential step")
+    assert(Bpe.selectBatch(
+      Seq(("p", "q", 100L), ("x", "yz", 60L), ("a", "b", 50L)), 2,
+      existingSymbols = Set("xyz")) ==
+      Seq(("p", "q")), "collision row becomes the boundary")
+    assert(Bpe.selectBatch(
+      Seq(("x", "yz", 100L), ("p", "q", 60L), ("a", "b", 50L)), 2) ==
+      Seq(("x", "yz"), ("p", "q")),
+      "no existing-symbol collision: the full prefix keeps")
   }
 
   test("encode applies merges in rank order and covers the input") {
