@@ -271,7 +271,7 @@ object Bench {
     // previous same-SF record, read BEFORE this run overwrites the
     // file: baseline for the drift-retry pass below and the
     // pack_drift / q_drift fields of the record
-    val prevQueries: Map[String, Double] = try {
+    val (prevQueries: Map[String, Double], prevCanary: Double) = try {
       val txt = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("/root/repo/BENCH_FULL.json")), "UTF-8")
       val om = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -279,7 +279,7 @@ object Bench {
       val prevSf = new java.io.File(
         Option(root.get("sf")).map(_.asText("")).getOrElse("")).getName
       val curSf = new java.io.File(sfDir).getName
-      if (prevSf != curSf) Map.empty
+      if (prevSf != curSf) (Map.empty[String, Double], -1.0)
       else {
         val q = root.get("queries")
         val it = q.properties().iterator()
@@ -289,9 +289,14 @@ object Bench {
           val v = e.getValue.asDouble(-1.0)
           if (v >= 0) m(e.getKey) = v
         }
-        m.toMap
+        // the previous record's machine factor: mean of its two canary
+        // samples (baseline for this run's weather flag below)
+        val cs = Seq("canary_q1_start", "canary_q1_end")
+          .flatMap(k => Option(root.get(k)).map(_.asDouble(-1.0)))
+          .filter(_ > 0)
+        (m.toMap, if (cs.nonEmpty) cs.sum / cs.size else -1.0)
       }
-    } catch { case NonFatal(_) => Map.empty }
+    } catch { case NonFatal(_) => (Map.empty[String, Double], -1.0) }
 
     // One end-of-suite re-measurement against reset caches, shared by
     // the >5s and drift-retry layers: keeps the min, pairs the kept
@@ -407,6 +412,37 @@ object Bench {
     val canaryEnd =
       try timeQuery("q1_agg") catch { case NonFatal(_) => -1.0 }
 
+    // Canary-normalized self-diagnosis (round-16 verdict item 3):
+    // three consecutive rounds burned turns hand-separating host
+    // stalls from regressions — r14 a1ref256, r15 m-pack, r16's
+    // apparent 108.6 s gating run whose own canary read 1.25× while
+    // the clean record agreed with the prior round within 3%. The
+    // bench already measures the machine factor at both ends; make it
+    // SAY the verdict:
+    //   canary_factor  = this run's mean canary / the previous
+    //                    record's mean canary (1.0 = same machine
+    //                    weather; no previous record → 1.0/absent);
+    //   total_canary_norm = total / canary_factor — the total this
+    //                    run would have read at the previous record's
+    //                    machine factor (compare THIS to the record
+    //                    before calling anything a regression);
+    //   weather        = true when the canary drifted >15% either way
+    //                    or the median pack_drift exceeds 1.3× —
+    //                    i.e. the movers below are host-wide, not
+    //                    code-local. A weather:true run's absolute
+    //                    times are not evidence against the tree.
+    val canaryNow = Seq(canaryStart, canaryEnd).filter(_ > 0)
+    val canaryMean = if (canaryNow.nonEmpty) canaryNow.sum / canaryNow.size else -1.0
+    val canaryFactor =
+      if (canaryMean > 0 && prevCanary > 0) canaryMean / prevCanary else 1.0
+    val totalCanaryNorm = total / canaryFactor
+    val medianPackDrift = if (packDrift.isEmpty) 1.0 else {
+      val rs = packDrift.map(_._2).sorted
+      rs(rs.size / 2)
+    }
+    val weather =
+      canaryFactor > 1.15 || canaryFactor < 0.85 || medianPackDrift > 1.3
+
     // full-name record → repo file: survives regardless of how much of
     // stdout the driver captures
     val full = new StringBuilder
@@ -433,7 +469,8 @@ object Bench {
       s"${jstr(q)}:${bs.map { case (m, v) => s"${jstr(m)}:${num6(v)}" }
         .mkString("{", ",", "}")}"
     }.mkString("{", ",", "}")}"""
-    full ++= s""","canary_q1_start":${num6(canaryStart)},"canary_q1_end":${num6(canaryEnd)},"gate_waits":$gateWaits}"""
+    full ++= s""","canary_q1_start":${num6(canaryStart)},"canary_q1_end":${num6(canaryEnd)},"gate_waits":$gateWaits"""
+    full ++= s""","canary_factor":${num6(canaryFactor)},"total_canary_norm":${num(totalCanaryNorm)},"median_pack_drift":${num6(medianPackDrift)},"weather":$weather}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("/root/repo/BENCH_FULL.json"), full.toString)
 
@@ -469,7 +506,7 @@ object Bench {
     // would otherwise yield an empty sf label
     val sfLabel = new java.io.File(sfDir).getName
     def stdoutLine(queriesField: String, withExtra: Boolean): String =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$queriesField,"sf":${jstr(sfLabel)},"canary0":${num2(canaryStart)},"canary":${num2(canaryEnd)},"gw":$gateWaits${if (withExtra) extra else ""}}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$queriesField,"sf":${jstr(sfLabel)},"canary0":${num2(canaryStart)},"canary":${num2(canaryEnd)},"gw":$gateWaits,"cf":${num2(canaryFactor)},"tcn":${num(totalCanaryNorm)},"weather":$weather${if (withExtra) extra else ""}}"""
     val fullLine = stdoutLine(qsShort, withExtra = true)
     val line =
       if (fullLine.length <= 1950) fullLine

@@ -607,10 +607,12 @@ object Dedup {
       .select(col("doc"), simInt.as("sim_int"))
   }
 
-  /** SimHash near-dup pairs: bucket on the low 8 bits (= the string
-    * form's first 8 characters), then Hamming ≤ `maxHamming` via
-    * bit_count(xor) over the full 32 bits. Sketches are cached so the
-    * self-join reads them once. */
+  /** SimHash near-dup pairs: FOUR 8-bit bands over the 32-bit sketch
+    * (pigeonhole — a pair differing in ≤ 3 bits leaves at least one
+    * band identical, so band-bucket candidates have COMPLETE recall
+    * for `maxHamming` &lt; 4), distinct'd across bands, then exact
+    * Hamming ≤ `maxHamming` via bit_count(xor) over the full 32 bits.
+    * Sketches are cached so the self-join reads them once. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
     // FOUR 8-bit bands over the 32-bit sketch (round-16 review: the

@@ -157,19 +157,19 @@ object Classify {
 object EntityRegistry {
   import Classify.Entity
 
-  val EMAIL = Entity("EMAIL", "^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}$")
-  val PHONE_NUMBER = Entity("PHONE_NUMBER", "^\\+?[0-9][0-9 ().-]{6,18}[0-9]$")
-  val SSN = Entity("SSN", "^[0-9]{3}-[0-9]{2}-[0-9]{4}$")
-  val CREDIT_DEBIT_NUMBER = Entity("CREDIT_DEBIT_NUMBER", "^[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{4}$")
-  val IP_ADDRESS = Entity("IP_ADDRESS", "^([0-9]{1,3}\\.){3}[0-9]{1,3}$")
-  val MAC_ADDRESS = Entity("MAC_ADDRESS", "^([0-9A-Fa-f]{2}:){5}[0-9A-Fa-f]{2}$")
+  val EMAIL = Entity("EMAIL", Formats.EMAIL)
+  val PHONE_NUMBER = Entity("PHONE_NUMBER", Formats.PHONE_INTL)
+  val SSN = Entity("SSN", Formats.US_SSN_DASHED)
+  val CREDIT_DEBIT_NUMBER = Entity("CREDIT_DEBIT_NUMBER", Formats.CARD16)
+  val IP_ADDRESS = Entity("IP_ADDRESS", Formats.IPV4)
+  val MAC_ADDRESS = Entity("MAC_ADDRESS", Formats.MAC)
   val URL = Entity("URL", "^https?://[^ ]+$")
   val UUID_ID = Entity("UUID", "^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$")
   val DATE_ISO = Entity("DATE_ISO", "^[0-9]{4}-[0-9]{2}-[0-9]{2}")
   val TIME_HMS = Entity("TIME_HMS", "[0-9]{2}:[0-9]{2}:[0-9]{2}")
   val NUMERIC_ID = Entity("NUMERIC_ID", "^[0-9]+$")
   val MONEY_AMOUNT = Entity("MONEY_AMOUNT", "^[0-9]+\\.[0-9]{2}$")
-  val UK_NINO = Entity("UK_NATIONAL_INSURANCE_NUMBER", "^[A-CEGHJ-PR-TW-Z]{2}[0-9]{6}[A-D]$")
+  val UK_NINO = Entity("UK_NATIONAL_INSURANCE_NUMBER", Formats.UK_NINO)
   val UK_POSTCODE = Entity("UK_POSTAL_CODE", "^[A-Z]{1,2}[0-9][A-Z0-9]? ?[0-9][A-Z]{2}$")
   val US_ZIP = Entity("US_ZIP_CODE", "^[0-9]{5}(-[0-9]{4})?$")
   val IBAN = Entity("INTERNATIONAL_BANK_ACCOUNT_NUMBER", "^[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}$")
@@ -191,7 +191,7 @@ object EntityRegistry {
   val contact: Seq[Entity] = Seq(
     EMAIL, PHONE_NUMBER, PERSON_TITLE, GENDER,
     Entity("US_PHONE_NUMBER", "^(\\+?1[ .-]?)?(\\([0-9]{3}\\)|[0-9]{3})[ .-]?[0-9]{3}[ .-]?[0-9]{4}$"),
-    Entity("UK_PHONE_NUMBER", "^(\\+44[ ]?|0)[0-9]{2,4}[ ]?[0-9]{3,4}[ ]?[0-9]{3,4}$"),
+    Entity("UK_PHONE_NUMBER", Formats.UK_PHONE),
     Entity("INTERNATIONAL_PHONE", "^\\+[1-9][0-9]{0,2}[ .-]?[0-9 .-]{6,14}$"),
     Entity("FAX_NUMBER", "^(fax:? ?)?\\+?[0-9][0-9 ().-]{6,18}[0-9]$"),
     Entity("ADDRESS_LINE", "^[0-9]{1,5} [A-Za-z0-9 .'-]+ (St|Street|Ave|Avenue|Rd|Road|Blvd|Lane|Ln|Dr|Drive|Ct|Court|Way)\\.?$"),
@@ -201,19 +201,19 @@ object EntityRegistry {
   val nationalId: Seq[Entity] = Seq(
     SSN, UK_NINO,
     Entity("US_ITIN", "^9[0-9]{2}-[0-9]{2}-[0-9]{4}$"),
-    Entity("US_PASSPORT_NUMBER", "^[A-Z][0-9]{8}$"),
-    Entity("UK_PASSPORT_NUMBER", "^[0-9]{9}$"),
-    Entity("UK_UNIQUE_TAXPAYER_REFERENCE_NUMBER", "^[0-9]{10}$"),
-    Entity("UK_NHS_NUMBER", "^[0-9]{3}[ -]?[0-9]{3}[ -]?[0-9]{4}$"),
-    Entity("CA_SOCIAL_INSURANCE_NUMBER", "^[0-9]{3}[ -]?[0-9]{3}[ -]?[0-9]{3}$"),
-    Entity("DE_TAX_ID", "^[1-9][0-9]{10}$"),
-    Entity("FR_INSEE", "^[12][0-9]{2}(0[1-9]|1[0-2])[0-9A-B][0-9]{9}$"),
+    Entity("US_PASSPORT_NUMBER", Formats.US_PASSPORT),
+    Entity("UK_PASSPORT_NUMBER", Formats.DIGITS9),
+    Entity("UK_UNIQUE_TAXPAYER_REFERENCE_NUMBER", Formats.DIGITS10),
+    Entity("UK_NHS_NUMBER", Formats.UK_NHS),
+    Entity("CA_SOCIAL_INSURANCE_NUMBER", Formats.CA_SIN),
+    Entity("DE_TAX_ID", Formats.DE_TAX_ID_11),
+    Entity("FR_INSEE", Formats.FR_INSEE),
     Entity("ES_DNI", "^[0-9]{8}[A-Z]$"),
-    Entity("IT_CODICE_FISCALE", "^[A-Z]{6}[0-9]{2}[A-Z][0-9]{2}[A-Z][0-9]{3}[A-Z]$"),
-    Entity("IN_AADHAAR", "^[2-9][0-9]{3}[ -]?[0-9]{4}[ -]?[0-9]{4}$"),
-    Entity("IN_PAN", "^[A-Z]{5}[0-9]{4}[A-Z]$"),
-    Entity("AU_TAX_FILE_NUMBER", "^[0-9]{3} ?[0-9]{3} ?[0-9]{3}$"),
-    Entity("BR_CPF", "^[0-9]{3}\\.[0-9]{3}\\.[0-9]{3}-[0-9]{2}$"),
+    Entity("IT_CODICE_FISCALE", Formats.IT_CODICE_FISCALE),
+    Entity("IN_AADHAAR", Formats.IN_AADHAAR),
+    Entity("IN_PAN", Formats.IN_PAN),
+    Entity("AU_TAX_FILE_NUMBER", Formats.AU_TFN),
+    Entity("BR_CPF", Formats.BR_CPF),
     Entity("DRIVER_ID", "^[A-Z]{1,2}[0-9]{5,8}$"))
 
   /** Financial. */
@@ -225,9 +225,9 @@ object EntityRegistry {
     Entity("CVV", "^[0-9]{3,4}$"),
     Entity("CARD_EXPIRY", "^(0[1-9]|1[0-2])/([0-9]{2}|[0-9]{4})$"),
     Entity("SWIFT_CODE", "^[A-Z]{4}[A-Z]{2}[A-Z0-9]{2}([A-Z0-9]{3})?$"),
-    Entity("US_BANK_ROUTING_NUMBER", "^[0-9]{9}$"),
-    Entity("US_BANK_ACCOUNT_NUMBER", "^[0-9]{8,17}$"),
-    Entity("UK_SORT_CODE", "^[0-9]{2}-[0-9]{2}-[0-9]{2}$"),
+    Entity("US_BANK_ROUTING_NUMBER", Formats.DIGITS9),
+    Entity("US_BANK_ACCOUNT_NUMBER", Formats.BANK_ACCOUNT_8_17),
+    Entity("UK_SORT_CODE", Formats.UK_SORT_CODE),
     Entity("BACS_SERVICE_USER_NUMBER", "^[0-9]{6}$"),
     Entity("CURRENCY_AMOUNT", "^[$€£¥][0-9,]+(\\.[0-9]{2})?$"),
     Entity("BITCOIN_ADDRESS", "^(1|3|bc1)[a-zA-HJ-NP-Z0-9]{25,42}$"),
@@ -269,51 +269,51 @@ object EntityRegistry {
     Entity("FLIGHT_NUMBER", "^[A-Z]{2}[0-9]{1,4}$"),
     Entity("TRACKING_NUMBER_UPS", "^1Z[0-9A-Z]{16}$"),
     Entity("ISBN", "^(97[89][- ]?)?[0-9]{1,5}[- ]?[0-9]+[- ]?[0-9]+[- ]?[0-9X]$"),
-    Entity("EAN13", "^[0-9]{13}$"),
+    Entity("EAN13", Formats.DIGITS13),
     Entity("MD5_HASH", "^[a-f0-9]{32}$"),
     Entity("SHA256_HASH", "^[a-f0-9]{64}$"),
     Entity("BASE64_BLOB", "^[A-Za-z0-9+/]{16,}={0,2}$"))
 
   /** Health (public code formats). */
   val health: Seq[Entity] = Seq(
-    Entity("US_NPI", "^[12][0-9]{9}$"),
-    Entity("US_DEA_NUMBER", "^[A-Z]{2}[0-9]{7}$"),
+    Entity("US_NPI", Formats.US_NPI),
+    Entity("US_DEA_NUMBER", Formats.US_DEA_OR_JP_PASSPORT),
     Entity("ICD10_CODE", "^[A-TV-Z][0-9][0-9A-Z](\\.[0-9A-Z]{1,4})?$"),
-    Entity("US_MEDICARE_ID", "^[1-9][A-Z][A-Z0-9][0-9]-?[A-Z][A-Z0-9][0-9]-?[A-Z]{2}[0-9]{2}$"),
+    Entity("US_MEDICARE_ID", Formats.US_MEDICARE_MBI),
     Entity("BLOOD_TYPE", "^(A|B|AB|O)[+-]$"))
 
   /** National identifiers, second tranche (public format specs). */
   val nationalId2: Seq[Entity] = Seq(
     Entity("PL_PESEL", "^[0-9]{11}$"),
-    Entity("SE_PERSONNUMMER", "^[0-9]{6}[-+][0-9]{4}$"),
-    Entity("NL_BSN", "^[0-9]{9}$"),
-    Entity("CH_AHV", "^756\\.[0-9]{4}\\.[0-9]{4}\\.[0-9]{2}$"),
-    Entity("DK_CPR", "^[0-9]{6}-[0-9]{4}$"),
-    Entity("FI_HETU", "^[0-9]{6}[A+-][0-9]{3}[0-9A-Y]$"),
-    Entity("NO_FODSELSNUMMER", "^[0-9]{6} ?[0-9]{5}$"),
+    Entity("SE_PERSONNUMMER", Formats.SE_PERSONNUMMER),
+    Entity("NL_BSN", Formats.DIGITS9),
+    Entity("CH_AHV", Formats.CH_AHV),
+    Entity("DK_CPR", Formats.DK_CPR),
+    Entity("FI_HETU", Formats.FI_HETU),
+    Entity("NO_FODSELSNUMMER", Formats.NO_BIRTH_NUMBER),
     Entity("PT_NIF", "^[125689][0-9]{8}$"),
     Entity("GR_AMKA", "^[0-9]{11}$"),
-    Entity("IE_PPS", "^[0-9]{7}[A-W][A-IW]?$"),
-    Entity("MX_CURP", "^[A-Z]{4}[0-9]{6}[HM][A-Z]{5}[0-9A-Z][0-9]$"),
+    Entity("IE_PPS", Formats.IE_PPS),
+    Entity("MX_CURP", Formats.MX_CURP),
     Entity("CL_RUT", "^[0-9]{1,2}\\.[0-9]{3}\\.[0-9]{3}-[0-9K]$"),
     Entity("AR_DNI", "^[0-9]{2}\\.[0-9]{3}\\.[0-9]{3}$"),
-    Entity("JP_MY_NUMBER", "^[0-9]{4} ?[0-9]{4} ?[0-9]{4}$"),
-    Entity("KR_RRN", "^[0-9]{6}-[1-4][0-9]{6}$"),
-    Entity("CN_RESIDENT_ID", "^[1-9][0-9]{5}(19|20)[0-9]{2}(0[1-9]|1[0-2])(0[1-9]|[12][0-9]|3[01])[0-9]{3}[0-9X]$"),
+    Entity("JP_MY_NUMBER", Formats.JP_MY_NUMBER),
+    Entity("KR_RRN", Formats.KR_RRN),
+    Entity("CN_RESIDENT_ID", Formats.CN_RESIDENT_ID),
     Entity("SG_NRIC", "^[STFGM][0-9]{7}[A-Z]$"),
-    Entity("HK_HKID", "^[A-Z]{1,2}[0-9]{6}\\([0-9A]\\)$"),
+    Entity("HK_HKID", Formats.HK_HKID),
     Entity("ZA_ID_NUMBER", "^[0-9]{2}(0[1-9]|1[0-2])(0[1-9]|[12][0-9]|3[01])[0-9]{4}[01][89][0-9]$"),
-    Entity("TR_TCKN", "^[1-9][0-9]{10}$"),
+    Entity("TR_TCKN", Formats.DE_TAX_ID_11),
     Entity("RU_SNILS", "^[0-9]{3}-[0-9]{3}-[0-9]{3} [0-9]{2}$"),
     Entity("RU_INN", "^[0-9]{10}([0-9]{2})?$"),
     Entity("NZ_IRD", "^[0-9]{2,3}-[0-9]{3}-[0-9]{3}$"),
-    Entity("IL_TEUDAT_ZEHUT", "^[0-9]{9}$"),
+    Entity("IL_TEUDAT_ZEHUT", Formats.DIGITS9),
     Entity("IN_VOTER_ID", "^[A-Z]{3}[0-9]{7}$"),
-    Entity("US_SSN_NODASH", "^[0-9]{9}$"),
+    Entity("US_SSN_NODASH", Formats.DIGITS9),
     Entity("US_EIN", "^[0-9]{2}-[0-9]{7}$"),
-    Entity("US_MILITARY_ID", "^[0-9]{10}$"),
-    Entity("CA_PASSPORT", "^[A-Z]{2}[0-9]{6}$"),
-    Entity("AU_MEDICARE", "^[2-6][0-9]{3} ?[0-9]{5} ?[0-9]( ?[0-9])?$"))
+    Entity("US_MILITARY_ID", Formats.DIGITS10),
+    Entity("CA_PASSPORT", Formats.CA_PASSPORT),
+    Entity("AU_MEDICARE", Formats.AU_MEDICARE))
 
   /** Per-country IBAN formats — the OFFICIAL total lengths from the
     * public IBAN registry (round-16 review: every length was 2 short
@@ -339,12 +339,12 @@ object EntityRegistry {
     Entity("SEDOL", "^[B-DF-HJ-NP-TV-Z0-9]{6}[0-9]$"),
     Entity("LEI", "^[A-Z0-9]{18}[0-9]{2}$"),
     Entity("DUNS", "^[0-9]{2}-[0-9]{3}-[0-9]{4}$"),
-    Entity("EU_VAT_DE", "^DE[0-9]{9}$"),
-    Entity("EU_VAT_FR", "^FR[A-Z0-9]{2}[0-9]{9}$"),
-    Entity("EU_VAT_GB", "^GB[0-9]{9}([0-9]{3})?$"),
-    Entity("EU_VAT_NL", "^NL[0-9]{9}B[0-9]{2}$"),
-    Entity("EU_VAT_IT", "^IT[0-9]{11}$"),
-    Entity("EU_VAT_ES", "^ES[A-Z0-9][0-9]{7}[A-Z0-9]$"),
+    Entity("EU_VAT_DE", Formats.VAT_DE),
+    Entity("EU_VAT_FR", Formats.VAT_FR),
+    Entity("EU_VAT_GB", Formats.VAT_GB),
+    Entity("EU_VAT_NL", Formats.VAT_NL),
+    Entity("EU_VAT_IT", Formats.VAT_IT),
+    Entity("EU_VAT_ES", Formats.VAT_ES),
     Entity("LITECOIN_ADDRESS", "^[LM3][a-km-zA-HJ-NP-Z1-9]{26,33}$"),
     Entity("RIPPLE_ADDRESS", "^r[0-9a-zA-Z]{24,34}$"),
     Entity("MONERO_ADDRESS", "^4[0-9AB][1-9A-HJ-NP-Za-km-z]{93}$"))
@@ -394,7 +394,7 @@ object EntityRegistry {
     Entity("ICAO_AIRCRAFT_REG", "^[A-Z]-[A-Z]{4}$"),
     Entity("N_NUMBER_US_AIRCRAFT", "^N[1-9][0-9A-Z]{1,4}$"),
     Entity("CONTAINER_ID", "^[A-Z]{4}[0-9]{7}$"),
-    Entity("GTIN8", "^[0-9]{8}$"),
+    Entity("GTIN8", Formats.DIGITS8),
     Entity("GTIN12", "^[0-9]{12}$"),
     Entity("GTIN14", "^[0-9]{14}$"),
     Entity("TRACKING_FEDEX", "^[0-9]{12}([0-9]{3})?$"),
@@ -420,7 +420,7 @@ object EntityRegistry {
   val health2: Seq[Entity] = Seq(
     Entity("ICD9_CODE", "^[0-9]{3}\\.[0-9]{1,2}$"),
     Entity("CPT_CODE", "^[0-9]{4}[0-9FTU]$"),
-    Entity("NDC_CODE", "^[0-9]{4,5}-[0-9]{3,4}-[0-9]{1,2}$"),
+    Entity("NDC_CODE", Formats.US_NDC),
     Entity("LOINC_CODE", "^[0-9]{1,5}-[0-9]$"),
     Entity("RXNORM_CUI", "^RxCUI:? ?[0-9]{1,7}$"),
     Entity("SNOMED_CT", "^[1-9][0-9]{5,17}$"),

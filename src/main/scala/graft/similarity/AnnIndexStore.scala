@@ -62,7 +62,12 @@ object AnnIndexStore {
     val w = index.write.mode(SaveMode.Overwrite)
     (if (index.columns.contains("cluster")) w.partitionBy("cluster") else w)
       .parquet(s"$root/index")
-    writeManifest(spark, s"$root/manifest.json", manifest +
+    writeManifest(spark, s"$root/manifest.json", manifest ++
+      // stamp m from the books actually written (overriding any
+      // caller-passed value): load() validates the codebooks dir
+      // covers exactly 0 until m, so the manifest must record what
+      // was persisted, not what the caller believed
+      books.filter(_.nonEmpty).map(bs => "m" -> bs.size.toString) +
       ("format" -> "graft-ann-v1") +
       ("has_coarse" -> coarse.isDefined.toString) +
       ("has_books" -> books.isDefined.toString))
@@ -85,9 +90,25 @@ object AnnIndexStore {
         .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
       if (rows.isEmpty) Seq.empty // empty-corpus fit saved as-is
       else {
-        val m = rows.map(_._1).max + 1
-        (0 until m).map(j => rows.filter(_._1 == j)
-          .map(t => (t._2, t._3)).sortBy(_._1).toArray)
+        // validate coverage against the MANIFEST's m, not max(j)+1
+        // (round-17 advice): a corrupt / partially-written codebooks
+        // dir missing a trailing subspace would silently reconstruct
+        // fewer books, and a missing MIDDLE subspace an empty one —
+        // either way PqCodes then misaligns every code. Fail loudly.
+        val m = manifest.get("m").map(_.toInt)
+          .getOrElse(rows.map(_._1).max + 1)
+        val byJ = rows.groupBy(_._1)
+        val missing = (0 until m).filterNot(byJ.contains)
+        require(missing.isEmpty,
+          s"$root/codebooks is corrupt: manifest m=$m but subspaces " +
+            s"${missing.mkString(",")} have no persisted codewords — " +
+            "refusing to load a misaligned quantizer; rebuild the index")
+        val stray = byJ.keys.filter(j => j < 0 || j >= m)
+        require(stray.isEmpty,
+          s"$root/codebooks is corrupt: subspace ids " +
+            s"${stray.mkString(",")} outside manifest m=$m")
+        (0 until m).map(j => byJ(j).map(t => (t._2, t._3))
+          .sortBy(_._1).toArray)
       }
     }
     // read through the partition columns so `cluster` (when present)
@@ -100,6 +121,65 @@ object AnnIndexStore {
       Option.when(idx0.columns.contains("codes"))(col("codes"))).flatten
     Loaded(manifest, coarse, books, idx0.select(cols: _*))
   }
+
+  /** Train-time drift baseline (round-16 verdict item 2): the
+    * quantiles of the corpus's coarse-assignment score (negative
+    * dot with the winning centroid — lower = closer) at BUILD time.
+    * Merge the returned entries into the `save` manifest; [[append]]
+    * then scores every appended batch against the q99 and accumulates
+    * a drifted-fraction counter, and [[needsRebuild]] turns that into
+    * the rebuild signal. Rationale: `append` encodes against FROZEN
+    * model state — correct while the corpus distribution holds, but
+    * at 100 TB a drifting corpus quietly degrades recall as appended
+    * vectors land far from the train-time centroids (measured in
+    * SCALE.md's drift study: recall collapses for the shifted slice
+    * while the index keeps growing without an error anywhere). This
+    * is the index analogue of the reference's re-crawl
+    * UPDATE_IN_DATABASE contract (lambda/catalog-creator-s3/
+    * app.py:196-198): re-inference must refresh the registered
+    * artifact, not append to it forever.
+    *
+    * One corpus scan (composable assignment form) + one
+    * percentile_approx agg; control-plane-sized output. Pass the RAW
+    * corpus with `normalize = true` for a cosine index — the
+    * baseline must live in the same space the index encodes. */
+  def driftBaseline(corpus: DataFrame,
+      coarse: Array[(Int, Array[Double])],
+      normalize: Boolean = false): Map[String, String] = {
+    val base = if (normalize) Similarity.l2Normalized(corpus) else corpus
+    val row = Similarity.assignmentScores(base, coarse)
+      .agg(expr("percentile_approx(dist, array(0.5D, 0.9D, 0.99D), 10000)"),
+        count(lit(1))).head()
+    if (row.getLong(1) == 0L) return Map.empty // empty corpus: no baseline
+    val qs = row.getSeq[Double](0)
+    Map(
+      "drift_q50" -> qs(0).toString,
+      "drift_q90" -> qs(1).toString,
+      "drift_q99" -> qs(2).toString,
+      "drift_train_n" -> row.getLong(1).toString,
+      "drift_appended_n" -> "0",
+      "drift_drifted_n" -> "0")
+  }
+
+  /** True when the appended population has drifted past the trained
+    * distribution: more than `driftedFraction` of all appended
+    * vectors scored worse than the train-time q99 (so ~1% is the
+    * no-drift expectation — 20% means the appended mass is landing
+    * where the quantizer has no resolution). False when the index has
+    * no baseline or nothing was appended. The caller's move on true
+    * is a full rebuild (refit + re-encode + fresh [[driftBaseline]]),
+    * not more appends. */
+  def needsRebuild(manifest: Map[String, String],
+      driftedFraction: Double = 0.2): Boolean =
+    driftFraction(manifest).exists(_ > driftedFraction)
+
+  /** drifted/appended over the index's whole append history; None
+    * when no baseline was saved or nothing has been appended. */
+  def driftFraction(manifest: Map[String, String]): Option[Double] =
+    for {
+      a <- manifest.get("drift_appended_n").map(_.toLong) if a > 0
+      d <- manifest.get("drift_drifted_n").map(_.toLong)
+    } yield d.toDouble / a
 
   /** Incremental index growth — the production serving loop
     * ([[Similarity.ivfAppend]]'s rationale, persisted): encode a NEW
@@ -145,6 +225,27 @@ object AnnIndexStore {
     val w = coded.write.mode(SaveMode.Append)
     (if (coded.columns.contains("cluster")) w.partitionBy("cluster") else w)
       .parquet(s"$root/index")
+    // Drift accounting (see driftBaseline): when the manifest carries
+    // a baseline and the index has a coarse quantizer, score the
+    // batch against the train-time q99 and fold the counts into the
+    // manifest. One extra BATCH-sized scan (never corpus-sized) — the
+    // price of the index being able to say "rebuild me".
+    for {
+      q99 <- loaded.manifest.get("drift_q99").map(_.toDouble)
+      cents <- loaded.coarse
+    } {
+      val row = Similarity.assignmentScores(batch, cents)
+        .agg(count(lit(1)),
+          sum(when(col("dist") > q99, 1L).otherwise(0L))).head()
+      val (n, d) = (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))
+      val prevA = loaded.manifest.get("drift_appended_n")
+        .map(_.toLong).getOrElse(0L)
+      val prevD = loaded.manifest.get("drift_drifted_n")
+        .map(_.toLong).getOrElse(0L)
+      writeManifest(spark, s"$root/manifest.json", loaded.manifest +
+        ("drift_appended_n" -> (prevA + n).toString) +
+        ("drift_drifted_n" -> (prevD + d).toString))
+    }
   }
 
   // manifest as a tiny single-file JSON object via the Hadoop FS API

@@ -345,6 +345,30 @@ object Similarity {
     * kernel — same fold order, same strict-< tie rule, but the
     * centroid matrix is one referenced object and the N·nlist dots
     * run in generated code (equivalence spec-pinned at both sizes). */
+  /** Assignment pass that also RETURNS the winning score:
+    * (vec_id, embedding, cluster, dist) where dist is the argmin key
+    * (negative dot — lower = closer, same ordering every assignment
+    * consumer uses). This is the observable the index-staleness
+    * metric needs ([[AnnIndexStore.driftBaseline]]/append): a
+    * drifting corpus shows up as appended vectors whose best
+    * assignment score sits far above the train-time distribution.
+    * Metric-pass only — uses the composable struct form at every
+    * nlist (the >max path is an interpreted transform; fine for a
+    * batch-sized diagnostic, wrong for a corpus-sized build, which
+    * stays on the codegen [[graft.expressions.NearestCentroid]]). */
+  def assignmentScores(df: DataFrame,
+      centroids: Array[(Int, Array[Double])]): DataFrame = {
+    if (centroids.isEmpty)
+      return df.select(col("vec_id"), col("embedding"),
+        lit(0).as("cluster"), lit(0.0).as("dist")).limit(0)
+    df.select(col("vec_id"), col("embedding"))
+      .withColumn("best",
+        array_min(centroidScores(col("embedding"), centroids)))
+      .select(col("vec_id"), col("embedding"),
+        col("best").getField("cluster").as("cluster"),
+        col("best").getField("dist").as("dist"))
+  }
+
   def assignToCentroids(df: DataFrame,
       centroids: Array[(Int, Array[Double])]): DataFrame = {
     // empty corpus → empty fit → no inverted lists (array() of zero

@@ -54,7 +54,18 @@ object PartsuppVerify {
       .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    run(spark, corpusDir, outDir, scale)
+    spark.stop()
+  }
 
+  /** The corpus-build + dump body, callable from [[graft.Verify]]'s
+    * session (round-17 verdict item 4: the per-round gate runs this
+    * inline after the standard dump, then tools/partsupp_gate.py
+    * does the DuckDB compare and refreshes CORRECTNESS_partsupp.json
+    * — a q2/q9/q11/q16/q20 regression now fails the round like the
+    * other 199). */
+  def run(spark: SparkSession, corpusDir: String, outDir: String,
+      scale: Long = 1L): Unit = {
     // the same corpus TpchPartsuppSpec pins: part keys cover
     // lineitem's l_partkey domain so the bridge joins have matches
     val fs = new org.apache.hadoop.fs.Path(corpusDir)
@@ -80,7 +91,6 @@ object PartsuppVerify {
 
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
       graft.util.JsonUtil.obj(oracleSql))
-    spark.stop()
   }
 
   /** Canonical TPC-H SQL (public spec shapes) for DuckDB. Aliases and

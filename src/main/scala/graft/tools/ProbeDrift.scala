@@ -1,0 +1,181 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.similarity.{AnnIndexStore, Similarity}
+
+/** The index-staleness claim, measured (round-17 verdict item 2):
+  * [[AnnIndexStore.append]] encodes against FROZEN model state, and
+  * the worry is a drifting corpus quietly degrading recall while the
+  * index keeps growing without an error anywhere. This probe builds
+  * the scenario and measures all three sides of the contract:
+  *
+  *   1. recall for queries drawn from the SHIFTED slice through the
+  *      frozen (append-path) codebooks — the quiet degradation;
+  *   2. the drift metric itself — the fraction of the appended batch
+  *      scoring past the train-time q99 assignment quantile
+  *      ([[AnnIndexStore.driftBaseline]] / needsRebuild) — the flag
+  *      that is supposed to fire BEFORE anyone notices 1.;
+  *   3. recall after a full rebuild (refit on the grown corpus) —
+  *      the restoration the flag's consumer buys.
+  *
+  * Corpus: train slice = anchored unit directions (ProbeNormRecall's
+  * generator, positive region); shifted slice = anchors drawn in the
+  * NEGATED region, where the train-time codebooks have no
+  * resolution. In-distribution control queries pin that the frozen
+  * path is NOT generically bad — only drift makes it bad.
+  *
+  * Deterministic. Usage: runMain graft.tools.ProbeDrift
+  * [nTrain] [nShift] [k] [queries]  (defaults 16000, 4000, 10, 100).
+  */
+object ProbeDrift {
+  def main(args: Array[String]): Unit = {
+    val nTrain = if (args.nonEmpty) args(0).toInt else 16000
+    val nShift = if (args.length > 1) args(1).toInt else 4000
+    val k = if (args.length > 2) args(2).toInt else 10
+    val nQ = if (args.length > 3) args(3).toInt else 100
+    val dim = 64; val anchors = 400
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val rnd = new scala.util.Random(1717L)
+    def unit(v: Array[Double]): Array[Double] = {
+      val nr = math.sqrt(v.map(x => x * x).sum); v.map(_ / nr)
+    }
+    // train anchors in the positive orthant; shifted anchors are their
+    // negations — maximally far from every trained codeword region
+    val dirs = Array.fill(anchors)(unit(Array.fill(dim)(
+      math.abs(rnd.nextGaussian()))))
+    def synth(n: Int, idBase: Long, sign: Double): DataFrame =
+      (0 until n).map { i =>
+        val a = dirs(i % anchors)
+        val noisy = unit(a.map(x => sign * x + 0.12 * rnd.nextGaussian()))
+        (idBase + i, noisy.map(_.toFloat))
+      }.toDF("vec_id", "embedding")
+    val train = synth(nTrain, 0L, 1.0).cache()
+    val shifted = synth(nShift, 1000000L, -1.0).cache()
+    val grown = train.unionByName(shifted).cache()
+    train.count(); shifted.count(); grown.count()
+
+    println(s"DRIFT nTrain=$nTrain nShift=$nShift dim=$dim " +
+      s"anchors=$anchors k=$k queries=$nQ")
+
+    // --- 2. the metric: does the flag fire, and only on real drift?
+    val nlist = 24
+    val coarse = Similarity.kmeansFitSampled(train, nlist, 2, nTrain.toLong)
+    val baseline = AnnIndexStore.driftBaseline(train, coarse)
+    val q99 = baseline("drift_q99").toDouble
+    def driftedFrac(batch: DataFrame): Double = {
+      val r = Similarity.assignmentScores(batch, coarse)
+        .agg(count(lit(1)),
+          sum(when(col("dist") > q99, 1L).otherwise(0L))).head()
+      r.getLong(1).toDouble / r.getLong(0)
+    }
+    val fracSame = driftedFrac(synth(2000, 2000000L, 1.0))
+    val fracShift = driftedFrac(shifted)
+    println(f"DRIFT metric: in-distribution batch drifted=$fracSame%6.4f " +
+      f"(expect ~0.01), shifted batch drifted=$fracShift%6.4f " +
+      f"-> needsRebuild(0.2) fires=${fracShift > 0.2}")
+
+    // --- 1. and 3.: recall through frozen vs rebuilt codebooks
+    def topSets(df: DataFrame): Map[Long, Set[Long]] =
+      df.select(col("query_id").cast("long"), col("neighbor_id").cast("long"))
+        .collect().groupBy(_.getLong(0))
+        .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    def report(name: String, pred: org.apache.spark.sql.Column)
+        (f: => DataFrame): Unit = {
+      val exact = topSets(Similarity.bruteForceTopK(grown, pred, k))
+      val approx = topSets(f)
+      val recalls = exact.map { case (q, truth) =>
+        approx.getOrElse(q, Set.empty).count(truth).toDouble / truth.size }
+      val mean = recalls.sum / math.max(1, recalls.size)
+      println(f"DRIFT $name%-34s recall@$k=$mean%6.4f")
+    }
+    // m=16×ksub=32: the capacity ProbeNormRecall measured as
+    // sufficient for anchor-structured corpora — the in-dist leg must
+    // read HIGH or the frozen-vs-rebuilt gap is floor-limited noise
+    // rather than the drift signal. refine=100 (0.5% of the corpus):
+    // at production corpus:shortlist ratios the exact re-rank cannot
+    // rescue a shortlist the quantizer ranked blind — a refine depth
+    // that is >10% of the drifted slice (500 here) was measured to
+    // mask the entire effect (recall 0.93 THROUGH the frozen books)
+    val m = 16; val ksub = 32; val refine = 100
+    val frozenBooks = Similarity.pqFitSampled(train, dim, m, ksub, 2,
+      nTrain.toLong)
+    val frozenIndex = Similarity.pqEncode(grown, dim, frozenBooks)
+    val predShift = col("vec_id") >= 1000000L && col("vec_id") < 1000000L + nQ
+    val predSame = col("vec_id") < nQ
+
+    report("frozen books, SHIFTED queries", predShift)(
+      Similarity.pqTopK(grown, predShift, k, dim, m, ksub,
+        fitted = Some(frozenBooks), index = Some(frozenIndex),
+        refine = refine))
+    report("frozen books, in-dist queries", predSame)(
+      Similarity.pqTopK(grown, predSame, k, dim, m, ksub,
+        fitted = Some(frozenBooks), index = Some(frozenIndex),
+        refine = refine))
+    val rebuilt = Similarity.pqFitSampled(grown, dim, m, ksub, 2,
+      (nTrain + nShift).toLong)
+    report("REBUILT books, SHIFTED queries", predShift)(
+      Similarity.pqTopK(grown, predShift, k, dim, m, ksub,
+        fitted = Some(rebuilt), refine = refine))
+
+    // --- the STRUCTURAL drift costs (what actually degrades first):
+    // (a) coarse-list collapse — the share of the appended batch
+    //     landing in its single hottest inverted list. Frozen
+    //     centroids have no resolution in the shifted region, so the
+    //     whole batch piles into the nearest list: every probe that
+    //     touches it scans the entire appended mass (throughput), and
+    //     the cluster-partitioned index layout gets one mega
+    //     partition (skew).
+    def hotListShare(cents: Array[(Int, Array[Double])]): Double = {
+      val counts = Similarity.assignToCentroids(shifted, cents)
+        .groupBy(col("cluster")).count().collect().map(_.getLong(1))
+      counts.max.toDouble / counts.sum
+    }
+    val coarseRebuilt = Similarity.kmeansFitSampled(grown, nlist, 2,
+      (nTrain + nShift).toLong)
+    println(f"DRIFT coarse-list collapse: hottest-list share of the " +
+      f"shifted batch frozen=${hotListShare(coarse)}%6.4f " +
+      f"(1/nlist=${1.0 / nlist}%6.4f) rebuilt=${hotListShare(coarseRebuilt)}%6.4f")
+    // (b) PQ code-space degeneracy — distinct code words the shifted
+    //     batch occupies. Frozen books quantize the shifted region
+    //     onto the few codewords nearest its boundary; rebuilt books
+    //     spread it back over the space. Fewer occupied codes = less
+    //     ADC resolution among exactly the vectors that are each
+    //     other's true neighbors.
+    def distinctCodes(books: Seq[Array[(Int, Array[Double])]]): Long =
+      Similarity.pqEncode(shifted, dim, books)
+        .select(countDistinct(col("codes"))).head().getLong(0)
+    println(s"DRIFT code-space degeneracy: distinct codes of the " +
+      s"shifted batch (n=$nShift) frozen=${distinctCodes(frozenBooks)} " +
+      s"rebuilt=${distinctCodes(rebuilt)}")
+    // (c) the IVF probe path — where the scattered assignment from
+    //     (a) becomes a RECALL loss, not just skew: an nprobe-limited
+    //     probe of lists whose centroids are all equally far from the
+    //     shifted region reaches only ~nprobe/nlist of the slice, so
+    //     the true neighbors (themselves shifted) are mostly in lists
+    //     the probe never opens. The rebuilt quantizer's dedicated
+    //     region list restores them. Same nlist, same nprobe — the
+    //     only variable is whether the quantizer was fitted on the
+    //     distribution it serves.
+    val nprobe = 4
+    report(s"frozen IVF nprobe=$nprobe, SHIFTED q", predShift)(
+      Similarity.ivfProbeTopK(grown, predShift, k, nlist, nprobe,
+        fitted = Some(coarse)))
+    report(s"frozen IVF nprobe=$nprobe, in-dist q", predSame)(
+      Similarity.ivfProbeTopK(grown, predSame, k, nlist, nprobe,
+        fitted = Some(coarse)))
+    report(s"REBUILT IVF nprobe=$nprobe, SHIFTED q", predShift)(
+      Similarity.ivfProbeTopK(grown, predShift, k, nlist, nprobe,
+        fitted = Some(coarseRebuilt)))
+    spark.stop()
+  }
+}

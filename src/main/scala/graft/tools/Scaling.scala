@@ -212,7 +212,53 @@ object Scaling {
     // reads; the fit is the unsampled shared-memo recipe paid cold
     // per the protocol, so expect the s10 profile shifted by the
     // extra normalized Lloyd train
-    "s17_pq_normalized" -> "embeddings")
+    "s17_pq_normalized" -> "embeddings",
+    // round-17 additions (verdict item 6): the window-sort and
+    // self-union plans were underrepresented — exactly where a bad
+    // exponent would hide — plus the most expensive remaining
+    // unmeasured queries. w2/w7/e2/scd2 each carry a per-key window
+    // sort or a snapshot self-join; ev3 rides a per-query rank
+    // window; d8/d11 are the remaining dedup shapes (span self-join,
+    // incremental LSH delta); the q-pack rows cover the TPC-H
+    // join-agg shapes with no measured exponent (q1 is also the
+    // canary's plan — its row doubles as the protocol's scan-bound
+    // reference); the pr rows are the sketch/robust-stats family's
+    // group-quantile and outlier passes; c7/c11/c12 are mixture /
+    // contamination / resample over documents; ml2/ml3 ride the ml1
+    // fit; s6 is the IVF probe path distinct from s5's fit
+    "w2_lag_delta" -> "events",
+    "w7_retention" -> "events",
+    "e2_session_window" -> "events",
+    "scd2_snapshot_diff" -> "customer",
+    "ev3_ndcg" -> "embeddings",
+    "d8_common_spans" -> "documents",
+    "d11_incremental_lsh" -> "documents",
+    "d4_simhash" -> "documents",
+    "q1_agg" -> "lineitem",
+    "q3_shipping_priority" -> "lineitem+orders+customer",
+    "q4_priority_exists" -> "orders+lineitem",
+    "q5_region_revenue" -> "lineitem+orders+customer",
+    "q7_volume_shipping" -> "lineitem+orders+customer",
+    "q8_market_share" -> "lineitem+orders+customer",
+    "q10_returned_items" -> "lineitem+orders+customer",
+    "q12_late_lines" -> "lineitem+orders",
+    "q18_large_orders" -> "lineitem+orders+customer",
+    "q19_disjunctive" -> "lineitem",
+    "pr8_grouped_quantiles" -> "lineitem",
+    "pr9_winsorize" -> "lineitem",
+    "pr10_referential" -> "orders+customer",
+    "pr12_mad_outlier" -> "lineitem",
+    "an1_percentiles" -> "lineitem",
+    "an4_moments" -> "lineitem",
+    "an6_histogram" -> "lineitem",
+    "c7_mixture_weights" -> "documents",
+    "c11_contamination_score" -> "documents",
+    "c12_quality_resample" -> "documents",
+    "ml2_classifier_filter" -> "documents",
+    "ml3_calibration" -> "documents",
+    "x12_redact_pii" -> "documents",
+    "s6_ivf_probe" -> "embeddings",
+    "m4_png_meta" -> "documents")
 
   /** Measured interpretation notes embedded per row — the exponent
     * alone can mislead when the OUTPUT grows with the corpus. */

@@ -92,13 +92,21 @@ object StagingSwap {
         val tomb = new org.apache.hadoop.fs.Path(
           lock.getParent, s"${lock.getName}.broken.${System.nanoTime()}")
         if (fs.rename(lock, tomb)) fs.delete(tomb, false): Unit
-      } else if (System.currentTimeMillis() > deadline)
+      }
+      // deadline + backoff on EVERY iteration, stale branch included
+      // (round-17 advice): if breaking the stale lock keeps failing
+      // (rename returns false — e.g. a permissions wall), the old
+      // stale-only-break path busy-spun past waitMillis forever with
+      // no error; now a permanently unbreakable lock still times out
+      // loudly, and the filesystem isn't hammered in a tight loop
+      if (System.currentTimeMillis() > deadline)
         throw new IllegalStateException(
           s"writer lock $lock still held after ${waitMillis}ms — a " +
             "concurrent append/compact/apply is running long (or " +
-            "crashed inside the stale window); raise waitMillis or " +
-            "investigate the holder: " + readToken(fs, lock).getOrElse("?"))
-      else Thread.sleep(200)
+            "crashed inside the stale window, or the stale lock is " +
+            "unbreakable); raise waitMillis or investigate the " +
+            "holder: " + readToken(fs, lock).getOrElse("?"))
+      Thread.sleep(200)
     }
     try body
     finally release(fs, lock, token)

@@ -197,6 +197,85 @@ class AnnIndexStoreSpec extends AnyFunSuite {
       "IVF search over the loaded+appended lists must equal one build")
   }
 
+  test("drift metric: in-distribution appends stay quiet, a shifted " +
+      "batch fires needsRebuild, a rebuild resets the signal") {
+    val root = freshRoot("drift")
+    val coarse = Similarity.kmeansFit(corpus, 3)
+    val index = Similarity.ivfAppend(corpus, coarse)
+    AnnIndexStore.save(root, index, Some(coarse),
+      manifest = Map("dim" -> "4") ++
+        AnnIndexStore.driftBaseline(corpus, coarse))
+    val m0 = AnnIndexStore.load(spark, root).manifest
+    assert(m0.contains("drift_q99") && m0("drift_appended_n") == "0")
+    assert(!AnnIndexStore.needsRebuild(m0))
+
+    // in-distribution batch: same generator, shifted ids — the
+    // drifted fraction stays near the 1% expectation
+    val sameDist = corpus.select((col("vec_id") + 1000L).as("vec_id"),
+      col("embedding"))
+    AnnIndexStore.append(root, sameDist)
+    val m1 = AnnIndexStore.load(spark, root).manifest
+    assert(m1("drift_appended_n").toLong == 24L)
+    assert(!AnnIndexStore.needsRebuild(m1),
+      s"in-distribution append must not fire: drifted=" +
+        s"${m1("drift_drifted_n")}/${m1("drift_appended_n")}")
+
+    // shifted distribution: vectors pointing AWAY from every trained
+    // centroid (the train corpus lives in the positive orthant, so
+    // negated vectors score far above the q99 — the quantizer has no
+    // resolution where they land)
+    val shifted = (0L until 24L).map(i =>
+      (2000L + i, Array(-1.0f, -0.5f - (i % 5) * 0.1f, -1.0f, -0.2f)))
+      .toDF("vec_id", "embedding")
+    AnnIndexStore.append(root, shifted)
+    val m2 = AnnIndexStore.load(spark, root).manifest
+    val frac = AnnIndexStore.driftFraction(m2).get
+    assert(frac > 0.4, s"shifted batch must read as drifted, got $frac")
+    assert(AnnIndexStore.needsRebuild(m2))
+
+    // rebuild: refit on the grown corpus, fresh baseline — signal off
+    val grownRaw = corpus
+      .unionByName(sameDist).unionByName(shifted)
+    val coarse2 = Similarity.kmeansFit(grownRaw, 4)
+    AnnIndexStore.save(root, Similarity.ivfAppend(grownRaw, coarse2),
+      Some(coarse2), manifest = Map("dim" -> "4") ++
+        AnnIndexStore.driftBaseline(grownRaw, coarse2))
+    val m3 = AnnIndexStore.load(spark, root).manifest
+    assert(!AnnIndexStore.needsRebuild(m3) &&
+      m3("drift_appended_n") == "0")
+  }
+
+  test("load refuses a codebooks dir with a missing subspace (corrupt " +
+      "or partially-written) instead of silently misaligning PqCodes") {
+    val root = freshRoot("gappybooks")
+    val books = Similarity.pqFit(corpus, 4, 2, 4)
+    val index = Similarity.pqEncode(corpus, 4, books)
+    AnnIndexStore.save(root, index, books = Some(books),
+      manifest = Map("dim" -> "4", "ksub" -> "4"))
+    // simulate a partial write: drop every subspace-1 codeword row,
+    // leaving a dir that still reads but covers only j=0
+    val gappy = spark.read.parquet(s"$root/codebooks").where(col("j") === 0)
+    gappy.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$root/codebooks.tmp")
+    val p = new org.apache.hadoop.fs.Path(s"$root/codebooks")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$root/codebooks.tmp"), p)
+    val e = intercept[IllegalArgumentException] {
+      AnnIndexStore.load(spark, root)
+    }
+    assert(e.getMessage.contains("corrupt") &&
+      e.getMessage.contains("subspaces 1"))
+  }
+
+  test("save stamps manifest m from the persisted books") {
+    val root = freshRoot("stampm")
+    val books = Similarity.pqFit(corpus, 4, 2, 4)
+    AnnIndexStore.save(root, Similarity.pqEncode(corpus, 4, books),
+      books = Some(books), manifest = Map("dim" -> "4", "ksub" -> "4"))
+    assert(AnnIndexStore.load(spark, root).manifest("m") == "2")
+  }
+
   test("unknown manifest format refuses loudly") {
     val root = freshRoot("badfmt")
     val index = Similarity.pqEncode(corpus, 4,

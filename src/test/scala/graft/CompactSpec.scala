@@ -29,6 +29,47 @@ class CompactSpec extends AnyFunSuite {
       .map(_.getPath.getName)
   }
 
+  test("rewrite on a table root whose NAME contains '=' in non-Hive " +
+      "form locks that root itself, not an ancestor") {
+    // '=name' (empty key) is not strict Hive partition form — the
+    // root-finding walk must stop AT this dir, so the writer lock
+    // lands beside it, where appenders to the same table lock too
+    val dir = freshDir("=oddroot")
+    (1L to 100L).map(i => (i, s"r$i")).toDF("id", "s")
+      .repartition(4).write.parquet(dir)
+    val n = Compact.rewrite(spark, dir, targetBytes = 1L << 30)
+    assert(n == 1 && dataFiles(dir).size == 1)
+    // the lock file (now released) was created NEXT TO the odd root,
+    // i.e. in test-compact/ — not one level further up
+    val parent = new org.apache.hadoop.fs.Path("target/test-compact")
+    val fs = parent.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val grandparent = parent.getParent
+    assert(!fs.listStatus(grandparent).exists(
+      _.getPath.getName.contains("test-compact.writers")),
+      "the walk must not treat a non-Hive '='-named root as a " +
+        "partition leaf and lock its parent")
+  }
+
+  test("rewrite under a strict-Hive leaf still locks the table root") {
+    val root = freshDir("hiveroot")
+    val src = (1L to 200L).map(i => (i, i % 2)).toDF("id", "k")
+    src.write.partitionBy("k").parquet(root)
+    val leaf = s"$root/k=0"
+    // take the ROOT's writer lock ourselves; a concurrent leaf
+    // rewrite must block on it (bounded) — proving the walk found
+    // the real root through the k=0 level
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val e = intercept[IllegalStateException] {
+      graft.util.StagingSwap.withWriterLock(fs, rootPath) {
+        Compact.rewrite(spark, leaf, targetBytes = 1L << 30,
+          lockWaitMillis = 1500L)
+      }
+    }
+    assert(e.getMessage.contains("writer lock"),
+      s"leaf rewrite must contend on the ROOT lock: ${e.getMessage}")
+  }
+
   test("fragmented table compacts to the byte-sized file count, content intact") {
     val dir = freshDir("frag")
     val src = (1L to 5000L).map(i => (i, s"row-$i", i % 7)).toDF("id", "s", "g")

@@ -1,0 +1,85 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{Classify, EntityRegistry, ReferenceRegistry}
+
+/** Drives [[RegistryExamples]] against the LIVE registries — the
+  * correctness gate the shared-pattern DuckDB oracle cannot provide
+  * (it replays the engine's own pattern objects, so a wrong pattern
+  * hash-matches by construction; the round-16 IBAN-length bug was
+  * green through 199 hash-matches). Four pins:
+  *
+  *   1. same-name entities in the two registries carry IDENTICAL
+  *      patterns (the duplication that let IBAN-class fixes land in
+  *      one file and not the other — now structurally impossible for
+  *      the names routed through [[graft.ops.Formats]], and asserted
+  *      here for all);
+  *   2. every positive example matches its entity's pattern under the
+  *      engine's own semantics (java.util.regex find(), = RLike);
+  *   3. every near-miss negative does NOT match;
+  *   4. every DISTINCT pattern across both registries has examples —
+  *      a new entity cannot ship without its golden pins.
+  */
+class RegistryExamplesSpec extends AnyFunSuite {
+
+  private val allEntities: Seq[Classify.Entity] =
+    EntityRegistry.all ++ ReferenceRegistry.all
+
+  // name -> the single pattern that name must mean everywhere
+  private val byName: Map[String, Set[String]] =
+    allEntities.groupBy(_.name).view
+      .mapValues(_.map(_.pattern).toSet).toMap
+
+  test("same-name entities across the two registries carry identical " +
+      "patterns (no cross-file drift)") {
+    val conflicts = byName.filter(_._2.size > 1)
+    assert(conflicts.isEmpty,
+      s"one name, several patterns: ${conflicts.keys.mkString(", ")}")
+  }
+
+  test("every example key names a live registry entity (table cannot " +
+      "silently drift from the registries)") {
+    val dead = RegistryExamples.byEntityName.map(_._1)
+      .filterNot(byName.contains)
+    assert(dead.isEmpty, s"examples for unknown entities: $dead")
+  }
+
+  // engine semantics: MultiMatchCount / RLike use Matcher.find()
+  private def finds(pattern: String, s: String): Boolean =
+    java.util.regex.Pattern.compile(pattern).matcher(s).find()
+
+  test("every positive example MATCHES its entity's pattern (a rule " +
+      "that never fires on a real-format value is the IBAN bug class)") {
+    val failures = for {
+      (name, ex) <- RegistryExamples.byEntityName
+      pattern <- byName.getOrElse(name, Set.empty).take(1)
+      p <- ex.pos if !finds(pattern, p)
+    } yield s"$name: positive '$p' does not match $pattern"
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("every near-miss negative does NOT match (wrong length / prefix " +
+      "/ charset / truncation must not fire the rule)") {
+    val failures = for {
+      (name, ex) <- RegistryExamples.byEntityName
+      pattern <- byName.getOrElse(name, Set.empty).take(1)
+      n <- ex.neg if finds(pattern, n)
+    } yield s"$name: negative '$n' MATCHES $pattern"
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("every distinct pattern in both registries is example-covered " +
+      "(a new entity cannot ship without golden pins)") {
+    val covered: Set[String] = RegistryExamples.byEntityName.flatMap {
+      case (name, _) => byName.getOrElse(name, Set.empty)
+    }.toSet
+    val all: Set[String] = allEntities.map(_.pattern).toSet
+    val missing = all -- covered
+    assert(missing.isEmpty,
+      s"${missing.size} uncovered patterns, e.g.:\n" +
+        missing.toSeq.sorted.take(10).map { p =>
+          val names = allEntities.filter(_.pattern == p).map(_.name).take(3)
+          s"  $p  (${names.mkString(", ")})"
+        }.mkString("\n"))
+  }
+}

@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""Per-round partsupp gate (round-17, verdict item 4).
+
+The five partsupp TPC-H shapes (q2/q9/q11/q16/q20) have no driver
+CORRECTNESS row (the driver corpus ships no partsupp table), so their
+DuckDB cross-engine compare used to run by hand. graft.Verify now
+invokes this after its standard dump: compare the PartsuppVerify
+results against DuckDB on the same synth corpus and REFRESH
+CORRECTNESS_partsupp.json, exiting nonzero on any mismatch so the
+round's correctness step fails automatically like the other 199.
+
+Usage: python3 tools/partsupp_gate.py <corpusDir> <outDir> <artifact.json>
+"""
+import sys, json, glob, os
+import duckdb
+
+
+def canon(con, rel_sql):
+    df = con.execute(rel_sql).fetchdf()
+    df = df.reindex(sorted(df.columns), axis=1)
+    dtypes = [str(t) for t in df.dtypes]
+    rows = sorted(tuple(str(v) for v in t) for t in df.itertuples(index=False))
+    return list(df.columns), dtypes, rows
+
+
+def main():
+    corpus_dir, out_dir, artifact = sys.argv[1], sys.argv[2], sys.argv[3]
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    con = duckdb.connect()
+    for p in glob.glob(os.path.join(corpus_dir, "*.parquet")):
+        name = os.path.basename(p)[: -len(".parquet")]
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{src}')")
+    results, n_fail = {}, 0
+    for name in sorted(oracle):
+        entry = {"engine_pair": "spark-dataframe vs duckdb", "err": None,
+                 "rows": None, "rows_match": False, "schema_match": False,
+                 "hash_match": False}
+        try:
+            res_dir = os.path.join(out_dir, name)
+            cols_s, dt_s, rows_s = canon(
+                con, f"SELECT * FROM read_parquet('{res_dir}/*.parquet')")
+            cols_o, dt_o, rows_o = canon(con, f"SELECT * FROM ({oracle[name]}) t")
+            entry["rows"] = len(rows_s)
+            entry["rows_match"] = len(rows_s) == len(rows_o)
+            entry["schema_match"] = cols_s == cols_o and dt_s == dt_o
+            entry["hash_match"] = entry["schema_match"] and rows_s == rows_o
+        except Exception as e:  # noqa: BLE001 — recorded, not swallowed
+            entry["err"] = str(e)[:200]
+        if not entry["hash_match"]:
+            n_fail += 1
+            print(f"PARTSUPP FAIL {name}: {entry}")
+        else:
+            print(f"PARTSUPP PASS {name} ({entry['rows']} rows)")
+        results[name] = entry
+    doc = {
+        "how": "refreshed automatically by graft.Verify (tools/partsupp_gate.py); "
+               "manual: sbt 'runMain graft.tools.PartsuppVerify target/psv-corpus "
+               "target/psv-out' && python3 tools/partsupp_gate.py target/psv-corpus "
+               "target/psv-out CORRECTNESS_partsupp.json",
+        "how_10x": "sbt 'runMain graft.tools.PartsuppVerify target/psv-corpus10 "
+                   "target/psv-out10 10' && python3 tools/check.py "
+                   "target/psv-corpus10 target/psv-out10",
+        "note_10x": "10x corpus (part 200k, partsupp 800k, orders 101k, lineitem "
+                    "400k): all five hash-match (round 16). q11 returns 0 rows at "
+                    "10x because the fixture keeps the fixed 0.0005 HAVING fraction "
+                    "while total stock value grows 10x (the TPC-H spec itself "
+                    "scales this fraction by 1/SF) — both engines agree on the "
+                    "empty result; the row-bearing evidence at 10x is q2 (100), "
+                    "q9 (33), q16 (960), q20 (51).",
+        "results": results,
+    }
+    with open(artifact, "w") as f:
+        json.dump(doc, f, indent=2, sort_keys=True, ensure_ascii=False)
+    print(f"== partsupp gate: {len(results) - n_fail} pass, {n_fail} fail "
+          f"-> {artifact} ==")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
