@@ -1,0 +1,151 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Exact per-group continuous quantiles (SQL `percentile` /
+  * DuckDB `quantile_cont` semantics: linear interpolation between the
+  * two values straddling rank p·(n−1)) — WITHOUT per-group value
+  * buffering.
+  *
+  * Why not the built-in `percentile()`: Spark's exact percentile is
+  * an ObjectHashAggregate whose state is an in-memory value→count map
+  * per group. A low-cardinality groupBy over a near-continuous column
+  * (an1: 5 priorities × o_totalprice) concentrates ~N/|groups| MAP
+  * ENTRIES in each of |groups| reduce tasks — the round-17 scaling
+  * study measured the consequence (exp_100_10 = 1.08, 19 s at x100,
+  * the worst exponent in the suite), and at 100 TB those five tasks
+  * simply OOM: the buffer can't spill.
+  *
+  * This operator is the distributed exact algorithm instead:
+  *
+  *   1. range-partition + sort by (group, value) — the sort is
+  *      Spark's external (spilling) sort and a heavy group spans MANY
+  *      partitions, so no task ever holds a group;
+  *   2. one streaming pass counts rows per (partition, group) — the
+  *      only collected state, |partitions|·|groups| longs;
+  *   3. the driver turns each requested rank p·(n−1) into (partition,
+  *      offset-within-partition) coordinates via prefix sums;
+  *   4. a second streaming pass picks exactly the straddling values
+  *      (≤ 2·|groups|·|ps| rows leave the executors);
+  *   5. interpolation happens on that tiny picked set.
+  *
+  * The sorted frame is persisted (MEMORY_AND_DISK) between the two
+  * passes so both read identical partitions — range partitioning is
+  * sampled, so replanning between passes could move boundaries.
+  * Null values are excluded from the quantile (the SQL convention);
+  * a group whose values are all null yields null quantiles but keeps
+  * its row (n counts ALL rows, matching `count(*)`).
+  */
+object ExactQuantiles {
+
+  def groupQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+      ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+      s"quantile fractions must be in [0,1], got $ps")
+    val spark = df.sparkSession
+    val nAll = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
+
+    val sorted = df
+      .filter(col(valueCol).isNotNull)
+      .select(col(groupCol).cast(StringType).as("g"),
+        col(valueCol).cast(DoubleType).as("v"))
+      .repartitionByRange(col("g"), col("v"))
+      .sortWithinPartitions(col("g"), col("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // pass 1: (partition, group) → row count. Streaming, O(groups)
+      // state per task; the collect is partitions×groups rows.
+      val counts: Array[(Int, String, Long)] = sorted.rdd
+        .mapPartitionsWithIndex { (pid, it) =>
+          val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+          it.foreach(r => m.updateWith(r.getString(0))(
+            c => Some(c.getOrElse(0L) + 1L)))
+          m.iterator.map { case (g, c) => (pid, g, c) }
+        }.collect()
+
+      // driver: per group, global size and the per-partition prefix
+      // offsets (partitions are ordered by the range partitioner)
+      val byGroup = counts.groupBy(_._2)
+      // per group: the sorted (pid, startOffsetOfPidWithinGroup, cnt)
+      val layout: Map[String, Array[(Int, Long, Long)]] =
+        byGroup.map { case (g, rows) =>
+          var off = 0L
+          g -> rows.sortBy(_._1).map { case (pid, _, c) =>
+            val e = (pid, off, c); off += c; e
+          }
+        }
+      val nOf: Map[String, Long] =
+        byGroup.map { case (g, rows) => g -> rows.map(_._3).sum }
+
+      // global indexes needed per group: floor/ceil of each p·(n−1)
+      val wanted: Map[String, Seq[Long]] = nOf.map { case (g, n) =>
+        g -> ps.flatMap { p =>
+          val r = p * (n - 1)
+          Seq(math.floor(r).toLong, math.ceil(r).toLong)
+        }.distinct.sorted
+      }
+      // route each wanted (group, globalIdx) to its partition as a
+      // local offset within that partition's group segment
+      val perPid = scala.collection.mutable.Map
+        .empty[Int, List[(String, Long, Long)]].withDefaultValue(Nil)
+      for {
+        (g, idxs) <- wanted
+        segs = layout(g)
+        gi <- idxs
+      } {
+        // last segment whose start ≤ gi (segments are contiguous)
+        val seg = segs.takeWhile(_._2 <= gi).last
+        perPid(seg._1) = (g, gi - seg._2, gi) :: perPid(seg._1)
+      }
+      val picksB = spark.sparkContext.broadcast(
+        perPid.view.mapValues(_.groupBy(_._1).view
+          .mapValues(_.map(t => (t._2, t._3)).sortBy(_._1)).toMap).toMap)
+
+      // pass 2: stream each partition once, emitting only the picked
+      // rows — (group, globalIdx, value)
+      val picked: Array[(String, Long, Double)] = sorted.rdd
+        .mapPartitionsWithIndex { (pid, it) =>
+          picksB.value.get(pid) match {
+            case None => Iterator.empty
+            case Some(byG) =>
+              val seen = scala.collection.mutable.Map
+                .empty[String, Long].withDefaultValue(0L)
+              it.flatMap { r =>
+                val g = r.getString(0)
+                val i = seen(g); seen(g) = i + 1
+                byG.get(g).iterator.flatMap(_.collect {
+                  case (local, global) if local == i =>
+                    (g, global, r.getDouble(1))
+                })
+              }
+          }
+        }.collect()
+
+      val valAt: Map[(String, Long), Double] =
+        picked.map(t => (t._1, t._2) -> t._3).toMap
+      val out: Seq[Row] = nOf.keys.toSeq.sorted.map { g =>
+        val n = nOf(g)
+        val qs = ps.map { p =>
+          val r = p * (n - 1)
+          val (lo, hi) = (math.floor(r).toLong, math.ceil(r).toLong)
+          val (vl, vh) = (valAt((g, lo)), valAt((g, hi)))
+          vl + (r - lo) * (vh - vl)
+        }
+        Row.fromSeq(g +: qs)
+      }
+      val schema = StructType(
+        StructField("g", StringType, nullable = false) +:
+          ps.indices.map(i => StructField(s"q$i", DoubleType,
+            nullable = true)))
+      val qdf = spark.createDataFrame(
+        spark.sparkContext.parallelize(out, 1), schema)
+      // n counts ALL rows (count(*) semantics); all-null-value groups
+      // come back from nAll with null quantiles via the left join
+      nAll.join(qdf,
+          col(groupCol).cast(StringType) === col("g"), "left")
+        .drop("g")
+    } finally sorted.unpersist(): Unit
+  }
+}

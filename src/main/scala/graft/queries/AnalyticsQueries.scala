@@ -212,13 +212,21 @@ object AnalyticsQueries extends QueryPack {
 
   def queries: Map[String, Q] = Map(
     // Exact interpolated percentiles (sort-based; portable semantics)
+    // Exact group percentiles via the distributed selection operator
+    // (round-17 scaling study: the built-in `percentile()` buffers a
+    // value→count map per group in ~|groups| reduce tasks — measured
+    // exp_100_10 1.08, the suite's worst, and an OOM at real scale;
+    // ExactQuantiles sorts range-partitioned and picks the straddling
+    // ranks by partition offset — same quantile_cont numbers, no
+    // unbounded aggregation state anywhere)
     "an1_percentiles" -> ((s, d) =>
-      Tables.load(s, d, "orders")
-        .groupBy(col("o_orderpriority"))
-        .agg(
-          round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
-          round(expr("percentile(o_totalprice, 0.95)"), 4).as("p95"),
-          count(lit(1)).as("n"))),
+      graft.ops.ExactQuantiles.groupQuantiles(
+          Tables.load(s, d, "orders"), "o_orderpriority", "o_totalprice",
+          Seq(0.5, 0.95))
+        .select(col("o_orderpriority"),
+          round(col("q0"), 4).as("p50"),
+          round(col("q1"), 4).as("p95"),
+          col("n"))),
 
     // Pivot: per-user event-type counts as columns (explicit value
     // list keeps the schema deterministic)

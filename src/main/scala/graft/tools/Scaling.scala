@@ -248,7 +248,7 @@ object Scaling {
     "pr9_winsorize" -> "lineitem",
     "pr10_referential" -> "orders+customer",
     "pr12_mad_outlier" -> "lineitem",
-    "an1_percentiles" -> "lineitem",
+    "an1_percentiles" -> "orders",
     "an4_moments" -> "lineitem",
     "an6_histogram" -> "lineitem",
     "c7_mixture_weights" -> "documents",
@@ -263,6 +263,20 @@ object Scaling {
   /** Measured interpretation notes embedded per row — the exponent
     * alone can mislead when the OUTPUT grows with the corpus. */
   val queryNotes: Map[String, String] = Map(
+    "an1_percentiles" -> ("REWRITTEN round 17 after this study measured the " +
+      "built-in exact percentile() at exp_100_10 1.08 (19.0 s at x100): its " +
+      "aggregation state is a value->count map per group, concentrated in " +
+      "|groups|=5 reduce tasks — unbounded memory, an OOM at real scale. " +
+      "ExactQuantiles (range-partitioned external sort + partition-offset " +
+      "rank selection, no per-group buffering anywhere) re-measures at " +
+      "3.3 s x100, exp_100_10 0.56, bit-identical quantile_cont results " +
+      "(oracle-verified)"),
+    "d11_incremental_lsh" -> ("pays the shared postings->signatures->" +
+      "candidates->pair-stats chain COLD per the protocol (the d2/d3/g1 " +
+      "convention; ev2's 28 s x100 is the same chain) plus its own two " +
+      "is_new joins; the ~linear exponent is candidate-pair volume, which " +
+      "grows ~10x per decade by corpus construction (fixed dup rate, fixed " +
+      "1/7 new fraction) — output-bound like rl1, not a plan defect"),
     "rl1_fuzzy_match" -> ("output-bound: result rows measured 411,642 at x10 and " +
       "4,116,430 at x100 (exactly 10.0x — every dirty hot name matches only its " +
       "own clean source, suffix digits 3-7 unique below 1e5 hot indices), so the " +

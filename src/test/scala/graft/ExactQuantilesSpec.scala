@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.ExactQuantiles
+
+/** The distributed exact-selection quantile operator must equal the
+  * built-in exact `percentile()` bit-for-bit (same quantile_cont
+  * interpolation) while never holding a group's values in one task. */
+class ExactQuantilesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("matches the built-in exact percentile on a multi-group corpus " +
+      "(values deterministic, groups skewed)") {
+    val rows = (1 to 20011).map { i =>
+      val g = if (i % 17 == 0) "small" else s"g${i % 3}"
+      (g, (i * 2654435761L % 100003).toDouble / 7.0)
+    }
+    val df = rows.toDF("grp", "v").repartition(13)
+    val ps = Seq(0.0, 0.25, 0.5, 0.95, 1.0)
+    val got = ExactQuantiles.groupQuantiles(df, "grp", "v", ps)
+      .collect().map(r => r.getString(0) ->
+        ps.indices.map(i => r.getDouble(r.fieldIndex(s"q$i")))).toMap
+    val want = df.groupBy(col("grp"))
+      .agg(expr("percentile(v, array(0.0D, 0.25D, 0.5D, 0.95D, 1.0D))")
+        .as("qs"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(got.keySet == want.keySet)
+    for (g <- got.keySet; i <- ps.indices)
+      assert(got(g)(i) == want(g)(i),
+        s"group $g p=${ps(i)}: got ${got(g)(i)} want ${want(g)(i)}")
+  }
+
+  test("single-value group, null values excluded, all-null group keeps " +
+      "its row with null quantiles") {
+    val df = Seq(
+      ("a", Some(5.0)),
+      ("b", Some(1.0)), ("b", Some(2.0)), ("b", None),
+      ("c", None), ("c", None)).toDF("grp", "v")
+    val out = ExactQuantiles.groupQuantiles(df, "grp", "v", Seq(0.5))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(r.fieldIndex("n")),
+          Option(r.get(r.fieldIndex("q0"))))).toMap
+    assert(out("a") == ((1L, Some(5.0))))
+    assert(out("b") == ((3L, Some(1.5)))) // nulls out of the quantile, in n
+    assert(out("c") == ((2L, None)))
+  }
+
+  test("no task ever aggregates a whole group: the plan has no " +
+      "ObjectHashAggregate percentile") {
+    val df = Seq(("g", 1.0), ("g", 2.0)).toDF("grp", "v")
+    val out = ExactQuantiles.groupQuantiles(df, "grp", "v", Seq(0.5))
+    val plan = out.queryExecution.executedPlan.toString()
+    assert(!plan.contains("percentile("),
+      "the operator must not fall back to the buffering aggregate")
+  }
+}

@@ -1,0 +1,160 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+
+/** Known-answer pins for the inference/statistics operators against
+  * PUBLISHED values — the algorithm-level sibling of
+  * [[RegistryExamplesSpec]]'s pattern pins (round 17). The driver's
+  * DuckDB oracle replays the engine's own formulas in SQL, and the
+  * existing suite checks against driver-side recomputes — both are
+  * same-author-both-sides: a formula that mis-encodes the public
+  * statistic passes every one of them. These tests fix that by
+  * asserting the classic textbook results:
+  *
+  *   - Student's sleep data (Student, 1908; shipped as R's `sleep`
+  *     dataset): Welch t = −1.8608, df = 17.776 (the numbers R's
+  *     `t.test(extra ~ group)` prints), Wilcoxon/Mann-Whitney
+  *     W = 25.5 (`wilcox.test`, midrank tie convention), two-sample
+  *     KS D = 0.4. The data enters through an affine transform
+  *     (×10 + 100, to fit the integer n_chars column) under which t,
+  *     df, ranks, and CDF gaps are all invariant.
+  *   - Anscombe's quartet, set I (Anscombe, 1973): r = 0.816,
+  *     slope = 0.500, intercept = 3.00 — the published point of the
+  *     quartet is that these values are known to 3+ digits.
+  *   - A hand-derived 2×2 chi-square table (O = 10/20/30/40) whose
+  *     expected counts and per-cell contributions follow from
+  *     E = rowTot·colTot/N in four lines of arithmetic.
+  *
+  * The tables are written in the driver corpus shapes so the REAL
+  * query entries run unmodified — the same code path the driver
+  * grades, fed data whose answer predates this engine. */
+class KnownAnswerSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshDir(tag: String): String = {
+    val p = java.nio.file.Paths.get(
+      s"target/test-known-answer/$tag${System.nanoTime()}")
+    java.nio.file.Files.createDirectories(p)
+    p.toString
+  }
+
+  // sleep data ×10 + 100: group 1 → source "src0" (grp 0), group 2 →
+  // "src1" (grp 1); the engine derives grp from the source suffix
+  private val sleep1 = Seq(107, 84, 98, 88, 99, 134, 137, 108, 100, 120)
+  private val sleep2 = Seq(119, 108, 111, 101, 99, 144, 155, 116, 146, 134)
+
+  private lazy val sleepDir: String = {
+    val dir = freshDir("sleep")
+    (sleep1.map(("sleep", "src0", _)) ++ sleep2.map(("sleep", "src1", _)))
+      .toDF("lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def row(df: DataFrame): org.apache.spark.sql.Row = {
+    val rows = df.collect()
+    assert(rows.length == 1, s"expected one group row, got ${rows.length}")
+    rows(0)
+  }
+
+  test("an10 Welch t on Student's sleep data reproduces R's published " +
+      "t = -1.8608, df = 17.776") {
+    val r = row(SparkEntry.queries("an10_welch_ttest")(spark, sleepDir))
+    assert(r.getAs[Long]("n1") == 10L && r.getAs[Long]("n2") == 10L)
+    assert(r.getAs[Double]("mean_diff") == -15.8) // 10×(0.75 − 2.33)
+    assert(math.abs(r.getAs[Double]("t_stat") - -1.860813) < 1e-6,
+      s"t_stat ${r.getAs[Double]("t_stat")} != published -1.8608")
+    assert(math.abs(r.getAs[Double]("welch_df") - 17.776474) < 1e-6,
+      s"welch_df ${r.getAs[Double]("welch_df")} != published 17.776")
+  }
+
+  test("an11 Mann-Whitney on the sleep data reproduces R's published " +
+      "W = 25.5 (midrank ties)") {
+    val r = row(SparkEntry.queries("an11_mann_whitney")(spark, sleepDir))
+    assert(r.getAs[Long]("n_a") == 10L && r.getAs[Long]("n_b") == 10L)
+    val uA = r.getAs[Number]("u_a").doubleValue()
+    val uB = r.getAs[Number]("u_b").doubleValue()
+    assert(uA == 25.5, s"u_a $uA != published W = 25.5")
+    assert(uB == 74.5, "u_a + u_b must equal n_a·n_b")
+  }
+
+  test("an12 two-sample KS on the sleep data gives D = 0.4") {
+    val r = row(SparkEntry.queries("an12_ks_test")(spark, sleepDir))
+    assert(r.getAs[Double]("ks_d") == 0.4,
+      s"ks_d ${r.getAs[Double]("ks_d")} != 0.4 (max CDF gap at value " +
+        "111: F1 = 8/10, F2 = 4/10)")
+  }
+
+  private lazy val anscombeDir: String = {
+    val dir = freshDir("anscombe")
+    val x = Seq(10, 8, 13, 9, 11, 14, 6, 4, 12, 7, 5)
+    val y = Seq(8.04, 6.95, 7.58, 8.81, 8.33, 9.96, 7.24, 4.26, 10.84,
+      4.82, 5.68)
+    x.zip(y).map { case (q, p) => ("A", q, p) }
+      .toDF("l_returnflag", "l_quantity", "l_extendedprice")
+      .write.parquet(s"$dir/lineitem.parquet")
+    dir
+  }
+
+  test("an8 correlation on Anscombe set I reproduces the published " +
+      "r = 0.816") {
+    val r = row(SparkEntry.queries("an8_group_corr")(spark, anscombeDir))
+    assert(r.getAs[Double]("r") == 0.816421,
+      s"r ${r.getAs[Double]("r")} != published 0.8164")
+  }
+
+  test("an7 OLS on Anscombe set I reproduces the published " +
+      "slope = 0.500, intercept = 3.00") {
+    val r = row(SparkEntry.queries("an7_linear_fit")(spark, anscombeDir))
+    assert(r.getAs[Double]("slope") == 0.500091,
+      s"slope ${r.getAs[Double]("slope")} != published 0.500")
+    assert(r.getAs[Double]("intercept") == 3.000091,
+      s"intercept ${r.getAs[Double]("intercept")} != published 3.00")
+  }
+
+  test("BPE on the Sennrich et al. (2016) example corpus learns the " +
+      "public algorithm's merge sequence") {
+    // the BPE paper's worked corpus {low:5, lower:2, newest:6,
+    // widest:3}; this engine trains WITHOUT the paper's </w> marker
+    // (plain character-level, documented at codePointSyms), so the
+    // expected sequence is the classic algorithm re-derived by hand
+    // under that convention and the documented (count desc, l, r)
+    // tie-break: pair counts start (e,s)=9 (s,t)=9 (w,e)=8 (l,o)=7
+    // (o,w)=7 (n,e)=6 (e,w)=6 ... — merge (e,s) on the lexicographic
+    // tie, then (es,t)=9, then (l,o) over (o,w), (lo,w), then at 6
+    // the tie (e,w)<(n,e)<(w,est) picks (e,w), and merging it makes
+    // (ew,est)=6 win the next lex tie against (n,ew).
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val merges = graft.curation.Bpe.learnMerges(
+      Seq(text).toDF("text"), "text", numMerges = 6)
+    assert(merges.map(m => (m._2, m._3)) == Seq(
+      ("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w"),
+      ("e", "w"), ("ew", "est")),
+      s"merge sequence diverged from the hand-derived classic BPE: " +
+        merges.mkString(", "))
+  }
+
+  test("an9 chi-square cells on a hand-derived 2x2 table: E = " +
+      "rowTot*colTot/N, contrib = (O-E)^2/E") {
+    val dir = freshDir("chi2")
+    val rows =
+      Seq.fill(10)(("l1", "sA")) ++ Seq.fill(20)(("l1", "sB")) ++
+      Seq.fill(30)(("l2", "sA")) ++ Seq.fill(40)(("l2", "sB"))
+    rows.toDF("lang", "source").write.parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("an9_chi2_assoc")(spark, dir)
+      .collect().map(r => (r.getAs[String]("lang"), r.getAs[String]("source"))
+        -> (r.getAs[Long]("observed"), r.getAs[Double]("expected"),
+            r.getAs[Double]("contrib"))).toMap
+    // row totals 30/70, col totals 40/60, N = 100
+    assert(got(("l1", "sA")) == ((10L, 12.0, 0.333333)))
+    assert(got(("l1", "sB")) == ((20L, 18.0, 0.222222)))
+    assert(got(("l2", "sA")) == ((30L, 28.0, 0.142857)))
+    assert(got(("l2", "sB")) == ((40L, 42.0, 0.095238)))
+    // the four contributions sum to the textbook chi-square 0.79365
+    val chi2 = got.values.map(_._3).sum
+    assert(math.abs(chi2 - 0.79365) < 1e-4)
+  }
+}
