@@ -56,24 +56,46 @@ object Verify {
     // for subset runs (local iteration) or SPARK_GRAFT_PARTSUPP=0.
     // An ENVIRONMENT fault (python/duckdb missing) is reported and
     // skipped — only a genuine result mismatch is a loud regression.
-    if (only.isEmpty && sys.env.getOrElse("SPARK_GRAFT_PARTSUPP", "1") != "0")
-      try {
-        graft.tools.PartsuppVerify.run(spark,
-          "target/psv-corpus", "target/psv-out")
-        val pb = new ProcessBuilder("python3", "tools/partsupp_gate.py",
-          "target/psv-corpus", "target/psv-out", "CORRECTNESS_partsupp.json")
-        pb.redirectErrorStream(true)
-        val proc = pb.start()
-        val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
-        print(out)
-        if (proc.waitFor() != 0)
-          System.err.println("[verify] PARTSUPP REGRESSION — q2/q9/q11/" +
-            "q16/q20 no longer match DuckDB; see CORRECTNESS_partsupp.json")
-        else println("[verify] partsupp five: DuckDB cross-engine gate green")
-      } catch { case e: Throwable =>
-        System.err.println(
-          s"[verify] partsupp gate skipped (environment): ${e.getMessage}")
-      }
+    if (only.isEmpty && sys.env.getOrElse("SPARK_GRAFT_PARTSUPP", "1") != "0") {
+      // an ENGINE failure (a partsupp query throwing) is a REGRESSION,
+      // never an environment skip (round-17 review: a catch-all here
+      // reported exactly the class the gate exists for as 'skipped');
+      // the failure is also recorded into the artifact so a stale
+      // green CORRECTNESS_partsupp.json cannot outlive the break
+      val engineOk =
+        try {
+          graft.tools.PartsuppVerify.run(spark,
+            "target/psv-corpus", "target/psv-out")
+          true
+        } catch { case e: Throwable =>
+          System.err.println("[verify] PARTSUPP REGRESSION — the engine " +
+            s"side failed to produce q2/q9/q11/q16/q20: ${e.getMessage}")
+          try Files.writeString(Paths.get("CORRECTNESS_partsupp.json"),
+            graft.util.JsonUtil.obj(Map(
+              "how" -> "graft.Verify partsupp gate",
+              "engine_error" -> String.valueOf(e.getMessage).take(300))))
+          catch { case _: Throwable => }
+          false
+        }
+      // only the COMPARATOR invocation is environment-fallible
+      // (python3/duckdb missing): report and skip without judging
+      if (engineOk)
+        try {
+          val pb = new ProcessBuilder("python3", "tools/partsupp_gate.py",
+            "target/psv-corpus", "target/psv-out", "CORRECTNESS_partsupp.json")
+          pb.redirectErrorStream(true)
+          val proc = pb.start()
+          val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+          print(out)
+          if (proc.waitFor() != 0)
+            System.err.println("[verify] PARTSUPP REGRESSION — q2/q9/q11/" +
+              "q16/q20 no longer match DuckDB; see CORRECTNESS_partsupp.json")
+          else println("[verify] partsupp five: DuckDB cross-engine gate green")
+        } catch { case e: java.io.IOException =>
+          System.err.println(
+            s"[verify] partsupp comparator skipped (environment): ${e.getMessage}")
+        }
+    }
     spark.stop()
   }
 }

@@ -82,10 +82,25 @@ object Multimodal {
     * REAL media bytes: `javax.imageio.ImageIO` (the JDK's own PNG
     * codec) decodes them, so the decode stage below runs an actual
     * codec, not a stand-in. */
-  def pngPayload(id: Long): Array[Byte] = {
-    val w = (16 + id % 64).toInt
-    val h = (16 + (id * 7) % 64).toInt
-    val out = new java.io.ByteArrayOutputStream(256)
+  def pngPayload(id: Long): Array[Byte] = buildPng(id, gray = None)
+
+  /** As [[pngPayload]] but with a deterministic grayscale gradient —
+    * pixel(x, y) has R = G = B = ((id + x + y) % 16) * 16, A = 255 —
+    * so pixel-domain statistics of the REAL decode path have non-zero
+    * arithmetic to verify (pure integer math, engine-replayable). */
+  def pngTonePayload(id: Long): Array[Byte] =
+    buildPng(id, gray = Some((x, y) => ((id + x + y) % 16 * 16).toByte))
+
+  /** One PNG writer for both payload families (round-17 review: the
+    * chunk/CRC/IHDR assembly was duplicated verbatim, so a framing fix
+    * would have had to land twice). floorMod, not % — Scala's
+    * sign-preserving remainder turned a negative id into a negative
+    * dimension and a NegativeArraySizeException inside the task. */
+  private def buildPng(id: Long,
+      gray: Option[(Int, Int) => Byte]): Array[Byte] = {
+    val w = (16 + Math.floorMod(id, 64L)).toInt
+    val h = (16 + Math.floorMod(id * 7, 64L)).toInt
+    val out = new java.io.ByteArrayOutputStream(1024)
     out.write(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
       .map(_.toByte), 0, 8)
     def chunk(typ: String, data: Array[Byte]): Unit = {
@@ -108,58 +123,22 @@ object Multimodal {
     ihdr(9) = 6  // color type RGBA
     // compression / filter / interlace = 0 (array default)
     chunk("IHDR", ihdr)
-    // image data: h rows of (filter byte 0 + w RGBA pixels of zeros)
+    // image data: h rows of (filter byte 0 + w RGBA pixels)
     val raw = new Array[Byte](h * (1 + w * 4))
-    val deflater = new java.util.zip.Deflater()
-    deflater.setInput(raw); deflater.finish()
-    val zbuf = new Array[Byte](raw.length + 64)
-    val zlen = deflater.deflate(zbuf)
-    deflater.end()
-    chunk("IDAT", zbuf.take(zlen))
-    chunk("IEND", Array.emptyByteArray)
-    out.toByteArray
-  }
-
-  /** As [[pngPayload]] but with a deterministic grayscale gradient —
-    * pixel(x, y) has R = G = B = ((id + x + y) % 16) * 16, A = 255 —
-    * so pixel-domain statistics of the REAL decode path have non-zero
-    * arithmetic to verify (pure integer math, engine-replayable). */
-  def pngTonePayload(id: Long): Array[Byte] = {
-    val w = (16 + id % 64).toInt
-    val h = (16 + (id * 7) % 64).toInt
-    val out = new java.io.ByteArrayOutputStream(1024)
-    out.write(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
-      .map(_.toByte), 0, 8)
-    def chunk(typ: String, data: Array[Byte]): Unit = {
-      val n = data.length
-      out.write(Array(n >>> 24, n >>> 16, n >>> 8, n).map(_.toByte), 0, 4)
-      val typed = typ.getBytes(StandardCharsets.US_ASCII) ++ data
-      out.write(typed, 0, typed.length)
-      val crc = new java.util.zip.CRC32()
-      crc.update(typed)
-      val c = crc.getValue.toInt
-      out.write(Array(c >>> 24, c >>> 16, c >>> 8, c).map(_.toByte), 0, 4)
-    }
-    val ihdr = new Array[Byte](13)
-    def be32(v: Int, off: Int): Unit = {
-      ihdr(off) = (v >>> 24).toByte; ihdr(off + 1) = (v >>> 16).toByte
-      ihdr(off + 2) = (v >>> 8).toByte; ihdr(off + 3) = v.toByte
-    }
-    be32(w, 0); be32(h, 4)
-    ihdr(8) = 8; ihdr(9) = 6
-    chunk("IHDR", ihdr)
-    val raw = new Array[Byte](h * (1 + w * 4))
-    var y = 0
-    while (y < h) {
-      val rowOff = y * (1 + w * 4) + 1 // skip the filter byte (0)
-      var x = 0
-      while (x < w) {
-        val v = (((id + x + y) % 16) * 16).toByte
-        val p = rowOff + x * 4
-        raw(p) = v; raw(p + 1) = v; raw(p + 2) = v; raw(p + 3) = 0xff.toByte
-        x += 1
+    gray.foreach { px =>
+      var y = 0
+      while (y < h) {
+        val rowOff = y * (1 + w * 4) + 1 // skip the filter byte (0)
+        var x = 0
+        while (x < w) {
+          val v = px(x, y)
+          val p = rowOff + x * 4
+          raw(p) = v; raw(p + 1) = v; raw(p + 2) = v
+          raw(p + 3) = 0xff.toByte
+          x += 1
+        }
+        y += 1
       }
-      y += 1
     }
     val deflater = new java.util.zip.Deflater()
     deflater.setInput(raw); deflater.finish()
@@ -204,8 +183,11 @@ object Multimodal {
       conv(hex(substring(col("payload"), pos, len)), 16, 10)
     media.toDF().select(
       col("id"),
-      (hex(substring(col("payload"), 1, 8)) === "89504E470D0A1A0A")
-        .as("valid_sig"),
+      // coalesce(false): a NULL payload (attachPayload's missing-media
+      // rows) must read invalid, not null — a null slips through a
+      // !valid_sig quarantine filter (round-17 review)
+      coalesce(hex(substring(col("payload"), 1, 8)) === "89504E470D0A1A0A",
+        lit(false)).as("valid_sig"),
       beInt(17, 4).cast("long").as("width"),
       beInt(21, 4).cast("long").as("height"),
       beInt(25, 1).cast("int").as("bit_depth"),
@@ -217,8 +199,10 @@ object Multimodal {
     * samples zero. `javax.sound.sampled.AudioSystem` (the JDK's WAV
     * codec) decodes these — the audio analogue of [[pngPayload]]. */
   def wavPayload(id: Long): Array[Byte] = {
-    val sampleRate = (8000 + (id % 8) * 1000).toInt
-    val nFrames = (64 + id % 128).toInt
+    // floorMod: a negative id must not produce a negative frame count
+    // (ByteBuffer.allocate(44 + negative) threw from the task)
+    val sampleRate = (8000 + Math.floorMod(id, 8L) * 1000).toInt
+    val nFrames = (64 + Math.floorMod(id, 128L)).toInt
     val dataLen = nFrames * 2 // 16-bit mono
     val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -288,15 +272,26 @@ object Multimodal {
     def le(pos: Int, n: Int): org.apache.spark.sql.Column =
       (0 until n).map(i => byteAt(pos + i) * (1L << (8 * i)))
         .reduce(_ + _)
+    val channels = le(23, 2)
+    val bits = le(35, 2)
     media.toDF().select(
       col("id"),
-      (substring(col("payload"), 1, 4).cast("string") === "RIFF" &&
-        substring(col("payload"), 9, 4).cast("string") === "WAVE")
-        .as("valid_sig"),
-      le(23, 2).cast("int").as("channels"),
+      // coalesce(false): attachPayload produces NULL payloads for
+      // missing media, and null valid_sig slips through a
+      // !col("valid_sig") quarantine filter (round-17 review)
+      coalesce(
+        substring(col("payload"), 1, 4).cast("string") === "RIFF" &&
+          substring(col("payload"), 9, 4).cast("string") === "WAVE",
+        lit(false)).as("valid_sig"),
+      channels.cast("int").as("channels"),
       le(25, 4).cast("int").as("sample_rate"),
-      le(35, 2).cast("int").as("bits_per_sample"),
-      (le(41, 4) / 2).cast("long").as("n_frames"))
+      bits.cast("int").as("bits_per_sample"),
+      // frames = dataLen / blockAlign, from the fields parsed above —
+      // the old hardcoded /2 was only right for 16-bit mono
+      // (round-17 review); zero/garbage block align yields null, not
+      // a division error
+      when(channels * bits >= 8L, le(41, 4) / (channels * bits / 8L))
+        .cast("long").as("n_frames"))
   }
 
   final case class AudioDecoded(id: Long, sampleRate: Int, channels: Int,
@@ -341,6 +336,18 @@ object Multimodal {
     * partition, each payload emits only its window summaries
     * (~n/window rows), undecodable payloads drop — the same
     * partition-parallel shape as [[decodeAudio]]. */
+  /** True iff the decoded stream is what the sample loops below
+    * reinterpret byte-for-byte: 16-bit little-endian signed PCM
+    * (round-17 review: an 8-bit, mu-law, or big-endian payload
+    * DECODES fine through AudioSystem, and pairing its raw bytes as
+    * LE shorts produced numerically meaningless energies with no
+    * error — such payloads now DROP, per the documented contract). */
+  private def isPcm16le(in: javax.sound.sampled.AudioInputStream): Boolean = {
+    val f = in.getFormat
+    f.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+      f.getSampleSizeInBits == 16 && !f.isBigEndian
+  }
+
   def audioFrameEnergy(media: Dataset[MediaRow],
       window: Int): Dataset[AudioWindow] = {
     require(window > 0, s"window must be positive (got $window)")
@@ -351,6 +358,7 @@ object Multimodal {
         else try {
           val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
             new java.io.ByteArrayInputStream(r.payload))
+          if (!isPcm16le(in)) { in.close(); Iterator.empty } else {
           val bytes = in.readAllBytes()
           in.close()
           val sb = java.nio.ByteBuffer.wrap(bytes)
@@ -363,6 +371,7 @@ object Multimodal {
             while (i < end) { val v = sb.get(i).toDouble; ss += v * v; i += 1 }
             AudioWindow(r.id, start / window, (end - start).toLong,
               math.sqrt(ss / (end - start)))
+          }
           }
         } catch { case scala.util.control.NonFatal(_) => Iterator.empty }
       }
@@ -393,6 +402,7 @@ object Multimodal {
         else try {
           val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
             new java.io.ByteArrayInputStream(r.payload))
+          if (!isPcm16le(in)) { in.close(); Iterator.empty } else {
           val bytes = in.readAllBytes()
           in.close()
           val sb = java.nio.ByteBuffer.wrap(bytes)
@@ -415,6 +425,7 @@ object Multimodal {
               sbits.append(if (ss(k) > ss(k + 1)) '1' else '0'); k += 1
             }
             Iterator.single(AudioHash(r.id, nw.toLong, sbits.toString))
+          }
           }
         } catch { case scala.util.control.NonFatal(_) => Iterator.empty }
       }
@@ -563,6 +574,11 @@ object Multimodal {
     * and resize fuse in one partition pass — pixels never cross a
     * shuffle, only the target-size tensors (here, their digest). */
   def resizeImages(media: Dataset[MediaRow], tw: Int, th: Int): Dataset[ImageResized] = {
+    // fail loud, not empty: a non-positive target made BufferedImage
+    // throw INSIDE the per-row try, so every row silently dropped and
+    // the result looked like "all payloads undecodable" (round-17
+    // review; siblings already require positive params)
+    require(tw > 0 && th > 0, s"target size must be positive (got $tw x $th)")
     implicit val enc = Encoders.product[ImageResized]
     media.mapPartitions { rows =>
       rows.flatMap { r =>
@@ -596,7 +612,11 @@ object Multimodal {
 
   /** Frame sampling: split each payload into `n` equal byte windows
     * (the video-frame-sample shape: one input row → n frame rows). */
-  def frameSample(media: Dataset[MediaRow], n: Int): DataFrame =
+  def frameSample(media: Dataset[MediaRow], n: Int): DataFrame = {
+    // n <= 0 silently emitted garbage rows: sequence(0, -1) walks
+    // BACKWARD ([0, -1] — Spark's default step is -1 when start >
+    // stop) and the offset math divides by zero (round-17 review)
+    require(n > 0, s"frame count must be positive (got $n)")
     media.toDF()
       .select(col("id"), col("meta.nBytes").as("n_bytes"),
         posexplode(sequence(lit(0), lit(n - 1))).as(Seq("frame_idx", "_f")))
@@ -606,4 +626,5 @@ object Multimodal {
         floor((col("_f") + 1) * col("n_bytes") / n).cast("long")
           - floor(col("_f") * col("n_bytes") / n).cast("long"))
       .drop("_f")
+  }
 }

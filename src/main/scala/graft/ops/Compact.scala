@@ -55,14 +55,16 @@ object Compact {
     // — the same destroyed-append race, re-opened for the documented
     // per-partition caller loop. A leaf's root is found by walking up
     // past the k=v levels — STRICT Hive partition form only
-    // (`key=value`, exactly one '=' group, no '/'): a table root
-    // whose own directory name merely CONTAINS '=' (round-17 advice)
-    // must not be skipped over, or the lock lands on the wrong
-    // ancestor and appenders locking the real root aren't excluded.
-    // Restriction: a genuine partition dir always matches this form
-    // (Spark/Hive write `urlencoded-key=urlencoded-value`), so the
-    // walk stops exactly at the first non-partition-shaped ancestor.
-    val hivePart = "^[^=/]+=[^/]*$".r
+    // (`key=value`, exactly ONE '=', no '/'): a table root whose own
+    // directory name merely CONTAINS '=' (round-17 advice) must not
+    // be skipped over, or the lock lands on the wrong ancestor and
+    // appenders locking the real root aren't excluded. The VALUE side
+    // also excludes '=' (round-17 review: Spark/Hive escape '=' in
+    // partition values as %3D via escapePathName, so a second literal
+    // '=' — e.g. a root named `run=a=b` — proves the dir is NOT a
+    // partition leaf; allowing it re-opened the split-lock race for
+    // multi-'=' root names).
+    val hivePart = "^[^=/]+=[^=/]*$".r
     var root = path
     while (hivePart.pattern.matcher(root.getName).matches())
       root = root.getParent

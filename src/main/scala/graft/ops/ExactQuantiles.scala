@@ -44,15 +44,22 @@ object ExactQuantiles {
       ps: Seq[Double]): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
       s"quantile fractions must be in [0,1], got $ps")
+    // internal/output name collisions (round-17 review): the join-back
+    // column and the count column are part of the output contract, so
+    // a caller's group column may not shadow them
+    require(groupCol != "n" && !groupCol.startsWith("q") &&
+        groupCol != "_eq_g",
+      s"groupCol '$groupCol' collides with the output columns " +
+        "(n, q0..qN) or the internal join key")
     val spark = df.sparkSession
     val nAll = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
 
     val sorted = df
       .filter(col(valueCol).isNotNull)
-      .select(col(groupCol).cast(StringType).as("g"),
+      .select(col(groupCol).cast(StringType).as("_eq_g"),
         col(valueCol).cast(DoubleType).as("v"))
-      .repartitionByRange(col("g"), col("v"))
-      .sortWithinPartitions(col("g"), col("v"))
+      .repartitionByRange(col("_eq_g"), col("v"))
+      .sortWithinPartitions(col("_eq_g"), col("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // pass 1: (partition, group) → row count. Streaming, O(groups)
@@ -125,7 +132,11 @@ object ExactQuantiles {
 
       val valAt: Map[(String, Long), Double] =
         picked.map(t => (t._1, t._2) -> t._3).toMap
-      val out: Seq[Row] = nOf.keys.toSeq.sorted.map { g =>
+      // a NULL group key is a legitimate group (the built-in
+      // percentile's semantics — round-17 review: plain .sorted NPEs
+      // on it, and a plain === join would orphan it)
+      val out: Seq[Row] = nOf.keys.toSeq
+        .sortBy(g => (g == null, Option(g).getOrElse(""))).map { g =>
         val n = nOf(g)
         val qs = ps.map { p =>
           val r = p * (n - 1)
@@ -136,16 +147,17 @@ object ExactQuantiles {
         Row.fromSeq(g +: qs)
       }
       val schema = StructType(
-        StructField("g", StringType, nullable = false) +:
+        StructField("_eq_g", StringType, nullable = true) +:
           ps.indices.map(i => StructField(s"q$i", DoubleType,
             nullable = true)))
       val qdf = spark.createDataFrame(
         spark.sparkContext.parallelize(out, 1), schema)
       // n counts ALL rows (count(*) semantics); all-null-value groups
-      // come back from nAll with null quantiles via the left join
+      // come back from nAll with null quantiles via the left join;
+      // <=> so a null GROUP joins its own quantile row
       nAll.join(qdf,
-          col(groupCol).cast(StringType) === col("g"), "left")
-        .drop("g")
+          col(groupCol).cast(StringType) <=> col("_eq_g"), "left")
+        .drop("_eq_g")
     } finally sorted.unpersist(): Unit
   }
 }

@@ -57,7 +57,14 @@ object Layout {
     * bucket counts must match (or divide) across the joined tables. */
   def bucketize(df: DataFrame, key: String, buckets: Int,
       table: String): Unit =
-    df.write.mode("overwrite")
+    // repartition on the bucket key FIRST (round-17 review): Spark's
+    // bucketed write otherwise emits one file per (task, bucket) pair
+    // — a 1000-task input at 256 buckets is 256k tiny files, exactly
+    // the small-file storm bucketing exists to prevent. One shuffle
+    // on the key co-locates each bucket's rows, so every bucket lands
+    // in ~one file and the sortBy is a cheap in-partition sort.
+    df.repartition(buckets, col(key))
+      .write.mode("overwrite")
       .bucketBy(buckets, key)
       .sortBy(key)
       .saveAsTable(table)

@@ -34,6 +34,10 @@ object Sessionize {
     * (SessionFunnelLinkageSpec pins the equivalence). */
   def assign(events: DataFrame, keyCol: String, tsCol: String,
       orderCol: String, gapSeconds: Long): DataFrame = {
+    // gapSeconds <= 0 makes `gap >= 0` true for EVERY event — each
+    // one its own session, plausible-looking and meaningless
+    // (round-17 review; fail loud like the multimodal params)
+    require(gapSeconds > 0, s"session gap must be positive (got $gapSeconds)")
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(tsCol), col(orderCol))
     val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -48,7 +48,30 @@ object AnnIndexStore {
       index: DataFrame,
       coarse: Option[Array[(Int, Array[Double])]] = None,
       books: Option[Seq[Array[(Int, Array[Double])]]] = None,
-      manifest: Map[String, String] = Map.empty): Unit = {
+      manifest: Map[String, String] = Map.empty): Unit =
+    withIndexLock(index.sparkSession, root) {
+      saveLocked(root, index, coarse, books, manifest)
+    }
+
+  /** save/append serialize on the index root's writer lock (round-17
+    * review: append's drift accounting is a manifest read-modify-
+    * write from a load-time snapshot — two unserialized appends lose
+    * drift counts, and a save racing an append clobbers whichever
+    * manifest lands second; same bounded-wait lock discipline as
+    * FindingsStore/TagStore). */
+  private def withIndexLock[T](spark: SparkSession, root: String)
+      (body: => T): T = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(p) // the lock file lives beside root — ensure it exists
+    graft.util.StagingSwap.withWriterLock(fs, p)(body)
+  }
+
+  private def saveLocked(root: String,
+      index: DataFrame,
+      coarse: Option[Array[(Int, Array[Double])]],
+      books: Option[Seq[Array[(Int, Array[Double])]]],
+      manifest: Map[String, String]): Unit = {
     val spark = index.sparkSession
     import spark.implicits._
     coarse.foreach(cs =>
@@ -192,7 +215,12 @@ object AnnIndexStore {
     * had been indexed in one build (AnnIndexStoreSpec pins that
     * equivalence row-for-row). Centroid drift between refits is the
     * documented IVF trade — bounded by periodic full rebuilds. */
-  def append(root: String, newVecs: DataFrame): Unit = {
+  def append(root: String, newVecs: DataFrame): Unit =
+    withIndexLock(newVecs.sparkSession, root) {
+      appendLocked(root, newVecs)
+    }
+
+  private def appendLocked(root: String, newVecs: DataFrame): Unit = {
     val spark = newVecs.sparkSession
     val loaded = load(spark, root)
     // a cosine index (manifest normalize=true) was fitted/encoded on

@@ -337,14 +337,6 @@ object Similarity {
           e.getField("_1").as("cluster")))
     }
 
-  /** Assignment pass for a fixed centroid set: each row computes its
-    * k dots and argmins — ties break on the lowest centroid id. No
-    * shuffle, no window; one corpus scan. Small quantizers argmin via
-    * array_min over literal (dist, cluster) structs; large (√N-sized)
-    * ones use the codegen'd [[graft.expressions.NearestCentroid]]
-    * kernel — same fold order, same strict-< tie rule, but the
-    * centroid matrix is one referenced object and the N·nlist dots
-    * run in generated code (equivalence spec-pinned at both sizes). */
   /** Assignment pass that also RETURNS the winning score:
     * (vec_id, embedding, cluster, dist) where dist is the argmin key
     * (negative dot — lower = closer, same ordering every assignment
@@ -369,6 +361,14 @@ object Similarity {
         col("best").getField("dist").as("dist"))
   }
 
+  /** Assignment pass for a fixed centroid set: each row computes its
+    * k dots and argmins — ties break on the lowest centroid id. No
+    * shuffle, no window; one corpus scan. Small quantizers argmin via
+    * array_min over literal (dist, cluster) structs; large (√N-sized)
+    * ones use the codegen'd [[graft.expressions.NearestCentroid]]
+    * kernel — same fold order, same strict-< tie rule, but the
+    * centroid matrix is one referenced object and the N·nlist dots
+    * run in generated code (equivalence spec-pinned at both sizes). */
   def assignToCentroids(df: DataFrame,
       centroids: Array[(Int, Array[Double])]): DataFrame = {
     // empty corpus → empty fit → no inverted lists (array() of zero

@@ -89,9 +89,15 @@ object ProbeDrift {
       df.select(col("query_id").cast("long"), col("neighbor_id").cast("long"))
         .collect().groupBy(_.getLong(0))
         .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    // exact ground truth ONCE per predicate — the brute-force scan is
+    // the probe's most expensive job, and six report() calls share two
+    // predicates (round-17 review)
+    val exactCache = scala.collection.mutable.Map
+      .empty[String, Map[Long, Set[Long]]]
     def report(name: String, pred: org.apache.spark.sql.Column)
         (f: => DataFrame): Unit = {
-      val exact = topSets(Similarity.bruteForceTopK(grown, pred, k))
+      val exact = exactCache.getOrElseUpdate(pred.toString(),
+        topSets(Similarity.bruteForceTopK(grown, pred, k)))
       val approx = topSets(f)
       val recalls = exact.map { case (q, truth) =>
         approx.getOrElse(q, Set.empty).count(truth).toDouble / truth.size }

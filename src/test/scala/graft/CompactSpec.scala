@@ -50,6 +50,19 @@ class CompactSpec extends AnyFunSuite {
         "partition leaf and lock its parent")
   }
 
+  test("a root named with TWO '='s (impossible for a Spark partition " +
+      "dir — '=' in values escapes to %3D) is locked itself") {
+    val dir = freshDir("run=a=b")
+    (1L to 50L).map(i => (i, s"r$i")).toDF("id", "s")
+      .repartition(2).write.parquet(dir)
+    assert(Compact.rewrite(spark, dir, targetBytes = 1L << 30) == 1)
+    val parent = new org.apache.hadoop.fs.Path("target/test-compact")
+    val fs = parent.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.listStatus(parent.getParent).exists(
+      _.getPath.getName.contains("test-compact.writers")),
+      "multi-'=' root must not be walked past to its parent")
+  }
+
   test("rewrite under a strict-Hive leaf still locks the table root") {
     val root = freshDir("hiveroot")
     val src = (1L to 200L).map(i => (i, i % 2)).toDF("id", "k")

@@ -47,6 +47,23 @@ class ExactQuantilesSpec extends AnyFunSuite {
     assert(out("c") == ((2L, None)))
   }
 
+  test("a NULL group key is a group like any other (sorted, joined " +
+      "null-safely) and a colliding group name refuses loudly") {
+    val df = Seq(
+      (Option.empty[String], Some(1.0)), (None, Some(3.0)),
+      (Some("a"), Some(10.0))).toDF("grp", "v")
+    val out = ExactQuantiles.groupQuantiles(df, "grp", "v", Seq(0.5))
+      .collect().map(r => Option(r.getString(0)) ->
+        (r.getLong(r.fieldIndex("n")), r.getDouble(r.fieldIndex("q0"))))
+      .toMap
+    assert(out(None) == ((2L, 2.0)), "null group: median of {1,3}")
+    assert(out(Some("a")) == ((1L, 10.0)))
+    intercept[IllegalArgumentException] {
+      ExactQuantiles.groupQuantiles(df.withColumnRenamed("grp", "n"),
+        "n", "v", Seq(0.5))
+    }
+  }
+
   test("no task ever aggregates a whole group: the plan has no " +
       "ObjectHashAggregate percentile") {
     val df = Seq(("g", 1.0), ("g", 2.0)).toDF("grp", "v")

@@ -129,6 +129,80 @@ class MultimodalSpec extends AnyFunSuite {
     assert(h(1L) != h(3L), "time reversal must change the hash")
   }
 
+  // a decodable 8-bit unsigned PCM WAV: AudioSystem reads it fine, but
+  // reinterpreting its bytes as 16-bit LE shorts is garbage — the
+  // energy ops must DROP it (round-17 review), while decodeAudio
+  // (which only reads format metadata) still reports it
+  private def wav8bit(id: Long, nFrames: Int): Multimodal.MediaRow = {
+    val buf = java.nio.ByteBuffer.allocate(44 + nFrames)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")); buf.putInt(36 + nFrames)
+    buf.put("WAVE".getBytes("US-ASCII")); buf.put("fmt ".getBytes("US-ASCII"))
+    buf.putInt(16); buf.putShort(1); buf.putShort(1) // PCM, mono
+    buf.putInt(8000); buf.putInt(8000) // rate, byte rate
+    buf.putShort(1); buf.putShort(8)   // block align, 8 BITS
+    buf.put("data".getBytes("US-ASCII")); buf.putInt(nFrames)
+    (0 until nFrames).foreach(i => buf.put((i % 251).toByte))
+    Multimodal.MediaRow(id, buf.array(),
+      Multimodal.MediaMeta("audio/wav", (44 + nFrames).toLong, "pcm_u8"))
+  }
+
+  test("non-16-bit-LE audio DROPS from the sample-level ops instead of " +
+      "yielding garbage energies") {
+    implicit val enc =
+      org.apache.spark.sql.Encoders.product[Multimodal.MediaRow]
+    val eightBit = spark.createDataset(Seq(wav8bit(1L, 128)))
+    // the JDK decodes it (format metadata is real)...
+    assert(Multimodal.decodeAudio(eightBit).collect()
+      .exists(d => d.frames == 128L && d.channels == 1))
+    // ...but the 16-bit-LE reinterpretation paths must refuse it
+    assert(Multimodal.audioFrameEnergy(eightBit, 16).count() == 0)
+    assert(Multimodal.audioEnergyHash(eightBit, 16).count() == 0)
+  }
+
+  test("wavMeta frame count honors channels and bit depth, not the " +
+      "hardcoded 16-bit-mono divisor") {
+    implicit val enc =
+      org.apache.spark.sql.Encoders.product[Multimodal.MediaRow]
+    // 8-bit mono, 128 data bytes = 128 frames (the old /2 said 64)
+    val meta = Multimodal.wavMeta(spark.createDataset(Seq(wav8bit(1L, 128))))
+      .collect()(0)
+    assert(meta.getAs[Int]("bits_per_sample") == 8)
+    assert(meta.getAs[Long]("n_frames") == 128L)
+  }
+
+  test("null payloads read valid_sig = FALSE, never null (quarantine " +
+      "filters must see them)") {
+    implicit val enc =
+      org.apache.spark.sql.Encoders.product[Multimodal.MediaRow]
+    val nullPayload = spark.createDataset(Seq(
+      Multimodal.MediaRow(7L, null, Multimodal.MediaMeta("x", 0L, "null"))))
+    val png = Multimodal.pngMeta(nullPayload).collect()(0)
+    val wav = Multimodal.wavMeta(nullPayload).collect()(0)
+    assert(!png.isNullAt(png.fieldIndex("valid_sig")) &&
+      !png.getAs[Boolean]("valid_sig"))
+    assert(!wav.isNullAt(wav.fieldIndex("valid_sig")) &&
+      !wav.getAs[Boolean]("valid_sig"))
+  }
+
+  test("payload builders accept negative ids (floorMod dims) and the " +
+      "bad-parameter ops refuse loudly") {
+    // a negative id used to throw NegativeArraySizeException mid-task
+    assert(Multimodal.pngPayload(-420L).nonEmpty)
+    assert(Multimodal.pngTonePayload(-420L).nonEmpty)
+    assert(Multimodal.wavPayload(-100L).length > 44)
+    implicit val enc =
+      org.apache.spark.sql.Encoders.product[Multimodal.MediaRow]
+    val one = spark.createDataset(Seq(wav8bit(1L, 8)))
+    intercept[IllegalArgumentException] {
+      Multimodal.resizeImages(one, 0, 8)
+    }
+    intercept[IllegalArgumentException] { Multimodal.frameSample(one, 0) }
+    intercept[IllegalArgumentException] {
+      graft.ops.Sessionize.assign(one.toDF(), "id", "id", "id", 0L)
+    }
+  }
+
   test("malformed payloads drop, never crash (decode + energy)") {
     implicit val enc = org.apache.spark.sql.Encoders.product[
       Multimodal.MediaRow]
