@@ -82,11 +82,21 @@ object Curation {
     df.select(col(idCol), col(domainCol))
       .withColumn("pos", row_number().over(w).cast("long"))
       // null-safe: mixtureWeights emits a null-domain weight row;
-      // dropping those docs from the stream was silent (round 16)
+      // dropping those docs from the stream was silent (round 16).
+      // LEFT join + raise_error (round-17 review): a domain ABSENT
+      // from the weights table — weights fitted on an older corpus
+      // snapshot, the corpus grew a new domain — also vanished
+      // silently with the inner join. Now the first uncovered row
+      // aborts the job naming its domain; zero cost on covered rows
+      // (one codegen'd null check, no extra action).
       .join(broadcast(weights.select(col(domainCol).as("__g1"),
           col("weight"))),
-        col(domainCol) <=> col("__g1"))
+        col(domainCol) <=> col("__g1"), "left")
       .drop("__g1")
+      .withColumn("weight", coalesce(col("weight"), raise_error(concat(
+        lit("weightedInterleave: domain '"), col(domainCol),
+        lit("' has no weight row — refit mixture weights on the " +
+          "current corpus")))))
       .withColumn("interleave_key",
         round(col("pos").cast("double") / col("weight"), 6))
       .select(col(idCol), col(domainCol), col("pos"), col("interleave_key"))
@@ -313,6 +323,11 @@ object Curation {
     * column-pruned scans. */
   def qualityBandFilter(df: DataFrame, strataCol: String, idCol: String,
       textCol: String, pLo: Double = 0.1, pHi: Double = 0.9): DataFrame = {
+    // transposed arguments (pLo > pHi) silently returned an EMPTY
+    // frame — the whole corpus "failing" quality with no error
+    // (round-17 review; siblings require()-validate their params)
+    require(pLo >= 0.0 && pHi <= 1.0 && pLo <= pHi,
+      s"need 0 <= pLo <= pHi <= 1, got pLo=$pLo pHi=$pHi")
     import graft.functions.TextFunctions
     // scoped-cached: the scored frame is read twice (bounds aggregate,
     // then the band join) and the regex-heavy score dominates its cost
@@ -491,18 +506,35 @@ object Curation {
     * constant). The per-term decimal rounding matches the DuckDB
     * replay's CAST(ln(..) AS DECIMAL(28,12)) bit-for-bit, and decimal
     * addition is exact, so fold order is moot. */
-  def charLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def charLmScore(df: DataFrame, idCol: String, textCol: String,
+      maxVocab: Int = 1 << 22): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val docs = graft.sources.Tables.fanOut(df)
       .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("txt"))
       .as[(Long, String)]
-    val counts = docs.flatMap { case (_, t) =>
+    // scoped cache: the vocab gate's count and the model collect read
+    // the same (vocab-bounded) aggregate once, not the corpus twice
+    val triCounts = graft.util.Caches.scoped(
+      docs.flatMap { case (_, t) =>
         if (t == null || t.length < 3) Iterator.empty
         else Iterator.tabulate(t.length - 2)(i => t.substring(i, i + 3))
       }
-      .groupBy(col("value").as("tri")).agg(count(lit(1)).as("n3"))
-      .as[(String, Long)].collect()
+      .groupBy(col("value").as("tri")).agg(count(lit(1)).as("n3")))
+    // fail FAST, never OOM (round-17 review): the |charset|³ vocab
+    // bound is only "16.7M worst case" for single-byte alphabets — a
+    // CJK/mixed-script corpus has ~1e4 distinct chars and its distinct
+    // TRIGRAM table can run to hundreds of millions, which the
+    // broadcast-model collect below would materialize on the driver.
+    // One count (the aggregate is computed anyway) buys a loud,
+    // actionable error instead of a driver OOM; maxVocab is the knob
+    // for callers with bigger drivers.
+    val vocabN = triCounts.count()
+    require(vocabN <= maxVocab,
+      s"charLmScore: $vocabN distinct char trigrams exceed maxVocab=" +
+        s"$maxVocab — the broadcast model would not fit a driver; " +
+        "score per-script slices, or raise maxVocab with driver memory")
+    val counts = triCounts.as[(String, Long)].collect()
     val ctx = new java.util.HashMap[String, Long](counts.length * 2)
     counts.foreach { case (tri, n3) =>
       val c = tri.substring(0, 2)
@@ -786,8 +818,18 @@ object Curation {
     val idName = nodes.columns.head
     // An edge with a missing endpoint carries no connectivity; drop
     // them up front so neither path sees nulls (a null would NPE the
-    // Comparable-based repMin step below).
-    val e2 = edges.toDF("s", "d")
+    // Comparable-based repMin step below). Endpoint types UNIFY to
+    // their least common type first (resolved by Spark's own union
+    // coercion — a schema-only probe, no job): an int-src/long-dst
+    // frame otherwise crashed ONLY on the small-graph path, where
+    // repMin's Integer.compareTo(Long) throws ClassCastException,
+    // while the distributed union widened silently — same input,
+    // path-dependent behavior (round-17 review).
+    val raw = edges.toDF("s", "d")
+    val common = raw.select(col("s")).union(raw.select(col("d")))
+      .schema.head.dataType
+    val e2 = raw
+      .select(col("s").cast(common).as("s"), col("d").cast(common).as("d"))
       .where(col("s").isNotNull && col("d").isNotNull)
     // Cheap size gate first: a plain count decides the path while
     // moving only one number to the driver. (The previous two shapes

@@ -40,9 +40,28 @@ object TextFunctions {
   def punctCount(c: Column): Column =
     regexp_count(c, lit("[.,;:!?]"))
 
+  /** Escape regex metacharacters PORTABLY — per-character backslash,
+    * never \Q...\E (Java-only; the same pattern string must run in
+    * DuckDB/RE2 — round-17 review: a caller word like "c++" threw
+    * PatternSyntaxException, and "a|b" silently rewired the
+    * alternation). */
+  private def quoteRe(w: String): String =
+    w.flatMap(ch =>
+      if ("\\^$.|?*+()[]{}".indexOf(ch) >= 0) s"\\$ch" else ch.toString)
+
   /** Number of stopword hits from `words` (word-boundary matched). */
   def stopwordHits(c: Column, words: Seq[String]): Column =
-    regexp_count(c, lit("\\b(" + words.mkString("|") + ")\\b"))
+    regexp_count(c, lit("\\b(" + words.map(quoteRe).mkString("|") + ")\\b"))
+
+  /** As [[stopwordHits]] but WITHOUT word boundaries — for scripts
+    * that do not delimit words with spaces (CJK): Java's \b treats
+    * every CJK codepoint as a word character, so a boundary-matched
+    * 的 never fires inside running Chinese text (round-17 review),
+    * and RE2's ASCII-only \b disagrees with Java's on exactly these
+    * rows. CJK stopword characters cannot occur inside Latin words,
+    * so raw substring counting is the correct convention. */
+  def stopwordHitsRaw(c: Column, words: Seq[String]): Column =
+    regexp_count(c, lit("(" + words.map(quoteRe).mkString("|") + ")"))
 
   /** Per-language stopword profiles for the n-gram language-ID
     * heuristic. Extend per corpus; ties resolve in declaration order. */
@@ -53,10 +72,17 @@ object TextFunctions {
     "fr" -> Seq("le", "la", "de", "et", "un", "est"),
     "zh" -> Seq("的", "是", "了", "在"))
 
+  /** Languages whose profiles match boundary-free (unsegmented
+    * scripts — see [[stopwordHitsRaw]]). */
+  private val rawProfileLangs = Set("zh")
+
   /** Language prediction: argmax of stopword-hit counts, first-declared
     * language wins ties ("und" = unknown when nothing matches). */
   def langId(c: Column): Column = {
-    val scores = langProfiles.map { case (l, ws) => l -> stopwordHits(c, ws) }
+    val scores = langProfiles.map { case (l, ws) =>
+      l -> (if (rawProfileLangs(l)) stopwordHitsRaw(c, ws)
+            else stopwordHits(c, ws))
+    }
     val g = greatest(scores.map(_._2): _*)
     val cases = scores.foldLeft(when(g === 0, lit("und"))) {
       case (acc, (l, s)) => acc.when(s === g, lit(l))
@@ -113,7 +139,9 @@ object TextFunctions {
     val pathQF = regexp_replace(rest, "^[^/?#]*", "")
     val path = regexp_replace(
       regexp_extract(pathQF, "^([^?#]*)", 1), "/+$", "")
-    val query = regexp_extract(pathQF, "\\?([^#]*)", 1)
+    // anchored past the path: an unanchored \? matched a '?' INSIDE
+    // the fragment, so "/p#a?x" grew a phantom query (round-17 review)
+    val query = regexp_extract(pathQF, "^[^?#]*\\?([^#]*)", 1)
     val kept = array_sort(filter(split(query, "&"), p =>
       p =!= "" && not(p.rlike("^(utm_[^=]*|fbclid|gclid)="))))
     val queryPart = when(size(kept) > 0,

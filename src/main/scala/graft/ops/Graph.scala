@@ -40,13 +40,23 @@ object Graph {
     * r_{t+1}(v) = (1−d)/N + d·Σ_{u→v} r_t(u)/deg(u). */
   def pageRank(edges: DataFrame, iters: Int = 10,
       damping: Double = 0.85): DataFrame = {
+    // Duplicate edge rows act as EDGE WEIGHTS (a pair emitted twice
+    // carries twice the link mass) — the standard multigraph reading.
+    // Callers wanting unweighted ranks dedupe upstream; forcing a
+    // distinct here would charge every caller a shuffle for inputs
+    // that are unique by construction (the dup-pair tables).
     val e = edges.toDF("src", "dst")
       .where(col("src").isNotNull && col("dst").isNotNull)
     // scope-registered caches: the returned ranks frame is LAZY (the
     // tail rounds past the last checkpoint materialize at consumption
     // time), so these must outlive this call — the harness releases
-    // them at the operation boundary (Caches.releaseStray)
-    val sym = e.union(e.select(col("dst"), col("src")))
+    // them at the operation boundary (Caches.releaseStray).
+    // sym is CACHED before its three consumers (deg aggregate, node
+    // count, weighted build): an expensive upstream edge plan — a
+    // whole dedup pair pipeline — was otherwise re-executed three
+    // times (round-17 review).
+    val sym = graft.util.Caches.scoped(
+      e.union(e.select(col("dst"), col("src"))))
     // source degrees folded into the cached edge list ONCE, so each
     // round is a single edges⨝ranks join — the per-round deg join the
     // previous form paid 10× is gone. deg (not 1/deg) is stored so
@@ -138,10 +148,17 @@ object Graph {
     * edge list. Returns (doc_id, n_triangles), nodes in ≥1 triangle
     * only. */
   def triangleParticipation(edges: DataFrame): DataFrame = {
+    // distinct: a duplicated pair row (two candidate generators
+    // unioned, a re-run appended) would otherwise match e1 AND e3
+    // separately and count the same triangle per copy (round-17
+    // review). One exchange over the candidate-pruned pair table —
+    // small by construction — buys count-of-DISTINCT-triangles
+    // semantics on any input.
     val e = edges
       .filter(col("doc_a").isNotNull && col("doc_b").isNotNull &&
         col("doc_a") < col("doc_b"))
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .distinct()
     val tri = e.as("e1")
       .join(e.as("e2"), col("e1.b") === col("e2.a"))
       .join(e.as("e3"),

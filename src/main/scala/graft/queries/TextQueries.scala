@@ -214,6 +214,13 @@ object TextQueries extends QueryPack {
   private def hitsSql(words: String) =
     s"len(regexp_extract_all(text, '\\b($words)\\b'))"
 
+  /** Boundary-FREE hit count — the zh profile's convention (matches
+    * [[graft.functions.TextFunctions.stopwordHitsRaw]]: CJK text has
+    * no space-delimited words, so \b never fires there in Java and
+    * disagrees between Java and RE2). */
+  private def hitsRawSql(words: String) =
+    s"len(regexp_extract_all(text, '($words)'))"
+
   private val langCase = {
     val profs = Seq(
       "en" -> "the|a|of|and|to|in|is",
@@ -221,7 +228,9 @@ object TextQueries extends QueryPack {
       "de" -> "der|die|das|und|ist|von",
       "fr" -> "le|la|de|et|un|est",
       "zh" -> "的|是|了|在")
-    val scores = profs.map { case (l, ws) => l -> hitsSql(ws) }
+    val rawLangs = Set("zh")
+    val scores = profs.map { case (l, ws) =>
+      l -> (if (rawLangs(l)) hitsRawSql(ws) else hitsSql(ws)) }
     val g = scores.map(_._2).mkString("greatest(", ", ", ")")
     val whens = scores.map { case (l, s) => s"WHEN $s = $g THEN '$l'" }
     s"CASE WHEN $g = 0 THEN 'und' ${whens.mkString(" ")} ELSE 'und' END"
@@ -265,7 +274,7 @@ object TextQueries extends QueryPack {
       |           THEN regexp_replace(regexp_replace(hostport, '^www\.', ''), ':443$', '')
       |         ELSE regexp_replace(hostport, '^www\.', '') END AS host,
       |    regexp_replace(regexp_extract(pathqf, '^([^?#]*)', 1), '/+$', '') AS path,
-      |    regexp_extract(pathqf, '\?([^#]*)', 1) AS query
+      |    regexp_extract(pathqf, '^[^?#]*\?([^#]*)', 1) AS query
       |  FROM hp),
       |canon AS (SELECT doc_id, url,
       |    CASE WHEN scheme = '' THEN lower(trim(url))

@@ -258,7 +258,51 @@ object Scaling {
     "ml3_calibration" -> "documents",
     "x12_redact_pii" -> "documents",
     "s6_ivf_probe" -> "embeddings",
-    "m4_png_meta" -> "documents")
+    "m4_png_meta" -> "documents",
+    // round-17 second tranche — toward full exponent coverage: the
+    // profiling pair (pr1 multi-sketch scan, pr2 decimal-stable
+    // numeric summary), the text/curation scans (x2 language-ID regex
+    // argmax, x3 quality composite, u3/u4 URL canonicalize rollups),
+    // the remaining TPC-H shapes (q13 outer-join distribution, q14
+    // promo share, q15 top-supplier view, q17 avg-gated small orders,
+    // q22 anti-join dormants), classify over three inputs (a1 docs/
+    // events/full-registry — the 256-pattern MultiMatchCount scans),
+    // the ANN serving legs (s7 full probe, s12 upsert merge, s13
+    // filtered knn, ev1 recall eval), packing (c5/c8), streaming
+    // windows (e3 sliding, e4 completion latency), scd1 history, w1
+    // running sum, d6 neardup gate, dq1 expectations, j5 chain,
+    // p10 JSON extract, m7 the real WAV decode, tk1 the bounded-heap
+    // top-k operator
+    "pr1_profile_customer" -> "customer",
+    "pr2_numeric_summary" -> "lineitem",
+    "x2_langid" -> "documents",
+    "x3_quality" -> "documents",
+    "u3_url_dedup" -> "documents",
+    "u4_host_stats" -> "documents",
+    "q13_order_distribution" -> "orders+customer",
+    "q14_promo_share" -> "lineitem",
+    "q15_top_supplier" -> "lineitem+supplier",
+    "q17_small_orders" -> "lineitem",
+    "q22_dormant_customers" -> "orders+customer",
+    "a1_classify_docs" -> "documents",
+    "a1_classify_events" -> "events",
+    "a1_classify_full_registry" -> "events",
+    "s7_ivf_probe_full" -> "embeddings",
+    "s12_upsert_merge" -> "embeddings",
+    "s13_filtered_knn" -> "embeddings",
+    "ev1_ann_recall" -> "embeddings",
+    "c5_pack_bins" -> "documents",
+    "c8_pack_concat" -> "documents",
+    "e3_sliding_window" -> "events",
+    "e4_completion_latency" -> "events",
+    "scd1_history" -> "customer",
+    "w1_running_sum" -> "events",
+    "d6_embedding_neardup" -> "embeddings",
+    "dq1_expectations" -> "customer",
+    "j5_join_chain" -> "orders+customer",
+    "p10_json_extract" -> "events",
+    "m7_audio_decode" -> "documents",
+    "tk1_topk_perkey" -> "events")
 
   /** Measured interpretation notes embedded per row — the exponent
     * alone can mislead when the OUTPUT grows with the corpus. */

@@ -144,6 +144,34 @@ class ClassifySpec extends AnyFunSuite {
     out.foreach { case (lang, pred) => assert(pred == lang, s"$lang -> $pred") }
   }
 
+  test("langId classifies UNSEGMENTED Chinese (no spaces — \\b never " +
+      "fires between CJK codepoints; the zh profile matches raw)") {
+    import org.apache.spark.sql.functions.col
+    val out = Seq(
+      ("zh", "我们的城市是一个很大的地方了他在家里"), // no spaces
+      ("en", "the city is a very large place and he is in the house"))
+      .toDF("lang", "text")
+      .select(col("lang"),
+        graft.functions.TextFunctions.langId(col("text")).as("pred"))
+      .collect().map(r => r.getString(0) -> r.getString(1))
+    out.foreach { case (lang, pred) => assert(pred == lang,
+      s"$lang -> $pred") }
+  }
+
+  test("stopword words are regex-quoted — an interior metacharacter " +
+      "counts literally, and a word like 'c++' no longer throws") {
+    import org.apache.spark.sql.functions.col
+    // unquoted, '.' would also match 'dxo'; quoted, only the literal
+    val hits = Seq("see d.o here and dxo there").toDF("text")
+      .select(graft.functions.TextFunctions
+        .stopwordHits(col("text"), Seq("d.o")).as("h"))
+      .head().getInt(0)
+    assert(hits == 1, s"quoted 'd.o' must match only the literal, got $hits")
+    // pre-fix this was a PatternSyntaxException at execution
+    Seq("x").toDF("text").select(graft.functions.TextFunctions
+      .stopwordHitsRaw(col("text"), Seq("c++")).as("h")).collect(): Unit
+  }
+
   test("enrichment stamps provenance, uuid and timestamp") {
     val findings = Classify.classifySummary(piiDf, E.all, threshold = 0.5)
     val out = Classify.enrichFindings(findings, "s3",

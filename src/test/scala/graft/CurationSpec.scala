@@ -326,6 +326,53 @@ class CurationSpec extends AnyFunSuite {
       4L -> 4L, 5L -> 4L, 6L -> 4L, 7L -> 7L, 8L -> 8L))
   }
 
+  test("connectedComponents: mixed int/long endpoint types unify (the " +
+      "small-graph union-find no longer compares Integer to Long)") {
+    val nodes = (1L to 4L).toDF("id")
+    val edges = Seq((1, 2L), (3, 4L)) // src INT, dst LONG
+      .toDF("s", "d")
+      .select(col("s").cast("int").as("s"), col("d").as("d"))
+    val out = Curation.connectedComponents(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("weightedInterleave aborts loudly on a domain with no weight " +
+      "row instead of silently dropping its docs") {
+    val docs = Seq((1L, "web"), (2L, "code"), (3L, "web2"))
+      .toDF("doc_id", "domain")
+    val weights = Seq(("web", 1.0), ("code", 0.5)).toDF("domain", "weight")
+    val e = intercept[Exception] {
+      Curation.weightedInterleave(docs, "domain", "doc_id", weights)
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("web2")),
+      s"error must name the uncovered domain: ${msgs(e)}")
+  }
+
+  test("qualityBandFilter refuses transposed or out-of-range " +
+      "percentiles instead of returning an empty corpus") {
+    val df = Seq((1L, "a", "text here")).toDF("id", "lang", "text")
+    intercept[IllegalArgumentException] {
+      Curation.qualityBandFilter(df, "lang", "id", "text",
+        pLo = 0.9, pHi = 0.1)
+    }
+    intercept[IllegalArgumentException] {
+      Curation.qualityBandFilter(df, "lang", "id", "text", pLo = -0.1)
+    }
+  }
+
+  test("charLmScore fails fast when the trigram vocabulary exceeds " +
+      "maxVocab (driver OOM guard for large-charset corpora)") {
+    val docs = Seq((1L, "abcdefghijkl"), (2L, "mnopqrstuvwx"))
+      .toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Curation.charLmScore(docs, "doc_id", "text", maxVocab = 3)
+    }
+  }
+
   test("connectedComponents converges on a long chain (diameter > 2)") {
     val n = 12L
     val nodes = (1L to n).toDF("id")

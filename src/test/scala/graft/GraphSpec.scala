@@ -48,6 +48,15 @@ class GraphSpec extends AnyFunSuite {
     assert(t == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("triangles: an exactly-duplicated oriented edge does not " +
+      "double-count its triangle (distinct inside the operator)") {
+    val e = Seq((1L, 2L), (1L, 2L), (1L, 3L), (2L, 3L))
+      .toDF("doc_a", "doc_b")
+    val t = Graph.triangleParticipation(e).as[(Long, Long)].collect().toMap
+    assert(t == Map(1L -> 1L, 2L -> 1L, 3L -> 1L),
+      s"duplicated (1,2) must not duplicate the {1,2,3} triangle: $t")
+  }
+
   test("pagerank: null endpoints dropped, not NPE") {
     val e = Seq((Some(1L), Some(2L)), (Some(3L), None), (None, Some(4L)))
       .toDF("doc_a", "doc_b")

@@ -174,6 +174,17 @@ class PropertiesSpec extends AnyFunSuite {
     }, n = 5)
   }
 
+  test("canonicalizeUrl: a '?' inside the fragment is NOT a query") {
+    import graft.functions.TextFunctions.canonicalizeUrl
+    val out = Seq("http://a.com/p#section?2", "http://a.com/p?x=1#f?y=2")
+      .toDF("u").select(canonicalizeUrl(col("u")).as("c"))
+      .collect().map(_.getString(0))
+    assert(out(0) == "http://a.com/p",
+      s"fragment-only '?' must not become a query: ${out(0)}")
+    assert(out(1) == "http://a.com/p?x=1",
+      s"real query kept, fragment-side '?' ignored: ${out(1)}")
+  }
+
   test("canonicalizeUrl is idempotent and strips all tracking params") {
     import graft.functions.TextFunctions.canonicalizeUrl
     val gen = for {
