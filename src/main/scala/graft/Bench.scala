@@ -243,6 +243,14 @@ object Bench {
     // every cache is released on the same boundaries — so pass2 is a
     // true re-measurement, not a warm replay.
     val pass1Full = fullPass()
+    // MID-RUN canary (round-17): the start/end canaries only BRACKET
+    // the run, so a stall window covering the middle left cf/tcn
+    // under-corrected (measured: a weather run read tcn 87.9 against
+    // a 73.6 record — the mid-run inflation was invisible to both
+    // bracketing samples). One plan-warm q1 between the passes makes
+    // the machine-factor estimate three-point.
+    val canaryMid =
+      try timeQuery("q1_agg") catch { case NonFatal(_) => -1.0 }
     val pass2Full = fullPass()
     val pass1 = pass1Full.map { case (n, s, _) => n -> s }
     val pass2 = pass2Full.map { case (n, s, _) => n -> s }
@@ -291,7 +299,7 @@ object Bench {
         }
         // the previous record's machine factor: mean of its two canary
         // samples (baseline for this run's weather flag below)
-        val cs = Seq("canary_q1_start", "canary_q1_end")
+        val cs = Seq("canary_q1_start", "canary_q1_mid", "canary_q1_end")
           .flatMap(k => Option(root.get(k)).map(_.asDouble(-1.0)))
           .filter(_ > 0)
         (m.toMap, if (cs.nonEmpty) cs.sum / cs.size else -1.0)
@@ -431,7 +439,7 @@ object Bench {
     //                    i.e. the movers below are host-wide, not
     //                    code-local. A weather:true run's absolute
     //                    times are not evidence against the tree.
-    val canaryNow = Seq(canaryStart, canaryEnd).filter(_ > 0)
+    val canaryNow = Seq(canaryStart, canaryMid, canaryEnd).filter(_ > 0)
     val canaryMean = if (canaryNow.nonEmpty) canaryNow.sum / canaryNow.size else -1.0
     val canaryFactor =
       if (canaryMean > 0 && prevCanary > 0) canaryMean / prevCanary else 1.0
@@ -469,7 +477,7 @@ object Bench {
       s"${jstr(q)}:${bs.map { case (m, v) => s"${jstr(m)}:${num6(v)}" }
         .mkString("{", ",", "}")}"
     }.mkString("{", ",", "}")}"""
-    full ++= s""","canary_q1_start":${num6(canaryStart)},"canary_q1_end":${num6(canaryEnd)},"gate_waits":$gateWaits"""
+    full ++= s""","canary_q1_start":${num6(canaryStart)},"canary_q1_mid":${num6(canaryMid)},"canary_q1_end":${num6(canaryEnd)},"gate_waits":$gateWaits"""
     full ++= s""","canary_factor":${num6(canaryFactor)},"total_canary_norm":${num(totalCanaryNorm)},"median_pack_drift":${num6(medianPackDrift)},"weather":$weather}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("/root/repo/BENCH_FULL.json"), full.toString)

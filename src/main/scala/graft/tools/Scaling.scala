@@ -315,6 +315,16 @@ object Scaling {
       "rank selection, no per-group buffering anywhere) re-measures at " +
       "3.3 s x100, exp_100_10 0.56, bit-identical quantile_cont results " +
       "(oracle-verified)"),
+    "d6_embedding_neardup" -> ("exp ~2 BY DESIGN, same class as d15/d16: " +
+      "at the fixture's 0.45 threshold the gate routes to the exact " +
+      "triangular block join at EVERY size (the round-15 crossover table: " +
+      "banded loses at rate 2.25 — ~all pairs are candidates at a dense " +
+      "threshold), so pair work is N^2/2 and the x100 reading is the cost " +
+      "of asking an exact dense question, not a routing defect; production " +
+      "thresholds (>=0.85) route banded and scale with candidate volume"),
+    "m7_audio_decode" -> ("decode-bound must-touch-every-byte scan (the " +
+      "m5/m12 class): the JDK WAV codec re-reads every payload byte, so " +
+      "the exponent approaches 1 by construction; samples never shuffle"),
     "d11_incremental_lsh" -> ("pays the shared postings->signatures->" +
       "candidates->pair-stats chain COLD per the protocol (the d2/d3/g1 " +
       "convention; ev2's 28 s x100 is the same chain) plus its own two " +
