@@ -76,15 +76,28 @@ object AsOf {
     import TimeCols.micros
     def bucketOf(c: org.apache.spark.sql.Column) =
       (micros(c) / usPerBucket).cast("long")
-    val lb = left.withColumn("_b", explode(sequence(
-      bucketOf(col(lStart)), bucketOf(col(lEnd)))))
-    val rb = right.withColumn("_b", explode(sequence(
-      bucketOf(col(rStart)), bucketOf(col(rEnd)))))
+    // UNIQUELY-NAMED internal bound columns (round-17 review): with
+    // same-named start/end columns on both sides — the canonical
+    // SELF-overlap join of one interval table against itself — bare
+    // col(name) post-join resolution is ambiguous, and even df-
+    // qualified lb()/rb() refs trip DetectAmbiguousSelfJoin because
+    // both subtrees carry the same attribute ids. Copying each bound
+    // into a side-unique working column makes every predicate leg
+    // unambiguous by NAME, for any input including a literal self
+    // join; the working columns drop on the way out.
+    val lb = left
+      .withColumn("_lqs", col(lStart)).withColumn("_lqe", col(lEnd))
+      .withColumn("_b", explode(sequence(
+        bucketOf(col(lStart)), bucketOf(col(lEnd)))))
+    val rb = right
+      .withColumn("_rqs", col(rStart)).withColumn("_rqe", col(rEnd))
+      .withColumn("_b", explode(sequence(
+        bucketOf(col(rStart)), bucketOf(col(rEnd)))))
     lb.join(rb, Seq(key, "_b"))
-      .filter(col(lStart) < col(rEnd) && col(rStart) < col(lEnd))
+      .filter(col("_lqs") < col("_rqe") && col("_rqs") < col("_lqe"))
       .filter(col("_b") ===
-        greatest(bucketOf(col(lStart)), bucketOf(col(rStart))))
-      .drop("_b")
+        greatest(bucketOf(col("_lqs")), bucketOf(col("_rqs"))))
+      .drop("_b", "_lqs", "_lqe", "_rqs", "_rqe")
   }
 
   /** Left as-of join. Output: all probe columns plus the requested
@@ -92,11 +105,27 @@ object AsOf {
   def joinAsOf(probe: DataFrame, build: DataFrame, key: String,
       probeTs: String, buildTs: String,
       buildCols: Seq[String]): DataFrame = {
+    // the working columns are part of the union contract — a probe
+    // frame already carrying one (e.g. an un-projected previous
+    // joinAsOf output) would silently corrupt the carry (round-17
+    // review: a probe-side _payload wins last(ignoreNulls) over the
+    // genuine preceding build row)
+    val reserved = Seq("_ts", "_side", "_payload", "_match")
+    val clash = probe.columns.toSeq.intersect(reserved)
+    require(clash.isEmpty,
+      s"joinAsOf: probe columns ${clash.mkString(",")} collide with " +
+        "internal working columns — rename or project them away first")
     val probeCols = probe.columns.toSeq
     val probeTagged = probe
       .withColumn("_ts", col(probeTs))
       .withColumn("_side", lit(1))
     val buildTagged = build
+      // a build row with a NULL timestamp matches nothing (DuckDB
+      // ASOF semantics, which this operator documents): under asc
+      // NULLS FIRST ordering it sorted to the partition head and its
+      // payload carried into probe rows with no genuine predecessor
+      // (round-17 review)
+      .filter(col(buildTs).isNotNull)
       .select((Seq(col(key), col(buildTs).as("_ts")) :+
         struct(buildCols.map(col): _*).as("_payload")): _*)
       .withColumn("_side", lit(0))

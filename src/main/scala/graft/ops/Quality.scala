@@ -35,7 +35,11 @@ object Quality {
   final case class InRange(col: String, lo: Double, hi: Double) extends Rule {
     def name = s"in_range($col,$lo,$hi)"; def kind = "in_range"
   }
-  /** Non-null `col` must fully match `pattern` (RE2-safe subset). */
+  /** Non-null `col` must CONTAIN a match of `pattern` (rlike/
+    * regexp_matches find semantics — the SQL convention both engines
+    * share; round-17 review fixed this doc, which previously promised
+    * a full match the implementation never did). Anchor with ^…$ for
+    * whole-cell matching, as the registry patterns do. */
   final case class MatchesRegex(col: String, pattern: String) extends Rule {
     def name = s"matches_regex($col)"; def kind = "matches_regex"
   }
@@ -90,8 +94,20 @@ object Quality {
         .select(lit(u.name).as("rule"), lit(u.kind).as("kind"),
           col("n_violations"))
     }
+    // reassemble in the CALLER's rule order (round-17 review: the
+    // row/unique partition above moved every Unique to the tail,
+    // while the doc promises input order — a consumer zipping the
+    // report against its rule list positionally mis-attributed
+    // verdicts). The report is rules-sized; the sort is free.
+    val order = rules.map(_.name).zipWithIndex.toMap
+    val orderCol = rules.map(r =>
+      when(col("rule") === r.name, lit(order(r.name))))
+      .reduce((a, b) => coalesce(a, b))
     frames.reduce(_ unionByName _)
       .withColumn("pass", col("n_violations") === 0L)
+      .withColumn("_ord", orderCol)
+      .orderBy(col("_ord"))
+      .drop("_ord")
   }
 
   /** Row-level routing — the per-row complement of [[check]]'s

@@ -45,11 +45,16 @@ object Redact {
   /** Replacement token for an entity: `[EMAIL]`, `[SSN]`, … */
   def token(entity: String): String = s"[$entity]"
 
-  /** Redact every span of every entity in `textCol`, in order. */
+  /** Redact every span of every entity in `textCol`, in order. The
+    * replacement text is LITERAL-escaped (round-17 review): Spark's
+    * regexp_replace parses '$' group references and '\' escapes in
+    * the replacement, so an entity name like "AMOUNT_US$" threw
+    * "Illegal group reference" on the first matching row. */
   def redactColumn(textCol: Column,
       entities: Seq[SpanEntity] = DefaultSpanEntities): Column =
     entities.foldLeft(textCol) { case (c, (name, pattern)) =>
-      regexp_replace(c, pattern, token(name))
+      regexp_replace(c, pattern,
+        token(name).replace("\\", "\\\\").replace("$", "\\$"))
     }
 
   /** Frame form: adds `redacted` (scrubbed `textCol`) and `n_spans`
@@ -128,7 +133,13 @@ object Redact {
     val base = df.select(col(idCol), g1.as("gen_q1"), g2.as("gen_q2"))
     val sizes = base.groupBy(col("gen_q1"), col("gen_q2"))
       .agg(count(lit(1)).as("group_n"))
-    base.join(broadcast(sizes), Seq("gen_q1", "gen_q2"))
+    // NO broadcast hint (round-17 review): the group table is bounded
+    // by n/k rows, not a constant — at a fine ladder level on a large
+    // corpus a forced broadcast blows the 8 GB limit / the driver,
+    // while the plain shuffle join is partitioned on the same keys as
+    // the aggregate above (no extra exchange). Spark still
+    // auto-broadcasts when the table is actually small.
+    base.join(sizes, Seq("gen_q1", "gen_q2"))
       .select(col(idCol), col("gen_q1"), col("gen_q2"),
         lit(level).as("gen_level"), col("group_n"))
   }

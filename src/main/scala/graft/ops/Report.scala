@@ -28,7 +28,13 @@ object Report {
   }
 
   /** §3.3's N+1 fix: all finding rows belonging to each table's latest
-    * run, as a single self-join instead of a per-table re-query. */
+    * run, as a single self-join instead of a per-table re-query.
+    * Run identity IS the timestamp: `enrichFindings` stamps each run
+    * with one `current_timestamp()` (microsecond resolution), so two
+    * physical appends sharing an exact timestamp are one logical run
+    * and their union is the correct "latest rows" answer — the
+    * [[latestFindings]] id tie-break only pins WHICH (table, ts) key
+    * wins when timestamps differ per row, not run membership. */
   def latestFindingRows(findings: DataFrame): DataFrame =
     findings.join(latestFindings(findings),
       Seq("data_catalog_table_name", "timestamp"), "inner")
@@ -60,7 +66,10 @@ object Report {
     * keys from each source's tag map, stamp and append. */
   def tagReport(tracker: DataFrame, tags: DataFrame,
       requiredKeys: Seq[String]): DataFrame = {
-    val req = array(requiredKeys.map(lit): _*)
+    // typedLit, not array(): an EMPTY key list under array() builds
+    // array<void> and array_contains(array<void>, string) fails
+    // analysis instead of capturing nothing (round-17 review)
+    val req = typedLit(requiredKeys)
     tracker.join(broadcast(tags), Seq("source_name"), "inner")
       .select(col("source_name"), col("data_catalog_table_name"),
         map_filter(col("tags"), (k, _) => array_contains(req, k))

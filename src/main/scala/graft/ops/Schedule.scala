@@ -63,7 +63,14 @@ object Schedule {
       else {
         try { s.action(); done += s.name }
         catch {
-          case e: Exception =>
+          // NonFatal + LinkageError (round-17 review): a stage dying
+          // of NoClassDefFoundError — a missing executor jar surfaces
+          // driver-side as an Error — used to abort the WHOLE
+          // scheduler with no RunReport, contradicting the
+          // independent-branches contract; genuinely fatal VM errors
+          // (OOM, stack overflow) still propagate
+          case e if scala.util.control.NonFatal(e) ||
+              e.isInstanceOf[LinkageError] =>
             failed += s.name
             // keep the WHY (round-16 review: the exception was
             // discarded entirely — an operator reading the nightly

@@ -80,4 +80,49 @@ class AsOfSpec extends AnyFunSuite {
     assert(rows.size == rows.toSet.size, s"duplicate pairs: $rows")
     assert(rows.toSet == Set(("l1", "r1"), ("l3", "r3")))
   }
+
+  test("interval SELF-overlap join: same-named columns on both sides " +
+      "resolve side-qualified (round-17 review)") {
+    val sessions = Seq(
+      (1L, "a", ts("2026-01-01 10:00:00"), ts("2026-01-01 11:00:00")),
+      (1L, "b", ts("2026-01-01 10:30:00"), ts("2026-01-01 11:30:00")),
+      (1L, "c", ts("2026-01-01 12:00:00"), ts("2026-01-01 13:00:00")))
+      .toDF("uid", "sid", "start", "end")
+    val out = AsOf.joinIntervals(sessions, sessions, "uid",
+      "start", "end", "start", "end", bucketSeconds = 3600)
+      .collect()
+    // pairs include self-pairs (every interval overlaps itself) and
+    // both orientations; the genuine cross-overlaps are (a,b)/(b,a);
+    // c overlaps only itself
+    val ids = out.map(r => (r.getString(1), r.getString(4))).toSet
+    assert(ids == Set(("a", "a"), ("b", "b"), ("c", "c"),
+      ("a", "b"), ("b", "a")),
+      s"self-join must resolve side-correct overlap filters: $ids")
+  }
+
+  test("a build row with a NULL timestamp matches nothing (ASOF " +
+      "semantics) instead of carrying into early probes") {
+    val quotes = Seq(
+      (1L, Option.empty[Timestamp], 999.0),
+      (1L, Some(ts("2026-01-01 10:10:00")), 99.0))
+      .toDF("sym", "qts", "price")
+    val trades = Seq((1L, ts("2026-01-01 10:00:00"), "t1"))
+      .toDF("sym", "tts", "trade_id")
+    val out = AsOf.joinAsOf(trades, quotes, "sym", "tts", "qts",
+      Seq("price")).collect()
+    assert(out.length == 1 && out(0).isNullAt(out(0).fieldIndex("price")),
+      "no build row precedes t1 - the null-ts phantom must not match")
+  }
+
+  test("probe columns colliding with internal working names refuse " +
+      "loudly instead of corrupting the carry") {
+    val probe = Seq((1L, ts("2026-01-01 10:00:00"), "x"))
+      .toDF("sym", "tts", "_payload")
+    val build = Seq((1L, ts("2026-01-01 09:00:00"), 1.0))
+      .toDF("sym", "qts", "price")
+    val e = intercept[IllegalArgumentException] {
+      AsOf.joinAsOf(probe, build, "sym", "tts", "qts", Seq("price"))
+    }
+    assert(e.getMessage.contains("_payload"))
+  }
 }

@@ -69,6 +69,21 @@ class JobAndScheduleSpec extends AnyFunSuite {
     assert(ran2.contains("tags"))
   }
 
+test("a LinkageError in one stage fails that stage, not the whole " +
+      "scheduler (round-17 review)") {
+    val ran = scala.collection.mutable.ArrayBuffer.empty[String]
+    def ok(n: String): () => Unit = () => { ran += n; () }
+    val r = Schedule.run(Schedule.referenceDag(
+      catalog = ok("catalog"), jobs = ok("jobs"),
+      crawl = () => throw new NoClassDefFoundError("com/missing/Jar"),
+      piiReport = ok("report"), piiScan = ok("scan"),
+      tagReport = ok("tags")))
+    assert(r.failed == Seq("crawlers"),
+      "the Error must be contained to its stage")
+    assert(r.errors.get("crawlers").exists(_.contains("NoClassDefFoundError")))
+    assert(ran.contains("tags"), "independent branch must still run")
+  }
+
   test("schedule rejects cycles and unknown deps") {
     intercept[IllegalArgumentException] {
       Schedule.run(Seq(

@@ -99,4 +99,14 @@ class QualitySpec extends AnyFunSuite {
       .collect().head.getString(1)
     assert(tokS2 != tokB)
   }
+
+  test("check() returns rules in the CALLER's order even when row and " +
+      "unique rules interleave (round-17 review)") {
+    val df = Seq((1, "a"), (1, "b")).toDF("id", "name")
+    val rules = Seq(Unique(Seq("id")), NotNull("name"),
+      Unique(Seq("name")), InSet("name", Seq("a", "b")))
+    val out = check(df, rules).collect().map(_.getString(0)).toSeq
+    assert(out == rules.map(_.name),
+      s"report order must match input order: $out")
+  }
 }

@@ -63,4 +63,13 @@ class RedactSpec extends AnyFunSuite {
     val coarse = Redact.generalizeKAnon(df, "id", ladder, k = 100L).collect()
     assert(coarse.forall(r => r.getInt(3) == 2 && r.getLong(4) == 5L))
   }
+
+  test("an entity name containing '$' is emitted literally, not as a " +
+      "group reference (round-17 review)") {
+    val out = Seq("pay 42 now").toDF("text")
+      .select(graft.ops.Redact.redactColumn(col("text"),
+        Seq(("AMOUNT_US$", "[0-9]+"))).as("r"))
+      .head().getString(0)
+    assert(out == "pay [AMOUNT_US$] now", out)
+  }
 }

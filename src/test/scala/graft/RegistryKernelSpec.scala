@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
+import graft.ops.{Classify, EntityRegistry, ReferenceRegistry}
+
+/** The golden examples through the ENGINE's own path (round 17):
+  * [[RegistryExamplesSpec]] pins every pattern with java.util.regex
+  * directly — this suite closes the residual gap by running the same
+  * examples through `classifyColumns` + the MultiMatchCount kernel,
+  * the exact code the driver grades. One wide DataFrame (one column
+  * per entity, its positive examples as rows; a `neg_`-prefixed
+  * column with its near-misses) → ONE classify pass over the full
+  * union registry → assertions:
+  *
+  *   - every entity's own column is flagged with ITS entity type at
+  *     match_ratio 1.0 (a kernel-level regression — matcher reuse,
+  *     null handling, counter indexing — that java-regex tests can't
+  *     see would break exactly this);
+  *   - no entity fires on its own near-miss column (other entities
+  *     MAY fire there — a truncated IBAN is a legitimate something
+  *     else — but the target entity must not).
+  */
+class RegistryKernelSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("classifyColumns flags every entity on its own examples at " +
+      "ratio 1.0 and never on its near-misses — the kernel end-to-end") {
+    val entities = (EntityRegistry.all ++ ReferenceRegistry.all)
+      .groupBy(_.name).map(_._2.head).toSeq.sortBy(_.name)
+    val examples = RegistryExamples.byEntityName.toMap
+    val covered = entities.filter(e => examples.contains(e.name))
+    assert(covered.nonEmpty)
+
+    // wide frame: one column per covered entity (positives) plus one
+    // neg_ column (near-misses); ragged lists padded with null (the
+    // classify melt drops nulls)
+    val posCols = covered.map(e => e.name -> examples(e.name).pos)
+    val negCols = covered.map(e => s"neg_${e.name}" -> examples(e.name).neg)
+    val allCols = posCols ++ negCols
+    val height = allCols.map(_._2.size).max
+    val rows = (0 until height).map { i =>
+      org.apache.spark.sql.Row.fromSeq(
+        allCols.map { case (_, vs) => if (i < vs.size) vs(i) else null })
+    }
+    val schema = org.apache.spark.sql.types.StructType(allCols.map {
+      case (n, _) => org.apache.spark.sql.types.StructField(n,
+        org.apache.spark.sql.types.StringType, nullable = true)
+    })
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4), schema)
+
+    val out = Classify.classifyColumns(df, entities, threshold = 0.000001)
+      .select(col("column_name"), col("entity_type"), col("match_ratio"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+
+    val missed = covered.filterNot(e =>
+      out.get((e.name, e.name)).contains(1.0))
+    assert(missed.isEmpty,
+      s"${missed.size} entities did not flag their own positives at " +
+        s"ratio 1.0 through the kernel: " +
+        missed.take(10).map(e =>
+          s"${e.name} (got ${out.get((e.name, e.name))})").mkString(", "))
+
+    val falseFires = covered.filter(e =>
+      out.contains((s"neg_${e.name}", e.name)))
+    assert(falseFires.isEmpty,
+      s"${falseFires.size} entities fired on their own near-misses: " +
+        falseFires.take(10).map(_.name).mkString(", "))
+  }
+}

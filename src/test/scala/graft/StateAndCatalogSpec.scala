@@ -308,4 +308,15 @@ class StateAndCatalogSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(0)).toSeq == Seq(10L))
     assert(rows.head.getString(1) == "orders_live")
   }
+
+  test("tagReport with an EMPTY required-key list captures nothing " +
+      "but still analyzes (typed empty array, round-17 review)") {
+    val tracker = Seq(("s1", "t1"))
+      .toDF("source_name", "data_catalog_table_name")
+    val tags = Seq(("s1", Map("a" -> "1", "b" -> "2"))).toDF("source_name", "tags")
+    val out = graft.ops.Report.tagReport(tracker, tags, Seq.empty).collect()
+    assert(out.length == 1)
+    assert(out(0).getMap[String, String](
+      out(0).fieldIndex("captured_tags")).isEmpty)
+  }
 }
