@@ -65,24 +65,19 @@ case class BloomFilterAgg(
 
   @transient private lazy val md5 = MessageDigest.getInstance("MD5")
 
-  private def bitFor(row: Int, v: String): Int = {
-    md5.reset()
-    val d = md5.digest(s"$row|$v".getBytes(StandardCharsets.UTF_8))
-    val u = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
-    (u % numBits).toInt
-  }
-
   override def createAggregationBuffer(): Array[Long] =
     new Array[Long](numBits / 64)
 
   override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
-      val s = v.asInstanceOf[UTF8String].toString
+      // value bytes encoded ONCE per row (UTF8String is already
+      // UTF-8); the shared Md5Bits hash keeps build and probe sides
+      // bit-identical — see its scaladoc (round-17 review)
+      val vBytes = v.asInstanceOf[UTF8String].getBytes
       var i = 0
       while (i < numHashes) {
-        val b = bitFor(i, s)
+        val b = (Md5Bits.u32(md5, i, vBytes) % numBits).toInt
         buffer(b >> 6) |= (1L << (b & 63))
         i += 1
       }
@@ -133,23 +128,31 @@ object BloomFilterAgg {
       BloomFilterAgg(Bridge.expression(cell), numBits, numHashes)
         .toAggregateExpression())
 
-  /** Driver-side membership probe over a collected 0/1 bit array.
+  /** Driver-side membership probe over a collected 0/1 bit array
+    * (the aggregate's eval output — NOT [[pack]]'s words; passing a
+    * packed array here silently probed garbage positions and broke
+    * the no-false-negatives contract, so non-0/1 words now refuse
+    * loudly — round-17 review).
     * False negatives are impossible; false positive rate ~
     * (1 - e^(-kn/m))^k. */
   def mightContain(bits: Array[Long], numHashes: Int, v: String): Boolean = {
+    require(bits.forall(b => b == 0L || b == 1L),
+      "mightContain takes the 0/1 bit ARRAY (bloom_filter's output); " +
+        "for pack()'s words use mightContainPacked with numBits")
     val md = MessageDigest.getInstance("MD5")
     val numBits = bits.length
+    val vBytes = Md5Bits.utf8(v)
     (0 until numHashes).forall { i =>
-      val d = md.digest(s"$i|$v".getBytes(StandardCharsets.UTF_8))
-      val u = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
-      bits((u % numBits).toInt) == 1L
+      bits((Md5Bits.u32(md, i, vBytes) % numBits).toInt) == 1L
     }
   }
 
   /** Pack the 0/1 array into bitset words (numBits/64 longs) for
     * broadcast: ~1 bit per position instead of 8 bytes. */
   def pack(bits01: Array[Long]): Array[Long] = {
+    require(bits01.length % 64 == 0,
+      s"bit array length must be a multiple of 64 (the aggregate's " +
+        s"own invariant), got ${bits01.length}")
     val out = new Array[Long](bits01.length / 64)
     var b = 0
     while (b < bits01.length) {
@@ -164,12 +167,10 @@ object BloomFilterAgg {
     * instance across rows. */
   def mightContainPacked(packed: Array[Long], numBits: Int, numHashes: Int,
       md: MessageDigest, v: String): Boolean = {
+    val vBytes = Md5Bits.utf8(v)
     var i = 0
     while (i < numHashes) {
-      val d = md.digest(s"$i|$v".getBytes(StandardCharsets.UTF_8))
-      val u = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
-      val b = (u % numBits).toInt
+      val b = (Md5Bits.u32(md, i, vBytes) % numBits).toInt
       if (((packed(b >> 6) >>> (b & 63)) & 1L) == 0L) return false
       i += 1
     }

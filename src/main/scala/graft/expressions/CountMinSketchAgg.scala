@@ -59,14 +59,10 @@ case class CountMinSketchAgg(
 
   @transient private lazy val md5 = MessageDigest.getInstance("MD5")
 
-  private def bucket(row: Int, v: String): Int = {
-    md5.reset()
-    val d = md5.digest(s"$row|$v".getBytes(StandardCharsets.UTF_8))
-    // first 4 digest bytes as an unsigned 32-bit value
-    val u = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
-    (u % width).toInt
-  }
+  // shared Md5Bits hash: update() and estimate() must read the same
+  // counters or estimates are garbage — see Md5Bits (round-17 review)
+  private def bucket(row: Int, vBytes: Array[Byte]): Int =
+    (Md5Bits.u32(md5, row, vBytes) % width).toInt
 
   override def createAggregationBuffer(): Array[Long] =
     new Array[Long](depth * width)
@@ -74,10 +70,10 @@ case class CountMinSketchAgg(
   override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
-      val s = v.asInstanceOf[UTF8String].toString
+      val vBytes = v.asInstanceOf[UTF8String].getBytes // encoded once
       var i = 0
       while (i < depth) {
-        buffer(i * width + bucket(i, s)) += 1L
+        buffer(i * width + bucket(i, vBytes)) += 1L
         i += 1
       }
     }
@@ -119,14 +115,13 @@ object CountMinSketchAgg {
       CountMinSketchAgg(Bridge.expression(cell), depth, width)
         .toAggregateExpression())
 
-  /** Driver-side estimate from a collected sketch. */
+  /** Driver-side estimate from a collected sketch (same Md5Bits hash
+    * as the build side — bit-identity is the whole contract). */
   def estimate(sketch: Array[Long], depth: Int, width: Int, v: String): Long = {
     val md = MessageDigest.getInstance("MD5")
+    val vBytes = Md5Bits.utf8(v)
     (0 until depth).map { i =>
-      val d = md.digest(s"$i|$v".getBytes(StandardCharsets.UTF_8))
-      val u = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
-      sketch(i * width + (u % width).toInt)
+      sketch(i * width + (Md5Bits.u32(md, i, vBytes) % width).toInt)
     }.min
   }
 }

@@ -37,12 +37,15 @@ case class HllSketchAgg(
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Byte]] with UnaryLike[Expression] {
 
-  require(m > 0 && m <= 256 && (m & (m - 1)) == 0,
-    "m must be a power of two in 1..256: bucket = first md5 byte mod m, " +
+  require(m >= 16 && m <= 256 && (m & (m - 1)) == 0,
+    "m must be a power of two in 16..256: bucket = first md5 byte mod m, " +
       "and a non-divisor of 256 gives the low buckets 3/256 of the byte " +
       "space vs 2/256 for the rest - a systematic occupancy skew the " +
       "harmonic-mean estimator's error bound does not cover (round-16 " +
-      "review); the alpha constants also assume power-of-two m")
+      "review). m < 16 is refused outright (round-17): the HLL paper " +
+      "defines bias-correction constants only down to m = 16, so the " +
+      "asymptotic alpha formula at m in {1,2,4,8} is a systematically " +
+      "biased estimator no rsd contract covers")
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 
@@ -118,6 +121,8 @@ object HllSketchAgg {
     * correction. */
   def estimate(regs: Array[Int]): Double = {
     val m = regs.length
+    require(m >= 16, // same bound as the aggregate's constructor
+      s"HLL bias constants are defined only for m >= 16, got $m")
     val alpha =
       if (m == 16) 0.673
       else if (m == 32) 0.697

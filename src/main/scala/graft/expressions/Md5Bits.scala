@@ -1,0 +1,47 @@
+package graft.expressions
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+/** The ONE md5 row-hash shared by the Bloom filter and count-min
+  * sketch (round-17 review): first 4 digest bytes of
+  * UTF-8("&lt;row&gt;|&lt;value&gt;") as an unsigned 32-bit long. Build and
+  * probe sides MUST stay bit-identical — a divergence is a silent
+  * Bloom false negative (dropping matching rows from the exact
+  * semi-join the filter pre-screens) or a CMS estimate read from the
+  * wrong counters — and this logic used to exist as five verbatim
+  * copies with no compile-time pairing signal.
+  *
+  * Also the hot-path allocation fix: the old copies re-formatted and
+  * re-encoded the WHOLE value string once per hash row
+  * (numHashes/depth times per input row) — the same per-element
+  * format-string pattern the scaling study measured superlinear in
+  * dsirScore before its fix. Callers encode the value ONCE and pass
+  * the bytes; the per-row prefix bytes are precomputed. md5 of the
+  * concatenated updates equals md5 of the whole string's bytes
+  * (UTF-8 concatenation), so digests are unchanged and the DuckDB
+  * oracles' md5(concat(...)) replays keep matching. */
+private[graft] object Md5Bits {
+
+  // "i|" for i < 64 precomputed — covers every realistic
+  // numHashes/depth; larger rows allocate on the fly
+  private val prefixes: Array[Array[Byte]] =
+    Array.tabulate(64)(i => s"$i|".getBytes(StandardCharsets.UTF_8))
+
+  private def prefix(i: Int): Array[Byte] =
+    if (i >= 0 && i < 64) prefixes(i)
+    else s"$i|".getBytes(StandardCharsets.UTF_8)
+
+  /** Unsigned 32-bit value of the first 4 bytes of
+    * md5(prefix(row) ++ vBytes). `md` is caller-held so partitions
+    * reuse one instance across rows; reset happens here. */
+  def u32(md: MessageDigest, row: Int, vBytes: Array[Byte]): Long = {
+    md.reset()
+    md.update(prefix(row))
+    val d = md.digest(vBytes)
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+
+  def utf8(v: String): Array[Byte] = v.getBytes(StandardCharsets.UTF_8)
+}

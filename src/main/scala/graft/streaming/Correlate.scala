@@ -37,6 +37,17 @@ object Correlate {
   def completionLatency(onboardings: DataFrame, completions: DataFrame,
       sla: String = "1 hour", watermark: String = "10 minutes",
       emitBreaches: Boolean = false): DataFrame = {
+    // the one shape Spark rejects at query START: left-outer with a
+    // STATIC left against a STREAMING right (round-17 review — the
+    // doc promised "the plan adapts" without this carve-out). Fail
+    // here with the fix spelled out rather than from deep inside the
+    // streaming planner.
+    require(!(emitBreaches && !onboardings.isStreaming &&
+        completions.isStreaming),
+      "emitBreaches (left-outer) cannot run with a STATIC onboardings " +
+        "side against a STREAMING completions side — Spark does not " +
+        "support static-left/stream-right outer joins; stream the " +
+        "onboardings side too, or run inner mode")
     val o = onboardings
       .select(col("source_name"), col("onboarded_at"))
       .withWatermark("onboarded_at", watermark)

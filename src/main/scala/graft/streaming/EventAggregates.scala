@@ -14,12 +14,19 @@ import org.apache.spark.sql.types._
   */
 object EventAggregates {
 
+  /** The shared streaming-only watermark guard: Spark REJECTS a
+    * streaming event-time aggregate without one, and the batch path
+    * must not carry a watermark no-op. One definition, not one copy
+    * per aggregate (round-17 review). */
+  private def watermarked(events: DataFrame, watermark: String): DataFrame =
+    if (events.isStreaming) events.withWatermark("ts", watermark)
+    else events
+
   /** Tumbling/sliding event-time counts with a watermark for state
     * eviction (streaming) — also runs as a plain batch aggregate. */
   def windowedCounts(events: DataFrame, windowLen: String,
       slide: Option[String] = None, watermark: String = "1 hour"): DataFrame = {
-    val wm = if (events.isStreaming) events.withWatermark("ts", watermark)
-      else events
+    val wm = watermarked(events, watermark)
     val win = slide match {
       case Some(s) => window(col("ts"), windowLen, s)
       case None => window(col("ts"), windowLen)
@@ -40,10 +47,7 @@ object EventAggregates {
     * batch path must not carry a watermark no-op). */
   def sessions(events: DataFrame, gap: String = "30 minutes",
       watermark: String = "1 hour"): DataFrame = {
-    val src =
-      if (events.isStreaming) events.withWatermark("ts", watermark)
-      else events
-    src
+    watermarked(events, watermark)
       .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast(DecimalType(28, 2))).cast(DoubleType)

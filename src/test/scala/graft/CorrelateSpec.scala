@@ -74,4 +74,18 @@ class CorrelateSpec extends AnyFunSuite {
       assert(rows.contains(("bucket-b", None)))          // SLA breach, null side
     } finally q.stop()
   }
+
+  test("emitBreaches with a STATIC onboardings side against a " +
+      "STREAMING completions side refuses loudly at call time") {
+    val staticO = Seq(("s1", java.sql.Timestamp.valueOf("2026-01-01 10:00:00")))
+      .toDF("source_name", "onboarded_at")
+    val streamC = spark.readStream.format("rate").load()
+      .select(org.apache.spark.sql.functions.lit("s1").as("source_name"),
+        org.apache.spark.sql.functions.col("timestamp").as("completed_at"))
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.Correlate.completionLatency(
+        staticO, streamC, emitBreaches = true)
+    }
+    assert(e.getMessage.contains("static-left/stream-right"))
+  }
 }

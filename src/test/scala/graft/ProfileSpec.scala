@@ -280,4 +280,25 @@ class ProfileSpec extends AnyFunSuite {
     assert(out(50L) == 50.0)                       // body untouched
     assert(out(200L) == 1000.0)                    // degenerate band = value
   }
+
+  test("sketch guardrails (round-17): packed-array probe refused, " +
+      "pack length validated, HLL m < 16 refused") {
+    import graft.expressions.{BloomFilterAgg, HllSketchAgg}
+    val bits = Array.fill(128)(0L); bits(3) = 1L
+    val packed = BloomFilterAgg.pack(bits.map(identity))
+    intercept[IllegalArgumentException] {
+      BloomFilterAgg.mightContain(packed, 3, "x") // packed words, wrong API
+    }
+    intercept[IllegalArgumentException] {
+      BloomFilterAgg.pack(Array.fill(100)(0L)) // not a multiple of 64
+    }
+    intercept[IllegalArgumentException] {
+      HllSketchAgg.estimate(Array.fill(8)(1)) // below the paper's m >= 16
+    }
+    intercept[IllegalArgumentException] {
+      spark.range(1).agg(
+        HllSketchAgg.hll_registers(org.apache.spark.sql.functions
+          .col("id").cast("string"), 8)).collect()
+    }
+  }
 }
