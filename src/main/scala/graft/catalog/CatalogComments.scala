@@ -8,10 +8,15 @@ import org.apache.spark.sql.functions._
   * per-column `Comment` mutation with `VersionId` optimistic
   * concurrency (reference lambda/pii-report/app.py:177-205).
   *
-  * Backing is a parquet table (db, table, column, comment, version);
-  * `apply` mirrors glue.update_table: it checks the caller's expected
-  * version per table and refuses stale writes. Comments are trimmed to
-  * 255 chars on write (P12).
+  * Backing is a parquet table (table_name, column_name, comment,
+  * version) — keyed by TABLE NAME ONLY, like the reference's
+  * update_table call, which addresses the table within one registered
+  * database; a deployment cataloging same-named tables into different
+  * databases needs one store per database (round-17 review: the doc
+  * previously claimed a db column the table never had). `apply`
+  * mirrors glue.update_table: it checks the caller's expected version
+  * per table and refuses stale writes. Comments are trimmed to 255
+  * chars on write (P12).
   */
 class CatalogComments(spark: SparkSession, dir: String) {
   private val path = s"$dir/catalog_comments"

@@ -166,11 +166,13 @@ object Bpe {
 
   /** See [[graft.util.Caches.checkpointRdd]] (round 16: one shared
     * extractor). */
+  // the shared helpers (round-17 review: this object carried a
+  // verbatim private copy of Caches.releaseCheckpoint)
   private def cpRdd(ds: org.apache.spark.sql.Dataset[_])
       : Option[org.apache.spark.rdd.RDD[_]] =
     graft.util.Caches.checkpointRdd(ds)
   private def releaseCp(ds: org.apache.spark.sql.Dataset[_]): Unit =
-    releaseCp(cpRdd(ds))
+    graft.util.Caches.releaseCheckpoint(ds)
   private def releaseCp(rdd: Option[org.apache.spark.rdd.RDD[_]]): Unit =
     rdd.foreach(_.unpersist(blocking = false))
 

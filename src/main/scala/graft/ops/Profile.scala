@@ -18,6 +18,14 @@ import org.apache.spark.sql.types._
   */
 object Profile {
 
+  /** Backtick-quote a column name for splicing into `expr(...)` SQL
+    * (round-17 review: a name with a space/dot/hyphen threw
+    * ParseException — or silently resolved "a.b" as struct access —
+    * in the exact-percentile exprs, while every other reference here
+    * goes through col() and handles such names fine). */
+  private def bq(name: String): String =
+    "`" + name.replace("`", "``") + "`"
+
   private def melt(df: DataFrame, columns: Seq[String]): DataFrame = {
     val cols = if (columns.nonEmpty) columns else df.columns.toSeq
     df.select(cols.map(c => col(c).cast(StringType).as(c)): _*)
@@ -91,18 +99,6 @@ object Profile {
     }.reduce(_.unionByName(_))
   }
 
-  /** Winsorization: clip a numeric column to its per-group
-    * [lo, hi] percentile band — the standard outlier treatment before
-    * feeding heavy-tailed telemetry into statistics that assume
-    * bounded moments (means, regressions, z-scores). Appends
-    * `<valCol>_w`; rows keep their identity, only the value clamps.
-    *
-    * Two passes over the column: one grouped percentile aggregate
-    * (group-cardinality output, broadcast back) and one stateless
-    * clip scan — no window, no per-group sort of the full data beyond
-    * the percentile aggregate itself; at 100 TB swap the exact
-    * percentile for the q-digest sketch (same join shape, rank-bounded
-    * bands). */
   /** Robust per-group outlier summary via MAD (median absolute
     * deviation): med = median(v), mad = median(|v − med|), outlier ⟺
     * |v − med| > k·mad. The robust alternative to z-scores — a single
@@ -119,15 +115,19 @@ object Profile {
   def madOutliers(df: DataFrame, groupCol: String, valCol: String,
       k: Double = 3.0): DataFrame = {
     val med = df.groupBy(col(groupCol)).agg(
-      expr(s"percentile($valCol, 0.5)").as("__med"))
+      expr(s"percentile(${bq(valCol)}, 0.5)").as("__med"))
     // NULL-SAFE joins back (round-16 review: the null-unsafe
     // using-column join silently DROPPED every row whose group key is
     // null — "rows keep their identity" was false for them; the
     // grouped aggregate produces a null-group stats row, so <=> keeps
     // those rows clamped/fenced like any other group's)
-    val dev = df.join(broadcast(med.withColumnRenamed(groupCol, "__g1")),
+    // scoped-cached (round-17 review): dev feeds BOTH the MAD
+    // aggregate and the final join's left side — uncached, the input
+    // scan + med join ran twice per call
+    val dev = graft.util.Caches.scoped(
+      df.join(broadcast(med.withColumnRenamed(groupCol, "__g1")),
         col(groupCol) <=> col("__g1")).drop("__g1")
-      .withColumn("__ad", abs(col(valCol) - col("__med")))
+      .withColumn("__ad", abs(col(valCol) - col("__med"))))
     val mad = dev.groupBy(col(groupCol)).agg(
       expr("percentile(__ad, 0.5)").as("__mad"))
     dev.join(broadcast(mad.withColumnRenamed(groupCol, "__g2")),
@@ -139,12 +139,24 @@ object Profile {
           .otherwise(0L)).as("n_outliers"))
   }
 
+  /** Winsorization: clip a numeric column to its per-group
+    * [lo, hi] percentile band — the standard outlier treatment before
+    * feeding heavy-tailed telemetry into statistics that assume
+    * bounded moments (means, regressions, z-scores). Appends
+    * `<valCol>_w`; rows keep their identity, only the value clamps.
+    *
+    * Two passes over the column: one grouped percentile aggregate
+    * (group-cardinality output, broadcast back) and one stateless
+    * clip scan — no window, no per-group sort of the full data beyond
+    * the percentile aggregate itself; at 100 TB swap the exact
+    * percentile for the q-digest sketch (same join shape, rank-bounded
+    * bands). */
   def winsorize(df: DataFrame, groupCol: String, valCol: String,
       lo: Double, hi: Double): DataFrame = {
     require(lo >= 0 && hi <= 1 && lo < hi, s"need 0 <= lo < hi <= 1 (got $lo, $hi)")
     val bounds = df.groupBy(col(groupCol)).agg(
-      expr(s"percentile($valCol, $lo)").as("__lo"),
-      expr(s"percentile($valCol, $hi)").as("__hi"))
+      expr(s"percentile(${bq(valCol)}, $lo)").as("__lo"),
+      expr(s"percentile(${bq(valCol)}, $hi)").as("__hi"))
     // null-safe join back — see madOutliers (round-16 review)
     df.join(broadcast(bounds.withColumnRenamed(groupCol, "__g1")),
         col(groupCol) <=> col("__g1")).drop("__g1")

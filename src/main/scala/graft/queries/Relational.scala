@@ -404,9 +404,6 @@ object Relational extends QueryPack {
         .limit(20)
     }),
 
-    // TPC-H-Q18-shaped large-order detection: grouped HAVING on the
-    // fact table first (partial aggregation collapses it map-side),
-    // then the small survivor set joins back to orders/customer
     // TPC-H-Q7-shaped volume shipping: bilateral trade revenue between
     // two nations by ship year. Both nation dims pre-filter to the two
     // parties (broadcast), the date range reaches the lineitem scan,
@@ -474,6 +471,9 @@ object Relational extends QueryPack {
           round(col("nation_volume") / col("total_volume"), 9))
     }),
 
+    // TPC-H-Q18-shaped large-order detection: grouped HAVING on the
+    // fact table first (partial aggregation collapses it map-side),
+    // then the small survivor set joins back to orders/customer.
     "q18_large_orders" -> ((s, d) => {
       val big = Tables.load(s, d, "lineitem")
         .groupBy(col("l_orderkey"))

@@ -46,10 +46,28 @@ class Tracker(spark: SparkSession, dir: String) {
     graft.util.StagingSwap.swap(
       df.select(schema.fieldNames.toIndexedSeq.map(col): _*), path)
 
+  /** Serialize every read-modify-swap on the tracker's WRITER lock
+    * (round-17 review): the swap's own fail-loud lock only covers
+    * overlapping SWAP windows — two schedulers (the streaming
+    * onboarding's foreachBatch and a nightly Pipeline.run) could each
+    * read(), compute, and swap in turn, the second silently reverting
+    * the first's rows. Same bounded-wait discipline as
+    * FindingsStore/TagStore/AnnIndexStore. */
+  private def withTrackerLock[T](body: => T): T = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
+    graft.util.StagingSwap.withWriterLock(fs, p)(body)
+  }
+
   /** S11: idempotent insert — `attribute_not_exists` conditional put as
     * a left-anti join on the natural key, then append. Duplicates
-    * within one batch collapse too (dropDuplicates on the key). */
-  def initEntries(newSources: DataFrame): Long = {
+    * within one batch collapse too (dropDuplicates on the key). The
+    * key joins are NULL-SAFE (round-17 review): a null source_name
+    * used to count as "fresh" on every call — the tracker grew one
+    * garbage row per batch and no mark* could ever touch it; under
+    * `<=>` a null-keyed row inserts once and updates like any other. */
+  def initEntries(newSources: DataFrame): Long = withTrackerLock {
     val incoming = newSources
       .dropDuplicates("source_name")
       .withColumn("id", expr("uuid()"))
@@ -60,7 +78,8 @@ class Tracker(spark: SparkSession, dir: String) {
       .withColumn("updated_at", current_timestamp())
       .select(schema.fieldNames.toIndexedSeq.map(col): _*)
     val cur = read()
-    val fresh = incoming.join(cur, Seq("source_name"), "left_anti")
+    val fresh = incoming.as("i").join(cur.as("c"),
+        col("i.source_name") <=> col("c.source_name"), "left_anti")
       .cache()
     val n = fresh.count()
     if (n > 0) rewrite(cur.unionByName(fresh))
@@ -74,7 +93,7 @@ class Tracker(spark: SparkSession, dir: String) {
     * per-source loop variant rewrote the table once per source
     * (O(sources²) rewrite volume across a run); callers should mark a
     * stage's worth of sources in one call. */
-  def markCatalogedAll(batch: DataFrame): Unit = {
+  def markCatalogedAll(batch: DataFrame): Unit = withTrackerLock {
     val upd = broadcast(batch.select(col("source_name"),
         col("data_catalog_table_name").as("_new_table"),
         col("data_catalog_db_name").as("_new_db"))
@@ -102,7 +121,7 @@ class Tracker(spark: SparkSession, dir: String) {
 
   /** Batched job-created flag: one rewrite for a frame of
     * `source_name`s. */
-  def markJobCreatedAll(names: DataFrame): Unit = {
+  def markJobCreatedAll(names: DataFrame): Unit = withTrackerLock {
     val upd = broadcast(names.select(col("source_name"))
       .dropDuplicates("source_name").withColumn("_hit", lit(true)))
     rewrite(read().join(upd, Seq("source_name"), "left")

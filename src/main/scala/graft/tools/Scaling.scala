@@ -302,7 +302,39 @@ object Scaling {
     "j5_join_chain" -> "orders+customer",
     "p10_json_extract" -> "events",
     "m7_audio_decode" -> "documents",
-    "tk1_topk_perkey" -> "events")
+    "tk1_topk_perkey" -> "events",
+    // round-17 third tranche — completing exponent coverage of every
+    // remaining bench query above ~0.2 s: single-scan projections and
+    // small-dim joins where the expected exponent is scan-or-output
+    // bound; rows exist so a future regression has a baseline
+    "p1_enrich_findings" -> "events",
+    "a5_exists_gate" -> "orders+customer",
+    "m3_decode_features" -> "documents",
+    "r1_latest_rows_selfjoin" -> "events",
+    "pr6_heavy_hitters" -> "events",
+    "x7_repetition" -> "documents",
+    "c6_quota_sample" -> "documents",
+    "v2_k_anonymity" -> "customer",
+    "x1_token_count" -> "documents",
+    "e1_event_window" -> "events",
+    "a1_classify_summary" -> "events",
+    "a4_collect_set" -> "events",
+    "pr3_cms_sketch" -> "events",
+    "pr5_bloom_filter" -> "documents",
+    "s4_ivf_label" -> "embeddings",
+    "s3_ann_lsh" -> "embeddings",
+    "j1_broadcast_enrich" -> "events",
+    "an2_pivot" -> "events",
+    "tk2_rank_filter" -> "events",
+    "a2_argmax_latest" -> "events",
+    "x5_corpus_profile" -> "documents",
+    "pr11_embedding_quality" -> "embeddings",
+    "c9_global_shuffle" -> "documents",
+    "q6_forecast_revenue" -> "lineitem",
+    "u2_url_canonicalize" -> "documents",
+    "x6_vocab_topk" -> "documents",
+    "s1_scan_project" -> "documents",
+    "j2_tag_report" -> "events")
 
   /** Measured interpretation notes embedded per row — the exponent
     * alone can mislead when the OUTPUT grows with the corpus. */

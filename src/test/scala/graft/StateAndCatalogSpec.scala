@@ -319,4 +319,29 @@ class StateAndCatalogSpec extends AnyFunSuite {
     assert(out(0).getMap[String, String](
       out(0).fieldIndex("captured_tags")).isEmpty)
   }
+
+  test("tracker: a null source_name inserts ONCE and never re-appends " +
+      "(null-safe natural key, round-17 review)") {
+    val dir = java.nio.file.Files.createTempDirectory("trk_null").toString
+    val tracker = new graft.state.Tracker(spark, dir)
+    val batch = Seq((Option.empty[String], "s3"), (Some("good"), "s3"))
+      .toDF("source_name", "data_source_type")
+      .withColumn("data_source_attrs",
+        org.apache.spark.sql.functions.lit(null)
+          .cast("map<string,string>"))
+    assert(tracker.initEntries(batch) == 2L)
+    // replay: neither the null-keyed row nor the named one re-inserts
+    assert(tracker.initEntries(batch) == 0L)
+    assert(tracker.read().count() == 2L)
+  }
+
+  test("winsorize/madOutliers accept column names needing backticks " +
+      "(round-17 review)") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 100.0))
+      .toDF("grp", "my value")
+    val w = graft.ops.Profile.winsorize(df, "grp", "my value", 0.1, 0.9)
+    assert(w.count() == 3L)
+    val m = graft.ops.Profile.madOutliers(df, "grp", "my value")
+    assert(m.count() == 1L)
+  }
 }
