@@ -56,6 +56,11 @@ object Verify {
     // for subset runs (local iteration) or SPARK_GRAFT_PARTSUPP=0.
     // An ENVIRONMENT fault (python/duckdb missing) is reported and
     // skipped — only a genuine result mismatch is a loud regression.
+    // a gate FAILURE (engine break or comparator mismatch) must fail
+    // the PROCESS — automation keying off Verify's exit status treats
+    // rc 0 as green (round-17 ADVICE: stderr-only reporting undercut
+    // the "fails the round" claim); environment skips stay rc 0
+    var partsuppFailed = false
     if (only.isEmpty && sys.env.getOrElse("SPARK_GRAFT_PARTSUPP", "1") != "0") {
       // an ENGINE failure (a partsupp query throwing) is a REGRESSION,
       // never an environment skip (round-17 review: a catch-all here
@@ -75,6 +80,7 @@ object Verify {
               "how" -> "graft.Verify partsupp gate",
               "engine_error" -> String.valueOf(e.getMessage).take(300))))
           catch { case _: Throwable => }
+          partsuppFailed = true
           false
         }
       // only the COMPARATOR invocation is environment-fallible
@@ -87,15 +93,17 @@ object Verify {
           val proc = pb.start()
           val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
           print(out)
-          if (proc.waitFor() != 0)
+          if (proc.waitFor() != 0) {
             System.err.println("[verify] PARTSUPP REGRESSION — q2/q9/q11/" +
               "q16/q20 no longer match DuckDB; see CORRECTNESS_partsupp.json")
-          else println("[verify] partsupp five: DuckDB cross-engine gate green")
+            partsuppFailed = true
+          } else println("[verify] partsupp five: DuckDB cross-engine gate green")
         } catch { case e: java.io.IOException =>
           System.err.println(
             s"[verify] partsupp comparator skipped (environment): ${e.getMessage}")
         }
     }
     spark.stop()
+    if (partsuppFailed) sys.exit(1)
   }
 }

@@ -128,24 +128,45 @@ object BloomFilterAgg {
       BloomFilterAgg(Bridge.expression(cell), numBits, numHashes)
         .toAggregateExpression())
 
-  /** Driver-side membership probe over a collected 0/1 bit array
-    * (the aggregate's eval output — NOT [[pack]]'s words; passing a
-    * packed array here silently probed garbage positions and broke
-    * the no-false-negatives contract, so non-0/1 words now refuse
-    * loudly — round-17 review).
-    * False negatives are impossible; false positive rate ~
-    * (1 - e^(-kn/m))^k. */
-  def mightContain(bits: Array[Long], numHashes: Int, v: String): Boolean = {
+  /** A VALIDATED 0/1 bit array (the aggregate's eval output — NOT
+    * [[pack]]'s words; passing a packed array to the probe silently
+    * probed garbage positions and broke the no-false-negatives
+    * contract — round-17 review). Validation happens ONCE here at
+    * wrap time, not per probe: the original per-call forall made a
+    * driver loop probing many values O(numBits·values) — round-17
+    * ADVICE — and an all-zero packed array passed it anyway, so the
+    * wrapper is also the honest statement of what IS checkable: word
+    * values, not provenance. */
+  final class Bits01 private[BloomFilterAgg] (
+      private[BloomFilterAgg] val bits: Array[Long]) {
+    def numBits: Int = bits.length
+  }
+
+  /** Validate a collected bit array once for repeated probing. */
+  def bits01(bits: Array[Long]): Bits01 = {
     require(bits.forall(b => b == 0L || b == 1L),
-      "mightContain takes the 0/1 bit ARRAY (bloom_filter's output); " +
+      "bits01 takes the 0/1 bit ARRAY (bloom_filter's output); " +
         "for pack()'s words use mightContainPacked with numBits")
+    new Bits01(bits)
+  }
+
+  /** Driver-side membership probe over a once-validated bit array —
+    * O(numHashes) per call. False negatives are impossible; false
+    * positive rate ~ (1 - e^(-kn/m))^k. */
+  def mightContain(bits: Bits01, numHashes: Int, v: String): Boolean = {
     val md = MessageDigest.getInstance("MD5")
-    val numBits = bits.length
+    val numBits = bits.bits.length
     val vBytes = Md5Bits.utf8(v)
     (0 until numHashes).forall { i =>
-      bits((Md5Bits.u32(md, i, vBytes) % numBits).toInt) == 1L
+      bits.bits((Md5Bits.u32(md, i, vBytes) % numBits).toInt) == 1L
     }
   }
+
+  /** One-shot convenience probe: validates, wraps, probes. For probe
+    * LOOPS, call [[bits01]] once and pass the wrapper — this overload
+    * re-validates (O(numBits)) on every call. */
+  def mightContain(bits: Array[Long], numHashes: Int, v: String): Boolean =
+    mightContain(bits01(bits), numHashes, v)
 
   /** Pack the 0/1 array into bitset words (numBits/64 longs) for
     * broadcast: ~1 bit per position instead of 8 bytes. */

@@ -136,72 +136,80 @@ case class NearestCentroid(child: Expression,
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
   override def nullSafeEval(a: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val n = x.numElements()
-    val f = isFloat
-    var best = Double.NegativeInfinity
-    var bestIdx = -1
-    var c = 0
-    while (c < centArr.length) {
-      val cent = centArr(c)
-      if (cent.length != n) return null
-      var acc = 0.0
-      var i = 0
-      while (i < n) {
-        if (x.isNullAt(i)) return null
-        acc += (if (f) x.getFloat(i).toDouble else x.getDouble(i)) * cent(i)
-        i += 1
-      }
-      // NaN-greatest, exactly like the struct-argmin under Spark's
-      // ordering (round-16 review: plain `acc > best` is false for
-      // NaN, so an all-NaN row left bestIdx = -1 and ids(-1) crashed
-      // the whole assignment job on one corrupt vector); the
-      // bestIdx == -1 arm also covers all-(-Infinity) dots
-      if (bestIdx == -1 || acc > best
-          || (java.lang.Double.isNaN(acc) && !java.lang.Double.isNaN(best))) {
-        best = acc; bestIdx = c
-      }
-      c += 1
-    }
-    idArr(bestIdx)
+    val bi = NearestCentroid.bestIndex(
+      a.asInstanceOf[ArrayData], centArr, isFloat)
+    if (bi < 0) null else idArr(bi)
   }
 
+  // ONE LINE of generated code calling the compiled kernel. The
+  // r17 gating bench hit a Janino `A method named "best_0" is not
+  // declared` CompileException (BENCH_r17.json tail) and fell back to
+  // interpreted eval for the whole stage: the previous inline
+  // multi-line template had a continuation line starting with `||`,
+  // and Spark splices expression code into enclosing
+  // s"""...""".stripMargin templates (Expression.reduceCodeSize when
+  // code length > spark.sql.codegen.methodSplitThreshold, operator
+  // doConsume wrappers) — each enclosing stripMargin eats ONE leading
+  // `|`, so two nested wrappings turned `|| (Double.isNaN...` into
+  // `(Double.isNaN...` and `$best (...)` parsed as a method call.
+  // A single-line call site has no continuation lines to mangle and
+  // no scope for the method splitter to cut; the kernel itself is
+  // compiled Scala shared with nullSafeEval (tools/ProbeCodegen is
+  // the regression harness; CodegenFallbackSpec pins CODEGEN_ONLY).
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
       val centsRef = ctx.addReferenceObj("cents", centArr, "double[][]")
       val idsRef = ctx.addReferenceObj("ids", idArr, "int[]")
-      val get = if (isFloat) "getFloat" else "getDouble"
-      val n = ctx.freshName("n")
-      val c = ctx.freshName("c")
-      val i = ctx.freshName("i")
-      val acc = ctx.freshName("acc")
-      val best = ctx.freshName("best")
-      val bestIdx = ctx.freshName("bestIdx")
-      val cent = ctx.freshName("cent")
+      val bi = ctx.freshName("bi")
       s"""
-         |int $n = $a.numElements();
-         |double $best = Double.NEGATIVE_INFINITY;
-         |int $bestIdx = -1;
-         |for (int $c = 0; $c < $centsRef.length && !${ev.isNull}; $c++) {
-         |  double[] $cent = $centsRef[$c];
-         |  if ($cent.length != $n) { ${ev.isNull} = true; break; }
-         |  double $acc = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |    $acc += ((double) $a.$get($i)) * $cent[$i];
-         |  }
-         |  if (!${ev.isNull} && ($bestIdx == -1 || $acc > $best
-         |      || (Double.isNaN($acc) && !Double.isNaN($best)))) {
-         |    $best = $acc; $bestIdx = $c;
-         |  }
-         |}
-         |if (!${ev.isNull}) { ${ev.value} = $idsRef[$bestIdx]; }
+         |int $bi = graft.expressions.NearestCentroid.bestIndex($a, $centsRef, $isFloat);
+         |if ($bi < 0) { ${ev.isNull} = true; } else { ${ev.value} = $idsRef[$bi]; }
        """.stripMargin
     })
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
   override def prettyName: String = "nearest_centroid"
+}
+
+object NearestCentroid {
+  /** The assignment kernel, shared by interpreted eval and the
+    * generated code (called as a static from Janino — Java-plain
+    * signature). Returns the best centroid ORDINAL (index into the
+    * caller's ids array), or -1 when the result is null: a length
+    * mismatch with any centroid or a null element. Semantics are
+    * EXACTLY the struct-argmin's: ascending-index double fold per
+    * dot, strict `>` replacement scanning centroids in ascending
+    * order — ties keep the lowest ordinal; NaN-greatest like Spark's
+    * ordering (round-16 review: plain `acc > best` is false for NaN,
+    * so an all-NaN row left bestIdx = -1 and ids(-1) crashed the
+    * whole assignment job on one corrupt vector); the bestIdx == -1
+    * arm also covers all-(-Infinity) dots. */
+  def bestIndex(x: ArrayData, cents: Array[Array[Double]],
+      isFloat: Boolean): Int = {
+    val n = x.numElements()
+    var best = Double.NegativeInfinity
+    var bestIdx = -1
+    var c = 0
+    while (c < cents.length) {
+      val cent = cents(c)
+      if (cent.length != n) return -1
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        if (x.isNullAt(i)) return -1
+        acc += (if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)) *
+          cent(i)
+        i += 1
+      }
+      if (bestIdx == -1 || acc > best
+          || (java.lang.Double.isNaN(acc) && !java.lang.Double.isNaN(best))) {
+        best = acc; bestIdx = c
+      }
+      c += 1
+    }
+    bestIdx
+  }
 }
 
 /** All m PQ codes of an embedding as ONE codegen'd expression — the
@@ -252,15 +260,50 @@ case class PqCodes(child: Expression, dim: Int,
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
   override def nullSafeEval(a: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
+    val out = PqCodes.encode(
+      a.asInstanceOf[ArrayData], dim, bookArr, idArr, isFloat)
+    if (out == null) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  // One-line generated call into the compiled kernel — same
+  // stripMargin-mangling fix as NearestCentroid (the r17 `best_0`
+  // CompileException; see the comment there and tools/ProbeCodegen).
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val booksRef = ctx.addReferenceObj("books", bookArr, "double[][][]")
+      val idsRef = ctx.addReferenceObj("ids", idArr, "int[][]")
+      val out = ctx.freshName("out")
+      s"""
+         |int[] $out = graft.expressions.PqCodes.encode($a, $dim, $booksRef, $idsRef, $isFloat);
+         |if ($out == null) { ${ev.isNull} = true; } else { ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "pq_codes"
+}
+
+object PqCodes {
+  /** The PQ-encode kernel, shared by interpreted eval and the
+    * generated code (called as a static from Janino — Java-plain
+    * signature). Returns the m code ids, or null when the result is
+    * null: a length mismatch with `dim` or a null element. Semantics
+    * are EXACTLY the struct-argmin's, per subspace: ascending-index
+    * double fold over the subspace's dims, strict `>` replacement in
+    * ascending code order — ties keep the lowest code id; NaN-greatest
+    * per subspace (same round-16 crash fix as NearestCentroid:
+    * ids(j)(-1) on an all-NaN subspace dot). */
+  def encode(x: ArrayData, dim: Int, books: Array[Array[Array[Double]]],
+      ids: Array[Array[Int]], isFloat: Boolean): Array[Int] = {
     if (x.numElements() != dim) return null
-    val f = isFloat
-    val m = bookArr.length
+    val m = books.length
     val sub = dim / m
     val out = new Array[Int](m)
     var j = 0
     while (j < m) {
-      val book = bookArr(j)
+      val book = books(j)
       var best = Double.NegativeInfinity
       var bestIdx = -1
       var c = 0
@@ -271,74 +314,21 @@ case class PqCodes(child: Expression, dim: Int,
         while (i < sub) {
           val p = j * sub + i
           if (x.isNullAt(p)) return null
-          acc += (if (f) x.getFloat(p).toDouble else x.getDouble(p)) * cent(i)
+          acc += (if (isFloat) x.getFloat(p).toDouble else x.getDouble(p)) *
+            cent(i)
           i += 1
         }
-        // NaN-greatest per subspace — same round-16 crash fix as
-        // NearestCentroid (ids(j)(-1) on an all-NaN subspace dot)
         if (bestIdx == -1 || acc > best
             || (java.lang.Double.isNaN(acc) && !java.lang.Double.isNaN(best))) {
           best = acc; bestIdx = c
         }
         c += 1
       }
-      out(j) = idArr(j)(bestIdx)
+      out(j) = ids(j)(bestIdx)
       j += 1
     }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    out
   }
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, a => {
-      val booksRef = ctx.addReferenceObj("books", bookArr, "double[][][]")
-      val idsRef = ctx.addReferenceObj("ids", idArr, "int[][]")
-      val get = if (isFloat) "getFloat" else "getDouble"
-      val m = books.length
-      val sub = dim / m
-      val j = ctx.freshName("j")
-      val c = ctx.freshName("c")
-      val i = ctx.freshName("i")
-      val p = ctx.freshName("p")
-      val acc = ctx.freshName("acc")
-      val best = ctx.freshName("best")
-      val bestIdx = ctx.freshName("bestIdx")
-      val book = ctx.freshName("book")
-      val cent = ctx.freshName("cent")
-      val out = ctx.freshName("out")
-      s"""
-         |if ($a.numElements() != $dim) {
-         |  ${ev.isNull} = true;
-         |} else {
-         |  int[] $out = new int[$m];
-         |  for (int $j = 0; $j < $m && !${ev.isNull}; $j++) {
-         |    double[][] $book = $booksRef[$j];
-         |    double $best = Double.NEGATIVE_INFINITY;
-         |    int $bestIdx = -1;
-         |    for (int $c = 0; $c < $book.length && !${ev.isNull}; $c++) {
-         |      double[] $cent = $book[$c];
-         |      double $acc = 0.0;
-         |      for (int $i = 0; $i < $sub; $i++) {
-         |        int $p = $j * $sub + $i;
-         |        if ($a.isNullAt($p)) { ${ev.isNull} = true; break; }
-         |        $acc += ((double) $a.$get($p)) * $cent[$i];
-         |      }
-         |      if (!${ev.isNull} && ($bestIdx == -1 || $acc > $best
-         |          || (Double.isNaN($acc) && !Double.isNaN($best)))) {
-         |        $best = $acc; $bestIdx = $c;
-         |      }
-         |    }
-         |    if (!${ev.isNull}) { $out[$j] = $idsRef[$j][$bestIdx]; }
-         |  }
-         |  if (!${ev.isNull}) {
-         |    ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
-         |  }
-         |}
-       """.stripMargin
-    })
-
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
-  override def prettyName: String = "pq_codes"
 }
 
 /** Symmetric int8 quantization of one embedding as ONE codegen'd

@@ -43,6 +43,13 @@ object AsOf {
       probeTs: String, startTs: String, endTs: String,
       bucketSeconds: Long): DataFrame = {
     val usPerBucket = bucketSeconds * 1000000L
+    // withColumn silently overwrites a same-named caller column and
+    // drop() then deletes it — same guard as joinIntervals/joinAsOf
+    val clash = (probe.columns.toSeq ++ intervals.columns.toSeq)
+      .distinct.intersect(Seq("_b"))
+    require(clash.isEmpty,
+      s"joinRange: input columns ${clash.mkString(",")} collide with " +
+        "internal working columns — rename or project them away first")
     // NTZ-tolerant micros: see the shared TimeCols helper (bucket ids
     // only need to be consistent across the two sides — the exact
     // containment filter below uses the original columns)
@@ -74,6 +81,15 @@ object AsOf {
       bucketSeconds: Long): DataFrame = {
     val usPerBucket = bucketSeconds * 1000000L
     import TimeCols.micros
+    // same reserved-name hazard joinAsOf guards against (round-17
+    // ADVICE): withColumn silently OVERWRITES a same-named caller
+    // column and the drop() on the way out then deletes caller data
+    val reserved = Seq("_b", "_lqs", "_lqe", "_rqs", "_rqe")
+    val clash = (left.columns.toSeq ++ right.columns.toSeq)
+      .distinct.intersect(reserved)
+    require(clash.isEmpty,
+      s"joinIntervals: input columns ${clash.mkString(",")} collide " +
+        "with internal working columns — rename or project them away first")
     def bucketOf(c: org.apache.spark.sql.Column) =
       (micros(c) / usPerBucket).cast("long")
     // UNIQUELY-NAMED internal bound columns (round-17 review): with

@@ -64,11 +64,40 @@ object Compact {
     // '=' — e.g. a root named `run=a=b` — proves the dir is NOT a
     // partition leaf; allowing it re-opened the split-lock race for
     // multi-'=' root names).
+    // RESIDUAL AMBIGUITY (round-17 ADVICE): a table ROOT whose own
+    // directory name is literally in single `key=value` form (one '=',
+    // no more) is indistinguishable from a partition leaf by name
+    // alone — this walk-up then locks its PARENT, which does not
+    // exclude appenders locking the real root. Callers with such a
+    // root name must use [[rewriteAt]] and pass the root explicitly.
     val hivePart = "^[^=/]+=[^=/]*$".r
     var root = path
     while (hivePart.pattern.matcher(root.getName).matches())
       root = root.getParent
-    graft.util.StagingSwap.withWriterLock(fs, root,
+    rewriteAt(spark, dir, root.toString, targetBytes, lockWaitMillis)
+  }
+
+  /** [[rewrite]] with an EXPLICIT lock root — for the one case the
+    * name-based walk-up cannot resolve: a table root directory whose
+    * own name is in single `key=value` form (see rewrite's note). The
+    * writer lock is taken on `lockRoot`, which must be `dir` itself
+    * or an ancestor of it — the directory the table's appenders lock. */
+  def rewriteAt(spark: SparkSession, dir: String, lockRoot: String,
+      targetBytes: Long = 128L << 20,
+      lockWaitMillis: Long = 10L * 60 * 1000): Long = {
+    require(targetBytes > 0, s"targetBytes must be > 0, got $targetBytes")
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) return 0L
+    val rootPath = new org.apache.hadoop.fs.Path(lockRoot)
+    // the lock only excludes appenders if it's on the same dir THEY
+    // lock — dir itself or an ancestor; anything else is a typo that
+    // would silently re-open the destroyed-append race
+    val qDir = path.toUri.getPath.stripSuffix("/")
+    val qRoot = rootPath.toUri.getPath.stripSuffix("/")
+    require(qDir == qRoot || qDir.startsWith(qRoot + "/"),
+      s"lockRoot '$lockRoot' is not '$dir' or an ancestor of it")
+    graft.util.StagingSwap.withWriterLock(fs, rootPath,
         waitMillis = lockWaitMillis) {
       rewriteLocked(spark, fs, path, targetBytes)
     }

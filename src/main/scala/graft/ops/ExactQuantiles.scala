@@ -46,11 +46,30 @@ object ExactQuantiles {
       s"quantile fractions must be in [0,1], got $ps")
     // internal/output name collisions (round-17 review): the join-back
     // column and the count column are part of the output contract, so
-    // a caller's group column may not shadow them
-    require(groupCol != "n" && !groupCol.startsWith("q") &&
+    // a caller's group column may not shadow them. Only the EXACT
+    // collision set is rejected — q0..qN, n, _eq_g — not every name
+    // starting with 'q' (round-17 ADVICE: 'quarter'/'qty' were
+    // collateral damage of a startsWith guard)
+    require(groupCol != "n" && !groupCol.matches("q[0-9]+") &&
         groupCol != "_eq_g",
       s"groupCol '$groupCol' collides with the output columns " +
         "(n, q0..qN) or the internal join key")
+    // the quantile pass keys groups by the STRING rendering of the
+    // group value (one sorted frame, one driver layout map), so two
+    // distinct group values with identical renderings would merge
+    // there while staying separate in the count(*) side of the left
+    // join. Atomic non-binary types render injectively (Spark's CAST
+    // to string is canonical per value); binary (invalid-UTF-8 bytes
+    // collapse to replacement chars) and nested types (struct/array
+    // renderings collide) do not — refuse them loudly
+    df.schema(groupCol).dataType match {
+      case BinaryType | _: StructType | _: ArrayType | _: MapType =>
+        throw new IllegalArgumentException(
+          s"groupCol '$groupCol' has a non-injective string rendering " +
+            s"(${df.schema(groupCol).dataType.simpleString}); group by an " +
+            "atomic non-binary key (cast or hash it first)")
+      case _ => ()
+    }
     val spark = df.sparkSession
     val nAll = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
 

@@ -1,0 +1,117 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.expressions.VectorExpressions._
+
+/** Reproducer for the r17 gating-bench `best_0` CompileException
+  * (BENCH_r17.json tail): a whole-stage-codegen stage combining
+  * [[graft.expressions.NearestCentroid]] / [[graft.expressions.PqCodes]]
+  * with enough other expressions failed Janino compilation with
+  * `A method named "best_0" is not declared` and silently fell back
+  * to interpreted eval (spark.sql.codegen.fallback=true default).
+  *
+  * This probe drives the two kernels through every plan shape that
+  * invokes a different code generator — wide projections past the
+  * method-split threshold, duplicate-expression subexpression
+  * elimination, aggregate grouping keys (GenerateUnsafeProjection on
+  * the hash key), repartition keys (HashPartitioning), sort keys
+  * (GenerateOrdering), filter predicates (GeneratePredicate), and
+  * CaseWhen branch splitting — under CODEGEN_ONLY factory mode with
+  * codegen fallback DISABLED, so any compile failure throws instead
+  * of degrading. A lowered methodSplitThreshold forces the splitter
+  * down the paths the default threshold only reaches on huge stages.
+  *
+  * Usage: runMain graft.tools.ProbeCodegen [splitThreshold]
+  */
+object ProbeCodegen {
+  def main(args: Array[String]): Unit = {
+    val split = if (args.nonEmpty) args(0) else "100"
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.fallback", "false")
+      .config("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+      .config("spark.sql.codegen.methodSplitThreshold", split)
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val dim = 16
+    val rnd = new scala.util.Random(42L)
+    val df = (0 until 2000).map { i =>
+      (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat))
+    }.toDF("id", "emb").cache()
+    df.count()
+
+    val cents = Array.tabulate(24)(c =>
+      (c, Array.fill(dim)(rnd.nextGaussian())))
+    val m = 4; val ksub = 16
+    val books = Seq.tabulate(m)(_ =>
+      Array.tabulate(ksub)(c => (c, Array.fill(dim / m)(rnd.nextGaussian()))))
+
+    def nc = nearest_centroid(col("emb"), cents)
+    def pq = pq_codes(col("emb"), dim, books)
+
+    def run(name: String)(body: => Long): Unit = {
+      try { val n = body; println(s"OK   $name rows=$n") }
+      catch { case e: Throwable =>
+        println(s"FAIL $name  ${e.getClass.getSimpleName}: " +
+          e.getMessage.take(400).replace('\n', ' '))
+      }
+    }
+
+    // 1. plain projection
+    run("project")(df.select(nc.as("c"), pq.as("q")).count())
+    // 2. wide projection: kernel + many other expressions → splitter
+    val wide = (0 until 120).map(i =>
+      (col("id") * i + i).as(s"w$i"))
+    run("wide-project")(
+      df.select((Seq(nc.as("c"), pq.as("q")) ++ wide): _*)
+        .where(col("c") >= 0).count())
+    // 3. duplicate kernels → subexpression elimination
+    run("subexpr")(
+      df.select(nc.as("c1"), nc.as("c2"), pq.as("q1"), pq.as("q2"))
+        .where(col("c1") === col("c2")).count())
+    // 4. aggregate grouping key (UnsafeProjection on the key)
+    run("group-key")(
+      df.groupBy(nc.as("c")).agg(count(lit(1)).as("n"),
+        avg(col("id")).as("a")).count())
+    // 5. hash-partitioning key
+    run("repartition-key")(df.repartition(8, nc).count())
+    // 6. sort key (GenerateOrdering)
+    run("sort-key")(df.orderBy(nc, col("id")).count())
+    // 7. filter predicate (GeneratePredicate)
+    run("predicate")(df.where(nc > 3 && nc < 20).count())
+    // 8. CaseWhen branches with the kernel inside
+    val cw = (0 until 30).foldLeft(when(nc === -1, -1)) {
+      (acc, i) => acc.when(nc === i, i * 2)
+    }.otherwise(99)
+    run("casewhen")(df.select(cw.as("x")).where(col("x") >= 0).count())
+    // 9. kernel feeding an aggregate's update expressions
+    run("agg-input")(
+      df.groupBy((col("id") % 7).as("g"))
+        .agg(sum(nc).as("s"), collect_list(pq).as("qs")).count())
+    // 10. wide aggregate: many distinct agg exprs + kernel
+    val aggs = (0 until 40).map(i => sum(col("id") * i).as(s"s$i"))
+    run("wide-agg")(
+      df.groupBy(nc.as("c")).agg(aggs.head, aggs.tail: _*).count())
+    // 11. join key
+    run("join-key")(
+      df.as("l").join(df.as("r"),
+        nearest_centroid(col("l.emb"), cents) ===
+        nearest_centroid(col("r.emb"), cents) &&
+        col("l.id") === col("r.id")).count())
+    // 12. window partition key
+    run("window-key") {
+      import org.apache.spark.sql.expressions.Window
+      df.select(col("id"), nc.as("c"))
+        .withColumn("rk",
+          row_number().over(Window.partitionBy(col("c")).orderBy(col("id"))))
+        .where(col("rk") === 1).count()
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,44 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.expressions.VectorExpressions._
+
+/** Minimal single-scenario repro for ProbeCodegen's finding, with the
+  * codegen logger opened up so the full generated.java that fails to
+  * compile lands in stderr for inspection. */
+object ProbeCodegenOne {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.fallback", "false")
+      .config("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+      .config("spark.sql.codegen.methodSplitThreshold", "100")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("DEBUG")
+    org.apache.log4j.Logger.getRootLogger.setLevel(org.apache.log4j.Level.ERROR)
+    org.apache.log4j.Logger
+      .getLogger("org.apache.spark.sql.catalyst.expressions.codegen")
+      .setLevel(org.apache.log4j.Level.DEBUG)
+    import spark.implicits._
+
+    val dim = 16
+    val rnd = new scala.util.Random(42L)
+    val df = (0 until 100).map { i =>
+      (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat))
+    }.toDF("id", "emb")
+    val cents = Array.tabulate(24)(c =>
+      (c, Array.fill(dim)(rnd.nextGaussian())))
+    try {
+      val n = df.where(
+        nearest_centroid(col("emb"), cents) > 3 &&
+        nearest_centroid(col("emb"), cents) < 20).count()
+      println(s"OK rows=$n")
+    } catch { case e: Throwable =>
+      println("FAIL: " + e.getMessage.take(300))
+    }
+    spark.stop()
+  }
+}

@@ -125,4 +125,26 @@ class AsOfSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("_payload"))
   }
+
+  test("joinIntervals/joinRange refuse inputs carrying internal " +
+      "working column names instead of overwriting them (r17 ADVICE)") {
+    val iv = Seq((1L, ts("2026-01-01 10:00:00"), ts("2026-01-01 11:00:00")))
+      .toDF("k", "s", "e")
+    val withB = iv.withColumn("_b", org.apache.spark.sql.functions.lit(7))
+    val e1 = intercept[IllegalArgumentException] {
+      AsOf.joinIntervals(withB, iv, "k", "s", "e", "s", "e", 3600L)
+    }
+    assert(e1.getMessage.contains("_b"))
+    val withLqs = iv.withColumn("_lqs", org.apache.spark.sql.functions.lit(1))
+    val e2 = intercept[IllegalArgumentException] {
+      AsOf.joinIntervals(iv, withLqs, "k", "s", "e", "s", "e", 3600L)
+    }
+    assert(e2.getMessage.contains("_lqs"))
+    val probe = Seq((1L, ts("2026-01-01 10:30:00"))).toDF("k", "t")
+    val e3 = intercept[IllegalArgumentException] {
+      AsOf.joinRange(probe.withColumn("_b", org.apache.spark.sql.functions.lit(1)), iv,
+        "k", "t", "s", "e", 3600L)
+    }
+    assert(e3.getMessage.contains("_b"))
+  }
 }

@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Codegen-fallback tripwire (round-17 verdict item 1): Spark's
+  * default `spark.sql.codegen.fallback=true` converts a Janino
+  * compile failure into a silent interpreted-eval perf cliff — the
+  * r17 gating bench hit exactly that (`A method named "best_0" is
+  * not declared`, BENCH_r17.json tail) on a stage built from
+  * NearestCentroid, and nothing failed. Root cause: generated code
+  * with a continuation line starting `||` gets one leading `|` eaten
+  * by every enclosing s"""...""".stripMargin template Spark splices
+  * expression code into (Expression.reduceCodeSize past the
+  * method-split threshold, operator doConsume wrappers) — fixed by
+  * emitting a one-line call into a compiled static kernel
+  * (expressions/VectorExpressions.scala; tools/ProbeCodegen.scala is
+  * the plan-shape repro harness).
+  *
+  * This spec makes the whole CLASS of silent fallback impossible to
+  * reintroduce: every SparkEntry query runs to completion under
+  * CODEGEN_ONLY factory mode with codegen fallback DISABLED and the
+  * method-split threshold forced LOW (100 — reduceCodeSize then
+  * re-wraps every nontrivial expression, the exact path that mangled
+  * the r17 code), so any expression whose generated code fails to
+  * compile fails this suite instead of logging a line.
+  */
+class CodegenFallbackSpec extends AnyFunSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("all SparkEntry queries execute under CODEGEN_ONLY with " +
+      "fallback disabled and a hostile method-split threshold") {
+    // own session: isolated SQLConf (suites share the JVM and may run
+    // in parallel — never mutate TestSpark.spark's conf), same
+    // SparkContext and extensions
+    val spark = TestSpark.spark.newSession()
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    spark.conf.set("spark.sql.codegen.methodSplitThreshold", "100")
+
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val r =
+          try {
+            fn(spark, sf).write.mode("overwrite").format("noop").save()
+            None
+          } catch { case e: Throwable =>
+            // only compile/codegen faults matter here; anything else
+            // is a real query break and should fail too — report both
+            Some(s"$name: ${e.getClass.getSimpleName}: " +
+              String.valueOf(e.getMessage).take(200).replace('\n', ' '))
+          }
+        graft.util.Caches.releaseStray()
+        r
+    }
+    assert(failures.isEmpty,
+      s"${failures.size} queries failed under CODEGEN_ONLY:\n" +
+        failures.mkString("\n"))
+  }
+}

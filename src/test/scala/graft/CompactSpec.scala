@@ -63,6 +63,25 @@ class CompactSpec extends AnyFunSuite {
       "multi-'=' root must not be walked past to its parent")
   }
 
+  test("rewriteAt: explicit lock root resolves the single-'=' root-name " +
+      "ambiguity; a lockRoot that is not an ancestor refuses (r17 ADVICE)") {
+    // a table ROOT literally named 'key=value' is name-indistinguishable
+    // from a partition leaf — rewrite() would lock its parent; the
+    // explicit-root overload locks the dir the appenders lock
+    val dir = freshDir("key=value")
+    (1L to 60L).map(i => (i, s"r$i")).toDF("id", "s")
+      .repartition(3).write.parquet(dir)
+    val n = Compact.rewriteAt(spark, dir, lockRoot = dir,
+      targetBytes = 1L << 30)
+    assert(n == 1 && dataFiles(dir).size == 1)
+    // an unrelated lockRoot cannot exclude the table's appenders —
+    // refuse instead of silently re-opening the destroyed-append race
+    val e = intercept[IllegalArgumentException] {
+      Compact.rewriteAt(spark, dir, lockRoot = "target/other-table")
+    }
+    assert(e.getMessage.contains("ancestor"))
+  }
+
   test("rewrite under a strict-Hive leaf still locks the table root") {
     val root = freshDir("hiveroot")
     val src = (1L to 200L).map(i => (i, i % 2)).toDF("id", "k")

@@ -64,6 +64,30 @@ class ExactQuantilesSpec extends AnyFunSuite {
     }
   }
 
+  test("collision guard hits only the exact output names: 'quarter' " +
+      "works, 'q0' refuses, non-injective key types refuse (r17 ADVICE)") {
+    val df = Seq(("a", 1.0), ("a", 3.0), ("b", 5.0)).toDF("quarter", "v")
+    val out = ExactQuantiles.groupQuantiles(df, "quarter", "v", Seq(0.5))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(out == Map("a" -> 2.0, "b" -> 5.0))
+    intercept[IllegalArgumentException] {
+      ExactQuantiles.groupQuantiles(
+        df.withColumnRenamed("quarter", "q0"), "q0", "v", Seq(0.5))
+    }
+    // binary keys: distinct byte arrays can render to identical
+    // strings (invalid UTF-8 → replacement chars) — the quantile pass
+    // would merge what the count side keeps separate
+    val bin = Seq((Array[Byte](1), 1.0)).toDF("bk", "v")
+    val e = intercept[IllegalArgumentException] {
+      ExactQuantiles.groupQuantiles(bin, "bk", "v", Seq(0.5))
+    }
+    assert(e.getMessage.contains("non-injective"))
+    val nested = Seq(((1, 2), 1.0)).toDF("sk", "v")
+    intercept[IllegalArgumentException] {
+      ExactQuantiles.groupQuantiles(nested, "sk", "v", Seq(0.5))
+    }
+  }
+
   test("no task ever aggregates a whole group: the plan has no " +
       "ObjectHashAggregate percentile") {
     val df = Seq(("g", 1.0), ("g", 2.0)).toDF("grp", "v")

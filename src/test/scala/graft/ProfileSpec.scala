@@ -44,12 +44,15 @@ class ProfileSpec extends AnyFunSuite {
     val bitset = members.toDF("v")
       .agg(BloomFilterAgg.bloom_filter(col("v"), bits, hashes).as("b"))
       .collect()(0).getSeq[Long](0).toArray
+    // validate ONCE, probe O(numHashes) per value (round-17 ADVICE:
+    // the per-probe forall made exactly this loop O(numBits·values))
+    val wrapped = BloomFilterAgg.bits01(bitset)
     // every inserted value probes positive (bloom guarantee)
     members.foreach(v =>
-      assert(BloomFilterAgg.mightContain(bitset, hashes, v), s"$v lost"))
+      assert(BloomFilterAgg.mightContain(wrapped, hashes, v), s"$v lost"))
     // non-members: fp rate ~ (1 - e^(-kn/m))^k ≈ 1.6% here; allow 10%
     val fps = (1 to 500).count(i =>
-      BloomFilterAgg.mightContain(bitset, hashes, s"out$i"))
+      BloomFilterAgg.mightContain(wrapped, hashes, s"out$i"))
     assert(fps < 50, s"false-positive rate too high: $fps/500")
     // partial merge ≡ single-pass build (OR associativity): the
     // 8-partition distributed build produces the same bitset
