@@ -368,8 +368,6 @@ object Bench {
       if (suspicious) retryOnce(name, sec) else name -> sec
     }
 
-    val total = finalResults.collect { case (_, v) if v >= 0 => v }.sum
-
     // Per-pack (query-family) subtotals + round-over-round drift: the
     // round-11 c10 regression hid behind a FLAT suite geomean for a
     // full round-trip — per-family conservation is the check that
@@ -377,43 +375,41 @@ object Bench {
     // previous record is whatever BENCH_FULL.json this run is about
     // to overwrite (same-SF only); pack_drift carries every ratio in
     // the full record and only the >±25% movers on stdout.
+    // (Taken as defs over a result list — the weather re-measure
+    // below recomputes them on the post-re-measure record.)
     def packOf(name: String): String = name.takeWhile(!_.isDigit)
-    val packSums: Seq[(String, Double)] = finalResults
+    def packSumsOf(rs: Seq[(String, Double)]): Seq[(String, Double)] = rs
       .filter(_._2 >= 0).groupBy(p => packOf(p._1))
       .map { case (f, qs) => f -> qs.map(_._2).sum }.toSeq.sortBy(_._1)
     // drift ratios compare only queries present in BOTH records —
     // otherwise a family that gained members this round reads as a
     // regression of the family's conservation law rather than growth
-    val curQ = finalResults.filter(_._2 >= 0).toMap
-    val common = curQ.keySet.intersect(prevQueries.keySet)
-    val prevPacks: Map[String, Double] = common.toSeq
-      .groupBy(packOf).map { case (f, ns) => f -> ns.map(prevQueries).sum }
-    val curPacksCommon: Map[String, Double] = common.toSeq
-      .groupBy(packOf).map { case (f, ns) => f -> ns.map(curQ).sum }
-    val packDrift: Seq[(String, Double)] = curPacksCommon.toSeq.sortBy(_._1)
-      .flatMap { case (f, v) =>
+    def packDriftOf(rs: Seq[(String, Double)]): Seq[(String, Double)] = {
+      val curQ = rs.filter(_._2 >= 0).toMap
+      val common = curQ.keySet.intersect(prevQueries.keySet)
+      val prevPacks: Map[String, Double] = common.toSeq
+        .groupBy(packOf).map { case (f, ns) => f -> ns.map(prevQueries).sum }
+      val curPacksCommon: Map[String, Double] = common.toSeq
+        .groupBy(packOf).map { case (f, ns) => f -> ns.map(curQ).sum }
+      curPacksCommon.toSeq.sortBy(_._1).flatMap { case (f, v) =>
         prevPacks.get(f).filter(_ > 0.05).map(p => f -> v / p)
       }
-    val flaggedDrift = packDrift.filter { case (_, r) => r > 1.25 || r < 0.75 }
-
+    }
     // per-QUERY drift (round-13 verdict item 1): the per-PACK ratios
     // above absorbed round-12's d10 6.8× because the d family's other
     // members moved the opposite way — flag any individual query >2×
     // off its previous record (with a 0.3 s floor on the larger side
     // so 50 ms jitter never flags). Full per-query history is always
     // reconstructible from the committed BENCH_FULL.json chain.
-    val qDriftPrev: Seq[(String, Double)] = common.toSeq.sorted.flatMap { n =>
-      val (cur, prev) = (curQ(n), prevQueries(n))
-      val r = cur / prev
-      if ((r > 2.0 && cur >= 0.3) || (r < 0.5 && prev >= 0.3)) Some(n -> r)
-      else None
+    def qDriftPrevOf(rs: Seq[(String, Double)]): Seq[(String, Double)] = {
+      val curQ = rs.filter(_._2 >= 0).toMap
+      curQ.keySet.intersect(prevQueries.keySet).toSeq.sorted.flatMap { n =>
+        val (cur, prev) = (curQ(n), prevQueries(n))
+        val r = cur / prev
+        if ((r > 2.0 && cur >= 0.3) || (r < 0.5 && prev >= 0.3)) Some(n -> r)
+        else None
+      }
     }
-    // retry_worse names surface through q_drift too (their ratio is
-    // t2/t1, not cur/prev): the kept-min reading looks clean by
-    // construction, so without this the bimodal signature would never
-    // reach the driver's stdout tail
-    val qDrift: Seq[(String, Double)] = qDriftPrev ++
-      retryWorse.toSeq.filterNot(rw => qDriftPrev.exists(_._1 == rw._1))
 
     // machine-factor canary, END sample (SCALE.md round-6 convention):
     // q1_agg re-measured after the whole suite — see canaryStart
@@ -443,19 +439,61 @@ object Bench {
     val canaryMean = if (canaryNow.nonEmpty) canaryNow.sum / canaryNow.size else -1.0
     val canaryFactor =
       if (canaryMean > 0 && prevCanary > 0) canaryMean / prevCanary else 1.0
-    val totalCanaryNorm = total / canaryFactor
-    val medianPackDrift = if (packDrift.isEmpty) 1.0 else {
-      val rs = packDrift.map(_._2).sorted
+    val packDrift0 = packDriftOf(finalResults)
+    val medianPackDrift = if (packDrift0.isEmpty) 1.0 else {
+      val rs = packDrift0.map(_._2).sorted
       rs(rs.size / 2)
     }
     val weather =
       canaryFactor > 1.15 || canaryFactor < 0.85 || medianPackDrift > 1.3
 
+    // Weather re-measure (round-18, r17-verdict item 5): on a
+    // weather:true run the >2× q_drift entries are usually STALL
+    // inflation, and those polluted readings would otherwise land in
+    // the record's "queries" map and seed the NEXT round's drift
+    // baselines (exactly how the r17 gating run's c11/ev2/x10 numbers
+    // propagated). After the end canary — the run's quietest moment —
+    // re-measure each >2× mover ONCE (bounded: the 10 worst), keep
+    // the per-query min (the suite's standing protocol, one more
+    // sample), and record BOTH samples under "weather_remeasure" so
+    // the discarded reading stays visible. The run's `weather` flag
+    // and canary fields keep their pre-re-measure values — they
+    // describe the run that happened, not the repaired record.
+    val weatherRemeasure =
+      scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
+    if (weather) {
+      qDriftPrevOf(finalResults).filter(_._2 > 2.0).sortBy(-_._2).take(10)
+        .foreach { case (name, _) =>
+          val kept = finalResults.find(_._1 == name).map(_._2).getOrElse(-1.0)
+          val t =
+            try timeQuery(name) catch { case NonFatal(_) => -1.0 }
+          graft.util.Caches.releaseStray()
+          SparkEntry.releaseShared(spark)
+          if (kept >= 0 && t >= 0) weatherRemeasure(name) = (kept, t)
+        }
+    }
+    val recordResults: Seq[(String, Double)] = finalResults.map {
+      case (name, sec) => name -> weatherRemeasure.get(name)
+        .map { case (_, t) => math.min(sec, t) }.getOrElse(sec)
+    }
+    val total = recordResults.collect { case (_, v) if v >= 0 => v }.sum
+    val totalCanaryNorm = total / canaryFactor
+    val packSums = packSumsOf(recordResults)
+    val packDrift = packDriftOf(recordResults)
+    val flaggedDrift = packDrift.filter { case (_, r) => r > 1.25 || r < 0.75 }
+    val qDriftPrev = qDriftPrevOf(recordResults)
+    // retry_worse names surface through q_drift too (their ratio is
+    // t2/t1, not cur/prev): the kept-min reading looks clean by
+    // construction, so without this the bimodal signature would never
+    // reach the driver's stdout tail
+    val qDrift: Seq[(String, Double)] = qDriftPrev ++
+      retryWorse.toSeq.filterNot(rw => qDriftPrev.exists(_._1 == rw._1))
+
     // full-name record → repo file: survives regardless of how much of
     // stdout the driver captures
     val full = new StringBuilder
     full ++= s"""{"sf":${jstr(sfDir)},"cpus":$cpus,"total":${num(total)}"""
-    full ++= s""","queries":${finalResults.map { case (k, v) => s"${jstr(k)}:${num6(v)}" }
+    full ++= s""","queries":${recordResults.map { case (k, v) => s"${jstr(k)}:${num6(v)}" }
       .mkString("{", ",", "}")}"""
     full ++= s""","errors":${errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")}"""
@@ -478,11 +516,13 @@ object Bench {
         .mkString("{", ",", "}")}"
     }.mkString("{", ",", "}")}"""
     full ++= s""","canary_q1_start":${num6(canaryStart)},"canary_q1_mid":${num6(canaryMid)},"canary_q1_end":${num6(canaryEnd)},"gate_waits":$gateWaits"""
+    full ++= s""","weather_remeasure":${weatherRemeasure.map { case (k, (a, b)) => s"${jstr(k)}:[${num6(a)},${num6(b)}]" }
+      .mkString("{", ",", "}")}"""
     full ++= s""","canary_factor":${num6(canaryFactor)},"total_canary_norm":${num(totalCanaryNorm)},"median_pack_drift":${num6(medianPackDrift)},"weather":$weather}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("/root/repo/BENCH_FULL.json"), full.toString)
 
-    val qsShort = finalResults
+    val qsShort = recordResults
       .map { case (k, v) => s"${jstr(shortKey(k))}:${sig3(v)}" }
       .mkString("{", ",", "}")
     val extra = new StringBuilder
@@ -504,6 +544,12 @@ object Bench {
     if (qDrift.nonEmpty)
       extra ++= s""","q_drift":${qDrift.map { case (k, v) => s"${jstr(shortKey(k))}:${num2(v)}" }
         .mkString("{", ",", "}")}"""
+    // weather re-measure pairs (short keys, [polluted, re-measured]):
+    // the round summary's evidence that a q_drift entry was host
+    // weather, surfaced on stdout so the driver tail carries it
+    if (weatherRemeasure.nonEmpty)
+      extra ++= s""","wrm":${weatherRemeasure.map { case (k, (a, b)) => s"${jstr(shortKey(k))}:[${num2(a)},${num2(b)}]" }
+        .mkString("{", ",", "}")}"""
     // sf basename only and no redundant full-record pointer: the
     // stdout line must stay inside the driver's 2000-byte tail — a
     // line the capture cuts mid-JSON fails the driver's parse and
@@ -519,7 +565,7 @@ object Bench {
     val line =
       if (fullLine.length <= 1950) fullLine
       else {
-        val byFamily = finalResults.filter(_._2 >= 0)
+        val byFamily = recordResults.filter(_._2 >= 0)
           .groupBy { case (k, _) => k.takeWhile(!_.isDigit) }
           .toSeq.sortBy(_._1)
           .map { case (fam, qs) => s"${jstr(fam)}:${num2(qs.map(_._2).sum)}" }

@@ -230,14 +230,23 @@ object EntityRegistry {
     Entity("UK_SORT_CODE", Formats.UK_SORT_CODE),
     Entity("BACS_SERVICE_USER_NUMBER", "^[0-9]{6}$"),
     Entity("CURRENCY_AMOUNT", "^[$€£¥][0-9,]+(\\.[0-9]{2})?$"),
-    Entity("BITCOIN_ADDRESS", "^(1|3|bc1)[a-zA-HJ-NP-Z0-9]{25,42}$"),
+    // the PUBLIC alphabets, per branch (round-18 FP study): legacy
+    // base58check excludes 0/O/I/l; bech32's charset excludes 1/b/i/o
+    // — the previous merged class admitted '0' and 'l', so 12% of
+    // clean 32-hex strings starting 1/3 matched
+    Entity("BITCOIN_ADDRESS",
+      "^[13][1-9A-HJ-NP-Za-km-z]{25,34}$|^bc1[02-9ac-hj-np-z]{8,87}$"),
     Entity("ETHEREUM_ADDRESS", "^0x[0-9a-fA-F]{40}$"))
 
   /** Network / device. */
   val network: Seq[Entity] = Seq(
     IP_ADDRESS, MAC_ADDRESS, URL,
     Entity("IPV6_ADDRESS", "^([0-9a-fA-F]{0,4}:){2,7}[0-9a-fA-F]{0,4}$"),
-    Entity("HOSTNAME", "^[a-z0-9]([a-z0-9-]*[a-z0-9])?(\\.[a-z0-9]([a-z0-9-]*[a-z0-9])?)+$"),
+    // last label must START WITH A LETTER (round-18 FP study,
+    // tools/ProbeRegistryFp): the all-digit-TLD form matched every
+    // decimal number ("84922.62" = two numeric labels) at 100% on
+    // clean float columns; no public TLD is numeric
+    Entity("HOSTNAME", "^[a-z0-9]([a-z0-9-]*[a-z0-9])?(\\.[a-z0-9]([a-z0-9-]*[a-z0-9])?)*\\.[a-z]([a-z0-9-]*[a-z0-9])?$"),
     Entity("IMEI", "^[0-9]{15}$"),
     Entity("USER_AGENT", "^Mozilla/[0-9.]+ \\(.*\\).*$"),
     Entity("AWS_ACCESS_KEY", "^AKIA[0-9A-Z]{16}$"),
@@ -268,7 +277,12 @@ object EntityRegistry {
     Entity("UK_VEHICLE_REGISTRATION", "^[A-Z]{2}[0-9]{2} ?[A-Z]{3}$"),
     Entity("FLIGHT_NUMBER", "^[A-Z]{2}[0-9]{1,4}$"),
     Entity("TRACKING_NUMBER_UPS", "^1Z[0-9A-Z]{16}$"),
-    Entity("ISBN", "^(97[89][- ]?)?[0-9]{1,5}[- ]?[0-9]+[- ]?[0-9]+[- ]?[0-9X]$"),
+    // separators REQUIRED in the grouped form (4+ groups — ISO 2108's
+    // registration/registrant/publication/check elements), exact
+    // 10/13 length when bare (round-18 FP study: the all-optional
+    // form reduced to "any >=4-digit run" — 100% fire on ISO dates,
+    // 76% on clean integer ids)
+    Entity("ISBN", "^(97[89][- ])?[0-9]{1,5}[- ][0-9]+[- ][0-9]+[- ][0-9X]$|^(97[89])?[0-9]{9}[0-9X]$"),
     Entity("EAN13", Formats.DIGITS13),
     Entity("MD5_HASH", "^[a-f0-9]{32}$"),
     Entity("SHA256_HASH", "^[a-f0-9]{64}$"),

@@ -237,19 +237,8 @@ object AnnIndexStore {
       throw new IllegalArgumentException(
         s"$root/manifest.json carries no dim — save() it with " +
           "Map(\"dim\" -> ...) to enable PQ append"))
-    val coded = (loaded.coarse, loaded.books) match {
-      case (Some(cents), Some(books)) =>
-        Similarity.assignToCentroids(batch, cents)
-          .select(col("vec_id"), col("cluster"),
-            graft.expressions.VectorExpressions.pq_codes(
-              col("embedding"), dim, books).as("codes"))
-      case (None, Some(books)) => Similarity.pqEncode(batch, dim, books)
-      case (Some(cents), None) => // IVF-only: frozen-centroid assignment
-        Similarity.ivfAppend(batch, cents)
-      case _ => throw new IllegalArgumentException(
-        s"$root carries neither codebooks nor a coarse quantizer — " +
-          "nothing to encode an appended batch against")
-    }
+    val coded = encodeAgainst(batch, loaded.coarse, loaded.books,
+      () => dim, root)
     val w = coded.write.mode(SaveMode.Append)
     (if (coded.columns.contains("cluster")) w.partitionBy("cluster") else w)
       .parquet(s"$root/index")
@@ -276,9 +265,32 @@ object AnnIndexStore {
     }
   }
 
+  /** One map-only encode pass of a (vec_id, embedding) frame against
+    * model state — the shared kernel of [[append]] (a new batch vs
+    * the FROZEN quantizer) and [[IndexMaintenance.rebuild]] (the full
+    * corpus vs a REFIT one). `dim` is by-name: only the PQ arms need
+    * it, and the IVF-only arm must not demand a manifest dim. */
+  private[similarity] def encodeAgainst(batch: DataFrame,
+      coarse: Option[Array[(Int, Array[Double])]],
+      books: Option[Seq[Array[(Int, Array[Double])]]],
+      dim: () => Int, root: String): DataFrame =
+    (coarse, books) match {
+      case (Some(cents), Some(bs)) =>
+        Similarity.assignToCentroids(batch, cents)
+          .select(col("vec_id"), col("cluster"),
+            graft.expressions.VectorExpressions.pq_codes(
+              col("embedding"), dim(), bs).as("codes"))
+      case (None, Some(bs)) => Similarity.pqEncode(batch, dim(), bs)
+      case (Some(cents), None) => // IVF-only: centroid assignment
+        Similarity.ivfAppend(batch, cents)
+      case _ => throw new IllegalArgumentException(
+        s"$root carries neither codebooks nor a coarse quantizer — " +
+          "nothing to encode against")
+    }
+
   // manifest as a tiny single-file JSON object via the Hadoop FS API
   // (works on any scheme the session can reach, unlike java.nio)
-  private def writeManifest(spark: SparkSession, path: String,
+  private[similarity] def writeManifest(spark: SparkSession, path: String,
       kv: Map[String, String]): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -1,0 +1,125 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Registry false-positive rate study (round-17 verdict item 4).
+  *
+  * RegistryExamplesSpec pins per-pattern positives and near-miss
+  * negatives, but the GENERIC format envelopes (Formats.scala —
+  * DIGITS9 serves un-dashed SSN, NL BSN, US routing, UK passport;
+  * DRIVING_LICENSE_GENERIC is `[A-Z0-9]{6,16}`) mean multi-entity
+  * fire on one value is by design — and nothing measured how often
+  * the registry fires on text that is definitively NOT PII. This
+  * probe runs BOTH full registries over known-PII-free columns and
+  * records the per-entity fire rate per clean-column CLASS, flagging
+  * every (entity, class) pair at or above A1's 0.1 column-threshold
+  * semantics (s3-source-script.py:302-316 — a column is tagged when
+  * ≥10% of its cells match).
+  *
+  * Clean corpus: the engine's own synthetic non-PII surfaces —
+  *   - prose: TPC-H-style comment sentences (letters + spaces);
+  *   - labels: product-ish names / market segments / ship modes;
+  *   - codes: "Customer#000000001"-style prefixed ids;
+  *   - int_id: plain integer keys as strings (lengths 1–12, the
+  *     realistic id width range);
+  *   - date / float / uuid / hex / url: the other universal
+  *     non-PII string shapes a crawler actually scans.
+  * The documents/events fixtures are EXCLUDED: they plant PII by
+  * design (x8/a1 oracles).
+  *
+  * Expected (and found) structure: exact-layout patterns stay ~0 on
+  * every class; the generic digit-run and alphanumeric envelopes
+  * fire on int_id/hex at rates set by LENGTH COINCIDENCE — a 9-digit
+  * id IS a DIGITS9 match. That is a property of format-only
+  * detection (the reference's model shares it); the deliverable is
+  * the measured table (SCALE.md round-18) so operators know which
+  * entity tags on id-like columns carry no evidence.
+  *
+  * Usage: runMain graft.tools.ProbeRegistryFp [rowsPerClass]
+  */
+object ProbeRegistryFp {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toInt else 20000
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val rnd = new scala.util.Random(1821L)
+    val words = Seq("the", "quick", "regular", "deposits", "boost",
+      "final", "packages", "sleep", "furiously", "against", "bold",
+      "ideas", "carefully", "pending", "accounts", "along", "daring",
+      "requests", "instructions", "platelets", "express", "special")
+    val segments = Seq("AUTOMOBILE", "BUILDING", "FURNITURE",
+      "HOUSEHOLD", "MACHINERY")
+    val shipmodes = Seq("AIR", "RAIL", "TRUCK", "SHIP", "MAIL")
+    val colors = Seq("almond", "antique", "aquamarine", "azure",
+      "beige", "bisque", "blanched", "blush", "burlywood", "chartreuse")
+
+    def prose(): String =
+      (0 until (5 + rnd.nextInt(8))).map(_ => words(rnd.nextInt(words.size)))
+        .mkString(" ")
+    def label(): String =
+      s"${colors(rnd.nextInt(colors.size))} ${colors(rnd.nextInt(colors.size))} " +
+        s"${segments(rnd.nextInt(segments.size))} ${shipmodes(rnd.nextInt(shipmodes.size))}"
+    def code(): String = f"Customer#${rnd.nextInt(10000000)}%09d"
+    def intId(): String = { // lengths 1..12, uniform over widths
+      val len = 1 + rnd.nextInt(12)
+      (1 to len).map(i =>
+        if (i == 1) ('1' + rnd.nextInt(9)).toChar
+        else ('0' + rnd.nextInt(10)).toChar).mkString
+    }
+    def date(): String = f"20${rnd.nextInt(30)}%02d-${1 + rnd.nextInt(12)}%02d-${1 + rnd.nextInt(28)}%02d"
+    def dbl(): String = f"${rnd.nextDouble() * 100000}%.2f"
+    def uuid(): String = new java.util.UUID(rnd.nextLong(), rnd.nextLong()).toString
+    def hex(): String = (1 to 32).map(_ => "0123456789abcdef"(rnd.nextInt(16))).mkString
+    def url(): String = s"https://example.org/${words(rnd.nextInt(words.size))}/" +
+      s"${words(rnd.nextInt(words.size))}?id=${rnd.nextInt(100000)}"
+
+    val gens: Seq[(String, () => String)] = Seq(
+      "prose" -> prose _, "label" -> label _, "code" -> code _,
+      "int_id" -> intId _, "date" -> date _, "float" -> dbl _,
+      "uuid" -> uuid _, "hex32" -> hex _, "url" -> url _)
+    val clean: DataFrame = gens.map { case (cls, g) =>
+      (0 until n).map(_ => g()).toDF(cls)
+    }.reduce((a, b) => a.withColumn("_r", monotonically_increasing_id())
+      .join(b.withColumn("_r", monotonically_increasing_id()), "_r")
+      .drop("_r"))
+
+    def study(regName: String,
+        entities: Seq[graft.ops.Classify.Entity]): Unit = {
+      val rows = graft.ops.Classify.classifyColumns(
+        clean, entities, threshold = 0.0)
+        .filter(col("n_matched") > 0)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4)))
+        .sortBy(t => (-t._5, t._2, t._1))
+      val flagged = rows.filter(_._5 >= 0.1)
+      println(s"\nREGFP $regName: ${entities.size} entities x " +
+        s"${gens.size} clean classes (${n} cells each); " +
+        s"${rows.count(_._5 > 0)} (entity, class) pairs fire at all, " +
+        s"${flagged.length} at >=0.1 (the A1 tag threshold)")
+      println(f"REGFP ${"entity"}%-52s class fire_rate")
+      flagged.foreach { case (cls, ent, m, nc, r) =>
+        println(f"REGFP $ent%-52s $cls%-7s $r%6.4f ($m/$nc)")
+      }
+      // the long tail below the tag threshold, per class — evidence
+      // that sub-threshold noise exists but cannot tag a column
+      val subByClass = rows.filter(t => t._5 < 0.1 && t._5 > 0)
+        .groupBy(_._1).view.mapValues(_.size).toMap
+      println(s"REGFP sub-threshold (fires but cannot tag): " +
+        gens.map(_._1).map(c => s"$c=${subByClass.getOrElse(c, 0)}")
+          .mkString(" "))
+    }
+
+    study("EntityRegistry", graft.ops.EntityRegistry.all)
+    study("ReferenceRegistry", graft.ops.ReferenceRegistry.all)
+    spark.stop()
+  }
+}

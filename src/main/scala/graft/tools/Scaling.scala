@@ -334,7 +334,45 @@ object Scaling {
     "u2_url_canonicalize" -> "documents",
     "x6_vocab_topk" -> "documents",
     "s1_scan_project" -> "documents",
-    "j2_tag_report" -> "events")
+    "j2_tag_report" -> "events",
+    // round-18 (verdict item 3): the final 28 — full exponent
+    // coverage of every driver query. Priority rows first: the
+    // grouping-set fan-outs (an3/an5 — the only untested
+    // combinatorial explosion: rollup multiplies each input row into
+    // depth+1 grouping tuples, cube into 2^dims), the PQ encode
+    // kernel (s9 — the stage the round-18 codegen fix touches), the
+    // df-capped containment dedup (d14), and the residual-threshold
+    // anomaly walk (ts4, riding ts3's grid). The rest are
+    // scan-or-output-bound trivia, measured so a future regression
+    // has a baseline instead of a blind spot
+    "an3_rollup" -> "documents",
+    "an5_cube" -> "documents",
+    "s9_pq_codes" -> "embeddings",
+    "s8_quantize_int8" -> "embeddings",
+    "d14_containment_dedup" -> "documents",
+    "ts4_anomaly" -> "events",
+    "a3_distinct" -> "customer+nation",
+    "c2_split_assign" -> "documents",
+    "c3_stratified_sample" -> "documents",
+    "d9_keep_list" -> "documents",
+    "dsv2_items_flaky" -> "documents",
+    "f1_filter_conjunctive" -> "orders",
+    "f10_not_in" -> "nation",
+    "f11_theta_contains" -> "part",
+    "m1_binary_meta" -> "documents",
+    "m2_frame_sample" -> "documents",
+    "m6_wav_meta" -> "documents",
+    "p6_name_normalize" -> "part",
+    "p8_ts_roundtrip" -> "orders",
+    "pr4_hll_registers" -> "events",
+    "t1_topk" -> "orders",
+    "u1_union_streams" -> "events",
+    "v1_luhn_validate" -> "events",
+    "v3_pseudonymize" -> "customer",
+    "w3_ntile" -> "customer",
+    "x4_fingerprint" -> "documents",
+    "x8_redact" -> "documents",
+    "x9_quality_filter" -> "documents")
 
   /** Measured interpretation notes embedded per row — the exponent
     * alone can mislead when the OUTPUT grows with the corpus. */
@@ -515,7 +553,32 @@ object Scaling {
       "segment-parallel JSON-chunk read with pushdown+pruning; the " +
       "one-time snapshot re-export (target/items_snapshot, _DONE-marked) " +
       "is paid by the first pass at each scale and excluded by the " +
-      "min-of-passes protocol, so the row measures the scan itself"))
+      "min-of-passes protocol, so the row measures the scan itself"),
+    // round-18 notes (the completion tranche's non-trivia rows)
+    "an3_rollup" -> ("grouping-set fan-out measured BOUNDED (exp ~0.15): " +
+      "rollup multiplies each input row into depth+1 grouping tuples " +
+      "inside Expand, but the partial aggregate collapses them map-side " +
+      "to |lang x source| + |lang| + 1 cells before any exchange — the " +
+      "combinatorial explosion is in rows TOUCHED, not rows SHUFFLED"),
+    "an5_cube" -> ("cube's 2^dims Expand fan-out, same bounded shape as " +
+      "an3: partial agg collapses to the cell table map-side; measured " +
+      "flat (exp 0.07 at x100)"),
+    "s9_pq_codes" -> ("the PQ encode kernel (the round-18 codegen-fix " +
+      "stage): one map-only pass, m x ksub x dim dot-products per row " +
+      "via the compiled PqCodes.encode kernel; exp 0.45 = scan-bound, " +
+      "and the CODEGEN_ONLY sweep now guarantees it never silently " +
+      "runs interpreted"),
+    "d14_containment_dedup" -> ("df-capped inverted index like d2: the " +
+      "hot-set cap bounds postings fan-out, so candidate volume grows " +
+      "with corpus size not its square; exp 0.55"),
+    "ts4_anomaly" -> ("rides ts3's grid walk (users x span-hours output) " +
+      "plus a residual-threshold filter — exp 0.59 tracks the shared " +
+      "grid materialization, the filter adds nothing corpus-sized"),
+    "dsv2_items_flaky" -> ("the at-least-once paging seam measured " +
+      "end-to-end: page-size-64 chunked JSON reads with a deterministic " +
+      "throttle every 3rd request and 2 ms backoff per retry — exp 0.79 " +
+      "is page count (requests grow linearly, readers parallel per " +
+      "segment); the production knob is pageSize, not the retry loop"))
   // q7/q8 (TPC-H shapes) are deliberately NOT in the study: their
   // fixed 1996-1998 date predicates select zero rows against the
   // synthetic orders/lineitem date ranges (2023+, tied to the as-of

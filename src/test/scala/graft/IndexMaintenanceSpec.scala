@@ -1,0 +1,165 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+import graft.ops.Schedule
+import graft.similarity.{AnnIndexStore, IndexMaintenance, Similarity}
+
+/** The drift flag's CONSUMER (round-17 verdict item 2): a scheduled
+  * sweep that probes each registered index manifest and rebuilds on
+  * [[AnnIndexStore.needsRebuild]] — ProbeDrift measured what the flag
+  * guards (frozen-quantizer recall 0.44 on a shifted slice vs 1.00
+  * after rebuild); this spec pins that the SCHEDULER closes the loop:
+  * a drifted index is rebuilt on schedule and recall recovers. */
+class IndexMaintenanceSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val dim = 16
+  private val anchors = 30
+
+  // ProbeDrift's corpus, shrunk: train anchors in the positive
+  // orthant; the shifted slice is their negations — maximally far
+  // from every trained centroid
+  private lazy val dirs = {
+    val rnd = new scala.util.Random(1818L)
+    def unit(v: Array[Double]) = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    Array.fill(anchors)(unit(Array.fill(dim)(
+      math.abs(rnd.nextGaussian()))))
+  }
+  private def synth(n: Int, idBase: Long, sign: Double,
+      seed: Long): DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    def unit(v: Array[Double]) = {
+      val nr = math.sqrt(v.map(x => x * x).sum); v.map(_ / nr)
+    }
+    (0 until n).map { i =>
+      val a = dirs(i % anchors)
+      (idBase + i,
+        unit(a.map(x => sign * x + 0.12 * rnd.nextGaussian()))
+          .map(_.toFloat))
+    }.toDF("vec_id", "embedding")
+  }
+
+  private def freshRoot(name: String): String = {
+    val d = s"target/test-ann-maint/$name"
+    val p = new org.apache.hadoop.fs.Path(d)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    d
+  }
+
+  private def topSets(df: DataFrame): Map[Long, Set[Long]] =
+    df.select(col("query_id").cast("long"), col("neighbor_id").cast("long"))
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+
+  private def recall(exact: Map[Long, Set[Long]],
+      approx: Map[Long, Set[Long]]): Double = {
+    val rs = exact.map { case (q, truth) =>
+      approx.getOrElse(q, Set.empty).count(truth).toDouble / truth.size }
+    rs.sum / math.max(1, rs.size)
+  }
+
+  test("a drifted index is rebuilt by the scheduled sweep and recall " +
+      "recovers; quiet and baseline-less indexes report correctly") {
+    // nprobe=1 of 16: the frozen quantizer scatters the shifted slice
+    // across several roughly-equidistant lists (its centroids have no
+    // resolution there), so a one-list probe misses most true
+    // neighbors; the rebuilt quantizer co-assigns the region
+    val nTrain = 1500; val nShift = 500; val nlist = 16
+    val k = 5; val nprobe = 1; val nQ = 30
+    val train = synth(nTrain, 0L, 1.0, 7L).cache()
+    val shifted = synth(nShift, 1000000L, -1.0, 11L).cache()
+    val grown = train.unionByName(shifted).cache()
+
+    // the drifted index: IVF-only, baselined at train time
+    val root = freshRoot("drifted")
+    val frozen = Similarity.kmeansFit(train, nlist)
+    AnnIndexStore.save(root, Similarity.ivfAppend(train, frozen),
+      Some(frozen), manifest = Map("dim" -> dim.toString) ++
+        AnnIndexStore.driftBaseline(train, frozen))
+    AnnIndexStore.append(root, shifted)
+    assert(AnnIndexStore.needsRebuild(
+      AnnIndexStore.load(spark, root).manifest),
+      "the shifted append must fire the flag (ProbeDrift's setup)")
+
+    // a quiet index and an un-baselined one ride the same sweep
+    val quietRoot = freshRoot("quiet")
+    AnnIndexStore.save(quietRoot, Similarity.ivfAppend(train, frozen),
+      Some(frozen), manifest = Map("dim" -> dim.toString) ++
+        AnnIndexStore.driftBaseline(train, frozen))
+    val bareRoot = freshRoot("bare")
+    AnnIndexStore.save(bareRoot, Similarity.ivfAppend(train, frozen),
+      Some(frozen), manifest = Map("dim" -> dim.toString))
+
+    // run the sweep THROUGH the scheduler — the contract is a DAG
+    // stage, not a library call someone remembers to make
+    var reports = Seq.empty[IndexMaintenance.IndexReport]
+    val dag = Seq(
+      Schedule.Stage("ingest", Nil)(() => ()),
+      IndexMaintenance.stage(spark,
+        Seq(root -> (() => grown),
+          quietRoot -> (() => train),
+          bareRoot -> (() => train)),
+        dependsOn = Seq("ingest"),
+        onReport = reports = _))
+    val run = Schedule.run(dag)
+    assert(run.failed.isEmpty, s"sweep stage failed: ${run.errors}")
+    val byRoot = reports.map(r => r.root -> r).toMap
+    assert(byRoot(root).action == "rebuilt", byRoot.toString)
+    assert(byRoot(root).driftFraction.exists(_ > 0.2))
+    assert(byRoot(quietRoot).action == "ok")
+    assert(byRoot(bareRoot).action == "no-baseline",
+      "an index that cannot ask for a rebuild must be loud, not silent")
+
+    // the rebuilt index: flag reset, counters reset, config kept
+    val m = AnnIndexStore.load(spark, root).manifest
+    assert(!AnnIndexStore.needsRebuild(m))
+    assert(m("drift_appended_n") == "0" && m("dim") == dim.toString)
+
+    // recall on the shifted slice recovers through the rebuilt
+    // quantizer (the ProbeDrift measurement, now via the scheduler)
+    val predShift = col("vec_id") >= 1000000L && col("vec_id") < 1000000L + nQ
+    val exact = topSets(Similarity.bruteForceTopK(grown, predShift, k))
+    val frozenRecall = recall(exact, topSets(
+      Similarity.ivfProbeTopK(grown, predShift, k, nlist, nprobe,
+        fitted = Some(frozen))))
+    val rebuiltCoarse = AnnIndexStore.load(spark, root).coarse.get
+    val rebuiltRecall = recall(exact, topSets(
+      Similarity.ivfProbeTopK(grown, predShift, k, nlist, nprobe,
+        fitted = Some(rebuiltCoarse))))
+    assert(frozenRecall < 0.7,
+      s"fixture must show the drift cost, got frozen=$frozenRecall")
+    assert(rebuiltRecall > frozenRecall + 0.2 && rebuiltRecall > 0.7,
+      s"rebuild must recover recall: frozen=$frozenRecall " +
+        s"rebuilt=$rebuiltRecall")
+  }
+
+  test("report-only mode flags instead of rebuilding; a broken root " +
+      "errors its own row without stopping the sweep") {
+    val nTrain = 200
+    val train = synth(nTrain, 0L, 1.0, 13L)
+    val shifted = synth(80, 5000L, -1.0, 17L)
+    val root = freshRoot("flagonly")
+    val cents = Similarity.kmeansFit(train, 4)
+    AnnIndexStore.save(root, Similarity.ivfAppend(train, cents),
+      Some(cents), manifest = Map("dim" -> dim.toString) ++
+        AnnIndexStore.driftBaseline(train, cents))
+    AnnIndexStore.append(root, shifted)
+
+    val reports = IndexMaintenance.sweep(spark,
+      Seq(root -> (() => train.unionByName(shifted)),
+        freshRoot("missing") -> (() => train)),
+      rebuildDrifted = false)
+    val byRoot = reports.map(r => r.root -> r.action).toMap
+    assert(byRoot(root) == "flagged")
+    // flagged means NOT touched: the manifest still wants a rebuild
+    assert(AnnIndexStore.needsRebuild(
+      AnnIndexStore.load(spark, root).manifest))
+    assert(byRoot.values.count(_.startsWith("error:")) == 1,
+      s"the missing root must error its own row: $reports")
+  }
+}

@@ -195,7 +195,12 @@ object RegistryExamples {
       Seq("1234.56", "$12.345")),
     "BITCOIN_ADDRESS" -> Ex(
       Seq("1A1zP1eP5QGefi2DMPTfTL5SLmv7DivfNa", "bc1qar0srrr7xfkvy5l643lydnw9re59gtzzwf5mdq"),
-      Seq("2A1zP1eP5QGefi2DMPTfTL5SLmv7DivfNa", "1A1zP1eP5QGefi2DMPTfTL5")),
+      // last two: clean 32-hex starting '1' (contains '0' — outside
+      // base58check) and an 'O' in base58 position — the round-18 FP
+      // study's hex32-class false positive
+      Seq("2A1zP1eP5QGefi2DMPTfTL5SLmv7DivfNa", "1A1zP1eP5QGefi2DMPTfTL5",
+        "1e0cc6c52f11ab09c4db1b7ffe67ab17",
+        "1A1zP1eP5QGefiODMPTfTL5SLmv7DivfNa")),
     "ETHEREUM_ADDRESS" -> Ex(
       Seq("0x52908400098527886E0F7030069857D2E4169EE7"),
       Seq("0x5290840009852788", "52908400098527886E0F7030069857D2E4169EE7")),
@@ -203,8 +208,11 @@ object RegistryExamples {
       Seq("2001:db8:85a3::8a2e:370:7334", "::1"),
       Seq("2001.db8.85a3", "12345::1")),
     "HOSTNAME" -> Ex(
-      Seq("example.com", "a-b.c-d.example.org"),
-      Seq("Example.com", "example", "-bad.com")),
+      Seq("example.com", "a-b.c-d.example.org", "0a.example.net"),
+      // "84922.62": a decimal number is NOT a hostname — numeric
+      // last label (no TLD is numeric); the round-18 FP study's
+      // float-class 100% false positive
+      Seq("Example.com", "example", "-bad.com", "84922.62")),
     "IMEI" -> Ex(
       Seq("490154203237518"),
       Seq("49015420323751", "4901542032375189")),
@@ -272,8 +280,14 @@ object RegistryExamples {
       Seq("1Z999AA10123456784"),
       Seq("1Z999AA1012345678", "2Z999AA10123456784")),
     "ISBN" -> Ex(
-      Seq("978-0-306-40615-7", "0306406152"),
-      Seq("0-306-4061-Y", "97X-0-306-40615-7")),
+      Seq("978-0-306-40615-7", "0306406152", "9780306406157"),
+      // date and short-digit-run negatives: the round-18 FP study
+      // measured the all-optional-separator form at 100% on ISO
+      // dates and 76% on clean integer ids (any >=4-digit run
+      // matched); grouped form now requires 4+ elements, bare form
+      // exact 10/13 digits
+      Seq("0-306-4061-Y", "97X-0-306-40615-7", "2026-08-16",
+        "12345678", "123456789012")),
     "EAN13" -> Ex(
       Seq("4006381333931"),
       Seq("400638133393", "40063813339311")),
