@@ -193,7 +193,9 @@ object EntityRegistry {
     Entity("US_PHONE_NUMBER", "^(\\+?1[ .-]?)?(\\([0-9]{3}\\)|[0-9]{3})[ .-]?[0-9]{3}[ .-]?[0-9]{4}$"),
     Entity("UK_PHONE_NUMBER", Formats.UK_PHONE),
     Entity("INTERNATIONAL_PHONE", "^\\+[1-9][0-9]{0,2}[ .-]?[0-9 .-]{6,14}$"),
-    Entity("FAX_NUMBER", "^(fax:? ?)?\\+?[0-9][0-9 ().-]{6,18}[0-9]$"),
+    // same two-branch envelope as Formats.PHONE_INTL (round-18 FP
+    // study — the dot-anywhere class read decimals as fax numbers)
+    Entity("FAX_NUMBER", "^(fax:? ?)?(\\+?[0-9][0-9 ()-]{6,18}[0-9]|\\+?[0-9]{1,4}(\\.[0-9]{2,4}){2,6})$"),
     Entity("ADDRESS_LINE", "^[0-9]{1,5} [A-Za-z0-9 .'-]+ (St|Street|Ave|Avenue|Rd|Road|Blvd|Lane|Ln|Dr|Drive|Ct|Court|Way)\\.?$"),
     Entity("PO_BOX", "^[Pp]\\.?[Oo]\\.? ?[Bb]ox [0-9]+$"))
 

@@ -27,7 +27,17 @@ object Formats {
 
   // ---- universal formats (exact public specs) ----
   val EMAIL = "^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}$"
-  val PHONE_INTL = "^\\+?[0-9][0-9 ().-]{6,18}[0-9]$"
+  /** International phone family envelope, two branches (round-18 FP
+    * study): space/dash/paren punctuation free-form, OR the dotted
+    * style (FR "01.23.45.67.89", US "555.123.4567") as 2–6 dot-groups
+    * of 2–4 digits. The previous single class admitted '.' anywhere,
+    * so every ≥8-char decimal number ("84922.62") read as a phone —
+    * 89% fire on clean float columns. Dash-digit dates remain inside
+    * the envelope (a 4-2-2 digit group string IS phone-shaped;
+    * format-only detection cannot separate them — documented in
+    * SCALE.md round 18). */
+  val PHONE_INTL =
+    "^\\+?[0-9][0-9 ()-]{6,18}[0-9]$|^\\+?[0-9]{1,4}(\\.[0-9]{2,4}){2,6}$"
   val IPV4 = "^([0-9]{1,3}\\.){3}[0-9]{1,3}$"
   val MAC = "^([0-9A-Fa-f]{2}:){5}[0-9A-Fa-f]{2}$"
   val CARD16 = "^[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{4}$"

@@ -32,8 +32,14 @@ object RegistryExamples {
       Seq("alice@example.com", "dev.team+ci@mail.example.co"),
       Seq("alice@example", "@example.com", "alice(at)example.com")),
     "PHONE_NUMBER" -> Ex(
-      Seq("+1 (555) 123-4567", "020 7946 0958"),
-      Seq("55512", "not a phone")),
+      // third/fourth positives: the dotted styles (FR grouped pairs,
+      // US triplets) the round-18 two-branch envelope carries
+      Seq("+1 (555) 123-4567", "020 7946 0958", "01.23.45.67.89",
+        "555.123.4567"),
+      // "84922.62"/"123.45": decimals are NOT phones — the round-18
+      // FP study's float-class 89% false positive; "1.2.3": a version
+      // string (single-digit dot groups outside the dotted branch)
+      Seq("55512", "not a phone", "84922.62", "123.45", "1.2.3")),
     "USA_SSN" -> Ex(
       Seq("123-45-6789"),
       Seq("123-45-678", "1234-45-6789", "123-456-6789")),
@@ -107,8 +113,8 @@ object RegistryExamples {
       Seq("+49 30 123456", "+14155550123"),
       Seq("+0 123456789", "4915123456789")),
     "FAX_NUMBER" -> Ex(
-      Seq("fax: 020 7946 0958", "+1 555 123 4567"),
-      Seq("fax:", "fax: 12345")),
+      Seq("fax: 020 7946 0958", "+1 555 123 4567", "fax: 01.23.45.67.89"),
+      Seq("fax:", "fax: 12345", "84922.62")),
     "ADDRESS_LINE" -> Ex(
       Seq("221 Baker Street", "1600 Pennsylvania Ave"),
       Seq("Baker Street 221", "221B Baker Street")),
