@@ -465,11 +465,20 @@ object Bench {
       qDriftPrevOf(finalResults).filter(_._2 > 2.0).sortBy(-_._2).take(10)
         .foreach { case (name, _) =>
           val kept = finalResults.find(_._1 == name).map(_._2).getOrElse(-1.0)
-          val t =
-            try timeQuery(name) catch { case NonFatal(_) => -1.0 }
+          val (t, paid) =
+            try timeQueryPaid(name) catch { case NonFatal(_) => (-1.0, Nil) }
           graft.util.Caches.releaseStray()
           SparkEntry.releaseShared(spark)
-          if (kept >= 0 && t >= 0) weatherRemeasure(name) = (kept, t)
+          if (kept >= 0 && t >= 0) {
+            weatherRemeasure(name) = (kept, t)
+            // the retryOnce discipline: paid_builds must explain the
+            // sample that lands in "queries" — when the re-measure
+            // wins, its attribution replaces the polluted sample's
+            if (t < kept) {
+              if (paid.nonEmpty) paidBuilds(name) = paid
+              else paidBuilds.remove(name)
+            }
+          }
         }
     }
     val recordResults: Seq[(String, Double)] = finalResults.map {
