@@ -235,6 +235,12 @@ object Curation {
     * the heap caps the hot stratum's map-side residue at k. */
   def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
       k: Int): DataFrame = {
+    // the AsOf/Layout reserved-name convention (round-18 sweep): the
+    // working column is overwritten then dropped — a caller's __h
+    // would be silently destroyed
+    require(!df.columns.contains("__h"),
+      "stratifiedSample uses a temporary __h column; rename the " +
+        "input's __h first")
     val withH = df.withColumn("__h",
       md5(col(idCol).cast("string").cast("binary")))
     org.apache.spark.sql.graft.TopKPerKey.topKPerKey(
@@ -334,9 +340,14 @@ object Curation {
     val q = graft.util.Caches.scoped(
       df.select(col(idCol), col(strataCol),
         TextFunctions.qualityScore(col(textCol)).as("quality")))
-    val bounds = q.groupBy(col(strataCol))
-      .agg(expr(s"percentile(quality, $pLo)").as("p_lo"),
-        expr(s"percentile(quality, $pHi)").as("p_hi"))
+    // ExactQuantiles, not percentile() (round-18, the an1 class): a
+    // handful of language strata over a near-continuous quality score
+    // is exactly the shape whose per-group value map OOMs at real
+    // scale; the distributed selection returns identical bounds
+    val bounds = graft.ops.ExactQuantiles.groupQuantiles(
+        q.select(col(strataCol), col("quality")), strataCol, "quality",
+        Seq(pLo, pHi))
+      .select(col(strataCol), col("q0").as("p_lo"), col("q1").as("p_hi"))
     // band test on the ROUNDED distance to the bound: the interpolated
     // percentile differs between engines at ulp level (different
     // operation order), so a doc whose quality sits exactly on the
@@ -405,6 +416,13 @@ object Curation {
     * order never flips. */
   def globalShuffle(df: DataFrame, idCol: String, numShards: Int): DataFrame = {
     require(numShards > 0, s"numShards must be positive (got $numShards)")
+    // shard/pos are the op's OUTPUT columns and __h its working
+    // column — withColumn would silently overwrite same-named caller
+    // data (round-18 sweep, the AsOf/Layout convention)
+    val clash = df.columns.toSeq.intersect(Seq("__h", "shard", "pos"))
+    require(clash.isEmpty,
+      s"globalShuffle: input columns ${clash.mkString(",")} collide " +
+        "with its output/working columns — rename them first")
     import org.apache.spark.sql.expressions.Window
     val h = md5(col(idCol).cast("string").cast("binary"))
     val w = Window.partitionBy(col("shard")).orderBy(col("__h"), col(idCol))

@@ -114,8 +114,26 @@ object Profile {
     * portability rule as the quality band's percentile bounds). */
   def madOutliers(df: DataFrame, groupCol: String, valCol: String,
       k: Double = 3.0): DataFrame = {
-    val med = df.groupBy(col(groupCol)).agg(
-      expr(s"percentile(${bq(valCol)}, 0.5)").as("__med"))
+    // a caller __med makes the post-join col("__med") ambiguous (an
+    // AnalysisException pointing nowhere useful); __ad/__g1/__g2 are
+    // overwritten/dropped — refuse by name instead (round-18 sweep)
+    val clash = df.columns.toSeq
+      .intersect(Seq("__med", "__mad", "__ad", "__g1", "__g2"))
+    require(clash.isEmpty,
+      s"madOutliers: input columns ${clash.mkString(",")} collide with " +
+        "internal working columns — rename or project them away first")
+    // ExactQuantiles, not the built-in percentile() (round-18 — the
+    // an1 class, applied to the remaining users): percentile's
+    // aggregation state is an in-memory value→count map per group, so
+    // a low-cardinality group over a near-continuous column
+    // concentrates ~N/|groups| map entries in |groups| reduce tasks —
+    // time exp measured fine at ×100 (0.42) but the MEMORY bound
+    // cannot spill and OOMs at real scale. The distributed selection
+    // returns bit-identical interpolated medians (same p·(n−1)
+    // floor/ceil rule — an1's oracle re-verification precedent).
+    val med = graft.ops.ExactQuantiles.groupQuantiles(
+        df.select(col(groupCol), col(valCol)), groupCol, valCol, Seq(0.5))
+      .select(col(groupCol), col("q0").as("__med"))
     // NULL-SAFE joins back (round-16 review: the null-unsafe
     // using-column join silently DROPPED every row whose group key is
     // null — "rows keep their identity" was false for them; the
@@ -128,8 +146,9 @@ object Profile {
       df.join(broadcast(med.withColumnRenamed(groupCol, "__g1")),
         col(groupCol) <=> col("__g1")).drop("__g1")
       .withColumn("__ad", abs(col(valCol) - col("__med"))))
-    val mad = dev.groupBy(col(groupCol)).agg(
-      expr("percentile(__ad, 0.5)").as("__mad"))
+    val mad = graft.ops.ExactQuantiles.groupQuantiles(
+        dev.select(col(groupCol), col("__ad")), groupCol, "__ad", Seq(0.5))
+      .select(col(groupCol), col("q0").as("__mad"))
     dev.join(broadcast(mad.withColumnRenamed(groupCol, "__g2")),
         col(groupCol) <=> col("__g2")).drop("__g2")
       .groupBy(col(groupCol))
@@ -147,16 +166,20 @@ object Profile {
     *
     * Two passes over the column: one grouped percentile aggregate
     * (group-cardinality output, broadcast back) and one stateless
-    * clip scan — no window, no per-group sort of the full data beyond
-    * the percentile aggregate itself; at 100 TB swap the exact
-    * percentile for the q-digest sketch (same join shape, rank-bounded
-    * bands). */
+    * clip scan — no window; the bounds come from the distributed
+    * exact selection (ops/ExactQuantiles — external sort, no
+    * per-group buffer), so the op holds exact-quantile semantics at
+    * any scale; a rank-bounded q-digest (pr7/pr8's sketch) remains
+    * the cheaper choice when ε-approximate bands suffice. */
   def winsorize(df: DataFrame, groupCol: String, valCol: String,
       lo: Double, hi: Double): DataFrame = {
     require(lo >= 0 && hi <= 1 && lo < hi, s"need 0 <= lo < hi <= 1 (got $lo, $hi)")
-    val bounds = df.groupBy(col(groupCol)).agg(
-      expr(s"percentile(${bq(valCol)}, $lo)").as("__lo"),
-      expr(s"percentile(${bq(valCol)}, $hi)").as("__hi"))
+    // ExactQuantiles, not percentile() — see madOutliers (round-18):
+    // the per-group value map cannot spill; the external-sort
+    // selection computes the identical interpolated bounds
+    val bounds = graft.ops.ExactQuantiles.groupQuantiles(
+        df.select(col(groupCol), col(valCol)), groupCol, valCol, Seq(lo, hi))
+      .select(col(groupCol), col("q0").as("__lo"), col("q1").as("__hi"))
     // null-safe join back — see madOutliers (round-16 review)
     df.join(broadcast(bounds.withColumnRenamed(groupCol, "__g1")),
         col(groupCol) <=> col("__g1")).drop("__g1")

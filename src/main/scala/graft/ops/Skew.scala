@@ -44,6 +44,14 @@ object Skew {
     * (replicated build side) on `key`. */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       buckets: Int = 16, seed: Long = 42L): DataFrame = {
+    // withColumn overwrites a same-named caller column and the drop()
+    // on the way out deletes it — the AsOf/Layout reserved-name
+    // convention (round-18 sweep)
+    val clash = (big.columns.toSeq ++ small.columns.toSeq)
+      .distinct.intersect(Seq("_salt"))
+    require(clash.isEmpty,
+      "saltedJoin: input columns _salt collide with the internal salt " +
+        "column — rename or project them away first")
     val saltedBig = big
       .withColumn("_salt", (rand(seed) * buckets).cast("int"))
     val replicatedSmall = small

@@ -877,12 +877,25 @@ object Similarity {
     while (open && round < maxRounds) {
       val withP = cur.withColumn("p",
         element_at(col("ps"), lit(round + 1)))
-      // overfull cells only: ≤ corpus/cap rows, safe to collect
-      val hotRows = withP.groupBy(col("cell"))
-        .agg(count(lit(1)).as("c"),
-          expr("percentile(p, 0.5)").as("m"))
-        .filter(col("c") > cap)
-        .select(col("cell"), col("m")).collect()
+      // overfull cells only: ≤ corpus/cap rows, safe to collect.
+      // ExactQuantiles, not percentile() (round-18, the an1 class):
+      // round 0's overfull cells are corpus-scale by definition, and
+      // the built-in's per-cell value map is exactly the unspillable
+      // buffer that OOMs there; the distributed selection returns the
+      // identical exact median (same interpolation rule), so split
+      // points — and every downstream assignment — are unchanged.
+      // Count-gate first (one cheap partial agg to cells-sized rows),
+      // then sort ONLY the overfull cells' rows: in late rounds most
+      // cells are under cap and the selection would otherwise
+      // external-sort the whole frame per round for medians nothing
+      // reads (measured +40% on d12's x100 leg without the gate).
+      val hotCells = withP.groupBy(col("cell"))
+        .agg(count(lit(1)).as("c")).filter(col("c") > cap)
+        .select(col("cell"))
+      val hotOnly = withP.join(broadcast(hotCells), Seq("cell"), "leftsemi")
+      val hotRows = graft.ops.ExactQuantiles.groupQuantiles(
+          hotOnly.select(col("cell"), col("p")), "cell", "p", Seq(0.5))
+        .select(col("cell"), col("q0")).collect()
       if (hotRows.isEmpty) open = false
       else {
         val sp = assigned.sparkSession

@@ -578,7 +578,38 @@ object Scaling {
       "end-to-end: page-size-64 chunked JSON reads with a deterministic " +
       "throttle every 3rd request and 2 ms backoff per retry — exp 0.79 " +
       "is page count (requests grow linearly, readers parallel per " +
-      "segment); the production knob is pageSize, not the retry loop"))
+      "segment); the production knob is pageSize, not the retry loop"),
+    // round-18 second tranche: the remaining built-in percentile()
+    // users rewritten onto ops/ExactQuantiles (the an1 class — the
+    // per-group value map's TIME exponent measured fine at x100 but
+    // the buffer cannot spill, so the memory bound OOMs at real
+    // scale). Rows re-measured post-rewrite; the old readings were
+    // pruned from the partial log because they measure DEAD code.
+    "pr9_winsorize" -> ("REWRITTEN round 18 onto ExactQuantiles (the an1 " +
+      "class): the per-event-type percentile value map measured exp 0.41 " +
+      "in TIME but holds ~N/|types| entries in |types| reduce tasks — an " +
+      "unspillable OOM at real scale. The external-sort selection pays " +
+      "more wall time per run (sorting beats buffering only in memory) " +
+      "and returns bit-identical bounds (oracle re-verified)"),
+    "pr12_mad_outlier" -> ("REWRITTEN round 18 onto ExactQuantiles, TWICE " +
+      "per call (median of v, then median of |v-med| over the joined " +
+      "deviation frame) — see pr9_winsorize; oracle re-verified " +
+      "bit-identical"),
+    "x9_quality_filter" -> ("quality-band bounds REWRITTEN round 18 onto " +
+      "ExactQuantiles (langs x near-continuous quality score = the an1 " +
+      "OOM shape); the regex-heavy quality score still dominates the " +
+      "reading — the scored frame is built once (scoped cache) and read " +
+      "by both the bounds selection and the band join"),
+    "c12_quality_resample" -> ("rides x9's band build (shared memo) — its " +
+      "row moves with the x9 rewrite; its own resample work is " +
+      "hash-filter map-side"),
+    "d12_semdedup" -> ("x100 reads ~15.9 s post-round-18 (was 10.9): " +
+      "boundOccupancy's per-round cell-median split now runs on " +
+      "ExactQuantiles over the count-gated overfull cells instead of the " +
+      "built-in percentile whose per-cell value map is corpus-scale in " +
+      "round 0 (unspillable — the an1 OOM class). The +5 s is the " +
+      "external sort's price for spillable memory; exp stays 0.31 and " +
+      "split medians are bit-identical (oracle re-verified)"))
   // q7/q8 (TPC-H shapes) are deliberately NOT in the study: their
   // fixed 1996-1998 date predicates select zero rows against the
   // synthetic orders/lineitem date ranges (2023+, tied to the as-of

@@ -72,6 +72,25 @@ class CurationSpec extends AnyFunSuite {
     assert(again == first)
   }
 
+  test("stratifiedSample/globalShuffle refuse inputs carrying their " +
+      "internal/output column names (round-18 reserved-name sweep)") {
+    import org.apache.spark.sql.functions.lit
+    val df = (1 to 5).map(i => (i.toLong, "en")).toDF("doc_id", "lang")
+    intercept[IllegalArgumentException] {
+      Curation.stratifiedSample(df.withColumn("__h", lit(1)),
+        "lang", "doc_id", k = 2)
+    }
+    val e = intercept[IllegalArgumentException] {
+      Curation.globalShuffle(df.withColumn("shard", lit(9)),
+        "doc_id", numShards = 4)
+    }
+    assert(e.getMessage.contains("shard"))
+    intercept[IllegalArgumentException] {
+      Curation.globalShuffle(df.withColumn("pos", lit(9L)),
+        "doc_id", numShards = 4)
+    }
+  }
+
   test("hashRateSample keeps ~quota rows per domain, stably") {
     // two domains: 400 rows vs 8 rows; quota 10 → big domain sampled
     // at 10/400, small domain kept whole (rate clamps at 1.0)

@@ -268,6 +268,13 @@ class ProfileSpec extends AnyFunSuite {
     assert(nA == 1L, s"nA=$nA")
     // constant group: mad = 0 → any deviation > 0 is an outlier; none here
     assert(out("b") == ((7.0, 0.0, 0L)))
+    // reserved working names refuse loudly (round-18 sweep): a caller
+    // __med would otherwise make the post-join reference ambiguous
+    intercept[IllegalArgumentException] {
+      Profile.madOutliers(
+        df.withColumn("__med", org.apache.spark.sql.functions.lit(0.0)),
+        "g", "value")
+    }
   }
 
   test("winsorize clips tails to the group band, keeps the body intact") {

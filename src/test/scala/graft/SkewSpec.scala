@@ -41,4 +41,16 @@ class SkewSpec extends AnyFunSuite {
     assert(hot(0).getString(0) == "hot")
     assert(hot(0).getAs[Long]("n") == 9000)
   }
+
+  test("saltedJoin refuses inputs carrying the internal _salt column " +
+      "instead of destroying it (round-18 reserved-name sweep)") {
+    val small = Seq(("hot", "H"), ("k1", "A")).toDF("key", "label")
+    val e = intercept[IllegalArgumentException] {
+      Skew.saltedJoin(skewed.withColumn("_salt", lit(1)), small, "key")
+    }
+    assert(e.getMessage.contains("_salt"))
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(skewed, small.withColumn("_salt", lit(1)), "key")
+    }
+  }
 }
