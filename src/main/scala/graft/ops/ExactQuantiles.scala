@@ -169,12 +169,19 @@ object ExactQuantiles {
         StructField("_eq_g", StringType, nullable = true) +:
           ps.indices.map(i => StructField(s"q$i", DoubleType,
             nullable = true)))
-      val qdf = spark.createDataFrame(
-        spark.sparkContext.parallelize(out, 1), schema)
+      // LocalRelation (not parallelize): an RDD-backed frame has
+      // unknown stats (defaultSizeInBytes = huge), so the join-back
+      // planned as a SortMergeJoin and dragged a sort+exchange into
+      // every CALLER's plan (round-18: PlanRegressionSpec caught pr9
+      // losing its no-SMJ pin through the winsorize rewrite). The
+      // quantile frame is driver-built and groups-sized — broadcast
+      // is its shape by construction, so say so explicitly.
+      import scala.jdk.CollectionConverters._
+      val qdf = spark.createDataFrame(out.asJava, schema)
       // n counts ALL rows (count(*) semantics); all-null-value groups
       // come back from nAll with null quantiles via the left join;
       // <=> so a null GROUP joins its own quantile row
-      nAll.join(qdf,
+      nAll.join(org.apache.spark.sql.functions.broadcast(qdf),
           col(groupCol).cast(StringType) <=> col("_eq_g"), "left")
         .drop("_eq_g")
     } finally sorted.unpersist(): Unit

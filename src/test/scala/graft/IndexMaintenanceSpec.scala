@@ -138,6 +138,57 @@ class IndexMaintenanceSpec extends AnyFunSuite {
         s"rebuilt=$rebuiltRecall")
   }
 
+  test("IVF-PQ rebuild: codebooks refit at the saved (m, ksub) shape, " +
+      "config and layout survive, the refit index still searches") {
+    val nTrain = 600; val nlist = 6; val m = 4; val ksub = 8
+    val train = synth(nTrain, 0L, 1.0, 19L).cache()
+    val shifted = synth(200, 9000L, -1.0, 23L).cache()
+    val grown = train.unionByName(shifted).cache()
+    val root = freshRoot("ivfpq")
+    val coarse = Similarity.kmeansFit(train, nlist)
+    val books = Similarity.pqFit(train, dim, m, ksub)
+    val index = Similarity.buildIvfPqIndex(train, dim, coarse, books)
+    AnnIndexStore.save(root, index, Some(coarse), Some(books),
+      Map("dim" -> dim.toString, "nlist" -> nlist.toString) ++
+        AnnIndexStore.driftBaseline(train, coarse))
+    AnnIndexStore.append(root, shifted)
+    assert(AnnIndexStore.needsRebuild(
+      AnnIndexStore.load(spark, root).manifest))
+
+    IndexMaintenance.rebuild(spark, root, grown)
+
+    val loaded = AnnIndexStore.load(spark, root)
+    // model SHAPE preserved: m and ksub exactly (codebooks never drop
+    // entries); the coarse list refits at k = saved size but kmeansFit
+    // drops empty clusters, so ≤ nlist and usable is the contract
+    assert(loaded.coarse.get.length <= nlist && loaded.coarse.get.length >= 2)
+    assert(loaded.books.get.size == m)
+    // per-subspace Lloyd drops empty codewords like the coarse fit
+    // drops empty clusters — ≤ ksub and usable is the contract
+    assert(loaded.books.get.forall(b => b.length <= ksub && b.length >= 2))
+    assert(loaded.manifest("m") == m.toString &&
+      loaded.manifest("dim") == dim.toString &&
+      loaded.manifest("nlist") == nlist.toString)
+    assert(!AnnIndexStore.needsRebuild(loaded.manifest) &&
+      loaded.manifest("drift_appended_n") == "0")
+    // the coded corpus covers the GROWN corpus exactly once per vector
+    assert(loaded.index.count() == grown.count())
+    assert(loaded.index.select("vec_id").distinct().count() == grown.count())
+    // cluster partition layout survived (IVF-PQ index is
+    // cluster-partitioned on disk)
+    assert(loaded.index.columns.contains("cluster") &&
+      loaded.index.columns.contains("codes"))
+    // and the refit index actually serves: saved-state search returns
+    // k rows per query through the standard IVF-PQ path
+    val pred = col("vec_id") >= 9000L && col("vec_id") < 9010L
+    val nl = loaded.coarse.get.length
+    val hits = Similarity.ivfPqTopK(grown, pred, k = 3, dim, m, ksub,
+      nl, nprobe = nl, coarse = loaded.coarse, pq = loaded.books,
+      prebuilt = Some(loaded.index), refine = 10)
+    assert(hits.groupBy("query_id").count().collect()
+      .forall(_.getLong(1) == 3L))
+  }
+
   test("report-only mode flags instead of rebuilding; a broken root " +
       "errors its own row without stopping the sweep") {
     val nTrain = 200
