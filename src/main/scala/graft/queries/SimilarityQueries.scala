@@ -94,6 +94,14 @@ object SimilarityQueries extends QueryPack {
       Similarity.filteredTopK(Tables.load(s, d, "embeddings"),
         col("vec_id") < 5, col("vec_id") % 2 === 0, k = 5)),
 
+    // Hard-negative mining (contrastive training data): per anchor,
+    // the top-10 most-similar vectors BELOW the 0.8 near-dup bound —
+    // near-dups are positives in disguise, and thresholding inside
+    // the ranking (not after) keeps k rows even for dup-heavy anchors
+    "s18_hard_negatives" -> ((s, d) =>
+      Similarity.hardNegativesTopK(Tables.load(s, d, "embeddings"),
+        col("vec_id") < 5, k = 10, dupThreshold = 0.8)),
+
     // Max-inner-product search: top-10 by RAW dot product (the
     // recommendation-serving metric — item norm is signal). The
     // library also carries the norm-augmentation reduction
@@ -368,6 +376,19 @@ object SimilarityQueries extends QueryPack {
        |  FROM n a JOIN n b ON a.vec_id < 5 AND b.vec_id <> a.vec_id $joinExtra) t
        |WHERE rn <= $k""".stripMargin
 
+  /** s18: the s2 oracle with the near-dup exclusion INSIDE the
+    * ranking (rounded-margin compare, the quality-band convention). */
+  private def hardNegOracle(thr: Double, k: Int): String =
+    s"""WITH $normCte
+       |SELECT query_id, neighbor_id, rn, round(cos_raw, 6) AS cos_sim FROM (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    $cosAb AS cos_raw,
+       |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+       |      ORDER BY $cosAb DESC, b.vec_id ASC) AS rn
+       |  FROM n a JOIN n b ON a.vec_id < 5 AND b.vec_id <> a.vec_id
+       |  WHERE round($cosAb - $thr, 9) < 0) t
+       |WHERE rn <= $k""".stripMargin
+
   /** 8-bit hyperplane signature as SQL (same md5-parity projections). */
   private def sigSqlBits(bits: Int): String = {
     val bitExprs = (0 until bits).map { j =>
@@ -639,6 +660,7 @@ object SimilarityQueries extends QueryPack {
     "s11_ivfpq" -> ivfPqOracle,
     "s2_knn_brute" -> topKOracle("", 10),
     "s13_filtered_knn" -> topKOracle("AND b.vec_id % 2 = 0", 5),
+    "s18_hard_negatives" -> hardNegOracle(0.8, 10),
     "s15_mips" ->
       """SELECT query_id, neighbor_id, rn, round(ip_raw, 6) AS ip FROM (
         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,

@@ -77,7 +77,8 @@ object Similarity {
       emb, projs.toArray, strictDim = true)
 
   private def topKJoin(queries: DataFrame, corpus: DataFrame,
-      joinCond: Column, k: Int): DataFrame = {
+      joinCond: Column, k: Int,
+      rankFilter: Column = lit(true)): DataFrame = {
     // zero-norm guard BEFORE the division: under ANSI (the Spark 4
     // default) 0.0/0.0 THROWS DIVIDE_BY_ZERO, and under ansi=false it
     // yields NaN — which Spark sorts as the LARGEST double, so one
@@ -95,7 +96,8 @@ object Similarity {
         joinCond && col("q.vec_id") =!= col("c.vec_id"))
       .select(col("q.vec_id").as("query_id"),
         col("c.vec_id").as("neighbor_id"), cos.as("cos_raw"))
-      .filter(col("cos_raw").isNotNull && !isnan(col("cos_raw")))
+      .filter(col("cos_raw").isNotNull && !isnan(col("cos_raw")) &&
+        rankFilter)
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rn"),
@@ -155,6 +157,31 @@ object Similarity {
       k: Int): DataFrame = {
     val n = withNorm(df)
     topKJoin(broadcast(n.filter(queryPred)), n.filter(corpusPred), lit(true), k)
+  }
+
+  /** Hard-negative mining for contrastive training: per query, the
+    * top-k most-similar corpus vectors whose cosine stays BELOW
+    * `dupThreshold`. Near-duplicates of the anchor are positives in
+    * disguise — mining them as negatives poisons a contrastive loss
+    * with false negatives (the standard dense-retrieval/DPR-style
+    * failure), so the exclusion bound is part of the operator, not a
+    * post-filter the caller remembers: thresholding AFTER a plain
+    * top-k would return fewer than k rows exactly for the anchors
+    * with many near-dups — the ones that need hard negatives most.
+    * The boundary compares the ROUNDED margin
+    * (round(cos − thr, 9) < 0) so an ulp-level engine difference
+    * cannot flip a boundary pair (the quality-band convention).
+    * Same broadcast-query / one-corpus-scan shape as
+    * [[bruteForceTopK]]; at scale route candidate generation through
+    * the ANN index with oversampling and keep this exact form as the
+    * re-rank. */
+  def hardNegativesTopK(df: DataFrame, queryPred: Column, k: Int,
+      dupThreshold: Double): DataFrame = {
+    require(dupThreshold > -1.0 && dupThreshold <= 1.0,
+      s"dupThreshold must be a cosine bound in (-1, 1], got $dupThreshold")
+    val n = withNorm(df)
+    topKJoin(broadcast(n.filter(queryPred)), n, lit(true), k,
+      rankFilter = round(col("cos_raw") - dupThreshold, 9) < 0)
   }
 
   /** Exact max-inner-product top-k: neighbors ranked by RAW dot

@@ -372,7 +372,10 @@ object Scaling {
     "w3_ntile" -> "customer",
     "x4_fingerprint" -> "documents",
     "x8_redact" -> "documents",
-    "x9_quality_filter" -> "documents")
+    "x9_quality_filter" -> "documents",
+    // round-18: hard-negative mining (s2's broadcast-query scan shape
+    // with the near-dup exclusion inside the ranking)
+    "s18_hard_negatives" -> "embeddings")
 
   /** Measured interpretation notes embedded per row — the exponent
     * alone can mislead when the OUTPUT grows with the corpus. */

@@ -24,6 +24,32 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows.last.getAs[Double]("cos_sim") == -1.0)
   }
 
+  test("hard-negative mining: near-dups excluded INSIDE the ranking, " +
+      "k preserved for dup-heavy anchors, degenerates to brute force " +
+      "at threshold 1.0") {
+    // query 0's cosines: id1 ≈ 0.995 (near-dup), id4 ≈ 0.707,
+    // id2 = 0, id3 = -1
+    val hard = Similarity.hardNegativesTopK(vecs, col("vec_id") === 0,
+      k = 2, dupThreshold = 0.9).orderBy("rn").collect()
+    // the near-dup must NOT appear; the two hardest true negatives do
+    assert(hard.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(4L, 2L),
+      hard.mkString(","))
+    // thresholding inside the ranking keeps k rows: a post-filtered
+    // plain top-2 would have returned only id4 (id1 occupied a slot)
+    assert(hard.length == 2)
+    // threshold at 1.0 excludes nothing here (all cosines < 1.0 after
+    // the rounded-margin compare) — identical to brute force
+    val brute = Similarity.bruteForceTopK(vecs, col("vec_id") === 0, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val all = Similarity.hardNegativesTopK(vecs, col("vec_id") === 0,
+      k = 4, dupThreshold = 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(all.toSeq == brute.toSeq)
+    intercept[IllegalArgumentException] {
+      Similarity.hardNegativesTopK(vecs, col("vec_id") === 0, 2, -1.5)
+    }
+  }
+
   test("MIPS ranks by raw dot; augmentation path returns the identical ranking") {
     // vectors with DIFFERENT norms so MIPS and cosine orders diverge:
     // a long vector slightly off-axis must outrank a short aligned one
