@@ -80,11 +80,18 @@ object ProbeRegistryFp {
     def hex(): String = (1 to 32).map(_ => "0123456789abcdef"(rnd.nextInt(16))).mkString
     def url(): String = s"https://example.org/${words(rnd.nextInt(words.size))}/" +
       s"${words(rnd.nextInt(words.size))}?id=${rnd.nextInt(100000)}"
+    def ipv4(): String = (1 to 4).map(_ => rnd.nextInt(256)).mkString(".")
+    def version(): String =
+      s"${rnd.nextInt(20)}.${rnd.nextInt(30)}.${rnd.nextInt(100)}"
 
     val gens: Seq[(String, () => String)] = Seq(
       "prose" -> prose _, "label" -> label _, "code" -> code _,
       "int_id" -> intId _, "date" -> date _, "float" -> dbl _,
-      "uuid" -> uuid _, "hex32" -> hex _, "url" -> url _)
+      "uuid" -> uuid _, "hex32" -> hex _, "url" -> url _,
+      // the round-18 phone-envelope dotted branch's known residual:
+      // all-2+-digit-octet IPs fit "2-6 dot-groups of 2-4 digits";
+      // version strings (single-digit components common) should not
+      "ipv4" -> ipv4 _, "version" -> version _)
     val clean: DataFrame = gens.map { case (cls, g) =>
       (0 until n).map(_ => g()).toDF(cls)
     }.reduce((a, b) => a.withColumn("_r", monotonically_increasing_id())
