@@ -291,6 +291,51 @@ object Similarity {
     refineTopK(n, cands, k)
   }
 
+  /** The 100 TB route for [[hardNegativesTopK]]: banded-LSH candidate
+    * generation + the exact thresholded re-rank. Hard negatives are
+    * by definition the corpus vectors just BELOW the near-dup bound —
+    * still highly similar to the anchor, which is exactly the region
+    * banded LSH recalls well (the band-collision probability rises
+    * with cosine), so the candidate set naturally oversamples the
+    * band around the threshold and the exact re-rank applies the same
+    * rounded-margin exclusion as the brute path. Corpus reads once
+    * for signatures, once for candidate floats; nothing corpus-sized
+    * shuffles beyond N·bands keyed rows (lshBandedTopK's shape).
+    * Approximate like every ANN path: a candidate the bands miss is a
+    * missed negative, never a false one.
+    *
+    * Band geometry for THIS op (measured, tools/ProbeHn on the
+    * anchored fixture at thr 0.8 / k 10): hard negatives live at
+    * moderate cosine, where per-bit collision p = 1 − θ/π is lower
+    * than the near-dup region the 4×8 default was tuned for — 4×8
+    * recalled 0.70 here vs 0.96 for near-dup search. Defaults are
+    * 4×16 (recall 0.90, random-pair candidate rate 1−(15/16)^16 ≈
+    * 0.65 — banding prunes only ~35% of the corpus per query, the
+    * honest cost of asking for moderate-similarity candidates), and
+    * the curve is monotone in bands: 3×12 → 0.92, 2×16 → 1.00 at
+    * ~zero pruning. The misses concentrate in the top-k TAIL: a
+    * pair's collision probability rises with its cosine, so the
+    * hardest negatives — the ones a contrastive loss actually needs —
+    * recall near 1.0 at every measured setting. */
+  def hardNegativesBanded(df: DataFrame, queryPred: Column, k: Int,
+      dupThreshold: Double, rpb: Int = 4, bands: Int = 16,
+      dim: Int = 64): DataFrame = {
+    require(dupThreshold > -1.0 && dupThreshold <= 1.0,
+      s"dupThreshold must be a cosine bound in (-1, 1], got $dupThreshold")
+    val projs = hyperplaneProjections(rpb * bands, dim)
+    val n = df.filter(col("embedding").isNotNull)
+    val sig = n.withColumn("sig", signatureStrict(col("embedding"), projs))
+    def keyed(src: DataFrame, idCol: String) =
+      src.select(col("vec_id").as(idCol), bandKeyCol(rpb, bands).as("bk"))
+    val cands = broadcast(keyed(sig.filter(queryPred), "query_id"))
+      .join(keyed(sig, "neighbor_id"), "bk")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+      .distinct()
+    refineTopK(n, cands, k,
+      rankFilter = round(col("cos_raw") - dupThreshold, 9) < 0)
+  }
+
   /** IVF-style search within an existing partition assignment (here:
     * the label column = inverted-list id). */
   def partitionTopK(df: DataFrame, partCol: String, queryPred: Column,
@@ -739,7 +784,8 @@ object Similarity {
     * matches [[bruteForceTopK]] (rn + exact cos_sim), so with the
     * true top-k inside the shortlist the result is bit-identical to
     * brute force. */
-  def refineTopK(df: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+  def refineTopK(df: DataFrame, candidates: DataFrame, k: Int,
+      rankFilter: Column = lit(true)): DataFrame = {
     val n = withNorm(df)
     // the candidate frame feeds BOTH the query-id restriction and the
     // main probe join — without a cache each parent re-executes the
@@ -769,7 +815,8 @@ object Similarity {
       .join(c, "neighbor_id")
       .join(broadcast(q), "query_id")
       .select(col("query_id"), col("neighbor_id"), cos.as("cos_raw"))
-      .filter(col("cos_raw").isNotNull && !isnan(col("cos_raw")))
+      .filter(col("cos_raw").isNotNull && !isnan(col("cos_raw")) &&
+        rankFilter)
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rn"),

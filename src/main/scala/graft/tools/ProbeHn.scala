@@ -1,0 +1,23 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+object ProbeHn {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions","8")
+      .config("spark.ui.enabled","false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val thr=0.8; val k=10
+    val exact = graft.similarity.Similarity.hardNegativesTopK(e, col("vec_id")<5, k, thr)
+      .select("query_id","neighbor_id").as[(Long,Long)].collect().toSet
+    for ((rpb,bands) <- Seq((4,8),(3,8),(3,12),(2,12),(3,16),(2,16),(4,16))) {
+      val b = graft.similarity.Similarity.hardNegativesBanded(e, col("vec_id")<5, k, thr, rpb, bands, 64)
+        .select("query_id","neighbor_id").as[(Long,Long)].collect().toSet
+      println(f"HN rpb=$rpb bands=$bands recall=${b.count(exact).toDouble/exact.size}%.3f cands(out)=${b.size}")
+      graft.util.Caches.releaseStray()
+    }
+    spark.stop()
+  }
+}

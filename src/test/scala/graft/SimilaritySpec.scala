@@ -118,6 +118,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(a.flatten.distinct.length == 2)
   }
 
+  test("hardNegativesBanded: never returns an above-threshold pair, " +
+      "recalls the exact hard-negative set on the anchored corpus") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val thr = 0.8; val k = 10
+    val exact = Similarity.hardNegativesTopK(e, col("vec_id") < 5, k, thr)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val banded = Similarity.hardNegativesBanded(e, col("vec_id") < 5, k,
+      thr, dim = 64) // default 4x16 geometry (see the scaladoc curve)
+      .select("query_id", "neighbor_id", "cos_sim")
+      .as[(Long, Long, Double)].collect()
+    // exactness of the EXCLUSION: an approximate path may MISS a
+    // negative, never return a too-similar one
+    assert(banded.forall(_._3 < thr),
+      s"above-threshold pair leaked: ${banded.filter(_._3 >= thr).toSeq}")
+    val recall = banded.map(t => (t._1, t._2)).count(exact)
+      .toDouble / exact.size
+    assert(recall >= 0.85, s"banded hard-negative recall $recall < 0.85 " +
+      s"(|exact|=${exact.size}, |banded|=${banded.length}; measured " +
+      "0.90 at the 4x16 default on this fixture)")
+  }
+
   test("LSH candidates agree with brute-force cosine values") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val all = Similarity.bruteForceTopK(e, col("vec_id") < 3, k = 1000)
