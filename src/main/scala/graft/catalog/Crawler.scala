@@ -70,9 +70,14 @@ object Crawler {
 
   /** Catalog-safe name normalization (P6;
     * lambda/catalog-creator-s3/app.py:246-249): `-`, `.`, spaces → `_`,
-    * lowercased. */
+    * lowercased. Locale.ROOT (round-18 sweep): the default-locale
+    * overload is JVM-locale-dependent — under tr_TR, "I" lowercases
+    * to dotless 'ı', silently changing every registered name
+    * containing an I and breaking the DuckDB hash compare (SQL
+    * lower() is locale-independent); catalog identifiers must
+    * normalize identically on every executor JVM. */
   def normalizeName(raw: String): String =
-    raw.toLowerCase.replaceAll("[-. ]", "_")
+    raw.toLowerCase(java.util.Locale.ROOT).replaceAll("[-. ]", "_")
 
   /** Crawl = infer the schema of a source (S4-S6). CSV reads are
     * header/multiLine-aware — the reference fixtures have column names
@@ -379,7 +384,9 @@ object Crawler {
       props: Map[String, String] = Map.empty,
       exceptionSchemas: Seq[String] = DefaultExceptionSchemas)
       : Seq[(String, String)] = {
-    val exc = exceptionSchemas.map(_.toLowerCase).toSet
+    // Locale.ROOT: see normalizeName — schema-name comparison must
+    // not depend on the JVM's default locale
+    val exc = exceptionSchemas.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
     val viaInfoSchema: Option[Seq[(String, String)]] =
       try {
         val q = "(SELECT table_schema AS ts, table_name AS tn " +
@@ -419,7 +426,8 @@ object Crawler {
         buf.result()
       } finally conn.close()
     }
-    all.filterNot { case (s, _) => s == null || exc.contains(s.toLowerCase) }
+    all.filterNot { case (s, _) =>
+        s == null || exc.contains(s.toLowerCase(java.util.Locale.ROOT)) }
       .sorted
   }
 
