@@ -126,6 +126,16 @@ object SimilarityQueries extends QueryPack {
       Similarity.lshBandedTopK(Tables.load(s, d, "embeddings"),
         col("vec_id") < 5, k = 5, rpb = 4, bands = 8, dim = 64)),
 
+    // Hard-negative mining, the BANDED scale tier (round 18): 4x16
+    // geometry (the moderate-cosine region needs more bands — see
+    // hardNegativesBanded's measured curve), thresholded exact
+    // re-rank. Oracle replays the 64-bit signature, the any-of-16
+    // band OR, and the rounded-margin exclusion in DuckDB.
+    "s19_hard_negatives_banded" -> ((s, d) =>
+      Similarity.hardNegativesBanded(Tables.load(s, d, "embeddings"),
+        col("vec_id") < 5, k = 10, dupThreshold = 0.8,
+        rpb = 4, bands = 16, dim = 64)),
+
     // IVF-style: top-5 within the query's own label partition
     "s4_ivf_label" -> ((s, d) =>
       Similarity.partitionTopK(Tables.load(s, d, "embeddings"),
@@ -778,6 +788,24 @@ object SimilarityQueries extends QueryPack {
          |WHERE rn <= 5""".stripMargin
     },
     "s4_ivf_label" -> topKOracle("AND a.label = b.label", 5),
+    "s19_hard_negatives_banded" -> {
+      val anyBand = (0 until 16).map(b =>
+        s"substr(a.sig, ${b * 4 + 1}, 4) = substr(b.sig, ${b * 4 + 1}, 4)")
+        .mkString("(", " OR ", ")")
+      s"""WITH n0 AS (SELECT vec_id, label, embedding,
+         |  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm,
+         |  ${sigSqlBits(64)} AS sig
+         |FROM embeddings)
+         |SELECT query_id, neighbor_id, rn, round(cos_raw, 6) AS cos_sim FROM (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    $cosAb AS cos_raw,
+         |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+         |      ORDER BY $cosAb DESC, b.vec_id ASC) AS rn
+         |  FROM n0 a JOIN n0 b
+         |    ON a.vec_id < 5 AND b.vec_id <> a.vec_id AND $anyBand
+         |  WHERE round($cosAb - 0.8, 9) < 0) t
+         |WHERE rn <= 10""".stripMargin
+    },
     "s8_quantize_int8" ->
       """WITH m AS (SELECT vec_id, embedding,
         |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS abs_max

@@ -374,8 +374,10 @@ object Scaling {
     "x8_redact" -> "documents",
     "x9_quality_filter" -> "documents",
     // round-18: hard-negative mining (s2's broadcast-query scan shape
-    // with the near-dup exclusion inside the ranking)
-    "s18_hard_negatives" -> "embeddings")
+    // with the near-dup exclusion inside the ranking), and its banded
+    // scale tier (N·16 band rows shuffle, floats join for candidates)
+    "s18_hard_negatives" -> "embeddings",
+    "s19_hard_negatives_banded" -> "embeddings")
 
   /** Measured interpretation notes embedded per row — the exponent
     * alone can mislead when the OUTPUT grows with the corpus. */
