@@ -1349,8 +1349,6 @@ object Similarity {
     * rows any correct engine must emit. */
   def nearDupPairsBanded(df: DataFrame, threshold: Double,
       targetRecall: Double = 0.999): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
     val (rpb, bands) = bandPlan(threshold, targetRecall)
     // null-embedding drop: same contract as the exact kernels (a null
     // array would NPE the verify fold and can pair with nothing)
@@ -1380,32 +1378,47 @@ object Similarity {
     val projs = hyperplaneProjections(rpb * bands, dim)
     val sig = vecs.withColumn("sig", signatureStrict(col("embedding"), projs))
     val cands = bandCandidates(sig, rpb, bands)
-    // exact verify: same double folds as the exact kernels — ascending
-    // element order for dot and norms, cos = dot/(na·nb); Java double
-    // comparison drops NaN (zero-norm or NaN-element garbage) exactly
-    // as the kernels do. The input IS re-scanned here (twice, column-
-    // pruned): at this tier the embedding table is GBs while the
-    // candidate work is the dominant cost, so re-reading beats
-    // pinning the table in executor memory for the operator's
+    // Exact verify: same double folds as the exact kernels — ascending
+    // element order for dot and norms, cos = dot/(na·nb); the isnan
+    // guard drops NaN (zero-norm or NaN-element garbage) exactly as
+    // the kernels' Java `>=` does. The input IS re-scanned here
+    // (twice, column-pruned): at this tier the embedding table is GBs
+    // while the candidate work is the dominant cost, so re-reading
+    // beats pinning the table in executor memory for the operator's
     // lifetime — deliberate, not an oversight.
-    val byA = vecs.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
-    val byB = vecs.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    // Verify is ALL codegen (round-18 optimization round): the old
+    // typed flatMap deserialized two Array[Float] per candidate and
+    // re-derived BOTH norms pair-side — six array allocations per
+    // pair through a DeserializeToObject/MapPartitions/
+    // SerializeFromObject stage that breaks whole-stage codegen
+    // (guide §4: no Scala closures in the hot path). Norms are ROW
+    // properties, not pair properties: sqrt(dot(e,e)) computes once
+    // per vector on the broadcast-sized join sides, so the per-pair
+    // work collapses to ONE codegen'd dot_product plus a divide.
+    // Arithmetic is bit-identical to the flatMap (and to the exact
+    // kernels): DotProduct folds ascending-index per-element doubles
+    // exactly as the sa/sb/d loops did, cos = d/(na·nb) is the same
+    // IEEE expression tree, the explicit isnan drop reproduces the
+    // Java `>=` NaN semantics (Spark's SQL `>=` sorts NaN greatest),
+    // and a length-mismatch dot is NULL → filtered, the flatMap's
+    // None. byA/byB read the RAW frame, not the fanned-out `vecs`:
+    // both sides broadcast, so the fan-out exchange bought them
+    // nothing (two RoundRobin exchanges dropped from the plan).
+    def dotp(a: Column, b: Column): Column =
+      graft.expressions.VectorExpressions.dot_product(a, b)
+    val base = df.filter(col("embedding").isNotNull)
+      .select(col("vec_id").cast("long"), col("embedding"))
+    val byA = base.select(col("vec_id").as("vec_a"),
+      col("embedding").as("emb_a"),
+      sqrt(dotp(col("embedding"), col("embedding"))).as("na"))
+    val byB = base.select(col("vec_id").as("vec_b"),
+      col("embedding").as("emb_b"),
+      sqrt(dotp(col("embedding"), col("embedding"))).as("nb"))
     cands.join(byA, "vec_a").join(byB, "vec_b")
-      .select(col("vec_a"), col("emb_a"), col("vec_b"), col("emb_b"))
-      .as[(Long, Array[Float], Long, Array[Float])]
-      .flatMap { case (idA, embA, idB, embB) =>
-        if (embA.length != embB.length) None // mismatch → no cosine
-        else {
-          val a = embA.map(_.toDouble)
-          val bv = embB.map(_.toDouble)
-          var sa = 0.0; var sb = 0.0; var d = 0.0; var i = 0
-          while (i < a.length) {
-            sa += a(i) * a(i); sb += bv(i) * bv(i); d += a(i) * bv(i); i += 1
-          }
-          val cos = d / (math.sqrt(sa) * math.sqrt(sb))
-          if (cos >= threshold) Some((idA, idB, cos)) else None
-        }
-      }.toDF("vec_a", "vec_b", "cos_raw")
+      .select(col("vec_a"), col("vec_b"),
+        (dotp(col("emb_a"), col("emb_b")) / (col("na") * col("nb")))
+          .as("cos_raw"))
+      .filter(!isnan(col("cos_raw")) && col("cos_raw") >= lit(threshold))
       .select(col("vec_a"), col("vec_b"),
         round(col("cos_raw"), 6).as("cos_sim"))
   }
