@@ -1,0 +1,142 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Stage profiler for the similarity-pack shared fits — the builds
+  * c16/s10 pay cold as first consumers (kmeans_fit_k8 1.17 s,
+  * pq_fit 0.68 s in the round-18 record's paid_builds). Separates
+  * seed-collect, per-iteration assign+agg, and the PQ subspace
+  * chains so the optimization round knows whether the bill is
+  * compute, plan analysis, or codegen compile.
+  * Usage: runMain graft.tools.ProfFit <dir>
+  */
+object ProfFit {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.local.dir", graft.util.Scratch.localDir("graft-proffit-"))
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1 << 20).selectExpr("sum(id)").collect()
+
+    def t[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"PROFFIT $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+      r
+    }
+
+    val emb = graft.sources.Tables.load(spark, dir, "embeddings")
+    t("emb_scan")(emb.count())
+
+    // kmeansFit stage by stage (mirrors Similarity.kmeansFit)
+    import org.apache.spark.sql.types.DecimalType
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+    var cents: Array[(Int, Array[Double])] =
+      t("seed_sort_collect")(
+        vecs.orderBy(col("vec_id")).limit(8).collect().zipWithIndex
+          .map { case (r, i) =>
+            i -> r.getSeq[Float](1).map(_.toDouble).toArray })
+    val dim = cents.head._2.length
+    val avgs = (0 until dim).map { p =>
+      (sum(element_at(col("embedding"), p + 1).cast(DecimalType(38, 9)))
+        .cast("double") / count(lit(1))).as(s"c$p")
+    }
+    (1 to 2).foreach { it =>
+      val assigned = graft.similarity.Similarity.assignToCentroids(vecs, cents)
+      val agg = assigned.groupBy(col("cluster")).agg(avgs.head, avgs.tail: _*)
+      val rows = t(s"iter$it agg+collect")(agg.collect())
+      cents = rows.map(r => (r.getInt(0),
+        Array.tabulate(dim)(p => r.getDouble(p + 1)))).sortBy(_._1)
+    }
+    // repeat to see warm-plan cost (iteration 3 = same shape, new literals)
+    (3 to 4).foreach { it =>
+      val assigned = graft.similarity.Similarity.assignToCentroids(vecs, cents)
+      val agg = assigned.groupBy(col("cluster")).agg(avgs.head, avgs.tail: _*)
+      val rows = t(s"iter$it agg+collect")(agg.collect())
+      cents = rows.map(r => (r.getInt(0),
+        Array.tabulate(dim)(p => r.getDouble(p + 1)))).sortBy(_._1)
+    }
+
+    // A/B: where does a warm iteration's 1.5 s go? assignment
+    // (literal-struct vs kernel) or the 64-column decimal aggregate?
+    (1 to 2).foreach { r =>
+      val viaLit = graft.similarity.Similarity.assignToCentroids(vecs, cents)
+      t(s"assign literal-form count r$r")(
+        viaLit.queryExecution.toRdd.count())
+      val viaKernel = vecs.select(col("vec_id"), col("embedding"),
+        graft.expressions.VectorExpressions
+          .nearest_centroid(col("embedding"), cents).as("cluster"))
+      t(s"assign kernel count r$r")(
+        viaKernel.queryExecution.toRdd.count())
+      t(s"agg64 after kernel-assign r$r")(
+        viaKernel.groupBy(col("cluster")).agg(avgs.head, avgs.tail: _*)
+          .collect())
+      t(s"agg64 after literal-assign r$r")(
+        viaLit.groupBy(col("cluster")).agg(avgs.head, avgs.tail: _*)
+          .collect())
+    }
+
+    // planning vs execution split for the wide 64-decimal aggregate
+    (1 to 2).foreach { r =>
+      val assigned = graft.similarity.Similarity.assignToCentroids(vecs, cents)
+      val agg = assigned.groupBy(col("cluster")).agg(avgs.head, avgs.tail: _*)
+      t(s"agg64 planning only r$r")(agg.queryExecution.executedPlan)
+      t(s"agg64 execute after plan r$r")(agg.collect())
+    }
+    // the exploded alternative: rows×dim explode, ONE decimal-sum agg
+    import org.apache.spark.sql.types.DecimalType
+    (1 to 2).foreach { r =>
+      val assigned = graft.similarity.Similarity.assignToCentroids(vecs, cents)
+      val agg = assigned
+        .select(col("cluster"), posexplode_outer(col("embedding"))
+          .as(Seq("pos", "x")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(sum(col("x").cast(DecimalType(38, 9))).cast("double").as("s"),
+          count(lit(1)).as("m"))
+      t(s"aggExploded plan r$r")(agg.queryExecution.executedPlan)
+      t(s"aggExploded execute r$r")(agg.collect())
+    }
+
+    // Is the ~0.5 s/iteration the BigDecimal-backed Decimal(38,9)
+    // arithmetic? A/B against a compact-long decimal(18,9) and plain
+    // double sums (diagnosis only — shipping form must stay exact).
+    import org.apache.spark.sql.types.DecimalType
+    val avgs18 = (0 until dim).map { p =>
+      (sum(element_at(col("embedding"), p + 1).cast(DecimalType(18, 9)))
+        .cast("double") / count(lit(1))).as(s"c$p")
+    }
+    val avgsDbl = (0 until dim).map { p =>
+      (sum(element_at(col("embedding"), p + 1).cast("double"))
+        / count(lit(1))).as(s"c$p")
+    }
+    (1 to 3).foreach { r =>
+      val a = graft.similarity.Similarity.assignToCentroids(vecs, cents)
+      t(s"agg64 dec38 r$r")(
+        a.groupBy(col("cluster")).agg(avgs.head, avgs.tail: _*).collect())
+      t(s"agg64 dec18 r$r")(
+        a.groupBy(col("cluster")).agg(avgs18.head, avgs18.tail: _*).collect())
+      t(s"agg64 double r$r")(
+        a.groupBy(col("cluster")).agg(avgsDbl.head, avgsDbl.tail: _*).collect())
+    }
+
+    t("kmeansFit end-to-end")(
+      graft.similarity.Similarity.kmeansFit(emb, 8))
+    t("kmeansFit again")(
+      graft.similarity.Similarity.kmeansFit(emb, 8))
+    t("pqFit end-to-end")(
+      graft.similarity.Similarity.pqFit(emb, dim = 64, m = 4, ksub = 8))
+    t("pqFit again")(
+      graft.similarity.Similarity.pqFit(emb, dim = 64, m = 4, ksub = 8))
+    spark.stop()
+  }
+}
