@@ -188,19 +188,39 @@ object NearestCentroid {
   def bestIndex(x: ArrayData, cents: Array[Array[Double]],
       isFloat: Boolean): Int = {
     val n = x.numElements()
-    var best = Double.NegativeInfinity
-    var bestIdx = -1
+    // Round-18 optimization: one primitive copy per ROW instead of
+    // nlist·dim virtual ArrayData accessor (+isNullAt) calls — the
+    // per-element getFloat/getDouble dispatch dominated the kernel at
+    // √N-sized quantizers (TimeQuery A/B at k=8: the kernel read
+    // ~2.5× the literal-struct form before this hoist; after it the
+    // two are within noise and the kernel wins past LiteralCentroidMax
+    // where the literal tree falls out of codegen). Null/length
+    // semantics and fold order are unchanged: any length mismatch or
+    // null element still yields -1, dots still fold ascending-index
+    // over the same doubles, tie/NaN rules untouched — assignments
+    // are bit-identical.
     var c = 0
     while (c < cents.length) {
+      if (cents(c).length != n) return -1
+      c += 1
+    }
+    val xs = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i)) return -1
+      xs(i) = if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      i += 1
+    }
+    var best = Double.NegativeInfinity
+    var bestIdx = -1
+    c = 0
+    while (c < cents.length) {
       val cent = cents(c)
-      if (cent.length != n) return -1
       var acc = 0.0
-      var i = 0
-      while (i < n) {
-        if (x.isNullAt(i)) return -1
-        acc += (if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)) *
-          cent(i)
-        i += 1
+      var j = 0
+      while (j < n) {
+        acc += xs(j) * cent(j)
+        j += 1
       }
       if (bestIdx == -1 || acc > best
           || (java.lang.Double.isNaN(acc) && !java.lang.Double.isNaN(best))) {
@@ -298,6 +318,20 @@ object PqCodes {
   def encode(x: ArrayData, dim: Int, books: Array[Array[Array[Double]]],
       ids: Array[Array[Int]], isFloat: Boolean): Array[Int] = {
     if (x.numElements() != dim) return null
+    // Same round-18 accessor hoist as NearestCentroid.bestIndex: one
+    // primitive copy per row replaces ksub·dim virtual ArrayData
+    // accessor (+isNullAt) calls with dim. A null element still
+    // yields null (the scan order differs, the RESULT cannot: null
+    // anywhere → null either way); dots fold over the same doubles in
+    // the same ascending order per subspace, tie/NaN rules untouched
+    // — codes are bit-identical.
+    val xs = new Array[Double](dim)
+    var p = 0
+    while (p < dim) {
+      if (x.isNullAt(p)) return null
+      xs(p) = if (isFloat) x.getFloat(p).toDouble else x.getDouble(p)
+      p += 1
+    }
     val m = books.length
     val sub = dim / m
     val out = new Array[Int](m)
@@ -312,10 +346,7 @@ object PqCodes {
         var acc = 0.0
         var i = 0
         while (i < sub) {
-          val p = j * sub + i
-          if (x.isNullAt(p)) return null
-          acc += (if (isFloat) x.getFloat(p).toDouble else x.getDouble(p)) *
-            cent(i)
+          acc += xs(j * sub + i) * cent(i)
           i += 1
         }
         if (bestIdx == -1 || acc > best

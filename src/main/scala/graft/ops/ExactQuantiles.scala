@@ -81,14 +81,49 @@ object ExactQuantiles {
       .sortWithinPartitions(col("_eq_g"), col("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // pass 1: (partition, group) → row count. Streaming, O(groups)
-      // state per task; the collect is partitions×groups rows.
-      val counts: Array[(Int, String, Long)] = sorted.rdd
+      // Both passes read the persisted frame as INTERNAL rows
+      // (round-18 optimization, guide §4: `.rdd` deserialized every
+      // row to an external Row — a converter call plus a fresh JVM
+      // String per row per pass). The derived select() plans through
+      // the CacheManager, so both passes still read the SAME
+      // InMemoryRelation partitions (the invariant the persist
+      // exists for — asserted below). Rows are (group, value)-sorted
+      // within partitions, so each group is one contiguous RUN:
+      // tracking the run replaces the per-row map update + String
+      // materialization with one UTF8String byte-compare per row and
+      // one String per (partition, group).
+      val irPlan = sorted.select(col("_eq_g"), col("v"))
+      // treeString, not a node-type collect: under AQE the scan sits
+      // inside an AdaptiveSparkPlanExec leaf a tree collect can't see
+      require(irPlan.queryExecution.executedPlan.toString
+          .contains("InMemoryTableScan"),
+        "ExactQuantiles internal: persisted sort did not plan through " +
+          "the cache — the two passes could see different range bounds")
+      val ir = irPlan.queryExecution.toRdd
+      // pass 1: (partition, group) → row count. Streaming, O(1) state
+      // per run; the collect is partitions×groups rows.
+      val counts: Array[(Int, String, Long)] = ir
         .mapPartitionsWithIndex { (pid, it) =>
-          val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
-          it.foreach(r => m.updateWith(r.getString(0))(
-            c => Some(c.getOrElse(0L) + 1L)))
-          m.iterator.map { case (g, c) => (pid, g, c) }
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+          var started = false
+          var cur: org.apache.spark.unsafe.types.UTF8String = null
+          var run = 0L
+          def flush(): Unit = if (started)
+            out += ((pid, if (cur == null) null else cur.toString, run))
+          it.foreach { r =>
+            val g = if (r.isNullAt(0)) null else r.getUTF8String(0)
+            if (started &&
+                (if (g == null) cur == null else cur != null && g.equals(cur)))
+              run += 1L
+            else {
+              flush()
+              cur = if (g == null) null else g.copy()
+              run = 1L
+              started = true
+            }
+          }
+          flush()
+          out.iterator
         }.collect()
 
       // driver: per group, global size and the per-partition prefix
@@ -130,22 +165,43 @@ object ExactQuantiles {
           .mapValues(_.map(t => (t._2, t._3)).sortBy(_._1)).toMap).toMap)
 
       // pass 2: stream each partition once, emitting only the picked
-      // rows — (group, globalIdx, value)
-      val picked: Array[(String, Long, Double)] = sorted.rdd
+      // rows — (group, globalIdx, value). Same run-tracking as pass 1:
+      // the per-group local index is a running counter reset on group
+      // change (groups are contiguous in the sorted partitions), and
+      // the sorted pick list advances by pointer — O(1) per row, no
+      // per-row String or map update.
+      val picked: Array[(String, Long, Double)] = ir
         .mapPartitionsWithIndex { (pid, it) =>
           picksB.value.get(pid) match {
             case None => Iterator.empty
             case Some(byG) =>
-              val seen = scala.collection.mutable.Map
-                .empty[String, Long].withDefaultValue(0L)
-              it.flatMap { r =>
-                val g = r.getString(0)
-                val i = seen(g); seen(g) = i + 1
-                byG.get(g).iterator.flatMap(_.collect {
-                  case (local, global) if local == i =>
-                    (g, global, r.getDouble(1))
-                })
+              val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Double)]
+              var started = false
+              var cur: org.apache.spark.unsafe.types.UTF8String = null
+              var curStr: String = null
+              var picks: Array[(Long, Long)] = Array.empty
+              var pi = 0
+              var idx = 0L
+              it.foreach { r =>
+                val g = if (r.isNullAt(0)) null else r.getUTF8String(0)
+                if (!(started &&
+                    (if (g == null) cur == null
+                     else cur != null && g.equals(cur)))) {
+                  cur = if (g == null) null else g.copy()
+                  curStr = if (cur == null) null else cur.toString
+                  picks = byG.get(curStr) match {
+                    case Some(l) => l.toArray
+                    case None    => Array.empty
+                  }
+                  pi = 0; idx = 0L; started = true
+                }
+                if (pi < picks.length && picks(pi)._1 == idx) {
+                  out += ((curStr, picks(pi)._2, r.getDouble(1)))
+                  pi += 1
+                }
+                idx += 1L
               }
+              out.iterator
           }
         }.collect()
 
