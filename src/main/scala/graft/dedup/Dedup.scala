@@ -573,7 +573,8 @@ object Dedup {
     * equivalent to `2*ones_b >= n`, so the sketch needs only the
     * one-counts — and the mask form turns 32 substring+ascii
     * extractions per token into one byte loop plus shift/and sums. */
-  private def simhashOnes(df: DataFrame, idCol: String, textCol: String) = {
+  private[graft] def simhashOnes(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
     import graft.expressions.StringKernels.hex_parity_mask
     val toks = graft.sources.Tables.fanOut(df)
       .select(col(idCol).as("doc"),
@@ -589,22 +590,31 @@ object Dedup {
     * multiplicity): bit b is the sign of the token-wise sum of
     * ±1 contributions derived from the parity of hex digit b of each
     * token's md5. Output: doc, 32-char bitstring. */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    simhashFromOnes(simhashOnes(df, idCol, textCol))
+
+  /** [[simhash]] over a prebuilt [[simhashOnes]] frame — lets callers
+    * (the d4/d5 pack memo) pay the token-explode + md5 + 33-column
+    * aggregate ONCE for both output forms (round-18 optimization). */
+  def simhashFromOnes(ones: DataFrame): DataFrame = {
     val bits = (0 until 32).map(b =>
       when(col(s"o$b") * 2 >= col("n"), lit("1")).otherwise(lit("0")))
-    simhashOnes(df, idCol, textCol)
-      .select(col("doc"), concat(bits: _*).as("simhash32"))
+    ones.select(col("doc"), concat(bits: _*).as("simhash32"))
   }
 
   /** SimHash packed as a 32-bit integer (bit b weighted 2^b — bit b
     * equals character b of the `simhash` bitstring). Integer form makes
     * Hamming distance a single codegen'd bit_count(xor). */
-  def simhashLong(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhashLong(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    simhashLongFromOnes(simhashOnes(df, idCol, textCol))
+
+  /** [[simhashLong]] over a prebuilt [[simhashOnes]] frame (see
+    * [[simhashFromOnes]]). */
+  def simhashLongFromOnes(ones: DataFrame): DataFrame = {
     val simInt = (0 until 32).map(b =>
       when(col(s"o$b") * 2 >= col("n"), lit(1L << b)).otherwise(lit(0L)))
       .reduce(_ + _)
-    simhashOnes(df, idCol, textCol)
-      .select(col("doc"), simInt.as("sim_int"))
+    ones.select(col("doc"), simInt.as("sim_int"))
   }
 
   /** SimHash near-dup pairs: FOUR 8-bit bands over the 32-bit sketch
@@ -614,7 +624,15 @@ object Dedup {
     * Hamming ≤ `maxHamming` via bit_count(xor) over the full 32 bits.
     * Sketches are cached so the self-join reads them once. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3): DataFrame =
+    simhashPairsFromSig(
+      graft.util.Caches.scoped(simhashLong(df, idCol, textCol)), maxHamming)
+
+  /** [[simhashPairs]] over a prebuilt (doc, sim_int) sketch frame —
+    * the caller owns the frame's caching (the d4/d5 pack memo hands
+    * in a projection of its cached ones table, so the self-join's two
+    * reads hit that cache instead of rebuilding sketches). */
+  def simhashPairsFromSig(sig: DataFrame, maxHamming: Int = 3): DataFrame = {
     // FOUR 8-bit bands over the 32-bit sketch (round-16 review: the
     // old single low-8-bit bucket silently missed every qualifying
     // pair whose differing bits touched bits 0-7 — ~58% of
@@ -630,7 +648,6 @@ object Dedup {
     require(maxHamming < bands,
       s"simhashPairs guarantees complete recall only for maxHamming < " +
         s"$bands (8-bit bands over 32 bits); got $maxHamming")
-    val sig = graft.util.Caches.scoped(simhashLong(df, idCol, textCol))
     val keyed = sig.select(col("doc"), col("sim_int"),
       explode(array((0 until bands).map(b =>
         concat_ws("|", lit(b),

@@ -128,9 +128,26 @@ object DedupQueries extends QueryPack {
     (sh.postings, sh.stats, sh.cands)
   }
 
+  /** d4/d5 shared SimHash ones-count table (doc, n, o0..o31): the
+    * token-explode + md5 + 33-column aggregate both sketch forms
+    * project from — built once per data dir, cached, released after
+    * d5 (the pair's last consumer in run order). */
+  private val simhashMemo =
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame]
+
+  private def simhashOnesShared(s: SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = simhashMemo.getOrElseUpdate(d, {
+    val ones = Dedup.simhashOnes(
+      Tables.load(s, d, "documents"), "doc_id", "text").cache()
+    graft.util.BuildLedger.timed("dedup.simhash_ones")(ones.count())
+    ones
+  })
+
   override def releaseShared(spark: SparkSession): Unit = {
     memo.values.foreach(_.release())
     memo.clear()
+    simhashMemo.values.foreach(_.unpersist(true))
+    simhashMemo.clear()
   }
 
   // CurationQueries entries that read this pack's memos (shared /
@@ -161,7 +178,11 @@ object DedupQueries extends QueryPack {
     (Set("c13_split_leakage"),
       _ => memo.values.foreach(_.index.unpersist(true))),
     (Set("d3_minhash_lsh"),
-      _ => memo.values.foreach(_.releaseCands())))
+      _ => memo.values.foreach(_.releaseCands())),
+    (Set("d4_simhash", "d5_simhash_pairs"), _ => {
+      simhashMemo.values.foreach(_.unpersist(true))
+      simhashMemo.clear()
+    }))
 
   def queries: Map[String, Q] = Map(
     // Exact dedup by normalized-content fingerprint (events.props has
@@ -257,15 +278,19 @@ object DedupQueries extends QueryPack {
           "containment")
     }),
 
-    // Per-document 32-bit SimHash sketches
+    // Per-document 32-bit SimHash sketches (shared ones-count build —
+    // round-18 optimization: d4 and d5 each paid the token explode +
+    // per-token md5 + 33-column aggregate; the memo builds it once and
+    // both output forms are cheap projections of it)
     "d4_simhash" -> ((s, d) =>
-      Dedup.simhash(Tables.load(s, d, "documents"), "doc_id", "text")),
+      Dedup.simhashFromOnes(simhashOnesShared(s, d))),
 
     // SimHash near-dup pairs: 4×8-bit bands (complete recall for
     // Hamming ≤ 3 by pigeonhole — round 16) + exact Hamming filter
     "d5_simhash_pairs" -> ((s, d) =>
-      Dedup.simhashPairs(Tables.load(s, d, "documents"),
-        "doc_id", "text", maxHamming = 3))
+      Dedup.simhashPairsFromSig(
+        Dedup.simhashLongFromOnes(simhashOnesShared(s, d)),
+        maxHamming = 3))
   )
 
   // ---- shared oracle CTE fragments (DuckDB) ----

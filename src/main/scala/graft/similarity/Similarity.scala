@@ -656,23 +656,48 @@ object Similarity {
         i -> r.getSeq[Float](1).slice(j * sub, (j + 1) * sub)
           .map(_.toDouble).toArray }
     }
-    val avgs = (0 until sub).map { p =>
-      (sum(element_at(col("embedding"),
-          (col("j") * sub).cast("int") + (p + 1)).cast(DecimalType(38, 9)))
-        .cast("double") / count(lit(1))).as(s"c$p")
-    }
+    // Round-18 optimization (the kmeansFit exploded-aggregate shape,
+    // applied to the per-subspace chains): the old iteration exploded
+    // ×m to (j, code) rows and aggregated `sub` decimal(38,9) buffer
+    // columns per row; this one explodes the embedding itself to
+    // (pos, x) rows keyed by (pos, code) with ONE decimal sum column —
+    // ProfFit measured the narrow-buffer shape ~2× faster per
+    // aggregation (one buffer update per element vs `sub` BigDecimal
+    // slots per exploded row). Values are bit-identical: a vec with
+    // null/ragged embedding has NULL codes and was dropped by the
+    // explode in both forms, so surviving rows carry exactly `dim`
+    // non-null elements; per (j, code, p) the same float→decimal cast
+    // feeds the same order-invariant decimal sum, and the per-(pos,
+    // code) count equals the old per-(j, code) count (each surviving
+    // vec contributes every pos of its subspace exactly once). The
+    // driver-side BigDecimal.doubleValue / count division replays
+    // cast(sum AS double)/count IEEE-for-IEEE (the kmeansFit
+    // precedent).
     (1 to iters).foreach { _ =>
       val rows = vecs
-        .select(col("embedding"),
-          posexplode(codesColumn(dim, books)).as(Seq("j", "code")))
-        .groupBy(col("j"), col("code"))
-        .agg(avgs.head, avgs.tail: _*)
+        .select(codesColumn(dim, books).as("codes"),
+          col("embedding"))
+        .filter(col("codes").isNotNull)
+        .select(col("codes"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .select(
+          element_at(col("codes"),
+            floor(col("pos") / sub).cast("int") + 1).as("code"),
+          col("pos"), col("x"))
+        .groupBy(col("pos"), col("code"))
+        .agg(sum(col("x").cast(DecimalType(38, 9))).as("s"),
+          count(lit(1)).as("m"))
         .collect()
+      val byJC = rows.groupBy(r => (r.getInt(0) / sub, r.getInt(1)))
       books = (0 until m).map { j =>
-        rows.filter(_.getInt(0) == j)
-          .map(r => (r.getInt(1),
-            Array.tabulate(sub)(p => r.getDouble(p + 2))))
-          .sortBy(_._1).toArray
+        byJC.iterator.collect { case ((jj, code), rs) if jj == j =>
+          val arr = new Array[Double](sub)
+          rs.foreach { r =>
+            if (!r.isNullAt(2))
+              arr(r.getInt(0) - j * sub) =
+                r.getDecimal(2).doubleValue() / r.getLong(3)
+          }
+          (code, arr)
+        }.toArray.sortBy(_._1)
       }
     }
     books
