@@ -26,41 +26,17 @@ object AnalyticsQueries extends QueryPack {
   /** Shared (hourly grid, hourly observations) pair for ts1/ts2: one
     * row per (user, hour-in-span) and the per-hour max observation.
     * max() is reduction-order-free, so no decimal dance is needed. */
-  /** Shared hourly observation table for the ts1/ts2/ts5 grid family,
-    * memoized per data dir and scope-cached (the ewmaGrid pattern —
-    * released after the family's last consumer via memoReleases, so it
-    * never outlives the pack in a bench run). Round-18 optimization:
-    * the old tsGrid derived the grid BOUNDS from a second full scan of
-    * events (per-user min/max ts), so every consumer paid two
-    * events scans + two corpus-sized partial aggregates — and ts5,
-    * which consumes the grid-join twice, statically planned FOUR
-    * scans (guide §2.4: remove shuffles/passes outright). The hourly
-    * aggregate already contains the bounds: date_trunc is monotone
-    * non-decreasing, so min(hour) = date_trunc(min ts) and max(hour)
-    * = date_trunc(max ts) — the grid now derives from `hourly` itself
-    * (one events scan + one hourly-sized aggregate per SUITE, not two
-    * corpus aggregates per QUERY) with values bit-identical by
-    * construction. */
-  private val tsHourlyMemo =
-    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame]
-
-  private def tsHourly(s: org.apache.spark.sql.SparkSession, d: String)
-      : org.apache.spark.sql.DataFrame = tsHourlyMemo.getOrElseUpdate(d, {
-    val hourly = Tables.load(s, d, "events")
-      .select(col("user_id"), col("ts").cast(TimestampType).as("ts"),
-        col("value"))
-      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
-      .agg(max(col("value")).as("v"), count(lit(1)).as("cnt"))
-      .cache()
-    graft.util.BuildLedger.timed("analytics.ts_hourly")(hourly.count())
-    hourly
-  })
-
   private def tsGrid(s: org.apache.spark.sql.SparkSession, d: String)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
-    val hourly = tsHourly(s, d)
-    val grid = hourly.groupBy(col("user_id"))
-      .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+    val ev = Tables.load(s, d, "events")
+      .select(col("user_id"), col("ts").cast(TimestampType).as("ts"),
+        col("value"))
+    val hourly = ev
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(max(col("value")).as("v"), count(lit(1)).as("cnt"))
+    val grid = ev.groupBy(col("user_id"))
+      .agg(date_trunc("hour", min(col("ts"))).as("h0"),
+        date_trunc("hour", max(col("ts"))).as("h1"))
       .select(col("user_id"),
         explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR")))
           .as("hour"))
@@ -173,16 +149,12 @@ object AnalyticsQueries extends QueryPack {
       d: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
     val usPerHour = 3600000000L
-    // Round-18 optimization: the walk's (user, hour) → count input is
-    // exactly the cnt column of the shared [[tsHourly]] aggregate —
-    // consuming it replaces this operator's own full events scan +
-    // corpus aggregate with a read of the family cache (ts3 runs
-    // between ts1 and ts5, inside the memo's residency window). The
-    // user_id cast is kept verbatim (no-op on the bigint fixtures,
-    // load-bearing if the column ever arrives as int).
-    val hourly = tsHourly(s, d)
+    val hourly = Tables.load(s, d, "events")
       .select(col("user_id").cast(LongType).as("user_id"),
-        unix_micros(col("hour")).as("hm"), col("cnt"))
+        col("ts").cast(TimestampType).as("ts"))
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("user_id"), unix_micros(col("hour")).as("hm"), col("cnt"))
       .as[(Long, Long, Long)]
     val grid = hourly.groupByKey(_._1)
       .flatMapGroups { (u: Long, it: Iterator[(Long, Long, Long)]) =>
@@ -229,22 +201,14 @@ object AnalyticsQueries extends QueryPack {
   override def releaseShared(spark: org.apache.spark.sql.SparkSession): Unit = {
     ewmaMemo.values.foreach(_.unpersist(true))
     ewmaMemo.clear()
-    tsHourlyMemo.values.foreach(_.unpersist(true))
-    tsHourlyMemo.clear()
   }
 
   override def memoReleases
       : Seq[(Set[String], org.apache.spark.sql.SparkSession => Unit)] =
-    Seq(
-      (Set("ts3_ewma", "ts4_anomaly"), (_: org.apache.spark.sql.SparkSession) => {
-        ewmaMemo.values.foreach(_.unpersist(true))
-        ewmaMemo.clear()
-      }),
-      (Set("ts1_gapfill", "ts2_interpolate", "ts5_seasonal"),
-        (_: org.apache.spark.sql.SparkSession) => {
-          tsHourlyMemo.values.foreach(_.unpersist(true))
-          tsHourlyMemo.clear()
-        }))
+    Seq((Set("ts3_ewma", "ts4_anomaly"), (_: org.apache.spark.sql.SparkSession) => {
+      ewmaMemo.values.foreach(_.unpersist(true))
+      ewmaMemo.clear()
+    }))
 
   def queries: Map[String, Q] = Map(
     // Exact interpolated percentiles (sort-based; portable semantics)
