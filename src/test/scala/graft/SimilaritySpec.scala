@@ -829,4 +829,69 @@ class SimilaritySpec extends AnyFunSuite {
       assert(rows.minBy(_._1)._3)
     }
   }
+
+  // ---- round-18 optimization pins: the exploded fit aggregates ----
+
+  test("kmeansFit exploded recompute ≡ the per-dim column aggregate, " +
+      "exact doubles (the pre-round-18 form replicated inline: same " +
+      "seed, same assignment, same float→decimal(38,9) sums and " +
+      "cast-to-double/count division per dimension)") {
+    import org.apache.spark.sql.types.DecimalType
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+      (2L, Array(0.85f, 0.2f, 0.05f, 0.0f)),
+      (3L, Array(0.0f, 0.9f, 0.1f, 0.0f)),
+      (4L, Array(0.1f, 0.8f, 0.0f, 0.1f)),
+      (5L, Array(0.33f, 0.44f, 0.55f, 0.66f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.kmeansFit(corpus, 2, iters = 2)
+    val vecs = corpus.select(col("vec_id"), col("embedding"))
+    var cents: Array[(Int, Array[Double])] = vecs
+      .orderBy(col("vec_id")).limit(2).collect().zipWithIndex
+      .map { case (r, i) => i -> r.getSeq[Float](1).map(_.toDouble).toArray }
+    val dim = cents.head._2.length
+    val avgs = (0 until dim).map { p =>
+      (sum(element_at(col("embedding"), p + 1).cast(DecimalType(38, 9)))
+        .cast("double") / count(lit(1))).as(s"c$p")
+    }
+    (1 to 2).foreach { _ =>
+      val rows = Similarity.assignToCentroids(vecs, cents)
+        .groupBy(col("cluster")).agg(avgs.head, avgs.tail: _*).collect()
+      cents = rows.map(r => (r.getInt(0),
+        Array.tabulate(dim)(p => r.getDouble(p + 1)))).sortBy(_._1)
+    }
+    assert(got.map(_._1).toSeq == cents.map(_._1).toSeq)
+    got.zip(cents).foreach { case ((_, g), (_, e)) =>
+      assert(g.toSeq == e.toSeq) // exact double equality, no tolerance
+    }
+  }
+
+  test("pqFit drops null/ragged vectors exactly as the codes explode " +
+      "always did: fit on a dirty corpus ≡ fit on the clean subset") {
+    val clean = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Array(0.1f, 0.9f, 0.0f, 0.0f))
+    )
+    val dirty = clean ++ Seq(
+      (4L, null.asInstanceOf[Array[Float]]), // null embedding → null codes
+      (5L, Array(0.5f, 0.5f))                // ragged → null codes
+    )
+    // seeds come from the lowest vec_ids and 0..3 sort first in both
+    // corpora, so the inits coincide and any difference could only
+    // come from the iteration aggregate seeing the dirty rows
+    val a = Similarity.pqFit(dirty.toDF("vec_id", "embedding"),
+      dim = 4, m = 2, ksub = 2)
+    val b = Similarity.pqFit(clean.toDF("vec_id", "embedding"),
+      dim = 4, m = 2, ksub = 2)
+    assert(a.size == b.size)
+    a.zip(b).foreach { case (ba, bb) =>
+      assert(ba.map(_._1).toSeq == bb.map(_._1).toSeq)
+      ba.zip(bb).foreach { case ((_, ca), (_, cb)) =>
+        assert(ca.toSeq == cb.toSeq)
+      }
+    }
+  }
 }
