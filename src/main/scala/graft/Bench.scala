@@ -129,6 +129,25 @@ object Bench {
 
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val retried = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
+    // Per-query executor TASK time (sum of executorRunTime over the
+    // tasks each measurement ran) — round-18 verdict item 9: at sf0.1
+    // the 8-vs-32-core wall-clock ratio is pure noise (median query
+    // ~0.45 s, scheduling/JIT dominate), so wall alone cannot say
+    // whether a query parallelises. task_sec/wall IS the effective
+    // parallelism at this core count, measured in the same run.
+    // Listener delivery is asynchronous (the bus can trail the job end
+    // by a few events), so values are diagnostics, not gates — they
+    // land in BENCH_FULL.json only. Additions-only: no existing field
+    // changes meaning.
+    val taskMs = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) taskMs.addAndGet(m.executorRunTime): Unit
+      }
+    })
+    val taskSecs = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     // query → shared builds it paid inside its KEPT sample (memo name
     // → build seconds, drained from BuildLedger after every
     // measurement). The round-12 verdict's attribution item: a
@@ -152,11 +171,13 @@ object Bench {
     // every timing drains the BuildLedger around the measurement so a
     // shared build triggered inside one query never leaks into the
     // next query's attribution
-    def timeQueryPaid(name: String): (Double, Seq[(String, Double)]) = {
+    def timeQueryPaid(name: String): (Double, Seq[(String, Double)], Double) = {
       graft.util.BuildLedger.drain()
+      taskMs.set(0L)
       val t0 = System.nanoTime()
       materialize(SparkEntry.queries(name)(spark, sfDir))
-      ((System.nanoTime() - t0) / 1e9, graft.util.BuildLedger.drain())
+      ((System.nanoTime() - t0) / 1e9, graft.util.BuildLedger.drain(),
+        taskMs.getAndSet(0L) / 1e3)
     }
 
     def timeQuery(name: String): Double = timeQueryPaid(name)._1
@@ -201,17 +222,19 @@ object Bench {
     // One full measurement pass over every query, preserving the
     // family cache discipline: stray caches drop after each query,
     // each pack's shared memos drop after the pack's last query.
-    def fullPass(): Seq[(String, Double, Seq[(String, Double)])] =
+    def fullPass(): Seq[(String, Double, Seq[(String, Double)], Double)] =
       order.zipWithIndex.map { case ((name, fn), i) =>
-        def once(): (Double, Seq[(String, Double)]) = {
+        def once(): (Double, Seq[(String, Double)], Double) = {
           graft.util.BuildLedger.drain()
+          taskMs.set(0L)
           val t0 = System.nanoTime()
           materialize(fn(spark, sfDir))
-          ((System.nanoTime() - t0) / 1e9, graft.util.BuildLedger.drain())
+          ((System.nanoTime() - t0) / 1e9, graft.util.BuildLedger.drain(),
+            taskMs.getAndSet(0L) / 1e3)
         }
-        val (sec, paid) =
+        val (sec, paid, tsec) =
           try {
-            val (t1, p1) = once()
+            val (t1, p1, ts1) = once()
             // Host stall guard (SCALE.md round-6 addendum): this box
             // has 1-3 minute full-stall windows. No query legitimately
             // approaches 60 s at bench SF, so a measurement above that
@@ -220,19 +243,19 @@ object Bench {
             if (t1 > 60) {
               graft.util.Caches.releaseStray()
               SparkEntry.releaseShared(spark)
-              val (t2, p2) = once()
+              val (t2, p2, ts2) = once()
               retried(name) = (t1, t2)
-              if (t2 < t1) (t2, p2) else (t1, p1)
-            } else (t1, p1)
+              if (t2 < t1) (t2, p2, ts2) else (t1, p1, ts1)
+            } else (t1, p1, ts1)
           } catch {
             case NonFatal(e) =>
               errors.getOrElseUpdate(name, (e.getClass.getSimpleName + ": " +
                 String.valueOf(e.getMessage)).take(160))
-              (-1.0, Nil)
+              (-1.0, Nil, -1.0)
           }
         graft.util.Caches.releaseStray()
         releaseAt.getOrElse(i, Nil).foreach(_(spark))
-        (name, sec, paid)
+        (name, sec, paid, tsec)
       }
 
     // TWO full passes, per-query min (both pass values recorded in
@@ -252,19 +275,21 @@ object Bench {
     val canaryMid =
       try timeQuery("q1_agg") catch { case NonFatal(_) => -1.0 }
     val pass2Full = fullPass()
-    val pass1 = pass1Full.map { case (n, s, _) => n -> s }
-    val pass2 = pass2Full.map { case (n, s, _) => n -> s }
-    val p2 = pass2Full.map { case (n, s, p) => n -> (s, p) }.toMap
+    val pass1 = pass1Full.map { case (n, s, _, _) => n -> s }
+    val pass2 = pass2Full.map { case (n, s, _, _) => n -> s }
+    val p2 = pass2Full.map { case (n, s, p, ts) => n -> (s, p, ts) }.toMap
     // keep the MIN sample's timing AND its build attribution together:
     // paid_builds must explain the number that lands in "queries", not
-    // whichever pass happened to rebuild more
-    val results = pass1Full.map { case (name, a, pa) =>
-      val (b, pb) = p2.getOrElse(name, (-1.0, Nil))
-      val (sec, paid) =
-        if (a < 0) (b, pb)
-        else if (b < 0 || a <= b) (a, pa)
-        else (b, pb)
+    // whichever pass happened to rebuild more (task_sec follows the
+    // same kept sample)
+    val results = pass1Full.map { case (name, a, pa, ta) =>
+      val (b, pb, tb) = p2.getOrElse(name, (-1.0, Nil, -1.0))
+      val (sec, paid, tsec) =
+        if (a < 0) (b, pb, tb)
+        else if (b < 0 || a <= b) (a, pa, ta)
+        else (b, pb, tb)
       if (paid.nonEmpty) paidBuilds(name) = paid
+      if (tsec >= 0) taskSecs(name) = tsec
       name -> sec
     }
 
@@ -322,9 +347,9 @@ object Bench {
     // the flag reaches the driver's stdout tail.
     val retryWorse = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     def retryOnce(name: String, sec: Double): (String, Double) = {
-      val (t2, p2r) =
+      val (t2, p2r, ts2) =
         try timeQueryPaid(name)
-        catch { case NonFatal(_) => (Double.MaxValue, Nil) }
+        catch { case NonFatal(_) => (Double.MaxValue, Nil, -1.0) }
       graft.util.Caches.releaseStray()
       SparkEntry.releaseShared(spark)
       if (t2 < Double.MaxValue) {
@@ -333,6 +358,7 @@ object Bench {
         if (t2 < sec) { // the kept sample changed — so does its attribution
           if (p2r.nonEmpty) paidBuilds(name) = p2r
           else paidBuilds.remove(name)
+          if (ts2 >= 0) taskSecs(name) = ts2
         }
         name -> math.min(sec, t2)
       } else name -> sec
@@ -465,8 +491,8 @@ object Bench {
       qDriftPrevOf(finalResults).filter(_._2 > 2.0).sortBy(-_._2).take(10)
         .foreach { case (name, _) =>
           val kept = finalResults.find(_._1 == name).map(_._2).getOrElse(-1.0)
-          val (t, paid) =
-            try timeQueryPaid(name) catch { case NonFatal(_) => (-1.0, Nil) }
+          val (t, paid, tsw) =
+            try timeQueryPaid(name) catch { case NonFatal(_) => (-1.0, Nil, -1.0) }
           graft.util.Caches.releaseStray()
           SparkEntry.releaseShared(spark)
           if (kept >= 0 && t >= 0) {
@@ -477,6 +503,7 @@ object Bench {
             if (t < kept) {
               if (paid.nonEmpty) paidBuilds(name) = paid
               else paidBuilds.remove(name)
+              if (tsw >= 0) taskSecs(name) = tsw
             }
           }
         }
@@ -524,6 +551,20 @@ object Bench {
       s"${jstr(q)}:${bs.map { case (m, v) => s"${jstr(m)}:${num6(v)}" }
         .mkString("{", ",", "}")}"
     }.mkString("{", ",", "}")}"""
+    // executor task-time of the kept sample (see the listener above):
+    // task_sec/wall ≈ effective parallelism — the serial-vs-overhead
+    // signal the 8-core wall-clock probe cannot produce at this SF
+    full ++= s""","task_sec":${taskSecs.map { case (k, v) => s"${jstr(k)}:${num(v)}" }
+      .mkString("{", ",", "}")}"""
+    // queries with no row in the previous same-SF record (round-18
+    // verdict item 4: pack-sum comparisons read pack GROWTH as
+    // regression — s18/s19 made an improved s-pack read 0.87×; this
+    // names the additions so the driver can compare common queries)
+    val newQueries =
+      if (prevQueries.isEmpty) Nil
+      else names.filterNot(prevQueries.contains)
+    full ++= s""","new_queries":${newQueries.map(jstr)
+      .mkString("[", ",", "]")}"""
     full ++= s""","canary_q1_start":${num6(canaryStart)},"canary_q1_mid":${num6(canaryMid)},"canary_q1_end":${num6(canaryEnd)},"gate_waits":$gateWaits"""
     full ++= s""","weather_remeasure":${weatherRemeasure.map { case (k, (a, b)) => s"${jstr(k)}:[${num6(a)},${num6(b)}]" }
       .mkString("{", ",", "}")}"""
@@ -559,6 +600,11 @@ object Bench {
     if (weatherRemeasure.nonEmpty)
       extra ++= s""","wrm":${weatherRemeasure.map { case (k, (a, b)) => s"${jstr(shortKey(k))}:[${num2(a)},${num2(b)}]" }
         .mkString("{", ",", "}")}"""
+    // additions vs the previous record, short keys (bounded: a whole-
+    // suite novelty means a different-SF baseline, not real additions)
+    if (newQueries.nonEmpty && newQueries.size <= 20)
+      extra ++= s""","new_queries":${newQueries.map(n => jstr(shortKey(n)))
+        .mkString("[", ",", "]")}"""
     // sf basename only and no redundant full-record pointer: the
     // stdout line must stay inside the driver's 2000-byte tail — a
     // line the capture cuts mid-JSON fails the driver's parse and

@@ -149,16 +149,27 @@ object Bpe {
       val batch = selectBatch(top, want,
         merges.iterator.map { case (_, l, r) => l + r }.toSet)
       batch.foreach { case (l, r) => merges += ((merges.size, l, r)) }
-      val prevRdd = cpRdd(words)
-      words = words.map { case (syms, n) => (applyMerges(syms, batch), n) }
-        .localCheckpoint()
-      // the new checkpoint fully materializes the word table, so the
-      // previous round's checkpointed blocks can be freed — via the
-      // extracted RDD handle: Dataset.unpersist only clears
-      // CacheManager entries and is a NO-OP on checkpoint blocks (the
-      // Graph.scala/Caches.scala contract), so the old form here
-      // leaked one word-table per round until GC/ContextCleaner
-      releaseCp(prevRdd)
+      // Apply the batch only when another round will READ the result:
+      // localCheckpoint materializes eagerly, so the old
+      // unconditional apply paid one full word-table map +
+      // checkpoint after the FINAL batch and then released it unread
+      // (round-19, guide §1.2 "don't compute things you throw away"
+      // — for the bench's single-round b1 fit that last table was the
+      // only one ever built beyond the seed). The merge list is
+      // unchanged by construction: selection for round k+1 never runs
+      // when the loop is about to exit.
+      if (merges.size < numMerges) {
+        val prevRdd = cpRdd(words)
+        words = words.map { case (syms, n) => (applyMerges(syms, batch), n) }
+          .localCheckpoint()
+        // the new checkpoint fully materializes the word table, so the
+        // previous round's checkpointed blocks can be freed — via the
+        // extracted RDD handle: Dataset.unpersist only clears
+        // CacheManager entries and is a NO-OP on checkpoint blocks (the
+        // Graph.scala/Caches.scala contract), so the old form here
+        // leaked one word-table per round until GC/ContextCleaner
+        releaseCp(prevRdd)
+      }
     }
     releaseCp(words) // nothing reads the final word table
     merges.toSeq

@@ -148,11 +148,19 @@ object Curation {
 
   def decontaminate(corpus: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String, n: Int = 5): DataFrame = {
-    val corpusSh = Dedup.shinglePostings(corpus, idCol, textCol, n, Int.MaxValue)
-    val benchSh = Dedup.shinglePostings(benchmark, idCol, textCol, n, Int.MaxValue)
-      .select(col("shingle")).distinct()
+    // Round-19: both sides shingle as xxhash64 in the kernel (no
+    // strings built, no string hash relation) — the semi-join probes
+    // 8-byte longs and the broadcast carries the benchmark's distinct
+    // HASHES (~8 B/entry framed vs ~30+ B of 5-gram text). Matching by
+    // hash is the chain-wide identity convention (see Dedup's kernel
+    // note); a cross-corpus collision would count one false shared
+    // shingle — ~|corpus shingles|·|bench shingles|/2⁶⁴, and the c1/
+    // c10/c11 oracles re-verify bit-identical at the tested SFs.
+    val corpusSh = Dedup.shingleHashPostings(corpus, idCol, textCol, n)
+    val benchSh = Dedup.shingleHashPostings(benchmark, idCol, textCol, n)
+      .select(col("sh_h")).distinct()
     corpusSh
-      .join(broadcast(benchSh), Seq("shingle"), "left_semi")
+      .join(broadcast(benchSh), Seq("sh_h"), "left_semi")
       .groupBy(col("doc").as("doc_id"))
       .agg(count(lit(1)).as("n_shared"))
   }
@@ -452,11 +460,13 @@ object Curation {
     * composes identically (probe first, exact join after). */
   def contaminationScore(corpus: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String, n: Int = 5): DataFrame = {
-    val corpusSh = Dedup.shinglePostings(corpus, idCol, textCol, n, Int.MaxValue)
-    val benchSh = Dedup.shinglePostings(benchmark, idCol, textCol, n, Int.MaxValue)
-      .select(col("shingle")).distinct().withColumn("__hit", lit(1))
+    // hash-keyed like [[decontaminate]] (round-19) — same broadcast
+    // side, probe side and collision story
+    val corpusSh = Dedup.shingleHashPostings(corpus, idCol, textCol, n)
+    val benchSh = Dedup.shingleHashPostings(benchmark, idCol, textCol, n)
+      .select(col("sh_h")).distinct().withColumn("__hit", lit(1))
     corpusSh
-      .join(broadcast(benchSh), Seq("shingle"), "left")
+      .join(broadcast(benchSh), Seq("sh_h"), "left")
       .groupBy(col("doc"))
       .agg(count(lit(1)).as("n_shingles"),
         count(col("__hit")).as("n_shared"),
@@ -685,16 +695,18 @@ object Curation {
 
   def noveltyScore(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3): DataFrame = {
-    val p = Dedup.shinglePostings(df, idCol, textCol, n, Int.MaxValue)
     // A df=1 shingle's single posting already names its owning doc,
     // so per-doc unique counts fall out of the df aggregation itself
     // — the postings⨝df-counts join the previous form paid (a SECOND
     // corpus-shingle-sized exchange, of shingle TEXT on both sides)
     // is gone, and the one remaining exchange is keyed on the 8-byte
     // xxhash64 (d2's group-identity precedent: no consumer reads the
-    // text, and a text key costs ~25 B/posting on the wire).
-    val uniq = p
-      .groupBy(xxhash64(col("shingle")).as("sh_h"))
+    // text, and a text key costs ~25 B/posting on the wire). Round-19:
+    // the hashes come straight out of the shingling kernel — the
+    // string shingle and its per-posting xxhash64 expression are gone
+    // too.
+    val uniq = Dedup.shingleHashPostings(df, idCol, textCol, n)
+      .groupBy(col("sh_h"))
       .agg(count(lit(1)).as("df"), min(col("doc")).as("doc"))
       .filter(col("df") === 1)
       .groupBy(col("doc"))

@@ -24,6 +24,187 @@ import graft.functions.TextFunctions
   */
 object Dedup {
 
+  // ---- round-19 hash-shingling kernels (guide §1.2 per-task work +
+  // §2.3 shuffle keys, not payloads) -------------------------------
+  //
+  // Every chain consumer except d8's span mining and d13's kept-text
+  // reconstruction identifies shingles by xxhash64 ONLY (the grouped
+  // index, the df cap, the Jaccard denominators, the MinHash md5s'
+  // input is the one exception below). The string-postings kernel
+  // built a JVM String per window + a HashSet[String] per doc and
+  // then paid a UTF8String conversion + xxhash64 expression per
+  // posting row downstream; these kernels hash the window BYTES in
+  // place (token UTF-8 bytes joined by 0x20 — byte-identical to
+  // xxhash64(concat-string) because UTF-8 concatenation is
+  // context-free) and dedupe per doc in a primitive LongSet. In-doc
+  // hash collisions would merge two distinct shingles — the same
+  // vanishing-probability (~windows²/2⁶⁴) assumption the grouped
+  // index has ALWAYS keyed groups on (see groupsAndHotFromPostings),
+  // now applied one step earlier; all 19 downstream oracles re-verify
+  // bit-identical (round-19).
+
+  /** Per-window callback (bufferBytes, byteLen, xxhash64) over the
+    * n-token windows of `toks` — the shared tokenizer/hash loop. The
+    * buffer is reused across windows; callers must consume, not
+    * retain. */
+  private def foreachWindow(toks: Array[String], n: Int)(
+      f: (Array[Byte], Int, Long) => Unit): Unit = {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    val m = toks.length - n + 1
+    if (m <= 0) return
+    val tb = new Array[Array[Byte]](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      tb(i) = toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      i += 1
+    }
+    var buf = new Array[Byte](64)
+    i = 0
+    while (i < m) {
+      var len = n - 1
+      var j = 0
+      while (j < n) { len += tb(i + j).length; j += 1 }
+      if (buf.length < len)
+        buf = new Array[Byte](math.max(len, buf.length * 2))
+      var off = 0
+      j = 0
+      while (j < n) {
+        if (j > 0) { buf(off) = ' '; off += 1 }
+        val t = tb(i + j)
+        System.arraycopy(t, 0, buf, off, t.length)
+        off += t.length
+        j += 1
+      }
+      f(buf, len,
+        XxHash64Function.hash(UTF8String.fromBytes(buf, 0, len),
+          StringType, 42L))
+      i += 1
+    }
+  }
+
+  /** Distinct word-n-gram shingle HASH postings (doc, sh_h): the
+    * values are exactly `shinglePostings(df, …, n, Int.MaxValue)
+    * .select(doc, xxhash64(shingle))` with the string never
+    * materialized (see the kernel note above). */
+  def shingleHashPostings(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    graft.sources.Tables.fanOut(df)
+      .select(col(idCol).cast("long").as("doc"), col(textCol).as("txt"))
+      .as[(Long, String)]
+      .flatMap { case (id, t) =>
+        if (t == null) Iterator.empty
+        else {
+          val toks = t.trim.split("\\s+")
+          val m = toks.length - n + 1
+          if (m <= 0) Iterator.empty
+          else {
+            val seen = new graft.util.LongSet(m * 2)
+            val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](m)
+            foreachWindow(toks, n) { (_, _, h) =>
+              if (seen.add(h)) out += ((id, h))
+            }
+            out.iterator
+          }
+        }
+      }
+      .toDF("doc", "sh_h")
+  }
+
+  /** [[groupsAndHotFromPostings]] over hash postings: identical
+    * output (the group key was always the xxhash64). */
+  def groupsAndHotFromHashes(hashPostings: DataFrame, maxDf: Int): DataFrame =
+    hashPostings
+      .groupBy(col("sh_h"))
+      .agg(graft.expressions.BoundedCollectAgg
+        .bounded_collect_sorted(col("doc"), maxDf).as("docs"))
+
+  /** Per-doc MinHash signatures computed IN the shingling kernel:
+    * (doc, h0..h{numHashes-1}) — exactly
+    * `minhashSignatures(cappedPostings, numHashes)` where
+    * cappedPostings is the distinct postings stream minus the hot
+    * (df > maxDf) groups. One pass over the docs replaces the third
+    * shingle flatMap + the hot anti-join + numHashes md5 expressions
+    * per posting + the per-doc min aggregate: each doc emits its
+    * finished signature row map-side (min over a doc's distinct
+    * surviving shingles' md5s, tracked as 16-byte digests — unsigned
+    * byte order IS the hex-string order Spark's min compares, since
+    * lowercase hex is order-preserving per nibble). Docs with no
+    * surviving shingles emit nothing, matching the groupBy frame. */
+  def minhashDocSignatures(df: DataFrame, idCol: String, textCol: String,
+      n: Int, numHashes: Int,
+      hotHashes: org.apache.spark.broadcast.Broadcast[java.util.HashSet[java.lang.Long]]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val prefixes: Array[Array[Byte]] = (0 until numHashes).map(i =>
+      s"$i|".getBytes(java.nio.charset.StandardCharsets.UTF_8)).toArray
+    val sigs = graft.sources.Tables.fanOut(df)
+      .select(col(idCol).cast("long").as("doc"), col(textCol).as("txt"))
+      .as[(Long, String)]
+      .flatMap { case (id, t) =>
+        if (t == null) Iterator.empty
+        else {
+          val toks = t.trim.split("\\s+")
+          val m = toks.length - n + 1
+          if (m <= 0) Iterator.empty
+          else {
+            val hot = hotHashes.value
+            val md = java.security.MessageDigest.getInstance("MD5")
+            val seen = new graft.util.LongSet(m * 2)
+            val mins = new Array[Array[Byte]](numHashes)
+            foreachWindow(toks, n) { (buf, len, h) =>
+              if (seen.add(h) && !hot.contains(h)) {
+                var i = 0
+                while (i < numHashes) {
+                  md.reset()
+                  md.update(prefixes(i))
+                  md.update(buf, 0, len)
+                  val d = md.digest()
+                  val cur = mins(i)
+                  if (cur == null || unsignedLess(d, cur)) mins(i) = d
+                  i += 1
+                }
+              }
+            }
+            if (mins(0) == null) Iterator.empty
+            else Iterator.single((id, mins.toSeq.map(hex32)))
+          }
+        }
+      }
+      .toDF("doc", "hs")
+    sigs.select(col("doc") +:
+      (0 until numHashes).map(i => col("hs")(i).as(s"h$i")): _*)
+  }
+
+  /** a < b over equal-length byte arrays, unsigned lexicographic. */
+  private def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < a.length) {
+      val x = a(i) & 0xff
+      val y = b(i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    false
+  }
+
+  private val hexChars = "0123456789abcdef".toCharArray
+
+  /** Lowercase hex of a 16-byte digest — what Spark's `md5()` emits. */
+  private def hex32(d: Array[Byte]): String = {
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = hexChars((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = hexChars(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
   /** Exact duplicates by normalized-content fingerprint: groups with
     * more than one doc, canonical = min id (the keep-list complement). */
   def exactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -159,29 +340,37 @@ object Dedup {
       .filter(col("txt").isNotNull)
     // positioned shingles (1-based token start), tight loop per doc —
     // same kernel as shinglePostings but keeping EVERY window with its
-    // position (a repeated span inside one doc must mask each site)
+    // position (a repeated span inside one doc must mask each site).
+    // Round-19: windows are identified by xxhash64 ONLY — no consumer
+    // below reads span text (kept_text reconstructs from the doc's own
+    // token array), so the cached frame, the min-doc aggregate and the
+    // occurrence join carry an 8-byte long where they carried ~50-byte
+    // 8-token strings (guide §2.3 — shuffle keys, not payloads; the
+    // min-doc groupBy and the join also compare longs instead of
+    // strings). Same cross-doc hash-identity assumption as the d2
+    // grouped index; the d13 oracle re-verifies bit-identical.
     val positioned = base.as[(Long, String)]
       .flatMap { case (id, t) =>
         val toks = t.trim.split("\\s+")
         val m = toks.length - n + 1
         if (m <= 0) Iterator.empty
-        else Iterator.tabulate(m) { i =>
-          val sb = new java.lang.StringBuilder(32)
-          var j = 0
-          while (j < n) {
-            if (j > 0) sb.append(' ')
-            sb.append(toks(i + j)); j += 1
+        else {
+          val out = new scala.collection.mutable.ArrayBuffer[(Long, Long, Long)](m)
+          var p = 0L
+          foreachWindow(toks, n) { (_, _, h) =>
+            p += 1L
+            out += ((id, p, h))
           }
-          (id, i + 1L, sb.toString)
+          out.iterator
         }
       }
-      .toDF("doc", "pos", "shingle")
+      .toDF("doc", "pos", "sh_h")
     val cached = graft.util.Caches.scoped(positioned)
     // first containing doc per shingle; the join back shuffles on the
     // same key, so the exchange is reused across the two consumers
-    val first = cached.groupBy(col("shingle"))
+    val first = cached.groupBy(col("sh_h"))
       .agg(min(col("doc")).as("first_doc"))
-    val dupStarts = cached.join(first, Seq("shingle"))
+    val dupStarts = cached.join(first, Seq("sh_h"))
       .filter(col("doc") > col("first_doc"))
       .select(col("doc"), col("pos"))
     // token positions covered by some duplicated window, aggregated
@@ -372,9 +561,6 @@ object Dedup {
       n: Int, hotHashes: org.apache.spark.broadcast.Broadcast[java.util.HashSet[java.lang.Long]]): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
-    import org.apache.spark.sql.types.StringType
-    import org.apache.spark.unsafe.types.UTF8String
     graft.sources.Tables.fanOut(df)
       .select(col(idCol).cast("long").as("doc"), col(textCol).as("txt"))
       .as[(Long, String)]
@@ -385,22 +571,15 @@ object Dedup {
           val m = toks.length - n + 1
           if (m <= 0) Iterator.empty
           else {
+            // round-19: distinct tracked by hash in a primitive set
+            // (was: a String per window + HashSet[String] + a
+            // per-distinct UTF8String conversion) — see the kernel
+            // note at the top of this object for the collision story
             val hot = hotHashes.value
-            val seen = new java.util.HashSet[String](m * 2)
+            val seen = new graft.util.LongSet(m * 2)
             var cnt = 0L
-            var i = 0
-            while (i < m) {
-              val sb = new java.lang.StringBuilder(32)
-              var j = 0
-              while (j < n) {
-                if (j > 0) sb.append(' ')
-                sb.append(toks(i + j)); j += 1
-              }
-              val s = sb.toString
-              if (seen.add(s) && !hot.contains(XxHash64Function.hash(
-                  UTF8String.fromString(s), StringType, 42L)))
-                cnt += 1
-              i += 1
+            foreachWindow(toks, n) { (_, _, h) =>
+              if (seen.add(h) && !hot.contains(h)) cnt += 1
             }
             if (cnt == 0) Iterator.empty else Iterator((id, cnt))
           }
@@ -575,15 +754,60 @@ object Dedup {
     * extractions per token into one byte loop plus shift/and sums. */
   private[graft] def simhashOnes(df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    import graft.expressions.StringKernels.hex_parity_mask
-    val toks = graft.sources.Tables.fanOut(df)
-      .select(col(idCol).as("doc"),
-        explode(split(trim(col(textCol)), "\\s+")).as("tok"))
-      .withColumn("pm", hex_parity_mask(md5(col("tok").cast("binary"))))
-    val ones = (0 until 32).map(b =>
-      sum(shiftright(col("pm"), b).bitwiseAND(lit(1))).as(s"o$b"))
-    toks.groupBy(col("doc"))
-      .agg(count(lit(1)).as("n"), ones: _*)
+    // Round-19 kernel form (guide §1.2 per-task work + §2.3 aggregate
+    // before you shuffle): the expression form exploded to one row per
+    // TOKEN (id + 16-byte md5 carried per row), evaluated the md5 and
+    // parity mask as expressions, and ran a 33-column sum aggregate
+    // over token-count rows. Each doc's counts are doc-local, so one
+    // typed pass computes the finished (n, o0..o31) row per doc —
+    // no explode, no partial-agg buffers, nothing token-sized ever
+    // exists. Values are identical by construction: same whitespace
+    // split of trim(text) (split("") = [""], one empty token — md5("")
+    // counted, exactly like the explode), same per-token md5 over
+    // UTF-8 bytes, and parity of hex char b == low bit of its ASCII ==
+    // the table below indexed by nibble b (hex_parity_mask's
+    // definition); docs with NULL text vanish in both forms (explode
+    // of split(null) emits nothing). Pinned against the expression
+    // form inline in DedupSpec.
+    val spark = df.sparkSession
+    import spark.implicits._
+    // parity of the ASCII code of lowercase hex digit v:
+    // '0'+v (v<10) → v&1; 'a'+v-10 (v≥10) → (97+v-10)&1 = (v+1)&1
+    val parity: Array[Long] =
+      (0 until 16).map(v => if (v < 10) (v & 1).toLong
+        else ((v + 1) & 1).toLong).toArray
+    graft.sources.Tables.fanOut(df)
+      .select(col(idCol).cast("long").as("doc"), col(textCol).as("txt"))
+      .as[(Long, String)]
+      .flatMap { case (id, t) =>
+        if (t == null) Iterator.empty
+        else {
+          val toks = t.trim.split("\\s+")
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val ones = new Array[Long](32)
+          var n = 0L
+          var i = 0
+          while (i < toks.length) {
+            md.reset()
+            val d = md.digest(toks(i).getBytes(
+              java.nio.charset.StandardCharsets.UTF_8))
+            var b = 0
+            while (b < 32) {
+              val nib =
+                if ((b & 1) == 0) (d(b >> 1) >> 4) & 0xf
+                else d(b >> 1) & 0xf
+              ones(b) += parity(nib)
+              b += 1
+            }
+            n += 1L
+            i += 1
+          }
+          Iterator.single((id, n, ones.toSeq))
+        }
+      }
+      .toDF("doc", "n", "ones")
+      .select(col("doc") +: col("n") +:
+        (0 until 32).map(b => col("ones")(b).as(s"o$b")): _*)
   }
 
   /** 32-bit SimHash over the whitespace tokenization (with

@@ -84,6 +84,30 @@ object Multimodal {
     * codec, not a stand-in. */
   def pngPayload(id: Long): Array[Byte] = buildPng(id, gray = None)
 
+  /** The byte-identical first 33 bytes of [[pngPayload]] — signature
+    * + IHDR chunk (length, fields, CRC all the same writer): the
+    * header SLICE a metadata-only stage reads. [[pngMeta]] touches
+    * nothing past byte 26, so building (raster + deflate + IDAT CRC)
+    * the ~25 KB of image data it never looks at is pure waste — the
+    * guide §6 bound-the-bytes-read rule, applied to the construction
+    * side of the synthetic corpus. Only the metadata query (m4) uses
+    * this; every decode-tier query (m3/m5/m8/m10/m11) keeps complete
+    * payloads. Prefix identity is spec-pinned (MultimodalSpec). */
+  def pngHeaderPayload(id: Long): Array[Byte] =
+    buildPng(id, gray = None, headerOnly = true)
+
+  /** Header-slice payload table for the metadata-only stage — see
+    * [[pngHeaderPayload]]. */
+  def pngHeaderPayloads(df: DataFrame, idCol: String): Dataset[MediaRow] = {
+    implicit val enc = Encoders.product[MediaRow]
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long].map { id =>
+      val bytes = pngHeaderPayload(id)
+      MediaRow(id, bytes, MediaMeta("image/png", bytes.length.toLong, "png"))
+    }
+  }
+
   /** As [[pngPayload]] but with a deterministic grayscale gradient —
     * pixel(x, y) has R = G = B = ((id + x + y) % 16) * 16, A = 255 —
     * so pixel-domain statistics of the REAL decode path have non-zero
@@ -97,7 +121,8 @@ object Multimodal {
     * sign-preserving remainder turned a negative id into a negative
     * dimension and a NegativeArraySizeException inside the task. */
   private def buildPng(id: Long,
-      gray: Option[(Int, Int) => Byte]): Array[Byte] = {
+      gray: Option[(Int, Int) => Byte],
+      headerOnly: Boolean = false): Array[Byte] = {
     val w = (16 + Math.floorMod(id, 64L)).toInt
     val h = (16 + Math.floorMod(id * 7, 64L)).toInt
     val out = new java.io.ByteArrayOutputStream(1024)
@@ -123,6 +148,7 @@ object Multimodal {
     ihdr(9) = 6  // color type RGBA
     // compression / filter / interlace = 0 (array default)
     chunk("IHDR", ihdr)
+    if (headerOnly) return out.toByteArray
     // image data: h rows of (filter byte 0 + w RGBA pixels)
     val raw = new Array[Byte](h * (1 + w * 4))
     gray.foreach { px =>

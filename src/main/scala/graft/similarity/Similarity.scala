@@ -501,7 +501,14 @@ object Similarity {
     // what count(lit(1)) counted, including null/ragged rows; the
     // driver-side BigDecimal.doubleValue/long division replays
     // Spark's cast(sum AS double)/count IEEE-for-IEEE (Decimal
-    // .toDouble IS toJavaBigDecimal.doubleValue).
+    // .toDouble IS toJavaBigDecimal.doubleValue). One DEGENERATE-edge
+    // divergence (round-18 ADVICE): a (cluster, pos) group whose sum
+    // is NULL — every element null at that position — now leaves the
+    // coordinate 0.0 (the isNullAt(2) guard below), where the old
+    // column-aggregate form's Row.getDouble threw NPE. Deliberate:
+    // crash → defined value, and no reachable corpus produces the
+    // shape (ANSI element_at nulls ragged rows upstream; same note
+    // applies to the pqFit rewrite, where the explode drops them).
     (1 to iters).foreach { _ =>
       val rows = assignToCentroids(vecs, centroids)
         .select(col("cluster"),

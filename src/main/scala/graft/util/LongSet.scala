@@ -1,0 +1,76 @@
+package graft.util
+
+/** Minimal open-addressed set of FULL-DOMAIN 64-bit keys (unlike
+  * [[LongLongHash]], whose negative keys are sentinels): linear
+  * probing, power-of-2 capacity, zero boxing. The hot use is the
+  * per-document distinct-shingle set in the dedup kernels, keyed by
+  * xxhash64 values that are uniform over the whole Long range — the
+  * EMPTY sentinel is 0L with an explicit zero flag, so no key value
+  * is reserved. No removal (the kernels only ever add).
+  */
+final class LongSet(initialCapacity: Int = 16) {
+  private var cap = Integer.highestOneBit(
+    math.max(16, initialCapacity * 2 - 1))
+  private var keys = new Array[Long](cap) // 0L = empty slot
+  private var live = 0
+  private var hasZero = false
+
+  @inline private def mix(k: Long): Int = {
+    // splitmix64 finalizer (see LongLongHash): xxhash64 keys are
+    // already uniform, but the set must not degrade on other callers
+    var z = k + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    (z ^ (z >>> 31)).toInt
+  }
+
+  def size: Int = live + (if (hasZero) 1 else 0)
+
+  /** Adds `k`; returns true iff it was NOT already present. */
+  def add(k: Long): Boolean = {
+    if (k == 0L) {
+      if (hasZero) false else { hasZero = true; true }
+    } else {
+      val mask = cap - 1
+      var i = mix(k) & mask
+      while (true) {
+        val kk = keys(i)
+        if (kk == k) return false
+        if (kk == 0L) {
+          keys(i) = k
+          live += 1
+          if (live * 10 >= cap * 6) grow()
+          return true
+        }
+        i = (i + 1) & mask
+      }
+      false // unreachable
+    }
+  }
+
+  def contains(k: Long): Boolean =
+    if (k == 0L) hasZero
+    else {
+      val mask = cap - 1
+      var i = mix(k) & mask
+      while (true) {
+        val kk = keys(i)
+        if (kk == k) return true
+        if (kk == 0L) return false
+        i = (i + 1) & mask
+      }
+      false // unreachable
+    }
+
+  private def grow(): Unit = {
+    val old = keys
+    cap *= 2
+    keys = new Array[Long](cap)
+    live = 0
+    var i = 0
+    while (i < old.length) {
+      if (old(i) != 0L) add(old(i)): Unit
+      i += 1
+    }
+  }
+}

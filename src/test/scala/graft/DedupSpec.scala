@@ -133,6 +133,68 @@ class DedupSpec extends AnyFunSuite {
     assert(viaCapped == viaJoin)
   }
 
+  test("hash-shingling kernels ≡ the string-postings formulations " +
+      "(r19: postings, doc sizes, minhash signatures) on real corpus") {
+    import org.apache.spark.sql.functions._
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // (doc, hash) postings: kernel vs string flatMap + xxhash64 expr
+    val viaString = Dedup.shinglePostings(corpus, "doc_id", "text", 3,
+        Int.MaxValue)
+      .select(col("doc"), xxhash64(col("shingle")).as("sh_h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaKernel = Dedup.shingleHashPostings(corpus, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaKernel == viaString && viaKernel.nonEmpty)
+    // hot set (df > maxDf) as the chain builds it
+    val hs = new java.util.HashSet[java.lang.Long]()
+    Dedup.groupsAndHotFromHashes(
+        Dedup.shingleHashPostings(corpus, "doc_id", "text", 3), maxDf = 50)
+      .filter(col("docs").isNull).select("sh_h")
+      .collect().foreach(r => hs.add(r.getLong(0)))
+    val hot = spark.sparkContext.broadcast(hs)
+    // per-doc surviving-shingle counts: hash-distinct kernel vs the
+    // codegen aggregate path (both cap on the same xxhash64 groups)
+    val szKernel = Dedup.docSizesFromHot(corpus, "doc_id", "text", 3, hot)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val szAgg = Dedup.cappedDocSizes(
+        Dedup.shinglePostings(corpus, "doc_id", "text", 3, Int.MaxValue),
+        maxDf = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(szKernel == szAgg && szKernel.nonEmpty)
+    // in-kernel minhash signatures vs md5-min aggregate over the
+    // capped string postings (the shape the DuckDB oracle replays)
+    val capped = Dedup.shinglePostings(corpus, "doc_id", "text", 3,
+        maxDf = 50)
+    def canonSig(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        (1 to 8).map(r.getString)).toMap
+    val sigAgg = canonSig(Dedup.minhashSignatures(capped, numHashes = 8))
+    val sigKernel = canonSig(Dedup.minhashDocSignatures(
+      corpus, "doc_id", "text", n = 3, numHashes = 8, hotHashes = hot))
+    assert(sigKernel == sigAgg && sigKernel.nonEmpty)
+  }
+
+  test("simhashOnes kernel ≡ the explode + md5 + 33-column aggregate " +
+      "(r19: per-doc counts finished in the tokenizer pass)") {
+    import org.apache.spark.sql.functions._
+    import graft.expressions.StringKernels.hex_parity_mask
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // the pre-r19 expression form, inline
+    val toks = corpus
+      .select(col("doc_id").as("doc"),
+        explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .withColumn("pm", hex_parity_mask(md5(col("tok").cast("binary"))))
+    val onesCols = (0 until 32).map(b =>
+      sum(shiftright(col("pm"), b).bitwiseAND(lit(1))).as(s"o$b"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        (1 to 33).map(i => r.getLong(i))).toMap
+    val viaExpr = canon(toks.groupBy(col("doc"))
+      .agg(count(lit(1)).as("n"), onesCols: _*))
+    val viaKernel = canon(Dedup.simhashOnes(corpus, "doc_id", "text"))
+    assert(viaKernel == viaExpr && viaKernel.nonEmpty)
+  }
+
   test("minhash+LSH candidates recover high-jaccard pairs") {
     val pairs = Dedup.minhashDupPairs(docs, "doc_id", "text",
         threshold = 0.5)

@@ -88,6 +88,21 @@ class ExactQuantilesSpec extends AnyFunSuite {
     }
   }
 
+  test("driver-state guard: a high-cardinality group column fails " +
+      "loudly instead of growing partitions×groups driver state") {
+    val df = (1 to 500).map(i => (s"g$i", i.toDouble)).toDF("grp", "v")
+    System.setProperty("graft.exactQuantiles.maxCounts", "100")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        ExactQuantiles.groupQuantiles(df, "grp", "v", Seq(0.5))
+      }
+      assert(e.getMessage.contains("low-group-cardinality"))
+    } finally System.clearProperty("graft.exactQuantiles.maxCounts")
+    // and the same call is fine at the default cap
+    val ok = ExactQuantiles.groupQuantiles(df, "grp", "v", Seq(0.5))
+    assert(ok.count() == 500)
+  }
+
   test("no task ever aggregates a whole group: the plan has no " +
       "ObjectHashAggregate percentile") {
     val df = Seq(("g", 1.0), ("g", 2.0)).toDF("grp", "v")

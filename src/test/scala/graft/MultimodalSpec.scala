@@ -203,6 +203,24 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("pngHeaderPayload is the byte-identical prefix of the full " +
+      "payload and pngMeta reads the same fields from either (r19 §6)") {
+    // ids spanning the w/h residue ranges, incl. negative (floorMod)
+    for (id <- Seq(0L, 1L, 16L, 63L, 64L, 127L, -5L)) {
+      val full = Multimodal.pngPayload(id)
+      val head = Multimodal.pngHeaderPayload(id)
+      assert(head.length == 33, s"sig(8) + IHDR len/type/13/crc = 33")
+      assert(java.util.Arrays.equals(head, full.take(33)),
+        s"id=$id: header slice must be the exact payload prefix")
+    }
+    val docs = Seq(3L, 70L, 100L).toDF("doc_id")
+    val viaFull = Multimodal.pngMeta(
+      Multimodal.pngPayloads(docs, "doc_id")).collect().map(_.toSeq).toSet
+    val viaHead = Multimodal.pngMeta(
+      Multimodal.pngHeaderPayloads(docs, "doc_id")).collect().map(_.toSeq).toSet
+    assert(viaFull == viaHead)
+  }
+
   test("malformed payloads drop, never crash (decode + energy)") {
     implicit val enc = org.apache.spark.sql.Encoders.product[
       Multimodal.MediaRow]

@@ -490,10 +490,13 @@ class PlanRegressionSpec extends AnyFunSuite {
   test("x11 novelty: no shingle-keyed join, denominator is the map kernel") {
     val p = plan("x11_novelty")
     // the df-counts join on shingle TEXT is gone: the only exchanges
-    // are the xxhash64-keyed aggregation and doc-sized ops
+    // are the hash-keyed aggregation and doc-sized ops. Round-19: the
+    // xxhash64 is computed INSIDE the shingling kernel (no string, no
+    // hash expression in the plan) — the aggregation exchange keys on
+    // the kernel's sh_h long column
     assert(!p.contains("hashpartitioning(shingle"),
       "postings must not shuffle keyed on shingle text")
-    assert(p.contains("xxhash64"), p.take(2000))
+    assert(p.contains("hashpartitioning(sh_h"), p.take(2000))
     assert(p.contains("MapPartitions"), "denominator must be the re-shingle kernel")
   }
 
