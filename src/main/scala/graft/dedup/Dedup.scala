@@ -808,6 +808,15 @@ object Dedup {
       .toDF("doc", "n", "ones")
       .select(col("doc") +: col("n") +:
         (0 until 32).map(b => col("ones")(b).as(s"o$b")): _*)
+      // keep the frame hash-partitioned by doc, like the groupBy(doc)
+      // aggregate it replaced: d5's final pair distinct REUSED that
+      // partitioning (doc_a ⊂ the distinct keys → no new exchange),
+      // and the kernel's MapPartitions output alone is
+      // unknown-partitioned, which re-planned a full pair-table
+      // exchange into d5 (caught by the r19 plan diff). Shuffle
+      // volume is identical to the old form's: the partial aggregate
+      // also moved exactly one 34-column row per doc.
+      .repartition(col("doc"))
   }
 
   /** 32-bit SimHash over the whitespace tokenization (with
